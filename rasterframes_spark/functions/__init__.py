@@ -1,0 +1,21 @@
+"""The rf_* / st_* function surface (SURVEY.md §2)."""
+
+from rasterframes_spark.functions.local import *  # noqa: F401,F403
+from rasterframes_spark.functions.tilestats import *  # noqa: F401,F403
+from rasterframes_spark.functions.mask import *  # noqa: F401,F403
+from rasterframes_spark.functions.constructors import *  # noqa: F401,F403
+from rasterframes_spark.functions.aggregates import *  # noqa: F401,F403
+
+from rasterframes_spark.functions import local as _local
+from rasterframes_spark.functions import tilestats as _tilestats
+from rasterframes_spark.functions import mask as _mask
+from rasterframes_spark.functions import constructors as _constructors
+from rasterframes_spark.functions import aggregates as _aggregates
+
+__all__ = (
+    list(_local.__all__)
+    + list(_tilestats.__all__)
+    + list(_mask.__all__)
+    + list(_constructors.__all__)
+    + list(_aggregates.__all__)
+)

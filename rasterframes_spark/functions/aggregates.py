@@ -1,0 +1,339 @@
+"""Column-wide aggregates (SURVEY.md §2.4).
+
+Scale-first design: scalar aggregates are expressed as ONE pandas-UDF pass
+producing a tiny per-tile partial struct, combined with Spark **built-in**
+aggregates (sum/min/max) — so map-side partial aggregation, whole-stage
+codegen of the combine, and AQE all apply, and no Python state crosses the
+shuffle. This is the idiomatic replacement for the reference's UDAFs
+(``core/.../expressions/aggregates/CellStatsAggregate.scala:40-159`` etc.),
+and lands near its RDD `directMean` lower bound rather than its 7×-slower
+expression path (BASELINE.md).
+
+Tile-valued ("local") aggregates need cell-wise state — those use a
+two-level combine: mapInPandas partial per partition (no shuffle), then a
+single final merge of P partition-partials (P rows shuffle, not N tiles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from rasterframes_spark.tile import (
+    CellType,
+    Tile,
+    TILE_SCHEMA,
+    decode_struct_pdf,
+    tiles_to_struct_pdf,
+)
+from rasterframes_spark.functions._kernel import col_or_name, lazy_pandas_udf
+
+__all__ = [
+    "rf_agg_stats", "rf_agg_mean", "rf_agg_data_cells", "rf_agg_no_data_cells",
+    "rf_agg_extent", "rf_agg_approx_quantiles", "rf_agg_approx_histogram",
+    "agg_local_stats", "agg_local_min", "agg_local_max", "agg_local_mean",
+    "agg_local_data_cells", "agg_local_no_data_cells",
+]
+
+# ---------------------------------------------------------------------------
+# Per-tile partial: the single Python pass every scalar aggregate rides on
+# ---------------------------------------------------------------------------
+
+_PARTIAL_T = (
+    "struct<cnt:bigint,nd:bigint,mn:double,mx:double,sm:double,ssq:double>"
+)
+
+
+@lazy_pandas_udf(_PARTIAL_T)
+def _partial_udf(t: pd.DataFrame) -> pd.DataFrame:
+    tiles = decode_struct_pdf(t)
+    rows = []
+    for tile in tiles:
+        if tile is None:
+            rows.append((0, 0, None, None, 0.0, 0.0))
+            continue
+        a = tile.masked()
+        n = int(a.count())
+        nd = int(np.ma.getmaskarray(a).sum())
+        if n == 0:
+            rows.append((0, nd, None, None, 0.0, 0.0))
+        else:
+            af = a.astype("float64")
+            rows.append(
+                (n, nd, float(af.min()), float(af.max()), float(af.sum()), float((af * af).sum()))
+            )
+    return pd.DataFrame(rows, columns=["cnt", "nd", "mn", "mx", "sm", "ssq"])
+
+
+def _partials(tile) -> Column:
+    return _partial_udf(col_or_name(tile))
+
+
+def rf_agg_stats(tile) -> Column:
+    """Aggregate struct{data_cells,no_data_cells,min,max,mean,variance} over
+    all cells of the column (aggregates/CellStatsAggregate.scala:40-159).
+
+    Use as ``df.agg(rf_agg_stats("tile").alias("stats"))``. Population variance.
+    """
+    p = _partials(tile)
+    cnt = F.sum(p.getField("cnt"))
+    nd = F.sum(p.getField("nd"))
+    sm = F.sum(p.getField("sm"))
+    ssq = F.sum(p.getField("ssq"))
+    mean = sm / cnt
+    return F.struct(
+        cnt.alias("data_cells"),
+        nd.alias("no_data_cells"),
+        F.min(p.getField("mn")).alias("min"),
+        F.max(p.getField("mx")).alias("max"),
+        mean.alias("mean"),
+        (ssq / cnt - mean * mean).alias("variance"),
+    )
+
+
+def rf_agg_mean(tile) -> Column:
+    """Mean of all cells — pure built-ins over the per-tile partial
+    (aggregates/CellMeanAggregate.scala:44-80)."""
+    p = _partials(tile)
+    return F.sum(p.getField("sm")) / F.sum(p.getField("cnt"))
+
+
+def rf_agg_data_cells(tile) -> Column:
+    """(aggregates/CellCountAggregate.scala:58-100)"""
+    return F.sum(_partials(tile).getField("cnt"))
+
+
+def rf_agg_no_data_cells(tile) -> Column:
+    return F.sum(_partials(tile).getField("nd"))
+
+
+def rf_agg_extent(extent) -> Column:
+    """Aggregate bounding box — pure built-ins
+    (functions/AggregateFunctions.scala:118-126)."""
+    e = col_or_name(extent)
+    return F.struct(
+        F.min(e.getField("xmin")).alias("xmin"),
+        F.min(e.getField("ymin")).alias("ymin"),
+        F.max(e.getField("xmax")).alias("xmax"),
+        F.max(e.getField("ymax")).alias("ymax"),
+    )
+
+
+def rf_agg_approx_quantiles(df: DataFrame, tile, probabilities, relative_error=0.0001):
+    """Approximate quantiles of all cells in the column.
+
+    The reference reuses Spark's Greenwald-Khanna QuantileSummaries
+    (aggregates/ApproxCellQuantilesAggregate.scala:34-87); we reach the very
+    same algorithm through ``percentile_approx`` over exploded cells — the
+    explode is a codegen'd Generate, no Python per cell.
+    """
+    from rasterframes_spark.functions.constructors import rf_tile_to_array_double
+
+    cells = df.select(F.explode(rf_tile_to_array_double(tile)).alias("cell"))
+    accuracy = max(1, int(1.0 / relative_error))
+    return cells.agg(
+        F.percentile_approx("cell", list(probabilities), accuracy).alias("quantiles")
+    )
+
+
+def rf_agg_approx_histogram(df: DataFrame, tile, num_buckets: int = 80):
+    """Fixed-bin histogram over all cells (aggregates/HistogramAggregate.scala:45-125
+    uses a streaming histogram; fixed-width binning over the exact min/max is
+    the deterministic equivalent at column scale). Returns a DataFrame with
+    ``bin_start, bin_end, count`` rows."""
+    from rasterframes_spark.functions.constructors import rf_tile_to_array_double
+
+    cells = df.select(F.explode(rf_tile_to_array_double(tile)).alias("cell")).where(
+        F.col("cell").isNotNull() & ~F.isnan("cell")
+    )
+    mm = cells.agg(F.min("cell").alias("lo"), F.max("cell").alias("hi")).collect()[0]
+    lo, hi = mm["lo"], mm["hi"]
+    width = (hi - lo) / num_buckets or 1.0
+    return (
+        cells.select(
+            F.least(
+                F.floor((F.col("cell") - F.lit(lo)) / F.lit(width)), F.lit(num_buckets - 1)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("count"))
+        .select(
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bin_start"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("bin_end"),
+            "count",
+        )
+        .orderBy("bin_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tile-valued ("local") aggregates — cell-wise across rows
+# ---------------------------------------------------------------------------
+
+_LOCAL_STATE_T = (
+    "struct<rows:int,cols:int,cnt:binary,sm:binary,ssq:binary,mn:binary,mx:binary>"
+)
+
+
+def _local_zero(shape):
+    return {
+        "cnt": np.zeros(shape, dtype="int64"),
+        "sm": np.zeros(shape, dtype="float64"),
+        "ssq": np.zeros(shape, dtype="float64"),
+        "mn": np.full(shape, np.inf, dtype="float64"),
+        "mx": np.full(shape, -np.inf, dtype="float64"),
+    }
+
+
+def _local_accum(state, a: np.ma.MaskedArray):
+    valid = ~np.ma.getmaskarray(a)
+    vals = np.where(valid, np.asarray(a.data, dtype="float64"), 0.0)
+    state["cnt"] += valid
+    state["sm"] += vals
+    state["ssq"] += vals * vals
+    state["mn"] = np.fmin(state["mn"], np.where(valid, vals, np.inf))
+    state["mx"] = np.fmax(state["mx"], np.where(valid, vals, -np.inf))
+    return state
+
+
+def _local_state_rows(states_and_shapes):
+    rows = []
+    for shape, st in states_and_shapes:
+        rows.append(
+            {
+                "rows": shape[0],
+                "cols": shape[1],
+                "cnt": st["cnt"].tobytes(),
+                "sm": st["sm"].tobytes(),
+                "ssq": st["ssq"].tobytes(),
+                "mn": st["mn"].tobytes(),
+                "mx": st["mx"].tobytes(),
+            }
+        )
+    return rows
+
+
+def _decode_state(row):
+    shape = (int(row["rows"]), int(row["cols"]))
+    return shape, {
+        "cnt": np.frombuffer(row["cnt"], dtype="int64").reshape(shape).copy(),
+        "sm": np.frombuffer(row["sm"], dtype="float64").reshape(shape).copy(),
+        "ssq": np.frombuffer(row["ssq"], dtype="float64").reshape(shape).copy(),
+        "mn": np.frombuffer(row["mn"], dtype="float64").reshape(shape).copy(),
+        "mx": np.frombuffer(row["mx"], dtype="float64").reshape(shape).copy(),
+    }
+
+
+def _merge_states(a, b):
+    a["cnt"] += b["cnt"]
+    a["sm"] += b["sm"]
+    a["ssq"] += b["ssq"]
+    a["mn"] = np.fmin(a["mn"], b["mn"])
+    a["mx"] = np.fmax(a["mx"], b["mx"])
+    return a
+
+
+def _local_agg(df: DataFrame, tile, which: str) -> Tile | dict:
+    """Two-level cell-wise aggregate over the whole column.
+
+    Level 1: mapInPandas accumulates per *partition* (no shuffle, one state
+    array per partition). Level 2: the P partial states (P = #partitions,
+    tiny) collect to the driver for the final merge — equivalent to
+    treeAggregate's final step; at 1000 executors this is 1000 small rows.
+    Reference: aggregates/LocalStatsAggregate.scala:44-178.
+    """
+    tile_c = col_or_name(tile)
+    src = df.select(tile_c.alias("t"))
+
+    def partial(iterator):
+        state = None
+        shape = None
+        for pdf in iterator:
+            # mapInPandas delivers struct columns as dict-valued object Series
+            structs = pd.DataFrame([s if s is not None else {"cell_type": None, "cols": None, "rows": None, "cells": None} for s in pdf["t"]])
+            for tl in decode_struct_pdf(structs):
+                if tl is None:
+                    continue
+                a = tl.masked()
+                if state is None:
+                    shape = a.shape
+                    state = _local_zero(shape)
+                if a.shape != shape:
+                    raise ValueError("local aggregates require uniform tile dimensions")
+                _local_accum(state, a)
+        if state is not None:
+            yield pd.DataFrame(_local_state_rows([(shape, state)]))
+
+    from pyspark.sql.types import StructType
+    import pyspark.sql.types as T
+
+    state_schema = StructType.fromDDL(
+        "rows int, cols int, cnt binary, sm binary, ssq binary, mn binary, mx binary"
+    )
+    partials = src.mapInPandas(partial, schema=state_schema).collect()
+    if not partials:
+        return None
+    shape, acc = _decode_state(partials[0].asDict())
+    for row in partials[1:]:
+        s2, st2 = _decode_state(row.asDict())
+        if s2 != shape:
+            raise ValueError("local aggregates require uniform tile dimensions")
+        _merge_states(acc, st2)
+
+    cnt = acc["cnt"]
+    mask = cnt == 0
+    mean = np.ma.masked_array(np.divide(acc["sm"], np.maximum(cnt, 1)), mask=mask)
+    if which == "mean":
+        return Tile(mean, CellType.parse("float64"))
+    if which == "min":
+        return Tile(np.ma.masked_array(acc["mn"], mask=mask), CellType.parse("float64"))
+    if which == "max":
+        return Tile(np.ma.masked_array(acc["mx"], mask=mask), CellType.parse("float64"))
+    if which == "data_cells":
+        return Tile(np.ma.masked_array(cnt.astype("int32")), CellType.parse("int32"))
+    if which == "stats":
+        var = np.ma.masked_array(
+            np.divide(acc["ssq"], np.maximum(cnt, 1)) - np.asarray(mean) ** 2, mask=mask
+        )
+        return {
+            "count": Tile(np.ma.masked_array(cnt.astype("int32")), CellType.parse("int32")),
+            "min": Tile(np.ma.masked_array(acc["mn"], mask=mask), CellType.parse("float64")),
+            "max": Tile(np.ma.masked_array(acc["mx"], mask=mask), CellType.parse("float64")),
+            "mean": Tile(mean, CellType.parse("float64")),
+            "variance": Tile(var, CellType.parse("float64")),
+        }
+    raise ValueError(which)
+
+
+def agg_local_stats(df: DataFrame, tile):
+    """Cell-wise count/min/max/mean/variance across rows -> dict of 5 Tiles
+    (aggregates/LocalStatsAggregate.scala:44-178)."""
+    return _local_agg(df, tile, "stats")
+
+
+def agg_local_min(df: DataFrame, tile) -> Tile:
+    return _local_agg(df, tile, "min")
+
+
+def agg_local_max(df: DataFrame, tile) -> Tile:
+    return _local_agg(df, tile, "max")
+
+
+def agg_local_mean(df: DataFrame, tile) -> Tile:
+    return _local_agg(df, tile, "mean")
+
+
+def agg_local_data_cells(df: DataFrame, tile) -> Tile:
+    return _local_agg(df, tile, "data_cells")
+
+
+def agg_local_no_data_cells(df: DataFrame, tile) -> Tile:
+    stats = _local_agg(df, tile, "stats")
+    cnt = stats["count"].masked().data.astype("int64")
+    n_rows = df.where(col_or_name(tile).isNotNull()).count()
+    return Tile(
+        np.ma.masked_array((n_rows - cnt).astype("int32")), CellType.parse("int32")
+    )

@@ -1,0 +1,70 @@
+"""Masking functions (SURVEY.md §2.7) — a RasterFrames specialty.
+
+Reference parity: ``core/.../expressions/transformers/Mask*.scala`` and the
+bit-mask compositions in ``core/.../functions/LocalFunctions.scala:174-210``.
+Semantics: the result keeps the data tile's cell type (promoted to a
+NoData-capable variant if needed); cells become NoData where the mask
+condition holds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column
+
+from rasterframes_spark.functions._kernel import binary_tile_op, col_or_name
+from rasterframes_spark.functions.local import rf_local_extract_bits
+
+__all__ = [
+    "rf_mask", "rf_inverse_mask",
+    "rf_mask_by_value", "rf_inverse_mask_by_value", "rf_mask_by_values",
+    "rf_mask_by_bit", "rf_mask_by_bits",
+]
+
+
+def _masked_where(a, cond):
+    return np.ma.masked_array(a, mask=np.ma.getmaskarray(a) | cond)
+
+
+# transformers/MaskByDefined.scala:43-71 — NoData where mask tile is NoData
+rf_mask = binary_tile_op(lambda a, m: _masked_where(a, np.ma.getmaskarray(m)))
+
+# transformers/InverseMaskByDefined.scala:44-72 — NoData where mask HAS data
+rf_inverse_mask = binary_tile_op(lambda a, m: _masked_where(a, ~np.ma.getmaskarray(m)))
+
+
+def rf_mask_by_value(tile, mask_tile, mask_value) -> Column:
+    """NoData where mask == value (transformers/MaskByValue.scala:48-85)."""
+    v = float(mask_value)
+    op = binary_tile_op(lambda a, m: _masked_where(a, np.asarray(m.data, dtype="float64") == v))
+    return op.tile_tile(col_or_name(tile), col_or_name(mask_tile))
+
+
+def rf_inverse_mask_by_value(tile, mask_tile, mask_value) -> Column:
+    """NoData where mask != value (transformers/InverseMaskByValue.scala:48-85)."""
+    v = float(mask_value)
+    op = binary_tile_op(lambda a, m: _masked_where(a, np.asarray(m.data, dtype="float64") != v))
+    return op.tile_tile(col_or_name(tile), col_or_name(mask_tile))
+
+
+def rf_mask_by_values(tile, mask_tile, values) -> Column:
+    """NoData where mask ∈ values (transformers/MaskByValues.scala:49-86)."""
+    vals = np.asarray(list(values), dtype="float64")
+    op = binary_tile_op(
+        lambda a, m: _masked_where(a, np.isin(np.asarray(m.data, dtype="float64"), vals))
+    )
+    return op.tile_tile(col_or_name(tile), col_or_name(mask_tile))
+
+
+def rf_mask_by_bit(tile, mask_tile, bit_position, value_to_mask) -> Column:
+    """Extract one bit from the mask tile, mask where it equals value
+    (functions/LocalFunctions.scala:174-189)."""
+    return rf_mask_by_bits(tile, mask_tile, bit_position, 1, [int(value_to_mask)])
+
+
+def rf_mask_by_bits(tile, mask_tile, start_bit, num_bits, values_to_mask) -> Column:
+    """Extract a bitfield from the mask tile and mask-by-values
+    (functions/LocalFunctions.scala:191-210) — QA-band workflows."""
+    bits = rf_local_extract_bits(mask_tile, start_bit, num_bits)
+    return rf_mask_by_values(tile, bits, values_to_mask)

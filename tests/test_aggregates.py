@@ -1,0 +1,110 @@
+"""Aggregates vs numpy oracle — mirrors AggregateFunctionsSpec / StatFunctionsSpec
+golden-value strategy (SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+import rasterframes_spark as rf
+from rasterframes_spark.tile import Tile
+
+TILE_T = "struct<cell_type:string,cols:int,rows:int,cells:binary>"
+
+
+@pytest.fixture(scope="module")
+def tiles(rng):
+    out = []
+    for i in range(20):
+        arr = rng.integers(0, 1000, (8, 8)).astype("uint16")
+        mask = rng.random((8, 8)) < 0.1
+        out.append(Tile(np.ma.masked_array(arr, mask=mask), "uint16ud65535"))
+    return out
+
+
+@pytest.fixture(scope="module")
+def tile_df(spark, tiles):
+    return spark.createDataFrame(
+        [{"tile_id": f"t{i}", "tile": t.to_row()} for i, t in enumerate(tiles)],
+        schema=f"tile_id string, tile {TILE_T}",
+    ).repartition(4)
+
+
+def _all_cells(tiles):
+    return np.ma.concatenate([t.masked().astype("float64").ravel() for t in tiles])
+
+
+def test_agg_stats(spark, tile_df, tiles):
+    row = tile_df.agg(rf.rf_agg_stats("tile").alias("s")).head()["s"]
+    cells = _all_cells(tiles)
+    assert row["data_cells"] == cells.count()
+    assert row["no_data_cells"] == int(np.ma.getmaskarray(cells).sum())
+    assert row["min"] == float(cells.min())
+    assert row["max"] == float(cells.max())
+    assert abs(row["mean"] - float(cells.mean())) < 1e-9
+    assert abs(row["variance"] - float(cells.var())) < 1e-6
+
+
+def test_agg_mean_and_counts(spark, tile_df, tiles):
+    cells = _all_cells(tiles)
+    got = tile_df.agg(
+        rf.rf_agg_mean("tile").alias("m"),
+        rf.rf_agg_data_cells("tile").alias("dc"),
+        rf.rf_agg_no_data_cells("tile").alias("ndc"),
+    ).head()
+    assert abs(got["m"] - float(cells.mean())) < 1e-9
+    assert got["dc"] == cells.count()
+    assert got["ndc"] == int(np.ma.getmaskarray(cells).sum())
+
+
+def test_agg_quantiles_vs_numpy(spark, tile_df, tiles):
+    got = rf.rf_agg_approx_quantiles(tile_df, "tile", [0.1, 0.5, 0.9]).head()["quantiles"]
+    cells = np.sort(_all_cells(tiles).compressed())
+    for g, p in zip(got, [0.1, 0.5, 0.9]):
+        lo = np.quantile(cells, max(0, p - 0.02))
+        hi = np.quantile(cells, min(1, p + 0.02))
+        assert lo <= g <= hi
+
+
+def test_agg_local_mean_min_max(spark, tile_df, tiles):
+    got = rf.agg_local_mean(tile_df, "tile")
+    stack = np.ma.stack([t.masked().astype("float64") for t in tiles])
+    assert np.allclose(np.asarray(got.masked()), np.asarray(stack.mean(axis=0)))
+    gmin = rf.agg_local_min(tile_df, "tile")
+    assert np.allclose(np.asarray(gmin.masked()), np.asarray(stack.min(axis=0)))
+    gmax = rf.agg_local_max(tile_df, "tile")
+    assert np.allclose(np.asarray(gmax.masked()), np.asarray(stack.max(axis=0)))
+
+
+def test_agg_local_stats_counts(spark, tile_df, tiles):
+    stats = rf.agg_local_stats(tile_df, "tile")
+    stack = np.ma.stack([t.masked().astype("float64") for t in tiles])
+    cnt = (~np.ma.getmaskarray(stack)).sum(axis=0)
+    assert np.array_equal(np.asarray(stats["count"].masked()), cnt)
+    assert np.allclose(np.asarray(stats["variance"].masked()), np.asarray(stack.var(axis=0)), atol=1e-6)
+
+
+def test_agg_extent(spark):
+    df = spark.createDataFrame(
+        [
+            {"e": {"xmin": 0.0, "ymin": 1.0, "xmax": 10.0, "ymax": 11.0}},
+            {"e": {"xmin": -5.0, "ymin": 2.0, "xmax": 8.0, "ymax": 20.0}},
+        ],
+        schema="e struct<xmin:double,ymin:double,xmax:double,ymax:double>",
+    )
+    got = df.agg(rf.rf_agg_extent("e").alias("ext")).head()["ext"]
+    assert (got["xmin"], got["ymin"], got["xmax"], got["ymax"]) == (-5.0, 1.0, 10.0, 20.0)
+
+
+def test_agg_histogram(spark, tile_df, tiles):
+    hist = rf.rf_agg_approx_histogram(tile_df, "tile", num_buckets=10).collect()
+    cells = _all_cells(tiles).compressed()
+    assert sum(r["count"] for r in hist) == len(cells)
+
+
+def test_grouped_agg_stats(spark, tile_df, tiles):
+    with_grp = tile_df.withColumn("grp", (F.regexp_extract("tile_id", r"(\d+)", 1).cast("int") % 2))
+    got = {r["grp"]: r["m"] for r in with_grp.groupBy("grp").agg(rf.rf_agg_mean("tile").alias("m")).collect()}
+    for g in (0, 1):
+        sel = [t for i, t in enumerate(tiles) if i % 2 == g]
+        assert abs(got[g] - float(_all_cells(sel).mean())) < 1e-9

@@ -1,0 +1,120 @@
+"""Local map algebra vs numpy oracle — mirrors LocalFunctionsSpec (SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+import rasterframes_spark as rf
+from rasterframes_spark.tile import Tile
+from tests.conftest import make_tile_df
+
+
+TILE_T = "struct<cell_type:string,cols:int,rows:int,cells:binary>"
+
+
+@pytest.fixture(scope="module")
+def tile_df(spark):
+    a = Tile(np.arange(100, dtype="float64").reshape(10, 10), "float64")
+    b = Tile(np.full((10, 10), 2.0), "float64")
+    nd = Tile(
+        np.ma.masked_array(
+            np.arange(100, dtype="uint16").reshape(10, 10),
+            mask=np.arange(100).reshape(10, 10) % 7 == 0,
+        ),
+        "uint16ud65535",
+    )
+    return spark.createDataFrame(
+        [{"tile_id": "t0", "a": a.to_row(), "b": b.to_row(), "nd": nd.to_row()}],
+        schema=f"tile_id string, a {TILE_T}, b {TILE_T}, nd {TILE_T}",
+    )
+
+
+def _one_tile(df, col):
+    row = df.select(col).head()[0]
+    return Tile.from_parts(row["cell_type"], row["cols"], row["rows"], bytes(row["cells"]))
+
+
+def test_local_add_tile_tile(spark, tile_df):
+    t = _one_tile(tile_df.select(rf.rf_local_add("a", F.col("b")).alias("r")), "r")
+    assert np.allclose(t.masked(), np.arange(100).reshape(10, 10) + 2)
+
+
+def test_local_add_scalar(spark, tile_df):
+    t = _one_tile(tile_df.select(rf.rf_local_add("a", 10).alias("r")), "r")
+    assert np.allclose(t.masked(), np.arange(100).reshape(10, 10) + 10)
+
+
+def test_local_divide_promotes_float64(spark, tile_df):
+    out = tile_df.select(rf.rf_local_divide("a", 4).alias("r"))
+    t = _one_tile(out, "r")
+    assert t.cell_type.name == "float64"
+    assert np.allclose(t.masked(), np.arange(100).reshape(10, 10) / 4)
+
+
+def test_nodata_propagates(spark, tile_df):
+    out = tile_df.select(rf.rf_local_add("nd", 1).alias("r"))
+    t = _one_tile(out, "r")
+    expected_mask = np.arange(100).reshape(10, 10) % 7 == 0
+    assert np.array_equal(np.ma.getmaskarray(t.masked()), expected_mask)
+
+
+def test_comparisons(spark, tile_df):
+    t = _one_tile(tile_df.select(rf.rf_local_greater("a", 49.5).alias("r")), "r")
+    assert int(t.masked().sum()) == 50
+    t = _one_tile(tile_df.select(rf.rf_local_equal("a", 3).alias("r")), "r")
+    assert int(t.masked().sum()) == 1
+
+
+def test_where(spark, tile_df):
+    cond = rf.rf_local_greater("a", 49.5)
+    out = tile_df.select(rf.rf_where(cond, "a", "b").alias("r"))
+    t = _one_tile(out, "r")
+    arr = np.arange(100, dtype="float64").reshape(10, 10)
+    assert np.allclose(t.masked(), np.where(arr > 49.5, arr, 2.0))
+
+
+def test_normalized_difference(spark, tile_df):
+    out = tile_df.select(rf.rf_normalized_difference("a", "b").alias("r"))
+    t = _one_tile(out, "r")
+    arr = np.arange(100, dtype="float64").reshape(10, 10)
+    assert np.allclose(t.masked(), (arr - 2) / (arr + 2))
+
+
+def test_clamp_round_abs_sqrt(spark, tile_df):
+    t = _one_tile(tile_df.select(rf.rf_local_clamp("a", 10, 20).alias("r")), "r")
+    assert t.masked().min() == 10 and t.masked().max() == 20
+    t = _one_tile(tile_df.select(rf.rf_sqrt("a").alias("r")), "r")
+    assert np.allclose(t.masked(), np.sqrt(np.arange(100).reshape(10, 10)))
+
+
+def test_is_in(spark, tile_df):
+    t = _one_tile(tile_df.select(rf.rf_local_is_in("a", [1, 5, 200]).alias("r")), "r")
+    assert int(t.masked().sum()) == 2
+
+
+def test_extract_bits(spark, tile_df):
+    t = _one_tile(tile_df.select(rf.rf_local_extract_bits("nd", 1, 2).alias("r")), "r")
+    arr = np.arange(100).reshape(10, 10)
+    expected = (arr >> 1) & 3
+    valid = ~(arr % 7 == 0)
+    assert np.array_equal(np.asarray(t.masked())[valid], expected[valid])
+
+
+def test_standardize_rescale(spark, tile_df):
+    t = _one_tile(tile_df.select(rf.rf_rescale("a").alias("r")), "r")
+    assert t.masked().min() == 0.0 and t.masked().max() == 1.0
+    t = _one_tile(tile_df.select(rf.rf_standardize("a").alias("r")), "r")
+    assert abs(float(t.masked().mean())) < 1e-12
+
+
+def test_masking(spark, tile_df):
+    out = tile_df.select(rf.rf_mask("a", "nd").alias("r"))
+    t = _one_tile(out, "r")
+    assert int(np.ma.getmaskarray(t.masked()).sum()) == 15  # multiples of 7 in 0..99
+    out = tile_df.select(rf.rf_mask_by_value("a", "nd", 14).alias("r"))
+    t2 = _one_tile(out, "r")
+    # 14 is masked in nd (14%7==0) so mask tile value never equals 14 … pick 15
+    out = tile_df.select(rf.rf_mask_by_value("a", "nd", 15).alias("r"))
+    t3 = _one_tile(out, "r")
+    assert np.ma.getmaskarray(t3.masked())[1, 5]
