@@ -1,0 +1,673 @@
+"""GEOS-lite: a pure-python/numpy computational geometry core.
+
+The reference delegates its ~60 st_* functions to GeoMesa spark-jts (JTS =
+JVM GEOS port; SURVEY.md §2.12). This environment has no shapely/GEOS, so
+the engine carries a minimal, dependency-free geometry kernel: WKB/WKT
+codec + the algorithms the st_* surface needs (area, length, distance,
+centroid, predicates, point-in-polygon, segment intersection).
+
+Geometries are immutable tuples: ("Point", (x, y)), ("LineString", [(x,y)...]),
+("Polygon", [ring, ...]) (first ring = shell, rest = holes),
+("MultiPoint"/"MultiLineString"/"MultiPolygon"/"GeometryCollection", [geom...]).
+Rings are closed (first == last vertex).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# WKB geometry type codes
+_WKB_TYPES = {
+    1: "Point", 2: "LineString", 3: "Polygon",
+    4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon",
+    7: "GeometryCollection",
+}
+_WKB_CODES = {v: k for k, v in _WKB_TYPES.items()}
+
+
+# ---------------------------------------------------------------------------
+# WKB codec (2-D, little-endian on write; either endianness on read)
+# ---------------------------------------------------------------------------
+
+
+def wkb_dumps(geom) -> bytes:
+    gtype, body = geom
+    out = [b"\x01", struct.pack("<I", _WKB_CODES[gtype])]
+    if gtype == "Point":
+        out.append(struct.pack("<dd", body[0], body[1]))
+    elif gtype == "LineString":
+        out.append(struct.pack("<I", len(body)))
+        for x, y in body:
+            out.append(struct.pack("<dd", x, y))
+    elif gtype == "Polygon":
+        out.append(struct.pack("<I", len(body)))
+        for ring in body:
+            out.append(struct.pack("<I", len(ring)))
+            for x, y in ring:
+                out.append(struct.pack("<dd", x, y))
+    else:  # multi / collection
+        out.append(struct.pack("<I", len(body)))
+        for sub in body:
+            if gtype == "MultiPoint":
+                sub = ("Point", sub) if not isinstance(sub, tuple) or not isinstance(sub[0], str) else sub
+            elif gtype == "MultiLineString":
+                sub = ("LineString", sub) if not isinstance(sub[0], str) else sub
+            elif gtype == "MultiPolygon":
+                sub = ("Polygon", sub) if not isinstance(sub[0], str) else sub
+            out.append(wkb_dumps(sub))
+    return b"".join(out)
+
+
+def wkb_loads(data: bytes):
+    geom, _ = _wkb_read(memoryview(data), 0)
+    return geom
+
+
+def _wkb_read(mv, off):
+    bo = "<" if mv[off] == 1 else ">"
+    off += 1
+    (code,) = struct.unpack_from(bo + "I", mv, off)
+    off += 4
+    srid = None
+    if code & 0x20000000:  # EWKB SRID flag
+        off += 4
+        code &= ~0x20000000
+    code = code % 1000  # tolerate ISO Z/M codes
+    gtype = _WKB_TYPES[code]
+    if gtype == "Point":
+        x, y = struct.unpack_from(bo + "dd", mv, off)
+        return ("Point", (x, y)), off + 16
+    if gtype == "LineString":
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        pts = list(struct.iter_unpack(bo + "dd", mv[off:off + 16 * n].tobytes()))
+        return ("LineString", pts), off + 16 * n
+    if gtype == "Polygon":
+        (nr,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(bo + "I", mv, off)
+            off += 4
+            rings.append(list(struct.iter_unpack(bo + "dd", mv[off:off + 16 * n].tobytes())))
+            off += 16 * n
+        return ("Polygon", rings), off
+    # multi / collection
+    (n,) = struct.unpack_from(bo + "I", mv, off)
+    off += 4
+    subs = []
+    for _ in range(n):
+        g, off = _wkb_read(mv, off)
+        subs.append(g)
+    if gtype == "MultiPoint":
+        return ("MultiPoint", [g[1] for g in subs]), off
+    if gtype == "MultiLineString":
+        return ("MultiLineString", [g[1] for g in subs]), off
+    if gtype == "MultiPolygon":
+        return ("MultiPolygon", [g[1] for g in subs]), off
+    return ("GeometryCollection", subs), off
+
+
+# ---------------------------------------------------------------------------
+# WKT codec
+# ---------------------------------------------------------------------------
+
+
+def wkt_dumps(geom) -> str:
+    gtype, body = geom
+
+    def coords(pts):
+        return ", ".join(f"{_num(x)} {_num(y)}" for x, y in pts)
+
+    if gtype == "Point":
+        return f"POINT ({_num(body[0])} {_num(body[1])})"
+    if gtype == "LineString":
+        return f"LINESTRING ({coords(body)})"
+    if gtype == "Polygon":
+        return "POLYGON (" + ", ".join(f"({coords(r)})" for r in body) + ")"
+    if gtype == "MultiPoint":
+        return "MULTIPOINT (" + ", ".join(f"({_num(x)} {_num(y)})" for x, y in body) + ")"
+    if gtype == "MultiLineString":
+        return "MULTILINESTRING (" + ", ".join(f"({coords(l)})" for l in body) + ")"
+    if gtype == "MultiPolygon":
+        return ("MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(f"({coords(r)})" for r in poly) + ")" for poly in body) + ")")
+    return "GEOMETRYCOLLECTION (" + ", ".join(wkt_dumps(g) for g in body) + ")"
+
+
+def _num(v: float) -> str:
+    return repr(int(v)) if float(v).is_integer() else repr(float(v))
+
+
+def wkt_loads(text: str):
+    text = text.strip()
+    i = text.index("(") if "(" in text else len(text)
+    head = text[:i].strip().upper().replace(" Z", "").replace(" M", "")
+    body = text[i:]
+    name = {"POINT": "Point", "LINESTRING": "LineString", "POLYGON": "Polygon",
+            "MULTIPOINT": "MultiPoint", "MULTILINESTRING": "MultiLineString",
+            "MULTIPOLYGON": "MultiPolygon", "GEOMETRYCOLLECTION": "GeometryCollection"}[head]
+    if head == "GEOMETRYCOLLECTION":
+        inner = body.strip()[1:-1]
+        parts, depth, start = [], 0, 0
+        for j, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(inner[start:j])
+                start = j + 1
+        parts.append(inner[start:])
+        return ("GeometryCollection", [wkt_loads(p) for p in parts])
+    nested = _parse_parens(body)
+    if name == "Point":
+        return ("Point", tuple(_pt(nested[0] if isinstance(nested[0], str) else nested[0])))
+    if name == "LineString":
+        return ("LineString", [_pt(p) for p in _split_pts(nested)])
+    if name == "Polygon":
+        return ("Polygon", [[_pt(p) for p in _split_pts(r)] for r in nested])
+    if name == "MultiPoint":
+        pts = []
+        for item in nested:
+            if isinstance(item, list):
+                pts.append(_pt(item[0]))
+            else:
+                pts.extend(_pt(p) for p in _split_pts([item]))
+        return ("MultiPoint", pts)
+    if name == "MultiLineString":
+        return ("MultiLineString", [[_pt(p) for p in _split_pts(l)] for l in nested])
+    if name == "MultiPolygon":
+        return ("MultiPolygon", [[[_pt(p) for p in _split_pts(r)] for r in poly] for poly in nested])
+    raise ValueError(name)
+
+
+def _parse_parens(s: str):
+    """Parse nested parens into nested lists of comma-separated strings."""
+    stack = [[]]
+    token = []
+
+    def flush():
+        t = "".join(token).strip()
+        token.clear()
+        if t:
+            stack[-1].append(t)
+
+    for ch in s:
+        if ch == "(":
+            new = []
+            stack[-1].append(new)
+            stack.append(new)
+        elif ch == ")":
+            flush()
+            stack.pop()
+        elif ch == ",":
+            flush()
+        else:
+            token.append(ch)
+    root = stack[0][0]
+    return root
+
+
+def _split_pts(items):
+    out = []
+    for it in items:
+        if isinstance(it, str):
+            out.append(it)
+        else:
+            out.extend(_split_pts(it))
+    return out
+
+
+def _pt(s):
+    if isinstance(s, (list, tuple)):
+        s = s[0]
+    parts = s.replace(",", " ").split()
+    return (float(parts[0]), float(parts[1]))
+
+
+# ---------------------------------------------------------------------------
+# Decomposition helpers
+# ---------------------------------------------------------------------------
+
+
+def _polygons(geom):
+    gtype, body = geom
+    if gtype == "Polygon":
+        return [body]
+    if gtype == "MultiPolygon":
+        return list(body)
+    if gtype == "GeometryCollection":
+        return [p for g in body for p in _polygons(g)]
+    return []
+
+
+def _lines(geom):
+    gtype, body = geom
+    if gtype == "LineString":
+        return [body]
+    if gtype == "MultiLineString":
+        return list(body)
+    if gtype == "Polygon":
+        return list(body)  # rings as lines for boundary work
+    if gtype == "MultiPolygon":
+        return [r for poly in body for r in poly]
+    if gtype == "GeometryCollection":
+        return [l for g in body for l in _lines(g)]
+    return []
+
+
+def _points(geom):
+    gtype, body = geom
+    if gtype == "Point":
+        return [body]
+    if gtype == "MultiPoint":
+        return list(body)
+    if gtype in ("LineString",):
+        return list(body)
+    if gtype == "MultiLineString":
+        return [p for l in body for p in l]
+    if gtype == "Polygon":
+        return [p for r in body for p in r]
+    if gtype == "MultiPolygon":
+        return [p for poly in body for r in poly for p in r]
+    return [p for g in body for p in _points(g)]
+
+
+def envelope(geom):
+    pts = np.asarray(_points(geom), dtype="float64")
+    return (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+
+
+# ---------------------------------------------------------------------------
+# Measures
+# ---------------------------------------------------------------------------
+
+
+def _ring_area(ring) -> float:
+    a = np.asarray(ring, dtype="float64")
+    x, y = a[:, 0], a[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def area(geom) -> float:
+    total = 0.0
+    for rings in _polygons(geom):
+        total += abs(_ring_area(rings[0]))
+        for hole in rings[1:]:
+            total -= abs(_ring_area(hole))
+    return total
+
+
+def length(geom) -> float:
+    total = 0.0
+    gtype = geom[0]
+    if gtype in ("LineString", "MultiLineString"):
+        for line in ([geom[1]] if gtype == "LineString" else geom[1]):
+            a = np.asarray(line, dtype="float64")
+            total += float(np.sqrt(((a[1:] - a[:-1]) ** 2).sum(axis=1)).sum())
+    elif gtype in ("Polygon", "MultiPolygon"):
+        for rings in _polygons(geom):
+            for r in rings:
+                a = np.asarray(r, dtype="float64")
+                total += float(np.sqrt(((a[1:] - a[:-1]) ** 2).sum(axis=1)).sum())
+    elif gtype == "GeometryCollection":
+        total = sum(length(g) for g in geom[1])
+    return total
+
+
+def centroid(geom):
+    gtype = geom[0]
+    polys = _polygons(geom)
+    if polys:
+        cx = cy = aa = 0.0
+        for rings in polys:
+            for k, ring in enumerate(rings):
+                a = np.asarray(ring, dtype="float64")
+                x, y = a[:-1, 0], a[:-1, 1]
+                x1, y1 = a[1:, 0], a[1:, 1]
+                cross = x * y1 - x1 * y
+                ra = float(cross.sum()) / 2.0
+                if ra == 0:
+                    continue
+                rcx = float(((x + x1) * cross).sum()) / (6 * ra)
+                rcy = float(((y + y1) * cross).sum()) / (6 * ra)
+                sign = 1.0 if k == 0 else -1.0
+                w = sign * abs(ra)
+                cx += rcx * w
+                cy += rcy * w
+                aa += w
+        if aa != 0:
+            return (cx / aa, cy / aa)
+    if gtype in ("LineString", "MultiLineString"):
+        sx = sy = sl = 0.0
+        for line in ([geom[1]] if gtype == "LineString" else geom[1]):
+            a = np.asarray(line, dtype="float64")
+            seg = a[1:] - a[:-1]
+            ln = np.sqrt((seg ** 2).sum(axis=1))
+            mid = (a[1:] + a[:-1]) / 2
+            sx += float((mid[:, 0] * ln).sum())
+            sy += float((mid[:, 1] * ln).sum())
+            sl += float(ln.sum())
+        if sl > 0:
+            return (sx / sl, sy / sl)
+    pts = np.asarray(_points(geom), dtype="float64")
+    return (float(pts[:, 0].mean()), float(pts[:, 1].mean()))
+
+
+# ---------------------------------------------------------------------------
+# Predicates
+# ---------------------------------------------------------------------------
+
+
+def point_in_ring(pt, ring) -> bool:
+    """Ray casting; boundary counts as inside."""
+    x, y = pt
+    a = np.asarray(ring, dtype="float64")
+    x1, y1 = a[:-1, 0], a[:-1, 1]
+    x2, y2 = a[1:, 0], a[1:, 1]
+    # boundary check
+    d = _pts_to_segs_dist(np.array([[x, y]]), a)
+    if d[0] < 1e-12:
+        return True
+    cond = (y1 > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+    crossings = int((cond & (xs > x)).sum())
+    return crossings % 2 == 1
+
+
+def point_in_polygon(pt, rings) -> bool:
+    if not point_in_ring(pt, rings[0]):
+        return False
+    for hole in rings[1:]:
+        a = np.asarray(hole, dtype="float64")
+        d = _pts_to_segs_dist(np.array([pt], dtype="float64"), a)
+        if d[0] < 1e-12:
+            return True  # on hole boundary = on polygon boundary
+        if point_in_ring(pt, hole):
+            return False
+    return True
+
+
+def _segs(line):
+    a = np.asarray(line, dtype="float64")
+    return a[:-1], a[1:]
+
+
+def segments_intersect_any(line1, line2) -> bool:
+    """Any segment of line1 properly or improperly intersects any of line2."""
+    p1, p2 = _segs(line1)
+    q1, q2 = _segs(line2)
+    # vectorized orientation tests: for each pair (i, j)
+    def cross(o, a, b):
+        return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+            a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0])
+
+    P1 = p1[:, None, :]
+    P2 = p2[:, None, :]
+    Q1 = q1[None, :, :]
+    Q2 = q2[None, :, :]
+    d1 = cross(Q1, Q2, P1)
+    d2 = cross(Q1, Q2, P2)
+    d3 = cross(P1, P2, Q1)
+    d4 = cross(P1, P2, Q2)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    if proper.any():
+        return True
+
+    def on_seg(o, e, p):
+        return (
+            (np.minimum(o[..., 0], e[..., 0]) - 1e-12 <= p[..., 0])
+            & (p[..., 0] <= np.maximum(o[..., 0], e[..., 0]) + 1e-12)
+            & (np.minimum(o[..., 1], e[..., 1]) - 1e-12 <= p[..., 1])
+            & (p[..., 1] <= np.maximum(o[..., 1], e[..., 1]) + 1e-12)
+        )
+
+    collin = (
+        ((np.abs(d1) < 1e-12) & on_seg(Q1, Q2, P1))
+        | ((np.abs(d2) < 1e-12) & on_seg(Q1, Q2, P2))
+        | ((np.abs(d3) < 1e-12) & on_seg(P1, P2, Q1))
+        | ((np.abs(d4) < 1e-12) & on_seg(P1, P2, Q2))
+    )
+    return bool(collin.any())
+
+
+def _bbox_disjoint(g1, g2) -> bool:
+    e1, e2 = envelope(g1), envelope(g2)
+    return e1[2] < e2[0] or e2[2] < e1[0] or e1[3] < e2[1] or e2[3] < e1[1]
+
+
+def intersects(g1, g2) -> bool:
+    if _bbox_disjoint(g1, g2):
+        return False
+    polys1, polys2 = _polygons(g1), _polygons(g2)
+    pts1, pts2 = (g1[0] in ("Point", "MultiPoint")), (g2[0] in ("Point", "MultiPoint"))
+    lines1 = _lines(g1) if g1[0] in ("LineString", "MultiLineString") else []
+    lines2 = _lines(g2) if g2[0] in ("LineString", "MultiLineString") else []
+
+    # point vs X
+    if pts1:
+        return any(_point_hits(pt, g2) for pt in _points(g1))
+    if pts2:
+        return any(_point_hits(pt, g1) for pt in _points(g2))
+
+    # line vs line
+    if lines1 and lines2:
+        return any(segments_intersect_any(l1, l2) for l1 in lines1 for l2 in lines2)
+    # line vs polygon
+    if lines1 and polys2:
+        return _line_poly_intersects(lines1, polys2)
+    if lines2 and polys1:
+        return _line_poly_intersects(lines2, polys1)
+    # polygon vs polygon
+    for pa in polys1:
+        for pb in polys2:
+            if point_in_polygon(pa[0][0], pb) or point_in_polygon(pb[0][0], pa):
+                return True
+            if any(segments_intersect_any(ra, rb) for ra in pa for rb in pb):
+                return True
+    return False
+
+
+def _point_hits(pt, g) -> bool:
+    for rings in _polygons(g):
+        if point_in_polygon(pt, rings):
+            return True
+    for line in (_lines(g) if g[0] in ("LineString", "MultiLineString") else []):
+        a = np.asarray(line, dtype="float64")
+        if _pts_to_segs_dist(np.array([pt], dtype="float64"), a)[0] < 1e-12:
+            return True
+    for p in (_points(g) if g[0] in ("Point", "MultiPoint") else []):
+        if abs(p[0] - pt[0]) < 1e-12 and abs(p[1] - pt[1]) < 1e-12:
+            return True
+    return False
+
+
+def _line_poly_intersects(lines, polys) -> bool:
+    for line in lines:
+        for rings in polys:
+            if any(point_in_polygon(tuple(p), rings) for p in line):
+                return True
+            if any(segments_intersect_any(line, r) for r in rings):
+                return True
+    return False
+
+
+def contains(g1, g2) -> bool:
+    """g1 contains g2 (boundary-inclusive 'covers' semantics for robustness;
+    the reference exposes both st_contains and st_covers — we map both here
+    and note the open-boundary distinction as a divergence)."""
+    if _bbox_disjoint(g1, g2):
+        return False
+    polys1 = _polygons(g1)
+    if not polys1:
+        return False
+    for pt in _points(g2):
+        if not any(point_in_polygon(tuple(pt), rings) for rings in polys1):
+            return False
+    # all vertices inside; for line/polygon arguments also require no edge
+    # crossing out through a hole or concavity
+    if g2[0] not in ("Point", "MultiPoint"):
+        for rings in polys1:
+            for line in _lines(g2):
+                for hole in rings[1:]:
+                    if segments_intersect_any(line, hole):
+                        return False
+    return True
+
+
+def within(g1, g2) -> bool:
+    return contains(g2, g1)
+
+
+def disjoint(g1, g2) -> bool:
+    return not intersects(g1, g2)
+
+
+def equals(g1, g2) -> bool:
+    if g1[0] != g2[0]:
+        return False
+    return wkb_dumps(g1) == wkb_dumps(g2) or (
+        abs(area(g1) - area(g2)) < 1e-12 and contains(g1, g2) and contains(g2, g1)
+        if _polygons(g1) else _points_eq(g1, g2)
+    )
+
+
+def _points_eq(g1, g2):
+    p1, p2 = _points(g1), _points(g2)
+    return len(p1) == len(p2) and all(
+        abs(a[0] - b[0]) < 1e-12 and abs(a[1] - b[1]) < 1e-12 for a, b in zip(p1, p2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distance
+# ---------------------------------------------------------------------------
+
+
+def _pts_to_segs_dist(pts: np.ndarray, line: np.ndarray) -> np.ndarray:
+    """Min distance from each point to polyline (vectorized)."""
+    a, b = line[:-1], line[1:]
+    ab = b - a  # (S,2)
+    ap = pts[:, None, :] - a[None, :, :]  # (P,S,2)
+    denom = (ab ** 2).sum(axis=1)  # (S,)
+    denom = np.where(denom == 0, 1, denom)
+    t = np.clip((ap * ab[None, :, :]).sum(axis=2) / denom[None, :], 0, 1)  # (P,S)
+    proj = a[None, :, :] + t[..., None] * ab[None, :, :]
+    d = np.sqrt(((pts[:, None, :] - proj) ** 2).sum(axis=2))
+    return d.min(axis=1)
+
+
+def distance(g1, g2) -> float:
+    if intersects(g1, g2):
+        return 0.0
+    best = math.inf
+    lines1 = _all_lines_or_points(g1)
+    lines2 = _all_lines_or_points(g2)
+    for kind1, data1 in lines1:
+        for kind2, data2 in lines2:
+            if kind1 == "pt" and kind2 == "pt":
+                d = float(np.sqrt(((data1 - data2) ** 2).sum()))
+            elif kind1 == "pt":
+                d = float(_pts_to_segs_dist(data1[None, :], data2)[0])
+            elif kind2 == "pt":
+                d = float(_pts_to_segs_dist(data2[None, :], data1)[0])
+            else:
+                d = min(
+                    float(_pts_to_segs_dist(data1, data2).min()),
+                    float(_pts_to_segs_dist(data2, data1).min()),
+                )
+            best = min(best, d)
+    return best
+
+
+def _all_lines_or_points(g):
+    out = []
+    gtype = g[0]
+    if gtype in ("Point", "MultiPoint"):
+        for p in _points(g):
+            out.append(("pt", np.asarray(p, dtype="float64")))
+    elif gtype in ("LineString", "MultiLineString"):
+        for l in _lines(g):
+            out.append(("line", np.asarray(l, dtype="float64")))
+    else:
+        for rings in _polygons(g):
+            for r in rings:
+                out.append(("line", np.asarray(r, dtype="float64")))
+    return out
+
+
+EARTH_RADIUS_M = 6371008.8
+
+
+def distance_sphere(p1, p2) -> float:
+    """Haversine distance in meters between two lon/lat points."""
+    lon1, lat1, lon2, lat2 = map(math.radians, (p1[0], p1[1], p2[0], p2[1]))
+    dlat, dlon = lat2 - lat1, lon2 - lon1
+    h = math.sin(dlat / 2) ** 2 + math.cos(lat1) * math.cos(lat2) * math.sin(dlon / 2) ** 2
+    return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(h))
+
+
+# ---------------------------------------------------------------------------
+# Transforms / constructors
+# ---------------------------------------------------------------------------
+
+
+def translate(geom, dx, dy):
+    gtype, body = geom
+    if gtype == "Point":
+        return (gtype, (body[0] + dx, body[1] + dy))
+    if gtype in ("LineString", "MultiPoint"):
+        return (gtype, [(x + dx, y + dy) for x, y in body])
+    if gtype in ("Polygon", "MultiLineString"):
+        return (gtype, [[(x + dx, y + dy) for x, y in part] for part in body])
+    if gtype == "MultiPolygon":
+        return (gtype, [[[(x + dx, y + dy) for x, y in r] for r in poly] for poly in body])
+    return (gtype, [translate(g, dx, dy) for g in body])
+
+
+def box_polygon(xmin, ymin, xmax, ymax):
+    return ("Polygon", [[(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)]])
+
+
+def buffer_point(pt, radius, segments=32):
+    ang = np.linspace(0, 2 * math.pi, segments + 1)
+    ring = [(pt[0] + radius * math.cos(a), pt[1] + radius * math.sin(a)) for a in ang]
+    ring[-1] = ring[0]
+    return ("Polygon", [ring])
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lon, lat, precision=12) -> str:
+    lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+    bits, bit, even = 0, 0, True
+    out = []
+    while len(out) < precision:
+        if even:
+            mid = (lon_r[0] + lon_r[1]) / 2
+            if lon >= mid:
+                bits = (bits << 1) | 1
+                lon_r[0] = mid
+            else:
+                bits <<= 1
+                lon_r[1] = mid
+        else:
+            mid = (lat_r[0] + lat_r[1]) / 2
+            if lat >= mid:
+                bits = (bits << 1) | 1
+                lat_r[0] = mid
+            else:
+                bits <<= 1
+                lat_r[1] = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(_GEOHASH32[bits])
+            bits, bit = 0, 0
+    return "".join(out)

@@ -1,0 +1,357 @@
+"""The st_* vector function surface (SURVEY.md §2.12, §2.2) plus
+extent/geometry converters (§2.11) and SFC indexes.
+
+Geometry columns are WKB ``BinaryType`` (the reference's Python side also
+round-trips WKB through its GeometryUDT, ``python/geomesa_pyspark/types.py``).
+All kernels are Arrow-vectorized pandas UDFs over the pure-python geometry
+core. Extent-typed args are ``struct{xmin,ymin,xmax,ymax}``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, functions as F
+
+from rasterframes_spark.functions._kernel import col_or_name, lazy_pandas_udf
+from rasterframes_spark.geom import core as G
+from rasterframes_spark.geom import proj as P
+from rasterframes_spark.geom import sfc
+
+__all__ = [
+    "st_point", "st_make_point", "st_geom_from_wkt", "st_geom_from_wkb",
+    "st_as_text", "st_as_binary", "st_geometry_type",
+    "st_x", "st_y", "st_centroid", "st_envelope",
+    "st_area", "st_length", "st_distance", "st_distance_sphere",
+    "st_intersects", "st_contains", "st_within", "st_disjoint",
+    "st_covers", "st_equals", "st_translate", "st_buffer_point",
+    "st_geohash", "st_reproject", "st_extent", "st_geometry",
+    "rf_z2_index", "rf_xz2_index", "rf_spatial_grid_cells", "rf_mk_crs",
+    "extent_struct",
+]
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _geoms(s: pd.Series):
+    return [None if b is None else G.wkb_loads(bytes(b)) for b in s.values]
+
+
+def _wkb_series(geoms) -> pd.Series:
+    return pd.Series([None if g is None else G.wkb_dumps(g) for g in geoms], dtype=object)
+
+
+def _unary_scalar(fn, rtype):
+    @lazy_pandas_udf(rtype)
+    def udf(s: pd.Series) -> pd.Series:
+        return pd.Series([None if g is None else fn(g) for g in _geoms(s)], dtype=object)
+    return udf
+
+
+def _binary_pred(fn):
+    @lazy_pandas_udf("boolean")
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        ga, gb = _geoms(a), _geoms(b)
+        return pd.Series(
+            [None if (x is None or y is None) else bool(fn(x, y)) for x, y in zip(ga, gb)],
+            dtype=object,
+        )
+    return udf
+
+
+def extent_struct(xmin, ymin, xmax, ymax) -> Column:
+    return F.struct(
+        col_or_name(xmin).cast("double").alias("xmin"),
+        col_or_name(ymin).cast("double").alias("ymin"),
+        col_or_name(xmax).cast("double").alias("xmax"),
+        col_or_name(ymax).cast("double").alias("ymax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# constructors / casts / serializers
+# ---------------------------------------------------------------------------
+
+
+@lazy_pandas_udf("binary")
+def _point_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if (a is None or b is None) else G.wkb_dumps(("Point", (float(a), float(b))))
+         for a, b in zip(x.values, y.values)],
+        dtype=object,
+    )
+
+
+def st_point(x, y) -> Column:
+    """Point constructor (geomesa st_point / st_makePoint)."""
+    return _point_udf(col_or_name(x).cast("double"), col_or_name(y).cast("double"))
+
+
+st_make_point = st_point
+
+
+@lazy_pandas_udf("binary")
+def _from_wkt_udf(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if t is None else G.wkb_dumps(G.wkt_loads(t)) for t in s.values], dtype=object
+    )
+
+
+def st_geom_from_wkt(wkt) -> Column:
+    return _from_wkt_udf(col_or_name(wkt))
+
+
+def st_geom_from_wkb(wkb) -> Column:
+    """WKB is the native format — identity passthrough (validity unchecked)."""
+    return col_or_name(wkb)
+
+
+def st_as_binary(geom) -> Column:
+    return col_or_name(geom)
+
+
+_as_text = _unary_scalar(G.wkt_dumps, "string")
+
+
+def st_as_text(geom) -> Column:
+    return _as_text(col_or_name(geom))
+
+
+_geom_type = _unary_scalar(lambda g: g[0], "string")
+
+
+def st_geometry_type(geom) -> Column:
+    return _geom_type(col_or_name(geom))
+
+
+# ---------------------------------------------------------------------------
+# accessors / measures
+# ---------------------------------------------------------------------------
+
+_x = _unary_scalar(lambda g: float(g[1][0]) if g[0] == "Point" else None, "double")
+_y = _unary_scalar(lambda g: float(g[1][1]) if g[0] == "Point" else None, "double")
+
+
+def st_x(geom) -> Column:
+    return _x(col_or_name(geom))
+
+
+def st_y(geom) -> Column:
+    return _y(col_or_name(geom))
+
+
+_centroid = _unary_scalar(lambda g: G.wkb_dumps(("Point", G.centroid(g))), "binary")
+
+
+def st_centroid(geom) -> Column:
+    return _centroid(col_or_name(geom))
+
+
+@lazy_pandas_udf("struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+def _envelope_udf(s: pd.Series) -> pd.DataFrame:
+    rows = []
+    for g in _geoms(s):
+        if g is None:
+            rows.append((None,) * 4)
+        else:
+            rows.append(tuple(float(v) for v in G.envelope(g)))
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+def st_envelope(geom) -> Column:
+    """Bounding box as an extent struct (geomesa st_envelope returns a
+    geometry; the extent struct is this engine's canonical bbox — use
+    st_geometry to polygonize)."""
+    return _envelope_udf(col_or_name(geom))
+
+
+st_extent = st_envelope  # transformers/GeometryToExtent.scala:40
+
+_area = _unary_scalar(lambda g: float(G.area(g)), "double")
+_length = _unary_scalar(lambda g: float(G.length(g)), "double")
+
+
+def st_area(geom) -> Column:
+    return _area(col_or_name(geom))
+
+
+def st_length(geom) -> Column:
+    return _length(col_or_name(geom))
+
+
+@lazy_pandas_udf("double")
+def _distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga, gb = _geoms(a), _geoms(b)
+    return pd.Series(
+        [None if (x is None or y is None) else float(G.distance(x, y)) for x, y in zip(ga, gb)],
+        dtype=object,
+    )
+
+
+def st_distance(a, b) -> Column:
+    return _distance_udf(col_or_name(a), col_or_name(b))
+
+
+@lazy_pandas_udf("double")
+def _distance_sphere_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga, gb = _geoms(a), _geoms(b)
+    out = []
+    for x, y in zip(ga, gb):
+        if x is None or y is None or x[0] != "Point" or y[0] != "Point":
+            out.append(None)
+        else:
+            out.append(float(G.distance_sphere(x[1], y[1])))
+    return pd.Series(out, dtype=object)
+
+
+def st_distance_sphere(a, b) -> Column:
+    """Haversine meters between lon/lat points (geomesa st_distanceSphere)."""
+    return _distance_sphere_udf(col_or_name(a), col_or_name(b))
+
+
+# ---------------------------------------------------------------------------
+# predicates (SpatialRelation.scala:74-114 re-expressed)
+# ---------------------------------------------------------------------------
+
+_intersects = _binary_pred(G.intersects)
+_contains = _binary_pred(G.contains)
+_within = _binary_pred(G.within)
+_disjoint = _binary_pred(G.disjoint)
+_equals = _binary_pred(G.equals)
+
+
+def st_intersects(a, b) -> Column:
+    return _intersects(col_or_name(a), col_or_name(b))
+
+
+def st_contains(a, b) -> Column:
+    return _contains(col_or_name(a), col_or_name(b))
+
+
+def st_within(a, b) -> Column:
+    return _within(col_or_name(a), col_or_name(b))
+
+
+def st_disjoint(a, b) -> Column:
+    return _disjoint(col_or_name(a), col_or_name(b))
+
+
+st_covers = st_contains  # boundary-inclusive semantics (see core.contains note)
+
+
+def st_equals(a, b) -> Column:
+    return _equals(col_or_name(a), col_or_name(b))
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+
+def st_translate(geom, dx, dy) -> Column:
+    fx, fy = float(dx), float(dy)
+    udf = _unary_scalar(lambda g: G.wkb_dumps(G.translate(g, fx, fy)), "binary")
+    return udf(col_or_name(geom))
+
+
+def st_buffer_point(geom, radius) -> Column:
+    r = float(radius)
+    udf = _unary_scalar(
+        lambda g: G.wkb_dumps(G.buffer_point(g[1], r)) if g[0] == "Point" else None, "binary"
+    )
+    return udf(col_or_name(geom))
+
+
+def st_geohash(geom, precision=12) -> Column:
+    p = int(precision)
+    udf = _unary_scalar(
+        lambda g: G.geohash(G.centroid(g)[0], G.centroid(g)[1], p), "string"
+    )
+    return udf(col_or_name(geom))
+
+
+def st_reproject(geom, src_crs: str, dst_crs: str) -> Column:
+    """Reproject geometry between CRSs (transformers/ReprojectGeometry.scala:52-105).
+    CRS args are literal strings (column-valued CRS: see raster_join which
+    handles per-row CRS inside its merge kernel)."""
+    s, d = str(src_crs), str(dst_crs)
+    udf = _unary_scalar(lambda g: G.wkb_dumps(P.transform_geom(g, s, d)), "binary")
+    return udf(col_or_name(geom))
+
+
+def st_geometry(extent) -> Column:
+    """Extent struct -> polygon geometry (transformers/ExtentToGeometry.scala:41)."""
+
+    @lazy_pandas_udf("binary")
+    def udf(e: pd.DataFrame) -> pd.Series:
+        out = []
+        for i in range(len(e)):
+            if e["xmin"].values[i] is None or (isinstance(e["xmin"].values[i], float) and np.isnan(e["xmin"].values[i])):
+                out.append(None)
+            else:
+                out.append(G.wkb_dumps(G.box_polygon(
+                    float(e["xmin"].values[i]), float(e["ymin"].values[i]),
+                    float(e["xmax"].values[i]), float(e["ymax"].values[i]))))
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(extent))
+
+
+def rf_mk_crs(crs: str) -> Column:
+    return F.lit(str(crs))
+
+
+# ---------------------------------------------------------------------------
+# SFC indexes (transformers/XZ2Indexer.scala, Z2Indexer.scala)
+# ---------------------------------------------------------------------------
+
+
+@lazy_pandas_udf("long")
+def _z2_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series(sfc.z2_index(x.values.astype("float64"), y.values.astype("float64")))
+
+
+def rf_z2_index(x_or_extent, y=None, resolution: int = 31) -> Column:
+    """Z2 index of a point (x, y) or of an extent struct's centroid."""
+    if y is not None:
+        return _z2_udf(col_or_name(x_or_extent).cast("double"), col_or_name(y).cast("double"))
+    e = col_or_name(x_or_extent)
+    cx = (e.getField("xmin") + e.getField("xmax")) / 2
+    cy = (e.getField("ymin") + e.getField("ymax")) / 2
+    return _z2_udf(cx, cy)
+
+
+@lazy_pandas_udf("long")
+def _xz2_udf(e: pd.DataFrame) -> pd.Series:
+    return pd.Series(sfc.xz2_index(
+        e["xmin"].values.astype("float64"), e["ymin"].values.astype("float64"),
+        e["xmax"].values.astype("float64"), e["ymax"].values.astype("float64"),
+    ))
+
+
+def rf_xz2_index(extent, resolution: int = 18) -> Column:
+    """XZ2-style index of an extent struct."""
+    return _xz2_udf(col_or_name(extent))
+
+
+def rf_spatial_grid_cells(extent, cell_size: float) -> Column:
+    """array<long> of fixed-grid cells the extent overlaps — explode + equi-join
+    for scalable spatial joins."""
+    cs = float(cell_size)
+
+    @lazy_pandas_udf("array<long>")
+    def udf(e: pd.DataFrame) -> pd.Series:
+        out = []
+        xm, ym, xM, yM = (e[c].values for c in ("xmin", "ymin", "xmax", "ymax"))
+        for i in range(len(e)):
+            if xm[i] is None or (isinstance(xm[i], float) and np.isnan(xm[i])):
+                out.append(None)
+            else:
+                out.append(np.array(sfc.grid_cells(xm[i], ym[i], xM[i], yM[i], cs), dtype="int64"))
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(extent))

@@ -1,0 +1,3 @@
+from rasterframes_spark.operators.raster_join import raster_join, spatial_join  # noqa: F401
+
+__all__ = ["raster_join", "spatial_join"]

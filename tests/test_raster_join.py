@@ -1,0 +1,100 @@
+"""raster_join semantics — mirrors RasterJoinSpec (SURVEY §5, §2.3):
+left row count preserved; RHS merged into LHS grid; NoData where no
+coverage; different-CRS right side reprojects correctly."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from rasterframes_spark.tile import Tile
+from rasterframes_spark.operators import raster_join
+from rasterframes_spark.geom import proj as P
+
+TILE_T = "struct<cell_type:string,cols:int,rows:int,cells:binary>"
+EXT_T = "struct<xmin:double,ymin:double,xmax:double,ymax:double>"
+SCHEMA = f"id int, tile {TILE_T}, extent {EXT_T}, crs string"
+
+
+def ext(xmin, ymin, xmax, ymax):
+    return {"xmin": float(xmin), "ymin": float(ymin), "xmax": float(xmax), "ymax": float(ymax)}
+
+
+def row(i, tile, extent, crs="EPSG:4326"):
+    return {"id": i, "tile": tile.to_row(), "extent": extent, "crs": crs}
+
+
+def get_tile(r):
+    t = r["tile"]
+    return Tile.from_parts(t["cell_type"], t["cols"], t["rows"], bytes(t["cells"]))
+
+
+@pytest.fixture(scope="module")
+def left_df(spark):
+    # one 8x8 left tile covering (0,0)-(8,8); 1 unit per pixel
+    t = Tile(np.zeros((8, 8), dtype="float64"), "float64")
+    return spark.createDataFrame(
+        [row(0, t, ext(0, 0, 8, 8)), row(1, t, ext(100, 100, 108, 108))],
+        schema=SCHEMA,
+    )
+
+
+def test_same_crs_exact_overlay(spark, left_df):
+    # right tile congruent with left id=0: constant 7
+    rt = Tile(np.full((8, 8), 7.0), "float64")
+    right = spark.createDataFrame([row(0, rt, ext(0, 0, 8, 8))], schema=SCHEMA)
+    out = raster_join(left_df, right, left_tile="tile", right_tiles=["tile"]).orderBy("id")
+    rows = out.collect()
+    assert len(rows) == 2  # left count preserved
+    merged0 = get_tile(rows[0].asDict() | {"tile": rows[0]["tile_right"]})
+    assert merged0.masked().count() == 64
+    assert float(merged0.masked().mean()) == 7.0
+    merged1 = get_tile({"tile": rows[1]["tile_right"]})
+    assert merged1.masked().count() == 0  # no coverage -> all NoData
+
+
+def test_partial_coverage_and_multi_merge(spark, left_df):
+    # two right tiles each covering half of left id=0
+    r1 = Tile(np.full((8, 4), 1.0), "float64")  # west half (cols=4)
+    r2 = Tile(np.full((8, 4), 2.0), "float64")  # east half
+    right = spark.createDataFrame(
+        [row(10, r1, ext(0, 0, 4, 8)), row(11, r2, ext(4, 0, 8, 8))], schema=SCHEMA
+    )
+    out = raster_join(left_df, right).where(F.col("id") == 0).head()
+    t = get_tile({"tile": out["tile_right"]})
+    a = t.masked()
+    assert a.count() == 64
+    assert float(a[:, :4].mean()) == 1.0 and float(a[:, 4:].mean()) == 2.0
+
+
+def test_cross_crs_merge(spark):
+    # left in UTM 17N around (-78.5, 38.0); right the same square in 4326
+    e, n = P.transform_points([-78.5], [38.0], "EPSG:4326", "EPSG:32617")
+    e, n = float(e[0]), float(n[0])
+    lt = Tile(np.zeros((8, 8), dtype="float64"), "float64")
+    left = spark.createDataFrame(
+        [row(0, lt, ext(e - 400, n - 400, e + 400, n + 400), "EPSG:32617")], schema=SCHEMA
+    )
+    # right: 4326 tile covering a generous box around the same area, value 5
+    rt = Tile(np.full((32, 32), 5.0), "float64")
+    right = spark.createDataFrame(
+        [row(0, rt, ext(-78.52, 37.98, -78.48, 38.02))], schema=SCHEMA
+    )
+    out = raster_join(left, right).head()
+    t = get_tile({"tile": out["tile_right"]})
+    assert t.masked().count() == 64  # fully covered
+    assert float(t.masked().mean()) == 5.0
+
+
+def test_bilinear_resampling(spark):
+    lt = Tile(np.zeros((4, 4), dtype="float64"), "float64")
+    left = spark.createDataFrame([row(0, lt, ext(0, 0, 4, 4))], schema=SCHEMA)
+    # right: 2x2 gradient over same box
+    rt = Tile(np.array([[0.0, 1.0], [2.0, 3.0]]), "float64")
+    right = spark.createDataFrame([row(0, rt, ext(0, 0, 4, 4))], schema=SCHEMA)
+    out = raster_join(left, right, resampling="bilinear").head()
+    t = get_tile({"tile": out["tile_right"]})
+    a = np.asarray(t.masked())
+    # interpolated values should vary smoothly between 0 and 3
+    assert a.min() >= 0.0 and a.max() <= 3.0
+    assert a[0, 0] < a[-1, -1]
