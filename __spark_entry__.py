@@ -237,6 +237,149 @@ def _q_rescale(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline queries on documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def _q_text_metrics(spark, sf_dir):
+    from rasterframes_spark import pipeline as P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        P.token_count("text").alias("n_tokens"),
+        P.bpe_ish_token_count("text").alias("n_bpe"),
+        P.char_count("text").alias("n_chars_m"),
+        F.round(P.distinct_token_ratio("text"), 6).alias("distinct_ratio"),
+        P.doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from rasterframes_spark import pipeline as P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(P.language_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_quality_score(spark, sf_dir):
+    from rasterframes_spark import pipeline as P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", F.round(P.quality_score("text"), 6).alias("quality"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from rasterframes_spark import pipeline as P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return P.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                 block_cols=["lang", "source"], n=1, threshold=0.3)
+
+
+def _planted_dups(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.concat("text", F.lit(" zzzz")).alias("text"))
+    return docs.union(dup)
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    from rasterframes_spark import pipeline as P
+
+    both = _planted_dups(spark, sf_dir)
+    return P.minhash_dedup_pairs(both, "doc_id", "text", shingle_size=3,
+                                 num_perm=32, bands=16, threshold=0.8)
+
+
+def _q_simhash_exact(spark, sf_dir):
+    """SimHash as candidate generator (hamming 0) + exact-text verify —
+    different texts can legitimately collide at 64 bits, the verify step is
+    what a production dedup does with the candidates."""
+    from rasterframes_spark import pipeline as P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = docs.union(dup)
+    pairs = P.simhash_near_pairs(corpus, "doc_id", "text", max_hamming=0)
+    ta = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    tb = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return (
+        pairs.join(ta, "id_a").join(tb, "id_b")
+        .where(F.col("__ta") == F.col("__tb"))
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from rasterframes_spark import pipeline as P
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return P.cosine_topk(emb, queries_df, k=5)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from rasterframes_spark import pipeline as P
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return P.embedding_neardup_pairs(emb, "vec_id", block_cols=["label"], threshold=0.3)
+
+
+_STOPWORDS_SQL = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+    "it": ["il", "la", "gli", "e", "è", "un"],
+}
+
+
+def _lang_id_oracle() -> str:
+    hits = ",\n    ".join(
+        "len(list_filter(string_split(text, ' '), x -> x in ({}))) as h_{}".format(
+            ", ".join(f"'{w}'" for w in ws), lang)
+        for lang, ws in _STOPWORDS_SQL.items()
+    )
+    langs = list(_STOPWORDS_SQL)
+    case = "case when greatest(h_en, h_de, h_fr, h_es, h_it) = 0 then 'und'\n"
+    for i, lang in enumerate(langs):
+        rest = [f"h_{lang} >= h_{other}" for other in langs[i + 1:]]
+        cond = " and ".join(rest) if rest else "true"
+        case += f"         when {cond} then '{lang}'\n"
+    case += "    end"
+    return f"""
+with h as (
+  select {hits}
+  from documents
+)
+select ({case}) as lang_pred, count(*) as n
+from h group by lang_pred"""
+
+
+_SHINGLE3_SQL = """
+  list_distinct(list_transform(
+    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+    i -> concat_ws(' ', string_split(text,' ')[i],
+                        string_split(text,' ')[i+1],
+                        string_split(text,' ')[i+2])
+  ))"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_sum": _q_tile_sum,
@@ -255,6 +398,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_roundtrip": _q_assemble_roundtrip,
         "tile_dimensions": _q_tile_dimensions,
         "rescale": _q_rescale,
+        "text_metrics": _q_text_metrics,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_exact": _q_simhash_exact,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_neardup": _q_embedding_neardup,
     }
 
 
@@ -316,4 +468,104 @@ def oracle_sql() -> dict[str, str]:
         "rescale": C + """
             select grp, round(sum((qty - 1.0)/(50.0 - 1.0)), 6) as s
             from cells group by grp""",
+        "text_metrics": """
+            select doc_id,
+                   len(string_split(text, ' ')) as n_tokens,
+                   length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) as n_bpe,
+                   length(text) as n_chars_m,
+                   round(len(list_distinct(string_split(text,' ')))*1.0
+                         / len(string_split(text,' ')), 6) as distinct_ratio,
+                   list_reduce(
+                     list_prepend(cast(0 as bigint),
+                       list_transform(string_split(text,''),
+                                      c -> cast(ascii(c) as bigint))),
+                     (a, b) -> (a*31 + b) % 2147483647) as fingerprint
+            from documents""",
+        "lang_id": _lang_id_oracle(),
+        "quality_score": """
+            with m as (
+              select doc_id,
+                     cast(len(string_split(text,' ')) as double) as t,
+                     len(list_distinct(string_split(text,' ')))*1.0
+                       / len(string_split(text,' ')) as dr,
+                     length(regexp_extract_all(text, '[^\\w\\s]'))*1.0
+                       / greatest(length(text), 1) as pr
+              from documents)
+            select doc_id,
+                   round(0.4*least(t/64.0, 1.0) + 0.4*dr + 0.2*(1.0 - pr), 6) as quality
+            from m""",
+        "dedup_exact": """
+            select source, count(*) as n_docs, count(distinct text) as n_distinct
+            from documents group by source""",
+        "ngram_jaccard": """
+            with t as (
+              select doc_id, lang, source,
+                     list_distinct(string_split(text,' ')) as grams
+              from documents)
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   round(len(list_intersect(a.grams, b.grams))*1.0
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))), 6) as jaccard
+            from t a join t b
+              on a.lang = b.lang and a.source = b.source and a.doc_id < b.doc_id
+            where len(list_intersect(a.grams, b.grams))*1.0
+                  / (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))) >= 0.3""",
+        "minhash_dedup": f"""
+            with corpus as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 1000000, text || ' zzzz' from documents
+            ), sh as (
+              select doc_id, {_SHINGLE3_SQL} as grams
+              from corpus
+              where len(string_split(text,' ')) >= 3
+            )
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   round(len(list_intersect(a.grams, b.grams))*1.0
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))), 6) as jaccard
+            from sh a join sh b on a.doc_id < b.doc_id
+            where len(list_intersect(a.grams, b.grams))*1.0
+                  / (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))) >= 0.8""",
+        "simhash_exact": """
+            with corpus as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 1000000, text from documents
+            )
+            select a.doc_id as id_a, b.doc_id as id_b, cast(0 as int) as hamming
+            from corpus a join corpus b on a.text = b.text and a.doc_id < b.doc_id""",
+        "cosine_topk": """
+            with q as (
+              select vec_id as query_id, cast(embedding as double[]) as qv
+              from embeddings order by vec_id limit 3
+            ), c as (
+              select vec_id as neighbor_id, cast(embedding as double[]) as cv
+              from embeddings
+            ), s as (
+              select query_id, neighbor_id,
+                     round(list_dot_product(cv, qv)
+                           / (sqrt(list_dot_product(cv, cv))
+                              * sqrt(list_dot_product(qv, qv))), 6) as cos
+              from c cross join q
+            )
+            select query_id, neighbor_id, cos,
+                   cast(row_number() over (partition by query_id
+                                           order by cos desc, neighbor_id) as int) as rank
+            from s
+            qualify rank <= 5""",
+        "embedding_neardup": """
+            with t as (
+              select vec_id, label, cast(embedding as double[]) as v
+              from embeddings)
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) as cos
+            from t a join t b on a.label = b.label and a.vec_id < b.vec_id
+            where list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.3""",
     }

@@ -64,6 +64,19 @@ def main():
     run("quantiles", lambda: rf.rf_agg_approx_quantiles(
         tiles, "qty", [0.1, 0.5, 0.9]).collect())
 
+    # LLM-pipeline headliners on documents/embeddings
+    from rasterframes_spark import pipeline as P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    run("text_metrics", lambda: P.text_metrics(docs).agg(
+        F.sum("n_tokens"), F.sum("fingerprint")).collect())
+    run("minhash_dedup", lambda: P.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=32, bands=16, threshold=0.8).count())
+    run("cosine_topk", lambda: P.cosine_topk(
+        emb, emb.orderBy("vec_id").limit(8).select(
+            F.col("vec_id").alias("query_id"), "embedding"), k=10).count())
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_total",

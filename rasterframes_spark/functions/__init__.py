@@ -5,7 +5,9 @@ from rasterframes_spark.functions.tilestats import *  # noqa: F401,F403
 from rasterframes_spark.functions.mask import *  # noqa: F401,F403
 from rasterframes_spark.functions.constructors import *  # noqa: F401,F403
 from rasterframes_spark.functions.aggregates import *  # noqa: F401,F403
+from rasterframes_spark.functions.focal import *  # noqa: F401,F403
 
+from rasterframes_spark.functions import focal as _focal
 from rasterframes_spark.functions import local as _local
 from rasterframes_spark.functions import tilestats as _tilestats
 from rasterframes_spark.functions import mask as _mask
@@ -18,4 +20,5 @@ __all__ = (
     + list(_mask.__all__)
     + list(_constructors.__all__)
     + list(_aggregates.__all__)
+    + list(_focal.__all__)
 )

@@ -1,0 +1,257 @@
+"""Focal / neighborhood operations (SURVEY.md §2.9).
+
+Reference: ``core/.../expressions/focalops/*.scala`` — each op takes a
+neighborhood spec (e.g. ``square-1`` = 3x3) and runs GeoTrellis focal
+kernels, using BufferTile halos when the scan over-read them.
+
+Engine implementation: ``numpy.lib.stride_tricks.sliding_window_view`` over
+edge-padded masked arrays — vectorized, no scipy. NoData handling matches
+GeoTrellis: NoData cells are excluded from the neighborhood statistic; a
+cell with an all-NoData neighborhood is NoData.
+
+Halo/buffer posture for scale: focal ops over *chunked* rasters need
+cross-tile halos. The reference over-reads a pixel buffer at scan time
+(``ref/RasterRef.scala:49-64``) — no shuffle-based halo exchange. This
+engine does the same through ``buffer_size`` in read_raster / with_buffer;
+within a single tile, edges are computed from the available neighborhood
+(same fallback as the reference when no BufferTile is present).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+
+from rasterframes_spark.tile import CellType
+from rasterframes_spark.functions._kernel import col_or_name, unary_tile_op
+
+__all__ = [
+    "rf_focal_mean", "rf_focal_median", "rf_focal_mode", "rf_focal_max",
+    "rf_focal_min", "rf_focal_stddev", "rf_convolve", "rf_focal_moransi",
+    "rf_slope", "rf_aspect", "rf_hillshade",
+]
+
+
+def _radius(neighborhood: str) -> int:
+    """Parse 'square-N' / bare int-like specs (FocalNeighborhoodOp.scala:35-62)."""
+    if isinstance(neighborhood, int):
+        return int(neighborhood)
+    s = str(neighborhood).lower().strip()
+    if "-" in s:
+        return int(s.rsplit("-", 1)[1])
+    return int(s)
+
+
+def _windows(a: np.ma.MaskedArray, r: int):
+    """(rows, cols, k, k) view of NaN-padded data; NaN marks NoData + edge pad."""
+    filled = np.where(np.ma.getmaskarray(a), np.nan, np.asarray(a.data, dtype="float64"))
+    padded = np.pad(filled, r, mode="constant", constant_values=np.nan)
+    return np.lib.stride_tricks.sliding_window_view(padded, (2 * r + 1, 2 * r + 1))
+
+
+def _focal(reducer, neighborhood="square-1"):
+    r = _radius(neighborhood)
+
+    def fn(a):
+        w = _windows(a, r)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            res = reducer(w.reshape(w.shape[0], w.shape[1], -1))
+        mask = np.isnan(res) | np.ma.getmaskarray(a)
+        return np.ma.masked_array(res, mask=mask)
+
+    return fn
+
+
+def rf_focal_mean(tile, neighborhood="square-1") -> Column:
+    """(focalops/FocalMean.scala:41)"""
+    return unary_tile_op(_focal(lambda w: np.nanmean(w, axis=2), neighborhood),
+                         out_ct="float64")(tile)
+
+
+def rf_focal_median(tile, neighborhood="square-1") -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanmedian(w, axis=2), neighborhood),
+                         out_ct="float64")(tile)
+
+
+def rf_focal_min(tile, neighborhood="square-1") -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanmin(w, axis=2), neighborhood),
+                         out_ct="float64")(tile)
+
+
+def rf_focal_max(tile, neighborhood="square-1") -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanmax(w, axis=2), neighborhood),
+                         out_ct="float64")(tile)
+
+
+def rf_focal_stddev(tile, neighborhood="square-1") -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanstd(w, axis=2), neighborhood),
+                         out_ct="float64")(tile)
+
+
+def rf_focal_mode(tile, neighborhood="square-1") -> Column:
+    """Most frequent neighborhood value (FocalMode.scala)."""
+    r = _radius(neighborhood)
+
+    def fn(a):
+        w = _windows(a, r).reshape(a.shape[0], a.shape[1], -1)
+        res = np.empty(a.shape, dtype="float64")
+        mask = np.zeros(a.shape, dtype=bool)
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                vals = w[i, j]
+                vals = vals[~np.isnan(vals)]
+                if len(vals) == 0:
+                    mask[i, j] = True
+                    res[i, j] = 0
+                else:
+                    uq, ct = np.unique(vals, return_counts=True)
+                    res[i, j] = uq[np.argmax(ct)]
+        mask |= np.ma.getmaskarray(a)
+        return np.ma.masked_array(res, mask=mask)
+
+    return unary_tile_op(fn, out_ct="float64")(tile)
+
+
+def rf_convolve(tile, kernel) -> Column:
+    """Kernel convolution (focalops/Convolve.scala:52-85). ``kernel`` is a
+    2-D nested list / numpy array. NoData cells contribute 0 (GeoTrellis
+    Kernel convolve skips NoData); output NoData where input is NoData."""
+    k = np.asarray(kernel, dtype="float64")
+    kr, kc = k.shape[0] // 2, k.shape[1] // 2
+
+    def fn(a):
+        filled = np.where(np.ma.getmaskarray(a), 0.0, np.asarray(a.data, dtype="float64"))
+        padded = np.pad(filled, ((kr, kr), (kc, kc)), mode="constant")
+        w = np.lib.stride_tricks.sliding_window_view(padded, k.shape)
+        res = np.einsum("ijkl,kl->ij", w, k[::-1, ::-1])
+        return np.ma.masked_array(res, mask=np.ma.getmaskarray(a))
+
+    return unary_tile_op(fn, out_ct="float64")(tile)
+
+
+def rf_focal_moransi(tile, neighborhood="square-1") -> Column:
+    """Local Moran's I spatial autocorrelation (focalops/FocalMoransI.scala:53):
+    I_i = z_i * mean(z_neighbors) / var(z), z = x - mean(x), neighbors
+    exclude the center cell."""
+    r = _radius(neighborhood)
+
+    def fn(a):
+        af = a.astype("float64")
+        mu = af.mean()
+        var = af.var()
+        z = np.where(np.ma.getmaskarray(a), np.nan,
+                     np.asarray(af.data, dtype="float64") - float(mu))
+        padded = np.pad(z, r, mode="constant", constant_values=np.nan)
+        w = np.lib.stride_tricks.sliding_window_view(padded, (2 * r + 1, 2 * r + 1))
+        w = w.reshape(a.shape[0], a.shape[1], -1).copy()
+        center = (2 * r + 1) * (2 * r + 1) // 2
+        w[:, :, center] = np.nan  # exclude self
+        with np.errstate(invalid="ignore"):
+            nbr_mean = np.nanmean(w, axis=2)
+        res = z * nbr_mean / (float(var) if var else 1.0)
+        return np.ma.masked_array(res, mask=np.isnan(res) | np.ma.getmaskarray(a))
+
+    return unary_tile_op(fn, out_ct="float64")(tile)
+
+
+# ---------------------------------------------------------------------------
+# DEM derivatives (Horn's method, as GeoTrellis surface ops)
+# ---------------------------------------------------------------------------
+
+
+def _horn_gradients(a: np.ma.MaskedArray, cw: float, ch: float):
+    """dz/dx, dz/dy via Horn 1981 3x3 weights (edge-replicated)."""
+    filled = np.asarray(a.filled(np.nan), dtype="float64")
+    p = np.pad(filled, 1, mode="edge")
+    # neighborhood shorthand (z1..z9, row-major from top-left)
+    z1 = p[:-2, :-2]; z2 = p[:-2, 1:-1]; z3 = p[:-2, 2:]
+    z4 = p[1:-1, :-2];                   z6 = p[1:-1, 2:]
+    z7 = p[2:, :-2];  z8 = p[2:, 1:-1];  z9 = p[2:, 2:]
+    dzdx = ((z3 + 2 * z6 + z9) - (z1 + 2 * z4 + z7)) / (8 * cw)
+    dzdy = ((z7 + 2 * z8 + z9) - (z1 + 2 * z2 + z3)) / (8 * ch)
+    return dzdx, dzdy
+
+
+def _cell_size_expr(extent_col, tile_col):
+    """Cell width/height from extent + dims, computed Catalyst-side."""
+    e = col_or_name(extent_col)
+    t = col_or_name(tile_col)
+    cw = (e.getField("xmax") - e.getField("xmin")) / t.getField("cols").cast("double")
+    ch = (e.getField("ymax") - e.getField("ymin")) / t.getField("rows").cast("double")
+    return cw, ch
+
+
+def _dem_op(make_result):
+    from rasterframes_spark.functions._kernel import lazy_pandas_udf
+    from rasterframes_spark.tile import TILE_SCHEMA, decode_struct_pdf, tiles_to_struct_pdf
+    from rasterframes_spark.tile import Tile as _Tile
+
+    @lazy_pandas_udf(TILE_SCHEMA)
+    def udf(t: pd.DataFrame, cw: pd.Series, ch: pd.Series, p1: pd.Series,
+            p2: pd.Series, p3: pd.Series) -> pd.DataFrame:
+        tiles = decode_struct_pdf(t)
+        out = []
+        for i, tl in enumerate(tiles):
+            if tl is None:
+                out.append(None)
+                continue
+            res = make_result(tl.masked(), float(cw.values[i]), abs(float(ch.values[i])),
+                              float(p1.values[i]), float(p2.values[i]), float(p3.values[i]))
+            out.append(_Tile(np.ma.masked_array(res, mask=np.isnan(res) | np.ma.getmaskarray(tl.masked())),
+                             CellType.parse("float64")))
+        return tiles_to_struct_pdf(out)
+
+    return udf
+
+
+def rf_slope(tile, extent, z_factor: float = 1.0) -> Column:
+    """Slope in degrees (focalops/Slope.scala:51-89, Horn's method)."""
+    from pyspark.sql import functions as F
+
+    def mk(a, cw, ch, zf, _p2, _p3):
+        dzdx, dzdy = _horn_gradients(a, cw, ch)
+        return np.degrees(np.arctan(zf * np.hypot(dzdx, dzdy)))
+
+    cw, ch = _cell_size_expr(extent, tile)
+    return _dem_op(mk)(col_or_name(tile), cw, ch, F.lit(float(z_factor)),
+                       F.lit(0.0), F.lit(0.0))
+
+
+def rf_aspect(tile, extent) -> Column:
+    """Aspect in degrees clockwise from north (focalops/Aspect.scala:49-83)."""
+    from pyspark.sql import functions as F
+
+    def mk(a, cw, ch, _p1, _p2, _p3):
+        dzdx, dzdy = _horn_gradients(a, cw, ch)
+        az = np.degrees(np.arctan2(dzdy, -dzdx))
+        asp = (90.0 - az) % 360.0
+        flat = (dzdx == 0) & (dzdy == 0)
+        return np.where(flat, 0.0, asp)
+
+    cw, ch = _cell_size_expr(extent, tile)
+    return _dem_op(mk)(col_or_name(tile), cw, ch, F.lit(0.0), F.lit(0.0), F.lit(0.0))
+
+
+def rf_hillshade(tile, extent, azimuth: float = 315.0, altitude: float = 45.0,
+                 z_factor: float = 1.0) -> Column:
+    """Hillshade 0-255 (focalops/Hillshade.scala:54-103 — the reference's
+    5-ary QuinaryExpression)."""
+    from pyspark.sql import functions as F
+
+    def mk(a, cw, ch, az, alt, zf):
+        dzdx, dzdy = _horn_gradients(a, cw, ch)
+        slope_r = np.arctan(zf * np.hypot(dzdx, dzdy))
+        aspect_r = np.arctan2(dzdy, -dzdx)
+        az_r = math.radians(360.0 - az + 90.0)
+        alt_r = math.radians(alt)
+        shaded = (np.sin(alt_r) * np.cos(slope_r)
+                  + np.cos(alt_r) * np.sin(slope_r) * np.cos(az_r - aspect_r))
+        return np.clip(np.round(255 * shaded), 0, 255)
+
+    cw, ch = _cell_size_expr(extent, tile)
+    return _dem_op(mk)(col_or_name(tile), cw, ch, F.lit(float(azimuth)),
+                       F.lit(float(altitude)), F.lit(float(z_factor)))

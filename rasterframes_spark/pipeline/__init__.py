@@ -1,0 +1,17 @@
+"""LLM training-data pipeline operators: dedup, similarity search,
+text analysis, multimodal columns."""
+
+from rasterframes_spark.pipeline.dedup import *  # noqa: F401,F403
+from rasterframes_spark.pipeline.similarity import *  # noqa: F401,F403
+from rasterframes_spark.pipeline.text import *  # noqa: F401,F403
+from rasterframes_spark.pipeline.multimodal import *  # noqa: F401,F403
+
+from rasterframes_spark.pipeline import dedup as _dedup
+from rasterframes_spark.pipeline import similarity as _similarity
+from rasterframes_spark.pipeline import text as _text
+from rasterframes_spark.pipeline import multimodal as _multimodal
+
+__all__ = (
+    list(_dedup.__all__) + list(_similarity.__all__)
+    + list(_text.__all__) + list(_multimodal.__all__)
+)

@@ -1,0 +1,320 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale posture (the whole point of these):
+- exact: hash-groupBy — one shuffle on a 16-byte digest, not the document.
+- MinHash LSH: shingle → K minhashes → B bands → explode to (band, bucket)
+  → self-equi-join on bucket → exact-Jaccard verify. The only shuffle keys
+  are band buckets; candidate verification touches only colliding pairs
+  (classic Broder scheme). At 100 TB the band-bucket join is a plain
+  shuffled hash join AQE can skew-split.
+- SimHash: 64-bit signature; near-dup = signature XOR popcount ≤ k, found
+  via banding the 64 bits into (64/k')-bit chunks (pigeonhole), equi-join.
+- n-gram Jaccard / embedding cosine: exact verify within blocking keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rasterframes_spark.functions._kernel import lazy_pandas_udf
+
+__all__ = [
+    "dedup_exact", "exact_dup_groups", "shingles", "jaccard_sim",
+    "minhash_signature", "minhash_lsh_candidates", "minhash_dedup_pairs",
+    "simhash", "simhash_near_pairs", "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+]
+
+# 31-bit Mersenne prime: (a*x + b) with a,x,b < 2^31 fits in int64, so the
+# whole (num_perm × n_shingles) universal-hash matrix vectorizes in numpy
+_MERSENNE = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct value of `cols` (hash-groupBy semantics).
+    dropDuplicates shuffles only the dedup key hash."""
+    return df.dropDuplicates(cols)
+
+
+def exact_dup_groups(df: DataFrame, col: str = "text") -> DataFrame:
+    """Digest groups with >1 member: (digest, n_dups)."""
+    return (
+        df.groupBy(F.md5(F.col(col)).alias("digest"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + jaccard (shared by minhash + ngram dedup)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> — pure built-ins:
+    transform over token positions + slice + concat_ws."""
+    t = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    k = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array())
+
+
+def jaccard_sim(a, b) -> Column:
+    """|A∩B| / |A∪B| over array columns (set semantics)."""
+    i = F.size(F.array_intersect(a, b)).cast("double")
+    u = F.size(F.array_union(a, b)).cast("double")
+    return F.when(u > 0, i / u).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (Broder; banding per Leskovec/Rajaraman/Ullman ch.3)
+# ---------------------------------------------------------------------------
+
+
+def _hash_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)  # < 2^31
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(shingles_col, num_perm: int = 64, seed: int = 42) -> Column:
+    """array<string> shingles -> array<long> of `num_perm` minhashes.
+    Universal hashing (a·x + b) mod p over a 64-bit base hash of each
+    shingle; one vectorized numpy pass per document batch."""
+    a, b = _hash_params(num_perm, seed)
+
+    @lazy_pandas_udf("array<long>")
+    def udf(sh: pd.Series) -> pd.Series:
+        out = []
+        ac = a[:, None]
+        bc = b[:, None]
+        for arr in sh.values:
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            base = np.array(
+                [hash_bytes32(s.encode("utf-8")) for s in arr], dtype="int64"
+            )
+            # (num_perm, n_shingles) universal hashes, then row-min
+            sig = ((ac * base[None, :] + bc) % _MERSENNE).min(axis=1)
+            out.append(sig.astype("int64"))
+        return pd.Series(out, dtype=object)
+
+    return udf(shingles_col)
+
+
+def hash_bytes64(data: bytes) -> int:
+    """FNV-1a 64-bit — deterministic across processes (unlike Python hash())."""
+    h = 0xCBF29CE484222325
+    for byte in data:
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def hash_bytes32(data: bytes) -> int:
+    """FNV-1a 32-bit, folded into [0, 2^31) for int64-safe universal hashing."""
+    h = 0x811C9DC5
+    for byte in data:
+        h ^= byte
+        h = (h * 0x01000193) & 0xFFFFFFFF
+    return h & 0x7FFFFFFF
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str = "minhash",
+                           bands: int = 16) -> DataFrame:
+    """Signature -> (band, bucket) explode -> self-join: candidate id pairs.
+    Returns distinct (id_a, id_b) with id_a < id_b."""
+    rows_per_band = F.floor(F.size(sig_col) / bands).cast("int")
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice(F.col(sig_col), bnd * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"))),
+                    bnd,
+                ),
+            )
+        ).alias("__band", "__bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.__band") == F.col("b.__band"))
+               & (F.col("a.__bucket") == F.col("b.__bucket"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        shingle_size: int = 3, num_perm: int = 64,
+                        bands: int = 16, threshold: float = 0.8) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH candidates →
+    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    sh = df.select(F.col(id_col).alias("__id"),
+                   shingles(text_col, shingle_size).alias("__sh"))
+    sh = sh.where(F.size("__sh") > 0)
+    sigs = sh.select("__id", "__sh", minhash_signature("__sh", num_perm).alias("minhash"))
+    sigs.cache()
+    cands = minhash_lsh_candidates(sigs, "__id", "minhash", bands)
+    sa = sigs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sb = sigs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    verified = (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jaccard_sim("__sh_a", "__sh_b"), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens (Charikar): sign of the
+    per-bit sum of token hashes."""
+
+    @lazy_pandas_udf("long")
+    def udf(t: pd.Series) -> pd.Series:
+        out = []
+        for s in t.values:
+            if s is None:
+                out.append(None)
+                continue
+            acc = np.zeros(bits, dtype="int64")
+            for tok in s.split(" "):
+                h = hash_bytes64(tok.encode("utf-8"))
+                for i in range(bits):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(bits):
+                if acc[i] > 0:
+                    v |= 1 << i
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype=object)
+
+    return udf(F.col(text) if isinstance(text, str) else text)
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance ≤ max_hamming, found by
+    banding 64 bits into (max_hamming+1) chunks (pigeonhole: a qualifying
+    pair collides on ≥1 chunk) + exact popcount verify via bit_count."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
+    mask = (1 << width) - 1
+    if mask >= (1 << 63):
+        mask -= 1 << 64  # two's-complement signed long (width == 64 -> -1)
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("__sh"), i * width).bitwiseAND(F.lit(mask))
+        for i in range(chunks)
+    ]
+    banded = sh.select(
+        "__id", "__sh",
+        F.posexplode(F.array(*chunk_cols)).alias("__chunk_i", "__chunk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__chunk_i") == F.col("b.__chunk_i"))
+               & (F.col("a.__chunk") == F.col("b.__chunk"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                F.col("a.__sh").alias("sh_a"), F.col("b.__sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard within blocks
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        block_cols: list[str] | None = None, n: int = 1,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for pairs sharing a blocking key
+    (default: all-pairs — only for bounded inputs). Pure built-ins:
+    array_intersect/array_union are codegen'd."""
+    t = df.select(
+        F.col(id_col).alias("__id"),
+        *(block_cols or []),
+        F.array_distinct(shingles(text_col, n)).alias("__grams"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    for c in (block_cols or []):
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+            F.round(jaccard_sim(F.col("a.__grams"), F.col("b.__grams")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a, b) -> Column:
+    """Cosine similarity of two array<float/double> columns — built-ins only
+    (zip_with product + aggregate sum), JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str = "embedding",
+                            block_cols: list[str] | None = None,
+                            threshold: float = 0.95) -> DataFrame:
+    """Pairs with cosine ≥ threshold within blocking keys (e.g. an LSH
+    bucket or a label). Returns (id_a, id_b, cos)."""
+    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")] + [
+        F.col(c) for c in (block_cols or [])
+    ]
+    t = df.select(*cols)
+    a, b = t.alias("a"), t.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    for c in (block_cols or []):
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+            F.round(cosine_sim(
+                F.col("a.__v").cast("array<double>"),
+                F.col("b.__v").cast("array<double>")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,174 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines.
+
+Media are opaque ``binary`` columns + a typed metadata struct — the same
+"one row = one chunk, payload stays opaque until a kernel touches it"
+posture as tiles. Decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` so payload bytes cross to Python once per
+batch and partitions stream (no per-row py4j, no collect).
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+decode step is STUBBED: ``decode=fake`` produces a deterministic
+bytes-derived decode (so the full Spark plumbing — schema, partitioning,
+UDF signature, batch shape — is real and tested), ``decode=real`` raises
+NotImplementedError where the codec call belongs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, StringType, StructField, StructType, ArrayType,
+    FloatType, LongType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA", "media_table", "decode_image", "image_features",
+    "resize_image", "sample_video_frames",
+]
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),          # image | audio | video
+    StructField("mime", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+    StructField("payload", BinaryType(), True),
+])
+
+
+def media_table(spark, df: DataFrame, payload_col: str, kind: str = "image",
+                mime: str = "application/octet-stream") -> DataFrame:
+    """Wrap an arbitrary binary column into the canonical media schema."""
+    return df.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(mime).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.col(payload_col).alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic stand-in for a real image decode: derive an h×w×3
+    uint8 array from the payload digest (stable across processes)."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+_DECODED_SCHEMA = (
+    "media_id long, height int, width int, channels int, pixels binary"
+)
+
+
+def decode_image(df: DataFrame, height: int = 32, width: int = 32,
+                 decode: str = "fake") -> DataFrame:
+    """payload binary -> decoded pixel buffer rows via mapInPandas.
+
+    ``decode='real'`` marks where `PIL.Image.open(io.BytesIO(payload))`
+    belongs once the codec is available.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "image codec not available in this environment; use decode='fake'"
+        )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = _fake_decode(bytes(payload), height, width)
+                rows.append((int(mid), height, width, 3, arr.tobytes()))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "height", "width", "channels", "pixels"]
+                )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=_DECODED_SCHEMA)
+
+
+def image_features(df: DataFrame, dim: int = 16, decode: str = "fake") -> DataFrame:
+    """Decoded pixels -> fixed-size feature vector (channel-pooled grid
+    means — the plumbing a CNN/CLIP encoder slots into)."""
+    if decode == "real":
+        raise NotImplementedError("feature encoder not available; use decode='fake'")
+
+    side = int(np.sqrt(dim))
+
+    def run(batches):
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, h, w, c, buf in zip(pdf["media_id"], pdf["height"],
+                                         pdf["width"], pdf["channels"], pdf["pixels"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(int(h), int(w), int(c))
+                g = arr.mean(axis=2)
+                # pool into side x side grid means
+                hs = np.array_split(np.arange(int(h)), side)
+                ws = np.array_split(np.arange(int(w)), side)
+                f = np.array([[g[np.ix_(r, cl)].mean() for cl in ws] for r in hs],
+                             dtype="float32").ravel()
+                ids.append(int(mid))
+                feats.append(f / 255.0)
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return df.mapInPandas(run, schema="media_id long, features array<float>")
+
+
+def resize_image(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel buffers (numpy indexing;
+    a real pipeline swaps in PIL/Lanczos here)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, h, w, c, buf in zip(pdf["media_id"], pdf["height"],
+                                         pdf["width"], pdf["channels"], pdf["pixels"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(int(h), int(w), int(c))
+                ri = np.minimum((np.arange(out_h) * h / out_h).astype(int), h - 1)
+                ci = np.minimum((np.arange(out_w) * w / out_w).astype(int), w - 1)
+                out = arr[np.ix_(ri, ci)]
+                rows.append((int(mid), out_h, out_w, int(c), out.tobytes()))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "height", "width", "channels", "pixels"]
+                )
+
+    return df.mapInPandas(run, schema=_DECODED_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000,
+                        decode: str = "fake") -> DataFrame:
+    """video payload -> one row per sampled frame (frame_idx, ts_ms,
+    pixels). Fake decode synthesizes duration from payload length."""
+    if decode == "real":
+        raise NotImplementedError("video codec not available; use decode='fake'")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                duration = max(1000, (len(payload) % 10) * 1000)
+                for i, ts in enumerate(range(0, duration, every_ms)):
+                    arr = _fake_decode(payload + ts.to_bytes(4, "little"), 16, 16)
+                    rows.append((int(mid), i, ts, arr.tobytes()))
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "pixels"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, frame_idx int, ts_ms int, pixels binary"
+    )

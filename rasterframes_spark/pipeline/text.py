@@ -1,0 +1,125 @@
+"""Text analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is Spark built-ins (split / higher-order array functions /
+regexp) — JVM-side, whole-stage-codegen'd, no Python in the hot path — so
+the operators scale to 100 TB document corpora limited only by scan + one
+shuffle for any grouped aggregation on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "token_count", "bpe_ish_token_count", "char_count", "distinct_token_ratio",
+    "punctuation_ratio", "stopword_hits", "language_id", "quality_score",
+    "doc_fingerprint", "text_metrics",
+]
+
+# minimal per-language stopword signatures for the n-gram/stopword heuristic
+_LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+    "it": ["il", "la", "gli", "e", "è", "un"],
+}
+
+
+def _tokens(text) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text) -> Column:
+    """Whitespace token count."""
+    return F.size(_tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text) -> Column:
+    """BPE-ish proxy: count of word / punctuation units via regexp —
+    ``\\w+|[^\\w\\s]`` (the classic GPT-2 pre-tokenizer shape)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"\w+|[^\w\s]")).cast("long")
+
+
+def char_count(text) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c).cast("long")
+
+
+def distinct_token_ratio(text) -> Column:
+    """|distinct tokens| / |tokens| — lexical diversity quality signal."""
+    t = _tokens(text)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def punctuation_ratio(text) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[^\w\s]")) / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_hits(text, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of `lang`."""
+    words = _LANG_STOPWORDS[lang]
+    t = _tokens(text)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(t, lambda x: F.array_contains(arr, x))).cast("long")
+
+
+def language_id(text) -> Column:
+    """Heuristic language ID: the language with the most stopword hits
+    (ties broken by fixed language order); 'und' when no hits."""
+    hit_cols = [
+        F.struct(stopword_hits(text, lang).alias("hits"), F.lit(i).alias("ord"),
+                 F.lit(lang).alias("lang"))
+        for i, lang in enumerate(_LANG_STOPWORDS)
+    ]
+    best = F.array_max(F.array(*[
+        F.struct(c.getField("hits").alias("hits"),
+                 (-c.getField("ord")).alias("negord"),
+                 c.getField("lang").alias("lang"))
+        for c in hit_cols
+    ]))
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def quality_score(text) -> Column:
+    """Composite quality score in [0,1]:
+    0.4·min(1, tokens/64) + 0.4·distinct_ratio + 0.2·(1 − punct_ratio)."""
+    t = token_count(text).cast("double")
+    return (
+        0.4 * F.least(t / F.lit(64.0), F.lit(1.0))
+        + 0.4 * distinct_token_ratio(text)
+        + 0.2 * (1.0 - punctuation_ratio(text))
+    )
+
+
+def doc_fingerprint(text, modulus: int = 2147483647) -> Column:
+    """Deterministic polynomial rolling hash over characters:
+    h = (h*31 + ascii(ch)) mod M — engine-portable (same result is
+    computable in any SQL dialect with a reduce/fold), used for
+    order-sensitive near-identity fingerprinting."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % modulus,
+    )
+
+
+def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All per-document metrics in one projection."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        char_count(text_col).alias("n_chars_m"),
+        F.round(distinct_token_ratio(text_col), 6).alias("distinct_ratio"),
+        F.round(punctuation_ratio(text_col), 6).alias("punct_ratio"),
+        language_id(text_col).alias("lang_pred"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,103 @@
+"""Focal ops vs hand-computed numpy oracles — mirrors FocalFunctionsSpec."""
+
+import numpy as np
+import pytest
+
+import rasterframes_spark as rf
+from rasterframes_spark.tile import Tile
+
+TILE_T = "struct<cell_type:string,cols:int,rows:int,cells:binary>"
+EXT_T = "struct<xmin:double,ymin:double,xmax:double,ymax:double>"
+
+
+def one_tile(df, col):
+    r = df.select(col).head()[0]
+    return Tile.from_parts(r["cell_type"], r["cols"], r["rows"], bytes(r["cells"]))
+
+
+@pytest.fixture(scope="module")
+def focal_df(spark):
+    arr = np.arange(25, dtype="float64").reshape(5, 5)
+    t = Tile(arr, "float64")
+    nd = Tile(np.ma.masked_array(arr, mask=(arr == 12)), "float64")
+    return spark.createDataFrame(
+        [{"tile": t.to_row(), "nd": nd.to_row(),
+          "extent": {"xmin": 0.0, "ymin": 0.0, "xmax": 5.0, "ymax": 5.0}}],
+        schema=f"tile {TILE_T}, nd {TILE_T}, extent {EXT_T}",
+    )
+
+
+def test_focal_mean_center_and_edge(spark, focal_df):
+    t = one_tile(focal_df.select(rf.rf_focal_mean("tile").alias("r")), "r")
+    a = np.arange(25).reshape(5, 5)
+    # center cell (2,2): mean of 3x3 block = 12
+    assert t.masked()[2, 2] == 12.0
+    # corner (0,0): mean of the 4 available cells (0,1,5,6) = 3
+    assert t.masked()[0, 0] == 3.0
+
+
+def test_focal_mean_skips_nodata(spark, focal_df):
+    t = one_tile(focal_df.select(rf.rf_focal_mean("nd").alias("r")), "r")
+    # neighborhood of (1,1): 0,1,2,5,6,7,10,11,12(ND) -> mean of 8 = 5.25
+    assert t.masked()[1, 1] == 5.25
+    # (2,2) itself is ND -> stays ND
+    assert np.ma.getmaskarray(t.masked())[2, 2]
+
+
+def test_focal_min_max_median_stddev(spark, focal_df):
+    got = focal_df.select(
+        rf.rf_focal_min("tile").alias("mn"), rf.rf_focal_max("tile").alias("mx"),
+        rf.rf_focal_median("tile").alias("md"), rf.rf_focal_stddev("tile").alias("sd"),
+    )
+    row = got.head()
+    mn = Tile.from_parts(row["mn"]["cell_type"], 5, 5, bytes(row["mn"]["cells"]))
+    mx = Tile.from_parts(row["mx"]["cell_type"], 5, 5, bytes(row["mx"]["cells"]))
+    md = Tile.from_parts(row["md"]["cell_type"], 5, 5, bytes(row["md"]["cells"]))
+    assert mn.masked()[2, 2] == 6.0 and mx.masked()[2, 2] == 18.0
+    assert md.masked()[2, 2] == 12.0
+
+
+def test_focal_mode(spark, spark_session=None):
+    arr = np.array([[1, 1, 2], [1, 3, 2], [4, 4, 4]], dtype="float64")
+    df = spark.createDataFrame([{"t": Tile(arr, "float64").to_row()}], schema=f"t {TILE_T}")
+    t = one_tile(df.select(rf.rf_focal_mode("t").alias("r")), "r")
+    assert t.masked()[1, 1] == 1.0  # 1 appears 3x in the 3x3
+
+
+def test_convolve_identity_and_sum(spark, focal_df):
+    ident = [[0, 0, 0], [0, 1, 0], [0, 0, 0]]
+    t = one_tile(focal_df.select(rf.rf_convolve("tile", ident).alias("r")), "r")
+    assert np.allclose(np.asarray(t.masked()), np.arange(25).reshape(5, 5))
+    box = [[1, 1, 1], [1, 1, 1], [1, 1, 1]]
+    t2 = one_tile(focal_df.select(rf.rf_convolve("tile", box).alias("r")), "r")
+    assert t2.masked()[2, 2] == 9 * 12.0  # sum of 3x3 around center
+
+
+def test_slope_flat_and_plane(spark):
+    flat = Tile(np.full((4, 4), 7.0), "float64")
+    # plane rising 1 unit per cell eastward, cell size 1 -> slope = 45 deg
+    plane = Tile(np.tile(np.arange(4, dtype="float64"), (4, 1)), "float64")
+    df = spark.createDataFrame(
+        [{"f": flat.to_row(), "p": plane.to_row(),
+          "extent": {"xmin": 0.0, "ymin": 0.0, "xmax": 4.0, "ymax": 4.0}}],
+        schema=f"f {TILE_T}, p {TILE_T}, extent {EXT_T}",
+    )
+    sf = one_tile(df.select(rf.rf_slope("f", "extent").alias("r")), "r")
+    assert float(np.abs(np.asarray(sf.masked())).max()) == 0.0
+    sp = one_tile(df.select(rf.rf_slope("p", "extent").alias("r")), "r")
+    assert abs(sp.masked()[1, 1] - 45.0) < 1e-9
+    asp = one_tile(df.select(rf.rf_aspect("p", "extent").alias("r")), "r")
+    assert abs(asp.masked()[1, 1] - 270.0) < 1e-9  # rises east -> downslope faces west
+    hs = one_tile(df.select(rf.rf_hillshade("p", "extent").alias("r")), "r")
+    assert 0 <= hs.masked()[1, 1] <= 255
+
+
+def test_moransi_stripes(spark):
+    # alternating column stripes -> negative autocorrelation under queen
+    # adjacency (checkerboard would be exactly 0: diagonals cancel)
+    arr = np.tile(np.arange(6) % 2, (6, 1))
+    df = spark.createDataFrame(
+        [{"t": Tile(arr.astype("float64"), "float64").to_row()}], schema=f"t {TILE_T}"
+    )
+    t = one_tile(df.select(rf.rf_focal_moransi("t").alias("r")), "r")
+    assert float(t.masked()[2:4, 2:4].mean()) < 0

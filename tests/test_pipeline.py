@@ -1,0 +1,158 @@
+"""LLM-pipeline operators on the real documents/embeddings tables."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from rasterframes_spark import pipeline as P
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_text_metrics(spark, docs):
+    out = P.text_metrics(docs).head()
+    text = out["text"]
+    assert out["n_tokens"] == len(text.split(" "))
+    assert out["n_chars_m"] == len(text)
+    assert 0 <= out["quality"] <= 1
+    assert out["lang_pred"] in ("en", "de", "fr", "es", "it", "und")
+    assert out["fingerprint"] >= 0
+
+
+def test_fingerprint_matches_python(spark, docs):
+    rows = docs.select("doc_id", "text",
+                       P.doc_fingerprint("text").alias("fp")).limit(5).collect()
+    for r in rows:
+        h = 0
+        for ch in r["text"]:
+            h = (h * 31 + ord(ch)) % 2147483647
+        assert r["fp"] == h
+
+
+def test_exact_dedup(spark, docs):
+    doubled = docs.union(docs)
+    assert P.dedup_exact(doubled, ["text"]).count() == docs.count()
+    groups = P.exact_dup_groups(doubled, "text")
+    assert groups.count() == docs.count()  # every text now has 2 copies
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([{"t": "a b c d", "u": "a b c e"}])
+    row = df.select(
+        P.shingles("t", 2).alias("st"),
+        P.jaccard_sim(P.shingles("t", 1), P.shingles("u", 1)).alias("j"),
+    ).head()
+    assert set(row["st"]) == {"a b", "b c", "c d"}
+    # token sets {a,b,c,d} vs {a,b,c,e}: 3/5
+    assert abs(row["j"] - 0.6) < 1e-9
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    # plant near-duplicates: copy of each doc with one word appended
+    orig = docs.select(F.col("doc_id"), F.col("text")).limit(20)
+    dup = orig.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
+    both = orig.union(dup)
+    pairs = P.minhash_dedup_pairs(both, "doc_id", "text", shingle_size=3,
+                                  num_perm=32, bands=16, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(r["doc_id"], r["doc_id"] + 100000) for r in orig.collect()}
+    # LSH with 16 bands of 2 rows at j>=0.8 should find nearly all planted pairs
+    assert len(got & planted) >= int(0.8 * len(planted))
+    # verification: no false positives below threshold
+    assert all(r["jaccard"] >= 0.5 for r in pairs.collect())
+
+
+def test_simhash_near_pairs(spark, docs):
+    orig = docs.select("doc_id", "text").limit(10)
+    dup = orig.select((F.col("doc_id") + 100000).alias("doc_id"), F.col("text"))
+    pairs = P.simhash_near_pairs(orig.union(dup), "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    for r in orig.collect():
+        key = (r["doc_id"], r["doc_id"] + 100000)
+        assert key in got and got[key] == 0  # identical text -> distance 0
+
+
+def test_ngram_jaccard_pairs_blocked(spark, docs):
+    pairs = P.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                  block_cols=["lang", "source"], n=1, threshold=0.9)
+    # sanity: pairs are within blocks and symmetric-free
+    for r in pairs.limit(5).collect():
+        assert r["id_a"] < r["id_b"]
+
+
+def test_cosine_topk_exact(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = P.cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        # self is its own nearest neighbor with cos=1
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["neighbor_id"] == qid and abs(best["cos"] - 1.0) < 1e-6
+        # ranks ordered by cos desc
+        cs = [r["cos"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_lsh_ann_recall(spark, emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = P.cosine_topk(emb, queries, k=5)
+    approx = P.lsh_ann_topk(emb, queries, k=5, n_planes=2, dim=64)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # 2 planes -> 4 buckets over 500 near-random vectors: modest recall bar
+    assert len(e & a) / len(e) > 0.3
+    # and self-match always survives (same bucket by definition)
+    assert all((q, q) in a for q in [r["query_id"] for r in queries.collect()])
+
+
+def test_embedding_neardup(spark, emb):
+    dup = emb.limit(5).select((F.col("vec_id") + 100000).alias("vec_id"),
+                              "embedding", "label")
+    pairs = P.embedding_neardup_pairs(emb.union(dup.select(emb.columns)), "vec_id",
+                                      block_cols=["label"], threshold=0.999999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for r in emb.limit(5).collect():
+        assert (r["vec_id"], r["vec_id"] + 100000) in got
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = P.media_table(spark, docs.limit(8).select(
+        F.encode("text", "utf-8").alias("payload")), "payload", kind="image")
+    decoded = P.decode_image(media, height=16, width=16)
+    rows = decoded.collect()
+    assert len(rows) == 8
+    assert all(len(bytes(r["pixels"])) == 16 * 16 * 3 for r in rows)
+    feats = P.image_features(decoded, dim=16).collect()
+    assert all(len(r["features"]) == 16 for r in feats)
+    resized = P.resize_image(decoded, 8, 8).collect()
+    assert all(len(bytes(r["pixels"])) == 8 * 8 * 3 for r in resized)
+    frames = P.sample_video_frames(media, every_ms=500).collect()
+    assert len(frames) >= 8
+    with pytest.raises(NotImplementedError):
+        P.decode_image(media, decode="real")
+
+
+def test_language_id_on_real_sentences(spark):
+    df = spark.createDataFrame([
+        {"t": "the cat sat on the mat and the dog is in a house"},
+        {"t": "der hund ist ein tier und die katze"},
+        {"t": "le chat est un animal et la maison"},
+        {"t": "xyzzy qwerty plugh"},
+    ])
+    got = [r["l"] for r in df.select(P.language_id("t").alias("l")).collect()]
+    assert got == ["en", "de", "fr", "und"]
