@@ -30,5 +30,8 @@ from rasterframes_spark.session import create_rf_spark_session  # noqa: F401
 from rasterframes_spark.functions import *  # noqa: F401,F403
 from rasterframes_spark.geom import *  # noqa: F401,F403
 from rasterframes_spark.operators import *  # noqa: F401,F403
+from rasterframes_spark import sources  # noqa: F401
+from rasterframes_spark import pipeline  # noqa: F401
+from rasterframes_spark import streaming  # noqa: F401
 
 __version__ = "0.1.0"

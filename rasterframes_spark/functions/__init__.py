@@ -6,8 +6,10 @@ from rasterframes_spark.functions.mask import *  # noqa: F401,F403
 from rasterframes_spark.functions.constructors import *  # noqa: F401,F403
 from rasterframes_spark.functions.aggregates import *  # noqa: F401,F403
 from rasterframes_spark.functions.focal import *  # noqa: F401,F403
+from rasterframes_spark.functions.proj_raster import *  # noqa: F401,F403
 
 from rasterframes_spark.functions import focal as _focal
+from rasterframes_spark.functions import proj_raster as _proj_raster
 from rasterframes_spark.functions import local as _local
 from rasterframes_spark.functions import tilestats as _tilestats
 from rasterframes_spark.functions import mask as _mask
@@ -21,4 +23,5 @@ __all__ = (
     + list(_constructors.__all__)
     + list(_aggregates.__all__)
     + list(_focal.__all__)
+    + list(_proj_raster.__all__)
 )

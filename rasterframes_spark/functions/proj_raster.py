@@ -1,0 +1,214 @@
+"""proj_raster construction/accessors, rasterize, render, RGB composite
+(SURVEY.md §2.10-2.11).
+
+proj_raster = struct{tile, extent, crs} (ProjectedRasterTile.scala:37-45).
+Accessors are pure Catalyst field access — no UDF, no Python — so metadata
+queries (extents, CRS, dims) never touch cell payloads: the same I/O-pruning
+property the reference gets from laziness (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, functions as F
+
+from rasterframes_spark.tile import CellType, Tile, TILE_SCHEMA
+from rasterframes_spark.functions._kernel import col_or_name, lazy_pandas_udf
+from rasterframes_spark.geom import core as G
+
+__all__ = [
+    "rf_proj_raster", "rf_tile", "rf_extent", "rf_crs", "rf_geometry",
+    "rf_rasterize", "rf_render_ascii", "rf_render_matrix",
+    "rf_rgb_composite", "rf_render_png",
+]
+
+
+def rf_proj_raster(tile, extent, crs) -> Column:
+    """(tile, extent, crs) -> proj_raster struct
+    (transformers/CreateProjectedRaster.scala:44-81)."""
+    return F.struct(
+        col_or_name(tile).alias("tile"),
+        col_or_name(extent).alias("extent"),
+        col_or_name(crs).alias("crs"),
+    )
+
+
+def _is_proj_raster(c: Column) -> Column:
+    return c
+
+
+def rf_tile(proj_raster) -> Column:
+    """Extract/realize the tile (accessors/RealizeTile.scala:42). For lazy
+    refs see sources.raster_reader.realize_tiles."""
+    return col_or_name(proj_raster).getField("tile")
+
+
+def rf_extent(proj_raster) -> Column:
+    """(accessors/GetExtent.scala:47) — pure field access."""
+    return col_or_name(proj_raster).getField("extent")
+
+
+def rf_crs(proj_raster) -> Column:
+    """(accessors/GetCRS.scala:55)"""
+    return col_or_name(proj_raster).getField("crs")
+
+
+def rf_geometry(proj_raster) -> Column:
+    """Extent as polygon geometry (accessors/GetGeometry.scala:47)."""
+    from rasterframes_spark.geom.functions import st_geometry
+
+    return st_geometry(col_or_name(proj_raster).getField("extent"))
+
+
+# ---------------------------------------------------------------------------
+# rasterize: burn geometry into a tile (functions/package.scala:162-169)
+# ---------------------------------------------------------------------------
+
+
+def rf_rasterize(geometry, bounds_extent, value, cols: int, rows: int) -> Column:
+    """Burn `value` into a cols×rows int32 tile where cells (pixel centers)
+    fall inside the geometry; NoData elsewhere. `geometry` is WKB,
+    `bounds_extent` the tile's georeferencing extent."""
+    nc, nr = int(cols), int(rows)
+
+    @lazy_pandas_udf(TILE_SCHEMA)
+    def udf(geom: pd.Series, ext: pd.DataFrame, val: pd.Series) -> pd.DataFrame:
+        from rasterframes_spark.tile import tiles_to_struct_pdf
+
+        out = []
+        for i in range(len(geom)):
+            g = geom.values[i]
+            if g is None:
+                out.append(None)
+                continue
+            shape = G.wkb_loads(bytes(g))
+            xmin, ymin, xmax, ymax = (float(ext["xmin"].values[i]), float(ext["ymin"].values[i]),
+                                      float(ext["xmax"].values[i]), float(ext["ymax"].values[i]))
+            v = int(val.values[i])
+            pw, ph = (xmax - xmin) / nc, (ymax - ymin) / nr
+            cx = xmin + (np.arange(nc) + 0.5) * pw
+            cy = ymax - (np.arange(nr) + 0.5) * ph
+            arr = np.zeros((nr, nc), dtype="int32")
+            mask = np.ones((nr, nc), dtype=bool)
+            polys = G._polygons(shape)
+            for rr in range(nr):
+                for cc in range(nc):
+                    if any(G.point_in_polygon((cx[cc], cy[rr]), rings) for rings in polys):
+                        arr[rr, cc] = v
+                        mask[rr, cc] = False
+            out.append(Tile(np.ma.masked_array(arr, mask=mask), CellType.parse("int32")))
+        return tiles_to_struct_pdf(out)
+
+    return udf(col_or_name(geometry), col_or_name(bounds_extent),
+               col_or_name(value).cast("long") if not isinstance(value, (int, float))
+               else F.lit(int(value)))
+
+
+# ---------------------------------------------------------------------------
+# rendering (transformers/DebugRender.scala, RenderPNG.scala, RGBComposite)
+# ---------------------------------------------------------------------------
+
+_ASCII_RAMP = " .:oO0@"
+
+
+def rf_render_ascii(tile) -> Column:
+    """Coarse ASCII-art render (DebugRender.scala:56)."""
+
+    @lazy_pandas_udf("string")
+    def udf(t: pd.DataFrame) -> pd.Series:
+        from rasterframes_spark.tile import decode_struct_pdf
+
+        out = []
+        for tl in decode_struct_pdf(t):
+            if tl is None:
+                out.append(None)
+                continue
+            a = tl.masked().astype("float64")
+            lo, hi = float(a.min()), float(a.max())
+            span = (hi - lo) or 1.0
+            idx = np.clip(((a - lo) / span * (len(_ASCII_RAMP) - 1)).filled(-1), -1,
+                          len(_ASCII_RAMP) - 1).astype(int)
+            lines = ["".join("∘" if j < 0 else _ASCII_RAMP[j] for j in r) for r in idx]
+            out.append("\n".join(lines))
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(tile))
+
+
+def rf_render_matrix(tile) -> Column:
+    """Numeric matrix render (DebugRender.scala:71)."""
+
+    @lazy_pandas_udf("string")
+    def udf(t: pd.DataFrame) -> pd.Series:
+        from rasterframes_spark.tile import decode_struct_pdf
+
+        out = []
+        for tl in decode_struct_pdf(t):
+            out.append(None if tl is None else np.array2string(
+                tl.masked(), max_line_width=200, precision=4))
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(tile))
+
+
+def rf_rgb_composite(red, green, blue) -> Column:
+    """Pack 3 tiles into one int32 0xRRGGBB tile (RGBComposite.scala:50-97);
+    each band rescaled to its own [min,max] -> 8 bits."""
+
+    @lazy_pandas_udf(TILE_SCHEMA)
+    def udf(r: pd.DataFrame, g: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        from rasterframes_spark.tile import decode_struct_pdf, tiles_to_struct_pdf
+
+        rs, gs, bs = decode_struct_pdf(r), decode_struct_pdf(g), decode_struct_pdf(b)
+        out = []
+        for tr, tg, tb in zip(rs, gs, bs):
+            if tr is None or tg is None or tb is None:
+                out.append(None)
+                continue
+
+            def to8(t):
+                a = t.masked().astype("float64")
+                lo, hi = float(a.min()), float(a.max())
+                span = (hi - lo) or 1.0
+                return np.clip(((a - lo) / span * 255.0).filled(0), 0, 255).astype("int64")
+
+            packed = (to8(tr) << 16) | (to8(tg) << 8) | to8(tb)
+            mask = (np.ma.getmaskarray(tr.masked()) & np.ma.getmaskarray(tg.masked())
+                    & np.ma.getmaskarray(tb.masked()))
+            out.append(Tile(np.ma.masked_array(packed.astype("int32"), mask=mask),
+                            CellType.parse("int32raw")))
+        return tiles_to_struct_pdf(out)
+
+    return udf(col_or_name(red), col_or_name(green), col_or_name(blue))
+
+
+def rf_render_png(tile, ramp: str = "grayscale") -> Column:
+    """Tile -> PNG bytes (RenderPNG.scala:47-81). Pure-stdlib PNG encoder
+    (zlib deflate, no PIL): grayscale ramp, or 'rgb' to unpack 0xRRGGBB
+    composites from rf_rgb_composite."""
+
+    @lazy_pandas_udf("binary")
+    def udf(t: pd.DataFrame) -> pd.Series:
+        from rasterframes_spark.tile import decode_struct_pdf
+        from rasterframes_spark.sources.png import encode_png
+
+        out = []
+        for tl in decode_struct_pdf(t):
+            if tl is None:
+                out.append(None)
+                continue
+            a = tl.masked().astype("float64")
+            if ramp == "rgb":
+                v = np.asarray(a.filled(0)).astype("int64")
+                rgb = np.stack([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], axis=-1)
+                out.append(encode_png(rgb.astype("uint8")))
+            else:
+                lo, hi = float(a.min()), float(a.max())
+                span = (hi - lo) or 1.0
+                gray = np.clip(((a - lo) / span * 255.0).filled(0), 0, 255).astype("uint8")
+                out.append(encode_png(gray))
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(tile))

@@ -1,0 +1,312 @@
+"""Pure-python GeoTIFF codec (no rasterio/GDAL in this environment).
+
+Implements the subset of TIFF 6.0 + GeoTIFF 1.1 the engine's sources and
+sinks need (reference reader surface: ``datasource/.../geotiff/``,
+``core/.../ref/RFRasterSource.scala``):
+
+- read: classic little/big-endian TIFF; strip- or tile-organized;
+  uncompressed or DEFLATE (8 / 32946); uint8/16/32, int8/16/32,
+  float32/64; single- or multi-band chunky (PlanarConfiguration=1);
+  windowed reads (only the strips/tiles overlapping the window are
+  decoded — the I/O-pruning contract lazy tiles rely on);
+- georeferencing: ModelPixelScale + ModelTiepoint -> extent;
+  GeoKeyDirectory -> EPSG code; GDAL_NODATA;
+- write: tiled (or stripped) DEFLATE GeoTIFF with the same tags.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["GeoTiffInfo", "read_info", "read_window", "read_full", "write_geotiff"]
+
+_SAMPLE_DTYPES = {
+    # (SampleFormat, BitsPerSample) -> numpy dtype
+    (1, 8): "uint8", (1, 16): "uint16", (1, 32): "uint32",
+    (2, 8): "int8", (2, 16): "int16", (2, 32): "int32",
+    (3, 32): "float32", (3, 64): "float64",
+}
+_TAG_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TAG_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
+
+
+@dataclass
+class GeoTiffInfo:
+    width: int
+    height: int
+    bands: int
+    dtype: str
+    nodata: float | None
+    crs: str
+    extent: tuple  # (xmin, ymin, xmax, ymax)
+    tile_width: int | None
+    tile_height: int | None
+    rows_per_strip: int | None
+    compression: int
+    chunk_offsets: list
+    chunk_counts: list
+    byte_order: str
+    pixel_scale: tuple
+    tiepoint: tuple
+
+
+def _read_ifd(data: bytes, bo: str, off: int):
+    (n,) = struct.unpack_from(bo + "H", data, off)
+    tags = {}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", data, base)
+        size = _TAG_SIZES.get(typ, 1) * count
+        if size <= 4:
+            raw = data[base + 8: base + 8 + size]
+        else:
+            (ptr,) = struct.unpack_from(bo + "I", data, base + 8)
+            raw = data[ptr: ptr + size]
+        if typ in _TAG_FMT:
+            vals = list(struct.unpack(bo + _TAG_FMT[typ] * count, raw))
+        elif typ == 2:  # ascii
+            vals = [raw.rstrip(b"\x00").decode("ascii", "replace")]
+        elif typ == 5:  # rational
+            parts = struct.unpack(bo + "II" * count, raw)
+            vals = [parts[2 * j] / (parts[2 * j + 1] or 1) for j in range(count)]
+        else:
+            vals = [raw]
+        tags[tag] = vals
+    return tags
+
+
+def read_info(data: bytes) -> GeoTiffInfo:
+    bo = "<" if data[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    if magic != 42:
+        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    t = _read_ifd(data, bo, ifd_off)
+
+    width = t[256][0]
+    height = t[257][0]
+    bands = t.get(277, [1])[0]
+    bits = t.get(258, [8])[0]
+    fmt = t.get(339, [1])[0]
+    dtype = _SAMPLE_DTYPES[(fmt, bits)]
+    comp = t.get(259, [1])[0]
+    nodata = None
+    if 42113 in t:
+        try:
+            nodata = float(str(t[42113][0]).strip())
+        except ValueError:
+            pass
+
+    # georeferencing
+    scale = tuple(t.get(33550, [1.0, 1.0, 0.0]))
+    tie = tuple(t.get(33922, [0.0, 0.0, 0.0, 0.0, float(height), 0.0]))
+    # tiepoint: raster (i,j,k) -> model (x,y,z); standard: (0,0) -> (xmin, ymax)
+    xmin = tie[3] - tie[0] * scale[0]
+    ymax = tie[4] + tie[1] * scale[1]
+    extent = (xmin, ymax - height * scale[1], xmin + width * scale[0], ymax)
+
+    crs = "EPSG:4326"
+    if 34735 in t:
+        keys = t[34735]  # 4-short header, then 4 shorts per key entry
+        for j in range(4, len(keys) - 3, 4):
+            kid, loc, cnt, val = keys[j], keys[j + 1], keys[j + 2], keys[j + 3]
+            if kid in (2048, 3072) and loc == 0 and val not in (0, 32767):
+                crs = f"EPSG:{val}"
+
+    if 322 in t:  # tiled
+        tw, th = t[322][0], t[323][0]
+        offsets, counts = t[324], t[325]
+        rps = None
+    else:
+        tw = th = None
+        rps = t.get(278, [height])[0]
+        offsets, counts = t[273], t[279]
+
+    return GeoTiffInfo(width, height, bands, dtype, nodata, crs, extent,
+                       tw, th, rps, comp, list(offsets), list(counts), bo,
+                       scale, tie)
+
+
+def _decompress(chunk: bytes, comp: int) -> bytes:
+    if comp == 1:
+        return chunk
+    if comp in (8, 32946):
+        return zlib.decompress(chunk)
+    raise ValueError(f"unsupported TIFF compression: {comp}")
+
+
+def read_window(data: bytes, info: GeoTiffInfo, col_off: int, row_off: int,
+                width: int, height: int, band: int = 0) -> np.ndarray:
+    """Decode only the chunks overlapping the window (windowed-read contract
+    of RasterRef.realizedTile, ref/RasterRef.scala:49-64)."""
+    dt = np.dtype(info.dtype).newbyteorder(info.byte_order)
+    out = np.zeros((height, width), dtype=info.dtype)
+
+    if info.tile_width:  # tiled layout
+        tw, th = info.tile_width, info.tile_height
+        tiles_across = math.ceil(info.width / tw)
+        t0c, t1c = col_off // tw, (col_off + width - 1) // tw
+        t0r, t1r = row_off // th, (row_off + height - 1) // th
+        for tr in range(t0r, t1r + 1):
+            for tc in range(t0c, t1c + 1):
+                idx = tr * tiles_across + tc
+                raw = _decompress(
+                    data[info.chunk_offsets[idx]: info.chunk_offsets[idx] + info.chunk_counts[idx]],
+                    info.compression)
+                arr = np.frombuffer(raw, dtype=dt).reshape(th, tw, info.bands)[:, :, band]
+                # intersect tile with window
+                r0 = max(row_off, tr * th)
+                r1 = min(row_off + height, tr * th + th, info.height)
+                c0 = max(col_off, tc * tw)
+                c1 = min(col_off + width, tc * tw + tw, info.width)
+                if r1 <= r0 or c1 <= c0:
+                    continue
+                out[r0 - row_off: r1 - row_off, c0 - col_off: c1 - col_off] = (
+                    arr[r0 - tr * th: r1 - tr * th, c0 - tc * tw: c1 - tc * tw]
+                )
+    else:  # strips
+        rps = info.rows_per_strip
+        s0, s1 = row_off // rps, (row_off + height - 1) // rps
+        for s in range(s0, s1 + 1):
+            raw = _decompress(
+                data[info.chunk_offsets[s]: info.chunk_offsets[s] + info.chunk_counts[s]],
+                info.compression)
+            nrows = min(rps, info.height - s * rps)
+            arr = np.frombuffer(raw, dtype=dt).reshape(nrows, info.width, info.bands)[:, :, band]
+            r0 = max(row_off, s * rps)
+            r1 = min(row_off + height, s * rps + nrows)
+            if r1 <= r0:
+                continue
+            out[r0 - row_off: r1 - row_off, :] = (
+                arr[r0 - s * rps: r1 - s * rps, col_off: col_off + width]
+            )
+    return out
+
+
+def read_full(data: bytes, band: int = 0) -> tuple[np.ndarray, GeoTiffInfo]:
+    info = read_info(data)
+    return read_window(data, info, 0, 0, info.width, info.height, band), info
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+_FMT_FOR_KIND = {"u": 1, "i": 2, "f": 3}
+
+
+def write_geotiff(arr: np.ndarray, extent: tuple, crs: str = "EPSG:4326",
+                  nodata: float | None = None, tile_size: int = 256) -> bytes:
+    """Encode a 2-D (single band) or 3-D (H,W,bands) array as a tiled
+    DEFLATE GeoTIFF."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, bands = arr.shape
+    dt = arr.dtype
+    bits = dt.itemsize * 8
+    fmt = _FMT_FOR_KIND[dt.kind]
+    xmin, ymin, xmax, ymax = extent
+    sx, sy = (xmax - xmin) / w, (ymax - ymin) / h
+
+    ts = min(tile_size, 16 * math.ceil(max(w, h) / 16))
+    ts = max(16, ts)
+    tiles_across = math.ceil(w / ts)
+    tiles_down = math.ceil(h / ts)
+    chunks = []
+    for tr in range(tiles_down):
+        for tc in range(tiles_across):
+            block = np.zeros((ts, ts, bands), dtype=dt)
+            r1 = min(h, (tr + 1) * ts)
+            c1 = min(w, (tc + 1) * ts)
+            block[: r1 - tr * ts, : c1 - tc * ts] = arr[tr * ts: r1, tc * ts: c1]
+            chunks.append(zlib.compress(block.astype(dt.newbyteorder("<")).tobytes(), 6))
+
+    epsg = 4326
+    c = crs.strip().upper()
+    if c.startswith("EPSG:"):
+        epsg = int(c.split(":")[1])
+    model_type = 2 if epsg == 4326 else 1
+    geo_key_id = 2048 if model_type == 2 else 3072
+    geokeys = [1, 1, 0, 3,
+               1024, 0, 1, model_type,
+               1025, 0, 1, 1,  # RasterPixelIsArea
+               geo_key_id, 0, 1, epsg]
+
+    nodata_s = (f"{nodata} ".encode("ascii") + b"\x00") if nodata is not None else None
+
+    # assemble: header | tag data area | chunk data | IFD
+    tags = []  # (tag, type, count, values) — values as packed bytes or small ints
+
+    def add(tag, typ, values):
+        tags.append((tag, typ, values))
+
+    add(256, 3, [w])
+    add(257, 3, [h])
+    add(258, 3, [bits] * bands)
+    add(259, 3, [8])  # deflate
+    add(262, 3, [1])
+    add(277, 3, [bands])
+    add(284, 3, [1])  # chunky
+    add(322, 3, [ts])
+    add(323, 3, [ts])
+    add(339, 3, [fmt] * bands)
+    add(33550, 12, [sx, sy, 0.0])
+    add(33922, 12, [0.0, 0.0, 0.0, xmin, ymax, 0.0])
+    add(34735, 3, geokeys)
+    if nodata_s:
+        add(42113, 2, nodata_s)
+
+    # layout
+    header_size = 8
+    # chunk data first (after header), then tag overflow data, then IFD
+    chunk_offsets = []
+    pos = header_size
+    for chk in chunks:
+        chunk_offsets.append(pos)
+        pos += len(chk)
+    add(324, 4, chunk_offsets)
+    add(325, 4, [len(c) for c in chunks])
+    tags.sort(key=lambda x: x[0])
+
+    overflow = b""
+    entries = b""
+    overflow_base = pos
+    # first compute overflow sizes
+    packed = []
+    for tag, typ, values in tags:
+        if typ == 2:
+            raw = values if isinstance(values, bytes) else bytes(values)
+            count = len(raw)
+        else:
+            fmtch = _TAG_FMT[typ]
+            raw = struct.pack("<" + fmtch * len(values), *values)
+            count = len(values)
+        packed.append((tag, typ, count, raw))
+    for tag, typ, count, raw in packed:
+        if len(raw) > 4:
+            overflow += raw
+    ifd_off = overflow_base + len(overflow)
+
+    # now emit entries with correct overflow pointers
+    ov_pos = overflow_base
+    body = b""
+    for tag, typ, count, raw in packed:
+        if len(raw) <= 4:
+            body += struct.pack("<HHI", tag, typ, count) + raw.ljust(4, b"\x00")
+        else:
+            body += struct.pack("<HHI", tag, typ, count) + struct.pack("<I", ov_pos)
+            ov_pos += len(raw)
+    ifd = struct.pack("<H", len(packed)) + body + struct.pack("<I", 0)
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    for chk in chunks:
+        out += chk
+    out += overflow
+    out += ifd
+    return bytes(out)

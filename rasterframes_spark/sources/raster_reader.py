@@ -1,0 +1,212 @@
+"""read_raster: catalog-driven raster source (SURVEY.md §2.1, §3.1).
+
+Reference lifecycle (``RasterSourceRelation.scala:97-155``): catalog rows
+(URIs) → repartition → open source metadata → explode over the chunk grid
+(1 scene row → N tile rows) → lazy RasterRefs realized only when an
+expression needs cells.
+
+Engine mapping, same shape:
+1. catalog DataFrame (or list of URIs) with one column per band path;
+2. a metadata pandas-UDF reads ONLY the GeoTIFF header per URI and emits
+   the chunk-grid window list (no pixel I/O);
+3. ``explode`` over windows (codegen'd Generate);
+4. each chunk row carries ``ref = {uri, band, col_off, row_off, width,
+   height, buffer}`` + computed extent/crs — a *lazy tile*;
+5. ``realize_tiles`` decodes windows inside a pandas UDF (only the strips/
+   tiles overlapping each window are decompressed). Metadata-only queries
+   (counts, extents, spatial filters) never touch pixels — Spark's column
+   pruning drops the realize projection entirely, which is the reference's
+   laziness property for free.
+
+File handles: per-executor LRU byte cache keyed by URI (the reference uses
+a Scaffeine cache, RFRasterSource.scala:96-99).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from rasterframes_spark.tile import CellType, Tile, TILE_SCHEMA
+from rasterframes_spark.functions._kernel import col_or_name, lazy_pandas_udf
+from rasterframes_spark.sources import geotiff as GT
+
+__all__ = ["read_raster", "realize_tiles", "RASTER_REF_SCHEMA", "with_spatial_index"]
+
+RASTER_REF_SCHEMA = (
+    "struct<uri:string,band:int,col_off:int,row_off:int,width:int,height:int,"
+    "buffer:int>"
+)
+
+_CHUNK_T = (
+    "array<struct<col_off:int,row_off:int,width:int,height:int,"
+    "xmin:double,ymin:double,xmax:double,ymax:double,crs:string,"
+    "cell_type:string,full_width:int,full_height:int>>"
+)
+
+
+@functools.lru_cache(maxsize=64)
+def _fetch_bytes(uri: str) -> bytes:
+    """Executor-local source cache. file:// and plain paths supported;
+    http(s):// via urllib (works where the cluster has egress)."""
+    if uri.startswith("http://") or uri.startswith("https://"):
+        from urllib.request import urlopen
+
+        with urlopen(uri) as r:  # noqa: S310 — user-supplied catalog URI
+            return r.read()
+    path = uri[7:] if uri.startswith("file://") else uri
+    with open(path, "rb") as f:
+        return f.read()
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_info(uri: str):
+    return GT.read_info(_fetch_bytes(uri))
+
+
+def _celltype_for(info: GT.GeoTiffInfo) -> str:
+    base = info.dtype if info.dtype != "uint32" else "float64"
+    if info.nodata is None:
+        return base + ("raw" if not base.startswith("float") else "")
+    ct = CellType.from_numpy(np.dtype(base), info.nodata)
+    return ct.name
+
+
+def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
+                tile_dimensions=(256, 256), buffer_size: int = 0,
+                lazy_tiles: bool = True, spatial_index_partitions: int | None = None,
+                catalog_col: str | None = None) -> DataFrame:
+    """Catalog (list of URIs | DataFrame with a path column) -> one row per
+    (scene × chunk), tile columns per band.
+
+    Options mirror RasterSourceDataSource.scala:37-63: band_indexes,
+    tile_dimensions, buffer_size, lazy_tiles, spatial_index_partitions.
+    """
+    tw, th = tile_dimensions
+
+    if isinstance(catalog, (list, tuple)):
+        cat = spark.createDataFrame([(u,) for u in catalog], ["path"])
+        catalog_col = "path"
+    else:
+        cat = catalog
+        catalog_col = catalog_col or cat.columns[0]
+
+    @lazy_pandas_udf(_CHUNK_T)
+    def chunk_grid(uris: pd.Series) -> pd.Series:
+        out = []
+        for uri in uris.values:
+            if uri is None:
+                out.append(None)
+                continue
+            info = _cached_info(str(uri))
+            xmin, ymin, xmax, ymax = info.extent
+            pw = (xmax - xmin) / info.width
+            ph = (ymax - ymin) / info.height
+            ct = _celltype_for(info)
+            chunks = []
+            for r0 in range(0, info.height, th):
+                for c0 in range(0, info.width, tw):
+                    w = min(tw, info.width - c0)
+                    h = min(th, info.height - r0)
+                    chunks.append({
+                        "col_off": c0, "row_off": r0, "width": w, "height": h,
+                        "xmin": xmin + c0 * pw, "ymax": ymax - r0 * ph,
+                        "xmax": xmin + (c0 + w) * pw, "ymin": ymax - (r0 + h) * ph,
+                        "crs": info.crs, "cell_type": ct,
+                        "full_width": info.width, "full_height": info.height,
+                    })
+            out.append(chunks)
+        return pd.Series(out, dtype=object)
+
+    uri_c = F.col(catalog_col)
+    exploded = (
+        cat.withColumn("__chunk", F.explode(chunk_grid(uri_c)))
+        .select(
+            "*",
+            F.struct(
+                F.col("__chunk.xmin").alias("xmin"),
+                F.col("__chunk.ymin").alias("ymin"),
+                F.col("__chunk.xmax").alias("xmax"),
+                F.col("__chunk.ymax").alias("ymax"),
+            ).alias("extent"),
+            F.col("__chunk.crs").alias("crs"),
+        )
+    )
+
+    for b in band_indexes:
+        ref = F.struct(
+            uri_c.alias("uri"),
+            F.lit(int(b)).alias("band"),
+            F.col("__chunk.col_off").alias("col_off"),
+            F.col("__chunk.row_off").alias("row_off"),
+            F.col("__chunk.width").alias("width"),
+            F.col("__chunk.height").alias("height"),
+            F.lit(int(buffer_size)).alias("buffer"),
+        )
+        name = f"tile_b{b}" if len(band_indexes) > 1 else "tile_ref"
+        exploded = exploded.withColumn(name, ref)
+        if not lazy_tiles:
+            exploded = exploded.withColumn(name, realize_tiles(F.col(name)))
+
+    out = exploded.drop("__chunk")
+    if spatial_index_partitions:
+        from rasterframes_spark.geom.functions import rf_xz2_index
+
+        out = out.withColumn("spatial_index", rf_xz2_index(F.col("extent")))
+        out = out.repartitionByRange(int(spatial_index_partitions), F.col("spatial_index"))
+    return out
+
+
+def realize_tiles(ref) -> Column:
+    """Lazy ref -> realized tile struct: windowed read via the pure-python
+    GeoTIFF decoder (rf_tile / RasterRefToTile equivalent)."""
+
+    @lazy_pandas_udf(TILE_SCHEMA)
+    def udf(r: pd.DataFrame) -> pd.DataFrame:
+        from rasterframes_spark.tile import tiles_to_struct_pdf
+
+        out = []
+        uris = r["uri"].values
+        for i in range(len(r)):
+            uri = uris[i]
+            if uri is None:
+                out.append(None)
+                continue
+            data = _fetch_bytes(str(uri))
+            info = _cached_info(str(uri))
+            buf = int(r["buffer"].values[i])
+            c0 = int(r["col_off"].values[i]) - buf
+            r0 = int(r["row_off"].values[i]) - buf
+            w = int(r["width"].values[i]) + 2 * buf
+            h = int(r["height"].values[i]) + 2 * buf
+            c0c, r0c = max(c0, 0), max(r0, 0)
+            w = min(c0 + w, info.width) - c0c
+            h = min(r0 + h, info.height) - r0c
+            arr = GT.read_window(data, info, c0c, r0c, w, h, int(r["band"].values[i]))
+            ct = CellType.parse(_celltype_for(info))
+            if arr.dtype != ct.dtype:
+                arr = arr.astype(ct.dtype)
+            out.append(Tile(np.ma.masked_array(arr, mask=ct.mask_of(arr)), ct))
+        return tiles_to_struct_pdf(out)
+
+    return udf(col_or_name(ref))
+
+
+def with_spatial_index(df: DataFrame, extent_col: str = "extent",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Add `spatial_index` (XZ2) and range-repartition by it — the
+    reference's withSpatialIndex + repartitionByRange
+    (LayerSpatialColumnMethods.scala:122-129). Range partitioning by an SFC
+    key gives spatial locality per partition: spatially-close tiles land
+    together, so later extent-filtered scans and raster joins touch few
+    partitions."""
+    from rasterframes_spark.geom.functions import rf_xz2_index
+
+    out = df.withColumn("spatial_index", rf_xz2_index(F.col(extent_col)))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, F.col("spatial_index"))

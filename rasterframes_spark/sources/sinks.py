@@ -1,0 +1,217 @@
+"""Sinks: write_geotiff (merged single file), tiles sink (one file per row
++ catalog.csv), GeoJSON reader, slippy-map export (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rasterframes_spark.tile import CellType, Tile
+from rasterframes_spark.sources import geotiff as GT
+from rasterframes_spark.sources.png import encode_png
+
+__all__ = ["write_geotiff", "write_tiles", "read_geojson", "write_slippy"]
+
+
+def write_geotiff(df: DataFrame, path: str, tile_col: str = "tile",
+                  extent_col: str = "extent", crs_col: str = "crs",
+                  raster_dimensions: tuple | None = None) -> None:
+    """Merge all tiles into ONE GeoTIFF on the driver — the reference is
+    explicit that this is "not big data friendly" (GeoTiffDataSource.scala:
+    61-102): it is a visualization/export sink. Tiles are mosaicked into
+    their common grid; same-CRS required (reproject upstream with
+    raster_join / st_reproject)."""
+    rows = df.select(tile_col, extent_col, crs_col).collect()
+    if not rows:
+        raise ValueError("empty DataFrame")
+    crs = rows[0][crs_col]
+    xmin = min(r[extent_col]["xmin"] for r in rows)
+    ymin = min(r[extent_col]["ymin"] for r in rows)
+    xmax = max(r[extent_col]["xmax"] for r in rows)
+    ymax = max(r[extent_col]["ymax"] for r in rows)
+
+    t0 = rows[0][tile_col]
+    pw = (rows[0][extent_col]["xmax"] - rows[0][extent_col]["xmin"]) / t0["cols"]
+    ph = (rows[0][extent_col]["ymax"] - rows[0][extent_col]["ymin"]) / t0["rows"]
+    if raster_dimensions:
+        W, H = raster_dimensions
+        pw = (xmax - xmin) / W
+        ph = (ymax - ymin) / H
+    else:
+        W = round((xmax - xmin) / pw)
+        H = round((ymax - ymin) / ph)
+
+    ct = CellType.parse(t0["cell_type"])
+    nodata = ct.nodata if ct.has_nodata else 0
+    fill = nodata if not (isinstance(nodata, float) and math.isnan(nodata)) else np.nan
+    canvas = np.full((H, W), fill, dtype=ct.dtype if not ct.is_float else "float64")
+    for r in rows:
+        t = Tile.from_parts(r[tile_col]["cell_type"], r[tile_col]["cols"],
+                            r[tile_col]["rows"], bytes(r[tile_col]["cells"]))
+        e = r[extent_col]
+        c0 = round((e["xmin"] - xmin) / pw)
+        r0 = round((ymax - e["ymax"]) / ph)
+        sub = t.masked()
+        h, w = sub.shape
+        r1, c1 = min(r0 + h, H), min(c0 + w, W)
+        region = np.asarray(sub.filled(fill))[: r1 - r0, : c1 - c0]
+        canvas[r0:r1, c0:c1] = region
+    arr = canvas.astype(ct.dtype)
+    data = GT.write_geotiff(arr, (xmin, ymin, xmax, ymax), crs=crs,
+                            nodata=None if not ct.has_nodata else
+                            (float(ct.nodata) if not (isinstance(ct.nodata, float)
+                                                      and math.isnan(ct.nodata)) else None))
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def write_tiles(df: DataFrame, directory: str, tile_col: str = "tile",
+                extent_col: str = "extent", crs_col: str = "crs",
+                fmt: str = "tiff") -> str:
+    """Write each tile row as its own GeoTIFF/PNG + a catalog.csv readable
+    back via read_raster (TilesDataSource.scala:47-230). Executor-parallel
+    foreachPartition writes; only the catalog lines shuffle to the driver."""
+    os.makedirs(directory, exist_ok=True)
+
+    def write_part(idx, rows):
+        lines = []
+        for j, r in enumerate(rows):
+            t = r[tile_col]
+            if t is None or t["cells"] is None:
+                continue
+            tile = Tile.from_parts(t["cell_type"], t["cols"], t["rows"], bytes(t["cells"]))
+            e = r[extent_col]
+            name = f"tile-{idx}-{j}.{ 'tiff' if fmt == 'tiff' else 'png'}"
+            p = os.path.join(directory, name)
+            if fmt == "tiff":
+                nd = tile.cell_type.nodata
+                if isinstance(nd, float) and math.isnan(nd):
+                    nd = None
+                data = GT.write_geotiff(tile.to_numpy(),
+                                        (e["xmin"], e["ymin"], e["xmax"], e["ymax"]),
+                                        crs=r[crs_col], nodata=nd)
+            else:
+                a = tile.masked().astype("float64")
+                lo, hi = float(a.min()), float(a.max())
+                span = (hi - lo) or 1.0
+                data = encode_png(np.clip(((a - lo) / span * 255).filled(0), 0, 255).astype("uint8"))
+            with open(p, "wb") as f:
+                f.write(data)
+            lines.append((name, e["xmin"], e["ymin"], e["xmax"], e["ymax"], r[crs_col]))
+        return lines
+
+    catalog = (
+        df.select(tile_col, extent_col, crs_col).rdd
+        .mapPartitionsWithIndex(lambda i, it: write_part(i, it))
+        .collect()
+    )
+    cat_path = os.path.join(directory, "catalog.csv")
+    with open(cat_path, "w") as f:
+        f.write("path,xmin,ymin,xmax,ymax,crs\n")
+        for name, a, b, c, d, crs in catalog:
+            f.write(f"{os.path.join(directory, name)},{a},{b},{c},{d},{crs}\n")
+    return cat_path
+
+
+def read_geojson(spark: SparkSession, path: str, crs: str = "EPSG:4326") -> DataFrame:
+    """GeoJSON FeatureCollection -> DataFrame(geometry WKB, properties...)
+    (GeoJsonDataSource.scala:42-131). Property schema inference rides on
+    spark.read.json, as the reference's does."""
+    from rasterframes_spark.geom import core as G
+
+    raw = spark.read.option("multiLine", "true").json(path)
+    feats = raw.select(F.explode("features").alias("f")).select(
+        F.to_json("f.geometry").alias("__geojson"), F.col("f.properties.*")
+    )
+
+    from rasterframes_spark.functions._kernel import lazy_pandas_udf
+
+    @lazy_pandas_udf("binary")
+    def geom_udf(s: pd.Series) -> pd.Series:
+        out = []
+        for txt in s.values:
+            if txt is None:
+                out.append(None)
+                continue
+            gj = json.loads(txt)
+            out.append(G.wkb_dumps(_geojson_to_geom(gj)))
+        return pd.Series(out, dtype=object)
+
+    return feats.select(geom_udf("__geojson").alias("geometry"),
+                        F.lit(crs).alias("crs"), "*").drop("__geojson")
+
+
+def _norm_coords(c):
+    """spark.read.json unifies mixed-nesting coordinate arrays by
+    stringifying elements — parse any string back to its nested list."""
+    if isinstance(c, str):
+        return json.loads(c)
+    if isinstance(c, (list, tuple)):
+        return [_norm_coords(e) for e in c]
+    return c
+
+
+def _geojson_to_geom(gj: dict):
+    t = gj["type"]
+    c = _norm_coords(gj.get("coordinates"))
+    if t == "Point":
+        return ("Point", (float(c[0]), float(c[1])))
+    if t == "LineString":
+        return ("LineString", [(float(x), float(y)) for x, y, *_ in c])
+    if t == "Polygon":
+        return ("Polygon", [[(float(x), float(y)) for x, y, *_ in ring] for ring in c])
+    if t == "MultiPoint":
+        return ("MultiPoint", [(float(x), float(y)) for x, y, *_ in c])
+    if t == "MultiLineString":
+        return ("MultiLineString", [[(float(x), float(y)) for x, y, *_ in l] for l in c])
+    if t == "MultiPolygon":
+        return ("MultiPolygon", [[[(float(x), float(y)) for x, y, *_ in ring]
+                                  for ring in poly] for poly in c])
+    if t == "GeometryCollection":
+        return ("GeometryCollection", [_geojson_to_geom(g) for g in gj["geometries"]])
+    raise ValueError(t)
+
+
+def write_slippy(df: DataFrame, directory: str, zoom: int = 4,
+                 tile_col: str = "tile", extent_col: str = "extent",
+                 crs_col: str = "crs") -> None:
+    """z/x/y PNG pyramid export (DataFrameSlippyExport.scala:33-170),
+    single level, EPSG:4326 inputs gridded onto WebMercator tiles via
+    the raster-join merge kernel semantics (nearest)."""
+    from rasterframes_spark.geom import proj as P
+
+    rows = df.select(tile_col, extent_col, crs_col).collect()
+    n = 2 ** zoom
+    world = 2 * math.pi * 6378137.0 / 2
+    for r in rows:
+        e = r[extent_col]
+        merc = P.transform_extent((e["xmin"], e["ymin"], e["xmax"], e["ymax"]),
+                                  r[crs_col], "EPSG:3857")
+        x0 = int((merc[0] + world) / (2 * world) * n)
+        x1 = int((merc[2] + world) / (2 * world) * n)
+        y0 = int((world - merc[3]) / (2 * world) * n)
+        y1 = int((world - merc[1]) / (2 * world) * n)
+        t = Tile.from_parts(r[tile_col]["cell_type"], r[tile_col]["cols"],
+                            r[tile_col]["rows"], bytes(r[tile_col]["cells"]))
+        a = t.masked().astype("float64")
+        lo, hi = float(a.min()), float(a.max())
+        span = (hi - lo) or 1.0
+        gray = np.clip(((a - lo) / span * 255).filled(0), 0, 255).astype("uint8")
+        for zx in range(x0, x1 + 1):
+            for zy in range(y0, y1 + 1):
+                d = os.path.join(directory, str(zoom), str(zx))
+                os.makedirs(d, exist_ok=True)
+                # nearest resample of the source gray into 256x256
+                ri = np.minimum((np.arange(256) * gray.shape[0] / 256).astype(int),
+                                gray.shape[0] - 1)
+                ci = np.minimum((np.arange(256) * gray.shape[1] / 256).astype(int),
+                                gray.shape[1] - 1)
+                with open(os.path.join(d, f"{zy}.png"), "wb") as f:
+                    f.write(encode_png(gray[np.ix_(ri, ci)]))

@@ -1,0 +1,166 @@
+"""GeoTIFF codec round-trips, read_raster chunking + laziness, sinks,
+GeoJSON reader — mirrors GeoTiffDataSourceSpec / RasterSourceSpec."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+import rasterframes_spark as rf
+from rasterframes_spark import sources as S
+from rasterframes_spark.sources import geotiff as GT
+from rasterframes_spark.tile import Tile
+
+
+def test_geotiff_roundtrip_dtypes(tmp_path, rng):
+    for dtype, nodata in [("uint8", None), ("uint16", 9999), ("int16", -99),
+                          ("float32", None), ("float64", None)]:
+        arr = (rng.random((70, 50)) * 100).astype(dtype)
+        data = GT.write_geotiff(arr, (10.0, 20.0, 15.0, 27.0), crs="EPSG:32617",
+                                nodata=nodata, tile_size=32)
+        back, info = GT.read_full(data)
+        assert np.array_equal(back, arr)
+        assert info.crs == "EPSG:32617"
+        assert info.nodata == nodata
+        assert np.allclose(info.extent, (10.0, 20.0, 15.0, 27.0))
+
+
+def test_geotiff_windowed_read(rng):
+    arr = rng.integers(0, 1000, (300, 200)).astype("uint16")
+    data = GT.write_geotiff(arr, (0, 0, 200, 300), tile_size=64)
+    info = GT.read_info(data)
+    win = GT.read_window(data, info, 30, 50, 100, 120)
+    assert np.array_equal(win, arr[50:170, 30:130])
+
+
+def test_geotiff_multiband(rng):
+    arr = rng.integers(0, 255, (64, 64, 3)).astype("uint8")
+    data = GT.write_geotiff(arr, (0, 0, 1, 1))
+    info = GT.read_info(data)
+    assert info.bands == 3
+    for b in range(3):
+        assert np.array_equal(GT.read_window(data, info, 0, 0, 64, 64, band=b),
+                              arr[:, :, b])
+
+
+@pytest.fixture(scope="module")
+def scene_path(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    d = tmp_path_factory.mktemp("scenes")
+    arr = rng.integers(1, 5000, (96, 128)).astype("uint16")
+    path = str(d / "scene1.tiff")
+    with open(path, "wb") as f:
+        f.write(GT.write_geotiff(arr, (-78.6, 37.9, -78.2, 38.2), crs="EPSG:4326",
+                                 nodata=0, tile_size=64))
+    return path, arr
+
+
+def test_read_raster_chunks_and_realize(spark, scene_path):
+    path, arr = scene_path
+    df = S.read_raster(spark, [path], tile_dimensions=(64, 64))
+    # 128x96 with 64x64 chunks -> 2x2 grid
+    assert df.count() == 4
+    # metadata-only query: no pixel reads needed
+    exts = df.select("extent").collect()
+    assert len(exts) == 4
+    realized = df.select(S.realize_tiles("tile_ref").alias("tile"))
+    total = realized.agg(rf.rf_agg_data_cells("tile")).head()[0]
+    assert total == int((arr != 0).sum())
+    s = realized.agg(F.sum(rf.rf_tile_sum("tile"))).head()[0]
+    assert s == float(arr[arr != 0].sum())
+
+
+def test_read_raster_eager_and_multiband(spark, scene_path):
+    path, arr = scene_path
+    df = S.read_raster(spark, [path], tile_dimensions=(64, 64), lazy_tiles=False)
+    assert "tile_ref" in df.columns
+    row = df.limit(1).head()
+    assert row["tile_ref"]["cells"] is not None
+
+
+def test_read_raster_spatial_index(spark, scene_path):
+    path, _ = scene_path
+    df = S.read_raster(spark, [path], tile_dimensions=(32, 32),
+                       spatial_index_partitions=4)
+    assert "spatial_index" in df.columns
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_write_geotiff_merged(spark, scene_path, tmp_path):
+    path, arr = scene_path
+    df = S.read_raster(spark, [path], tile_dimensions=(64, 64), lazy_tiles=False)
+    out = str(tmp_path / "merged.tiff")
+    S.write_geotiff(df.select(F.col("tile_ref").alias("tile"), "extent", "crs"), out)
+    back, info = GT.read_full(open(out, "rb").read())
+    assert back.shape == arr.shape
+    assert np.array_equal(back, arr)
+
+
+def test_write_tiles_and_read_back(spark, scene_path, tmp_path):
+    path, arr = scene_path
+    df = S.read_raster(spark, [path], tile_dimensions=(64, 64), lazy_tiles=False)
+    d = str(tmp_path / "tiles_out")
+    cat = S.write_tiles(df.select(F.col("tile_ref").alias("tile"), "extent", "crs"), d)
+    assert os.path.exists(cat)
+    catalog = spark.read.option("header", "true").csv(cat)
+    assert catalog.count() == 4
+    back = S.read_raster(spark, [r["path"] for r in catalog.collect()],
+                         tile_dimensions=(64, 64), lazy_tiles=False)
+    total = back.agg(F.sum(rf.rf_tile_sum("tile_ref"))).head()[0]
+    assert total == float(arr[arr != 0].sum())
+
+
+def test_read_geojson(spark, tmp_path):
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"name": "z1", "zone": 1},
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]}},
+            {"type": "Feature", "properties": {"name": "p1", "zone": 2},
+             "geometry": {"type": "Point", "coordinates": [1.5, 2.5]}},
+        ],
+    }
+    p = str(tmp_path / "zones.geojson")
+    with open(p, "w") as f:
+        json.dump(gj, f)
+    df = S.read_geojson(spark, p)
+    assert df.count() == 2
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["z1"]["zone"] == 1
+    got = df.select("name", rf.st_area("geometry").alias("a")).collect()
+    areas = {r["name"]: r["a"] for r in got}
+    assert areas["z1"] == 16.0 and areas["p1"] == 0.0
+
+
+def test_rasterize_and_render(spark):
+    from rasterframes_spark.functions.proj_raster import (
+        rf_rasterize, rf_render_ascii, rf_rgb_composite, rf_render_png,
+    )
+
+    df = spark.createDataFrame([{"wkt": "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"}])
+    out = df.select(
+        rf_rasterize(rf.st_geom_from_wkt("wkt"),
+                     rf.extent_struct(F.lit(0), F.lit(0), F.lit(4), F.lit(4)),
+                     7, 8, 8).alias("t"))
+    row = out.head()["t"]
+    t = Tile.from_parts(row["cell_type"], row["cols"], row["rows"], bytes(row["cells"]))
+    # polygon covers lower-left quadrant: rows 4..7 (y<2), cols 0..3
+    assert t.masked().count() == 16
+    assert float(t.masked().sum()) == 7 * 16
+    png = df.select(rf_render_png(rf_rasterize(
+        rf.st_geom_from_wkt("wkt"),
+        rf.extent_struct(F.lit(0), F.lit(0), F.lit(4), F.lit(4)), 7, 8, 8)).alias("p")).head()["p"]
+    assert bytes(png)[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_slippy_export(spark, scene_path, tmp_path):
+    path, _ = scene_path
+    df = S.read_raster(spark, [path], tile_dimensions=(128, 128), lazy_tiles=False)
+    d = str(tmp_path / "slippy")
+    S.write_slippy(df.select(F.col("tile_ref").alias("tile"), "extent", "crs"), d, zoom=3)
+    pngs = [f for _, _, fs in os.walk(d) for f in fs if f.endswith(".png")]
+    assert pngs
