@@ -78,12 +78,9 @@ def _tiles_df(spark: SparkSession, sf_dir: str, value_col: str = "qty",
 
 def _two_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _cells_df(spark, sf_dir)
-    qty = rf.assemble_tiles(cells, ["grp"], "ci", "ri", "qty", TILE_COLS, TILE_ROWS, "float64")
-    price = rf.assemble_tiles(cells, ["grp"], "ci", "ri", "price", TILE_COLS, TILE_ROWS, "float64")
-    return (
-        qty.withColumnRenamed("tile", "qty")
-        .join(price.withColumnRenamed("tile", "price"), "grp")
-    )
+    # both bands assemble in one shuffle + one Python pass
+    return rf.assemble_tiles(cells, ["grp"], "ci", "ri", ["qty", "price"],
+                             TILE_COLS, TILE_ROWS, "float64")
 
 
 # ---------------------------------------------------------------------------

@@ -33,15 +33,25 @@ def main():
 
     timings: dict[str, float] = {}
 
-    def run(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def run(name, fn, repeat=1):
+        best = None
+        for _ in range(repeat):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    def force(df):
+        """Materialize every selected column without agg overhead."""
+        df.write.format("noop").mode("overwrite").save()
 
     # warm up the JVM + Python workers once (not timed)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
 
-    tiles = entry._two_band(spark, sf_dir)
+    # 64 tiles over 8 partitions: fewer Python-runner startups per chained
+    # UDF stage than shuffle.partitions=32 would give for this tiny row count
+    tiles = entry._two_band(spark, sf_dir).repartition(8)
     tiles.cache().count()  # materialize tile build once; bench the operators
 
     run("agg_stats", lambda: tiles.agg(rf.rf_agg_stats("qty").alias("s")).collect())
@@ -76,6 +86,43 @@ def main():
     run("cosine_topk", lambda: P.cosine_topk(
         emb, emb.orderBy("vec_id").limit(8).select(
             F.col("vec_id").alias("query_id"), "embedding"), k=10).count())
+
+    # --- BASELINE.md-matched microbenches (same shapes as the reference's
+    # JMH runs, BASELINE.md table) ---
+    import numpy as np
+    from rasterframes_spark.tile import Tile
+
+    TILE_T = "struct<cell_type:string,cols:int,rows:int,cells:binary>"
+    rng = np.random.default_rng(42)
+
+    def tile_df(n, size, dtype="uint16", ct="uint16ud255"):
+        rows = [{"id": i, "tile": Tile(
+            rng.integers(0, 255, (size, size)).astype(dtype), ct).to_row()}
+            for i in range(n)]
+        return spark.createDataFrame(rows, schema=f"id int, tile {TILE_T}").repartition(8)
+
+    # rf_agg_stats on 400 x 240^2 uint16ud255 (ref: 2061 ms)
+    t400 = tile_df(400, 240).cache()
+    t400.count()
+    run("baseline_agg_stats_400x240", lambda: t400.agg(
+        rf.rf_agg_stats("tile").alias("s")).collect(), repeat=3)
+
+    # rf_local_add on 100 x 64^2 uint16ud255 (ref: 60 ms)
+    t100s = tile_df(100, 64).cache()
+    t100s.count()
+    run("baseline_local_add_100x64", lambda: force(
+        t100s.select(rf.rf_local_add("tile", 5).alias("r"))), repeat=3)
+
+    # explode 100 x 256^2 (ref: 217-413 ms); assemble back (ref: 100-381 ms)
+    t100b = tile_df(100, 256).cache()
+    t100b.count()
+    run("baseline_explode_100x256", lambda: force(
+        rf.explode_tiles(t100b, ["tile"])), repeat=3)
+    cells_b = rf.explode_tiles(t100b, ["tile"]).where(F.col("tile").isNotNull()).cache()
+    cells_b.count()
+    run("baseline_assemble_100x256", lambda: force(rf.assemble_tiles(
+        cells_b, ["id"], "column_index", "row_index", "tile", 256, 256, "uint16ud255")),
+        repeat=3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

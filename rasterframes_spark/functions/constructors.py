@@ -170,28 +170,36 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     Reference: TileAssembler.scala:60-199 (TypedImperativeAggregate). Here an
     applyInPandas group-map: missing cells are NoData. Shuffles only the cell
     triples (same as the reference's buffer exchange).
+
+    ``cell`` may be a list of value columns — all bands assemble in ONE
+    shuffle + one Python pass, yielding one tile column per value column.
     """
     nc, nr = int(cols), int(rows)
     ct = CellType.parse(cell_type)
     ci = col_index if isinstance(col_index, str) else col_index._jc.toString()
     ri = row_index if isinstance(row_index, str) else row_index._jc.toString()
-    cv = cell if isinstance(cell, str) else cell._jc.toString()
+    cells = cell if isinstance(cell, (list, tuple)) else [cell]
+    cvs = [c if isinstance(c, str) else c._jc.toString() for c in cells]
+    single = not isinstance(cell, (list, tuple))
+    out_names = ["tile"] if single else list(cvs)
 
     from pyspark.sql.types import StructType, StructField
     in_schema = df.select(*group_cols).schema
-    out_schema = StructType(list(in_schema.fields) + [StructField("tile", TILE_SCHEMA, True)])
+    out_schema = StructType(
+        list(in_schema.fields) + [StructField(n, TILE_SCHEMA, True) for n in out_names]
+    )
 
     def make(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = np.full((nr, nc), np.nan, dtype="float64")
         r = pdf[ri].to_numpy(dtype="int64")
         c = pdf[ci].to_numpy(dtype="int64")
-        v = pdf[cv].to_numpy(dtype="float64")
-        vals[r, c] = v
-        mask = np.isnan(vals)
-        tile = Tile(np.ma.masked_array(np.where(mask, 0, vals).astype(ct.dtype), mask=mask), ct)
-        row = tile.to_row()
         out = {g: [k] for g, k in zip([f.name for f in in_schema.fields], key)}
-        out["tile"] = [row]
+        for cv, name in zip(cvs, out_names):
+            vals = np.full((nr, nc), np.nan, dtype="float64")
+            vals[r, c] = pdf[cv].to_numpy(dtype="float64")
+            mask = np.isnan(vals)
+            tile = Tile(np.ma.masked_array(
+                np.where(mask, 0, vals).astype(ct.dtype), mask=mask), ct)
+            out[name] = [tile.to_row()]
         return pd.DataFrame(out)
 
     return df.groupBy(*group_cols).applyInPandas(make, schema=out_schema)
