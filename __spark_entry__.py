@@ -234,6 +234,107 @@ def _q_rescale(spark, sf_dir):
     )
 
 
+def _q_focal_mean(spark, sf_dir):
+    """Focal mean vs SQL 3x3-neighborhood self-join oracle."""
+    t = _tiles_df(spark, sf_dir)
+    fm = t.select("grp", rf.rf_focal_mean("qty", "square-1").alias("fm"))
+    cells = rf.explode_tiles(fm, ["fm"])
+    return cells.where(F.col("fm").isNotNull()).select(
+        "grp", "column_index", "row_index", F.round("fm", 6).alias("fm"))
+
+
+def _q_tile_histogram(spark, sf_dir):
+    """Exact value histogram per group vs SQL GROUP BY."""
+    t = _tiles_df(spark, sf_dir)
+    h = t.select("grp", F.explode(rf.rf_tile_histogram("qty")).alias("value", "n"))
+    return h.select("grp", "value", "n")
+
+
+def _q_resample_nearest(spark, sf_dir):
+    """Downsample by 1/2 (nearest) == cells at even (row, col)."""
+    t = _tiles_df(spark, sf_dir)
+    d = t.select("grp", rf.rf_resample_nearest("qty", 0.5).alias("ds"))
+    return d.select("grp", rf.rf_tile_sum("ds").alias("s"),
+                    rf.rf_data_cells("ds").alias("n"))
+
+
+def _q_raster_join(spark, sf_dir):
+    """raster_join on a synthetic grid: left tiles laid out 8-per-row, right
+    = same tiles with extents shifted +half a tile east. The merged result
+    is exactly computable in SQL by reindexing columns (see oracle)."""
+    from rasterframes_spark.operators import raster_join
+
+    t = _tiles_df(spark, sf_dir)
+    col_ = (F.col("grp") % 8).cast("double")
+    row_ = F.floor(F.col("grp") / 8).cast("double")
+    ext = F.struct(
+        (col_ * 16.0).alias("xmin"), (row_ * 16.0).alias("ymin"),
+        (col_ * 16.0 + 16.0).alias("xmax"), (row_ * 16.0 + 16.0).alias("ymax"))
+    left = t.select("grp", F.col("qty").alias("tile"), ext.alias("extent"),
+                    F.lit("EPSG:32617").alias("crs"))
+    rext = F.struct(
+        (col_ * 16.0 + 8.0).alias("xmin"), (row_ * 16.0).alias("ymin"),
+        (col_ * 16.0 + 24.0).alias("xmax"), (row_ * 16.0 + 16.0).alias("ymax"))
+    right = t.select(F.col("qty").alias("tile"), rext.alias("extent"),
+                     F.lit("EPSG:32617").alias("crs"))
+    joined = raster_join(left, right, cell_size_deg=2.0)
+    return joined.select(
+        "grp",
+        rf.rf_tile_sum("tile_right").alias("s"),
+        rf.rf_data_cells("tile_right").alias("n"),
+    )
+
+
+def _q_z2_index(spark, sf_dir):
+    """Z2 SFC of synthetic customer points vs SQL bit-interleave oracle."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 360) - 180).cast("double").alias("x"),
+        ((F.col("c_acctbal") % 170) / 170 * 80).alias("y"),
+    )
+    return pts.select("c_custkey", rf.rf_z2_index("x", "y").alias("z2"))
+
+
+def _q_st_ops(spark, sf_dir):
+    """st_point / st_distance / st_within arithmetic vs SQL."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey",
+        rf.st_point(((F.col("c_custkey") % 360) - 180).cast("double"),
+                    (F.col("c_acctbal") % 170) / 170 * 80).alias("pt"),
+    )
+    zone = rf.st_geom_from_wkt(F.lit("POLYGON ((-90 -40, 90 -40, 90 40, -90 40, -90 -40))"))
+    origin = rf.st_point(F.lit(0.0), F.lit(0.0))
+    return pts.select(
+        "c_custkey",
+        F.round(rf.st_distance("pt", origin), 6).alias("dist_origin"),
+        rf.st_within("pt", zone).alias("in_zone"),
+        F.round(rf.st_x(rf.st_centroid(rf.st_buffer_point("pt", 2.0))), 6).alias("buf_cx"),
+    )
+
+
+def _q_rasterize(spark, sf_dir):
+    """Burn per-region boxes into 8x8 tiles; covered-cell count is closed-form
+    in SQL (pixel centers at (j+0.5), box edges at non-half offsets)."""
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    # box x∈[0.3, 2.4+k], y∈[0.3, 3.6] inside extent (0,0,8,8); k = regionkey
+    box = F.concat(
+        F.lit("POLYGON ((0.3 0.3, "),
+        (F.col("r_regionkey") + F.lit(2.4)).cast("string"), F.lit(" 0.3, "),
+        (F.col("r_regionkey") + F.lit(2.4)).cast("string"), F.lit(" 3.6, "),
+        F.lit("0.3 3.6, 0.3 0.3))"),
+    )
+    t = reg.select(
+        "r_regionkey",
+        rf.rf_rasterize(rf.st_geom_from_wkt(box),
+                        rf.extent_struct(F.lit(0), F.lit(0), F.lit(8), F.lit(8)),
+                        F.col("r_regionkey") + 1, 8, 8).alias("t"),
+    )
+    return t.select("r_regionkey", rf.rf_data_cells("t").alias("n"),
+                    rf.rf_tile_sum("t").alias("s"))
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline queries on documents / embeddings
 # ---------------------------------------------------------------------------
@@ -395,6 +496,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_roundtrip": _q_assemble_roundtrip,
         "tile_dimensions": _q_tile_dimensions,
         "rescale": _q_rescale,
+        "focal_mean": _q_focal_mean,
+        "tile_histogram": _q_tile_histogram,
+        "resample_nearest": _q_resample_nearest,
+        "raster_join": _q_raster_join,
+        "z2_index": _q_z2_index,
+        "st_ops": _q_st_ops,
+        "rasterize": _q_rasterize,
         "text_metrics": _q_text_metrics,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -465,6 +573,79 @@ def oracle_sql() -> dict[str, str]:
         "rescale": C + """
             select grp, round(sum((qty - 1.0)/(50.0 - 1.0)), 6) as s
             from cells group by grp""",
+        "focal_mean": C + """
+            select a.grp, a.ci as column_index, a.ri as row_index,
+                   round(avg(b.qty), 6) as fm
+            from cells a join cells b
+              on a.grp = b.grp and abs(a.ci - b.ci) <= 1 and abs(a.ri - b.ri) <= 1
+            group by a.grp, a.ci, a.ri""",
+        "tile_histogram": C + """
+            select grp, qty as value, count(*) as n
+            from cells group by grp, qty""",
+        "resample_nearest": C + """
+            select grp, sum(qty) as s, count(qty) as n
+            from cells where ci % 2 = 0 and ri % 2 = 0
+            group by grp""",
+        "raster_join": C + """
+            , m as (
+              select grp, qty from cells where ci <= 7
+              union all
+              select grp + 1 as grp, qty from cells where ci >= 8 and (grp % 8) < 7
+            ), g as (select distinct grp from cells)
+            select g.grp, sum(m.qty) as s, count(m.qty) as n
+            from g left join m on g.grp = m.grp
+            group by g.grp""",
+        "z2_index": """
+            with p as (
+              select c_custkey,
+                     cast((c_custkey % 360) - 180 as double) as x,
+                     (c_acctbal % 170)/170*80 as y
+              from customer
+            ), n as (
+              select c_custkey,
+                least(cast(floor(((x - (-180.0)) / 360.0) * 2147483648.0) as bigint),
+                      2147483647) as xi,
+                least(cast(floor(((y - (-90.0)) / 180.0) * 2147483648.0) as bigint),
+                      2147483647) as yi
+              from p
+            ), s1 as (
+              select c_custkey,
+                     (xi | (xi << 16)) & 281470681808895 as xa,
+                     (yi | (yi << 16)) & 281470681808895 as ya from n
+            ), s2 as (
+              select c_custkey,
+                     (xa | (xa << 8)) & 71777214294589695 as xb,
+                     (ya | (ya << 8)) & 71777214294589695 as yb from s1
+            ), s3 as (
+              select c_custkey,
+                     (xb | (xb << 4)) & 1085102592571150095 as xc,
+                     (yb | (yb << 4)) & 1085102592571150095 as yc from s2
+            ), s4 as (
+              select c_custkey,
+                     (xc | (xc << 2)) & 3689348814741910323 as xd,
+                     (yc | (yc << 2)) & 3689348814741910323 as yd from s3
+            ), s5 as (
+              select c_custkey,
+                     (xd | (xd << 1)) & 6148914691236517205 as xe,
+                     (yd | (yd << 1)) & 6148914691236517205 as ye from s4
+            )
+            select c_custkey, (xe | (ye << 1)) as z2 from s5""",
+        "st_ops": """
+            with p as (
+              select c_custkey,
+                     cast((c_custkey % 360) - 180 as double) as x,
+                     (c_acctbal % 170)/170*80 as y
+              from customer)
+            select c_custkey,
+                   round(sqrt(x*x + y*y), 6) as dist_origin,
+                   (x between -90 and 90) and (y between -40 and 40) as in_zone,
+                   round(x, 6) as buf_cx
+            from p""",
+        "rasterize": """
+            select r_regionkey,
+                   cast(4 * (r_regionkey + 2) as bigint) as n,
+                   cast(4 * (r_regionkey + 2) * (r_regionkey + 1) as double) as s
+            from region""",
         "text_metrics": """
             select doc_id,
                    len(string_split(text, ' ')) as n_tokens,
