@@ -36,6 +36,7 @@ __all__ = [
     "rf_agg_extent", "rf_agg_approx_quantiles", "rf_agg_approx_histogram",
     "agg_local_stats", "agg_local_min", "agg_local_max", "agg_local_mean",
     "agg_local_data_cells", "agg_local_no_data_cells",
+    "grouped_agg_local", "rf_agg_overview_raster",
 ]
 
 # ---------------------------------------------------------------------------
@@ -337,3 +338,135 @@ def agg_local_no_data_cells(df: DataFrame, tile) -> Tile:
     return Tile(
         np.ma.masked_array((n_rows - cnt).astype("int32")), CellType.parse("int32")
     )
+
+
+def grouped_agg_local(df: DataFrame, group_cols: list, tile,
+                      which: str = "mean") -> DataFrame:
+    """Grouped tile-valued aggregate: one result tile per group, cell-wise
+    across the group's rows (the groupBy form of rf_agg_local_*;
+    aggregates/LocalMeanAggregate.scala:41-79 etc.). applyInPandas — the
+    group's tiles stream through one Python pass; requires uniform dims
+    within each group (reference enforces the same, ExplodeTiles.scala:72-75).
+    """
+    tile_c = col_or_name(tile)
+    from pyspark.sql.types import StructType, StructField
+
+    in_schema = df.select(*group_cols).schema
+    out_schema = StructType(list(in_schema.fields) + [StructField("tile", TILE_SCHEMA, True)])
+    src = df.select(*group_cols, tile_c.alias("__t"))
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        structs = pd.DataFrame([
+            t if t is not None else {"cell_type": None, "cols": None, "rows": None, "cells": None}
+            for t in pdf["__t"]
+        ])
+        state = None
+        shape = None
+        for tl in decode_struct_pdf(structs):
+            if tl is None:
+                continue
+            a = tl.masked()
+            if state is None:
+                shape = a.shape
+                state = _local_zero(shape)
+            if a.shape != shape:
+                raise ValueError("local aggregates require uniform tile dimensions")
+            _local_accum(state, a)
+        out = {g: [k] for g, k in zip([f.name for f in in_schema.fields], key)}
+        if state is None:
+            out["tile"] = [None]
+        else:
+            cnt = state["cnt"]
+            mask = cnt == 0
+            if which == "mean":
+                res = np.ma.masked_array(np.divide(state["sm"], np.maximum(cnt, 1)), mask=mask)
+                t = Tile(res, CellType.parse("float64"))
+            elif which == "min":
+                t = Tile(np.ma.masked_array(state["mn"], mask=mask), CellType.parse("float64"))
+            elif which == "max":
+                t = Tile(np.ma.masked_array(state["mx"], mask=mask), CellType.parse("float64"))
+            elif which == "sum":
+                t = Tile(np.ma.masked_array(state["sm"], mask=mask), CellType.parse("float64"))
+            elif which == "data_cells":
+                t = Tile(np.ma.masked_array(cnt.astype("int32")), CellType.parse("int32"))
+            else:
+                raise ValueError(which)
+            out["tile"] = [t.to_row()]
+        return pd.DataFrame(out)
+
+    return df.sparkSession.createDataFrame([], out_schema) if df.isEmpty() else (
+        src.groupBy(*group_cols).applyInPandas(agg, schema=out_schema)
+    )
+
+
+def rf_agg_overview_raster(df: DataFrame, tile: str, extent: str, crs: str,
+                           cols: int, rows: int, dest_extent: tuple,
+                           dest_crs: str = "EPSG:4326") -> "Tile":
+    """Resample+merge every intersecting tile into one fixed-size overview
+    raster (AggregateFunctions.scala:92-112 / TileRasterizerAggregate.scala).
+
+    Two-level combine like _local_agg: each partition paints its tiles onto
+    a local canvas (no shuffle), then P canvases merge on the driver."""
+    from rasterframes_spark.geom import proj as P
+
+    dxmin, dymin, dxmax, dymax = dest_extent
+    nc, nr = int(cols), int(rows)
+    src = df.select(col_or_name(tile).alias("t"), col_or_name(extent).alias("e"),
+                    col_or_name(crs).alias("c"))
+
+    def partial(iterator):
+        canvas = np.zeros((nr, nc), dtype="float64")
+        mask = np.ones((nr, nc), dtype=bool)
+        pw = (dxmax - dxmin) / nc
+        ph = (dymax - dymin) / nr
+        cx = dxmin + (np.arange(nc) + 0.5) * pw
+        cy = dymax - (np.arange(nr) + 0.5) * ph
+        gx, gy = np.meshgrid(cx, cy)
+        painted = False
+        for pdf in iterator:
+            structs = pd.DataFrame([
+                t if t is not None else {"cell_type": None, "cols": None, "rows": None, "cells": None}
+                for t in pdf["t"]
+            ])
+            tiles = decode_struct_pdf(structs)
+            for i, tl in enumerate(tiles):
+                if tl is None:
+                    continue
+                e = pdf["e"].values[i]
+                rcrs = str(pdf["c"].values[i])
+                tx, ty = P.transform_points(gx.ravel(), gy.ravel(), dest_crs, rcrs)
+                rxmin, rymin, rxmax, rymax = (float(e["xmin"]), float(e["ymin"]),
+                                              float(e["xmax"]), float(e["ymax"]))
+                rpw = (rxmax - rxmin) / tl.cols
+                rph = (rymax - rymin) / tl.rows
+                ci = np.floor((tx - rxmin) / rpw).astype("int64")
+                ri = np.floor((rymax - ty) / rph).astype("int64")
+                valid = (ci >= 0) & (ci < tl.cols) & (ri >= 0) & (ri < tl.rows)
+                if not valid.any():
+                    continue
+                vals = tl.masked().astype("float64")
+                sample = np.zeros(ci.shape, dtype="float64")
+                smask = ~valid
+                sv = vals[ri[valid], ci[valid]]
+                sample[valid] = np.asarray(sv.filled(0))
+                smask[valid] |= np.ma.getmaskarray(sv)
+                sample = sample.reshape(nr, nc)
+                smask = smask.reshape(nr, nc)
+                fill = mask & ~smask
+                canvas[fill] = sample[fill]
+                mask &= ~fill
+                painted = True
+        if painted:
+            yield pd.DataFrame({"canvas": [canvas.tobytes()], "mask": [mask.tobytes()]})
+
+    from pyspark.sql.types import StructType
+    parts = src.mapInPandas(partial, schema="canvas binary, mask binary").collect()
+    canvas = np.zeros((nr, nc), dtype="float64")
+    mask = np.ones((nr, nc), dtype=bool)
+    for row in parts:
+        pc = np.frombuffer(row["canvas"], dtype="float64").reshape(nr, nc)
+        pm = np.frombuffer(row["mask"], dtype=bool).reshape(nr, nc)
+        fill = mask & ~pm
+        canvas[fill] = pc[fill]
+        mask &= ~fill
+    return Tile(np.ma.masked_array(canvas, mask=mask), CellType.parse("float64"))

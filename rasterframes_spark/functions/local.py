@@ -46,6 +46,7 @@ __all__ = [
     "rf_exp", "rf_exp10", "rf_exp2", "rf_expm1",
     "rf_normalized_difference", "rf_standardize", "rf_rescale",
     "rf_local_extract_bits", "rf_identity", "rf_resample_nearest",
+    "rf_resample", "rf_local_algebra",
 ]
 
 _F64 = "float64"
@@ -237,3 +238,48 @@ def rf_resample_nearest(tile, factor) -> Column:
         return a[np.ix_(ri, ci)]
 
     return unary_tile_op(fn)(tile)
+
+
+def rf_resample(tile, factor, method: str = "nearest") -> Column:
+    """Up/down-sample by factor with `method` in {nearest, bilinear}
+    (localops/Resample.scala:56-126 — the reference also offers cubic/
+    lanczos via GeoTrellis; bilinear covers its test surface)."""
+    if method in ("nearest", "nearest_neighbor", "near"):
+        return rf_resample_nearest(tile, factor)
+    if method != "bilinear":
+        raise ValueError(f"unsupported resampling method: {method}")
+    f = float(factor)
+
+    def fn(a):
+        rows, cols = a.shape
+        nr, nc = max(1, int(round(rows * f))), max(1, int(round(cols * f)))
+        filled = a.astype("float64").filled(np.nan)
+        # source fractional coords of dest pixel centers
+        y = (np.arange(nr) + 0.5) / f - 0.5
+        x = (np.arange(nc) + 0.5) / f - 0.5
+        y0 = np.clip(np.floor(y).astype(int), 0, rows - 1)
+        x0 = np.clip(np.floor(x).astype(int), 0, cols - 1)
+        y1 = np.clip(y0 + 1, 0, rows - 1)
+        x1 = np.clip(x0 + 1, 0, cols - 1)
+        wy = np.clip(y - y0, 0, 1)[:, None]
+        wx = np.clip(x - x0, 0, 1)[None, :]
+        v00 = filled[np.ix_(y0, x0)]
+        v01 = filled[np.ix_(y0, x1)]
+        v10 = filled[np.ix_(y1, x0)]
+        v11 = filled[np.ix_(y1, x1)]
+        res = (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
+               + v10 * (1 - wx) * wy + v11 * wx * wy)
+        return np.ma.masked_array(res, mask=np.isnan(res))
+
+    return unary_tile_op(fn, out_ct=_F64)(tile)
+
+
+def rf_local_algebra(np_fn, *tiles, out_ct: str | None = None) -> Column:
+    """Escape hatch: lift any numpy function over masked arrays into a tile
+    op (the reference's rf_local_algebra wraps arbitrary GeoTrellis
+    LocalTileBinaryOps, functions/LocalFunctions.scala:120-122)."""
+    if len(tiles) == 1:
+        return unary_tile_op(np_fn, out_ct=out_ct)(tiles[0])
+    if len(tiles) == 2:
+        return binary_tile_op(np_fn, out_ct=out_ct)(tiles[0], tiles[1])
+    raise ValueError("rf_local_algebra supports 1 or 2 tile arguments")

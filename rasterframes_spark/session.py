@@ -41,29 +41,50 @@ def create_rf_spark_session(master: str | None = None, app_name: str = "rasterfr
 
 
 def register_sql_functions(spark: SparkSession) -> None:
-    """Register the rf_* surface for SQL use — the engine's analog of the
-    reference's FunctionRegistry registration
-    (``core/.../expressions/package.scala:89-189``)."""
-    import rasterframes_spark.functions as rf
+    """Register the rf_*/st_* surface for SQL use — the engine's analog of
+    the reference's FunctionRegistry registration
+    (``core/.../expressions/package.scala:89-189``). After this,
+    ``SELECT rf_tile_mean(tile) FROM tiles`` works in spark.sql."""
+    from pyspark.sql.functions import pandas_udf
 
-    # scalar-signature functions registrable as SQL UDFs
-    from pyspark.sql.functions import pandas_udf  # noqa: F401
+    import rasterframes_spark.functions.tilestats as ts
+    import rasterframes_spark.functions.constructors as ctor
+    import rasterframes_spark.geom.functions as gf
 
-    sql_fns = {
-        "rf_tile_sum": rf.rf_tile_sum,
-        "rf_tile_mean": rf.rf_tile_mean,
-        "rf_tile_min": rf.rf_tile_min,
-        "rf_tile_max": rf.rf_tile_max,
-        "rf_data_cells": rf.rf_data_cells,
-        "rf_no_data_cells": rf.rf_no_data_cells,
-        "rf_exists": rf.rf_exists,
-        "rf_for_all": rf.rf_for_all,
-        "rf_is_no_data_tile": rf.rf_is_no_data_tile,
-    }
-    for name, fn in sql_fns.items():
-        try:
-            inner = fn.__closure__[0].cell_contents if fn.__closure__ else None
-            if inner is not None:
-                spark.udf.register(name, inner)
-        except Exception:
-            pass
+    def reg(name, lazy_fn):
+        # lazy_pandas_udf wrappers carry (.fn, .returnType)
+        spark.udf.register(name, pandas_udf(lazy_fn.returnType)(lazy_fn.fn))
+
+    # tile -> scalar functions (single-arg, directly SQL-registrable)
+    for name, op in {
+        "rf_tile_sum": ts.rf_tile_sum, "rf_tile_mean": ts.rf_tile_mean,
+        "rf_tile_min": ts.rf_tile_min, "rf_tile_max": ts.rf_tile_max,
+        "rf_data_cells": ts.rf_data_cells, "rf_no_data_cells": ts.rf_no_data_cells,
+        "rf_exists": ts.rf_exists, "rf_for_all": ts.rf_for_all,
+        "rf_is_no_data_tile": ts.rf_is_no_data_tile,
+    }.items():
+        # tile_to_scalar ops close over a lazy udf in __closure__
+        for cell in op.__closure__ or []:
+            c = cell.cell_contents
+            if callable(c) and hasattr(c, "returnType"):
+                reg(name, c)
+                break
+
+    reg("rf_tile_stats", ts._tile_stats_udf)
+    reg("rf_tile_histogram", ts._tile_hist_udf)
+    reg("rf_tile_to_array_double", ctor._tile_to_array_double_udf)
+    reg("rf_tile_to_array_int", ctor._tile_to_array_int_udf)
+    reg("st_point", gf._point_udf)
+    reg("st_geom_from_wkt", gf._from_wkt_udf)
+    reg("st_distance", gf._distance_udf)
+    reg("st_distance_sphere", gf._distance_sphere_udf)
+    reg("st_envelope", gf._envelope_udf)
+    reg("rf_xz2_index", gf._xz2_udf)
+    reg("rf_z2_index", gf._z2_udf)
+    # _binary_pred returns the lazy UDF itself
+    for name, pred in {
+        "st_intersects": gf._intersects, "st_contains": gf._contains,
+        "st_within": gf._within, "st_disjoint": gf._disjoint,
+        "st_equals": gf._equals,
+    }.items():
+        reg(name, pred)

@@ -313,7 +313,15 @@ def decode_struct_pdf(pdf: pd.DataFrame) -> list[Tile | None]:
 
     Pandas UDFs receive a StructType argument as a DataFrame with columns
     (cell_type, cols, rows, cells); null struct rows arrive as all-None.
+    Accepts proj_raster structs too (tile field auto-unwrapped) — the
+    engine's analog of the reference's DynamicExtractors structural typing
+    (core/.../expressions/DynamicExtractors.scala:47-108).
     """
+    if "cell_type" not in pdf.columns and "tile" in pdf.columns:
+        pdf = pd.DataFrame([
+            t if t is not None else {"cell_type": None, "cols": None, "rows": None, "cells": None}
+            for t in pdf["tile"]
+        ])
     out: list[Tile | None] = []
     cts = pdf["cell_type"].values
     colss = pdf["cols"].values
