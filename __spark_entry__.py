@@ -335,6 +335,50 @@ def _q_rasterize(spark, sf_dir):
                     rf.rf_tile_sum("t").alias("s"))
 
 
+def _events_df(spark, sf_dir):
+    """events with ts normalized: the parquet stores TIMESTAMP(NANOS), which
+    Spark reads as long nanos under legacy.parquet.nanosAsLong."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return ev
+
+
+def _q_events_weekly(spark, sf_dir):
+    """Time-series rollup (the reference's docs time-series workflow,
+    python/docs/time-series.pymd — plain groupBy, inherited from Spark)."""
+    ev = _events_df(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("week", "ts").alias("week"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+    )
+
+
+def _q_events_sessions(spark, sf_dir):
+    """Sessionization via window lag — 30-min gap starts a new session."""
+    ev = _events_df(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("new_session", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.sum("new_session") + 1).alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def _q_events_topk(spark, sf_dir):
+    """Top-3 users per event_type by total value — window rank."""
+    ev = _events_df(spark, sf_dir)
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("user_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline queries on documents / embeddings
 # ---------------------------------------------------------------------------
@@ -503,6 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z2_index": _q_z2_index,
         "st_ops": _q_st_ops,
         "rasterize": _q_rasterize,
+        "events_weekly": _q_events_weekly,
+        "events_sessions": _q_events_sessions,
+        "events_topk": _q_events_topk,
         "text_metrics": _q_text_metrics,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -646,6 +693,28 @@ def oracle_sql() -> dict[str, str]:
                    cast(4 * (r_regionkey + 2) as bigint) as n,
                    cast(4 * (r_regionkey + 2) * (r_regionkey + 1) as double) as s
             from region""",
+        "events_weekly": """
+            select date_trunc('week', ts) as week, event_type,
+                   count(*) as n, round(sum(value), 6) as total
+            from events group by week, event_type""",
+        "events_sessions": """
+            with g as (
+              select user_id,
+                     case when epoch(ts) - epoch(lag(ts) over
+                       (partition by user_id order by ts, event_id)) > 1800
+                       then 1 else 0 end as new_session
+              from events)
+            select user_id, sum(new_session) + 1 as n_sessions,
+                   count(*) as n_events
+            from g group by user_id""",
+        "events_topk": """
+            with t as (
+              select event_type, user_id, round(sum(value), 6) as total
+              from events group by event_type, user_id)
+            select event_type, user_id, total,
+                   cast(row_number() over (partition by event_type
+                        order by total desc, user_id) as int) as rank
+            from t qualify rank <= 3""",
         "text_metrics": """
             select doc_id,
                    len(string_split(text, ' ')) as n_tokens,

@@ -31,6 +31,9 @@ def create_rf_spark_session(master: str | None = None, app_name: str = "rasterfr
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet carries TIMESTAMP(NANOS); read as long
+        # (consumers normalize via timestamp_micros(nanos div 1000))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in configs.items():

@@ -4,8 +4,12 @@ from rasterframes_spark.sources.raster_reader import (  # noqa: F401
 from rasterframes_spark.sources.sinks import (  # noqa: F401
     write_geotiff, write_tiles, read_geojson, write_slippy,
 )
+from rasterframes_spark.sources.stac import (  # noqa: F401
+    read_stac_items, stac_asset_catalog,
+)
 
 __all__ = [
     "read_raster", "realize_tiles", "with_spatial_index",
     "write_geotiff", "write_tiles", "read_geojson", "write_slippy",
+    "read_stac_items", "stac_asset_catalog",
 ]
