@@ -74,6 +74,53 @@ def xz2_index(xmin, ymin, xmax, ymax, resolution: int = 18,
     return (idx << 6) | depth  # 6 bits of depth tag keeps indexes unique per level
 
 
+def z2_ranges(xmin, ymin, xmax, ymax, resolution: int = 31, max_depth: int = 8,
+              bounds=WGS84_BOUNDS) -> list[tuple[int, int]]:
+    """Decompose a query extent into Z2 index ranges (quadtree descent).
+
+    Returns [(lo, hi)] such that every point inside the extent has a Z2
+    index (at `resolution`) within one of the ranges — the filter-pushdown
+    primitive: ``WHERE z2 BETWEEN lo AND hi OR ...`` prunes Parquet row
+    groups / partitions of a Z2-sorted layer (SURVEY.md §4: the reference's
+    spatial pushdown is stubbed; a sorted column + ranges gets it free).
+    """
+    bx0, by0, bx1, by1 = bounds
+    qx0 = max((xmin - bx0) / (bx1 - bx0), 0.0)
+    qy0 = max((ymin - by0) / (by1 - by0), 0.0)
+    qx1 = min((xmax - bx0) / (bx1 - bx0), 1.0)
+    qy1 = min((ymax - by0) / (by1 - by0), 1.0)
+    out: list[tuple[int, int]] = []
+
+    def cell_range(prefix: int, depth: int) -> tuple[int, int]:
+        shift = 2 * (resolution - depth)
+        lo = prefix << shift
+        return lo, lo + (1 << shift) - 1
+
+    def descend(prefix: int, depth: int, cx0: float, cy0: float, size: float):
+        cx1, cy1 = cx0 + size, cy0 + size
+        if cx0 > qx1 or cx1 < qx0 or cy0 > qy1 or cy1 < qy0:
+            return
+        if (qx0 <= cx0 and cx1 <= qx1 and qy0 <= cy0 and cy1 <= qy1) or depth >= max_depth:
+            out.append(cell_range(prefix, depth))
+            return
+        half = size / 2
+        for qy in (0, 1):
+            for qx in (0, 1):
+                descend((prefix << 2) | (qy << 1) | qx, depth + 1,
+                        cx0 + qx * half, cy0 + qy * half, half)
+
+    descend(0, 0, 0.0, 0.0, 1.0)
+    # merge adjacent ranges
+    out.sort()
+    merged = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
 def grid_cells(xmin, ymin, xmax, ymax, cell_size: float) -> list[int]:
     """All fixed-grid cell ids an extent overlaps (cell = floor(coord/size)
     pair packed into one int64). The spatial-join bucketing primitive: both

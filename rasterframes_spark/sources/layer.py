@@ -1,0 +1,104 @@
+"""Tile-layer storage: the engine's replacement for GeoTrellis Avro layers
+(SURVEY.md §2.1 — "replace with partitioned Parquet of tile structs: free
+pushdown/pruning").
+
+Layout: a Parquet dataset of rows ``{spatial_key{col,row}, spatial_index
+(Z2 of the extent centroid), tile, extent, crs [, temporal_key]}``,
+**range-partitioned and sorted by spatial_index on write** so that
+
+- Parquet column (min/max) statistics on ``spatial_index`` prune row
+  groups/files for any Z2-range predicate, and
+- spatially-close tiles are physically co-located (scan locality, cheap
+  merges, co-partitioned layer×layer joins).
+
+``read_tile_layer(..., query_extent=...)`` turns the extent into Z2 ranges
+(quadtree decomposition, ``geom/sfc.py``) and applies them BEFORE the exact
+extent filter — the predicate reaches the parquet scan as a pushed filter
+(verify with ``.explain``: PushedFilters on spatial_index).
+
+Layer-wide metadata (crs, layout, full extent, key bounds — the reference's
+TileLayerMetadata) is written to ``_layer_metadata.json`` next to the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rasterframes_spark.geom import sfc
+from rasterframes_spark.geom.functions import rf_z2_index
+
+__all__ = ["write_tile_layer", "read_tile_layer", "layer_metadata"]
+
+
+def write_tile_layer(df: DataFrame, path: str, extent_col: str = "extent",
+                     crs_col: str = "crs", num_partitions: int | None = None) -> None:
+    """Write a tile DataFrame as a Z2-clustered Parquet layer."""
+    n = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    out = df.withColumn("spatial_index", rf_z2_index(F.col(extent_col)))
+    (
+        out.repartitionByRange(n, "spatial_index")
+        .sortWithinPartitions("spatial_index")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # layer-wide metadata (TileLayerMetadata analog)
+    agg = df.agg(
+        F.min(f"{extent_col}.xmin").alias("xmin"),
+        F.min(f"{extent_col}.ymin").alias("ymin"),
+        F.max(f"{extent_col}.xmax").alias("xmax"),
+        F.max(f"{extent_col}.ymax").alias("ymax"),
+        F.max(F.col(f"{extent_col}.xmax") - F.col(f"{extent_col}.xmin")).alias("tw"),
+        F.max(F.col(f"{extent_col}.ymax") - F.col(f"{extent_col}.ymin")).alias("th"),
+        F.first(crs_col).alias("crs"),
+        F.count("*").alias("tile_count"),
+    ).head()
+    meta = {
+        "extent": [agg["xmin"], agg["ymin"], agg["xmax"], agg["ymax"]],
+        # max tile footprint: queries expand by half of this so centroid-
+        # indexed tiles overlapping the query are never pruned
+        "max_tile_size": [agg["tw"], agg["th"]],
+        "crs": agg["crs"],
+        "tile_count": agg["tile_count"],
+        "index": "z2",
+    }
+    with open(os.path.join(path, "_layer_metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def layer_metadata(path: str) -> dict:
+    with open(os.path.join(path, "_layer_metadata.json")) as f:
+        return json.load(f)
+
+
+def read_tile_layer(spark: SparkSession, path: str,
+                    query_extent: tuple | None = None,
+                    max_depth: int = 8) -> DataFrame:
+    """Read a layer; with ``query_extent=(xmin,ymin,xmax,ymax)`` the scan is
+    pre-filtered by Z2 ranges (pushed to Parquet stats) then exactly by
+    bbox intersection."""
+    df = spark.read.parquet(path)
+    if query_extent is None:
+        return df
+    xmin, ymin, xmax, ymax = query_extent
+    # expand by half the max tile footprint: the index is the extent
+    # CENTROID's Z2, so a tile overlapping the query may be centered
+    # up to tile_size/2 outside it
+    try:
+        tw, th = layer_metadata(path)["max_tile_size"]
+        ranges = sfc.z2_ranges(xmin - tw / 2, ymin - th / 2,
+                               xmax + tw / 2, ymax + th / 2, max_depth=max_depth)
+    except (OSError, KeyError):
+        ranges = sfc.z2_ranges(xmin, ymin, xmax, ymax, max_depth=max_depth)
+    cond = None
+    for lo, hi in ranges:
+        c = F.col("spatial_index").between(int(lo), int(hi))
+        cond = c if cond is None else (cond | c)
+    if cond is not None:
+        df = df.where(cond)
+    return df.where(
+        (F.col("extent.xmin") <= xmax) & (F.col("extent.xmax") >= xmin)
+        & (F.col("extent.ymin") <= ymax) & (F.col("extent.ymax") >= ymin)
+    )

@@ -1,0 +1,82 @@
+"""Parquet tile-layer round-trip, Z2 range decomposition correctness, and
+pushdown evidence (PushedFilters in the physical plan)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from rasterframes_spark import sources as S
+from rasterframes_spark.geom import sfc
+from rasterframes_spark.tile import Tile
+
+TILE_T = "struct<cell_type:string,cols:int,rows:int,cells:binary>"
+EXT_T = "struct<xmin:double,ymin:double,xmax:double,ymax:double>"
+
+
+def test_z2_ranges_cover_points():
+    rng = np.random.default_rng(5)
+    bbox = (-20.0, 10.0, -5.0, 25.0)
+    ranges = sfc.z2_ranges(*bbox, max_depth=8)
+    assert ranges
+    # every point inside the bbox must have its z2 in some range
+    xs = rng.uniform(bbox[0], bbox[2], 200)
+    ys = rng.uniform(bbox[1], bbox[3], 200)
+    z = sfc.z2_index(xs, ys)
+    for v in z:
+        assert any(lo <= int(v) <= hi for lo, hi in ranges)
+    # and a far-away point must not (ranges are selective)
+    far = int(sfc.z2_index(np.array([150.0]), np.array([-70.0]))[0])
+    assert not any(lo <= far <= hi for lo, hi in ranges)
+
+
+@pytest.fixture(scope="module")
+def layer_path(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("layer") / "tiles")
+    rng = np.random.default_rng(11)
+    rows = []
+    for gy in range(8):
+        for gx in range(8):
+            t = Tile(rng.integers(0, 100, (4, 4)).astype("int32"), "int32raw")
+            rows.append({
+                "spatial_key": {"col": gx, "row": gy},
+                "tile": t.to_row(),
+                "extent": {"xmin": gx * 2.0, "ymin": gy * 2.0,
+                           "xmax": gx * 2.0 + 2.0, "ymax": gy * 2.0 + 2.0},
+                "crs": "EPSG:4326",
+            })
+    df = spark.createDataFrame(
+        rows,
+        schema=(f"spatial_key struct<col:int,row:int>, tile {TILE_T}, "
+                f"extent {EXT_T}, crs string"),
+    )
+    S.write_tile_layer(df, d, num_partitions=4)
+    return d
+
+
+def test_layer_roundtrip_and_metadata(spark, layer_path):
+    df = S.read_tile_layer(spark, layer_path)
+    assert df.count() == 64
+    assert "spatial_index" in df.columns
+    meta = S.layer_metadata(layer_path)
+    assert meta["extent"] == [0.0, 0.0, 16.0, 16.0]
+    assert meta["tile_count"] == 64
+    assert meta["max_tile_size"] == [2.0, 2.0]
+
+
+def test_layer_extent_query_exact(spark, layer_path):
+    # query box overlapping tiles (1..2, 1..2) => 4 tiles
+    got = S.read_tile_layer(spark, layer_path, query_extent=(2.5, 2.5, 5.5, 5.5))
+    keys = {(r["spatial_key"]["col"], r["spatial_key"]["row"]) for r in got.collect()}
+    assert keys == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    # boundary-touching counts as intersecting (<=/>= semantics)
+    got2 = S.read_tile_layer(spark, layer_path, query_extent=(4.0, 4.0, 4.0, 4.0))
+    keys2 = {(r["spatial_key"]["col"], r["spatial_key"]["row"]) for r in got2.collect()}
+    assert keys2 == {(1, 1), (1, 2), (2, 1), (2, 2)}
+
+
+def test_layer_pushdown_in_plan(spark, layer_path):
+    q = S.read_tile_layer(spark, layer_path, query_extent=(2.5, 2.5, 5.5, 5.5))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "spatial_index" in plan
