@@ -234,6 +234,15 @@ def _q_rescale(spark, sf_dir):
     )
 
 
+def _q_local_min_max(spark, sf_dir):
+    df = _two_band(spark, sf_dir)
+    return df.select(
+        "grp",
+        F.round(rf.rf_tile_sum(rf.rf_local_min("qty", F.col("price"))), 6).alias("min_sum"),
+        F.round(rf.rf_tile_sum(rf.rf_local_max("qty", F.col("price"))), 6).alias("max_sum"),
+    )
+
+
 def _q_focal_mean(spark, sf_dir):
     """Focal mean vs SQL 3x3-neighborhood self-join oracle."""
     t = _tiles_df(spark, sf_dir)
@@ -540,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_roundtrip": _q_assemble_roundtrip,
         "tile_dimensions": _q_tile_dimensions,
         "rescale": _q_rescale,
+        "local_min_max": _q_local_min_max,
         "focal_mean": _q_focal_mean,
         "tile_histogram": _q_tile_histogram,
         "resample_nearest": _q_resample_nearest,
@@ -619,6 +629,10 @@ def oracle_sql() -> dict[str, str]:
             from cells group by grp""",
         "rescale": C + """
             select grp, round(sum((qty - 1.0)/(50.0 - 1.0)), 6) as s
+            from cells group by grp""",
+        "local_min_max": C + """
+            select grp, round(sum(least(qty, price)), 6) as min_sum,
+                   round(sum(greatest(qty, price)), 6) as max_sum
             from cells group by grp""",
         "focal_mean": C + """
             select a.grp, a.ci as column_index, a.ri as row_index,

@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the tile codec and geometry core —
+randomized robustness beyond the reference's fixed-fixture strategy."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from rasterframes_spark.tile import CELL_TYPES, CellType, Tile
+from rasterframes_spark.geom import core as G
+from rasterframes_spark.geom import sfc
+
+
+@st.composite
+def tile_arrays(draw):
+    ct_name = draw(st.sampled_from(CELL_TYPES))
+    ct = CellType.parse(ct_name)
+    rows = draw(st.integers(1, 12))
+    cols = draw(st.integers(1, 12))
+    if ct.dtype.kind == "f":
+        vals = draw(st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32), min_size=rows * cols,
+            max_size=rows * cols))
+        arr = np.array(vals, dtype=ct.dtype).reshape(rows, cols)
+    else:
+        info = np.iinfo(ct.dtype)
+        vals = draw(st.lists(st.integers(int(info.min), int(info.max)),
+                             min_size=rows * cols, max_size=rows * cols))
+        arr = np.array(vals, dtype=ct.dtype).reshape(rows, cols)
+    return ct, arr
+
+
+@given(tile_arrays())
+@settings(max_examples=150, deadline=None)
+def test_codec_roundtrip_property(ct_arr):
+    ct, arr = ct_arr
+    t = Tile(arr, ct)
+    row = t.to_row()
+    t2 = Tile.from_parts(row["cell_type"], row["cols"], row["rows"], row["cells"])
+    # round trip preserves mask and data-cell values exactly
+    assert np.array_equal(np.ma.getmaskarray(t.masked()), np.ma.getmaskarray(t2.masked()))
+    assert np.ma.allequal(t.masked(), t2.masked())
+
+
+@given(tile_arrays(), st.integers(-1000, 1000))
+@settings(max_examples=80, deadline=None)
+def test_add_subtract_inverse_property(ct_arr, k):
+    ct, arr = ct_arr
+    t = Tile(arr, ct)
+    a = t.masked().astype("float64")
+    back = (a + k) - k
+    if ct.dtype.kind == "f":
+        # float absorption makes exact inverse impossible near denormals
+        assert np.ma.allclose(back, a, atol=max(abs(k), 1) * 1e-12)
+    else:
+        assert np.ma.allequal(back, a)
+
+
+@given(st.lists(st.tuples(st.floats(-179, 179), st.floats(-89, 89)),
+                min_size=3, max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_wkb_roundtrip_property(pts):
+    geoms = [
+        ("MultiPoint", [tuple(p) for p in pts]),
+        ("LineString", [tuple(p) for p in pts]),
+    ]
+    for g in geoms:
+        assert G.wkb_loads(G.wkb_dumps(g)) == g
+
+
+@given(st.floats(-179, 179), st.floats(-89, 89),
+       st.floats(0.01, 5), st.floats(0.01, 5))
+@settings(max_examples=100, deadline=None)
+def test_z2_ranges_cover_property(x, y, w, h):
+    bbox = (x, y, min(x + w, 180), min(y + h, 90))
+    ranges = sfc.z2_ranges(*bbox, max_depth=7)
+    cx = (bbox[0] + bbox[2]) / 2
+    cy = (bbox[1] + bbox[3]) / 2
+    z = int(sfc.z2_index(np.array([cx]), np.array([cy]))[0])
+    assert any(lo <= z <= hi for lo, hi in ranges)
+
+
+@given(st.floats(-170, 160), st.floats(-80, 70),
+       st.floats(0.1, 9), st.floats(0.1, 9))
+@settings(max_examples=60, deadline=None)
+def test_bbox_intersects_consistency(x, y, w, h):
+    a = G.box_polygon(x, y, x + w, y + h)
+    b = G.box_polygon(x + w / 2, y + h / 2, x + w / 2 + 1, y + h / 2 + 1)
+    c = G.box_polygon(x + w + 5, y + h + 5, x + w + 6, y + h + 6)
+    assert G.intersects(a, b)
+    assert not G.intersects(a, c)
+    assert G.distance(a, b) == 0.0
+    assert G.area(a) > 0
