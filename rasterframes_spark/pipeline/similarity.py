@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from rasterframes_spark.functions._kernel import lazy_pandas_udf
 from rasterframes_spark.pipeline.dedup import cosine_sim
 
-__all__ = ["cosine_topk", "lsh_ann_topk", "hyperplane_bucket"]
+__all__ = ["cosine_topk", "lsh_ann_topk", "hyperplane_bucket", "ivf_ann_topk"]
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -71,6 +71,69 @@ def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64, seed: int = 42
         return pd.Series(out, dtype=object)
 
     return udf(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 n_lists: int = 16, n_probe: int = 3,
+                 corpus_id: str = "vec_id", query_id: str = "query_id",
+                 vec_col: str = "embedding", sample_size: int = 2048,
+                 seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> corpus bucketed
+    by nearest centroid -> each query probes its n_probe nearest lists and
+    reranks exactly within them.
+
+    The 100 TB path: centroids train on a driver-side sample (Lloyd's, a few
+    numpy iterations over <= sample_size vectors); the corpus assignment is
+    one vectorized pandas-UDF projection; the probe join touches
+    n_probe/n_lists of the data per query instead of a full scan. Centroids
+    broadcast via closure (KBs)."""
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_size).collect()],
+        dtype="float64",
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.maximum(norms, 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+    for _ in range(10):  # Lloyd's on the sample (cosine ~ dot on normalized)
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for j in range(len(cents)):
+            members = sample[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+
+    def _list_udf(top_n: int):
+        @lazy_pandas_udf("array<int>")
+        def udf(v: pd.Series) -> pd.Series:
+            out = []
+            for arr in v.values:
+                if arr is None:
+                    out.append(None)
+                    continue
+                x = np.asarray(arr, dtype="float64")
+                x = x / max(np.linalg.norm(x), 1e-12)
+                sims = cents @ x
+                out.append(np.argsort(-sims)[:top_n].astype("int32"))
+            return pd.Series(out, dtype=object)
+        return udf
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        F.element_at(_list_udf(1)(F.col(vec_col)), 1).alias("__list"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"),
+        F.explode(_list_udf(n_probe)(F.col(vec_col))).alias("__list"),
+    )
+    scored = c.join(F.broadcast(q), "__list").select(
+        F.col("__qid").alias(query_id),
+        "neighbor_id",
+        F.round(cosine_sim(F.col("__cv").cast("array<double>"),
+                           F.col("__qv").cast("array<double>")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

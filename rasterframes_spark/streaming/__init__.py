@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = [
     "read_tile_stream", "windowed_tile_stats", "streaming_dedup",
+    "stateful_sessionizer",
 ]
 
 
@@ -63,3 +64,66 @@ def streaming_dedup(stream: DataFrame, key_cols: list[str], ts_col: str = "ts",
                     watermark: str = "10 minutes") -> DataFrame:
     """Exact dedup across a stream with bounded state."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stateful_sessionizer(stream: DataFrame, key_col: str = "user_id",
+                         ts_col: str = "ts", value_col: str = "value",
+                         gap_seconds: int = 1800,
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    session accumulation with a gap timeout — the canonical pattern for
+    operators Spark's built-in windowed aggs can't express (per-key mutable
+    state + timeout emission). Emits one row per closed session:
+    (key, session_start, session_end, n_events, total_value)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (f"{key_col} long, session_start timestamp, "
+                  "session_end timestamp, n_events long, total_value double")
+    state_schema = "start long, last long, n long, total double"
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            (start, last, n, total) = state.get
+            state.remove()
+            yield pd.DataFrame({
+                key_col: [key[0]],
+                "session_start": [pd.Timestamp(start, unit="s")],
+                "session_end": [pd.Timestamp(last, unit="s")],
+                "n_events": [n], "total_value": [total],
+            })
+            return
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        ts = rows[ts_col].astype("int64") // 10**9
+        vals = rows[value_col].astype("float64")
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = int(ts.iloc[0]), int(ts.iloc[0]) - 1, 0, 0.0
+        closed = []
+        for t, v in zip(ts, vals):
+            if n > 0 and t - last > gap_seconds:
+                closed.append((start, last, n, total))
+                start, n, total = int(t), 0, 0.0
+            last = int(t)
+            n += 1
+            total += float(v)
+        state.update((start, last, n, total))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="s") for s, _, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="s") for _, e, _, _ in closed],
+                "n_events": [n_ for _, _, n_, _ in closed],
+                "total_value": [t_ for _, _, _, t_ in closed],
+            })
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="append", timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
