@@ -33,7 +33,8 @@ from rasterframes_spark.functions._kernel import col_or_name, lazy_pandas_udf
 
 __all__ = [
     "rf_agg_stats", "rf_agg_mean", "rf_agg_data_cells", "rf_agg_no_data_cells",
-    "rf_agg_extent", "rf_agg_approx_quantiles", "rf_agg_approx_histogram",
+    "rf_agg_extent", "rf_agg_reprojected_extent",
+    "rf_agg_approx_quantiles", "rf_agg_approx_histogram",
     "agg_local_stats", "agg_local_min", "agg_local_max", "agg_local_mean",
     "agg_local_data_cells", "agg_local_no_data_cells",
     "grouped_agg_local", "rf_agg_overview_raster",
@@ -120,6 +121,34 @@ def rf_agg_extent(extent) -> Column:
         F.min(e.getField("ymin")).alias("ymin"),
         F.max(e.getField("xmax")).alias("xmax"),
         F.max(e.getField("ymax")).alias("ymax"),
+    )
+
+
+def rf_agg_reprojected_extent(extent, src_crs, dst_crs: str) -> Column:
+    """Aggregate extent after per-row reprojection
+    (AggregateFunctions.scala:128-132): reproject each extent (pandas UDF),
+    then the same pure-built-in bbox union."""
+    from rasterframes_spark.geom import proj as P
+
+    @lazy_pandas_udf("struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+    def reproj(e: pd.DataFrame, crs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in range(len(e)):
+            if e["xmin"].values[i] is None:
+                rows.append((None,) * 4)
+            else:
+                rows.append(P.transform_extent(
+                    (float(e["xmin"].values[i]), float(e["ymin"].values[i]),
+                     float(e["xmax"].values[i]), float(e["ymax"].values[i])),
+                    str(crs.values[i]), dst_crs))
+        return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    r = reproj(col_or_name(extent), col_or_name(src_crs))
+    return F.struct(
+        F.min(r.getField("xmin")).alias("xmin"),
+        F.min(r.getField("ymin")).alias("ymin"),
+        F.max(r.getField("xmax")).alias("xmax"),
+        F.max(r.getField("ymax")).alias("ymax"),
     )
 
 

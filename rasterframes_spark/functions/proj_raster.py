@@ -21,7 +21,7 @@ from rasterframes_spark.geom import core as G
 __all__ = [
     "rf_proj_raster", "rf_tile", "rf_extent", "rf_crs", "rf_geometry",
     "rf_rasterize", "rf_render_ascii", "rf_render_matrix",
-    "rf_rgb_composite", "rf_render_png",
+    "rf_rgb_composite", "rf_render_png", "rf_render_color_ramp_png",
 ]
 
 
@@ -182,6 +182,50 @@ def rf_rgb_composite(red, green, blue) -> Column:
         return tiles_to_struct_pdf(out)
 
     return udf(col_or_name(red), col_or_name(green), col_or_name(blue))
+
+
+# compact perceptual ramps: 8 anchor RGBs, linearly interpolated to 256
+_RAMPS = {
+    "viridis": [(68, 1, 84), (70, 50, 127), (54, 92, 141), (39, 127, 142),
+                (31, 161, 135), (74, 194, 109), (159, 218, 58), (253, 231, 37)],
+    "magma": [(0, 0, 4), (40, 11, 84), (101, 21, 110), (159, 42, 99),
+              (212, 72, 66), (245, 125, 21), (250, 193, 39), (252, 253, 191)],
+    "heat": [(0, 0, 0), (128, 0, 0), (255, 0, 0), (255, 128, 0),
+             (255, 255, 0), (255, 255, 128), (255, 255, 255), (255, 255, 255)],
+}
+
+
+def _ramp_lut(name: str) -> np.ndarray:
+    anchors = np.array(_RAMPS[name], dtype="float64")
+    xs = np.linspace(0, 255, len(anchors))
+    lut = np.stack([np.interp(np.arange(256), xs, anchors[:, c]) for c in range(3)],
+                   axis=1)
+    return lut.astype("uint8")
+
+
+def rf_render_color_ramp_png(tile, ramp: str = "viridis") -> Column:
+    """Tile -> PNG bytes through a color ramp
+    (transformers/RenderPNG.scala:47-81 color-ramp variant)."""
+    lut = _ramp_lut(ramp)
+
+    @lazy_pandas_udf("binary")
+    def udf(t: pd.DataFrame) -> pd.Series:
+        from rasterframes_spark.tile import decode_struct_pdf
+        from rasterframes_spark.sources.png import encode_png
+
+        out = []
+        for tl in decode_struct_pdf(t):
+            if tl is None:
+                out.append(None)
+                continue
+            a = tl.masked().astype("float64")
+            lo, hi = float(a.min()), float(a.max())
+            span = (hi - lo) or 1.0
+            idx = np.clip(((a - lo) / span * 255.0).filled(0), 0, 255).astype("uint8")
+            out.append(encode_png(lut[idx]))
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(tile))
 
 
 def rf_render_png(tile, ramp: str = "grayscale") -> Column:

@@ -27,6 +27,8 @@ __all__ = [
     "st_intersects", "st_contains", "st_within", "st_disjoint",
     "st_covers", "st_equals", "st_translate", "st_buffer_point",
     "st_geohash", "st_reproject", "st_extent", "st_geometry",
+    "st_geom_from_geohash", "st_exterior_ring", "st_num_points",
+    "st_is_valid", "st_length_sphere", "st_closest_point", "st_as_geojson",
     "rf_z2_index", "rf_xz2_index", "rf_spatial_grid_cells", "rf_mk_crs",
     "extent_struct",
 ]
@@ -303,6 +305,146 @@ def st_geometry(extent) -> Column:
 
 def rf_mk_crs(crs: str) -> Column:
     return F.lit(str(crs))
+
+
+# -- additional geomesa-parity accessors/serializers -------------------------
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def st_geom_from_geohash(geohash_col, precision: int | None = None) -> Column:
+    """Geohash string -> its bounding-box polygon (geomesa st_geomFromGeoHash)."""
+
+    @lazy_pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        out = []
+        for gh in s.values:
+            if gh is None:
+                out.append(None)
+                continue
+            lat = [-90.0, 90.0]
+            lon = [-180.0, 180.0]
+            even = True
+            for ch in gh:
+                bits = _GEOHASH32.index(ch)
+                for b in (16, 8, 4, 2, 1):
+                    r = lon if even else lat
+                    mid = (r[0] + r[1]) / 2
+                    if bits & b:
+                        r[0] = mid
+                    else:
+                        r[1] = mid
+                    even = not even
+            out.append(G.wkb_dumps(G.box_polygon(lon[0], lat[0], lon[1], lat[1])))
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(geohash_col))
+
+
+_exterior_ring = _unary_scalar(
+    lambda g: G.wkb_dumps(("LineString", g[1][0])) if g[0] == "Polygon" else None,
+    "binary",
+)
+
+
+def st_exterior_ring(geom) -> Column:
+    return _exterior_ring(col_or_name(geom))
+
+
+_num_points = _unary_scalar(lambda g: len(G._points(g)), "int")
+
+
+def st_num_points(geom) -> Column:
+    return _num_points(col_or_name(geom))
+
+
+def _is_valid(g) -> bool:
+    if g[0] in ("Polygon", "MultiPolygon"):
+        for rings in G._polygons(g):
+            for r in rings:
+                if len(r) < 4 or tuple(r[0]) != tuple(r[-1]):
+                    return False
+                if abs(G._ring_area(r)) == 0:
+                    return False
+    return True
+
+
+_is_valid_udf = _unary_scalar(_is_valid, "boolean")
+
+
+def st_is_valid(geom) -> Column:
+    """Basic validity: rings closed, >= 4 points, non-zero area (full OGC
+    self-intersection checking is out of scope for the engine's surface)."""
+    return _is_valid_udf(col_or_name(geom))
+
+
+def _length_sphere(g) -> float:
+    total = 0.0
+    for line in (G._lines(g) if g[0] in ("LineString", "MultiLineString") else []):
+        for a, b in zip(line[:-1], line[1:]):
+            total += G.distance_sphere(a, b)
+    return total
+
+
+_length_sphere_udf = _unary_scalar(_length_sphere, "double")
+
+
+def st_length_sphere(geom) -> Column:
+    """Haversine length of lon/lat linestrings (geomesa st_lengthSphere)."""
+    return _length_sphere_udf(col_or_name(geom))
+
+
+@lazy_pandas_udf("binary")
+def _closest_point_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga, gb = _geoms(a), _geoms(b)
+    out = []
+    for x, y in zip(ga, gb):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        # closest point ON x to y: sample x's segments/vertices
+        best, bd = None, float("inf")
+        import numpy as _np
+        ys = G._all_lines_or_points(y)
+        for kind, data in G._all_lines_or_points(x):
+            pts = data[None, :] if kind == "pt" else data
+            for p in pts:
+                d = G.distance(("Point", tuple(p)), y)
+                if d < bd:
+                    bd, best = d, tuple(float(v) for v in p)
+        out.append(G.wkb_dumps(("Point", best)) if best else None)
+    return pd.Series(out, dtype=object)
+
+
+def st_closest_point(a, b) -> Column:
+    """Vertex of `a` closest to `b` (vertex-resolution approximation of
+    geomesa st_closestPoint)."""
+    return _closest_point_udf(col_or_name(a), col_or_name(b))
+
+
+def _as_geojson(g):
+    import json as _json
+
+    gtype, body = g
+    if gtype == "Point":
+        coords = list(body)
+    elif gtype in ("LineString", "MultiPoint"):
+        coords = [list(p) for p in body]
+    elif gtype in ("Polygon", "MultiLineString"):
+        coords = [[list(p) for p in part] for part in body]
+    elif gtype == "MultiPolygon":
+        coords = [[[list(p) for p in r] for r in poly] for poly in body]
+    else:
+        return _json.dumps({"type": "GeometryCollection",
+                            "geometries": [_json.loads(_as_geojson(x)) for x in body]})
+    return _json.dumps({"type": gtype, "coordinates": coords})
+
+
+_as_geojson_udf = _unary_scalar(_as_geojson, "string")
+
+
+def st_as_geojson(geom) -> Column:
+    return _as_geojson_udf(col_or_name(geom))
 
 
 # ---------------------------------------------------------------------------
