@@ -234,6 +234,16 @@ def _q_rescale(spark, sf_dir):
     )
 
 
+def _q_agg_quantiles(spark, sf_dir):
+    """Approx quantiles at accuracy 1e6: rank error < 1 on 16k cells, so the
+    result equals DuckDB's discrete quantiles exactly (same Greenwald-Khanna
+    family the reference reuses, ApproxCellQuantilesAggregate.scala:34-87)."""
+    t = _tiles_df(spark, sf_dir)
+    q = rf.rf_agg_approx_quantiles(t, "qty", [0.1, 0.25, 0.5, 0.75, 0.9],
+                                   relative_error=1e-6)
+    return q.select(F.explode("quantiles").alias("q"))
+
+
 def _q_local_min_max(spark, sf_dir):
     df = _two_band(spark, sf_dir)
     return df.select(
@@ -549,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_roundtrip": _q_assemble_roundtrip,
         "tile_dimensions": _q_tile_dimensions,
         "rescale": _q_rescale,
+        "agg_quantiles": _q_agg_quantiles,
         "local_min_max": _q_local_min_max,
         "focal_mean": _q_focal_mean,
         "tile_histogram": _q_tile_histogram,
@@ -630,6 +641,9 @@ def oracle_sql() -> dict[str, str]:
         "rescale": C + """
             select grp, round(sum((qty - 1.0)/(50.0 - 1.0)), 6) as s
             from cells group by grp""",
+        "agg_quantiles": C + """
+            select unnest(quantile_disc(qty, [0.1, 0.25, 0.5, 0.75, 0.9])) as q
+            from cells""",
         "local_min_max": C + """
             select grp, round(sum(least(qty, price)), 6) as min_sum,
                    round(sum(greatest(qty, price)), 6) as max_sum

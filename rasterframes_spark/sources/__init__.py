@@ -1,5 +1,5 @@
 from rasterframes_spark.sources.raster_reader import (  # noqa: F401
-    read_raster, realize_tiles, with_spatial_index,
+    read_raster, realize_tiles, with_spatial_index, raster_from_array,
 )
 from rasterframes_spark.sources.sinks import (  # noqa: F401
     write_geotiff, write_tiles, read_geojson, write_slippy,
@@ -12,7 +12,7 @@ from rasterframes_spark.sources.layer import (  # noqa: F401
 )
 
 __all__ = [
-    "read_raster", "realize_tiles", "with_spatial_index",
+    "read_raster", "realize_tiles", "with_spatial_index", "raster_from_array",
     "write_geotiff", "write_tiles", "read_geojson", "write_slippy",
     "read_stac_items", "stac_asset_catalog",
     "write_tile_layer", "read_tile_layer", "layer_metadata",

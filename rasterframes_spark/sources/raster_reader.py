@@ -36,7 +36,8 @@ from rasterframes_spark.tile import CellType, Tile, TILE_SCHEMA
 from rasterframes_spark.functions._kernel import col_or_name, lazy_pandas_udf
 from rasterframes_spark.sources import geotiff as GT
 
-__all__ = ["read_raster", "realize_tiles", "RASTER_REF_SCHEMA", "with_spatial_index"]
+__all__ = ["read_raster", "realize_tiles", "RASTER_REF_SCHEMA",
+           "with_spatial_index", "raster_from_array"]
 
 RASTER_REF_SCHEMA = (
     "struct<uri:string,band:int,col_off:int,row_off:int,width:int,height:int,"
@@ -195,6 +196,44 @@ def realize_tiles(ref) -> Column:
         return tiles_to_struct_pdf(out)
 
     return udf(col_or_name(ref))
+
+
+def raster_from_array(spark: SparkSession, array: np.ndarray, extent: tuple,
+                      crs: str = "EPSG:4326", tile_dimensions=(256, 256),
+                      cell_type: str | None = None) -> DataFrame:
+    """In-memory raster -> chunked tile DataFrame (the reference's
+    ProjectedRaster.toDF / InMemoryRasterSource, ProjectedRasterMethods.scala:40).
+    One row per tile chunk with spatial_key, tile, extent, crs."""
+    from rasterframes_spark.tile import PROJ_RASTER_SCHEMA
+
+    tw, th = tile_dimensions
+    H, W = array.shape
+    xmin, ymin, xmax, ymax = extent
+    pw, ph = (xmax - xmin) / W, (ymax - ymin) / H
+    ct = CellType.from_numpy(array.dtype) if cell_type is None else CellType.parse(cell_type)
+    rows = []
+    for r0 in range(0, H, th):
+        for c0 in range(0, W, tw):
+            sub = array[r0:r0 + th, c0:c0 + tw]
+            t = Tile(np.ma.masked_array(sub, mask=ct.mask_of(np.asarray(sub))), ct)
+            rows.append({
+                "spatial_key": {"col": c0 // tw, "row": r0 // th},
+                "tile": t.to_row(),
+                "extent": {
+                    "xmin": xmin + c0 * pw,
+                    "ymax": ymax - r0 * ph,
+                    "xmax": xmin + min(c0 + tw, W) * pw,
+                    "ymin": ymax - min(r0 + th, H) * ph,
+                },
+                "crs": crs,
+            })
+    return spark.createDataFrame(
+        rows,
+        schema=("spatial_key struct<col:int,row:int>, "
+                "tile struct<cell_type:string,cols:int,rows:int,cells:binary>, "
+                "extent struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
+                "crs string"),
+    )
 
 
 def with_spatial_index(df: DataFrame, extent_col: str = "extent",
