@@ -1,0 +1,28 @@
+"""The examples double as doc-tests (the reference's evaluated-.pymd-docs
+pattern, SURVEY §5)."""
+
+import sys
+
+
+def test_ndvi_example(spark):
+    sys.path.insert(0, "examples")
+    import examples.ndvi as ex
+
+    stats = ex.main(spark)
+    assert stats["data_cells"] == 256 * 256
+    assert 0 <= stats["mean"] <= 1
+
+
+def test_zonal_example(spark):
+    import examples.zonal_stats as ex
+
+    rows = ex.main(spark)
+    assert len(rows) == 2
+    assert all(r["cells"] > 0 for r in rows)
+
+
+def test_dedup_example(spark):
+    import examples.dedup_pipeline as ex
+
+    n0, n1, n2, n3 = ex.main(spark)
+    assert n0 >= n1 >= n2 >= n3 > 0
