@@ -356,7 +356,10 @@ def _q_rasterize(spark, sf_dir):
 
 def _events_df(spark, sf_dir):
     """events with ts normalized: the parquet stores TIMESTAMP(NANOS), which
-    Spark reads as long nanos under legacy.parquet.nanosAsLong."""
+    Spark only reads as long nanos under legacy.parquet.nanosAsLong — set it
+    defensively (runtime conf) in case the session wasn't built by
+    create_rf_spark_session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))

@@ -298,7 +298,6 @@ def _local_agg(df: DataFrame, tile, which: str) -> Tile | dict:
             yield pd.DataFrame(_local_state_rows([(shape, state)]))
 
     from pyspark.sql.types import StructType
-    import pyspark.sql.types as T
 
     state_schema = StructType.fromDDL(
         "rows int, cols int, cnt binary, sm binary, ssq binary, mn binary, mx binary"

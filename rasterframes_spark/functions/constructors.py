@@ -302,7 +302,6 @@ def rf_with_no_data(tile, nodata_value) -> Column:
             if tl is None:
                 out.append(None)
                 continue
-            base = tl.cell_type.dtype.name
             ct = CellType.from_numpy(tl.cell_type.dtype, nd)
             a = tl.masked()
             newmask = np.ma.getmaskarray(a) | (np.asarray(a.data) == ct.nodata)
