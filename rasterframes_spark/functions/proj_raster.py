@@ -90,15 +90,13 @@ def rf_rasterize(geometry, bounds_extent, value, cols: int, rows: int) -> Column
             pw, ph = (xmax - xmin) / nc, (ymax - ymin) / nr
             cx = xmin + (np.arange(nc) + 0.5) * pw
             cy = ymax - (np.arange(nr) + 0.5) * ph
-            arr = np.zeros((nr, nc), dtype="int32")
-            mask = np.ones((nr, nc), dtype=bool)
-            polys = G._polygons(shape)
-            for rr in range(nr):
-                for cc in range(nc):
-                    if any(G.point_in_polygon((cx[cc], cy[rr]), rings) for rings in polys):
-                        arr[rr, cc] = v
-                        mask[rr, cc] = False
-            out.append(Tile(np.ma.masked_array(arr, mask=mask), CellType.parse("int32")))
+            gx, gy = np.meshgrid(cx, cy)
+            inside = np.zeros(nr * nc, dtype=bool)
+            for rings in G._polygons(shape):
+                inside |= G.points_in_polygon_vec(gx.ravel(), gy.ravel(), rings)
+            inside = inside.reshape(nr, nc)
+            arr = np.where(inside, v, 0).astype("int32")
+            out.append(Tile(np.ma.masked_array(arr, mask=~inside), CellType.parse("int32")))
         return tiles_to_struct_pdf(out)
 
     return udf(col_or_name(geometry), col_or_name(bounds_extent),

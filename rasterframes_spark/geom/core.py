@@ -380,6 +380,26 @@ def point_in_ring(pt, ring) -> bool:
     return crossings % 2 == 1
 
 
+def points_in_polygon_vec(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Vectorized even-odd test for many points against one polygon
+    (boundary behavior: pure ray-cast, boundary points unspecified — use
+    point_in_polygon for boundary-inclusive single-point tests)."""
+
+    def in_ring(ring):
+        a = np.asarray(ring, dtype="float64")
+        x1, y1 = a[:-1, 0], a[:-1, 1]
+        x2, y2 = a[1:, 0], a[1:, 1]
+        cond = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = x1[None, :] + (py[:, None] - y1[None, :]) * (x2 - x1)[None, :] / (y2 - y1)[None, :]
+        return ((cond & (xs > px[:, None])).sum(axis=1) % 2) == 1
+
+    inside = in_ring(rings[0])
+    for hole in rings[1:]:
+        inside &= ~in_ring(hole)
+    return inside
+
+
 def point_in_polygon(pt, rings) -> bool:
     if not point_in_ring(pt, rings[0]):
         return False
