@@ -380,9 +380,11 @@ def _q_events_sessions(spark, sf_dir):
     """Sessionization via window lag — 30-min gap starts a new session."""
     ev = _events_df(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # Compare gaps in integer microseconds (unix_timestamp truncates to
+    # whole seconds, which diverges from a fractional-seconds oracle).
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     return (
-        ev.withColumn("new_session", F.when(gap > 1800, 1).otherwise(0))
+        ev.withColumn("new_session", F.when(gap > 1800 * 1_000_000, 1).otherwise(0))
         .groupBy("user_id")
         .agg((F.sum("new_session") + 1).alias("n_sessions"),
              F.count("*").alias("n_events"))
@@ -731,8 +733,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": """
             with g as (
               select user_id,
-                     case when epoch(ts) - epoch(lag(ts) over
-                       (partition by user_id order by ts, event_id)) > 1800
+                     case when epoch_us(ts) - epoch_us(lag(ts) over
+                       (partition by user_id order by ts, event_id))
+                       > 1800 * 1000000
                        then 1 else 0 end as new_session
               from events)
             select user_id, sum(new_session) + 1 as n_sessions,
