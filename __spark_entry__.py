@@ -333,6 +333,45 @@ def _q_st_ops(spark, sf_dir):
     )
 
 
+def _q_st_predicates(spark, sf_dir):
+    """DE-9IM predicate surface (st_touches / st_overlaps / st_crosses /
+    st_covers / st_contains / st_equals) on integer-grid geometries with a
+    closed-form SQL oracle — boundary cases (shared edges, corner touches,
+    point-on-edge) occur by construction.  Reference:
+    SpatialRelation.scala:74-114, GeometryFunctionsSpec."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    g = cust.select(
+        "c_custkey",
+        (F.abs(F.floor("c_acctbal")).cast("long") % 9).alias("gx"),
+        (F.col("c_custkey") % 9).alias("gy"),
+        (F.col("c_custkey") % 7).alias("px"),
+        (F.abs(F.floor("c_acctbal")).cast("long") % 7).alias("py"),
+    )
+    a = rf.st_geom_from_wkt(F.lit("POLYGON ((3 3, 6 3, 6 6, 3 6, 3 3))"))
+    bwkt = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        F.col("gx"), F.col("gy"), F.col("gx") + 3, F.col("gy"),
+        F.col("gx") + 3, F.col("gy") + 3, F.col("gx"), F.col("gy") + 3,
+        F.col("gx"), F.col("gy"))
+    lwkt = F.concat(
+        F.lit("LINESTRING ("), F.col("gx").cast("string"), F.lit(" "),
+        (F.col("gy") + 0.5).cast("string"), F.lit(", "),
+        (F.col("gx") + 3).cast("string"), F.lit(" "),
+        (F.col("gy") + 0.5).cast("string"), F.lit(")"))
+    b = rf.st_geom_from_wkt(bwkt)
+    line = rf.st_geom_from_wkt(lwkt)
+    pt = rf.st_point(F.col("px").cast("double"), F.col("py").cast("double"))
+    return g.select(
+        "c_custkey",
+        rf.st_touches(a, b).alias("touches_ab"),
+        rf.st_overlaps(a, b).alias("overlaps_ab"),
+        rf.st_equals(a, b).alias("equals_ab"),
+        rf.st_crosses(line, a).alias("crosses_la"),
+        rf.st_covers(a, pt).alias("covers_pt"),
+        rf.st_contains(a, pt).alias("contains_pt"),
+    )
+
+
 def _q_rasterize(spark, sf_dir):
     """Burn per-region boxes into 8x8 tiles; covered-cell count is closed-form
     in SQL (pixel centers at (j+0.5), box edges at non-half offsets)."""
@@ -572,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_join": _q_raster_join,
         "z2_index": _q_z2_index,
         "st_ops": _q_st_ops,
+        "st_predicates": _q_st_predicates,
         "rasterize": _q_rasterize,
         "events_weekly": _q_events_weekly,
         "events_sessions": _q_events_sessions,
@@ -718,9 +758,34 @@ def oracle_sql() -> dict[str, str]:
               from customer)
             select c_custkey,
                    round(sqrt(x*x + y*y), 6) as dist_origin,
-                   (x between -90 and 90) and (y between -40 and 40) as in_zone,
+                   -- strict: OGC within excludes the zone boundary
+                   (x > -90 and x < 90) and (y > -40 and y < 40) as in_zone,
                    round(x, 6) as buf_cx
             from p""",
+        "st_predicates": """
+            with g as (
+              select c_custkey,
+                     cast(abs(floor(c_acctbal)) as bigint) % 9 as gx,
+                     c_custkey % 9 as gy,
+                     c_custkey % 7 as px,
+                     cast(abs(floor(c_acctbal)) as bigint) % 7 as py
+              from customer)
+            select c_custkey,
+              -- A = (3,3)-(6,6); B = (gx,gy)-(gx+3,gy+3), both 3x3 boxes
+              (((gx = 0 or gx = 6) and greatest(gy,3) <= least(gy+3,6))
+                or ((gy = 0 or gy = 6) and greatest(gx,3) <= least(gx+3,6)))
+                and not (greatest(gx,3) < least(gx+3,6)
+                         and greatest(gy,3) < least(gy+3,6)) as touches_ab,
+              (greatest(gx,3) < least(gx+3,6) and greatest(gy,3) < least(gy+3,6))
+                and not (gx = 3 and gy = 3) as overlaps_ab,
+              (gx = 3 and gy = 3) as equals_ab,
+              -- L = horizontal segment (gx, gy+0.5)-(gx+3, gy+0.5)
+              (gy + 0.5 > 3 and gy + 0.5 < 6
+               and greatest(gx, 3) < least(gx + 3, 6)
+               and (gx < 3 or gx + 3 > 6)) as crosses_la,
+              (px >= 3 and px <= 6 and py >= 3 and py <= 6) as covers_pt,
+              (px > 3 and px < 6 and py > 3 and py < 6) as contains_pt
+            from g""",
         "rasterize": """
             select r_regionkey,
                    cast(4 * (r_regionkey + 2) as bigint) as n,

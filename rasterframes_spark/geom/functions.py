@@ -17,6 +17,7 @@ from pyspark.sql import Column, functions as F
 from rasterframes_spark.functions._kernel import col_or_name, lazy_pandas_udf
 from rasterframes_spark.geom import core as G
 from rasterframes_spark.geom import proj as P
+from rasterframes_spark.geom import relate as R
 from rasterframes_spark.geom import sfc
 
 __all__ = [
@@ -25,7 +26,9 @@ __all__ = [
     "st_x", "st_y", "st_centroid", "st_envelope",
     "st_area", "st_length", "st_distance", "st_distance_sphere",
     "st_intersects", "st_contains", "st_within", "st_disjoint",
-    "st_covers", "st_equals", "st_translate", "st_buffer_point",
+    "st_covers", "st_covered_by", "st_touches", "st_crosses", "st_overlaps",
+    "st_relate", "st_relate_bool",
+    "st_equals", "st_translate", "st_buffer_point",
     "st_geohash", "st_reproject", "st_extent", "st_geometry",
     "st_geom_from_geohash", "st_exterior_ring", "st_num_points",
     "st_is_valid", "st_length_sphere", "st_closest_point", "st_as_geojson",
@@ -216,14 +219,30 @@ def st_distance_sphere(a, b) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# predicates (SpatialRelation.scala:74-114 re-expressed)
+# predicates (SpatialRelation.scala:74-114 re-expressed; DE-9IM semantics
+# from geom/relate.py)
 # ---------------------------------------------------------------------------
 
 _intersects = _binary_pred(G.intersects)
-_contains = _binary_pred(G.contains)
-_within = _binary_pred(G.within)
+_contains = _binary_pred(R.contains)
+_within = _binary_pred(R.within)
 _disjoint = _binary_pred(G.disjoint)
 _equals = _binary_pred(G.equals)
+_covers = _binary_pred(R.covers)
+_covered_by = _binary_pred(R.covered_by)
+_touches = _binary_pred(R.touches)
+_crosses = _binary_pred(R.crosses)
+_overlaps = _binary_pred(R.overlaps)
+
+
+@lazy_pandas_udf("string")
+def _relate_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga, gb = _geoms(a), _geoms(b)
+    return pd.Series(
+        [None if (x is None or y is None) else R.relate_matrix(x, y)
+         for x, y in zip(ga, gb)],
+        dtype=object,
+    )
 
 
 def st_intersects(a, b) -> Column:
@@ -231,6 +250,8 @@ def st_intersects(a, b) -> Column:
 
 
 def st_contains(a, b) -> Column:
+    """Strict OGC contains: a geometry lying wholly in the boundary is
+    covered but not contained (SpatialRelation.scala:84)."""
     return _contains(col_or_name(a), col_or_name(b))
 
 
@@ -242,7 +263,41 @@ def st_disjoint(a, b) -> Column:
     return _disjoint(col_or_name(a), col_or_name(b))
 
 
-st_covers = st_contains  # boundary-inclusive semantics (see core.contains note)
+def st_covers(a, b) -> Column:
+    """Boundary-inclusive containment (SpatialRelation.scala:88)."""
+    return _covers(col_or_name(a), col_or_name(b))
+
+
+def st_covered_by(a, b) -> Column:
+    return _covered_by(col_or_name(a), col_or_name(b))
+
+
+def st_touches(a, b) -> Column:
+    """Boundaries meet, interiors do not (SpatialRelation.scala:98)."""
+    return _touches(col_or_name(a), col_or_name(b))
+
+
+def st_crosses(a, b) -> Column:
+    """Interiors meet in a lower dimension than the higher-dimensional
+    argument (SpatialRelation.scala:92)."""
+    return _crosses(col_or_name(a), col_or_name(b))
+
+
+def st_overlaps(a, b) -> Column:
+    """Same-dimension interiors partially overlap (SpatialRelation.scala:96)."""
+    return _overlaps(col_or_name(a), col_or_name(b))
+
+
+def st_relate(a, b) -> Column:
+    """The DE-9IM matrix as a 9-char string (geomesa st_relate)."""
+    return _relate_udf(col_or_name(a), col_or_name(b))
+
+
+def st_relate_bool(a, b, pattern: str) -> Column:
+    """DE-9IM pattern predicate (geomesa st_relateBool)."""
+    pat = str(pattern)
+    udf = _binary_pred(lambda x, y: R.relate_pattern(x, y, pat))
+    return udf(col_or_name(a), col_or_name(b))
 
 
 def st_equals(a, b) -> Column:

@@ -88,6 +88,9 @@ def register_sql_functions(spark: SparkSession) -> None:
     for name, pred in {
         "st_intersects": gf._intersects, "st_contains": gf._contains,
         "st_within": gf._within, "st_disjoint": gf._disjoint,
-        "st_equals": gf._equals,
+        "st_equals": gf._equals, "st_covers": gf._covers,
+        "st_coveredBy": gf._covered_by, "st_touches": gf._touches,
+        "st_crosses": gf._crosses, "st_overlaps": gf._overlaps,
     }.items():
         reg(name, pred)
+    reg("st_relate", gf._relate_udf)

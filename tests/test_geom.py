@@ -185,9 +185,11 @@ def test_st_predicates_spark(spark, geo_df):
         rf.st_point("x", "y").alias("pt"),
     )
     got = df.select("id", rf.st_intersects("poly", "pt").alias("i"),
-                    rf.st_contains("poly", "pt").alias("c")).orderBy("id").collect()
-    assert got[0]["i"] and got[0]["c"]
-    assert not got[1]["i"] and not got[1]["c"]
+                    rf.st_contains("poly", "pt").alias("c"),
+                    rf.st_covers("poly", "pt").alias("cv")).orderBy("id").collect()
+    # (0,0) is a corner: intersected and covered but NOT strictly contained
+    assert got[0]["i"] and got[0]["cv"] and not got[0]["c"]
+    assert not got[1]["i"] and not got[1]["c"] and not got[1]["cv"]
 
 
 def test_st_area_centroid_translate_spark(spark, geo_df):
@@ -233,3 +235,85 @@ def test_sfc_indexes_spark(spark, geo_df):
     ).collect()
     assert all(r["z2"] is not None and r["xz2"] is not None for r in df)
     assert len(df[0]["cells"]) == 4 * 5
+
+
+# -- DE-9IM relate engine (geom/relate.py; SpatialRelation.scala:74-114) ------
+
+
+def test_relate_matrix_canonical():
+    from rasterframes_spark.geom import relate as R
+    A = G.box_polygon(0, 0, 2, 2)
+    assert R.relate_matrix(A, G.box_polygon(1, 1, 3, 3)) == "212101212"  # overlap
+    assert R.relate_matrix(A, G.box_polygon(2, 0, 4, 2)) == "FF2F11212"  # shared edge
+    assert R.relate_matrix(A, G.box_polygon(2, 2, 3, 3)) == "FF2F01212"  # corner
+    assert R.relate_matrix(A, G.box_polygon(0, 0, 2, 2)) == "2FFF1FFF2"  # equal
+
+
+def test_covers_vs_contains_boundary():
+    from rasterframes_spark.geom import relate as R
+    A = G.box_polygon(0, 0, 2, 2)
+    on_edge = ("Point", (1.0, 0.0))
+    inside = ("Point", (1.0, 1.0))
+    boundary_line = ("LineString", [(0.0, 0.0), (2.0, 0.0)])
+    assert R.covers(A, on_edge) and not R.contains(A, on_edge)
+    assert R.covers(A, inside) and R.contains(A, inside)
+    assert R.covers(A, boundary_line) and not R.contains(A, boundary_line)
+    assert R.touches(A, on_edge) and R.touches(on_edge, A)
+
+
+def test_crosses_overlaps_touches_lines():
+    from rasterframes_spark.geom import relate as R
+    L1 = ("LineString", [(0.0, 0.0), (2.0, 0.0)])
+    assert R.crosses(L1, ("LineString", [(1.0, -1.0), (1.0, 1.0)]))
+    assert R.overlaps(L1, ("LineString", [(1.0, 0.0), (3.0, 0.0)]))
+    # endpoint-on-interior: touches, not crosses
+    assert R.touches(L1, ("LineString", [(1.0, 0.0), (1.0, 5.0)]))
+    assert not R.crosses(L1, ("LineString", [(1.0, 0.0), (1.0, 5.0)]))
+    # line through a polygon
+    A = G.box_polygon(0, 0, 2, 2)
+    cut = ("LineString", [(-1.0, 1.0), (3.0, 1.0)])
+    assert R.crosses(cut, A) and R.crosses(A, cut)
+    assert not R.crosses(("LineString", [(0.5, 1.0), (1.5, 1.0)]), A)
+
+
+def test_relate_with_holes():
+    from rasterframes_spark.geom import relate as R
+    H = ("Polygon", [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)],
+                     [(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)]])
+    in_hole = G.box_polygon(1.5, 1.5, 2.5, 2.5)
+    assert not R.contains(H, in_hole) and R.relate_matrix(H, in_hole)[0] == "F"
+    spanning = G.box_polygon(0.5, 0.5, 3.5, 3.5)  # hole pokes into it
+    assert R.overlaps(H, spanning) and not R.contains(H, spanning)
+    ring_band = G.box_polygon(0.25, 0.25, 0.75, 0.75)  # inside the band
+    assert R.contains(H, ring_band)
+
+
+def test_st_relate_spark(spark, geo_df):
+    df = geo_df.limit(1).select(
+        rf.st_geom_from_wkt(F.lit("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")).alias("a"),
+        rf.st_geom_from_wkt(F.lit("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")).alias("b"),
+        rf.st_geom_from_wkt(F.lit("POINT (1 0)")).alias("p"),
+    )
+    row = df.select(
+        rf.st_relate("a", "b").alias("m"),
+        rf.st_overlaps("a", "b").alias("o"),
+        rf.st_touches("a", "p").alias("t"),
+        rf.st_covers("a", "p").alias("cv"),
+        rf.st_contains("a", "p").alias("ct"),
+        rf.st_relate_bool("a", "b", "T*T***T**").alias("rb"),
+    ).first()
+    assert row["m"] == "212101212" and row["o"] and row["t"]
+    assert row["cv"] and not row["ct"] and row["rb"]
+
+
+def test_st_predicates_sql(spark, geo_df):
+    geo_df.limit(1).createOrReplaceTempView("one_row")
+    row = spark.sql("""
+        select st_touches(st_geom_from_wkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+                          st_geom_from_wkt('POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))')) as t,
+               st_crosses(st_geom_from_wkt('LINESTRING (-1 0.5, 2 0.5)'),
+                          st_geom_from_wkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) as x,
+               st_relate(st_geom_from_wkt('POINT (5 5)'),
+                         st_geom_from_wkt('POINT (5 5)')) as m
+        from one_row""").first()
+    assert row["t"] and row["x"] and row["m"] == "0FFFFFFF2"
