@@ -122,42 +122,91 @@ def rf_tile_to_array_int(tile) -> Column:
 # -- explode / assemble -------------------------------------------------------
 
 
+def _tiles_from_dict_series(s: pd.Series) -> list:
+    """mapInPandas delivers struct columns as dict-per-row; adapt for
+    decode_struct_pdf."""
+    return decode_struct_pdf(pd.DataFrame(
+        [v if v is not None else {"cell_type": None, "cols": None, "rows": None, "cells": None}
+         for v in s]
+    ))
+
+
 def explode_tiles(df: DataFrame, tile_cols: list, keep_cols: list | None = None,
                   sample_fraction: float | None = None, seed: int = 42) -> DataFrame:
     """tile column(s) -> one row per cell: (*keep, column_index, row_index, <name>...).
 
     Reference: generators/ExplodeTiles.scala:40-111. Multi-column requires
     equal dims (enforced there at :72-75; here the first tile defines dims and
-    mismatches error inside the kernel). The expansion itself is Spark's
-    codegen'd posexplode over a flat array — scale-safe: the Python boundary
-    is crossed once per tile, not per cell.
+    mismatches error inside the kernel).
+
+    Implementation: ``mapInPandas`` — each Arrow batch of tile rows becomes
+    one flat Arrow batch of cell rows built in numpy (``repeat`` for carried
+    keys, ``arange`` for indices, ``ravel`` for cells). The Python boundary
+    is crossed once per batch with flat primitive columns; no list-array
+    serialization and no per-element JVM copy (an earlier design paid both
+    via a tile->array<double> UDF + posexplode and ran ~2x slower on
+    256x256 tiles). Rows whose first tile is null are dropped, matching the
+    reference generator.
     """
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
     tile_cols = [c if isinstance(c, str) else c._jc.toString() for c in tile_cols]
     keep_cols = keep_cols if keep_cols is not None else [
         c for c in df.columns if c not in tile_cols
     ]
-    first = tile_cols[0]
-    arrs = [rf_tile_to_array_double(F.col(c)).alias(f"__arr_{c}") for c in tile_cols]
-    cols_f = F.col(first).getField("cols")
-    out = (
-        df.select(*keep_cols, cols_f.alias("__cols"), *arrs)
-        .select(
-            *keep_cols,
-            F.col("__cols"),
-            F.posexplode(F.col(f"__arr_{first}")).alias("__pos", f"{first}__cell"),
-            *[F.col(f"__arr_{c}") for c in tile_cols[1:]],
-        )
-        .select(
-            *keep_cols,
-            (F.col("__pos") % F.col("__cols")).cast("int").alias("column_index"),
-            (F.col("__pos") / F.col("__cols")).cast("int").alias("row_index"),
-            F.col(f"{first}__cell").alias(first),
-            *[
-                F.col(f"__arr_{c}")[F.col("__pos")].alias(c)
-                for c in tile_cols[1:]
-            ],
-        )
+    src = df.select(*keep_cols, *tile_cols)
+    fields = {f.name: f for f in src.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in keep_cols]
+        + [StructField("column_index", IntegerType(), True),
+           StructField("row_index", IntegerType(), True)]
+        + [StructField(c, DoubleType(), True) for c in tile_cols]
     )
+    first = tile_cols[0]
+    kc, tcs = list(keep_cols), list(tile_cols)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tiles = {c: _tiles_from_dict_series(pdf[c]) for c in tcs}
+            keep_idx: list[int] = []
+            counts: list[int] = []
+            cis, ris = [], []
+            vals: dict[str, list] = {c: [] for c in tcs}
+            for i, t in enumerate(tiles[first]):
+                if t is None:
+                    continue
+                nr, ncols = t.rows, t.cols
+                n = nr * ncols
+                keep_idx.append(i)
+                counts.append(n)
+                pos = np.arange(n, dtype="int64")
+                cis.append((pos % ncols).astype("int32"))
+                ris.append((pos // ncols).astype("int32"))
+                for c in tcs:
+                    tc_t = tiles[c][i]
+                    if tc_t is None:
+                        vals[c].append(np.full(n, np.nan, dtype="float64"))
+                    else:
+                        if (tc_t.rows, tc_t.cols) != (nr, ncols):
+                            raise ValueError(
+                                "explode_tiles: tile columns must have equal dimensions")
+                        vals[c].append(
+                            tc_t.masked().astype("float64").filled(np.nan).ravel())
+            if not keep_idx:
+                continue
+            rep = np.asarray(counts, dtype="int64")
+            data = {}
+            for c in kc:
+                data[c] = np.repeat(pdf[c].to_numpy()[keep_idx], rep)
+            data["column_index"] = np.concatenate(cis)
+            data["row_index"] = np.concatenate(ris)
+            for c in tcs:
+                data[c] = np.concatenate(vals[c])
+            yield pd.DataFrame(data)
+
+    out = src.mapInPandas(gen, schema=out_schema)
     if sample_fraction is not None and sample_fraction < 1.0:
         out = out.sample(fraction=sample_fraction, seed=seed)
     return out
@@ -172,18 +221,26 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     Missing cells are NoData. ``cell`` may be a list of value columns — all
     bands assemble in ONE shuffle pass, one tile column per value column.
 
-    method='collect' (default): the cell traffic stays JVM-side — a codegen'd
-    hash aggregate of ``collect_list(struct(pos, v))`` (map-side partial
-    collect applies), then Python receives just two flat arrays per GROUP
-    (not per cell) and does one numpy scatter. ~5x less Arrow volume than
-    streaming raw cell rows through a group map.
+    method='collect' (the 'auto' default): cell traffic stays JVM-side — a
+    hash aggregate of aligned ``collect_list(pos)`` / ``collect_list(v)``
+    (map-side partial collect applies), then Python receives two flat
+    primitive arrays per GROUP (bulk Arrow list transfer, not ~3us/row row
+    serialization) and does one numpy scatter.
 
-    method='group_map': applyInPandas over raw cell rows — faster for LARGE
-    tiles (the JVM array_sort of a 65k-struct list costs more than streaming
-    the rows). method='auto' (default) picks collect for tiles <= 8k cells.
+    method='chunked': two-phase alternative — a per-partition mapInPandas
+    packs each partition's cells for a key into two binary blobs
+    (int32 positions + float64 values), so the shuffle moves a handful of
+    compact rows per (partition, key) instead of millions of cell rows; the
+    final applyInPandas concatenates blobs and scatters. Useful when group
+    cardinality is so high that JVM collect_list buffers pressure executor
+    memory. ('group_map' is accepted as an alias.)
     """
     nc, nr = int(cols), int(rows)
     if method == "auto":
+        # collect for small tiles (bulk Arrow list transfer, cell traffic
+        # stays JVM-side); group_map for large ones — collect_list's
+        # per-element boxing and partial-buffer merges lose to one raw-row
+        # shuffle + wide-parallel Arrow serialization beyond ~8k cells.
         method = "collect" if nr * nc <= 8192 else "group_map"
     ct = CellType.parse(cell_type)
     ci = col_index if isinstance(col_index, str) else col_index._jc.toString()
@@ -194,13 +251,20 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     out_names = ["tile"] if single else list(cvs)
 
     if method == "collect":
-        pos = (F.col(ri).cast("long") * nc + F.col(ci).cast("long")).alias("__pos")
-        aggs = [
-            F.array_sort(
-                F.collect_list(F.struct(pos.alias("pos"), F.col(cv).cast("double").alias("v")))
-            ).alias(f"__arr_{cv}")
-            for cv in cvs
-        ]
+        # Two aligned collect_lists per value column: every aggregate buffer
+        # is updated per input row in the same single pass, and collect_list
+        # drops nulls identically on both sides because the position is
+        # null-gated on its value column (null cells are NoData — the
+        # scatter leaves them masked). No array_sort: the numpy scatter is
+        # order-insensitive for unique cell positions (duplicate positions
+        # resolve last-write-wins, nondeterministically ordered — same as
+        # the reference's imperative TileAssembler buffer).
+        pos = (F.col(ri).cast("long") * nc + F.col(ci).cast("long")).cast("int")
+        aggs = []
+        for cv in cvs:
+            aggs.append(F.collect_list(
+                F.when(F.col(cv).isNotNull(), pos)).alias(f"__pos_{cv}"))
+            aggs.append(F.collect_list(F.col(cv).cast("double")).alias(f"__arr_{cv}"))
         grouped = df.groupBy(*group_cols).agg(*aggs)
 
         @lazy_pandas_udf(TILE_SCHEMA)
@@ -220,33 +284,93 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
 
         sel = list(group_cols)
         for cv, name in zip(cvs, out_names):
-            arr = F.col(f"__arr_{cv}")
-            sel.append(scatter(
-                F.transform(arr, lambda x: x.getField("pos")),
-                F.transform(arr, lambda x: x.getField("v")),
-            ).alias(name))
+            sel.append(scatter(F.col(f"__pos_{cv}"), F.col(f"__arr_{cv}")).alias(name))
         return grouped.select(*sel)
 
-    from pyspark.sql.types import StructType, StructField
+    from pyspark.sql.types import BinaryType, StructType, StructField
     in_schema = df.select(*group_cols).schema
+    key_names = [f.name for f in in_schema.fields]
     out_schema = StructType(
         list(in_schema.fields) + [StructField(n, TILE_SCHEMA, True) for n in out_names]
     )
 
-    def make(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        r = pdf[ri].to_numpy(dtype="int64")
-        c = pdf[ci].to_numpy(dtype="int64")
-        out = {g: [k] for g, k in zip([f.name for f in in_schema.fields], key)}
-        for cv, name in zip(cvs, out_names):
-            vals = np.full((nr, nc), np.nan, dtype="float64")
-            vals[r, c] = pdf[cv].to_numpy(dtype="float64")
-            mask = np.isnan(vals)
+    if method == "group_map":
+        def make(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            r = pdf[ri].to_numpy(dtype="int64")
+            c = pdf[ci].to_numpy(dtype="int64")
+            out = {g: [k] for g, k in zip(key_names, key)}
+            for cv, name in zip(cvs, out_names):
+                vals = np.full((nr, nc), np.nan, dtype="float64")
+                vals[r, c] = pdf[cv].to_numpy(dtype="float64")
+                mask = np.isnan(vals)
+                tile = Tile(np.ma.masked_array(
+                    np.where(mask, 0, vals).astype(ct.dtype), mask=mask), ct)
+                out[name] = [tile.to_row()]
+            return pd.DataFrame(out)
+
+        return df.groupBy(*group_cols).applyInPandas(make, schema=out_schema)
+
+    mid_schema = StructType(
+        list(in_schema.fields)
+        + [StructField("__pos", BinaryType(), True)]
+        + [StructField(f"__v_{i}", BinaryType(), True) for i in range(len(cvs))]
+    )
+    src = df.select(
+        *group_cols,
+        (F.col(ri).cast("long") * nc + F.col(ci).cast("long")).cast("int").alias("__p"),
+        *[F.col(cv).cast("double").alias(f"__c_{i}") for i, cv in enumerate(cvs)],
+    )
+
+    def partial(batches):
+        """Map-side combine: pack this partition's cells per key into
+        binary (positions, values) blobs. Accumulates the whole partition
+        (cell rows arrive in many small Arrow batches) and groups once."""
+        key_acc: dict[str, list] = {n: [] for n in key_names}
+        pos_acc: list[np.ndarray] = []
+        val_acc: list[list[np.ndarray]] = [[] for _ in cvs]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for n in key_names:
+                key_acc[n].append(pdf[n].to_numpy())
+            pos_acc.append(pdf["__p"].to_numpy(dtype="<i4"))
+            for i in range(len(cvs)):
+                val_acc[i].append(pdf[f"__c_{i}"].to_numpy(dtype="<f8"))
+        if not pos_acc:
+            return
+        kdf = pd.DataFrame({n: np.concatenate(key_acc[n]) for n in key_names})
+        pos = np.concatenate(pos_acc)
+        vals = [np.concatenate(v) for v in val_acc]
+        out: dict[str, list] = {n: [] for n in mid_schema.fieldNames()}
+        for key, idx in kdf.groupby(key_names, sort=False, dropna=False).indices.items():
+            if not isinstance(key, tuple):
+                key = (key,)
+            for n, k in zip(key_names, key):
+                out[n].append(k)
+            out["__pos"].append(pos[idx].tobytes())
+            for i in range(len(cvs)):
+                out[f"__v_{i}"].append(vals[i][idx].tobytes())
+        yield pd.DataFrame(out)
+
+    mid = src.mapInPandas(partial, schema=mid_schema)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pos = np.concatenate(
+            [np.frombuffer(b, dtype="<i4") for b in pdf["__pos"]])
+        out = {g: [k] for g, k in zip(key_names, key)}
+        for i, name in enumerate(out_names):
+            vals = np.concatenate(
+                [np.frombuffer(b, dtype="<f8") for b in pdf[f"__v_{i}"]])
+            flat = np.full(nr * nc, np.nan, dtype="float64")
+            flat[pos] = vals
+            arr = flat.reshape(nr, nc)
+            mask = np.isnan(arr)
             tile = Tile(np.ma.masked_array(
-                np.where(mask, 0, vals).astype(ct.dtype), mask=mask), ct)
+                np.where(mask, 0, arr).astype(ct.dtype), mask=mask), ct)
             out[name] = [tile.to_row()]
         return pd.DataFrame(out)
 
-    return df.groupBy(*group_cols).applyInPandas(make, schema=out_schema)
+    return mid.groupBy(*key_names).applyInPandas(merge, schema=out_schema)
 
 
 # -- cell-type conversion (transformers/SetCellType.scala:56-96 etc.) --------

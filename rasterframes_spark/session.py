@@ -20,9 +20,13 @@ def create_rf_spark_session(master: str | None = None, app_name: str = "rasterfr
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        # Arrow is the data plane for every kernel
+        # Arrow is the data plane for every kernel. Batch by BYTES, not rows:
+        # tile rows are ~128KB (a 32MB batch is ~250 tiles) while exploded
+        # cell rows are ~20B (the same 32MB batch is ~1.6M rows) — a row cap
+        # tuned for one starves the other.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 * 1024 * 1024))
         # scale posture: AQE re-plans shuffles, coalesces partitions, and
         # handles skew joins at runtime (SURVEY.md §4)
         .config("spark.sql.adaptive.enabled", "true")
