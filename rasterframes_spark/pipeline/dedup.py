@@ -131,10 +131,56 @@ def hash_bytes32(data: bytes) -> int:
     return zlib.crc32(data) & 0x7FFFFFFF
 
 
+def _salted_self_pairs(banded: DataFrame, key_cols: list[str], id_col: str,
+                       carry_cols: list[str],
+                       hot_bucket_threshold: int = 10000,
+                       hot_bucket_salts: int = 16) -> DataFrame:
+    """Skew-safe self-equi-join of ``banded`` on ``key_cols`` with
+    ``a.id < b.id``: buckets larger than ``hot_bucket_threshold`` rows
+    (boilerplate/empty documents are common in web corpora) are salted
+    ``s`` ways — the left side gets one id-hash salt, the right side is
+    exploded to all ``s`` salt tags — so the O(n^2) bucket spreads over
+    ``s`` join keys instead of one straggler task. Pair output is IDENTICAL
+    to the unsalted join: each qualifying pair matches on exactly one
+    (bucket, salt) key. Normal buckets pay nothing (salt 0, single tag).
+
+    Returns columns: id_a, id_b, a.carry as <c>_a, b.carry as <c>_b.
+    """
+    s = int(hot_bucket_salts)
+    hot = (
+        banded.groupBy(*key_cols).agg(F.count("*").alias("__bn"))
+        .where(F.col("__bn") > int(hot_bucket_threshold))
+        .select(*key_cols, F.lit(True).alias("__hot"))
+    )
+    # hot buckets are few by definition — broadcast the marker join
+    marked = banded.join(F.broadcast(hot), list(key_cols), "left")
+    a = marked.withColumn(
+        "__salt",
+        F.when(F.col("__hot").isNotNull(),
+               F.pmod(F.xxhash64(F.col(id_col)), F.lit(s))).otherwise(F.lit(0)),
+    )
+    b = marked.withColumn(
+        "__salt",
+        F.explode(F.when(F.col("__hot").isNotNull(),
+                         F.sequence(F.lit(0), F.lit(s - 1)).cast("array<bigint>"))
+                  .otherwise(F.array(F.lit(0).cast("bigint")))),
+    )
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    cond.append(F.col("a.__salt") == F.col("b.__salt"))
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    joined = a.alias("a").join(b.alias("b"), cond)
+    sel = [F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")]
+    for c in carry_cols:
+        sel += [F.col(f"a.{c}").alias(f"{c.lstrip('_')}_a"),
+                F.col(f"b.{c}").alias(f"{c.lstrip('_')}_b")]
+    return joined.select(*sel).dropDuplicates(["id_a", "id_b"])
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str = "minhash",
-                           bands: int = 16) -> DataFrame:
-    """Signature -> (band, bucket) explode -> self-join: candidate id pairs.
-    Returns distinct (id_a, id_b) with id_a < id_b."""
+                           bands: int = 16, hot_bucket_threshold: int = 10000,
+                           hot_bucket_salts: int = 16) -> DataFrame:
+    """Signature -> (band, bucket) explode -> skew-safe self-join: candidate
+    id pairs. Returns distinct (id_a, id_b) with id_a < id_b."""
     rows_per_band = F.floor(F.size(sig_col) / bands).cast("int")
     banded = df.select(
         F.col(id_col).alias("__id"),
@@ -150,20 +196,16 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str = "minhash",
             )
         ).alias("__band", "__bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, (F.col("a.__band") == F.col("b.__band"))
-               & (F.col("a.__bucket") == F.col("b.__bucket"))
-               & (F.col("a.__id") < F.col("b.__id")))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return _salted_self_pairs(
+        banded, ["__band", "__bucket"], "__id", [],
+        hot_bucket_threshold, hot_bucket_salts)
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         shingle_size: int = 3, num_perm: int = 64,
-                        bands: int = 16, threshold: float = 0.8) -> DataFrame:
+                        bands: int = 16, threshold: float = 0.8,
+                        hot_bucket_threshold: int = 10000,
+                        hot_bucket_salts: int = 16) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates →
     exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
     sh = df.select(F.col(id_col).alias("__id"),
@@ -171,7 +213,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     sh = sh.where(F.size("__sh") > 0)
     sigs = sh.select("__id", "__sh", minhash_signature("__sh", num_perm).alias("minhash"))
     sigs.cache()
-    cands = minhash_lsh_candidates(sigs, "__id", "minhash", bands)
+    cands = minhash_lsh_candidates(sigs, "__id", "minhash", bands,
+                                   hot_bucket_threshold, hot_bucket_salts)
     sa = sigs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sb = sigs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     verified = (
@@ -213,10 +256,13 @@ def simhash(text, bits: int = 64) -> Column:
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3, hot_bucket_threshold: int = 10000,
+                       hot_bucket_salts: int = 16) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming, found by
     banding 64 bits into (max_hamming+1) chunks (pigeonhole: a qualifying
-    pair collides on ≥1 chunk) + exact popcount verify via bit_count."""
+    pair collides on ≥1 chunk) + exact popcount verify via bit_count.
+    Hot chunks (identical boilerplate docs) are salted via
+    ``_salted_self_pairs`` so no single join task gets the O(n^2) bucket."""
     chunks = max_hamming + 1
     width = 64 // chunks
     sh = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
@@ -231,14 +277,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         "__id", "__sh",
         F.posexplode(F.array(*chunk_cols)).alias("__chunk_i", "__chunk"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
-        a.join(b, (F.col("a.__chunk_i") == F.col("b.__chunk_i"))
-               & (F.col("a.__chunk") == F.col("b.__chunk"))
-               & (F.col("a.__id") < F.col("b.__id")))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-                F.col("a.__sh").alias("sh_a"), F.col("b.__sh").alias("sh_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        _salted_self_pairs(banded, ["__chunk_i", "__chunk"], "__id", ["__sh"],
+                           hot_bucket_threshold, hot_bucket_salts)
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
@@ -251,12 +292,24 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def _check_blocked(block_cols, allow_unblocked, fn_name):
+    if not block_cols and not allow_unblocked:
+        raise ValueError(
+            f"{fn_name}: no block_cols given — this would compute ALL pairs "
+            "(quadratic in input size). Pass block_cols, or "
+            "allow_unblocked=True for bounded inputs (use minhash/simhash "
+            "LSH for unblocked near-dup at scale).")
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         block_cols: list[str] | None = None, n: int = 1,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard over word n-gram sets for pairs sharing a blocking key
-    (default: all-pairs — only for bounded inputs). Pure built-ins:
+                        threshold: float = 0.5,
+                        allow_unblocked: bool = False) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for pairs sharing a blocking key.
+    All-pairs (no blocks) must be opted into via ``allow_unblocked`` — it is
+    quadratic and only for bounded inputs. Pure built-ins:
     array_intersect/array_union are codegen'd."""
+    _check_blocked(block_cols, allow_unblocked, "ngram_jaccard_pairs")
     t = df.select(
         F.col(id_col).alias("__id"),
         *(block_cols or []),
@@ -293,9 +346,13 @@ def cosine_sim(a, b) -> Column:
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str = "embedding",
                             block_cols: list[str] | None = None,
-                            threshold: float = 0.95) -> DataFrame:
+                            threshold: float = 0.95,
+                            allow_unblocked: bool = False) -> DataFrame:
     """Pairs with cosine ≥ threshold within blocking keys (e.g. an LSH
-    bucket or a label). Returns (id_a, id_b, cos)."""
+    bucket or a label). All-pairs requires ``allow_unblocked=True``
+    (quadratic; use hyperplane LSH buckets as blocks at scale).
+    Returns (id_a, id_b, cos)."""
+    _check_blocked(block_cols, allow_unblocked, "embedding_neardup_pairs")
     cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")] + [
         F.col(c) for c in (block_cols or [])
     ]

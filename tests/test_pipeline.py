@@ -156,3 +156,31 @@ def test_language_id_on_real_sentences(spark):
     ])
     got = [r["l"] for r in df.select(P.language_id("t").alias("l")).collect()]
     assert got == ["en", "de", "fr", "und"]
+
+
+def test_lsh_hot_bucket_salting(spark):
+    """A planted hot bucket (identical docs) must produce IDENTICAL pairs
+    with salting on, and spread the self-join over multiple salt keys."""
+    rows = [{"doc_id": i, "text": "the same exact boilerplate text repeated verbatim"}
+            for i in range(300)]
+    rows += [{"doc_id": 9001, "text": "completely different words entirely unique alpha beta"},
+             {"doc_id": 9002, "text": "completely different words entirely unique alpha beta"}]
+    df = spark.createDataFrame(rows)
+    unsalted = P.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.9,
+                                     hot_bucket_threshold=10**9)
+    salted = P.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.9,
+                                   hot_bucket_threshold=50, hot_bucket_salts=4)
+    nu, ns = unsalted.count(), salted.count()
+    assert nu == ns == (300 * 299) // 2 + 1
+    u2 = P.simhash_near_pairs(df, "doc_id", "text", hot_bucket_threshold=10**9)
+    s2 = P.simhash_near_pairs(df, "doc_id", "text", hot_bucket_threshold=50,
+                              hot_bucket_salts=4)
+    assert sorted(map(tuple, u2.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_unblocked_pairs_guard(spark, docs):
+    with pytest.raises(ValueError, match="block_cols"):
+        P.ngram_jaccard_pairs(docs, "doc_id", "text")
+    pairs = P.ngram_jaccard_pairs(docs, "doc_id", "text", allow_unblocked=True,
+                                  threshold=0.99)
+    assert pairs.count() >= 0
