@@ -333,6 +333,47 @@ def _q_st_ops(spark, sf_dir):
     )
 
 
+def _q_focal_seams(spark, sf_dir):
+    """Cross-tile focal correctness: a 32x32 image (groups 0-3 as
+    quadrants) is chunked into four 16x16 core tiles assembled WITH a
+    1-px halo of neighbor cells; rf_focal_mean(buffer=1) must equal the
+    whole-image neighborhood mean INCLUDING at tile seams. Reference:
+    BufferTile halo over-read, ref/RasterRef.scala:49-64 +
+    focalops/FocalNeighborhoodOp.scala:35-62."""
+    b = 1
+    cells = _cells_df(spark, sf_dir).where(F.col("grp") < 4)
+    g = cells.select(
+        ((F.col("grp") % 2) * TILE_COLS + F.col("ci")).alias("gci"),
+        (F.floor(F.col("grp") / 2).cast("int") * TILE_ROWS + F.col("ri")).alias("gri"),
+        "qty",
+    )
+    tiles = spark.range(4).select(F.col("id").cast("int").alias("t"))
+    tx = (F.col("t") % 2) * TILE_COLS
+    ty = F.floor(F.col("t") / 2).cast("int") * TILE_ROWS
+    joined = tiles.join(
+        g,
+        (F.col("gci") >= tx - b) & (F.col("gci") <= tx + TILE_COLS - 1 + b)
+        & (F.col("gri") >= ty - b) & (F.col("gri") <= ty + TILE_ROWS - 1 + b),
+    )
+    local = joined.select(
+        "t",
+        (F.col("gci") - (tx - b)).cast("int").alias("ci"),
+        (F.col("gri") - (ty - b)).cast("int").alias("ri"),
+        "qty",
+    )
+    bt = rf.assemble_tiles(local, ["t"], "ci", "ri", "qty",
+                           TILE_COLS + 2 * b, TILE_ROWS + 2 * b, "float64")
+    foc = bt.select("t", rf.rf_focal_mean("tile", "square-1", buffer=b).alias("f"))
+    out = rf.explode_tiles(foc, ["f"]).where(F.col("f").isNotNull())
+    tx2 = (F.col("t") % 2) * TILE_COLS
+    ty2 = F.floor(F.col("t") / 2).cast("int") * TILE_ROWS
+    return out.select(
+        (tx2 + F.col("column_index")).cast("int").alias("gci"),
+        (ty2 + F.col("row_index")).cast("int").alias("gri"),
+        F.round(F.col("f"), 6).alias("focal"),
+    )
+
+
 def _q_st_predicates(spark, sf_dir):
     """DE-9IM predicate surface (st_touches / st_overlaps / st_crosses /
     st_covers / st_contains / st_equals) on integer-grid geometries with a
@@ -606,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantiles": _q_agg_quantiles,
         "local_min_max": _q_local_min_max,
         "focal_mean": _q_focal_mean,
+        "focal_seams": _q_focal_seams,
         "tile_histogram": _q_tile_histogram,
         "resample_nearest": _q_resample_nearest,
         "raster_join": _q_raster_join,
@@ -699,6 +741,16 @@ def oracle_sql() -> dict[str, str]:
             from cells a join cells b
               on a.grp = b.grp and abs(a.ci - b.ci) <= 1 and abs(a.ri - b.ri) <= 1
             group by a.grp, a.ci, a.ri""",
+        "focal_seams": C + f"""
+            , g as (
+              select (grp % 2) * {TILE_COLS} + ci as gci,
+                     (grp // 2) * {TILE_ROWS} + ri as gri, qty
+              from cells where grp < 4)
+            select cast(a.gci as int) as gci, cast(a.gri as int) as gri,
+                   round(avg(b.qty), 6) as focal
+            from g a join g b
+              on abs(a.gci - b.gci) <= 1 and abs(a.gri - b.gri) <= 1
+            group by a.gci, a.gri""",
         "tile_histogram": C + """
             select grp, qty as value, count(*) as n
             from cells group by grp, qty""",

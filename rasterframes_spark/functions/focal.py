@@ -53,48 +53,62 @@ def _windows(a: np.ma.MaskedArray, r: int):
     return np.lib.stride_tricks.sliding_window_view(padded, (2 * r + 1, 2 * r + 1))
 
 
-def _focal(reducer, neighborhood="square-1"):
+def _slice_core(ma: np.ma.MaskedArray, b: int) -> np.ma.MaskedArray:
+    """Drop a ``b``-pixel halo, keeping the tile core (BufferTile semantics:
+    the halo feeds the neighborhood but is not part of the output)."""
+    if b <= 0:
+        return ma
+    return ma[b:-b, b:-b]
+
+
+def _focal(reducer, neighborhood="square-1", buffer=0):
     r = _radius(neighborhood)
+    b = int(buffer)
 
     def fn(a):
         w = _windows(a, r)
         with np.errstate(invalid="ignore", divide="ignore"):
             res = reducer(w.reshape(w.shape[0], w.shape[1], -1))
         mask = np.isnan(res) | np.ma.getmaskarray(a)
-        return np.ma.masked_array(res, mask=mask)
+        return _slice_core(np.ma.masked_array(res, mask=mask), b)
 
     return fn
 
 
-def rf_focal_mean(tile, neighborhood="square-1") -> Column:
-    """(focalops/FocalMean.scala:41)"""
-    return unary_tile_op(_focal(lambda w: np.nanmean(w, axis=2), neighborhood),
+def rf_focal_mean(tile, neighborhood="square-1", buffer: int = 0) -> Column:
+    """(focalops/FocalMean.scala:41). ``buffer`` is the halo width carried
+    in the tile (read_raster's buffer_size / an assembled halo): the
+    neighborhood consumes it, the output is the core tile — so focal values
+    at tile seams match a whole-image computation
+    (ref/RasterRef.scala:49-64, focalops/FocalNeighborhoodOp.scala:35-62)."""
+    return unary_tile_op(_focal(lambda w: np.nanmean(w, axis=2), neighborhood, buffer),
                          out_ct="float64")(tile)
 
 
-def rf_focal_median(tile, neighborhood="square-1") -> Column:
-    return unary_tile_op(_focal(lambda w: np.nanmedian(w, axis=2), neighborhood),
+def rf_focal_median(tile, neighborhood="square-1", buffer: int = 0) -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanmedian(w, axis=2), neighborhood, buffer),
                          out_ct="float64")(tile)
 
 
-def rf_focal_min(tile, neighborhood="square-1") -> Column:
-    return unary_tile_op(_focal(lambda w: np.nanmin(w, axis=2), neighborhood),
+def rf_focal_min(tile, neighborhood="square-1", buffer: int = 0) -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanmin(w, axis=2), neighborhood, buffer),
                          out_ct="float64")(tile)
 
 
-def rf_focal_max(tile, neighborhood="square-1") -> Column:
-    return unary_tile_op(_focal(lambda w: np.nanmax(w, axis=2), neighborhood),
+def rf_focal_max(tile, neighborhood="square-1", buffer: int = 0) -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanmax(w, axis=2), neighborhood, buffer),
                          out_ct="float64")(tile)
 
 
-def rf_focal_stddev(tile, neighborhood="square-1") -> Column:
-    return unary_tile_op(_focal(lambda w: np.nanstd(w, axis=2), neighborhood),
+def rf_focal_stddev(tile, neighborhood="square-1", buffer: int = 0) -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanstd(w, axis=2), neighborhood, buffer),
                          out_ct="float64")(tile)
 
 
-def rf_focal_mode(tile, neighborhood="square-1") -> Column:
+def rf_focal_mode(tile, neighborhood="square-1", buffer: int = 0) -> Column:
     """Most frequent neighborhood value (FocalMode.scala)."""
     r = _radius(neighborhood)
+    b = int(buffer)
 
     def fn(a):
         w = _windows(a, r).reshape(a.shape[0], a.shape[1], -1)
@@ -111,40 +125,43 @@ def rf_focal_mode(tile, neighborhood="square-1") -> Column:
                     uq, ct = np.unique(vals, return_counts=True)
                     res[i, j] = uq[np.argmax(ct)]
         mask |= np.ma.getmaskarray(a)
-        return np.ma.masked_array(res, mask=mask)
+        return _slice_core(np.ma.masked_array(res, mask=mask), b)
 
     return unary_tile_op(fn, out_ct="float64")(tile)
 
 
-def rf_convolve(tile, kernel) -> Column:
+def rf_convolve(tile, kernel, buffer: int = 0) -> Column:
     """Kernel convolution (focalops/Convolve.scala:52-85). ``kernel`` is a
     2-D nested list / numpy array. NoData cells contribute 0 (GeoTrellis
     Kernel convolve skips NoData); output NoData where input is NoData."""
     k = np.asarray(kernel, dtype="float64")
     kr, kc = k.shape[0] // 2, k.shape[1] // 2
+    b = int(buffer)
 
     def fn(a):
         filled = np.where(np.ma.getmaskarray(a), 0.0, np.asarray(a.data, dtype="float64"))
         padded = np.pad(filled, ((kr, kr), (kc, kc)), mode="constant")
         w = np.lib.stride_tricks.sliding_window_view(padded, k.shape)
         res = np.einsum("ijkl,kl->ij", w, k[::-1, ::-1])
-        return np.ma.masked_array(res, mask=np.ma.getmaskarray(a))
+        return _slice_core(np.ma.masked_array(res, mask=np.ma.getmaskarray(a)), b)
 
     return unary_tile_op(fn, out_ct="float64")(tile)
 
 
-def rf_focal_moransi(tile, neighborhood="square-1") -> Column:
+def rf_focal_moransi(tile, neighborhood="square-1", buffer: int = 0) -> Column:
     """Local Moran's I spatial autocorrelation (focalops/FocalMoransI.scala:53):
     I_i = z_i * mean(z_neighbors) / var(z), z = x - mean(x), neighbors
-    exclude the center cell."""
+    exclude the center cell. With a halo, the global stats come from the
+    tile CORE (the halo only extends neighborhoods)."""
     r = _radius(neighborhood)
+    b = int(buffer)
 
     def fn(a):
-        af = a.astype("float64")
-        mu = af.mean()
-        var = af.var()
+        core = _slice_core(a, b).astype("float64")
+        mu = core.mean()
+        var = core.var()
         z = np.where(np.ma.getmaskarray(a), np.nan,
-                     np.asarray(af.data, dtype="float64") - float(mu))
+                     np.asarray(a.data, dtype="float64") - float(mu))
         padded = np.pad(z, r, mode="constant", constant_values=np.nan)
         w = np.lib.stride_tricks.sliding_window_view(padded, (2 * r + 1, 2 * r + 1))
         w = w.reshape(a.shape[0], a.shape[1], -1).copy()
@@ -153,7 +170,8 @@ def rf_focal_moransi(tile, neighborhood="square-1") -> Column:
         with np.errstate(invalid="ignore"):
             nbr_mean = np.nanmean(w, axis=2)
         res = z * nbr_mean / (float(var) if var else 1.0)
-        return np.ma.masked_array(res, mask=np.isnan(res) | np.ma.getmaskarray(a))
+        out = np.ma.masked_array(res, mask=np.isnan(res) | np.ma.getmaskarray(a))
+        return _slice_core(out, b)
 
     return unary_tile_op(fn, out_ct="float64")(tile)
 
@@ -176,19 +194,25 @@ def _horn_gradients(a: np.ma.MaskedArray, cw: float, ch: float):
     return dzdx, dzdy
 
 
-def _cell_size_expr(extent_col, tile_col):
-    """Cell width/height from extent + dims, computed Catalyst-side."""
+def _cell_size_expr(extent_col, tile_col, buffer: int = 0):
+    """Cell width/height from extent + dims, computed Catalyst-side. The
+    extent describes the tile CORE, so halo pixels are excluded from the
+    dimension count."""
     e = col_or_name(extent_col)
     t = col_or_name(tile_col)
-    cw = (e.getField("xmax") - e.getField("xmin")) / t.getField("cols").cast("double")
-    ch = (e.getField("ymax") - e.getField("ymin")) / t.getField("rows").cast("double")
+    cols = t.getField("cols").cast("double") - 2.0 * buffer
+    rows = t.getField("rows").cast("double") - 2.0 * buffer
+    cw = (e.getField("xmax") - e.getField("xmin")) / cols
+    ch = (e.getField("ymax") - e.getField("ymin")) / rows
     return cw, ch
 
 
-def _dem_op(make_result):
+def _dem_op(make_result, buffer: int = 0):
     from rasterframes_spark.functions._kernel import lazy_pandas_udf
     from rasterframes_spark.tile import TILE_SCHEMA, decode_struct_pdf, tiles_to_struct_pdf
     from rasterframes_spark.tile import Tile as _Tile
+
+    b = int(buffer)
 
     @lazy_pandas_udf(TILE_SCHEMA)
     def udf(t: pd.DataFrame, cw: pd.Series, ch: pd.Series, p1: pd.Series,
@@ -201,14 +225,15 @@ def _dem_op(make_result):
                 continue
             res = make_result(tl.masked(), float(cw.values[i]), abs(float(ch.values[i])),
                               float(p1.values[i]), float(p2.values[i]), float(p3.values[i]))
-            out.append(_Tile(np.ma.masked_array(res, mask=np.isnan(res) | np.ma.getmaskarray(tl.masked())),
-                             CellType.parse("float64")))
+            ma = np.ma.masked_array(
+                res, mask=np.isnan(res) | np.ma.getmaskarray(tl.masked()))
+            out.append(_Tile(_slice_core(ma, b), CellType.parse("float64")))
         return tiles_to_struct_pdf(out)
 
     return udf
 
 
-def rf_slope(tile, extent, z_factor: float = 1.0) -> Column:
+def rf_slope(tile, extent, z_factor: float = 1.0, buffer: int = 0) -> Column:
     """Slope in degrees (focalops/Slope.scala:51-89, Horn's method)."""
     from pyspark.sql import functions as F
 
@@ -216,12 +241,12 @@ def rf_slope(tile, extent, z_factor: float = 1.0) -> Column:
         dzdx, dzdy = _horn_gradients(a, cw, ch)
         return np.degrees(np.arctan(zf * np.hypot(dzdx, dzdy)))
 
-    cw, ch = _cell_size_expr(extent, tile)
-    return _dem_op(mk)(col_or_name(tile), cw, ch, F.lit(float(z_factor)),
-                       F.lit(0.0), F.lit(0.0))
+    cw, ch = _cell_size_expr(extent, tile, buffer)
+    return _dem_op(mk, buffer)(col_or_name(tile), cw, ch, F.lit(float(z_factor)),
+                               F.lit(0.0), F.lit(0.0))
 
 
-def rf_aspect(tile, extent) -> Column:
+def rf_aspect(tile, extent, buffer: int = 0) -> Column:
     """Aspect in degrees clockwise from north (focalops/Aspect.scala:49-83)."""
     from pyspark.sql import functions as F
 
@@ -232,12 +257,13 @@ def rf_aspect(tile, extent) -> Column:
         flat = (dzdx == 0) & (dzdy == 0)
         return np.where(flat, 0.0, asp)
 
-    cw, ch = _cell_size_expr(extent, tile)
-    return _dem_op(mk)(col_or_name(tile), cw, ch, F.lit(0.0), F.lit(0.0), F.lit(0.0))
+    cw, ch = _cell_size_expr(extent, tile, buffer)
+    return _dem_op(mk, buffer)(col_or_name(tile), cw, ch, F.lit(0.0), F.lit(0.0),
+                               F.lit(0.0))
 
 
 def rf_hillshade(tile, extent, azimuth: float = 315.0, altitude: float = 45.0,
-                 z_factor: float = 1.0) -> Column:
+                 z_factor: float = 1.0, buffer: int = 0) -> Column:
     """Hillshade 0-255 (focalops/Hillshade.scala:54-103 — the reference's
     5-ary QuinaryExpression)."""
     from pyspark.sql import functions as F
@@ -252,6 +278,6 @@ def rf_hillshade(tile, extent, azimuth: float = 315.0, altitude: float = 45.0,
                   + np.cos(alt_r) * np.sin(slope_r) * np.cos(az_r - aspect_r))
         return np.clip(np.round(255 * shaded), 0, 255)
 
-    cw, ch = _cell_size_expr(extent, tile)
-    return _dem_op(mk)(col_or_name(tile), cw, ch, F.lit(float(azimuth)),
-                       F.lit(float(altitude)), F.lit(float(z_factor)))
+    cw, ch = _cell_size_expr(extent, tile, buffer)
+    return _dem_op(mk, buffer)(col_or_name(tile), cw, ch, F.lit(float(azimuth)),
+                               F.lit(float(altitude)), F.lit(float(z_factor)))

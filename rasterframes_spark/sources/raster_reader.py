@@ -183,16 +183,28 @@ def realize_tiles(ref) -> Column:
             buf = int(r["buffer"].values[i])
             c0 = int(r["col_off"].values[i]) - buf
             r0 = int(r["row_off"].values[i]) - buf
-            w = int(r["width"].values[i]) + 2 * buf
-            h = int(r["height"].values[i]) + 2 * buf
+            w_req = int(r["width"].values[i]) + 2 * buf
+            h_req = int(r["height"].values[i]) + 2 * buf
             c0c, r0c = max(c0, 0), max(r0, 0)
-            w = min(c0 + w, info.width) - c0c
-            h = min(r0 + h, info.height) - r0c
+            w = min(c0 + w_req, info.width) - c0c
+            h = min(r0 + h_req, info.height) - r0c
             arr = GT.read_window(data, info, c0c, r0c, w, h, int(r["band"].values[i]))
             ct = CellType.parse(_celltype_for(info))
             if arr.dtype != ct.dtype:
                 arr = arr.astype(ct.dtype)
-            out.append(Tile(np.ma.masked_array(arr, mask=ct.mask_of(arr)), ct))
+            ma = np.ma.masked_array(arr, mask=ct.mask_of(arr))
+            if buf and (w != w_req or h != h_req):
+                # image-edge chunk: pad the halo with NoData so buffered
+                # tiles are uniformly (core + 2*buf) on every side — focal
+                # ops can then slice a constant halo (BufferTile contract,
+                # ref/RasterRef.scala:49-64)
+                full = np.ma.masked_array(
+                    np.zeros((h_req, w_req), dtype=ct.dtype),
+                    mask=np.ones((h_req, w_req), dtype=bool))
+                top, left = r0c - r0, c0c - c0
+                full[top:top + h, left:left + w] = ma
+                ma = full
+            out.append(Tile(ma, ct))
         return tiles_to_struct_pdf(out)
 
     return udf(col_or_name(ref))

@@ -164,3 +164,33 @@ def test_slippy_export(spark, scene_path, tmp_path):
     S.write_slippy(df.select(F.col("tile_ref").alias("tile"), "extent", "crs"), d, zoom=3)
     pngs = [f for _, _, fs in os.walk(d) for f in fs if f.endswith(".png")]
     assert pngs
+
+
+def test_read_raster_buffered_halo_focal(spark, scene_path):
+    """buffer_size halo: every realized tile is (core + 2b) with NoData pad
+    at image edges, and focal over buffered tiles equals the whole-image
+    focal (seam correctness)."""
+    path, arr = scene_path
+    b = 2
+    df = S.read_raster(spark, [path], tile_dimensions=(64, 64), buffer_size=b)
+    realized = df.select("tile_ref", S.realize_tiles("tile_ref").alias("tile"))
+    dims = realized.select(rf.rf_dimensions("tile").alias("d")).collect()
+    assert all(r["d"]["cols"] == 64 + 2 * b and r["d"]["rows"] == 32 + 2 * b
+               or r["d"]["cols"] == 64 + 2 * b and r["d"]["rows"] == 64 + 2 * b
+               for r in dims)
+    foc = realized.select(
+        F.col("tile_ref.col_off").alias("c0"), F.col("tile_ref.row_off").alias("r0"),
+        rf.rf_focal_mean("tile", "square-1", buffer=b).alias("f"))
+    rows = rf.explode_tiles(foc, ["f"]).where(F.col("f").isNotNull()).collect()
+    # whole-image oracle (nodata=0 cells excluded, like the reader's mask)
+    full = np.where(arr == 0, np.nan, arr.astype("float64"))
+    pad = np.pad(full, 1, constant_values=np.nan)
+    w = np.lib.stride_tricks.sliding_window_view(pad, (3, 3))
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        oracle = np.nanmean(w.reshape(w.shape[0], w.shape[1], -1), axis=2)
+    for r in rows:
+        gr, gc = r["r0"] + r["row_index"], r["c0"] + r["column_index"]
+        assert abs(r["f"] - oracle[gr, gc]) < 1e-9, (gr, gc)
+    assert len(rows) == int((~np.isnan(full)).sum())
