@@ -333,6 +333,15 @@ def _q_st_ops(spark, sf_dir):
     )
 
 
+def _q_streaming_histogram(spark, sf_dir):
+    """One-pass mergeable centroid histogram (HistogramAggregate.scala:45-125,
+    Ben-Haim & Tom-Tov). qty has <= 80 distinct values, so the sketch is
+    EXACT count-per-value regardless of partitioning — a closed-form
+    group-by oracle."""
+    t = _tiles_df(spark, sf_dir)
+    return rf.rf_agg_approx_histogram(t, "qty", num_buckets=80)
+
+
 def _q_focal_seams(spark, sf_dir):
     """Cross-tile focal correctness: a 32x32 image (groups 0-3 as
     quadrants) is chunked into four 16x16 core tiles assembled WITH a
@@ -648,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_min_max": _q_local_min_max,
         "focal_mean": _q_focal_mean,
         "focal_seams": _q_focal_seams,
+        "streaming_histogram": _q_streaming_histogram,
         "tile_histogram": _q_tile_histogram,
         "resample_nearest": _q_resample_nearest,
         "raster_join": _q_raster_join,
@@ -754,6 +764,9 @@ def oracle_sql() -> dict[str, str]:
         "tile_histogram": C + """
             select grp, qty as value, count(*) as n
             from cells group by grp, qty""",
+        "streaming_histogram": C + """
+            select qty as value, count(*) as count
+            from cells group by qty""",
         "resample_nearest": C + """
             select grp, sum(qty) as s, count(qty) as n
             from cells where ci % 2 = 0 and ri % 2 = 0

@@ -35,6 +35,7 @@ __all__ = [
     "rf_agg_stats", "rf_agg_mean", "rf_agg_data_cells", "rf_agg_no_data_cells",
     "rf_agg_extent", "rf_agg_reprojected_extent",
     "rf_agg_approx_quantiles", "rf_agg_approx_histogram",
+    "rf_agg_equal_width_histogram",
     "agg_local_stats", "agg_local_min", "agg_local_max", "agg_local_mean",
     "agg_local_data_cells", "agg_local_no_data_cells",
     "grouped_agg_local", "rf_agg_overview_raster",
@@ -169,11 +170,98 @@ def rf_agg_approx_quantiles(df: DataFrame, tile, probabilities, relative_error=0
     )
 
 
+def _hist_combine(vals: np.ndarray, cnts: np.ndarray):
+    """Sort by value and merge duplicate centroids."""
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnts = vals[order], cnts[order]
+    if not len(vals):
+        return vals, cnts
+    new = np.concatenate([[True], np.diff(vals) > 0])
+    idx = np.cumsum(new) - 1
+    nv = vals[new]
+    nc = np.zeros(len(nv), dtype="int64")
+    np.add.at(nc, idx, cnts)
+    return nv, nc
+
+
+def _hist_compress(vals: np.ndarray, cnts: np.ndarray, budget: int):
+    """Ben-Haim & Tom-Tov compression: repeatedly merge the closest
+    adjacent centroid pair (count-weighted mean) until <= budget bins."""
+    vals = vals.astype("float64")
+    cnts = cnts.astype("int64")
+    while len(vals) > budget:
+        i = int(np.argmin(np.diff(vals)))
+        tot = cnts[i] + cnts[i + 1]
+        mv = (vals[i] * cnts[i] + vals[i + 1] * cnts[i + 1]) / tot
+        vals = np.concatenate([vals[:i], [mv], vals[i + 2:]])
+        cnts = np.concatenate([cnts[:i], [tot], cnts[i + 2:]])
+    return vals, cnts
+
+
 def rf_agg_approx_histogram(df: DataFrame, tile, num_buckets: int = 80):
-    """Fixed-bin histogram over all cells (aggregates/HistogramAggregate.scala:45-125
-    uses a streaming histogram; fixed-width binning over the exact min/max is
-    the deterministic equivalent at column scale). Returns a DataFrame with
-    ``bin_start, bin_end, count`` rows."""
+    """ONE-PASS mergeable streaming histogram of all cells — the engine's
+    analog of the reference's StreamingHistogram TypedImperativeAggregate
+    (aggregates/HistogramAggregate.scala:45-125, Ben-Haim & Tom-Tov 2010).
+
+    Per-partition mapInPandas builds a fixed-budget centroid sketch
+    (vectorized np.unique per tile + closest-pair compression); the tiny
+    per-partition states shuffle to a single final merge. No mid-query
+    collect, a single Spark job, mergeable at any parallelism. When the
+    column has <= num_buckets distinct values the result is EXACT
+    (count-per-value), independent of partitioning.
+
+    Returns a DataFrame of ``(value double, count long)`` centroid rows.
+    """
+    from rasterframes_spark.functions.constructors import _tiles_from_dict_series
+
+    budget = int(num_buckets)
+    src = df.select(col_or_name(tile).alias("tile"))
+
+    def partial(batches):
+        vals = np.empty(0, dtype="float64")
+        cnts = np.empty(0, dtype="int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for t in _tiles_from_dict_series(pdf["tile"]):
+                if t is None:
+                    continue
+                a = t.masked().compressed().astype("float64")
+                a = a[~np.isnan(a)]
+                if not len(a):
+                    continue
+                u, c = np.unique(a, return_counts=True)
+                vals, cnts = _hist_combine(
+                    np.concatenate([vals, u]), np.concatenate([cnts, c]))
+                if len(vals) > 4 * budget:
+                    vals, cnts = _hist_compress(vals, cnts, budget)
+        if len(vals):
+            vals, cnts = _hist_compress(vals, cnts, budget)
+            yield pd.DataFrame({"values": [vals.tobytes()],
+                                "counts": [cnts.tobytes()]})
+
+    partials = src.mapInPandas(partial, schema="values binary, counts binary")
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.concatenate(
+            [np.frombuffer(b, dtype="float64") for b in pdf["values"]])
+        cnts = np.concatenate(
+            [np.frombuffer(b, dtype="int64") for b in pdf["counts"]])
+        vals, cnts = _hist_combine(vals, cnts)
+        vals, cnts = _hist_compress(vals, cnts, budget)
+        return pd.DataFrame({"value": vals, "count": cnts})
+
+    return (
+        partials.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(final, schema="value double, count long")
+    )
+
+
+def rf_agg_equal_width_histogram(df: DataFrame, tile, num_buckets: int = 80):
+    """TWO-PASS equal-width histogram convenience (exact min/max then fixed
+    bins): deterministic bin edges, but scans the data twice with a driver
+    sync — prefer rf_agg_approx_histogram in pipelines. Returns a DataFrame
+    with ``bin_start, bin_end, count`` rows."""
     from rasterframes_spark.functions.constructors import rf_tile_to_array_double
 
     cells = df.select(F.explode(rf_tile_to_array_double(tile)).alias("cell")).where(

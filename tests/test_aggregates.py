@@ -97,7 +97,7 @@ def test_agg_extent(spark):
 
 
 def test_agg_histogram(spark, tile_df, tiles):
-    hist = rf.rf_agg_approx_histogram(tile_df, "tile", num_buckets=10).collect()
+    hist = rf.rf_agg_equal_width_histogram(tile_df, "tile", num_buckets=10).collect()
     cells = _all_cells(tiles).compressed()
     assert sum(r["count"] for r in hist) == len(cells)
 
@@ -108,3 +108,19 @@ def test_grouped_agg_stats(spark, tile_df, tiles):
     for g in (0, 1):
         sel = [t for i, t in enumerate(tiles) if i % 2 == g]
         assert abs(got[g] - float(_all_cells(sel).mean())) < 1e-9
+
+
+def test_streaming_histogram_exact_and_compressed(spark, tile_df, tiles):
+    # exact when distinct values <= budget
+    hist = rf.rf_agg_approx_histogram(tile_df, "tile", num_buckets=1000).collect()
+    cells = _all_cells(tiles).compressed()
+    import collections
+    exact = collections.Counter(cells.astype("float64").tolist())
+    got = {r["value"]: r["count"] for r in hist}
+    assert got == dict(exact)
+    # compressed: bin budget respected, mass conserved
+    small = rf.rf_agg_approx_histogram(tile_df, "tile", num_buckets=5).collect()
+    assert len(small) <= 5
+    assert sum(r["count"] for r in small) == len(cells)
+    vals = [r["value"] for r in small]
+    assert vals == sorted(vals)
