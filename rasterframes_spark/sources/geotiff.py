@@ -55,18 +55,34 @@ class GeoTiffInfo:
     tiepoint: tuple
 
 
+def _slice(data, a: int, b: int) -> bytes:
+    """Byte range [a, b) from plain bytes or a range source (an object with
+    ``read_range`` — see sources/rangeio.py). Keeping ALL byte access behind
+    this choke point is what makes remote windowed reads fetch ~tile bytes
+    instead of whole objects."""
+    if hasattr(data, "read_range"):
+        return data.read_range(a, b - a)
+    return data[a:b]
+
+
+def _unpack(fmt: str, data, off: int):
+    return struct.unpack(fmt, _slice(data, off, off + struct.calcsize(fmt)))
+
+
 def _read_ifd(data: bytes, bo: str, off: int):
-    (n,) = struct.unpack_from(bo + "H", data, off)
+    (n,) = _unpack(bo + "H", data, off)
+    # one fetch for the whole tag table (12 bytes per tag)
+    table = _slice(data, off + 2, off + 2 + 12 * n)
     tags = {}
     for i in range(n):
-        base = off + 2 + 12 * i
-        tag, typ, count = struct.unpack_from(bo + "HHI", data, base)
+        base = 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", table, base)
         size = _TAG_SIZES.get(typ, 1) * count
         if size <= 4:
-            raw = data[base + 8: base + 8 + size]
+            raw = table[base + 8: base + 8 + size]
         else:
-            (ptr,) = struct.unpack_from(bo + "I", data, base + 8)
-            raw = data[ptr: ptr + size]
+            (ptr,) = struct.unpack_from(bo + "I", table, base + 8)
+            raw = _slice(data, ptr, ptr + size)
         if typ in _TAG_FMT:
             vals = list(struct.unpack(bo + _TAG_FMT[typ] * count, raw))
         elif typ == 2:  # ascii
@@ -81,11 +97,12 @@ def _read_ifd(data: bytes, bo: str, off: int):
 
 
 def read_info(data: bytes) -> GeoTiffInfo:
-    bo = "<" if data[:2] == b"II" else ">"
-    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    head = _slice(data, 0, 8)
+    bo = "<" if head[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(bo + "H", head, 2)
     if magic != 42:
         raise ValueError("not a classic TIFF (BigTIFF unsupported)")
-    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    (ifd_off,) = struct.unpack_from(bo + "I", head, 4)
     t = _read_ifd(data, bo, ifd_off)
 
     width = t[256][0]
@@ -156,7 +173,8 @@ def read_window(data: bytes, info: GeoTiffInfo, col_off: int, row_off: int,
             for tc in range(t0c, t1c + 1):
                 idx = tr * tiles_across + tc
                 raw = _decompress(
-                    data[info.chunk_offsets[idx]: info.chunk_offsets[idx] + info.chunk_counts[idx]],
+                    _slice(data, info.chunk_offsets[idx],
+                           info.chunk_offsets[idx] + info.chunk_counts[idx]),
                     info.compression)
                 arr = np.frombuffer(raw, dtype=dt).reshape(th, tw, info.bands)[:, :, band]
                 # intersect tile with window
@@ -174,7 +192,8 @@ def read_window(data: bytes, info: GeoTiffInfo, col_off: int, row_off: int,
         s0, s1 = row_off // rps, (row_off + height - 1) // rps
         for s in range(s0, s1 + 1):
             raw = _decompress(
-                data[info.chunk_offsets[s]: info.chunk_offsets[s] + info.chunk_counts[s]],
+                _slice(data, info.chunk_offsets[s],
+                       info.chunk_offsets[s] + info.chunk_counts[s]),
                 info.compression)
             nrows = min(rps, info.height - s * rps)
             arr = np.frombuffer(raw, dtype=dt).reshape(nrows, info.width, info.bands)[:, :, band]

@@ -1,0 +1,96 @@
+"""Random-access byte sources with range reads.
+
+The reference realizes lazy RasterRefs by reading only the bytes of the
+chunks a window needs (``ref/RasterRef.scala:49-64`` over GeoTrellis
+RangeReaders — file seeks locally, HTTP ``Range`` requests for COGs).
+This module is the engine's equivalent: a :class:`RangeSource` fetches
+block-aligned byte ranges on demand (HTTP ``Range`` header or file seek)
+with a small LRU block cache, so at 100 TB of COGs an executor moves
+~tile bytes per window instead of whole objects.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+__all__ = ["RangeSource", "open_source"]
+
+_BLOCK = 256 * 1024
+_MAX_BLOCKS = 64  # 16 MiB cache per source
+
+
+class RangeSource:
+    """Seekable byte source over file:// paths or http(s):// URIs.
+
+    Supports ``read_range(offset, length)`` (the protocol the GeoTIFF
+    decoder consumes) via block-aligned fetches: file seek+read locally,
+    HTTP ``Range: bytes=a-b`` remotely. ``bytes_fetched`` counts actual
+    I/O for tests/observability.
+    """
+
+    def __init__(self, uri: str, block_size: int = _BLOCK):
+        self.uri = str(uri)
+        self.block = int(block_size)
+        self.bytes_fetched = 0
+        self.requests = 0
+        self._blocks: OrderedDict[int, bytes] = OrderedDict()
+        self._size: int | None = None
+        self._is_http = self.uri.startswith(("http://", "https://"))
+        self._path = self.uri[7:] if self.uri.startswith("file://") else self.uri
+
+    # -- low-level I/O --
+    def size(self) -> int:
+        if self._size is None:
+            if self._is_http:
+                from urllib.request import Request, urlopen
+
+                req = Request(self.uri, method="HEAD")
+                with urlopen(req) as r:  # noqa: S310 — user catalog URI
+                    self._size = int(r.headers["Content-Length"])
+            else:
+                self._size = os.path.getsize(self._path)
+        return self._size
+
+    def _fetch(self, start: int, end: int) -> bytes:
+        """Read [start, end) from the backing store."""
+        self.bytes_fetched += end - start
+        self.requests += 1
+        if self._is_http:
+            from urllib.request import Request, urlopen
+
+            req = Request(self.uri, headers={"Range": f"bytes={start}-{end - 1}"})
+            with urlopen(req) as r:  # noqa: S310
+                return r.read()
+        with open(self._path, "rb") as f:
+            f.seek(start)
+            return f.read(end - start)
+
+    # -- public protocol --
+    def read_range(self, offset: int, length: int) -> bytes:
+        if length <= 0:
+            return b""
+        end = min(offset + length, self.size())
+        if offset >= end:
+            return b""
+        b0, b1 = offset // self.block, (end - 1) // self.block
+        parts = []
+        for bi in range(b0, b1 + 1):
+            blk = self._blocks.get(bi)
+            if blk is None:
+                s = bi * self.block
+                e = min(s + self.block, self.size())
+                blk = self._fetch(s, e)
+                self._blocks[bi] = blk
+                if len(self._blocks) > _MAX_BLOCKS:
+                    self._blocks.popitem(last=False)
+            else:
+                self._blocks.move_to_end(bi)
+            parts.append(blk)
+        buf = parts[0] if len(parts) == 1 else b"".join(parts)
+        rel = offset - b0 * self.block
+        return buf[rel: rel + (end - offset)]
+
+
+def open_source(uri: str) -> RangeSource:
+    return RangeSource(uri)

@@ -53,8 +53,8 @@ _CHUNK_T = (
 
 @functools.lru_cache(maxsize=64)
 def _fetch_bytes(uri: str) -> bytes:
-    """Executor-local source cache. file:// and plain paths supported;
-    http(s):// via urllib (works where the cluster has egress)."""
+    """Whole-object fetch (legacy convenience). The data path uses
+    ``_range_source`` instead — windowed reads must NOT download the object."""
     if uri.startswith("http://") or uri.startswith("https://"):
         from urllib.request import urlopen
 
@@ -65,9 +65,20 @@ def _fetch_bytes(uri: str) -> bytes:
         return f.read()
 
 
+@functools.lru_cache(maxsize=64)
+def _range_source(uri: str):
+    """Executor-local range source per URI: file seeks or HTTP Range
+    requests, block-cached (sources/rangeio.py). The reference's analog is
+    its RangeReader-backed RFRasterSource + Scaffeine cache
+    (RFRasterSource.scala:96-99)."""
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    return RangeSource(uri)
+
+
 @functools.lru_cache(maxsize=256)
 def _cached_info(uri: str):
-    return GT.read_info(_fetch_bytes(uri))
+    return GT.read_info(_range_source(uri))
 
 
 def _celltype_for(info: GT.GeoTiffInfo) -> str:
@@ -178,7 +189,7 @@ def realize_tiles(ref) -> Column:
             if uri is None:
                 out.append(None)
                 continue
-            data = _fetch_bytes(str(uri))
+            data = _range_source(str(uri))
             info = _cached_info(str(uri))
             buf = int(r["buffer"].values[i])
             c0 = int(r["col_off"].values[i]) - buf

@@ -194,3 +194,58 @@ def test_read_raster_buffered_halo_focal(spark, scene_path):
         gr, gc = r["r0"] + r["row_index"], r["c0"] + r["column_index"]
         assert abs(r["f"] - oracle[gr, gc]) < 1e-9, (gr, gc)
     assert len(rows) == int((~np.isnan(full)).sum())
+
+
+def test_http_range_window_reads(scene_path):
+    """Windowed reads over HTTP fetch ~window bytes via Range requests,
+    not the whole object."""
+    import http.server
+    import re
+    import threading
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(1, 60000, (512, 512)).astype("uint16")
+    blob = GT.write_geotiff(arr, (0, 0, 512, 512), crs="EPSG:4326",
+                            nodata=0, tile_size=128)
+
+    class RangeHandler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_HEAD(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(blob)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+
+        def do_GET(self):
+            m = re.match(r"bytes=(\d+)-(\d+)", self.headers.get("Range") or "")
+            if m:
+                a, b = int(m.group(1)), int(m.group(2))
+                body = blob[a:b + 1]
+                self.send_response(206)
+                self.send_header("Content-Range", f"bytes {a}-{b}/{len(blob)}")
+            else:
+                body = blob
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RangeHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from rasterframes_spark.sources.rangeio import RangeSource
+
+        uri = f"http://127.0.0.1:{srv.server_address[1]}/scene1.tiff"
+        src = RangeSource(uri, block_size=16 * 1024)
+        info = GT.read_info(src)
+        assert (info.width, info.height) == (512, 512)
+        win = GT.read_window(src, info, 128, 128, 128, 128)
+        assert np.array_equal(win, arr[128:256, 128:256])
+        # one 128x128 tile of a 16-tile image: bytes fetched must be a small
+        # fraction of the object (header blocks + ~1/16 of the pixel data)
+        assert src.bytes_fetched < len(blob) * 0.25, (src.bytes_fetched, len(blob))
+        assert src.requests >= 2  # header + data came from separate ranges
+    finally:
+        srv.shutdown()
