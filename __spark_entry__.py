@@ -868,7 +868,7 @@ def oracle_sql() -> dict[str, str]:
                        > 1800 * 1000000
                        then 1 else 0 end as new_session
               from events)
-            select user_id, sum(new_session) + 1 as n_sessions,
+            select user_id, cast(sum(new_session) + 1 as bigint) as n_sessions,
                    count(*) as n_events
             from g group by user_id""",
         "events_topk": """
