@@ -100,21 +100,35 @@ def minhash_signature(shingles_col, num_perm: int = 64, seed: int = 42) -> Colum
 
     @lazy_pandas_udf("array<long>")
     def udf(sh: pd.Series) -> pd.Series:
-        out = []
+        vals = sh.values
+        out = np.empty(len(vals), dtype=object)
+        nz = [i for i, arr in enumerate(vals) if arr is not None and len(arr) > 0]
+        if not nz:
+            return pd.Series(out, dtype=object)
+        # ONE C-speed hash pass over every shingle in the Arrow batch
+        # (pandas siphash; deterministic fixed key), then per-chunk
+        # vectorized universal hashing + segment-min via reduceat.
+        lens = np.array([len(vals[i]) for i in nz], dtype=np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        flat = np.concatenate([np.asarray(vals[i], dtype=object) for i in nz])
+        base_all = (pd.util.hash_array(flat) & np.uint64(0x7FFFFFFF)).astype(np.int64)
         ac = a[:, None]
         bc = b[:, None]
-        crc = zlib.crc32  # local bind: called once per shingle
-        for arr in sh.values:
-            if arr is None or len(arr) == 0:
-                out.append(None)
-                continue
-            base = np.fromiter(
-                (crc(s.encode("utf-8")) & 0x7FFFFFFF for s in arr),
-                dtype="int64", count=len(arr),
-            )
-            # (num_perm, n_shingles) universal hashes, then row-min
-            sig = ((ac * base[None, :] + bc) % _MERSENNE).min(axis=1)
-            out.append(sig.astype("int64"))
+        budget = 1 << 17  # cap the (num_perm x n_shingles) temp at ~64 MB
+        i = 0
+        while i < len(nz):
+            j = i
+            tot = 0
+            while j < len(nz) and (tot == 0 or tot + lens[j] <= budget):
+                tot += lens[j]
+                j += 1
+            seg = base_all[starts[i]:ends[j - 1]]
+            hmat = (ac * seg[None, :] + bc) % _MERSENNE  # (num_perm, tot)
+            mins = np.minimum.reduceat(hmat, starts[i:j] - starts[i], axis=1)
+            for t in range(i, j):
+                out[nz[t]] = mins[:, t - i].astype("int64")
+            i = j
         return pd.Series(out, dtype=object)
 
     return udf(shingles_col)
@@ -131,10 +145,19 @@ def hash_bytes32(data: bytes) -> int:
     return zlib.crc32(data) & 0x7FFFFFFF
 
 
+def _pair_select(joined: DataFrame, id_col: str, carry_cols: list[str]) -> DataFrame:
+    sel = [F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")]
+    for c in carry_cols:
+        sel += [F.col(f"a.{c}").alias(f"{c.lstrip('_')}_a"),
+                F.col(f"b.{c}").alias(f"{c.lstrip('_')}_b")]
+    return joined.select(*sel).dropDuplicates(["id_a", "id_b"])
+
+
 def _salted_self_pairs(banded: DataFrame, key_cols: list[str], id_col: str,
                        carry_cols: list[str],
                        hot_bucket_threshold: int = 10000,
-                       hot_bucket_salts: int = 16) -> DataFrame:
+                       hot_bucket_salts: int = 16,
+                       input_rows: int | None = None) -> DataFrame:
     """Skew-safe self-equi-join of ``banded`` on ``key_cols`` with
     ``a.id < b.id``: buckets larger than ``hot_bucket_threshold`` rows
     (boilerplate/empty documents are common in web corpora) are salted
@@ -144,8 +167,20 @@ def _salted_self_pairs(banded: DataFrame, key_cols: list[str], id_col: str,
     to the unsalted join: each qualifying pair matches on exactly one
     (bucket, salt) key. Normal buckets pay nothing (salt 0, single tag).
 
+    Pay-as-you-go guard: when ``input_rows`` (the number of distinct source
+    rows feeding ``banded`` — each contributes at most one row per bucket
+    key, so it upper-bounds every bucket's size) is known and at or below
+    the threshold, no bucket can possibly be hot and the detection jobs
+    (groupBy count + broadcast marker join + right-side explode) are
+    skipped entirely — a plain equi-join runs instead.
+
     Returns columns: id_a, id_b, a.carry as <c>_a, b.carry as <c>_b.
     """
+    if input_rows is not None and input_rows <= int(hot_bucket_threshold):
+        a, b = banded.alias("a"), banded.alias("b")
+        cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+        cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        return _pair_select(a.join(b, cond), id_col, carry_cols)
     s = int(hot_bucket_salts)
     hot = (
         banded.groupBy(*key_cols).agg(F.count("*").alias("__bn"))
@@ -168,19 +203,18 @@ def _salted_self_pairs(banded: DataFrame, key_cols: list[str], id_col: str,
     cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
     cond.append(F.col("a.__salt") == F.col("b.__salt"))
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    joined = a.alias("a").join(b.alias("b"), cond)
-    sel = [F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")]
-    for c in carry_cols:
-        sel += [F.col(f"a.{c}").alias(f"{c.lstrip('_')}_a"),
-                F.col(f"b.{c}").alias(f"{c.lstrip('_')}_b")]
-    return joined.select(*sel).dropDuplicates(["id_a", "id_b"])
+    return _pair_select(a.alias("a").join(b.alias("b"), cond), id_col, carry_cols)
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str = "minhash",
                            bands: int = 16, hot_bucket_threshold: int = 10000,
-                           hot_bucket_salts: int = 16) -> DataFrame:
+                           hot_bucket_salts: int = 16,
+                           input_rows: int | None = None) -> DataFrame:
     """Signature -> (band, bucket) explode -> skew-safe self-join: candidate
-    id pairs. Returns distinct (id_a, id_b) with id_a < id_b."""
+    id pairs. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``input_rows``: known row count of ``df`` — lets the skew guard skip hot
+    -bucket detection entirely when no bucket can reach the threshold."""
     rows_per_band = F.floor(F.size(sig_col) / bands).cast("int")
     banded = df.select(
         F.col(id_col).alias("__id"),
@@ -198,7 +232,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str = "minhash",
     )
     return _salted_self_pairs(
         banded, ["__band", "__bucket"], "__id", [],
-        hot_bucket_threshold, hot_bucket_salts)
+        hot_bucket_threshold, hot_bucket_salts, input_rows)
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
@@ -208,13 +242,17 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         hot_bucket_salts: int = 16) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates →
     exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    # cheap UDF-free count of the source: upper-bounds every LSH bucket, so
+    # the skew guard can skip detection outright at sub-threshold scale
+    n_docs = df.count()
     sh = df.select(F.col(id_col).alias("__id"),
                    shingles(text_col, shingle_size).alias("__sh"))
     sh = sh.where(F.size("__sh") > 0)
     sigs = sh.select("__id", "__sh", minhash_signature("__sh", num_perm).alias("minhash"))
     sigs.cache()
     cands = minhash_lsh_candidates(sigs, "__id", "minhash", bands,
-                                   hot_bucket_threshold, hot_bucket_salts)
+                                   hot_bucket_threshold, hot_bucket_salts,
+                                   input_rows=n_docs)
     sa = sigs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sb = sigs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     verified = (
@@ -238,18 +276,36 @@ def simhash(text, bits: int = 64) -> Column:
 
     @lazy_pandas_udf("long")
     def udf(t: pd.Series) -> pd.Series:
-        out = []
-        for s in t.values:
-            if s is None:
-                out.append(None)
-                continue
-            hs = np.array([hash_bytes64(tok.encode("utf-8")) for tok in s.split(" ")],
-                          dtype=np.uint64)
-            # (n_tokens, bits) sign matrix, summed per bit — vectorized
-            bitmat = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = (2 * bitmat - 1).sum(axis=0)
-            v = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        vals = t.values
+        out = np.empty(len(vals), dtype=object)
+        toks = [s.split(" ") if s is not None else None for s in vals]
+        nz = [i for i, tk in enumerate(toks) if tk is not None]
+        if not nz:
+            return pd.Series(out, dtype=object)
+        # ONE C-speed hash pass over every token in the batch, then chunked
+        # per-bit sign sums via reduceat over document segments.
+        lens = np.array([len(toks[i]) for i in nz], dtype=np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        flat = np.concatenate([np.asarray(toks[i], dtype=object) for i in nz])
+        hs_all = pd.util.hash_array(flat)  # uint64
+        budget = 1 << 17  # cap the (n_tokens x 64) temp at ~64 MB
+        i = 0
+        while i < len(nz):
+            j = i
+            tot = 0
+            while j < len(nz) and (tot == 0 or tot + lens[j] <= budget):
+                tot += lens[j]
+                j += 1
+            seg = hs_all[starts[i]:ends[j - 1]]
+            bitmat = ((seg[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(bitmat, starts[i:j] - starts[i], axis=0)
+            acc = 2 * sums - lens[i:j, None]  # (n_docs, bits) sign sums
+            packed = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64).view(np.int64)
+            for t2 in range(i, j):
+                out[nz[t2]] = int(packed[t2 - i])
+            i = j
         return pd.Series(out, dtype=object)
 
     return udf(F.col(text) if isinstance(text, str) else text)
@@ -262,9 +318,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     banding 64 bits into (max_hamming+1) chunks (pigeonhole: a qualifying
     pair collides on ≥1 chunk) + exact popcount verify via bit_count.
     Hot chunks (identical boilerplate docs) are salted via
-    ``_salted_self_pairs`` so no single join task gets the O(n^2) bucket."""
+    ``_salted_self_pairs`` so no single join task gets the O(n^2) bucket;
+    at sub-threshold input sizes the detection jobs are skipped entirely."""
     chunks = max_hamming + 1
     width = 64 // chunks
+    n_docs = df.count()  # UDF-free; upper-bounds every chunk bucket
     sh = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
     mask = (1 << width) - 1
     if mask >= (1 << 63):
@@ -279,7 +337,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     )
     pairs = (
         _salted_self_pairs(banded, ["__chunk_i", "__chunk"], "__id", ["__sh"],
-                           hot_bucket_threshold, hot_bucket_salts)
+                           hot_bucket_threshold, hot_bucket_salts, n_docs)
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

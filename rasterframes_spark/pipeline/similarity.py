@@ -58,16 +58,19 @@ def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64, seed: int = 42
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
+    powers = 1 << np.arange(n_planes, dtype=np.int64)
+
     @lazy_pandas_udf("long")
     def udf(v: pd.Series) -> pd.Series:
-        out = []
-        for arr in v.values:
-            if arr is None:
-                out.append(None)
-                continue
-            x = np.asarray(arr, dtype="float64")
-            bits = (planes @ x) > 0
-            out.append(int(bits.dot(1 << np.arange(n_planes))))
+        vals = v.values
+        out = np.empty(len(vals), dtype=object)
+        nz = [i for i, arr in enumerate(vals) if arr is not None]
+        if nz:
+            # one matmul per batch: (n, dim) @ (dim, n_planes)
+            x = np.stack([np.asarray(vals[i], dtype="float64") for i in nz])
+            codes = ((x @ planes.T) > 0).astype(np.int64) @ powers
+            for t, i in enumerate(nz):
+                out[i] = int(codes[t])
         return pd.Series(out, dtype=object)
 
     return udf(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
@@ -106,15 +109,17 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     def _list_udf(top_n: int):
         @lazy_pandas_udf("array<int>")
         def udf(v: pd.Series) -> pd.Series:
-            out = []
-            for arr in v.values:
-                if arr is None:
-                    out.append(None)
-                    continue
-                x = np.asarray(arr, dtype="float64")
-                x = x / max(np.linalg.norm(x), 1e-12)
-                sims = cents @ x
-                out.append(np.argsort(-sims)[:top_n].astype("int32"))
+            vals = v.values
+            out = np.empty(len(vals), dtype=object)
+            nz = [i for i, arr in enumerate(vals) if arr is not None]
+            if nz:
+                # one normalize + one matmul per batch
+                x = np.stack([np.asarray(vals[i], dtype="float64") for i in nz])
+                x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                sims = x @ cents.T  # (n, n_lists)
+                order = np.argsort(-sims, axis=1)[:, :top_n].astype("int32")
+                for t, i in enumerate(nz):
+                    out[i] = order[t]
             return pd.Series(out, dtype=object)
         return udf
 
