@@ -112,11 +112,20 @@ class TileExpr:
         self.out_ct = out_ct
 
 
+_PLAIN_COL_RE = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_.]*")
+
+
 def _expr_key(col: Column) -> str:
     try:
-        return str(col._jc)
+        s = str(col._jc)
     except Exception:
-        return repr(col)
+        return f"@{id(col)}"
+    if _PLAIN_COL_RE.fullmatch(s):
+        return s  # plain named column: dedupe by name is safe
+    # opaque expressions (e.g. two distinct pandas UDF calls both named
+    # 'udf(...)') can stringify identically — key on object identity so a
+    # fused binary op never silently feeds one column to both sides
+    return f"{s}@{id(col)}"
 
 
 def _as_tile_expr(arg) -> TileExpr:
@@ -128,12 +137,17 @@ def _as_tile_expr(arg) -> TileExpr:
 
 
 def _boundary(e: TileExpr):
-    """Eval fn reproducing the op-boundary CellType cast of the unfused path."""
-    if e.out_ct is None:
-        return e.fn
+    """Eval fn reproducing the full Arrow round-trip of the unfused path:
+    Tile construction (dtype cast) -> encode_cells (sentinel fill of masked
+    cells) -> mask re-derivation via ``CellType.mask_of`` (exactly what
+    ``Tile.from_parts`` does on decode). Values equal to the NoData
+    sentinel therefore become NoData at every op boundary, fused or not —
+    bit-identical chains."""
 
     def fn(vals, _f=e.fn, _ct=e.out_ct):
-        return _encode_result(_f(vals), _ct).masked()
+        t = _encode_result(_f(vals), _ct)
+        raw = t.to_numpy()
+        return np.ma.masked_array(raw, t.cell_type.mask_of(raw))
 
     return fn
 

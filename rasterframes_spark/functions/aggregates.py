@@ -185,16 +185,40 @@ def _hist_combine(vals: np.ndarray, cnts: np.ndarray):
 
 
 def _hist_compress(vals: np.ndarray, cnts: np.ndarray, budget: int):
-    """Ben-Haim & Tom-Tov compression: repeatedly merge the closest
-    adjacent centroid pair (count-weighted mean) until <= budget bins."""
+    """Ben-Haim & Tom-Tov compression, vectorized in rounds: each round
+    greedily merges a non-overlapping set of the smallest-gap adjacent
+    centroid pairs (count-weighted mean) at once, so compressing n
+    centroids to ``budget`` is O(n log n)-ish instead of the one-pair-per-
+    full-scan O(n^2) — a 65k-distinct float tile compresses in a few
+    rounds, not 65k concatenate passes."""
     vals = vals.astype("float64")
     cnts = cnts.astype("int64")
     while len(vals) > budget:
-        i = int(np.argmin(np.diff(vals)))
-        tot = cnts[i] + cnts[i + 1]
-        mv = (vals[i] * cnts[i] + vals[i + 1] * cnts[i + 1]) / tot
-        vals = np.concatenate([vals[:i], [mv], vals[i + 2:]])
-        cnts = np.concatenate([cnts[:i], [tot], cnts[i + 2:]])
+        excess = len(vals) - budget
+        gaps = np.diff(vals)
+        k = max(1, min(excess, len(gaps) // 2 + 1))
+        if k < len(gaps):
+            cand = np.argpartition(gaps, k - 1)[:k]
+        else:
+            cand = np.arange(len(gaps))
+        # smallest gaps first; ties broken by index for determinism
+        cand = cand[np.lexsort((cand, gaps[cand]))]
+        taken = np.zeros(len(vals), dtype=bool)
+        merge_idx = []
+        for i in cand:
+            if not taken[i] and not taken[i + 1]:
+                taken[i] = taken[i + 1] = True
+                merge_idx.append(i)
+                if len(merge_idx) >= excess:
+                    break
+        mi = np.array(merge_idx, dtype=np.int64)
+        tot = cnts[mi] + cnts[mi + 1]
+        mv = (vals[mi] * cnts[mi] + vals[mi + 1] * cnts[mi + 1]) / tot
+        keep = ~taken
+        newv = np.concatenate([vals[keep], mv])
+        newc = np.concatenate([cnts[keep], tot])
+        order = np.argsort(newv, kind="mergesort")
+        vals, cnts = newv[order], newc[order]
     return vals, cnts
 
 
@@ -231,6 +255,10 @@ def rf_agg_approx_histogram(df: DataFrame, tile, num_buckets: int = 80):
                 if not len(a):
                     continue
                 u, c = np.unique(a, return_counts=True)
+                if len(u) > 4 * budget:
+                    # pre-compress high-cardinality tiles (e.g. random
+                    # float rasters) before touching the running sketch
+                    u, c = _hist_compress(u, c, 4 * budget)
                 vals, cnts = _hist_combine(
                     np.concatenate([vals, u]), np.concatenate([cnts, c]))
                 if len(vals) > 4 * budget:

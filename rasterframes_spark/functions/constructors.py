@@ -227,13 +227,19 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     primitive arrays per GROUP (bulk Arrow list transfer, not ~3us/row row
     serialization) and does one numpy scatter.
 
+    method='group_map' (the 'auto' default beyond 8k cells): single-shuffle
+    applyInPandas — flat positions computed JVM-side, raw cell rows shuffle
+    on the group key, one numpy scatter per group. Bounded memory per task
+    (one group's cells), no JVM collect buffers.
+
     method='chunked': two-phase alternative — a per-partition mapInPandas
     packs each partition's cells for a key into two binary blobs
     (int32 positions + float64 values), so the shuffle moves a handful of
     compact rows per (partition, key) instead of millions of cell rows; the
-    final applyInPandas concatenates blobs and scatters. Useful when group
-    cardinality is so high that JVM collect_list buffers pressure executor
-    memory. ('group_map' is accepted as an alias.)
+    final applyInPandas concatenates blobs and scatters. Chunked is never
+    chosen by 'auto' (its extra Arrow crossing loses at moderate scale);
+    pick it explicitly when the cell-row shuffle itself is the bottleneck
+    (very wide rows or extreme cell counts per partition).
     """
     nc, nr = int(cols), int(rows)
     if method == "auto":
@@ -295,20 +301,29 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     )
 
     if method == "group_map":
+        # flat cell position is computed JVM-side so the shuffle carries
+        # (keys, pos:int, value:double) — one int narrower than shipping
+        # (row, col) — and the Python side does a single 1-D scatter
+        src_gm = df.select(
+            *group_cols,
+            (F.col(ri).cast("long") * nc + F.col(ci).cast("long")).cast("int").alias("__p"),
+            *[F.col(cv).cast("double").alias(f"__c_{i}") for i, cv in enumerate(cvs)],
+        )
+
         def make(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            r = pdf[ri].to_numpy(dtype="int64")
-            c = pdf[ci].to_numpy(dtype="int64")
+            p = pdf["__p"].to_numpy(dtype="int64")
             out = {g: [k] for g, k in zip(key_names, key)}
-            for cv, name in zip(cvs, out_names):
-                vals = np.full((nr, nc), np.nan, dtype="float64")
-                vals[r, c] = pdf[cv].to_numpy(dtype="float64")
+            for i, name in enumerate(out_names):
+                vals = np.full(nr * nc, np.nan, dtype="float64")
+                vals[p] = pdf[f"__c_{i}"].to_numpy(dtype="float64")
+                vals = vals.reshape(nr, nc)
                 mask = np.isnan(vals)
                 tile = Tile(np.ma.masked_array(
                     np.where(mask, 0, vals).astype(ct.dtype), mask=mask), ct)
                 out[name] = [tile.to_row()]
             return pd.DataFrame(out)
 
-        return df.groupBy(*group_cols).applyInPandas(make, schema=out_schema)
+        return src_gm.groupBy(*group_cols).applyInPandas(make, schema=out_schema)
 
     mid_schema = StructType(
         list(in_schema.fields)

@@ -201,6 +201,15 @@ def realize_tiles(ref) -> Column:
             h = min(r0 + h_req, info.height) - r0c
             arr = GT.read_window(data, info, c0c, r0c, w, h, int(r["band"].values[i]))
             ct = CellType.parse(_celltype_for(info))
+            if buf and ct.nodata is None:
+                # raw cell type can't encode a NoData halo: encode_cells
+                # would drop the mask and focal ops would average literal
+                # zeros along image borders. Promote to float64 (NaN
+                # NoData; exact for every int32-or-narrower dtype) so halo
+                # cells survive the struct round-trip as NoData. Applied to
+                # every buffered chunk, not just edges, so one raster keeps
+                # one cell type.
+                ct = CellType.parse("float64")
             if arr.dtype != ct.dtype:
                 arr = arr.astype(ct.dtype)
             ma = np.ma.masked_array(arr, mask=ct.mask_of(arr))

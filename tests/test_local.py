@@ -118,3 +118,47 @@ def test_masking(spark, tile_df):
     out = tile_df.select(rf.rf_mask_by_value("a", "nd", 15).alias("r"))
     t3 = _one_tile(out, "r")
     assert np.ma.getmaskarray(t3.masked())[1, 5]
+
+
+def test_fused_matches_unfused_sentinel_boundary(spark):
+    """A chained-op result that lands ON the NoData sentinel must become
+    NoData identically whether the chain is fused (one UDF) or broken by a
+    materialized column (two Arrow round-trips)."""
+    # uint16ud10: cells that compute to exactly 10 become NoData on encode
+    t = Tile(np.array([[8, 9], [10, 11]], dtype="uint16"), "uint16ud10")
+    df = spark.createDataFrame([{"t": t.to_row()}], schema=f"t {TILE_T}")
+    # op1 = t + 1 (uint16ud10) -> values 9,10,11,12: the 10 must mask
+    fused = df.select(rf.rf_local_add(
+        rf.rf_local_add("t", 1), 0).alias("r"))
+    mid = df.select(rf.rf_local_add("t", 1).alias("m"))
+    unfused = mid.select(rf.rf_local_add("m", 0).alias("r"))
+    tf = _one_tile(fused, "r")
+    tu = _one_tile(unfused, "r")
+    assert tf.cell_type.name == tu.cell_type.name
+    assert np.array_equal(np.ma.getmaskarray(tf.masked()),
+                          np.ma.getmaskarray(tu.masked()))
+    assert np.ma.allequal(tf.masked(), tu.masked())
+
+
+def test_fused_binary_distinct_udf_inputs_not_merged(spark):
+    """Two distinct non-fused UDF columns (both stringify as 'udf(...)')
+    must stay distinct inputs in a fused binary op."""
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    a = Tile(np.full((4, 4), 3.0), "float64")
+    df = spark.createDataFrame([{"t": a.to_row()}], schema=f"t {TILE_T}")
+
+    def mk(const):
+        @pandas_udf(TILE_T)
+        def u(s: pd.DataFrame) -> pd.DataFrame:
+            from rasterframes_spark.tile import decode_struct_pdf, tiles_to_struct_pdf
+            return tiles_to_struct_pdf(
+                [None if t is None else Tile(t.masked() * 0 + const, t.cell_type)
+                 for t in decode_struct_pdf(s)])
+        return u
+
+    five = mk(5.0)(F.col("t"))
+    seven = mk(7.0)(F.col("t"))
+    t = _one_tile(df.select(rf.rf_local_subtract(five, seven).alias("r")), "r")
+    assert float(t.masked()[0, 0]) == -2.0

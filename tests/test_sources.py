@@ -196,6 +196,34 @@ def test_read_raster_buffered_halo_focal(spark, scene_path):
     assert len(rows) == int((~np.isnan(full)).sum())
 
 
+def test_buffered_halo_raw_celltype_promotes(spark, tmp_path):
+    """A GeoTIFF with NO nodata tag yields a raw cell type; with buffer>0
+    the tile must be promoted to a NoData-capable type so the halo pad is
+    real NoData, not literal zeros averaged into border focal results."""
+    arr = (np.arange(64 * 64, dtype="int64") % 90 + 10).astype("uint16").reshape(64, 64)
+    path = str(tmp_path / "raw.tiff")
+    with open(path, "wb") as f:
+        f.write(GT.write_geotiff(arr, (0, 0, 1, 1), crs="EPSG:4326",
+                                 nodata=None, tile_size=32))
+    b = 1
+    df = S.read_raster(spark, [path], tile_dimensions=(32, 32), buffer_size=b)
+    realized = df.select("tile_ref", S.realize_tiles("tile_ref").alias("tile"))
+    cts = {r[0]["cell_type"] for r in realized.select("tile").collect()}
+    assert cts == {"float64"}
+    foc = realized.select(
+        F.col("tile_ref.col_off").alias("c0"), F.col("tile_ref.row_off").alias("r0"),
+        rf.rf_focal_mean("tile", "square-1", buffer=b).alias("f"))
+    rows = rf.explode_tiles(foc, ["f"]).where(F.col("f").isNotNull()).collect()
+    full = arr.astype("float64")
+    pad = np.pad(full, 1, constant_values=np.nan)
+    w = np.lib.stride_tricks.sliding_window_view(pad, (3, 3))
+    oracle = np.nanmean(w.reshape(w.shape[0], w.shape[1], -1), axis=2)
+    assert len(rows) == arr.size
+    for r in rows:
+        gr, gc = r["r0"] + r["row_index"], r["c0"] + r["column_index"]
+        assert abs(r["f"] - oracle[gr, gc]) < 1e-9, (gr, gc)
+
+
 def test_http_range_window_reads(scene_path):
     """Windowed reads over HTTP fetch ~window bytes via Range requests,
     not the whole object."""
