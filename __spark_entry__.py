@@ -422,6 +422,53 @@ def _q_st_predicates(spark, sf_dir):
     )
 
 
+def _q_st_constructors(spark, sf_dir):
+    """Long-tail st_* constructor/accessor surface: typed WKT parsers,
+    st_makePolygon/st_makeBox2D, st_pointN (incl. negative indexing),
+    st_geometryN, st_boundary, st_dimension, shape predicates, casts —
+    all with closed-form SQL answers. Reference export list:
+    python/pyrasterframes/rasterfunctions.py:1092-1433."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = cust.select(
+        "c_custkey",
+        (F.col("c_custkey") % 100).cast("double").alias("x"),
+        (F.col("c_custkey") % 50).cast("double").alias("y"),
+    )
+    lwkt = F.concat(
+        F.lit("LINESTRING ("),
+        F.col("x").cast("string"), F.lit(" "), F.col("y").cast("string"), F.lit(", "),
+        (F.col("x") + 1).cast("string"), F.lit(" "), F.col("y").cast("string"), F.lit(", "),
+        (F.col("x") + 1).cast("string"), F.lit(" "), (F.col("y") + 1).cast("string"),
+        F.lit(")"))
+    mpwkt = F.concat(
+        F.lit("MULTIPOINT (("),
+        F.col("x").cast("string"), F.lit(" "), F.col("y").cast("string"),
+        F.lit("), ("),
+        (F.col("x") + 2).cast("string"), F.lit(" "), (F.col("y") + 3).cast("string"),
+        F.lit("))"))
+    line = rf.st_lineFromText(lwkt)
+    poly = rf.st_makePolygon(line)
+    mp = rf.st_mPointFromText(mpwkt)
+    box = rf.st_makeBox2D(rf.st_point("x", "y"),
+                          rf.st_point(F.col("x") + 2, F.col("y") + 3))
+    return base.select(
+        "c_custkey",
+        F.round(rf.st_x(rf.st_pointN(line, 2)), 6).alias("p2x"),
+        F.round(rf.st_y(rf.st_pointN(line, -1)), 6).alias("ply"),
+        F.round(rf.st_area(poly), 6).alias("tri_area"),
+        F.round(rf.st_length(rf.st_boundary(poly)), 6).alias("perim"),
+        rf.st_geometryType(rf.st_boundary(poly)).alias("btype"),
+        rf.st_dimension(poly).alias("dim"),
+        rf.st_isClosed(line).alias("closed"),
+        rf.st_isRing(rf.st_exteriorRing(poly)).alias("ring"),
+        rf.st_numGeometries(mp).alias("ng"),
+        F.round(rf.st_x(rf.st_geometryN(mp, 2)), 6).alias("g2x"),
+        F.round(rf.st_area(box), 6).alias("box_area"),
+        rf.st_isEmpty(line).alias("emp"),
+        rf.st_castToPolygon(line).isNull().alias("badcast"),
+    )
+
+
 def _q_rasterize(spark, sf_dir):
     """Burn per-region boxes into 8x8 tiles; covered-cell count is closed-form
     in SQL (pixel centers at (j+0.5), box edges at non-half offsets)."""
@@ -664,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z2_index": _q_z2_index,
         "st_ops": _q_st_ops,
         "st_predicates": _q_st_predicates,
+        "st_constructors": _q_st_constructors,
         "rasterize": _q_rasterize,
         "events_weekly": _q_events_weekly,
         "events_sessions": _q_events_sessions,
@@ -851,6 +899,27 @@ def oracle_sql() -> dict[str, str]:
               (px >= 3 and px <= 6 and py >= 3 and py <= 6) as covers_pt,
               (px > 3 and px < 6 and py > 3 and py < 6) as contains_pt
             from g""",
+        "st_constructors": """
+            with p as (
+              select c_custkey,
+                     cast(c_custkey % 100 as double) as x,
+                     cast(c_custkey % 50 as double) as y
+              from customer)
+            select c_custkey,
+                   round(x + 1, 6) as p2x,
+                   round(y + 1, 6) as ply,
+                   cast(0.5 as double) as tri_area,
+                   round(2 + sqrt(2.0), 6) as perim,
+                   'LineString' as btype,
+                   cast(2 as int) as dim,
+                   false as closed,
+                   true as ring,
+                   cast(2 as int) as ng,
+                   round(x + 2, 6) as g2x,
+                   cast(6.0 as double) as box_area,
+                   false as emp,
+                   true as badcast
+            from p""",
         "rasterize": """
             select r_regionkey,
                    cast(4 * (r_regionkey + 2) as bigint) as n,

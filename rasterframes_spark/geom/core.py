@@ -323,10 +323,14 @@ def centroid(geom):
     gtype = geom[0]
     polys = _polygons(geom)
     if polys:
+        # shoelace in LOCAL coordinates: tiny rings far from the origin
+        # (e.g. a precision-12 geohash cell) otherwise lose the centroid to
+        # catastrophic cancellation (term magnitude ~x*y, result ~area)
+        ref = np.asarray(polys[0][0][0], dtype="float64")
         cx = cy = aa = 0.0
         for rings in polys:
             for k, ring in enumerate(rings):
-                a = np.asarray(ring, dtype="float64")
+                a = np.asarray(ring, dtype="float64") - ref
                 x, y = a[:-1, 0], a[:-1, 1]
                 x1, y1 = a[1:, 0], a[1:, 1]
                 cross = x * y1 - x1 * y
@@ -341,7 +345,7 @@ def centroid(geom):
                 cy += rcy * w
                 aa += w
         if aa != 0:
-            return (cx / aa, cy / aa)
+            return (cx / aa + ref[0], cy / aa + ref[1])
     if gtype in ("LineString", "MultiLineString"):
         sx = sy = sl = 0.0
         for line in ([geom[1]] if gtype == "LineString" else geom[1]):

@@ -9,6 +9,8 @@ core. Extent-typed args are ``struct{xmin,ymin,xmax,ymax}``.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -54,6 +56,15 @@ def _unary_scalar(fn, rtype):
     @lazy_pandas_udf(rtype)
     def udf(s: pd.Series) -> pd.Series:
         return pd.Series([None if g is None else fn(g) for g in _geoms(s)], dtype=object)
+    return udf
+
+
+def _unary_str(fn, rtype):
+    """Like _unary_scalar but over a plain string/bytes column (no WKB
+    decode of the input)."""
+    @lazy_pandas_udf(rtype)
+    def udf(s: pd.Series) -> pd.Series:
+        return pd.Series([None if t is None else fn(t) for t in s.values], dtype=object)
     return udf
 
 
@@ -552,3 +563,565 @@ def rf_spatial_grid_cells(extent, cell_size: float) -> Column:
         return pd.Series(out, dtype=object)
 
     return udf(col_or_name(extent))
+
+
+# ---------------------------------------------------------------------------
+# long-tail geomesa-parity surface (reference export list:
+# python/pyrasterframes/rasterfunctions.py:1092-1433; semantics follow the
+# public geomesa-spark-jts function docs: 1-based sub-geometry indices,
+# null for out-of-range / wrong-type args)
+# ---------------------------------------------------------------------------
+
+
+def _typed_from_wkt(expect: str):
+    def fn(t):
+        g = G.wkt_loads(t)
+        return G.wkb_dumps(g) if g[0] == expect else None
+    return fn
+
+
+def st_point_from_text(wkt) -> Column:
+    """WKT -> Point geometry (null for non-point WKT)."""
+    return _unary_str(_typed_from_wkt("Point"), "binary")(col_or_name(wkt))
+
+
+def st_line_from_text(wkt) -> Column:
+    return _unary_str(_typed_from_wkt("LineString"), "binary")(col_or_name(wkt))
+
+
+def st_polygon_from_text(wkt) -> Column:
+    return _unary_str(_typed_from_wkt("Polygon"), "binary")(col_or_name(wkt))
+
+
+def st_m_point_from_text(wkt) -> Column:
+    return _unary_str(_typed_from_wkt("MultiPoint"), "binary")(col_or_name(wkt))
+
+
+def st_m_line_from_text(wkt) -> Column:
+    return _unary_str(_typed_from_wkt("MultiLineString"), "binary")(col_or_name(wkt))
+
+
+def st_m_poly_from_text(wkt) -> Column:
+    return _unary_str(_typed_from_wkt("MultiPolygon"), "binary")(col_or_name(wkt))
+
+
+def st_point_from_wkb(wkb) -> Column:
+    """WKB -> Point (null if the bytes decode to any other type)."""
+    return _unary_scalar(
+        lambda g: G.wkb_dumps(g) if g[0] == "Point" else None, "binary"
+    )(col_or_name(wkb))
+
+
+def st_point_from_geohash(geohash_col, precision: int | None = None) -> Column:
+    """Geohash -> center point of its cell."""
+    box = st_geom_from_geohash(geohash_col, precision)
+    return st_centroid(box)
+
+
+def st_make_line(points) -> Column:
+    """array<binary> of point WKBs -> LineString through them in order."""
+
+    @lazy_pandas_udf("binary")
+    def udf(s: pd.Series) -> pd.Series:
+        out = []
+        for arr in s.values:
+            if arr is None:
+                out.append(None)
+                continue
+            pts = []
+            for b in arr:
+                if b is None:
+                    continue
+                g = G.wkb_loads(bytes(b))
+                if g[0] == "Point":
+                    pts.append(g[1])
+                elif g[0] in ("MultiPoint", "LineString"):
+                    pts.extend(g[1])
+            out.append(G.wkb_dumps(("LineString", pts)) if len(pts) >= 2 else None)
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(points))
+
+
+def _close_ring(pts):
+    pts = list(pts)
+    if tuple(pts[0]) != tuple(pts[-1]):
+        pts.append(pts[0])
+    return pts
+
+
+def st_make_polygon(shell) -> Column:
+    """LineString shell -> Polygon (ring auto-closed)."""
+    return _unary_scalar(
+        lambda g: G.wkb_dumps(("Polygon", [_close_ring(g[1])]))
+        if g[0] == "LineString" and len(g[1]) >= 3 else None,
+        "binary",
+    )(col_or_name(shell))
+
+
+st_polygon = st_make_polygon  # geomesa exposes both names
+
+
+def st_make_box2d(lower_left, upper_right) -> Column:
+    """Two corner points -> axis-aligned box polygon."""
+
+    @lazy_pandas_udf("binary")
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        ga, gb = _geoms(a), _geoms(b)
+        out = []
+        for x, y in zip(ga, gb):
+            if x is None or y is None or x[0] != "Point" or y[0] != "Point":
+                out.append(None)
+            else:
+                out.append(G.wkb_dumps(G.box_polygon(x[1][0], x[1][1], y[1][0], y[1][1])))
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(lower_left), col_or_name(upper_right))
+
+
+def st_make_bbox(xmin, ymin, xmax, ymax) -> Column:
+    """Four doubles -> box polygon geometry (geomesa st_makeBBox)."""
+    return st_geometry(extent_struct(xmin, ymin, xmax, ymax))
+
+
+def st_make_point_m(x, y, m) -> Column:
+    """Point with measure. The engine stores 2-D WKB; the measure is
+    accepted for API parity and dropped (documented divergence)."""
+    return st_point(x, y)
+
+
+# -- accessors ---------------------------------------------------------------
+
+
+def _sub_geoms(g):
+    gtype, body = g
+    if gtype == "MultiPoint":
+        return [("Point", p) for p in body]
+    if gtype == "MultiLineString":
+        return [("LineString", l) for l in body]
+    if gtype == "MultiPolygon":
+        return [("Polygon", p) for p in body]
+    if gtype == "GeometryCollection":
+        return list(body)
+    return [g]
+
+
+def st_geometry_n(geom, n) -> Column:
+    """1-based n-th sub-geometry (the geometry itself for simple types)."""
+
+    @lazy_pandas_udf("binary")
+    def udf(s: pd.Series, ns: pd.Series) -> pd.Series:
+        out = []
+        for g, i in zip(_geoms(s), ns.values):
+            if g is None or i is None:
+                out.append(None)
+                continue
+            subs = _sub_geoms(g)
+            i = int(i)
+            out.append(G.wkb_dumps(subs[i - 1]) if 1 <= i <= len(subs) else None)
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(geom), col_or_name(n) if isinstance(n, (str, Column)) else F.lit(int(n)))
+
+
+def st_num_geometries(geom) -> Column:
+    return _unary_scalar(lambda g: len(_sub_geoms(g)), "int")(col_or_name(geom))
+
+
+def st_point_n(geom, n) -> Column:
+    """1-based n-th vertex of a LineString (negative n counts from the end,
+    geomesa-style); null for other types or out of range."""
+
+    @lazy_pandas_udf("binary")
+    def udf(s: pd.Series, ns: pd.Series) -> pd.Series:
+        out = []
+        for g, i in zip(_geoms(s), ns.values):
+            if g is None or i is None or g[0] != "LineString":
+                out.append(None)
+                continue
+            i = int(i)
+            pts = g[1]
+            if i < 0:
+                i = len(pts) + i + 1
+            out.append(G.wkb_dumps(("Point", tuple(pts[i - 1]))) if 1 <= i <= len(pts) else None)
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(geom), col_or_name(n) if isinstance(n, (str, Column)) else F.lit(int(n)))
+
+
+def st_interior_ring_n(geom, n) -> Column:
+    """1-based n-th interior ring of a Polygon as a LineString."""
+
+    @lazy_pandas_udf("binary")
+    def udf(s: pd.Series, ns: pd.Series) -> pd.Series:
+        out = []
+        for g, i in zip(_geoms(s), ns.values):
+            if g is None or i is None or g[0] != "Polygon":
+                out.append(None)
+                continue
+            holes = g[1][1:]
+            i = int(i)
+            out.append(G.wkb_dumps(("LineString", holes[i - 1])) if 1 <= i <= len(holes) else None)
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(geom), col_or_name(n) if isinstance(n, (str, Column)) else F.lit(int(n)))
+
+
+def _boundary_of(g):
+    gtype, body = g
+    if gtype in ("Point", "MultiPoint"):
+        return ("GeometryCollection", [])
+    if gtype == "LineString":
+        if len(body) == 0 or tuple(body[0]) == tuple(body[-1]):
+            return ("MultiPoint", [])
+        return ("MultiPoint", [tuple(body[0]), tuple(body[-1])])
+    if gtype == "MultiLineString":
+        # mod-2 rule: endpoints appearing an odd number of times
+        from collections import Counter
+        cnt = Counter()
+        for l in body:
+            if len(l) and tuple(l[0]) != tuple(l[-1]):
+                cnt[tuple(l[0])] += 1
+                cnt[tuple(l[-1])] += 1
+        pts = [p for p, c in cnt.items() if c % 2 == 1]
+        return ("MultiPoint", pts)
+    if gtype == "Polygon":
+        if len(body) == 1:
+            return ("LineString", list(body[0]))
+        return ("MultiLineString", [list(r) for r in body])
+    if gtype == "MultiPolygon":
+        rings = [list(r) for poly in body for r in poly]
+        return ("LineString", rings[0]) if len(rings) == 1 else ("MultiLineString", rings)
+    return ("GeometryCollection", [_boundary_of(sub) for sub in body])
+
+
+def st_boundary(geom) -> Column:
+    """OGC boundary: polygon -> rings, line -> odd-degree endpoints
+    (mod-2 rule), point -> empty."""
+    return _unary_scalar(lambda g: G.wkb_dumps(_boundary_of(g)), "binary")(col_or_name(geom))
+
+
+_DIMS = {"Point": 0, "MultiPoint": 0, "LineString": 1, "MultiLineString": 1,
+         "Polygon": 2, "MultiPolygon": 2}
+
+
+def _dimension_of(g):
+    if g[0] == "GeometryCollection":
+        return max((_dimension_of(s) for s in g[1]), default=0)
+    return _DIMS[g[0]]
+
+
+def st_dimension(geom) -> Column:
+    """Topological dimension: 0 points, 1 lines, 2 polygons (max over
+    collections)."""
+    return _unary_scalar(_dimension_of, "int")(col_or_name(geom))
+
+
+def st_coord_dim(geom) -> Column:
+    """Coordinate dimension — always 2 (the engine stores 2-D WKB)."""
+    return F.when(col_or_name(geom).isNotNull(), F.lit(2)).otherwise(F.lit(None).cast("int"))
+
+
+# -- shape predicates --------------------------------------------------------
+
+
+def _is_empty(g):
+    if g[0] == "Point":
+        return g[1] is None or len(g[1]) == 0 or (
+            isinstance(g[1][0], float) and math.isnan(g[1][0]))
+    return len(g[1]) == 0
+
+
+def st_is_empty(geom) -> Column:
+    return _unary_scalar(lambda g: bool(_is_empty(g)), "boolean")(col_or_name(geom))
+
+
+def _line_is_simple(pts) -> bool:
+    """No self-intersection besides shared endpoints of adjacent segments
+    (and an allowed closing point). O(S^2) over segment pairs — fine for
+    the per-row geometry sizes this surface serves."""
+    n = len(pts) - 1
+    if n < 2:
+        return True
+    closed = tuple(pts[0]) == tuple(pts[-1])
+    for i in range(n):
+        for j in range(i + 1, n):
+            adjacent = (j == i + 1) or (closed and i == 0 and j == n - 1)
+            seg_i = [pts[i], pts[i + 1]]
+            seg_j = [pts[j], pts[j + 1]]
+            if not G.segments_intersect_any(seg_i, seg_j):
+                continue
+            if adjacent:
+                continue  # shared endpoint only (overlap would need collinearity — rare; accepted)
+            return False
+    return True
+
+
+def _is_simple(g):
+    gtype, body = g
+    if gtype == "Point":
+        return True
+    if gtype == "MultiPoint":
+        return len({tuple(p) for p in body}) == len(body)
+    if gtype == "LineString":
+        return _line_is_simple(body)
+    if gtype == "MultiLineString":
+        return all(_line_is_simple(l) for l in body)
+    return True  # polygons: validity implies simplicity here
+
+
+def st_is_simple(geom) -> Column:
+    return _unary_scalar(lambda g: bool(_is_simple(g)), "boolean")(col_or_name(geom))
+
+
+def _is_closed(g):
+    gtype, body = g
+    if gtype == "LineString":
+        return len(body) > 0 and tuple(body[0]) == tuple(body[-1])
+    if gtype == "MultiLineString":
+        return all(len(l) > 0 and tuple(l[0]) == tuple(l[-1]) for l in body)
+    return True  # points/polygons: vacuously closed (geomesa convention)
+
+
+def st_is_closed(geom) -> Column:
+    return _unary_scalar(lambda g: bool(_is_closed(g)), "boolean")(col_or_name(geom))
+
+
+def st_is_ring(geom) -> Column:
+    """Closed AND simple LineString."""
+    return _unary_scalar(
+        lambda g: bool(g[0] == "LineString" and _is_closed(g) and _is_simple(g)),
+        "boolean")(col_or_name(geom))
+
+
+def st_is_collection(geom) -> Column:
+    return _unary_scalar(
+        lambda g: g[0] in ("MultiPoint", "MultiLineString", "MultiPolygon",
+                           "GeometryCollection"),
+        "boolean")(col_or_name(geom))
+
+
+# -- casts / serializers -----------------------------------------------------
+
+
+def _cast_to(expect: str):
+    return _unary_scalar(
+        lambda g: G.wkb_dumps(g) if g[0] == expect else None, "binary")
+
+
+def st_cast_to_point(geom) -> Column:
+    """Null if the value is not a Point (geomesa throws a ClassCastException;
+    null keeps the column total — documented divergence)."""
+    return _cast_to("Point")(col_or_name(geom))
+
+
+def st_cast_to_linestring(geom) -> Column:
+    return _cast_to("LineString")(col_or_name(geom))
+
+
+def st_cast_to_polygon(geom) -> Column:
+    return _cast_to("Polygon")(col_or_name(geom))
+
+
+def st_byte_array(s) -> Column:
+    """String -> UTF-8 bytes (geomesa st_byteArray)."""
+    return F.encode(col_or_name(s), "UTF-8")
+
+
+def _dms(value: float, pos: str, neg: str) -> str:
+    hemi = pos if value >= 0 else neg
+    v = abs(value)
+    d = int(v)
+    m = int((v - d) * 60)
+    s = (v - d - m / 60.0) * 3600.0
+    return f"{d}°{m}'{s:06.3f}\"{hemi}"
+
+
+def st_as_lat_lon_text(point) -> Column:
+    """Point -> 'DDD°MM'SS.SSS"N DDD°MM'SS.SSS"E' (lat first, geomesa
+    st_asLatLonText)."""
+    return _unary_scalar(
+        lambda g: f"{_dms(g[1][1], 'N', 'S')} {_dms(g[1][0], 'E', 'W')}"
+        if g[0] == "Point" else None,
+        "string")(col_or_name(point))
+
+
+# -- antimeridian ------------------------------------------------------------
+
+
+def _clip_ring_halfplane(ring, xsplit: float, keep_left: bool):
+    """Sutherland-Hodgman clip of a ring against the vertical line
+    x == xsplit, keeping x <= xsplit (keep_left) or x >= xsplit."""
+    def inside(p):
+        return p[0] <= xsplit if keep_left else p[0] >= xsplit
+
+    def cross(p1, p2):
+        t = (xsplit - p1[0]) / (p2[0] - p1[0])
+        return (xsplit, p1[1] + t * (p2[1] - p1[1]))
+
+    out = []
+    pts = list(ring[:-1]) if tuple(ring[0]) == tuple(ring[-1]) else list(ring)
+    for i in range(len(pts)):
+        cur, nxt = pts[i], pts[(i + 1) % len(pts)]
+        if inside(cur):
+            out.append(tuple(cur))
+            if not inside(nxt):
+                out.append(cross(cur, nxt))
+        elif inside(nxt):
+            out.append(cross(cur, nxt))
+    if len(out) < 3:
+        return None
+    out.append(out[0])
+    return out
+
+
+def _antimeridian_safe(g):
+    """Geometries whose longitudes span the antimeridian (bbox width > 180°)
+    are normalized to [0, 360), split at x=180, and the eastern part shifted
+    back by 360 — result is a MultiPolygon/MultiLineString on [-180, 180]
+    (geomesa st_antimeridianSafeGeom). Non-crossing geoms pass through."""
+    xmin, _, xmax, _ = G.envelope(g)
+    if xmax - xmin <= 180.0:
+        return g
+
+    def norm_pt(p):
+        return (p[0] + 360.0 if p[0] < 0 else p[0], p[1])
+
+    if g[0] in ("Polygon", "MultiPolygon"):
+        parts = []
+        for rings in G._polygons(g):
+            shell = [norm_pt(p) for p in rings[0]]
+            for keep_left in (True, False):
+                clipped = _clip_ring_halfplane(shell, 180.0, keep_left)
+                if clipped is None:
+                    continue
+                if not keep_left:
+                    clipped = [(x - 360.0, y) for x, y in clipped]
+                parts.append([clipped])
+        if not parts:
+            return g
+        return ("Polygon", parts[0]) if len(parts) == 1 else ("MultiPolygon", parts)
+    if g[0] in ("LineString", "MultiLineString"):
+        out = []
+        for line in G._lines(g):
+            seg = []
+            for p in line:
+                np_ = norm_pt(p)
+                seg.append(np_ if np_[0] <= 180.0 else (np_[0] - 360.0, np_[1]))
+            out.append(seg)
+        return ("LineString", out[0]) if len(out) == 1 else ("MultiLineString", out)
+    return g
+
+
+def st_antimeridian_safe_geom(geom) -> Column:
+    return _unary_scalar(
+        lambda g: G.wkb_dumps(_antimeridian_safe(g)), "binary")(col_or_name(geom))
+
+
+def st_aggregate_distance_sphere(points_array) -> Column:
+    """Total haversine path length (meters) over an array<binary> of point
+    WKBs in order — pair with ``F.collect_list`` for the geomesa UDAF shape:
+    ``df.groupBy(...).agg(st_aggregate_distance_sphere(F.collect_list(pt)))``."""
+
+    @lazy_pandas_udf("double")
+    def udf(s: pd.Series) -> pd.Series:
+        out = []
+        for arr in s.values:
+            if arr is None:
+                out.append(None)
+                continue
+            pts = [G.wkb_loads(bytes(b))[1] for b in arr if b is not None]
+            total = 0.0
+            for a, b in zip(pts[:-1], pts[1:]):
+                total += G.distance_sphere(a, b)
+            out.append(total)
+        return pd.Series(out, dtype=object)
+
+    return udf(col_or_name(points_array))
+
+
+# ---------------------------------------------------------------------------
+# reference-exact camelCase aliases (the reference exports camelCase names,
+# python/pyrasterframes/rasterfunctions.py:1092-1433; the engine's canonical
+# names are snake_case — both resolve to the same functions)
+# ---------------------------------------------------------------------------
+
+st_makePoint = st_point
+st_makeLine = st_make_line
+st_makePolygon = st_make_polygon
+st_makeBox2D = st_make_box2d
+st_makeBBox = st_make_bbox
+st_makePointM = st_make_point_m
+st_geomFromWKT = st_geom_from_wkt
+st_geomFromWKB = st_geom_from_wkb
+st_geomFromGeoHash = st_geom_from_geohash
+st_pointFromText = st_point_from_text
+st_lineFromText = st_line_from_text
+st_polygonFromText = st_polygon_from_text
+st_mPointFromText = st_m_point_from_text
+st_mLineFromText = st_m_line_from_text
+st_mPolyFromText = st_m_poly_from_text
+st_pointFromWKB = st_point_from_wkb
+st_pointFromGeoHash = st_point_from_geohash
+st_asText = st_as_text
+st_asBinary = st_as_binary
+st_asGeoJSON = st_as_geojson
+st_asLatLonText = st_as_lat_lon_text
+st_byteArray = st_byte_array
+st_castToPoint = st_cast_to_point
+st_castToLineString = st_cast_to_linestring
+st_castToPolygon = st_cast_to_polygon
+st_geometryType = st_geometry_type
+st_geometryN = st_geometry_n
+st_numGeometries = st_num_geometries
+st_pointN = st_point_n
+st_numPoints = st_num_points
+st_interiorRingN = st_interior_ring_n
+st_exteriorRing = st_exterior_ring
+st_coordDim = st_coord_dim
+st_isEmpty = st_is_empty
+st_isSimple = st_is_simple
+st_isRing = st_is_ring
+st_isClosed = st_is_closed
+st_isCollection = st_is_collection
+st_isValid = st_is_valid
+st_distanceSphere = st_distance_sphere
+st_lengthSphere = st_length_sphere
+st_aggregateDistanceSphere = st_aggregate_distance_sphere
+st_antimeridianSafeGeom = st_antimeridian_safe_geom
+st_bufferPoint = st_buffer_point
+st_closestPoint = st_closest_point
+st_relateBool = st_relate_bool
+st_coveredBy = st_covered_by
+st_geoHash = st_geohash
+
+__all__ += [
+    # snake_case canonical names
+    "st_point_from_text", "st_line_from_text", "st_polygon_from_text",
+    "st_m_point_from_text", "st_m_line_from_text", "st_m_poly_from_text",
+    "st_point_from_wkb", "st_point_from_geohash",
+    "st_make_line", "st_make_polygon", "st_polygon", "st_make_box2d",
+    "st_make_bbox", "st_make_point_m",
+    "st_geometry_n", "st_num_geometries", "st_point_n", "st_interior_ring_n",
+    "st_boundary", "st_dimension", "st_coord_dim",
+    "st_is_empty", "st_is_simple", "st_is_closed", "st_is_ring",
+    "st_is_collection",
+    "st_cast_to_point", "st_cast_to_linestring", "st_cast_to_polygon",
+    "st_byte_array", "st_as_lat_lon_text",
+    "st_antimeridian_safe_geom", "st_aggregate_distance_sphere",
+    # reference-exact camelCase aliases
+    "st_makePoint", "st_makeLine", "st_makePolygon", "st_makeBox2D",
+    "st_makeBBox", "st_makePointM", "st_geomFromWKT", "st_geomFromWKB",
+    "st_geomFromGeoHash", "st_pointFromText", "st_lineFromText",
+    "st_polygonFromText", "st_mPointFromText", "st_mLineFromText",
+    "st_mPolyFromText", "st_pointFromWKB", "st_pointFromGeoHash",
+    "st_asText", "st_asBinary", "st_asGeoJSON", "st_asLatLonText",
+    "st_byteArray", "st_castToPoint", "st_castToLineString",
+    "st_castToPolygon", "st_geometryType", "st_geometryN",
+    "st_numGeometries", "st_pointN", "st_numPoints", "st_interiorRingN",
+    "st_exteriorRing", "st_coordDim", "st_isEmpty", "st_isSimple",
+    "st_isRing", "st_isClosed", "st_isCollection", "st_isValid",
+    "st_distanceSphere", "st_lengthSphere", "st_aggregateDistanceSphere",
+    "st_antimeridianSafeGeom", "st_bufferPoint", "st_closestPoint",
+    "st_relateBool", "st_coveredBy", "st_geoHash",
+]
