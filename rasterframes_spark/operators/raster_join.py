@@ -145,6 +145,76 @@ def _bilinear(tile: Tile, fc: np.ndarray, fr: np.ndarray):
     return np.where(smask, 0.0, sample), smask
 
 
+_PAYLOAD_DDL = ("struct<tile:struct<cell_type:string,cols:int,rows:int,cells:binary>,"
+                "extent:struct<xmin:double,ymin:double,xmax:double,ymax:double>,"
+                "crs:string>")
+
+
+def _chunked_premerge(L, matched, kernel, right_tiles, left_tile, left_extent,
+                      left_crs, max_fan_in: int):
+    """Two-level bounded merge: (lid, chunk) partial canvases on the left
+    grid (each grouped task holds ≤ max_fan_in right tiles), then chunk-
+    ordered partial list per lid. Output schema matches the single-pass
+    grouped aggregate (__lid, __rl_<band> array<payload>)."""
+    from pyspark.sql import Window
+
+    lmeta = L.select(
+        "__lid",
+        F.col(left_extent).alias("__lext"), F.col(left_crs).alias("__lcrs"),
+        F.col(f"{left_tile}.cell_type").alias("__lct"),
+        F.col(f"{left_tile}.cols").alias("__lcols"),
+        F.col(f"{left_tile}.rows").alias("__lrows"),
+    )
+    w = Window.partitionBy("__lid").orderBy("__rid")
+    chunked = (
+        matched.withColumn(
+            "__chunk", F.floor((F.row_number().over(w) - 1) / max_fan_in))
+        .join(lmeta, "__lid")
+    )
+    mid_schema = "__lid long, __chunk long, " + ", ".join(
+        f"__rp_{rt} {_PAYLOAD_DDL}" for rt in right_tiles)
+    kfn = kernel.fn
+
+    def premerge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from rasterframes_spark.tile import tiles_to_struct_pdf
+
+        pdf = pdf.sort_values("__rid")
+        r0 = pdf.iloc[0]
+        lext_d = dict(r0["__lext"])
+        ct = CellType.parse(str(r0["__lct"]))
+        canvas = Tile(
+            np.ma.masked_array(
+                np.zeros((int(r0["__lrows"]), int(r0["__lcols"])), dtype=ct.dtype),
+                mask=True),
+            ct)
+        ltile_pdf = tiles_to_struct_pdf([canvas])
+        lext_pdf = pd.DataFrame([{k: float(lext_d[k])
+                                  for k in ("xmin", "ymin", "xmax", "ymax")}])
+        lcrs_series = pd.Series([str(r0["__lcrs"])])
+        out = {"__lid": [key[0]], "__chunk": [int(key[1])]}
+        for rt in right_tiles:
+            matches = pd.Series([list(pdf[f"__rp_{rt}"])], dtype=object)
+            res = kfn(ltile_pdf, lext_pdf, lcrs_series, matches)
+            out[f"__rp_{rt}"] = [{
+                "tile": {c: res[c].iloc[0] for c in
+                         ("cell_type", "cols", "rows", "cells")},
+                "extent": lext_d,
+                "crs": str(r0["__lcrs"]),
+            }]
+        return pd.DataFrame(out)
+
+    partials = chunked.groupBy("__lid", "__chunk").applyInPandas(
+        premerge, schema=mid_schema)
+    return partials.groupBy("__lid").agg(
+        *[F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("__chunk").alias("c"),
+                         F.col(f"__rp_{rt}").alias("p")))),
+            lambda s: s["p"]).alias(f"__rl_{rt}")
+          for rt in right_tiles]
+    )
+
+
 def raster_join(
     left: DataFrame,
     right: DataFrame,
@@ -156,11 +226,22 @@ def raster_join(
     right_crs: str = "crs",
     resampling: str = "nearest",
     cell_size_deg: float | None = None,
+    max_fan_in: int | None = None,
 ) -> DataFrame:
     """Left-outer spatial join + reproject-merge (RasterJoin.scala:68-133).
 
     Returns left's columns plus, for each right tile column, a tile merged
     onto the left grid (same column name; NoData where no coverage).
+
+    ``max_fan_in``: by default all matched right tiles for one left row are
+    gathered in a single aggregation buffer before the merge kernel — fine
+    for footprint joins, unbounded for deep temporal stacks (thousands of
+    scenes over one tile). Setting ``max_fan_in=N`` switches to a chunked
+    two-level merge: right tiles are pre-merged onto the left grid in
+    rid-ordered chunks of ≤N per grouped task, then the (few) partial
+    canvases merge in chunk order — every task buffers at most N tiles, and
+    the result is value-identical (first-non-NoData-wins in the same rid
+    order; the final pass resamples identity-grid partials exactly).
     """
     right_tiles = right_tiles or ["tile"]
 
@@ -219,12 +300,27 @@ def raster_join(
         ],
     )
     matched = pairs.join(r_payload, "__rid")
-    grouped = matched.groupBy("__lid").agg(
-        *[F.collect_list(f"__rp_{rt}").alias(f"__rl_{rt}") for rt in right_tiles]
-    )
+    kernel = _merge_kernel(resampling)
+
+    if max_fan_in is None:
+        # rid-ordered merge list: collect_list order is arrival order
+        # (nondeterministic under retries/partitioning); sorting by __rid
+        # makes first-non-NoData-wins deterministic and identical to the
+        # chunked max_fan_in path
+        grouped = matched.groupBy("__lid").agg(
+            *[F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__rid").alias("r"),
+                             F.col(f"__rp_{rt}").alias("p")))),
+                lambda s: s["p"]).alias(f"__rl_{rt}")
+              for rt in right_tiles]
+        )
+    else:
+        grouped = _chunked_premerge(
+            L, matched, kernel, right_tiles, left_tile, left_extent, left_crs,
+            int(max_fan_in))
 
     joined = L.join(grouped, "__lid", "left")
-    kernel = _merge_kernel(resampling)
     out_cols = [c for c in left.columns]
     merged = joined.select(
         *out_cols,

@@ -98,3 +98,34 @@ def test_bilinear_resampling(spark):
     # interpolated values should vary smoothly between 0 and 3
     assert a.min() >= 0.0 and a.max() <= 3.0
     assert a[0, 0] < a[-1, -1]
+
+
+def test_deep_stack_bounded_fan_in(spark, left_df):
+    """500 right tiles over ONE left tile: max_fan_in pre-merges in chunks
+    (each grouped task buffers <= N payloads) and the merged result is
+    identical to the unbounded single-pass path."""
+    rng = np.random.default_rng(5)
+    rows = []
+    # 500 quarter-tiles scattered over the left extent; distinct values so
+    # first-non-NoData-wins ordering is observable
+    for i in range(500):
+        x0 = float(rng.integers(0, 5))
+        y0 = float(rng.integers(0, 5))
+        t = Tile(np.full((4, 4), float(i + 1)), "float64")
+        rows.append(row(i, t, ext(x0, y0, x0 + 4, y0 + 4)))
+    right = spark.createDataFrame(rows, schema=SCHEMA)
+
+    unbounded = raster_join(left_df, right).orderBy("id").collect()
+    bounded = raster_join(left_df, right, max_fan_in=32).orderBy("id").collect()
+    assert len(unbounded) == len(bounded) == 2
+    for ru, rb in zip(unbounded, bounded):
+        tu = ru["tile_right"]
+        tb = rb["tile_right"]
+        if tu is None:
+            assert tb is None
+            continue
+        a = Tile.from_parts(tu["cell_type"], tu["cols"], tu["rows"], bytes(tu["cells"]))
+        b = Tile.from_parts(tb["cell_type"], tb["cols"], tb["rows"], bytes(tb["cells"]))
+        assert np.array_equal(np.ma.getmaskarray(a.masked()), np.ma.getmaskarray(b.masked()))
+        # both paths must pick the same (rid-ordered) winner per cell
+        assert np.ma.allequal(a.masked(), b.masked())
