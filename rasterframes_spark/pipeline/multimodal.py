@@ -74,22 +74,41 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
                  decode: str = "fake") -> DataFrame:
     """payload binary -> decoded pixel buffer rows via mapInPandas.
 
-    ``decode='real'`` marks where `PIL.Image.open(io.BytesIO(payload))`
-    belongs once the codec is available.
+    ``decode='png'`` runs the repo's pure-python PNG codec
+    (``sources/png.py``: zlib inflate + scanline unfilter) end-to-end —
+    output dims come from the image, not the height/width args; rows whose
+    payload fails to decode are dropped (corrupt-input tolerance, the
+    behavior a web-scale ingest wants). ``decode='real'`` marks where
+    `PIL.Image.open(io.BytesIO(payload))` belongs for non-PNG formats once
+    a codec library is available; ``decode='fake'`` derives deterministic
+    pixels from the payload digest (plumbing tests).
     """
     if decode == "real":
         raise NotImplementedError(
-            "image codec not available in this environment; use decode='fake'"
+            "general image codec (JPEG/WebP/...) not available in this "
+            "environment; use decode='png' for PNG payloads or decode='fake'"
         )
 
     def run(batches):
+        from rasterframes_spark.sources.png import decode_png
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                arr = _fake_decode(bytes(payload), height, width)
-                rows.append((int(mid), height, width, 3, arr.tobytes()))
+                if decode == "png":
+                    try:
+                        arr = decode_png(bytes(payload))
+                    except Exception:
+                        continue  # corrupt/unsupported payload: drop the row
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    rows.append((int(mid), int(arr.shape[0]), int(arr.shape[1]),
+                                 int(arr.shape[2]), arr.tobytes()))
+                else:
+                    arr = _fake_decode(bytes(payload), height, width)
+                    rows.append((int(mid), height, width, 3, arr.tobytes()))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["media_id", "height", "width", "channels", "pixels"]

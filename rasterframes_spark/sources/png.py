@@ -1,7 +1,11 @@
-"""Minimal stdlib PNG encoder (zlib deflate; no PIL in this environment).
+"""Minimal stdlib PNG codec (zlib deflate/inflate; no PIL in this
+environment).
 
-Supports 8-bit grayscale (H,W) and RGB (H,W,3) numpy arrays — what
-rf_render_png and the slippy exporter need.
+Encoder supports 8-bit grayscale (H,W) and RGB (H,W,3) numpy arrays — what
+rf_render_png and the slippy exporter need. The decoder is its inverse and
+additionally handles all five scanline filters, RGBA, gray+alpha, and
+palette images (8-bit depth, no interlace) so externally-produced PNGs
+decode too.
 """
 
 from __future__ import annotations
@@ -11,7 +15,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["encode_png"]
+__all__ = ["encode_png", "decode_png"]
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -42,3 +46,87 @@ def encode_png(arr: np.ndarray) -> bytes:
         + _chunk(b"IDAT", zlib.compress(lines, 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(np.int32)
+        pos += stride
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prior) & 0xFF
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-ch]
+            recon = line.reshape(w, ch)
+            recon = np.cumsum(recon, axis=0, dtype=np.int64).astype(np.int64) & 0xFF
+            recon = recon.reshape(stride).astype(np.int32)
+        elif ftype == 3:  # Average
+            recon = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = recon[i - ch] if i >= ch else 0
+                recon[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = recon[i - ch] if i >= ch else 0
+                b = prior[i]
+                c = prior[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array: (H,W) for grayscale, (H,W,C) otherwise.
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); no interlace."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = []
+    plte = None
+    w = h = depth = ctype = interlace = None
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    arr = _unfilter(raw, h, w, channels).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        arr = plte[arr[:, :, 0]]
+    if arr.shape[2] == 1:
+        return arr[:, :, 0]
+    return arr

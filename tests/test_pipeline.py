@@ -184,3 +184,34 @@ def test_unblocked_pairs_guard(spark, docs):
     pairs = P.ngram_jaccard_pairs(docs, "doc_id", "text", allow_unblocked=True,
                                   threshold=0.99)
     assert pairs.count() >= 0
+
+
+def test_multimodal_png_decode_end_to_end(spark):
+    """Real PNG payloads decode through the Spark pipeline: encode_png ->
+    decode_image(decode='png') round-trips pixels exactly; corrupt payloads
+    are dropped, not fatal."""
+    import numpy as np
+    from rasterframes_spark.sources.png import encode_png
+
+    rng = np.random.default_rng(3)
+    imgs = {i: rng.integers(0, 256, (12 + i, 9 + i, 3), dtype=np.uint8)
+            for i in range(4)}
+    rows = [{"payload": bytearray(encode_png(a))} for a in imgs.values()]
+    rows.append({"payload": bytearray(b"not a png at all")})
+    df = spark.createDataFrame(rows, schema="payload binary")
+    media = P.media_table(spark, df, "payload", kind="image", mime="image/png")
+    decoded = P.decode_image(media, decode="png").collect()
+    assert len(decoded) == 4  # corrupt row dropped
+    got = {(r["height"], r["width"]): np.frombuffer(
+        bytes(r["pixels"]), dtype=np.uint8).reshape(r["height"], r["width"], r["channels"])
+        for r in decoded}
+    for a in imgs.values():
+        assert np.array_equal(got[(a.shape[0], a.shape[1])], a)
+    # grayscale round-trip keeps 1 channel
+    g = rng.integers(0, 256, (7, 11), dtype=np.uint8)
+    gdf = spark.createDataFrame([{"payload": bytearray(encode_png(g))}],
+                                schema="payload binary")
+    r = P.decode_image(P.media_table(spark, gdf, "payload"), decode="png").head()
+    assert (r["height"], r["width"], r["channels"]) == (7, 11, 1)
+    assert np.array_equal(
+        np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(7, 11), g)
