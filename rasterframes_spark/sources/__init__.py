@@ -5,7 +5,7 @@ from rasterframes_spark.sources.sinks import (  # noqa: F401
     write_geotiff, write_tiles, read_geojson, write_slippy,
 )
 from rasterframes_spark.sources.stac import (  # noqa: F401
-    read_stac_items, stac_asset_catalog,
+    read_stac_items, stac_api_search, stac_asset_catalog,
 )
 from rasterframes_spark.sources.layer import (  # noqa: F401
     write_tile_layer, read_tile_layer, layer_metadata,
@@ -14,6 +14,6 @@ from rasterframes_spark.sources.layer import (  # noqa: F401
 __all__ = [
     "read_raster", "realize_tiles", "with_spatial_index", "raster_from_array",
     "write_geotiff", "write_tiles", "read_geojson", "write_slippy",
-    "read_stac_items", "stac_asset_catalog",
+    "read_stac_items", "stac_api_search", "stac_asset_catalog",
     "write_tile_layer", "read_tile_layer", "layer_metadata",
 ]

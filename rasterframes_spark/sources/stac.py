@@ -5,34 +5,36 @@ DataFrame that chains into ``read.raster`` via asset hrefs
 (``datasource/.../stac/api/StacApiDataSource.scala``,
 ``RasterSourceDataSource.scala:225-233``).
 
-This environment has no network and no pystac-client, so the API call is
-STUBBED: ``read_stac_items`` consumes a STAC ItemCollection (or newline-
-delimited items) from a local JSON file — the exact payload a
-``pystac_client.Client.search().item_collection()`` call returns — and the
-``search()`` filters (bbox / datetime / collections) run as DataFrame
-filters. Swapping the file for a live API call is the marked TODO.
+Two entry points:
+
+- ``read_stac_items``: consumes a STAC ItemCollection (or newline-
+  delimited items) from a local JSON file — the exact payload a
+  ``pystac_client.Client.search().item_collection()`` call returns.
+- ``stac_api_search``: live API client — a driver-side ``urllib`` POST to
+  ``{url}/search`` with bbox / datetime / collections, following ``next``
+  pagination links, no pystac dependency. The items DataFrame chains into
+  ``read_raster`` via ``stac_asset_catalog``.
+
+The search itself is driver-side by design (the item list is catalog
+metadata, KBs–MBs); the heavy data movement — the asset rasters — stays
+distributed through read_raster's lazy refs + range reads.
 """
 
 from __future__ import annotations
 
 import json
+import urllib.request
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["read_stac_items", "stac_asset_catalog"]
+__all__ = ["read_stac_items", "stac_api_search", "stac_asset_catalog"]
+
+_ITEMS_SCHEMA = ("id string, collection string, datetime string, "
+                 "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
+                 "geometry_json string, assets map<string,string>")
 
 
-def read_stac_items(spark: SparkSession, path: str, bbox: tuple | None = None,
-                    datetime_range: tuple | None = None,
-                    collections: list[str] | None = None) -> DataFrame:
-    """STAC ItemCollection JSON -> items DataFrame
-    (id, collection, datetime, bbox struct, geometry WKB, assets map)."""
-    with open(path) as f:
-        doc = json.load(f)
-    items = doc["features"] if isinstance(doc, dict) and "features" in doc else doc
-    if isinstance(items, dict):
-        items = [items]
-
+def _items_to_df(spark: SparkSession, items: list[dict]) -> DataFrame:
     rows = []
     for it in items:
         bb = [None if v is None else float(v) for v in (it.get("bbox") or [None] * 4)]
@@ -45,12 +47,21 @@ def read_stac_items(spark: SparkSession, path: str, bbox: tuple | None = None,
             "assets": {k: (v.get("href") if isinstance(v, dict) else None)
                        for k, v in (it.get("assets") or {}).items()},
         })
-    df = spark.createDataFrame(
-        rows,
-        schema=("id string, collection string, datetime string, "
-                "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
-                "geometry_json string, assets map<string,string>"),
-    ).withColumn("datetime", F.to_timestamp("datetime"))
+    return spark.createDataFrame(rows, schema=_ITEMS_SCHEMA).withColumn(
+        "datetime", F.to_timestamp("datetime"))
+
+
+def read_stac_items(spark: SparkSession, path: str, bbox: tuple | None = None,
+                    datetime_range: tuple | None = None,
+                    collections: list[str] | None = None) -> DataFrame:
+    """STAC ItemCollection JSON -> items DataFrame
+    (id, collection, datetime, bbox struct, geometry WKB, assets map)."""
+    with open(path) as f:
+        doc = json.load(f)
+    items = doc["features"] if isinstance(doc, dict) and "features" in doc else doc
+    if isinstance(items, dict):
+        items = [items]
+    df = _items_to_df(spark, items)
 
     if collections:
         df = df.where(F.col("collection").isin(list(collections)))
@@ -64,6 +75,65 @@ def read_stac_items(spark: SparkSession, path: str, bbox: tuple | None = None,
         lo, hi = datetime_range
         df = df.where(F.col("datetime").between(lo, hi))
     return df
+
+
+def stac_api_search(spark: SparkSession, url: str, bbox: tuple | None = None,
+                    datetime_range: tuple | None = None,
+                    collections: list[str] | None = None,
+                    limit: int = 250, max_items: int = 10000,
+                    timeout: float = 30.0) -> DataFrame:
+    """Live STAC API item search -> items DataFrame.
+
+    POSTs the STAC API ``/search`` endpoint (reference:
+    ``StacApiDataSource.scala:26``; API spec: ogcapi-features ItemSearch)
+    with the given filters, follows ``rel=next`` pagination links (POST
+    body merge or GET href forms), and returns the same schema as
+    ``read_stac_items``. ``max_items`` caps the driver-side item list.
+    """
+    endpoint = url.rstrip("/")
+    if not endpoint.endswith("/search"):
+        endpoint += "/search"
+    body: dict = {"limit": int(limit)}
+    if bbox:
+        body["bbox"] = [float(v) for v in bbox]
+    if datetime_range:
+        lo, hi = datetime_range
+        body["datetime"] = f"{lo}/{hi}"
+    if collections:
+        body["collections"] = list(collections)
+
+    def post(u: str, payload: dict) -> dict:
+        req = urllib.request.Request(
+            u, data=json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json",
+                     "Accept": "application/geo+json"},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    def get(u: str) -> dict:
+        req = urllib.request.Request(u, headers={"Accept": "application/geo+json"})
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    items: list[dict] = []
+    doc = post(endpoint, body)
+    while True:
+        items.extend(doc.get("features") or [])
+        if len(items) >= max_items:
+            items = items[:max_items]
+            break
+        nxt = next((l for l in (doc.get("links") or [])
+                    if l.get("rel") == "next"), None)
+        if nxt is None:
+            break
+        if (nxt.get("method") or "GET").upper() == "POST":
+            merged = dict(body)
+            merged.update(nxt.get("body") or {})
+            doc = post(nxt.get("href") or endpoint, merged)
+        else:
+            doc = get(nxt["href"])
+    return _items_to_df(spark, items)
 
 
 def stac_asset_catalog(items: DataFrame, asset_keys: list[str]) -> DataFrame:
