@@ -378,31 +378,32 @@ def rf_mk_crs(crs: str) -> Column:
 _GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
+def _geohash_box(gh: str):
+    """Geohash string -> its bounding-box polygon geometry."""
+    lat = [-90.0, 90.0]
+    lon = [-180.0, 180.0]
+    even = True
+    for ch in gh:
+        bits = _GEOHASH32.index(ch)
+        for b in (16, 8, 4, 2, 1):
+            r = lon if even else lat
+            mid = (r[0] + r[1]) / 2
+            if bits & b:
+                r[0] = mid
+            else:
+                r[1] = mid
+            even = not even
+    return G.box_polygon(lon[0], lat[0], lon[1], lat[1])
+
+
 def st_geom_from_geohash(geohash_col, precision: int | None = None) -> Column:
     """Geohash string -> its bounding-box polygon (geomesa st_geomFromGeoHash)."""
 
     @lazy_pandas_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
-        out = []
-        for gh in s.values:
-            if gh is None:
-                out.append(None)
-                continue
-            lat = [-90.0, 90.0]
-            lon = [-180.0, 180.0]
-            even = True
-            for ch in gh:
-                bits = _GEOHASH32.index(ch)
-                for b in (16, 8, 4, 2, 1):
-                    r = lon if even else lat
-                    mid = (r[0] + r[1]) / 2
-                    if bits & b:
-                        r[0] = mid
-                    else:
-                        r[1] = mid
-                    even = not even
-            out.append(G.wkb_dumps(G.box_polygon(lon[0], lat[0], lon[1], lat[1])))
-        return pd.Series(out, dtype=object)
+        return pd.Series(
+            [None if gh is None else G.wkb_dumps(_geohash_box(gh)) for gh in s.values],
+            dtype=object)
 
     return udf(col_or_name(geohash_col))
 
