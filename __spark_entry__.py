@@ -491,14 +491,23 @@ def _q_rasterize(spark, sf_dir):
 
 
 def _events_df(spark, sf_dir):
-    """events with ts normalized: the parquet stores TIMESTAMP(NANOS), which
-    Spark only reads as long nanos under legacy.parquet.nanosAsLong — set it
-    defensively (runtime conf) in case the session wasn't built by
-    create_rf_spark_session."""
+    """events with ts normalized to TIMESTAMP (ltz) under a UTC session tz.
+
+    The driver's parquet has shipped with three ts encodings over time:
+    TIMESTAMP(NANOS) (readable only as long nanos under
+    legacy.parquet.nanosAsLong), TIMESTAMP(MICROS, adjusted) -> timestamp,
+    and TIMESTAMP(MICROS, unadjusted) -> timestamp_ntz.  unix_micros/
+    date_trunc want ltz, and the DuckDB oracle sees naive micros — so pin the
+    session tz to UTC (making the ntz->ltz cast a no-op on the underlying
+    micros) and cast whatever we got to a plain timestamp."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif ts_type != "timestamp":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
