@@ -230,7 +230,12 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     method='group_map' (the 'auto' default beyond 8k cells): single-shuffle
     applyInPandas — flat positions computed JVM-side, raw cell rows shuffle
     on the group key, one numpy scatter per group. Bounded memory per task
-    (one group's cells), no JVM collect buffers.
+    (one group's cells at a time), no JVM collect buffers. Measured note:
+    a sort-free Python-side hash-grouping variant (repartition +
+    mapInPandas dense accumulators) was 2x SLOWER at 100x256^2 — grouped
+    map's one-big-Arrow-batch-per-group transfer beats mapInPandas' 10k-row
+    streaming regardless of maxRecordsPerBatch, and the JVM group sort is
+    not the bottleneck. Don't re-litigate without re-measuring.
 
     method='chunked': two-phase alternative — a per-partition mapInPandas
     packs each partition's cells for a key into two binary blobs
@@ -242,13 +247,13 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     (very wide rows or extreme cell counts per partition).
     """
     nc, nr = int(cols), int(rows)
+    ct = CellType.parse(cell_type)
     if method == "auto":
         # collect for small tiles (bulk Arrow list transfer, cell traffic
         # stays JVM-side); group_map for large ones — collect_list's
         # per-element boxing and partial-buffer merges lose to one raw-row
         # shuffle + wide-parallel Arrow serialization beyond ~8k cells.
         method = "collect" if nr * nc <= 8192 else "group_map"
-    ct = CellType.parse(cell_type)
     ci = col_index if isinstance(col_index, str) else col_index._jc.toString()
     ri = row_index if isinstance(row_index, str) else row_index._jc.toString()
     cells = cell if isinstance(cell, (list, tuple)) else [cell]
@@ -300,14 +305,25 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
         list(in_schema.fields) + [StructField(n, TILE_SCHEMA, True) for n in out_names]
     )
 
+    # The value columns shuffle at the narrowest Spark type that holds the
+    # target cell type exactly (int for <=32-bit integer cells, float for
+    # float32) — halves shuffle + Arrow bytes vs double; nulls (NoData)
+    # survive every cast unchanged.
+    if np.issubdtype(ct.dtype, np.integer) or ct.dtype == np.dtype("bool"):
+        xfer = "int"
+    elif ct.dtype == np.dtype("float32"):
+        xfer = "float"
+    else:
+        xfer = "double"
+
     if method == "group_map":
         # flat cell position is computed JVM-side so the shuffle carries
-        # (keys, pos:int, value:double) — one int narrower than shipping
-        # (row, col) — and the Python side does a single 1-D scatter
+        # (keys, pos:int, value) — one int narrower than shipping
+        # (row, col) — and the Python side does a single 1-D scatter.
         src_gm = df.select(
             *group_cols,
             (F.col(ri).cast("long") * nc + F.col(ci).cast("long")).cast("int").alias("__p"),
-            *[F.col(cv).cast("double").alias(f"__c_{i}") for i, cv in enumerate(cvs)],
+            *[F.col(cv).cast(xfer).alias(f"__c_{i}") for i, cv in enumerate(cvs)],
         )
 
         def make(key, pdf: pd.DataFrame) -> pd.DataFrame:
