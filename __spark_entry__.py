@@ -199,6 +199,21 @@ def _q_agg_mean_by_parity(spark, sf_dir):
     )
 
 
+def _q_agg_local_grouped(spark, sf_dir):
+    """Cell-wise grouped mean+data_cells via the unified agg_local API
+    (aggregates/LocalStatsAggregate.scala:44-178): one stats tile set per
+    parity, exploded back to cells for the SQL oracle."""
+    t = _tiles_df(spark, sf_dir).withColumn(
+        "parity", (F.col("grp") % 2).cast("int"))
+    m = rf.agg_local(t, "qty", "stats", ["parity"])
+    ex = rf.explode_tiles(m, ["mean", "count"], keep_cols=["parity"])
+    return ex.select(
+        "parity", "column_index", "row_index",
+        F.round(F.col("mean"), 6).alias("mean_v"),
+        F.col("count").cast("long").alias("n"),
+    ).where(F.col("mean_v").isNotNull())
+
+
 def _q_explode(spark, sf_dir):
     t = _tiles_df(spark, sf_dir)
     cells = rf.explode_tiles(t, ["qty"])
@@ -705,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clamp_abs": _q_clamp_abs,
         "agg_stats": _q_agg_stats,
         "agg_mean_by_parity": _q_agg_mean_by_parity,
+        "agg_local_grouped": _q_agg_local_grouped,
         "explode_tiles": _q_explode,
         "assemble_roundtrip": _q_assemble_roundtrip,
         "tile_dimensions": _q_tile_dimensions,
@@ -783,6 +799,12 @@ def oracle_sql() -> dict[str, str]:
             select cast(grp % 2 as int) as parity,
                    round(sum(qty)/count(qty), 6) as mean_v, count(qty) as n
             from cells group by parity""",
+        "agg_local_grouped": C + """
+            select cast(grp % 2 as int) as parity,
+                   ci as column_index, ri as row_index,
+                   round(sum(qty)/count(qty), 6) as mean_v,
+                   count(qty) as n
+            from cells group by 1, 2, 3 having count(qty) > 0""",
         "explode_tiles": C + """
             select grp, ci as column_index, ri as row_index, qty as cell
             from cells""",

@@ -36,6 +36,7 @@ __all__ = [
     "rf_agg_extent", "rf_agg_reprojected_extent",
     "rf_agg_approx_quantiles", "rf_agg_approx_histogram",
     "rf_agg_equal_width_histogram",
+    "agg_local",
     "agg_local_stats", "agg_local_min", "agg_local_max", "agg_local_mean",
     "agg_local_data_cells", "agg_local_no_data_cells",
     "grouped_agg_local", "rf_agg_overview_raster",
@@ -320,12 +321,16 @@ def rf_agg_equal_width_histogram(df: DataFrame, tile, num_buckets: int = 80):
 # ---------------------------------------------------------------------------
 
 _LOCAL_STATE_T = (
-    "struct<rows:int,cols:int,cnt:binary,sm:binary,ssq:binary,mn:binary,mx:binary>"
+    "struct<rows:int,cols:int,n:bigint,cnt:binary,sm:binary,ssq:binary,mn:binary,mx:binary>"
+)
+_LOCAL_STATE_DDL = (
+    "rows int, cols int, n bigint, cnt binary, sm binary, ssq binary, mn binary, mx binary"
 )
 
 
 def _local_zero(shape):
     return {
+        "n": 0,
         "cnt": np.zeros(shape, dtype="int64"),
         "sm": np.zeros(shape, dtype="float64"),
         "ssq": np.zeros(shape, dtype="float64"),
@@ -337,6 +342,7 @@ def _local_zero(shape):
 def _local_accum(state, a: np.ma.MaskedArray):
     valid = ~np.ma.getmaskarray(a)
     vals = np.where(valid, np.asarray(a.data, dtype="float64"), 0.0)
+    state["n"] += 1
     state["cnt"] += valid
     state["sm"] += vals
     state["ssq"] += vals * vals
@@ -352,6 +358,7 @@ def _local_state_rows(states_and_shapes):
             {
                 "rows": shape[0],
                 "cols": shape[1],
+                "n": int(st["n"]),
                 "cnt": st["cnt"].tobytes(),
                 "sm": st["sm"].tobytes(),
                 "ssq": st["ssq"].tobytes(),
@@ -365,6 +372,7 @@ def _local_state_rows(states_and_shapes):
 def _decode_state(row):
     shape = (int(row["rows"]), int(row["cols"]))
     return shape, {
+        "n": int(row["n"]),
         "cnt": np.frombuffer(row["cnt"], dtype="int64").reshape(shape).copy(),
         "sm": np.frombuffer(row["sm"], dtype="float64").reshape(shape).copy(),
         "ssq": np.frombuffer(row["ssq"], dtype="float64").reshape(shape).copy(),
@@ -374,6 +382,7 @@ def _decode_state(row):
 
 
 def _merge_states(a, b):
+    a["n"] += b["n"]
     a["cnt"] += b["cnt"]
     a["sm"] += b["sm"]
     a["ssq"] += b["ssq"]
@@ -382,165 +391,224 @@ def _merge_states(a, b):
     return a
 
 
-def _local_agg(df: DataFrame, tile, which: str) -> Tile | dict:
-    """Two-level cell-wise aggregate over the whole column.
+_STATS_NAMES = ("count", "min", "max", "mean", "variance")
 
-    Level 1: mapInPandas accumulates per *partition* (no shuffle, one state
-    array per partition). Level 2: the P partial states (P = #partitions,
-    tiny) collect to the driver for the final merge — equivalent to
-    treeAggregate's final step; at 1000 executors this is 1000 small rows.
-    Reference: aggregates/LocalStatsAggregate.scala:44-178.
+
+def _finish_state(state, which):
+    """Turn an accumulated cell-wise state into result Tile(s).
+
+    Returns a single Tile for scalar 'which', or a dict of the five stats
+    tiles for which='stats'. NoData where no row had data at that cell."""
+    cnt = state["cnt"]
+    mask = cnt == 0
+    f64 = CellType.parse("float64")
+    i32 = CellType.parse("int32")
+    if which == "data_cells":
+        return Tile(np.ma.masked_array(cnt.astype("int32")), i32)
+    if which == "no_data_cells":
+        return Tile(np.ma.masked_array(
+            (state["n"] - cnt).astype("int32")), i32)
+    if which == "sum":
+        return Tile(np.ma.masked_array(state["sm"], mask=mask), f64)
+    if which == "min":
+        return Tile(np.ma.masked_array(state["mn"], mask=mask), f64)
+    if which == "max":
+        return Tile(np.ma.masked_array(state["mx"], mask=mask), f64)
+    mean = np.ma.masked_array(
+        np.divide(state["sm"], np.maximum(cnt, 1)), mask=mask)
+    if which == "mean":
+        return Tile(mean, f64)
+    if which == "stats":
+        var = np.ma.masked_array(
+            np.divide(state["ssq"], np.maximum(cnt, 1)) - np.asarray(mean) ** 2,
+            mask=mask)
+        return {
+            "count": Tile(np.ma.masked_array(cnt.astype("int32")), i32),
+            "min": Tile(np.ma.masked_array(state["mn"], mask=mask), f64),
+            "max": Tile(np.ma.masked_array(state["mx"], mask=mask), f64),
+            "mean": Tile(mean, f64),
+            "variance": Tile(var, f64),
+        }
+    raise ValueError(which)
+
+
+def _accumulate_tiles(struct_series) -> tuple:
+    """Fold a series of tile structs into one (shape, state); None if empty."""
+    structs = pd.DataFrame([
+        s if s is not None else
+        {"cell_type": None, "cols": None, "rows": None, "cells": None}
+        for s in struct_series
+    ])
+    state = None
+    shape = None
+    for tl in decode_struct_pdf(structs):
+        if tl is None:
+            continue
+        a = tl.masked()
+        if state is None:
+            shape = a.shape
+            state = _local_zero(shape)
+        if a.shape != shape:
+            raise ValueError("local aggregates require uniform tile dimensions")
+        _local_accum(state, a)
+    return shape, state
+
+
+def _finished_columns(state, which) -> dict:
+    """Result tile column(s) as to_row dicts, keyed by output column name."""
+    fin = _finish_state(state, which)
+    if which == "stats":
+        return {k: fin[k].to_row() for k in _STATS_NAMES}
+    return {"tile": fin.to_row()}
+
+
+def _out_tile_fields(which):
+    from pyspark.sql.types import StructField
+    names = _STATS_NAMES if which == "stats" else ("tile",)
+    return [StructField(n, TILE_SCHEMA, True) for n in names]
+
+
+def agg_local(df: DataFrame, tile, which: str = "mean",
+              group_cols: list | None = None) -> DataFrame:
+    """Unified cell-wise (per-pixel) aggregate across rows.
+
+    One API for both shapes (reference LocalStatsAggregate.scala:44-178 /
+    LocalMeanAggregate.scala:41-79):
+
+    - ``group_cols=None``: aggregate the whole column -> one-row DataFrame.
+      Level 1 accumulates per *partition* via mapInPandas (no shuffle, one
+      state array per partition); level 2 merges the P tiny partial states
+      in a single final task — treeAggregate-shaped, nothing cell-sized
+      ever lands on the driver.
+    - ``group_cols=[...]``: one result tile per group via a single-shuffle
+      applyInPandas; the group's tiles stream through one Python pass.
+
+    ``which``: mean | min | max | sum | data_cells | no_data_cells | stats
+    (stats -> five tile columns: count, min, max, mean, variance).
+    Requires uniform tile dimensions within each aggregation scope (the
+    reference enforces the same, ExplodeTiles.scala:72-75).
+
+    Driver-side convenience wrappers (``agg_local_mean`` etc.) collect this
+    DataFrame's single row into local ``Tile`` objects.
     """
+    from pyspark.sql.types import StructType
+
     tile_c = col_or_name(tile)
+
+    if group_cols:
+        in_schema = df.select(*group_cols).schema
+        key_names = [f.name for f in in_schema.fields]
+        out_schema = StructType(list(in_schema.fields) + _out_tile_fields(which))
+        src = df.select(*group_cols, tile_c.alias("__t"))
+
+        def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            _, state = _accumulate_tiles(pdf["__t"])
+            out = {g: [k] for g, k in zip(key_names, key)}
+            if state is None:
+                for f in _out_tile_fields(which):
+                    out[f.name] = [None]
+            else:
+                for name, row in _finished_columns(state, which).items():
+                    out[name] = [row]
+            return pd.DataFrame(out)
+
+        return df.sparkSession.createDataFrame([], out_schema) if df.isEmpty() else (
+            src.groupBy(*group_cols).applyInPandas(agg, schema=out_schema)
+        )
+
     src = df.select(tile_c.alias("t"))
+    state_schema = StructType.fromDDL(_LOCAL_STATE_DDL)
 
     def partial(iterator):
         state = None
         shape = None
         for pdf in iterator:
-            # mapInPandas delivers struct columns as dict-valued object Series
-            structs = pd.DataFrame([s if s is not None else {"cell_type": None, "cols": None, "rows": None, "cells": None} for s in pdf["t"]])
-            for tl in decode_struct_pdf(structs):
-                if tl is None:
-                    continue
-                a = tl.masked()
-                if state is None:
-                    shape = a.shape
-                    state = _local_zero(shape)
-                if a.shape != shape:
-                    raise ValueError("local aggregates require uniform tile dimensions")
-                _local_accum(state, a)
+            s2, st2 = _accumulate_tiles(pdf["t"])
+            if st2 is None:
+                continue
+            if state is None:
+                shape, state = s2, st2
+            else:
+                if s2 != shape:
+                    raise ValueError(
+                        "local aggregates require uniform tile dimensions")
+                _merge_states(state, st2)
         if state is not None:
             yield pd.DataFrame(_local_state_rows([(shape, state)]))
 
-    from pyspark.sql.types import StructType
+    out_schema = StructType(_out_tile_fields(which))
 
-    state_schema = StructType.fromDDL(
-        "rows int, cols int, cnt binary, sm binary, ssq binary, mn binary, mx binary"
-    )
-    partials = src.mapInPandas(partial, schema=state_schema).collect()
-    if not partials:
+    def final(iterator):
+        acc = None
+        shape = None
+        for pdf in iterator:
+            for row in pdf.to_dict("records"):
+                s2, st2 = _decode_state(row)
+                if acc is None:
+                    shape, acc = s2, st2
+                else:
+                    if s2 != shape:
+                        raise ValueError(
+                            "local aggregates require uniform tile dimensions")
+                    _merge_states(acc, st2)
+        if acc is not None:
+            yield pd.DataFrame(
+                {n: [r] for n, r in _finished_columns(acc, which).items()})
+
+    return (src.mapInPandas(partial, schema=state_schema)
+            .repartition(1).mapInPandas(final, schema=out_schema))
+
+
+def _collect_single(df: DataFrame, which: str):
+    """Driver finish: collect agg_local's single row into Tile object(s)."""
+    rows = df.collect()
+    if not rows:
         return None
-    shape, acc = _decode_state(partials[0].asDict())
-    for row in partials[1:]:
-        s2, st2 = _decode_state(row.asDict())
-        if s2 != shape:
-            raise ValueError("local aggregates require uniform tile dimensions")
-        _merge_states(acc, st2)
+    row = rows[0]
 
-    cnt = acc["cnt"]
-    mask = cnt == 0
-    mean = np.ma.masked_array(np.divide(acc["sm"], np.maximum(cnt, 1)), mask=mask)
-    if which == "mean":
-        return Tile(mean, CellType.parse("float64"))
-    if which == "min":
-        return Tile(np.ma.masked_array(acc["mn"], mask=mask), CellType.parse("float64"))
-    if which == "max":
-        return Tile(np.ma.masked_array(acc["mx"], mask=mask), CellType.parse("float64"))
-    if which == "data_cells":
-        return Tile(np.ma.masked_array(cnt.astype("int32")), CellType.parse("int32"))
+    def to_tile(struct):
+        if struct is None:
+            return None
+        return decode_struct_pdf(pd.DataFrame([struct.asDict()]))[0]
+
     if which == "stats":
-        var = np.ma.masked_array(
-            np.divide(acc["ssq"], np.maximum(cnt, 1)) - np.asarray(mean) ** 2, mask=mask
-        )
-        return {
-            "count": Tile(np.ma.masked_array(cnt.astype("int32")), CellType.parse("int32")),
-            "min": Tile(np.ma.masked_array(acc["mn"], mask=mask), CellType.parse("float64")),
-            "max": Tile(np.ma.masked_array(acc["mx"], mask=mask), CellType.parse("float64")),
-            "mean": Tile(mean, CellType.parse("float64")),
-            "variance": Tile(var, CellType.parse("float64")),
-        }
-    raise ValueError(which)
+        # row["count"] not getattr: Row.count is a method, shadowing the field
+        return {k: to_tile(row[k]) for k in _STATS_NAMES}
+    return to_tile(row["tile"])
 
 
 def agg_local_stats(df: DataFrame, tile):
-    """Cell-wise count/min/max/mean/variance across rows -> dict of 5 Tiles
-    (aggregates/LocalStatsAggregate.scala:44-178)."""
-    return _local_agg(df, tile, "stats")
+    """Cell-wise count/min/max/mean/variance across rows -> dict of 5 local
+    Tiles (aggregates/LocalStatsAggregate.scala:44-178). Driver-finish
+    convenience over ``agg_local(df, tile, 'stats')``."""
+    return _collect_single(agg_local(df, tile, "stats"), "stats")
 
 
 def agg_local_min(df: DataFrame, tile) -> Tile:
-    return _local_agg(df, tile, "min")
+    return _collect_single(agg_local(df, tile, "min"), "min")
 
 
 def agg_local_max(df: DataFrame, tile) -> Tile:
-    return _local_agg(df, tile, "max")
+    return _collect_single(agg_local(df, tile, "max"), "max")
 
 
 def agg_local_mean(df: DataFrame, tile) -> Tile:
-    return _local_agg(df, tile, "mean")
+    return _collect_single(agg_local(df, tile, "mean"), "mean")
 
 
 def agg_local_data_cells(df: DataFrame, tile) -> Tile:
-    return _local_agg(df, tile, "data_cells")
+    return _collect_single(agg_local(df, tile, "data_cells"), "data_cells")
 
 
 def agg_local_no_data_cells(df: DataFrame, tile) -> Tile:
-    stats = _local_agg(df, tile, "stats")
-    cnt = stats["count"].masked().data.astype("int64")
-    n_rows = df.where(col_or_name(tile).isNotNull()).count()
-    return Tile(
-        np.ma.masked_array((n_rows - cnt).astype("int32")), CellType.parse("int32")
-    )
+    return _collect_single(agg_local(df, tile, "no_data_cells"), "no_data_cells")
 
 
 def grouped_agg_local(df: DataFrame, group_cols: list, tile,
                       which: str = "mean") -> DataFrame:
-    """Grouped tile-valued aggregate: one result tile per group, cell-wise
-    across the group's rows (the groupBy form of rf_agg_local_*;
-    aggregates/LocalMeanAggregate.scala:41-79 etc.). applyInPandas — the
-    group's tiles stream through one Python pass; requires uniform dims
-    within each group (reference enforces the same, ExplodeTiles.scala:72-75).
-    """
-    tile_c = col_or_name(tile)
-    from pyspark.sql.types import StructType, StructField
-
-    in_schema = df.select(*group_cols).schema
-    out_schema = StructType(list(in_schema.fields) + [StructField("tile", TILE_SCHEMA, True)])
-    src = df.select(*group_cols, tile_c.alias("__t"))
-
-    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        structs = pd.DataFrame([
-            t if t is not None else {"cell_type": None, "cols": None, "rows": None, "cells": None}
-            for t in pdf["__t"]
-        ])
-        state = None
-        shape = None
-        for tl in decode_struct_pdf(structs):
-            if tl is None:
-                continue
-            a = tl.masked()
-            if state is None:
-                shape = a.shape
-                state = _local_zero(shape)
-            if a.shape != shape:
-                raise ValueError("local aggregates require uniform tile dimensions")
-            _local_accum(state, a)
-        out = {g: [k] for g, k in zip([f.name for f in in_schema.fields], key)}
-        if state is None:
-            out["tile"] = [None]
-        else:
-            cnt = state["cnt"]
-            mask = cnt == 0
-            if which == "mean":
-                res = np.ma.masked_array(np.divide(state["sm"], np.maximum(cnt, 1)), mask=mask)
-                t = Tile(res, CellType.parse("float64"))
-            elif which == "min":
-                t = Tile(np.ma.masked_array(state["mn"], mask=mask), CellType.parse("float64"))
-            elif which == "max":
-                t = Tile(np.ma.masked_array(state["mx"], mask=mask), CellType.parse("float64"))
-            elif which == "sum":
-                t = Tile(np.ma.masked_array(state["sm"], mask=mask), CellType.parse("float64"))
-            elif which == "data_cells":
-                t = Tile(np.ma.masked_array(cnt.astype("int32")), CellType.parse("int32"))
-            else:
-                raise ValueError(which)
-            out["tile"] = [t.to_row()]
-        return pd.DataFrame(out)
-
-    return df.sparkSession.createDataFrame([], out_schema) if df.isEmpty() else (
-        src.groupBy(*group_cols).applyInPandas(agg, schema=out_schema)
-    )
+    """Deprecated spelling of ``agg_local(df, tile, which, group_cols)`` —
+    kept for compatibility; delegates unchanged."""
+    return agg_local(df, tile, which, group_cols)
 
 
 def rf_agg_overview_raster(df: DataFrame, tile: str, extent: str, crs: str,

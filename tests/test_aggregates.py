@@ -84,6 +84,39 @@ def test_agg_local_stats_counts(spark, tile_df, tiles):
     assert np.allclose(np.asarray(stats["variance"].masked()), np.asarray(stack.var(axis=0)), atol=1e-6)
 
 
+def test_agg_local_unified_dataframe_api(spark, tile_df, tiles):
+    """agg_local returns a DataFrame (distributed finish); grouped 'stats'
+    yields five tile columns; no_data_cells derives from the in-state tile
+    count (no extra count job)."""
+    stack = np.ma.stack([t.masked().astype("float64") for t in tiles])
+
+    # ungrouped: one-row DataFrame, stats -> 5 tile columns
+    out = rf.agg_local(tile_df, "tile", "stats")
+    assert out.columns == ["count", "min", "max", "mean", "variance"]
+    row = out.head()
+    from rasterframes_spark.functions._kernel import decode_struct_pdf
+    import pandas as pd
+    mean_tile = decode_struct_pdf(pd.DataFrame([row["mean"].asDict()]))[0]
+    assert np.allclose(np.asarray(mean_tile.masked()),
+                       np.asarray(stack.mean(axis=0)))
+
+    # ungrouped no_data_cells == per-cell mask count across rows
+    ndc = rf.agg_local_no_data_cells(tile_df, "tile")
+    nd = np.ma.getmaskarray(stack).sum(axis=0)
+    assert np.array_equal(np.asarray(ndc.masked()), nd)
+
+    # grouped via the unified spelling == deprecated grouped_agg_local
+    df2 = tile_df.withColumn("g", (F.length("tile_id") % 2).cast("int"))
+    a = rf.agg_local(df2, "tile", "mean", ["g"]).orderBy("g").collect()
+    b = rf.grouped_agg_local(df2, ["g"], "tile", "mean").orderBy("g").collect()
+    assert [r["tile"] for r in a] == [r["tile"] for r in b]
+
+    # grouped stats: five tile columns per group
+    gs = rf.agg_local(df2, "tile", "stats", ["g"])
+    assert gs.columns == ["g", "count", "min", "max", "mean", "variance"]
+    assert gs.count() == df2.select("g").distinct().count()
+
+
 def test_agg_extent(spark):
     df = spark.createDataFrame(
         [
