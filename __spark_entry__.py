@@ -568,6 +568,44 @@ def _q_events_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _q_audio_features(spark, sf_dir):
+    """Real WAV round-trip through the distributed audio pipeline: per-doc
+    sine clips encoded as float64 WAV (lossless), decoded by the pure-python
+    RIFF codec in decode_audio, reduced by audio_features; the oracle
+    recomputes RMS/duration from the same closed-form signal in SQL. The
+    whole chain (encode -> Spark binary column -> decode -> feature kernel)
+    is bit-exact because float64 WAV stores samples verbatim."""
+    import numpy as np
+    from rasterframes_spark import pipeline as P
+    from rasterframes_spark.pipeline.audio import encode_wav
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id").where(F.col("doc_id") < 64)
+
+    def synth(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                f = 100.0 + (d % 8) * 50.0
+                n = 1000 + (d % 5) * 200
+                a = 0.1 + (d % 9) * 0.1
+                k = np.arange(n)
+                x = a * np.sin(2 * np.pi * f * k / 8000.0)
+                rows.append((d, bytearray(encode_wav(x, 8000, bits=64, fmt="float"))))
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    feats = P.audio_features(P.decode_audio(media, decode="wav"))
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "duration_ms",
+        F.round("rms", 6).alias("rms_v"),
+    )
+
+
 def _q_text_metrics(spark, sf_dir):
     from rasterframes_spark import pipeline as P
 
@@ -741,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekly": _q_events_weekly,
         "events_sessions": _q_events_sessions,
         "events_topk": _q_events_topk,
+        "audio_features": _q_audio_features,
         "text_metrics": _q_text_metrics,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -979,6 +1018,21 @@ def oracle_sql() -> dict[str, str]:
                    cast(row_number() over (partition by event_type
                         order by total desc, user_id) as int) as rank
             from t qualify rank <= 3""",
+        "audio_features": """
+            with params as (
+              select doc_id,
+                     100.0 + (doc_id % 8) * 50.0 as f,
+                     1000 + (doc_id % 5) * 200 as n,
+                     0.1::double + (doc_id % 9) * 0.1::double as a
+              from documents where doc_id < 64
+            ), s as (
+              select doc_id, f, a, n, unnest(range(n)) as k from params
+            )
+            select doc_id,
+                   n * 1000.0 / 8000.0 as duration_ms,
+                   round(sqrt(avg((a * sin(2 * pi() * f * k / 8000.0))
+                              * (a * sin(2 * pi() * f * k / 8000.0)))), 6) as rms_v
+            from s group by 1, 2""",
         "text_metrics": """
             select doc_id,
                    len(string_split(text, ' ')) as n_tokens,

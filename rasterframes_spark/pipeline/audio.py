@@ -1,0 +1,215 @@
+"""Audio column handling for training-data pipelines — REAL end-to-end.
+
+Unlike the image/video paths (whose codecs aren't in this container and are
+stubbed behind ``decode='fake'``), audio needs no external library: WAV
+(RIFF) is a trivial container parsed with ``struct``, and every feature a
+data pipeline wants at filter time (RMS energy, zero-crossing rate, spectral
+centroid, duration) is plain numpy. So ``decode='wav'`` is a genuine codec:
+PCM 8/16/24/32-bit integer and 32/64-bit IEEE float, any channel count.
+
+Spark posture mirrors the rest of the engine: payloads are opaque ``binary``
+cells that cross to Python once per Arrow batch via ``mapInPandas``; decoded
+samples stay a packed float binary buffer (never a per-sample row explosion)
+until a feature kernel reduces them.
+
+The reference has no audio surface — this module is part of the
+training-data pipeline extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "encode_wav", "decode_wav", "decode_audio", "audio_features",
+]
+
+
+# ---------------------------------------------------------------------------
+# pure-python WAV codec (RIFF/WAVE, fmt + data chunks)
+# ---------------------------------------------------------------------------
+
+_FMT_PCM = 1
+_FMT_FLOAT = 3
+
+_INT_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+_FLOAT_DTYPES = {32: np.dtype("<f4"), 64: np.dtype("<f8")}
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int,
+               bits: int = 16, fmt: str = "pcm") -> bytes:
+    """float samples in [-1, 1] (shape (n,) or (n, channels)) -> WAV bytes.
+
+    fmt='pcm' quantizes to ``bits``-bit integers (8 unsigned / 16 / 24 / 32
+    signed); fmt='float' stores IEEE float32 (bits=32) or float64 (bits=64)
+    verbatim — the lossless path an exact oracle can mirror.
+    """
+    a = np.asarray(samples, dtype="float64")
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if fmt == "float":
+        dt = _FLOAT_DTYPES[bits]
+        payload = np.ascontiguousarray(a, dtype=dt).tobytes()
+        fmt_code = _FMT_FLOAT
+    elif fmt == "pcm":
+        if bits == 8:
+            q = np.clip(np.round(a * 127.0) + 128, 0, 255).astype(np.uint8)
+            payload = q.tobytes()
+        elif bits == 24:
+            q = np.clip(np.round(a * 8388607.0), -8388608, 8388607).astype("<i4")
+            b4 = q.astype("<i4").view(np.uint8).reshape(-1, 4)
+            payload = np.ascontiguousarray(b4[:, :3]).tobytes()
+        else:
+            full = float(2 ** (bits - 1) - 1)
+            q = np.clip(np.round(a * full), -full - 1, full).astype(_INT_DTYPES[bits])
+            payload = q.tobytes()
+        fmt_code = _FMT_PCM
+    else:
+        raise ValueError(f"fmt must be 'pcm' or 'float', got {fmt!r}")
+
+    block = ch * bits // 8
+    fmt_chunk = struct.pack(
+        "<HHIIHH", fmt_code, ch, sample_rate, sample_rate * block, block, bits)
+    data = payload
+    riff = b"WAVE"
+    riff += b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+    riff += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        riff += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 samples shape (n, channels) in [-1, 1],
+    sample_rate). Integer PCM is rescaled to [-1, 1]; float PCM is verbatim.
+    Raises ValueError on malformed/unsupported input."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt_code = ch = rate = bits = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            fmt_code, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt_code is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if ch < 1:
+        raise ValueError("zero channels")
+    if fmt_code == _FMT_FLOAT:
+        if bits not in _FLOAT_DTYPES:
+            raise ValueError(f"unsupported float bit depth {bits}")
+        a = np.frombuffer(data, dtype=_FLOAT_DTYPES[bits]).astype("float64")
+    elif fmt_code == _FMT_PCM:
+        if bits == 8:
+            a = (np.frombuffer(data, dtype=np.uint8).astype("float64") - 128) / 127.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+            b4 = np.zeros((raw.shape[0], 4), dtype=np.uint8)
+            b4[:, 1:] = raw
+            a = (b4.view("<i4").ravel() >> 8).astype("float64") / 8388607.0
+        elif bits in _INT_DTYPES:
+            full = float(2 ** (bits - 1) - 1)
+            a = np.frombuffer(data, dtype=_INT_DTYPES[bits]).astype("float64") / full
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported WAV format code {fmt_code}")
+    n = len(a) - len(a) % ch
+    return a[:n].reshape(-1, ch), int(rate)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+_AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, channels int, n_samples long, samples binary"
+)
+
+
+def decode_audio(df: DataFrame, decode: str = "wav") -> DataFrame:
+    """payload binary -> decoded sample buffer rows via mapInPandas.
+
+    ``decode='wav'`` runs the real RIFF/WAV codec above; rows whose payload
+    fails to decode are dropped (corrupt-input tolerance, the behavior a
+    web-scale ingest wants). ``decode='real'`` marks where an mp3/ogg codec
+    (torchaudio/ffmpeg) would slot in. Decoded samples are a packed
+    little-endian float64 buffer (mono-mixed when multi-channel) — one row
+    per clip, never a per-sample explosion.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "compressed audio codecs (mp3/ogg/flac) not available in this "
+            "environment; use decode='wav' for WAV payloads")
+    if decode != "wav":
+        raise ValueError(f"decode must be 'wav' or 'real', got {decode!r}")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    a, rate = decode_wav(bytes(payload))
+                except ValueError:
+                    continue  # corrupt/unsupported payload: drop the row
+                mono = a.mean(axis=1) if a.shape[1] > 1 else a[:, 0]
+                rows.append((int(mid), rate, int(a.shape[1]),
+                             int(a.shape[0]), mono.tobytes()))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "sample_rate", "channels", "n_samples", "samples"])
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=_AUDIO_SCHEMA)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decoded sample buffers -> per-clip scalar features (all numpy-real):
+
+    - duration_ms
+    - rms: root-mean-square energy
+    - zero_crossing_rate: fraction of adjacent sample pairs changing sign
+    - spectral_centroid_hz: magnitude-weighted mean frequency (rFFT)
+
+    These are the standard cheap quality/filter signals of an audio training
+    pipeline (silence/clipping detection, speech-vs-noise heuristics).
+    """
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, rate, n, buf in zip(pdf["media_id"], pdf["sample_rate"],
+                                         pdf["n_samples"], pdf["samples"]):
+                x = np.frombuffer(bytes(buf), dtype="<f8")
+                if not len(x):
+                    continue
+                rms = float(np.sqrt(np.mean(x * x)))
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                mag = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / float(rate))
+                msum = mag.sum()
+                cent = float((freqs * mag).sum() / msum) if msum > 0 else 0.0
+                rows.append((int(mid), int(n) * 1000.0 / float(rate),
+                             rms, zcr, cent))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "duration_ms", "rms",
+                    "zero_crossing_rate", "spectral_centroid_hz"])
+
+    return df.mapInPandas(run, schema=(
+        "media_id long, duration_ms double, rms double, "
+        "zero_crossing_rate double, spectral_centroid_hz double"))

@@ -215,3 +215,70 @@ def test_multimodal_png_decode_end_to_end(spark):
     assert (r["height"], r["width"], r["channels"]) == (7, 11, 1)
     assert np.array_equal(
         np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(7, 11), g)
+
+
+def test_wav_codec_roundtrip():
+    """Pure-python WAV codec: every supported bit depth round-trips."""
+    from rasterframes_spark.pipeline.audio import encode_wav, decode_wav
+
+    rng = np.random.default_rng(11)
+    x = np.clip(rng.normal(0, 0.3, 4000), -1, 1)
+    # float formats are lossless (float64 bit-exact, float32 to its eps)
+    for bits in (32, 64):
+        a, rate = decode_wav(encode_wav(x, 8000, bits=bits, fmt="float"))
+        assert rate == 8000 and a.shape == (4000, 1)
+        tol = 0 if bits == 64 else 1e-7
+        assert np.allclose(a[:, 0], x, atol=tol)
+    # integer PCM round-trips to quantization error
+    for bits, tol in ((8, 1 / 127), (16, 1 / 32767), (24, 1 / 8388607), (32, 1e-9)):
+        a, rate = decode_wav(encode_wav(x, 44100, bits=bits, fmt="pcm"))
+        assert rate == 44100
+        assert np.allclose(a[:, 0], x, atol=tol * 1.01)
+    # stereo keeps channel structure
+    st = np.stack([x, -x], axis=1)
+    a, _ = decode_wav(encode_wav(st, 16000, bits=16))
+    assert a.shape == (4000, 2)
+    assert np.allclose(a[:, 0], -a[:, 1], atol=1e-4)
+    # malformed inputs raise
+    for bad in (b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE"):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_decode_audio_and_features(spark):
+    """decode_audio runs the real WAV codec distributed; audio_features
+    match a local numpy oracle; corrupt payloads drop."""
+    from rasterframes_spark.pipeline.audio import encode_wav
+
+    rng = np.random.default_rng(5)
+    sr = 8000
+    clips = {}
+    rows = []
+    for i in range(5):
+        f = 200.0 * (i + 1)
+        t = np.arange(sr // 2) / sr
+        x = 0.5 * np.sin(2 * np.pi * f * t)
+        clips[i] = x
+        rows.append({"payload": bytearray(encode_wav(x, sr, bits=64, fmt="float"))})
+    rows.append({"payload": bytearray(b"corrupt bytes")})
+    df = spark.createDataFrame(rows, schema="payload binary")
+    media = P.media_table(spark, df, "payload", kind="audio", mime="audio/wav")
+    dec = P.decode_audio(media)
+    feats = {r["media_id"]: r for r in P.audio_features(dec).collect()}
+    ids = {r["media_id"]: r for r in dec.collect()}
+    assert len(ids) == 5  # corrupt row dropped
+    # media_id assignment order matches input order within a single partition
+    for mid, r in ids.items():
+        x = clips[sorted(ids).index(mid)]
+        got = np.frombuffer(bytes(r["samples"]), dtype="<f8")
+        assert np.array_equal(got, x)  # float64 WAV is bit-exact
+        fr = feats[mid]
+        assert abs(fr["rms"] - np.sqrt(np.mean(x * x))) < 1e-12
+        assert abs(fr["duration_ms"] - 500.0) < 1e-9
+        zc = np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))
+        assert abs(fr["zero_crossing_rate"] - zc) < 1e-12
+        mag = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+        assert abs(fr["spectral_centroid_hz"] - (freqs * mag).sum() / mag.sum()) < 1e-9
+    with pytest.raises(NotImplementedError):
+        P.decode_audio(media, decode="real")
