@@ -108,6 +108,17 @@ def test_cosine_topk_exact(spark, emb):
         assert cs == sorted(cs, reverse=True)
 
 
+def test_cosine_topk_methods_agree(spark, emb):
+    """The BLAS matmul path and the declarative HOF path return identical
+    rows (same rounding, same tie-break)."""
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = P.cosine_topk(emb, queries, k=7, method="matmul") \
+        .orderBy("query_id", "rank").collect()
+    b = P.cosine_topk(emb, queries, k=7, method="sql") \
+        .orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_lsh_ann_recall(spark, emb):
     queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
     exact = P.cosine_topk(emb, queries, k=5)
