@@ -7,6 +7,7 @@ from rasterframes_spark.functions.constructors import *  # noqa: F401,F403
 from rasterframes_spark.functions.aggregates import *  # noqa: F401,F403
 from rasterframes_spark.functions.focal import *  # noqa: F401,F403
 from rasterframes_spark.functions.proj_raster import *  # noqa: F401,F403
+from rasterframes_spark.functions.compat import *  # noqa: F401,F403
 
 from rasterframes_spark.functions import focal as _focal
 from rasterframes_spark.functions import proj_raster as _proj_raster
@@ -15,6 +16,7 @@ from rasterframes_spark.functions import tilestats as _tilestats
 from rasterframes_spark.functions import mask as _mask
 from rasterframes_spark.functions import constructors as _constructors
 from rasterframes_spark.functions import aggregates as _aggregates
+from rasterframes_spark.functions import compat as _compat
 
 __all__ = (
     list(_local.__all__)
@@ -24,4 +26,5 @@ __all__ = (
     + list(_aggregates.__all__)
     + list(_focal.__all__)
     + list(_proj_raster.__all__)
+    + list(_compat.__all__)
 )
