@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from rasterframes_spark.geom import sfc
 from rasterframes_spark.geom.functions import rf_z2_index
 
-__all__ = ["write_tile_layer", "read_tile_layer", "layer_metadata"]
+__all__ = [
+    "write_tile_layer", "read_tile_layer", "layer_metadata",
+    "write_tile_layer_table", "read_tile_layer_table",
+]
 
 
 def write_tile_layer(df: DataFrame, path: str, extent_col: str = "extent",
@@ -91,6 +94,94 @@ def read_tile_layer(spark: SparkSession, path: str,
         ranges = sfc.z2_ranges(xmin - tw / 2, ymin - th / 2,
                                xmax + tw / 2, ymax + th / 2, max_depth=max_depth)
     except (OSError, KeyError):
+        ranges = sfc.z2_ranges(xmin, ymin, xmax, ymax, max_depth=max_depth)
+    cond = None
+    for lo, hi in ranges:
+        c = F.col("spatial_index").between(int(lo), int(hi))
+        cond = c if cond is None else (cond | c)
+    if cond is not None:
+        df = df.where(cond)
+    return df.where(
+        (F.col("extent.xmin") <= xmax) & (F.col("extent.xmax") >= xmin)
+        & (F.col("extent.ymin") <= ymax) & (F.col("extent.ymax") >= ymin)
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed layer tables: exchange-free repeated joins
+# ---------------------------------------------------------------------------
+
+
+def _compute_layer_meta(df: DataFrame, extent_col: str, crs_col: str) -> dict:
+    agg = df.agg(
+        F.min(f"{extent_col}.xmin").alias("xmin"),
+        F.min(f"{extent_col}.ymin").alias("ymin"),
+        F.max(f"{extent_col}.xmax").alias("xmax"),
+        F.max(f"{extent_col}.ymax").alias("ymax"),
+        F.max(F.col(f"{extent_col}.xmax") - F.col(f"{extent_col}.xmin")).alias("tw"),
+        F.max(F.col(f"{extent_col}.ymax") - F.col(f"{extent_col}.ymin")).alias("th"),
+        F.first(crs_col).alias("crs"),
+        F.count("*").alias("tile_count"),
+    ).head()
+    return {
+        "extent": [agg["xmin"], agg["ymin"], agg["xmax"], agg["ymax"]],
+        "max_tile_size": [agg["tw"], agg["th"]],
+        "crs": agg["crs"],
+        "tile_count": agg["tile_count"],
+        "index": "z2",
+    }
+
+
+def write_tile_layer_table(df: DataFrame, table_name: str, n_buckets: int = 16,
+                           extent_col: str = "extent", crs_col: str = "crs") -> None:
+    """Write a layer as a Spark **bucketed table** on ``spatial_index``.
+
+    Bucketing persists the shuffle: every layer written with the same
+    ``n_buckets`` is hash-partitioned identically on disk, so layer x layer
+    ``spatial_join(..., on=['spatial_index'])`` (and groupBy spatial_index
+    rollups) plan with ZERO Exchange — at 100 TB the join cost collapses to
+    a per-bucket sort-merge with no network shuffle. This is the engine's
+    analog of the reference keeping both layers in the same GeoTrellis
+    layout (RasterFrameLayerMethods.scala:138-191), done the Spark-native
+    way. Files are additionally sorted by spatial_index within buckets so
+    row-group stats still prune Z2 range predicates.
+
+    Requires a session catalog (saveAsTable) — the plain path-based
+    ``write_tile_layer`` remains the catalog-free alternative.
+    """
+    out = df.withColumn("spatial_index", rf_z2_index(F.col(extent_col)))
+    (
+        out.write.bucketBy(n_buckets, "spatial_index")
+        .sortBy("spatial_index")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    meta = _compute_layer_meta(df, extent_col, crs_col)
+    esc = json.dumps(meta).replace("'", "''")
+    df.sparkSession.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES ('rf_layer_meta' = '{esc}')"
+    )
+
+
+def read_tile_layer_table(spark: SparkSession, table_name: str,
+                          query_extent: tuple | None = None,
+                          max_depth: int = 8) -> DataFrame:
+    """Read a bucketed layer table; ``query_extent`` pre-filters by Z2
+    ranges exactly like ``read_tile_layer``. The bucketing metadata rides
+    with the catalog table, so downstream equi-joins on ``spatial_index``
+    against another table with the same bucket count stay exchange-free."""
+    df = spark.table(table_name)
+    if query_extent is None:
+        return df
+    xmin, ymin, xmax, ymax = query_extent
+    try:
+        props = spark.sql(
+            f"SHOW TBLPROPERTIES {table_name} ('rf_layer_meta')").head()
+        tw, th = json.loads(props["value"])["max_tile_size"]
+        ranges = sfc.z2_ranges(xmin - tw / 2, ymin - th / 2,
+                               xmax + tw / 2, ymax + th / 2, max_depth=max_depth)
+    except Exception:
         ranges = sfc.z2_ranges(xmin, ymin, xmax, ymax, max_depth=max_depth)
     cond = None
     for lo, hi in ranges:

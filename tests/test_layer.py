@@ -80,3 +80,53 @@ def test_layer_pushdown_in_plan(spark, layer_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "spatial_index" in plan
+
+
+def test_bucketed_layer_table_exchange_free_join(spark, tmp_path_factory):
+    """Two layers written as bucketed tables on spatial_index join WITHOUT
+    any Exchange in the physical plan, and bucketed reads answer extent
+    queries identically to the path-based layer."""
+    warehouse = str(tmp_path_factory.mktemp("wh"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS rf_test LOCATION '{warehouse}'")
+    rng = np.random.default_rng(7)
+    def mk(seed):
+        rows = []
+        for gy in range(8):
+            for gx in range(8):
+                t = Tile(rng.integers(0, 100, (4, 4)).astype("int32"), "int32raw")
+                rows.append({
+                    "spatial_key": {"col": gx, "row": gy},
+                    "tile": t.to_row(),
+                    "extent": {"xmin": gx * 2.0, "ymin": gy * 2.0,
+                               "xmax": gx * 2.0 + 2.0, "ymax": gy * 2.0 + 2.0},
+                    "crs": "EPSG:4326",
+                })
+        return spark.createDataFrame(
+            rows,
+            schema=(f"spatial_key struct<col:int,row:int>, tile {TILE_T}, "
+                    f"extent {EXT_T}, crs string"))
+    try:
+        S.write_tile_layer_table(mk(1), "rf_test.layer_a", n_buckets=4)
+        S.write_tile_layer_table(mk(2), "rf_test.layer_b", n_buckets=4)
+
+        a = S.read_tile_layer_table(spark, "rf_test.layer_a")
+        b = S.read_tile_layer_table(spark, "rf_test.layer_b").select(
+            "spatial_index", F.col("tile").alias("tile_b"))
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "spatial_index")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 64
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+        # extent query parity with the path-based reader
+        got = S.read_tile_layer_table(
+            spark, "rf_test.layer_a", query_extent=(2.5, 2.5, 5.5, 5.5))
+        keys = {(r["spatial_key"]["col"], r["spatial_key"]["row"])
+                for r in got.collect()}
+        assert keys == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS rf_test CASCADE")
