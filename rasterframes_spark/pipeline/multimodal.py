@@ -7,11 +7,15 @@ posture as tiles. Decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` so payload bytes cross to Python once per
 batch and partitions stream (no per-row py4j, no collect).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode step is STUBBED: ``decode=fake`` produces a deterministic
-bytes-derived decode (so the full Spark plumbing — schema, partitioning,
-UDF signature, batch shape — is real and tested), ``decode=real`` raises
-NotImplementedError where the codec call belongs.
+Codec status: the pure-python codecs in this repo make three formats REAL
+end-to-end — PNG images (``decode_image(decode='png')``, ``sources/png.py``),
+animated GIF video (``sample_video_frames(decode='gif')``,
+``sources/gif.py``), and WAV audio (``pipeline/audio.py``). Only the
+compressed formats whose codecs aren't in this container (JPEG/WebP,
+mp4/webm, mp3/ogg) remain stubbed: ``decode='fake'`` produces a
+deterministic bytes-derived decode (so the full Spark plumbing — schema,
+partitioning, UDF signature, batch shape — is real and tested), and
+``decode='real'`` raises NotImplementedError where the codec call belongs.
 """
 
 from __future__ import annotations
@@ -170,24 +174,53 @@ def resize_image(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
 def sample_video_frames(df: DataFrame, every_ms: int = 1000,
                         decode: str = "fake") -> DataFrame:
     """video payload -> one row per sampled frame (frame_idx, ts_ms,
-    pixels). Fake decode synthesizes duration from payload length."""
+    height, width, channels, pixels).
+
+    ``decode='gif'`` runs the repo's pure-python animated-GIF codec
+    (``sources/gif.py``: LZW + full composition — transparency, disposal,
+    interlace) — sampling picks the frame visible at each ``every_ms``
+    timestamp from the per-frame delays; corrupt payloads are dropped.
+    ``decode='real'`` marks where an mp4/webm codec (ffmpeg) would slot in;
+    ``decode='fake'`` synthesizes frames from the payload digest
+    (plumbing tests)."""
     if decode == "real":
-        raise NotImplementedError("video codec not available; use decode='fake'")
+        raise NotImplementedError(
+            "mp4/webm codecs not available in this environment; use "
+            "decode='gif' for GIF payloads or decode='fake'")
 
     def run(batches):
+        from rasterframes_spark.sources.gif import decode_gif
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
                 payload = bytes(payload)
-                duration = max(1000, (len(payload) % 10) * 1000)
-                for i, ts in enumerate(range(0, duration, every_ms)):
-                    arr = _fake_decode(payload + ts.to_bytes(4, "little"), 16, 16)
-                    rows.append((int(mid), i, ts, arr.tobytes()))
+                if decode == "gif":
+                    try:
+                        frames = decode_gif(payload)
+                    except ValueError:
+                        continue  # corrupt payload: drop the row
+                    # timeline: frame i is visible in [start_i, start_i+delay)
+                    starts = np.cumsum([0] + [max(d, 10) for d, _ in frames])
+                    duration = int(starts[-1])
+                    for i, ts in enumerate(range(0, duration, every_ms)):
+                        fidx = int(np.searchsorted(starts, ts, side="right") - 1)
+                        arr = frames[fidx][1]
+                        rows.append((int(mid), i, ts, arr.shape[0],
+                                     arr.shape[1], 3, arr.tobytes()))
+                else:
+                    duration = max(1000, (len(payload) % 10) * 1000)
+                    for i, ts in enumerate(range(0, duration, every_ms)):
+                        arr = _fake_decode(payload + ts.to_bytes(4, "little"), 16, 16)
+                        rows.append((int(mid), i, ts, 16, 16, 3, arr.tobytes()))
             if rows:
-                yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "pixels"])
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "frame_idx", "ts_ms", "height", "width",
+                    "channels", "pixels"])
 
     return df.select("media_id", "payload").mapInPandas(
-        run, schema="media_id long, frame_idx int, ts_ms int, pixels binary"
+        run, schema=("media_id long, frame_idx int, ts_ms int, height int, "
+                     "width int, channels int, pixels binary")
     )
