@@ -1,0 +1,175 @@
+"""Fluent DataFrame methods — the reference's monkey-patched API surface.
+
+pyrasterframes attaches ``raster_join``/``as_layer`` to ``DataFrame`` and
+exposes layer helpers on ``RasterFrameLayer``
+(`python/pyrasterframes/__init__.py:341-344`,
+`python/pyrasterframes/rf_types.py:79-180`), so user code reads
+``df.raster_join(other).with_center()``. This engine keeps everything a
+plain DataFrame; ``install_dataframe_methods()`` (called by
+``create_rf_spark_session``) attaches the same spellings, each delegating
+to the canonical module function. Nothing here adds semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["install_dataframe_methods"]
+
+
+def _tile_columns(df: DataFrame) -> list:
+    """Columns with the engine's tile struct shape (rf_types.py:86-92)."""
+    from rasterframes_spark.tile import TILE_SCHEMA
+
+    names = {f.name for f in TILE_SCHEMA.fields}
+    out = []
+    for f in df.schema.fields:
+        dt = f.dataType
+        if dt.typeName() == "struct" and names.issubset({x.name for x in dt.fields}):
+            out.append(F.col(f.name))
+    return out
+
+
+def _spatial_key_column(df: DataFrame) -> Column:
+    if "spatial_key" not in df.columns:
+        raise ValueError("no spatial_key column — not a layer DataFrame")
+    return F.col("spatial_key")
+
+
+def _temporal_key_column(df: DataFrame) -> Column:
+    if "temporal_key" not in df.columns:
+        raise ValueError("no temporal_key column")
+    return F.col("temporal_key")
+
+
+def _as_layer(df: DataFrame, *_, **__) -> DataFrame:
+    """The reference converts to RasterFrameLayer (rf_types.py:79); layers
+    here are plain DataFrames with {spatial_key, >=1 tile col} — validate
+    the invariant and pass through."""
+    if "spatial_key" not in df.columns or not _tile_columns(df):
+        raise ValueError(
+            "as_layer requires a spatial_key column and at least one tile column")
+    return df
+
+
+def _with_bounds(df: DataFrame, extent_col: str = "extent") -> DataFrame:
+    """Add 'bounds' polygon geometry of each row's extent
+    (rf_types.py:144-152 / LayerSpatialColumnMethods.withBounds)."""
+    from rasterframes_spark.geom.functions import st_geometry
+
+    return df.withColumn("bounds", st_geometry(F.col(extent_col)))
+
+
+def _with_center(df: DataFrame, extent_col: str = "extent") -> DataFrame:
+    """Add 'center' point of each row's extent (rf_types.py:153-161)."""
+    from rasterframes_spark.geom.functions import st_centroid, st_geometry
+
+    return df.withColumn("center", st_centroid(st_geometry(F.col(extent_col))))
+
+
+def _with_center_lat_lng(df: DataFrame, extent_col: str = "extent",
+                         crs_col: str = "crs") -> DataFrame:
+    """Add 'center' as a (longitude, latitude) point in EPSG:4326
+    (rf_types.py:162-170). Requires a constant-CRS layer (the reference's
+    layers are single-CRS by construction); reads the CRS from the first
+    row."""
+    from rasterframes_spark.geom.functions import (
+        st_centroid, st_geometry, st_reproject)
+
+    src = df.select(crs_col).first()
+    if src is None:
+        return df.withColumn("center", F.lit(None).cast("binary"))
+    return df.withColumn(
+        "center",
+        st_reproject(st_centroid(st_geometry(F.col(extent_col))),
+                     src[0], "EPSG:4326"))
+
+
+def _with_spatial_index_m(df: DataFrame, extent_col: str = "extent",
+                          num_partitions: int | None = None) -> DataFrame:
+    from rasterframes_spark.sources.raster_reader import with_spatial_index
+
+    return with_spatial_index(df, extent_col=extent_col,
+                              num_partitions=num_partitions)
+
+
+def _raster_join_m(df: DataFrame, other: DataFrame, **kwargs) -> DataFrame:
+    from rasterframes_spark.operators.raster_join import raster_join
+
+    return raster_join(df, other, **kwargs)
+
+
+def _spatial_join_m(df: DataFrame, other: DataFrame,
+                    on=("spatial_key",), how: str = "inner") -> DataFrame:
+    from rasterframes_spark.operators.raster_join import spatial_join
+
+    return spatial_join(df, other, on=list(on), how=how)
+
+
+def _to_raster(df: DataFrame, colname: str, cols: int, rows: int,
+               dtype: str) -> np.ndarray:
+    """Paste a layer's tiles into ONE driver-side numpy raster by
+    spatial_key — the reference's toIntRaster/toDoubleRaster
+    (rf_types.py:128-143), explicitly a driver-side convenience (it
+    materializes the full mosaic; use write_tile_layer for data-scale
+    output)."""
+    import pandas as pd
+
+    from rasterframes_spark.functions._kernel import decode_struct_pdf
+
+    rows_ = df.select("spatial_key", colname).collect()
+    canvas = None
+    for r in rows_:
+        t = r[colname]
+        if t is None:
+            continue
+        tile = decode_struct_pdf(pd.DataFrame([t.asDict()]))[0]
+        a = np.asarray(tile.masked().filled(0), dtype=dtype)
+        th, tw = a.shape
+        if canvas is None:
+            canvas = np.zeros((rows, cols), dtype=dtype)
+        ky, kx = r["spatial_key"]["row"], r["spatial_key"]["col"]
+        y0, x0 = ky * th, kx * tw
+        if y0 >= rows or x0 >= cols:
+            continue
+        canvas[y0:y0 + th, x0:x0 + tw] = a[: rows - y0, : cols - x0]
+    if canvas is None:
+        canvas = np.zeros((rows, cols), dtype=dtype)
+    return canvas
+
+
+def _to_int_raster(df: DataFrame, colname: str, cols: int, rows: int):
+    return _to_raster(df, colname, cols, rows, "int32")
+
+
+def _to_double_raster(df: DataFrame, colname: str, cols: int, rows: int):
+    return _to_raster(df, colname, cols, rows, "float64")
+
+
+_METHODS = {
+    "tile_columns": _tile_columns,
+    "spatial_key_column": _spatial_key_column,
+    "temporal_key_column": _temporal_key_column,
+    "as_layer": _as_layer,
+    "with_bounds": _with_bounds,
+    "with_center": _with_center,
+    "with_center_lat_lng": _with_center_lat_lng,
+    "with_spatial_index": _with_spatial_index_m,
+    "raster_join": _raster_join_m,
+    "spatial_join": _spatial_join_m,
+    "to_int_raster": _to_int_raster,
+    "to_double_raster": _to_double_raster,
+}
+
+
+def install_dataframe_methods() -> None:
+    """Attach the fluent surface to pyspark DataFrame. Idempotent; never
+    overwrites a pyspark/user attribute of the same name."""
+    for name, fn in _METHODS.items():
+        existing = getattr(DataFrame, name, None)
+        if existing is not None and not getattr(existing, "_rf_installed", False):
+            continue  # pre-existing non-rf attribute: don't clobber
+        fn._rf_installed = True
+        setattr(DataFrame, name, fn)

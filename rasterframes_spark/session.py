@@ -46,6 +46,11 @@ def create_rf_spark_session(master: str | None = None, app_name: str = "rasterfr
         b = b.config(k, v)
     spark = b.getOrCreate()
     register_sql_functions(spark)
+    # fluent surface: df.raster_join(...), df.with_center(), ... — the
+    # reference attaches these to DataFrame too (pyrasterframes __init__)
+    from rasterframes_spark.dataframe_api import install_dataframe_methods
+
+    install_dataframe_methods()
     return spark
 
 

@@ -1,0 +1,83 @@
+"""Fluent DataFrame methods (the reference's monkey-patched surface —
+pyrasterframes __init__.py:341-344, rf_types.py:79-180)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+import rasterframes_spark as rf
+from rasterframes_spark.tile import Tile
+
+TILE_T = "struct<cell_type:string,cols:int,rows:int,cells:binary>"
+EXT_T = "struct<xmin:double,ymin:double,xmax:double,ymax:double>"
+
+
+@pytest.fixture(scope="module")
+def layer(spark):
+    rng = np.random.default_rng(21)
+    rows = []
+    for gy in range(2):
+        for gx in range(3):
+            t = Tile((np.ones((4, 4)) * (gy * 3 + gx)).astype("int32"), "int32raw")
+            rows.append({
+                "spatial_key": {"col": gx, "row": gy},
+                "tile": t.to_row(),
+                "extent": {"xmin": gx * 1.0, "ymin": gy * 1.0,
+                           "xmax": gx + 1.0, "ymax": gy + 1.0},
+                "crs": "EPSG:4326",
+            })
+    return spark.createDataFrame(
+        rows, schema=(f"spatial_key struct<col:int,row:int>, tile {TILE_T}, "
+                      f"extent {EXT_T}, crs string"))
+
+
+def test_tile_columns_and_keys(spark, layer):
+    cols = layer.tile_columns()
+    assert len(cols) == 1
+    assert layer.select(cols[0]).columns == ["tile"]
+    assert layer.select(layer.spatial_key_column()).count() == 6
+    with pytest.raises(ValueError):
+        layer.temporal_key_column()
+    assert layer.as_layer() is layer
+    with pytest.raises(ValueError):
+        layer.drop("spatial_key").as_layer()
+
+
+def test_with_bounds_center(spark, layer):
+    from rasterframes_spark.geom.functions import st_x, st_y, st_as_text
+    b = layer.with_bounds().with_center()
+    row = b.where((F.col("spatial_key.col") == 2)
+                  & (F.col("spatial_key.row") == 1)).select(
+        st_as_text("bounds").alias("wkt"),
+        st_x("center").alias("cx"), st_y("center").alias("cy")).head()
+    assert row["cx"] == 2.5 and row["cy"] == 1.5
+    assert row["wkt"].startswith("POLYGON")
+    # lat/lng form: already EPSG:4326 -> same coordinates
+    c = layer.with_center_lat_lng().select(
+        st_x("center").alias("x"), st_y("center").alias("y")).collect()
+    assert {(r["x"], r["y"]) for r in c} == {
+        (gx + 0.5, gy + 0.5) for gx in range(3) for gy in range(2)}
+
+
+def test_fluent_joins_and_index(spark, layer):
+    other = layer.select("spatial_key", F.col("tile").alias("tile_b"))
+    j = layer.spatial_join(other)
+    assert j.count() == 6
+    idx = layer.with_spatial_index()
+    assert "spatial_index" in idx.columns
+    rj = layer.raster_join(layer.select(
+        F.col("tile").alias("t2"), "extent", "crs"), left_tile="tile",
+        right_tiles=["t2"])
+    assert rj.count() == 6
+
+
+def test_to_raster_mosaic(spark, layer):
+    ras = layer.to_int_raster("tile", cols=12, rows=8)
+    assert ras.shape == (8, 12) and ras.dtype == np.int32
+    # each 4x4 block is the constant gy*3+gx
+    for gy in range(2):
+        for gx in range(3):
+            assert (ras[gy*4:(gy+1)*4, gx*4:(gx+1)*4] == gy * 3 + gx).all()
+    d = layer.to_double_raster("tile", cols=12, rows=8)
+    assert d.dtype == np.float64 and (d == ras).all()
