@@ -164,12 +164,91 @@ _METHODS = {
 }
 
 
+def _active_spark():
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("no active SparkSession")
+    return s
+
+
+def _rd_raster(reader, catalog, **kw):
+    from rasterframes_spark.sources.raster_reader import read_raster
+
+    return read_raster(_active_spark(), catalog, **kw)
+
+
+def _rd_geotiff(reader, path, **kw):
+    from rasterframes_spark.sources.raster_reader import read_raster
+
+    return read_raster(_active_spark(), [path], **kw)
+
+
+def _rd_geojson(reader, path, **kw):
+    from rasterframes_spark.sources.sinks import read_geojson
+
+    return read_geojson(_active_spark(), path, **kw)
+
+
+def _rd_geotrellis(reader, path, **kw):
+    from rasterframes_spark.sources.layer import read_tile_layer
+
+    return read_tile_layer(_active_spark(), path, **kw)
+
+
+def _rd_geotrellis_catalog(reader, path):
+    from rasterframes_spark.sources.layer import read_layer_catalog
+
+    return read_layer_catalog(_active_spark(), path)
+
+
+def _rd_stacapi(reader, url, **kw):
+    from rasterframes_spark.sources.stac import stac_api_search
+
+    return stac_api_search(_active_spark(), url, **kw)
+
+
+def _wr_geotiff(writer, path, **kw):
+    from rasterframes_spark.sources.sinks import write_geotiff
+
+    return write_geotiff(writer._df, path, **kw)
+
+
+def _wr_geotrellis(writer, path, **kw):
+    from rasterframes_spark.sources.layer import write_tile_layer
+
+    return write_tile_layer(writer._df, path, **kw)
+
+
+_READER_METHODS = {
+    "raster": _rd_raster,
+    "geotiff": _rd_geotiff,
+    "geojson": _rd_geojson,
+    "geotrellis": _rd_geotrellis,
+    "geotrellis_catalog": _rd_geotrellis_catalog,
+    "stacapi": _rd_stacapi,
+}
+_WRITER_METHODS = {
+    "geotiff": _wr_geotiff,
+    "geotrellis": _wr_geotrellis,
+}
+
+
 def install_dataframe_methods() -> None:
-    """Attach the fluent surface to pyspark DataFrame. Idempotent; never
-    overwrites a pyspark/user attribute of the same name."""
-    for name, fn in _METHODS.items():
-        existing = getattr(DataFrame, name, None)
-        if existing is not None and not getattr(existing, "_rf_installed", False):
-            continue  # pre-existing non-rf attribute: don't clobber
-        fn._rf_installed = True
-        setattr(DataFrame, name, fn)
+    """Attach the fluent surface to pyspark DataFrame plus the reference's
+    reader/writer aliases (``spark.read.raster(...)``,
+    ``df.write.geotiff(...)`` — pyrasterframes __init__.py:347-356).
+    Idempotent; never overwrites a pyspark/user attribute of the same
+    name."""
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+    for target, methods in ((DataFrame, _METHODS),
+                            (DataFrameReader, _READER_METHODS),
+                            (DataFrameWriter, _WRITER_METHODS)):
+        for name, fn in methods.items():
+            existing = getattr(target, name, None)
+            if existing is not None and not getattr(existing, "_rf_installed", False):
+                continue  # pre-existing non-rf attribute: don't clobber
+            fn._rf_installed = True
+            setattr(target, name, fn)

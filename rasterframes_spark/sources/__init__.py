@@ -9,7 +9,7 @@ from rasterframes_spark.sources.stac import (  # noqa: F401
 )
 from rasterframes_spark.sources.layer import (  # noqa: F401
     write_tile_layer, read_tile_layer, layer_metadata,
-    write_tile_layer_table, read_tile_layer_table,
+    write_tile_layer_table, read_tile_layer_table, read_layer_catalog,
 )
 
 __all__ = [
@@ -17,5 +17,5 @@ __all__ = [
     "write_geotiff", "write_tiles", "read_geojson", "write_slippy",
     "read_stac_items", "stac_api_search", "stac_asset_catalog",
     "write_tile_layer", "read_tile_layer", "layer_metadata",
-    "write_tile_layer_table", "read_tile_layer_table",
+    "write_tile_layer_table", "read_tile_layer_table", "read_layer_catalog",
 ]

@@ -32,7 +32,7 @@ from rasterframes_spark.geom.functions import rf_z2_index
 
 __all__ = [
     "write_tile_layer", "read_tile_layer", "layer_metadata",
-    "write_tile_layer_table", "read_tile_layer_table",
+    "write_tile_layer_table", "read_tile_layer_table", "read_layer_catalog",
 ]
 
 
@@ -193,3 +193,28 @@ def read_tile_layer_table(spark: SparkSession, table_name: str,
         (F.col("extent.xmin") <= xmax) & (F.col("extent.xmax") >= xmin)
         & (F.col("extent.ymin") <= ymax) & (F.col("extent.ymax") >= ymin)
     )
+
+
+def read_layer_catalog(spark: SparkSession, base_path: str) -> DataFrame:
+    """List the layers under a catalog directory (any subdirectory holding
+    a ``_layer_metadata.json``) -> DataFrame of (layer, crs, tile_count,
+    xmin..ymax, max_tile_w/h). The reference's geotrellis_catalog reader
+    (datasource geotrellis-catalog); catalogs are driver-small metadata.
+    """
+    rows = []
+    if os.path.isdir(base_path):
+        for name in sorted(os.listdir(base_path)):
+            p = os.path.join(base_path, name)
+            try:
+                meta = layer_metadata(p)
+            except (OSError, ValueError):
+                continue
+            e = meta.get("extent", [None] * 4)
+            ts = meta.get("max_tile_size", [None, None])
+            rows.append((name, p, meta.get("crs"), meta.get("tile_count"),
+                         e[0], e[1], e[2], e[3], ts[0], ts[1],
+                         meta.get("index")))
+    schema = ("layer string, path string, crs string, tile_count long, "
+              "xmin double, ymin double, xmax double, ymax double, "
+              "max_tile_w double, max_tile_h double, index string")
+    return spark.createDataFrame(rows, schema=schema)

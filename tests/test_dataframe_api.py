@@ -81,3 +81,31 @@ def test_to_raster_mosaic(spark, layer):
             assert (ras[gy*4:(gy+1)*4, gx*4:(gx+1)*4] == gy * 3 + gx).all()
     d = layer.to_double_raster("tile", cols=12, rows=8)
     assert d.dtype == np.float64 and (d == ras).all()
+
+
+def test_reader_writer_aliases(spark, layer, tmp_path):
+    """spark.read.geotrellis / geotrellis_catalog / df.write-style aliases
+    (the reference's DataFrameReader/Writer patches)."""
+    from rasterframes_spark import sources as S
+
+    base = tmp_path / "catalog"
+    base.mkdir()
+    S.write_tile_layer(layer, str(base / "layer_a"), num_partitions=2)
+    S.write_tile_layer(layer, str(base / "layer_b"), num_partitions=2)
+
+    back = spark.read.geotrellis(str(base / "layer_a"))
+    assert back.count() == 6
+    assert "spatial_index" in back.columns
+
+    cat = spark.read.geotrellis_catalog(str(base))
+    got = {(r["layer"], r["tile_count"]) for r in cat.collect()}
+    assert got == {("layer_a", 6), ("layer_b", 6)}
+    assert all(r["crs"] == "EPSG:4326" for r in cat.collect())
+
+    # geojson reader alias
+    gj = base / "f.geojson"
+    gj.write_text('{"type":"FeatureCollection","features":[{"type":"Feature",'
+                  '"geometry":{"type":"Point","coordinates":[1.0,2.0]},'
+                  '"properties":{"name":"p1"}}]}')
+    pts = spark.read.geojson(str(gj))
+    assert pts.count() == 1
