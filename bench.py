@@ -108,7 +108,7 @@ def main():
     t400 = tile_df(400, 240).cache()
     t400.count()
     run("baseline_agg_stats_400x240", lambda: t400.agg(
-        rf.rf_agg_stats("tile").alias("s")).collect(), repeat=3)
+        rf.rf_agg_stats("tile").alias("s")).collect(), repeat=5)
 
     # rf_local_add on 100 x 64^2 uint16ud255 (ref: 60 ms). Also record the
     # Arrow-UDF floor (identity pandas UDF on the same payload): the local_add
@@ -124,20 +124,20 @@ def main():
     t100s = tile_df(100, 64).cache()
     t100s.count()
     run("baseline_arrow_floor_100x64", lambda: force(
-        t100s.select(_ident(F.col("tile.cells")))), repeat=3)
+        t100s.select(_ident(F.col("tile.cells")))), repeat=5)
     run("baseline_local_add_100x64", lambda: force(
-        t100s.select(rf.rf_local_add("tile", 5).alias("r"))), repeat=3)
+        t100s.select(rf.rf_local_add("tile", 5).alias("r"))), repeat=5)
 
     # explode 100 x 256^2 (ref: 217-413 ms); assemble back (ref: 100-381 ms)
     t100b = tile_df(100, 256).cache()
     t100b.count()
     run("baseline_explode_100x256", lambda: force(
-        rf.explode_tiles(t100b, ["tile"])), repeat=3)
+        rf.explode_tiles(t100b, ["tile"])), repeat=5)
     cells_b = rf.explode_tiles(t100b, ["tile"]).where(F.col("tile").isNotNull()).cache()
     cells_b.count()
     run("baseline_assemble_100x256", lambda: force(rf.assemble_tiles(
         cells_b, ["id"], "column_index", "row_index", "tile", 256, 256, "uint16ud255")),
-        repeat=3)
+        repeat=5)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
