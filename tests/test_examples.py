@@ -26,3 +26,11 @@ def test_dedup_example(spark):
 
     n0, n1, n2, n3 = ex.main(spark)
     assert n0 >= n1 >= n2 >= n3 > 0
+
+
+def test_multimodal_example(spark):
+    from examples.multimodal_pipeline import main
+    result = main(spark)
+    assert len(result) == 12
+    kinds = {r["kind"] for r in result}
+    assert kinds == {"image", "video", "audio"}
