@@ -568,6 +568,87 @@ def _q_events_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _q_streaming_sessions(spark, sf_dir):
+    """The applyInPandasWithState gap sessionizer run as a REAL stream
+    (file source, availableNow one-shot, memory sink) and checked against
+    a closed-form SQL oracle. With no wall-clock timeouts firing in a
+    one-shot run, the operator emits exactly the sessions closed by a
+    subsequent event — i.e. every session except each user's last — and
+    the kernel gaps in floor-seconds; the oracle mirrors both.
+    """
+    import uuid
+    from rasterframes_spark import streaming as ST
+
+    ev = _events_df(spark, sf_dir)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file stream sources take a directory; glob down to the events file
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif ts_type != "timestamp":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = ST.stateful_sessionizer(
+        stream.select("user_id", "ts", "value"), gap_seconds=1800,
+        timeout="none")
+    name = f"rf_ss_{uuid.uuid4().hex[:8]}"
+    q = (sessions.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    _ = ev  # session tz normalization side effect
+    return (
+        spark.table(name).groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_closed"),
+             F.sum("n_events").cast("long").alias("n_events_closed"),
+             F.round(F.sum("total_value"), 6).alias("total_closed"))
+    )
+
+
+def _q_layer_center(spark, sf_dir):
+    """Fluent layer helpers (with_bounds/with_center — reference
+    rf_types.py:144-161) over synthetic per-customer extents; the oracle is
+    closed-form midpoint/area math."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") <= 500)
+    ext = cust.select(
+        "c_custkey",
+        F.struct(
+            (F.col("c_custkey") % 360 - 180.0).alias("xmin"),
+            (F.col("c_custkey") % 140 - 70.0).alias("ymin"),
+            (F.col("c_custkey") % 360 - 178.0).alias("xmax"),
+            (F.col("c_custkey") % 140 - 69.0).alias("ymax"),
+        ).alias("extent"),
+        F.lit("EPSG:4326").alias("crs"),
+    )
+    from rasterframes_spark.geom.functions import st_area, st_x, st_y
+    out = ext.with_bounds().with_center()
+    return out.select(
+        "c_custkey",
+        F.round(st_x("center"), 6).alias("cx"),
+        F.round(st_y("center"), 6).alias("cy"),
+        F.round(st_area("bounds"), 6).alias("bounds_area"),
+    )
+
+
+def _q_agg_extent(spark, sf_dir):
+    """rf_agg_extent over the same synthetic extents — one combined bbox."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") <= 500)
+    ext = cust.select(
+        F.struct(
+            (F.col("c_custkey") % 360 - 180.0).alias("xmin"),
+            (F.col("c_custkey") % 140 - 70.0).alias("ymin"),
+            (F.col("c_custkey") % 360 - 178.0).alias("xmax"),
+            (F.col("c_custkey") % 140 - 69.0).alias("ymax"),
+        ).alias("extent"))
+    agg = ext.agg(rf.rf_agg_extent("extent").alias("e"))
+    return agg.select(
+        F.col("e.xmin").alias("xmin"), F.col("e.ymin").alias("ymin"),
+        F.col("e.xmax").alias("xmax"), F.col("e.ymax").alias("ymax"))
+
+
 def _q_audio_features(spark, sf_dir):
     """Real WAV round-trip through the distributed audio pipeline: per-doc
     sine clips encoded as float64 WAV (lossless), decoded by the pure-python
@@ -779,6 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekly": _q_events_weekly,
         "events_sessions": _q_events_sessions,
         "events_topk": _q_events_topk,
+        "streaming_sessions": _q_streaming_sessions,
+        "layer_center": _q_layer_center,
+        "agg_extent": _q_agg_extent,
         "audio_features": _q_audio_features,
         "text_metrics": _q_text_metrics,
         "lang_id": _q_lang_id,
@@ -1018,6 +1102,45 @@ def oracle_sql() -> dict[str, str]:
                    cast(row_number() over (partition by event_type
                         order by total desc, user_id) as int) as rank
             from t qualify rank <= 3""",
+        "streaming_sessions": """
+            with e as (
+              select user_id, cast(floor(epoch(ts)) as bigint) as t, value
+              from events
+            ), o as (
+              select user_id, t, value,
+                     case when t - lag(t) over (partition by user_id order by t) > 1800
+                          then 1 else 0 end as new_s
+              from e
+            ), s as (
+              select user_id, t, value,
+                     sum(new_s) over (partition by user_id order by t
+                                      rows unbounded preceding) as sid
+              from o
+            ), g as (
+              select user_id, sid, count(*) as n, sum(value) as tv
+              from s group by 1, 2
+            ), last as (
+              select user_id, max(sid) as maxsid from g group by 1
+            )
+            select g.user_id,
+                   cast(count(*) as bigint) as n_closed,
+                   cast(sum(g.n) as bigint) as n_events_closed,
+                   round(sum(g.tv), 6) as total_closed
+            from g join last using (user_id)
+            where g.sid < last.maxsid
+            group by g.user_id""",
+        "layer_center": """
+            select c_custkey,
+                   round((c_custkey % 360 - 180.0 + c_custkey % 360 - 178.0) / 2, 6) as cx,
+                   round((c_custkey % 140 - 70.0 + c_custkey % 140 - 69.0) / 2, 6) as cy,
+                   round(2.0 * 1.0, 6) as bounds_area
+            from customer where c_custkey <= 500""",
+        "agg_extent": """
+            select min(c_custkey % 360 - 180.0) as xmin,
+                   min(c_custkey % 140 - 70.0) as ymin,
+                   max(c_custkey % 360 - 178.0) as xmax,
+                   max(c_custkey % 140 - 69.0) as ymax
+            from customer where c_custkey <= 500""",
         "audio_features": """
             with params as (
               select doc_id,

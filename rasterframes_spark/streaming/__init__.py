@@ -69,12 +69,20 @@ def streaming_dedup(stream: DataFrame, key_cols: list[str], ts_col: str = "ts",
 def stateful_sessionizer(stream: DataFrame, key_col: str = "user_id",
                          ts_col: str = "ts", value_col: str = "value",
                          gap_seconds: int = 1800,
-                         watermark: str = "30 minutes") -> DataFrame:
+                         watermark: str = "30 minutes",
+                         timeout: str = "processing") -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-key
     session accumulation with a gap timeout — the canonical pattern for
     operators Spark's built-in windowed aggs can't express (per-key mutable
     state + timeout emission). Emits one row per closed session:
-    (key, session_start, session_end, n_events, total_value)."""
+    (key, session_start, session_end, n_events, total_value).
+
+    ``timeout``: 'processing' (default) also closes idle sessions after
+    ``gap_seconds`` of wall-clock silence — the continuous-stream behavior.
+    'none' closes sessions only when a later event arrives past the gap;
+    use it for bounded one-shot runs (``Trigger.AvailableNow``), where a
+    pending processing-time timer would keep the query alive for the whole
+    gap before it could terminate."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -109,7 +117,8 @@ def stateful_sessionizer(stream: DataFrame, key_col: str = "user_id",
             n += 1
             total += float(v)
         state.update((start, last, n, total))
-        state.setTimeoutDuration(gap_seconds * 1000)
+        if timeout == "processing":
+            state.setTimeoutDuration(gap_seconds * 1000)
         if closed:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(closed),
@@ -124,6 +133,9 @@ def stateful_sessionizer(stream: DataFrame, key_col: str = "user_id",
         .groupBy(key_col)
         .applyInPandasWithState(
             fn, outputStructType=out_schema, stateStructType=state_schema,
-            outputMode="append", timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            outputMode="append",
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if timeout == "processing"
+                         else GroupStateTimeout.NoTimeout),
         )
     )
