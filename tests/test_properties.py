@@ -89,3 +89,39 @@ def test_bbox_intersects_consistency(x, y, w, h):
     assert not G.intersects(a, c)
     assert G.distance(a, b) == 0.0
     assert G.area(a) > 0
+
+
+@given(st.integers(1, 3), st.integers(1, 2000),
+       st.sampled_from([(8, "pcm"), (16, "pcm"), (24, "pcm"), (32, "pcm"),
+                        (32, "float"), (64, "float")]),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(channels, n, bits_fmt, seed):
+    """Any signal, any depth: decode(encode(x)) within quantization err."""
+    from rasterframes_spark.pipeline.audio import decode_wav, encode_wav
+
+    bits, fmt = bits_fmt
+    rng = np.random.default_rng(seed)
+    x = np.clip(rng.normal(0, 0.4, (n, channels)), -1, 1)
+    a, rate = decode_wav(encode_wav(x, 22050, bits=bits, fmt=fmt))
+    assert rate == 22050 and a.shape == (n, channels)
+    tol = {("pcm", 8): 1 / 127, ("pcm", 16): 1 / 32767,
+           ("pcm", 24): 1 / 8388607, ("pcm", 32): 1e-9,
+           ("float", 32): 1e-7, ("float", 64): 0.0}[(fmt, bits)]
+    assert np.allclose(a, x, atol=tol * 1.01)
+
+
+@given(st.integers(1, 4), st.integers(1, 24), st.integers(1, 24),
+       st.integers(1, 32), st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_property(n_frames, h, w, n_colors, seed):
+    """Any frame stack under 256 colors: decode(encode(f)) is exact."""
+    from rasterframes_spark.sources.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, n_colors, (h, w))] for _ in range(n_frames)]
+    dec = decode_gif(encode_gif(frames, delay_ms=50))
+    assert len(dec) == n_frames
+    for (d, f), orig in zip(dec, frames):
+        assert d == 50 and np.array_equal(f, orig)
