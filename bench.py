@@ -139,6 +139,33 @@ def main():
         cells_b, ["id"], "column_index", "row_index", "tile", 256, 256, "uint16ud255")),
         repeat=5)
 
+    # tile codec micro-cells vs BASELINE.md TileEncodeBench: per-op time =
+    # cell value / op count in the name. Encode = Tile.to_row (ref: encode
+    # f32 256^2 = 288.9 us/op); round-trip = to_row + batched struct decode
+    # (ref: f64 512^2 = 3401 us/op). Local-python by design — the
+    # reference's JMH bench is also single-op, no cluster.
+    from rasterframes_spark.functions._kernel import decode_struct_pdf
+    from rasterframes_spark.tile import Tile as _Tile
+
+    rng2 = np.random.default_rng(1)
+    t32 = _Tile(rng2.random((256, 256)).astype("float32"), "float32")
+    t64 = _Tile(rng2.random((512, 512)).astype("float64"), "float64")
+
+    def enc_2000():
+        for _ in range(2000):
+            t32.to_row()
+
+    def rt_1000():
+        row = None
+        for _ in range(1000):
+            row = t64.to_row()
+        pdf = pd.DataFrame([row] * 50)
+        for _ in range(20):
+            decode_struct_pdf(pdf)
+
+    run("baseline_encode_f32_256_x2000", enc_2000, repeat=3)
+    run("baseline_roundtrip_f64_512_x1000", rt_1000, repeat=3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_total",
