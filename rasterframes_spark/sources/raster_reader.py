@@ -92,12 +92,18 @@ def _celltype_for(info: GT.GeoTiffInfo) -> str:
 def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
                 tile_dimensions=(256, 256), buffer_size: int = 0,
                 lazy_tiles: bool = True, spatial_index_partitions: int | None = None,
-                catalog_col: str | None = None) -> DataFrame:
-    """Catalog (list of URIs | DataFrame with a path column) -> one row per
+                catalog_col: str | None = None,
+                catalog_cols: list[str] | None = None) -> DataFrame:
+    """Catalog (list of URIs | DataFrame with path column(s)) -> one row per
     (scene × chunk), tile columns per band.
 
     Options mirror RasterSourceDataSource.scala:37-63: band_indexes,
     tile_dimensions, buffer_size, lazy_tiles, spatial_index_partitions.
+    ``catalog_cols`` is the reference's ``catalog_col_names``: several URI
+    columns per scene row (e.g. red/nir assets) become one tile column per
+    catalog column (named after it; ``{col}_b{i}`` with multiple bands),
+    chunked on the FIRST column's grid — the aligned-scenes contract the
+    reference's multi-column catalogs carry (RasterSourceRelation.scala:59-95).
     """
     tw, th = tile_dimensions
 
@@ -106,7 +112,7 @@ def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
         catalog_col = "path"
     else:
         cat = catalog
-        catalog_col = catalog_col or cat.columns[0]
+        catalog_col = catalog_col or (catalog_cols or cat.columns)[0]
 
     @lazy_pandas_udf(_CHUNK_T)
     def chunk_grid(uris: pd.Series) -> pd.Series:
@@ -150,20 +156,25 @@ def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
         )
     )
 
-    for b in band_indexes:
-        ref = F.struct(
-            uri_c.alias("uri"),
-            F.lit(int(b)).alias("band"),
-            F.col("__chunk.col_off").alias("col_off"),
-            F.col("__chunk.row_off").alias("row_off"),
-            F.col("__chunk.width").alias("width"),
-            F.col("__chunk.height").alias("height"),
-            F.lit(int(buffer_size)).alias("buffer"),
-        )
-        name = f"tile_b{b}" if len(band_indexes) > 1 else "tile_ref"
-        exploded = exploded.withColumn(name, ref)
-        if not lazy_tiles:
-            exploded = exploded.withColumn(name, realize_tiles(F.col(name)))
+    src_cols = catalog_cols if catalog_cols else [catalog_col]
+    for sc in src_cols:
+        for b in band_indexes:
+            ref = F.struct(
+                F.col(sc).alias("uri"),
+                F.lit(int(b)).alias("band"),
+                F.col("__chunk.col_off").alias("col_off"),
+                F.col("__chunk.row_off").alias("row_off"),
+                F.col("__chunk.width").alias("width"),
+                F.col("__chunk.height").alias("height"),
+                F.lit(int(buffer_size)).alias("buffer"),
+            )
+            if catalog_cols:
+                name = f"{sc}_b{b}" if len(band_indexes) > 1 else sc
+            else:
+                name = f"tile_b{b}" if len(band_indexes) > 1 else "tile_ref"
+            exploded = exploded.withColumn(name, ref)
+            if not lazy_tiles:
+                exploded = exploded.withColumn(name, realize_tiles(F.col(name)))
 
     out = exploded.drop("__chunk")
     if spatial_index_partitions:

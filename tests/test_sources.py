@@ -277,3 +277,29 @@ def test_http_range_window_reads(scene_path):
         assert src.requests >= 2  # header + data came from separate ranges
     finally:
         srv.shutdown()
+
+
+def test_read_raster_multi_column_catalog(spark, scene_path, tmp_path):
+    """catalog_cols (the reference's catalog_col_names): one tile column per
+    URI column, named after it, chunked on the first column's grid."""
+    path, arr = scene_path
+    arr2 = (arr // 2).astype("uint16")
+    nir = str(tmp_path / "scene1_nir.tiff")
+    with open(nir, "wb") as f:
+        f.write(GT.write_geotiff(arr2, (-78.6, 37.9, -78.2, 38.2),
+                                 crs="EPSG:4326", nodata=0, tile_size=64))
+    cat = spark.createDataFrame([{"scene": 1, "red": path, "nir": nir}])
+    df = S.read_raster(spark, cat, tile_dimensions=(64, 64),
+                       catalog_cols=["red", "nir"])
+    assert {"red", "nir", "extent", "crs", "scene"} <= set(df.columns)
+    assert df.count() == 4
+    r = df.select(S.realize_tiles("red").alias("r"),
+                  S.realize_tiles("nir").alias("n"))
+    sums = r.agg(F.sum(rf.rf_tile_sum("r")).alias("sr"),
+                 F.sum(rf.rf_tile_sum("n")).alias("sn")).head()
+    assert sums["sr"] == float(arr[arr != 0].sum())
+    assert sums["sn"] == float(arr2[arr2 != 0].sum())
+    # multi-band x multi-column naming
+    df2 = S.read_raster(spark, cat, tile_dimensions=(64, 64),
+                        catalog_cols=["red", "nir"], band_indexes=(0, 0))
+    assert {"red_b0", "nir_b0"} <= set(df2.columns)
