@@ -157,11 +157,18 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     numpy iterations over <= sample_size vectors); the corpus assignment is
     one vectorized pandas-UDF projection; the probe join touches
     n_probe/n_lists of the data per query instead of a full scan. Centroids
-    broadcast via closure (KBs)."""
-    sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_size).collect()],
-        dtype="float64",
-    )
+    broadcast via closure (KBs). The sample is a seeded uniform fraction of
+    the whole corpus (parquet count() is metadata-cheap), not a first-rows
+    limit — first rows of a partitioned 100 TB corpus are NOT representative
+    and train degenerate centroids."""
+    n_corpus = corpus.count()
+    if n_corpus > sample_size:
+        frac = min(1.0, 2.0 * sample_size / n_corpus)
+        sampled = corpus.select(vec_col).sample(False, frac, seed=seed) \
+            .limit(sample_size)
+    else:
+        sampled = corpus.select(vec_col)
+    sample = np.array([r[0] for r in sampled.collect()], dtype="float64")
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     sample = sample / np.maximum(norms, 1e-12)
     rng = np.random.default_rng(seed)
