@@ -229,6 +229,21 @@ class Tile:
         """Raw values with NoData replaced by the sentinel (or as-is if raw)."""
         return encode_cells(self.cells, self.cell_type).reshape(self.cells.shape)
 
+    def _repr_png_(self):
+        """Jupyter display hook: render through the viridis ramp via the
+        repo's pure-python PNG encoder — the reference's rf_ipython
+        integration (python/pyrasterframes/rf_ipython.py) without PIL."""
+        from rasterframes_spark.functions.proj_raster import _ramp_lut
+        from rasterframes_spark.sources.png import encode_png
+
+        a = self.masked().astype("float64")
+        if a.count() == 0:
+            return encode_png(np.zeros((self.rows, self.cols, 3), dtype="uint8"))
+        lo, hi = float(a.min()), float(a.max())
+        span = (hi - lo) or 1.0
+        idx = np.clip(((a - lo) / span * 255.0).filled(0), 0, 255).astype("uint8")
+        return encode_png(_ramp_lut("viridis")[idx])
+
     # -- struct codec --
     def to_row(self) -> dict:
         return {
