@@ -1,0 +1,146 @@
+"""Regenerate PLANS.md: capture .explain("formatted") for the headline
+operators with scale-posture annotations. Run: python tools/gen_plans.py"""
+
+import contextlib
+import io
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import rasterframes_spark as rf
+    from rasterframes_spark import create_rf_spark_session, sources as S
+    from rasterframes_spark import pipeline as P
+    from rasterframes_spark.tile import Tile
+    from pyspark.sql import functions as F
+    import __spark_entry__ as e
+
+    spark = create_rf_spark_session(master="local[8]", app_name="gen-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.001"
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        s = buf.getvalue()
+        lines = s.splitlines()
+        cut = next((i for i, l in enumerate(lines)
+                    if l.strip() == "" and i > 5), len(lines))
+        tree = "\n".join(lines[:cut])
+        details = [l for l in lines[cut:] if any(k in l for k in (
+            "PushedFilters", "ReadSchema", "Arguments: ", "Functions ["))][:12]
+        return tree + ("\n...\n" + "\n".join(details) if details else "")
+
+    sections = []
+
+    def add(title, note, df):
+        sections.append(f"## {title}\n\n{note}\n\n```\n{plan(df)}\n```\n")
+
+    tiles = e._two_band(spark, sf)
+    add("rf_agg_stats (column-wide tile statistics)",
+        "One pandas-UDF pass emits a 6-scalar partial per tile; the combine is "
+        "built-in `sum/min/max` — **map-side partial aggregation before the "
+        "exchange, 6 scalars per partition cross the shuffle, nothing tile-sized "
+        "shuffles.** At 1000 executors the exchange carries ~KBs.",
+        tiles.agg(rf.rf_agg_stats("qty").alias("s")))
+
+    add("explode_tiles (tile -> cell rows)",
+        "mapInPandas generator — **no shuffle at all**; byte-capped Arrow "
+        "batches stream cells out. Chained aggregation keeps whole-stage "
+        "codegen after the UDF.",
+        rf.explode_tiles(tiles, ["qty"]).agg(F.sum("qty")))
+
+    cells = rf.explode_tiles(tiles, ["qty"]).where(F.col("qty").isNotNull())
+    add("assemble_tiles (cell rows -> tiles, group_map path)",
+        "ONE shuffle on the group key (hash partitioning), flat cell position "
+        "computed JVM-side, value column shuffles at the narrowest exact type. "
+        "Per-group numpy scatter; task memory = one group's cells.",
+        rf.assemble_tiles(cells, ["grp"], "column_index", "row_index", "qty",
+                          16, 16, "float64", method="group_map"))
+
+    add("raster_join (grid-cell equi-prejoin + merge)",
+        "**Equi-join on grid cell id** (shuffle hash join, AQE skew-split "
+        "applies) + bbox post-filter — never a BroadcastNestedLoopJoin; bounded "
+        "fan-in via max_fan_in two-level pre-merge.",
+        e._q_raster_join(spark, sf))
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    add("cosine_topk (matmul scoring path)",
+        "Corpus scans straight into one mapInPandas (BLAS matmul per Arrow "
+        "batch vs ALL queries — queries ride the closure, **corpus never "
+        "shuffles until the per-query top-k window** on k rows/query/partition).",
+        P.cosine_topk(emb, emb.limit(4).select(
+            F.col("vec_id").alias("query_id"), "embedding"), k=5))
+
+    add("minhash LSH near-dup pairs",
+        "shingle->signature (one vectorized UDF pass) -> banded **equi-join on "
+        "(band, slice)** — bucketed candidates only, no cartesian; "
+        "pay-as-you-go hot-bucket salting kicks in above the skew threshold; "
+        "exact-Jaccard verify only on candidates.",
+        P.minhash_dedup_pairs(spark.read.parquet(f"{sf}/documents.parquet"),
+                              "doc_id", "text", num_perm=32, bands=16,
+                              threshold=0.8))
+
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(3)
+    rows = []
+    for gy in range(4):
+        for gx in range(4):
+            rows.append({
+                "spatial_key": {"col": gx, "row": gy},
+                "tile": Tile(rng.integers(0, 9, (4, 4)).astype("int32"),
+                             "int32raw").to_row(),
+                "extent": {"xmin": gx * 1.0, "ymin": gy * 1.0,
+                           "xmax": gx + 1.0, "ymax": gy + 1.0},
+                "crs": "EPSG:4326"})
+    ldf = spark.createDataFrame(
+        rows, schema="spatial_key struct<col:int,row:int>, "
+        "tile struct<cell_type:string,cols:int,rows:int,cells:binary>, "
+        "extent struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
+        "crs string")
+    S.write_tile_layer(ldf, os.path.join(d, "layer"), num_partitions=2)
+    add("read_tile_layer with query_extent (Z2 pushdown)",
+        "The quadtree-decomposed Z2 range disjunction reaches the parquet scan "
+        "as **PushedFilters** — row groups outside the query bbox are pruned "
+        "by column stats before any IO; the exact bbox filter runs after.",
+        S.read_tile_layer(spark, os.path.join(d, "layer"),
+                          query_extent=(0.5, 0.5, 1.5, 1.5)))
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS rf_plans LOCATION '{d}/wh'")
+    S.write_tile_layer_table(ldf, "rf_plans.a", n_buckets=4)
+    S.write_tile_layer_table(ldf, "rf_plans.b", n_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    j = S.read_tile_layer_table(spark, "rf_plans.a").join(
+        S.read_tile_layer_table(spark, "rf_plans.b").select(
+            "spatial_index", F.col("tile").alias("tile_b")), "spatial_index")
+    add("bucketed layer-table join (zero Exchange)",
+        "Both tables were written `bucketBy(4, spatial_index)`: the sort-merge "
+        "join reads co-bucketed files directly — **no Exchange anywhere in the "
+        "plan**. At 100 TB the repeated-join shuffle cost is paid once at "
+        "write time.",
+        j)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql("DROP DATABASE IF EXISTS rf_plans CASCADE")
+
+    hdr = (
+        "# PLANS — physical-plan evidence for the scale posture\n\n"
+        'Captured with `.explain("formatted")` on the real operators (sf0.001 '
+        "inputs;\nplan shape is data-size independent). Each section: why this "
+        "plan survives a\n100x scale-up. Regenerate with "
+        "`python tools/gen_plans.py`.\n")
+    out = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(out, "w") as f:
+        f.write(hdr + "\n" + "\n".join(sections))
+    print("PLANS.md written:", len(sections), "sections")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
