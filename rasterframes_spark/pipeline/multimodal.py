@@ -7,12 +7,13 @@ posture as tiles. Decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` so payload bytes cross to Python once per
 batch and partitions stream (no per-row py4j, no collect).
 
-Codec status: the pure-python codecs in this repo make three formats REAL
-end-to-end — PNG images (``decode_image(decode='png')``, ``sources/png.py``),
-animated GIF video (``sample_video_frames(decode='gif')``,
-``sources/gif.py``), and WAV audio (``pipeline/audio.py``). Only the
-compressed formats whose codecs aren't in this container (JPEG/WebP,
-mp4/webm, mp3/ogg) remain stubbed: ``decode='fake'`` produces a
+Codec status: the pure-python codecs in this repo make four formats REAL
+end-to-end — PNG and baseline JPEG images (``decode_image(decode='png'/
+'jpeg'/'auto')``, ``sources/png.py`` / ``sources/jpeg.py``), animated GIF
+video (``sample_video_frames(decode='gif')``, ``sources/gif.py``), and WAV
+audio (``pipeline/audio.py``). Only formats whose codecs aren't
+implementable in reasonable pure python (WebP/AVIF, mp4/webm, mp3/ogg)
+remain stubbed: ``decode='fake'`` produces a
 deterministic bytes-derived decode (so the full Spark plumbing — schema,
 partitioning, UDF signature, batch shape — is real and tested), and
 ``decode='real'`` raises NotImplementedError where the codec call belongs.
@@ -78,32 +79,48 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
                  decode: str = "fake") -> DataFrame:
     """payload binary -> decoded pixel buffer rows via mapInPandas.
 
-    ``decode='png'`` runs the repo's pure-python PNG codec
-    (``sources/png.py``: zlib inflate + scanline unfilter) end-to-end —
-    output dims come from the image, not the height/width args; rows whose
-    payload fails to decode are dropped (corrupt-input tolerance, the
-    behavior a web-scale ingest wants). ``decode='real'`` marks where
-    `PIL.Image.open(io.BytesIO(payload))` belongs for non-PNG formats once
-    a codec library is available; ``decode='fake'`` derives deterministic
+    Real codec paths (pure-python, this repo): ``decode='png'``
+    (``sources/png.py``: zlib inflate + scanline unfilter),
+    ``decode='jpeg'`` (``sources/jpeg.py``: baseline JFIF — Huffman +
+    batched-numpy IDCT, 4:4:4/4:2:2/4:2:0, restart markers), and
+    ``decode='auto'`` (magic-byte sniff: PNG or JPEG per row). Output dims
+    come from the image, not the height/width args; rows whose payload
+    fails to decode are dropped (corrupt-input tolerance, the behavior a
+    web-scale ingest wants). ``decode='real'`` marks where a WebP/AVIF
+    codec library would slot in; ``decode='fake'`` derives deterministic
     pixels from the payload digest (plumbing tests).
     """
     if decode == "real":
         raise NotImplementedError(
-            "general image codec (JPEG/WebP/...) not available in this "
-            "environment; use decode='png' for PNG payloads or decode='fake'"
+            "WebP/AVIF codecs not available in this environment; use "
+            "decode='png'/'jpeg'/'auto' or decode='fake'"
         )
 
     def run(batches):
+        from rasterframes_spark.sources.jpeg import decode_jpeg
         from rasterframes_spark.sources.png import decode_png
+
+        def sniff(b: bytes):
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                return decode_png
+            if b[:2] == b"\xff\xd8":
+                return decode_jpeg
+            return None
 
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                if decode == "png":
+                if decode in ("png", "jpeg", "auto"):
+                    b = bytes(payload)
+                    codec = (decode_png if decode == "png"
+                             else decode_jpeg if decode == "jpeg"
+                             else sniff(b))
+                    if codec is None:
+                        continue  # unknown format: drop the row
                     try:
-                        arr = decode_png(bytes(payload))
+                        arr = codec(b)
                     except Exception:
                         continue  # corrupt/unsupported payload: drop the row
                     if arr.ndim == 2:

@@ -1,0 +1,521 @@
+"""Pure-python baseline JPEG (JFIF) codec.
+
+Completes the image-codec story next to ``png.py`` (lossless) — JPEG is
+the dominant scraped-web format, so ``decode_image(decode='jpeg')`` makes
+the multimodal image path real for it with zero external dependencies.
+
+Decoder: baseline sequential DCT (SOF0/SOF1), Huffman entropy coding,
+grayscale or YCbCr with any sampling factors up to 2x2 (4:4:4, 4:2:2,
+4:2:0), restart markers, 8- and 16-bit quantization tables. Progressive
+(SOF2) and arithmetic coding raise ValueError. The per-block IDCT is one
+batched numpy einsum per component — the bit-level Huffman walk is the
+only python loop.
+
+Encoder: minimal baseline 4:4:4 (or grayscale) with the JPEG Annex K
+example tables scaled by ``quality`` — a round-trip test tool, decode is
+the production path.
+
+All constants (zigzag order, Annex K tables) are from the public JPEG
+standard (ITU-T T.81)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# 8x8 DCT-II basis matrix: spatial = M.T @ coeff @ M
+_C = np.array([[np.cos((2 * x + 1) * u * np.pi / 16) *
+                (np.sqrt(0.125) if u == 0 else 0.5)
+                for x in range(8)] for u in range(8)])
+
+# ITU-T T.81 Annex K quantization tables (luminance, chrominance)
+_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# Annex K typical Huffman tables: (bits[1..16], huffval)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _build_huff(bits, huffval):
+    """Canonical Huffman: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8  # pad with zeros past the end
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: caller resyncs
+                else:
+                    break  # real marker: end of scan
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Skip to just past the next RST marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _huff_decode(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """JPEG bytes -> H x W x 3 uint8 RGB (or H x W x 1 for grayscale).
+    Raises ValueError on malformed/unsupported (progressive) input."""
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qt = {}
+    huff_dc = {}
+    huff_ac = {}
+    restart_interval = 0
+    frame = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", buf, pos)
+        seg = buf[pos + 2: pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg[p:p + 128], dtype=">u2").astype("f8")
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p:p + 64], dtype="u1").astype("f8")
+                    p += 64
+                z = np.zeros(64)
+                z[_ZIGZAG] = vals
+                qt[tq] = z.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                huffval = list(seg[p + 17:p + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = _build_huff(bits, huffval)
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            data_pos = pos + seglen
+            return _decode_scan(buf, data_pos, frame, scan, qt,
+                                huff_dc, huff_ac, restart_interval)
+        pos += seglen
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, ri):
+    h, w = frame["h"], frame["w"]
+    comps = [s[0] for s in scan]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors above 2 not supported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient block stacks
+    blocks = {c["id"]: [] for c in comps}
+    br = _BitReader(buf, pos)
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if ri and m and m % ri == 0:
+            br.align_to_marker()
+            pred = {c["id"]: 0 for c in comps}
+        for comp, tdc, tac in scan:
+            for _ in range(comp["h"] * comp["v"]):
+                zz = np.zeros(64, dtype=np.float64)
+                t = _huff_decode(br, huff_dc[tdc])
+                diff = _extend(br.receive(t), t) if t else 0
+                pred[comp["id"]] += diff
+                zz[0] = pred[comp["id"]]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(br, huff_ac[tac])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(br.receive(s), s)
+                    k += 1
+                blocks[comp["id"]].append(zz)
+    # dequantize + batched IDCT per component
+    planes = []
+    for comp in comps:
+        bs = np.stack(blocks[comp["id"]])  # (n, 64) zigzag
+        deq = np.zeros_like(bs)
+        deq[:, _ZIGZAG] = bs * qt[comp["tq"]].reshape(-1)[_ZIGZAG]
+        coef = deq.reshape(-1, 8, 8)
+        spatial = np.einsum("ur,nuv,vc->nrc", _C, coef, _C)
+        spatial = np.clip(np.round(spatial + 128), 0, 255).astype(np.uint8)
+        # blocks are in MCU scan order: reassemble the component plane
+        ch, cv = comp["h"], comp["v"]
+        pw, ph = mcux * ch * 8, mcuy * cv * 8
+        plane = np.zeros((ph, pw), dtype=np.uint8)
+        bi = 0
+        per_mcu = ch * cv
+        for m in range(n_mcu):
+            my, mx = divmod(m, mcux)
+            base = m * per_mcu
+            for b in range(per_mcu):
+                by, bx = divmod(b, ch)
+                y0 = (my * cv + by) * 8
+                x0 = (mx * ch + bx) * 8
+                plane[y0:y0 + 8, x0:x0 + 8] = spatial[base + b]
+            bi += per_mcu
+        # upsample to full resolution then crop
+        ry, rx = vmax // cv, hmax // ch
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w].astype(np.float64))
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)[:, :, None]
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (baseline 4:4:4 / grayscale, Annex K tables)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _enc_table(bits, huffval):
+    """symbol -> (code, length)"""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[huffval[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base * s + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """H x W x 3 RGB (or H x W / H x W x 1 grayscale) uint8 -> baseline
+    JFIF bytes (Annex K tables scaled by quality). ``subsampling``: '444'
+    or '420' (2x2-averaged chroma); ``restart_interval`` > 0 emits DRI +
+    RSTn markers every N MCUs."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if nc not in (1, 3):
+        raise ValueError("1 or 3 channels required")
+    a = a.astype(np.float64)
+    if nc == 3:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+        tids = [0, 1, 1]
+        if subsampling == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+            for i in (1, 2):
+                p = planes[i]
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                            mode="edge")
+                planes[i] = (ph[0::2, 0::2] + ph[1::2, 0::2]
+                             + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+        elif subsampling == "444":
+            samp = [(1, 1)] * 3
+        else:
+            raise ValueError("subsampling must be '444' or '420'")
+    else:
+        planes = [a[..., 0]]
+        qids = [0]
+        tids = [0]
+        samp = [(1, 1)]
+
+    ql = _scale_q(_QL.reshape(8, 8), quality)
+    qc = _scale_q(_QC.reshape(8, 8), quality)
+    qts = [ql, qc]
+    dc_tabs = [_enc_table(*_DC_L), _enc_table(*_DC_C)]
+    ac_tabs = [_enc_table(*_AC_L), _enc_table(*_AC_C)]
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    for i, q in enumerate(qts[: 2 if nc == 3 else 1]):
+        z = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, i) + z.tobytes()
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for i in range(nc):
+        out += bytes((i + 1, (samp[i][0] << 4) | samp[i][1], qids[i]))
+    for i, (bits, hv) in enumerate([_DC_L, _DC_C][: 2 if nc == 3 else 1]):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(hv), i) \
+            + bytes(bits) + bytes(hv)
+    for i, (bits, hv) in enumerate([_AC_L, _AC_C][: 2 if nc == 3 else 1]):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(hv), 0x10 | i) \
+            + bytes(bits) + bytes(hv)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for i in range(nc):
+        out += bytes((i + 1, (tids[i] << 4) | tids[i]))
+    out += b"\x00\x3f\x00"
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component: pad plane to its MCU-aligned size, batched forward DCT
+    coefs = []
+    ncols = []
+    for ci, p in enumerate(planes):
+        ch, cv = samp[ci]
+        pw, ph = mcux * ch * 8, mcuy * cv * 8
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                    mode="edge")
+        nbr, nbc = ph // 8, pw // 8
+        blocks = (pp.reshape(nbr, 8, nbc, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8) - 128.0)
+        c = np.einsum("ur,nrc,vc->nuv", _C, blocks, _C)
+        coefs.append(np.round(c / qts[qids[ci]]).astype(np.int64))
+        ncols.append(nbc)
+
+    def put_block(zz, ci):
+        dc_t, ac_t = dc_tabs[tids[ci]], ac_tabs[tids[ci]]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t = _cat(diff)
+        code, ln = dc_t[t]
+        bw.write(code, ln)
+        if t:
+            v = diff if diff >= 0 else diff + (1 << t) - 1
+            bw.write(v & ((1 << t) - 1), t)
+        run = 0
+        last_nz = np.nonzero(zz[1:])[0]
+        last = last_nz[-1] + 1 if len(last_nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_t[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = _cat(v)
+            code, ln = ac_t[(run << 4) | s]
+            bw.write(code, ln)
+            ev = v if v >= 0 else v + (1 << s) - 1
+            bw.write(ev & ((1 << s) - 1), s)
+            run = 0
+        if last < 63:
+            code, ln = ac_t[0x00]
+            bw.write(code, ln)
+
+    bw = _BitWriter()
+    pred = [0] * nc
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes((0xFF, 0xD0 | (rst % 8)))
+            rst += 1
+            pred = [0] * nc
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            ch, cv = samp[ci]
+            for b in range(ch * cv):
+                by, bx = divmod(b, ch)
+                bi = (my * cv + by) * ncols[ci] + (mx * ch + bx)
+                put_block(coefs[ci][bi].reshape(-1)[_ZIGZAG], ci)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -383,3 +383,64 @@ def test_sample_video_frames_gif_end_to_end(spark):
             assert (r["height"], r["width"], r["channels"]) == (10, 12, 3)
             got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(10, 12, 3)
             assert np.array_equal(got, orig[j])
+
+
+def test_jpeg_codec_roundtrip():
+    """Pure-python baseline JPEG: all sampling/restart modes round-trip
+    with high PSNR; corrupt/progressive inputs raise."""
+    from rasterframes_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    def psnr(a, b):
+        e = a.astype(float) - b.astype(float)
+        return 10 * np.log10(255**2 / max((e**2).mean(), 1e-9))
+
+    yy, xx = np.mgrid[0:70, 0:90]
+    smooth = np.clip(128 + 60 * np.sin(xx / 10) + 50 * np.cos(yy / 13),
+                     0, 255).astype(np.uint8)
+    rgb = np.stack([smooth, smooth[::-1], smooth // 2 + 60], axis=-1)
+    for sub in ("444", "420"):
+        for ri in (0, 3):
+            d = decode_jpeg(encode_jpeg(rgb, quality=90, subsampling=sub,
+                                        restart_interval=ri))
+            assert d.shape == (70, 90, 3)
+            assert psnr(d, rgb) > (40 if sub == "420" else 45)
+    g = decode_jpeg(encode_jpeg(smooth, quality=85))
+    assert g.shape == (70, 90, 1) and psnr(g[:, :, 0], smooth) > 45
+    # constant image is exact
+    c = np.full((16, 16), 77, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(c))[:, :, 0] == 77).all()
+    for bad in (b"", b"\xff\xd8", b"\xff\xd8\xff\xc2\x00\x04\x00\x00",
+                b"not a jpeg"):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_decode_image_jpeg_and_auto(spark):
+    """decode_image(decode='jpeg'/'auto') runs the real codec distributed;
+    auto sniffs mixed PNG/JPEG payloads; corrupt rows drop."""
+    from rasterframes_spark.sources.jpeg import encode_jpeg
+    from rasterframes_spark.sources.png import encode_png
+
+    rng = np.random.default_rng(17)
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.clip(128 + 80 * np.sin(xx / 7), 0, 255).astype(np.uint8)
+    rgb = np.stack([img, img // 2, img[::-1]], axis=-1)
+    png_img = rng.integers(0, 256, (10, 11, 3), dtype=np.uint8)
+    rows = [{"payload": bytearray(encode_jpeg(rgb, quality=92))},
+            {"payload": bytearray(encode_png(png_img))},
+            {"payload": bytearray(b"garbage bytes here")}]
+    df = spark.createDataFrame(rows, schema="payload binary")
+    media = P.media_table(spark, df, "payload", kind="image")
+    out = P.decode_image(media, decode="auto").collect()
+    assert len(out) == 2  # garbage dropped
+    by_shape = {(r["height"], r["width"]): r for r in out}
+    assert (24, 32) in by_shape and (10, 11) in by_shape
+    # png is lossless through auto
+    got_png = np.frombuffer(bytes(by_shape[(10, 11)]["pixels"]),
+                            dtype=np.uint8).reshape(10, 11, 3)
+    assert np.array_equal(got_png, png_img)
+    # jpeg decodes close to the original
+    got_jpg = np.frombuffer(bytes(by_shape[(24, 32)]["pixels"]),
+                            dtype=np.uint8).reshape(24, 32, 3)
+    err = got_jpg.astype(float) - rgb.astype(float)
+    assert 10 * np.log10(255**2 / (err**2).mean()) > 35
