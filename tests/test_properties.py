@@ -125,3 +125,30 @@ def test_gif_roundtrip_property(n_frames, h, w, n_colors, seed):
     assert len(dec) == n_frames
     for (d, f), orig in zip(dec, frames):
         assert d == 50 and np.array_equal(f, orig)
+
+
+@given(st.integers(8, 40), st.integers(8, 40), st.integers(1, 3).map(lambda c: 1 if c == 1 else 3),
+       st.sampled_from(["444", "420"]), st.integers(0, 4),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_jpeg_roundtrip_property(h, w, nc, sub, ri, seed):
+    """Smooth images survive encode/decode at high PSNR for every
+    size/sampling/restart combination (gray forces 444)."""
+    from rasterframes_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 70 * np.sin(xx / rng.uniform(5, 15)) \
+        + 50 * np.cos(yy / rng.uniform(5, 15))
+    if nc == 1:
+        img = np.clip(base, 0, 255).astype(np.uint8)
+    else:
+        img = np.clip(np.stack([base, base / 2 + 50, 255 - base / 3], axis=-1),
+                      0, 255).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=92, subsampling=sub,
+                                restart_interval=ri))
+    ref = img if nc == 3 else img[:, :, None]
+    assert d.shape == ref.shape
+    err = d.astype(float) - ref.astype(float)
+    psnr = 10 * np.log10(255**2 / max((err**2).mean(), 1e-9))
+    assert psnr > 33
