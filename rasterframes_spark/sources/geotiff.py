@@ -53,6 +53,7 @@ class GeoTiffInfo:
     byte_order: str
     pixel_scale: tuple
     tiepoint: tuple
+    predictor: int = 1
 
 
 def _slice(data, a: int, b: int) -> bytes:
@@ -144,9 +145,78 @@ def read_info(data: bytes) -> GeoTiffInfo:
         rps = t.get(278, [height])[0]
         offsets, counts = t[273], t[279]
 
+    predictor = t.get(317, [1])[0]
     return GeoTiffInfo(width, height, bands, dtype, nodata, crs, extent,
                        tw, th, rps, comp, list(offsets), list(counts), bo,
-                       scale, tie)
+                       scale, tie, predictor)
+
+
+def _lzw_decode_tiff(data: bytes) -> bytes:
+    """TIFF6 LZW: 8-bit symbols, Clear=256, EOI=257, MSB-first bit packing,
+    early code-width change (the TIFF spec's off-by-one vs plain LZW)."""
+    CLEAR, EOI = 256, 257
+    base = [bytes((i,)) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = None
+    out = bytearray()
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # truncated: return what we have
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            out += table[code]
+            prev = code
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise ValueError("corrupt TIFF LZW stream")
+            out += entry
+            table.append(table[prev] + entry[:1])
+            prev = code
+        # early change: width grows one code EARLIER than plain LZW.
+        # The decoder's table lags the encoder's next-free-code by one at
+        # the same stream point, so the spec's "switch when next code is
+        # 2^w - 1" lands here at len(table) == 2^w - 2 (libtiff uses the
+        # same -2 boundary in tif_lzw.c).
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += data[i:i + 1] * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
 
 
 def _decompress(chunk: bytes, comp: int) -> bytes:
@@ -154,7 +224,21 @@ def _decompress(chunk: bytes, comp: int) -> bytes:
         return chunk
     if comp in (8, 32946):
         return zlib.decompress(chunk)
+    if comp == 5:
+        return _lzw_decode_tiff(chunk)
+    if comp == 32773:
+        return _packbits_decode(chunk)
     raise ValueError(f"unsupported TIFF compression: {comp}")
+
+
+def _unpredict(arr: np.ndarray, predictor: int) -> np.ndarray:
+    """Undo TIFF predictor=2 (horizontal differencing) along each row;
+    wraps in the storage dtype like the spec requires."""
+    if predictor == 2:
+        return np.cumsum(arr, axis=1, dtype=arr.dtype)
+    if predictor in (1, 0):
+        return arr
+    raise ValueError(f"unsupported TIFF predictor: {predictor}")
 
 
 def read_window(data: bytes, info: GeoTiffInfo, col_off: int, row_off: int,
@@ -176,7 +260,9 @@ def read_window(data: bytes, info: GeoTiffInfo, col_off: int, row_off: int,
                     _slice(data, info.chunk_offsets[idx],
                            info.chunk_offsets[idx] + info.chunk_counts[idx]),
                     info.compression)
-                arr = np.frombuffer(raw, dtype=dt).reshape(th, tw, info.bands)[:, :, band]
+                arr = _unpredict(
+                    np.frombuffer(raw, dtype=dt).reshape(th, tw, info.bands)[:, :, band],
+                    info.predictor)
                 # intersect tile with window
                 r0 = max(row_off, tr * th)
                 r1 = min(row_off + height, tr * th + th, info.height)
@@ -196,7 +282,9 @@ def read_window(data: bytes, info: GeoTiffInfo, col_off: int, row_off: int,
                        info.chunk_offsets[s] + info.chunk_counts[s]),
                 info.compression)
             nrows = min(rps, info.height - s * rps)
-            arr = np.frombuffer(raw, dtype=dt).reshape(nrows, info.width, info.bands)[:, :, band]
+            arr = _unpredict(
+                np.frombuffer(raw, dtype=dt).reshape(nrows, info.width, info.bands)[:, :, band],
+                info.predictor)
             r0 = max(row_off, s * rps)
             r1 = min(row_off + height, s * rps + nrows)
             if r1 <= r0:

@@ -303,3 +303,110 @@ def test_read_raster_multi_column_catalog(spark, scene_path, tmp_path):
     df2 = S.read_raster(spark, cat, tile_dimensions=(64, 64),
                         catalog_cols=["red", "nir"], band_indexes=(0, 0))
     assert {"red_b0", "nir_b0"} <= set(df2.columns)
+
+
+def _lzw_encode_tiff(raw: bytes) -> bytes:
+    """Spec-faithful TIFF LZW encoder (test mirror of the reader's decoder):
+    MSB-first, Clear=256/EOI=257, early change (switch width when the next
+    free code reaches 2^width - 1), reset near 4094."""
+    import struct as _s
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nb = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nb
+        acc = (acc << width) | code
+        nb += width
+        while nb >= 8:
+            nb -= 8
+            out.append((acc >> nb) & 0xFF)
+
+    table = {bytes((i,)): i for i in range(256)}
+    nxt = 258
+    emit(CLEAR)
+    w = b""
+    for byte in raw:
+        wk = w + bytes((byte,))
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt >= 4094:
+            emit(CLEAR)
+            table = {bytes((i,)): i for i in range(256)}
+            nxt = 258
+            width = 9
+        w = bytes((byte,))
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def _build_tiff(arr, comp, predictor=1, payload_override=None):
+    import struct as _s
+    h, w = arr.shape
+    data = arr
+    if predictor == 2:
+        d = data.astype("uint16").copy()
+        d[:, 1:] = (data[:, 1:].astype(np.int64)
+                    - data[:, :-1].astype(np.int64)).astype("uint16")
+        data = d
+    raw = data.tobytes()
+    if payload_override is not None:
+        payload = payload_override(raw)
+    elif comp == 1:
+        payload = raw
+    elif comp == 5:
+        payload = _lzw_encode_tiff(raw)
+    elif comp == 8:
+        import zlib
+        payload = zlib.compress(raw)
+    elif comp == 32773:
+        out = bytearray()
+        for i in range(0, len(raw), 128):
+            chunk = raw[i:i + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
+        payload = bytes(out)
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16), (259, 3, 1, comp),
+        (262, 3, 1, 1), (273, 4, 1, None), (277, 3, 1, 1), (278, 3, 1, h),
+        (279, 4, 1, len(payload)), (317, 3, 1, predictor), (339, 3, 1, 1),
+    ]
+    ifd_size = 2 + 12 * len(tags) + 4
+    data_off = 8 + ifd_size
+    body = _s.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        v = data_off if val is None else val
+        body += _s.pack("<HHII", tag, typ, cnt, v)
+    body += _s.pack("<I", 0)
+    return b"II*\x00" + _s.pack("<I", 8) + body + payload
+
+
+def test_tiff_lzw_packbits_predictor():
+    """LZW (early-change width boundaries crossed), PackBits, deflate, and
+    predictor=2 all decode exactly, full-image and windowed."""
+    rng = np.random.default_rng(3)
+    # big enough that LZW crosses the 9->10->11 bit boundaries
+    arr = rng.integers(0, 60000, (48, 64)).astype("uint16")
+    smooth = (np.cumsum(rng.integers(0, 3, (48, 64)), axis=1) % 60000).astype("uint16")
+    for a in (arr, smooth):
+        for comp, pred in [(1, 1), (5, 1), (5, 2), (8, 1), (8, 2),
+                           (32773, 1), (32773, 2)]:
+            t = _build_tiff(a, comp, predictor=pred)
+            info = GT.read_info(t)
+            assert (info.compression, info.predictor) == (comp, pred)
+            got = GT.read_window(t, info, 0, 0, 64, 48)
+            assert np.array_equal(got, a), (comp, pred)
+            gw = GT.read_window(t, info, 10, 7, 30, 20)
+            assert np.array_equal(gw, a[7:27, 10:40]), (comp, pred)
