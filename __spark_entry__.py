@@ -568,6 +568,38 @@ def _q_events_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _q_slope(spark, sf_dir):
+    """Horn's-method slope (focalops/Slope.scala:51-89) on a unit grid vs a
+    closed-form SQL oracle: 8 clamped-neighbor self-joins reproduce the
+    edge-replicated 3x3 gradients; inner joins drop exactly the cells the
+    kernel masks (center or any used neighbor NoData)."""
+    t = _tiles_df(spark, sf_dir)
+    t = t.withColumn("extent", F.struct(
+        F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
+        F.lit(float(TILE_COLS)).alias("xmax"), F.lit(float(TILE_ROWS)).alias("ymax")))
+    s = t.select("grp", rf.rf_slope("qty", "extent").alias("slope_t"))
+    ex = rf.explode_tiles(s, ["slope_t"], keep_cols=["grp"])
+    return ex.select(
+        "grp", "column_index", "row_index",
+        F.round("slope_t", 6).alias("slope_v"),
+    ).where(F.col("slope_v").isNotNull())
+
+
+def _q_hillshade(spark, sf_dir):
+    """rf_hillshade (focalops/Hillshade.scala:54-103, 5-ary op) vs the same
+    clamped-neighbor SQL gradients + full trig chain in DuckDB."""
+    t = _tiles_df(spark, sf_dir)
+    t = t.withColumn("extent", F.struct(
+        F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
+        F.lit(float(TILE_COLS)).alias("xmax"), F.lit(float(TILE_ROWS)).alias("ymax")))
+    s = t.select("grp", rf.rf_hillshade("qty", "extent").alias("hs_t"))
+    ex = rf.explode_tiles(s, ["hs_t"], keep_cols=["grp"])
+    return ex.select(
+        "grp", "column_index", "row_index",
+        F.col("hs_t").cast("long").alias("shade"),
+    ).where(F.col("shade").isNotNull())
+
+
 def _q_streaming_sessions(spark, sf_dir):
     """The applyInPandasWithState gap sessionizer run as a REAL stream
     (file source, availableNow one-shot, memory sink) and checked against
@@ -860,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekly": _q_events_weekly,
         "events_sessions": _q_events_sessions,
         "events_topk": _q_events_topk,
+        "slope": _q_slope,
+        "hillshade": _q_hillshade,
         "streaming_sessions": _q_streaming_sessions,
         "layer_center": _q_layer_center,
         "agg_extent": _q_agg_extent,
@@ -1102,6 +1136,76 @@ def oracle_sql() -> dict[str, str]:
                    cast(row_number() over (partition by event_type
                         order by total desc, user_id) as int) as rank
             from t qualify rank <= 3""",
+        "slope": C + f"""
+            , n as (
+              select a.grp, a.ci, a.ri,
+                     z1.qty as z1, z2.qty as z2, z3.qty as z3,
+                     z4.qty as z4, z6.qty as z6,
+                     z7.qty as z7, z8.qty as z8, z9.qty as z9
+              from cells a
+              join cells z1 on z1.grp=a.grp and z1.ci=greatest(a.ci-1,0)
+                           and z1.ri=greatest(a.ri-1,0)
+              join cells z2 on z2.grp=a.grp and z2.ci=a.ci
+                           and z2.ri=greatest(a.ri-1,0)
+              join cells z3 on z3.grp=a.grp and z3.ci=least(a.ci+1,{TILE_COLS-1})
+                           and z3.ri=greatest(a.ri-1,0)
+              join cells z4 on z4.grp=a.grp and z4.ci=greatest(a.ci-1,0)
+                           and z4.ri=a.ri
+              join cells z6 on z6.grp=a.grp and z6.ci=least(a.ci+1,{TILE_COLS-1})
+                           and z6.ri=a.ri
+              join cells z7 on z7.grp=a.grp and z7.ci=greatest(a.ci-1,0)
+                           and z7.ri=least(a.ri+1,{TILE_ROWS-1})
+              join cells z8 on z8.grp=a.grp and z8.ci=a.ci
+                           and z8.ri=least(a.ri+1,{TILE_ROWS-1})
+              join cells z9 on z9.grp=a.grp and z9.ci=least(a.ci+1,{TILE_COLS-1})
+                           and z9.ri=least(a.ri+1,{TILE_ROWS-1})
+            ), g as (
+              select grp, ci, ri,
+                     ((z3 + 2*z6 + z9) - (z1 + 2*z4 + z7)) / 8.0 as gx,
+                     ((z7 + 2*z8 + z9) - (z1 + 2*z2 + z3)) / 8.0 as gy
+              from n
+            )
+            select grp, ci as column_index, ri as row_index,
+                   round(degrees(atan(sqrt(gx*gx + gy*gy))), 6) as slope_v
+            from g""",
+        "hillshade": C + f"""
+            , n as (
+              select a.grp, a.ci, a.ri,
+                     z1.qty as z1, z2.qty as z2, z3.qty as z3,
+                     z4.qty as z4, z6.qty as z6,
+                     z7.qty as z7, z8.qty as z8, z9.qty as z9
+              from cells a
+              join cells z1 on z1.grp=a.grp and z1.ci=greatest(a.ci-1,0)
+                           and z1.ri=greatest(a.ri-1,0)
+              join cells z2 on z2.grp=a.grp and z2.ci=a.ci
+                           and z2.ri=greatest(a.ri-1,0)
+              join cells z3 on z3.grp=a.grp and z3.ci=least(a.ci+1,{TILE_COLS-1})
+                           and z3.ri=greatest(a.ri-1,0)
+              join cells z4 on z4.grp=a.grp and z4.ci=greatest(a.ci-1,0)
+                           and z4.ri=a.ri
+              join cells z6 on z6.grp=a.grp and z6.ci=least(a.ci+1,{TILE_COLS-1})
+                           and z6.ri=a.ri
+              join cells z7 on z7.grp=a.grp and z7.ci=greatest(a.ci-1,0)
+                           and z7.ri=least(a.ri+1,{TILE_ROWS-1})
+              join cells z8 on z8.grp=a.grp and z8.ci=a.ci
+                           and z8.ri=least(a.ri+1,{TILE_ROWS-1})
+              join cells z9 on z9.grp=a.grp and z9.ci=least(a.ci+1,{TILE_COLS-1})
+                           and z9.ri=least(a.ri+1,{TILE_ROWS-1})
+            ), g as (
+              select grp, ci, ri,
+                     ((z3 + 2*z6 + z9) - (z1 + 2*z4 + z7)) / 8.0 as gx,
+                     ((z7 + 2*z8 + z9) - (z1 + 2*z2 + z3)) / 8.0 as gy
+              from n
+            ), hs as (
+              select grp, ci, ri,
+                     sin(radians(45.0)) * cos(atan(sqrt(gx*gx + gy*gy)))
+                     + cos(radians(45.0)) * sin(atan(sqrt(gx*gx + gy*gy)))
+                       * cos(radians(360.0 - 315.0 + 90.0) - atan2(gy, -gx)) as shaded
+              from g
+            )
+            select grp, ci as column_index, ri as row_index,
+                   cast(least(greatest(round(255.0 * shaded), 0.0), 255.0) as bigint) as shade
+            from hs""",
         "streaming_sessions": """
             with e as (
               select user_id, cast(floor(epoch(ts)) as bigint) as t, value
