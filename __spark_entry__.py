@@ -568,6 +568,31 @@ def _q_events_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _q_zonal_stats(spark, sf_dir):
+    """First-class zonal_stats operator (zones broadcast -> rasterize ->
+    mask -> per-zone agg; reference python/docs/zonal-algebra.pymd
+    workflow) on an 8x8 mosaic of the synthesized tiles; the oracle is a
+    pixel-center point-in-rectangle filter + group-by in SQL."""
+    t = _tiles_df(spark, sf_dir)
+    gx = (F.col("grp") % 8).cast("double")
+    gy = (F.col("grp") / 8).cast("int").cast("double")
+    t = t.withColumn("extent", F.struct(
+        (gx * 16.0).alias("xmin"), (gy * 16.0).alias("ymin"),
+        (gx * 16.0 + 16.0).alias("xmax"), (gy * 16.0 + 16.0).alias("ymax")))
+    zones = spark.createDataFrame([
+        {"zone_id": 1, "wkt": "POLYGON ((3.25 5.25, 40.75 5.25, 40.75 30.75, "
+                              "3.25 30.75, 3.25 5.25))"},
+        {"zone_id": 2, "wkt": "POLYGON ((60.25 70.25, 100.75 70.25, "
+                              "100.75 120.75, 60.25 120.75, 60.25 70.25))"},
+    ]).select("zone_id", rf.st_geom_from_wkt("wkt").alias("geom"))
+    out = rf.zonal_stats(t, zones, tile_col="qty",
+                         stats=("mean", "data_cells", "sum"))
+    return out.select(
+        "zone_id", F.round("mean", 6).alias("mean_v"),
+        F.col("data_cells").cast("long").alias("n"),
+        F.round("sum", 6).alias("sum_v"))
+
+
 def _q_slope(spark, sf_dir):
     """Horn's-method slope (focalops/Slope.scala:51-89) on a unit grid vs a
     closed-form SQL oracle: 8 clamped-neighbor self-joins reproduce the
@@ -892,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekly": _q_events_weekly,
         "events_sessions": _q_events_sessions,
         "events_topk": _q_events_topk,
+        "zonal_stats": _q_zonal_stats,
         "slope": _q_slope,
         "hillshade": _q_hillshade,
         "streaming_sessions": _q_streaming_sessions,
@@ -1136,6 +1162,25 @@ def oracle_sql() -> dict[str, str]:
                    cast(row_number() over (partition by event_type
                         order by total desc, user_id) as int) as rank
             from t qualify rank <= 3""",
+        "zonal_stats": C + """
+            , pts as (
+              select grp, ci, ri, qty,
+                     (grp % 8) * 16 + ci + 0.5 as px,
+                     (grp // 8) * 16 + 16 - (ri + 0.5) as py
+              from cells
+            ), z as (
+              select * from (values
+                (1, 3.25, 5.25, 40.75, 30.75),
+                (2, 60.25, 70.25, 100.75, 120.75)
+              ) as t(zone_id, x0, y0, x1, y1)
+            )
+            select z.zone_id,
+                   round(sum(p.qty) / count(p.qty), 6) as mean_v,
+                   cast(count(p.qty) as bigint) as n,
+                   round(sum(p.qty), 6) as sum_v
+            from pts p join z
+              on p.px > z.x0 and p.px < z.x1 and p.py > z.y0 and p.py < z.y1
+            group by z.zone_id""",
         "slope": C + f"""
             , n as (
               select a.grp, a.ci, a.ri,

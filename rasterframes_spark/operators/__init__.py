@@ -1,3 +1,4 @@
 from rasterframes_spark.operators.raster_join import raster_join, spatial_join  # noqa: F401
+from rasterframes_spark.operators.zonal import zonal_stats  # noqa: F401
 
-__all__ = ["raster_join", "spatial_join"]
+__all__ = ["raster_join", "spatial_join", "zonal_stats"]

@@ -129,3 +129,33 @@ def test_deep_stack_bounded_fan_in(spark, left_df):
         assert np.array_equal(np.ma.getmaskarray(a.masked()), np.ma.getmaskarray(b.masked()))
         # both paths must pick the same (rid-ordered) winner per cell
         assert np.ma.allequal(a.masked(), b.masked())
+
+
+def test_zonal_stats_operator(spark):
+    """zonal_stats (zones broadcast -> rasterize -> mask -> agg) matches a
+    numpy pixel-center oracle exactly."""
+    import numpy as np
+    import rasterframes_spark as rf
+    from rasterframes_spark import sources as S
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(9)
+    arr = (rng.random((128, 128)) * 100).astype("float64")
+    raster = S.raster_from_array(spark, arr, (0.0, 0.0, 32.0, 32.0),
+                                 tile_dimensions=(64, 64))
+    zones = spark.createDataFrame([
+        {"zone_id": 1, "wkt": "POLYGON ((2 2, 14 2, 14 14, 2 14, 2 2))"},
+        {"zone_id": 2, "wkt": "POLYGON ((18 18, 30 18, 30 30, 18 30, 18 18))"},
+    ]).select("zone_id", rf.st_geom_from_wkt("wkt").alias("geom"))
+    out = {r["zone_id"]: r for r in rf.zonal_stats(
+        raster, zones, stats=("mean", "data_cells", "min", "max")).collect()}
+    cw = 32.0 / 128
+    xs = (np.arange(128) + 0.5) * cw
+    ys = 32.0 - (np.arange(128) + 0.5) * cw
+    X, Y = np.meshgrid(xs, ys)
+    for zid, (x0, y0, x1, y1) in {1: (2, 2, 14, 14), 2: (18, 18, 30, 30)}.items():
+        m = (X > x0) & (X < x1) & (Y > y0) & (Y < y1)
+        r = out[zid]
+        assert abs(r["mean"] - arr[m].mean()) < 1e-9
+        assert r["data_cells"] == int(m.sum())
+        assert r["min"] == arr[m].min() and r["max"] == arr[m].max()
