@@ -26,7 +26,15 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    arr = np.asarray(arr, dtype=np.uint8)
+    """uint8 -> 8-bit PNG; uint16 -> 16-bit PNG (big-endian per spec —
+    the web-DEM/terrarium elevation-tile format)."""
+    arr = np.asarray(arr)
+    if arr.dtype == np.uint16:
+        depth = 16
+        arr = arr.astype(">u2")
+    else:
+        depth = 8
+        arr = arr.astype(np.uint8)
     if arr.ndim == 2:
         color_type = 0
         h, w = arr.shape
@@ -36,10 +44,10 @@ def encode_png(arr: np.ndarray) -> bytes:
         h, w = arr.shape[:2]
         raw = arr
     else:
-        raise ValueError("encode_png expects (H,W) or (H,W,3) uint8")
+        raise ValueError("encode_png expects (H,W) or (H,W,3) uint8/uint16")
     # filter type 0 per scanline
     lines = b"".join(b"\x00" + raw[i].tobytes() for i in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
@@ -90,9 +98,10 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array: (H,W) for grayscale, (H,W,C) otherwise.
-    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA); no interlace."""
+    """PNG bytes -> uint8 (or uint16 for depth-16) array: (H,W) for
+    grayscale, (H,W,C) otherwise. Supports bit depths 8 and 16, color
+    types 0 (gray), 2 (RGB), 3 (palette, 8-bit), 4 (gray+alpha),
+    6 (RGBA); no interlace."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos = 8
@@ -114,15 +123,23 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
+        raise ValueError(f"unsupported PNG bit depth {depth} for type {ctype}")
     if interlace:
         raise ValueError("interlaced PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {ctype}")
     raw = zlib.decompress(b"".join(idat))
-    arr = _unfilter(raw, h, w, channels).reshape(h, w, channels)
+    # PNG filters operate on BYTES with the left-neighbor offset equal to
+    # the bytes-per-pixel, so 16-bit rows unfilter as 2x-wide byte rows
+    bpp = channels * (depth // 8)
+    arr = _unfilter(raw, h, w, bpp)
+    if depth == 16:
+        arr = np.frombuffer(arr.tobytes(), dtype=">u2").astype(np.uint16)
+        arr = arr.reshape(h, w, channels)
+    else:
+        arr = arr.reshape(h, w, channels)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

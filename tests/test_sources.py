@@ -410,3 +410,50 @@ def test_tiff_lzw_packbits_predictor():
             assert np.array_equal(got, a), (comp, pred)
             gw = GT.read_window(t, info, 10, 7, 30, 20)
             assert np.array_equal(gw, a[7:27, 10:40]), (comp, pred)
+
+
+def test_png_16bit_and_filters():
+    """16-bit PNG decode: plain round-trip plus hand-filtered scanlines
+    (Sub/Up/Paeth applied byte-wise with the 2-byte pixel offset)."""
+    import struct as _s
+    import zlib
+    from rasterframes_spark.sources.png import decode_png, encode_png, _chunk
+
+    rng = np.random.default_rng(12)
+    g16 = rng.integers(0, 65536, (17, 23), dtype=np.uint16)
+    assert np.array_equal(decode_png(encode_png(g16)), g16)
+    rgb16 = rng.integers(0, 65536, (6, 9, 3), dtype=np.uint16)
+    assert np.array_equal(decode_png(encode_png(rgb16)), rgb16)
+
+    # hand-filter a 16-bit gray image with Sub(1), Up(2), Paeth(4) rows
+    img = rng.integers(0, 65536, (4, 8), dtype=np.uint16)
+    rows = np.frombuffer(img.astype(">u2").tobytes(), dtype=np.uint8) \
+        .reshape(4, 16).astype(np.int32)
+    bpp = 2
+    out = bytearray()
+    prior = np.zeros(16, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 4]):
+        line = rows[y]
+        filt = np.empty(16, dtype=np.int32)
+        for i in range(16):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (line[i] - pred) & 0xFF
+        out += bytes([ftype]) + bytes(filt.astype(np.uint8))
+        prior = line
+    ihdr = _s.pack(">IIBBBBB", 8, 4, 16, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(bytes(out)))
+           + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img)
