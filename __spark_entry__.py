@@ -807,6 +807,22 @@ def _q_minhash_dedup(spark, sf_dir):
                                  num_perm=32, bands=16, threshold=0.8)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters over the MinHash pair graph
+    (dedup_clusters: iterative min-label propagation on Spark) vs a
+    recursive-CTE reachability closure in DuckDB."""
+    from rasterframes_spark import pipeline as P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").where(F.col("doc_id") < 200)
+    dup = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.concat("text", F.lit(" zzzz")).alias("text"))
+    pairs = P.minhash_dedup_pairs(docs.union(dup), "doc_id", "text",
+                                  shingle_size=3, num_perm=32, bands=16,
+                                  threshold=0.8)
+    return P.dedup_clusters(pairs)
+
+
 def _q_simhash_exact(spark, sf_dir):
     """SimHash as candidate generator (hamming 0) + exact-text verify —
     different texts can legitimately collide at 64 bits, the verify step is
@@ -930,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dedup": _q_minhash_dedup,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_exact": _q_simhash_exact,
         "cosine_topk": _q_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1366,6 +1383,30 @@ def oracle_sql() -> dict[str, str]:
             where len(list_intersect(a.grams, b.grams))*1.0
                   / (len(a.grams) + len(b.grams)
                      - len(list_intersect(a.grams, b.grams))) >= 0.8""",
+        "dedup_clusters": f"""
+            with recursive corpus as (
+              select doc_id, text from documents where doc_id < 200
+              union all
+              select doc_id + 1000000, text || ' zzzz'
+              from documents where doc_id < 200
+            ), sh as (
+              select doc_id, {_SHINGLE3_SQL} as grams
+              from corpus
+              where len(string_split(text,' ')) >= 3
+            ), p0 as (
+              select a.doc_id as s, b.doc_id as d
+              from sh a join sh b on a.doc_id < b.doc_id
+              where len(list_intersect(a.grams, b.grams))*1.0
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) >= 0.8
+            ), e as (
+              select s, d from p0 union select d, s from p0
+            ), reach(id, r) as (
+              select s, s from e
+              union
+              select x.id, e.d from reach x join e on e.s = x.r
+            )
+            select id, min(r) as cluster_id from reach group by id""",
         "simhash_exact": """
             with corpus as (
               select doc_id, text from documents

@@ -28,7 +28,7 @@ __all__ = [
     "dedup_exact", "exact_dup_groups", "shingles", "jaccard_sim",
     "minhash_signature", "minhash_lsh_candidates", "minhash_dedup_pairs",
     "simhash", "simhash_near_pairs", "ngram_jaccard_pairs",
-    "embedding_neardup_pairs",
+    "embedding_neardup_pairs", "dedup_clusters",
 ]
 
 # 31-bit Mersenne prime: (a*x + b) with a,x,b < 2^31 fits in int64, so the
@@ -429,3 +429,43 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str = "embeddin
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 25) -> DataFrame:
+    """Near-dup pairs -> transitive connected components:
+    (id, cluster_id = min id in the component). The step a production dedup
+    needs after pair generation — keep one canonical doc per cluster
+    (``where id == cluster_id``), drop the rest.
+
+    Iterative min-label propagation: each round joins the current labels
+    across edges and takes the per-node min — O(component diameter) rounds
+    (near-dup clusters are shallow; planted-dup chains converge in 2-3).
+    Lineage is truncated every round (``localCheckpoint``) so the plan
+    stays bounded; each round is one equi-join + one groupBy, both
+    shuffle-partitioned on the node id. For billion-edge graphs swap the
+    body for large-star/small-star — the API (pairs in, labels out) holds.
+    Ids absent from every pair (singletons) are absent from the output.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select("src").distinct()
+              .withColumn("comp", F.col("src"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        prop = (edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+                .select("src", "comp"))
+        new = (labels.select("src", "comp").union(prop)
+               .groupBy("src").agg(F.min("comp").alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.withColumnRenamed("comp", "nc")
+                   .join(labels, "src")
+                   .where(F.col("nc") != F.col("comp")).limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_a.replace("_a", "")
+                                            if id_a.endswith("_a") else "id"),
+                         F.col("comp").alias("cluster_id"))

@@ -444,3 +444,15 @@ def test_decode_image_jpeg_and_auto(spark):
                             dtype=np.uint8).reshape(24, 32, 3)
     err = got_jpg.astype(float) - rgb.astype(float)
     assert 10 * np.log10(255**2 / (err**2).mean()) > 35
+
+
+def test_dedup_clusters(spark):
+    """Transitive closure over pair graph: chains collapse to min-id
+    clusters; disjoint pairs stay separate; singletons absent."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 5), (7, 9), (4, 1)], "id_a long, id_b long")
+    out = sorted(tuple(r) for r in P.dedup_clusters(pairs).collect())
+    assert out == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (7, 7), (9, 7)]
+    # canonical-doc selection pattern: one keeper per cluster
+    keep = P.dedup_clusters(pairs).where("id = cluster_id")
+    assert {r["id"] for r in keep.collect()} == {1, 7}
