@@ -128,6 +128,11 @@ def main():
     run("baseline_local_add_100x64", lambda: force(
         t100s.select(rf.rf_local_add("tile", 5).alias("r"))), repeat=5)
 
+    # earlier sections' caches are dead weight from here on — release them
+    # so the 6.5M-row assemble shuffle isn't benched under GC pressure
+    t400.unpersist()
+    t100s.unpersist()
+
     # explode 100 x 256^2 (ref: 217-413 ms); assemble back (ref: 100-381 ms)
     t100b = tile_df(100, 256).cache()
     t100b.count()
