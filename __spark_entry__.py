@@ -568,6 +568,33 @@ def _q_events_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _q_pyramid(spark, sf_dir):
+    """pyramid_up (2x2 children -> half-res parent, NoData-aware 2x2 mean
+    pool; one applyInPandas shuffle per level) on an 8x8 mosaic of the
+    synthesized tiles vs SQL mean pooling over canvas coordinates."""
+    t = _tiles_df(spark, sf_dir)
+    gx = (F.col("grp") % 8).cast("int")
+    gy = (F.col("grp") / 8).cast("int")
+    layer = t.select(
+        F.struct(gx.alias("col"), gy.alias("row")).alias("spatial_key"),
+        F.col("qty").alias("tile"),
+        F.struct(
+            (gx.cast("double") * 16.0).alias("xmin"),
+            ((7 - gy).cast("double") * 16.0).alias("ymin"),
+            (gx.cast("double") * 16.0 + 16.0).alias("xmax"),
+            ((7 - gy).cast("double") * 16.0 + 16.0).alias("ymax"),
+        ).alias("extent"),
+    )
+    up = rf.pyramid_up(layer)
+    ex = rf.explode_tiles(up, ["tile"], keep_cols=["spatial_key"])
+    return ex.select(
+        F.col("spatial_key.col").alias("px"),
+        F.col("spatial_key.row").alias("py"),
+        "column_index", "row_index",
+        F.round("tile", 6).alias("v"),
+    ).where(F.col("v").isNotNull())
+
+
 def _q_zonal_stats(spark, sf_dir):
     """First-class zonal_stats operator (zones broadcast -> rasterize ->
     mask -> per-zone agg; reference python/docs/zonal-algebra.pymd
@@ -934,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_topk": _q_events_topk,
         "zonal_stats": _q_zonal_stats,
+        "pyramid": _q_pyramid,
         "slope": _q_slope,
         "hillshade": _q_hillshade,
         "streaming_sessions": _q_streaming_sessions,
@@ -1179,6 +1207,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(row_number() over (partition by event_type
                         order by total desc, user_id) as int) as rank
             from t qualify rank <= 3""",
+        "pyramid": C + """
+            select cast((grp % 8) // 2 as int) as px,
+                   cast((grp // 8) // 2 as int) as py,
+                   cast(((grp % 8) % 2 * 16 + ci) // 2 as int) as column_index,
+                   cast(((grp // 8) % 2 * 16 + ri) // 2 as int) as row_index,
+                   round(avg(qty), 6) as v
+            from cells
+            group by 1, 2, 3, 4""",
         "zonal_stats": C + """
             , pts as (
               select grp, ci, ri, qty,

@@ -130,3 +130,49 @@ def test_bucketed_layer_table_exchange_free_join(spark, tmp_path_factory):
         assert keys == {(1, 1), (1, 2), (2, 1), (2, 2)}
     finally:
         spark.sql("DROP DATABASE IF EXISTS rf_test CASCADE")
+
+
+def test_pyramid_up_and_build(spark):
+    """2x2 mean pooling exact vs numpy; missing children leave NoData
+    quadrants; build_pyramid chains levels 16 -> 4 -> 1."""
+    import rasterframes_spark as rf
+    from rasterframes_spark.functions._kernel import decode_struct_pdf
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    full = rng.random((16, 16)) * 100
+    rows = []
+    for gy in range(4):
+        for gx in range(4):
+            if (gx, gy) == (3, 3):
+                continue  # hole: parent (1,1) has a NoData quadrant
+            t = Tile(full[gy*4:(gy+1)*4, gx*4:(gx+1)*4].copy(), "float64")
+            rows.append({"spatial_key": {"col": gx, "row": gy},
+                         "tile": t.to_row(),
+                         "extent": {"xmin": gx*1.0, "ymin": 4.0-(gy+1),
+                                    "xmax": gx+1.0, "ymax": 4.0-gy},
+                         "crs": "EPSG:4326"})
+    layer = spark.createDataFrame(
+        rows, schema=(f"spatial_key struct<col:int,row:int>, tile {TILE_T}, "
+                      f"extent {EXT_T}, crs string"))
+    got = {(r["spatial_key"]["col"], r["spatial_key"]["row"]): r
+           for r in rf.pyramid_up(layer).collect()}
+    assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    for (px, py), r in got.items():
+        tile = decode_struct_pdf(pd.DataFrame([r["tile"].asDict()]))[0]
+        block = full[py*8:(py+1)*8, px*8:(px+1)*8]
+        exp = block.reshape(4, 2, 4, 2).transpose(0, 2, 1, 3) \
+            .reshape(4, 4, 4).mean(axis=2)
+        m = np.asarray(tile.masked().filled(np.nan))
+        if (px, py) == (1, 1):
+            assert np.isnan(m[2:, 2:]).all()  # the hole quadrant
+            assert np.allclose(m[:2, :], exp[:2, :])
+        else:
+            assert np.allclose(m, exp)
+    levels = rf.build_pyramid(layer, 2)
+    assert [l.count() for l in levels] == [15, 4, 1]
+    # nearest decimation picks top-left pixels exactly
+    near = {(r["spatial_key"]["col"], r["spatial_key"]["row"]): r
+            for r in rf.pyramid_up(layer, method="nearest").collect()}
+    t00 = decode_struct_pdf(pd.DataFrame([near[(0, 0)]["tile"].asDict()]))[0]
+    assert np.array_equal(np.asarray(t00.masked()), full[0:8:2, 0:8:2])
