@@ -230,12 +230,14 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     method='group_map' (the 'auto' default beyond 8k cells): single-shuffle
     applyInPandas — flat positions computed JVM-side, raw cell rows shuffle
     on the group key, one numpy scatter per group. Bounded memory per task
-    (one group's cells at a time), no JVM collect buffers. Measured note:
-    a sort-free Python-side hash-grouping variant (repartition +
-    mapInPandas dense accumulators) was 2x SLOWER at 100x256^2 — grouped
+    (one group's cells at a time), no JVM collect buffers. Measured notes
+    (100x256^2, local[32]): a sort-free Python-side hash-grouping variant
+    (repartition + mapInPandas dense accumulators) was 2x SLOWER — grouped
     map's one-big-Arrow-batch-per-group transfer beats mapInPandas' 10k-row
     streaming regardless of maxRecordsPerBatch, and the JVM group sort is
-    not the bottleneck. Don't re-litigate without re-measuring.
+    not the bottleneck; an applyInArrow variant (skipping the pandas
+    conversion) was 1.8x slower still. Don't re-litigate without
+    re-measuring.
 
     method='chunked': two-phase alternative — a per-partition mapInPandas
     packs each partition's cells for a key into two binary blobs
