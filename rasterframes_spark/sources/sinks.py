@@ -215,3 +215,30 @@ def write_slippy(df: DataFrame, directory: str, zoom: int = 4,
                                 gray.shape[1] - 1)
                 with open(os.path.join(d, f"{zy}.png"), "wb") as f:
                     f.write(encode_png(gray[np.ix_(ri, ci)]))
+
+
+def write_slippy_pyramid(df: DataFrame, directory: str, max_zoom: int,
+                         min_zoom: int = 0, tile_col: str = "tile",
+                         key_col: str = "spatial_key",
+                         extent_col: str = "extent",
+                         crs_col: str = "crs") -> None:
+    """Multi-zoom z/x/y PNG export: the input layer renders at ``max_zoom``
+    and each ``pyramid_up`` level renders one zoom coarser, down to
+    ``min_zoom`` (DataFrameSlippyExport renders a single level; this is
+    the full pyramid a tile server wants). Requires a keyed layer
+    (spatial_key) so parent tiles aggregate correctly."""
+    from rasterframes_spark.operators.pyramid import pyramid_up
+
+    cur = df
+    zoom = max_zoom
+    while True:
+        write_slippy(cur, directory, zoom=zoom, tile_col=tile_col,
+                     extent_col=extent_col, crs_col=crs_col)
+        if zoom <= min_zoom:
+            break
+        crs_val = cur.select(crs_col).first()[0]
+        cur = pyramid_up(cur, tile_col=tile_col, key_col=key_col,
+                         extent_col=extent_col).withColumn("crs", F.lit(crs_val))
+        tile_col, key_col, extent_col, crs_col = (
+            "tile", "spatial_key", "extent", "crs")
+        zoom -= 1

@@ -176,3 +176,32 @@ def test_pyramid_up_and_build(spark):
             for r in rf.pyramid_up(layer, method="nearest").collect()}
     t00 = decode_struct_pdf(pd.DataFrame([near[(0, 0)]["tile"].asDict()]))[0]
     assert np.array_equal(np.asarray(t00.masked()), full[0:8:2, 0:8:2])
+
+
+def test_write_slippy_pyramid(spark, tmp_path):
+    """Multi-zoom slippy export: each zoom directory exists with PNG tiles;
+    coarser zooms come from pyramid_up aggregation."""
+    from rasterframes_spark import sources as S
+    from rasterframes_spark.sources.png import decode_png
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for gy in range(2):
+        for gx in range(2):
+            t = Tile(rng.integers(0, 100, (8, 8)).astype("int32"), "int32raw")
+            rows.append({"spatial_key": {"col": gx, "row": gy},
+                         "tile": t.to_row(),
+                         "extent": {"xmin": -10.0 + gx * 10, "ymin": 0.0 + (1 - gy) * 10,
+                                    "xmax": 0.0 + gx * 10, "ymax": 10.0 + (1 - gy) * 10},
+                         "crs": "EPSG:4326"})
+    layer = spark.createDataFrame(
+        rows, schema=(f"spatial_key struct<col:int,row:int>, tile {TILE_T}, "
+                      f"extent {EXT_T}, crs string"))
+    out = str(tmp_path / "slippy")
+    S.write_slippy_pyramid(layer, out, max_zoom=3, min_zoom=2)
+    import glob
+    for z in (2, 3):
+        pngs = glob.glob(f"{out}/{z}/*/*.png")
+        assert pngs, f"no tiles at zoom {z}"
+        arr = decode_png(open(pngs[0], "rb").read())
+        assert arr.shape == (256, 256)
