@@ -26,7 +26,8 @@ from rasterframes_spark.functions._kernel import lazy_pandas_udf
 
 __all__ = [
     "dedup_exact", "exact_dup_groups", "shingles", "jaccard_sim",
-    "minhash_signature", "minhash_lsh_candidates", "minhash_dedup_pairs",
+    "minhash_signature", "minhash_signature_text", "minhash_lsh_candidates",
+    "minhash_dedup_pairs", "text_jaccard",
     "simhash", "simhash_near_pairs", "ngram_jaccard_pairs",
     "embedding_neardup_pairs", "dedup_clusters",
 ]
@@ -73,6 +74,36 @@ def shingles(text, n: int = 3) -> Column:
     return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array())
 
 
+def text_jaccard(text_a, text_b, shingle_size: int = 3) -> Column:
+    """Exact word-n-gram Jaccard of two TEXT columns in one Arrow crossing
+    (python set ops per row). Catalyst HOF shingling costs ~1 ms/row
+    interpreted — fine corpus-wide once, but the dedup verify step
+    evaluates FOUR shingle expressions per candidate pair; this fused
+    kernel is ~50x cheaper there. Set semantics identical to
+    jaccard_sim(shingles(a), shingles(b))."""
+    n = int(shingle_size)
+
+    @lazy_pandas_udf("double")
+    def udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta), dtype="float64")
+        va, vb = ta.values, tb.values
+        for i in range(len(va)):
+            x, y = va[i], vb[i]
+            if x is None or y is None:
+                out[i] = np.nan
+                continue
+            tx = x.split(" ")
+            ty = y.split(" ")
+            sx = {" ".join(tx[j:j + n]) for j in range(len(tx) - n + 1)}
+            sy = {" ".join(ty[j:j + n]) for j in range(len(ty) - n + 1)}
+            u = len(sx | sy)
+            out[i] = (len(sx & sy) / u) if u else 0.0
+        return pd.Series(out)
+
+    return udf(F.col(text_a) if isinstance(text_a, str) else text_a,
+               F.col(text_b) if isinstance(text_b, str) else text_b)
+
+
 def jaccard_sim(a, b) -> Column:
     """|A∩B| / |A∪B| over array columns (set semantics)."""
     i = F.size(F.array_intersect(a, b)).cast("double")
@@ -92,6 +123,38 @@ def _hash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+def _minhash_from_lists(lists: list, nz: list, n_rows: int, a, b):
+    """Shared minhash core: per-doc shingle lists -> array-of-mins column.
+    ONE C-speed hash pass over every shingle in the batch (pandas siphash;
+    deterministic fixed key), then per-chunk vectorized universal hashing +
+    segment-min via reduceat."""
+    out = np.empty(n_rows, dtype=object)
+    if not nz:
+        return pd.Series(out, dtype=object)
+    lens = np.array([len(x) for x in lists], dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in lists])
+    base_all = (pd.util.hash_array(flat) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+    ac = a[:, None]
+    bc = b[:, None]
+    budget = 1 << 17  # cap the (num_perm x n_shingles) temp at ~64 MB
+    i = 0
+    while i < len(nz):
+        j = i
+        tot = 0
+        while j < len(nz) and (tot == 0 or tot + lens[j] <= budget):
+            tot += lens[j]
+            j += 1
+        seg = base_all[starts[i]:ends[j - 1]]
+        hmat = (ac * seg[None, :] + bc) % _MERSENNE  # (num_perm, tot)
+        mins = np.minimum.reduceat(hmat, starts[i:j] - starts[i], axis=1)
+        for t in range(i, j):
+            out[nz[t]] = mins[:, t - i].astype("int64")
+        i = j
+    return pd.Series(out, dtype=object)
+
+
 def minhash_signature(shingles_col, num_perm: int = 64, seed: int = 42) -> Column:
     """array<string> shingles -> array<long> of `num_perm` minhashes.
     Universal hashing (a·x + b) mod p over a 64-bit base hash of each
@@ -101,37 +164,41 @@ def minhash_signature(shingles_col, num_perm: int = 64, seed: int = 42) -> Colum
     @lazy_pandas_udf("array<long>")
     def udf(sh: pd.Series) -> pd.Series:
         vals = sh.values
-        out = np.empty(len(vals), dtype=object)
         nz = [i for i, arr in enumerate(vals) if arr is not None and len(arr) > 0]
-        if not nz:
-            return pd.Series(out, dtype=object)
-        # ONE C-speed hash pass over every shingle in the Arrow batch
-        # (pandas siphash; deterministic fixed key), then per-chunk
-        # vectorized universal hashing + segment-min via reduceat.
-        lens = np.array([len(vals[i]) for i in nz], dtype=np.int64)
-        ends = np.cumsum(lens)
-        starts = ends - lens
-        flat = np.concatenate([np.asarray(vals[i], dtype=object) for i in nz])
-        base_all = (pd.util.hash_array(flat) & np.uint64(0x7FFFFFFF)).astype(np.int64)
-        ac = a[:, None]
-        bc = b[:, None]
-        budget = 1 << 17  # cap the (num_perm x n_shingles) temp at ~64 MB
-        i = 0
-        while i < len(nz):
-            j = i
-            tot = 0
-            while j < len(nz) and (tot == 0 or tot + lens[j] <= budget):
-                tot += lens[j]
-                j += 1
-            seg = base_all[starts[i]:ends[j - 1]]
-            hmat = (ac * seg[None, :] + bc) % _MERSENNE  # (num_perm, tot)
-            mins = np.minimum.reduceat(hmat, starts[i:j] - starts[i], axis=1)
-            for t in range(i, j):
-                out[nz[t]] = mins[:, t - i].astype("int64")
-            i = j
-        return pd.Series(out, dtype=object)
+        return _minhash_from_lists([vals[i] for i in nz], nz, len(vals), a, b)
 
     return udf(shingles_col)
+
+
+def minhash_signature_text(text_col, shingle_size: int = 3,
+                           num_perm: int = 64, seed: int = 42) -> Column:
+    """Fused text -> shingle -> minhash in ONE Arrow crossing of the raw
+    text. Skips the interpreted Catalyst HOF shingling AND the transfer of
+    shingle arrays (~3x the text bytes) — the cold-path win for
+    minhash_dedup_pairs. Shingle semantics identical to ``shingles()``
+    (split on single space, word n-grams, set semantics; minhash is
+    order-insensitive so distinct order never matters). NULL for docs with
+    fewer than ``shingle_size`` tokens."""
+    a, b = _hash_params(num_perm, seed)
+    n = int(shingle_size)
+
+    @lazy_pandas_udf("array<long>")
+    def udf(texts: pd.Series) -> pd.Series:
+        vals = texts.values
+        lists = []
+        nz = []
+        for i, t in enumerate(vals):
+            if t is None:
+                continue
+            toks = t.split(" ")
+            if len(toks) < n:
+                continue
+            ss = list({" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)})
+            nz.append(i)
+            lists.append(ss)
+        return _minhash_from_lists(lists, nz, len(vals), a, b)
+
+    return udf(text_col)
 
 
 def hash_bytes64(data: bytes) -> int:
@@ -245,19 +312,25 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     # cheap UDF-free count of the source: upper-bounds every LSH bucket, so
     # the skew guard can skip detection outright at sub-threshold scale
     n_docs = df.count()
-    sh = df.select(F.col(id_col).alias("__id"),
-                   shingles(text_col, shingle_size).alias("__sh"))
-    sh = sh.where(F.size("__sh") > 0)
-    sigs = sh.select("__id", "__sh", minhash_signature("__sh", num_perm).alias("minhash"))
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
+    # fused text->shingle->minhash: one Arrow crossing of the raw text
+    # (see minhash_signature_text) — no corpus-wide HOF shingling, and the
+    # cached signatures carry 64 longs per doc instead of shingle arrays
+    sigs = src.select("__id", minhash_signature_text(
+        "__txt", shingle_size, num_perm).alias("minhash"))
+    sigs = sigs.where(F.col("minhash").isNotNull())
     sigs.cache()
     cands = minhash_lsh_candidates(sigs, "__id", "minhash", bands,
                                    hot_bucket_threshold, hot_bucket_salts,
                                    input_rows=n_docs)
-    sa = sigs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    sb = sigs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    # exact-Jaccard verify: shingles evaluate ONLY for candidate rows
+    # (post-join projection), not the whole corpus
+    sa = src.select(F.col("__id").alias("id_a"), F.col("__txt").alias("__ta"))
+    sb = src.select(F.col("__id").alias("id_b"), F.col("__txt").alias("__tb"))
     verified = (
         cands.join(sa, "id_a").join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jaccard_sim("__sh_a", "__sh_b"), 6).alias("jaccard"))
+        .select("id_a", "id_b", F.round(text_jaccard(
+            "__ta", "__tb", shingle_size), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
     return verified
