@@ -85,7 +85,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int,
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
-def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+def _decode_wav_impl(buf: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (float64 samples shape (n, channels) in [-1, 1],
     sample_rate). Integer PCM is rescaled to [-1, 1]; float PCM is verbatim.
     Raises ValueError on malformed/unsupported input."""
@@ -129,6 +129,18 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported WAV format code {fmt_code}")
     n = len(a) - len(a) % ch
     return a[:n].reshape(-1, ch), int(rate)
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    try:
+        return _decode_wav_impl(buf)
+    except (struct.error, IndexError, KeyError) as e:
+        # malformed containers must surface uniformly as ValueError so the
+        # corrupt-row-drop contract in decode_audio holds
+        raise ValueError(f"malformed WAV: {e}") from e
+
+
+decode_wav.__doc__ = _decode_wav_impl.__doc__
 
 
 # ---------------------------------------------------------------------------

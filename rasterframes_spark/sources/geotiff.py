@@ -97,7 +97,7 @@ def _read_ifd(data: bytes, bo: str, off: int):
     return tags
 
 
-def read_info(data: bytes) -> GeoTiffInfo:
+def _read_info_impl(data) -> GeoTiffInfo:
     head = _slice(data, 0, 8)
     bo = "<" if head[:2] == b"II" else ">"
     (magic,) = struct.unpack_from(bo + "H", head, 2)
@@ -149,6 +149,16 @@ def read_info(data: bytes) -> GeoTiffInfo:
     return GeoTiffInfo(width, height, bands, dtype, nodata, crs, extent,
                        tw, th, rps, comp, list(offsets), list(counts), bo,
                        scale, tie, predictor)
+
+
+def read_info(data) -> GeoTiffInfo:
+    try:
+        return _read_info_impl(data)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed TIFF: {e}") from e
+
+
+read_info.__doc__ = _read_info_impl.__doc__
 
 
 def _lzw_decode_tiff(data: bytes) -> bytes:

@@ -147,7 +147,7 @@ def _deinterlace(arr: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_gif(buf: bytes) -> list[tuple[int, np.ndarray]]:
+def _decode_gif_impl(buf: bytes) -> list[tuple[int, np.ndarray]]:
     """GIF bytes -> list of (delay_ms, H x W x 3 uint8 RGB frame), frames
     fully composed onto the logical canvas (disposal + transparency
     honored). Raises ValueError on malformed input."""
@@ -234,6 +234,16 @@ def decode_gif(buf: bytes) -> list[tuple[int, np.ndarray]]:
     if not frames:
         raise ValueError("GIF with no image data")
     return frames
+
+
+def decode_gif(buf: bytes) -> list[tuple[int, np.ndarray]]:
+    try:
+        return _decode_gif_impl(buf)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed GIF: {e}") from e
+
+
+decode_gif.__doc__ = _decode_gif_impl.__doc__
 
 
 def encode_gif(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:

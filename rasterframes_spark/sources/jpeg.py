@@ -175,7 +175,7 @@ def _huff_decode(br: _BitReader, table) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def decode_jpeg(buf: bytes) -> np.ndarray:
+def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
     """JPEG bytes -> H x W x 3 uint8 RGB (or H x W x 1 for grayscale).
     Raises ValueError on malformed/unsupported (progressive) input."""
     if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
@@ -247,6 +247,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                                 huff_dc, huff_ac, restart_interval)
         pos += seglen
     raise ValueError("no scan data found")
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    try:
+        return _decode_jpeg_impl(buf)
+    except (struct.error, IndexError, KeyError, StopIteration) as e:
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+decode_jpeg.__doc__ = _decode_jpeg_impl.__doc__
 
 
 def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, ri):

@@ -97,7 +97,7 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
     return out
 
 
-def decode_png(data: bytes) -> np.ndarray:
+def _decode_png_impl(data: bytes) -> np.ndarray:
     """PNG bytes -> uint8 (or uint16 for depth-16) array: (H,W) for
     grayscale, (H,W,C) otherwise. Supports bit depths 8 and 16, color
     types 0 (gray), 2 (RGB), 3 (palette, 8-bit), 4 (gray+alpha),
@@ -147,3 +147,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if arr.shape[2] == 1:
         return arr[:, :, 0]
     return arr
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    try:
+        return _decode_png_impl(data)
+    except (struct.error, IndexError, KeyError, zlib.error) as e:
+        raise ValueError(f"malformed PNG: {e}") from e
+
+
+decode_png.__doc__ = _decode_png_impl.__doc__

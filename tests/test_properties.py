@@ -152,3 +152,25 @@ def test_jpeg_roundtrip_property(h, w, nc, sub, ri, seed):
     err = d.astype(float) - ref.astype(float)
     psnr = 10 * np.log10(255**2 / max((err**2).mean(), 1e-9))
     assert psnr > 33
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 400))
+@settings(max_examples=60, deadline=None)
+def test_codec_fuzz_valueerror_only(seed, size):
+    """Arbitrary bytes into any decoder raise ValueError (or decode) —
+    never an unhandled struct/zlib/iteration error. This is the contract
+    the corrupt-row-drop paths in decode_image/decode_audio/
+    sample_video_frames rely on."""
+    from rasterframes_spark.pipeline.audio import decode_wav
+    from rasterframes_spark.sources import geotiff as GT
+    from rasterframes_spark.sources.gif import decode_gif
+    from rasterframes_spark.sources.jpeg import decode_jpeg
+    from rasterframes_spark.sources.png import decode_png
+
+    rng = np.random.default_rng(seed)
+    blob = bytes(rng.integers(0, 256, size).astype(np.uint8))
+    for fn in (decode_png, decode_gif, decode_jpeg, decode_wav, GT.read_info):
+        try:
+            fn(blob)
+        except ValueError:
+            pass
