@@ -394,8 +394,8 @@ def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
 def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
                 restart_interval: int = 0) -> bytes:
     """H x W x 3 RGB (or H x W / H x W x 1 grayscale) uint8 -> baseline
-    JFIF bytes (Annex K tables scaled by quality). ``subsampling``: '444'
-    or '420' (2x2-averaged chroma); ``restart_interval`` > 0 emits DRI +
+    JFIF bytes (Annex K tables scaled by quality). ``subsampling``: '444',
+    '422' (2x1-averaged chroma) or '420' (2x2-averaged chroma); ``restart_interval`` > 0 emits DRI +
     RSTn markers every N MCUs."""
     a = np.asarray(arr)
     if a.ndim == 2:
@@ -420,10 +420,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
                             mode="edge")
                 planes[i] = (ph[0::2, 0::2] + ph[1::2, 0::2]
                              + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+        elif subsampling == "422":
+            samp = [(2, 1), (1, 1), (1, 1)]
+            for i in (1, 2):
+                p = planes[i]
+                ph = np.pad(p, ((0, 0), (0, p.shape[1] % 2)), mode="edge")
+                planes[i] = (ph[:, 0::2] + ph[:, 1::2]) / 2.0
         elif subsampling == "444":
             samp = [(1, 1)] * 3
         else:
-            raise ValueError("subsampling must be '444' or '420'")
+            raise ValueError("subsampling must be '444', '422' or '420'")
     else:
         planes = [a[..., 0]]
         qids = [0]
