@@ -595,6 +595,36 @@ def _q_pyramid(spark, sf_dir):
     ).where(F.col("v").isNotNull())
 
 
+def _q_overview(spark, sf_dir):
+    """rf_agg_overview_raster (TileRasterizerAggregate.scala analog): the
+    8x8 tile mosaic painted onto an aligned 128x128 canvas — nearest
+    sampling on an exactly-aligned grid is the identity, so the oracle is
+    the cells themselves at mosaic coordinates. The aggregate's partial
+    canvases merge per partition; the driver-held result re-enters Spark as
+    an exploded cells DataFrame for the compare."""
+    import numpy as np
+    import pandas as pd
+    t = _tiles_df(spark, sf_dir)
+    gx = (F.col("grp") % 8).cast("double")
+    gy = (F.col("grp") / 8).cast("int").cast("double")
+    t = t.withColumn("extent", F.struct(
+        (gx * 16.0).alias("xmin"),
+        (128.0 - (gy + 1) * 16.0).alias("ymin"),
+        (gx * 16.0 + 16.0).alias("xmax"),
+        (128.0 - gy * 16.0).alias("ymax"),
+    )).withColumn("crs", F.lit("EPSG:4326"))
+    tile = rf.rf_agg_overview_raster(
+        t, "qty", "extent", "crs", cols=128, rows=128,
+        dest_extent=(0.0, 0.0, 128.0, 128.0))
+    a = tile.masked().astype("float64")
+    ri, ci = np.nonzero(~np.ma.getmaskarray(a))
+    pdf = pd.DataFrame({
+        "column_index": ci.astype("int32"), "row_index": ri.astype("int32"),
+        "v": np.round(np.asarray(a)[ri, ci], 6)})
+    return spark.createDataFrame(
+        pdf, schema="column_index int, row_index int, v double")
+
+
 def _q_zonal_stats(spark, sf_dir):
     """First-class zonal_stats operator (zones broadcast -> rasterize ->
     mask -> per-zone agg; reference python/docs/zonal-algebra.pymd
@@ -960,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekly": _q_events_weekly,
         "events_sessions": _q_events_sessions,
         "events_topk": _q_events_topk,
+        "overview": _q_overview,
         "zonal_stats": _q_zonal_stats,
         "pyramid": _q_pyramid,
         "slope": _q_slope,
@@ -1215,6 +1246,11 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(qty), 6) as v
             from cells
             group by 1, 2, 3, 4""",
+        "overview": C + """
+            select cast((grp % 8) * 16 + ci as int) as column_index,
+                   cast((grp // 8) * 16 + ri as int) as row_index,
+                   round(qty, 6) as v
+            from cells""",
         "zonal_stats": C + """
             , pts as (
               select grp, ci, ri, qty,
