@@ -219,13 +219,16 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  corpus_id: str = "vec_id", query_id: str = "query_id",
                  vec_col: str = "embedding", n_planes: int = 8,
-                 dim: int = 64) -> DataFrame:
+                 dim: int = 64, multiprobe: int = 0) -> DataFrame:
     """Approximate top-k: both sides bucketed by hyperplane signature,
     equi-join on bucket, exact cosine rerank within bucket.
 
-    Recall is tunable via n_planes (fewer planes = bigger buckets = higher
-    recall & cost). Multiprobe (flipping one bit) would raise recall at
-    +n_planes× candidate cost; omitted here for determinism.
+    Recall is tunable two ways: fewer ``n_planes`` = bigger buckets =
+    higher recall & cost; ``multiprobe`` = N additionally probes every
+    bucket within Hamming distance N of the query's signature (the query
+    side explodes to sum(C(n_planes, i)) probe buckets — the corpus side
+    is untouched, so this raises recall at candidate-join cost only, the
+    standard multiprobe-LSH trade).
     """
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
@@ -235,11 +238,26 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"),
         hyperplane_bucket(vec_col, n_planes, dim).alias("__bucket"),
     )
+    if multiprobe > 0:
+        from itertools import combinations
+
+        masks = [0]
+        for r in range(1, min(multiprobe, n_planes) + 1):
+            for bits in combinations(range(n_planes), r):
+                m = 0
+                for b in bits:
+                    m |= 1 << b
+                masks.append(m)
+        q = q.withColumn("__bucket", F.explode(F.array(
+            *[F.col("__bucket").bitwiseXOR(F.lit(m)) for m in masks])))
     scored = c.join(F.broadcast(q), "__bucket").select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
         F.round(cosine_sim(F.col("__cv").cast("array<double>"),
                            F.col("__qv").cast("array<double>")), 6).alias("cos"),
     )
+    if multiprobe > 0:
+        # a neighbor found via several probe buckets must count once
+        scored = scored.dropDuplicates([query_id, "neighbor_id"])
     w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

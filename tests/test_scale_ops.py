@@ -81,3 +81,22 @@ def test_stateful_sessionizer(spark, tmp_path):
         assert (1, 3, 3.0) in sessions
     finally:
         q.stop()
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Hamming-1 multiprobe recovers strictly more of the exact top-k than
+    single-bucket probing at the same n_planes, and never less than the
+    base; probing all bits == near-exhaustive."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(6).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in P.cosine_topk(emb, queries, k=5).collect()}
+
+    def recall(mp):
+        got = {(r["query_id"], r["neighbor_id"]) for r in P.lsh_ann_topk(
+            emb, queries, k=5, n_planes=6, dim=64, multiprobe=mp).collect()}
+        return len(got & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    assert recall(6) > 0.9  # probing every Hamming ball ~ brute force
