@@ -595,6 +595,32 @@ def _q_pyramid(spark, sf_dir):
     ).where(F.col("v").isNotNull())
 
 
+def _q_lsh_ann(spark, sf_dir):
+    """Hyperplane-LSH ANN (bucketed equi-join + exact rerank) with a FULL
+    SQL mirror: the seeded random planes are embedded as literals and
+    DuckDB recomputes the sign-bit buckets with list_dot_product — the
+    bucketing, candidate join, and rerank are all value-hash verified."""
+    from rasterframes_spark import pipeline as P
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return P.lsh_ann_topk(emb, queries, k=5, n_planes=6, dim=64)
+
+
+def _lsh_planes_sql(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """The same planes hyperplane_bucket draws (seeded numpy), as SQL
+    VALUES rows (plane_id, list-of-doubles)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    rows = []
+    for i, p in enumerate(planes):
+        lst = ", ".join(repr(float(v)) for v in p)
+        rows.append(f"({i}, [{lst}]::double[])")
+    return ",\n                ".join(rows)
+
+
 def _q_overview(spark, sf_dir):
     """rf_agg_overview_raster (TileRasterizerAggregate.scala analog): the
     8x8 tile mosaic painted onto an aligned 128x128 canvas — nearest
@@ -990,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekly": _q_events_weekly,
         "events_sessions": _q_events_sessions,
         "events_topk": _q_events_topk,
+        "lsh_ann": _q_lsh_ann,
         "overview": _q_overview,
         "zonal_stats": _q_zonal_stats,
         "pyramid": _q_pyramid,
@@ -1246,6 +1273,31 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(qty), 6) as v
             from cells
             group by 1, 2, 3, 4""",
+        "lsh_ann": f"""
+            with planes(pid, pv) as (values
+                {_lsh_planes_sql(6, 64)}
+            ), c as (
+              select vec_id, cast(embedding as double[]) as v from embeddings
+            ), cb as (
+              select c.vec_id, c.v,
+                     cast(sum(case when list_dot_product(c.v, p.pv) > 0
+                              then 1 << p.pid else 0 end) as bigint) as bucket
+              from c cross join planes p group by c.vec_id, c.v
+            ), q as (
+              select vec_id as query_id, v as qv, bucket
+              from cb order by vec_id limit 4
+            ), s as (
+              select q.query_id, cb.vec_id as neighbor_id,
+                     round(list_dot_product(cb.v, q.qv)
+                           / (sqrt(list_dot_product(cb.v, cb.v))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos
+              from cb join q on cb.bucket = q.bucket
+            )
+            select query_id, neighbor_id, cos,
+                   cast(row_number() over (partition by query_id
+                                           order by cos desc, neighbor_id) as int) as rank
+            from s
+            qualify rank <= 5""",
         "overview": C + """
             select cast((grp % 8) * 16 + ci as int) as column_index,
                    cast((grp // 8) * 16 + ri as int) as row_index,
