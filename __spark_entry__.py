@@ -21,6 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 import rasterframes_spark as rf
+from rasterframes_spark.dataframe_api import install_dataframe_methods
+
+# The external correctness driver builds a bare SparkSession (it does not go
+# through create_rf_spark_session), so the fluent DataFrame surface used by
+# e.g. layer_center must be installed here.  Idempotent.
+install_dataframe_methods()
 
 TILE_COLS = 16
 TILE_ROWS = 16
@@ -941,6 +947,168 @@ def _q_embedding_neardup(spark, sf_dir):
     return P.embedding_neardup_pairs(emb, "vec_id", block_cols=["label"], threshold=0.3)
 
 
+def _q_similarity_suite(spark, sf_dir):
+    """Composite similarity gate: simhash candidate+verify, exact cosine
+    top-k (BLAS matmul path), and blocked embedding near-dup — one query so
+    all three stay inside the driver's query budget. Common schema
+    (family, id_a, id_b, score, rank); rank=0 for the pair families."""
+    sim = _q_simhash_exact(spark, sf_dir).select(
+        F.lit("simhash").alias("family"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("double").alias("score"),
+        F.lit(0).alias("rank"))
+    cos = _q_cosine_topk(spark, sf_dir).select(
+        F.lit("cosine").alias("family"),
+        F.col("query_id").cast("long").alias("id_a"),
+        F.col("neighbor_id").cast("long").alias("id_b"),
+        F.col("cos").alias("score"),
+        F.col("rank").cast("int").alias("rank"))
+    nd = _q_embedding_neardup(spark, sf_dir).select(
+        F.lit("neardup").alias("family"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("cos").alias("score"),
+        F.lit(0).alias("rank"))
+    return sim.unionByName(cos).unionByName(nd)
+
+
+def _ivf_cents(n_lists: int = 8, dim: int = 64, seed: int = 7):
+    """Seeded (data-independent) IVF centroids shared by the Spark query and
+    the SQL oracle — unit-normalized rows."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _ivf_cents_sql(n_lists: int = 8, dim: int = 64, seed: int = 7) -> str:
+    rows = []
+    for i, p in enumerate(_ivf_cents(n_lists, dim, seed)):
+        lst = ", ".join(repr(float(v)) for v in p)
+        rows.append(f"({i}, [{lst}]::double[])")
+    return ",\n                ".join(rows)
+
+
+def _q_ivf_ann(spark, sf_dir):
+    """IVF ANN with injected seeded centroids (training covered by pytest):
+    corpus assignment = argmax centroid dot (norm-invariant), each query
+    probes its 2 nearest of 8 lists, exact cosine rerank within them. The
+    oracle recomputes assignment/probe/rerank from the same centroid
+    literals in DuckDB."""
+    from rasterframes_spark import pipeline as P
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return P.ivf_ann_topk(emb, queries_df, k=5, n_lists=8, n_probe=2,
+                          centroids=_ivf_cents())
+
+
+def _q_aspect(spark, sf_dir):
+    """rf_aspect (focalops/Aspect.scala:49-83, Horn gradients, degrees CW
+    from north, flat -> 0) vs the slope oracle's clamped-neighbor SQL
+    gradients + atan2 chain."""
+    t = _tiles_df(spark, sf_dir)
+    t = t.withColumn("extent", F.struct(
+        F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
+        F.lit(float(TILE_COLS)).alias("xmax"), F.lit(float(TILE_ROWS)).alias("ymax")))
+    s = t.select("grp", rf.rf_aspect("qty", "extent").alias("asp_t"))
+    ex = rf.explode_tiles(s, ["asp_t"], keep_cols=["grp"])
+    return ex.select(
+        "grp", "column_index", "row_index",
+        F.round("asp_t", 6).alias("aspect_v"),
+    ).where(F.col("aspect_v").isNotNull())
+
+
+def _q_focal_stats(spark, sf_dir):
+    """rf_focal_median + rf_focal_mode (square-1) in one pass vs a DuckDB
+    neighborhood-join oracle (continuous median; mode ties break to the
+    smallest value, matching np.unique/argmax)."""
+    t = _tiles_df(spark, sf_dir)
+    f = t.select("grp",
+                 rf.rf_focal_median("qty", "square-1").alias("med"),
+                 rf.rf_focal_mode("qty", "square-1").alias("mode_t"))
+    ex = rf.explode_tiles(f, ["med", "mode_t"], keep_cols=["grp"])
+    return ex.select(
+        "grp", "column_index", "row_index",
+        F.round("med", 6).alias("med"),
+        F.round("mode_t", 6).alias("mode_v"),
+    ).where(F.col("med").isNotNull() & F.col("mode_v").isNotNull())
+
+
+_CONV_KERNEL = [[1.0, 2.0, 0.0], [-1.0, 3.0, 1.0], [0.0, -2.0, 2.0]]
+
+
+def _convolve_weight_case() -> str:
+    """SQL CASE giving the flipped-kernel weight for neighbor offset
+    (du, dv) = (b.ri - a.ri, b.ci - a.ci): true convolution applies
+    K[1-du][1-dv]."""
+    terms = []
+    for du in (-1, 0, 1):
+        for dv in (-1, 0, 1):
+            w = _CONV_KERNEL[1 - du][1 - dv]
+            if w != 0:
+                terms.append(
+                    f"when b.ri - a.ri = {du} and b.ci - a.ci = {dv} then {w}")
+    return "case " + " ".join(terms) + " else 0.0 end"
+
+
+def _q_convolve(spark, sf_dir):
+    """rf_convolve with an asymmetric 3x3 kernel (exercises the kernel
+    flip); NoData and out-of-tile neighbors contribute 0, output masked
+    where the centre is NoData — the oracle sums weighted present
+    neighbors only, which reproduces both rules."""
+    t = _tiles_df(spark, sf_dir)
+    c = t.select("grp", rf.rf_convolve("qty", _CONV_KERNEL).alias("conv"))
+    ex = rf.explode_tiles(c, ["conv"], keep_cols=["grp"])
+    return ex.select(
+        "grp", "column_index", "row_index",
+        F.round("conv", 6).alias("conv_v"),
+    ).where(F.col("conv_v").isNotNull())
+
+
+def _q_local_algebra(spark, sf_dir):
+    """Unary local-algebra family in one pass: add/multiply scalar,
+    comparison-as-0/1, rescale."""
+    t = _tiles_df(spark, sf_dir)
+    return t.select(
+        "grp",
+        rf.rf_tile_sum(rf.rf_local_add("qty", 5)).alias("add_sum"),
+        rf.rf_tile_sum(rf.rf_local_multiply("qty", 3)).alias("mul_sum"),
+        rf.rf_tile_sum(rf.rf_local_greater("qty", 25)).alias("n_gt"),
+        F.round(rf.rf_tile_sum(rf.rf_rescale("qty", 1.0, 50.0)), 6).alias("rescale_sum"),
+    )
+
+
+def _q_local_binary(spark, sf_dir):
+    """Binary (tile x tile) local-algebra family in one pass:
+    subtract/divide/min/max/where over the two synthesized bands."""
+    df = _two_band(spark, sf_dir)
+    cond = rf.rf_local_greater("qty", 25)
+    return df.select(
+        "grp",
+        rf.rf_tile_sum(rf.rf_local_subtract("qty", F.col("price"))).alias("diff_sum"),
+        F.round(rf.rf_tile_sum(rf.rf_local_divide("price", 2)), 6).alias("half_price_sum"),
+        F.round(rf.rf_tile_sum(rf.rf_local_min("qty", F.col("price"))), 6).alias("min_sum"),
+        F.round(rf.rf_tile_sum(rf.rf_local_max("qty", F.col("price"))), 6).alias("max_sum"),
+        F.round(rf.rf_tile_sum(rf.rf_where(cond, "price", "qty")), 6).alias("where_sum"),
+    )
+
+
+def _q_tile_stats(spark, sf_dir):
+    """Per-tile reductions in one pass: sum/data_cells/min/max/mean."""
+    t = _tiles_df(spark, sf_dir)
+    return t.select(
+        "grp",
+        rf.rf_tile_sum("qty").alias("tile_sum"),
+        rf.rf_data_cells("qty").alias("data_cells"),
+        rf.rf_tile_min("qty").alias("tile_min"),
+        rf.rf_tile_max("qty").alias("tile_max"),
+        F.round(rf.rf_tile_mean("qty"), 6).alias("tile_mean"),
+    )
+
+
 _STOPWORDS_SQL = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
     "de": ["der", "die", "das", "und", "ist", "ein"],
@@ -982,32 +1150,41 @@ _SHINGLE3_SQL = """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """49 entries, least-proven first — the external driver runs at most
+    the first 50, so new/just-changed oracles lead and long-green ones
+    trail (round-4 postmortem: 3 of 53 silently fell off the end)."""
     return {
-        "tile_sum": _q_tile_sum,
-        "tile_mean": _q_tile_mean,
-        "local_add": _q_local_add,
-        "local_multiply": _q_local_multiply,
-        "local_subtract_divide": _q_local_subtract_divide,
+        # -- new or changed this round ------------------------------------
+        "aspect": _q_aspect,
+        "focal_stats": _q_focal_stats,
+        "convolve": _q_convolve,
+        "ivf_ann": _q_ivf_ann,
+        "similarity_suite": _q_similarity_suite,
+        "layer_center": _q_layer_center,
+        "local_algebra": _q_local_algebra,
+        "local_binary": _q_local_binary,
+        "tile_stats": _q_tile_stats,
+        "pyramid": _q_pyramid,
+        "overview": _q_overview,
+        "raster_join": _q_raster_join,
+        "assemble_roundtrip": _q_assemble_roundtrip,
+        "minhash_dedup": _q_minhash_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        # -- stable since earlier rounds ----------------------------------
         "normalized_difference": _q_normalized_difference,
-        "local_greater": _q_local_greater,
-        "where": _q_where,
         "mask_by_value": _q_mask_by_value,
         "clamp_abs": _q_clamp_abs,
         "agg_stats": _q_agg_stats,
         "agg_mean_by_parity": _q_agg_mean_by_parity,
         "agg_local_grouped": _q_agg_local_grouped,
         "explode_tiles": _q_explode,
-        "assemble_roundtrip": _q_assemble_roundtrip,
         "tile_dimensions": _q_tile_dimensions,
-        "rescale": _q_rescale,
         "agg_quantiles": _q_agg_quantiles,
-        "local_min_max": _q_local_min_max,
         "focal_mean": _q_focal_mean,
         "focal_seams": _q_focal_seams,
         "streaming_histogram": _q_streaming_histogram,
         "tile_histogram": _q_tile_histogram,
         "resample_nearest": _q_resample_nearest,
-        "raster_join": _q_raster_join,
         "z2_index": _q_z2_index,
         "st_ops": _q_st_ops,
         "st_predicates": _q_st_predicates,
@@ -1017,13 +1194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_topk": _q_events_topk,
         "lsh_ann": _q_lsh_ann,
-        "overview": _q_overview,
         "zonal_stats": _q_zonal_stats,
-        "pyramid": _q_pyramid,
         "slope": _q_slope,
         "hillshade": _q_hillshade,
         "streaming_sessions": _q_streaming_sessions,
-        "layer_center": _q_layer_center,
         "agg_extent": _q_agg_extent,
         "audio_features": _q_audio_features,
         "text_metrics": _q_text_metrics,
@@ -1031,39 +1205,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_dedup": _q_minhash_dedup,
-        "dedup_clusters": _q_dedup_clusters,
-        "simhash_exact": _q_simhash_exact,
-        "cosine_topk": _q_cosine_topk,
-        "embedding_neardup": _q_embedding_neardup,
     }
+
+
+_HORN_CTE = f"""
+            , n as (
+              select a.grp, a.ci, a.ri,
+                     z1.qty as z1, z2.qty as z2, z3.qty as z3,
+                     z4.qty as z4, z6.qty as z6,
+                     z7.qty as z7, z8.qty as z8, z9.qty as z9
+              from cells a
+              join cells z1 on z1.grp=a.grp and z1.ci=greatest(a.ci-1,0)
+                           and z1.ri=greatest(a.ri-1,0)
+              join cells z2 on z2.grp=a.grp and z2.ci=a.ci
+                           and z2.ri=greatest(a.ri-1,0)
+              join cells z3 on z3.grp=a.grp and z3.ci=least(a.ci+1,{TILE_COLS-1})
+                           and z3.ri=greatest(a.ri-1,0)
+              join cells z4 on z4.grp=a.grp and z4.ci=greatest(a.ci-1,0)
+                           and z4.ri=a.ri
+              join cells z6 on z6.grp=a.grp and z6.ci=least(a.ci+1,{TILE_COLS-1})
+                           and z6.ri=a.ri
+              join cells z7 on z7.grp=a.grp and z7.ci=greatest(a.ci-1,0)
+                           and z7.ri=least(a.ri+1,{TILE_ROWS-1})
+              join cells z8 on z8.grp=a.grp and z8.ci=a.ci
+                           and z8.ri=least(a.ri+1,{TILE_ROWS-1})
+              join cells z9 on z9.grp=a.grp and z9.ci=least(a.ci+1,{TILE_COLS-1})
+                           and z9.ri=least(a.ri+1,{TILE_ROWS-1})
+            ), g as (
+              select grp, ci, ri,
+                     ((z3 + 2*z6 + z9) - (z1 + 2*z4 + z7)) / 8.0 as gx,
+                     ((z7 + 2*z8 + z9) - (z1 + 2*z2 + z3)) / 8.0 as gy
+              from n
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
     C = _ORACLE_CTE
     return {
-        "tile_sum": C + """
+        "tile_stats": C + """
             select grp, sum(qty) as tile_sum, count(qty) as data_cells,
-                   min(qty) as tile_min, max(qty) as tile_max
+                   min(qty) as tile_min, max(qty) as tile_max,
+                   round(sum(qty)/count(qty), 6) as tile_mean
             from cells group by grp""",
-        "tile_mean": C + """
-            select grp, round(sum(qty)/count(qty), 6) as tile_mean
+        "local_algebra": C + """
+            select grp, sum(qty + 5) as add_sum, sum(qty * 3) as mul_sum,
+                   cast(sum(case when qty > 25 then 1 else 0 end) as double) as n_gt,
+                   round(sum((qty - 1.0)/(50.0 - 1.0)), 6) as rescale_sum
             from cells group by grp""",
-        "local_add": C + "select grp, sum(qty + 5) as s from cells group by grp",
-        "local_multiply": C + "select grp, sum(qty * 3) as s from cells group by grp",
-        "local_subtract_divide": C + """
+        "local_binary": C + """
             select grp, sum(qty - price) as diff_sum,
-                   round(sum(price / 2), 6) as half_price_sum
+                   round(sum(price / 2), 6) as half_price_sum,
+                   round(sum(least(qty, price)), 6) as min_sum,
+                   round(sum(greatest(qty, price)), 6) as max_sum,
+                   round(sum(case when qty > 25 then price else qty end), 6) as where_sum
             from cells group by grp""",
         "normalized_difference": C + """
             select grp, round(sum((price - qty)/(price + qty)), 6) as nd_sum,
                    count(*) as n
-            from cells group by grp""",
-        "local_greater": C + """
-            select grp, cast(sum(case when qty > 25 then 1 else 0 end) as double) as n_gt
-            from cells group by grp""",
-        "where": C + """
-            select grp, round(sum(case when qty > 25 then price else qty end), 6) as s
             from cells group by grp""",
         "mask_by_value": C + """
             select grp, sum(case when qty > 25 then null else qty end) as s,
@@ -1100,16 +1298,9 @@ def oracle_sql() -> dict[str, str]:
             select grp, {TILE_COLS} as tile_cols, {TILE_ROWS} as tile_rows,
                    'float64' as ct
             from cells group by grp""",
-        "rescale": C + """
-            select grp, round(sum((qty - 1.0)/(50.0 - 1.0)), 6) as s
-            from cells group by grp""",
         "agg_quantiles": C + """
             select unnest(quantile_disc(qty, [0.1, 0.25, 0.5, 0.75, 0.9])) as q
             from cells""",
-        "local_min_max": C + """
-            select grp, round(sum(least(qty, price)), 6) as min_sum,
-                   round(sum(greatest(qty, price)), 6) as max_sum
-            from cells group by grp""",
         "focal_mean": C + """
             select a.grp, a.ci as column_index, a.ri as row_index,
                    round(avg(b.qty), 6) as fm
@@ -1272,7 +1463,8 @@ def oracle_sql() -> dict[str, str]:
                    cast(((grp // 8) % 2 * 16 + ri) // 2 as int) as row_index,
                    round(avg(qty), 6) as v
             from cells
-            group by 1, 2, 3, 4""",
+            group by 1, 2, 3, 4
+            having count(qty) > 0""",
         "lsh_ann": f"""
             with planes(pid, pv) as (values
                 {_lsh_planes_sql(6, 64)}
@@ -1322,67 +1514,47 @@ def oracle_sql() -> dict[str, str]:
             from pts p join z
               on p.px > z.x0 and p.px < z.x1 and p.py > z.y0 and p.py < z.y1
             group by z.zone_id""",
-        "slope": C + f"""
-            , n as (
-              select a.grp, a.ci, a.ri,
-                     z1.qty as z1, z2.qty as z2, z3.qty as z3,
-                     z4.qty as z4, z6.qty as z6,
-                     z7.qty as z7, z8.qty as z8, z9.qty as z9
-              from cells a
-              join cells z1 on z1.grp=a.grp and z1.ci=greatest(a.ci-1,0)
-                           and z1.ri=greatest(a.ri-1,0)
-              join cells z2 on z2.grp=a.grp and z2.ci=a.ci
-                           and z2.ri=greatest(a.ri-1,0)
-              join cells z3 on z3.grp=a.grp and z3.ci=least(a.ci+1,{TILE_COLS-1})
-                           and z3.ri=greatest(a.ri-1,0)
-              join cells z4 on z4.grp=a.grp and z4.ci=greatest(a.ci-1,0)
-                           and z4.ri=a.ri
-              join cells z6 on z6.grp=a.grp and z6.ci=least(a.ci+1,{TILE_COLS-1})
-                           and z6.ri=a.ri
-              join cells z7 on z7.grp=a.grp and z7.ci=greatest(a.ci-1,0)
-                           and z7.ri=least(a.ri+1,{TILE_ROWS-1})
-              join cells z8 on z8.grp=a.grp and z8.ci=a.ci
-                           and z8.ri=least(a.ri+1,{TILE_ROWS-1})
-              join cells z9 on z9.grp=a.grp and z9.ci=least(a.ci+1,{TILE_COLS-1})
-                           and z9.ri=least(a.ri+1,{TILE_ROWS-1})
-            ), g as (
-              select grp, ci, ri,
-                     ((z3 + 2*z6 + z9) - (z1 + 2*z4 + z7)) / 8.0 as gx,
-                     ((z7 + 2*z8 + z9) - (z1 + 2*z2 + z3)) / 8.0 as gy
-              from n
-            )
+        "slope": C + _HORN_CTE + """
             select grp, ci as column_index, ri as row_index,
                    round(degrees(atan(sqrt(gx*gx + gy*gy))), 6) as slope_v
             from g""",
-        "hillshade": C + f"""
-            , n as (
-              select a.grp, a.ci, a.ri,
-                     z1.qty as z1, z2.qty as z2, z3.qty as z3,
-                     z4.qty as z4, z6.qty as z6,
-                     z7.qty as z7, z8.qty as z8, z9.qty as z9
-              from cells a
-              join cells z1 on z1.grp=a.grp and z1.ci=greatest(a.ci-1,0)
-                           and z1.ri=greatest(a.ri-1,0)
-              join cells z2 on z2.grp=a.grp and z2.ci=a.ci
-                           and z2.ri=greatest(a.ri-1,0)
-              join cells z3 on z3.grp=a.grp and z3.ci=least(a.ci+1,{TILE_COLS-1})
-                           and z3.ri=greatest(a.ri-1,0)
-              join cells z4 on z4.grp=a.grp and z4.ci=greatest(a.ci-1,0)
-                           and z4.ri=a.ri
-              join cells z6 on z6.grp=a.grp and z6.ci=least(a.ci+1,{TILE_COLS-1})
-                           and z6.ri=a.ri
-              join cells z7 on z7.grp=a.grp and z7.ci=greatest(a.ci-1,0)
-                           and z7.ri=least(a.ri+1,{TILE_ROWS-1})
-              join cells z8 on z8.grp=a.grp and z8.ci=a.ci
-                           and z8.ri=least(a.ri+1,{TILE_ROWS-1})
-              join cells z9 on z9.grp=a.grp and z9.ci=least(a.ci+1,{TILE_COLS-1})
-                           and z9.ri=least(a.ri+1,{TILE_ROWS-1})
-            ), g as (
-              select grp, ci, ri,
-                     ((z3 + 2*z6 + z9) - (z1 + 2*z4 + z7)) / 8.0 as gx,
-                     ((z7 + 2*z8 + z9) - (z1 + 2*z2 + z3)) / 8.0 as gy
-              from n
-            ), hs as (
+        "aspect": C + _HORN_CTE + """
+            select grp, ci as column_index, ri as row_index,
+                   round(case when gx = 0 and gy = 0 then 0.0
+                         else fmod(fmod(90.0 - degrees(atan2(gy, -gx)), 360.0)
+                                   + 360.0, 360.0)
+                         end, 6) as aspect_v
+            from g""",
+        "focal_stats": C + """
+            , nb as (
+              select a.grp, a.ci, a.ri, b.qty as v
+              from cells a join cells b
+                on a.grp = b.grp and abs(a.ci - b.ci) <= 1
+                   and abs(a.ri - b.ri) <= 1
+            ), med as (
+              select grp, ci, ri, round(median(v), 6) as med
+              from nb group by 1, 2, 3
+            ), cnt as (
+              select grp, ci, ri, v, count(*) as c
+              from nb group by 1, 2, 3, 4
+            ), md as (
+              select grp, ci, ri, round(v, 6) as mode_v
+              from cnt
+              qualify row_number() over (partition by grp, ci, ri
+                                         order by c desc, v asc) = 1
+            )
+            select m.grp, m.ci as column_index, m.ri as row_index,
+                   m.med, md.mode_v
+            from med m join md using (grp, ci, ri)""",
+        "convolve": C + f"""
+            select a.grp, a.ci as column_index, a.ri as row_index,
+                   round(sum(b.qty * ({_convolve_weight_case()})), 6) as conv_v
+            from cells a join cells b
+              on a.grp = b.grp and abs(a.ci - b.ci) <= 1
+                 and abs(a.ri - b.ri) <= 1
+            group by a.grp, a.ci, a.ri""",
+        "hillshade": C + _HORN_CTE + """
+            , hs as (
               select grp, ci, ri,
                      sin(radians(45.0)) * cos(atan(sqrt(gx*gx + gy*gy)))
                      + cos(radians(45.0)) * sin(atan(sqrt(gx*gx + gy*gy)))
@@ -1531,16 +1703,12 @@ def oracle_sql() -> dict[str, str]:
               select x.id, e.d from reach x join e on e.s = x.r
             )
             select id, min(r) as cluster_id from reach group by id""",
-        "simhash_exact": """
+        "similarity_suite": """
             with corpus as (
               select doc_id, text from documents
               union all
               select doc_id + 1000000, text from documents
-            )
-            select a.doc_id as id_a, b.doc_id as id_b, cast(0 as int) as hamming
-            from corpus a join corpus b on a.text = b.text and a.doc_id < b.doc_id""",
-        "cosine_topk": """
-            with q as (
+            ), q as (
               select vec_id as query_id, cast(embedding as double[]) as qv
               from embeddings order by vec_id limit 3
             ), c as (
@@ -1552,22 +1720,69 @@ def oracle_sql() -> dict[str, str]:
                            / (sqrt(list_dot_product(cv, cv))
                               * sqrt(list_dot_product(qv, qv))), 6) as cos
               from c cross join q
-            )
-            select query_id, neighbor_id, cos,
-                   cast(row_number() over (partition by query_id
-                                           order by cos desc, neighbor_id) as int) as rank
-            from s
-            qualify rank <= 5""",
-        "embedding_neardup": """
-            with t as (
+            ), t as (
               select vec_id, label, cast(embedding as double[]) as v
-              from embeddings)
-            select a.vec_id as id_a, b.vec_id as id_b,
+              from embeddings
+            )
+            select 'simhash' as family, cast(a.doc_id as bigint) as id_a,
+                   cast(b.doc_id as bigint) as id_b,
+                   cast(0 as double) as score, cast(0 as int) as rank
+            from corpus a join corpus b
+              on a.text = b.text and a.doc_id < b.doc_id
+            union all
+            select 'cosine' as family, cast(query_id as bigint) as id_a,
+                   cast(neighbor_id as bigint) as id_b, cos as score,
+                   cast(row_number() over (partition by query_id
+                        order by cos desc, neighbor_id) as int) as rank
+            from s
+            qualify rank <= 5
+            union all
+            select 'neardup' as family, cast(a.vec_id as bigint) as id_a,
+                   cast(b.vec_id as bigint) as id_b,
                    round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v))
-                            * sqrt(list_dot_product(b.v, b.v))), 6) as cos
+                            * sqrt(list_dot_product(b.v, b.v))), 6) as score,
+                   cast(0 as int) as rank
             from t a join t b on a.label = b.label and a.vec_id < b.vec_id
             where list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.3""",
+        "ivf_ann": f"""
+            with cents(cid, cv) as (values
+                {_ivf_cents_sql(8, 64)}
+            ), c as (
+              select vec_id, cast(embedding as double[]) as v from embeddings
+            ), ca as (
+              -- corpus -> nearest centroid; argmax of the dot is invariant
+              -- to the engine's L2 normalization of the vector
+              select c.vec_id, c.v, p.cid,
+                     row_number() over (partition by c.vec_id
+                          order by list_dot_product(c.v, p.cv) desc,
+                                   p.cid asc) as rn
+              from c cross join cents p
+            ), cl as (
+              select vec_id as neighbor_id, v, cid from ca where rn = 1
+            ), q0 as (
+              select vec_id as query_id, v as qv from c
+              order by vec_id limit 3
+            ), qa as (
+              select q0.query_id, q0.qv, p.cid,
+                     row_number() over (partition by q0.query_id
+                          order by list_dot_product(q0.qv, p.cv) desc,
+                                   p.cid asc) as rn
+              from q0 cross join cents p
+            ), ql as (
+              select query_id, qv, cid from qa where rn <= 2
+            ), s as (
+              select ql.query_id, cl.neighbor_id,
+                     round(list_dot_product(cl.v, ql.qv)
+                           / (sqrt(list_dot_product(cl.v, cl.v))
+                              * sqrt(list_dot_product(ql.qv, ql.qv))), 6) as cos
+              from cl join ql on cl.cid = ql.cid
+            )
+            select query_id, neighbor_id, cos,
+                   cast(row_number() over (partition by query_id
+                        order by cos desc, neighbor_id) as int) as rank
+            from s
+            qualify rank <= 5""",
     }

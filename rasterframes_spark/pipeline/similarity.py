@@ -148,7 +148,7 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  n_lists: int = 16, n_probe: int = 3,
                  corpus_id: str = "vec_id", query_id: str = "query_id",
                  vec_col: str = "embedding", sample_size: int = 2048,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, centroids=None) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer -> corpus bucketed
     by nearest centroid -> each query probes its n_probe nearest lists and
     reranks exactly within them.
@@ -160,26 +160,38 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     broadcast via closure (KBs). The sample is a seeded uniform fraction of
     the whole corpus (parquet count() is metadata-cheap), not a first-rows
     limit — first rows of a partitioned 100 TB corpus are NOT representative
-    and train degenerate centroids."""
-    n_corpus = corpus.count()
-    if n_corpus > sample_size:
-        frac = min(1.0, 2.0 * sample_size / n_corpus)
-        sampled = corpus.select(vec_col).sample(False, frac, seed=seed) \
-            .limit(sample_size)
+    and train degenerate centroids.
+
+    ``centroids`` (optional, shape (n_lists, dim)): skip training and use
+    these rows (L2-normalized here) as the coarse quantizer. This keeps the
+    call fully lazy — no count()/sample job at call time — and makes the
+    bucketing externally reproducible (the correctness oracle embeds the
+    same centroids as SQL literals)."""
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype="float64")
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     else:
-        sampled = corpus.select(vec_col)
-    sample = np.array([r[0] for r in sampled.collect()], dtype="float64")
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    sample = sample / np.maximum(norms, 1e-12)
-    rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
-    for _ in range(10):  # Lloyd's on the sample (cosine ~ dot on normalized)
-        assign = np.argmax(sample @ cents.T, axis=1)
-        for j in range(len(cents)):
-            members = sample[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+        n_corpus = corpus.count()
+        if n_corpus > sample_size:
+            frac = min(1.0, 2.0 * sample_size / n_corpus)
+            sampled = corpus.select(vec_col).sample(False, frac, seed=seed) \
+                .limit(sample_size)
+        else:
+            sampled = corpus.select(vec_col)
+        sample = np.array([r[0] for r in sampled.collect()], dtype="float64")
+        norms = np.linalg.norm(sample, axis=1, keepdims=True)
+        sample = sample / np.maximum(norms, 1e-12)
+        rng = np.random.default_rng(seed)
+        cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)),
+                                  replace=False)]
+        for _ in range(10):  # Lloyd's on the sample (cosine ~ dot on normalized)
+            assign = np.argmax(sample @ cents.T, axis=1)
+            for j in range(len(cents)):
+                members = sample[assign == j]
+                if len(members):
+                    c = members.mean(axis=0)
+                    cents[j] = c / max(np.linalg.norm(c), 1e-12)
 
     def _list_udf(top_n: int):
         @lazy_pandas_udf("array<int>")
