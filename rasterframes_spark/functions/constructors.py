@@ -227,7 +227,7 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     primitive arrays per GROUP (bulk Arrow list transfer, not ~3us/row row
     serialization) and does one numpy scatter.
 
-    method='group_map' (the 'auto' default beyond 8k cells): single-shuffle
+    method='group_map' (the 'auto' default beyond 256k cells): single-shuffle
     applyInPandas — flat positions computed JVM-side, raw cell rows shuffle
     on the group key, one numpy scatter per group. Bounded memory per task
     (one group's cells at a time), no JVM collect buffers. Measured notes
@@ -251,17 +251,37 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     nc, nr = int(cols), int(rows)
     ct = CellType.parse(cell_type)
     if method == "auto":
-        # collect for small tiles (bulk Arrow list transfer, cell traffic
-        # stays JVM-side); group_map for large ones — collect_list's
-        # per-element boxing and partial-buffer merges lose to one raw-row
-        # shuffle + wide-parallel Arrow serialization beyond ~8k cells.
-        method = "collect" if nr * nc <= 8192 else "group_map"
+        # collect up to ~256k cells/tile (bulk Arrow list transfer, cell
+        # traffic stays JVM-side); group_map beyond, where whole-group
+        # collect_list buffers (12 B/cell) stop being a safe per-buffer
+        # memory bound. Measured (100 x 256^2 uint16, local[32], min-of-5):
+        # collect 0.72-0.80 s vs group_map 1.26 s vs chunked 2.43 s — the
+        # JVM collect_list agg is 0.53 s of the collect path (boxing-bound;
+        # a packed-long single list measured the same 0.56 s, Long boxing
+        # replacing Integer boxing), the scatter UDF ~0.19 s.
+        method = "collect" if nr * nc <= 262144 else "group_map"
     ci = col_index if isinstance(col_index, str) else col_index._jc.toString()
     ri = row_index if isinstance(row_index, str) else row_index._jc.toString()
     cells = cell if isinstance(cell, (list, tuple)) else [cell]
     cvs = [c if isinstance(c, str) else c._jc.toString() for c in cells]
     single = not isinstance(cell, (list, tuple))
     out_names = ["tile"] if single else list(cvs)
+
+    # The value columns cross the JVM->Python boundary (and, for group_map,
+    # the shuffle) at the narrowest Spark type that holds the target cell
+    # type exactly — halves Arrow bytes vs double for integer tiles; nulls
+    # (NoData) survive every cast unchanged.
+    if ct.dtype == np.dtype("bool") or (
+            np.issubdtype(ct.dtype, np.integer)
+            and np.iinfo(ct.dtype).max <= np.iinfo("int32").max):
+        xfer = "int"
+    elif np.issubdtype(ct.dtype, np.integer):
+        xfer = "long"
+    elif ct.dtype == np.dtype("float32"):
+        xfer = "float"
+    else:
+        xfer = "double"
+    int_cells = xfer in ("int", "long")
 
     if method == "collect":
         # Two aligned collect_lists per value column: every aggregate buffer
@@ -277,7 +297,7 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
         for cv in cvs:
             aggs.append(F.collect_list(
                 F.when(F.col(cv).isNotNull(), pos)).alias(f"__pos_{cv}"))
-            aggs.append(F.collect_list(F.col(cv).cast("double")).alias(f"__arr_{cv}"))
+            aggs.append(F.collect_list(F.col(cv).cast(xfer)).alias(f"__arr_{cv}"))
         grouped = df.groupBy(*group_cols).agg(*aggs)
 
         @lazy_pandas_udf(TILE_SCHEMA)
@@ -287,12 +307,23 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
                 if p is None:
                     out.append(None)
                     continue
-                flat = np.full(nr * nc, np.nan, dtype="float64")
-                flat[np.asarray(p, dtype="int64")] = np.asarray(v, dtype="float64")
-                arr = flat.reshape(nr, nc)
-                mask = np.isnan(arr)
-                out.append(Tile(np.ma.masked_array(
-                    np.where(mask, 0, arr).astype(ct.dtype), mask=mask), ct))
+                pa = np.asarray(p, dtype="int64")
+                if int_cells:
+                    # integer cells: scatter straight into the target dtype,
+                    # mask tracked explicitly — no float64 canvas/isnan pass
+                    flat = np.zeros(nr * nc, dtype=ct.dtype)
+                    mask = np.ones(nr * nc, dtype=bool)
+                    flat[pa] = np.asarray(v, dtype=ct.dtype)
+                    mask[pa] = False
+                    out.append(Tile(np.ma.masked_array(
+                        flat.reshape(nr, nc), mask=mask.reshape(nr, nc)), ct))
+                else:
+                    flat = np.full(nr * nc, np.nan, dtype="float64")
+                    flat[pa] = np.asarray(v, dtype="float64")
+                    arr = flat.reshape(nr, nc)
+                    mask = np.isnan(arr)
+                    out.append(Tile(np.ma.masked_array(
+                        np.where(mask, 0, arr).astype(ct.dtype), mask=mask), ct))
             return tiles_to_struct_pdf(out)
 
         sel = list(group_cols)
@@ -306,17 +337,6 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     out_schema = StructType(
         list(in_schema.fields) + [StructField(n, TILE_SCHEMA, True) for n in out_names]
     )
-
-    # The value columns shuffle at the narrowest Spark type that holds the
-    # target cell type exactly (int for <=32-bit integer cells, float for
-    # float32) — halves shuffle + Arrow bytes vs double; nulls (NoData)
-    # survive every cast unchanged.
-    if np.issubdtype(ct.dtype, np.integer) or ct.dtype == np.dtype("bool"):
-        xfer = "int"
-    elif ct.dtype == np.dtype("float32"):
-        xfer = "float"
-    else:
-        xfer = "double"
 
     if method == "group_map":
         # flat cell position is computed JVM-side so the shuffle carries
