@@ -613,12 +613,17 @@ def grouped_agg_local(df: DataFrame, group_cols: list, tile,
 
 def rf_agg_overview_raster(df: DataFrame, tile: str, extent: str, crs: str,
                            cols: int, rows: int, dest_extent: tuple,
-                           dest_crs: str = "EPSG:4326") -> "Tile":
+                           dest_crs: str = "EPSG:4326",
+                           merge_partitions: int = 32) -> "Tile":
     """Resample+merge every intersecting tile into one fixed-size overview
     raster (AggregateFunctions.scala:92-112 / TileRasterizerAggregate.scala).
 
-    Two-level combine like _local_agg: each partition paints its tiles onto
-    a local canvas (no shuffle), then P canvases merge on the driver."""
+    Tree combine like _local_agg: each partition paints its tiles onto a
+    local canvas (no shuffle); when the input has more than
+    ``merge_partitions`` partitions, one extra canvas-merge pass bounds
+    what the driver collects to <= merge_partitions canvases — at cluster
+    scale tens of thousands of partition canvases (float64 + mask, ~2-3 MB
+    each) would otherwise make the driver merge a multi-GB sink."""
     from rasterframes_spark.geom import proj as P
 
     dxmin, dymin, dxmax, dymax = dest_extent
@@ -671,8 +676,24 @@ def rf_agg_overview_raster(df: DataFrame, tile: str, extent: str, crs: str,
         if painted:
             yield pd.DataFrame({"canvas": [canvas.tobytes()], "mask": [mask.tobytes()]})
 
-    from pyspark.sql.types import StructType
-    parts = src.mapInPandas(partial, schema="canvas binary, mask binary").collect()
+    def merge_pass(iterator):
+        canvas = np.zeros((nr, nc), dtype="float64")
+        mask = np.ones((nr, nc), dtype=bool)
+        merged = False
+        for pdf in iterator:
+            for cb, mb in zip(pdf["canvas"].values, pdf["mask"].values):
+                pc = np.frombuffer(cb, dtype="float64").reshape(nr, nc)
+                pm = np.frombuffer(mb, dtype=bool).reshape(nr, nc)
+                fill = mask & ~pm
+                canvas[fill] = pc[fill]
+                mask &= ~fill
+                merged = True
+        if merged:
+            yield pd.DataFrame({"canvas": [canvas.tobytes()],
+                                "mask": [mask.tobytes()]})
+
+    parts = _overview_partials(src, partial, merge_pass,
+                               merge_partitions).collect()
     canvas = np.zeros((nr, nc), dtype="float64")
     mask = np.ones((nr, nc), dtype=bool)
     for row in parts:
@@ -682,3 +703,15 @@ def rf_agg_overview_raster(df: DataFrame, tile: str, extent: str, crs: str,
         canvas[fill] = pc[fill]
         mask &= ~fill
     return Tile(np.ma.masked_array(canvas, mask=mask), CellType.parse("float64"))
+
+
+def _overview_partials(src: DataFrame, partial, merge_pass,
+                       merge_partitions: int) -> DataFrame:
+    """Partition canvases, tree-merged down to <= merge_partitions rows when
+    the source is wider than that (split out so tests can assert the bound
+    the driver actually collects)."""
+    partials = src.mapInPandas(partial, schema="canvas binary, mask binary")
+    if src.rdd.getNumPartitions() > merge_partitions:
+        partials = partials.repartition(merge_partitions).mapInPandas(
+            merge_pass, schema="canvas binary, mask binary")
+    return partials

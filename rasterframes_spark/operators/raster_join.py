@@ -226,22 +226,24 @@ def raster_join(
     right_crs: str = "crs",
     resampling: str = "nearest",
     cell_size_deg: float | None = None,
-    max_fan_in: int | None = None,
+    max_fan_in: int | None = 256,
 ) -> DataFrame:
     """Left-outer spatial join + reproject-merge (RasterJoin.scala:68-133).
 
     Returns left's columns plus, for each right tile column, a tile merged
     onto the left grid (same column name; NoData where no coverage).
 
-    ``max_fan_in``: by default all matched right tiles for one left row are
-    gathered in a single aggregation buffer before the merge kernel — fine
-    for footprint joins, unbounded for deep temporal stacks (thousands of
-    scenes over one tile). Setting ``max_fan_in=N`` switches to a chunked
-    two-level merge: right tiles are pre-merged onto the left grid in
-    rid-ordered chunks of ≤N per grouped task, then the (few) partial
-    canvases merge in chunk order — every task buffers at most N tiles, and
-    the result is value-identical (first-non-NoData-wins in the same rid
-    order; the final pass resamples identity-grid partials exactly).
+    ``max_fan_in`` (default 256) bounds how many matched right tiles one
+    aggregation buffer holds — without it a deep temporal stack (thousands
+    of scenes over one left tile) OOMs the merge task. Pay-as-you-go: a
+    per-left-row match count routes only the rows that EXCEED the bound
+    through a chunked two-level merge (right tiles pre-merged onto the left
+    grid in rid-ordered chunks of ≤N per grouped task, the few partial
+    canvases then merged in chunk order); everything else keeps the cheaper
+    single-pass aggregate. The result is value-identical either way
+    (first-non-NoData-wins in the same rid order; the final pass resamples
+    identity-grid partials exactly). ``max_fan_in=None`` forces the
+    single-pass aggregate for every row.
     """
     right_tiles = right_tiles or ["tile"]
 
@@ -302,12 +304,12 @@ def raster_join(
     matched = pairs.join(r_payload, "__rid")
     kernel = _merge_kernel(resampling)
 
-    if max_fan_in is None:
+    def _single_pass(m):
         # rid-ordered merge list: collect_list order is arrival order
         # (nondeterministic under retries/partitioning); sorting by __rid
         # makes first-non-NoData-wins deterministic and identical to the
         # chunked max_fan_in path
-        grouped = matched.groupBy("__lid").agg(
+        return m.groupBy("__lid").agg(
             *[F.transform(
                 F.array_sort(F.collect_list(
                     F.struct(F.col("__rid").alias("r"),
@@ -315,10 +317,21 @@ def raster_join(
                 lambda s: s["p"]).alias(f"__rl_{rt}")
               for rt in right_tiles]
         )
+
+    if max_fan_in is None:
+        grouped = _single_pass(matched)
     else:
-        grouped = _chunked_premerge(
-            L, matched, kernel, right_tiles, left_tile, left_extent, left_crs,
-            int(max_fan_in))
+        # pay-as-you-go: count matches per left row (cheap — int rows on the
+        # same __lid partitioning) and only the rows beyond the bound take
+        # the extra chunked pre-merge crossing
+        counts = matched.groupBy("__lid").agg(F.count(F.lit(1)).alias("__n"))
+        tagged = matched.join(counts, "__lid")
+        grouped = _single_pass(
+            tagged.where(F.col("__n") <= max_fan_in).drop("__n"))
+        big = tagged.where(F.col("__n") > int(max_fan_in)).drop("__n")
+        grouped = grouped.unionByName(_chunked_premerge(
+            L, big, kernel, right_tiles, left_tile, left_extent, left_crs,
+            int(max_fan_in)))
 
     joined = L.join(grouped, "__lid", "left")
     out_cols = [c for c in left.columns]

@@ -101,9 +101,10 @@ def test_bilinear_resampling(spark):
 
 
 def test_deep_stack_bounded_fan_in(spark, left_df):
-    """500 right tiles over ONE left tile: max_fan_in pre-merges in chunks
-    (each grouped task buffers <= N payloads) and the merged result is
-    identical to the unbounded single-pass path."""
+    """500 right tiles over ONE left tile. The DEFAULT (max_fan_in=256)
+    must route this >256-fan-in row through the chunked pre-merge (each
+    grouped task buffers <= N payloads) and produce a result identical to
+    both the forced single-pass path (None) and a tighter bound (32)."""
     rng = np.random.default_rng(5)
     rows = []
     # 500 quarter-tiles scattered over the left extent; distinct values so
@@ -115,20 +116,23 @@ def test_deep_stack_bounded_fan_in(spark, left_df):
         rows.append(row(i, t, ext(x0, y0, x0 + 4, y0 + 4)))
     right = spark.createDataFrame(rows, schema=SCHEMA)
 
-    unbounded = raster_join(left_df, right).orderBy("id").collect()
+    unbounded = raster_join(left_df, right, max_fan_in=None).orderBy("id").collect()
+    default = raster_join(left_df, right).orderBy("id").collect()
     bounded = raster_join(left_df, right, max_fan_in=32).orderBy("id").collect()
-    assert len(unbounded) == len(bounded) == 2
-    for ru, rb in zip(unbounded, bounded):
+    assert len(unbounded) == len(default) == len(bounded) == 2
+    for ru, rd, rb in zip(unbounded, default, bounded):
         tu = ru["tile_right"]
-        tb = rb["tile_right"]
         if tu is None:
-            assert tb is None
+            assert rd["tile_right"] is None and rb["tile_right"] is None
             continue
         a = Tile.from_parts(tu["cell_type"], tu["cols"], tu["rows"], bytes(tu["cells"]))
-        b = Tile.from_parts(tb["cell_type"], tb["cols"], tb["rows"], bytes(tb["cells"]))
-        assert np.array_equal(np.ma.getmaskarray(a.masked()), np.ma.getmaskarray(b.masked()))
-        # both paths must pick the same (rid-ordered) winner per cell
-        assert np.ma.allequal(a.masked(), b.masked())
+        for other in (rd["tile_right"], rb["tile_right"]):
+            b = Tile.from_parts(other["cell_type"], other["cols"],
+                                other["rows"], bytes(other["cells"]))
+            assert np.array_equal(np.ma.getmaskarray(a.masked()),
+                                  np.ma.getmaskarray(b.masked()))
+            # every path must pick the same (rid-ordered) winner per cell
+            assert np.ma.allequal(a.masked(), b.masked())
 
 
 def test_zonal_stats_operator(spark):

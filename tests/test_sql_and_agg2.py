@@ -78,6 +78,48 @@ def test_overview_raster(spark):
     assert float(a[:, :4].mean()) == 1.0 and float(a[:, 4:].mean()) == 2.0
 
 
+def test_overview_tree_merge_bounds_driver_collect(spark):
+    """With a 64-partition source the driver must collect <= 32 tree-merged
+    canvases, and the merged overview must equal the narrow-source result."""
+    rng = np.random.default_rng(3)
+    EXT = "struct<xmin:double,ymin:double,xmax:double,ymax:double>"
+    rows = []
+    for i in range(64):
+        gx, gy = i % 8, i // 8
+        t = Tile(rng.integers(0, 50, (4, 4)).astype("float64"), "float64")
+        rows.append({"tile": t.to_row(),
+                     "extent": {"xmin": gx * 4.0, "ymin": gy * 4.0,
+                                "xmax": gx * 4.0 + 4.0, "ymax": gy * 4.0 + 4.0},
+                     "crs": "EPSG:32617"})
+    df = spark.createDataFrame(rows, schema=f"tile {TILE_T}, extent {EXT}, crs string")
+    wide = df.repartition(64)
+    assert wide.rdd.getNumPartitions() == 64
+
+    from rasterframes_spark.functions import aggregates as A
+    seen = {}
+    orig = A._overview_partials
+
+    def spy(src, partial, merge_pass, merge_partitions):
+        out = orig(src, partial, merge_pass, merge_partitions)
+        seen["n"] = out.count()
+        return out
+
+    A._overview_partials = spy
+    try:
+        ov = rf.rf_agg_overview_raster(wide, "tile", "extent", "crs", 32, 32,
+                                       (0.0, 0.0, 32.0, 32.0),
+                                       dest_crs="EPSG:32617")
+    finally:
+        A._overview_partials = orig
+    assert seen["n"] <= 32
+    narrow = rf.rf_agg_overview_raster(df.coalesce(2), "tile", "extent", "crs",
+                                       32, 32, (0.0, 0.0, 32.0, 32.0),
+                                       dest_crs="EPSG:32617")
+    assert np.array_equal(np.asarray(ov.masked()), np.asarray(narrow.masked()))
+    assert np.array_equal(np.ma.getmaskarray(ov.masked()),
+                          np.ma.getmaskarray(narrow.masked()))
+
+
 def test_resample_bilinear(spark):
     t = Tile(np.array([[0.0, 2.0], [4.0, 6.0]]), "float64")
     df = spark.createDataFrame([{"t": t.to_row()}], schema=f"t {TILE_T}")
