@@ -306,12 +306,20 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         shingle_size: int = 3, num_perm: int = 64,
                         bands: int = 16, threshold: float = 0.8,
                         hot_bucket_threshold: int = 10000,
-                        hot_bucket_salts: int = 16) -> DataFrame:
+                        hot_bucket_salts: int = 16,
+                        input_rows: int | str | None = "auto") -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates →
-    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    # cheap UDF-free count of the source: upper-bounds every LSH bucket, so
-    # the skew guard can skip detection outright at sub-threshold scale
-    n_docs = df.count()
+    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard).
+
+    ``input_rows``: 'auto' (default) runs one cheap UDF-free ``df.count()``
+    at call time to feed the skew guard — note this is an EAGER Spark job
+    (and re-runs if the plan recomputes). Pass the row count when the
+    caller already knows it, or ``None`` for a fully lazy plan (no job
+    until the result is acted on; the skew guard then always runs its
+    lazy hot-bucket detection instead of being skipped)."""
+    # the source row count upper-bounds every LSH bucket, so the skew
+    # guard can skip detection outright at sub-threshold scale
+    n_docs = df.count() if input_rows == "auto" else input_rows
     src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
     # fused text->shingle->minhash: one Arrow crossing of the raw text
     # (see minhash_signature_text) — no corpus-wide HOF shingling, and the
@@ -386,16 +394,21 @@ def simhash(text, bits: int = 64) -> Column:
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                        max_hamming: int = 3, hot_bucket_threshold: int = 10000,
-                       hot_bucket_salts: int = 16) -> DataFrame:
+                       hot_bucket_salts: int = 16,
+                       input_rows: int | str | None = "auto") -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming, found by
     banding 64 bits into (max_hamming+1) chunks (pigeonhole: a qualifying
     pair collides on ≥1 chunk) + exact popcount verify via bit_count.
     Hot chunks (identical boilerplate docs) are salted via
     ``_salted_self_pairs`` so no single join task gets the O(n^2) bucket;
-    at sub-threshold input sizes the detection jobs are skipped entirely."""
+    at sub-threshold input sizes the detection jobs are skipped entirely.
+
+    ``input_rows``: 'auto' = eager count at call time (see
+    minhash_dedup_pairs); an int = caller-known bound, no job; None =
+    fully lazy, skew detection always in-plan."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    n_docs = df.count()  # UDF-free; upper-bounds every chunk bucket
+    n_docs = df.count() if input_rows == "auto" else input_rows
     sh = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
     mask = (1 << width) - 1
     if mask >= (1 << 63):
@@ -527,6 +540,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labels = (edges.select("src").distinct()
               .withColumn("comp", F.col("src"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         prop = (edges.join(labels.withColumnRenamed("src", "dst"), "dst")
                 .select("src", "comp"))
@@ -538,7 +552,17 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                    .where(F.col("nc") != F.col("comp")).limit(1).count())
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # labels are still moving: a component's diameter exceeds max_iter
+        # rounds and the output would silently mislabel long chains
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "rounds — a connected component has a longer chain diameter. "
+            "Raise max_iter (rounds needed = component diameter), or use a "
+            "large-star/small-star contraction for adversarially long "
+            "chains.")
     return labels.select(F.col("src").alias(id_a.replace("_a", "")
                                             if id_a.endswith("_a") else "id"),
                          F.col("comp").alias("cluster_id"))

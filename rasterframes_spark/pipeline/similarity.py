@@ -148,7 +148,8 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  n_lists: int = 16, n_probe: int = 3,
                  corpus_id: str = "vec_id", query_id: str = "query_id",
                  vec_col: str = "embedding", sample_size: int = 2048,
-                 seed: int = 42, centroids=None) -> DataFrame:
+                 seed: int = 42, centroids=None,
+                 corpus_rows: int | None = None) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer -> corpus bucketed
     by nearest centroid -> each query probes its n_probe nearest lists and
     reranks exactly within them.
@@ -166,13 +167,16 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     these rows (L2-normalized here) as the coarse quantizer. This keeps the
     call fully lazy — no count()/sample job at call time — and makes the
     bucketing externally reproducible (the correctness oracle embeds the
-    same centroids as SQL literals)."""
+    same centroids as SQL literals).
+
+    ``corpus_rows`` (optional): caller-known corpus size — skips the
+    metadata count() that otherwise sizes the training-sample fraction."""
     if centroids is not None:
         cents = np.asarray(centroids, dtype="float64")
         cents = cents / np.maximum(
             np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     else:
-        n_corpus = corpus.count()
+        n_corpus = corpus_rows if corpus_rows is not None else corpus.count()
         if n_corpus > sample_size:
             frac = min(1.0, 2.0 * sample_size / n_corpus)
             sampled = corpus.select(vec_col).sample(False, frac, seed=seed) \

@@ -201,6 +201,17 @@ def read_layer_catalog(spark: SparkSession, base_path: str) -> DataFrame:
     xmin..ymax, max_tile_w/h). The reference's geotrellis_catalog reader
     (datasource geotrellis-catalog); catalogs are driver-small metadata.
     """
+    scheme = str(base_path).split("://", 1)[0] if "://" in str(base_path) else ""
+    if scheme not in ("", "file"):
+        # listing runs driver-side via os.listdir — a remote URI would
+        # silently return an empty catalog instead of the layers
+        raise ValueError(
+            f"read_layer_catalog: unsupported URI scheme '{scheme}://' — "
+            "catalog listing is driver-local (file paths only). Mount or "
+            "sync the catalog locally, or read a known layer directly with "
+            "read_layer (Spark-side parquet IO handles remote storage).")
+    if scheme == "file":
+        base_path = str(base_path)[len("file://"):]
     rows = []
     if os.path.isdir(base_path):
         for name in sorted(os.listdir(base_path)):

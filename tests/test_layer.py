@@ -205,3 +205,14 @@ def test_write_slippy_pyramid(spark, tmp_path):
         assert pngs, f"no tiles at zoom {z}"
         arr = decode_png(open(pngs[0], "rb").read())
         assert arr.shape == (256, 256)
+
+
+def test_read_layer_catalog_rejects_remote_uri(spark, tmp_path):
+    import pytest
+    from rasterframes_spark.sources.layer import read_layer_catalog
+
+    with pytest.raises(ValueError, match="s3"):
+        read_layer_catalog(spark, "s3://bucket/catalog")
+    # file:// and plain local paths list (empty dir -> empty catalog)
+    assert read_layer_catalog(spark, str(tmp_path)).count() == 0
+    assert read_layer_catalog(spark, f"file://{tmp_path}").count() == 0

@@ -84,6 +84,39 @@ def test_simhash_near_pairs(spark, docs):
         assert key in got and got[key] == 0  # identical text -> distance 0
 
 
+def test_dedup_ann_entry_points_can_stay_lazy(spark, docs, emb, monkeypatch):
+    """With input_rows / centroids supplied, building the dedup/ANN plans
+    must trigger NO Spark job: any eager count() fails loudly here, and
+    explain() proves the plan still resolves."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("entry point triggered an eager count()")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    rng = np.random.default_rng(0)
+    cents = rng.standard_normal((4, 64))
+    plans = [
+        P.minhash_dedup_pairs(docs, "doc_id", "text", input_rows=500),
+        P.minhash_dedup_pairs(docs, "doc_id", "text", input_rows=None),
+        P.simhash_near_pairs(docs, "doc_id", input_rows=500),
+        P.ivf_ann_topk(
+            emb, emb.limit(2).select(F.col("vec_id").alias("query_id"),
+                                     "embedding"),
+            n_lists=4, n_probe=2, centroids=cents),
+        P.ivf_ann_topk(
+            emb, emb.limit(2).select(F.col("vec_id").alias("query_id"),
+                                     "embedding"),
+            n_lists=4, n_probe=2, corpus_rows=1500),
+    ]
+    for df in plans:
+        assert df._jdf.queryExecution().analyzed() is not None
+    monkeypatch.undo()
+    # the lazily-built plans still compute correct results
+    assert plans[0].where(F.col("jaccard") >= 0.8).count() == plans[1].where(
+        F.col("jaccard") >= 0.8).count()
+
+
 def test_ngram_jaccard_pairs_blocked(spark, docs):
     pairs = P.ngram_jaccard_pairs(docs, "doc_id", "text",
                                   block_cols=["lang", "source"], n=1, threshold=0.9)
@@ -456,3 +489,14 @@ def test_dedup_clusters(spark):
     # canonical-doc selection pattern: one keeper per cluster
     keep = P.dedup_clusters(pairs).where("id = cluster_id")
     assert {r["id"] for r in keep.collect()} == {1, 7}
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter rounds must raise, not return
+    partially-propagated (wrong) labels."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        P.dedup_clusters(chain, max_iter=2)
+    ok = P.dedup_clusters(chain, max_iter=15)
+    assert {r["cluster_id"] for r in ok.collect()} == {0}
