@@ -121,12 +121,17 @@ def main():
     def _ident(s: pd.Series) -> pd.Series:
         return s
 
+    # min-of-7 on the floor + the floor-dominated kernel cell: the round-4
+    # suite "regressed" 10% purely because this diagnostic drifted +38%
+    # with unchanged code — more repeats pin the floor so kernel-minus-
+    # floor (reported under "derived") separates real regressions from
+    # environment drift
     t100s = tile_df(100, 64).cache()
     t100s.count()
     run("baseline_arrow_floor_100x64", lambda: force(
-        t100s.select(_ident(F.col("tile.cells")))), repeat=5)
+        t100s.select(_ident(F.col("tile.cells")))), repeat=7)
     run("baseline_local_add_100x64", lambda: force(
-        t100s.select(rf.rf_local_add("tile", 5).alias("r"))), repeat=5)
+        t100s.select(rf.rf_local_add("tile", 5).alias("r"))), repeat=7)
 
     # earlier sections' caches are dead weight from here on — release them
     # so the 6.5M-row assemble shuffle isn't benched under GC pressure
@@ -172,11 +177,21 @@ def main():
     run("baseline_roundtrip_f64_512_x1000", rt_1000, repeat=3)
 
     total = round(sum(timings.values()), 3)
+    floor = timings.get("baseline_arrow_floor_100x64", 0.0)
+    derived = {
+        "local_add_minus_floor": round(
+            timings["baseline_local_add_100x64"] - floor, 3),
+        "explode_minus_floor": round(
+            timings["baseline_explode_100x256"] - floor, 3),
+        "assemble_minus_floor": round(
+            timings["baseline_assemble_100x256"] - floor, 3),
+    }
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "derived": derived,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
