@@ -54,6 +54,9 @@ class GeoTiffInfo:
     pixel_scale: tuple
     tiepoint: tuple
     predictor: int = 1
+    # which decoder realizes windows: "tiff" = this module's pure-python
+    # reader; "gdal" = the optional rasterio fallback (gdal_fallback.py)
+    via: str = "tiff"
 
 
 def _slice(data, a: int, b: int) -> bytes:

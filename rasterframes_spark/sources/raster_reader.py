@@ -78,7 +78,19 @@ def _range_source(uri: str):
 
 @functools.lru_cache(maxsize=256)
 def _cached_info(uri: str):
-    return GT.read_info(_range_source(uri))
+    try:
+        return GT.read_info(_range_source(uri))
+    except ValueError as e:
+        from rasterframes_spark.sources import gdal_fallback as GF
+
+        if GF.have_rasterio():
+            return GF.read_info_rasterio(uri)
+        raise ValueError(
+            f"{uri}: not readable by the pure-python codec ({e}). "
+            "Pure-python covers the TIFF/GeoTIFF family (see the README "
+            "format matrix); JP2/MrF/HDF/VRT need GDAL — installing "
+            "rasterio enables the fallback read path automatically."
+        ) from e
 
 
 def _celltype_for(info: GT.GeoTiffInfo) -> str:
@@ -210,7 +222,14 @@ def realize_tiles(ref) -> Column:
             c0c, r0c = max(c0, 0), max(r0, 0)
             w = min(c0 + w_req, info.width) - c0c
             h = min(r0 + h_req, info.height) - r0c
-            arr = GT.read_window(data, info, c0c, r0c, w, h, int(r["band"].values[i]))
+            if getattr(info, "via", "tiff") == "gdal":
+                from rasterframes_spark.sources import gdal_fallback as GF
+
+                arr = GF.read_window_rasterio(
+                    str(uri), c0c, r0c, w, h, int(r["band"].values[i]))
+            else:
+                arr = GT.read_window(data, info, c0c, r0c, w, h,
+                                     int(r["band"].values[i]))
             ct = CellType.parse(_celltype_for(info))
             if buf and ct.nodata is None:
                 # raw cell type can't encode a NoData halo: encode_cells
