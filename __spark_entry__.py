@@ -779,7 +779,10 @@ def _q_layer_center(spark, sf_dir):
 
 
 def _q_agg_extent(spark, sf_dir):
-    """rf_agg_extent over the same synthetic extents — one combined bbox."""
+    """rf_agg_extent + rf_agg_reprojected_extent (4326 -> web mercator)
+    over the same synthetic extents. 4326->3857 is monotone per axis, so
+    the aggregated reprojected bbox equals the closed-form mercator
+    transform of the aggregated corners — same floats both sides."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
         F.col("c_custkey") <= 500)
     ext = cust.select(
@@ -788,11 +791,18 @@ def _q_agg_extent(spark, sf_dir):
             (F.col("c_custkey") % 140 - 70.0).alias("ymin"),
             (F.col("c_custkey") % 360 - 178.0).alias("xmax"),
             (F.col("c_custkey") % 140 - 69.0).alias("ymax"),
-        ).alias("extent"))
-    agg = ext.agg(rf.rf_agg_extent("extent").alias("e"))
+        ).alias("extent"),
+        F.lit("EPSG:4326").alias("crs"))
+    agg = ext.agg(
+        rf.rf_agg_extent("extent").alias("e"),
+        rf.rf_agg_reprojected_extent("extent", "crs", "EPSG:3857").alias("re"))
     return agg.select(
         F.col("e.xmin").alias("xmin"), F.col("e.ymin").alias("ymin"),
-        F.col("e.xmax").alias("xmax"), F.col("e.ymax").alias("ymax"))
+        F.col("e.xmax").alias("xmax"), F.col("e.ymax").alias("ymax"),
+        F.round(F.col("re.xmin"), 4).alias("mxmin"),
+        F.round(F.col("re.ymin"), 4).alias("mymin"),
+        F.round(F.col("re.xmax"), 4).alias("mxmax"),
+        F.round(F.col("re.ymax"), 4).alias("mymax"))
 
 
 def _q_audio_features(spark, sf_dir):
@@ -1022,19 +1032,41 @@ def _q_aspect(spark, sf_dir):
 
 
 def _q_focal_stats(spark, sf_dir):
-    """rf_focal_median + rf_focal_mode (square-1) in one pass vs a DuckDB
-    neighborhood-join oracle (continuous median; mode ties break to the
-    smallest value, matching np.unique/argmax)."""
+    """rf_focal_median/mode/min/max/stddev (square-1) in one pass vs a
+    DuckDB neighborhood-join oracle (continuous median; mode ties break to
+    the smallest value, matching np.unique/argmax; stddev recomputed
+    two-pass like np.nanstd, not Welford)."""
     t = _tiles_df(spark, sf_dir)
     f = t.select("grp",
                  rf.rf_focal_median("qty", "square-1").alias("med"),
-                 rf.rf_focal_mode("qty", "square-1").alias("mode_t"))
-    ex = rf.explode_tiles(f, ["med", "mode_t"], keep_cols=["grp"])
+                 rf.rf_focal_mode("qty", "square-1").alias("mode_t"),
+                 rf.rf_focal_min("qty", "square-1").alias("fmin_t"),
+                 rf.rf_focal_max("qty", "square-1").alias("fmax_t"),
+                 rf.rf_focal_stddev("qty", "square-1").alias("fsd_t"))
+    ex = rf.explode_tiles(f, ["med", "mode_t", "fmin_t", "fmax_t", "fsd_t"],
+                          keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
         F.round("med", 6).alias("med"),
         F.round("mode_t", 6).alias("mode_v"),
-    ).where(F.col("med").isNotNull() & F.col("mode_v").isNotNull())
+        F.col("fmin_t").alias("fmin"),
+        F.col("fmax_t").alias("fmax"),
+        F.round("fsd_t", 6).alias("fsd"),
+    ).where(F.col("med").isNotNull())
+
+
+def _q_moransi(spark, sf_dir):
+    """rf_focal_moransi (focalops/FocalMoransI.scala:53): I_i = z_i *
+    mean(z_neighbors)/var(z), z = x - tile mean, neighbors exclude the
+    center — tile mean/variance and the neighborhood chain all recomputed
+    in SQL."""
+    t = _tiles_df(spark, sf_dir)
+    m = t.select("grp", rf.rf_focal_moransi("qty", "square-1").alias("mi_t"))
+    ex = rf.explode_tiles(m, ["mi_t"], keep_cols=["grp"])
+    return ex.select(
+        "grp", "column_index", "row_index",
+        F.round("mi_t", 6).alias("mi"),
+    ).where(F.col("mi").isNotNull())
 
 
 _CONV_KERNEL = [[1.0, 2.0, 0.0], [-1.0, 3.0, 1.0], [0.0, -2.0, 2.0]]
@@ -1150,7 +1182,7 @@ _SHINGLE3_SQL = """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries, least-proven first — the external driver runs at most
+    """50 entries, least-proven first — the external driver runs at most
     the first 50, so new/just-changed oracles lead and long-green ones
     trail (round-4 postmortem: 3 of 53 silently fell off the end)."""
     return {
@@ -1158,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect": _q_aspect,
         "focal_stats": _q_focal_stats,
         "convolve": _q_convolve,
+        "moransi": _q_moransi,
         "ivf_ann": _q_ivf_ann,
         "similarity_suite": _q_similarity_suite,
         "layer_center": _q_layer_center,
@@ -1531,8 +1564,9 @@ def oracle_sql() -> dict[str, str]:
               from cells a join cells b
                 on a.grp = b.grp and abs(a.ci - b.ci) <= 1
                    and abs(a.ri - b.ri) <= 1
-            ), med as (
-              select grp, ci, ri, round(median(v), 6) as med
+            ), agg1 as (
+              select grp, ci, ri, round(median(v), 6) as med,
+                     min(v) as fmin, max(v) as fmax, avg(v) as m
               from nb group by 1, 2, 3
             ), cnt as (
               select grp, ci, ri, v, count(*) as c
@@ -1542,10 +1576,39 @@ def oracle_sql() -> dict[str, str]:
               from cnt
               qualify row_number() over (partition by grp, ci, ri
                                          order by c desc, v asc) = 1
+            ), sd as (
+              -- two-pass population stddev, matching np.nanstd
+              select nb.grp, nb.ci, nb.ri,
+                     round(sqrt(avg((nb.v - a1.m) * (nb.v - a1.m))), 6) as fsd
+              from nb join agg1 a1 using (grp, ci, ri)
+              group by 1, 2, 3
             )
-            select m.grp, m.ci as column_index, m.ri as row_index,
-                   m.med, md.mode_v
-            from med m join md using (grp, ci, ri)""",
+            select a1.grp, a1.ci as column_index, a1.ri as row_index,
+                   a1.med, md.mode_v, a1.fmin, a1.fmax, sd.fsd
+            from agg1 a1
+            join md using (grp, ci, ri)
+            join sd using (grp, ci, ri)""",
+        "moransi": C + """
+            , mu as (select grp, avg(qty) as m from cells group by grp)
+            , vr as (
+              select c.grp, avg((c.qty - mu.m) * (c.qty - mu.m)) as v
+              from cells c join mu using (grp) group by c.grp
+            ), nb2 as (
+              select a.grp, a.ci, a.ri, b.qty as nvq
+              from cells a join cells b
+                on a.grp = b.grp and abs(a.ci - b.ci) <= 1
+                   and abs(a.ri - b.ri) <= 1
+                   and not (a.ci = b.ci and a.ri = b.ri)
+            ), nm as (
+              select grp, ci, ri, avg(nvq) as nmean from nb2 group by 1, 2, 3
+            )
+            select n.grp, n.ci as column_index, n.ri as row_index,
+                   round((c.qty - mu.m) * (n.nmean - mu.m)
+                         / (case when vr.v = 0 then 1.0 else vr.v end), 6) as mi
+            from nm n
+            join cells c on c.grp = n.grp and c.ci = n.ci and c.ri = n.ri
+            join mu on mu.grp = n.grp
+            join vr on vr.grp = n.grp""",
         "convolve": C + f"""
             select a.grp, a.ci as column_index, a.ri as row_index,
                    round(sum(b.qty * ({_convolve_weight_case()})), 6) as conv_v
@@ -1598,11 +1661,22 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0 * 1.0, 6) as bounds_area
             from customer where c_custkey <= 500""",
         "agg_extent": """
-            select min(c_custkey % 360 - 180.0) as xmin,
-                   min(c_custkey % 140 - 70.0) as ymin,
-                   max(c_custkey % 360 - 178.0) as xmax,
-                   max(c_custkey % 140 - 69.0) as ymax
-            from customer where c_custkey <= 500""",
+            with e as (
+              select min(c_custkey % 360 - 180.0) as xmin,
+                     min(c_custkey % 140 - 70.0) as ymin,
+                     max(c_custkey % 360 - 178.0) as xmax,
+                     max(c_custkey % 140 - 69.0) as ymax
+              from customer where c_custkey <= 500
+            )
+            select xmin, ymin, xmax, ymax,
+                   -- closed-form spherical mercator of the bbox corners
+                   -- (monotone per axis, so agg-then-project == the
+                   -- engine's project-then-agg)
+                   round(xmin * 6378137.0 * pi() / 180.0, 4) as mxmin,
+                   round(6378137.0 * ln(tan(pi()/4 + radians(ymin)/2)), 4) as mymin,
+                   round(xmax * 6378137.0 * pi() / 180.0, 4) as mxmax,
+                   round(6378137.0 * ln(tan(pi()/4 + radians(ymax)/2)), 4) as mymax
+            from e""",
         "audio_features": """
             with params as (
               select doc_id,
