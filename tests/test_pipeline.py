@@ -40,6 +40,19 @@ def test_fingerprint_matches_python(spark, docs):
         assert r["fp"] == h
 
 
+def test_fingerprint_vectorized_matches_sql_fold(spark, docs):
+    """The numpy Horner fingerprint must equal the declarative F.aggregate
+    fold character-for-character (incl. non-ascii code points)."""
+    extra = spark.createDataFrame(
+        [(1, "héllo wörld ünïcode ñ"), (2, ""), (3, "a")], "doc_id long, text string")
+    for d in (docs.limit(200), extra):
+        bad = d.select(
+            P.doc_fingerprint("text").alias("v"),
+            P.doc_fingerprint("text", method="sql").alias("s"),
+        ).where(F.col("v") != F.col("s")).count()
+        assert bad == 0
+
+
 def test_exact_dedup(spark, docs):
     doubled = docs.union(docs)
     assert P.dedup_exact(doubled, ["text"]).count() == docs.count()
