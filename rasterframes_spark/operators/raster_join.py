@@ -234,16 +234,16 @@ def raster_join(
     onto the left grid (same column name; NoData where no coverage).
 
     ``max_fan_in`` (default 256) bounds how many matched right tiles one
-    aggregation buffer holds — without it a deep temporal stack (thousands
-    of scenes over one left tile) OOMs the merge task. Pay-as-you-go: a
-    per-left-row match count routes only the rows that EXCEED the bound
-    through a chunked two-level merge (right tiles pre-merged onto the left
-    grid in rid-ordered chunks of ≤N per grouped task, the few partial
-    canvases then merged in chunk order); everything else keeps the cheaper
-    single-pass aggregate. The result is value-identical either way
-    (first-non-NoData-wins in the same rid order; the final pass resamples
-    identity-grid partials exactly). ``max_fan_in=None`` forces the
-    single-pass aggregate for every row.
+    task ever buffers — without it a deep temporal stack (thousands of
+    scenes over one left tile) OOMs the merge task. Bounded mode is a
+    chunked two-level merge: right tiles pre-merge onto the left grid in
+    rid-ordered chunks of ≤N per grouped task, then the (few) partial
+    canvases merge in chunk order. Value-identical to the single-pass
+    aggregate (first-non-NoData-wins in the same rid order; the final pass
+    resamples identity-grid partials exactly), measured +10% on small
+    footprint joins — the price of the hard memory bound.
+    ``max_fan_in=None`` opts into the single-pass aggregate (fastest when
+    fan-in is known small).
     """
     right_tiles = right_tiles or ["tile"]
 
@@ -321,17 +321,17 @@ def raster_join(
     if max_fan_in is None:
         grouped = _single_pass(matched)
     else:
-        # pay-as-you-go: count matches per left row (cheap — int rows on the
-        # same __lid partitioning) and only the rows beyond the bound take
-        # the extra chunked pre-merge crossing
-        counts = matched.groupBy("__lid").agg(F.count(F.lit(1)).alias("__n"))
-        tagged = matched.join(counts, "__lid")
-        grouped = _single_pass(
-            tagged.where(F.col("__n") <= max_fan_in).drop("__n"))
-        big = tagged.where(F.col("__n") > int(max_fan_in)).drop("__n")
-        grouped = grouped.unionByName(_chunked_premerge(
-            L, big, kernel, right_tiles, left_tile, left_extent, left_crs,
-            int(max_fan_in)))
+        # Every row takes the chunked pre-merge. Measured on a 64-row
+        # footprint join (fan-in 2, min-of-3, local[8]): single-pass
+        # 3.32 s, chunked-for-all 3.66 s (+10%) — a hybrid that filtered
+        # small fan-ins to the single-pass aggregate cost 5.74 s (+73%)
+        # because the branch duplicates the whole spatial-prejoin subtree
+        # and exchange reuse never fires (monotonically_increasing_id is
+        # nondeterministic, so the branches never canonicalize equal).
+        # 10% on small joins buys a hard per-task memory bound.
+        grouped = _chunked_premerge(
+            L, matched, kernel, right_tiles, left_tile, left_extent,
+            left_crs, int(max_fan_in))
 
     joined = L.join(grouped, "__lid", "left")
     out_cols = [c for c in left.columns]

@@ -57,17 +57,36 @@ def main():
         rf.explode_tiles(tiles, ["qty"]).agg(F.sum("qty")))
 
     cells = rf.explode_tiles(tiles, ["qty"]).where(F.col("qty").isNotNull())
-    add("assemble_tiles (cell rows -> tiles, group_map path)",
+    add("assemble_tiles (cell rows -> tiles, collect path — auto default "
+        "up to 256k cells/tile)",
+        "Cell traffic stays JVM-side: aligned `collect_list(pos)/"
+        "collect_list(value)` **with map-side partial aggregation**, value "
+        "list at the narrowest exact type; Python receives two flat arrays "
+        "per GROUP (bulk Arrow list transfer) and does one numpy scatter. "
+        "Profiled 1.7x faster than the row-shuffling group_map at the "
+        "100x256^2 bench shape.",
+        rf.assemble_tiles(cells, ["grp"], "column_index", "row_index", "qty",
+                          16, 16, "float64", method="collect"))
+
+    add("assemble_tiles (group_map path — auto beyond 256k cells/tile)",
         "ONE shuffle on the group key (hash partitioning), flat cell position "
         "computed JVM-side, value column shuffles at the narrowest exact type. "
-        "Per-group numpy scatter; task memory = one group's cells.",
+        "Per-group numpy scatter; task memory = one group's cells — the "
+        "bounded-memory path for huge tiles where whole-group collect_list "
+        "buffers would not be safe.",
         rf.assemble_tiles(cells, ["grp"], "column_index", "row_index", "qty",
                           16, 16, "float64", method="group_map"))
 
-    add("raster_join (grid-cell equi-prejoin + merge)",
+    add("raster_join (grid-cell equi-prejoin + merge, bounded fan-in)",
         "**Equi-join on grid cell id** (shuffle hash join, AQE skew-split "
-        "applies) + bbox post-filter — never a BroadcastNestedLoopJoin; bounded "
-        "fan-in via max_fan_in two-level pre-merge.",
+        "applies) + bbox post-filter — never a BroadcastNestedLoopJoin. "
+        "max_fan_in defaults to 256: rid-ordered chunks of <=N pre-merge "
+        "onto the left grid per grouped task, partial canvases merge in "
+        "chunk order — a hard per-task memory bound measured at +10% over "
+        "the single-pass aggregate on small footprint joins (a "
+        "branch-per-fan-in hybrid cost +73%: the spatial-prejoin subtree "
+        "duplicates and exchange reuse never fires over nondeterministic "
+        "row ids).",
         e._q_raster_join(spark, sf))
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -86,6 +105,45 @@ def main():
         P.minhash_dedup_pairs(spark.read.parquet(f"{sf}/documents.parquet"),
                               "doc_id", "text", num_perm=32, bands=16,
                               threshold=0.8))
+
+    add("lsh_ann_topk (hyperplane LSH ANN)",
+        "Both sides bucketed by one vectorized sign-bit UDF pass; candidate "
+        "generation is an **equi-join on bucket with the query side "
+        "broadcast** — each query touches only its bucket (plus optional "
+        "multiprobe neighbors), never the full corpus; exact rerank only "
+        "within buckets.",
+        P.lsh_ann_topk(emb, emb.limit(4).select(
+            F.col("vec_id").alias("query_id"), "embedding"),
+            k=5, n_planes=6, dim=64))
+
+    import numpy as _np
+    add("ivf_ann_topk (inverted-file ANN, injected centroids)",
+        "Corpus assigned to its nearest centroid in one vectorized UDF "
+        "projection (centroids ride the closure, KBs); each query explodes "
+        "to its n_probe nearest lists and the candidate join is an "
+        "**equi-join on list id with the query side broadcast** — per query "
+        "the scan touches n_probe/n_lists of the corpus.",
+        P.ivf_ann_topk(emb, emb.limit(4).select(
+            F.col("vec_id").alias("query_id"), "embedding"),
+            k=5, n_lists=8, n_probe=2,
+            centroids=_np.random.default_rng(7).standard_normal((8, 64))))
+
+    t = e._tiles_df(spark, sf)
+    gx = (F.col("grp") % 8).cast("int")
+    gy = (F.col("grp") / 8).cast("int")
+    layer = t.select(
+        F.struct(gx.alias("col"), gy.alias("row")).alias("spatial_key"),
+        F.col("qty").alias("tile"),
+        F.struct((gx.cast("double") * 16.0).alias("xmin"),
+                 ((7 - gy).cast("double") * 16.0).alias("ymin"),
+                 (gx.cast("double") * 16.0 + 16.0).alias("xmax"),
+                 ((7 - gy).cast("double") * 16.0 + 16.0).alias("ymax"))
+        .alias("extent"))
+    add("pyramid_up (one shuffle per zoom level)",
+        "Parent key computed JVM-side; ONE applyInPandas shuffle groups the "
+        "(up to 4) children per parent for the NoData-aware 2x2 mean pool — "
+        "no driver bottleneck, each level halves the data.",
+        rf.pyramid_up(layer))
 
     d = tempfile.mkdtemp()
     rng = np.random.default_rng(3)
