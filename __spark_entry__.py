@@ -883,6 +883,37 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
+def _q_curation(spark, sf_dir):
+    """Corpus-curation composite (pipeline/curation.py): cross-corpus
+    exact dedup (left-anti digest join), 13-gram benchmark
+    decontamination (broadcast gram-membership semi-join), and the
+    per-source distinct counts — one query, common (family, key, val)
+    schema, each family with a closed-form SQL mirror."""
+    from rasterframes_spark import pipeline as P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.where(F.col("doc_id") % 2 == 0)
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    kept = P.dedup_against_exact(new, ref).select(
+        F.lit("dedup_kept").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("val"))
+    srcd = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("nd")).select(
+        F.lit("src_distinct").alias("family"),
+        F.col("source").alias("key"),
+        F.col("nd").cast("long").alias("val"))
+    toks = F.split(F.col("text"), r"\s+")
+    bench = (docs.where(F.col("doc_id").isin(3, 7))
+             .where(F.size(toks) >= 15)
+             .select(F.concat_ws(" ", F.slice(toks, 3, 13)).alias("text")))
+    dec = P.decontaminate(docs.where(F.col("doc_id") < 40), bench, n=13) \
+        .select(F.lit("contaminated").alias("family"),
+                F.col("doc_id").cast("string").alias("key"),
+                F.col("contaminated").cast("long").alias("val"))
+    return kept.unionByName(srcd).unionByName(dec)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from rasterframes_spark import pipeline as P
 
@@ -1187,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     trail (round-4 postmortem: 3 of 53 silently fell off the end)."""
     return {
         # -- new or changed this round ------------------------------------
+        "curation": _q_curation,
         "aspect": _q_aspect,
         "focal_stats": _q_focal_stats,
         "convolve": _q_convolve,
@@ -1236,7 +1268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": _q_text_metrics,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
-        "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
     }
 
@@ -1718,9 +1749,38 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    round(0.4*least(t/64.0, 1.0) + 0.4*dr + 0.2*(1.0 - pr), 6) as quality
             from m""",
-        "dedup_exact": """
-            select source, count(*) as n_docs, count(distinct text) as n_distinct
-            from documents group by source""",
+        "curation": """
+            with newdocs as (select * from documents where doc_id % 2 = 0),
+            refdocs as (select * from documents where doc_id % 3 = 0),
+            toks as (
+              select doc_id, string_split(text, ' ') as t
+              from documents where doc_id < 40
+            ),
+            bench as (
+              select array_to_string(t[3:15], ' ') as g
+              from (select string_split(text, ' ') as t
+                    from documents where doc_id in (3, 7))
+              where len(t) >= 15
+            ),
+            grams as (
+              select doc_id,
+                     unnest(list_transform(range(1, len(t) - 11),
+                            i -> array_to_string(t[i:i+12], ' '))) as g
+              from toks where len(t) >= 13
+            ),
+            hits as (select distinct grams.doc_id from grams join bench using (g))
+            select 'dedup_kept' as family, cast(n.doc_id as varchar) as key,
+                   cast(1 as bigint) as val
+            from newdocs n
+            where not exists (select 1 from refdocs r where r.text = n.text)
+            union all
+            select 'src_distinct', source, count(distinct text)
+            from documents group by source
+            union all
+            select 'contaminated', cast(d.doc_id as varchar),
+                   cast(case when h.doc_id is not null then 1 else 0 end as bigint)
+            from (select doc_id from documents where doc_id < 40) d
+            left join hits h using (doc_id)""",
         "ngram_jaccard": """
             with t as (
               select doc_id, lang, source,

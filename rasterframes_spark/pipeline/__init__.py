@@ -7,7 +7,9 @@ from rasterframes_spark.pipeline.text import *  # noqa: F401,F403
 from rasterframes_spark.pipeline.multimodal import *  # noqa: F401,F403
 from rasterframes_spark.pipeline.audio import *  # noqa: F401,F403
 from rasterframes_spark.pipeline.skew import *  # noqa: F401,F403
+from rasterframes_spark.pipeline.curation import *  # noqa: F401,F403
 
+from rasterframes_spark.pipeline import curation as _curation
 from rasterframes_spark.pipeline import dedup as _dedup
 from rasterframes_spark.pipeline import similarity as _similarity
 from rasterframes_spark.pipeline import text as _text
@@ -18,5 +20,5 @@ from rasterframes_spark.pipeline import skew as _skew
 __all__ = (
     list(_dedup.__all__) + list(_similarity.__all__)
     + list(_text.__all__) + list(_multimodal.__all__)
-    + list(_audio.__all__) + list(_skew.__all__)
+    + list(_audio.__all__) + list(_skew.__all__) + list(_curation.__all__)
 )

@@ -1,0 +1,198 @@
+"""Corpus-curation operators a production training-data pipeline runs
+between raw crawl and tokenizer: cross-corpus dedup, benchmark
+decontamination, weighted source mixing, and token-budget sequence
+packing. All Spark-first: anti-joins and broadcast joins for membership,
+Catalyst built-ins for hashing, applyInPandas only where the semantics
+are inherently sequential (bin packing).
+
+Scale posture (100 TB corpus, 1000 executors):
+- ``dedup_against_exact``: left-anti hash join on a 64-bit digest — the
+  reference side can be any size (shuffle join); no collect.
+- ``dedup_against_minhash``: banded-LSH bucket join new x reference
+  (never a self-join of the union), candidate-only verify.
+- ``decontaminate``: benchmark n-grams are SMALL by construction (a few
+  MB of hashes) — broadcast left-anti join against exploded doc n-grams;
+  docs never shuffle.
+- ``sample_mixture``: per-source Bernoulli sampling (seeded, one pass,
+  no shuffle).
+- ``pack_documents``: greedy first-fit packing within each partition via
+  applyInPandas on a salted partition key; pack sizes are bounded by the
+  token budget, pack ids are globally unique (partition-prefixed).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "doc_digest", "dedup_against_exact", "dedup_against_minhash",
+    "decontaminate", "sample_mixture", "pack_documents",
+]
+
+
+def doc_digest(text) -> "F.Column":
+    """64-bit content digest (xxhash64) — the exact-dedup key."""
+    return F.xxhash64(F.col(text) if isinstance(text, str) else text)
+
+
+def dedup_against_exact(new: DataFrame, reference: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Drop rows of ``new`` whose text digest appears in ``reference``
+    (incremental ingestion against an already-cleaned corpus). Pure
+    left-anti hash join on the digest; both sides stream, nothing
+    collects."""
+    ref = reference.select(doc_digest(text_col).alias("__dg")).distinct()
+    return (new.withColumn("__dg", doc_digest(text_col))
+            .join(ref, "__dg", "left_anti").drop("__dg"))
+
+
+def dedup_against_minhash(new: DataFrame, reference: DataFrame,
+                          id_col: str, text_col: str = "text",
+                          shingle_size: int = 3, num_perm: int = 32,
+                          bands: int = 16,
+                          threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs BETWEEN corpora: (new_id, ref_id, jaccard >=
+    threshold). The banded-LSH join is new x reference on (band, bucket)
+    — not a self-join of the union, so reference-internal duplicates are
+    never recomputed; the exact-Jaccard verify touches candidates only.
+    Filter ``new`` with a left-anti join on the returned new_id to drop
+    near-dups of the reference corpus."""
+    from rasterframes_spark.pipeline.dedup import (
+        minhash_signature_text, text_jaccard)
+
+    def banded(df, tag):
+        sig = df.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col(text_col).alias(f"__t_{tag}"),
+            minhash_signature_text(text_col, shingle_size, num_perm)
+            .alias("__sig"),
+        ).where(F.col("__sig").isNotNull())
+        rows_per_band = F.floor(F.size("__sig") / bands).cast("int")
+        return sig.select(
+            f"{tag}_id", f"__t_{tag}",
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.aggregate(
+                    F.slice(F.col("__sig"), bnd * rows_per_band + 1,
+                            rows_per_band),
+                    bnd.cast("long"),
+                    lambda acc, v: F.xxhash64(acc, v)),
+            )).alias("__band", "__bucket"),
+        )
+
+    n = banded(new, "new")
+    r = banded(reference, "ref")
+    cands = (n.join(r, ["__band", "__bucket"])
+             .select("new_id", "__t_new", "ref_id", "__t_ref")
+             .dropDuplicates(["new_id", "ref_id"]))
+    return (cands.select(
+        "new_id", "ref_id",
+        F.round(text_jaccard("__t_new", "__t_ref", shingle_size), 6)
+        .alias("jaccard"))
+        .where(F.col("jaccard") >= threshold))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", bench_text_col: str = "text",
+                  n: int = 13, mode: str = "flag") -> DataFrame:
+    """Benchmark decontamination: flag (or drop) documents sharing any
+    word ``n``-gram with a benchmark/eval set — the standard 13-gram
+    membership test training pipelines run before a data release.
+
+    The benchmark side reduces to DISTINCT n-gram hashes (small by
+    construction: eval sets are thousands of rows) and BROADCASTS; each
+    doc explodes to its n-gram hashes, inner-joins the broadcast set
+    with early-out semantics (semi join), and the doc table left-joins
+    the hit ids — documents never shuffle. mode='flag' appends a boolean
+    ``contaminated`` column; mode='drop' filters the hits out."""
+    def grams(df, col):
+        toks = F.split(F.col(col), r"\s+")
+        # guard: F.sequence(1, 0) would count DOWN — short docs get an
+        # empty gram set, not a slice(start=0) error
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    bench = (benchmark.select(F.explode(grams(benchmark, bench_text_col))
+                              .alias("__g")).distinct())
+    with_id = docs.withColumn("__did", F.monotonically_increasing_id())
+    hits = (with_id.select("__did", F.explode(grams(with_id, text_col))
+                           .alias("__g"))
+            .join(F.broadcast(bench), "__g", "left_semi")
+            .select("__did").distinct()
+            .withColumn("__hit", F.lit(True)))
+    out = (with_id.join(hits, "__did", "left")
+           .withColumn("contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
+           .drop("__did", "__hit"))
+    if mode == "drop":
+        return out.where(~F.col("contaminated")).drop("contaminated")
+    return out
+
+
+def sample_mixture(df: DataFrame, weights: dict, source_col: str = "source",
+                   seed: int = 42) -> DataFrame:
+    """Weighted source mixing: keep each row of source s with probability
+    ``weights[s]`` (0..1; unlisted sources drop). Seeded Bernoulli via
+    deterministic per-row hashing — one narrow pass, NO shuffle, and
+    unlike DataFrame.sampleBy the decision is reproducible row-for-row
+    across retries/partitionings (hash of the row content, not RNG
+    stream position)."""
+    for s, w in weights.items():
+        if not (0.0 <= float(w) <= 1.0):
+            raise ValueError(f"sample_mixture: weight for {s!r} not in [0,1]")
+    # per-row uniform in [0,1): low 32 bits of xxhash64(row-struct, seed)
+    u = (F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]),
+                           F.lit(seed)), F.lit(2**32)) / F.lit(float(2**32)))
+    w_map = F.create_map(*[x for s, w in weights.items()
+                           for x in (F.lit(s), F.lit(float(w)))])
+    keep = u < F.coalesce(w_map[F.col(source_col)], F.lit(0.0))
+    return df.where(keep)
+
+
+def pack_documents(df: DataFrame, max_tokens: int,
+                   token_col: str = "n_tokens", id_col: str = "doc_id",
+                   num_bins: int | None = None) -> DataFrame:
+    """Sequence packing: assign documents to packs whose token sums stay
+    <= max_tokens (the LLM-pretraining batch-packing step). Returns the
+    input columns + ``pack_id`` (long, globally unique).
+
+    Greedy first-fit-decreasing WITHIN each partition group
+    (applyInPandas): deterministic given the partitioning (sorted by
+    descending token count, id tiebreak), no cross-partition coordination
+    — at 100 TB each task packs its own slice and pack ids are
+    partition-prefixed. Documents longer than max_tokens get a singleton
+    pack (truncation is the tokenizer's job, not the packer's)."""
+    nb = num_bins or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    with_key = df.withColumn(
+        "__pk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(nb))).cast("int"))
+    schema = with_key.drop("__pk").schema.add("pack_id", "long")
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(key[0])
+        pdf = pdf.sort_values([token_col, id_col],
+                              ascending=[False, True]).drop(columns="__pk")
+        bins = []  # (remaining, pack_index)
+        ids = []
+        for tok in pdf[token_col]:
+            t = int(tok)
+            placed = None
+            for i, (rem, _) in enumerate(bins):
+                if t <= rem:
+                    placed = i
+                    break
+            if placed is None:
+                bins.append([max_tokens - t, len(bins)])
+                ids.append(len(bins) - 1)
+            else:
+                bins[placed][0] -= t
+                ids.append(bins[placed][1])
+        pdf["pack_id"] = [part * (1 << 40) + i for i in ids]
+        return pdf
+
+    return with_key.groupBy("__pk").applyInPandas(pack, schema=schema)

@@ -1,0 +1,116 @@
+"""Corpus-curation operators: cross-corpus dedup, decontamination,
+mixture sampling, sequence packing — duckdb/pandas oracles where the
+semantics are relational, invariant checks where they are greedy."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from rasterframes_spark import pipeline as P
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_dedup_against_exact(spark, docs):
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 0)
+    out = P.dedup_against_exact(new, ref)
+    got = {r["doc_id"] for r in out.collect()}
+    ref_texts = {r["text"] for r in ref.collect()}
+    exp = {r["doc_id"] for r in new.collect() if r["text"] not in ref_texts}
+    assert got == exp
+    # schema passthrough: no helper columns leak
+    assert out.columns == new.columns
+
+
+def test_dedup_against_minhash_finds_planted(spark, docs):
+    ref = docs.select("doc_id", "text").where(F.col("doc_id") < 20)
+    # new corpus: near-copies of ref (one appended token) + disjoint docs
+    near = ref.select((F.col("doc_id") + 5000).alias("doc_id"),
+                      F.concat("text", F.lit(" zzzz")).alias("text"))
+    clean = docs.select("doc_id", "text").where(
+        (F.col("doc_id") >= 25) & (F.col("doc_id") < 35))
+    new = near.union(clean)
+    pairs = P.dedup_against_minhash(new, ref, "doc_id", "text",
+                                    num_perm=32, bands=16, threshold=0.8)
+    rows = pairs.collect()
+    flagged = {r["new_id"] for r in rows}
+    # every planted near-copy pairs with its source doc
+    assert {r["new_id"] - 5000 for r in rows if r["new_id"] >= 5000} >= \
+        {r["doc_id"] for r in ref.collect() if len(r["text"].split()) >= 10}
+    # cross-corpus only: ids come from the right sides
+    assert all(r["ref_id"] < 20 for r in rows)
+    # the disjoint docs never pair at 0.8
+    assert not (flagged & {r["doc_id"] for r in clean.collect()})
+
+
+def test_decontaminate_flags_ngram_overlap(spark, docs):
+    # benchmark = exact 13-token windows lifted from two documents
+    src = docs.where(F.col("doc_id").isin(3, 7)).collect()
+    bench_rows = []
+    for r in src:
+        toks = r["text"].split()
+        if len(toks) >= 13:
+            bench_rows.append((" ".join(toks[2:15]),))
+    bench = spark.createDataFrame(bench_rows, "text string")
+    out = P.decontaminate(docs.where(F.col("doc_id") < 40), bench, n=13)
+    flags = {r["doc_id"]: r["contaminated"] for r in out.collect()}
+    for r in src:
+        if len(r["text"].split()) >= 15 and r["doc_id"] < 40:
+            assert flags[r["doc_id"]] is True
+    # a doc sharing no 13-gram stays clean
+    assert sum(flags.values()) <= 6  # only the sources (+ exact dup texts)
+    dropped = P.decontaminate(docs.where(F.col("doc_id") < 40), bench,
+                              n=13, mode="drop")
+    assert dropped.count() == sum(1 for v in flags.values() if not v)
+    assert "contaminated" not in dropped.columns
+
+
+def test_sample_mixture_deterministic_and_weighted(spark, docs):
+    w = {"web": 1.0, "books": 0.5, "code": 0.0}
+    a = P.sample_mixture(docs, w, seed=1)
+    b = P.sample_mixture(docs, w, seed=1)
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+        sorted(r["doc_id"] for r in b.collect())
+    counts = {r["source"]: r["n"] for r in
+              a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("web", 0) == totals.get("web", 0)  # weight 1 keeps all
+    assert "code" not in counts  # weight 0 drops all
+    if "books" in totals and totals["books"] >= 20:
+        frac = counts.get("books", 0) / totals["books"]
+        assert 0.25 < frac < 0.75  # Bernoulli(0.5) within loose bounds
+    # unlisted sources drop
+    assert set(counts) <= set(w)
+
+
+def test_pack_documents_respects_budget(spark, docs):
+    tok = docs.select("doc_id", P.token_count("text").alias("n_tokens"))
+    out = P.pack_documents(tok, max_tokens=200, num_bins=4)
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in tok.collect()}
+    sums = {}
+    for r in rows:
+        sums.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for pid, toks in sums.items():
+        if len(toks) > 1:
+            assert sum(toks) <= 200
+        else:  # singleton packs may hold an over-long doc
+            pass
+    # packing is deterministic
+    again = {(r["doc_id"], r["pack_id"]) for r in
+             P.pack_documents(tok, max_tokens=200, num_bins=4).collect()}
+    assert again == {(r["doc_id"], r["pack_id"]) for r in rows}
+    # efficiency sanity: not one doc per pack when many fit
+    small = tok.where(F.col("n_tokens") <= 100)
+    n_small = small.count()
+    if n_small >= 8:
+        packed = P.pack_documents(small, max_tokens=200, num_bins=2)
+        assert packed.select("pack_id").distinct().count() < n_small
