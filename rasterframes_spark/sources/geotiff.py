@@ -4,7 +4,8 @@ Implements the subset of TIFF 6.0 + GeoTIFF 1.1 the engine's sources and
 sinks need (reference reader surface: ``datasource/.../geotiff/``,
 ``core/.../ref/RFRasterSource.scala``):
 
-- read: classic little/big-endian TIFF; strip- or tile-organized;
+- read: classic + BigTIFF (magic 43, 8-byte offsets) little/big-endian;
+  strip- or tile-organized;
   uncompressed or DEFLATE (8 / 32946); uint8/16/32, int8/16/32,
   float32/64; single- or multi-band chunky (PlanarConfiguration=1);
   windowed reads (only the strips/tiles overlapping the window are
@@ -31,8 +32,10 @@ _SAMPLE_DTYPES = {
     (2, 8): "int8", (2, 16): "int16", (2, 32): "int32",
     (3, 32): "float32", (3, 64): "float64",
 }
-_TAG_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
-_TAG_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
+_TAG_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TAG_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+            16: "Q", 17: "q", 18: "Q"}
 
 
 @dataclass
@@ -73,19 +76,28 @@ def _unpack(fmt: str, data, off: int):
     return struct.unpack(fmt, _slice(data, off, off + struct.calcsize(fmt)))
 
 
-def _read_ifd(data: bytes, bo: str, off: int):
-    (n,) = _unpack(bo + "H", data, off)
-    # one fetch for the whole tag table (12 bytes per tag)
-    table = _slice(data, off + 2, off + 2 + 12 * n)
+def _read_ifd(data: bytes, bo: str, off: int, big: bool = False):
+    """Parse one IFD. ``big=True`` reads the BigTIFF layout (8-byte entry
+    count, 20-byte entries, 8-byte inline value field) — same tag
+    semantics, wider offsets, so >4 GB rasters parse pure-python."""
+    if big:
+        (n,) = _unpack(bo + "Q", data, off)
+        entry_sz, vfo, cnt_fmt, ptr_fmt, inline = 20, 12, "HHQ", "Q", 8
+        table = _slice(data, off + 8, off + 8 + entry_sz * n)
+    else:
+        (n,) = _unpack(bo + "H", data, off)
+        entry_sz, vfo, cnt_fmt, ptr_fmt, inline = 12, 8, "HHI", "I", 4
+        # one fetch for the whole tag table
+        table = _slice(data, off + 2, off + 2 + entry_sz * n)
     tags = {}
     for i in range(n):
-        base = 12 * i
-        tag, typ, count = struct.unpack_from(bo + "HHI", table, base)
+        base = entry_sz * i
+        tag, typ, count = struct.unpack_from(bo + cnt_fmt, table, base)
         size = _TAG_SIZES.get(typ, 1) * count
-        if size <= 4:
-            raw = table[base + 8: base + 8 + size]
+        if size <= inline:
+            raw = table[base + vfo: base + vfo + size]
         else:
-            (ptr,) = struct.unpack_from(bo + "I", table, base + 8)
+            (ptr,) = struct.unpack_from(bo + ptr_fmt, table, base + vfo)
             raw = _slice(data, ptr, ptr + size)
         if typ in _TAG_FMT:
             vals = list(struct.unpack(bo + _TAG_FMT[typ] * count, raw))
@@ -101,13 +113,22 @@ def _read_ifd(data: bytes, bo: str, off: int):
 
 
 def _read_info_impl(data) -> GeoTiffInfo:
-    head = _slice(data, 0, 8)
+    head = _slice(data, 0, 16)
+    if head[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF (bad byte-order mark)")
     bo = "<" if head[:2] == b"II" else ">"
     (magic,) = struct.unpack_from(bo + "H", head, 2)
-    if magic != 42:
-        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
-    (ifd_off,) = struct.unpack_from(bo + "I", head, 4)
-    t = _read_ifd(data, bo, ifd_off)
+    if magic == 42:
+        (ifd_off,) = struct.unpack_from(bo + "I", head, 4)
+        t = _read_ifd(data, bo, ifd_off)
+    elif magic == 43:  # BigTIFF
+        (off_sz, pad) = struct.unpack_from(bo + "HH", head, 4)
+        if off_sz != 8 or pad != 0:
+            raise ValueError("malformed BigTIFF header")
+        (ifd_off,) = struct.unpack_from(bo + "Q", head, 8)
+        t = _read_ifd(data, bo, ifd_off, big=True)
+    else:
+        raise ValueError(f"not a TIFF (magic {magic})")
 
     width = t[256][0]
     height = t[257][0]

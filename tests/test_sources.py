@@ -558,3 +558,72 @@ def test_rasterio_fallback_plumbing(spark, tmp_path):
     assert np.array_equal(got[(0.0, 48.0)], full[:32, :32])
     assert got[(32.0, 48.0)].shape == (32, 32)
     assert got[(0.0, 16.0)].shape == (16, 32)
+
+
+def _build_bigtiff_le(arr, xmin=10.0, ymax=50.0, scale=0.5):
+    """Minimal little-endian BigTIFF: one uncompressed strip, uint16,
+    pixel-scale + tiepoint geo tags."""
+    import struct
+
+    h, w = arr.shape
+    data = arr.astype("<u2").tobytes()
+    data_off = 16
+    scale_off = data_off + len(data)
+    tie_off = scale_off + 24
+    ifd_off = tie_off + 48
+
+    def entry(tag, typ, count, value_bytes):
+        assert len(value_bytes) <= 8
+        return struct.pack("<HHQ", tag, typ, count) + value_bytes.ljust(8, b"\x00")
+
+    def v_short(x):
+        return struct.pack("<H", x)
+
+    def v_long8(x):
+        return struct.pack("<Q", x)
+
+    entries = [
+        entry(256, 3, 1, v_short(w)),            # width
+        entry(257, 3, 1, v_short(h)),            # height
+        entry(258, 3, 1, v_short(16)),           # bits per sample
+        entry(259, 3, 1, v_short(1)),            # no compression
+        entry(273, 16, 1, v_long8(data_off)),    # strip offset (LONG8)
+        entry(277, 3, 1, v_short(1)),            # samples per pixel
+        entry(278, 3, 1, v_short(h)),            # rows per strip
+        entry(279, 16, 1, v_long8(len(data))),   # strip byte count (LONG8)
+        entry(339, 3, 1, v_short(1)),            # sample format: unsigned
+        entry(33550, 12, 3, v_long8(scale_off)), # pixel scale -> ext doubles
+        entry(33922, 12, 6, v_long8(tie_off)),   # tiepoint -> ext doubles
+    ]
+    ifd = struct.pack("<Q", len(entries)) + b"".join(entries) + struct.pack("<Q", 0)
+    head = b"II" + struct.pack("<HHH", 43, 8, 0) + struct.pack("<Q", ifd_off)
+    ext = (struct.pack("<3d", scale, scale, 0.0)
+           + struct.pack("<6d", 0.0, 0.0, 0.0, xmin, ymax, 0.0))
+    return head + data + ext + ifd
+
+
+def test_bigtiff_read(spark, tmp_path, rng):
+    """BigTIFF (magic 43, 8-byte offsets) parses pure-python: info,
+    windowed reads, and the full read_raster chunk path."""
+    arr = rng.integers(0, 60000, (40, 56)).astype("uint16")
+    p = tmp_path / "big.tif"
+    p.write_bytes(_build_bigtiff_le(arr))
+
+    info = GT.read_info(p.read_bytes())
+    assert (info.width, info.height) == (56, 40)
+    assert info.dtype == "uint16"
+    assert info.extent == (10.0, 50.0 - 40 * 0.5, 10.0 + 56 * 0.5, 50.0)
+
+    win = GT.read_window(p.read_bytes(), info, 8, 4, 16, 12)
+    assert np.array_equal(win, arr[4:16, 8:24])
+
+    df = S.read_raster(spark, [str(p)], tile_dimensions=(32, 32),
+                       lazy_tiles=False)
+    rows = df.collect()
+    assert len(rows) == 4  # 56x40 -> 2x2 chunks of 32
+    t0 = next(r for r in rows
+              if r["extent"]["xmin"] == 10.0 and r["extent"]["ymax"] == 50.0)
+    tt = t0["tile_ref"]
+    tile = Tile.from_parts(tt["cell_type"], tt["cols"], tt["rows"],
+                           bytes(tt["cells"]))
+    assert np.array_equal(np.asarray(tile.masked()), arr[:32, :32])
