@@ -342,9 +342,12 @@ _FMT_FOR_KIND = {"u": 1, "i": 2, "f": 3}
 
 
 def write_geotiff(arr: np.ndarray, extent: tuple, crs: str = "EPSG:4326",
-                  nodata: float | None = None, tile_size: int = 256) -> bytes:
+                  nodata: float | None = None, tile_size: int = 256,
+                  big: bool | str = "auto") -> bytes:
     """Encode a 2-D (single band) or 3-D (H,W,bands) array as a tiled
-    DEFLATE GeoTIFF."""
+    DEFLATE GeoTIFF. ``big``: True emits BigTIFF (magic 43, 8-byte
+    offsets); 'auto' switches to BigTIFF when any offset would overflow
+    the classic format's uint32 fields (>4 GB outputs)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, bands = arr.shape
@@ -402,20 +405,28 @@ def write_geotiff(arr: np.ndarray, extent: tuple, crs: str = "EPSG:4326",
     if nodata_s:
         add(42113, 2, nodata_s)
 
-    # layout
-    header_size = 8
+    # layout decision: classic unless an offset would overflow uint32
+    data_bytes = sum(len(c) for c in chunks)
+    if big == "auto":
+        big = 16 + data_bytes + 4096 > 0xFFFF0000
+    if big:
+        header_size, off_typ, inline = 16, 16, 8
+        entry_hdr, ptr_fmt = "<HHQ", "<Q"
+    else:
+        header_size, off_typ, inline = 8, 4, 4
+        entry_hdr, ptr_fmt = "<HHI", "<I"
+
     # chunk data first (after header), then tag overflow data, then IFD
     chunk_offsets = []
     pos = header_size
     for chk in chunks:
         chunk_offsets.append(pos)
         pos += len(chk)
-    add(324, 4, chunk_offsets)
-    add(325, 4, [len(c) for c in chunks])
+    add(324, off_typ, chunk_offsets)
+    add(325, off_typ, [len(c) for c in chunks])
     tags.sort(key=lambda x: x[0])
 
     overflow = b""
-    entries = b""
     overflow_base = pos
     # first compute overflow sizes
     packed = []
@@ -429,7 +440,7 @@ def write_geotiff(arr: np.ndarray, extent: tuple, crs: str = "EPSG:4326",
             count = len(values)
         packed.append((tag, typ, count, raw))
     for tag, typ, count, raw in packed:
-        if len(raw) > 4:
+        if len(raw) > inline:
             overflow += raw
     ifd_off = overflow_base + len(overflow)
 
@@ -437,15 +448,21 @@ def write_geotiff(arr: np.ndarray, extent: tuple, crs: str = "EPSG:4326",
     ov_pos = overflow_base
     body = b""
     for tag, typ, count, raw in packed:
-        if len(raw) <= 4:
-            body += struct.pack("<HHI", tag, typ, count) + raw.ljust(4, b"\x00")
+        if len(raw) <= inline:
+            body += struct.pack(entry_hdr, tag, typ, count) + raw.ljust(inline, b"\x00")
         else:
-            body += struct.pack("<HHI", tag, typ, count) + struct.pack("<I", ov_pos)
+            body += struct.pack(entry_hdr, tag, typ, count) + struct.pack(ptr_fmt, ov_pos)
             ov_pos += len(raw)
-    ifd = struct.pack("<H", len(packed)) + body + struct.pack("<I", 0)
+    if big:
+        ifd = struct.pack("<Q", len(packed)) + body + struct.pack("<Q", 0)
+    else:
+        ifd = struct.pack("<H", len(packed)) + body + struct.pack("<I", 0)
 
     out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    if big:
+        out += b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+    else:
+        out += b"II" + struct.pack("<HI", 42, ifd_off)
     for chk in chunks:
         out += chk
     out += overflow

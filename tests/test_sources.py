@@ -627,3 +627,24 @@ def test_bigtiff_read(spark, tmp_path, rng):
     tile = Tile.from_parts(tt["cell_type"], tt["cols"], tt["rows"],
                            bytes(tt["cells"]))
     assert np.array_equal(np.asarray(tile.masked()), arr[:32, :32])
+
+
+def test_bigtiff_write_roundtrip(rng):
+    """Forced-BigTIFF writer output round-trips through the reader
+    bit-exactly (same path 'auto' takes past 4 GB)."""
+    for dtype, nodata in [("uint16", 9999), ("float32", None)]:
+        arr = (rng.random((70, 50)) * 100).astype(dtype)
+        data = GT.write_geotiff(arr, (10.0, 20.0, 15.0, 27.0),
+                                crs="EPSG:32617", nodata=nodata,
+                                tile_size=32, big=True)
+        assert data[2:4] == b"\x2b\x00"  # magic 43
+        back, info = GT.read_full(data)
+        assert np.array_equal(back, arr)
+        assert info.crs == "EPSG:32617"
+        assert info.nodata == nodata
+        assert np.allclose(info.extent, (10.0, 20.0, 15.0, 27.0))
+        win = GT.read_window(data, info, 5, 7, 20, 30)
+        assert np.array_equal(win, arr[7:37, 5:25])
+    # classic stays the default at small sizes
+    small = GT.write_geotiff(arr, (0, 0, 1, 1))
+    assert small[2:4] == b"\x2a\x00"
