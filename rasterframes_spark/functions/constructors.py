@@ -212,6 +212,57 @@ def explode_tiles(df: DataFrame, tile_cols: list, keep_cols: list | None = None,
     return out
 
 
+def _assemble_collect_packed(df, group_cols, ri, ci, cvs, out_names,
+                             nc, nr, ct, vbits):
+    """Packed-int32 collect path of :func:`assemble_tiles`.
+
+    Each non-null cell becomes ONE int: ``pos << vbits | (value & vmask)``,
+    aggregated with a single ``collect_list`` per value column.  Halves the
+    JVM boxing volume of the dual (pos, value) lists — see the measured
+    notes at the call site.  Signed values round-trip: the low ``vbits``
+    are two's-complement and re-sign-extended after unmasking.
+    """
+    vmask = (1 << vbits) - 1
+    sign_bit = 1 << (vbits - 1)
+    signed = np.issubdtype(ct.dtype, np.signedinteger)
+    is_bool = ct.dtype == np.dtype("bool")
+    pos = (F.col(ri).cast("int") * nc + F.col(ci).cast("int"))
+
+    @lazy_pandas_udf(TILE_SCHEMA)
+    def scatter_packed(pk: pd.Series) -> pd.DataFrame:
+        out = []
+        for p in pk.values:
+            if p is None:
+                out.append(None)
+                continue
+            # Arrow hands back int32; widen so the arithmetic shift below
+            # keeps high bits for packed values with the int32 sign bit set.
+            a = np.asarray(p, dtype="int64")
+            idx = (a >> vbits) & ((1 << (32 - vbits)) - 1)
+            val = a & vmask
+            if signed:
+                val = (val ^ sign_bit) - sign_bit
+            flat = np.zeros(nr * nc, dtype=ct.dtype)
+            mask = np.ones(nr * nc, dtype=bool)
+            flat[idx] = val.astype(ct.dtype) if not is_bool else (val != 0)
+            mask[idx] = False
+            out.append(Tile(np.ma.masked_array(
+                flat.reshape(nr, nc), mask=mask.reshape(nr, nc)), ct))
+        return tiles_to_struct_pdf(out)
+
+    aggs = []
+    for cv in cvs:
+        packed = F.shiftleft(pos, vbits).bitwiseOR(
+            F.col(cv).cast("int").bitwiseAND(F.lit(vmask)))
+        aggs.append(F.collect_list(
+            F.when(F.col(cv).isNotNull(), packed)).alias(f"__pk_{cv}"))
+    grouped = df.groupBy(*group_cols).agg(*aggs)
+    sel = list(group_cols)
+    for cv, name in zip(cvs, out_names):
+        sel.append(scatter_packed(F.col(f"__pk_{cv}")).alias(name))
+    return grouped.select(*sel)
+
+
 def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
                    cols: int, rows: int, cell_type: str = "float64",
                    method: str = "auto") -> DataFrame:
@@ -225,7 +276,11 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
     hash aggregate of aligned ``collect_list(pos)`` / ``collect_list(v)``
     (map-side partial collect applies), then Python receives two flat
     primitive arrays per GROUP (bulk Arrow list transfer, not ~3us/row row
-    serialization) and does one numpy scatter.
+    serialization) and does one numpy scatter.  Narrow integer tiles
+    (value_bits + pos_bits <= 32) automatically upgrade to a SINGLE
+    packed-int32 collect_list — half the boxing, one list per cell column;
+    'collect_packed' / 'collect_dual' force either sub-path explicitly
+    (packed raises when the shape doesn't fit 32 bits).
 
     method='group_map' (the 'auto' default beyond 256k cells): single-shuffle
     applyInPandas — flat positions computed JVM-side, raw cell rows shuffle
@@ -283,15 +338,38 @@ def assemble_tiles(df: DataFrame, group_cols: list, col_index, row_index, cell,
         xfer = "double"
     int_cells = xfer in ("int", "long")
 
-    if method == "collect":
-        # Two aligned collect_lists per value column: every aggregate buffer
-        # is updated per input row in the same single pass, and collect_list
-        # drops nulls identically on both sides because the position is
-        # null-gated on its value column (null cells are NoData — the
-        # scatter leaves them masked). No array_sort: the numpy scatter is
-        # order-insensitive for unique cell positions (duplicate positions
-        # resolve last-write-wins, nondeterministically ordered — same as
-        # the reference's imperative TileAssembler buffer).
+    if method in ("collect", "collect_packed", "collect_dual"):
+        # Narrow integer tiles take a single packed-int32 collect_list:
+        # packed = pos << vbits | (value & vmask), legal whenever
+        # bits(pos) + bits(value) <= 32.  One Integer boxes per CELL instead
+        # of two, and Integer boxing is markedly cheaper than the Long
+        # packing tried earlier: measured on 100 x 256^2 uint16 (local[32],
+        # min-of-5) the packed-int agg alone is 0.41 s — at the raw
+        # repartition floor (0.40 s) — vs 0.73 s for the dual-int lists and
+        # 0.56 s for a packed-long list; end-to-end assemble drops
+        # 1.03 s -> 0.58 s.  Sign bits survive: the JVM shiftleft/bitwiseOR
+        # wrap (bitwise ops never raise under ANSI), and the Python side
+        # masks the low bits back out and re-sign-extends signed dtypes.
+        vbits = 1 if ct.dtype == np.dtype("bool") else ct.dtype.itemsize * 8
+        posbits = max(1, (nr * nc - 1).bit_length())
+        packed_ok = int_cells and xfer == "int" and vbits + posbits <= 32
+        if packed_ok and method != "collect_dual":
+            return _assemble_collect_packed(
+                df, group_cols, ri, ci, cvs, out_names, nc, nr, ct, vbits)
+        if method == "collect_packed":
+            raise ValueError(
+                f"collect_packed requires an integer cell type with "
+                f"value_bits + pos_bits <= 32 (got {cell_type}, "
+                f"{nr}x{nc} = {posbits} pos bits)")
+        # General dual-list path: two aligned collect_lists per value column
+        # — every aggregate buffer is updated per input row in the same
+        # single pass, and collect_list drops nulls identically on both
+        # sides because the position is null-gated on its value column
+        # (null cells are NoData — the scatter leaves them masked). No
+        # array_sort: the numpy scatter is order-insensitive for unique cell
+        # positions (duplicate positions resolve last-write-wins,
+        # nondeterministically ordered — same as the reference's imperative
+        # TileAssembler buffer).
         pos = (F.col(ri).cast("long") * nc + F.col(ci).cast("long")).cast("int")
         aggs = []
         for cv in cvs:

@@ -68,6 +68,47 @@ def test_assemble_roundtrip(spark, tile_df):
         assert np.ma.allequal(t.masked(), orig.masked().astype("int32"))
 
 
+@pytest.mark.parametrize("ctname,dtype,lo,hi", [
+    ("uint16ud255", "uint16", 0, 255),
+    ("int16", "int16", -3000, 3000),
+    ("int8ud-128", "int8", -127, 127),
+    ("uint8", "uint8", 1, 250),   # uint8 NoData sentinel is 0 — keep values off it
+    ("bool", "uint8", 0, 2),
+])
+def test_assemble_packed_matches_dual(spark, rng, ctname, dtype, lo, hi):
+    """The packed-int32 collect path is byte-identical to the dual-list path
+    for every packed-eligible cell type, including signed sign-extension."""
+    tiles = []
+    for i in range(5):
+        arr = rng.integers(lo, hi, (16, 16)).astype(dtype)
+        mask = rng.random((16, 16)) < 0.2
+        tiles.append(Tile(np.ma.masked_array(arr, mask=mask), ctname))
+    df = spark.createDataFrame(
+        [{"tile_id": f"t{i}", "tile": t.to_row()} for i, t in enumerate(tiles)],
+        schema=f"tile_id string, tile {TILE_T}",
+    ).repartition(3)
+    cells = rf.explode_tiles(df, ["tile"])
+
+    def grab(method):
+        out = rf.assemble_tiles(cells, ["tile_id"], "column_index", "row_index",
+                                "tile", cols=16, rows=16, cell_type=ctname,
+                                method=method)
+        return {r["tile_id"]: (r["tile"]["cell_type"],
+                               bytes(r["tile"]["cells"])) for r in out.collect()}
+
+    packed, dual = grab("collect_packed"), grab("collect_dual")
+    assert packed == dual
+
+
+def test_assemble_packed_rejects_wide_types(spark, tile_df):
+    df, _ = tile_df
+    cells = rf.explode_tiles(df, ["tile"])
+    with pytest.raises(ValueError, match="collect_packed"):
+        rf.assemble_tiles(cells, ["tile_id"], "column_index", "row_index",
+                          "tile", cols=5, rows=6, cell_type="int32",
+                          method="collect_packed")
+
+
 def test_tile_to_array_and_back(spark, tile_df):
     df, tiles = tile_df
     out = df.select("tile_id", rf.rf_array_to_tile(
