@@ -5,6 +5,7 @@ from rasterframes_spark.sources.sinks import (  # noqa: F401
     write_geotiff, write_tiles, read_geojson, write_slippy,
     write_slippy_pyramid,
 )
+from rasterframes_spark.sources.cog import write_cog  # noqa: F401
 from rasterframes_spark.sources.stac import (  # noqa: F401
     read_stac_items, stac_api_search, stac_asset_catalog,
 )
@@ -16,7 +17,7 @@ from rasterframes_spark.sources.layer import (  # noqa: F401
 __all__ = [
     "read_raster", "realize_tiles", "with_spatial_index", "raster_from_array",
     "write_geotiff", "write_tiles", "read_geojson", "write_slippy",
-    "write_slippy_pyramid",
+    "write_slippy_pyramid", "write_cog",
     "read_stac_items", "stac_api_search", "stac_asset_catalog",
     "write_tile_layer", "read_tile_layer", "layer_metadata",
     "write_tile_layer_table", "read_tile_layer_table", "read_layer_catalog",

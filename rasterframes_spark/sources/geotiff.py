@@ -79,16 +79,21 @@ def _unpack(fmt: str, data, off: int):
 def _read_ifd(data: bytes, bo: str, off: int, big: bool = False):
     """Parse one IFD. ``big=True`` reads the BigTIFF layout (8-byte entry
     count, 20-byte entries, 8-byte inline value field) — same tag
-    semantics, wider offsets, so >4 GB rasters parse pure-python."""
+    semantics, wider offsets, so >4 GB rasters parse pure-python.
+    Returns the tag dict; the offset of the NEXT IFD in the chain (0 at
+    chain end) lands under key ``-1`` for multi-IFD files (overview levels
+    of a COG)."""
     if big:
         (n,) = _unpack(bo + "Q", data, off)
         entry_sz, vfo, cnt_fmt, ptr_fmt, inline = 20, 12, "HHQ", "Q", 8
-        table = _slice(data, off + 8, off + 8 + entry_sz * n)
+        table = _slice(data, off + 8, off + 8 + entry_sz * n + 8)
+        (next_off,) = struct.unpack_from(bo + "Q", table, entry_sz * n)
     else:
         (n,) = _unpack(bo + "H", data, off)
         entry_sz, vfo, cnt_fmt, ptr_fmt, inline = 12, 8, "HHI", "I", 4
-        # one fetch for the whole tag table
-        table = _slice(data, off + 2, off + 2 + entry_sz * n)
+        # one fetch for the whole tag table (+ the next-IFD pointer)
+        table = _slice(data, off + 2, off + 2 + entry_sz * n + 4)
+        (next_off,) = struct.unpack_from(bo + "I", table, entry_sz * n)
     tags = {}
     for i in range(n):
         base = entry_sz * i
@@ -109,6 +114,7 @@ def _read_ifd(data: bytes, bo: str, off: int, big: bool = False):
         else:
             vals = [raw]
         tags[tag] = vals
+    tags[-1] = [next_off]
     return tags
 
 
@@ -129,7 +135,10 @@ def _read_info_impl(data) -> GeoTiffInfo:
         t = _read_ifd(data, bo, ifd_off, big=True)
     else:
         raise ValueError(f"not a TIFF (magic {magic})")
+    return _info_from_tags(t, bo)
 
+
+def _info_from_tags(t: dict, bo: str) -> "GeoTiffInfo":
     width = t[256][0]
     height = t[257][0]
     bands = t.get(277, [1])[0]
@@ -178,6 +187,36 @@ def _read_info_impl(data) -> GeoTiffInfo:
 def read_info(data) -> GeoTiffInfo:
     try:
         return _read_info_impl(data)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed TIFF: {e}") from e
+
+
+def read_ifd_chain(data, max_ifds: int = 64) -> list[GeoTiffInfo]:
+    """Parse EVERY IFD in the file — index 0 is the full-resolution image,
+    the rest are overview levels (COG pyramid, NewSubfileType=1). Each
+    entry is a full :class:`GeoTiffInfo`, so ``read_window`` works against
+    any level for progressively zoomed reads."""
+    try:
+        head = _slice(data, 0, 16)
+        if head[:2] not in (b"II", b"MM"):
+            raise ValueError("not a TIFF (bad byte-order mark)")
+        bo = "<" if head[:2] == b"II" else ">"
+        (magic,) = struct.unpack_from(bo + "H", head, 2)
+        big = magic == 43
+        if magic == 42:
+            (off,) = struct.unpack_from(bo + "I", head, 4)
+        elif big:
+            (off,) = struct.unpack_from(bo + "Q", head, 8)
+        else:
+            raise ValueError(f"not a TIFF (magic {magic})")
+        infos = []
+        seen = set()
+        while off and off not in seen and len(infos) < max_ifds:
+            seen.add(off)
+            t = _read_ifd(data, bo, off, big=big)
+            infos.append(_info_from_tags(t, bo))
+            off = t[-1][0]
+        return infos
     except (struct.error, IndexError, KeyError) as e:
         raise ValueError(f"malformed TIFF: {e}") from e
 
@@ -290,6 +329,10 @@ def read_window(data: bytes, info: GeoTiffInfo, col_off: int, row_off: int,
         for tr in range(t0r, t1r + 1):
             for tc in range(t0c, t1c + 1):
                 idx = tr * tiles_across + tc
+                if info.chunk_counts[idx] == 0:
+                    # sparse TIFF/COG convention: offset 0 / bytecount 0
+                    # means "tile never written" — leave the fill value
+                    continue
                 raw = _decompress(
                     _slice(data, info.chunk_offsets[idx],
                            info.chunk_offsets[idx] + info.chunk_counts[idx]),
@@ -311,6 +354,8 @@ def read_window(data: bytes, info: GeoTiffInfo, col_off: int, row_off: int,
         rps = info.rows_per_strip
         s0, s1 = row_off // rps, (row_off + height - 1) // rps
         for s in range(s0, s1 + 1):
+            if info.chunk_counts[s] == 0:
+                continue  # sparse strip — leave the fill value
             raw = _decompress(
                 _slice(data, info.chunk_offsets[s],
                        info.chunk_offsets[s] + info.chunk_counts[s]),
