@@ -208,16 +208,24 @@ def _q_agg_mean_by_parity(spark, sf_dir):
 def _q_agg_local_grouped(spark, sf_dir):
     """Cell-wise grouped mean+data_cells via the unified agg_local API
     (aggregates/LocalStatsAggregate.scala:44-178): one stats tile set per
-    parity, exploded back to cells for the SQL oracle."""
+    parity, exploded back to cells for the SQL oracle. Also exercises the
+    rank-aggregate path: agg_local(..., 'median') — the per-pixel exact
+    median composite (explode -> percentile -> assemble), joined in as
+    med_v against DuckDB's median()."""
     t = _tiles_df(spark, sf_dir).withColumn(
         "parity", (F.col("grp") % 2).cast("int"))
     m = rf.agg_local(t, "qty", "stats", ["parity"])
     ex = rf.explode_tiles(m, ["mean", "count"], keep_cols=["parity"])
-    return ex.select(
+    med = rf.agg_local(t, "qty", "median", ["parity"])
+    med_ex = rf.explode_tiles(med, ["tile"], keep_cols=["parity"]).select(
+        "parity", "column_index", "row_index",
+        F.round(F.col("tile"), 6).alias("med_v"))
+    out = ex.select(
         "parity", "column_index", "row_index",
         F.round(F.col("mean"), 6).alias("mean_v"),
         F.col("count").cast("long").alias("n"),
     ).where(F.col("mean_v").isNotNull())
+    return out.join(med_ex, ["parity", "column_index", "row_index"], "left")
 
 
 def _q_explode(spark, sf_dir):
@@ -1351,7 +1359,8 @@ def oracle_sql() -> dict[str, str]:
             select cast(grp % 2 as int) as parity,
                    ci as column_index, ri as row_index,
                    round(sum(qty)/count(qty), 6) as mean_v,
-                   count(qty) as n
+                   count(qty) as n,
+                   round(median(qty), 6) as med_v
             from cells group by 1, 2, 3 having count(qty) > 0""",
         "explode_tiles": C + """
             select grp, ci as column_index, ri as row_index, qty as cell

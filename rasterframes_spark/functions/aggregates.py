@@ -38,7 +38,7 @@ __all__ = [
     "rf_agg_equal_width_histogram",
     "agg_local",
     "agg_local_stats", "agg_local_min", "agg_local_max", "agg_local_mean",
-    "agg_local_data_cells", "agg_local_no_data_cells",
+    "agg_local_median", "agg_local_data_cells", "agg_local_no_data_cells",
     "grouped_agg_local", "rf_agg_overview_raster",
 ]
 
@@ -468,8 +468,41 @@ def _out_tile_fields(which):
     return [StructField(n, TILE_SCHEMA, True) for n in names]
 
 
+def _agg_local_rank(df: DataFrame, tile_c, gcols: list, q: float) -> DataFrame:
+    """Per-pixel EXACT quantile across rows (q=0.5 = the median composite —
+    the cloud-free mosaicking workhorse the running-moment state of
+    ``agg_local`` cannot express).
+
+    Spark-first shape, no Python in the hot path: explode tiles to cell
+    rows (one Arrow crossing), ``groupBy(group, pixel)`` with the built-in
+    exact ``percentile`` (continuous interpolation, ignores NoData nulls),
+    then assemble back into tiles. Two shuffles: cell rows into the
+    per-pixel aggregate, then one row per pixel into the tile assembler —
+    both keyed finer than the group, so a 10k-scene stack over one grid
+    cell spreads across the cluster instead of pinning one task (the
+    applyInPandas alternative would hold all N scenes of a group in one
+    task's memory). Pixels masked in EVERY scene come back NoData.
+    """
+    from rasterframes_spark.functions.constructors import (
+        assemble_tiles, explode_tiles)
+
+    src = df.select(*gcols, tile_c.alias("__t"))
+    dims = src.where(F.col("__t.cols").isNotNull()).select(
+        F.col("__t.cols").alias("c"), F.col("__t.rows").alias("r")).head()
+    if dims is None:
+        from pyspark.sql.types import StructType
+        in_schema = src.select(*gcols).schema
+        return df.sparkSession.createDataFrame(
+            [], StructType(list(in_schema.fields) + _out_tile_fields("tile")))
+    cells = explode_tiles(src, ["__t"]).where(F.col("__t").isNotNull())
+    per_pixel = cells.groupBy(*gcols, "column_index", "row_index").agg(
+        F.percentile("__t", F.lit(q)).alias("__v"))
+    return assemble_tiles(per_pixel, gcols, "column_index", "row_index",
+                          "__v", int(dims["c"]), int(dims["r"]), "float64")
+
+
 def agg_local(df: DataFrame, tile, which: str = "mean",
-              group_cols: list | None = None) -> DataFrame:
+              group_cols: list | None = None, q: float | None = None) -> DataFrame:
     """Unified cell-wise (per-pixel) aggregate across rows.
 
     One API for both shapes (reference LocalStatsAggregate.scala:44-178 /
@@ -484,7 +517,11 @@ def agg_local(df: DataFrame, tile, which: str = "mean",
       applyInPandas; the group's tiles stream through one Python pass.
 
     ``which``: mean | min | max | sum | data_cells | no_data_cells | stats
-    (stats -> five tile columns: count, min, max, mean, variance).
+    (stats -> five tile columns: count, min, max, mean, variance) |
+    median | quantile (with ``q=``) — the rank aggregates take a different
+    physical plan (explode -> per-pixel exact ``percentile`` -> assemble,
+    see :func:`_agg_local_rank`) because they need the full value set per
+    pixel, not a mergeable running state.
     Requires uniform tile dimensions within each aggregation scope (the
     reference enforces the same, ExplodeTiles.scala:72-75).
 
@@ -494,6 +531,16 @@ def agg_local(df: DataFrame, tile, which: str = "mean",
     from pyspark.sql.types import StructType
 
     tile_c = col_or_name(tile)
+
+    if which in ("median", "quantile"):
+        if which == "quantile":
+            if q is None:
+                raise ValueError("agg_local(..., 'quantile') requires q=")
+        else:
+            q = 0.5
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile q must be in [0, 1], got {q}")
+        return _agg_local_rank(df, tile_c, list(group_cols or []), float(q))
 
     if group_cols:
         in_schema = df.select(*group_cols).schema
@@ -582,6 +629,13 @@ def agg_local_stats(df: DataFrame, tile):
     Tiles (aggregates/LocalStatsAggregate.scala:44-178). Driver-finish
     convenience over ``agg_local(df, tile, 'stats')``."""
     return _collect_single(agg_local(df, tile, "stats"), "stats")
+
+
+def agg_local_median(df: DataFrame, tile) -> Tile:
+    """Per-pixel exact median across all rows (the cloud-free composite),
+    collected to one local Tile. Distributed finish via
+    ``agg_local(df, tile, 'median')``."""
+    return _collect_single(agg_local(df, tile, "median"), "tile")
 
 
 def agg_local_min(df: DataFrame, tile) -> Tile:

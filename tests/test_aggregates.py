@@ -76,6 +76,47 @@ def test_agg_local_mean_min_max(spark, tile_df, tiles):
     assert np.allclose(np.asarray(gmax.masked()), np.asarray(stack.max(axis=0)))
 
 
+def test_agg_local_median_quantile(spark, tile_df, tiles):
+    """Per-pixel exact median/quantile (the cloud-free composite) vs the
+    numpy stack oracle, masked cells excluded per pixel."""
+    stack = np.ma.stack([t.masked().astype("float64") for t in tiles])
+
+    got = rf.agg_local_median(tile_df, "tile")
+    exp = np.ma.median(stack, axis=0)
+    assert np.allclose(np.asarray(got.masked()), np.asarray(exp))
+    assert np.array_equal(np.ma.getmaskarray(got.masked()),
+                          np.ma.getmaskarray(exp))
+
+    # quantile via the unified API, grouped
+    df2 = tile_df.withColumn("g", (F.length("tile_id") % 2).cast("int"))
+    out = {r["g"]: r["tile"]
+           for r in rf.agg_local(df2, "tile", "quantile",
+                                 ["g"], q=0.25).collect()}
+    from rasterframes_spark.functions._kernel import decode_struct_pdf
+    import pandas as pd
+    for g in (0, 1):
+        idx = [i for i in range(len(tiles)) if len(f"t{i}") % 2 == g]
+        sub = np.ma.stack([tiles[i].masked().astype("float64") for i in idx])
+        t = decode_struct_pdf(pd.DataFrame([out[g].asDict()]))[0]
+        # continuous-interpolation quantile over unmasked values per pixel
+        exp = np.full(sub.shape[1:], np.nan)
+        m = np.ma.getmaskarray(sub)
+        for rr in range(sub.shape[1]):
+            for cc in range(sub.shape[2]):
+                vals = np.asarray(sub[:, rr, cc][~m[:, rr, cc]])
+                if len(vals):
+                    exp[rr, cc] = np.quantile(vals, 0.25)
+        got_a = np.asarray(t.masked().filled(np.nan))
+        assert np.allclose(got_a, exp, equal_nan=True)
+
+
+def test_agg_local_quantile_validation(spark, tile_df):
+    with pytest.raises(ValueError, match="requires q="):
+        rf.agg_local(tile_df, "tile", "quantile")
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        rf.agg_local(tile_df, "tile", "quantile", q=1.5)
+
+
 def test_agg_local_stats_counts(spark, tile_df, tiles):
     stats = rf.agg_local_stats(tile_df, "tile")
     stack = np.ma.stack([t.masked().astype("float64") for t in tiles])
