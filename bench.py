@@ -176,6 +176,39 @@ def main():
     run("baseline_encode_f32_256_x2000", enc_2000, repeat=3)
     run("baseline_roundtrip_f64_512_x1000", rt_1000, repeat=3)
 
+    # multiband PNG render vs BASELINE.md MultibandRenderBench (397.7
+    # ms/op, Landsat-8 natural-color COG -> adjusted RGB PNG). The exact
+    # Norfolk fixture isn't in this checkout; same workload class on the
+    # Memphis COG band (963x754 uint16, decoded by our own TIFF reader)
+    # or a same-shape synthetic when the fixture is absent. Single-op
+    # local python, matching the JMH harness.
+    import os as _os
+    from rasterframes_spark.sources import geotiff as _GT
+    from rasterframes_spark.sources.png import encode_png as _encode_png
+
+    _memphis = "/root/reference/core/src/test/resources/LC08_B7_Memphis_COG.tiff"
+    if _os.path.exists(_memphis):
+        with open(_memphis, "rb") as _f:
+            _cog = _f.read()
+        _inf = _GT.read_info(_cog)
+        _band = _GT.read_window(_cog, _inf, 0, 0, _inf.width, _inf.height)
+    else:
+        _band = (np.random.default_rng(5)
+                 .integers(4000, 16000, (754, 963)).astype("uint16"))
+    _rgb_in = (_band, np.roll(_band, 7, axis=0), np.roll(_band, 13, axis=1))
+
+    def _render_png_once():
+        def adjust(a):
+            a = a.astype("float64")
+            lo, hi = a.min(), a.max()
+            x = np.clip((a - lo) / ((hi - lo) or 1) * 255.0, 0, 255)
+            x = 255.0 * (x / 255.0) ** (1 / 0.8)   # gamma 0.8
+            return np.clip(x, 0, 255).astype("uint8")
+
+        _encode_png(np.stack([adjust(b) for b in _rgb_in], axis=-1))
+
+    run("baseline_render_png_963x754_rgb", _render_png_once, repeat=5)
+
     total = round(sum(timings.values()), 3)
     floor = timings.get("baseline_arrow_floor_100x64", 0.0)
     derived = {
