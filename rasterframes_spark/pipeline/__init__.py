@@ -8,6 +8,7 @@ from rasterframes_spark.pipeline.multimodal import *  # noqa: F401,F403
 from rasterframes_spark.pipeline.audio import *  # noqa: F401,F403
 from rasterframes_spark.pipeline.skew import *  # noqa: F401,F403
 from rasterframes_spark.pipeline.curation import *  # noqa: F401,F403
+from rasterframes_spark.pipeline.scrub import *  # noqa: F401,F403
 
 from rasterframes_spark.pipeline import curation as _curation
 from rasterframes_spark.pipeline import dedup as _dedup
@@ -16,9 +17,11 @@ from rasterframes_spark.pipeline import text as _text
 from rasterframes_spark.pipeline import multimodal as _multimodal
 from rasterframes_spark.pipeline import audio as _audio
 from rasterframes_spark.pipeline import skew as _skew
+from rasterframes_spark.pipeline import scrub as _scrub
 
 __all__ = (
     list(_dedup.__all__) + list(_similarity.__all__)
     + list(_text.__all__) + list(_multimodal.__all__)
     + list(_audio.__all__) + list(_skew.__all__) + list(_curation.__all__)
+    + list(_scrub.__all__)
 )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "doc_digest", "dedup_against_exact", "dedup_against_minhash",
     "decontaminate", "sample_mixture", "pack_documents",
+    "split_dataset", "shuffle_deterministic",
 ]
 
 
@@ -153,6 +154,54 @@ def sample_mixture(df: DataFrame, weights: dict, source_col: str = "source",
                            for x in (F.lit(s), F.lit(float(w)))])
     keep = u < F.coalesce(w_map[F.col(source_col)], F.lit(0.0))
     return df.where(keep)
+
+
+def split_dataset(df: DataFrame, weights: dict | None = None,
+                  id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic train/val/test assignment: appends a ``split``
+    column chosen by hashing the DOCUMENT ID (not an RNG stream), so the
+    assignment is stable across reruns, repartitionings, and incremental
+    appends — the property ``randomSplit`` does not have. One narrow
+    projection, no shuffle.
+
+    ``weights`` maps split name → fraction (must sum to ~1); default
+    ``{'train': .98, 'val': .01, 'test': .01}``. A document's split is
+    the first bucket whose cumulative weight exceeds its uniform
+    u = xxhash64(id, seed) scaled to [0, 1)."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    tot = sum(float(w) for w in weights.values())
+    if not (0.999 <= tot <= 1.001):
+        raise ValueError(f"split_dataset: weights sum to {tot}, expected 1")
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**32))
+         / F.lit(float(2**32)))
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += float(weights[name])
+        cond = u < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def shuffle_deterministic(df: DataFrame, id_col: str = "doc_id",
+                          seed: int = 42,
+                          num_partitions: int | None = None) -> DataFrame:
+    """Reproducible global shuffle for training-order randomization:
+    orders the corpus by xxhash64(id, seed) via ``repartitionByRange``
+    on the hash + ``sortWithinPartitions`` — exactly ONE shuffle, and
+    files read back in partition order yield the same permutation every
+    run (unlike ``orderBy(rand())``). Changing ``seed`` gives an
+    independent permutation (a fresh epoch order)."""
+    h = F.xxhash64(F.col(id_col), F.lit(seed)).alias("__shuf")
+    out = df.withColumn("__shuf", h)
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, "__shuf")
+    else:
+        out = out.repartitionByRange("__shuf")
+    return out.sortWithinPartitions("__shuf").drop("__shuf")
 
 
 def pack_documents(df: DataFrame, max_tokens: int,

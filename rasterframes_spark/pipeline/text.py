@@ -18,6 +18,8 @@ __all__ = [
     "token_count", "bpe_ish_token_count", "char_count", "distinct_token_ratio",
     "punctuation_ratio", "stopword_hits", "language_id", "quality_score",
     "doc_fingerprint", "text_metrics",
+    "dup_line_fraction", "dup_line_char_fraction", "top_ngram_char_fraction",
+    "dup_ngram_fraction", "repetition_metrics",
 ]
 
 # minimal per-language stopword signatures for the n-gram/stopword heuristic
@@ -151,6 +153,119 @@ def doc_fingerprint(text, modulus: int = 2147483647,
         return pd.Series(out, dtype=object)
 
     return fp(c)
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (the Gopher / MassiveText quality-filter family:
+# Rae et al. 2021, Table A1). All pure Catalyst higher-order array
+# functions over the per-document line/token arrays — per-doc scalars in
+# one narrow projection, no explode, no shuffle, no Python.
+
+
+def _lines(text) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, "\n"), lambda l: F.length(l) > 0)
+
+
+def _word_ngrams(text, n: int) -> Column:
+    toks = F.filter(_tokens(text), lambda t: F.length(t) > 0)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_line_fraction(text) -> Column:
+    """Fraction of lines that are repeats of an earlier line:
+    (n_lines − n_distinct_lines) / n_lines; 0 for empty docs."""
+    ls = _lines(text)
+    return F.when(F.size(ls) > 0,
+                  (F.size(ls) - F.size(F.array_distinct(ls)))
+                  / F.size(ls).cast("double")).otherwise(F.lit(0.0))
+
+
+def dup_line_char_fraction(text) -> Column:
+    """Fraction of line characters contained in repeated line occurrences
+    (every occurrence beyond a line's first counts its full length).
+
+    One ``aggregate`` fold over the SORTED line array with a
+    (prev, extra-chars) struct accumulator — equal lines are adjacent
+    after the sort, so a single linear pass attributes repeat chars."""
+    ls = _lines(text)
+    total = F.aggregate(ls, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x))
+    extra = F.aggregate(
+        F.array_sort(ls),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("extra")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (acc["extra"] + F.when(x == acc["prev"], F.length(x))
+             .otherwise(F.lit(0))).alias("extra")),
+        lambda acc: acc["extra"])
+    return F.when(total > 0, extra / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_fraction(text, n: int = 2) -> Column:
+    """Fraction of document characters covered by the single most
+    frequent word ``n``-gram: count(top gram) · len(top gram) / len(doc).
+    Ties break to the lexicographically smallest gram.
+
+    Run-length scan over the sorted n-gram array (aggregate with a
+    (prev, run, best_gram, best) accumulator) — no explode, no
+    per-doc groupBy."""
+    grams = _word_ngrams(text, n)
+    c = F.col(text) if isinstance(text, str) else text
+    best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(None).cast("string").alias("best_gram"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.when(F.when(x == acc["prev"], acc["run"] + 1)
+                   .otherwise(F.lit(1)) > acc["best"], x)
+            .otherwise(acc["best_gram"]).alias("best_gram"),
+            F.greatest(F.when(x == acc["prev"], acc["run"] + 1)
+                       .otherwise(F.lit(1)), acc["best"]).alias("best")),
+    )
+    return F.when(
+        best["best"] > 0,
+        best["best"] * F.length(best["best_gram"])
+        / F.greatest(F.length(c), F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction(text, n: int = 5) -> Column:
+    """Fraction of word ``n``-grams that are repeats of an earlier
+    occurrence: (n_grams − n_distinct) / n_grams; 0 when the doc is
+    shorter than ``n`` tokens."""
+    g = _word_ngrams(text, n)
+    return F.when(F.size(g) > 0,
+                  (F.size(g) - F.size(F.array_distinct(g)))
+                  / F.size(g).cast("double")).otherwise(F.lit(0.0))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       top_ns: tuple = (2, 3, 4),
+                       dup_ns: tuple = (5, 10)) -> DataFrame:
+    """All Gopher-style repetition signals in one projection. The usual
+    filter is e.g. ``dup_line_frac <= 0.30 AND top_2gram_char_frac <=
+    0.20 AND dup_5gram_frac <= 0.15``."""
+    cols = [
+        F.round(dup_line_fraction(text_col), 6).alias("dup_line_frac"),
+        F.round(dup_line_char_fraction(text_col), 6)
+        .alias("dup_line_char_frac"),
+    ]
+    cols += [F.round(top_ngram_char_fraction(text_col, n), 6)
+             .alias(f"top_{n}gram_char_frac") for n in top_ns]
+    cols += [F.round(dup_ngram_fraction(text_col, n), 6)
+             .alias(f"dup_{n}gram_frac") for n in dup_ns]
+    return df.select("*", *cols)
 
 
 def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,220 @@
+"""PII scrub, URL/domain filtering, Gopher-style repetition metrics,
+deterministic split/shuffle — python-oracle value checks plus the
+scale-posture invariants (no shuffle in narrow passes, stability under
+repartitioning)."""
+
+import collections
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rasterframes_spark import pipeline as P
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# PII
+
+
+PII_DOC = ("Contact john.doe+spam@example.co.uk or call +1 (555) 123-4567. "
+           "SSN 123-45-6789, card 4111 1111 1111 1111, server 10.0.0.1, "
+           "also 555-867-5309 and plain text stays.")
+
+
+def test_pii_scrub_all_kinds(spark):
+    df = spark.createDataFrame([(PII_DOC,), ("no pii here",)], ["text"])
+    out = df.select(P.pii_scrub("text").alias("t")).collect()
+    t = out[0]["t"]
+    assert "<EMAIL>" in t and "john.doe" not in t
+    assert "<SSN>" in t and "123-45-6789" not in t
+    assert "<CREDIT_CARD>" in t and "4111 1111 1111 1111" not in t
+    assert "<IP>" in t and "10.0.0.1" not in t
+    assert "<PHONE>" in t and "555-867-5309" not in t
+    assert "plain text stays" in t
+    assert out[1]["t"] == "no pii here"
+
+
+def test_pii_scrub_kind_subset_and_counts(spark):
+    df = spark.createDataFrame([(PII_DOC,)], ["text"])
+    only_email = df.select(P.pii_scrub("text", kinds=("email",)).alias("t")) \
+        .collect()[0]["t"]
+    assert "<EMAIL>" in only_email and "123-45-6789" in only_email
+    with pytest.raises(ValueError):
+        P.pii_scrub("text", kinds=("emial",))
+    c = df.select(P.pii_counts("text").alias("c")).collect()[0]["c"]
+    assert c["email"] == 1 and c["ssn"] == 1 and c["credit_card"] == 1
+    assert c["ipv4"] == 1 and c["phone"] == 2
+    # no double counting: the SSN digits are not also phone hits
+    zero = spark.createDataFrame([("SSN 123-45-6789 only",)], ["text"]) \
+        .select(P.pii_counts("text").alias("c")).collect()[0]["c"]
+    assert zero["ssn"] == 1 and zero["phone"] == 0
+
+
+def test_pii_scrub_false_positive_guard(spark, docs):
+    # ordinary prose (the synthetic corpus has no PII): scrub is identity
+    n_changed = docs.select(
+        (P.pii_scrub("text") != F.col("text")).cast("int").alias("ch")) \
+        .agg(F.sum("ch")).collect()[0][0]
+    assert n_changed == 0
+
+
+# ---------------------------------------------------------------------------
+# URLs / domains
+
+
+def test_extract_urls_and_domains(spark):
+    df = spark.createDataFrame([
+        ("see https://Example.COM/a?x=1 and http://sub.spam.io/path.",),
+        ("no links",),
+        ("dup https://a.io/1 https://a.io/2",),
+    ], ["text"])
+    rows = df.select(P.extract_urls("text").alias("u"),
+                     P.url_domains("text").alias("d")).collect()
+    assert rows[0]["u"] == ["https://Example.COM/a?x=1",
+                           "http://sub.spam.io/path."]
+    assert rows[0]["d"] == ["example.com", "sub.spam.io"]
+    assert rows[1]["u"] == [] and rows[1]["d"] == []
+    assert rows[2]["d"] == ["a.io"]
+
+
+def test_filter_by_domains_list_and_df(spark):
+    df = spark.createDataFrame([
+        (1, "ok doc https://good.org/x"),
+        (2, "bad doc https://spam.io/y"),
+        (3, "plain doc"),
+    ], ["id", "text"])
+    blocked = P.filter_by_domains(df, ["spam.io"], mode="block")
+    assert sorted(r["id"] for r in blocked.collect()) == [1, 3]
+    allowed = P.filter_by_domains(df, ["good.org"], mode="allow")
+    assert [r["id"] for r in allowed.collect()] == [1]
+    # DataFrame blocklist path (broadcast semi-join)
+    bl = spark.createDataFrame([("SPAM.io",)], ["domain"])
+    blocked2 = P.filter_by_domains(df, bl, mode="block")
+    assert sorted(r["id"] for r in blocked2.collect()) == [1, 3]
+    assert blocked2.columns == df.columns
+    with pytest.raises(ValueError):
+        P.filter_by_domains(df, ["x"], mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (python oracle mirrors the Gopher definitions)
+
+
+def _oracle_metrics(text):
+    lines = [l for l in text.split("\n") if l]
+    nl = len(lines)
+    dup_line = (nl - len(set(lines))) / nl if nl else 0.0
+    total_chars = sum(len(l) for l in lines)
+    cnt = collections.Counter(lines)
+    extra = sum((k - 1) * len(l) for l, k in cnt.items())
+    dup_line_char = extra / total_chars if total_chars else 0.0
+    toks = [t for t in re.split(" ", text.replace("\n", " ")) if t]
+    return dup_line, dup_line_char, toks
+
+
+def _top_ngram_frac(text, toks, n):
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return 0.0
+    cnt = collections.Counter(grams)
+    best = max(cnt.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+    # tie-break: smallest gram among max counts
+    mx = max(cnt.values())
+    gram = min(g for g, k in cnt.items() if k == mx)
+    return mx * len(gram) / max(len(text), 1)
+
+
+CASES = [
+    "aa bb aa bb aa bb cc",                      # heavy 2-gram repetition
+    "x",                                          # single token
+    "",                                           # empty
+    "line1\nline2\nline1\nline3\nline1",          # repeated lines
+    "the cat sat on the mat the cat sat again",
+    "one two three four five six seven eight nine ten",
+]
+
+
+def test_repetition_metrics_vs_python_oracle(spark):
+    # note: engine tokenizes on single spaces within lines; oracle matches
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CASES)],
+                               ["id", "text"])
+    out = {r["id"]: r for r in
+           P.repetition_metrics(df, "text", top_ns=(2,), dup_ns=(5,))
+           .collect()}
+    for i, t in enumerate(CASES):
+        dup_line, dup_line_char, toks = _oracle_metrics(t)
+        r = out[i]
+        assert r["dup_line_frac"] == pytest.approx(dup_line, abs=1e-6), t
+        assert r["dup_line_char_frac"] == pytest.approx(dup_line_char,
+                                                        abs=1e-6), t
+        # top-2gram oracle (multi-line docs tokenize per line in the
+        # engine, so restrict the value check to single-line docs)
+        if "\n" not in t:
+            exp = _top_ngram_frac(t, toks, 2)
+            assert r["top_2gram_char_frac"] == pytest.approx(exp, abs=1e-6), t
+            grams5 = [" ".join(toks[i:i + 5])
+                      for i in range(len(toks) - 4)] if len(toks) >= 5 else []
+            exp5 = ((len(grams5) - len(set(grams5))) / len(grams5)
+                    if grams5 else 0.0)
+            assert r["dup_5gram_frac"] == pytest.approx(exp5, abs=1e-6), t
+
+
+def test_repetition_metrics_no_shuffle(spark, docs):
+    plan = P.repetition_metrics(docs.select("doc_id", "text")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one narrow projection
+
+
+# ---------------------------------------------------------------------------
+# split / shuffle
+
+
+def test_split_dataset_deterministic_and_weighted(spark, docs):
+    out = P.split_dataset(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                          seed=7)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 0.6 * n  # loose: sf0.001 is small
+    # stable under repartitioning and reruns
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         P.split_dataset(docs.repartition(13),
+                         {"train": 0.8, "val": 0.1, "test": 0.1},
+                         seed=7).collect()}
+    assert a == b
+    # different seed -> different assignment
+    c = {(r["doc_id"], r["split"]) for r in
+         P.split_dataset(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                         seed=8).collect()}
+    assert a != c
+    with pytest.raises(ValueError):
+        P.split_dataset(docs, {"train": 0.5})
+
+
+def test_shuffle_deterministic(spark, docs):
+    base = docs.select("doc_id")
+
+    def perm(df):
+        # concatenate partitions in order: the permutation a sequential
+        # reader of the written files would see
+        return [r["doc_id"] for part in df.rdd.glom().collect() for r in part]
+
+    p1 = perm(P.shuffle_deterministic(base, num_partitions=4, seed=3))
+    p2 = perm(P.shuffle_deterministic(base.repartition(9), num_partitions=4,
+                                      seed=3))
+    all_ids = sorted(r["doc_id"] for r in base.collect())
+    assert p1 == p2                      # same permutation, any input layout
+    assert sorted(p1) == all_ids         # it is a permutation
+    assert p1 != all_ids                 # and actually shuffled
+    p3 = perm(P.shuffle_deterministic(base, num_partitions=4, seed=4))
+    assert p1 != p3                      # new seed, new epoch order
