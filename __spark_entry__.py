@@ -919,7 +919,62 @@ def _q_curation(spark, sf_dir):
         .select(F.lit("contaminated").alias("family"),
                 F.col("doc_id").cast("string").alias("key"),
                 F.col("contaminated").cast("long").alias("val"))
-    return kept.unionByName(srcd).unionByName(dec)
+
+    # PII / URL families (pipeline/scrub.py): the corpus is digit-free
+    # prose, so synthetic PII appended per doc_id residue gives the
+    # oracle a CLOSED-FORM expected count (not a regex mirror)
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit(" reach bob"), F.col("doc_id").cast("string"),
+            F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".org"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(
+            F.lit(" node 10.1."), (F.col("doc_id") % 200).cast("string"),
+            F.lit("."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(" up"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(
+            F.lit(" see https://ex"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".org/p"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("")))
+    augd = docs.select("doc_id", "source", aug.alias("aug"))
+    piic = augd.select("source", P.pii_counts("aug").alias("c"))
+    pii = piic.groupBy("source").agg(
+        F.sum("c.email").alias("em"), F.sum("c.ipv4").alias("ip"))
+    pii_em = pii.select(F.lit("pii_email").alias("family"),
+                        F.col("source").alias("key"),
+                        F.col("em").cast("long").alias("val"))
+    pii_ip = pii.select(F.lit("pii_ipv4").alias("family"),
+                        F.col("source").alias("key"),
+                        F.col("ip").cast("long").alias("val"))
+    urld = (augd.select(F.explode(P.url_domains("aug")).alias("dom"))
+            .groupBy("dom").agg(F.count("*").alias("n"))
+            .select(F.lit("url_dom").alias("family"),
+                    F.col("dom").alias("key"),
+                    F.col("n").cast("long").alias("val")))
+
+    # Repetition families (pipeline/text.py): integer-exact values —
+    # frac * its own denominator recovers the raw char counts, so no
+    # float-rounding risk in the hash compare
+    rep = docs.where(F.col("doc_id") < 200)
+    as_lines = F.translate(F.col("text"), " ", "\n")
+    tok_chars = F.length(F.translate(F.col("text"), " ", ""))
+    rep_extra = rep.select(
+        F.lit("rep_extra").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.round(P.dup_line_char_fraction(as_lines) * tok_chars)
+        .cast("long").alias("val"))
+    rep_top2 = rep.select(
+        F.lit("rep_top2").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.round(P.top_ngram_char_fraction("text", 2)
+                * F.greatest(F.length("text"), F.lit(1)))
+        .cast("long").alias("val"))
+
+    out = kept
+    for part in (srcd, dec, pii_em, pii_ip, urld, rep_extra, rep_top2):
+        out = out.unionByName(part)
+    return out
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -1777,7 +1832,31 @@ def oracle_sql() -> dict[str, str]:
                             i -> array_to_string(t[i:i+12], ' '))) as g
               from toks where len(t) >= 13
             ),
-            hits as (select distinct grams.doc_id from grams join bench using (g))
+            hits as (select distinct grams.doc_id from grams join bench using (g)),
+            rep_toks as (
+              select doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        t -> len(t) > 0)) as tok
+              from documents where doc_id < 200
+            ),
+            rep_grams as (
+              select doc_id, g, count(*) as c from (
+                select doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) as g
+                from (select doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> len(x) > 0) as t
+                      from documents where doc_id < 200)
+                where len(t) >= 2
+              ) group by doc_id, g
+            ),
+            rep_top as (
+              select doc_id, cast(c * len(g) as bigint) as val,
+                     row_number() over (partition by doc_id
+                                        order by c desc, g asc) as rn
+              from rep_grams
+            )
             select 'dedup_kept' as family, cast(n.doc_id as varchar) as key,
                    cast(1 as bigint) as val
             from newdocs n
@@ -1789,7 +1868,34 @@ def oracle_sql() -> dict[str, str]:
             select 'contaminated', cast(d.doc_id as varchar),
                    cast(case when h.doc_id is not null then 1 else 0 end as bigint)
             from (select doc_id from documents where doc_id < 40) d
-            left join hits h using (doc_id)""",
+            left join hits h using (doc_id)
+            union all
+            -- closed-form: the corpus is digit-free prose, so the only
+            -- PII/URLs are the per-residue synthetic spans
+            select 'pii_email', source,
+                   cast(count(*) filter (where doc_id % 3 = 0) as bigint)
+            from documents group by source
+            union all
+            select 'pii_ipv4', source,
+                   cast(count(*) filter (where doc_id % 4 = 0) as bigint)
+            from documents group by source
+            union all
+            select 'url_dom', dom, cast(count(*) as bigint) from (
+              select 'ex' || cast(doc_id % 3 as varchar) || '.org' as dom
+              from documents where doc_id % 7 = 0
+            ) group by dom
+            union all
+            select 'rep_extra', cast(doc_id as varchar),
+                   cast(sum((c - 1) * l) as bigint)
+            from (select doc_id, tok, count(*) as c, len(tok) as l
+                  from rep_toks group by doc_id, tok)
+            group by doc_id
+            union all
+            select 'rep_top2', cast(d.doc_id as varchar),
+                   coalesce(t.val, cast(0 as bigint))
+            from (select doc_id from documents where doc_id < 200) d
+            left join (select doc_id, val from rep_top where rn = 1) t
+              using (doc_id)""",
         "ngram_jaccard": """
             with t as (
               select doc_id, lang, source,
