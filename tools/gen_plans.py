@@ -90,6 +90,17 @@ def main():
         e._q_raster_join(spark, sf))
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    docs_df = spark.read.parquet(f"{sf}/documents.parquet")
+    add("scrub + repetition quality pass (pii_scrub / repetition_metrics)",
+        "The whole PII-redaction + Gopher-repetition-metrics pass is ONE "
+        "narrow codegen'd projection — **no Exchange, no Python worker**: "
+        "regexp chains and higher-order array folds evaluate JVM-side, so a "
+        "100 TB scrub is scan-bound and Parquet prunes to the text column "
+        "only.",
+        P.repetition_metrics(
+            docs_df.select("doc_id",
+                           P.pii_scrub("text").alias("text")), "text"))
+
     add("cosine_topk (matmul scoring path)",
         "Corpus scans straight into one mapInPandas (BLAS matmul per Arrow "
         "batch vs ALL queries — queries ride the closure, **corpus never "
