@@ -212,6 +212,27 @@ def hash_bytes32(data: bytes) -> int:
     return zlib.crc32(data) & 0x7FFFFFFF
 
 
+def _spread(df: DataFrame, rows: int | None = None,
+            rows_per_task: int = 2000) -> DataFrame:
+    """Spread a narrow input across cores before a per-row UDF pass.
+
+    Small/single-file corpora scan as ONE partition (128 MB
+    maxPartitionBytes), which would serialize the signature UDF onto one
+    core. When the row count is known (the skew guard already has it),
+    pick ceil(rows / rows_per_task) partitions capped at
+    defaultParallelism — enough tasks to engage the cluster without
+    paying a Python-worker startup per handful of rows. At real scale
+    the input already has >= the target partitions and this is a NO-OP:
+    no extra shuffle on the 100 TB path."""
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism
+    target = (cap if rows is None
+              else max(2, min(cap, -(-int(rows) // rows_per_task))))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _pair_select(joined: DataFrame, id_col: str, carry_cols: list[str]) -> DataFrame:
     sel = [F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")]
     for c in carry_cols:
@@ -325,7 +346,9 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     # the source row count upper-bounds every LSH bucket, so the skew
     # guard can skip detection outright at sub-threshold scale
     n_docs = df.count() if input_rows == "auto" else input_rows
-    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
+    src = _spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")),
+        rows=n_docs if isinstance(n_docs, int) else None)
     # fused text->shingle->minhash: one Arrow crossing of the raw text
     # (see minhash_signature_text) — no corpus-wide HOF shingling, and the
     # cached signatures carry 64 longs per doc instead of shingle arrays
@@ -414,7 +437,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     chunks = max_hamming + 1
     width = 64 // chunks
     n_docs = df.count() if input_rows == "auto" else input_rows
-    sh = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
+    sh = _spread(df.select(F.col(id_col).alias("__id"),
+                           F.col(text_col).alias("__t")),
+                 rows=n_docs if isinstance(n_docs, int) else None) \
+        .select("__id", simhash("__t").alias("__sh"))
     mask = (1 << width) - 1
     if mask >= (1 << 63):
         mask -= 1 << 64  # two's-complement signed long (width == 64 -> -1)
