@@ -24,9 +24,88 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = [
-    "read_tile_stream", "windowed_tile_stats", "streaming_dedup",
-    "stateful_sessionizer",
+    "read_tile_stream", "read_geotiff_stream", "windowed_tile_stats",
+    "streaming_dedup", "stateful_sessionizer",
 ]
+
+
+def read_geotiff_stream(spark: SparkSession, directory: str,
+                        tile_dimensions: tuple = (256, 256), band: int = 0,
+                        pattern: str = "*.tif*",
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    """Continuous raster ingest: watch ``directory`` for new GeoTIFFs and
+    emit tile-chunk rows — the streaming counterpart of
+    ``spark.read.geotiff`` (the reference has no streaming source at all;
+    SURVEY §1.2).
+
+    Built on the ``binaryFile`` file-source (so checkpointing, exactly-
+    once file tracking, and ``maxFilesPerTrigger`` rate limiting come from
+    Spark), with the pure-python TIFF codec decoding each scene's bytes
+    inside ``mapInPandas`` — chunking happens where the bytes already
+    are, no second read, one task per file batch. Output schema:
+    (path, ts, spatial_key{col,row}, extent{xmin..ymax}, crs, tile).
+
+    Every rf_* scalar works downstream unchanged; combine with
+    ``windowed_tile_stats`` for rolling scene statistics."""
+    import numpy as np
+    import pandas as pd
+
+    from rasterframes_spark.sources import geotiff as GT
+    from rasterframes_spark.sources.raster_reader import _celltype_for
+    from rasterframes_spark.tile import Tile
+
+    tw, th = int(tile_dimensions[0]), int(tile_dimensions[1])
+    bin_schema = ("path string, modificationTime timestamp, "
+                  "length long, content binary")
+    reader = (spark.readStream.format("binaryFile").schema(bin_schema)
+              .option("pathGlobFilter", pattern))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(int(max_files_per_trigger)))
+    src = reader.load(directory).select("path", "modificationTime", "content")
+
+    out_schema = (
+        "path string, ts timestamp, "
+        "spatial_key struct<col:int,row:int>, "
+        "extent struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
+        "crs string, "
+        "tile struct<cell_type:string,cols:int,rows:int,cells:binary>")
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for path, ts, content in zip(pdf["path"], pdf["modificationTime"],
+                                         pdf["content"]):
+                data = bytes(content)
+                info = GT.read_info(data)
+                ct = _celltype_for(info)
+                xmin, ymin, xmax, ymax = info.extent
+                pw = (xmax - xmin) / info.width
+                ph = (ymax - ymin) / info.height
+                for r0 in range(0, info.height, th):
+                    for c0 in range(0, info.width, tw):
+                        w = min(tw, info.width - c0)
+                        h = min(th, info.height - r0)
+                        arr = GT.read_window(data, info, c0, r0, w, h, band)
+                        if info.nodata is not None and not np.issubdtype(
+                                arr.dtype, np.floating):
+                            arr = np.ma.masked_equal(arr, info.nodata)
+                        rows.append({
+                            "path": path, "ts": ts,
+                            "spatial_key": {"col": c0 // tw, "row": r0 // th},
+                            "extent": {
+                                "xmin": xmin + c0 * pw,
+                                "ymax": ymax - r0 * ph,
+                                "xmax": xmin + (c0 + w) * pw,
+                                "ymin": ymax - (r0 + h) * ph,
+                            },
+                            "crs": info.crs,
+                            "tile": Tile(arr, ct).to_row(),
+                        })
+            yield pd.DataFrame(rows, columns=[
+                "path", "ts", "spatial_key", "extent", "crs", "tile"])
+
+    return src.mapInPandas(decode, schema=out_schema)
 
 
 def read_tile_stream(spark: SparkSession, directory: str, schema) -> DataFrame:

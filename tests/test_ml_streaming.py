@@ -85,3 +85,65 @@ def test_streaming_dedup(spark, tmp_path):
         assert {r["k"]: r["c"] for r in got} == {"x": 1, "y": 1}
     finally:
         q.stop()
+
+
+def test_read_geotiff_stream(spark, tmp_path):
+    """Streaming GeoTIFF ingest: files landing in a directory stream out
+    as tile-chunk rows; incremental runs over a checkpoint process only
+    NEW scenes; values match the batch codec exactly."""
+    from rasterframes_spark.sources import geotiff as GT
+    from rasterframes_spark.streaming import read_geotiff_stream
+
+    src = str(tmp_path / "scenes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    rng = np.random.default_rng(7)
+    scenes = {}
+    for name, (h, w) in [("a", (20, 20)), ("b", (16, 30))]:
+        arr = rng.integers(0, 200, (h, w)).astype("uint16")
+        scenes[name] = arr
+        with open(f"{src}/{name}.tif", "wb") as f:
+            f.write(GT.write_geotiff(arr, (0.0, 0.0, float(w), float(h)),
+                                     "EPSG:32618", tile_size=16))
+
+    out_dir = str(tmp_path / "out")
+    stream = read_geotiff_stream(spark, src, tile_dimensions=(16, 16))
+    assert stream.isStreaming
+    # rf scalar ops compose on the stream unchanged
+    enriched = stream.select("*", rf.rf_tile_sum("tile").alias("s"))
+    q = (enriched.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    # a: 20x20/16 -> 2x2 = 4 chunks; b: 16x30 -> 1x2 = 2 chunks
+    assert len(got) == 6
+    by_scene = {}
+    for r in got:
+        key = os.path.basename(r["path"]).split(".")[0]
+        by_scene.setdefault(key, []).append(r)
+        tr = r["tile"]
+        t = Tile.from_parts(tr["cell_type"], tr["cols"], tr["rows"],
+                            bytes(tr["cells"]))
+        sk = r["spatial_key"]
+        exp = scenes[key][sk["row"] * 16: sk["row"] * 16 + t.cells.shape[0],
+                          sk["col"] * 16: sk["col"] * 16 + t.cells.shape[1]]
+        np.testing.assert_array_equal(np.asarray(t.cells), exp)
+        assert r["s"] == float(exp.sum())
+        assert r["crs"] == "EPSG:32618"
+    assert len(by_scene["a"]) == 4 and len(by_scene["b"]) == 2
+
+    # incremental: drop a third scene, same checkpoint -> only new rows
+    arr = rng.integers(0, 200, (8, 8)).astype("uint16")
+    with open(f"{src}/c.tif", "wb") as f:
+        f.write(GT.write_geotiff(arr, (0.0, 0.0, 8.0, 8.0), "EPSG:32618",
+                                 tile_size=16))
+    q2 = (read_geotiff_stream(spark, src, tile_dimensions=(16, 16))
+          .select("*", rf.rf_tile_sum("tile").alias("s"))
+          .writeStream.format("parquet").option("path", out_dir)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    inc = spark.read.parquet(out_dir).collect()
+    assert len(inc) == 7  # 6 prior chunks + exactly one new (c.tif)
+    assert sum(1 for r in inc if r["path"].endswith("c.tif")) == 1
