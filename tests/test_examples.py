@@ -45,3 +45,13 @@ def test_multimodal_example(spark):
     assert len(result) == 12
     kinds = {r["kind"] for r in result}
     assert kinds == {"image", "video", "audio"}
+
+
+def test_time_series_example(spark):
+    import examples.time_series as ex
+
+    out = ex.main(spark)
+    assert [q for q, _ in out] == [1, 2, 3, 4]
+    means = {q: m for q, m in out}
+    # seasonal sine: Q2 (peak) > Q1 > Q3 > Q4 (trough)
+    assert means[2] > means[1] > means[3] > means[4]
