@@ -145,9 +145,11 @@ def main():
         rf.explode_tiles(t100b, ["tile"])), repeat=5)
     cells_b = rf.explode_tiles(t100b, ["tile"]).where(F.col("tile").isNotNull()).cache()
     cells_b.count()
+    # repeat=7: the budget cell with the highest run-to-run variance on a
+    # noisy host — min-of-7 keeps the recorded number close to capability
     run("baseline_assemble_100x256", lambda: force(rf.assemble_tiles(
         cells_b, ["id"], "column_index", "row_index", "tile", 256, 256, "uint16ud255")),
-        repeat=5)
+        repeat=7)
 
     # tile codec micro-cells vs BASELINE.md TileEncodeBench: per-op time =
     # cell value / op count in the name. Encode = Tile.to_row (ref: encode
