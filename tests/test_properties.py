@@ -174,3 +174,75 @@ def test_codec_fuzz_valueerror_only(seed, size):
             fn(blob)
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# scrub / repetition properties (one Spark job per example, few examples)
+
+_WORDS = ["the", "cat", "sat", "mat", "on", "a", "dog", "ran"]
+_PII = ["bob@x.io", "123-45-6789", "10.0.0.1", "4111 1111 1111 1111",
+        "555-867-5309"]
+
+
+@given(st.lists(st.lists(
+    st.sampled_from(_WORDS + _PII), min_size=1, max_size=30),
+    min_size=1, max_size=12), st.integers(0, 3))
+@settings(max_examples=8, deadline=None)
+def test_pii_scrub_idempotent_and_complete(spark, docs_tokens, nl_every):
+    """scrub is idempotent and leaves no matchable PII behind, for any
+    interleaving of prose and PII tokens (incl. newlines)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from rasterframes_spark import pipeline as P
+    from rasterframes_spark.pipeline.scrub import PII_PATTERNS
+
+    texts = []
+    for i, toks in enumerate(docs_tokens):
+        sep = "\n" if nl_every and i % (nl_every + 1) == 0 else " "
+        texts.append(sep.join(toks))
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    once = df.select(P.pii_scrub("text").alias("t"))
+    twice = once.select(P.pii_scrub("t").alias("t"))
+    a = [r["t"] for r in once.collect()]
+    b = [r["t"] for r in twice.collect()]
+    assert a == b  # idempotent
+    for t in a:
+        for _, pat, _tok in PII_PATTERNS:
+            assert not _re.search(pat, t), (t, pat)
+
+
+@given(st.lists(st.lists(
+    st.sampled_from(_WORDS), min_size=0, max_size=40),
+    min_size=1, max_size=15), st.integers(2, 3))
+@settings(max_examples=8, deadline=None)
+def test_repetition_metrics_match_python_oracle(spark, docs_tokens, n):
+    """Engine repetition fractions == python oracle for random token
+    sequences (single-line docs: engine lines == whole doc)."""
+    import collections
+
+    import pytest as _pytest
+
+    from rasterframes_spark import pipeline as P
+
+    texts = [" ".join(toks) for toks in docs_tokens]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    out = {r["id"]: r for r in P.repetition_metrics(
+        df, "text", top_ns=(n,), dup_ns=(n,)).collect()}
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split(" ") if x]
+        grams = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+        dup_frac = ((len(grams) - len(set(grams))) / len(grams)
+                    if grams else 0.0)
+        assert out[i][f"dup_{n}gram_frac"] == _pytest.approx(
+            dup_frac, abs=1e-6), t
+        if grams:
+            cnt = collections.Counter(grams)
+            mx = max(cnt.values())
+            g = min(x for x, k in cnt.items() if k == mx)
+            exp = mx * len(g) / max(len(t), 1)
+        else:
+            exp = 0.0
+        assert out[i][f"top_{n}gram_char_frac"] == _pytest.approx(
+            exp, abs=1e-6), t
