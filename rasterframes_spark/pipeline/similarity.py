@@ -19,7 +19,69 @@ from pyspark.sql import DataFrame, Window, functions as F
 from rasterframes_spark.functions._kernel import lazy_pandas_udf
 from rasterframes_spark.pipeline.dedup import cosine_sim
 
-__all__ = ["cosine_topk", "lsh_ann_topk", "hyperplane_bucket", "ivf_ann_topk"]
+__all__ = ["cosine_topk", "lsh_ann_topk", "hyperplane_bucket", "ivf_ann_topk",
+           "quantize_embeddings", "dequantize_embedding"]
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        out_col: str | None = None) -> DataFrame:
+    """Per-vector symmetric int8 quantization: the embedding column is
+    replaced by ``struct{scale: float, q: binary}`` where
+    ``q[i] = round(x[i] / scale)`` with ``scale = max|x| / 127``.
+
+    The 100 TB storage lever: 8x smaller than array<double> (4x vs
+    float32) both in Parquet and across every shuffle/broadcast that
+    carries vectors. COSINE is invariant to each vector's positive
+    scale, so top-k by cosine can rank on the raw int8 codes without
+    dequantizing — only the ~0.4% rounding jitter differs from exact
+    (recall pinned by test). One vectorized Arrow pass; batch numpy.
+
+    All-zero / null vectors get scale 0 and a zero code vector."""
+    out = out_col or vec_col
+
+    @lazy_pandas_udf("struct<scale:float,q:binary>")
+    def qz(vs: pd.Series) -> pd.DataFrame:
+        scales = np.empty(len(vs), dtype=object)
+        qs = np.empty(len(vs), dtype=object)
+        for i, v in enumerate(vs.values):
+            if v is None:
+                continue  # null vector -> struct of nulls
+            x = np.asarray(v, dtype="float64")
+            m = float(np.max(np.abs(x))) if len(x) else 0.0
+            scale = m / 127.0
+            q = (np.round(x / scale).astype("int8") if scale > 0
+                 else np.zeros(len(x), dtype="int8"))
+            scales[i] = scale
+            qs[i] = q.tobytes()
+        return pd.DataFrame({"scale": scales, "q": qs})
+
+    return df.withColumn(out, qz(F.col(vec_col)))
+
+
+def dequantize_embedding(qcol) -> "F.Column":
+    """struct{scale, q} -> array<double>: ``scale * int8(q[i])``.
+    Max round-trip error per element is scale/2 (test-pinned)."""
+    c = F.col(qcol) if isinstance(qcol, str) else qcol
+
+    @lazy_pandas_udf("array<double>")
+    def dq(vs: pd.Series) -> pd.Series:
+        res = np.empty(len(vs), dtype=object)
+        for i, v in enumerate(vs.values):
+            # struct rows arrive as dict (Arrow) or positional sequence
+            if isinstance(v, dict):
+                scale, q = v.get("scale"), v.get("q")
+            elif v is not None:
+                scale, q = v[0], v[1]
+            else:
+                scale = q = None
+            if q is None:
+                res[i] = None
+                continue
+            arr = np.frombuffer(bytes(q), dtype="int8").astype("float64")
+            res[i] = arr * float(scale)
+        return pd.Series(res, dtype=object)
+
+    return dq(c)
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
