@@ -240,15 +240,113 @@ def rf_resample_nearest(tile, factor) -> Column:
     return unary_tile_op(fn)(tile)
 
 
+def _cubic_w(t: "np.ndarray", a: float = -0.5) -> "np.ndarray":
+    """Keys cubic-convolution kernel (a=-0.5 — Catmull-Rom, GDAL/GeoTrellis
+    default)."""
+    at = np.abs(t)
+    w = np.where(
+        at <= 1, (a + 2) * at**3 - (a + 3) * at**2 + 1,
+        np.where(at < 2, a * at**3 - 5 * a * at**2 + 8 * a * at - 4 * a, 0.0))
+    return w
+
+
+def _block_edges(n_src: int, n_dst: int) -> "np.ndarray":
+    """Source start index of each dest bin for aggregate resampling."""
+    return (np.arange(n_dst) * n_src) // n_dst
+
+
 def rf_resample(tile, factor, method: str = "nearest") -> Column:
-    """Up/down-sample by factor with `method` in {nearest, bilinear}
-    (localops/Resample.scala:56-126 — the reference also offers cubic/
-    lanczos via GeoTrellis; bilinear covers its test surface)."""
+    """Up/down-sample by factor (localops/Resample.scala:56-126).
+
+    ``method``: the reference's GeoTrellis surface —
+    point methods ``nearest`` / ``bilinear`` / ``cubic_convolution``
+    (Keys a=-0.5, 4x4 separable; NoData propagates through NaN), and
+    aggregate (downsample) methods ``average`` / ``sum`` / ``min`` /
+    ``max`` (any factor, reduceat-separable) plus ``median`` / ``mode``
+    (integer block factors). Aggregates ignore NoData cells; an
+    all-NoData block is NoData."""
     if method in ("nearest", "nearest_neighbor", "near"):
         return rf_resample_nearest(tile, factor)
+    f = float(factor)
+    if method in ("cubic", "cubic_convolution"):
+        def fn(a):
+            rows, cols = a.shape
+            nr, nc = max(1, int(round(rows * f))), max(1, int(round(cols * f)))
+            filled = a.astype("float64").filled(np.nan)
+            y = (np.arange(nr) + 0.5) / f - 0.5
+            x = (np.arange(nc) + 0.5) / f - 0.5
+            y0 = np.floor(y).astype(int)
+            x0 = np.floor(x).astype(int)
+            res = np.zeros((nr, nc))
+            wsum = np.zeros((nr, nc))
+            for dy in (-1, 0, 1, 2):
+                wy = _cubic_w(y - (y0 + dy))[:, None]
+                ri = np.clip(y0 + dy, 0, rows - 1)
+                for dx in (-1, 0, 1, 2):
+                    wx = _cubic_w(x - (x0 + dx))[None, :]
+                    ci = np.clip(x0 + dx, 0, cols - 1)
+                    w = wy * wx
+                    res += filled[np.ix_(ri, ci)] * w
+                    wsum += w
+            res /= wsum  # edge-clamped taps renormalize
+            return np.ma.masked_array(res, mask=np.isnan(res))
+
+        return unary_tile_op(fn, out_ct=_F64)(tile)
+
+    if method in ("average", "sum", "min", "max"):
+        def fn(a):
+            rows, cols = a.shape
+            nr, nc = max(1, int(round(rows * f))), max(1, int(round(cols * f)))
+            v = a.astype("float64").filled(np.nan)
+            re_, ce = _block_edges(rows, nr), _block_edges(cols, nc)
+            if method in ("average", "sum"):
+                cnt2 = np.add.reduceat(np.add.reduceat(
+                    (~np.isnan(v)).astype("float64"), re_, 0), ce, 1)
+                s = np.add.reduceat(np.add.reduceat(
+                    np.nan_to_num(v), re_, 0), ce, 1)
+                with np.errstate(invalid="ignore"):
+                    res = np.where(cnt2 > 0,
+                                   s / cnt2 if method == "average" else s,
+                                   np.nan)
+            else:
+                op = np.fmin if method == "min" else np.fmax
+                res = op.reduceat(op.reduceat(v, re_, 0), ce, 1)
+            return np.ma.masked_array(res, mask=np.isnan(res))
+
+        return unary_tile_op(fn, out_ct=_F64)(tile)
+
+    if method in ("median", "mode"):
+        inv = 1.0 / f
+        if f >= 1 or abs(inv - round(inv)) > 1e-9:
+            raise ValueError(
+                f"resample method {method!r} needs an integer downsample "
+                f"block (factor = 1/k); got {factor}")
+        k = int(round(inv))
+
+        def fn(a):
+            rows, cols = a.shape
+            nr, nc = max(1, rows // k), max(1, cols // k)
+            v = a.astype("float64").filled(np.nan)[:nr * k, :nc * k]
+            blocks = v.reshape(nr, k, nc, k).transpose(0, 2, 1, 3) \
+                .reshape(nr, nc, k * k)
+            if method == "median":
+                with np.errstate(all="ignore"):
+                    res = np.nanmedian(blocks, axis=2)
+            else:
+                res = np.full((nr, nc), np.nan)
+                for i in range(nr):
+                    for j in range(nc):
+                        b = blocks[i, j]
+                        b = b[~np.isnan(b)]
+                        if len(b):
+                            vals, cnts = np.unique(b, return_counts=True)
+                            res[i, j] = vals[np.argmax(cnts)]
+            return np.ma.masked_array(res, mask=np.isnan(res))
+
+        return unary_tile_op(fn, out_ct=_F64)(tile)
+
     if method != "bilinear":
         raise ValueError(f"unsupported resampling method: {method}")
-    f = float(factor)
 
     def fn(a):
         rows, cols = a.shape

@@ -156,3 +156,68 @@ def test_proj_raster_autounwrap(spark):
     r = df.select(rf.rf_local_add("pr", 1).alias("r")).head()["r"]
     got = Tile.from_parts(r["cell_type"], r["cols"], r["rows"], bytes(r["cells"]))
     assert np.allclose(np.asarray(got.masked()), [[1, 2], [3, 4]])
+
+
+def test_resample_cubic_and_aggregates(spark):
+    rng = np.random.default_rng(11)
+    arr = rng.uniform(0, 100, (8, 8))
+    m = np.zeros((8, 8), dtype=bool)
+    m[0, 0] = m[3, 5] = True
+    t = Tile(np.ma.masked_array(arr, m), "float64")
+    df = spark.createDataFrame([{"t": t.to_row()}], schema=f"t {TILE_T}")
+
+    def get(method, factor):
+        row = df.select(rf.rf_resample("t", factor, method).alias("r")) \
+            .head()["r"]
+        out = Tile.from_parts(row["cell_type"], row["cols"], row["rows"],
+                              bytes(row["cells"]))
+        return out.masked()
+
+    # cubic: interpolates exactly at 1:1 sample points away from NoData,
+    # upsample shape, NoData spreads to touched taps
+    up = get("cubic_convolution", 2)
+    assert up.shape == (16, 16)
+    assert up.mask.any() and not up.mask.all()
+    # interior agreement: factor-1 cubic == identity where no NoData taps
+    ident = get("cubic", 1)
+    ok = ~np.ma.getmaskarray(ident)
+    np.testing.assert_allclose(np.asarray(ident)[ok], arr[ok], atol=1e-9)
+
+    # aggregate methods vs per-block numpy oracles (2x2 blocks)
+    v = np.ma.masked_array(arr, m)
+    blocks = {}
+    for name, fn in [("average", np.ma.mean), ("sum", np.ma.sum),
+                     ("min", np.ma.min), ("max", np.ma.max),
+                     ("median", np.ma.median)]:
+        exp = np.zeros((4, 4))
+        for i in range(4):
+            for j in range(4):
+                exp[i, j] = fn(v[2*i:2*i+2, 2*j:2*j+2])
+        got = get(name, 0.5)
+        np.testing.assert_allclose(np.asarray(got), exp, atol=1e-9,
+                                   err_msg=name)
+        assert not got.mask.any()
+
+    # mode: build a tile with clear block majorities
+    mo = np.array([[1, 1, 2, 3], [1, 4, 3, 3], [5, 5, 6, 6],
+                   [5, 7, 6, 8]], dtype="float64")
+    dfm = spark.createDataFrame(
+        [{"t": Tile(mo, "float64").to_row()}], schema=f"t {TILE_T}")
+    row = dfm.select(rf.rf_resample("t", 0.5, "mode").alias("r")).head()["r"]
+    got = Tile.from_parts(row["cell_type"], row["cols"], row["rows"],
+                          bytes(row["cells"])).masked()
+    np.testing.assert_array_equal(np.asarray(got), [[1.0, 3.0], [5.0, 6.0]])
+
+    # all-NoData block -> NoData out
+    allnd = np.ma.masked_array(arr, np.ones_like(m))
+    dfn = spark.createDataFrame(
+        [{"t": Tile(allnd, "float64").to_row()}], schema=f"t {TILE_T}")
+    row = dfn.select(rf.rf_resample("t", 0.5, "average").alias("r")).head()["r"]
+    gotn = Tile.from_parts(row["cell_type"], row["cols"], row["rows"],
+                           bytes(row["cells"])).masked()
+    assert np.ma.getmaskarray(gotn).all()
+
+    # median/mode reject non-integer blocks
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        df.select(rf.rf_resample("t", 0.3, "median").alias("r")).head()
