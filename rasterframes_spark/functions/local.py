@@ -233,9 +233,7 @@ def rf_resample_nearest(tile, factor) -> Column:
     def fn(a):
         rows, cols = a.shape
         nr, nc = max(1, int(round(rows * f))), max(1, int(round(cols * f)))
-        ri = np.minimum((np.arange(nr) / f).astype(int), rows - 1)
-        ci = np.minimum((np.arange(nc) / f).astype(int), cols - 1)
-        return a[np.ix_(ri, ci)]
+        return _resample_to(a, nr, nc, "nearest")
 
     return unary_tile_op(fn)(tile)
 
@@ -255,26 +253,40 @@ def _block_edges(n_src: int, n_dst: int) -> "np.ndarray":
     return (np.arange(n_dst) * n_src) // n_dst
 
 
-def rf_resample(tile, factor, method: str = "nearest") -> Column:
-    """Up/down-sample by factor (localops/Resample.scala:56-126).
+_POINT_METHODS = {"nearest", "nearest_neighbor", "near", "bilinear",
+                  "cubic", "cubic_convolution"}
+_AGG_METHODS = {"average", "sum", "min", "max", "median", "mode"}
 
-    ``method``: the reference's GeoTrellis surface —
-    point methods ``nearest`` / ``bilinear`` / ``cubic_convolution``
-    (Keys a=-0.5, 4x4 separable; NoData propagates through NaN), and
-    aggregate (downsample) methods ``average`` / ``sum`` / ``min`` /
-    ``max`` (any factor, reduceat-separable) plus ``median`` / ``mode``
-    (integer block factors). Aggregates ignore NoData cells; an
-    all-NoData block is NoData."""
+
+def _resample_to(a: "np.ma.MaskedArray", nr: int, nc: int,
+                 method: str) -> "np.ma.MaskedArray":
+    """Resample `a` to target dims (nr, nc); per-axis factors may differ
+    (tile-target form). NoData: point methods propagate through NaN taps;
+    aggregate methods skip NoData cells and emit NoData only for
+    all-NoData blocks."""
+    rows, cols = a.shape
+    fy, fx = nr / rows, nc / cols
     if method in ("nearest", "nearest_neighbor", "near"):
-        return rf_resample_nearest(tile, factor)
-    f = float(factor)
-    if method in ("cubic", "cubic_convolution"):
-        def fn(a):
-            rows, cols = a.shape
-            nr, nc = max(1, int(round(rows * f))), max(1, int(round(cols * f)))
-            filled = a.astype("float64").filled(np.nan)
-            y = (np.arange(nr) + 0.5) / f - 0.5
-            x = (np.arange(nc) + 0.5) / f - 0.5
+        ri = np.minimum((np.arange(nr) / fy).astype(int), rows - 1)
+        ci = np.minimum((np.arange(nc) / fx).astype(int), cols - 1)
+        return a[np.ix_(ri, ci)]
+
+    if method in ("bilinear", "cubic", "cubic_convolution"):
+        filled = a.astype("float64").filled(np.nan)
+        y = (np.arange(nr) + 0.5) / fy - 0.5
+        x = (np.arange(nc) + 0.5) / fx - 0.5
+        if method == "bilinear":
+            y0 = np.clip(np.floor(y).astype(int), 0, rows - 1)
+            x0 = np.clip(np.floor(x).astype(int), 0, cols - 1)
+            y1 = np.clip(y0 + 1, 0, rows - 1)
+            x1 = np.clip(x0 + 1, 0, cols - 1)
+            wy = np.clip(y - y0, 0, 1)[:, None]
+            wx = np.clip(x - x0, 0, 1)[None, :]
+            res = (filled[np.ix_(y0, x0)] * (1 - wx) * (1 - wy)
+                   + filled[np.ix_(y0, x1)] * wx * (1 - wy)
+                   + filled[np.ix_(y1, x0)] * (1 - wx) * wy
+                   + filled[np.ix_(y1, x1)] * wx * wy)
+        else:
             y0 = np.floor(y).astype(int)
             x0 = np.floor(x).astype(int)
             res = np.zeros((nr, nc))
@@ -289,87 +301,90 @@ def rf_resample(tile, factor, method: str = "nearest") -> Column:
                     res += filled[np.ix_(ri, ci)] * w
                     wsum += w
             res /= wsum  # edge-clamped taps renormalize
-            return np.ma.masked_array(res, mask=np.isnan(res))
-
-        return unary_tile_op(fn, out_ct=_F64)(tile)
+        return np.ma.masked_array(res, mask=np.isnan(res))
 
     if method in ("average", "sum", "min", "max"):
+        v = a.astype("float64").filled(np.nan)
+        re_, ce = _block_edges(rows, nr), _block_edges(cols, nc)
+        if method in ("average", "sum"):
+            cnt2 = np.add.reduceat(np.add.reduceat(
+                (~np.isnan(v)).astype("float64"), re_, 0), ce, 1)
+            s = np.add.reduceat(np.add.reduceat(
+                np.nan_to_num(v), re_, 0), ce, 1)
+            with np.errstate(invalid="ignore"):
+                res = np.where(cnt2 > 0,
+                               s / cnt2 if method == "average" else s,
+                               np.nan)
+        else:
+            op = np.fmin if method == "min" else np.fmax
+            res = op.reduceat(op.reduceat(v, re_, 0), ce, 1)
+        return np.ma.masked_array(res, mask=np.isnan(res))
+
+    if method in ("median", "mode"):
+        if rows % nr or cols % nc:
+            raise ValueError(
+                f"resample method {method!r} needs integer downsample "
+                f"blocks; got {rows}x{cols} -> {nr}x{nc}")
+        ky, kx = rows // nr, cols // nc
+        v = a.astype("float64").filled(np.nan)
+        blocks = v.reshape(nr, ky, nc, kx).transpose(0, 2, 1, 3) \
+            .reshape(nr, nc, ky * kx)
+        if method == "median":
+            with np.errstate(all="ignore"):
+                res = np.nanmedian(blocks, axis=2)
+        else:
+            res = np.full((nr, nc), np.nan)
+            for i in range(nr):
+                for j in range(nc):
+                    b = blocks[i, j]
+                    b = b[~np.isnan(b)]
+                    if len(b):
+                        vals, cnts = np.unique(b, return_counts=True)
+                        res[i, j] = vals[np.argmax(cnts)]
+        return np.ma.masked_array(res, mask=np.isnan(res))
+
+    raise ValueError(f"unsupported resampling method: {method}")
+
+
+def rf_resample(tile, factor, method: str = "nearest") -> Column:
+    """Up/down-sample (localops/Resample.scala:56-126): by numeric
+    ``factor``, or — like the reference — to MATCH another tile's
+    dimensions when ``factor`` is a tile column (per-axis factors may
+    then differ).
+
+    ``method`` mirrors the GeoTrellis surface: point methods ``nearest``
+    / ``bilinear`` / ``cubic_convolution`` (Keys a=-0.5, 4x4 separable;
+    NoData propagates through NaN), and aggregate (downsample) methods
+    ``average`` / ``sum`` / ``min`` / ``max`` (any factor,
+    reduceat-separable) plus ``median`` / ``mode`` (integer blocks).
+    Aggregates ignore NoData cells; an all-NoData block is NoData."""
+    if method not in _POINT_METHODS | _AGG_METHODS:
+        raise ValueError(f"unsupported resampling method: {method}")
+    is_point = method in ("nearest", "nearest_neighbor", "near")
+    out_ct = None if is_point else _F64
+    if isinstance(factor, (int, float, np.integer, np.floating)):
+        f = float(factor)
+        if method in ("median", "mode"):
+            inv = 1.0 / f
+            if f >= 1 or abs(inv - round(inv)) > 1e-9:
+                raise ValueError(
+                    f"resample method {method!r} needs an integer downsample "
+                    f"block (factor = 1/k); got {factor}")
+
         def fn(a):
             rows, cols = a.shape
             nr, nc = max(1, int(round(rows * f))), max(1, int(round(cols * f)))
-            v = a.astype("float64").filled(np.nan)
-            re_, ce = _block_edges(rows, nr), _block_edges(cols, nc)
-            if method in ("average", "sum"):
-                cnt2 = np.add.reduceat(np.add.reduceat(
-                    (~np.isnan(v)).astype("float64"), re_, 0), ce, 1)
-                s = np.add.reduceat(np.add.reduceat(
-                    np.nan_to_num(v), re_, 0), ce, 1)
-                with np.errstate(invalid="ignore"):
-                    res = np.where(cnt2 > 0,
-                                   s / cnt2 if method == "average" else s,
-                                   np.nan)
-            else:
-                op = np.fmin if method == "min" else np.fmax
-                res = op.reduceat(op.reduceat(v, re_, 0), ce, 1)
-            return np.ma.masked_array(res, mask=np.isnan(res))
+            return _resample_to(a, nr, nc, method)
 
-        return unary_tile_op(fn, out_ct=_F64)(tile)
+        return unary_tile_op(fn, out_ct=out_ct)(tile)
 
-    if method in ("median", "mode"):
-        inv = 1.0 / f
-        if f >= 1 or abs(inv - round(inv)) > 1e-9:
-            raise ValueError(
-                f"resample method {method!r} needs an integer downsample "
-                f"block (factor = 1/k); got {factor}")
-        k = int(round(inv))
+    def fn2(a, b):
+        if not hasattr(b, "shape"):
+            raise ValueError("rf_resample: column factor must be a tile")
+        nr, nc = b.shape
+        return _resample_to(a, int(nr), int(nc), method)
 
-        def fn(a):
-            rows, cols = a.shape
-            nr, nc = max(1, rows // k), max(1, cols // k)
-            v = a.astype("float64").filled(np.nan)[:nr * k, :nc * k]
-            blocks = v.reshape(nr, k, nc, k).transpose(0, 2, 1, 3) \
-                .reshape(nr, nc, k * k)
-            if method == "median":
-                with np.errstate(all="ignore"):
-                    res = np.nanmedian(blocks, axis=2)
-            else:
-                res = np.full((nr, nc), np.nan)
-                for i in range(nr):
-                    for j in range(nc):
-                        b = blocks[i, j]
-                        b = b[~np.isnan(b)]
-                        if len(b):
-                            vals, cnts = np.unique(b, return_counts=True)
-                            res[i, j] = vals[np.argmax(cnts)]
-            return np.ma.masked_array(res, mask=np.isnan(res))
-
-        return unary_tile_op(fn, out_ct=_F64)(tile)
-
-    if method != "bilinear":
-        raise ValueError(f"unsupported resampling method: {method}")
-
-    def fn(a):
-        rows, cols = a.shape
-        nr, nc = max(1, int(round(rows * f))), max(1, int(round(cols * f)))
-        filled = a.astype("float64").filled(np.nan)
-        # source fractional coords of dest pixel centers
-        y = (np.arange(nr) + 0.5) / f - 0.5
-        x = (np.arange(nc) + 0.5) / f - 0.5
-        y0 = np.clip(np.floor(y).astype(int), 0, rows - 1)
-        x0 = np.clip(np.floor(x).astype(int), 0, cols - 1)
-        y1 = np.clip(y0 + 1, 0, rows - 1)
-        x1 = np.clip(x0 + 1, 0, cols - 1)
-        wy = np.clip(y - y0, 0, 1)[:, None]
-        wx = np.clip(x - x0, 0, 1)[None, :]
-        v00 = filled[np.ix_(y0, x0)]
-        v01 = filled[np.ix_(y0, x1)]
-        v10 = filled[np.ix_(y1, x0)]
-        v11 = filled[np.ix_(y1, x1)]
-        res = (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
-               + v10 * (1 - wx) * wy + v11 * wx * wy)
-        return np.ma.masked_array(res, mask=np.isnan(res))
-
-    return unary_tile_op(fn, out_ct=_F64)(tile)
+    return binary_tile_op(fn2, out_ct=out_ct)(tile, factor)
 
 
 def rf_local_algebra(np_fn, *tiles, out_ct: str | None = None) -> Column:

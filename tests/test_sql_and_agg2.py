@@ -221,3 +221,27 @@ def test_resample_cubic_and_aggregates(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         df.select(rf.rf_resample("t", 0.3, "median").alias("r")).head()
+
+
+def test_resample_to_tile_target(spark):
+    """Reference parity: factor may be a TILE column — resample left to
+    the right tile's dims, per-axis factors independent
+    (Resample.scala:56-126)."""
+    a = Tile(np.arange(16, dtype="float64").reshape(4, 4), "float64")
+    tgt = Tile(np.zeros((8, 2)), "float64")   # 2x rows, 0.5x cols
+    df = spark.createDataFrame(
+        [{"a": a.to_row(), "b": tgt.to_row()}],
+        schema=f"a {TILE_T}, b {TILE_T}")
+    for method in ("nearest", "bilinear", "cubic_convolution", "average"):
+        row = df.select(
+            rf.rf_resample("a", F.col("b"), method).alias("r")).head()["r"]
+        assert (row["rows"], row["cols"]) == (8, 2), method
+    # nearest value check: col index maps 0,1 -> src cols 0,2
+    row = df.select(rf.rf_resample("a", F.col("b"), "nearest").alias("r")) \
+        .head()["r"]
+    out = Tile.from_parts(row["cell_type"], row["cols"], row["rows"],
+                          bytes(row["cells"]))
+    src = np.arange(16, dtype="float64").reshape(4, 4)
+    ri = np.minimum((np.arange(8) / 2.0).astype(int), 3)
+    ci = np.minimum((np.arange(2) * 2.0).astype(int), 3)
+    np.testing.assert_array_equal(np.asarray(out.cells), src[np.ix_(ri, ci)])
