@@ -222,42 +222,73 @@ def _w_attrs(attrs: dict) -> bytes:
 def write_netcdf(variables: dict, dims: dict,
                  global_attrs: dict | None = None,
                  var_attrs: dict | None = None) -> bytes:
-    """Encode fixed-size variables as a CDF-1 file.
+    """Encode variables as a CDF-1 file.
 
-    ``dims``: name -> length (ordered); ``variables``: name ->
-    (dim_names, ndarray). Record dimension not emitted (fixed vars only —
-    enough for raster slabs and test fixtures)."""
+    ``dims``: name -> length (ordered); a length of ``None`` (or 0)
+    declares the record (unlimited) dimension. ``variables``: name ->
+    (dim_names, ndarray); a variable whose first dim is the record dim is
+    written record-interleaved per the classic spec (single-record-var
+    no-padding rule included)."""
     dim_names = list(dims)
+    rec_dim = next((d for d in dim_names if not dims[d]), None)
     var_attrs = var_attrs or {}
-    hdr = [b"CDF\x01", struct.pack(">i", 0)]
+    numrecs = 0
+    for name, (vdims, arr) in variables.items():
+        if vdims and vdims[0] == rec_dim:
+            numrecs = max(numrecs, np.asarray(arr).shape[0])
+    hdr = [b"CDF\x01", struct.pack(">i", numrecs)]
     hdr.append(struct.pack(">ii", 0x0A, len(dims)))
     for dn in dim_names:
-        hdr.append(_w_name(dn) + struct.pack(">i", dims[dn]))
+        hdr.append(_w_name(dn) + struct.pack(">i", dims[dn] or 0))
     hdr.append(_w_attrs(global_attrs or {}))
     # layout pass: compute header size with placeholder begins, then fill
-    var_entries = []
+    var_entries = []   # (ent, arr, dt, vsize, is_rec)
     for name, (vdims, arr) in variables.items():
         arr = np.asarray(arr)
+        is_rec = bool(vdims) and vdims[0] == rec_dim
         t = _DT_TO_NC[str(arr.dtype)]
         dt, sz = _NC_TYPES[t]
-        vsize = (arr.size * sz + 3) & ~3
+        per = arr.size // (arr.shape[0] if is_rec and arr.ndim else 1) \
+            if is_rec else arr.size
+        vsize = (per * sz + 3) & ~3
         ent = (_w_name(name)
                + struct.pack(">i", len(vdims))
                + b"".join(struct.pack(">i", dim_names.index(d)) for d in vdims)
                + _w_attrs(var_attrs.get(name, {}))
                + struct.pack(">ii", t, vsize))
-        var_entries.append((ent, arr, dt, vsize))
+        var_entries.append((ent, arr, dt, vsize, is_rec))
     hdr.append(struct.pack(">ii", 0x0B, len(var_entries)))
-    fixed = b"".join(h for h in hdr) + b"".join(
-        e[0] + b"\x00\x00\x00\x00" for e in var_entries)
-    begin = len(fixed)
+    fixed_hdr_len = len(b"".join(hdr)) + sum(
+        len(e[0]) + 4 for e in var_entries)
+    begin = fixed_hdr_len
     out = [b"".join(hdr)]
-    data = []
-    for ent, arr, dt, vsize in var_entries:
+    fixed_data = []
+    # fixed vars first (contiguous), then the record section
+    rec_entries = [e for e in var_entries if e[4]]
+    single_rec = len(rec_entries) == 1
+    for ent, arr, dt, vsize, is_rec in var_entries:
+        if is_rec:
+            continue
         out.append(ent + struct.pack(">I", begin))
-        data.append(_pad(arr.astype(dt).tobytes()))
+        fixed_data.append(_pad(arr.astype(dt).tobytes()))
         begin += vsize
-    return b"".join(out) + b"".join(data)
+    rec_begin = begin
+    recsize = sum(e[3] for e in rec_entries)
+    off = rec_begin
+    for ent, arr, dt, vsize, is_rec in var_entries:
+        if not is_rec:
+            continue
+        out.append(ent + struct.pack(">I", off))
+        off += vsize
+    rec_data = []
+    for r in range(numrecs):
+        for ent, arr, dt, vsize, is_rec in rec_entries:
+            # np.asarray: a 1-D record var yields numpy SCALARS at arr[r],
+            # and scalar .astype drops the big-endian byte order
+            raw = (np.asarray(arr[r]).astype(dt).tobytes()
+                   if r < arr.shape[0] else b"\x00" * vsize)
+            rec_data.append(raw if single_rec else _pad(raw))
+    return (b"".join(out) + b"".join(fixed_data) + b"".join(rec_data))
 
 
 # ---------------------------------------------------------------------------

@@ -99,3 +99,27 @@ def test_read_netcdf_spark_source(spark, tmp_path):
     s = df.where(F.col("slice_index") == 0) \
         .agg(F.sum(rf.rf_tile_sum("tile")).alias("s")).collect()[0]["s"]
     assert s == float(arr[0].sum())
+
+
+def test_record_variables_roundtrip():
+    """Unlimited-dimension (record) variables: interleaved storage, the
+    single-record-var no-padding rule, and multi-record-var striding."""
+    t = np.arange(5, dtype="int32")
+    cube = np.arange(5 * 3 * 4, dtype="float32").reshape(5, 3, 4)
+    # single record var (no per-record padding)
+    d1 = write_netcdf({"v": (("time", "y", "x"), cube)},
+                      {"time": None, "y": 3, "x": 4})
+    i1 = read_netcdf_info(d1)
+    assert i1.numrecs == 5
+    np.testing.assert_array_equal(read_netcdf_var(d1, "v", i1), cube)
+    # record + fixed vars together, two record vars (padded stride)
+    d2 = write_netcdf(
+        {"time": (("time",), t),
+         "v": (("time", "y", "x"), cube),
+         "lat": (("y",), np.array([1.0, 2.0, 3.0]))},
+        {"time": None, "y": 3, "x": 4})
+    i2 = read_netcdf_info(d2)
+    np.testing.assert_array_equal(read_netcdf_var(d2, "time", i2), t)
+    np.testing.assert_array_equal(read_netcdf_var(d2, "v", i2), cube)
+    np.testing.assert_array_equal(read_netcdf_var(d2, "lat", i2),
+                                  [1.0, 2.0, 3.0])
