@@ -1223,8 +1223,12 @@ def _q_local_binary(spark, sf_dir):
 
 
 def _q_tile_stats(spark, sf_dir):
-    """Per-tile reductions in one pass: sum/data_cells/min/max/mean."""
-    t = _tiles_df(spark, sf_dir)
+    """Per-tile reductions in one pass: sum/data_cells/min/max/mean, plus
+    rf_rgb_composite (RGBComposite.scala:50-97) pinned by value: each
+    band rescales to its own per-tile [min,max] -> 8 bits, packs
+    0xRRGGBB; the SQL mirror recomputes the same truncating rescale with
+    window min/max."""
+    t = _two_band(spark, sf_dir)
     return t.select(
         "grp",
         rf.rf_tile_sum("qty").alias("tile_sum"),
@@ -1232,6 +1236,8 @@ def _q_tile_stats(spark, sf_dir):
         rf.rf_tile_min("qty").alias("tile_min"),
         rf.rf_tile_max("qty").alias("tile_max"),
         F.round(rf.rf_tile_mean("qty"), 6).alias("tile_mean"),
+        rf.rf_tile_sum(
+            rf.rf_rgb_composite("qty", "price", "qty")).alias("rgb_sum"),
     )
 
 
@@ -1370,10 +1376,29 @@ def oracle_sql() -> dict[str, str]:
     C = _ORACLE_CTE
     return {
         "tile_stats": C + """
-            select grp, sum(qty) as tile_sum, count(qty) as data_cells,
+            , rgbc as (
+              select grp, qty, price,
+                     min(qty) over (partition by grp) as mnq,
+                     max(qty) over (partition by grp) as mxq,
+                     min(price) over (partition by grp) as mnp,
+                     max(price) over (partition by grp) as mxp
+              from cells
+            ), rgbs as (
+              select grp, sum(
+                floor((qty - mnq) / (case when mxq = mnq then 1.0
+                                          else mxq - mnq end) * 255) * 65536
+                + floor((price - mnp) / (case when mxp = mnp then 1.0
+                                              else mxp - mnp end) * 255) * 256
+                + floor((qty - mnq) / (case when mxq = mnq then 1.0
+                                            else mxq - mnq end) * 255)
+              ) as rgb_sum from rgbc group by grp
+            )
+            select cells.grp, sum(qty) as tile_sum, count(qty) as data_cells,
                    min(qty) as tile_min, max(qty) as tile_max,
-                   round(sum(qty)/count(qty), 6) as tile_mean
-            from cells group by grp""",
+                   round(sum(qty)/count(qty), 6) as tile_mean,
+                   cast(any_value(rgb_sum) as double) as rgb_sum
+            from cells join rgbs on cells.grp = rgbs.grp
+            group by cells.grp""",
         "local_algebra": C + """
             select grp, sum(qty + 5) as add_sum, sum(qty * 3) as mul_sum,
                    cast(sum(case when qty > 25 then 1 else 0 end) as double) as n_gt,
