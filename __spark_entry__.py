@@ -299,11 +299,21 @@ def _q_tile_histogram(spark, sf_dir):
 
 
 def _q_resample_nearest(spark, sf_dir):
-    """Downsample by 1/2 (nearest) == cells at even (row, col)."""
+    """Downsample by 1/2: nearest == cells at even (row, col); plus the
+    aggregate methods (Δr5, Resample.scala parity) — average/sum/max over
+    2x2 blocks, NoData-skipping — mirrored blockwise in SQL."""
     t = _tiles_df(spark, sf_dir)
-    d = t.select("grp", rf.rf_resample_nearest("qty", 0.5).alias("ds"))
-    return d.select("grp", rf.rf_tile_sum("ds").alias("s"),
-                    rf.rf_data_cells("ds").alias("n"))
+    d = t.select(
+        "grp", rf.rf_resample_nearest("qty", 0.5).alias("ds"),
+        rf.rf_resample("qty", 0.5, "average").alias("avg"),
+        rf.rf_resample("qty", 0.5, "sum").alias("sm"),
+        rf.rf_resample("qty", 0.5, "max").alias("mx"))
+    return d.select(
+        "grp", rf.rf_tile_sum("ds").alias("s"),
+        rf.rf_data_cells("ds").alias("n"),
+        F.round(rf.rf_tile_sum("avg"), 6).alias("avg_sum"),
+        F.round(rf.rf_tile_sum("sm"), 6).alias("sum_sum"),
+        F.round(rf.rf_tile_sum("mx"), 6).alias("max_sum"))
 
 
 def _q_raster_join(spark, sf_dir):
@@ -1477,9 +1487,23 @@ def oracle_sql() -> dict[str, str]:
             select qty as value, count(*) as count
             from cells group by qty""",
         "resample_nearest": C + """
-            select grp, sum(qty) as s, count(qty) as n
-            from cells where ci % 2 = 0 and ri % 2 = 0
-            group by grp""",
+            , blocks as (
+              select grp, ci // 2 as bc, ri // 2 as br,
+                     avg(qty) as bavg, sum(qty) as bsum, max(qty) as bmax
+              from cells group by grp, ci // 2, ri // 2
+            ), aggs as (
+              select grp, round(sum(bavg), 6) as avg_sum,
+                     round(sum(bsum), 6) as sum_sum,
+                     round(sum(bmax), 6) as max_sum
+              from blocks group by grp
+            )
+            select cells.grp, sum(qty) as s, count(qty) as n,
+                   any_value(avg_sum) as avg_sum,
+                   any_value(sum_sum) as sum_sum,
+                   any_value(max_sum) as max_sum
+            from cells join aggs on cells.grp = aggs.grp
+            where ci % 2 = 0 and ri % 2 = 0
+            group by cells.grp""",
         "raster_join": C + """
             , m as (
               select grp, qty from cells where ci <= 7
