@@ -1,0 +1,124 @@
+"""Distributed geometry × geometry spatial join.
+
+The reference relies on Spark's BroadcastNestedLoopJoin for an
+``st_intersects`` theta-join (`core/.../extensions/RasterJoin.scala:57-62`
+builds the predicate; Catalyst has no equi-key to hash on). That is
+O(n·m) work split only by broadcast — unusable when both sides are big.
+
+``st_join`` turns the theta-join into a SHUFFLED HASH EQUI-JOIN:
+
+1. one pandas-UDF pass per side computes envelopes;
+2. each row explodes to the fixed-grid cells its bbox covers
+   (pure Catalyst ``sequence`` × ``explode``);
+3. equi-join on (cell_x, cell_y) — AQE-skew-splittable, no cartesian;
+4. the classic REFERENCE-POINT trick deduplicates pairs with no
+   ``distinct`` shuffle: a candidate survives only in the single cell
+   that contains the top-left corner of the two bboxes' intersection;
+5. the exact predicate (DE-9IM engine) filters candidates.
+
+At 100 TB both sides stay partitioned; the only wide exchange is the
+bucket join, and grid_size tunes cells-per-row (bigger cells = fewer
+duplicates joined, more candidates filtered exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rasterframes_spark.geom import functions as GF
+
+__all__ = ["st_join"]
+
+_PREDICATES = {
+    "intersects": GF.st_intersects,
+    "contains": GF.st_contains,
+    "within": GF.st_within,
+}
+
+
+def _estimate_grid(right: DataFrame, geom_col: str, sample: int = 1024) -> float:
+    """Grid size ≈ 2× the median bbox side of a bounded sample of the
+    right side (one tiny job; pass grid_size explicitly to skip)."""
+    rows = (right.select(GF.st_envelope(geom_col).alias("e"))
+            .where(F.col("e.xmin").isNotNull()).limit(sample).collect())
+    sides = []
+    for r in rows:
+        e = r["e"]
+        sides.append(max(e["xmax"] - e["xmin"], e["ymax"] - e["ymin"]))
+    sides.sort()
+    if not sides:
+        return 1.0
+    med = sides[len(sides) // 2]
+    return max(2.0 * med, 1e-9)
+
+
+def _cells(df: DataFrame, geom_col: str, g: float, side: str) -> DataFrame:
+    e = GF.st_envelope(geom_col)
+    out = df.withColumn(f"__env_{side}", e)
+    env = F.col(f"__env_{side}")
+    cx = F.explode(F.sequence(
+        F.floor(env["xmin"] / g).cast("long"),
+        F.floor(env["xmax"] / g).cast("long"))).alias("__cx")
+    out = out.where(env["xmin"].isNotNull()).select("*", cx)
+    cy = F.explode(F.sequence(
+        F.floor(env["ymin"] / g).cast("long"),
+        F.floor(env["ymax"] / g).cast("long"))).alias("__cy")
+    return out.select("*", cy)
+
+
+def st_join(left: DataFrame, right: DataFrame,
+            geom_left: str = "geometry", geom_right: str = "geometry",
+            predicate: str = "intersects", grid_size: float | None = None,
+            how: str = "inner", rsuffix: str = "_right") -> DataFrame:
+    """Spatial join: rows of ``left`` paired with rows of ``right`` whose
+    geometries satisfy ``predicate`` (intersects | contains | within,
+    evaluated as predicate(left_geom, right_geom)).
+
+    ``how``: 'inner' or 'left' (unmatched left rows keep nulls on the
+    right side). Right columns clashing with left names get ``rsuffix``.
+    """
+    if predicate not in _PREDICATES:
+        raise ValueError(f"st_join: unknown predicate {predicate!r} "
+                         f"(use one of {sorted(_PREDICATES)})")
+    if how not in ("inner", "left"):
+        raise ValueError("st_join: how must be 'inner' or 'left'")
+    g = float(grid_size) if grid_size else _estimate_grid(right, geom_right)
+
+    # avoid column collisions before the join
+    rmap = {c: (c + rsuffix if c in left.columns else c)
+            for c in right.columns}
+    r = right.select([F.col(c).alias(n) for c, n in rmap.items()])
+    gr = rmap[geom_right]
+
+    lc = _cells(left, geom_left, g, "l")
+    rc = _cells(r, gr, g, "r")
+    cand = lc.join(rc, ["__cx", "__cy"])
+
+    # reference point: keep the pair only in the cell holding the
+    # top-left corner of the bbox intersection -> exact dedup, no shuffle
+    le, re_ = F.col("__env_l"), F.col("__env_r")
+    ref_x = F.greatest(le["xmin"], re_["xmin"])
+    ref_y = F.greatest(le["ymin"], re_["ymin"])
+    cand = cand.where(
+        (F.floor(ref_x / g).cast("long") == F.col("__cx"))
+        & (F.floor(ref_y / g).cast("long") == F.col("__cy")))
+    # cheap bbox prefilter before the exact kernel
+    cand = cand.where(
+        (le["xmin"] <= re_["xmax"]) & (re_["xmin"] <= le["xmax"])
+        & (le["ymin"] <= re_["ymax"]) & (re_["ymin"] <= le["ymax"]))
+
+    exact = _PREDICATES[predicate](F.col(geom_left), F.col(gr))
+    matched = cand.where(exact).drop("__cx", "__cy", "__env_l", "__env_r")
+
+    if how == "inner":
+        return matched
+    # left outer: append unmatched left rows with null right columns
+    out_cols = matched.columns
+    unmatched = left.join(
+        matched.select([F.col(c) for c in left.columns]).distinct(),
+        on=left.columns, how="left_anti")
+    for c in out_cols:
+        if c not in left.columns:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(matched.schema[c].dataType))
+    return matched.unionByName(unmatched.select(out_cols))

@@ -1,0 +1,102 @@
+"""st_join: grid-bucketed geometry spatial join vs brute-force oracle."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from rasterframes_spark.geom import functions as GF
+from rasterframes_spark.operators import st_join
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rng = np.random.default_rng(3)
+    xy = rng.uniform(0, 100, (300, 2))
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(xy)],
+        "pid int, x double, y double")
+    return df.select("pid", GF.st_point("x", "y").alias("geometry")).cache()
+
+
+@pytest.fixture(scope="module")
+def polys(spark):
+    # 5x5 grid of 18x18 polygons with 2-unit gaps (some points fall in gaps)
+    rows = []
+    k = 0
+    for i in range(5):
+        for j in range(5):
+            x0, y0 = i * 20.0, j * 20.0
+            wkt = (f"POLYGON (({x0} {y0}, {x0+18} {y0}, {x0+18} {y0+18}, "
+                   f"{x0} {y0+18}, {x0} {y0}))")
+            rows.append((k, wkt))
+            k += 1
+    df = spark.createDataFrame(rows, "zid int, wkt string")
+    return df.select("zid", GF.st_geom_from_wkt("wkt").alias("geometry")) \
+        .cache()
+
+
+def _brute(spark, pts, polys, predicate):
+    fn = {"intersects": GF.st_intersects, "within": GF.st_within}[predicate]
+    r = polys.select(F.col("zid"), F.col("geometry").alias("zg"))
+    return (pts.crossJoin(r)
+            .where(fn(F.col("geometry"), F.col("zg")))
+            .select("pid", "zid"))
+
+
+def test_st_join_matches_bruteforce(spark, pts, polys):
+    got = st_join(pts, polys, predicate="intersects", grid_size=10.0)
+    gpairs = {(r["pid"], r["zid"]) for r in got.collect()}
+    bpairs = {(r["pid"], r["zid"])
+              for r in _brute(spark, pts, polys, "intersects").collect()}
+    assert gpairs == bpairs and len(bpairs) > 100
+    # each candidate pair appears exactly once (reference-point dedup)
+    assert got.count() == len(gpairs)
+    # within == intersects for points
+    gw = {(r["pid"], r["zid"]) for r in
+          st_join(pts, polys, predicate="within", grid_size=10.0).collect()}
+    assert gw == bpairs
+
+
+def test_st_join_grid_invariance_and_autosize(spark, pts, polys):
+    base = {(r["pid"], r["zid"]) for r in
+            st_join(pts, polys, grid_size=10.0).collect()}
+    for g in (3.0, 18.0, 50.0):
+        got = {(r["pid"], r["zid"]) for r in
+               st_join(pts, polys, grid_size=g).collect()}
+        assert got == base, g
+    auto = {(r["pid"], r["zid"]) for r in st_join(pts, polys).collect()}
+    assert auto == base
+
+
+def test_st_join_left_and_plan(spark, pts, polys):
+    out = st_join(pts, polys, grid_size=10.0, how="left")
+    n_inner = st_join(pts, polys, grid_size=10.0).count()
+    matched_pids = {r["pid"] for r in
+                    st_join(pts, polys, grid_size=10.0)
+                    .select("pid").distinct().collect()}
+    assert out.count() == n_inner + (300 - len(matched_pids))
+    nulls = out.where(F.col("zid").isNull())
+    assert nulls.count() == 300 - len(matched_pids)
+    # plan: shuffled equi-join on the grid cells, no cartesian/BNLJ
+    plan = st_join(pts, polys, grid_size=10.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_st_join_contains_polygons(spark, polys):
+    # small boxes fully inside each 18x18 polygon
+    rows = []
+    for i in range(5):
+        x0 = i * 20.0 + 5
+        rows.append((i, f"POLYGON (({x0} 5, {x0+2} 5, {x0+2} 7, "
+                     f"{x0} 7, {x0} 5))"))
+    small = spark.createDataFrame(rows, "sid int, wkt string") \
+        .select("sid", GF.st_geom_from_wkt("wkt").alias("geometry"))
+    got = st_join(polys, small, predicate="contains", grid_size=10.0)
+    pairs = {(r["zid"], r["sid"]) for r in got.collect()}
+    # small box i sits inside grid polygon (i, j=0) -> zid = i*5
+    assert pairs == {(i * 5, i) for i in range(5)}
+    with pytest.raises(ValueError):
+        st_join(polys, small, predicate="touches")
