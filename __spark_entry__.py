@@ -694,10 +694,24 @@ def _q_zonal_stats(spark, sf_dir):
     ]).select("zone_id", rf.st_geom_from_wkt("wkt").alias("geom"))
     out = rf.zonal_stats(t, zones, tile_col="qty",
                          stats=("mean", "data_cells", "sum"))
-    return out.select(
+    # Δr5: st_join (operators/vector_join.py) pinned by the same
+    # closed-form rectangle membership — pixel-center points spatially
+    # joined to the zone polygons through the grid-bucket equi-join path
+    from rasterframes_spark.operators import st_join
+
+    cells = _cells_df(spark, sf_dir)
+    px = (F.col("grp") % 8) * 16.0 + F.col("ci") + 0.5
+    py = (F.col("grp") / 8).cast("int") * 16.0 + 16.0 - (F.col("ri") + 0.5)
+    pts = cells.select("grp", "ci", "ri",
+                       rf.st_point(px, py).alias("geometry"))
+    jn = st_join(pts, zones, geom_right="geom", predicate="within",
+                 grid_size=16.0)
+    cnt = jn.groupBy("zone_id").agg(F.count("*").alias("pts_n"))
+    return out.join(cnt, "zone_id").select(
         "zone_id", F.round("mean", 6).alias("mean_v"),
         F.col("data_cells").cast("long").alias("n"),
-        F.round("sum", 6).alias("sum_v"))
+        F.round("sum", 6).alias("sum_v"),
+        F.col("pts_n").cast("long").alias("pts_n"))
 
 
 def _q_slope(spark, sf_dir):
@@ -1687,7 +1701,8 @@ def oracle_sql() -> dict[str, str]:
             select z.zone_id,
                    round(sum(p.qty) / count(p.qty), 6) as mean_v,
                    cast(count(p.qty) as bigint) as n,
-                   round(sum(p.qty), 6) as sum_v
+                   round(sum(p.qty), 6) as sum_v,
+                   cast(count(*) as bigint) as pts_n
             from pts p join z
               on p.px > z.x0 and p.px < z.x1 and p.py > z.y0 and p.py < z.y1
             group by z.zone_id""",
