@@ -90,6 +90,28 @@ def main():
         e._q_raster_join(spark, sf))
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    from rasterframes_spark.operators import st_join
+    from rasterframes_spark.geom import functions as GFn
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet").limit(500)
+    pts_df = cust.select(
+        "c_custkey",
+        GFn.st_point((F.col("c_custkey") % 100).cast("double"),
+                     (F.col("c_custkey") % 80).cast("double"))
+        .alias("geometry"))
+    zon_df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 50 0, 50 40, 0 40, 0 0))"),
+         (2, "POLYGON ((50 40, 100 40, 100 80, 50 80, 50 40))")],
+        "zone_id int, wkt string").select(
+        "zone_id", GFn.st_geom_from_wkt("wkt").alias("geometry"))
+    add("st_join (geometry x geometry grid-bucket equi-join)",
+        "Both sides explode bbox cover-cells → **shuffled hash equi-join "
+        "on (cx, cy)** — no CartesianProduct, no BroadcastNestedLoopJoin "
+        "anywhere in the plan (the reference's posture for this predicate "
+        "is BNLJ). Reference-point filter dedups pairs with NO distinct "
+        "shuffle; the exact DE-9IM kernel sees candidates only.",
+        st_join(pts_df, zon_df, predicate="within", grid_size=20.0))
+
     docs_df = spark.read.parquet(f"{sf}/documents.parquet")
     add("scrub + repetition quality pass (pii_scrub / repetition_metrics)",
         "The whole PII-redaction + Gopher-repetition-metrics pass is ONE "
