@@ -97,7 +97,8 @@ def dedup_against_minhash(new: DataFrame, reference: DataFrame,
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", bench_text_col: str = "text",
-                  n: int = 13, mode: str = "flag") -> DataFrame:
+                  n: int = 13, mode: str = "flag",
+                  normalize: bool = False) -> DataFrame:
     """Benchmark decontamination: flag (or drop) documents sharing any
     word ``n``-gram with a benchmark/eval set — the standard 13-gram
     membership test training pipelines run before a data release.
@@ -107,9 +108,16 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     doc explodes to its n-gram hashes, inner-joins the broadcast set
     with early-out semantics (semi join), and the doc table left-joins
     the hit ids — documents never shuffle. mode='flag' appends a boolean
-    ``contaminated`` column; mode='drop' filters the hits out."""
+    ``contaminated`` column; mode='drop' filters the hits out.
+
+    ``normalize=True`` lowercases and strips punctuation on BOTH sides
+    before shingling (the usual hardening against trivial reformatting
+    of benchmark text) — still pure codegen'd regexp, no extra pass."""
     def grams(df, col):
-        toks = F.split(F.col(col), r"\s+")
+        c = F.col(col)
+        if normalize:
+            c = F.regexp_replace(F.lower(c), r"[^\w\s]", "")
+        toks = F.split(c, r"\s+")
         # guard: F.sequence(1, 0) would count DOWN — short docs get an
         # empty gram set, not a slice(start=0) error
         return F.when(
@@ -138,22 +146,33 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 def sample_mixture(df: DataFrame, weights: dict, source_col: str = "source",
                    seed: int = 42) -> DataFrame:
-    """Weighted source mixing: keep each row of source s with probability
-    ``weights[s]`` (0..1; unlisted sources drop). Seeded Bernoulli via
-    deterministic per-row hashing — one narrow pass, NO shuffle, and
-    unlike DataFrame.sampleBy the decision is reproducible row-for-row
-    across retries/partitionings (hash of the row content, not RNG
-    stream position)."""
+    """Weighted source mixing: each row of source s is emitted
+    ``weights[s]`` times in expectation (unlisted sources drop).
+
+    - w in [0, 1]: seeded Bernoulli keep — one narrow pass, NO shuffle,
+      and unlike DataFrame.sampleBy the decision is reproducible
+      row-for-row across retries/partitionings (hash of the row content,
+      not RNG stream position).
+    - w > 1 (oversampling, the standard high-quality-source epoch
+      multiplier): floor(w) copies always, plus one more with
+      probability frac(w) — deterministic per row, still narrow (an
+      in-row ``explode`` of a copies range, no shuffle)."""
     for s, w in weights.items():
-        if not (0.0 <= float(w) <= 1.0):
-            raise ValueError(f"sample_mixture: weight for {s!r} not in [0,1]")
+        if float(w) < 0.0:
+            raise ValueError(f"sample_mixture: weight for {s!r} is negative")
     # per-row uniform in [0,1): low 32 bits of xxhash64(row-struct, seed)
     u = (F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]),
                            F.lit(seed)), F.lit(2**32)) / F.lit(float(2**32)))
     w_map = F.create_map(*[x for s, w in weights.items()
                            for x in (F.lit(s), F.lit(float(w)))])
-    keep = u < F.coalesce(w_map[F.col(source_col)], F.lit(0.0))
-    return df.where(keep)
+    w_row = F.coalesce(w_map[F.col(source_col)], F.lit(0.0))
+    if all(float(w) <= 1.0 for w in weights.values()):
+        return df.where(u < w_row)
+    copies = (F.floor(w_row).cast("int")
+              + (u < (w_row - F.floor(w_row))).cast("int"))
+    return (df.withColumn("__nc", copies).where(F.col("__nc") > 0)
+            .withColumn("__ci", F.explode(F.sequence(F.lit(1), F.col("__nc"))))
+            .drop("__nc", "__ci"))
 
 
 def split_dataset(df: DataFrame, weights: dict | None = None,

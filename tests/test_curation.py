@@ -114,3 +114,40 @@ def test_pack_documents_respects_budget(spark, docs):
     if n_small >= 8:
         packed = P.pack_documents(small, max_tokens=200, num_bins=2)
         assert packed.select("pack_id").distinct().count() < n_small
+
+
+def test_sample_mixture_oversampling(spark, docs):
+    base = docs.select("doc_id", "source", "text")
+    srcs = sorted({r["source"] for r in base.select("source")
+                   .distinct().collect()})
+    s0, s1 = srcs[0], srcs[1]
+    w = {s0: 2.5, s1: 1.0}
+    out = P.sample_mixture(base, w, seed=5)
+    n0_in = base.where(F.col("source") == s0).count()
+    n0 = out.where(F.col("source") == s0).count()
+    n1 = out.where(F.col("source") == s1).count()
+    assert n1 == base.where(F.col("source") == s1).count()  # w=1 keeps all
+    assert 2 * n0_in <= n0 <= 3 * n0_in                      # 2.5x expected
+    assert out.where(~F.col("source").isin(s0, s1)).count() == 0
+    # deterministic under repartitioning
+    a = sorted((r["doc_id"], r["source"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["source"]) for r in
+               P.sample_mixture(base.repartition(7), w, seed=5).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        P.sample_mixture(base, {s0: -0.1})
+
+
+def test_decontaminate_normalize(spark):
+    docs = spark.createDataFrame(
+        [(1, "The QUICK brown fox, jumps over the lazy dog today again!"),
+         (2, "totally unrelated words only here nothing shared at all")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog today",)], ["text"])
+    plain = P.decontaminate(docs, bench, n=10)
+    assert {r["doc_id"]: r["contaminated"] for r in plain.collect()} == {
+        1: False, 2: False}  # case/punct differences defeat raw matching
+    norm = P.decontaminate(docs, bench, n=10, normalize=True)
+    assert {r["doc_id"]: r["contaminated"] for r in norm.collect()} == {
+        1: True, 2: False}
