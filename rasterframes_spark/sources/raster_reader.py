@@ -105,7 +105,8 @@ def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
                 tile_dimensions=(256, 256), buffer_size: int = 0,
                 lazy_tiles: bool = True, spatial_index_partitions: int | None = None,
                 catalog_col: str | None = None,
-                catalog_cols: list[str] | None = None) -> DataFrame:
+                catalog_cols: list[str] | None = None,
+                query_extent: tuple | None = None) -> DataFrame:
     """Catalog (list of URIs | DataFrame with path column(s)) -> one row per
     (scene × chunk), tile columns per band.
 
@@ -189,6 +190,16 @@ def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
                 exploded = exploded.withColumn(name, realize_tiles(F.col(name)))
 
     out = exploded.drop("__chunk")
+    if query_extent is not None:
+        # AOI pruning BEFORE any cell I/O: chunks are still lazy refs, so
+        # dropping a chunk row here means its window is never read —
+        # only scene headers (a few KB each) were touched. The filter is
+        # pure Catalyst over the chunk extent struct (laziness-as-I/O-
+        # pruning, the posture of ref/RasterRef.scala:49-64).
+        qx0, qy0, qx1, qy1 = (float(v) for v in query_extent)
+        e = F.col("extent")
+        out = out.where((e["xmin"] < qx1) & (e["xmax"] > qx0)
+                        & (e["ymin"] < qy1) & (e["ymax"] > qy0))
     if spatial_index_partitions:
         from rasterframes_spark.geom.functions import rf_xz2_index
 

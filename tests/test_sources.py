@@ -648,3 +648,28 @@ def test_bigtiff_write_roundtrip(rng):
     # classic stays the default at small sizes
     small = GT.write_geotiff(arr, (0, 0, 1, 1))
     assert small[2:4] == b"\x2a\x00"
+
+
+def test_read_raster_query_extent_prunes(spark, scene_path):
+    """AOI pruning drops chunk rows before any cell I/O (refs stay lazy);
+    the kept chunks realize to the same values as the unfiltered read."""
+    path, arr = scene_path
+    full = S.read_raster(spark, [path], tile_dimensions=(64, 64))
+    assert full.count() == 4
+    # AOI covering only the north-west chunk (scene extent
+    # (-78.6, 37.9, -78.2, 38.2); 128x96 px, 64x64 chunks -> 2x2)
+    aoi = (-78.59, 38.11, -78.45, 38.19)
+    pruned = S.read_raster(spark, [path], tile_dimensions=(64, 64),
+                           query_extent=aoi)
+    rows = pruned.collect()
+    assert len(rows) == 1
+    e = rows[0]["extent"]
+    assert e["xmin"] == pytest.approx(-78.6) and e["ymax"] == pytest.approx(38.2)
+    # kept chunk realizes identically to the full read's matching chunk
+    s = pruned.select(S.realize_tiles("tile_ref").alias("t")) \
+        .agg(F.sum(rf.rf_tile_sum("t"))).head()[0]
+    nw = arr[:64, :64]
+    assert s == float(nw[nw != 0].sum())
+    # empty AOI -> zero rows, no error
+    assert S.read_raster(spark, [path], tile_dimensions=(64, 64),
+                         query_extent=(10, 10, 11, 11)).count() == 0
