@@ -127,6 +127,23 @@ def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
         cat = catalog
         catalog_col = catalog_col or (catalog_cols or cat.columns)[0]
 
+    if query_extent is not None:
+        # scene-level pruning: when the catalog carries scene bboxes (a
+        # `bbox` struct, as stac_asset_catalog emits, or bare
+        # xmin/ymin/xmax/ymax columns), drop non-overlapping SCENES here —
+        # at catalog scale this skips even the per-scene header read
+        qx0, qy0, qx1, qy1 = (float(v) for v in query_extent)
+        bb = None
+        if "bbox" in cat.columns:
+            bb = F.col("bbox")
+        elif all(c in cat.columns for c in ("xmin", "ymin", "xmax", "ymax")):
+            bb = F.struct(*[F.col(c) for c in ("xmin", "ymin", "xmax", "ymax")])
+        if bb is not None:
+            cat = cat.where(
+                bb["xmin"].isNull()
+                | ((bb["xmin"] < qx1) & (bb["xmax"] > qx0)
+                   & (bb["ymin"] < qy1) & (bb["ymax"] > qy0)))
+
     @lazy_pandas_udf(_CHUNK_T)
     def chunk_grid(uris: pd.Series) -> pd.Series:
         out = []

@@ -141,6 +141,10 @@ def stac_asset_catalog(items: DataFrame, asset_keys: list[str]) -> DataFrame:
     read_raster(catalog_col=...) chaining (the reference reads catalogs whose
     columns are band paths, RasterSourceDataSource.scala:59-63)."""
     cols = [F.col("id"), F.col("datetime")]
+    if "bbox" in items.columns:
+        # carry the scene bbox: read_raster(query_extent=...) then prunes
+        # whole scenes before any header/pixel I/O
+        cols.append(F.col("bbox"))
     for k in asset_keys:
         cols.append(F.col("assets").getItem(k).alias(f"{k}_path"))
     return items.select(*cols)

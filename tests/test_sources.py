@@ -673,3 +673,17 @@ def test_read_raster_query_extent_prunes(spark, scene_path):
     # empty AOI -> zero rows, no error
     assert S.read_raster(spark, [path], tile_dimensions=(64, 64),
                          query_extent=(10, 10, 11, 11)).count() == 0
+
+
+def test_read_raster_scene_level_pruning(spark, scene_path, tmp_path):
+    """A catalog carrying scene bboxes prunes whole scenes before the
+    chunker ever opens them: a bogus path outside the AOI never errors
+    because it is never touched."""
+    path, arr = scene_path
+    cat = spark.createDataFrame(
+        [(path, -78.6, 37.9, -78.2, 38.2),
+         (str(tmp_path / "never_opened.tiff"), 30.0, 30.0, 31.0, 31.0)],
+        "path string, xmin double, ymin double, xmax double, ymax double")
+    pruned = S.read_raster(spark, cat, tile_dimensions=(64, 64),
+                           query_extent=(-78.59, 38.11, -78.45, 38.19))
+    assert pruned.count() == 1  # bogus scene skipped, NW chunk kept
