@@ -32,7 +32,8 @@ __all__ = [
 def read_geotiff_stream(spark: SparkSession, directory: str,
                         tile_dimensions: tuple = (256, 256), band: int = 0,
                         pattern: str = "*.tif*",
-                        max_files_per_trigger: int | None = None) -> DataFrame:
+                        max_files_per_trigger: int | None = None,
+                        query_extent: tuple | None = None) -> DataFrame:
     """Continuous raster ingest: watch ``directory`` for new GeoTIFFs and
     emit tile-chunk rows — the streaming counterpart of
     ``spark.read.geotiff`` (the reference has no streaming source at all;
@@ -46,7 +47,9 @@ def read_geotiff_stream(spark: SparkSession, directory: str,
     (path, ts, spatial_key{col,row}, extent{xmin..ymax}, crs, tile).
 
     Every rf_* scalar works downstream unchanged; combine with
-    ``windowed_tile_stats`` for rolling scene statistics."""
+    ``windowed_tile_stats`` for rolling scene statistics.
+    ``query_extent`` prunes non-overlapping chunks before their windows
+    decode (scene header still parses; pixels of pruned chunks don't)."""
     import numpy as np
     import pandas as pd
 
@@ -86,6 +89,14 @@ def read_geotiff_stream(spark: SparkSession, directory: str,
                     for c0 in range(0, info.width, tw):
                         w = min(tw, info.width - c0)
                         h = min(th, info.height - r0)
+                        if query_extent is not None:
+                            qx0, qy0, qx1, qy1 = (
+                                float(v) for v in query_extent)
+                            if not (xmin + c0 * pw < qx1
+                                    and xmin + (c0 + w) * pw > qx0
+                                    and ymax - (r0 + h) * ph < qy1
+                                    and ymax - r0 * ph > qy0):
+                                continue
                         arr = GT.read_window(data, info, c0, r0, w, h, band)
                         if info.nodata is not None and not np.issubdtype(
                                 arr.dtype, np.floating):

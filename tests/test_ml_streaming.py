@@ -147,3 +147,26 @@ def test_read_geotiff_stream(spark, tmp_path):
     inc = spark.read.parquet(out_dir).collect()
     assert len(inc) == 7  # 6 prior chunks + exactly one new (c.tif)
     assert sum(1 for r in inc if r["path"].endswith("c.tif")) == 1
+
+
+def test_read_geotiff_stream_query_extent(spark, tmp_path):
+    from rasterframes_spark.sources import geotiff as GT
+    from rasterframes_spark.streaming import read_geotiff_stream
+
+    src = str(tmp_path / "scenes")
+    os.makedirs(src, exist_ok=True)
+    arr = np.arange(32 * 32, dtype="uint16").reshape(32, 32)
+    with open(f"{src}/a.tif", "wb") as f:
+        f.write(GT.write_geotiff(arr, (0.0, 0.0, 32.0, 32.0), "EPSG:32618",
+                                 tile_size=16))
+    out_dir = str(tmp_path / "out")
+    q = (read_geotiff_stream(spark, src, tile_dimensions=(16, 16),
+                             query_extent=(1.0, 17.0, 15.0, 31.0))
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    # AOI covers only the NW chunk (y 17..31 = top half, x 1..15 = left)
+    assert len(rows) == 1
+    assert rows[0]["spatial_key"].asDict() == {"col": 0, "row": 0}
