@@ -36,14 +36,60 @@ __all__ = [
 ]
 
 
-def _radius(neighborhood: str) -> int:
-    """Parse 'square-N' / bare int-like specs (FocalNeighborhoodOp.scala:35-62)."""
+def _footprint(neighborhood):
+    """Parse the reference's full neighborhood grammar
+    (util/package.scala:190-225): square-N, circle-r, nesw-N,
+    wedge-r-a0-a1, annulus-ri-ro, or a bare radius int. Returns
+    (radius, mask) where mask is a (2r+1, 2r+1) bool footprint
+    (None = full square). Cells outside the footprint are excluded
+    from the statistic (set NaN before reduction)."""
+    import math
+
     if isinstance(neighborhood, int):
-        return int(neighborhood)
+        return int(neighborhood), None
     s = str(neighborhood).lower().strip()
-    if "-" in s:
-        return int(s.rsplit("-", 1)[1])
-    return int(s)
+    if not s or "-" not in s:
+        return int(s), None
+    kind, rest = s.split("-", 1)
+    if kind == "square":
+        return int(rest), None
+    dy_dx = None
+
+    def grid(r):
+        dy, dx = np.mgrid[-r:r + 1, -r:r + 1]
+        return dy.astype("float64"), dx.astype("float64")
+
+    if kind == "circle":
+        rad = float(rest)
+        r = int(math.ceil(rad))
+        dy, dx = grid(r)
+        return r, (dy * dy + dx * dx) <= rad * rad
+    if kind == "nesw":
+        r = int(rest)
+        dy, dx = grid(r)
+        return r, (dy == 0) | (dx == 0)
+    if kind == "annulus":
+        ri, ro = (float(v) for v in rest.split("-"))
+        r = int(math.ceil(ro))
+        dy, dx = grid(r)
+        d2 = dy * dy + dx * dx
+        return r, (d2 >= ri * ri) & (d2 <= ro * ro)
+    if kind == "wedge":
+        rad, a0, a1 = (float(v) for v in rest.split("-"))
+        r = int(math.ceil(rad))
+        dy, dx = grid(r)
+        ang = np.degrees(np.arctan2(-dy, dx)) % 360.0
+        in_ang = (((ang - a0 % 360.0) % 360.0)
+                  <= ((a1 % 360.0 - a0 % 360.0) % 360.0))
+        m = ((dy * dy + dx * dx) <= rad * rad) & in_ang
+        m[r, r] = True  # center cell always participates
+        return r, m
+    raise ValueError(f"unrecognized neighborhood {neighborhood!r}")
+
+
+def _radius(neighborhood: str) -> int:
+    """Radius of the neighborhood's bounding square."""
+    return _footprint(neighborhood)[0]
 
 
 def _windows(a: np.ma.MaskedArray, r: int):
@@ -62,11 +108,13 @@ def _slice_core(ma: np.ma.MaskedArray, b: int) -> np.ma.MaskedArray:
 
 
 def _focal(reducer, neighborhood="square-1", buffer=0):
-    r = _radius(neighborhood)
+    r, fp = _footprint(neighborhood)
     b = int(buffer)
 
     def fn(a):
         w = _windows(a, r)
+        if fp is not None:
+            w = np.where(fp, w, np.nan)  # non-footprint cells drop out
         with np.errstate(invalid="ignore", divide="ignore"):
             res = reducer(w.reshape(w.shape[0], w.shape[1], -1))
         mask = np.isnan(res) | np.ma.getmaskarray(a)
@@ -107,11 +155,14 @@ def rf_focal_stddev(tile, neighborhood="square-1", buffer: int = 0) -> Column:
 
 def rf_focal_mode(tile, neighborhood="square-1", buffer: int = 0) -> Column:
     """Most frequent neighborhood value (FocalMode.scala)."""
-    r = _radius(neighborhood)
+    r, fp = _footprint(neighborhood)
     b = int(buffer)
 
     def fn(a):
-        w = _windows(a, r).reshape(a.shape[0], a.shape[1], -1)
+        w = _windows(a, r)
+        if fp is not None:
+            w = np.where(fp, w, np.nan)
+        w = w.reshape(a.shape[0], a.shape[1], -1)
         res = np.empty(a.shape, dtype="float64")
         mask = np.zeros(a.shape, dtype=bool)
         for i in range(a.shape[0]):

@@ -101,3 +101,50 @@ def test_moransi_stripes(spark):
     )
     t = one_tile(df.select(rf.rf_focal_moransi("t").alias("r")), "r")
     assert float(t.masked()[2:4, 2:4].mean()) < 0
+
+
+def test_focal_neighborhood_shapes(spark):
+    """circle / nesw / annulus / wedge footprints vs direct numpy oracles
+    (the reference's full neighborhood grammar, util/package.scala:190-225;
+    previously every spec silently behaved as a square)."""
+    from rasterframes_spark.functions.focal import _footprint
+
+    rng = np.random.default_rng(5)
+    arr = rng.uniform(0, 10, (9, 9))
+    t = Tile(arr, "float64")
+    df = spark.createDataFrame([{"t": t.to_row()}], schema=f"t {TILE_T}")
+
+    def got(spec):
+        row = df.select(rf.rf_focal_mean("t", spec).alias("r")).head()["r"]
+        out = Tile.from_parts(row["cell_type"], row["cols"], row["rows"],
+                              bytes(row["cells"]))
+        return np.asarray(out.masked())
+
+    def oracle(spec):
+        r, m = _footprint(spec)
+        if m is None:
+            m = np.ones((2 * r + 1, 2 * r + 1), dtype=bool)
+        exp = np.zeros_like(arr)
+        for i in range(9):
+            for j in range(9):
+                vals = []
+                for dy in range(-r, r + 1):
+                    for dx in range(-r, r + 1):
+                        if not m[dy + r, dx + r]:
+                            continue
+                        y, x = i + dy, j + dx
+                        if 0 <= y < 9 and 0 <= x < 9:
+                            vals.append(arr[y, x])
+                exp[i, j] = np.mean(vals)
+        return exp
+
+    for spec in ("square-1", "circle-1.5", "nesw-2", "annulus-1-2",
+                 "wedge-2-0-90"):
+        np.testing.assert_allclose(got(spec), oracle(spec), rtol=1e-12,
+                                   err_msg=spec)
+    # distinct specs give distinct results (no silent square fallback)
+    assert not np.allclose(got("circle-1.5"), got("square-2"))
+    assert not np.allclose(got("nesw-1"), got("square-1"))
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        df.select(rf.rf_focal_mean("t", "blob-3").alias("r")).head()
