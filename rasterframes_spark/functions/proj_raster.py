@@ -182,19 +182,84 @@ def rf_rgb_composite(red, green, blue) -> Column:
     return udf(col_or_name(red), col_or_name(green), col_or_name(blue))
 
 
-# compact perceptual ramps: 8 anchor RGBs, linearly interpolated to 256
+# compact perceptual ramps: anchor RGBs, linearly interpolated to 256.
+# Name set mirrors the reference's ColorRampNames registry
+# (util/package.scala:156-181); anchor values are approximations of the
+# well-known palettes, not copies of GeoTrellis constants.
 _RAMPS = {
     "viridis": [(68, 1, 84), (70, 50, 127), (54, 92, 141), (39, 127, 142),
                 (31, 161, 135), (74, 194, 109), (159, 218, 58), (253, 231, 37)],
     "magma": [(0, 0, 4), (40, 11, 84), (101, 21, 110), (159, 42, 99),
               (212, 72, 66), (245, 125, 21), (250, 193, 39), (252, 253, 191)],
+    "inferno": [(0, 0, 4), (40, 11, 84), (101, 21, 110), (182, 54, 85),
+                (229, 92, 48), (251, 155, 6), (247, 209, 61), (252, 255, 164)],
+    "plasma": [(13, 8, 135), (84, 2, 163), (139, 10, 165), (185, 50, 137),
+               (219, 92, 104), (244, 136, 73), (254, 188, 43), (240, 249, 33)],
     "heat": [(0, 0, 0), (128, 0, 0), (255, 0, 0), (255, 128, 0),
              (255, 255, 0), (255, 255, 128), (255, 255, 255), (255, 255, 255)],
+    "bluetoorange": [(0, 0, 255), (80, 120, 230), (170, 200, 220),
+                     (255, 255, 200), (255, 200, 120), (255, 140, 40),
+                     (255, 110, 0), (230, 90, 0)],
+    "lightyellowtoorange": [(255, 255, 200), (255, 240, 160),
+                            (255, 220, 120), (255, 200, 90), (255, 170, 60),
+                            (255, 140, 30), (250, 110, 10), (235, 90, 0)],
+    "bluetored": [(0, 0, 255), (90, 90, 240), (170, 170, 225),
+                  (235, 235, 210), (235, 180, 160), (230, 120, 100),
+                  (225, 60, 50), (215, 0, 0)],
+    "greentoredorange": [(0, 130, 0), (90, 170, 40), (180, 210, 90),
+                         (240, 240, 140), (250, 200, 100), (250, 150, 60),
+                         (245, 100, 30), (235, 60, 0)],
+    "lighttodarksunset": [(255, 255, 230), (250, 220, 200), (245, 180, 170),
+                          (235, 135, 145), (210, 95, 135), (160, 60, 120),
+                          (100, 35, 100), (40, 15, 70)],
+    "lighttodarkgreen": [(230, 255, 230), (190, 240, 190), (150, 220, 150),
+                         (110, 195, 110), (75, 165, 75), (45, 130, 45),
+                         (20, 95, 20), (0, 60, 0)],
+    "heatmapyellowtored": [(255, 255, 0), (255, 220, 0), (255, 180, 0),
+                           (255, 140, 0), (255, 100, 0), (255, 60, 0),
+                           (240, 30, 0), (220, 0, 0)],
+    "heatmapbluetoyellowtoredspectrum": [(0, 0, 160), (0, 90, 230),
+                                         (0, 190, 230), (110, 230, 140),
+                                         (230, 230, 60), (250, 170, 30),
+                                         (250, 90, 10), (220, 0, 0)],
+    "heatmapdarkredtoyellowwhite": [(90, 0, 0), (160, 20, 0), (220, 60, 0),
+                                    (250, 110, 0), (255, 165, 10),
+                                    (255, 210, 60), (255, 240, 150),
+                                    (255, 255, 255)],
+    "heatmaplightpurpletodarkpurpletowhite": [(235, 220, 245),
+                                              (205, 175, 230),
+                                              (170, 125, 210),
+                                              (135, 80, 185),
+                                              (100, 45, 155),
+                                              (70, 20, 120),
+                                              (160, 130, 200),
+                                              (255, 255, 255)],
+    "classificationboldlanduse": [(180, 100, 50), (230, 200, 80),
+                                  (90, 170, 60), (30, 120, 40),
+                                  (70, 150, 220), (30, 70, 180),
+                                  (200, 80, 180), (130, 130, 130)],
+    "classificationmutedterrain": [(90, 120, 80), (140, 160, 110),
+                                   (190, 200, 150), (225, 220, 180),
+                                   (210, 190, 150), (180, 150, 120),
+                                   (150, 120, 100), (240, 240, 240)],
 }
 
 
 def _ramp_lut(name: str) -> np.ndarray:
-    anchors = np.array(_RAMPS[name], dtype="float64")
+    key = str(name).lower()
+    if key.startswith("greyscale") or key.startswith("grayscale"):
+        # GreyscaleN: grayscale quantized to N steps
+        digits = "".join(ch for ch in key if ch.isdigit())
+        steps = int(digits) if digits else 256
+        g = (np.arange(256) // max(1, 256 // steps)
+             * max(1, 256 // steps)).astype("float64")
+        g = np.clip(g * 255.0 / max(g.max(), 1.0), 0, 255)
+        return np.stack([g, g, g], axis=1).astype("uint8")
+    if key not in _RAMPS:
+        raise ValueError(
+            f"unknown color ramp {name!r}; known: "
+            f"{sorted(_RAMPS)} + GreyscaleN")
+    anchors = np.array(_RAMPS[key], dtype="float64")
     xs = np.linspace(0, 255, len(anchors))
     lut = np.stack([np.interp(np.arange(256), xs, anchors[:, c]) for c in range(3)],
                    axis=1)

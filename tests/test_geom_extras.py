@@ -82,3 +82,37 @@ def test_color_ramp_png(spark, gdf):
         schema="t struct<cell_type:string,cols:int,rows:int,cells:binary>")
     png = df.select(rf.rf_render_color_ramp_png("t", "viridis").alias("p")).head()["p"]
     assert bytes(png)[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_color_ramp_full_name_registry(spark):
+    """All 22 reference ColorRampNames resolve (util/package.scala:156-181)
+    and decode to valid PNGs; unknown names raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rasterframes_spark.functions.proj_raster import _ramp_lut
+    from rasterframes_spark.sources.png import decode_png
+    from rasterframes_spark.tile import Tile
+
+    names = ["BlueToOrange", "LightYellowToOrange", "BlueToRed",
+             "GreenToRedOrange", "LightToDarkSunset", "LightToDarkGreen",
+             "HeatmapYellowToRed", "HeatmapBlueToYellowToRedSpectrum",
+             "HeatmapDarkRedToYellowWhite",
+             "HeatmapLightPurpleToDarkPurpleToWhite",
+             "ClassificationBoldLandUse", "ClassificationMutedTerrain",
+             "Magma", "Inferno", "Plasma", "Viridis",
+             "Greyscale2", "Greyscale8", "Greyscale32", "Greyscale64",
+             "Greyscale128", "Greyscale256"]
+    for n in names:
+        assert _ramp_lut(n).shape == (256, 3), n
+    t = Tile(np.arange(64, dtype="float64").reshape(8, 8), "float64")
+    df = spark.createDataFrame(
+        [{"t": t.to_row()}],
+        schema="t struct<cell_type:string,cols:int,rows:int,cells:binary>")
+    png = df.select(
+        rf.rf_render_color_ramp_png("t", "BlueToOrange").alias("p")
+    ).head()["p"]
+    arr = decode_png(bytes(png))
+    assert arr.shape[:2] == (8, 8)
+    with _pytest.raises(ValueError):
+        _ramp_lut("NotARamp")
