@@ -285,7 +285,7 @@ def _q_local_min_max(spark, sf_dir):
 def _q_focal_mean(spark, sf_dir):
     """Focal mean vs SQL 3x3-neighborhood self-join oracle."""
     t = _tiles_df(spark, sf_dir)
-    fm = t.select("grp", rf.rf_focal_mean("qty", "square-1").alias("fm"))
+    fm = t.select("grp", rf.rf_focal_mean("qty", "square-1", target="data").alias("fm"))
     cells = rf.explode_tiles(fm, ["fm"])
     return cells.where(F.col("fm").isNotNull()).select(
         "grp", "column_index", "row_index", F.round("fm", 6).alias("fm"))
@@ -411,7 +411,7 @@ def _q_focal_seams(spark, sf_dir):
     )
     bt = rf.assemble_tiles(local, ["t"], "ci", "ri", "qty",
                            TILE_COLS + 2 * b, TILE_ROWS + 2 * b, "float64")
-    foc = bt.select("t", rf.rf_focal_mean("tile", "square-1", buffer=b).alias("f"))
+    foc = bt.select("t", rf.rf_focal_mean("tile", "square-1", buffer=b, target="data").alias("f"))
     out = rf.explode_tiles(foc, ["f"]).where(F.col("f").isNotNull())
     tx2 = (F.col("t") % 2) * TILE_COLS
     ty2 = F.floor(F.col("t") / 2).cast("int") * TILE_ROWS
@@ -723,7 +723,7 @@ def _q_slope(spark, sf_dir):
     t = t.withColumn("extent", F.struct(
         F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
         F.lit(float(TILE_COLS)).alias("xmax"), F.lit(float(TILE_ROWS)).alias("ymax")))
-    s = t.select("grp", rf.rf_slope("qty", "extent").alias("slope_t"))
+    s = t.select("grp", rf.rf_slope("qty", "extent", target="data").alias("slope_t"))
     ex = rf.explode_tiles(s, ["slope_t"], keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
@@ -738,7 +738,7 @@ def _q_hillshade(spark, sf_dir):
     t = t.withColumn("extent", F.struct(
         F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
         F.lit(float(TILE_COLS)).alias("xmax"), F.lit(float(TILE_ROWS)).alias("ymax")))
-    s = t.select("grp", rf.rf_hillshade("qty", "extent").alias("hs_t"))
+    s = t.select("grp", rf.rf_hillshade("qty", "extent", target="data").alias("hs_t"))
     ex = rf.explode_tiles(s, ["hs_t"], keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
@@ -1141,7 +1141,7 @@ def _q_aspect(spark, sf_dir):
     t = t.withColumn("extent", F.struct(
         F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
         F.lit(float(TILE_COLS)).alias("xmax"), F.lit(float(TILE_ROWS)).alias("ymax")))
-    s = t.select("grp", rf.rf_aspect("qty", "extent").alias("asp_t"))
+    s = t.select("grp", rf.rf_aspect("qty", "extent", target="data").alias("asp_t"))
     ex = rf.explode_tiles(s, ["asp_t"], keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
@@ -1156,11 +1156,11 @@ def _q_focal_stats(spark, sf_dir):
     two-pass like np.nanstd, not Welford)."""
     t = _tiles_df(spark, sf_dir)
     f = t.select("grp",
-                 rf.rf_focal_median("qty", "square-1").alias("med"),
-                 rf.rf_focal_mode("qty", "square-1").alias("mode_t"),
-                 rf.rf_focal_min("qty", "square-1").alias("fmin_t"),
-                 rf.rf_focal_max("qty", "square-1").alias("fmax_t"),
-                 rf.rf_focal_stddev("qty", "square-1").alias("fsd_t"))
+                 rf.rf_focal_median("qty", "square-1", target="data").alias("med"),
+                 rf.rf_focal_mode("qty", "square-1", target="data").alias("mode_t"),
+                 rf.rf_focal_min("qty", "square-1", target="data").alias("fmin_t"),
+                 rf.rf_focal_max("qty", "square-1", target="data").alias("fmax_t"),
+                 rf.rf_focal_stddev("qty", "square-1", target="data").alias("fsd_t"))
     ex = rf.explode_tiles(f, ["med", "mode_t", "fmin_t", "fmax_t", "fsd_t"],
                           keep_cols=["grp"])
     return ex.select(
@@ -1179,7 +1179,7 @@ def _q_moransi(spark, sf_dir):
     center — tile mean/variance and the neighborhood chain all recomputed
     in SQL."""
     t = _tiles_df(spark, sf_dir)
-    m = t.select("grp", rf.rf_focal_moransi("qty", "square-1").alias("mi_t"))
+    m = t.select("grp", rf.rf_focal_moransi("qty", "square-1", target="data").alias("mi_t"))
     ex = rf.explode_tiles(m, ["mi_t"], keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
@@ -1210,7 +1210,7 @@ def _q_convolve(spark, sf_dir):
     where the centre is NoData — the oracle sums weighted present
     neighbors only, which reproduces both rules."""
     t = _tiles_df(spark, sf_dir)
-    c = t.select("grp", rf.rf_convolve("qty", _CONV_KERNEL).alias("conv"))
+    c = t.select("grp", rf.rf_convolve("qty", _CONV_KERNEL, target="data").alias("conv"))
     ex = rf.explode_tiles(c, ["conv"], keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",

@@ -107,7 +107,29 @@ def _slice_core(ma: np.ma.MaskedArray, b: int) -> np.ma.MaskedArray:
     return ma[b:-b, b:-b]
 
 
-def _focal(reducer, neighborhood="square-1", buffer=0):
+def _apply_target(a: "np.ma.MaskedArray", computed: "np.ma.MaskedArray",
+                  target: str) -> "np.ma.MaskedArray":
+    """GeoTrellis TargetCell semantics (util/package.scala:275-283):
+    which cells RECEIVE the focal result vs keep their input value.
+    'all' -> computed everywhere (NoData centers gap-fill from their
+    neighborhood); 'data' -> computed only where input has data;
+    'nodata' -> input value at data cells, computed at NoData cells."""
+    t = str(target).lower()
+    am = np.ma.getmaskarray(a)
+    cm = np.ma.getmaskarray(computed)
+    cv = np.ma.getdata(computed)
+    if t == "all":
+        return computed
+    if t == "data":
+        return np.ma.masked_array(cv, mask=cm | am)
+    if t == "nodata":
+        vals = np.where(am, cv, np.asarray(a.data, dtype="float64"))
+        return np.ma.masked_array(vals, mask=am & cm)
+    raise ValueError(f"unrecognized target cell {target!r} "
+                     "(use 'all' | 'data' | 'nodata')")
+
+
+def _focal(reducer, neighborhood="square-1", buffer=0, target="all"):
     r, fp = _footprint(neighborhood)
     b = int(buffer)
 
@@ -117,43 +139,49 @@ def _focal(reducer, neighborhood="square-1", buffer=0):
             w = np.where(fp, w, np.nan)  # non-footprint cells drop out
         with np.errstate(invalid="ignore", divide="ignore"):
             res = reducer(w.reshape(w.shape[0], w.shape[1], -1))
-        mask = np.isnan(res) | np.ma.getmaskarray(a)
-        return _slice_core(np.ma.masked_array(res, mask=mask), b)
+        computed = np.ma.masked_array(res, mask=np.isnan(res))
+        return _slice_core(_apply_target(a, computed, target), b)
 
     return fn
 
 
-def rf_focal_mean(tile, neighborhood="square-1", buffer: int = 0) -> Column:
+def rf_focal_mean(tile, neighborhood="square-1", buffer: int = 0,
+                  target: str = "all") -> Column:
     """(focalops/FocalMean.scala:41). ``buffer`` is the halo width carried
     in the tile (read_raster's buffer_size / an assembled halo): the
     neighborhood consumes it, the output is the core tile — so focal values
     at tile seams match a whole-image computation
     (ref/RasterRef.scala:49-64, focalops/FocalNeighborhoodOp.scala:35-62)."""
-    return unary_tile_op(_focal(lambda w: np.nanmean(w, axis=2), neighborhood, buffer),
+    return unary_tile_op(_focal(lambda w: np.nanmean(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
-def rf_focal_median(tile, neighborhood="square-1", buffer: int = 0) -> Column:
-    return unary_tile_op(_focal(lambda w: np.nanmedian(w, axis=2), neighborhood, buffer),
+def rf_focal_median(tile, neighborhood="square-1", buffer: int = 0,
+                  target: str = "all") -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanmedian(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
-def rf_focal_min(tile, neighborhood="square-1", buffer: int = 0) -> Column:
-    return unary_tile_op(_focal(lambda w: np.nanmin(w, axis=2), neighborhood, buffer),
+def rf_focal_min(tile, neighborhood="square-1", buffer: int = 0,
+                  target: str = "all") -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanmin(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
-def rf_focal_max(tile, neighborhood="square-1", buffer: int = 0) -> Column:
-    return unary_tile_op(_focal(lambda w: np.nanmax(w, axis=2), neighborhood, buffer),
+def rf_focal_max(tile, neighborhood="square-1", buffer: int = 0,
+                  target: str = "all") -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanmax(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
-def rf_focal_stddev(tile, neighborhood="square-1", buffer: int = 0) -> Column:
-    return unary_tile_op(_focal(lambda w: np.nanstd(w, axis=2), neighborhood, buffer),
+def rf_focal_stddev(tile, neighborhood="square-1", buffer: int = 0,
+                  target: str = "all") -> Column:
+    return unary_tile_op(_focal(lambda w: np.nanstd(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
-def rf_focal_mode(tile, neighborhood="square-1", buffer: int = 0) -> Column:
+def rf_focal_mode(tile, neighborhood="square-1", buffer: int = 0,
+                  target: str = "all") -> Column:
     """Most frequent neighborhood value (FocalMode.scala)."""
     r, fp = _footprint(neighborhood)
     b = int(buffer)
@@ -175,13 +203,14 @@ def rf_focal_mode(tile, neighborhood="square-1", buffer: int = 0) -> Column:
                 else:
                     uq, ct = np.unique(vals, return_counts=True)
                     res[i, j] = uq[np.argmax(ct)]
-        mask |= np.ma.getmaskarray(a)
-        return _slice_core(np.ma.masked_array(res, mask=mask), b)
+        computed = np.ma.masked_array(res, mask=mask)
+        return _slice_core(_apply_target(a, computed, target), b)
 
     return unary_tile_op(fn, out_ct="float64")(tile)
 
 
-def rf_convolve(tile, kernel, buffer: int = 0) -> Column:
+def rf_convolve(tile, kernel, buffer: int = 0,
+                target: str = "all") -> Column:
     """Kernel convolution (focalops/Convolve.scala:52-85). ``kernel`` is a
     2-D nested list / numpy array. NoData cells contribute 0 (GeoTrellis
     Kernel convolve skips NoData); output NoData where input is NoData."""
@@ -194,12 +223,14 @@ def rf_convolve(tile, kernel, buffer: int = 0) -> Column:
         padded = np.pad(filled, ((kr, kr), (kc, kc)), mode="constant")
         w = np.lib.stride_tricks.sliding_window_view(padded, k.shape)
         res = np.einsum("ijkl,kl->ij", w, k[::-1, ::-1])
-        return _slice_core(np.ma.masked_array(res, mask=np.ma.getmaskarray(a)), b)
+        computed = np.ma.masked_array(res, mask=np.isnan(res))
+        return _slice_core(_apply_target(a, computed, target), b)
 
     return unary_tile_op(fn, out_ct="float64")(tile)
 
 
-def rf_focal_moransi(tile, neighborhood="square-1", buffer: int = 0) -> Column:
+def rf_focal_moransi(tile, neighborhood="square-1", buffer: int = 0,
+                     target: str = "all") -> Column:
     """Local Moran's I spatial autocorrelation (focalops/FocalMoransI.scala:53):
     I_i = z_i * mean(z_neighbors) / var(z), z = x - mean(x), neighbors
     exclude the center cell. With a halo, the global stats come from the
@@ -221,8 +252,8 @@ def rf_focal_moransi(tile, neighborhood="square-1", buffer: int = 0) -> Column:
         with np.errstate(invalid="ignore"):
             nbr_mean = np.nanmean(w, axis=2)
         res = z * nbr_mean / (float(var) if var else 1.0)
-        out = np.ma.masked_array(res, mask=np.isnan(res) | np.ma.getmaskarray(a))
-        return _slice_core(out, b)
+        computed = np.ma.masked_array(res, mask=np.isnan(res))
+        return _slice_core(_apply_target(a, computed, target), b)
 
     return unary_tile_op(fn, out_ct="float64")(tile)
 
@@ -258,7 +289,7 @@ def _cell_size_expr(extent_col, tile_col, buffer: int = 0):
     return cw, ch
 
 
-def _dem_op(make_result, buffer: int = 0):
+def _dem_op(make_result, buffer: int = 0, target: str = "all"):
     from rasterframes_spark.functions._kernel import lazy_pandas_udf
     from rasterframes_spark.tile import TILE_SCHEMA, decode_struct_pdf, tiles_to_struct_pdf
     from rasterframes_spark.tile import Tile as _Tile
@@ -276,15 +307,16 @@ def _dem_op(make_result, buffer: int = 0):
                 continue
             res = make_result(tl.masked(), float(cw.values[i]), abs(float(ch.values[i])),
                               float(p1.values[i]), float(p2.values[i]), float(p3.values[i]))
-            ma = np.ma.masked_array(
-                res, mask=np.isnan(res) | np.ma.getmaskarray(tl.masked()))
+            computed = np.ma.masked_array(res, mask=np.isnan(res))
+            ma = _apply_target(tl.masked(), computed, target)
             out.append(_Tile(_slice_core(ma, b), CellType.parse("float64")))
         return tiles_to_struct_pdf(out)
 
     return udf
 
 
-def rf_slope(tile, extent, z_factor: float = 1.0, buffer: int = 0) -> Column:
+def rf_slope(tile, extent, z_factor: float = 1.0, buffer: int = 0,
+             target: str = "all") -> Column:
     """Slope in degrees (focalops/Slope.scala:51-89, Horn's method)."""
     from pyspark.sql import functions as F
 
@@ -293,11 +325,13 @@ def rf_slope(tile, extent, z_factor: float = 1.0, buffer: int = 0) -> Column:
         return np.degrees(np.arctan(zf * np.hypot(dzdx, dzdy)))
 
     cw, ch = _cell_size_expr(extent, tile, buffer)
-    return _dem_op(mk, buffer)(col_or_name(tile), cw, ch, F.lit(float(z_factor)),
-                               F.lit(0.0), F.lit(0.0))
+    return _dem_op(mk, buffer, target)(col_or_name(tile), cw, ch,
+                                       F.lit(float(z_factor)),
+                                       F.lit(0.0), F.lit(0.0))
 
 
-def rf_aspect(tile, extent, buffer: int = 0) -> Column:
+def rf_aspect(tile, extent, buffer: int = 0,
+              target: str = "all") -> Column:
     """Aspect in degrees clockwise from north (focalops/Aspect.scala:49-83)."""
     from pyspark.sql import functions as F
 
@@ -309,12 +343,13 @@ def rf_aspect(tile, extent, buffer: int = 0) -> Column:
         return np.where(flat, 0.0, asp)
 
     cw, ch = _cell_size_expr(extent, tile, buffer)
-    return _dem_op(mk, buffer)(col_or_name(tile), cw, ch, F.lit(0.0), F.lit(0.0),
-                               F.lit(0.0))
+    return _dem_op(mk, buffer, target)(col_or_name(tile), cw, ch, F.lit(0.0),
+                                       F.lit(0.0), F.lit(0.0))
 
 
 def rf_hillshade(tile, extent, azimuth: float = 315.0, altitude: float = 45.0,
-                 z_factor: float = 1.0, buffer: int = 0) -> Column:
+                 z_factor: float = 1.0, buffer: int = 0,
+                 target: str = "all") -> Column:
     """Hillshade 0-255 (focalops/Hillshade.scala:54-103 — the reference's
     5-ary QuinaryExpression)."""
     from pyspark.sql import functions as F
@@ -330,5 +365,7 @@ def rf_hillshade(tile, extent, azimuth: float = 315.0, altitude: float = 45.0,
         return np.clip(np.round(255 * shaded), 0, 255)
 
     cw, ch = _cell_size_expr(extent, tile, buffer)
-    return _dem_op(mk, buffer)(col_or_name(tile), cw, ch, F.lit(float(azimuth)),
-                               F.lit(float(altitude)), F.lit(float(z_factor)))
+    return _dem_op(mk, buffer, target)(col_or_name(tile), cw, ch,
+                                       F.lit(float(azimuth)),
+                                       F.lit(float(altitude)),
+                                       F.lit(float(z_factor)))

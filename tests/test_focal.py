@@ -40,8 +40,20 @@ def test_focal_mean_skips_nodata(spark, focal_df):
     t = one_tile(focal_df.select(rf.rf_focal_mean("nd").alias("r")), "r")
     # neighborhood of (1,1): 0,1,2,5,6,7,10,11,12(ND) -> mean of 8 = 5.25
     assert t.masked()[1, 1] == 5.25
-    # (2,2) itself is ND -> stays ND
-    assert np.ma.getmaskarray(t.masked())[2, 2]
+    # default target='all' (reference default): the ND center (2,2) is
+    # GAP-FILLED with its neighborhood mean (neighbors exclude itself)
+    nbrs = [6, 7, 8, 11, 13, 16, 17, 18]
+    assert t.masked()[2, 2] == np.mean(nbrs)
+    # target='data': ND centers keep NoData (TargetCell.Data)
+    td = one_tile(focal_df.select(
+        rf.rf_focal_mean("nd", target="data").alias("r")), "r")
+    assert np.ma.getmaskarray(td.masked())[2, 2]
+    assert td.masked()[1, 1] == 5.25
+    # target='nodata': data cells keep their INPUT value, ND cells fill
+    tn = one_tile(focal_df.select(
+        rf.rf_focal_mean("nd", target="nodata").alias("r")), "r")
+    assert tn.masked()[2, 2] == np.mean(nbrs)
+    assert tn.masked()[1, 1] == 6.0  # original value at (1,1)
 
 
 def test_focal_min_max_median_stddev(spark, focal_df):
