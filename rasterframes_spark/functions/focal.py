@@ -152,30 +152,50 @@ def rf_focal_mean(tile, neighborhood="square-1", buffer: int = 0,
     neighborhood consumes it, the output is the core tile — so focal values
     at tile seams match a whole-image computation
     (ref/RasterRef.scala:49-64, focalops/FocalNeighborhoodOp.scala:35-62)."""
+    if isinstance(buffer, str):
+        # reference-signature compat: rf_focal_*(tile, neighborhood,
+        # target) — the 3rd positional there is TARGET, not buffer
+        buffer, target = 0, buffer
     return unary_tile_op(_focal(lambda w: np.nanmean(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
 def rf_focal_median(tile, neighborhood="square-1", buffer: int = 0,
                   target: str = "all") -> Column:
+    if isinstance(buffer, str):
+        # reference-signature compat: rf_focal_*(tile, neighborhood,
+        # target) — the 3rd positional there is TARGET, not buffer
+        buffer, target = 0, buffer
     return unary_tile_op(_focal(lambda w: np.nanmedian(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
 def rf_focal_min(tile, neighborhood="square-1", buffer: int = 0,
                   target: str = "all") -> Column:
+    if isinstance(buffer, str):
+        # reference-signature compat: rf_focal_*(tile, neighborhood,
+        # target) — the 3rd positional there is TARGET, not buffer
+        buffer, target = 0, buffer
     return unary_tile_op(_focal(lambda w: np.nanmin(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
 def rf_focal_max(tile, neighborhood="square-1", buffer: int = 0,
                   target: str = "all") -> Column:
+    if isinstance(buffer, str):
+        # reference-signature compat: rf_focal_*(tile, neighborhood,
+        # target) — the 3rd positional there is TARGET, not buffer
+        buffer, target = 0, buffer
     return unary_tile_op(_focal(lambda w: np.nanmax(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
 def rf_focal_stddev(tile, neighborhood="square-1", buffer: int = 0,
                   target: str = "all") -> Column:
+    if isinstance(buffer, str):
+        # reference-signature compat: rf_focal_*(tile, neighborhood,
+        # target) — the 3rd positional there is TARGET, not buffer
+        buffer, target = 0, buffer
     return unary_tile_op(_focal(lambda w: np.nanstd(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
@@ -183,6 +203,8 @@ def rf_focal_stddev(tile, neighborhood="square-1", buffer: int = 0,
 def rf_focal_mode(tile, neighborhood="square-1", buffer: int = 0,
                   target: str = "all") -> Column:
     """Most frequent neighborhood value (FocalMode.scala)."""
+    if isinstance(buffer, str):
+        buffer, target = 0, buffer
     r, fp = _footprint(neighborhood)
     b = int(buffer)
 
@@ -235,6 +257,8 @@ def rf_focal_moransi(tile, neighborhood="square-1", buffer: int = 0,
     I_i = z_i * mean(z_neighbors) / var(z), z = x - mean(x), neighbors
     exclude the center cell. With a halo, the global stats come from the
     tile CORE (the halo only extends neighborhoods)."""
+    if isinstance(buffer, str):
+        buffer, target = 0, buffer
     r = _radius(neighborhood)
     b = int(buffer)
 
