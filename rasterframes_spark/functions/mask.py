@@ -28,14 +28,28 @@ def _masked_where(a, cond):
 
 
 # transformers/MaskByDefined.scala:43-71 — NoData where mask tile is NoData
-rf_mask = binary_tile_op(lambda a, m: _masked_where(a, np.ma.getmaskarray(m)))
+_mask_plain = binary_tile_op(lambda a, m: _masked_where(a, np.ma.getmaskarray(m)))
 
 # transformers/InverseMaskByDefined.scala:44-72 — NoData where mask HAS data
 rf_inverse_mask = binary_tile_op(lambda a, m: _masked_where(a, ~np.ma.getmaskarray(m)))
 
 
-def rf_mask_by_value(tile, mask_tile, mask_value) -> Column:
-    """NoData where mask == value (transformers/MaskByValue.scala:48-85)."""
+def rf_mask(tile, mask_tile, inverse: bool = False) -> Column:
+    """NoData where the mask tile is NoData; ``inverse=True`` flips to
+    NoData where the mask HAS data (the reference python signature,
+    rasterfunctions.py:633-640)."""
+    if inverse:
+        return rf_inverse_mask(tile, mask_tile)
+    return _mask_plain(tile, mask_tile)
+
+
+def rf_mask_by_value(tile, mask_tile, mask_value,
+                     inverse: bool = False) -> Column:
+    """NoData where mask == value (transformers/MaskByValue.scala:48-85);
+    ``inverse=True`` = NoData where mask != value (reference
+    rasterfunctions.py:649-668)."""
+    if inverse:
+        return rf_inverse_mask_by_value(tile, mask_tile, mask_value)
     v = float(mask_value)
     op = binary_tile_op(lambda a, m: _masked_where(a, np.asarray(m.data, dtype="float64") == v))
     return op.tile_tile(col_or_name(tile), col_or_name(mask_tile))

@@ -162,3 +162,30 @@ def test_fused_binary_distinct_udf_inputs_not_merged(spark):
     seven = mk(7.0)(F.col("t"))
     t = _one_tile(df.select(rf.rf_local_subtract(five, seven).alias("r")), "r")
     assert float(t.masked()[0, 0]) == -2.0
+
+
+def test_mask_inverse_kwargs(spark):
+    """Reference signature parity: rf_mask(..., inverse=) and
+    rf_mask_by_value(..., inverse=) (rasterfunctions.py:633-668)."""
+    a = Tile(np.arange(9, dtype="float64").reshape(3, 3), "float64")
+    m = Tile(np.ma.masked_array(np.ones((3, 3)), np.eye(3, dtype=bool)),
+             "float64")
+    mv = Tile(np.array([[1, 2, 1], [2, 1, 2], [1, 1, 1]], dtype="float64"),
+              "float64")
+    df = spark.createDataFrame(
+        [{"a": a.to_row(), "m": m.to_row(), "mv": mv.to_row()}],
+        schema=f"a {TILE_T}, m {TILE_T}, mv {TILE_T}")
+
+    def got(c):
+        r = df.select(c.alias("r")).head()["r"]
+        return Tile.from_parts(r["cell_type"], 3, 3, bytes(r["cells"])).masked()
+
+    assert np.ma.getmaskarray(got(rf.rf_mask("a", "m"))).sum() == 3
+    assert np.ma.getmaskarray(got(rf.rf_mask("a", "m", inverse=True))).sum() == 6
+    direct = got(rf.rf_mask_by_value("a", "mv", 1))
+    assert np.ma.getmaskarray(direct).sum() == 6  # six 1s in mv
+    inv = got(rf.rf_mask_by_value("a", "mv", 1, inverse=True))
+    assert np.ma.getmaskarray(inv).sum() == 3
+    np.testing.assert_array_equal(
+        np.ma.getmaskarray(direct) | np.ma.getmaskarray(inv),
+        np.ones((3, 3), dtype=bool))
