@@ -128,7 +128,34 @@ rf_local_unequal = _cmp(np.ma.not_equal)
 
 
 def rf_local_is_in(tile, values) -> Column:
-    """Cell ∈ values -> 0/1 tile (localops/IsIn.scala:48-88)."""
+    """Cell ∈ values -> 0/1 tile (localops/IsIn.scala:48-88). ``values``
+    may be a python list (embedded constant) or an ``array`` COLUMN — the
+    reference's python signature accepts both
+    (rasterfunctions.py:398-404)."""
+    if isinstance(values, (Column, str)):
+        from pyspark.sql.functions import pandas_udf
+        from rasterframes_spark.tile import (
+            CellType as _CT, Tile as _T, TILE_SCHEMA as _TS,
+            decode_struct_pdf, tiles_to_struct_pdf)
+
+        @pandas_udf(_TS)
+        def udf(t: pd.DataFrame, arr: pd.Series) -> pd.DataFrame:
+            tiles = decode_struct_pdf(t)
+            out = []
+            for i, tl in enumerate(tiles):
+                v = arr.values[i]
+                if tl is None or v is None:
+                    out.append(None)
+                    continue
+                a = tl.masked()
+                vals = np.asarray(list(v), dtype="float64")
+                res = np.isin(np.asarray(a.data, dtype="float64"),
+                              vals).astype("uint8")
+                out.append(_T(np.ma.masked_array(
+                    res, mask=np.ma.getmaskarray(a)), _CT.parse(_BOOLCT)))
+            return tiles_to_struct_pdf(out)
+
+        return udf(col_or_name(tile), col_or_name(values))
     vals = np.asarray(list(values), dtype="float64")
 
     def fn(a):

@@ -189,3 +189,29 @@ def test_mask_inverse_kwargs(spark):
     np.testing.assert_array_equal(
         np.ma.getmaskarray(direct) | np.ma.getmaskarray(inv),
         np.ones((3, 3), dtype=bool))
+
+
+def test_local_is_in_column_values(spark):
+    """rf_local_is_in with an array COLUMN (per-row membership sets) —
+    reference signature parity (rasterfunctions.py:398-404)."""
+    t = Tile(np.arange(9, dtype="float64").reshape(3, 3), "float64")
+    df = spark.createDataFrame(
+        [{"id": 1, "t": t.to_row(), "vals": [0.0, 4.0, 8.0]},
+         {"id": 2, "t": t.to_row(), "vals": [1.0]}],
+        schema=f"id int, t {TILE_T}, vals array<double>")
+    rows = {r["id"]: r for r in df.select(
+        "id", rf.rf_local_is_in("t", "vals").alias("r")).collect()}
+
+    def cells(r):
+        return np.asarray(Tile.from_parts(
+            r["cell_type"], 3, 3, bytes(r["cells"])).cells)
+
+    np.testing.assert_array_equal(cells(rows[1]["r"]),
+                                  np.eye(3, dtype="uint8") * 0 +
+                                  np.isin(np.arange(9).reshape(3, 3),
+                                          [0, 4, 8]).astype("uint8"))
+    assert cells(rows[2]["r"]).sum() == 1
+    # list form unchanged
+    lst = df.where("id = 1").select(
+        rf.rf_local_is_in("t", [0, 4, 8]).alias("r")).head()["r"]
+    np.testing.assert_array_equal(cells(lst), cells(rows[1]["r"]))
