@@ -33,6 +33,7 @@ _PREDICATES = {
     "intersects": GF.st_intersects,
     "contains": GF.st_contains,
     "within": GF.st_within,
+    "dwithin": None,  # distance join — handled specially (expanded bboxes)
 }
 
 
@@ -52,8 +53,14 @@ def _estimate_grid(right: DataFrame, geom_col: str, sample: int = 1024) -> float
     return max(2.0 * med, 1e-9)
 
 
-def _cells(df: DataFrame, geom_col: str, g: float, side: str) -> DataFrame:
+def _cells(df: DataFrame, geom_col: str, g: float, side: str,
+           pad: float = 0.0) -> DataFrame:
     e = GF.st_envelope(geom_col)
+    if pad:
+        e = F.struct((e["xmin"] - pad).alias("xmin"),
+                     (e["ymin"] - pad).alias("ymin"),
+                     (e["xmax"] + pad).alias("xmax"),
+                     (e["ymax"] + pad).alias("ymax"))
     out = df.withColumn(f"__env_{side}", e)
     env = F.col(f"__env_{side}")
     cx = F.explode(F.sequence(
@@ -69,10 +76,16 @@ def _cells(df: DataFrame, geom_col: str, g: float, side: str) -> DataFrame:
 def st_join(left: DataFrame, right: DataFrame,
             geom_left: str = "geometry", geom_right: str = "geometry",
             predicate: str = "intersects", grid_size: float | None = None,
-            how: str = "inner", rsuffix: str = "_right") -> DataFrame:
+            how: str = "inner", rsuffix: str = "_right",
+            distance: float | None = None) -> DataFrame:
     """Spatial join: rows of ``left`` paired with rows of ``right`` whose
-    geometries satisfy ``predicate`` (intersects | contains | within,
-    evaluated as predicate(left_geom, right_geom)).
+    geometries satisfy ``predicate`` (intersects | contains | within |
+    dwithin, evaluated as predicate(left_geom, right_geom)).
+
+    ``predicate='dwithin'`` (requires ``distance``) pairs geometries
+    whose exact distance is <= ``distance`` — the left bboxes expand by
+    the distance before cover-cell bucketing, so the plan stays the same
+    shuffled equi-join; only the exact kernel changes to ``st_distance``.
 
     ``how``: 'inner' or 'left' (unmatched left rows keep nulls on the
     right side). Right columns clashing with left names get ``rsuffix``.
@@ -82,7 +95,13 @@ def st_join(left: DataFrame, right: DataFrame,
                          f"(use one of {sorted(_PREDICATES)})")
     if how not in ("inner", "left"):
         raise ValueError("st_join: how must be 'inner' or 'left'")
+    d = 0.0
+    if predicate == "dwithin":
+        if distance is None or float(distance) < 0:
+            raise ValueError("st_join: predicate='dwithin' needs distance >= 0")
+        d = float(distance)
     g = float(grid_size) if grid_size else _estimate_grid(right, geom_right)
+    g = max(g, d / 4) if d else g
 
     # avoid column collisions before the join
     rmap = {c: (c + rsuffix if c in left.columns else c)
@@ -90,7 +109,7 @@ def st_join(left: DataFrame, right: DataFrame,
     r = right.select([F.col(c).alias(n) for c, n in rmap.items()])
     gr = rmap[geom_right]
 
-    lc = _cells(left, geom_left, g, "l")
+    lc = _cells(left, geom_left, g, "l", pad=d)
     rc = _cells(r, gr, g, "r")
     cand = lc.join(rc, ["__cx", "__cy"])
 
@@ -107,7 +126,10 @@ def st_join(left: DataFrame, right: DataFrame,
         (le["xmin"] <= re_["xmax"]) & (re_["xmin"] <= le["xmax"])
         & (le["ymin"] <= re_["ymax"]) & (re_["ymin"] <= le["ymax"]))
 
-    exact = _PREDICATES[predicate](F.col(geom_left), F.col(gr))
+    if predicate == "dwithin":
+        exact = GF.st_distance(F.col(geom_left), F.col(gr)) <= F.lit(d)
+    else:
+        exact = _PREDICATES[predicate](F.col(geom_left), F.col(gr))
     matched = cand.where(exact).drop("__cx", "__cy", "__env_l", "__env_r")
 
     if how == "inner":

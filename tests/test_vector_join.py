@@ -100,3 +100,25 @@ def test_st_join_contains_polygons(spark, polys):
     assert pairs == {(i * 5, i) for i in range(5)}
     with pytest.raises(ValueError):
         st_join(polys, small, predicate="touches")
+
+
+def test_st_join_dwithin(spark, pts, polys):
+    """Distance join vs brute-force st_distance oracle."""
+    from rasterframes_spark.geom import functions as GFn
+
+    r = polys.select(F.col("zid"), F.col("geometry").alias("zg"))
+    brute = {(x["pid"], x["zid"]) for x in
+             pts.crossJoin(r)
+             .where(GFn.st_distance(F.col("geometry"), F.col("zg")) <= 3.0)
+             .collect()}
+    got = {(x["pid"], x["zid"]) for x in
+           st_join(pts, polys, predicate="dwithin", distance=3.0,
+                   grid_size=10.0).collect()}
+    assert got == brute and len(brute) > 0
+    # grid-size invariance for the distance join too
+    got2 = {(x["pid"], x["zid"]) for x in
+            st_join(pts, polys, predicate="dwithin", distance=3.0,
+                    grid_size=25.0).collect()}
+    assert got2 == brute
+    with pytest.raises(ValueError):
+        st_join(pts, polys, predicate="dwithin")
