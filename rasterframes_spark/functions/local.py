@@ -76,10 +76,13 @@ rf_local_max = binary_tile_op(lambda a, b: np.ma.maximum(a, b))
 
 
 def rf_local_clamp(tile, lo, hi) -> Column:
-    """Clamp cells to [lo, hi], scalar bounds (localops/Clamp.scala).
-    Tile-valued bounds compose as rf_local_min(rf_local_max(t, lo), hi)."""
-    lo_f, hi_f = float(lo), float(hi)
-    return unary_tile_op(lambda a: np.ma.clip(a, lo_f, hi_f))(tile)
+    """Clamp cells to [lo, hi] (localops/Clamp.scala). Bounds may be
+    scalars or TILE columns (the reference's Clamp accepts both) —
+    tile bounds route through min/max composition."""
+    if isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+        lo_f, hi_f = float(lo), float(hi)
+        return unary_tile_op(lambda a: np.ma.clip(a, lo_f, hi_f))(tile)
+    return rf_local_min(rf_local_max(tile, lo), hi)
 
 
 # -- rf_where (localops/Where.scala:24-90): condition ? x : y ----------------

@@ -1,7 +1,7 @@
 from rasterframes_spark.operators.raster_join import raster_join, spatial_join  # noqa: F401
 from rasterframes_spark.operators.zonal import zonal_stats  # noqa: F401
 from rasterframes_spark.operators.pyramid import pyramid_up, build_pyramid  # noqa: F401
-from rasterframes_spark.operators.vector_join import st_join  # noqa: F401
+from rasterframes_spark.operators.vector_join import st_join, st_knn_join  # noqa: F401
 
 __all__ = ["raster_join", "spatial_join", "zonal_stats", "pyramid_up",
-           "build_pyramid", "st_join"]
+           "build_pyramid", "st_join", "st_knn_join"]

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from rasterframes_spark.geom import functions as GF
 
-__all__ = ["st_join"]
+__all__ = ["st_join", "st_knn_join"]
 
 _PREDICATES = {
     "intersects": GF.st_intersects,
@@ -144,3 +144,33 @@ def st_join(left: DataFrame, right: DataFrame,
             unmatched = unmatched.withColumn(
                 c, F.lit(None).cast(matched.schema[c].dataType))
     return matched.unionByName(unmatched.select(out_cols))
+
+
+def st_knn_join(left: DataFrame, right: DataFrame, k: int,
+                max_distance: float,
+                geom_left: str = "geometry", geom_right: str = "geometry",
+                grid_size: float | None = None,
+                rsuffix: str = "_right") -> DataFrame:
+    """Bounded-radius k-nearest-neighbors join: for each left row, the up
+    to ``k`` nearest right rows within ``max_distance`` (exact
+    ``st_distance`` ordering, ties broken arbitrarily but
+    deterministically by the window sort).
+
+    Composes the ``dwithin`` bucket join with a per-left-row rank window
+    — still no cartesian. The radius bound is what keeps this scalable
+    (a true unbounded KNN needs an expanding search; bound the radius to
+    what the use case considers 'near'). Left rows with no neighbor in
+    range are absent from the output (left-anti them to find orphans).
+    Output adds a ``distance`` and ``knn_rank`` column."""
+    from pyspark.sql import Window
+
+    cand = st_join(left, right, geom_left=geom_left, geom_right=geom_right,
+                   predicate="dwithin", distance=float(max_distance),
+                   grid_size=grid_size, rsuffix=rsuffix)
+    gr = geom_right + rsuffix if geom_right in left.columns else geom_right
+    dist = GF.st_distance(F.col(geom_left), F.col(gr))
+    w = Window.partitionBy(*[F.col(c) for c in left.columns]) \
+        .orderBy(dist.asc())
+    return (cand.withColumn("distance", dist)
+            .withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= int(k)))

@@ -215,3 +215,17 @@ def test_local_is_in_column_values(spark):
     lst = df.where("id = 1").select(
         rf.rf_local_is_in("t", [0, 4, 8]).alias("r")).head()["r"]
     np.testing.assert_array_equal(cells(lst), cells(rows[1]["r"]))
+
+
+def test_local_clamp_tile_bounds(spark):
+    t = Tile(np.arange(9, dtype="float64").reshape(3, 3), "float64")
+    lo = Tile(np.full((3, 3), 2.0), "float64")
+    hi = Tile(np.full((3, 3), 6.0), "float64")
+    df = spark.createDataFrame(
+        [{"t": t.to_row(), "lo": lo.to_row(), "hi": hi.to_row()}],
+        schema=f"t {TILE_T}, lo {TILE_T}, hi {TILE_T}")
+    r = df.select(rf.rf_local_clamp("t", F.col("lo"), F.col("hi"))
+                  .alias("r")).head()["r"]
+    out = Tile.from_parts(r["cell_type"], 3, 3, bytes(r["cells"]))
+    np.testing.assert_array_equal(
+        np.asarray(out.cells), np.clip(np.arange(9).reshape(3, 3), 2, 6))

@@ -122,3 +122,30 @@ def test_st_join_dwithin(spark, pts, polys):
     assert got2 == brute
     with pytest.raises(ValueError):
         st_join(pts, polys, predicate="dwithin")
+
+
+def test_st_knn_join(spark, pts, polys):
+    from rasterframes_spark.geom import functions as GFn
+    from rasterframes_spark.operators import st_knn_join
+
+    got = st_knn_join(pts, polys, k=2, max_distance=15.0, grid_size=10.0)
+    rows = got.collect()
+    by_pid = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r)
+    # brute-force oracle
+    r2 = polys.select(F.col("zid"), F.col("geometry").alias("zg"))
+    brute = pts.crossJoin(r2).select(
+        "pid", "zid", GFn.st_distance(F.col("geometry"), F.col("zg"))
+        .alias("d")).where(F.col("d") <= 15.0).collect()
+    bd = {}
+    for r in brute:
+        bd.setdefault(r["pid"], []).append((r["d"], r["zid"]))
+    for pid, lst in by_pid.items():
+        assert len(lst) <= 2
+        mine = sorted((r["distance"], r["zid"]) for r in lst)
+        exp = sorted(bd[pid])[:len(lst)]
+        assert [round(a, 9) for a, _ in mine] == \
+            [round(a, 9) for a, _ in exp], pid
+    # every pid with any in-range neighbor appears
+    assert set(by_pid) == set(bd)
