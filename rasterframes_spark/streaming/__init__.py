@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = [
     "read_tile_stream", "read_geotiff_stream", "windowed_tile_stats",
-    "streaming_dedup", "stateful_sessionizer",
+    "streaming_dedup", "streaming_neardup", "stateful_sessionizer",
 ]
 
 
@@ -229,3 +229,91 @@ def stateful_sessionizer(stream: DataFrame, key_col: str = "user_id",
                          else GroupStateTimeout.NoTimeout),
         )
     )
+
+
+def streaming_neardup(stream: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", shingle_size: int = 3,
+                      num_perm: int = 32, bands: int = 16,
+                      threshold: float = 0.8,
+                      max_per_bucket: int = 64,
+                      state_ttl_seconds: int = 0) -> DataFrame:
+    """NEAR-duplicate detection across an unbounded document stream —
+    the stateful counterpart of ``minhash_dedup_pairs`` (exact-dup
+    streaming is ``streaming_dedup``; the reference has no streaming at
+    all).
+
+    Each document's fused text→shingle→minhash signature explodes to its
+    LSH band buckets; ``applyInPandasWithState`` keyed by (band, bucket)
+    keeps the last ``max_per_bucket`` signatures per bucket and emits
+    (new_id, prior_id, est_jaccard) whenever a new arrival's estimated
+    Jaccard (= matching minhash fraction) reaches ``threshold``.
+
+    Scale posture: state per bucket is <= max_per_bucket * num_perm
+    longs (bounded); hot boilerplate buckets cap instead of growing; a
+    pair colliding in several bands can emit more than once — dedupe in
+    the sink (``foreachBatch`` + ``dropDuplicates``) if exact-once pairs
+    matter. ``state_ttl_seconds`` > 0 evicts idle buckets via a
+    processing-time timeout (leave 0 for bounded ``availableNow`` runs).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from rasterframes_spark.pipeline.dedup import minhash_signature_text
+
+    sig = minhash_signature_text(text_col, shingle_size, num_perm)
+    rows_per_band = num_perm // bands
+    banded = (stream
+              .select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+              .where(F.col("__sig").isNotNull())
+              .select("__id", "__sig", F.posexplode(F.transform(
+                  F.sequence(F.lit(0), F.lit(bands - 1)),
+                  lambda bnd: F.aggregate(
+                      F.slice(F.col("__sig"), bnd * rows_per_band + 1,
+                              rows_per_band),
+                      bnd.cast("long"),
+                      lambda acc, v: F.xxhash64(acc, v)),
+              )).alias("__band", "__bucket")))
+
+    out_schema = "new_id long, prior_id long, est_jaccard double"
+    state_schema = "ids array<long>, sigs binary"
+    np_ = num_perm
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, blob = state.get
+            ids = list(ids)
+            stored = (np.frombuffer(bytes(blob), dtype="<i8")
+                      .reshape(len(ids), np_) if ids else
+                      np.zeros((0, np_), dtype="<i8"))
+        else:
+            ids, stored = [], np.zeros((0, np_), dtype="<i8")
+        out = []
+        for pdf in pdfs:
+            for rid, rsig in zip(pdf["__id"], pdf["__sig"]):
+                s = np.asarray(rsig, dtype="<i8")
+                if len(stored):
+                    frac = (stored == s[None, :]).mean(axis=1)
+                    for j in np.nonzero(frac >= threshold)[0]:
+                        out.append((int(rid), int(ids[j]), float(frac[j])))
+                ids.append(int(rid))
+                stored = np.vstack([stored, s[None, :]])
+                if len(ids) > max_per_bucket:
+                    ids = ids[-max_per_bucket:]
+                    stored = stored[-max_per_bucket:]
+        state.update((ids, stored.astype("<i8").tobytes()))
+        if state_ttl_seconds:
+            state.setTimeoutDuration(state_ttl_seconds * 1000)
+        if out:
+            yield pd.DataFrame(out, columns=["new_id", "prior_id",
+                                             "est_jaccard"])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_ttl_seconds
+               else GroupStateTimeout.NoTimeout)
+    return (banded.groupBy("__band", "__bucket")
+            .applyInPandasWithState(fn, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="append", timeoutConf=timeout))

@@ -170,3 +170,55 @@ def test_read_geotiff_stream_query_extent(spark, tmp_path):
     # AOI covers only the NW chunk (y 17..31 = top half, x 1..15 = left)
     assert len(rows) == 1
     assert rows[0]["spatial_key"].asDict() == {"col": 0, "row": 0}
+
+
+def test_streaming_neardup(spark, tmp_path):
+    """Stateful banded-LSH near-dup across a stream: planted near-copies
+    in a LATER batch pair with their originals from state; unrelated
+    docs never pair."""
+    from rasterframes_spark.streaming import streaming_neardup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(30) \
+        .select("doc_id", "text").collect()
+    src = str(tmp_path / "neardup_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+    # batch 1: originals
+    spark.createDataFrame([(r["doc_id"], r["text"]) for r in docs],
+                          schema).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    pairs = streaming_neardup(stream, "doc_id", "text", num_perm=32,
+                              bands=16, threshold=0.9)
+    out_dir = str(tmp_path / "neardup_out")
+    ckpt = str(tmp_path / "neardup_ck")
+    q = (pairs.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    first = spark.read.parquet(out_dir).collect()
+    self_pairs = [r for r in first if r["new_id"] != r["prior_id"]]
+    # batch 2: exact copies with shifted ids land later
+    spark.createDataFrame(
+        [(r["doc_id"] + 1000, r["text"]) for r in docs[:10]],
+        schema).write.mode("append").parquet(src)
+    q2 = (streaming_neardup(spark.readStream.schema(schema).parquet(src),
+                            "doc_id", "text", num_perm=32, bands=16,
+                            threshold=0.9)
+          .writeStream.format("parquet").option("path", out_dir)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    allp = {(r["new_id"], r["prior_id"])
+            for r in spark.read.parquet(out_dir).collect()}
+    copies = {(d["doc_id"] + 1000, d["doc_id"]) for d in docs[:10]}
+    # every planted copy found against STATE from the earlier batch
+    assert copies <= allp, copies - allp
+    # est_jaccard == 1.0 for exact copies
+    ej = {(r["new_id"], r["prior_id"]): r["est_jaccard"]
+          for r in spark.read.parquet(out_dir).collect()}
+    assert all(ej[p] == 1.0 for p in copies)
+    # any intra-corpus pair that emitted must clear the threshold
+    assert all(v >= 0.9 for v in ej.values())
+    assert all(a != b for a, b in allp)  # no self pairs
+    del self_pairs
