@@ -100,3 +100,45 @@ def test_lsh_multiprobe_improves_recall(spark):
     r0, r1 = recall(0), recall(1)
     assert r1 >= r0
     assert recall(6) > 0.9  # probing every Hamming ball ~ brute force
+
+
+def test_st_join_scale_smoke(spark):
+    """50k points x 400 polygons: the grid-bucket join completes in
+    seconds (a BNLJ would evaluate 20M exact predicates) and returns the
+    arithmetically expected membership count."""
+    import time
+
+    import numpy as np
+
+    from rasterframes_spark.geom import functions as GFn
+    from rasterframes_spark.operators import st_join
+    from pyspark.sql import functions as F
+
+    n = 50_000
+    pts = spark.range(n).select(
+        F.col("id").alias("pid"),
+        GFn.st_point((F.col("id") % 1000).cast("double") + 0.5,
+                     ((F.col("id") / 1000).cast("int")).cast("double") + 0.75)
+        .alias("geometry"))
+    # 20x20 grid of 50x2.5-ish zones: polygon (i,j) covers x in [i*50,(i+1)*50), y in [j*2.5, ...)
+    zones = []
+    k = 0
+    for i in range(20):
+        for j in range(20):
+            x0, y0 = i * 50.0, j * 2.5
+            zones.append((k, f"POLYGON (({x0} {y0}, {x0+50} {y0}, "
+                          f"{x0+50} {y0+2.5}, {x0} {y0+2.5}, {x0} {y0}))"))
+            k += 1
+    zdf = spark.createDataFrame(zones, "zid int, wkt string").select(
+        "zid", GFn.st_geom_from_wkt("wkt").alias("geometry"))
+    t0 = time.time()
+    out = st_join(pts, zdf, predicate="within", grid_size=25.0)
+    cnt = out.count()
+    dt = time.time() - t0
+    # every point falls strictly inside exactly one zone (y = k + 0.75 is
+    # never a multiple of the 2.5 zone pitch; x = m + 0.5 never of 50)
+    assert cnt == n
+    assert dt < 120, f"st_join scale smoke too slow: {dt:.1f}s"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
