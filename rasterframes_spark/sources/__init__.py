@@ -2,7 +2,7 @@ from rasterframes_spark.sources.raster_reader import (  # noqa: F401
     read_raster, realize_tiles, with_spatial_index, raster_from_array,
 )
 from rasterframes_spark.sources.sinks import (  # noqa: F401
-    write_geotiff, write_tiles, read_geojson, write_slippy,
+    write_geotiff, write_tiles, read_geojson, write_geojson, write_slippy,
     write_slippy_pyramid,
 )
 from rasterframes_spark.sources.cog import write_cog  # noqa: F401
@@ -19,7 +19,8 @@ from rasterframes_spark.sources.layer import (  # noqa: F401
 
 __all__ = [
     "read_raster", "realize_tiles", "with_spatial_index", "raster_from_array",
-    "write_geotiff", "write_tiles", "read_geojson", "write_slippy",
+    "write_geotiff", "write_tiles", "read_geojson", "write_geojson",
+    "write_slippy",
     "write_slippy_pyramid", "write_cog",
     "read_netcdf", "read_netcdf_info", "read_netcdf_var", "write_netcdf",
     "read_stac_items", "stac_api_search", "stac_asset_catalog",

@@ -17,7 +17,8 @@ from rasterframes_spark.tile import CellType, Tile
 from rasterframes_spark.sources import geotiff as GT
 from rasterframes_spark.sources.png import encode_png
 
-__all__ = ["write_geotiff", "write_tiles", "read_geojson", "write_slippy"]
+__all__ = ["write_geotiff", "write_tiles", "read_geojson", "write_geojson",
+           "write_slippy"]
 
 
 def write_geotiff(df: DataFrame, path: str, tile_col: str = "tile",
@@ -242,3 +243,24 @@ def write_slippy_pyramid(df: DataFrame, directory: str, max_zoom: int,
         tile_col, key_col, extent_col, crs_col = (
             "tile", "spatial_key", "extent", "crs")
         zoom -= 1
+
+
+def write_geojson(df: DataFrame, path: str, geom_col: str = "geometry",
+                  mode: str = "overwrite") -> None:
+    """Write features as newline-delimited GeoJSON (one Feature per line
+    — the GeoJSONL/ndjson convention big pipelines use because it stays
+    splittable and appendable; a FeatureCollection wrapper is a driver
+    bottleneck by construction). Every non-geometry column lands in
+    ``properties``. Distributed text write; read back with read_geojson
+    after a trivial wrap, or any ndjson-aware tool directly."""
+    from rasterframes_spark.geom.functions import st_as_geojson
+
+    props = [c for c in df.columns if c != geom_col]
+    # build each line with string concat so the geometry JSON embeds raw
+    prop_json = F.to_json(F.struct(*[F.col(c) for c in props])) if props \
+        else F.lit("{}")
+    line = F.concat(
+        F.lit('{"type": "Feature", "geometry": '),
+        st_as_geojson(geom_col),
+        F.lit(', "properties": '), prop_json, F.lit("}"))
+    df.select(line.alias("value")).write.mode(mode).text(path)

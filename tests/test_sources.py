@@ -687,3 +687,32 @@ def test_read_raster_scene_level_pruning(spark, scene_path, tmp_path):
     pruned = S.read_raster(spark, cat, tile_dimensions=(64, 64),
                            query_extent=(-78.59, 38.11, -78.45, 38.19))
     assert pruned.count() == 1  # bogus scene skipped, NW chunk kept
+
+
+def test_write_geojson_roundtrip(spark, tmp_path):
+    """write_geojson emits valid one-Feature-per-line GeoJSON with all
+    non-geometry columns as properties; geometries parse back to the
+    same shapes."""
+    import json
+
+    from rasterframes_spark.geom import functions as GFn
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, "POINT (30 10)"),
+         (2, "b", -1.0, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")],
+        "id int, name string, score double, wkt string") \
+        .select("id", "name", "score",
+                GFn.st_geom_from_wkt("wkt").alias("geometry"))
+    out = str(tmp_path / "features")
+    S.write_geojson(df, out)
+    lines = [json.loads(l) for l in
+             spark.read.text(out).toPandas()["value"]]
+    assert len(lines) == 2
+    by_id = {l["properties"]["id"]: l for l in lines}
+    assert by_id[1]["type"] == "Feature"
+    assert by_id[1]["geometry"]["type"] == "Point"
+    assert by_id[1]["geometry"]["coordinates"] == [30.0, 10.0]
+    assert by_id[1]["properties"] == {"id": 1, "name": "a", "score": 2.5}
+    assert by_id[2]["geometry"]["type"] == "Polygon"
+    ring = by_id[2]["geometry"]["coordinates"][0]
+    assert ring[0] == [0.0, 0.0] and len(ring) == 5
