@@ -42,6 +42,8 @@ class NetcdfInfo:
 
 def _read_name(data, off):
     (n,) = struct.unpack_from(">i", data, off)
+    if n < 0 or n > len(data):
+        raise ValueError("netcdf: bad name length")
     off += 4
     name = data[off:off + n].decode("utf-8")
     off += (n + 3) & ~3
@@ -67,6 +69,8 @@ def _read_attrs(data, off):
         return {}, off
     if tag != 0x0C:
         raise ValueError(f"netcdf: bad attribute-list tag {tag:#x}")
+    if n < 0 or n > len(data):
+        raise ValueError("netcdf: bad attribute count")
     attrs = {}
     for _ in range(n):
         name, off = _read_name(data, off)
@@ -79,7 +83,17 @@ def _read_attrs(data, off):
 
 
 def read_netcdf_info(data: bytes) -> NetcdfInfo:
-    if data[:3] != b"CDF" or data[3] not in (1, 2):
+    try:
+        return _read_netcdf_info(data)
+    except (struct.error, LookupError, UnicodeDecodeError, MemoryError,
+            OverflowError) as e:
+        # corrupt-row-drop contract: malformed input is ValueError, never
+        # a raw struct/index error (same posture as the other codecs)
+        raise ValueError(f"netcdf: malformed header ({e})") from e
+
+
+def _read_netcdf_info(data: bytes) -> NetcdfInfo:
+    if len(data) < 8 or data[:3] != b"CDF" or data[3] not in (1, 2):
         raise ValueError("netcdf: not a classic CDF-1/CDF-2 file")
     info = NetcdfInfo()
     info.version = data[3]

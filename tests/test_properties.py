@@ -165,11 +165,13 @@ def test_codec_fuzz_valueerror_only(seed, size):
     from rasterframes_spark.sources import geotiff as GT
     from rasterframes_spark.sources.gif import decode_gif
     from rasterframes_spark.sources.jpeg import decode_jpeg
+    from rasterframes_spark.sources.netcdf import read_netcdf_info
     from rasterframes_spark.sources.png import decode_png
 
     rng = np.random.default_rng(seed)
     blob = bytes(rng.integers(0, 256, size).astype(np.uint8))
-    for fn in (decode_png, decode_gif, decode_jpeg, decode_wav, GT.read_info):
+    for fn in (decode_png, decode_gif, decode_jpeg, decode_wav, GT.read_info,
+               read_netcdf_info):
         try:
             fn(blob)
         except ValueError:
