@@ -19,7 +19,7 @@ __all__ = [
     "punctuation_ratio", "stopword_hits", "language_id", "quality_score",
     "doc_fingerprint", "text_metrics",
     "dup_line_fraction", "dup_line_char_fraction", "top_ngram_char_fraction",
-    "dup_ngram_fraction", "repetition_metrics",
+    "dup_ngram_fraction", "repetition_metrics", "hashing_embedding",
 ]
 
 # minimal per-language stopword signatures for the n-gram/stopword heuristic
@@ -281,3 +281,52 @@ def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(quality_score(text_col), 6).alias("quality"),
         doc_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def hashing_embedding(text, dim: int = 64, seed: int = 42,
+                      normalize: bool = True) -> Column:
+    """Model-free text embedding via the hashing trick: each token hashes
+    to a bucket in [0, dim) with a +/-1 sign from a second hash; the doc
+    vector is the signed bucket-count histogram (optionally L2
+    normalized). Deterministic, no vocabulary, no model — the standard
+    baseline featurizer when no learned embedder is available, and it
+    composes directly with cosine_topk / lsh_ann_topk /
+    embedding_neardup_pairs / quantize_embeddings.
+
+    Vectorized Arrow pass: one C-speed hash over every token in the
+    batch, np.add.at scatter per doc — no python per-token loop."""
+    d = int(dim)
+    c = F.col(text) if isinstance(text, str) else text
+
+    from rasterframes_spark.functions._kernel import lazy_pandas_udf
+
+    @lazy_pandas_udf("array<double>")
+    def emb(s: pd.Series) -> pd.Series:
+        out = np.empty(len(s), dtype=object)
+        vals = s.values
+        docs = [str(v).split() if v is not None else None for v in vals]
+        lens = np.array([len(t) if t is not None else 0 for t in docs])
+        flat = np.array([tok for t in docs if t for tok in t], dtype=object)
+        if len(flat):
+            h = pd.util.hash_array(flat)
+            idx = (h % np.uint64(d)).astype(np.int64)
+            sign = np.where(((h >> np.uint64(32))
+                             & np.uint64(1)).astype(bool), 1.0, -1.0)
+        pos = 0
+        for i, toks in enumerate(docs):
+            if toks is None:
+                continue
+            n = lens[i]
+            v = np.zeros(d)
+            if n:
+                np.add.at(v, idx[pos:pos + n], sign[pos:pos + n])
+                pos += n
+            if normalize:
+                nrm = float(np.sqrt((v * v).sum()))
+                if nrm > 0:
+                    v = v / nrm
+            out[i] = v
+        return pd.Series(out, dtype=object)
+
+    _ = seed  # reserved: pandas hash key is fixed; seed kept for API stability
+    return emb(c)

@@ -562,3 +562,39 @@ def test_quantize_zero_and_null_vectors(spark):
     assert out[2]["d"] is None
     import numpy as np
     np.testing.assert_allclose(out[3]["d"], [1.0, -2.0, 0.5], atol=2.0 / 127)
+
+
+def test_hashing_embedding(spark, docs):
+    """Hashing-trick embeddings: deterministic, unit-norm, similar texts
+    land closer than dissimilar ones, and the column composes with the
+    similarity stack."""
+    import numpy as np
+
+    d = docs.limit(50).select("doc_id", "text")
+    e1 = {r["doc_id"]: np.array(r["e"]) for r in
+          d.select("doc_id", P.hashing_embedding("text", dim=64)
+                   .alias("e")).collect()}
+    e2 = {r["doc_id"]: np.array(r["e"]) for r in
+          d.repartition(7).select("doc_id",
+                                  P.hashing_embedding("text", dim=64)
+                                  .alias("e")).collect()}
+    for k in e1:
+        np.testing.assert_allclose(e1[k], e2[k])   # deterministic
+        assert abs(np.linalg.norm(e1[k]) - 1.0) < 1e-9
+    # a near-copy embeds closer than an unrelated doc
+    rows = d.limit(2).collect()
+    base, other = rows[0]["text"], rows[1]["text"]
+    near = base + " zzzz"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], ["id", "t"])
+    es = {r["id"]: np.array(r["e"]) for r in
+          df.select("id", P.hashing_embedding("t", dim=64).alias("e"))
+          .collect()}
+    assert es[0] @ es[1] > es[0] @ es[2]
+    # composes with cosine_topk
+    emb_df = d.select(F.col("doc_id").alias("vec_id"),
+                      P.hashing_embedding("text", 64).alias("embedding"))
+    q = emb_df.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = P.cosine_topk(emb_df, q, k=3).collect()
+    best = {r["query_id"]: r["neighbor_id"] for r in top if r["rank"] == 1}
+    assert all(q_ == n for q_, n in best.items())  # self is nearest
