@@ -148,6 +148,19 @@ def _to_double_raster(df: DataFrame, colname: str, cols: int, rows: int):
     return _to_raster(df, colname, cols, rows, "float64")
 
 
+def _st_join_m(df: DataFrame, other: DataFrame, **kwargs):
+    from rasterframes_spark.operators import st_join as _sj
+
+    return _sj(df, other, **kwargs)
+
+
+def _st_knn_join_m(df: DataFrame, other: DataFrame, k: int,
+                   max_distance: float, **kwargs):
+    from rasterframes_spark.operators import st_knn_join as _skj
+
+    return _skj(df, other, k, max_distance, **kwargs)
+
+
 _METHODS = {
     "tile_columns": _tile_columns,
     "spatial_key_column": _spatial_key_column,
@@ -159,6 +172,8 @@ _METHODS = {
     "with_spatial_index": _with_spatial_index_m,
     "raster_join": _raster_join_m,
     "spatial_join": _spatial_join_m,
+    "st_join": _st_join_m,
+    "st_knn_join": _st_knn_join_m,
     "to_int_raster": _to_int_raster,
     "to_double_raster": _to_double_raster,
 }

@@ -109,3 +109,19 @@ def test_reader_writer_aliases(spark, layer, tmp_path):
                   '"properties":{"name":"p1"}}]}')
     pts = spark.read.geojson(str(gj))
     assert pts.count() == 1
+
+
+def test_fluent_st_join(spark):
+    from rasterframes_spark.geom import functions as GFn
+
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 50.0, 50.0)], "pid int, x double, y double") \
+        .select("pid", GFn.st_point("x", "y").alias("geometry"))
+    poly = spark.createDataFrame(
+        [(7, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")],
+        "zid int, wkt string") \
+        .select("zid", GFn.st_geom_from_wkt("wkt").alias("geometry"))
+    out = pts.st_join(poly, predicate="within", grid_size=10.0).collect()
+    assert [(r["pid"], r["zid"]) for r in out] == [(1, 7)]
+    knn = pts.st_knn_join(poly, 1, 100.0, grid_size=50.0).collect()
+    assert {r["pid"] for r in knn} == {1, 2}
