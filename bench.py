@@ -89,6 +89,12 @@ def main():
     run("cosine_topk", lambda: P.cosine_topk(
         emb, emb.orderBy("vec_id").limit(8).select(
             F.col("vec_id").alias("query_id"), "embedding"), k=10).count(), repeat=2)
+    # PII scrub + Gopher repetition metrics: one narrow codegen'd
+    # projection, no Python worker — the zero-UDF curation hot path
+    run("scrub_repetition", lambda: P.repetition_metrics(
+        docs.select("doc_id", P.pii_scrub("text").alias("text")), "text")
+        .agg(F.sum("dup_5gram_frac"), F.sum("top_2gram_char_frac")).collect(),
+        repeat=2)
 
     # --- BASELINE.md-matched microbenches (same shapes as the reference's
     # JMH runs, BASELINE.md table) ---

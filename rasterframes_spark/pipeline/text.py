@@ -252,20 +252,86 @@ def dup_ngram_fraction(text, n: int = 5) -> Column:
 
 def repetition_metrics(df: DataFrame, text_col: str = "text",
                        top_ns: tuple = (2, 3, 4),
-                       dup_ns: tuple = (5, 10)) -> DataFrame:
+                       dup_ns: tuple = (5, 10),
+                       method: str = "vectorized") -> DataFrame:
     """All Gopher-style repetition signals in one projection. The usual
     filter is e.g. ``dup_line_frac <= 0.30 AND top_2gram_char_frac <=
-    0.20 AND dup_5gram_frac <= 0.15``."""
-    cols = [
-        F.round(dup_line_fraction(text_col), 6).alias("dup_line_frac"),
-        F.round(dup_line_char_fraction(text_col), 6)
-        .alias("dup_line_char_frac"),
-    ]
-    cols += [F.round(top_ngram_char_fraction(text_col, n), 6)
-             .alias(f"top_{n}gram_char_frac") for n in top_ns]
-    cols += [F.round(dup_ngram_fraction(text_col, n), 6)
-             .alias(f"dup_{n}gram_frac") for n in dup_ns]
-    return df.select("*", *cols)
+    0.20 AND dup_5gram_frac <= 0.15``.
+
+    method='vectorized' (default): ONE Arrow crossing computing every
+    metric per batch in python dict/Counter passes — measured ~40x
+    faster than the Catalyst HOF route at 5k x ~100-token docs (0.4 s vs
+    17.5 s): per-element interpreted lambda folds (sort + 4-field struct
+    accumulator per n-gram) dominate there. Value-identical (same
+    rationals, same rounding site).
+
+    method='sql': the pure-Catalyst per-metric expressions
+    (:func:`dup_line_fraction` et al.) — zero Python, composes into any
+    plan; right when the projection must stay UDF-free (e.g. streaming
+    plans you want fully declarative, or SQL-mirrored oracles)."""
+    names = (["dup_line_frac", "dup_line_char_frac"]
+             + [f"top_{n}gram_char_frac" for n in top_ns]
+             + [f"dup_{n}gram_frac" for n in dup_ns])
+    if method == "sql":
+        cols = [
+            F.round(dup_line_fraction(text_col), 6).alias("dup_line_frac"),
+            F.round(dup_line_char_fraction(text_col), 6)
+            .alias("dup_line_char_frac"),
+        ]
+        cols += [F.round(top_ngram_char_fraction(text_col, n), 6)
+                 .alias(f"top_{n}gram_char_frac") for n in top_ns]
+        cols += [F.round(dup_ngram_fraction(text_col, n), 6)
+                 .alias(f"dup_{n}gram_frac") for n in dup_ns]
+        return df.select("*", *cols)
+
+    import collections
+
+    from rasterframes_spark.functions._kernel import lazy_pandas_udf
+
+    schema = ", ".join(f"{n} double" for n in names)
+
+    @lazy_pandas_udf(f"struct<{schema}>")
+    def metrics(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in s.values:
+            if v is None:
+                rows.append((None,) * len(names))
+                continue
+            t = str(v)
+            lines = [l for l in t.split("\n") if l]
+            nl = len(lines)
+            dl = (nl - len(set(lines))) / nl if nl else 0.0
+            tot = sum(len(l) for l in lines)
+            cnt = collections.Counter(lines)
+            extra = sum((k - 1) * len(l) for l, k in cnt.items())
+            dlc = extra / tot if tot else 0.0
+            # tokens: raw text split on single spaces — EXACTLY the HOF
+            # path's tokenization (newline-joined tokens stay one token)
+            toks = [x for x in t.split(" ") if x]
+            row = [dl, dlc]
+            for n in top_ns:
+                grams = [" ".join(toks[j:j + n])
+                         for j in range(len(toks) - n + 1)]
+                if grams:
+                    gc = collections.Counter(grams)
+                    mx = max(gc.values())
+                    g = min(x for x, k in gc.items() if k == mx)
+                    row.append(mx * len(g) / max(len(t), 1))
+                else:
+                    row.append(0.0)
+            for n in dup_ns:
+                grams = [" ".join(toks[j:j + n])
+                         for j in range(len(toks) - n + 1)]
+                row.append((len(grams) - len(set(grams))) / len(grams)
+                           if grams else 0.0)
+            rows.append(tuple(row))
+        return pd.DataFrame(rows, columns=names)
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    m = metrics(c).alias("__rep")
+    out = df.select("*", m)
+    return out.select("*", *[F.round(F.col(f"__rep.{n}"), 6).alias(n)
+                             for n in names]).drop("__rep")
 
 
 def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:

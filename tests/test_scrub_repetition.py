@@ -218,3 +218,18 @@ def test_shuffle_deterministic(spark, docs):
     assert p1 != all_ids                 # and actually shuffled
     p3 = perm(P.shuffle_deterministic(base, num_partitions=4, seed=4))
     assert p1 != p3                      # new seed, new epoch order
+
+
+def test_repetition_methods_equivalent(spark):
+    """vectorized (default) and sql (pure-Catalyst) methods return
+    identical values, including multi-line and newline-in-token docs."""
+    texts = CASES + ["a b\nc a b\nc a", "x\n\nx\nx y", "one two\nthree"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["id", "text"])
+    a = {r["id"]: tuple(r)[2:] for r in
+         P.repetition_metrics(df, "text", top_ns=(2,), dup_ns=(5,),
+                              method="vectorized").collect()}
+    b = {r["id"]: tuple(r)[2:] for r in
+         P.repetition_metrics(df, "text", top_ns=(2,), dup_ns=(5,),
+                              method="sql").collect()}
+    assert a == b
