@@ -114,14 +114,15 @@ def main():
 
     docs_df = spark.read.parquet(f"{sf}/documents.parquet")
     add("scrub + repetition quality pass (pii_scrub / repetition_metrics)",
-        "The whole PII-redaction + Gopher-repetition-metrics pass is ONE "
-        "narrow codegen'd projection — **no Exchange, no Python worker**: "
-        "regexp chains and higher-order array folds evaluate JVM-side, so a "
-        "100 TB scrub is scan-bound and Parquet prunes to the text column "
-        "only.",
+        "ONE narrow projection, no Exchange. method='sql' (shown) stays "
+        "fully declarative — regexp chains + HOF folds, no Python worker. "
+        "The DEFAULT method='vectorized' swaps the interpreted per-element "
+        "folds for one Arrow crossing (measured 17.5x faster at the bench "
+        "shape, same values) — same no-shuffle plan with an ArrowEval node.",
         P.repetition_metrics(
             docs_df.select("doc_id",
-                           P.pii_scrub("text").alias("text")), "text"))
+                           P.pii_scrub("text").alias("text")), "text",
+            method="sql"))
 
     add("cosine_topk (matmul scoring path)",
         "Corpus scans straight into one mapInPandas (BLAS matmul per Arrow "
