@@ -67,14 +67,20 @@ def rf_geometry(proj_raster) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def rf_rasterize(geometry, bounds_extent, value, cols: int, rows: int) -> Column:
+def rf_rasterize(geometry, bounds_extent, value, cols, rows) -> Column:
     """Burn `value` into a cols×rows int32 tile where cells (pixel centers)
     fall inside the geometry; NoData elsewhere. `geometry` is WKB,
-    `bounds_extent` the tile's georeferencing extent."""
-    nc, nr = int(cols), int(rows)
+    `bounds_extent` the tile's georeferencing extent. ``cols``/``rows``
+    may be python ints or COLUMNS (the reference's num_cols_col /
+    num_rows_col signature, rasterfunctions.py:161-167)."""
+    cols_c = (F.lit(int(cols)) if isinstance(cols, (int, float))
+              else col_or_name(cols)).cast("int")
+    rows_c = (F.lit(int(rows)) if isinstance(rows, (int, float))
+              else col_or_name(rows)).cast("int")
 
     @lazy_pandas_udf(TILE_SCHEMA)
-    def udf(geom: pd.Series, ext: pd.DataFrame, val: pd.Series) -> pd.DataFrame:
+    def udf(geom: pd.Series, ext: pd.DataFrame, val: pd.Series,
+            ncs: pd.Series, nrs: pd.Series) -> pd.DataFrame:
         from rasterframes_spark.tile import tiles_to_struct_pdf
 
         out = []
@@ -83,6 +89,7 @@ def rf_rasterize(geometry, bounds_extent, value, cols: int, rows: int) -> Column
             if g is None:
                 out.append(None)
                 continue
+            nc, nr = int(ncs.values[i]), int(nrs.values[i])
             shape = G.wkb_loads(bytes(g))
             xmin, ymin, xmax, ymax = (float(ext["xmin"].values[i]), float(ext["ymin"].values[i]),
                                       float(ext["xmax"].values[i]), float(ext["ymax"].values[i]))
@@ -101,7 +108,7 @@ def rf_rasterize(geometry, bounds_extent, value, cols: int, rows: int) -> Column
 
     return udf(col_or_name(geometry), col_or_name(bounds_extent),
                col_or_name(value).cast("long") if not isinstance(value, (int, float))
-               else F.lit(int(value)))
+               else F.lit(int(value)), cols_c, rows_c)
 
 
 # ---------------------------------------------------------------------------

@@ -116,3 +116,29 @@ def test_color_ramp_full_name_registry(spark):
     assert arr.shape[:2] == (8, 8)
     with _pytest.raises(ValueError):
         _ramp_lut("NotARamp")
+
+
+def test_rasterize_column_dims(spark):
+    """rf_rasterize with COLUMN cols/rows (reference num_cols_col
+    signature) — per-row tile sizes."""
+    import numpy as np
+
+    from rasterframes_spark.tile import Tile
+
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", 4, 4),
+         (2, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", 8, 2)],
+        "id int, wkt string, nc int, nr int") \
+        .select("id", rf.st_geom_from_wkt("wkt").alias("g"),
+                F.struct(F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
+                         F.lit(10.0).alias("xmax"),
+                         F.lit(10.0).alias("ymax")).alias("ext"),
+                "nc", "nr")
+    rows = {r["id"]: r["t"] for r in df.select(
+        "id", rf.rf_rasterize("g", "ext", 7, F.col("nc"), F.col("nr"))
+        .alias("t")).collect()}
+    assert (rows[1]["cols"], rows[1]["rows"]) == (4, 4)
+    assert (rows[2]["cols"], rows[2]["rows"]) == (8, 2)
+    t = Tile.from_parts(rows[2]["cell_type"], 8, 2, bytes(rows[2]["cells"]))
+    assert np.asarray(t.cells).shape == (2, 8)
+    assert np.all(np.asarray(t.cells) == 7)  # polygon covers the extent
