@@ -166,20 +166,41 @@ def image_features(df: DataFrame, dim: int = 16, decode: str = "fake") -> DataFr
     return df.mapInPandas(run, schema="media_id long, features array<float>")
 
 
-def resize_image(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
-    """Nearest-neighbor resize of decoded pixel buffers (numpy indexing;
-    a real pipeline swaps in PIL/Lanczos here)."""
+def resize_image(df: DataFrame, out_h: int, out_w: int,
+                 method: str = "bilinear") -> DataFrame:
+    """Resize decoded pixel buffers. ``method``: 'bilinear' (default —
+    center-aligned separable interpolation, the standard training-data
+    resize) or 'nearest' (exact index gather)."""
+    if method not in ("bilinear", "nearest"):
+        raise ValueError(f"resize_image: unknown method {method!r}")
 
     def run(batches):
         for pdf in batches:
             rows = []
             for mid, h, w, c, buf in zip(pdf["media_id"], pdf["height"],
                                          pdf["width"], pdf["channels"], pdf["pixels"]):
-                arr = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(int(h), int(w), int(c))
-                ri = np.minimum((np.arange(out_h) * h / out_h).astype(int), h - 1)
-                ci = np.minimum((np.arange(out_w) * w / out_w).astype(int), w - 1)
-                out = arr[np.ix_(ri, ci)]
-                rows.append((int(mid), out_h, out_w, int(c), out.tobytes()))
+                h, w, c = int(h), int(w), int(c)
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w, c)
+                if method == "nearest":
+                    ri = np.minimum((np.arange(out_h) * h / out_h).astype(int), h - 1)
+                    ci = np.minimum((np.arange(out_w) * w / out_w).astype(int), w - 1)
+                    out = arr[np.ix_(ri, ci)]
+                else:
+                    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+                    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+                    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
+                    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
+                    y1 = np.clip(y0 + 1, 0, h - 1)
+                    x1 = np.clip(x0 + 1, 0, w - 1)
+                    wy = np.clip(y - y0, 0, 1)[:, None, None]
+                    wx = np.clip(x - x0, 0, 1)[None, :, None]
+                    f = arr.astype("float64")
+                    res = (f[np.ix_(y0, x0)] * (1 - wx) * (1 - wy)
+                           + f[np.ix_(y0, x1)] * wx * (1 - wy)
+                           + f[np.ix_(y1, x0)] * (1 - wx) * wy
+                           + f[np.ix_(y1, x1)] * wx * wy)
+                    out = np.clip(np.round(res), 0, 255).astype("uint8")
+                rows.append((int(mid), out_h, out_w, c, out.tobytes()))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["media_id", "height", "width", "channels", "pixels"]

@@ -598,3 +598,40 @@ def test_hashing_embedding(spark, docs):
     top = P.cosine_topk(emb_df, q, k=3).collect()
     best = {r["query_id"]: r["neighbor_id"] for r in top if r["rank"] == 1}
     assert all(q_ == n for q_, n in best.items())  # self is nearest
+
+
+def test_resize_image_bilinear(spark):
+    """Bilinear resize (default) vs a direct numpy oracle; nearest stays
+    exact-gather; identity size is lossless for both."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, (6, 6, 3)).astype("uint8")
+    df = spark.createDataFrame(
+        [(1, 6, 6, 3, bytearray(arr.tobytes()))],
+        "media_id long, height int, width int, channels int, pixels binary")
+    ident = P.resize_image(df, 6, 6).collect()[0]
+    np.testing.assert_array_equal(
+        np.frombuffer(bytes(ident["pixels"]), dtype="uint8").reshape(6, 6, 3),
+        arr)
+    up = P.resize_image(df, 12, 12).collect()[0]
+    got = np.frombuffer(bytes(up["pixels"]), dtype="uint8").reshape(12, 12, 3)
+    # oracle: same center-aligned bilinear
+    y = (np.arange(12) + 0.5) * 6 / 12 - 0.5
+    x = y.copy()
+    y0 = np.clip(np.floor(y).astype(int), 0, 5); y1 = np.clip(y0 + 1, 0, 5)
+    x0 = np.clip(np.floor(x).astype(int), 0, 5); x1 = np.clip(x0 + 1, 0, 5)
+    wy = np.clip(y - y0, 0, 1)[:, None, None]
+    wx = np.clip(x - x0, 0, 1)[None, :, None]
+    f = arr.astype("float64")
+    exp = np.clip(np.round(
+        f[np.ix_(y0, x0)] * (1 - wx) * (1 - wy)
+        + f[np.ix_(y0, x1)] * wx * (1 - wy)
+        + f[np.ix_(y1, x0)] * (1 - wx) * wy
+        + f[np.ix_(y1, x1)] * wx * wy), 0, 255).astype("uint8")
+    np.testing.assert_array_equal(got, exp)
+    near = P.resize_image(df, 3, 3, method="nearest").collect()[0]
+    got_n = np.frombuffer(bytes(near["pixels"]), dtype="uint8").reshape(3, 3, 3)
+    np.testing.assert_array_equal(got_n, arr[::2, ::2])
+    with pytest.raises(ValueError):
+        P.resize_image(df, 3, 3, method="lanczos")
