@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "doc_digest", "dedup_against_exact", "dedup_against_minhash",
     "decontaminate", "sample_mixture", "pack_documents",
-    "split_dataset", "shuffle_deterministic",
+    "split_dataset", "shuffle_deterministic", "chunk_documents",
 ]
 
 
@@ -264,3 +264,35 @@ def pack_documents(df: DataFrame, max_tokens: int,
         return pdf
 
     return with_key.groupBy("__pk").applyInPandas(pack, schema=schema)
+
+
+def chunk_documents(df: DataFrame, max_tokens: int, stride: int | None = None,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    drop_shorter_than: int = 1) -> DataFrame:
+    """Split long documents into (overlapping) token windows — the
+    pre-tokenizer chunking step that bounds sequence length before
+    packing. ``stride`` defaults to ``max_tokens`` (no overlap); set
+    e.g. ``max_tokens // 2`` for 50% overlap.
+
+    Pure Catalyst: token slice windows via ``sequence`` + ``transform``
+    + ``posexplode`` — a narrow generator, no shuffle, no UDF. Output:
+    input columns (text replaced by the chunk) + ``chunk_index`` +
+    ``chunk_tokens``. Windows shorter than ``drop_shorter_than`` tokens
+    (the trailing remainder of an overlapping stride) are dropped."""
+    mt = int(max_tokens)
+    st = int(stride) if stride else mt
+    if mt <= 0 or st <= 0:
+        raise ValueError("chunk_documents: max_tokens and stride must be > 0")
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - mt) / F.lit(st)).cast("int") + 1, F.lit(1))
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * st + 1, mt)))
+    other = [c for c in df.columns if c != text_col]
+    out = (df.select(*other, F.posexplode(windows)
+                     .alias("chunk_index", text_col)))
+    ct = F.size(F.split(F.col(text_col), r"\s+"))
+    return (out.withColumn("chunk_tokens", ct.cast("int"))
+            .where(F.col("chunk_tokens") >= int(drop_shorter_than)))

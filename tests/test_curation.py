@@ -151,3 +151,38 @@ def test_decontaminate_normalize(spark):
     norm = P.decontaminate(docs, bench, n=10, normalize=True)
     assert {r["doc_id"]: r["contaminated"] for r in norm.collect()} == {
         1: True, 2: False}
+
+
+def test_chunk_documents(spark, docs):
+    """Sliding-window chunking: full coverage with no overlap by default,
+    stride overlap works, short docs stay single-chunk, reconstruction of
+    the original token stream from non-overlapping chunks is exact."""
+    d = docs.select("doc_id", "text").limit(40)
+    out = P.chunk_documents(d, max_tokens=16)
+    rows = out.collect()
+    orig = {r["doc_id"]: r["text"].split() for r in d.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(orig)
+    for did, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_index"])
+        toks = [t for r in chunks for t in r["text"].split()]
+        assert toks == orig[did]                      # exact reconstruction
+        assert all(r["chunk_tokens"] <= 16 for r in chunks)
+        assert all(r["chunk_tokens"] == len(r["text"].split())
+                   for r in chunks)
+    # 50% overlap: consecutive chunks share the second half of the window
+    ov = P.chunk_documents(d.where(F.col("doc_id") == d.first()["doc_id"]),
+                           max_tokens=16, stride=8).collect()
+    ov.sort(key=lambda r: r["chunk_index"])
+    if len(ov) >= 2:
+        a, b = ov[0]["text"].split(), ov[1]["text"].split()
+        assert a[8:] == b[:len(a) - 8]
+    # plan: generator only, no Exchange (the limit(40) above adds one,
+    # so assert on the un-limited table)
+    plan = P.chunk_documents(docs.select("doc_id", "text"), 16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        P.chunk_documents(d, 0)
