@@ -186,3 +186,17 @@ def test_chunk_documents(spark, docs):
     assert "Exchange" not in plan
     with pytest.raises(ValueError):
         P.chunk_documents(d, 0)
+
+
+def test_spread_is_noop_when_wide(spark, docs):
+    """_spread must NOT add a shuffle when the input already has enough
+    partitions (the 100 TB no-op path)."""
+    from rasterframes_spark.pipeline.dedup import _spread
+
+    wide = docs.select("doc_id", "text").repartition(16)
+    out = _spread(wide, rows=500)   # ceil(500/2000) -> 2 <= 16 partitions
+    assert out is wide              # literally untouched
+    narrow = docs.select("doc_id", "text").coalesce(1)
+    out2 = _spread(narrow, rows=100000)
+    assert out2 is not narrow
+    assert out2.rdd.getNumPartitions() > 1
