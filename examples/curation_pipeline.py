@@ -75,7 +75,10 @@ def main(spark=None):
                            seed=13)
     train = docs.where(F.col("split") == "train")
     train = P.shuffle_deterministic(train, num_partitions=4, seed=0)
-    train = train.withColumn("n_tokens", P.token_count("text"))
+    # bound sequence length, then pack the chunks to the token budget
+    train = P.chunk_documents(train, max_tokens=256)
+    train = train.withColumn("n_tokens", P.token_count("text")) \
+        .withColumn("doc_id", F.col("doc_id") * 1000 + F.col("chunk_index"))
     packed = P.pack_documents(train, max_tokens=2048)
     n_packs = packed.select("pack_id").distinct().count()
     funnel.append(("train_docs", train.count()))
