@@ -56,25 +56,25 @@ def main():
     tiles = entry._two_band(spark, sf_dir).repartition(8)
     tiles.cache().count()  # materialize tile build once; bench the operators
 
-    run("agg_stats", lambda: tiles.agg(rf.rf_agg_stats("qty").alias("s")).collect(), repeat=2)
+    run("agg_stats", lambda: tiles.agg(rf.rf_agg_stats("qty").alias("s")).collect(), repeat=3)
     run("local_add_sum", lambda: tiles.select(
-        rf.rf_tile_sum(rf.rf_local_add("qty", 5)).alias("s")).agg(F.sum("s")).collect(), repeat=2)
+        rf.rf_tile_sum(rf.rf_local_add("qty", 5)).alias("s")).agg(F.sum("s")).collect(), repeat=3)
     run("normalized_difference", lambda: tiles.select(
         "grp", rf.rf_normalized_difference("price", "qty").alias("nd"))
-        .agg(rf.rf_agg_mean("nd").alias("m")).collect(), repeat=2)
+        .agg(rf.rf_agg_mean("nd").alias("m")).collect(), repeat=3)
     run("mask_pipeline", lambda: tiles.select(
         "grp", rf.rf_mask_by_value("price", rf.rf_local_greater("qty", 25), 1).alias("m"))
-        .agg(rf.rf_agg_data_cells("m").alias("n")).collect(), repeat=2)
-    run("explode", lambda: rf.explode_tiles(tiles, ["qty"]).agg(F.sum("qty")).collect(), repeat=2)
+        .agg(rf.rf_agg_data_cells("m").alias("n")).collect(), repeat=3)
+    run("explode", lambda: rf.explode_tiles(tiles, ["qty"]).agg(F.sum("qty")).collect(), repeat=3)
 
     cells = rf.explode_tiles(tiles, ["qty"]).where(F.col("qty").isNotNull())
     cells.cache().count()
     run("assemble", lambda: rf.assemble_tiles(
         cells, ["grp"], "column_index", "row_index", "qty", 16, 16, "float64")
-        .agg(F.sum(rf.rf_tile_sum("tile"))).collect(), repeat=2)
+        .agg(F.sum(rf.rf_tile_sum("tile"))).collect(), repeat=3)
 
     run("quantiles", lambda: rf.rf_agg_approx_quantiles(
-        tiles, "qty", [0.1, 0.5, 0.9]).collect(), repeat=2)
+        tiles, "qty", [0.1, 0.5, 0.9]).collect(), repeat=3)
 
     # LLM-pipeline headliners on documents/embeddings
     from rasterframes_spark import pipeline as P
@@ -82,19 +82,19 @@ def main():
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     run("text_metrics", lambda: P.text_metrics(docs).agg(
-        F.sum("n_tokens"), F.sum("fingerprint")).collect(), repeat=2)
+        F.sum("n_tokens"), F.sum("fingerprint")).collect(), repeat=3)
     run("minhash_dedup", lambda: P.minhash_dedup_pairs(
         docs, "doc_id", "text", num_perm=32, bands=16, threshold=0.8).count(),
-        repeat=2)
+        repeat=3)
     run("cosine_topk", lambda: P.cosine_topk(
         emb, emb.orderBy("vec_id").limit(8).select(
-            F.col("vec_id").alias("query_id"), "embedding"), k=10).count(), repeat=2)
+            F.col("vec_id").alias("query_id"), "embedding"), k=10).count(), repeat=3)
     # PII scrub + Gopher repetition metrics: one narrow codegen'd
     # projection, no Python worker — the zero-UDF curation hot path
     run("scrub_repetition", lambda: P.repetition_metrics(
         docs.select("doc_id", P.pii_scrub("text").alias("text")), "text")
         .agg(F.sum("dup_5gram_frac"), F.sum("top_2gram_char_frac")).collect(),
-        repeat=2)
+        repeat=3)
 
     # --- BASELINE.md-matched microbenches (same shapes as the reference's
     # JMH runs, BASELINE.md table) ---
