@@ -164,6 +164,11 @@ def st_knn_join(left: DataFrame, right: DataFrame, k: int,
     Output adds a ``distance`` and ``knn_rank`` column."""
     from pyspark.sql import Window
 
+    for reserved in ("distance", "knn_rank"):
+        if reserved in left.columns or reserved in right.columns:
+            raise ValueError(
+                f"st_knn_join: input already has a {reserved!r} column — "
+                "rename it (the join appends distance/knn_rank)")
     cand = st_join(left, right, geom_left=geom_left, geom_right=geom_right,
                    predicate="dwithin", distance=float(max_distance),
                    grid_size=grid_size, rsuffix=rsuffix)
