@@ -159,26 +159,27 @@ def _chunked_premerge(L, matched, kernel, right_tiles, left_tile, left_extent,
     from pyspark.sql import Window
 
     lmeta = L.select(
-        "__lid",
+        "__lid", "__lid2",
         F.col(left_extent).alias("__lext"), F.col(left_crs).alias("__lcrs"),
         F.col(f"{left_tile}.cell_type").alias("__lct"),
         F.col(f"{left_tile}.cols").alias("__lcols"),
         F.col(f"{left_tile}.rows").alias("__lrows"),
-    )
-    w = Window.partitionBy("__lid").orderBy("__rid")
+    ).dropDuplicates(["__lid", "__lid2"])
+    w = Window.partitionBy("__lid", "__lid2").orderBy("__rid", "__rid2",
+                                                      "__rid3")
     chunked = (
         matched.withColumn(
             "__chunk", F.floor((F.row_number().over(w) - 1) / max_fan_in))
-        .join(lmeta, "__lid")
+        .join(lmeta, ["__lid", "__lid2"])
     )
-    mid_schema = "__lid long, __chunk long, " + ", ".join(
+    mid_schema = "__lid long, __lid2 long, __chunk long, " + ", ".join(
         f"__rp_{rt} {_PAYLOAD_DDL}" for rt in right_tiles)
     kfn = kernel.fn
 
     def premerge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from rasterframes_spark.tile import tiles_to_struct_pdf
 
-        pdf = pdf.sort_values("__rid")
+        pdf = pdf.sort_values(["__rid", "__rid2", "__rid3"])
         r0 = pdf.iloc[0]
         lext_d = dict(r0["__lext"])
         ct = CellType.parse(str(r0["__lct"]))
@@ -191,7 +192,7 @@ def _chunked_premerge(L, matched, kernel, right_tiles, left_tile, left_extent,
         lext_pdf = pd.DataFrame([{k: float(lext_d[k])
                                   for k in ("xmin", "ymin", "xmax", "ymax")}])
         lcrs_series = pd.Series([str(r0["__lcrs"])])
-        out = {"__lid": [key[0]], "__chunk": [int(key[1])]}
+        out = {"__lid": [key[0]], "__lid2": [key[1]], "__chunk": [int(key[2])]}
         for rt in right_tiles:
             matches = pd.Series([list(pdf[f"__rp_{rt}"])], dtype=object)
             res = kfn(ltile_pdf, lext_pdf, lcrs_series, matches)
@@ -203,9 +204,9 @@ def _chunked_premerge(L, matched, kernel, right_tiles, left_tile, left_extent,
             }]
         return pd.DataFrame(out)
 
-    partials = chunked.groupBy("__lid", "__chunk").applyInPandas(
+    partials = chunked.groupBy("__lid", "__lid2", "__chunk").applyInPandas(
         premerge, schema=mid_schema)
-    return partials.groupBy("__lid").agg(
+    return partials.groupBy("__lid", "__lid2").agg(
         *[F.transform(
             F.array_sort(F.collect_list(
                 F.struct(F.col("__chunk").alias("c"),
@@ -227,6 +228,7 @@ def raster_join(
     resampling: str = "nearest",
     cell_size_deg: float | None = None,
     max_fan_in: int | None = 256,
+    cache_inputs: bool = True,
 ) -> DataFrame:
     """Left-outer spatial join + reproject-merge (RasterJoin.scala:68-133).
 
@@ -243,19 +245,56 @@ def raster_join(
     resamples identity-grid partials exactly), measured +10% on small
     footprint joins — the price of the hard memory bound.
     ``max_fan_in=None`` opts into the single-pass aggregate (fastest when
-    fan-in is known small).
+    fan-in is known small). ``cache_inputs=False`` keeps the operator
+    fully lazy (no persist) when the caller manages caching or inputs are
+    already materialized tables.
     """
     right_tiles = right_tiles or ["tile"]
 
-    L = left.withColumn("__lid", F.monotonically_increasing_id())
-    R = right.withColumn("__rid", F.monotonically_increasing_id())
+    # DETERMINISTIC row ids (128-bit content hashes), not
+    # monotonically_increasing_id: both sides branch into (bucket-join,
+    # payload/final-join) sub-plans that re-evaluate the id expression —
+    # with mono ids, AQE re-planning or task retries can partition the two
+    # evaluations differently and hand the SAME row DIFFERENT ids,
+    # silently mis-joining payloads (observed as a nondeterministic
+    # value-hash failure at sf0.1). Content hashes are evaluation-order
+    # independent; duplicate rows sharing an id are harmless here (the
+    # merge paints identical pixels; the final left join re-expands
+    # duplicate left rows with their shared — correct — merge result).
+    # Hash only the join-relevant METADATA (extent, crs, tile shape):
+    # the match set of a row is fully determined by its extent, and the
+    # merge canvas by its tile dims/cell type — so rows agreeing on all
+    # of these are interchangeable for every id-keyed step (shared-id
+    # rows produce identical groupings and the payload join fans each
+    # pair back out to every payload). Hashing cell DATA would force the
+    # bbox metadata pass to deserialize every tile (measured 5x slower at
+    # sf0.1, and it would defeat Parquet column pruning at scale).
+    def _ids(df, extent_c, crs_c, tile_c, a, b):
+        key = F.struct(
+            F.col(extent_c), F.col(crs_c),
+            F.col(f"{tile_c}.cols"), F.col(f"{tile_c}.rows"),
+            F.col(f"{tile_c}.cell_type"))
+        return (df.withColumn(a, F.xxhash64(key))
+                .withColumn(b, F.xxhash64(F.lit(7), key)))
+
+    L = _ids(left, left_extent, left_crs, left_tile, "__lid", "__lid2")
+    R = _ids(right, right_extent, right_crs, right_tiles[0],
+             "__rid", "__rid2")
+    if cache_inputs:
+        # Both sides fan into two sub-plans each (bbox metadata pass +
+        # payload/final join). Caching the stamped frames evaluates the
+        # upstream lineage ONCE instead of per branch (measured 6x on a
+        # derived-tiles input at sf0.1). Pure perf: with deterministic
+        # ids, eviction-triggered recompute is value-identical.
+        L = L.persist()
+        R = R.persist()
 
     l4326 = L.select(
-        "__lid",
+        "__lid", "__lid2",
         _extent_to_4326_udf(F.col(left_extent), F.col(left_crs)).alias("__e4326"),
     )
     r4326 = R.select(
-        "__rid",
+        "__rid", "__rid2",
         _extent_to_4326_udf(F.col(right_extent), F.col(right_crs)).alias("__e4326"),
     )
 
@@ -270,11 +309,11 @@ def raster_join(
         cell_size_deg = max(float(stats["w"] or 1.0), 1e-9) * 2
 
     lcells = l4326.select(
-        "__lid", "__e4326",
+        "__lid", "__lid2", "__e4326",
         F.explode(rf_spatial_grid_cells("__e4326", cell_size_deg)).alias("__cell"),
     )
     rcells = r4326.select(
-        "__rid", F.col("__e4326").alias("__re4326"),
+        "__rid", "__rid2", F.col("__e4326").alias("__re4326"),
         F.explode(rf_spatial_grid_cells("__e4326", cell_size_deg)).alias("__cell"),
     )
 
@@ -286,12 +325,12 @@ def raster_join(
             & (F.col("__e4326.ymin") <= F.col("__re4326.ymax"))
             & (F.col("__re4326.ymin") <= F.col("__e4326.ymax"))
         )
-        .select("__lid", "__rid")
-        .dropDuplicates(["__lid", "__rid"])
+        .select("__lid", "__lid2", "__rid", "__rid2")
+        .dropDuplicates(["__lid", "__lid2", "__rid", "__rid2"])
     )
 
     r_payload = R.select(
-        "__rid",
+        "__rid", "__rid2",
         *[
             F.struct(
                 F.col(rt).alias("tile"),
@@ -301,7 +340,14 @@ def raster_join(
             for rt in right_tiles
         ],
     )
-    matched = pairs.join(r_payload, "__rid")
+    # third sort key: full-payload hash, computed ONLY on the payload
+    # branch (post-join, where cells are read anyway) — it breaks merge-
+    # order ties among right rows that share extent/shape metadata (deep
+    # stacks) identically in both the single-pass and chunked paths,
+    # without the metadata pass ever touching cell data
+    r_payload = r_payload.withColumn(
+        "__rid3", F.xxhash64(*[F.col(f"__rp_{rt}") for rt in right_tiles]))
+    matched = pairs.join(r_payload, ["__rid", "__rid2"])
     kernel = _merge_kernel(resampling)
 
     def _single_pass(m):
@@ -309,10 +355,12 @@ def raster_join(
         # (nondeterministic under retries/partitioning); sorting by __rid
         # makes first-non-NoData-wins deterministic and identical to the
         # chunked max_fan_in path
-        return m.groupBy("__lid").agg(
+        return m.groupBy("__lid", "__lid2").agg(
             *[F.transform(
                 F.array_sort(F.collect_list(
                     F.struct(F.col("__rid").alias("r"),
+                             F.col("__rid2").alias("r2"),
+                             F.col("__rid3").alias("r3"),
                              F.col(f"__rp_{rt}").alias("p")))),
                 lambda s: s["p"]).alias(f"__rl_{rt}")
               for rt in right_tiles]
@@ -333,7 +381,7 @@ def raster_join(
             L, matched, kernel, right_tiles, left_tile, left_extent,
             left_crs, int(max_fan_in))
 
-    joined = L.join(grouped, "__lid", "left")
+    joined = L.join(grouped, ["__lid", "__lid2"], "left")
     out_cols = [c for c in left.columns]
     merged = joined.select(
         *out_cols,
