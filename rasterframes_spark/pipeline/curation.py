@@ -130,15 +130,22 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
     bench = (benchmark.select(F.explode(grams(benchmark, bench_text_col))
                               .alias("__g")).distinct())
-    with_id = docs.withColumn("__did", F.monotonically_increasing_id())
-    hits = (with_id.select("__did", F.explode(grams(with_id, text_col))
-                           .alias("__g"))
+    # deterministic content ids, NOT monotonically_increasing_id: the id
+    # expression evaluates in two branches (gram explode + final join);
+    # nondeterministic ids can diverge between them under AQE re-planning
+    # (see raster_join). Duplicate rows sharing an id is fine — identical
+    # rows have identical contamination.
+    key = F.struct(*[F.col(c) for c in docs.columns])
+    with_id = (docs.withColumn("__did", F.xxhash64(key))
+               .withColumn("__did2", F.xxhash64(F.lit(7), key)))
+    hits = (with_id.select("__did", "__did2",
+                           F.explode(grams(with_id, text_col)).alias("__g"))
             .join(F.broadcast(bench), "__g", "left_semi")
-            .select("__did").distinct()
+            .select("__did", "__did2").distinct()
             .withColumn("__hit", F.lit(True)))
-    out = (with_id.join(hits, "__did", "left")
+    out = (with_id.join(hits, ["__did", "__did2"], "left")
            .withColumn("contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
-           .drop("__did", "__hit"))
+           .drop("__did", "__did2", "__hit"))
     if mode == "drop":
         return out.where(~F.col("contaminated")).drop("contaminated")
     return out

@@ -50,7 +50,12 @@ MEDIA_SCHEMA = StructType([
 
 def media_table(spark, df: DataFrame, payload_col: str, kind: str = "image",
                 mime: str = "application/octet-stream") -> DataFrame:
-    """Wrap an arbitrary binary column into the canonical media schema."""
+    """Wrap an arbitrary binary column into the canonical media schema.
+
+    ``media_id`` is monotonically_increasing_id — unique within one
+    materialization, but NOT stable across re-computations of a lazy
+    plan (Spark contract). Persist (or write out) the returned frame
+    before joining it against derived results by media_id."""
     return df.select(
         F.monotonically_increasing_id().alias("media_id"),
         F.lit(kind).alias("kind"),

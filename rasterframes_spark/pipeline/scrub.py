@@ -110,11 +110,17 @@ def filter_by_domains(df: DataFrame, domains, text_col: str = "text",
         return df.where(~hit if mode == "block" else hit)
     dcol = domains.columns[0]
     dl = domains.select(F.lower(F.col(dcol)).alias("__dom")).distinct()
-    with_id = df.withColumn("__rid", F.monotonically_increasing_id())
-    hits = (with_id.select("__rid", F.explode(doms).alias("__dom"))
+    # deterministic content ids (see decontaminate): the id expression
+    # evaluates in two branches; identical rows sharing an id filter
+    # identically, which is the correct semantics anyway
+    key = F.struct(*[F.col(c) for c in df.columns])
+    with_id = (df.withColumn("__rid", F.xxhash64(key))
+               .withColumn("__rid2", F.xxhash64(F.lit(7), key)))
+    hits = (with_id.select("__rid", "__rid2", F.explode(doms).alias("__dom"))
             .join(F.broadcast(dl), "__dom", "left_semi")
-            .select("__rid").distinct().withColumn("__hit", F.lit(True)))
-    out = (with_id.join(hits, "__rid", "left")
+            .select("__rid", "__rid2").distinct()
+            .withColumn("__hit", F.lit(True)))
+    out = (with_id.join(hits, ["__rid", "__rid2"], "left")
            .withColumn("__hit", F.coalesce(F.col("__hit"), F.lit(False))))
     keep = ~F.col("__hit") if mode == "block" else F.col("__hit")
-    return out.where(keep).drop("__rid", "__hit")
+    return out.where(keep).drop("__rid", "__rid2", "__hit")
