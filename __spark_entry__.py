@@ -32,6 +32,18 @@ TILE_COLS = 16
 TILE_ROWS = 16
 N_GROUPS = 64
 
+
+def _r0(col, scale=0):
+    """round + normalize IEEE -0.0 to +0.0 (``-0.0 + 0.0 == +0.0``).
+
+    DuckDB's round() emits -0.0 when a negative value rounds to zero while
+    Spark's pipeline emits +0.0 (or vice versa); the driver's value hash is
+    representation-sensitive, so every rounded signed expression is
+    normalized on BOTH sides (the oracle SQL appends ``+ 0.0`` after each
+    round) to keep the comparison bytewise stable.
+    """
+    return F.round(col, scale) + F.lit(0.0)
+
 # ---------------------------------------------------------------------------
 # shared tile synthesis (Spark) and its SQL mirror (DuckDB oracle CTE)
 # ---------------------------------------------------------------------------
@@ -102,8 +114,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return nd.select(
         "grp",
         rf.rf_data_cells("nd").alias("data_cells"),
-        F.round(rf.rf_tile_sum("nd"), 6).alias("nd_sum"),
-        F.round(rf.rf_tile_mean("nd"), 6).alias("nd_mean"),
+        _r0(rf.rf_tile_sum("nd"), 6).alias("nd_sum"),
+        _r0(rf.rf_tile_mean("nd"), 6).alias("nd_mean"),
     ).orderBy("grp")
 
 
@@ -122,7 +134,7 @@ def _q_tile_sum(spark, sf_dir):
 
 def _q_tile_mean(spark, sf_dir):
     t = _tiles_df(spark, sf_dir)
-    return t.select("grp", F.round(rf.rf_tile_mean("qty"), 6).alias("tile_mean"))
+    return t.select("grp", _r0(rf.rf_tile_mean("qty"), 6).alias("tile_mean"))
 
 
 def _q_local_add(spark, sf_dir):
@@ -140,14 +152,14 @@ def _q_local_subtract_divide(spark, sf_dir):
     return df.select(
         "grp",
         rf.rf_tile_sum(rf.rf_local_subtract("qty", F.col("price"))).alias("diff_sum"),
-        F.round(rf.rf_tile_sum(rf.rf_local_divide("price", 2)), 6).alias("half_price_sum"),
+        _r0(rf.rf_tile_sum(rf.rf_local_divide("price", 2)), 6).alias("half_price_sum"),
     )
 
 
 def _q_normalized_difference(spark, sf_dir):
     df = _two_band(spark, sf_dir)
     nd = df.select("grp", rf.rf_normalized_difference("price", "qty").alias("nd"))
-    return nd.select("grp", F.round(rf.rf_tile_sum("nd"), 6).alias("nd_sum"),
+    return nd.select("grp", _r0(rf.rf_tile_sum("nd"), 6).alias("nd_sum"),
                      rf.rf_data_cells("nd").alias("n"))
 
 
@@ -161,7 +173,7 @@ def _q_where(spark, sf_dir):
     cond = rf.rf_local_greater("qty", 25)
     return df.select(
         "grp",
-        F.round(rf.rf_tile_sum(rf.rf_where(cond, "price", "qty")), 6).alias("s"),
+        _r0(rf.rf_tile_sum(rf.rf_where(cond, "price", "qty")), 6).alias("s"),
     )
 
 
@@ -189,8 +201,8 @@ def _q_agg_stats(spark, sf_dir):
         F.col("s.no_data_cells").alias("no_data_cells"),
         F.col("s.min").alias("min_v"),
         F.col("s.max").alias("max_v"),
-        F.round(F.col("s.mean"), 6).alias("mean_v"),
-        F.round(F.col("s.variance"), 4).alias("var_v"),
+        _r0(F.col("s.mean"), 6).alias("mean_v"),
+        _r0(F.col("s.variance"), 4).alias("var_v"),
     )
     return s
 
@@ -200,7 +212,7 @@ def _q_agg_mean_by_parity(spark, sf_dir):
     return (
         t.withColumn("parity", (F.col("grp") % 2).cast("int"))
         .groupBy("parity")
-        .agg(F.round(rf.rf_agg_mean("qty"), 6).alias("mean_v"),
+        .agg(_r0(rf.rf_agg_mean("qty"), 6).alias("mean_v"),
              rf.rf_agg_data_cells("qty").alias("n"))
     )
 
@@ -219,10 +231,10 @@ def _q_agg_local_grouped(spark, sf_dir):
     med = rf.agg_local(t, "qty", "median", ["parity"])
     med_ex = rf.explode_tiles(med, ["tile"], keep_cols=["parity"]).select(
         "parity", "column_index", "row_index",
-        F.round(F.col("tile"), 6).alias("med_v"))
+        _r0(F.col("tile"), 6).alias("med_v"))
     out = ex.select(
         "parity", "column_index", "row_index",
-        F.round(F.col("mean"), 6).alias("mean_v"),
+        _r0(F.col("mean"), 6).alias("mean_v"),
         F.col("count").cast("long").alias("n"),
     ).where(F.col("mean_v").isNotNull())
     return out.join(med_ex, ["parity", "column_index", "row_index"], "left")
@@ -259,7 +271,7 @@ def _q_rescale(spark, sf_dir):
     t = _tiles_df(spark, sf_dir)
     return t.select(
         "grp",
-        F.round(rf.rf_tile_sum(rf.rf_rescale("qty", 1.0, 50.0)), 6).alias("s"),
+        _r0(rf.rf_tile_sum(rf.rf_rescale("qty", 1.0, 50.0)), 6).alias("s"),
     )
 
 
@@ -277,8 +289,8 @@ def _q_local_min_max(spark, sf_dir):
     df = _two_band(spark, sf_dir)
     return df.select(
         "grp",
-        F.round(rf.rf_tile_sum(rf.rf_local_min("qty", F.col("price"))), 6).alias("min_sum"),
-        F.round(rf.rf_tile_sum(rf.rf_local_max("qty", F.col("price"))), 6).alias("max_sum"),
+        _r0(rf.rf_tile_sum(rf.rf_local_min("qty", F.col("price"))), 6).alias("min_sum"),
+        _r0(rf.rf_tile_sum(rf.rf_local_max("qty", F.col("price"))), 6).alias("max_sum"),
     )
 
 
@@ -288,7 +300,7 @@ def _q_focal_mean(spark, sf_dir):
     fm = t.select("grp", rf.rf_focal_mean("qty", "square-1", target="data").alias("fm"))
     cells = rf.explode_tiles(fm, ["fm"])
     return cells.where(F.col("fm").isNotNull()).select(
-        "grp", "column_index", "row_index", F.round("fm", 6).alias("fm"))
+        "grp", "column_index", "row_index", _r0("fm", 6).alias("fm"))
 
 
 def _q_tile_histogram(spark, sf_dir):
@@ -311,9 +323,9 @@ def _q_resample_nearest(spark, sf_dir):
     return d.select(
         "grp", rf.rf_tile_sum("ds").alias("s"),
         rf.rf_data_cells("ds").alias("n"),
-        F.round(rf.rf_tile_sum("avg"), 6).alias("avg_sum"),
-        F.round(rf.rf_tile_sum("sm"), 6).alias("sum_sum"),
-        F.round(rf.rf_tile_sum("mx"), 6).alias("max_sum"))
+        _r0(rf.rf_tile_sum("avg"), 6).alias("avg_sum"),
+        _r0(rf.rf_tile_sum("sm"), 6).alias("sum_sum"),
+        _r0(rf.rf_tile_sum("mx"), 6).alias("max_sum"))
 
 
 def _q_raster_join(spark, sf_dir):
@@ -366,9 +378,9 @@ def _q_st_ops(spark, sf_dir):
     origin = rf.st_point(F.lit(0.0), F.lit(0.0))
     return pts.select(
         "c_custkey",
-        F.round(rf.st_distance("pt", origin), 6).alias("dist_origin"),
+        _r0(rf.st_distance("pt", origin), 6).alias("dist_origin"),
         rf.st_within("pt", zone).alias("in_zone"),
-        F.round(rf.st_x(rf.st_centroid(rf.st_buffer_point("pt", 2.0))), 6).alias("buf_cx"),
+        _r0(rf.st_x(rf.st_centroid(rf.st_buffer_point("pt", 2.0))), 6).alias("buf_cx"),
     )
 
 
@@ -418,7 +430,7 @@ def _q_focal_seams(spark, sf_dir):
     return out.select(
         (tx2 + F.col("column_index")).cast("int").alias("gci"),
         (ty2 + F.col("row_index")).cast("int").alias("gri"),
-        F.round(F.col("f"), 6).alias("focal"),
+        _r0(F.col("f"), 6).alias("focal"),
     )
 
 
@@ -492,17 +504,17 @@ def _q_st_constructors(spark, sf_dir):
                           rf.st_point(F.col("x") + 2, F.col("y") + 3))
     return base.select(
         "c_custkey",
-        F.round(rf.st_x(rf.st_pointN(line, 2)), 6).alias("p2x"),
-        F.round(rf.st_y(rf.st_pointN(line, -1)), 6).alias("ply"),
-        F.round(rf.st_area(poly), 6).alias("tri_area"),
-        F.round(rf.st_length(rf.st_boundary(poly)), 6).alias("perim"),
+        _r0(rf.st_x(rf.st_pointN(line, 2)), 6).alias("p2x"),
+        _r0(rf.st_y(rf.st_pointN(line, -1)), 6).alias("ply"),
+        _r0(rf.st_area(poly), 6).alias("tri_area"),
+        _r0(rf.st_length(rf.st_boundary(poly)), 6).alias("perim"),
         rf.st_geometryType(rf.st_boundary(poly)).alias("btype"),
         rf.st_dimension(poly).alias("dim"),
         rf.st_isClosed(line).alias("closed"),
         rf.st_isRing(rf.st_exteriorRing(poly)).alias("ring"),
         rf.st_numGeometries(mp).alias("ng"),
-        F.round(rf.st_x(rf.st_geometryN(mp, 2)), 6).alias("g2x"),
-        F.round(rf.st_area(box), 6).alias("box_area"),
+        _r0(rf.st_x(rf.st_geometryN(mp, 2)), 6).alias("g2x"),
+        _r0(rf.st_area(box), 6).alias("box_area"),
         rf.st_isEmpty(line).alias("emp"),
         rf.st_castToPolygon(line).isNull().alias("badcast"),
     )
@@ -556,7 +568,7 @@ def _q_events_weekly(spark, sf_dir):
     ev = _events_df(spark, sf_dir)
     return (
         ev.groupBy(F.date_trunc("week", "ts").alias("week"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .agg(F.count("*").alias("n"), _r0(F.sum("value"), 6).alias("total"))
     )
 
 
@@ -579,7 +591,7 @@ def _q_events_topk(spark, sf_dir):
     """Top-3 users per event_type by total value — window rank."""
     ev = _events_df(spark, sf_dir)
     totals = ev.groupBy("event_type", "user_id").agg(
-        F.round(F.sum("value"), 6).alias("total"))
+        _r0(F.sum("value"), 6).alias("total"))
     w = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("user_id"))
     return (
         totals.withColumn("rank", F.row_number().over(w))
@@ -615,7 +627,7 @@ def _q_pyramid(spark, sf_dir):
         F.col("spatial_key.col").alias("px"),
         F.col("spatial_key.row").alias("py"),
         "column_index", "row_index",
-        F.round("tile", 6).alias("v"),
+        _r0("tile", 6).alias("v"),
     ).where(F.col("v").isNotNull())
 
 
@@ -708,9 +720,9 @@ def _q_zonal_stats(spark, sf_dir):
                  grid_size=16.0)
     cnt = jn.groupBy("zone_id").agg(F.count("*").alias("pts_n"))
     return out.join(cnt, "zone_id").select(
-        "zone_id", F.round("mean", 6).alias("mean_v"),
+        "zone_id", _r0("mean", 6).alias("mean_v"),
         F.col("data_cells").cast("long").alias("n"),
-        F.round("sum", 6).alias("sum_v"),
+        _r0("sum", 6).alias("sum_v"),
         F.col("pts_n").cast("long").alias("pts_n"))
 
 
@@ -727,7 +739,7 @@ def _q_slope(spark, sf_dir):
     ex = rf.explode_tiles(s, ["slope_t"], keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
-        F.round("slope_t", 6).alias("slope_v"),
+        _r0("slope_t", 6).alias("slope_v"),
     ).where(F.col("slope_v").isNotNull())
 
 
@@ -780,7 +792,7 @@ def _q_streaming_sessions(spark, sf_dir):
         spark.table(name).groupBy("user_id")
         .agg(F.count("*").cast("long").alias("n_closed"),
              F.sum("n_events").cast("long").alias("n_events_closed"),
-             F.round(F.sum("total_value"), 6).alias("total_closed"))
+             _r0(F.sum("total_value"), 6).alias("total_closed"))
     )
 
 
@@ -804,9 +816,9 @@ def _q_layer_center(spark, sf_dir):
     out = ext.with_bounds().with_center()
     return out.select(
         "c_custkey",
-        F.round(st_x("center"), 6).alias("cx"),
-        F.round(st_y("center"), 6).alias("cy"),
-        F.round(st_area("bounds"), 6).alias("bounds_area"),
+        _r0(st_x("center"), 6).alias("cx"),
+        _r0(st_y("center"), 6).alias("cy"),
+        _r0(st_area("bounds"), 6).alias("bounds_area"),
     )
 
 
@@ -831,10 +843,10 @@ def _q_agg_extent(spark, sf_dir):
     return agg.select(
         F.col("e.xmin").alias("xmin"), F.col("e.ymin").alias("ymin"),
         F.col("e.xmax").alias("xmax"), F.col("e.ymax").alias("ymax"),
-        F.round(F.col("re.xmin"), 4).alias("mxmin"),
-        F.round(F.col("re.ymin"), 4).alias("mymin"),
-        F.round(F.col("re.xmax"), 4).alias("mxmax"),
-        F.round(F.col("re.ymax"), 4).alias("mymax"))
+        _r0(F.col("re.xmin"), 4).alias("mxmin"),
+        _r0(F.col("re.ymin"), 4).alias("mymin"),
+        _r0(F.col("re.xmax"), 4).alias("mxmax"),
+        _r0(F.col("re.ymax"), 4).alias("mymax"))
 
 
 def _q_audio_features(spark, sf_dir):
@@ -871,7 +883,7 @@ def _q_audio_features(spark, sf_dir):
     return feats.select(
         F.col("media_id").alias("doc_id"),
         "duration_ms",
-        F.round("rms", 6).alias("rms_v"),
+        _r0("rms", 6).alias("rms_v"),
     )
 
 
@@ -884,7 +896,7 @@ def _q_text_metrics(spark, sf_dir):
         P.token_count("text").alias("n_tokens"),
         P.bpe_ish_token_count("text").alias("n_bpe"),
         P.char_count("text").alias("n_chars_m"),
-        F.round(P.distinct_token_ratio("text"), 6).alias("distinct_ratio"),
+        _r0(P.distinct_token_ratio("text"), 6).alias("distinct_ratio"),
         P.doc_fingerprint("text").alias("fingerprint"),
     )
 
@@ -904,7 +916,7 @@ def _q_quality_score(spark, sf_dir):
     from rasterframes_spark import pipeline as P
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", F.round(P.quality_score("text"), 6).alias("quality"))
+    return docs.select("doc_id", _r0(P.quality_score("text"), 6).alias("quality"))
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -986,12 +998,12 @@ def _q_curation(spark, sf_dir):
     rep_extra = rep.select(
         F.lit("rep_extra").alias("family"),
         F.col("doc_id").cast("string").alias("key"),
-        F.round(P.dup_line_char_fraction(as_lines) * tok_chars)
+        _r0(P.dup_line_char_fraction(as_lines) * tok_chars)
         .cast("long").alias("val"))
     rep_top2 = rep.select(
         F.lit("rep_top2").alias("family"),
         F.col("doc_id").cast("string").alias("key"),
-        F.round(P.top_ngram_char_fraction("text", 2)
+        _r0(P.top_ngram_char_fraction("text", 2)
                 * F.greatest(F.length("text"), F.lit(1)))
         .cast("long").alias("val"))
 
@@ -1145,7 +1157,7 @@ def _q_aspect(spark, sf_dir):
     ex = rf.explode_tiles(s, ["asp_t"], keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
-        F.round("asp_t", 6).alias("aspect_v"),
+        _r0("asp_t", 6).alias("aspect_v"),
     ).where(F.col("aspect_v").isNotNull())
 
 
@@ -1165,11 +1177,11 @@ def _q_focal_stats(spark, sf_dir):
                           keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
-        F.round("med", 6).alias("med"),
-        F.round("mode_t", 6).alias("mode_v"),
+        _r0("med", 6).alias("med"),
+        _r0("mode_t", 6).alias("mode_v"),
         F.col("fmin_t").alias("fmin"),
         F.col("fmax_t").alias("fmax"),
-        F.round("fsd_t", 6).alias("fsd"),
+        _r0("fsd_t", 6).alias("fsd"),
     ).where(F.col("med").isNotNull())
 
 
@@ -1183,7 +1195,7 @@ def _q_moransi(spark, sf_dir):
     ex = rf.explode_tiles(m, ["mi_t"], keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
-        F.round("mi_t", 6).alias("mi"),
+        _r0("mi_t", 6).alias("mi"),
     ).where(F.col("mi").isNotNull())
 
 
@@ -1214,7 +1226,7 @@ def _q_convolve(spark, sf_dir):
     ex = rf.explode_tiles(c, ["conv"], keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
-        F.round("conv", 6).alias("conv_v"),
+        _r0("conv", 6).alias("conv_v"),
     ).where(F.col("conv_v").isNotNull())
 
 
@@ -1227,7 +1239,7 @@ def _q_local_algebra(spark, sf_dir):
         rf.rf_tile_sum(rf.rf_local_add("qty", 5)).alias("add_sum"),
         rf.rf_tile_sum(rf.rf_local_multiply("qty", 3)).alias("mul_sum"),
         rf.rf_tile_sum(rf.rf_local_greater("qty", 25)).alias("n_gt"),
-        F.round(rf.rf_tile_sum(rf.rf_rescale("qty", 1.0, 50.0)), 6).alias("rescale_sum"),
+        _r0(rf.rf_tile_sum(rf.rf_rescale("qty", 1.0, 50.0)), 6).alias("rescale_sum"),
     )
 
 
@@ -1239,10 +1251,10 @@ def _q_local_binary(spark, sf_dir):
     return df.select(
         "grp",
         rf.rf_tile_sum(rf.rf_local_subtract("qty", F.col("price"))).alias("diff_sum"),
-        F.round(rf.rf_tile_sum(rf.rf_local_divide("price", 2)), 6).alias("half_price_sum"),
-        F.round(rf.rf_tile_sum(rf.rf_local_min("qty", F.col("price"))), 6).alias("min_sum"),
-        F.round(rf.rf_tile_sum(rf.rf_local_max("qty", F.col("price"))), 6).alias("max_sum"),
-        F.round(rf.rf_tile_sum(rf.rf_where(cond, "price", "qty")), 6).alias("where_sum"),
+        _r0(rf.rf_tile_sum(rf.rf_local_divide("price", 2)), 6).alias("half_price_sum"),
+        _r0(rf.rf_tile_sum(rf.rf_local_min("qty", F.col("price"))), 6).alias("min_sum"),
+        _r0(rf.rf_tile_sum(rf.rf_local_max("qty", F.col("price"))), 6).alias("max_sum"),
+        _r0(rf.rf_tile_sum(rf.rf_where(cond, "price", "qty")), 6).alias("where_sum"),
     )
 
 
@@ -1259,7 +1271,7 @@ def _q_tile_stats(spark, sf_dir):
         rf.rf_data_cells("qty").alias("data_cells"),
         rf.rf_tile_min("qty").alias("tile_min"),
         rf.rf_tile_max("qty").alias("tile_max"),
-        F.round(rf.rf_tile_mean("qty"), 6).alias("tile_mean"),
+        _r0(rf.rf_tile_mean("qty"), 6).alias("tile_mean"),
         rf.rf_tile_sum(
             rf.rf_rgb_composite("qty", "price", "qty")).alias("rgb_sum"),
     )
@@ -1419,24 +1431,24 @@ def oracle_sql() -> dict[str, str]:
             )
             select cells.grp, sum(qty) as tile_sum, count(qty) as data_cells,
                    min(qty) as tile_min, max(qty) as tile_max,
-                   round(sum(qty)/count(qty), 6) as tile_mean,
+                   round(sum(qty)/count(qty), 6) + 0.0 as tile_mean,
                    cast(any_value(rgb_sum) as double) as rgb_sum
             from cells join rgbs on cells.grp = rgbs.grp
             group by cells.grp""",
         "local_algebra": C + """
             select grp, sum(qty + 5) as add_sum, sum(qty * 3) as mul_sum,
                    cast(sum(case when qty > 25 then 1 else 0 end) as double) as n_gt,
-                   round(sum((qty - 1.0)/(50.0 - 1.0)), 6) as rescale_sum
+                   round(sum((qty - 1.0)/(50.0 - 1.0)), 6) + 0.0 as rescale_sum
             from cells group by grp""",
         "local_binary": C + """
             select grp, sum(qty - price) as diff_sum,
-                   round(sum(price / 2), 6) as half_price_sum,
-                   round(sum(least(qty, price)), 6) as min_sum,
-                   round(sum(greatest(qty, price)), 6) as max_sum,
-                   round(sum(case when qty > 25 then price else qty end), 6) as where_sum
+                   round(sum(price / 2), 6) + 0.0 as half_price_sum,
+                   round(sum(least(qty, price)), 6) + 0.0 as min_sum,
+                   round(sum(greatest(qty, price)), 6) + 0.0 as max_sum,
+                   round(sum(case when qty > 25 then price else qty end), 6) + 0.0 as where_sum
             from cells group by grp""",
         "normalized_difference": C + """
-            select grp, round(sum((price - qty)/(price + qty)), 6) as nd_sum,
+            select grp, round(sum((price - qty)/(price + qty)), 6) + 0.0 as nd_sum,
                    count(*) as n
             from cells group by grp""",
         "mask_by_value": C + """
@@ -1452,19 +1464,19 @@ def oracle_sql() -> dict[str, str]:
             select count(qty) as data_cells,
                    (select count(distinct grp) from cells) * 256 - count(qty) as no_data_cells,
                    min(qty) as min_v, max(qty) as max_v,
-                   round(sum(qty)/count(qty), 6) as mean_v,
-                   round(sum(qty*qty)/count(qty) - (sum(qty)/count(qty))*(sum(qty)/count(qty)), 4) as var_v
+                   round(sum(qty)/count(qty), 6) + 0.0 as mean_v,
+                   round(sum(qty*qty)/count(qty) - (sum(qty)/count(qty))*(sum(qty)/count(qty)), 4) + 0.0 as var_v
             from cells""",
         "agg_mean_by_parity": C + """
             select cast(grp % 2 as int) as parity,
-                   round(sum(qty)/count(qty), 6) as mean_v, count(qty) as n
+                   round(sum(qty)/count(qty), 6) + 0.0 as mean_v, count(qty) as n
             from cells group by parity""",
         "agg_local_grouped": C + """
             select cast(grp % 2 as int) as parity,
                    ci as column_index, ri as row_index,
-                   round(sum(qty)/count(qty), 6) as mean_v,
+                   round(sum(qty)/count(qty), 6) + 0.0 as mean_v,
                    count(qty) as n,
-                   round(median(qty), 6) as med_v
+                   round(median(qty), 6) + 0.0 as med_v
             from cells group by 1, 2, 3 having count(qty) > 0""",
         "explode_tiles": C + """
             select grp, ci as column_index, ri as row_index, qty as cell
@@ -1480,7 +1492,7 @@ def oracle_sql() -> dict[str, str]:
             from cells""",
         "focal_mean": C + """
             select a.grp, a.ci as column_index, a.ri as row_index,
-                   round(avg(b.qty), 6) as fm
+                   round(avg(b.qty), 6) + 0.0 as fm
             from cells a join cells b
               on a.grp = b.grp and abs(a.ci - b.ci) <= 1 and abs(a.ri - b.ri) <= 1
             group by a.grp, a.ci, a.ri""",
@@ -1490,7 +1502,7 @@ def oracle_sql() -> dict[str, str]:
                      (grp // 2) * {TILE_ROWS} + ri as gri, qty
               from cells where grp < 4)
             select cast(a.gci as int) as gci, cast(a.gri as int) as gri,
-                   round(avg(b.qty), 6) as focal
+                   round(avg(b.qty), 6) + 0.0 as focal
             from g a join g b
               on abs(a.gci - b.gci) <= 1 and abs(a.gri - b.gri) <= 1
             group by a.gci, a.gri""",
@@ -1506,9 +1518,9 @@ def oracle_sql() -> dict[str, str]:
                      avg(qty) as bavg, sum(qty) as bsum, max(qty) as bmax
               from cells group by grp, ci // 2, ri // 2
             ), aggs as (
-              select grp, round(sum(bavg), 6) as avg_sum,
-                     round(sum(bsum), 6) as sum_sum,
-                     round(sum(bmax), 6) as max_sum
+              select grp, round(sum(bavg), 6) + 0.0 as avg_sum,
+                     round(sum(bsum), 6) + 0.0 as sum_sum,
+                     round(sum(bmax), 6) + 0.0 as max_sum
               from blocks group by grp
             )
             select cells.grp, sum(qty) as s, count(qty) as n,
@@ -1569,10 +1581,10 @@ def oracle_sql() -> dict[str, str]:
                      (c_acctbal % 170)/170*80 as y
               from customer)
             select c_custkey,
-                   round(sqrt(x*x + y*y), 6) as dist_origin,
+                   round(sqrt(x*x + y*y), 6) + 0.0 as dist_origin,
                    -- strict: OGC within excludes the zone boundary
                    (x > -90 and x < 90) and (y > -40 and y < 40) as in_zone,
-                   round(x, 6) as buf_cx
+                   round(x, 6) + 0.0 as buf_cx
             from p""",
         "st_predicates": """
             with g as (
@@ -1605,16 +1617,16 @@ def oracle_sql() -> dict[str, str]:
                      cast(c_custkey % 50 as double) as y
               from customer)
             select c_custkey,
-                   round(x + 1, 6) as p2x,
-                   round(y + 1, 6) as ply,
+                   round(x + 1, 6) + 0.0 as p2x,
+                   round(y + 1, 6) + 0.0 as ply,
                    cast(0.5 as double) as tri_area,
-                   round(2 + sqrt(2.0), 6) as perim,
+                   round(2 + sqrt(2.0), 6) + 0.0 as perim,
                    'LineString' as btype,
                    cast(2 as int) as dim,
                    false as closed,
                    true as ring,
                    cast(2 as int) as ng,
-                   round(x + 2, 6) as g2x,
+                   round(x + 2, 6) + 0.0 as g2x,
                    cast(6.0 as double) as box_area,
                    false as emp,
                    true as badcast
@@ -1626,7 +1638,7 @@ def oracle_sql() -> dict[str, str]:
             from region""",
         "events_weekly": """
             select date_trunc('week', ts) as week, event_type,
-                   count(*) as n, round(sum(value), 6) as total
+                   count(*) as n, round(sum(value), 6) + 0.0 as total
             from events group by week, event_type""",
         "events_sessions": """
             with g as (
@@ -1641,7 +1653,7 @@ def oracle_sql() -> dict[str, str]:
             from g group by user_id""",
         "events_topk": """
             with t as (
-              select event_type, user_id, round(sum(value), 6) as total
+              select event_type, user_id, round(sum(value), 6) + 0.0 as total
               from events group by event_type, user_id)
             select event_type, user_id, total,
                    cast(row_number() over (partition by event_type
@@ -1652,7 +1664,7 @@ def oracle_sql() -> dict[str, str]:
                    cast((grp // 8) // 2 as int) as py,
                    cast(((grp % 8) % 2 * 16 + ci) // 2 as int) as column_index,
                    cast(((grp // 8) % 2 * 16 + ri) // 2 as int) as row_index,
-                   round(avg(qty), 6) as v
+                   round(avg(qty), 6) + 0.0 as v
             from cells
             group by 1, 2, 3, 4
             having count(qty) > 0""",
@@ -1673,7 +1685,7 @@ def oracle_sql() -> dict[str, str]:
               select q.query_id, cb.vec_id as neighbor_id,
                      round(list_dot_product(cb.v, q.qv)
                            / (sqrt(list_dot_product(cb.v, cb.v))
-                              * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) + 0.0 as cos
               from cb join q on cb.bucket = q.bucket
             )
             select query_id, neighbor_id, cos,
@@ -1684,7 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         "overview": C + """
             select cast((grp % 8) * 16 + ci as int) as column_index,
                    cast((grp // 8) * 16 + ri as int) as row_index,
-                   round(qty, 6) as v
+                   round(qty, 6) + 0.0 as v
             from cells""",
         "zonal_stats": C + """
             , pts as (
@@ -1699,23 +1711,23 @@ def oracle_sql() -> dict[str, str]:
               ) as t(zone_id, x0, y0, x1, y1)
             )
             select z.zone_id,
-                   round(sum(p.qty) / count(p.qty), 6) as mean_v,
+                   round(sum(p.qty) / count(p.qty), 6) + 0.0 as mean_v,
                    cast(count(p.qty) as bigint) as n,
-                   round(sum(p.qty), 6) as sum_v,
+                   round(sum(p.qty), 6) + 0.0 as sum_v,
                    cast(count(*) as bigint) as pts_n
             from pts p join z
               on p.px > z.x0 and p.px < z.x1 and p.py > z.y0 and p.py < z.y1
             group by z.zone_id""",
         "slope": C + _HORN_CTE + """
             select grp, ci as column_index, ri as row_index,
-                   round(degrees(atan(sqrt(gx*gx + gy*gy))), 6) as slope_v
+                   round(degrees(atan(sqrt(gx*gx + gy*gy))), 6) + 0.0 as slope_v
             from g""",
         "aspect": C + _HORN_CTE + """
             select grp, ci as column_index, ri as row_index,
                    round(case when gx = 0 and gy = 0 then 0.0
                          else fmod(fmod(90.0 - degrees(atan2(gy, -gx)), 360.0)
                                    + 360.0, 360.0)
-                         end, 6) as aspect_v
+                         end, 6) + 0.0 as aspect_v
             from g""",
         "focal_stats": C + """
             , nb as (
@@ -1724,21 +1736,21 @@ def oracle_sql() -> dict[str, str]:
                 on a.grp = b.grp and abs(a.ci - b.ci) <= 1
                    and abs(a.ri - b.ri) <= 1
             ), agg1 as (
-              select grp, ci, ri, round(median(v), 6) as med,
+              select grp, ci, ri, round(median(v), 6) + 0.0 as med,
                      min(v) as fmin, max(v) as fmax, avg(v) as m
               from nb group by 1, 2, 3
             ), cnt as (
               select grp, ci, ri, v, count(*) as c
               from nb group by 1, 2, 3, 4
             ), md as (
-              select grp, ci, ri, round(v, 6) as mode_v
+              select grp, ci, ri, round(v, 6) + 0.0 as mode_v
               from cnt
               qualify row_number() over (partition by grp, ci, ri
                                          order by c desc, v asc) = 1
             ), sd as (
               -- two-pass population stddev, matching np.nanstd
               select nb.grp, nb.ci, nb.ri,
-                     round(sqrt(avg((nb.v - a1.m) * (nb.v - a1.m))), 6) as fsd
+                     round(sqrt(avg((nb.v - a1.m) * (nb.v - a1.m))), 6) + 0.0 as fsd
               from nb join agg1 a1 using (grp, ci, ri)
               group by 1, 2, 3
             )
@@ -1763,14 +1775,14 @@ def oracle_sql() -> dict[str, str]:
             )
             select n.grp, n.ci as column_index, n.ri as row_index,
                    round((c.qty - mu.m) * (n.nmean - mu.m)
-                         / (case when vr.v = 0 then 1.0 else vr.v end), 6) as mi
+                         / (case when vr.v = 0 then 1.0 else vr.v end), 6) + 0.0 as mi
             from nm n
             join cells c on c.grp = n.grp and c.ci = n.ci and c.ri = n.ri
             join mu on mu.grp = n.grp
             join vr on vr.grp = n.grp""",
         "convolve": C + f"""
             select a.grp, a.ci as column_index, a.ri as row_index,
-                   round(sum(b.qty * ({_convolve_weight_case()})), 6) as conv_v
+                   round(sum(b.qty * ({_convolve_weight_case()})), 6) + 0.0 as conv_v
             from cells a join cells b
               on a.grp = b.grp and abs(a.ci - b.ci) <= 1
                  and abs(a.ri - b.ri) <= 1
@@ -1809,15 +1821,15 @@ def oracle_sql() -> dict[str, str]:
             select g.user_id,
                    cast(count(*) as bigint) as n_closed,
                    cast(sum(g.n) as bigint) as n_events_closed,
-                   round(sum(g.tv), 6) as total_closed
+                   round(sum(g.tv), 6) + 0.0 as total_closed
             from g join last using (user_id)
             where g.sid < last.maxsid
             group by g.user_id""",
         "layer_center": """
             select c_custkey,
-                   round((c_custkey % 360 - 180.0 + c_custkey % 360 - 178.0) / 2, 6) as cx,
-                   round((c_custkey % 140 - 70.0 + c_custkey % 140 - 69.0) / 2, 6) as cy,
-                   round(2.0 * 1.0, 6) as bounds_area
+                   round((c_custkey % 360 - 180.0 + c_custkey % 360 - 178.0) / 2, 6) + 0.0 as cx,
+                   round((c_custkey % 140 - 70.0 + c_custkey % 140 - 69.0) / 2, 6) + 0.0 as cy,
+                   round(2.0 * 1.0, 6) + 0.0 as bounds_area
             from customer where c_custkey <= 500""",
         "agg_extent": """
             with e as (
@@ -1831,10 +1843,10 @@ def oracle_sql() -> dict[str, str]:
                    -- closed-form spherical mercator of the bbox corners
                    -- (monotone per axis, so agg-then-project == the
                    -- engine's project-then-agg)
-                   round(xmin * 6378137.0 * pi() / 180.0, 4) as mxmin,
-                   round(6378137.0 * ln(tan(pi()/4 + radians(ymin)/2)), 4) as mymin,
-                   round(xmax * 6378137.0 * pi() / 180.0, 4) as mxmax,
-                   round(6378137.0 * ln(tan(pi()/4 + radians(ymax)/2)), 4) as mymax
+                   round(xmin * 6378137.0 * pi() / 180.0, 4) + 0.0 as mxmin,
+                   round(6378137.0 * ln(tan(pi()/4 + radians(ymin)/2)), 4) + 0.0 as mymin,
+                   round(xmax * 6378137.0 * pi() / 180.0, 4) + 0.0 as mxmax,
+                   round(6378137.0 * ln(tan(pi()/4 + radians(ymax)/2)), 4) + 0.0 as mymax
             from e""",
         "audio_features": """
             with params as (
@@ -1849,7 +1861,7 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    n * 1000.0 / 8000.0 as duration_ms,
                    round(sqrt(avg((a * sin(2 * pi() * f * k / 8000.0))
-                              * (a * sin(2 * pi() * f * k / 8000.0)))), 6) as rms_v
+                              * (a * sin(2 * pi() * f * k / 8000.0)))), 6) + 0.0 as rms_v
             from s group by 1, 2""",
         "text_metrics": """
             select doc_id,
@@ -1857,7 +1869,7 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) as n_bpe,
                    length(text) as n_chars_m,
                    round(len(list_distinct(string_split(text,' ')))*1.0
-                         / len(string_split(text,' ')), 6) as distinct_ratio,
+                         / len(string_split(text,' ')), 6) + 0.0 as distinct_ratio,
                    list_reduce(
                      list_prepend(cast(0 as bigint),
                        list_transform(string_split(text,''),
@@ -1875,7 +1887,7 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(length(text), 1) as pr
               from documents)
             select doc_id,
-                   round(0.4*least(t/64.0, 1.0) + 0.4*dr + 0.2*(1.0 - pr), 6) as quality
+                   round(0.4*least(t/64.0, 1.0) + 0.4*dr + 0.2*(1.0 - pr), 6) + 0.0 as quality
             from m""",
         "curation": """
             with newdocs as (select * from documents where doc_id % 2 = 0),
@@ -1968,7 +1980,7 @@ def oracle_sql() -> dict[str, str]:
             select a.doc_id as id_a, b.doc_id as id_b,
                    round(len(list_intersect(a.grams, b.grams))*1.0
                          / (len(a.grams) + len(b.grams)
-                            - len(list_intersect(a.grams, b.grams))), 6) as jaccard
+                            - len(list_intersect(a.grams, b.grams))), 6) + 0.0 as jaccard
             from t a join t b
               on a.lang = b.lang and a.source = b.source and a.doc_id < b.doc_id
             where len(list_intersect(a.grams, b.grams))*1.0
@@ -1987,7 +1999,7 @@ def oracle_sql() -> dict[str, str]:
             select a.doc_id as id_a, b.doc_id as id_b,
                    round(len(list_intersect(a.grams, b.grams))*1.0
                          / (len(a.grams) + len(b.grams)
-                            - len(list_intersect(a.grams, b.grams))), 6) as jaccard
+                            - len(list_intersect(a.grams, b.grams))), 6) + 0.0 as jaccard
             from sh a join sh b on a.doc_id < b.doc_id
             where len(list_intersect(a.grams, b.grams))*1.0
                   / (len(a.grams) + len(b.grams)
@@ -2031,7 +2043,7 @@ def oracle_sql() -> dict[str, str]:
               select query_id, neighbor_id,
                      round(list_dot_product(cv, qv)
                            / (sqrt(list_dot_product(cv, cv))
-                              * sqrt(list_dot_product(qv, qv))), 6) as cos
+                              * sqrt(list_dot_product(qv, qv))), 6) + 0.0 as cos
               from c cross join q
             ), t as (
               select vec_id, label, cast(embedding as double[]) as v
@@ -2054,7 +2066,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(b.vec_id as bigint) as id_b,
                    round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v))
-                            * sqrt(list_dot_product(b.v, b.v))), 6) as score,
+                            * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 as score,
                    cast(0 as int) as rank
             from t a join t b on a.label = b.label and a.vec_id < b.vec_id
             where list_dot_product(a.v, b.v)
@@ -2090,7 +2102,7 @@ def oracle_sql() -> dict[str, str]:
               select ql.query_id, cl.neighbor_id,
                      round(list_dot_product(cl.v, ql.qv)
                            / (sqrt(list_dot_product(cl.v, cl.v))
-                              * sqrt(list_dot_product(ql.qv, ql.qv))), 6) as cos
+                              * sqrt(list_dot_product(ql.qv, ql.qv))), 6) + 0.0 as cos
               from cl join ql on cl.cid = ql.cid
             )
             select query_id, neighbor_id, cos,

@@ -37,20 +37,74 @@ _PREDICATES = {
 }
 
 
-def _estimate_grid(right: DataFrame, geom_col: str, sample: int = 1024) -> float:
+def _sample_envelopes(df: DataFrame, geom_col: str,
+                      per_partition: int = 64, cap: int = 4096):
+    """Bounded cross-partition envelope sample: the head of each
+    partition's first Arrow batch (reads ~one row-group per partition,
+    never a full scan), capped at ``cap`` rows driver-side.  More
+    representative than ``limit(n)`` (which drains whole partitions in
+    order) at the same cost class."""
+    env = (df.select(GF.st_envelope(geom_col).alias("e"))
+           .where(F.col("e.xmin").isNotNull())
+           .select(F.col("e.xmin").alias("x"), F.col("e.ymin").alias("y"),
+                   (F.col("e.xmax") - F.col("e.xmin")).alias("w"),
+                   (F.col("e.ymax") - F.col("e.ymin")).alias("h")))
+
+    def head(batches):
+        for b in batches:
+            yield b.head(per_partition)
+            break
+
+    return env.mapInPandas(
+        head, schema="x double, y double, w double, h double"
+    ).limit(cap).collect()
+
+
+def _estimate_grid(right: DataFrame, geom_right: str,
+                   left: DataFrame, geom_left: str) -> float:
     """Grid size ≈ 2× the median bbox side of a bounded sample of the
-    right side (one tiny job; pass grid_size explicitly to skip)."""
-    rows = (right.select(GF.st_envelope(geom_col).alias("e"))
-            .where(F.col("e.xmin").isNotNull()).limit(sample).collect())
-    sides = []
-    for r in rows:
-        e = r["e"]
-        sides.append(max(e["xmax"] - e["xmin"], e["ymax"] - e["ymin"]))
-    sides.sort()
-    if not sides:
-        return 1.0
-    med = sides[len(sides) // 2]
-    return max(2.0 * med, 1e-9)
+    right side (one tiny job; pass grid_size explicitly to skip — and DO
+    pass it in production: a sampled estimate is reproducible only for a
+    fixed input layout).
+
+    Degenerate guards (point / zero-extent geometries have bbox side 0,
+    which would otherwise explode every left row into ~(extent/1e-9)^2
+    cover cells): a ~zero right median falls back to the LEFT side's
+    median; if both are degenerate, to 1/256 of the sampled extent's
+    larger span; if even that is zero (all-coincident points), to 1.0.
+    """
+    EPS = 1e-12
+    rows = _sample_envelopes(right, geom_right)
+    sides = sorted(max(r["w"], r["h"]) for r in rows)
+    med = sides[len(sides) // 2] if sides else 0.0
+    if med > EPS:
+        return 2.0 * med
+    lrows = _sample_envelopes(left, geom_left)
+    lsides = sorted(max(r["w"], r["h"]) for r in lrows)
+    lmed = lsides[len(lsides) // 2] if lsides else 0.0
+    if lmed > EPS:
+        return 2.0 * lmed
+    allr = rows + lrows
+    if allr:
+        xs = [r["x"] for r in allr]
+        ys = [r["y"] for r in allr]
+        span = max(max(xs) - min(xs), max(ys) - min(ys))
+        if span > EPS:
+            return span / 256.0
+    return 1.0
+
+
+def _stamp_row_id(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Deterministic 128-bit content row id (two seeded xxhash64 of the
+    full row struct).  Same rationale as raster_join's id stamping
+    (operators/raster_join.py:255): monotonically_increasing_id is not
+    stable under AQE re-planning / task retries when the frame fans into
+    multiple sub-plans, and identity-by-content is the semantics we want
+    — identical rows have identical match sets, so sharing an id is
+    harmless for matched/unmatched bookkeeping."""
+    key = F.struct(*[F.col(c) for c in df.columns])
+    return (df.withColumn(a, F.xxhash64(key))
+            .withColumn(b, F.xxhash64(F.lit(7), key)))
 
 
 def _cells(df: DataFrame, geom_col: str, g: float, side: str,
@@ -100,8 +154,21 @@ def st_join(left: DataFrame, right: DataFrame,
         if distance is None or float(distance) < 0:
             raise ValueError("st_join: predicate='dwithin' needs distance >= 0")
         d = float(distance)
-    g = float(grid_size) if grid_size else _estimate_grid(right, geom_right)
+    g = (float(grid_size) if grid_size
+         else _estimate_grid(right, geom_right, left, geom_left))
     g = max(g, d / 4) if d else g
+
+    # left outer needs matched/unmatched bookkeeping: stamp a
+    # deterministic content id ONCE, so the anti-join keys on 16 bytes
+    # instead of the full payload (and is null-safe — an all-columns
+    # anti-join uses null-unsafe equality, so a matched left row with a
+    # NULL field would re-emit null-extended).
+    id_cols = ("__ljid", "__ljid2")
+    if how == "left":
+        for c in id_cols:
+            if c in left.columns or c in right.columns:
+                raise ValueError(f"st_join: reserved column {c!r} in input")
+        left = _stamp_row_id(left, *id_cols)
 
     # avoid column collisions before the join
     rmap = {c: (c + rsuffix if c in left.columns else c)
@@ -134,16 +201,21 @@ def st_join(left: DataFrame, right: DataFrame,
 
     if how == "inner":
         return matched
-    # left outer: append unmatched left rows with null right columns
-    out_cols = matched.columns
+    # left outer: append unmatched left rows with null right columns.
+    # The anti-join shuffles only the 16-byte id pair from the matched
+    # side (not geometry payloads), and content ids make it null-safe
+    # and duplicate-correct (identical left rows share one id AND one
+    # match set, so they are excluded/emitted together — the semantics a
+    # left join requires).
+    out_cols = [c for c in matched.columns if c not in id_cols]
     unmatched = left.join(
-        matched.select([F.col(c) for c in left.columns]).distinct(),
-        on=left.columns, how="left_anti")
+        matched.select(*id_cols).distinct(), on=list(id_cols),
+        how="left_anti")
     for c in out_cols:
         if c not in left.columns:
             unmatched = unmatched.withColumn(
                 c, F.lit(None).cast(matched.schema[c].dataType))
-    return matched.unionByName(unmatched.select(out_cols))
+    return matched.select(out_cols).unionByName(unmatched.select(out_cols))
 
 
 def st_knn_join(left: DataFrame, right: DataFrame, k: int,
@@ -164,18 +236,28 @@ def st_knn_join(left: DataFrame, right: DataFrame, k: int,
     Output adds a ``distance`` and ``knn_rank`` column."""
     from pyspark.sql import Window
 
-    for reserved in ("distance", "knn_rank"):
+    for reserved in ("distance", "knn_rank", "__kid", "__kid2"):
         if reserved in left.columns or reserved in right.columns:
             raise ValueError(
                 f"st_knn_join: input already has a {reserved!r} column — "
                 "rename it (the join appends distance/knn_rank)")
-    cand = st_join(left, right, geom_left=geom_left, geom_right=geom_right,
+    # Rank-window partitions on a 16-byte deterministic content id, not
+    # on every left column — partitioning by the full row would hash the
+    # geometry WKB payload per candidate row.  Identical left rows share
+    # an id and therefore one top-k set, which is exactly the per-row
+    # result each copy would get (the shared window just computes it
+    # once; the k cutoff applies per matched pair, and duplicate copies
+    # contribute duplicate candidate pairs ranked together — dedup the
+    # left side first if copies should rank independently).
+    stamped = _stamp_row_id(left, "__kid", "__kid2")
+    cand = st_join(stamped, right, geom_left=geom_left,
+                   geom_right=geom_right,
                    predicate="dwithin", distance=float(max_distance),
                    grid_size=grid_size, rsuffix=rsuffix)
-    gr = geom_right + rsuffix if geom_right in left.columns else geom_right
+    gr = geom_right + rsuffix if geom_right in stamped.columns else geom_right
     dist = GF.st_distance(F.col(geom_left), F.col(gr))
-    w = Window.partitionBy(*[F.col(c) for c in left.columns]) \
-        .orderBy(dist.asc())
+    w = Window.partitionBy("__kid", "__kid2").orderBy(dist.asc())
     return (cand.withColumn("distance", dist)
             .withColumn("knn_rank", F.row_number().over(w))
-            .where(F.col("knn_rank") <= int(k)))
+            .where(F.col("knn_rank") <= int(k))
+            .drop("__kid", "__kid2"))
