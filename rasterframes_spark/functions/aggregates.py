@@ -502,7 +502,8 @@ def _agg_local_rank(df: DataFrame, tile_c, gcols: list, q: float) -> DataFrame:
 
 
 def agg_local(df: DataFrame, tile, which: str = "mean",
-              group_cols: list | None = None, q: float | None = None) -> DataFrame:
+              group_cols: list | None = None, q: float | None = None,
+              merge_partitions: int = 32) -> DataFrame:
     """Unified cell-wise (per-pixel) aggregate across rows.
 
     One API for both shapes (reference LocalStatsAggregate.scala:44-178 /
@@ -585,7 +586,7 @@ def agg_local(df: DataFrame, tile, which: str = "mean",
 
     out_schema = StructType(_out_tile_fields(which))
 
-    def final(iterator):
+    def _merge_rows(iterator):
         acc = None
         shape = None
         for pdf in iterator:
@@ -598,12 +599,39 @@ def agg_local(df: DataFrame, tile, which: str = "mean",
                         raise ValueError(
                             "local aggregates require uniform tile dimensions")
                     _merge_states(acc, st2)
+        return shape, acc
+
+    def merge_pass(iterator):
+        shape, acc = _merge_rows(iterator)
+        if acc is not None:
+            yield pd.DataFrame(_local_state_rows([(shape, acc)]))
+
+    def final(iterator):
+        _, acc = _merge_rows(iterator)
         if acc is not None:
             yield pd.DataFrame(
                 {n: [r] for n, r in _finished_columns(acc, which).items()})
 
-    return (src.mapInPandas(partial, schema=state_schema)
-            .repartition(1).mapInPandas(final, schema=out_schema))
+    # Tree combine like rf_agg_overview_raster (:773): one state row per
+    # input partition x up to 5 tile-sized buffers would funnel hundreds
+    # of GB through the single final task at 100k partitions — an extra
+    # merge pass bounds the final task's input to <= merge_partitions
+    # state rows.
+    partials = _local_agg_partials(
+        src.mapInPandas(partial, schema=state_schema),
+        src, merge_pass, state_schema, merge_partitions)
+    return partials.repartition(1).mapInPandas(final, schema=out_schema)
+
+
+def _local_agg_partials(partials: DataFrame, src: DataFrame, merge_pass,
+                        state_schema, merge_partitions: int) -> DataFrame:
+    """Partition states, tree-merged down to <= merge_partitions rows when
+    the source is wider than that (split out so tests can assert the bound
+    the final single task actually ingests)."""
+    if src.rdd.getNumPartitions() > merge_partitions:
+        partials = partials.repartition(merge_partitions).mapInPandas(
+            merge_pass, schema=state_schema)
+    return partials
 
 
 def _collect_single(df: DataFrame, which: str):
