@@ -99,6 +99,21 @@ def _windows(a: np.ma.MaskedArray, r: int):
     return np.lib.stride_tricks.sliding_window_view(padded, (2 * r + 1, 2 * r + 1))
 
 
+def _target_slot(buffer, target):
+    """Reference-signature compat (rasterfunctions.py rf_focal_* take
+    ``(tile, neighborhood, target)``): a string in the 3rd positional slot
+    is TARGET, not buffer.  Raises instead of silently discarding an
+    explicitly passed target kwarg when both are given."""
+    if isinstance(buffer, str):
+        if target != "all":
+            raise ValueError(
+                "focal op got a target in both the 3rd positional slot "
+                f"({buffer!r}) and the target= kwarg ({target!r}) — "
+                "pass one")
+        return 0, buffer
+    return buffer, target
+
+
 def _slice_core(ma: np.ma.MaskedArray, b: int) -> np.ma.MaskedArray:
     """Drop a ``b``-pixel halo, keeping the tile core (BufferTile semantics:
     the halo feeds the neighborhood but is not part of the output)."""
@@ -152,50 +167,35 @@ def rf_focal_mean(tile, neighborhood="square-1", buffer: int = 0,
     neighborhood consumes it, the output is the core tile — so focal values
     at tile seams match a whole-image computation
     (ref/RasterRef.scala:49-64, focalops/FocalNeighborhoodOp.scala:35-62)."""
-    if isinstance(buffer, str):
-        # reference-signature compat: rf_focal_*(tile, neighborhood,
-        # target) — the 3rd positional there is TARGET, not buffer
-        buffer, target = 0, buffer
+    buffer, target = _target_slot(buffer, target)
     return unary_tile_op(_focal(lambda w: np.nanmean(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
 def rf_focal_median(tile, neighborhood="square-1", buffer: int = 0,
                   target: str = "all") -> Column:
-    if isinstance(buffer, str):
-        # reference-signature compat: rf_focal_*(tile, neighborhood,
-        # target) — the 3rd positional there is TARGET, not buffer
-        buffer, target = 0, buffer
+    buffer, target = _target_slot(buffer, target)
     return unary_tile_op(_focal(lambda w: np.nanmedian(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
 def rf_focal_min(tile, neighborhood="square-1", buffer: int = 0,
                   target: str = "all") -> Column:
-    if isinstance(buffer, str):
-        # reference-signature compat: rf_focal_*(tile, neighborhood,
-        # target) — the 3rd positional there is TARGET, not buffer
-        buffer, target = 0, buffer
+    buffer, target = _target_slot(buffer, target)
     return unary_tile_op(_focal(lambda w: np.nanmin(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
 def rf_focal_max(tile, neighborhood="square-1", buffer: int = 0,
                   target: str = "all") -> Column:
-    if isinstance(buffer, str):
-        # reference-signature compat: rf_focal_*(tile, neighborhood,
-        # target) — the 3rd positional there is TARGET, not buffer
-        buffer, target = 0, buffer
+    buffer, target = _target_slot(buffer, target)
     return unary_tile_op(_focal(lambda w: np.nanmax(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
 
 def rf_focal_stddev(tile, neighborhood="square-1", buffer: int = 0,
                   target: str = "all") -> Column:
-    if isinstance(buffer, str):
-        # reference-signature compat: rf_focal_*(tile, neighborhood,
-        # target) — the 3rd positional there is TARGET, not buffer
-        buffer, target = 0, buffer
+    buffer, target = _target_slot(buffer, target)
     return unary_tile_op(_focal(lambda w: np.nanstd(w, axis=2), neighborhood, buffer, target),
                          out_ct="float64")(tile)
 
@@ -203,8 +203,7 @@ def rf_focal_stddev(tile, neighborhood="square-1", buffer: int = 0,
 def rf_focal_mode(tile, neighborhood="square-1", buffer: int = 0,
                   target: str = "all") -> Column:
     """Most frequent neighborhood value (FocalMode.scala)."""
-    if isinstance(buffer, str):
-        buffer, target = 0, buffer
+    buffer, target = _target_slot(buffer, target)
     r, fp = _footprint(neighborhood)
     b = int(buffer)
 
@@ -235,7 +234,11 @@ def rf_convolve(tile, kernel, buffer: int = 0,
                 target: str = "all") -> Column:
     """Kernel convolution (focalops/Convolve.scala:52-85). ``kernel`` is a
     2-D nested list / numpy array. NoData cells contribute 0 (GeoTrellis
-    Kernel convolve skips NoData); output NoData where input is NoData."""
+    Kernel convolve skips NoData). TargetCell semantics: with the default
+    ``target='all'`` every cell (including NoData centers) receives the
+    0-filled convolution value; ``target='data'`` keeps NoData centers
+    NoData; ``target='nodata'`` keeps data cells' input values and writes
+    the convolution only at NoData cells."""
     k = np.asarray(kernel, dtype="float64")
     kr, kc = k.shape[0] // 2, k.shape[1] // 2
     b = int(buffer)
@@ -256,10 +259,11 @@ def rf_focal_moransi(tile, neighborhood="square-1", buffer: int = 0,
     """Local Moran's I spatial autocorrelation (focalops/FocalMoransI.scala:53):
     I_i = z_i * mean(z_neighbors) / var(z), z = x - mean(x), neighbors
     exclude the center cell. With a halo, the global stats come from the
-    tile CORE (the halo only extends neighborhoods)."""
-    if isinstance(buffer, str):
-        buffer, target = 0, buffer
-    r = _radius(neighborhood)
+    tile CORE (the halo only extends neighborhoods). Honors the full
+    neighborhood grammar (circle/nesw/wedge/annulus footprints restrict
+    which neighbors contribute, like every other focal op)."""
+    buffer, target = _target_slot(buffer, target)
+    r, fp = _footprint(neighborhood)
     b = int(buffer)
 
     def fn(a):
@@ -270,6 +274,8 @@ def rf_focal_moransi(tile, neighborhood="square-1", buffer: int = 0,
                      np.asarray(a.data, dtype="float64") - float(mu))
         padded = np.pad(z, r, mode="constant", constant_values=np.nan)
         w = np.lib.stride_tricks.sliding_window_view(padded, (2 * r + 1, 2 * r + 1))
+        if fp is not None:
+            w = np.where(fp, w, np.nan)  # non-footprint neighbors drop out
         w = w.reshape(a.shape[0], a.shape[1], -1).copy()
         center = (2 * r + 1) * (2 * r + 1) // 2
         w[:, :, center] = np.nan  # exclude self

@@ -248,6 +248,15 @@ def raster_join(
     fan-in is known small). ``cache_inputs=False`` keeps the operator
     fully lazy (no persist) when the caller manages caching or inputs are
     already materialized tables.
+
+    Cache lifetime: the persisted stamped inputs stay alive as long as the
+    returned DataFrame may be recomputed (Spark evicts them LRU / spills
+    under memory pressure, and deterministic ids make eviction-triggered
+    recompute value-identical, so the leak is bounded — but repeated
+    raster_join calls in one long session accumulate). Release explicitly
+    with ``release_raster_join_cache(result)`` once the result is
+    materialized (written / collected / re-cached), or pass
+    ``cache_inputs=False``.
     """
     right_tiles = right_tiles or ["tile"]
 
@@ -392,7 +401,26 @@ def raster_join(
             for rt in right_tiles
         ],
     )
+    if cache_inputs:
+        # handles for release_raster_join_cache — a plain attribute on the
+        # result (no global registry to leak through)
+        merged._rf_cached_inputs = (L, R)
     return merged
+
+
+def release_raster_join_cache(result: DataFrame) -> bool:
+    """Unpersist the input frames a ``raster_join(..., cache_inputs=True)``
+    call persisted for ``result``.  Call after the result has been
+    materialized (written, collected, or cached itself); recomputing the
+    result afterwards is still correct (deterministic ids), just slower.
+    Returns True if there was a cache to release."""
+    cached = getattr(result, "_rf_cached_inputs", None)
+    if not cached:
+        return False
+    for df in cached:
+        df.unpersist()
+    result._rf_cached_inputs = None
+    return True
 
 
 def spatial_join(left: DataFrame, right: DataFrame,

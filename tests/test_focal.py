@@ -160,3 +160,43 @@ def test_focal_neighborhood_shapes(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         df.select(rf.rf_focal_mean("t", "blob-3").alias("r")).head()
+
+
+def test_target_slot_conflict_raises(spark, focal_df):
+    """A string in the 3rd positional slot (reference target signature)
+    combined with an explicit non-default target= kwarg must raise, not
+    silently discard the kwarg (ADVICE r5)."""
+    with pytest.raises(ValueError, match="both"):
+        rf.rf_focal_mean("tile", "square-1", "data", target="nodata")
+    # the compat slot alone still works
+    got = focal_df.select(
+        rf.rf_focal_mean("tile", "square-1", "data").alias("r")).head()["r"]
+    assert got is not None
+
+
+def test_moransi_honors_neighborhood_footprint(spark, focal_df):
+    """rf_focal_moransi with a nesw footprint must differ from the full
+    square (it previously parsed only the radius — ADVICE r5), and must
+    match a python oracle of the nesw neighbor mean."""
+    sq = focal_df.select(rf.rf_focal_moransi("tile", "square-1").alias("r")).head()["r"]
+    ne = focal_df.select(rf.rf_focal_moransi("tile", "nesw-1").alias("r")).head()["r"]
+
+    def cells(row):
+        return np.frombuffer(row["cells"], dtype="float64").reshape(5, 5)
+
+    a_sq, a_ne = cells(sq), cells(ne)
+    assert not np.allclose(a_sq, a_ne)
+
+    arr = np.arange(25, dtype="float64").reshape(5, 5)
+    z = arr - arr.mean()
+    var = arr.var()
+    exp = np.zeros((5, 5))
+    for i in range(5):
+        for j in range(5):
+            vals = []
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):  # nesw, no center
+                y, x = i + dy, j + dx
+                if 0 <= y < 5 and 0 <= x < 5:
+                    vals.append(z[y, x])
+            exp[i, j] = z[i, j] * np.mean(vals) / var
+    np.testing.assert_allclose(a_ne, exp, rtol=1e-12)

@@ -163,3 +163,22 @@ def test_zonal_stats_operator(spark):
         assert abs(r["mean"] - arr[m].mean()) < 1e-9
         assert r["data_cells"] == int(m.sum())
         assert r["min"] == arr[m].min() and r["max"] == arr[m].max()
+
+
+def test_release_raster_join_cache(spark, left_df):
+    """cache_inputs=True persists stamped inputs; the release helper
+    unpersists them (ADVICE r5: no silent accumulation across calls)."""
+    from rasterframes_spark.operators import release_raster_join_cache
+
+    t = Tile(np.full((8, 8), 7.0), "float64")
+    right = spark.createDataFrame([row(0, t, ext(0, 0, 8, 8))], schema=SCHEMA)
+    out = raster_join(left_df, right)
+    out.count()
+    cached = out._rf_cached_inputs
+    assert cached and all(df.storageLevel.useMemory for df in cached)
+    assert release_raster_join_cache(out) is True
+    assert all(not df.storageLevel.useMemory for df in cached)
+    assert release_raster_join_cache(out) is False  # idempotent
+    # lazy mode never stamps the attribute
+    lazy = raster_join(left_df, right, cache_inputs=False)
+    assert getattr(lazy, "_rf_cached_inputs", None) is None
