@@ -726,36 +726,75 @@ def _q_zonal_stats(spark, sf_dir):
         F.col("pts_n").cast("long").alias("pts_n"))
 
 
-def _q_slope(spark, sf_dir):
-    """Horn's-method slope (focalops/Slope.scala:51-89) on a unit grid vs a
-    closed-form SQL oracle: 8 clamped-neighbor self-joins reproduce the
-    edge-replicated 3x3 gradients; inner joins drop exactly the cells the
-    kernel masks (center or any used neighbor NoData)."""
+def _q_dem_composite(spark, sf_dir):
+    """Horn's-method DEM derivatives in ONE pass — rf_slope
+    (focalops/Slope.scala:51-89), rf_aspect (Aspect.scala:49-83, degrees
+    CW from north, flat -> 0) and rf_hillshade (Hillshade.scala:54-103)
+    over the same unit grid, vs one closed-form SQL oracle: 8
+    clamped-neighbor self-joins reproduce the edge-replicated 3x3
+    gradients; inner joins drop exactly the cells the kernel masks.
+    (Merged from the separate slope/aspect/hillshade r5 queries to free
+    oracle slots; same CTE base, three result columns.)"""
     t = _tiles_df(spark, sf_dir)
     t = t.withColumn("extent", F.struct(
         F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
         F.lit(float(TILE_COLS)).alias("xmax"), F.lit(float(TILE_ROWS)).alias("ymax")))
-    s = t.select("grp", rf.rf_slope("qty", "extent", target="data").alias("slope_t"))
-    ex = rf.explode_tiles(s, ["slope_t"], keep_cols=["grp"])
+    s = t.select(
+        "grp",
+        rf.rf_slope("qty", "extent", target="data").alias("slope_t"),
+        rf.rf_aspect("qty", "extent", target="data").alias("asp_t"),
+        rf.rf_hillshade("qty", "extent", target="data").alias("hs_t"))
+    ex = rf.explode_tiles(s, ["slope_t", "asp_t", "hs_t"], keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
         _r0("slope_t", 6).alias("slope_v"),
-    ).where(F.col("slope_v").isNotNull())
+        _r0("asp_t", 6).alias("aspect_v"),
+        F.col("hs_t").cast("long").alias("shade"),
+    ).where(F.col("slope_v").isNotNull() & F.col("aspect_v").isNotNull()
+            & F.col("shade").isNotNull())
 
 
-def _q_hillshade(spark, sf_dir):
-    """rf_hillshade (focalops/Hillshade.scala:54-103, 5-ary op) vs the same
-    clamped-neighbor SQL gradients + full trig chain in DuckDB."""
+def _q_knn_dwithin(spark, sf_dir):
+    """st_knn_join (operators/vector_join.py): bounded-radius KNN through
+    the dwithin grid-bucket equi-join + per-left rank window, vs a DuckDB
+    least-distance rank oracle. Output carries (query id, rank, rounded
+    distance) — rank ties share a distance value, so the compare is
+    order-insensitive-deterministic."""
+    from rasterframes_spark.operators import st_knn_join
+
+    cells = _cells_df(spark, sf_dir)
+    px = (F.col("grp") % 8) * 16.0 + F.col("ci") + 0.5
+    py = (F.col("grp") / 8).cast("int") * 16.0 + 16.0 - (F.col("ri") + 0.5)
+    pts = cells.select(rf.st_point(px, py).alias("geometry"))
+    qx = (F.col("grp") % 8) * 16.0 + 8.0
+    qy = (F.col("grp") / 8).cast("int") * 16.0 + 8.0
+    queries_df = (cells.select("grp").distinct()
+                  .select(F.col("grp").alias("qid"),
+                          rf.st_point(qx, qy).alias("geometry")))
+    kj = st_knn_join(queries_df, pts, k=4, max_distance=2.5, grid_size=16.0)
+    return kj.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        _r0("distance", 6).alias("dist_v"))
+
+
+def _q_focal_targets(spark, sf_dir):
+    """GeoTrellis TargetCell semantics on rf_focal_mean
+    (util/package.scala:275-283): target='all' gap-fills NoData centers
+    from their neighborhood; target='nodata' keeps data cells' input
+    values and computes only at NoData cells. The r5 gate pinned only
+    target='data'; this pins the other two modes cell-by-cell."""
     t = _tiles_df(spark, sf_dir)
-    t = t.withColumn("extent", F.struct(
-        F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
-        F.lit(float(TILE_COLS)).alias("xmax"), F.lit(float(TILE_ROWS)).alias("ymax")))
-    s = t.select("grp", rf.rf_hillshade("qty", "extent", target="data").alias("hs_t"))
-    ex = rf.explode_tiles(s, ["hs_t"], keep_cols=["grp"])
+    s = t.select(
+        "grp",
+        rf.rf_focal_mean("qty", "square-1", "all").alias("fa"),
+        rf.rf_focal_mean("qty", "square-1", target="nodata").alias("fn"))
+    ex = rf.explode_tiles(s, ["fa", "fn"], keep_cols=["grp"])
     return ex.select(
         "grp", "column_index", "row_index",
-        F.col("hs_t").cast("long").alias("shade"),
-    ).where(F.col("shade").isNotNull())
+        _r0("fa", 6).alias("v_all"),
+        _r0("fn", 6).alias("v_nodata"),
+    ).where(F.col("v_all").isNotNull())
 
 
 def _q_streaming_sessions(spark, sf_dir):
@@ -901,22 +940,94 @@ def _q_text_metrics(spark, sf_dir):
     )
 
 
-def _q_lang_id(spark, sf_dir):
+def _q_text_quality(spark, sf_dir):
+    """language_id + quality_score (pipeline/text.py) in one
+    family-keyed query — merged from the separate r5 lang_id /
+    quality_score slots to free oracle-window room."""
     from rasterframes_spark import pipeline as P
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        docs.select(P.language_id("text").alias("lang_pred"))
-        .groupBy("lang_pred")
-        .agg(F.count("*").alias("n"))
-    )
+    lang = (docs.select(P.language_id("text").alias("lang_pred"))
+            .groupBy("lang_pred")
+            .agg(F.count("*").cast("double").alias("val"))
+            .select(F.lit("lang").alias("family"),
+                    F.col("lang_pred").alias("key"), "val"))
+    qual = docs.select(
+        F.lit("q").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        _r0(P.quality_score("text"), 6).alias("val"))
+    return lang.unionByName(qual)
 
 
-def _q_quality_score(spark, sf_dir):
-    from rasterframes_spark import pipeline as P
+def _q_render_ramp(spark, sf_dir):
+    """rf_render_color_ramp_png (functions/proj_raster.py, reference
+    transformers/RenderPNG.scala:47-81): tile -> per-tile min/max
+    normalization -> 256-entry interpolated viridis LUT -> PNG bytes,
+    decoded back by the pure-python PNG codec into per-pixel RGB rows.
+    The DuckDB oracle recomputes the normalization, uint8 quantization
+    and anchor interpolation independently (same anchor constants,
+    different implementation), pinning the whole ramp+render+decode
+    pipeline cell-by-cell."""
+    import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", _r0(P.quality_score("text"), 6).alias("quality"))
+    t = _tiles_df(spark, sf_dir)
+    png = t.select("grp", rf.rf_render_color_ramp_png("qty", "viridis").alias("png"))
+
+    def dec(batches):
+        from rasterframes_spark.sources.png import decode_png
+
+        for pdf in batches:
+            out = {"grp": [], "column_index": [], "row_index": [],
+                   "r": [], "g": [], "b": []}
+            for grp, data in zip(pdf["grp"], pdf["png"]):
+                arr = decode_png(bytes(data))
+                h, w = arr.shape[0], arr.shape[1]
+                for ri in range(h):
+                    for ci in range(w):
+                        out["grp"].append(int(grp))
+                        out["column_index"].append(ci)
+                        out["row_index"].append(ri)
+                        out["r"].append(int(arr[ri, ci, 0]))
+                        out["g"].append(int(arr[ri, ci, 1]))
+                        out["b"].append(int(arr[ri, ci, 2]))
+            yield pd.DataFrame(out)
+
+    return png.mapInPandas(
+        dec, schema="grp int, column_index int, row_index int, "
+                    "r long, g long, b long")
+
+
+# viridis anchors (shared ramp definition, mirrored into the oracle SQL —
+# the oracle interpolates them independently of _ramp_lut)
+_VIRIDIS_ANCHORS = [(68, 1, 84), (70, 50, 127), (54, 92, 141), (39, 127, 142),
+                    (31, 161, 135), (74, 194, 109), (159, 218, 58),
+                    (253, 231, 37)]
+
+
+def _viridis_lut_cte() -> str:
+    """SQL CTEs computing the 256-entry viridis LUT from the anchor
+    constants: segment k covers [k*(255/7), (k+1)*(255/7)) (endpoint
+    forced to 255), value = y0 + (y1-y0)/(x1-x0)*(i-x0), truncated to
+    uint8 — bit-parity with numpy.interp verified for these anchors."""
+    anchors = ", ".join(f"({k}, {r}, {g}, {b})"
+                        for k, (r, g, b) in enumerate(_VIRIDIS_ANCHORS))
+    return f"""
+            , anchors(k, ar, ag, ab) as (values {anchors})
+            , seg as (
+              select k, k * (255.0/7.0) as x0,
+                     case when k = 6 then 255.0
+                          else (k+1) * (255.0/7.0) end as x1
+              from (select unnest(range(7)) as k)
+            ), lut as (
+              select i,
+                cast(trunc(a0.ar + (a1.ar - a0.ar)/(s.x1 - s.x0)*(i - s.x0)) as bigint) as lr,
+                cast(trunc(a0.ag + (a1.ag - a0.ag)/(s.x1 - s.x0)*(i - s.x0)) as bigint) as lg,
+                cast(trunc(a0.ab + (a1.ab - a0.ab)/(s.x1 - s.x0)*(i - s.x0)) as bigint) as lb
+              from (select unnest(range(256)) as i)
+              join seg s on i >= s.x0 and (i < s.x1 or (s.k = 6 and i = 255))
+              join anchors a0 on a0.k = s.k
+              join anchors a1 on a1.k = s.k + 1
+            )"""
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -1324,7 +1435,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new or changed this round ------------------------------------
         "curation": _q_curation,
-        "aspect": _q_aspect,
+        "dem_composite": _q_dem_composite,
+        "knn_dwithin": _q_knn_dwithin,
+        "focal_targets": _q_focal_targets,
+        "render_ramp": _q_render_ramp,
         "focal_stats": _q_focal_stats,
         "convolve": _q_convolve,
         "moransi": _q_moransi,
@@ -1365,14 +1479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk": _q_events_topk,
         "lsh_ann": _q_lsh_ann,
         "zonal_stats": _q_zonal_stats,
-        "slope": _q_slope,
-        "hillshade": _q_hillshade,
         "streaming_sessions": _q_streaming_sessions,
         "agg_extent": _q_agg_extent,
         "audio_features": _q_audio_features,
         "text_metrics": _q_text_metrics,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
+        "text_quality": _q_text_quality,
         "ngram_jaccard": _q_ngram_jaccard,
     }
 
@@ -1718,17 +1829,99 @@ def oracle_sql() -> dict[str, str]:
             from pts p join z
               on p.px > z.x0 and p.px < z.x1 and p.py > z.y0 and p.py < z.y1
             group by z.zone_id""",
-        "slope": C + _HORN_CTE + """
+        "dem_composite": C + _HORN_CTE + """
+            , hs as (
+              select grp, ci, ri, gx, gy,
+                     sin(radians(45.0)) * cos(atan(sqrt(gx*gx + gy*gy)))
+                     + cos(radians(45.0)) * sin(atan(sqrt(gx*gx + gy*gy)))
+                       * cos(radians(360.0 - 315.0 + 90.0) - atan2(gy, -gx)) as shaded
+              from g
+            )
             select grp, ci as column_index, ri as row_index,
-                   round(degrees(atan(sqrt(gx*gx + gy*gy))), 6) + 0.0 as slope_v
-            from g""",
-        "aspect": C + _HORN_CTE + """
-            select grp, ci as column_index, ri as row_index,
+                   round(degrees(atan(sqrt(gx*gx + gy*gy))), 6) + 0.0 as slope_v,
                    round(case when gx = 0 and gy = 0 then 0.0
                          else fmod(fmod(90.0 - degrees(atan2(gy, -gx)), 360.0)
                                    + 360.0, 360.0)
-                         end, 6) + 0.0 as aspect_v
-            from g""",
+                         end, 6) + 0.0 as aspect_v,
+                   cast(least(greatest(round(255.0 * shaded), 0.0), 255.0) as bigint) as shade
+            from hs""",
+        "knn_dwithin": C + """
+            , q as (
+              select grp as qid,
+                     cast(grp % 8 as double) * 16.0 + 8.0 as qx,
+                     cast(grp // 8 as double) * 16.0 + 8.0 as qy
+              from (select distinct grp from cells)
+            ), p as (
+              select cast(grp % 8 as double) * 16.0 + ci + 0.5 as px,
+                     cast(grp // 8 as double) * 16.0 + 16.0 - (ri + 0.5) as py
+              from cells
+            ), d as (
+              select q.qid,
+                     sqrt((p.px - q.qx)*(p.px - q.qx)
+                          + (p.py - q.qy)*(p.py - q.qy)) as dist
+              from q cross join p
+            ), r as (
+              select qid, dist,
+                     row_number() over (partition by qid order by dist) as rk
+              from d where dist <= 2.5
+            )
+            select cast(qid as bigint) as qid, cast(rk as bigint) as knn_rank,
+                   round(dist, 6) + 0.0 as dist_v
+            from r where rk <= 4""",
+        "focal_targets": C + f"""
+            , grps as (select distinct grp from cells)
+            , grid as (
+              select g.grp, x.ci, y.ri
+              from grps g,
+                   (select unnest(range({TILE_COLS})) as ci) x,
+                   (select unnest(range({TILE_ROWS})) as ri) y
+            ), gcells as (
+              select gr.grp, gr.ci, gr.ri, c.qty
+              from grid gr left join cells c
+                on c.grp = gr.grp and c.ci = gr.ci and c.ri = gr.ri
+            ), nb as (
+              select a.grp, a.ci, a.ri, b.qty as v
+              from gcells a join gcells b
+                on a.grp = b.grp and abs(a.ci - b.ci) <= 1
+                   and abs(a.ri - b.ri) <= 1
+            ), fm as (
+              select grp, ci, ri, avg(v) as m, count(v) as nv
+              from nb group by 1, 2, 3
+            )
+            select g.grp, g.ci as column_index, g.ri as row_index,
+                   round(fm.m, 6) + 0.0 as v_all,
+                   round(coalesce(g.qty, fm.m), 6) + 0.0 as v_nodata
+            from gcells g
+            join fm on fm.grp = g.grp and fm.ci = g.ci and fm.ri = g.ri
+            where fm.nv > 0""",
+        "render_ramp": C + _viridis_lut_cte() + f"""
+            , grps as (select distinct grp from cells)
+            , grid as (
+              select g.grp, x.ci, y.ri
+              from grps g,
+                   (select unnest(range({TILE_COLS})) as ci) x,
+                   (select unnest(range({TILE_ROWS})) as ri) y
+            ), gcells as (
+              select gr.grp, gr.ci, gr.ri, c.qty
+              from grid gr left join cells c
+                on c.grp = gr.grp and c.ci = gr.ci and c.ri = gr.ri
+            ), ext as (
+              select grp, min(qty) as lo, max(qty) as hi
+              from cells group by grp
+            ), pix as (
+              select gc.grp, gc.ci, gc.ri,
+                     case when gc.qty is null then 0
+                          else cast(trunc(least(greatest(
+                            (gc.qty - e.lo)
+                            / (case when e.hi = e.lo then 1.0
+                                    else e.hi - e.lo end) * 255.0,
+                            0.0), 255.0)) as bigint)
+                     end as i
+              from gcells gc join ext e on e.grp = gc.grp
+            )
+            select pix.grp, pix.ci as column_index, pix.ri as row_index,
+                   l.lr as r, l.lg as g, l.lb as b
+            from pix join lut l on l.i = pix.i""",
         "focal_stats": C + """
             , nb as (
               select a.grp, a.ci, a.ri, b.qty as v
@@ -1787,17 +1980,6 @@ def oracle_sql() -> dict[str, str]:
               on a.grp = b.grp and abs(a.ci - b.ci) <= 1
                  and abs(a.ri - b.ri) <= 1
             group by a.grp, a.ci, a.ri""",
-        "hillshade": C + _HORN_CTE + """
-            , hs as (
-              select grp, ci, ri,
-                     sin(radians(45.0)) * cos(atan(sqrt(gx*gx + gy*gy)))
-                     + cos(radians(45.0)) * sin(atan(sqrt(gx*gx + gy*gy)))
-                       * cos(radians(360.0 - 315.0 + 90.0) - atan2(gy, -gx)) as shaded
-              from g
-            )
-            select grp, ci as column_index, ri as row_index,
-                   cast(least(greatest(round(255.0 * shaded), 0.0), 255.0) as bigint) as shade
-            from hs""",
         "streaming_sessions": """
             with e as (
               select user_id, cast(floor(epoch(ts)) as bigint) as t, value
@@ -1876,19 +2058,25 @@ def oracle_sql() -> dict[str, str]:
                                       c -> cast(ascii(c) as bigint))),
                      (a, b) -> (a*31 + b) % 2147483647) as fingerprint
             from documents""",
-        "lang_id": _lang_id_oracle(),
-        "quality_score": """
-            with m as (
+        "text_quality": f"""
+            select 'lang' as family, lang_pred as key,
+                   cast(n as double) as val
+            from ({_lang_id_oracle()})
+            union all
+            select 'q' as family, cast(doc_id as varchar) as key, quality as val
+            from (
+              with m as (
+                select doc_id,
+                       cast(len(string_split(text,' ')) as double) as t,
+                       len(list_distinct(string_split(text,' ')))*1.0
+                         / len(string_split(text,' ')) as dr,
+                       length(regexp_extract_all(text, '[^\\w\\s]'))*1.0
+                         / greatest(length(text), 1) as pr
+                from documents)
               select doc_id,
-                     cast(len(string_split(text,' ')) as double) as t,
-                     len(list_distinct(string_split(text,' ')))*1.0
-                       / len(string_split(text,' ')) as dr,
-                     length(regexp_extract_all(text, '[^\\w\\s]'))*1.0
-                       / greatest(length(text), 1) as pr
-              from documents)
-            select doc_id,
-                   round(0.4*least(t/64.0, 1.0) + 0.4*dr + 0.2*(1.0 - pr), 6) + 0.0 as quality
-            from m""",
+                     round(0.4*least(t/64.0, 1.0) + 0.4*dr + 0.2*(1.0 - pr), 6) + 0.0 as quality
+              from m
+            )""",
         "curation": """
             with newdocs as (select * from documents where doc_id % 2 = 0),
             refdocs as (select * from documents where doc_id % 3 = 0),
