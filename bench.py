@@ -139,10 +139,22 @@ def main():
     run("baseline_local_add_100x64", lambda: force(
         t100s.select(rf.rf_local_add("tile", 5).alias("r"))), repeat=7)
 
+    # 10x rows/task at the SAME shape: the 100x64 cell is ~100% fixed
+    # per-stage harness cost (kernel-minus-floor ~ 0); this cell shows
+    # that cost amortizing — per-tile work scales linearly while the
+    # floor stays flat, which is the 100 TB posture (thousands of tiles
+    # per task, not 100). Compare against 10x the reference's 60 ms
+    # BinaryTileOpBench budget.
+    t1000s = tile_df(1000, 64).cache()
+    t1000s.count()
+    run("baseline_local_add_10x_1000x64", lambda: force(
+        t1000s.select(rf.rf_local_add("tile", 5).alias("r"))), repeat=7)
+
     # earlier sections' caches are dead weight from here on — release them
     # so the 6.5M-row assemble shuffle isn't benched under GC pressure
     t400.unpersist()
     t100s.unpersist()
+    t1000s.unpersist()
 
     # explode 100 x 256^2 (ref: 217-413 ms); assemble back (ref: 100-381 ms)
     t100b = tile_df(100, 256).cache()
@@ -226,6 +238,11 @@ def main():
             timings["baseline_explode_100x256"] - floor, 3),
         "assemble_minus_floor": round(
             timings["baseline_assemble_100x256"] - floor, 3),
+        # ratio vs 10x the reference's 60 ms BinaryTileOpBench budget —
+        # the equal-per-row-work comparison the 100x64 cell can't make
+        # because it is ~100% fixed cost
+        "local_add_10x_vs_10x_baseline": round(
+            timings["baseline_local_add_10x_1000x64"] / 0.600, 3),
     }
     print(json.dumps({
         "metric": "headline_suite_total",
