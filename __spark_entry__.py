@@ -1118,8 +1118,25 @@ def _q_curation(spark, sf_dir):
                 * F.greatest(F.length("text"), F.lit(1)))
         .cast("long").alias("val"))
 
+    # exact-substring (repeated-span) dedup family (pipeline/dedup.py
+    # token_gram_hashes / flag_repeated_spans): docs sharing any 12-token
+    # gram with another doc; the oracle mirrors the gram scheme with
+    # plain strings instead of xxhash64 fingerprints
+    sub = (P.flag_repeated_spans(docs, n=12)
+           .where(F.col("has_repeated_span"))
+           .select(F.lit("substr_flag").alias("family"),
+                   F.col("doc_id").cast("string").alias("key"),
+                   F.lit(1).cast("long").alias("val")))
+    # pair-level view, boilerplate-capped: shared-gram counts per pair
+    sp = (P.exact_substring_pairs(docs, n=12, max_docs_per_gram=8)
+          .select(F.lit("substr_pairs").alias("family"),
+                  F.concat_ws("-", F.col("id_a").cast("string"),
+                              F.col("id_b").cast("string")).alias("key"),
+                  F.col("shared_grams").cast("long").alias("val")))
+
     out = kept
-    for part in (srcd, dec, pii_em, pii_ip, urld, rep_extra, rep_top2):
+    for part in (srcd, dec, pii_em, pii_ip, urld, rep_extra, rep_top2,
+                 sub, sp):
         out = out.unionByName(part)
     return out
 
@@ -2097,6 +2114,15 @@ def oracle_sql() -> dict[str, str]:
               from toks where len(t) >= 13
             ),
             hits as (select distinct grams.doc_id from grams join bench using (g)),
+            sub_grams as (
+              select distinct doc_id, g from (
+                select doc_id,
+                       unnest(list_transform(range(1, len(t) - 10),
+                              i -> array_to_string(t[i:i+11], ' '))) as g
+                from (select doc_id, string_split(text, ' ') as t
+                      from documents)
+                where len(t) >= 12)
+            ),
             rep_toks as (
               select doc_id,
                      unnest(list_filter(string_split(text, ' '),
@@ -2159,7 +2185,25 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(t.val, cast(0 as bigint))
             from (select doc_id from documents where doc_id < 200) d
             left join (select doc_id, val from rep_top where rn = 1) t
-              using (doc_id)""",
+              using (doc_id)
+            union all
+            select 'substr_flag', cast(doc_id as varchar),
+                   cast(1 as bigint)
+            from (select distinct sg.doc_id
+                  from sub_grams sg
+                  join (select g from sub_grams group by g
+                        having count(*) >= 2) hotg using (g))
+            union all
+            select 'substr_pairs',
+                   cast(a.doc_id as varchar) || '-'
+                     || cast(b.doc_id as varchar),
+                   cast(count(*) as bigint)
+            from (select g from sub_grams group by g
+                  having count(*) between 2 and 8) okg
+            join sub_grams a using (g)
+            join sub_grams b using (g)
+            where a.doc_id < b.doc_id
+            group by a.doc_id, b.doc_id""",
         "ngram_jaccard": """
             with t as (
               select doc_id, lang, source,

@@ -30,6 +30,8 @@ __all__ = [
     "minhash_dedup_pairs", "text_jaccard",
     "simhash", "simhash_near_pairs", "ngram_jaccard_pairs",
     "embedding_neardup_pairs", "dedup_clusters",
+    "token_gram_hashes", "flag_repeated_spans",
+    "exact_substring_pairs",
 ]
 
 # 31-bit Mersenne prime: (a*x + b) with a,x,b < 2^31 fits in int64, so the
@@ -597,3 +599,101 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     return labels.select(F.col("src").alias(id_a.replace("_a", "")
                                             if id_a.endswith("_a") else "id"),
                          F.col("comp").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (repeated-span) dedup — token-aligned n-grams + winnowing
+# ---------------------------------------------------------------------------
+
+
+def token_gram_hashes(text_col, n: int = 50,
+                      winnow_stride: int = 1) -> Column:
+    """Distinct xxhash64 fingerprints of word ``n``-grams, optionally
+    thinned by robust winnowing — the exact-substring dedup signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), word-aligned so selection is CONTENT-defined: two documents
+    sharing a span land on identical grams regardless of where the span
+    sits in each document (a position-strided char sampler misses
+    off-alignment repeats).
+
+    ``winnow_stride`` s > 1 keeps, for every run of s consecutive gram
+    hashes, only the minimum (standard winnowing): expected output is
+    ~2/s of the grams, with the DETERMINISTIC guarantee that any shared
+    word-aligned span of at least ``n + s - 1`` tokens selects at least
+    one common fingerprint in both documents (a full s-window of shared
+    grams lies inside the run in both; its min is selected in both).
+    Pure codegen (split/sequence/transform/slice/array_min), no Python.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    s = int(winnow_stride)
+    if s <= 1:
+        return F.array_distinct(grams)
+    return F.array_distinct(F.when(
+        F.size(grams) >= s,
+        F.transform(
+            F.sequence(F.lit(1), F.size(grams) - (s - 1)),
+            lambda j: F.array_min(F.slice(grams, j, s)),
+        ),
+    ).otherwise(grams))  # fewer than s grams: keep them all (short docs)
+
+
+def flag_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 50,
+                        winnow_stride: int = 1,
+                        min_docs: int = 2) -> DataFrame:
+    """Append ``has_repeated_span``: does this document share a word
+    ``n``-gram fingerprint (winnowed per :func:`token_gram_hashes`) with
+    at least ``min_docs - 1`` OTHER documents?  Linear cost: explode to
+    (id, gram-hash), count distinct docs per hash, semi-join the flagged
+    hashes back — one shuffle keyed on the 8-byte hash, documents never
+    shuffle, and no pair enumeration (boilerplate shared by millions of
+    docs costs its bucket count, not its pair count)."""
+    wh = token_gram_hashes(text_col, n, winnow_stride)
+    fp = (docs.select(F.col(id_col).alias("__id"), F.explode(wh).alias("__w"))
+          .distinct())
+    hot = (fp.groupBy("__w").agg(F.count("*").alias("__n"))
+           .where(F.col("__n") >= int(min_docs)))
+    hits = (fp.join(hot, "__w", "left_semi")
+            .select("__id").distinct()
+            .withColumn("__hit", F.lit(True)))
+    return (docs.join(hits, docs[id_col] == hits["__id"], "left")
+            .withColumn("has_repeated_span",
+                        F.coalesce(F.col("__hit"), F.lit(False)))
+            .drop("__id", "__hit"))
+
+
+def exact_substring_pairs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 50,
+                          winnow_stride: int = 1,
+                          max_docs_per_gram: int = 64) -> DataFrame:
+    """(id_a, id_b, shared_grams) for document pairs sharing word
+    ``n``-gram fingerprints — the pair-level view of
+    :func:`flag_repeated_spans` for dedup decisions that need the
+    counterpart, not just a flag.
+
+    Grams held by more than ``max_docs_per_gram`` documents are dropped
+    before pairing (a boilerplate gram shared by N docs would otherwise
+    enumerate N^2/2 pairs — the same hot-bucket posture as the MinHash
+    LSH join); the flag operator above still reports such docs."""
+    wh = token_gram_hashes(text_col, n, winnow_stride)
+    fp = (docs.select(F.col(id_col).alias("__id"), F.explode(wh).alias("__w"))
+          .distinct())
+    ok = (fp.groupBy("__w").agg(F.count("*").alias("__n"))
+          .where((F.col("__n") >= 2)
+                 & (F.col("__n") <= int(max_docs_per_gram)))
+          .select("__w"))
+    fp2 = fp.join(ok, "__w", "left_semi")
+    a, b = fp2.alias("a"), fp2.alias("b")
+    return (a.join(b, (F.col("a.__w") == F.col("b.__w"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+            .groupBy(F.col("a.__id").alias("id_a"),
+                     F.col("b.__id").alias("id_b"))
+            .agg(F.count("*").alias("shared_grams")))

@@ -635,3 +635,76 @@ def test_resize_image_bilinear(spark):
     np.testing.assert_array_equal(got_n, arr[::2, ::2])
     with pytest.raises(ValueError):
         P.resize_image(df, 3, 3, method="lanczos")
+
+
+def test_exact_substring_dedup(spark):
+    """Token-aligned exact-substring dedup: planted shared spans of
+    >= n tokens are found regardless of position (word alignment is
+    content-defined); a python oracle over the same gram scheme pins
+    exact semantics; winnowing keeps the deterministic >= n+s-1-token
+    guarantee with ~2/s of the fingerprints; hot boilerplate grams cap
+    pair enumeration but still flag."""
+    import random
+
+    rng = random.Random(9)
+    N = 8  # gram length in tokens
+
+    def rand_text(k):
+        return " ".join(rng.choice("abcdefghij") + str(rng.randrange(100))
+                        for _ in range(k))
+
+    span = rand_text(N + 3)       # > N tokens: guaranteed detectable
+    boiler = rand_text(N)         # hot gram shared by MANY docs
+    rows = []
+    for i in range(20):
+        rows.append((i, rand_text(30)))                        # unique
+    rows.append((100, rand_text(7) + " " + span + " " + rand_text(9)))
+    rows.append((101, rand_text(13) + " " + span + " " + rand_text(3)))
+    for i in range(10):                                        # boilerplate
+        rows.append((200 + i, boiler + " " + rand_text(12)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    flagged = {r["doc_id"]: r["has_repeated_span"]
+               for r in P.flag_repeated_spans(docs, n=N).collect()}
+
+    # python oracle: same token grams, string equality instead of hashes
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + N])
+                for i in range(len(toks) - N + 1)} if len(toks) >= N else set()
+
+    from collections import Counter
+    cnt = Counter()
+    per_doc = {i: grams(t) for i, t in rows}
+    for gs in per_doc.values():
+        cnt.update(gs)
+    expect = {i: any(cnt[g] >= 2 for g in gs) for i, gs in per_doc.items()}
+    assert flagged == expect
+    assert flagged[100] and flagged[101]             # planted pair found
+    assert all(flagged[200 + i] for i in range(10))  # boilerplate flagged
+
+    pairs = {(r["id_a"], r["id_b"]): r["shared_grams"]
+             for r in P.exact_substring_pairs(
+                 docs, n=N, max_docs_per_gram=4).collect()}
+    assert (100, 101) in pairs and pairs[(100, 101)] >= 1
+    # the 10-doc boilerplate gram exceeds max_docs_per_gram=4:
+    # no pair enumeration from it
+    assert not any(a >= 200 and b >= 200 for a, b in pairs)
+
+    # winnowing: span is longer than N + s - 1 tokens for s=3, so the
+    # planted pair must STILL be found with ~1/3 of the fingerprints
+    wf = {r["doc_id"]: r["has_repeated_span"]
+          for r in P.flag_repeated_spans(docs, n=N, winnow_stride=3)
+          .collect()}
+    assert wf[100] and wf[101]
+    # winnowed selection is a subset: nothing unflagged becomes flagged
+    assert all(flagged[i] for i, v in wf.items() if v)
+    import pyspark.sql.functions as SF
+    full = docs.select(SF.explode(
+        P.token_gram_hashes("text", N)).alias("h"))
+    thin = docs.select(SF.explode(
+        P.token_gram_hashes("text", N, winnow_stride=3)).alias("h"))
+    n_full, n_thin = full.count(), thin.count()
+    assert n_thin < n_full  # actually thinner
+    assert set(r["h"] for r in thin.collect()) <= \
+        set(r["h"] for r in full.collect())
