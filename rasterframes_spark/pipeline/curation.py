@@ -30,6 +30,7 @@ __all__ = [
     "doc_digest", "dedup_against_exact", "dedup_against_minhash",
     "decontaminate", "sample_mixture", "pack_documents",
     "split_dataset", "shuffle_deterministic", "chunk_documents",
+    "write_shards",
 ]
 
 
@@ -303,3 +304,37 @@ def chunk_documents(df: DataFrame, max_tokens: int, stride: int | None = None,
     ct = F.size(F.split(F.col(text_col), r"\s+"))
     return (out.withColumn("chunk_tokens", ct.cast("int"))
             .where(F.col("chunk_tokens") >= int(drop_shorter_than)))
+
+
+def write_shards(df: DataFrame, path: str, num_shards: int,
+                 id_col: str = "doc_id", seed: int = 42,
+                 fmt: str = "parquet", order_within_shard: bool = True,
+                 mode: str = "overwrite") -> str:
+    """Deterministic sharded export — the delivery step of a training-data
+    pipeline: every row lands in shard ``xxhash64(id, seed) % num_shards``,
+    STABLE across runs, cluster sizes, AQE re-plans and input layouts
+    (``repartition(n)`` round-robin is none of those). One output file
+    per shard directory (``__shard=K/part-*``), and with
+    ``order_within_shard`` the rows inside each shard follow a seeded
+    hash order — so shard K of run 2 is byte-for-byte the same data as
+    shard K of run 1, which is what makes resumable multi-epoch training
+    and shard-level debugging possible.
+
+    Plan: one hash-partitioned shuffle on the 4-byte shard id (each
+    shard id maps to exactly one task, so each directory gets exactly
+    one file), optional in-partition sort, ``partitionBy`` write. ``fmt``:
+    'parquet' | 'json' (newline-delimited). Returns ``path``.
+    """
+    n = int(num_shards)
+    if n <= 0:
+        raise ValueError("write_shards: num_shards must be positive")
+    if fmt not in ("parquet", "json"):
+        raise ValueError("write_shards: fmt must be 'parquet' or 'json'")
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                   F.lit(n)).cast("int")
+    out = df.withColumn("__shard", shard).repartition(n, "__shard")
+    if order_within_shard:
+        out = out.sortWithinPartitions(
+            "__shard", F.xxhash64(F.col(id_col), F.lit(seed + 1)))
+    (out.write.mode(mode).partitionBy("__shard").format(fmt).save(path))
+    return path

@@ -200,3 +200,44 @@ def test_spread_is_noop_when_wide(spark, docs):
     out2 = _spread(narrow, rows=100000)
     assert out2 is not narrow
     assert out2.rdd.getNumPartitions() > 1
+
+
+def test_write_shards_deterministic(spark, tmp_path):
+    """Sharded export: membership is a pure function of (id, seed) —
+    stable across runs AND input layouts; one file per shard dir; rows
+    inside a shard follow the seeded order both runs."""
+    from pyspark.sql import functions as F
+
+    import rasterframes_spark  # noqa: F401 — session helpers
+    from rasterframes_spark.pipeline.curation import write_shards
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    write_shards(docs.repartition(3), a_dir, num_shards=4, seed=7)
+    # different input layout, same logical data
+    write_shards(docs.repartition(11, "doc_id"), b_dir, num_shards=4, seed=7)
+
+    import glob
+    for d in (a_dir, b_dir):
+        dirs = sorted(glob.glob(f"{d}/__shard=*"))
+        assert len(dirs) == 4
+        for sd in dirs:
+            assert len(glob.glob(f"{sd}/part-*")) == 1  # one file per shard
+
+    a = spark.read.parquet(a_dir)
+    b = spark.read.parquet(b_dir)
+    # membership = xxhash64(id, seed) % n, identical across runs
+    got = {(r["doc_id"], r["__shard"]) for r in a.collect()}
+    exp = {(r["doc_id"], r["s"]) for r in docs.select(
+        "doc_id", F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(4))
+        .cast("int").alias("s")).collect()}
+    assert got == exp
+    assert got == {(r["doc_id"], r["__shard"]) for r in b.collect()}
+    # within-shard ORDER identical across runs (resumable training)
+    for k in range(4):
+        ra = [r["doc_id"] for r in
+              spark.read.parquet(f"{a_dir}/__shard={k}").collect()]
+        rb = [r["doc_id"] for r in
+              spark.read.parquet(f"{b_dir}/__shard={k}").collect()]
+        assert ra == rb and len(ra) > 0
