@@ -112,6 +112,35 @@ def main():
         "shuffle; the exact DE-9IM kernel sees candidates only.",
         st_join(pts_df, zon_df, predicate="within", grid_size=20.0))
 
+    add("st_join how='left' (id-keyed null-safe anti-join)",
+        "Left rows are stamped ONCE with a deterministic 128-bit content "
+        "id; the unmatched side anti-joins on the two 8-byte ids — not on "
+        "every left column — so the matched side ships 16 bytes/row into "
+        "the anti-join (no geometry WKB re-shuffle), NULL-field rows "
+        "cannot double-emit (all-column anti-joins are null-UNSAFE), and "
+        "duplicate left rows stay duplicate-correct.",
+        st_join(pts_df, zon_df, predicate="within", grid_size=20.0,
+                how="left"))
+
+    from rasterframes_spark.operators import st_knn_join
+    add("st_knn_join (dwithin bucket join + id-keyed rank window)",
+        "The rank window partitions on the 16-byte content id instead of "
+        "hashing the full left payload (geometry WKB) per candidate row; "
+        "radius-bounded dwithin prejoin keeps the candidate set linear in "
+        "real neighbors — no CartesianProduct.",
+        st_knn_join(pts_df, zon_df, k=2, max_distance=30.0,
+                    grid_size=20.0))
+
+    add("flag_repeated_spans (exact-substring dedup, winnowed grams)",
+        "Explode to (id, gram-hash) → count per 8-byte hash → semi-join "
+        "back: documents never shuffle, no pair enumeration; winnowing "
+        "thins fingerprints ~2/s with the deterministic n+s-1-token "
+        "detection guarantee. Pure codegen gram/winnow selection "
+        "(split/transform/slice/array_min) — no Python worker.",
+        P.flag_repeated_spans(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            n=12, winnow_stride=4))
+
     docs_df = spark.read.parquet(f"{sf}/documents.parquet")
     add("scrub + repetition quality pass (pii_scrub / repetition_metrics)",
         "ONE narrow projection, no Exchange. method='sql' (shown) stays "
