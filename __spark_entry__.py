@@ -1273,22 +1273,6 @@ def _q_ivf_ann(spark, sf_dir):
                           centroids=_ivf_cents())
 
 
-def _q_aspect(spark, sf_dir):
-    """rf_aspect (focalops/Aspect.scala:49-83, Horn gradients, degrees CW
-    from north, flat -> 0) vs the slope oracle's clamped-neighbor SQL
-    gradients + atan2 chain."""
-    t = _tiles_df(spark, sf_dir)
-    t = t.withColumn("extent", F.struct(
-        F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
-        F.lit(float(TILE_COLS)).alias("xmax"), F.lit(float(TILE_ROWS)).alias("ymax")))
-    s = t.select("grp", rf.rf_aspect("qty", "extent", target="data").alias("asp_t"))
-    ex = rf.explode_tiles(s, ["asp_t"], keep_cols=["grp"])
-    return ex.select(
-        "grp", "column_index", "row_index",
-        _r0("asp_t", 6).alias("aspect_v"),
-    ).where(F.col("aspect_v").isNotNull())
-
-
 def _q_focal_stats(spark, sf_dir):
     """rf_focal_median/mode/min/max/stddev (square-1) in one pass vs a
     DuckDB neighborhood-join oracle (continuous median; mode ties break to

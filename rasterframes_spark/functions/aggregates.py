@@ -630,13 +630,15 @@ def agg_local(df: DataFrame, tile, which: str = "mean",
 
 def _local_agg_partials(partials: DataFrame, src: DataFrame, merge_pass,
                         state_schema, merge_partitions: int) -> DataFrame:
-    """Partition states, tree-merged down to <= merge_partitions rows when
-    the source is wider than that (split out so tests can assert the bound
-    the final single task actually ingests)."""
-    if src.rdd.getNumPartitions() > merge_partitions:
-        partials = partials.repartition(merge_partitions).mapInPandas(
-            merge_pass, schema=state_schema)
-    return partials
+    """Partition states, tree-merged down to <= merge_partitions rows
+    (split out so tests can assert the bound the final single task
+    actually ingests).  The merge pass applies UNCONDITIONALLY: checking
+    the physical partition count (``src.rdd.getNumPartitions()``) under
+    AQE eagerly materializes every upstream shuffle stage at plan time —
+    running the expensive upstream job twice — and the unconditional pass
+    only shuffles one small state row per input partition."""
+    return partials.repartition(merge_partitions).mapInPandas(
+        merge_pass, schema=state_schema)
 
 
 def _collect_single(df: DataFrame, which: str):
@@ -797,8 +799,8 @@ def _overview_partials(src: DataFrame, partial, merge_pass,
     """Partition canvases, tree-merged down to <= merge_partitions rows when
     the source is wider than that (split out so tests can assert the bound
     the driver actually collects)."""
-    partials = src.mapInPandas(partial, schema="canvas binary, mask binary")
-    if src.rdd.getNumPartitions() > merge_partitions:
-        partials = partials.repartition(merge_partitions).mapInPandas(
-            merge_pass, schema="canvas binary, mask binary")
-    return partials
+    # unconditional (same rationale as _local_agg_partials: a physical
+    # partition-count probe under AQE executes the upstream job eagerly)
+    return (src.mapInPandas(partial, schema="canvas binary, mask binary")
+            .repartition(merge_partitions)
+            .mapInPandas(merge_pass, schema="canvas binary, mask binary"))

@@ -75,22 +75,33 @@ def _estimate_grid(right: DataFrame, geom_right: str,
     """
     EPS = 1e-12
     rows = _sample_envelopes(right, geom_right)
+    lrows = None
+
+    def span_floor():
+        # lower bound the grid at 1/4096 of the sampled extent's larger
+        # span: an absolute epsilon alone lets an FP-noise-sized median
+        # (e.g. 1e-10 from reprojection jitter) through, and a ~1-unit
+        # left bbox over a 2e-10 grid explodes to ~(extent/grid)^2 cover
+        # cells — the sequence() blow-up the guard exists to prevent.
+        allr = rows + (lrows or [])
+        if not allr:
+            return 0.0
+        xs = [r["x"] for r in allr]
+        ys = [r["y"] for r in allr]
+        return max(max(xs) - min(xs), max(ys) - min(ys)) / 4096.0
+
     sides = sorted(max(r["w"], r["h"]) for r in rows)
     med = sides[len(sides) // 2] if sides else 0.0
     if med > EPS:
-        return 2.0 * med
+        return max(2.0 * med, span_floor())
     lrows = _sample_envelopes(left, geom_left)
     lsides = sorted(max(r["w"], r["h"]) for r in lrows)
     lmed = lsides[len(lsides) // 2] if lsides else 0.0
     if lmed > EPS:
-        return 2.0 * lmed
-    allr = rows + lrows
-    if allr:
-        xs = [r["x"] for r in allr]
-        ys = [r["y"] for r in allr]
-        span = max(max(xs) - min(xs), max(ys) - min(ys))
-        if span > EPS:
-            return span / 256.0
+        return max(2.0 * lmed, span_floor())
+    floor = span_floor()
+    if floor > EPS:
+        return floor * 16.0  # = span/256: all-degenerate inputs, coarse grid
     return 1.0
 
 

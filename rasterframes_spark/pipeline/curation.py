@@ -330,11 +330,19 @@ def write_shards(df: DataFrame, path: str, num_shards: int,
         raise ValueError("write_shards: num_shards must be positive")
     if fmt not in ("parquet", "json"):
         raise ValueError("write_shards: fmt must be 'parquet' or 'json'")
+    if "__shard" in df.columns:
+        raise ValueError("write_shards: input already has a __shard column "
+                         "— rename it (the export partitions on __shard)")
     shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
                    F.lit(n)).cast("int")
     out = df.withColumn("__shard", shard).repartition(n, "__shard")
     if order_within_shard:
+        # full-row hash tiebreak: duplicate id values (common pre-dedup)
+        # would otherwise sort arbitrarily within the tie, breaking the
+        # byte-for-byte cross-run shard contract
         out = out.sortWithinPartitions(
-            "__shard", F.xxhash64(F.col(id_col), F.lit(seed + 1)))
+            "__shard", F.xxhash64(F.col(id_col), F.lit(seed + 1)),
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns]),
+                       F.lit(seed + 2)))
     (out.write.mode(mode).partitionBy("__shard").format(fmt).save(path))
     return path

@@ -38,7 +38,11 @@ def _run_stream(pairs_df, out_dir, ckpt):
     q = (pairs_df.writeStream.format("parquet").option("path", out_dir)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(240)
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "stream did not finish within 240s — a mid-write snapshot "
+            "would report a spurious determinism FAIL")
 
 
 def _neardup_once(spark, sf_dir, root):
@@ -179,16 +183,18 @@ def run_extras(spark, sf_dir, only, failures):
         if only and name not in only:
             continue
         t0 = time.time()
+        roots = []
         try:
             roots = [tempfile.mkdtemp(prefix=f"det_{name}_") for _ in "ab"]
             a, b = fn(roots[0]), fn(roots[1])
             ok = a == b
-            for r in roots:
-                shutil.rmtree(r, ignore_errors=True)
         except Exception as ex:  # noqa: BLE001 - report and continue
             print(f"ERROR {name}: {ex}")
             failures.append(name)
             continue
+        finally:
+            for r in roots:
+                shutil.rmtree(r, ignore_errors=True)
         print(f"{'PASS' if ok else 'FAIL'} {name} ({time.time() - t0:.1f}s)")
         if not ok:
             failures.append(name)
