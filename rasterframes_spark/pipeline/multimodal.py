@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA", "media_table", "decode_image", "image_features",
     "resize_image", "sample_video_frames",
+    "phash_bits", "image_phash", "image_neardup_pairs",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -267,3 +268,111 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
         run, schema=("media_id long, frame_idx int, ts_ms int, height int, "
                      "width int, channels int, pixels binary")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def phash_bits(arr: np.ndarray, hash_size: int = 8,
+               highfreq_factor: int = 4) -> int:
+    """64-bit DCT perceptual hash of one decoded image (classic pHash):
+    grayscale → center-aligned bilinear resize to (hash_size·factor)² →
+    2-D DCT-II → top-left hash_size² low-frequency block → bit i set
+    iff coeff_i > block median. Robust to re-encoding, resize, small
+    noise and brightness shifts (median threshold is level-free).
+    Pure numpy (matrix DCT — the 32×32 transform is a trivial matmul);
+    returns a SIGNED 64-bit int (Spark LongType two's-complement)."""
+    a = arr.astype("float64")
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    n = hash_size * highfreq_factor
+    # center-aligned bilinear (same convention as resize_image)
+    y = (np.arange(n) + 0.5) * h / n - 0.5
+    x = (np.arange(n) + 0.5) * w / n - 0.5
+    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(y - y0, 0, 1)[:, None]
+    wx = np.clip(x - x0, 0, 1)[None, :]
+    g = (a[np.ix_(y0, x0)] * (1 - wx) * (1 - wy)
+         + a[np.ix_(y0, x1)] * wx * (1 - wy)
+         + a[np.ix_(y1, x0)] * (1 - wx) * wy
+         + a[np.ix_(y1, x1)] * wx * wy)
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    D = np.cos(np.pi * (i + 0.5) * k / n)
+    low = (D @ g @ D.T)[:hash_size, :hash_size]
+    med = np.median(low)
+    bits = (low > med).ravel()
+    val = 0
+    for b in np.nonzero(bits)[0]:
+        val |= 1 << int(b)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def image_phash(df: DataFrame, hash_size: int = 8,
+                highfreq_factor: int = 4) -> DataFrame:
+    """(media_id, phash) over DECODED pixel rows (the output schema of
+    :func:`decode_image` / :func:`resize_image`) — compose
+    ``image_phash(decode_image(raw, decode='auto'))`` from payloads.
+    One mapInPandas pass, 8 bytes out per image."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, h, w, c, buf in zip(pdf["media_id"], pdf["height"],
+                                         pdf["width"], pdf["channels"],
+                                         pdf["pixels"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
+                    int(h), int(w), int(c))
+                rows.append((int(mid),
+                             phash_bits(arr, hash_size, highfreq_factor)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return df.mapInPandas(run, schema="media_id long, phash long")
+
+
+def image_neardup_pairs(df: DataFrame, max_hamming: int = 8,
+                        hot_bucket_threshold: int = 10000,
+                        hot_bucket_salts: int = 16,
+                        input_rows: int | None = None) -> DataFrame:
+    """Near-duplicate image pairs: (id_a, id_b, hamming) for images whose
+    64-bit pHash differs in ≤ ``max_hamming`` bits — re-encoded, resized
+    or lightly edited copies of the same picture.
+
+    Input is a decoded-pixels frame (see :func:`image_phash`).  Same
+    scale posture as text SimHash (pipeline/dedup.py): band the 64 bits
+    into ``max_hamming + 1`` chunks — pigeonhole guarantees a qualifying
+    pair collides on at least one clean chunk — equi-join per chunk
+    (hot chunks salted via the shared ``_salted_self_pairs``), exact
+    ``bit_count`` verify on candidates only. Never all-pairs."""
+    from rasterframes_spark.pipeline.dedup import _salted_self_pairs
+
+    chunks = int(max_hamming) + 1
+    width = 64 // chunks
+    ph = image_phash(df).select(F.col("media_id").alias("__id"),
+                                F.col("phash").alias("__ph"))
+    mask = (1 << width) - 1
+    if mask >= (1 << 63):
+        mask -= 1 << 64
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("__ph"), i * width).bitwiseAND(F.lit(mask))
+        for i in range(chunks)
+    ]
+    banded = ph.select(
+        "__id", "__ph",
+        F.posexplode(F.array(*chunk_cols)).alias("__chunk_i", "__chunk"))
+    return (
+        _salted_self_pairs(banded, ["__chunk_i", "__chunk"], "__id", ["__ph"],
+                           hot_bucket_threshold, hot_bucket_salts, input_rows)
+        .withColumn("hamming",
+                    F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .where(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming"))

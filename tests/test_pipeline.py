@@ -708,3 +708,59 @@ def test_exact_substring_dedup(spark):
     assert n_thin < n_full  # actually thinner
     assert set(r["h"] for r in thin.collect()) <= \
         set(r["h"] for r in full.collect())
+
+
+def test_image_phash_neardup(spark):
+    """DCT pHash image dedup: re-encoded / resized / lightly-noised
+    copies of a picture pair within max_hamming; distinct pictures do
+    not; Spark values match the local numpy oracle bit-for-bit."""
+    import numpy as np
+
+    from rasterframes_spark.pipeline.multimodal import (
+        decode_image, image_neardup_pairs, image_phash, phash_bits)
+    from rasterframes_spark.sources.png import encode_png
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:64, 0:64]
+
+    def blobs(seed, n=6):
+        # natural-image stand-in: smooth Gaussian blobs (a modular ramp
+        # or pure noise concentrates DCT energy pathologically — most
+        # low-freq coeffs tie at the median and the hash bits are
+        # unstable, which is not the workload pHash is for)
+        r = np.random.default_rng(seed)
+        img = np.zeros((64, 64))
+        for _ in range(n):
+            cy, cx = r.uniform(0, 64), r.uniform(0, 64)
+            s, a = r.uniform(5, 15), r.uniform(50, 255)
+            img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                              / (2 * s * s))
+        img = np.clip(img, 0, 255).astype("uint8")
+        return np.stack([img, 255 - img, img // 2], axis=-1)
+
+    base_a, base_b = blobs(1), blobs(2)
+    # variants of A: brightness shift, light noise, 2x upscale
+    a_bright = np.clip(base_a.astype(int) + 12, 0, 255).astype("uint8")
+    a_noise = np.clip(base_a.astype(int)
+                      + rng.integers(-6, 7, base_a.shape), 0, 255
+                      ).astype("uint8")
+    a_big = np.repeat(np.repeat(base_a, 2, axis=0), 2, axis=1)
+    imgs = {0: base_a, 1: a_bright, 2: a_noise, 3: a_big, 10: base_b}
+    df = spark.createDataFrame(
+        [(k, bytearray(encode_png(v))) for k, v in imgs.items()],
+        "media_id long, payload binary")
+    dec = decode_image(df, decode="png")
+
+    got = {r["media_id"]: r["phash"] for r in image_phash(dec).collect()}
+    for k, v in imgs.items():
+        assert got[k] == phash_bits(v), k  # spark == local numpy oracle
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(dec, max_hamming=10).collect()}
+    for v in (1, 2, 3):  # all variants pair with the original
+        key = (0, v)
+        assert key in pairs and pairs[key] == ham(got[0], got[v]) <= 10
+    assert not any(10 in k for k in pairs)  # unrelated image stays out
