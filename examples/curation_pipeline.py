@@ -48,8 +48,11 @@ def main(spark=None):
         .where(F.col("quality") >= 0.4)
     funnel.append(("quality", docs.count()))
 
-    # 4. exact dedup, then drop near-dups of a reference corpus
+    # 4. exact dedup, repeated-span (exact-substring) flagging, then
+    # drop near-dups of a reference corpus
     docs = P.dedup_exact(docs, ["text"])
+    docs = P.flag_repeated_spans(docs, n=12, winnow_stride=2) \
+        .where(~F.col("has_repeated_span")).drop("has_repeated_span")
     ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
         .where(F.col("doc_id") % 10 == 0)
     hits = P.dedup_against_minhash(docs, ref, "doc_id", "text",
@@ -83,9 +86,18 @@ def main(spark=None):
     n_packs = packed.select("pack_id").distinct().count()
     funnel.append(("train_docs", train.count()))
 
+    # 7. deterministic sharded delivery (stable membership + in-shard
+    # order across runs)
+    import tempfile
+    shard_dir = tempfile.mkdtemp(prefix="curation_shards_")
+    P.write_shards(train.drop("split"), shard_dir, num_shards=4, seed=21)
+    n_shards = len([d for d in os.listdir(shard_dir)
+                    if d.startswith("__shard=")])
+
     for stage, n in funnel:
         print(f"{stage:>16}: {n}")
     print(f"{'packs':>16}: {n_packs}")
+    print(f"{'shards':>16}: {n_shards}")
     if own:
         spark.stop()
     return funnel, n_packs
