@@ -55,3 +55,13 @@ def test_time_series_example(spark):
     means = {q: m for q, m in out}
     # seasonal sine: Q2 (peak) > Q1 > Q3 > Q4 (trough)
     assert means[2] > means[1] > means[3] > means[4]
+
+
+def test_ml_supervised_example(spark):
+    import examples.ml_supervised as ex
+
+    acc, n_tiles = ex.main(spark)
+    # the label is a clean function of the two features — a linear model
+    # on a separable-ish boundary should be far above chance
+    assert acc >= 0.8
+    assert n_tiles == 32  # odd grps of 64
