@@ -125,3 +125,41 @@ def test_fluent_st_join(spark):
     assert [(r["pid"], r["zid"]) for r in out] == [(1, 7)]
     knn = pts.st_knn_join(poly, 1, 100.0, grid_size=50.0).collect()
     assert {r["pid"] for r in knn} == {1, 2}
+
+
+def test_ipython_display_helpers(spark):
+    """Notebook display module (reference rf_ipython.py counterpart):
+    tile PNG round-trips through the own codec, HTML embeds a data URI,
+    DataFrame html/markdown render tiles inline; register_formatters is
+    a safe no-op without IPython."""
+    import numpy as np
+
+    from rasterframes_spark import ipython as ipy
+    from rasterframes_spark.sources.png import decode_png
+    from rasterframes_spark.tile import Tile
+
+    t = Tile(np.ma.masked_array(
+        np.arange(256, dtype="float64").reshape(16, 16),
+        mask=np.arange(256).reshape(16, 16) == 5), "float64")
+    png = ipy.tile_to_png(t)
+    arr = decode_png(png)
+    assert arr.shape == (16, 16, 3)
+    html = ipy.tile_to_html(t, width=32)
+    assert html.startswith('<img src="data:image/png;base64,')
+    assert 'width="32"' in html
+    assert ipy.binary_to_html(png).startswith("<img ")
+    assert ipy.binary_to_html(b"notpng") == b"notpng"
+
+    TILE_T = "struct<cell_type:string,cols:int,rows:int,cells:binary>"
+    df = spark.createDataFrame(
+        [{"name": "a", "tile": t.to_row()}], schema=f"name string, tile {TILE_T}")
+    h = ipy.spark_df_to_html(df, num_rows=1)
+    assert "<table>" in h and "data:image/png" in h and "<th>name</th>" in h
+    md = ipy.spark_df_to_markdown(df, num_rows=1)
+    assert "| name | tile |" in md and "Tile(16x16, float64)" in md
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        ipy.tile_to_png(t, lower_percentile=99, upper_percentile=1)
+    # no IPython in this environment: graceful False
+    assert ipy.register_formatters() is False
