@@ -88,11 +88,15 @@ def main(spark=None):
 
     # 7. deterministic sharded delivery (stable membership + in-shard
     # order across runs)
+    import shutil
     import tempfile
     shard_dir = tempfile.mkdtemp(prefix="curation_shards_")
-    P.write_shards(train.drop("split"), shard_dir, num_shards=4, seed=21)
-    n_shards = len([d for d in os.listdir(shard_dir)
-                    if d.startswith("__shard=")])
+    try:
+        P.write_shards(train.drop("split"), shard_dir, num_shards=4, seed=21)
+        n_shards = len([d for d in os.listdir(shard_dir)
+                        if d.startswith("__shard=")])
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
 
     for stage, n in funnel:
         print(f"{stage:>16}: {n}")

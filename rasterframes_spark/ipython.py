@@ -12,6 +12,7 @@ reprs only when IPython is actually present.
 from __future__ import annotations
 
 import base64
+import html as _html
 
 import numpy as np
 
@@ -31,8 +32,8 @@ def tile_to_png(tile: Tile, lower_percentile: float = 1.0,
                 ramp: str = "viridis") -> bytes | None:
     """Tile -> PNG bytes, normalized between the given data percentiles
     (the reference's plot_tile contract, `rf_ipython.py:33-88`) and
-    mapped through a color ramp. NoData renders transparent-black
-    (ramp entry 0)."""
+    mapped through a color ramp. NoData cells render as ramp entry 0
+    (fully-NoData tiles as a uniform entry-0 image)."""
     if tile is None or tile.cells is None:
         return None
     if not upper_percentile > lower_percentile:
@@ -43,8 +44,13 @@ def tile_to_png(tile: Tile, lower_percentile: float = 1.0,
 
     a = tile.masked().astype("float64")
     data = np.asarray(a.filled(np.nan))
-    lo = np.nanpercentile(data, lower_percentile)
-    hi = np.nanpercentile(data, upper_percentile)
+    if not np.isfinite(data).any():
+        # fully-NoData tile: uniform ramp-entry-0 image (an all-NaN
+        # percentile would otherwise cast NaN to uint8 — undefined)
+        idx = np.zeros(data.shape, dtype="uint8")
+        return encode_png(_ramp_lut(ramp)[idx])
+    lo = float(np.nanpercentile(data, lower_percentile))
+    hi = float(np.nanpercentile(data, upper_percentile))
     span = (hi - lo) or 1.0
     idx = np.clip((np.nan_to_num(data, nan=lo) - lo) / span * 255.0,
                   0, 255).astype("uint8")
@@ -80,11 +86,16 @@ def _cell_html(v, max_width: int = 64) -> str:
         return f"&lt;{len(v)} bytes&gt;"
     if hasattr(v, "wkt"):  # geometry-like
         w = str(v.wkt)
-        return w if len(w) <= max_width else w[:max_width - 3] + "..."
+        if len(w) > max_width:
+            w = w[:max_width - 3] + "..."
+        return _html.escape(w)
     if v is None:
         return ""
     s = str(v)
-    return s if len(s) <= max_width else s[:max_width - 3] + "..."
+    if len(s) > max_width:
+        s = s[:max_width - 3] + "..."
+    # corpus text is untrusted — escape before it reaches the notebook DOM
+    return _html.escape(s)
 
 
 def _df_rows(df, num_rows: int):
@@ -120,7 +131,7 @@ def spark_df_to_html(df, num_rows: int = 5, truncate: bool = False) -> str:
     (`rf_ipython.py:234-238`, computed locally instead of via the JVM)."""
     cols, rows = _df_rows(df, num_rows)
     w = 24 if truncate else 64
-    head = "".join(f"<th>{c}</th>" for c in cols)
+    head = "".join(f"<th>{_html.escape(str(c))}</th>" for c in cols)
     body = "".join(
         "<tr>" + "".join(f"<td>{_cell_html(v, w)}</td>" for v in r) + "</tr>"
         for r in rows)
@@ -137,7 +148,8 @@ def spark_df_to_markdown(df, num_rows: int = 5, truncate: bool = False) -> str:
         if isinstance(v, Tile):
             return f"Tile({v.cols}x{v.rows}, {v.cell_type.name})"
         s = _cell_html(v, w)
-        return s.replace("|", "\\|")
+        # newlines would terminate the markdown table row mid-cell
+        return s.replace("|", "\\|").replace("\n", " ")
 
     lines = ["| " + " | ".join(cols) + " |",
              "| " + " | ".join("---" for _ in cols) + " |"]
@@ -147,12 +159,15 @@ def spark_df_to_markdown(df, num_rows: int = 5, truncate: bool = False) -> str:
 
 def pandas_df_to_html(df) -> str | None:
     """HTML repr for pandas frames holding Tile objects
-    (`rf_ipython.py:157-225`)."""
+    (`rf_ipython.py:157-225`); plain frames keep pandas' native repr
+    (index, dtype-aware formatting) untouched."""
     import pandas as pd
 
     if not pd.get_option("display.notebook_repr_html"):
         return None
-    if len(df) == 0:
+    if len(df) == 0 or not any(
+            isinstance(df.iloc[0][c], (Tile, bytes, bytearray))
+            for c in df.columns):
         return df._repr_html_()
     return spark_df_to_html(df, num_rows=pd.get_option("display.max_rows")
                             or 20)

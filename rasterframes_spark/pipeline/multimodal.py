@@ -275,6 +275,25 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
 # ---------------------------------------------------------------------------
 
 
+def _bilinear_resize(a: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Center-aligned separable bilinear resample of a 2-D float array —
+    the SAME convention as resize_image's 3-D kernel (a divergence would
+    silently break pHash stability across resizes)."""
+    h, w = a.shape
+    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(y - y0, 0, 1)[:, None]
+    wx = np.clip(x - x0, 0, 1)[None, :]
+    return (a[np.ix_(y0, x0)] * (1 - wx) * (1 - wy)
+            + a[np.ix_(y0, x1)] * wx * (1 - wy)
+            + a[np.ix_(y1, x0)] * (1 - wx) * wy
+            + a[np.ix_(y1, x1)] * wx * wy)
+
+
 def phash_bits(arr: np.ndarray, hash_size: int = 8,
                highfreq_factor: int = 4) -> int:
     """64-bit DCT perceptual hash of one decoded image (classic pHash):
@@ -287,21 +306,8 @@ def phash_bits(arr: np.ndarray, hash_size: int = 8,
     a = arr.astype("float64")
     if a.ndim == 3:
         a = a.mean(axis=2)
-    h, w = a.shape
     n = hash_size * highfreq_factor
-    # center-aligned bilinear (same convention as resize_image)
-    y = (np.arange(n) + 0.5) * h / n - 0.5
-    x = (np.arange(n) + 0.5) * w / n - 0.5
-    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
-    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
-    y1 = np.clip(y0 + 1, 0, h - 1)
-    x1 = np.clip(x0 + 1, 0, w - 1)
-    wy = np.clip(y - y0, 0, 1)[:, None]
-    wx = np.clip(x - x0, 0, 1)[None, :]
-    g = (a[np.ix_(y0, x0)] * (1 - wx) * (1 - wy)
-         + a[np.ix_(y0, x1)] * wx * (1 - wy)
-         + a[np.ix_(y1, x0)] * (1 - wx) * wy
-         + a[np.ix_(y1, x1)] * wx * wy)
+    g = _bilinear_resize(a, n, n)
     k = np.arange(n)[:, None]
     i = np.arange(n)[None, :]
     D = np.cos(np.pi * (i + 0.5) * k / n)
@@ -357,8 +363,11 @@ def image_neardup_pairs(df: DataFrame, max_hamming: int = 8,
 
     chunks = int(max_hamming) + 1
     width = 64 // chunks
+    # the decode+DCT pass is the dominant cost and the banded frame is
+    # scanned up to 3x (hot-bucket count + both self-join sides):
+    # truncate lineage so the 16-byte-per-image hash frame computes once
     ph = image_phash(df).select(F.col("media_id").alias("__id"),
-                                F.col("phash").alias("__ph"))
+                                F.col("phash").alias("__ph"))         .localCheckpoint(eager=False)
     mask = (1 << width) - 1
     if mask >= (1 << 63):
         mask -= 1 << 64
