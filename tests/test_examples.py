@@ -65,3 +65,11 @@ def test_ml_supervised_example(spark):
     # on a separable-ish boundary should be far above chance
     assert acc >= 0.8
     assert n_tiles == 32  # odd grps of 64
+
+
+def test_ml_unsupervised_example(spark):
+    import examples.ml_unsupervised as ex
+
+    n_clusters, n_tiles = ex.main(spark, k=3)
+    assert n_clusters == 3
+    assert n_tiles == 64
