@@ -184,11 +184,16 @@ def register_formatters() -> bool:
     ip = get_ipython()
     if ip is None:
         return False
-    html = ip.display_formatter.formatters["text/html"]
+    fmts = ip.display_formatter.formatters
+    fmts["image/png"].for_type(Tile, tile_to_png)
+    html = fmts["text/html"]
+    md = fmts["text/markdown"]
     html.for_type(Tile, tile_to_html)
+    md.for_type(Tile, tile_to_html)
     try:
         from pyspark.sql import DataFrame
         html.for_type(DataFrame, spark_df_to_html)
+        md.for_type(DataFrame, spark_df_to_markdown)
     except ImportError:  # pragma: no cover
         pass
     try:
@@ -197,3 +202,9 @@ def register_formatters() -> bool:
     except ImportError:  # pragma: no cover
         pass
     return True
+
+
+# Reference parity: importing the module inside a live IPython session
+# registers the rich reprs (`rf_ipython.py:250-280` does the same at
+# import); outside IPython this is a silent no-op.
+register_formatters()
