@@ -20,6 +20,7 @@ __all__ = [
     "doc_fingerprint", "text_metrics",
     "dup_line_fraction", "dup_line_char_fraction", "top_ngram_char_fraction",
     "dup_ngram_fraction", "repetition_metrics", "hashing_embedding",
+    "corpus_stats",
 ]
 
 # minimal per-language stopword signatures for the n-gram/stopword heuristic
@@ -396,3 +397,52 @@ def hashing_embedding(text, dim: int = 64, seed: int = 42,
 
     _ = seed  # reserved: pandas hash key is fixed; seed kept for API stability
     return emb(c)
+
+
+def corpus_stats(docs, text_col: str = "text",
+                 source_col: str | None = "source") -> dict:
+    """One-call corpus profile — the report a curation job prints before
+    touching anything: doc/source counts, token and char distributions
+    (exact mean, GK-sketch p50/p95), exact-duplicate rate, and the
+    language mix.  TWO Spark jobs total (one global agg + one small
+    language groupBy), all built-ins, no Python in the hot path; at
+    100 TB this is a single pass over the text column.
+
+    Returns a plain dict (driver-sized by construction — every value is
+    a scalar or a small map).
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    toks = token_count(c)
+    has_src = source_col is not None and source_col in docs.columns
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.avg(toks).alias("mean_tokens"),
+        F.percentile_approx(toks, [0.5, 0.95]).alias("tok_q"),
+        F.avg(F.length(c)).alias("mean_chars"),
+        F.percentile_approx(F.length(c), [0.5, 0.95]).alias("chr_q"),
+        F.countDistinct(F.xxhash64(c)).alias("n_distinct_texts"),
+    ]
+    if has_src:
+        aggs.append(F.countDistinct(F.col(source_col)).alias("n_sources"))
+    row = docs.agg(*aggs).head()
+    langs = {r["l"]: r["n"] for r in docs.groupBy(
+        language_id(c).alias("l")).agg(F.count("*").alias("n")).collect()}
+    n = row["n_docs"]
+    out = {
+        "n_docs": int(n),
+        "total_tokens": int(row["total_tokens"] or 0),
+        "mean_tokens": float(row["mean_tokens"] or 0.0),
+        "p50_tokens": int(row["tok_q"][0]) if row["tok_q"] else 0,
+        "p95_tokens": int(row["tok_q"][1]) if row["tok_q"] else 0,
+        "mean_chars": float(row["mean_chars"] or 0.0),
+        "p50_chars": int(row["chr_q"][0]) if row["chr_q"] else 0,
+        "p95_chars": int(row["chr_q"][1]) if row["chr_q"] else 0,
+        "exact_dup_rate": (1.0 - row["n_distinct_texts"] / n) if n else 0.0,
+        "languages": langs,
+    }
+    if has_src:
+        out["n_sources"] = int(row["n_sources"])
+    return out

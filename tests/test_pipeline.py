@@ -764,3 +764,32 @@ def test_image_phash_neardup(spark):
         key = (0, v)
         assert key in pairs and pairs[key] == ham(got[0], got[v]) <= 10
     assert not any(10 in k for k in pairs)  # unrelated image stays out
+
+
+def test_corpus_stats_vs_duckdb(spark):
+    """One-pass corpus profiler vs DuckDB on the same parquet: exact
+    fields match exactly; sketch quantiles within the GK error band."""
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = P.corpus_stats(docs)
+
+    con = duckdb.connect()
+    con.sql("create view documents as select * from "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    exp = con.sql("""
+        select count(*) as n,
+               sum(len(string_split(text,' '))) as tt,
+               avg(len(string_split(text,' '))) as mt,
+               count(distinct text) as nd,
+               count(distinct source) as ns,
+               quantile_cont(len(string_split(text,' ')), 0.5) as p50
+        from documents""").df().iloc[0]
+    assert got["n_docs"] == int(exp["n"])
+    assert got["total_tokens"] == int(exp["tt"])
+    assert abs(got["mean_tokens"] - float(exp["mt"])) < 1e-9
+    assert abs(got["exact_dup_rate"]
+               - (1.0 - int(exp["nd"]) / int(exp["n"]))) < 1e-12
+    assert got["n_sources"] == int(exp["ns"])
+    assert abs(got["p50_tokens"] - float(exp["p50"])) <= 2  # sketch band
+    assert sum(got["languages"].values()) == got["n_docs"]
