@@ -16,7 +16,7 @@ module adds the streaming-specific glue:
 All rf_* scalar/local functions and the pipeline text/dedup projections
 work inside ``readStream`` pipelines as-is (pandas UDFs are supported in
 streaming queries); tile-valued *aggregates* need ``applyInPandasWithState``
-and are exposed via ``stateful_local_agg``.
+and are exposed via ``stateful_sessionizer``.
 """
 
 from __future__ import annotations
@@ -62,7 +62,10 @@ def read_geotiff_stream(spark: SparkSession, directory: str,
                   "length long, content binary")
     reader = (spark.readStream.format("binaryFile").schema(bin_schema)
               .option("pathGlobFilter", pattern))
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        if int(max_files_per_trigger) <= 0:
+            raise ValueError("read_geotiff_stream: max_files_per_trigger "
+                             "must be positive")
         reader = reader.option("maxFilesPerTrigger",
                                str(int(max_files_per_trigger)))
     src = reader.load(directory).select("path", "modificationTime", "content")
@@ -85,22 +88,21 @@ def read_geotiff_stream(spark: SparkSession, directory: str,
                 xmin, ymin, xmax, ymax = info.extent
                 pw = (xmax - xmin) / info.width
                 ph = (ymax - ymin) / info.height
+                if query_extent is not None:
+                    qx0, qy0, qx1, qy1 = (float(v) for v in query_extent)
                 for r0 in range(0, info.height, th):
                     for c0 in range(0, info.width, tw):
                         w = min(tw, info.width - c0)
                         h = min(th, info.height - r0)
                         if query_extent is not None:
-                            qx0, qy0, qx1, qy1 = (
-                                float(v) for v in query_extent)
                             if not (xmin + c0 * pw < qx1
                                     and xmin + (c0 + w) * pw > qx0
                                     and ymax - (r0 + h) * ph < qy1
                                     and ymax - r0 * ph > qy0):
                                 continue
+                        # Tile.__init__ applies ct.mask_of (== nodata) to
+                        # plain arrays — no explicit masking needed here
                         arr = GT.read_window(data, info, c0, r0, w, h, band)
-                        if info.nodata is not None and not np.issubdtype(
-                                arr.dtype, np.floating):
-                            arr = np.ma.masked_equal(arr, info.nodata)
                         rows.append({
                             "path": path, "ts": ts,
                             "spatial_key": {"col": c0 // tw, "row": r0 // th},
@@ -176,7 +178,8 @@ def stateful_sessionizer(stream: DataFrame, key_col: str = "user_id",
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = (f"{key_col} long, session_start timestamp, "
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = (f"{key_col} {key_type}, session_start timestamp, "
                   "session_end timestamp, n_events long, total_value double")
     state_schema = "start long, last long, n long, total double"
 
@@ -197,15 +200,28 @@ def stateful_sessionizer(stream: DataFrame, key_col: str = "user_id",
         if state.exists:
             start, last, n, total = state.get
         else:
-            start, last, n, total = int(ts.iloc[0]), int(ts.iloc[0]) - 1, 0, 0.0
+            start, last, n, total = 0, 0, 0, 0.0
         closed = []
+        # Cross-batch out-of-order events (late but inside the watermark)
+        # may arrive with t < last or even t < start: extending the open
+        # session keeps start = min / last = max (never move `last`
+        # BACKWARD — that split sessions spuriously and emitted
+        # session_end < session_start); an event older than the open
+        # session by more than the gap is its own already-closed session.
         for t, v in zip(ts, vals):
-            if n > 0 and t - last > gap_seconds:
+            t, v = int(t), float(v)
+            if n == 0:
+                start, last, n, total = t, t, 1, v
+            elif t < start - gap_seconds:
+                closed.append((t, t, 1, v))
+            elif t - last > gap_seconds:
                 closed.append((start, last, n, total))
-                start, n, total = int(t), 0, 0.0
-            last = int(t)
-            n += 1
-            total += float(v)
+                start, last, n, total = t, t, 1, v
+            else:
+                start = min(start, t)
+                last = max(last, t)
+                n += 1
+                total += v
         state.update((start, last, n, total))
         if timeout == "processing":
             state.setTimeoutDuration(gap_seconds * 1000)
@@ -261,6 +277,12 @@ def streaming_neardup(stream: DataFrame, id_col: str = "doc_id",
 
     from rasterframes_spark.pipeline.dedup import minhash_signature_text
 
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"streaming_neardup: bands ({bands}) must divide num_perm "
+            f"({num_perm}) — a remainder would silently drop trailing "
+            "minhash values from banding and degrade recall")
+    id_type = stream.schema[id_col].dataType.simpleString()
     sig = minhash_signature_text(text_col, shingle_size, num_perm)
     rows_per_band = num_perm // bands
     banded = (stream
@@ -275,8 +297,8 @@ def streaming_neardup(stream: DataFrame, id_col: str = "doc_id",
                       lambda acc, v: F.xxhash64(acc, v)),
               )).alias("__band", "__bucket")))
 
-    out_schema = "new_id long, prior_id long, est_jaccard double"
-    state_schema = "ids array<long>, sigs binary"
+    out_schema = f"new_id {id_type}, prior_id {id_type}, est_jaccard double"
+    state_schema = f"ids array<{id_type}>, sigs binary"
     np_ = num_perm
 
     def fn(key, pdfs, state):
@@ -292,18 +314,28 @@ def streaming_neardup(stream: DataFrame, id_col: str = "doc_id",
         else:
             ids, stored = [], np.zeros((0, np_), dtype="<i8")
         out = []
+        # new arrivals this batch collect in a list — ONE vstack into the
+        # stored matrix at batch end (per-row vstack is O(n^2) copying)
+        pending_ids, pending = [], []
         for pdf in pdfs:
             for rid, rsig in zip(pdf["__id"], pdf["__sig"]):
                 s = np.asarray(rsig, dtype="<i8")
                 if len(stored):
                     frac = (stored == s[None, :]).mean(axis=1)
                     for j in np.nonzero(frac >= threshold)[0]:
-                        out.append((int(rid), int(ids[j]), float(frac[j])))
-                ids.append(int(rid))
-                stored = np.vstack([stored, s[None, :]])
-                if len(ids) > max_per_bucket:
-                    ids = ids[-max_per_bucket:]
-                    stored = stored[-max_per_bucket:]
+                        out.append((rid, ids[j], float(frac[j])))
+                for pid, p in zip(pending_ids, pending):
+                    f = float((p == s).mean())
+                    if f >= threshold:
+                        out.append((rid, pid, f))
+                pending_ids.append(rid)
+                pending.append(s)
+        if pending:
+            stored = np.vstack([stored] + [p[None, :] for p in pending])
+            ids = ids + pending_ids
+        if len(ids) > max_per_bucket:
+            ids = ids[-max_per_bucket:]
+            stored = stored[-max_per_bucket:]
         state.update((ids, stored.astype("<i8").tobytes()))
         if state_ttl_seconds:
             state.setTimeoutDuration(state_ttl_seconds * 1000)

@@ -222,3 +222,102 @@ def test_streaming_neardup(spark, tmp_path):
     assert all(v >= 0.9 for v in ej.values())
     assert all(a != b for a, b in allp)  # no self pairs
     del self_pairs
+
+
+def test_sessionizer_late_events_and_string_keys(spark, tmp_path):
+    """Cross-batch late events (inside the watermark) must never move the
+    session's `last` backward — previously a late event split sessions
+    spuriously and emitted session_end < session_start; string keys must
+    work (schema was hardcoded long)."""
+    import datetime as dt
+
+    from rasterframes_spark.streaming import stateful_sessionizer
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "user_id string, ts timestamp, value double"
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).write.mode(mode).parquet(src)
+
+    out_dir = str(tmp_path / "late_out")
+    seen = set()
+
+    def run(_name):
+        # parquet sink: memory sinks cannot recover from a checkpoint
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stateful_sessionizer(stream, gap_seconds=1800, timeout="none",
+                                  watermark="2 hours")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "late_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        allr = spark.read.parquet(out_dir).collect()
+        new = [r for r in allr
+               if (r["user_id"], r["session_start"], r["session_end"])
+               not in seen]
+        seen.update((r["user_id"], r["session_start"], r["session_end"])
+                    for r in allr)
+        return new
+
+    # batch 1: alice up to t=+20min
+    write([{"user_id": "alice", "ts": base + dt.timedelta(minutes=m),
+            "value": 1.0} for m in (0, 10, 20)], "overwrite")
+    run("b1")
+    # batch 2: a LATE alice event (t=+5min, before stored last=+20min)
+    write([{"user_id": "alice", "ts": base + dt.timedelta(minutes=5),
+            "value": 1.0}], "append")
+    run("b2")
+    # batch 3: +40min — within gap of last=+20min: must NOT close anything
+    # (pre-fix, last had moved back to +5min and 40-5=35min > 30min split)
+    write([{"user_id": "alice", "ts": base + dt.timedelta(minutes=40),
+            "value": 1.0}], "append")
+    got = run("b3")
+    assert got == [], [r.asDict() for r in got]
+    # batch 4: +3h closes the single merged session: 5 events, end>=start
+    write([{"user_id": "alice", "ts": base + dt.timedelta(hours=3),
+            "value": 1.0}], "append")
+    got = run("b4")
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == "alice" and r["n_events"] == 5
+    assert r["session_end"] >= r["session_start"]
+    assert r["session_start"] == base
+    assert r["session_end"] == base + dt.timedelta(minutes=40)
+
+
+def test_streaming_neardup_string_ids_and_band_guard(spark, tmp_path):
+    """String doc ids work end-to-end (schemas were hardcoded long); a
+    bands value that does not divide num_perm raises instead of silently
+    dropping trailing minhash values."""
+    from rasterframes_spark.streaming import streaming_neardup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(12) \
+        .select("doc_id", "text").collect()
+    src = str(tmp_path / "sid_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id string, text string"
+    rows = [(f"doc-{r['doc_id']}", r["text"]) for r in docs]
+    rows += [(f"copy-{r['doc_id']}", r["text"]) for r in docs[:4]]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    pairs = streaming_neardup(stream, "doc_id", "text", num_perm=32,
+                              bands=16, threshold=0.9)
+    out_dir, ckpt = str(tmp_path / "sid_out"), str(tmp_path / "sid_ck")
+    q = (pairs.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["new_id"], r["prior_id"])
+           for r in spark.read.parquet(out_dir).collect()}
+    expected = {(f"copy-{r['doc_id']}", f"doc-{r['doc_id']}")
+                for r in docs[:4]}
+    # every planted exact copy pairs with its original (order of arrival
+    # within the batch decides direction; both ids are strings)
+    found = {tuple(sorted(p)) for p in got}
+    assert {tuple(sorted(p)) for p in expected} <= found
+
+    with pytest.raises(ValueError, match="divide num_perm"):
+        streaming_neardup(stream, "doc_id", "text", num_perm=32, bands=10)
