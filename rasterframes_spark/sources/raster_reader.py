@@ -101,6 +101,23 @@ def _celltype_for(info: GT.GeoTiffInfo) -> str:
     return ct.name
 
 
+def iter_chunk_windows(info, tw: int, th: int):
+    """Yield (col_off, row_off, width, height, (xmin, ymin, xmax, ymax))
+    over a scene's tile-chunk grid — the SINGLE source of the chunk /
+    per-chunk-extent math shared by the batch catalog reader below and
+    the streaming GeoTIFF source (streaming/__init__.py), so a fix to
+    either stays in sync."""
+    xmin, ymin, xmax, ymax = info.extent
+    pw = (xmax - xmin) / info.width
+    ph = (ymax - ymin) / info.height
+    for r0 in range(0, info.height, th):
+        for c0 in range(0, info.width, tw):
+            w = min(tw, info.width - c0)
+            h = min(th, info.height - r0)
+            yield c0, r0, w, h, (xmin + c0 * pw, ymax - (r0 + h) * ph,
+                                 xmin + (c0 + w) * pw, ymax - r0 * ph)
+
+
 def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
                 tile_dimensions=(256, 256), buffer_size: int = 0,
                 lazy_tiles: bool = True, spatial_index_partitions: int | None = None,
@@ -152,22 +169,17 @@ def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
                 out.append(None)
                 continue
             info = _cached_info(str(uri))
-            xmin, ymin, xmax, ymax = info.extent
-            pw = (xmax - xmin) / info.width
-            ph = (ymax - ymin) / info.height
             ct = _celltype_for(info)
             chunks = []
-            for r0 in range(0, info.height, th):
-                for c0 in range(0, info.width, tw):
-                    w = min(tw, info.width - c0)
-                    h = min(th, info.height - r0)
-                    chunks.append({
-                        "col_off": c0, "row_off": r0, "width": w, "height": h,
-                        "xmin": xmin + c0 * pw, "ymax": ymax - r0 * ph,
-                        "xmax": xmin + (c0 + w) * pw, "ymin": ymax - (r0 + h) * ph,
-                        "crs": info.crs, "cell_type": ct,
-                        "full_width": info.width, "full_height": info.height,
-                    })
+            for c0, r0, w, h, (exmin, eymin, exmax, eymax) in \
+                    iter_chunk_windows(info, tw, th):
+                chunks.append({
+                    "col_off": c0, "row_off": r0, "width": w, "height": h,
+                    "xmin": exmin, "ymax": eymax,
+                    "xmax": exmax, "ymin": eymin,
+                    "crs": info.crs, "cell_type": ct,
+                    "full_width": info.width, "full_height": info.height,
+                })
             out.append(chunks)
         return pd.Series(out, dtype=object)
 

@@ -54,7 +54,8 @@ def read_geotiff_stream(spark: SparkSession, directory: str,
     import pandas as pd
 
     from rasterframes_spark.sources import geotiff as GT
-    from rasterframes_spark.sources.raster_reader import _celltype_for
+    from rasterframes_spark.sources.raster_reader import (
+        _celltype_for, iter_chunk_windows)
     from rasterframes_spark.tile import Tile
 
     tw, th = int(tile_dimensions[0]), int(tile_dimensions[1])
@@ -85,36 +86,25 @@ def read_geotiff_stream(spark: SparkSession, directory: str,
                 data = bytes(content)
                 info = GT.read_info(data)
                 ct = _celltype_for(info)
-                xmin, ymin, xmax, ymax = info.extent
-                pw = (xmax - xmin) / info.width
-                ph = (ymax - ymin) / info.height
                 if query_extent is not None:
                     qx0, qy0, qx1, qy1 = (float(v) for v in query_extent)
-                for r0 in range(0, info.height, th):
-                    for c0 in range(0, info.width, tw):
-                        w = min(tw, info.width - c0)
-                        h = min(th, info.height - r0)
-                        if query_extent is not None:
-                            if not (xmin + c0 * pw < qx1
-                                    and xmin + (c0 + w) * pw > qx0
-                                    and ymax - (r0 + h) * ph < qy1
-                                    and ymax - r0 * ph > qy0):
-                                continue
-                        # Tile.__init__ applies ct.mask_of (== nodata) to
-                        # plain arrays — no explicit masking needed here
-                        arr = GT.read_window(data, info, c0, r0, w, h, band)
-                        rows.append({
-                            "path": path, "ts": ts,
-                            "spatial_key": {"col": c0 // tw, "row": r0 // th},
-                            "extent": {
-                                "xmin": xmin + c0 * pw,
-                                "ymax": ymax - r0 * ph,
-                                "xmax": xmin + (c0 + w) * pw,
-                                "ymin": ymax - (r0 + h) * ph,
-                            },
-                            "crs": info.crs,
-                            "tile": Tile(arr, ct).to_row(),
-                        })
+                for c0, r0, w, h, (exmin, eymin, exmax, eymax) in \
+                        iter_chunk_windows(info, tw, th):
+                    if query_extent is not None and not (
+                            exmin < qx1 and exmax > qx0
+                            and eymin < qy1 and eymax > qy0):
+                        continue
+                    # Tile.__init__ applies ct.mask_of (== nodata) to
+                    # plain arrays — no explicit masking needed here
+                    arr = GT.read_window(data, info, c0, r0, w, h, band)
+                    rows.append({
+                        "path": path, "ts": ts,
+                        "spatial_key": {"col": c0 // tw, "row": r0 // th},
+                        "extent": {"xmin": exmin, "ymax": eymax,
+                                   "xmax": exmax, "ymin": eymin},
+                        "crs": info.crs,
+                        "tile": Tile(arr, ct).to_row(),
+                    })
             yield pd.DataFrame(rows, columns=[
                 "path", "ts", "spatial_key", "extent", "crs", "tile"])
 
