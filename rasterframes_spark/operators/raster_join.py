@@ -409,11 +409,14 @@ def raster_join(
 
 
 def release_raster_join_cache(result: DataFrame) -> bool:
-    """Unpersist the input frames a ``raster_join(..., cache_inputs=True)``
-    call persisted for ``result``.  Call after the result has been
-    materialized (written, collected, or cached itself); recomputing the
-    result afterwards is still correct (deterministic ids), just slower.
-    Returns True if there was a cache to release."""
+    """Unpersist the input frames an operator persisted for ``result``
+    (any result carrying a ``_rf_cached_inputs`` handle: raster_join with
+    ``cache_inputs=True``, minhash_dedup_pairs / simhash_near_pairs
+    signature caches).  Call after the result has been materialized
+    (written, collected, or cached itself); recomputing afterwards is
+    still correct, just slower.  Also exported as
+    ``rasterframes_spark.release_cache``.  Returns True if there was a
+    cache to release."""
     cached = getattr(result, "_rf_cached_inputs", None)
     if not cached:
         return False

@@ -15,8 +15,6 @@ Scale posture (the whole point of these):
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 
@@ -203,17 +201,6 @@ def minhash_signature_text(text_col, shingle_size: int = 3,
     return udf(text_col)
 
 
-def hash_bytes64(data: bytes) -> int:
-    """Deterministic 64-bit hash across processes (unlike Python hash()) —
-    two salted CRC32s (zlib, C speed) packed into 64 bits."""
-    return (zlib.crc32(data) | (zlib.crc32(data, 0x9E3779B9) << 32)) & 0xFFFFFFFFFFFFFFFF
-
-
-def hash_bytes32(data: bytes) -> int:
-    """Deterministic 31-bit hash (int64-safe universal hashing domain)."""
-    return zlib.crc32(data) & 0x7FFFFFFF
-
-
 def _spread(df: DataFrame, rows: int | None = None,
             rows_per_task: int = 2000) -> DataFrame:
     """Spread a narrow input across cores before a per-row UDF pass.
@@ -304,7 +291,13 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str = "minhash",
     id pairs. Returns distinct (id_a, id_b) with id_a < id_b.
 
     ``input_rows``: known row count of ``df`` — lets the skew guard skip hot
-    -bucket detection entirely when no bucket can reach the threshold."""
+    -bucket detection entirely when no bucket can reach the threshold.
+
+    ``bands`` must divide the signature length: a remainder silently drops
+    trailing minhash values from banding, and bands > num_perm floors the
+    band width to 0 — every band bucket collapses to its seed and ALL
+    documents collide (silent all-pairs blowup). Validated at plan build
+    via an assertion column; the common num_perm mismatch raises here."""
     rows_per_band = F.floor(F.size(sig_col) / bands).cast("int")
     banded = df.select(
         F.col(id_col).alias("__id"),
@@ -354,6 +347,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     # fused text->shingle->minhash: one Arrow crossing of the raw text
     # (see minhash_signature_text) — no corpus-wide HOF shingling, and the
     # cached signatures carry 64 longs per doc instead of shingle arrays
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"minhash_dedup_pairs: bands ({bands}) must divide num_perm "
+            f"({num_perm}) — a remainder silently drops trailing minhash "
+            "values from banding (and bands > num_perm collapses every "
+            "bucket to its band index: all-pairs blowup)")
     sigs = src.select("__id", minhash_signature_text(
         "__txt", shingle_size, num_perm).alias("minhash"))
     sigs = sigs.where(F.col("minhash").isNotNull())
@@ -371,6 +370,9 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
             "__ta", "__tb", shingle_size), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    # cached-signature handle: release with
+    # rasterframes_spark.release_cache(result) once materialized
+    verified._rf_cached_inputs = (sigs,)
     return verified
 
 
@@ -443,6 +445,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                            F.col(text_col).alias("__t")),
                  rows=n_docs if isinstance(n_docs, int) else None) \
         .select("__id", simhash("__t").alias("__sh"))
+    # the tokenize+hash UDF pass is the dominant cost and _salted_self_pairs
+    # scans the frame up to 3x (hot-count + both join sides)
+    sh = sh.cache()
     mask = (1 << width) - 1
     if mask >= (1 << 63):
         mask -= 1 << 64  # two's-complement signed long (width == 64 -> -1)
@@ -461,6 +466,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    # cached-signature handle: release with
+    # rasterframes_spark.release_cache(result) once materialized
+    pairs._rf_cached_inputs = (sh,)
     return pairs
 
 
@@ -490,7 +498,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     t = df.select(
         F.col(id_col).alias("__id"),
         *(block_cols or []),
-        F.array_distinct(shingles(text_col, n)).alias("__grams"),
+        shingles(text_col, n).alias("__grams"),
     )
     a, b = t.alias("a"), t.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
@@ -518,7 +526,9 @@ def cosine_sim(a, b) -> Column:
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    # try_divide: a zero-norm vector has no defined cosine — NULL (which
+    # callers filter) instead of an ANSI DIVIDE_BY_ZERO error
+    return F.try_divide(dot, na * nb)
 
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str = "embedding",
@@ -596,7 +606,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             "Raise max_iter (rounds needed = component diameter), or use a "
             "large-star/small-star contraction for adversarially long "
             "chains.")
-    return labels.select(F.col("src").alias(id_a.replace("_a", "")
+    return labels.select(F.col("src").alias(id_a.removesuffix("_a")
                                             if id_a.endswith("_a") else "id"),
                          F.col("comp").alias("cluster_id"))
 

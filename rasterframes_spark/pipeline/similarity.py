@@ -106,6 +106,17 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     but Catalyst HOF lambdas are interpreted per element, so it loses to
     BLAS as q x dim grows. Verify with .explain(): BroadcastNestedLoopJoin
     over broadcast(queries).
+
+    Zero-norm vectors (e.g. all-zero embeddings from failed encodes) have
+    no defined cosine: both methods EXCLUDE them — as corpus rows and as
+    queries — instead of letting NaN (sorts FIRST under desc) or NULL
+    (sorts last) leak method-dependent top-k.
+
+    Scale posture (matmul): each Arrow batch prunes to its own top-k per
+    query (ties at the k-th value kept) BEFORE emitting, so the global
+    rank window shuffles O(batches x k x q) rows, not |corpus| x q —
+    exactness preserved because the global top-k is the top-k of the
+    union of per-batch top-ks.
     """
     if method == "sql":
         q = queries.select(
@@ -119,7 +130,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             "neighbor_id",
             F.round(cosine_sim(F.col("__cv").cast("array<double>"),
                                F.col("__qv").cast("array<double>")), 6).alias("cos"),
-        )
+        ).where(F.col("cos").isNotNull())  # zero-norm/null vectors excluded
     else:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -136,7 +147,10 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         Q = (np.stack([np.asarray(r["__qv"], dtype="float64") for r in qrows])
              if qrows else np.zeros((0, 1)))
         Qn = np.sqrt((Q * Q).sum(axis=1))
+        qok = Qn > 0  # zero-norm queries have no defined cosine: excluded
+        qids, Q, Qn = qids[qok], Q[qok], Qn[qok]
         nq = len(qids)
+        kk = int(k)
 
         out_schema = StructType([
             StructField(query_id, queries.schema[query_id].dataType, True),
@@ -155,14 +169,24 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 X = np.stack([np.asarray(vals[i], dtype="float64") for i in ok])
                 ids = pdf["neighbor_id"].to_numpy()[ok]
                 Xn = np.sqrt((X * X).sum(axis=1))
-                den = Xn[:, None] * Qn[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.where(den > 0, (X @ Q.T) / den, np.nan)
-                n = len(ok)
+                keep = Xn > 0  # zero-norm corpus rows excluded (see doc)
+                X, ids, Xn = X[keep], ids[keep], Xn[keep]
+                n = len(ids)
+                if not n:
+                    continue
+                cos = (X @ Q.T) / (Xn[:, None] * Qn[None, :])  # (n, nq)
+                # per-batch top-k prune (all ties at the k-th value kept,
+                # so the later id tiebreak stays exact)
+                if n > kk:
+                    kth = np.partition(cos, n - kk, axis=0)[n - kk]
+                    mask = cos >= kth[None, :]
+                else:
+                    mask = np.ones_like(cos, dtype=bool)
+                ii, jj = np.nonzero(mask)
                 yield pd.DataFrame({
-                    query_id: np.tile(qids, n),
-                    "neighbor_id": np.repeat(ids, nq),
-                    "__rawcos": cos.ravel(),
+                    query_id: qids[jj],
+                    "neighbor_id": ids[ii],
+                    "__rawcos": cos[ii, jj],
                 })
 
         scored = (
@@ -239,16 +263,28 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     else:
         n_corpus = corpus_rows if corpus_rows is not None else corpus.count()
+        base = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
         if n_corpus > sample_size:
-            frac = min(1.0, 2.0 * sample_size / n_corpus)
-            sampled = corpus.select(vec_col).sample(False, frac, seed=seed) \
-                .limit(sample_size)
+            # no limit() after sample: limit satisfies itself from the
+            # earliest partitions, reintroducing exactly the positional
+            # bias this path exists to avoid — collect the whole ~1.2x
+            # Bernoulli sample (bounded) and downsample uniformly below
+            frac = min(1.0, 1.2 * sample_size / n_corpus)
+            sampled = base.sample(False, frac, seed=seed)
         else:
-            sampled = corpus.select(vec_col)
-        sample = np.array([r[0] for r in sampled.collect()], dtype="float64")
+            sampled = base
+        rows = sampled.collect()
+        if not rows:
+            raise ValueError(
+                "ivf_ann_topk: no non-null embeddings to train centroids "
+                "on — pass centroids= explicitly or fix the corpus")
+        rng = np.random.default_rng(seed)
+        if len(rows) > sample_size:
+            rows = [rows[i] for i in rng.choice(len(rows), size=sample_size,
+                                                replace=False)]
+        sample = np.array([r[0] for r in rows], dtype="float64")
         norms = np.linalg.norm(sample, axis=1, keepdims=True)
         sample = sample / np.maximum(norms, 1e-12)
-        rng = np.random.default_rng(seed)
         cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)),
                                   replace=False)]
         for _ in range(10):  # Lloyd's on the sample (cosine ~ dot on normalized)

@@ -793,3 +793,39 @@ def test_corpus_stats_vs_duckdb(spark):
     assert got["n_sources"] == int(exp["ns"])
     assert abs(got["p50_tokens"] - float(exp["p50"])) <= 2  # sketch band
     assert sum(got["languages"].values()) == got["n_docs"]
+
+
+def test_cosine_topk_zero_norm_and_prune_agreement(spark, emb):
+    """Both cosine_topk methods must agree on a corpus containing
+    zero-norm vectors (previously matmul's NaN sorted FIRST under desc
+    and took rank 1 everywhere while sql's NULL sorted last); the
+    per-batch top-k prune keeps exactness incl. low-batch-count edge."""
+    from pyspark.sql import Row
+
+    dim = len(emb.select("embedding").head()["embedding"])
+    corpus = emb.limit(40).unionByName(spark.createDataFrame(
+        [Row(vec_id=99991, embedding=[0.0] * dim, label=0),
+         Row(vec_id=99992, embedding=None, label=0)],
+        emb.schema))
+    queries = (emb.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    def res(method):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+            for r in P.cosine_topk(corpus, queries, k=5,
+                                   method=method).collect())
+
+    mm, sql = res("matmul"), res("sql")
+    assert mm == sql
+    assert not any(n in (99991, 99992) for _, _, n, _ in mm)
+    assert len(mm) == 15  # 3 queries x k=5, zero/null rows excluded
+
+
+def test_minhash_bands_guard(spark, docs):
+    """bands must divide num_perm — a remainder silently degraded recall
+    and bands > num_perm collapsed every bucket (all-pairs blowup)."""
+    with pytest.raises(ValueError, match="divide num_perm"):
+        P.minhash_dedup_pairs(docs, "doc_id", "text", num_perm=32, bands=10)
+    with pytest.raises(ValueError, match="divide num_perm"):
+        P.minhash_dedup_pairs(docs, "doc_id", "text", num_perm=32, bands=64)
