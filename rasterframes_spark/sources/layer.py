@@ -47,33 +47,36 @@ def write_tile_layer(df: DataFrame, path: str, extent_col: str = "extent",
         .write.mode("overwrite")
         .parquet(path)
     )
-    # layer-wide metadata (TileLayerMetadata analog)
-    agg = df.agg(
-        F.min(f"{extent_col}.xmin").alias("xmin"),
-        F.min(f"{extent_col}.ymin").alias("ymin"),
-        F.max(f"{extent_col}.xmax").alias("xmax"),
-        F.max(f"{extent_col}.ymax").alias("ymax"),
-        F.max(F.col(f"{extent_col}.xmax") - F.col(f"{extent_col}.xmin")).alias("tw"),
-        F.max(F.col(f"{extent_col}.ymax") - F.col(f"{extent_col}.ymin")).alias("th"),
-        F.first(crs_col).alias("crs"),
-        F.count("*").alias("tile_count"),
-    ).head()
-    meta = {
-        "extent": [agg["xmin"], agg["ymin"], agg["xmax"], agg["ymax"]],
-        # max tile footprint: queries expand by half of this so centroid-
-        # indexed tiles overlapping the query are never pruned
-        "max_tile_size": [agg["tw"], agg["th"]],
-        "crs": agg["crs"],
-        "tile_count": agg["tile_count"],
-        "index": "z2",
-    }
-    with open(os.path.join(path, "_layer_metadata.json"), "w") as f:
-        json.dump(meta, f)
+    # layer-wide metadata (TileLayerMetadata analog) — same aggregation
+    # as the bucketed-table writer (_compute_layer_meta; one source of
+    # the metadata shape). Local paths write a plain json file; remote
+    # paths (s3a://, hdfs://) go through a one-row Spark text write so
+    # the sink works wherever the parquet write did.
+    meta = _compute_layer_meta(df, extent_col, crs_col)
+    if "://" not in path or path.startswith("file://"):
+        local = path[7:] if path.startswith("file://") else path
+        with open(os.path.join(local, "_layer_metadata.json"), "w") as f:
+            json.dump(meta, f)
+    else:
+        (df.sparkSession.createDataFrame([(json.dumps(meta),)], "value string")
+         .coalesce(1).write.mode("overwrite")
+         .text(path.rstrip("/") + "/_layer_metadata"))
 
 
-def layer_metadata(path: str) -> dict:
-    with open(os.path.join(path, "_layer_metadata.json")) as f:
-        return json.load(f)
+def layer_metadata(path: str, spark: SparkSession | None = None) -> dict:
+    """Layer metadata from either storage form: the local json file, or
+    (remote layers) the Spark-written ``_layer_metadata`` text dir."""
+    local = path[7:] if path.startswith("file://") else path
+    if "://" not in local:
+        try:
+            with open(os.path.join(local, "_layer_metadata.json")) as f:
+                return json.load(f)
+        except OSError:
+            pass
+    if spark is not None:
+        row = spark.read.text(path.rstrip("/") + "/_layer_metadata").head()
+        return json.loads(row["value"])
+    raise OSError(f"no layer metadata at {path}")
 
 
 def read_tile_layer(spark: SparkSession, path: str,
@@ -90,11 +93,16 @@ def read_tile_layer(spark: SparkSession, path: str,
     # CENTROID's Z2, so a tile overlapping the query may be centered
     # up to tile_size/2 outside it
     try:
-        tw, th = layer_metadata(path)["max_tile_size"]
+        tw, th = layer_metadata(path, spark)["max_tile_size"]
         ranges = sfc.z2_ranges(xmin - tw / 2, ymin - th / 2,
                                xmax + tw / 2, ymax + th / 2, max_depth=max_depth)
-    except (OSError, KeyError):
-        ranges = sfc.z2_ranges(xmin, ymin, xmax, ymax, max_depth=max_depth)
+    except Exception:
+        # metadata unavailable: SKIP the Z2 prefilter rather than apply
+        # unexpanded ranges — the index is the extent CENTROID's Z2, so
+        # unexpanded ranges silently drop tiles that overlap the query
+        # but are centered outside it; the exact bbox filter below is
+        # then the only (correct, just unpruned) filter
+        ranges = []
     cond = None
     for lo, hi in ranges:
         c = F.col("spatial_index").between(int(lo), int(hi))
@@ -182,7 +190,7 @@ def read_tile_layer_table(spark: SparkSession, table_name: str,
         ranges = sfc.z2_ranges(xmin - tw / 2, ymin - th / 2,
                                xmax + tw / 2, ymax + th / 2, max_depth=max_depth)
     except Exception:
-        ranges = sfc.z2_ranges(xmin, ymin, xmax, ymax, max_depth=max_depth)
+        ranges = []  # same under-selection hazard as read_tile_layer
     cond = None
     for lo, hi in ranges:
         c = F.col("spatial_index").between(int(lo), int(hi))

@@ -46,23 +46,8 @@ RASTER_REF_SCHEMA = (
 
 _CHUNK_T = (
     "array<struct<col_off:int,row_off:int,width:int,height:int,"
-    "xmin:double,ymin:double,xmax:double,ymax:double,crs:string,"
-    "cell_type:string,full_width:int,full_height:int>>"
+    "xmin:double,ymin:double,xmax:double,ymax:double,crs:string>>"
 )
-
-
-@functools.lru_cache(maxsize=64)
-def _fetch_bytes(uri: str) -> bytes:
-    """Whole-object fetch (legacy convenience). The data path uses
-    ``_range_source`` instead — windowed reads must NOT download the object."""
-    if uri.startswith("http://") or uri.startswith("https://"):
-        from urllib.request import urlopen
-
-        with urlopen(uri) as r:  # noqa: S310 — user-supplied catalog URI
-            return r.read()
-    path = uri[7:] if uri.startswith("file://") else uri
-    with open(path, "rb") as f:
-        return f.read()
 
 
 @functools.lru_cache(maxsize=64)
@@ -169,7 +154,6 @@ def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
                 out.append(None)
                 continue
             info = _cached_info(str(uri))
-            ct = _celltype_for(info)
             chunks = []
             for c0, r0, w, h, (exmin, eymin, exmax, eymax) in \
                     iter_chunk_windows(info, tw, th):
@@ -177,8 +161,7 @@ def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
                     "col_off": c0, "row_off": r0, "width": w, "height": h,
                     "xmin": exmin, "ymax": eymax,
                     "xmax": exmax, "ymin": eymin,
-                    "crs": info.crs, "cell_type": ct,
-                    "full_width": info.width, "full_height": info.height,
+                    "crs": info.crs,
                 })
             out.append(chunks)
         return pd.Series(out, dtype=object)

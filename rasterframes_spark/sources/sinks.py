@@ -191,31 +191,73 @@ def write_slippy(df: DataFrame, directory: str, zoom: int = 4,
     rows = df.select(tile_col, extent_col, crs_col).collect()
     n = 2 ** zoom
     world = 2 * math.pi * 6378137.0 / 2
+    step = 2 * world / n
+
+    # decode once; global lo/hi so every slippy tile shares one gray ramp
+    srcs = []
+    lo, hi = math.inf, -math.inf
     for r in rows:
-        e = r[extent_col]
-        merc = P.transform_extent((e["xmin"], e["ymin"], e["xmax"], e["ymax"]),
-                                  r[crs_col], "EPSG:3857")
-        x0 = int((merc[0] + world) / (2 * world) * n)
-        x1 = int((merc[2] + world) / (2 * world) * n)
-        y0 = int((world - merc[3]) / (2 * world) * n)
-        y1 = int((world - merc[1]) / (2 * world) * n)
         t = Tile.from_parts(r[tile_col]["cell_type"], r[tile_col]["cols"],
                             r[tile_col]["rows"], bytes(r[tile_col]["cells"]))
         a = t.masked().astype("float64")
-        lo, hi = float(a.min()), float(a.max())
-        span = (hi - lo) or 1.0
-        gray = np.clip(((a - lo) / span * 255).filled(0), 0, 255).astype("uint8")
+        if a.count():
+            lo = min(lo, float(a.min()))
+            hi = max(hi, float(a.max()))
+        e = r[extent_col]
+        srcs.append((a, (float(e["xmin"]), float(e["ymin"]),
+                         float(e["xmax"]), float(e["ymax"])), r[crs_col]))
+    span = ((hi - lo) or 1.0) if hi >= lo else 1.0
+
+    # per-slippy-tile canvases: each z/x/y tile samples the SOURCE at ITS
+    # OWN 256x256 pixel centers (not the whole source image squeezed into
+    # every covered tile), and overlapping source rows MERGE
+    # first-non-NoData instead of overwriting
+    canvases = {}
+    for a, (sxmin, symin, sxmax, symax), crs in srcs:
+        merc = P.transform_extent((sxmin, symin, sxmax, symax), crs,
+                                  "EPSG:3857")
+        x0 = max(0, int((merc[0] + world) / (2 * world) * n))
+        x1 = min(n - 1, int((merc[2] + world) / (2 * world) * n))
+        y0 = max(0, int((world - merc[3]) / (2 * world) * n))
+        y1 = min(n - 1, int((world - merc[1]) / (2 * world) * n))
+        spw = (sxmax - sxmin) / a.shape[1]
+        sph = (symax - symin) / a.shape[0]
         for zx in range(x0, x1 + 1):
             for zy in range(y0, y1 + 1):
-                d = os.path.join(directory, str(zoom), str(zx))
-                os.makedirs(d, exist_ok=True)
-                # nearest resample of the source gray into 256x256
-                ri = np.minimum((np.arange(256) * gray.shape[0] / 256).astype(int),
-                                gray.shape[0] - 1)
-                ci = np.minimum((np.arange(256) * gray.shape[1] / 256).astype(int),
-                                gray.shape[1] - 1)
-                with open(os.path.join(d, f"{zy}.png"), "wb") as f:
-                    f.write(encode_png(gray[np.ix_(ri, ci)]))
+                txmin = -world + zx * step
+                tymax = world - zy * step
+                mx = txmin + (np.arange(256) + 0.5) * step / 256
+                my = tymax - (np.arange(256) + 0.5) * step / 256
+                gx, gy = np.meshgrid(mx, my)
+                sx, sy = P.transform_points(gx.ravel(), gy.ravel(),
+                                            "EPSG:3857", crs)
+                ci = np.floor((sx - sxmin) / spw).astype("int64")
+                ri = np.floor((symax - sy) / sph).astype("int64")
+                valid = ((ci >= 0) & (ci < a.shape[1])
+                         & (ri >= 0) & (ri < a.shape[0]))
+                if not valid.any():
+                    continue
+                sample = np.zeros(ci.shape, dtype="float64")
+                smask = ~valid
+                sv = a[ri[valid], ci[valid]]
+                sample[valid] = np.asarray(sv.filled(0))
+                smask[valid] |= np.ma.getmaskarray(sv)
+                sample = sample.reshape(256, 256)
+                smask = smask.reshape(256, 256)
+                canvas, cmask = canvases.setdefault(
+                    (zx, zy), (np.zeros((256, 256)),
+                               np.ones((256, 256), dtype=bool)))
+                fill = cmask & ~smask
+                canvas[fill] = sample[fill]
+                cmask &= ~fill
+
+    for (zx, zy), (canvas, cmask) in canvases.items():
+        d = os.path.join(directory, str(zoom), str(zx))
+        os.makedirs(d, exist_ok=True)
+        gray = np.clip((canvas - lo) / span * 255, 0, 255).astype("uint8")
+        gray[cmask] = 0
+        with open(os.path.join(d, f"{zy}.png"), "wb") as f:
+            f.write(encode_png(gray))
 
 
 def write_slippy_pyramid(df: DataFrame, directory: str, max_zoom: int,
@@ -259,8 +301,11 @@ def write_geojson(df: DataFrame, path: str, geom_col: str = "geometry",
     # build each line with string concat so the geometry JSON embeds raw
     prop_json = F.to_json(F.struct(*[F.col(c) for c in props])) if props \
         else F.lit("{}")
+    # null geometry is a LEGAL GeoJSON Feature ({"geometry": null}) —
+    # coalesce to the literal so F.concat's null propagation does not
+    # silently emit a blank line and drop the feature's properties
     line = F.concat(
         F.lit('{"type": "Feature", "geometry": '),
-        st_as_geojson(geom_col),
+        F.coalesce(st_as_geojson(geom_col), F.lit("null")),
         F.lit(', "properties": '), prop_json, F.lit("}"))
     df.select(line.alias("value")).write.mode(mode).text(path)

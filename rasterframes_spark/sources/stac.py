@@ -37,7 +37,13 @@ _ITEMS_SCHEMA = ("id string, collection string, datetime string, "
 def _items_to_df(spark: SparkSession, items: list[dict]) -> DataFrame:
     rows = []
     for it in items:
-        bb = [None if v is None else float(v) for v in (it.get("bbox") or [None] * 4)]
+        bb = [None if v is None else float(v)
+              for v in (it.get("bbox") or [None] * 4)]
+        if len(bb) == 6:
+            # 3D STAC bbox [xmin, ymin, zmin, xmax, ymax, zmax] — drop z
+            # (a 4-element read of it would take zmin/xmax as xmax/ymax
+            # and silently break every bbox filter downstream)
+            bb = [bb[0], bb[1], bb[3], bb[4]]
         rows.append({
             "id": it.get("id"),
             "collection": it.get("collection"),
@@ -57,7 +63,12 @@ def read_stac_items(spark: SparkSession, path: str, bbox: tuple | None = None,
     """STAC ItemCollection JSON -> items DataFrame
     (id, collection, datetime, bbox struct, geometry WKB, assets map)."""
     with open(path) as f:
-        doc = json.load(f)
+        text = f.read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        # newline-delimited items (one JSON object per line)
+        doc = [json.loads(line) for line in text.splitlines() if line.strip()]
     items = doc["features"] if isinstance(doc, dict) and "features" in doc else doc
     if isinstance(items, dict):
         items = [items]
@@ -119,7 +130,13 @@ def stac_api_search(spark: SparkSession, url: str, bbox: tuple | None = None,
     items: list[dict] = []
     doc = post(endpoint, body)
     while True:
-        items.extend(doc.get("features") or [])
+        page = doc.get("features") or []
+        items.extend(page)
+        if not page:
+            # progress guard: some servers emit a rel=next link on the
+            # final empty page (or repeat one) — without this the loop
+            # would spin on identical requests forever
+            break
         if len(items) >= max_items:
             items = items[:max_items]
             break

@@ -767,3 +767,108 @@ def test_gdal_fallback_real_jp2_parity(tmp_path):
     assert (tinfo.width, tinfo.height) == (info.width, info.height)
     np.testing.assert_array_equal(
         GT.read_window(tif_bytes, tinfo, 10, 5, 16, 12), win)
+
+
+def test_slippy_subwindow_and_merge(spark, tmp_path):
+    """A source spanning two slippy columns must render DIFFERENT pixels
+    into each (its sub-window, not the whole image squeezed into both),
+    and two source rows covering one slippy tile must merge, not
+    overwrite (r6 review findings)."""
+    from rasterframes_spark.sources.png import decode_png
+    from rasterframes_spark.sources.sinks import write_slippy
+
+    # zoom 1, EPSG:3857: world splits into 2x2 tiles at x=0.
+    # One source raster spanning x in [-w/2, w/2] crosses both columns;
+    # left half value 10, right half value 200.
+    TILE_T = "struct<cell_type:string,cols:int,rows:int,cells:binary>"
+    world = 2 * 3.141592653589793 * 6378137.0 / 2
+    arr = np.zeros((64, 64), dtype="float64")
+    arr[:, :32] = 100.0
+    arr[:, 32:] = 200.0
+    arr[0, :] = 0.0  # pins the global lo so both halves normalize > 0
+    t = Tile(arr, "float64")
+    EXT = "struct<xmin:double,ymin:double,xmax:double,ymax:double>"
+    df = spark.createDataFrame(
+        [{"tile": t.to_row(),
+          "extent": {"xmin": -world / 2, "ymin": -world / 4,
+                     "xmax": world / 2, "ymax": world / 4},
+          "crs": "EPSG:3857"}],
+        schema=f"tile {TILE_T}, extent {EXT}, crs string")
+    out = str(tmp_path / "slip")
+    write_slippy(df, out, zoom=1)
+    left = decode_png(open(f"{out}/1/0/0.png", "rb").read())
+    right = decode_png(open(f"{out}/1/1/0.png", "rb").read())
+    # the two columns see DIFFERENT halves of the source: the left tile's
+    # populated pixels are the low value, the right tile's the high one
+    lv = left[left > 0]
+    rv = right[right > 0]
+    assert len(lv) and len(rv)
+    assert lv.max() < rv.min()  # left column sees only the low half
+
+    # merge: two rows, each covering ONE half of a single zoom-0 tile —
+    # both must land in the one 0/0/0.png
+    a1 = np.full((32, 32), 50.0); a1[0, 0] = 0.0  # pin lo
+    half = Tile(a1, "float64")
+    half2 = Tile(np.full((32, 32), 250.0), "float64")
+    df2 = spark.createDataFrame(
+        [{"tile": half.to_row(),
+          "extent": {"xmin": -world / 2, "ymin": -world / 4,
+                     "xmax": 0.0, "ymax": world / 4}, "crs": "EPSG:3857"},
+         {"tile": half2.to_row(),
+          "extent": {"xmin": 0.0, "ymin": -world / 4,
+                     "xmax": world / 2, "ymax": world / 4},
+          "crs": "EPSG:3857"}],
+        schema=f"tile {TILE_T}, extent {EXT}, crs string")
+    out2 = str(tmp_path / "slip2")
+    write_slippy(df2, out2, zoom=0)
+    img = decode_png(open(f"{out2}/0/0/0.png", "rb").read())
+    vals = set(np.unique(img))
+    assert len(vals & {0}) == 1  # background present
+    assert len(vals) >= 3        # background + BOTH rows' values
+
+
+def test_stac_3d_bbox_and_ndjson(spark, tmp_path):
+    """6-element (3D) STAC bboxes drop z instead of mis-slotting
+    zmin/xmax; newline-delimited item files parse (r6 review)."""
+    import json as _json
+
+    from rasterframes_spark.sources.stac import read_stac_items
+
+    item = {"id": "a", "collection": "c",
+            "properties": {"datetime": "2024-01-01T00:00:00Z"},
+            "bbox": [-120.0, 35.0, 0.0, -119.0, 36.0, 1200.0],
+            "geometry": None, "assets": {"b": {"href": "x.tif"}}}
+    item2 = dict(item, id="b", bbox=[-10.0, -10.0, 10.0, 10.0])
+    p = tmp_path / "items.ndjson"
+    p.write_text(_json.dumps(item) + "\n" + _json.dumps(item2) + "\n")
+    df = read_stac_items(spark, str(p))
+    rows = {r["id"]: r["bbox"] for r in df.collect()}
+    assert rows["a"]["xmax"] == -119.0 and rows["a"]["ymax"] == 36.0
+    assert rows["b"]["xmax"] == 10.0
+    # bbox filter keeps the 3D item correctly
+    hit = read_stac_items(spark, str(p), bbox=(-121, 34, -118, 37))
+    assert [r["id"] for r in hit.collect()] == ["a"]
+
+
+def test_write_geojson_null_geometry(spark, tmp_path):
+    """Null geometry emits a legal Feature with \"geometry\": null, not a
+    blank line that silently drops the row (r6 review)."""
+    import glob
+    import json as _json
+
+    import rasterframes_spark as rf
+    from rasterframes_spark.sources.sinks import write_geojson
+
+    df = spark.createDataFrame(
+        [("a", "POINT(1 2)"), ("b", None)], "name string, wkt string"
+    ).select("name", rf.st_geomFromWKT("wkt").alias("geometry"))
+    out = str(tmp_path / "gj")
+    write_geojson(df, out)
+    lines = []
+    for f in glob.glob(f"{out}/part-*"):
+        lines += [ln for ln in open(f).read().splitlines() if ln]
+    feats = {_json.loads(ln)["properties"]["name"]: _json.loads(ln)
+             for ln in lines}
+    assert set(feats) == {"a", "b"}
+    assert feats["b"]["geometry"] is None
+    assert feats["a"]["geometry"]["type"] == "Point"
