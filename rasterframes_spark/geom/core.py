@@ -71,20 +71,38 @@ def _wkb_read(mv, off):
     off += 1
     (code,) = struct.unpack_from(bo + "I", mv, off)
     off += 4
-    srid = None
-    if code & 0x20000000:  # EWKB SRID flag
+    # dimension flags: EWKB bit flags (PostGIS) and ISO +1000/+2000/+3000
+    # offsets both mean extra coords per vertex — read the full stride and
+    # DROP z/m (a 2-D read of a 3-D stream garbles every coordinate)
+    extra = 0
+    if code & 0x80000000:  # EWKB Z
+        extra += 1
+        code &= ~0x80000000
+    if code & 0x40000000:  # EWKB M
+        extra += 1
+        code &= ~0x40000000
+    if code & 0x20000000:  # EWKB SRID flag (4-byte srid follows)
         off += 4
         code &= ~0x20000000
-    code = code % 1000  # tolerate ISO Z/M codes
+    iso = code // 1000  # 1=Z, 2=M, 3=ZM
+    if iso in (1, 2):
+        extra += 1
+    elif iso == 3:
+        extra += 2
+    code = code % 1000
+    dim = 2 + extra
+    stride = 8 * dim
+    fmt = bo + "d" * dim
     gtype = _WKB_TYPES[code]
     if gtype == "Point":
-        x, y = struct.unpack_from(bo + "dd", mv, off)
-        return ("Point", (x, y)), off + 16
+        vals = struct.unpack_from(fmt, mv, off)
+        return ("Point", (vals[0], vals[1])), off + stride
     if gtype == "LineString":
         (n,) = struct.unpack_from(bo + "I", mv, off)
         off += 4
-        pts = list(struct.iter_unpack(bo + "dd", mv[off:off + 16 * n].tobytes()))
-        return ("LineString", pts), off + 16 * n
+        pts = [(v[0], v[1]) for v in struct.iter_unpack(
+            fmt, mv[off:off + stride * n].tobytes())]
+        return ("LineString", pts), off + stride * n
     if gtype == "Polygon":
         (nr,) = struct.unpack_from(bo + "I", mv, off)
         off += 4
@@ -92,8 +110,9 @@ def _wkb_read(mv, off):
         for _ in range(nr):
             (n,) = struct.unpack_from(bo + "I", mv, off)
             off += 4
-            rings.append(list(struct.iter_unpack(bo + "dd", mv[off:off + 16 * n].tobytes())))
-            off += 16 * n
+            rings.append([(v[0], v[1]) for v in struct.iter_unpack(
+                fmt, mv[off:off + stride * n].tobytes())])
+            off += stride * n
         return ("Polygon", rings), off
     # multi / collection
     (n,) = struct.unpack_from(bo + "I", mv, off)
@@ -144,6 +163,9 @@ def _num(v: float) -> str:
 
 def wkt_loads(text: str):
     text = text.strip()
+    if text.upper().endswith("EMPTY"):
+        # canonical empty geometry (any 'X EMPTY' form)
+        return ("GeometryCollection", [])
     i = text.index("(") if "(" in text else len(text)
     head = text[:i].strip().upper().replace(" Z", "").replace(" M", "")
     body = text[i:]
@@ -278,8 +300,12 @@ def _points(geom):
 
 
 def envelope(geom):
-    pts = np.asarray(_points(geom), dtype="float64")
-    return (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+    """Bounding box, or None for an empty geometry (zero points)."""
+    pts = _points(geom)
+    if not pts:
+        return None
+    a = np.asarray(pts, dtype="float64")
+    return (a[:, 0].min(), a[:, 1].min(), a[:, 0].max(), a[:, 1].max())
 
 
 # ---------------------------------------------------------------------------
@@ -462,10 +488,19 @@ def segments_intersect_any(line1, line2) -> bool:
 
 def _bbox_disjoint(g1, g2) -> bool:
     e1, e2 = envelope(g1), envelope(g2)
+    if e1 is None or e2 is None:  # empty geometry touches nothing
+        return True
     return e1[2] < e2[0] or e2[2] < e1[0] or e1[3] < e2[1] or e2[3] < e1[1]
 
 
 def intersects(g1, g2) -> bool:
+    # decompose collections so every pairwise branch below sees concrete
+    # component types (a GC fell through the type guards and returned
+    # False regardless of its contents)
+    if g1[0] == "GeometryCollection":
+        return any(intersects(g, g2) for g in g1[1])
+    if g2[0] == "GeometryCollection":
+        return any(intersects(g1, g) for g in g2[1])
     if _bbox_disjoint(g1, g2):
         return False
     polys1, polys2 = _polygons(g1), _polygons(g2)
@@ -587,6 +622,10 @@ def _pts_to_segs_dist(pts: np.ndarray, line: np.ndarray) -> np.ndarray:
 
 
 def distance(g1, g2) -> float:
+    if g1[0] == "GeometryCollection":
+        return min((distance(g, g2) for g in g1[1]), default=math.inf)
+    if g2[0] == "GeometryCollection":
+        return min((distance(g1, g) for g in g2[1]), default=math.inf)
     if intersects(g1, g2):
         return 0.0
     best = math.inf
@@ -659,8 +698,29 @@ def box_polygon(xmin, ymin, xmax, ymax):
 
 
 def buffer_point(pt, radius, segments=32):
+    """Planar circular buffer (radius in coordinate units)."""
     ang = np.linspace(0, 2 * math.pi, segments + 1)
     ring = [(pt[0] + radius * math.cos(a), pt[1] + radius * math.sin(a)) for a in ang]
+    ring[-1] = ring[0]
+    return ("Polygon", [ring])
+
+
+def buffer_point_geodesic(pt, radius_m, segments=64):
+    """Geodesic point buffer: ring of points at constant great-circle
+    distance ``radius_m`` METERS from a lon/lat point (spherical direct
+    formula — the geomesa st_bufferPoint contract, which takes meters,
+    not degrees)."""
+    lon, lat = math.radians(pt[0]), math.radians(pt[1])
+    d = radius_m / EARTH_RADIUS_M
+    ring = []
+    for i in range(segments + 1):
+        th = 2 * math.pi * i / segments
+        lat2 = math.asin(math.sin(lat) * math.cos(d)
+                         + math.cos(lat) * math.sin(d) * math.cos(th))
+        lon2 = lon + math.atan2(
+            math.sin(th) * math.sin(d) * math.cos(lat),
+            math.cos(d) - math.sin(lat) * math.sin(lat2))
+        ring.append((math.degrees(lon2), math.degrees(lat2)))
     ring[-1] = ring[0]
     return ("Polygon", [ring])
 

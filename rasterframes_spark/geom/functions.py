@@ -171,10 +171,11 @@ def st_centroid(geom) -> Column:
 def _envelope_udf(s: pd.Series) -> pd.DataFrame:
     rows = []
     for g in _geoms(s):
-        if g is None:
+        e = None if g is None else G.envelope(g)
+        if e is None:  # null input or empty geometry
             rows.append((None,) * 4)
         else:
-            rows.append(tuple(float(v) for v in G.envelope(g)))
+            rows.append(tuple(float(v) for v in e))
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
@@ -238,7 +239,7 @@ _intersects = _binary_pred(G.intersects)
 _contains = _binary_pred(R.contains)
 _within = _binary_pred(R.within)
 _disjoint = _binary_pred(G.disjoint)
-_equals = _binary_pred(G.equals)
+_equals = _binary_pred(R.equals_topo)  # order/direction-insensitive (JTS equals)
 _covers = _binary_pred(R.covers)
 _covered_by = _binary_pred(R.covered_by)
 _touches = _binary_pred(R.touches)
@@ -327,9 +328,14 @@ def st_translate(geom, dx, dy) -> Column:
 
 
 def st_buffer_point(geom, radius) -> Column:
+    """Buffer polygon of all points within ``radius`` METERS of a lon/lat
+    point — the geomesa st_bufferPoint contract (geodesic, spherical
+    direct formula; previously this engine buffered in planar coordinate
+    units, an undocumented divergence)."""
     r = float(radius)
     udf = _unary_scalar(
-        lambda g: G.wkb_dumps(G.buffer_point(g[1], r)) if g[0] == "Point" else None, "binary"
+        lambda g: G.wkb_dumps(G.buffer_point_geodesic(g[1], r))
+        if g[0] == "Point" else None, "binary"
     )
     return udf(col_or_name(geom))
 
@@ -378,14 +384,19 @@ def rf_mk_crs(crs: str) -> Column:
 _GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
-def _geohash_box(gh: str):
-    """Geohash string -> its bounding-box polygon geometry."""
+def _geohash_box(gh: str, precision_bits: int | None = None):
+    """Geohash string -> its bounding-box polygon geometry.
+    ``precision_bits`` (geomesa st_geomFromGeoHash's 2nd arg) truncates
+    decoding after that many BITS — the cell geomesa returns."""
     lat = [-90.0, 90.0]
     lon = [-180.0, 180.0]
     even = True
+    used = 0
     for ch in gh:
         bits = _GEOHASH32.index(ch)
         for b in (16, 8, 4, 2, 1):
+            if precision_bits is not None and used >= precision_bits:
+                break
             r = lon if even else lat
             mid = (r[0] + r[1]) / 2
             if bits & b:
@@ -393,16 +404,21 @@ def _geohash_box(gh: str):
             else:
                 r[1] = mid
             even = not even
+            used += 1
     return G.box_polygon(lon[0], lat[0], lon[1], lat[1])
 
 
 def st_geom_from_geohash(geohash_col, precision: int | None = None) -> Column:
-    """Geohash string -> its bounding-box polygon (geomesa st_geomFromGeoHash)."""
+    """Geohash string -> its bounding-box polygon (geomesa
+    st_geomFromGeoHash). ``precision`` is in BITS and truncates the cell
+    to that precision (previously accepted and silently ignored)."""
+    p = None if precision is None else int(precision)
 
     @lazy_pandas_udf("binary")
     def udf(s: pd.Series) -> pd.Series:
         return pd.Series(
-            [None if gh is None else G.wkb_dumps(_geohash_box(gh)) for gh in s.values],
+            [None if gh is None else G.wkb_dumps(_geohash_box(gh, p))
+             for gh in s.values],
             dtype=object)
 
     return udf(col_or_name(geohash_col))
@@ -519,32 +535,45 @@ def st_as_geojson(geom) -> Column:
 # ---------------------------------------------------------------------------
 
 
-@lazy_pandas_udf("long")
-def _z2_udf(x: pd.Series, y: pd.Series) -> pd.Series:
-    return pd.Series(sfc.z2_index(x.values.astype("float64"), y.values.astype("float64")))
+def _z2_udf(resolution: int):
+    @lazy_pandas_udf("long")
+    def udf(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(sfc.z2_index(x.values.astype("float64"),
+                                      y.values.astype("float64"),
+                                      resolution=resolution), dtype=object)
+    return udf
 
 
 def rf_z2_index(x_or_extent, y=None, resolution: int = 31) -> Column:
-    """Z2 index of a point (x, y) or of an extent struct's centroid."""
+    """Z2 index of a point (x, y) or of an extent struct's centroid, at
+    ``resolution`` bits per dimension (previously the parameter was
+    accepted and silently ignored). Null/NaN coordinates yield null."""
+    udf = _z2_udf(int(resolution))
     if y is not None:
-        return _z2_udf(col_or_name(x_or_extent).cast("double"), col_or_name(y).cast("double"))
+        return udf(col_or_name(x_or_extent).cast("double"),
+                   col_or_name(y).cast("double"))
     e = col_or_name(x_or_extent)
     cx = (e.getField("xmin") + e.getField("xmax")) / 2
     cy = (e.getField("ymin") + e.getField("ymax")) / 2
-    return _z2_udf(cx, cy)
+    return udf(cx, cy)
 
 
-@lazy_pandas_udf("long")
-def _xz2_udf(e: pd.DataFrame) -> pd.Series:
-    return pd.Series(sfc.xz2_index(
-        e["xmin"].values.astype("float64"), e["ymin"].values.astype("float64"),
-        e["xmax"].values.astype("float64"), e["ymax"].values.astype("float64"),
-    ))
+def _xz2_udf_at(resolution: int):
+    @lazy_pandas_udf("long")
+    def udf(e: pd.DataFrame) -> pd.Series:
+        return pd.Series(sfc.xz2_index(
+            e["xmin"].values.astype("float64"),
+            e["ymin"].values.astype("float64"),
+            e["xmax"].values.astype("float64"),
+            e["ymax"].values.astype("float64"),
+            resolution=resolution), dtype=object)
+    return udf
 
 
 def rf_xz2_index(extent, resolution: int = 18) -> Column:
-    """XZ2-style index of an extent struct."""
-    return _xz2_udf(col_or_name(extent))
+    """XZ2-style index of an extent struct at quadtree depth
+    ``resolution`` (previously accepted and silently ignored)."""
+    return _xz2_udf_at(int(resolution))(col_or_name(extent))
 
 
 def rf_spatial_grid_cells(extent, cell_size: float) -> Column:
@@ -614,7 +643,8 @@ def st_point_from_wkb(wkb) -> Column:
 
 
 def st_point_from_geohash(geohash_col, precision: int | None = None) -> Column:
-    """Geohash -> center point of its cell."""
+    """Geohash -> center point of its cell (``precision`` in bits, like
+    st_geom_from_geohash)."""
     box = st_geom_from_geohash(geohash_col, precision)
     return st_centroid(box)
 
@@ -981,7 +1011,10 @@ def _antimeridian_safe(g):
     are normalized to [0, 360), split at x=180, and the eastern part shifted
     back by 360 — result is a MultiPolygon/MultiLineString on [-180, 180]
     (geomesa st_antimeridianSafeGeom). Non-crossing geoms pass through."""
-    xmin, _, xmax, _ = G.envelope(g)
+    env = G.envelope(g)
+    if env is None:
+        return g
+    xmin, _, xmax, _ = env
     if xmax - xmin <= 180.0:
         return g
 
@@ -991,25 +1024,58 @@ def _antimeridian_safe(g):
     if g[0] in ("Polygon", "MultiPolygon"):
         parts = []
         for rings in G._polygons(g):
-            shell = [norm_pt(p) for p in rings[0]]
+            # clip EVERY ring (shell and holes) into both hemispheres —
+            # dropping holes silently treated former hole area as interior
+            halves = {True: [], False: []}
+            for ri, ring in enumerate(rings):
+                pts = [norm_pt(p) for p in ring]
+                for keep_left in (True, False):
+                    clipped = _clip_ring_halfplane(pts, 180.0, keep_left)
+                    if clipped is None:
+                        continue
+                    if not keep_left:
+                        clipped = [(x - 360.0, y) for x, y in clipped]
+                    halves[keep_left].append((ri, clipped))
             for keep_left in (True, False):
-                clipped = _clip_ring_halfplane(shell, 180.0, keep_left)
-                if clipped is None:
-                    continue
-                if not keep_left:
-                    clipped = [(x - 360.0, y) for x, y in clipped]
-                parts.append([clipped])
+                shell = [c for ri, c in halves[keep_left] if ri == 0]
+                holes = [c for ri, c in halves[keep_left] if ri != 0]
+                if shell:
+                    parts.append([shell[0]] + holes)
         if not parts:
             return g
         return ("Polygon", parts[0]) if len(parts) == 1 else ("MultiPolygon", parts)
     if g[0] in ("LineString", "MultiLineString"):
         out = []
         for line in G._lines(g):
+            # normalize to [0, 360) and SPLIT at x=180 (the previous
+            # normalize-then-unnormalize round trip was a no-op): emit a
+            # segment break wherever consecutive points straddle the
+            # meridian, interpolating the crossing vertex into both parts
+            pts = [norm_pt(p) for p in line]
             seg = []
-            for p in line:
-                np_ = norm_pt(p)
-                seg.append(np_ if np_[0] <= 180.0 else (np_[0] - 360.0, np_[1]))
-            out.append(seg)
+            for a, b in zip(pts[:-1], pts[1:]):
+                if not seg:
+                    seg.append(a)
+                if (a[0] - 180.0) * (b[0] - 180.0) < 0:
+                    t = (180.0 - a[0]) / (b[0] - a[0])
+                    ycross = a[1] + t * (b[1] - a[1])
+                    seg.append((180.0, ycross))
+                    out.append(seg)
+                    seg = [(180.0, ycross), b]
+                else:
+                    seg.append(b)
+            if len(seg) >= 2:
+                out.append(seg)
+
+            def unnorm(s):
+                # eastern-hemisphere segments shift wholesale (incl. the
+                # shared 180 crossing vertex -> -180), matching the
+                # polygon branch's per-side convention
+                if max(x for x, _ in s) > 180.0:
+                    return [(x - 360.0, y) for x, y in s]
+                return s
+
+            out = [unnorm(s) for s in out]
         return ("LineString", out[0]) if len(out) == 1 else ("MultiLineString", out)
     return g
 

@@ -31,14 +31,25 @@ def _spread_bits32(v: np.ndarray) -> np.ndarray:
 
 def z2_index(x: np.ndarray, y: np.ndarray, resolution: int = 31,
              bounds=WGS84_BOUNDS) -> np.ndarray:
-    """Morton/Z2 index of points at `resolution` bits per dimension."""
+    """Morton/Z2 index of points at `resolution` bits per dimension.
+    Null/NaN coordinates propagate as None (an object array when any are
+    present) — NaN previously encoded to index 0, colliding with the
+    legitimate corner-cell index and spuriously equi-joining null rows."""
+    xa = np.asarray(x, dtype="float64")
+    ya = np.asarray(y, dtype="float64")
+    bad = ~(np.isfinite(xa) & np.isfinite(ya))
     xmin, ymin, xmax, ymax = bounds
-    nx = np.clip((np.asarray(x, dtype="float64") - xmin) / (xmax - xmin), 0, 1)
-    ny = np.clip((np.asarray(y, dtype="float64") - ymin) / (ymax - ymin), 0, 1)
+    nx = np.clip((np.nan_to_num(xa, nan=xmin) - xmin) / (xmax - xmin), 0, 1)
+    ny = np.clip((np.nan_to_num(ya, nan=ymin) - ymin) / (ymax - ymin), 0, 1)
     scale = (1 << resolution) - 1
     xi = np.minimum((nx * (1 << resolution)).astype(np.int64), scale)
     yi = np.minimum((ny * (1 << resolution)).astype(np.int64), scale)
-    return (_spread_bits32(xi) | (_spread_bits32(yi) << 1)).astype(np.int64)
+    out = (_spread_bits32(xi) | (_spread_bits32(yi) << 1)).astype(np.int64)
+    if bad.any():
+        res = out.astype(object)
+        res[bad] = None
+        return res
+    return out
 
 
 def xz2_index(xmin, ymin, xmax, ymax, resolution: int = 18,
@@ -53,10 +64,16 @@ def xz2_index(xmin, ymin, xmax, ymax, resolution: int = 18,
     """
     bx0, by0, bx1, by1 = bounds
     w, h = bx1 - bx0, by1 - by0
-    x0 = np.clip((np.asarray(xmin, dtype="float64") - bx0) / w, 0, 1)
-    y0 = np.clip((np.asarray(ymin, dtype="float64") - by0) / h, 0, 1)
-    x1 = np.clip((np.asarray(xmax, dtype="float64") - bx0) / w, 0, 1)
-    y1 = np.clip((np.asarray(ymax, dtype="float64") - by0) / h, 0, 1)
+    xa0 = np.asarray(xmin, dtype="float64")
+    ya0 = np.asarray(ymin, dtype="float64")
+    xa1 = np.asarray(xmax, dtype="float64")
+    ya1 = np.asarray(ymax, dtype="float64")
+    bad = ~(np.isfinite(xa0) & np.isfinite(ya0)
+            & np.isfinite(xa1) & np.isfinite(ya1))
+    x0 = np.clip((np.nan_to_num(xa0, nan=bx0) - bx0) / w, 0, 1)
+    y0 = np.clip((np.nan_to_num(ya0, nan=by0) - by0) / h, 0, 1)
+    x1 = np.clip((np.nan_to_num(xa1, nan=bx0) - bx0) / w, 0, 1)
+    y1 = np.clip((np.nan_to_num(ya1, nan=by0) - by0) / h, 0, 1)
 
     # depth of the smallest cell that can hold the extent (XZ doubling rule)
     ext = np.maximum(x1 - x0, y1 - y0)
@@ -71,7 +88,12 @@ def xz2_index(xmin, ymin, xmax, ymax, resolution: int = 18,
     morton = _spread_bits32(cx) | (_spread_bits32(cy) << 1)
     # prefix-code: shift morton to a fixed 2*resolution-bit field + depth tag
     idx = (morton << (2 * (resolution - depth))).astype(np.int64)
-    return (idx << 6) | depth  # 6 bits of depth tag keeps indexes unique per level
+    out = (idx << 6) | depth  # 6 bits of depth tag keeps indexes unique per level
+    if bad.any():
+        res = out.astype(object)
+        res[bad] = None  # null extents propagate as null, not index 0+tag
+        return res
+    return out
 
 
 def z2_ranges(xmin, ymin, xmax, ymax, resolution: int = 31, max_depth: int = 8,

@@ -93,8 +93,8 @@ def register_sql_functions(spark: SparkSession) -> None:
     reg("st_distance", gf._distance_udf)
     reg("st_distance_sphere", gf._distance_sphere_udf)
     reg("st_envelope", gf._envelope_udf)
-    reg("rf_xz2_index", gf._xz2_udf)
-    reg("rf_z2_index", gf._z2_udf)
+    reg("rf_xz2_index", gf._xz2_udf_at(18))
+    reg("rf_z2_index", gf._z2_udf(31))
     # _binary_pred returns the lazy UDF itself
     for name, pred in {
         "st_intersects": gf._intersects, "st_contains": gf._contains,
@@ -195,11 +195,14 @@ def _register_sql_longtail(spark: SparkSession) -> None:
 
     spark.udf.register(
         "st_geomFromGeoHash",
-        lambda gh: None if gh is None else G.wkb_dumps(gf._geohash_box(gh)), "binary")
+        lambda gh, p=None: None if gh is None
+        else G.wkb_dumps(gf._geohash_box(gh, None if p is None else int(p))),
+        "binary")
     spark.udf.register(
         "st_pointFromGeoHash",
-        lambda gh: None if gh is None
-        else G.wkb_dumps(("Point", G.centroid(gf._geohash_box(gh)))), "binary")
+        lambda gh, p=None: None if gh is None
+        else G.wkb_dumps(("Point", G.centroid(
+            gf._geohash_box(gh, None if p is None else int(p))))), "binary")
     spark.udf.register(
         "st_geoHash",
         wkb_in(lambda g, p=12: G.geohash(G.centroid(g)[0], G.centroid(g)[1],
@@ -212,7 +215,7 @@ def _register_sql_longtail(spark: SparkSession) -> None:
         "binary")
     spark.udf.register(
         "st_bufferPoint",
-        wkb_in(lambda g, r: G.wkb_dumps(G.buffer_point(g[1], float(r)))
+        wkb_in(lambda g, r: G.wkb_dumps(G.buffer_point_geodesic(g[1], float(r)))
                if g[0] == "Point" else None), "binary")
     spark.udf.register(
         "st_reproject",

@@ -1,0 +1,217 @@
+"""Geometry-engine hardening pins (round-6 review fixes).
+
+Covers: WKB Z/M dimension handling (EWKB flags + ISO offsets), empty
+geometries, GeometryCollection dispatch in intersects/distance, geodesic
+st_bufferPoint (meters contract, geomesa `org.locationtech.geomesa.spark.jts`
+parity; reference re-exports it via pyrasterframes rasterfunctions.py),
+geohash bit-precision truncation, z2/xz2 null propagation, and the
+antimeridian LineString split / polygon-hole clip.
+
+No SparkSession needed — these exercise the pure-python kernels the UDFs
+wrap, so they run in milliseconds.
+"""
+import math
+import struct
+
+import numpy as np
+import pytest
+
+import rasterframes_spark.geom.core as G
+import rasterframes_spark.geom.relate as R
+import rasterframes_spark.geom.sfc as sfc
+from rasterframes_spark.geom.functions import _antimeridian_safe, _geohash_box
+
+
+# ---------------------------------------------------------------------------
+# WKB Z/M dimensions
+# ---------------------------------------------------------------------------
+
+def _wkb_point(x, y, *extra, code=1, flags=0, srid=None):
+    """Hand-build a WKB point with arbitrary type code/flags."""
+    full = code | flags | (0x20000000 if srid is not None else 0)
+    out = struct.pack("<BI", 1, full)
+    if srid is not None:
+        out += struct.pack("<I", srid)
+    out += struct.pack("<" + "d" * (2 + len(extra)), x, y, *extra)
+    return out
+
+
+def test_wkb_ewkb_z_flag():
+    # EWKB Z bit (0x80000000): 3 doubles per vertex, z dropped
+    g = G.wkb_loads(_wkb_point(3.0, 4.0, 99.0, flags=0x80000000))
+    assert g == ("Point", (3.0, 4.0))
+
+
+def test_wkb_ewkb_zm_flags_with_srid():
+    g = G.wkb_loads(_wkb_point(1.0, 2.0, 9.0, 8.0,
+                               flags=0x80000000 | 0x40000000, srid=4326))
+    assert g == ("Point", (1.0, 2.0))
+
+
+def test_wkb_iso_z_offset_linestring():
+    # ISO code 1002 = LineString Z: stride is 24 bytes/vertex
+    pts = [(0.0, 0.0, 5.0), (1.0, 1.0, 6.0), (2.0, 0.0, 7.0)]
+    body = struct.pack("<BII", 1, 1002, len(pts))
+    for p in pts:
+        body += struct.pack("<ddd", *p)
+    g = G.wkb_loads(body)
+    assert g[0] == "LineString"
+    assert g[1] == [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]
+
+
+def test_wkb_iso_zm_polygon():
+    # ISO 3003 = Polygon ZM: 4 doubles per vertex
+    ring = [(0, 0), (4, 0), (4, 4), (0, 0)]
+    body = struct.pack("<BIII", 1, 3003, 1, len(ring))
+    for x, y in ring:
+        body += struct.pack("<dddd", x, y, 1.0, 2.0)
+    g = G.wkb_loads(body)
+    assert g[0] == "Polygon"
+    assert g[1][0] == [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+
+
+# ---------------------------------------------------------------------------
+# Empty geometries / GeometryCollection dispatch
+# ---------------------------------------------------------------------------
+
+def test_wkt_empty_parses_and_has_no_envelope():
+    for txt in ("POINT EMPTY", "POLYGON EMPTY", "GEOMETRYCOLLECTION EMPTY"):
+        g = G.wkt_loads(txt)
+        assert G.envelope(g) is None
+        # empty touches nothing, intersects nothing
+        box = G.box_polygon(-10, -10, 10, 10)
+        assert not G.intersects(g, box)
+        assert G.distance(g, box) == math.inf
+
+
+def test_geometrycollection_intersects_and_distance():
+    gc = ("GeometryCollection", [
+        ("Point", (100.0, 100.0)),
+        ("LineString", [(0.0, 0.0), (2.0, 2.0)]),
+    ])
+    box = G.box_polygon(1, 1, 3, 3)
+    # the line component crosses the box even though the point is far away
+    assert G.intersects(gc, box)
+    assert G.intersects(box, gc)
+    assert G.distance(gc, box) == 0.0
+    far = G.box_polygon(50, 50, 60, 60)
+    assert not G.intersects(gc, far)
+    # nearest component is the point at (100,100)? no — line end (2,2):
+    # dist((2,2),(50,50)) vs dist((100,100), box) = dist to (60,60)
+    d = G.distance(gc, far)
+    assert d == pytest.approx(min(math.dist((2, 2), (50, 50)),
+                                  math.dist((100, 100), (60, 60))))
+
+
+# ---------------------------------------------------------------------------
+# Geodesic buffer point (meters, geomesa contract)
+# ---------------------------------------------------------------------------
+
+def test_buffer_point_geodesic_constant_distance():
+    center = (8.0, 47.0)  # mid-latitude: planar degrees would be ~30% off
+    radius = 25_000.0  # 25 km
+    poly = G.buffer_point_geodesic(center, radius)
+    ring = poly[1][0]
+    assert ring[0] == ring[-1]
+    for p in ring[:-1]:
+        assert G.distance_sphere(center, p) == pytest.approx(radius, rel=1e-6)
+
+
+def test_buffer_point_geodesic_contains_center():
+    poly = G.buffer_point_geodesic((-70.0, -33.0), 1000.0)
+    assert R.contains(poly, ("Point", (-70.0, -33.0)))
+
+
+# ---------------------------------------------------------------------------
+# Geohash precision bits
+# ---------------------------------------------------------------------------
+
+def test_geohash_box_full_precision_nested_in_truncated():
+    gh = "u0qj5"  # 25 bits
+    fine = G.envelope(_geohash_box(gh))
+    coarse = G.envelope(_geohash_box(gh, precision_bits=10))
+    # truncated cell must contain the full-precision cell and be larger
+    assert coarse[0] <= fine[0] and coarse[1] <= fine[1]
+    assert coarse[2] >= fine[2] and coarse[3] >= fine[3]
+    assert (coarse[2] - coarse[0]) > (fine[2] - fine[0])
+
+
+def test_geohash_box_precision_equal_to_length_is_identity():
+    gh = "ezs42"
+    assert G.envelope(_geohash_box(gh)) == G.envelope(
+        _geohash_box(gh, precision_bits=25))
+
+
+# ---------------------------------------------------------------------------
+# Z2 / XZ2 null propagation and resolution
+# ---------------------------------------------------------------------------
+
+def test_z2_nan_propagates_null_not_zero():
+    x = np.array([0.0, np.nan, -180.0])
+    y = np.array([0.0, 1.0, -90.0])
+    out = sfc.z2_index(x, y)
+    assert out[1] is None
+    # corner cell is a real index — must NOT collide with the null row
+    assert out[2] is not None and out[2] == 0
+    assert out[0] is not None and out[0] != 0
+
+
+def test_z2_resolution_changes_granularity():
+    x = np.array([10.000, 10.001])
+    y = np.array([20.000, 20.001])
+    hi = sfc.z2_index(x, y, resolution=31)
+    lo = sfc.z2_index(x, y, resolution=8)
+    assert hi[0] != hi[1]       # distinguishable at 31 bits
+    assert lo[0] == lo[1]       # same coarse cell at 8 bits
+
+
+def test_xz2_nan_propagates_null():
+    out = sfc.xz2_index(np.array([0.0, np.nan]), np.array([0.0, 0.0]),
+                        np.array([1.0, 1.0]), np.array([1.0, 1.0]))
+    assert out[1] is None and out[0] is not None
+
+
+# ---------------------------------------------------------------------------
+# Antimeridian
+# ---------------------------------------------------------------------------
+
+def test_antimeridian_linestring_splits_at_180():
+    # line crossing the antimeridian: 170 -> -170 (20 degrees of longitude)
+    g = ("LineString", [(170.0, 0.0), (-170.0, 10.0)])
+    out = _antimeridian_safe(g)
+    assert out[0] == "MultiLineString"
+    parts = out[1]
+    assert len(parts) == 2
+    xs = [x for part in parts for x, _ in part]
+    assert max(xs) <= 180.0 and min(xs) >= -180.0
+    # crossing vertex interpolated at the meridian on both parts
+    assert any(abs(x) == 180.0 for x, _ in parts[0])
+    assert any(abs(x) == 180.0 for x, _ in parts[1])
+    # crossing latitude is the midpoint (symmetric spans)
+    cross_lats = {y for part in parts for x, y in part if abs(x) == 180.0}
+    assert cross_lats == {5.0}
+
+
+def test_antimeridian_polygon_holes_clipped():
+    # polygon spanning the antimeridian with a hole on the western side
+    shell = [(170.0, -5.0), (-170.0, -5.0), (-170.0, 5.0), (170.0, 5.0),
+             (170.0, -5.0)]
+    hole = [(172.0, -2.0), (176.0, -2.0), (176.0, 2.0), (172.0, 2.0),
+            (172.0, -2.0)]
+    g = ("Polygon", [shell, hole])
+    out = _antimeridian_safe(g)
+    assert out[0] == "MultiPolygon"
+    # hole interior must NOT be inside the output
+    inside_hole = ("Point", (174.0, 0.0))
+    assert not any(R.contains(("Polygon", rings), inside_hole)
+                   for rings in out[1])
+    # but points outside the hole on both hemispheres are
+    west = ("Point", (178.0, 0.0))
+    east = ("Point", (-175.0, 0.0))
+    for pt in (west, east):
+        assert any(R.contains(("Polygon", rings), pt) for rings in out[1])
+
+
+def test_antimeridian_non_crossing_passthrough():
+    g = G.box_polygon(-10, -10, 10, 10)
+    assert _antimeridian_safe(g) is g

@@ -41,6 +41,8 @@ def test_sql_longtail_st(spark, sql_tables):
                st_castToPoint(st_lineFromText(wkt)) as badcast,
                st_asText(st_translate(st_geomFromWKT('POINT (1 2)'), 2, 3)) as tr,
                st_x(st_pointFromGeoHash(st_geoHash(st_geomFromWKT('POINT (10 20)'), 12))) as ghx,
+               st_area(st_geomFromGeoHash('u0qj5', 10)) as gha10,
+               st_area(st_geomFromGeoHash('u0qj5')) as gha,
                st_aggregateDistanceSphere(array(st_makePoint(0.0, 0.0), st_makePoint(1.0, 0.0))) as ad
         from sql_geoms
     """).head()
@@ -56,6 +58,8 @@ def test_sql_longtail_st(spark, sql_tables):
     assert r["badcast"] is None
     assert r["tr"] == "POINT (3 5)"
     assert abs(r["ghx"] - 10.0) < 1e-6
+    # 2-arg geoHash form truncates to the requested bit precision
+    assert r["gha10"] > r["gha"] > 0
     assert abs(r["ad"] - 111195.0802335329) < 1e-3
 
 
