@@ -624,11 +624,11 @@ def agg_local(df: DataFrame, tile, which: str = "mean",
     # state rows.
     partials = _local_agg_partials(
         src.mapInPandas(partial, schema=state_schema),
-        src, merge_pass, state_schema, merge_partitions)
+        merge_pass, state_schema, merge_partitions)
     return partials.repartition(1).mapInPandas(final, schema=out_schema)
 
 
-def _local_agg_partials(partials: DataFrame, src: DataFrame, merge_pass,
+def _local_agg_partials(partials: DataFrame, merge_pass,
                         state_schema, merge_partitions: int) -> DataFrame:
     """Partition states, tree-merged down to <= merge_partitions rows
     (split out so tests can assert the bound the final single task

@@ -37,7 +37,10 @@ def wkb_dumps(geom) -> bytes:
     gtype, body = geom
     out = [b"\x01", struct.pack("<I", _WKB_CODES[gtype])]
     if gtype == "Point":
-        out.append(struct.pack("<dd", body[0], body[1]))
+        if not body:  # POINT EMPTY: WKB convention is (NaN, NaN)
+            out.append(struct.pack("<dd", float("nan"), float("nan")))
+        else:
+            out.append(struct.pack("<dd", body[0], body[1]))
     elif gtype == "LineString":
         out.append(struct.pack("<I", len(body)))
         for x, y in body:
@@ -96,6 +99,8 @@ def _wkb_read(mv, off):
     gtype = _WKB_TYPES[code]
     if gtype == "Point":
         vals = struct.unpack_from(fmt, mv, off)
+        if vals[0] != vals[0]:  # (NaN, NaN) = POINT EMPTY convention
+            return ("Point", ()), off + stride
         return ("Point", (vals[0], vals[1])), off + stride
     if gtype == "LineString":
         (n,) = struct.unpack_from(bo + "I", mv, off)
@@ -141,6 +146,8 @@ def wkt_dumps(geom) -> str:
     def coords(pts):
         return ", ".join(f"{_num(x)} {_num(y)}" for x, y in pts)
 
+    if not body and gtype != "GeometryCollection":
+        return f"{gtype.upper()} EMPTY"
     if gtype == "Point":
         return f"POINT ({_num(body[0])} {_num(body[1])})"
     if gtype == "LineString":
@@ -154,6 +161,8 @@ def wkt_dumps(geom) -> str:
     if gtype == "MultiPolygon":
         return ("MULTIPOLYGON (" + ", ".join(
             "(" + ", ".join(f"({coords(r)})" for r in poly) + ")" for poly in body) + ")")
+    if not body:
+        return "GEOMETRYCOLLECTION EMPTY"
     return "GEOMETRYCOLLECTION (" + ", ".join(wkt_dumps(g) for g in body) + ")"
 
 
@@ -164,8 +173,15 @@ def _num(v: float) -> str:
 def wkt_loads(text: str):
     text = text.strip()
     if text.upper().endswith("EMPTY"):
-        # canonical empty geometry (any 'X EMPTY' form)
-        return ("GeometryCollection", [])
+        # typed empty geometry: preserve the declared head type so
+        # st_geometryType('POINT EMPTY') reports Point (JTS parity);
+        # payload is () for Point, [] otherwise
+        head = text.split()[0].upper()
+        name = {"POINT": "Point", "LINESTRING": "LineString",
+                "POLYGON": "Polygon", "MULTIPOINT": "MultiPoint",
+                "MULTILINESTRING": "MultiLineString",
+                "MULTIPOLYGON": "MultiPolygon"}.get(head, "GeometryCollection")
+        return (name, () if name == "Point" else [])
     i = text.index("(") if "(" in text else len(text)
     head = text[:i].strip().upper().replace(" Z", "").replace(" M", "")
     body = text[i:]
@@ -285,7 +301,7 @@ def _lines(geom):
 def _points(geom):
     gtype, body = geom
     if gtype == "Point":
-        return [body]
+        return [body] if body else []
     if gtype == "MultiPoint":
         return list(body)
     if gtype in ("LineString",):
@@ -322,6 +338,8 @@ def _ring_area(ring) -> float:
 def area(geom) -> float:
     total = 0.0
     for rings in _polygons(geom):
+        if not rings or not rings[0]:  # empty polygon
+            continue
         total += abs(_ring_area(rings[0]))
         for hole in rings[1:]:
             total -= abs(_ring_area(hole))
@@ -333,6 +351,8 @@ def length(geom) -> float:
     gtype = geom[0]
     if gtype in ("LineString", "MultiLineString"):
         for line in ([geom[1]] if gtype == "LineString" else geom[1]):
+            if len(line) < 2:  # empty/degenerate line contributes nothing
+                continue
             a = np.asarray(line, dtype="float64")
             total += float(np.sqrt(((a[1:] - a[:-1]) ** 2).sum(axis=1)).sum())
     elif gtype in ("Polygon", "MultiPolygon"):
@@ -347,7 +367,7 @@ def length(geom) -> float:
 
 def centroid(geom):
     gtype = geom[0]
-    polys = _polygons(geom)
+    polys = [p for p in _polygons(geom) if p and p[0]]  # drop empty shells
     if polys:
         # shoelace in LOCAL coordinates: tiny rings far from the origin
         # (e.g. a precision-12 geohash cell) otherwise lose the centroid to
@@ -375,6 +395,8 @@ def centroid(geom):
     if gtype in ("LineString", "MultiLineString"):
         sx = sy = sl = 0.0
         for line in ([geom[1]] if gtype == "LineString" else geom[1]):
+            if len(line) < 2:  # empty/degenerate line contributes nothing
+                continue
             a = np.asarray(line, dtype="float64")
             seg = a[1:] - a[:-1]
             ln = np.sqrt((seg ** 2).sum(axis=1))
@@ -384,7 +406,10 @@ def centroid(geom):
             sl += float(ln.sum())
         if sl > 0:
             return (sx / sl, sy / sl)
-    pts = np.asarray(_points(geom), dtype="float64")
+    pts_list = _points(geom)
+    if not pts_list:  # empty geometry -> empty-point centroid (JTS parity)
+        return ()
+    pts = np.asarray(pts_list, dtype="float64")
     return (float(pts[:, 0].mean()), float(pts[:, 1].mean()))
 
 

@@ -148,8 +148,8 @@ def st_geometry_type(geom) -> Column:
 # accessors / measures
 # ---------------------------------------------------------------------------
 
-_x = _unary_scalar(lambda g: float(g[1][0]) if g[0] == "Point" else None, "double")
-_y = _unary_scalar(lambda g: float(g[1][1]) if g[0] == "Point" else None, "double")
+_x = _unary_scalar(lambda g: float(g[1][0]) if g[0] == "Point" and g[1] else None, "double")
+_y = _unary_scalar(lambda g: float(g[1][1]) if g[0] == "Point" and g[1] else None, "double")
 
 
 def st_x(geom) -> Column:
@@ -335,7 +335,7 @@ def st_buffer_point(geom, radius) -> Column:
     r = float(radius)
     udf = _unary_scalar(
         lambda g: G.wkb_dumps(G.buffer_point_geodesic(g[1], r))
-        if g[0] == "Point" else None, "binary"
+        if g[0] == "Point" and g[1] else None, "binary"
     )
     return udf(col_or_name(geom))
 
@@ -664,7 +664,7 @@ def st_make_line(points) -> Column:
                 if b is None:
                     continue
                 g = G.wkb_loads(bytes(b))
-                if g[0] == "Point":
+                if g[0] == "Point" and g[1]:
                     pts.append(g[1])
                 elif g[0] in ("MultiPoint", "LineString"):
                     pts.extend(g[1])
@@ -973,7 +973,7 @@ def st_as_lat_lon_text(point) -> Column:
     st_asLatLonText)."""
     return _unary_scalar(
         lambda g: f"{_dms(g[1][1], 'N', 'S')} {_dms(g[1][0], 'E', 'W')}"
-        if g[0] == "Point" else None,
+        if g[0] == "Point" and g[1] else None,
         "string")(col_or_name(point))
 
 
@@ -1045,37 +1045,50 @@ def _antimeridian_safe(g):
             return g
         return ("Polygon", parts[0]) if len(parts) == 1 else ("MultiPolygon", parts)
     if g[0] in ("LineString", "MultiLineString"):
+        def _side(x):
+            return -1 if x < 180.0 else (1 if x > 180.0 else 0)
+
+        def unnorm(s):
+            # eastern-hemisphere segments shift wholesale (incl. the
+            # shared 180 crossing vertex -> -180), matching the
+            # polygon branch's per-side convention
+            if max(x for x, _ in s) > 180.0:
+                return [(x - 360.0, y) for x, y in s]
+            return s
+
         out = []
         for line in G._lines(g):
-            # normalize to [0, 360) and SPLIT at x=180 (the previous
-            # normalize-then-unnormalize round trip was a no-op): emit a
-            # segment break wherever consecutive points straddle the
-            # meridian, interpolating the crossing vertex into both parts
+            # normalize to [0, 360) and SPLIT at x=180: break wherever an
+            # edge strictly crosses (interpolating the crossing vertex
+            # into both parts) AND at any vertex lying exactly on the
+            # meridian whose neighbors straddle it — otherwise a
+            # 170→180→190 chain stayed one segment and the wholesale
+            # -360 shift pushed its western points below -180
             pts = [norm_pt(p) for p in line]
-            seg = []
+            segs = []
+            seg = [pts[0]]
+            seg_side = _side(pts[0][0])  # hemisphere of this segment
             for a, b in zip(pts[:-1], pts[1:]):
-                if not seg:
-                    seg.append(a)
-                if (a[0] - 180.0) * (b[0] - 180.0) < 0:
+                sa, sb = _side(a[0]), _side(b[0])
+                if sa * sb < 0:  # strict crossing mid-edge
                     t = (180.0 - a[0]) / (b[0] - a[0])
                     ycross = a[1] + t * (b[1] - a[1])
                     seg.append((180.0, ycross))
-                    out.append(seg)
+                    segs.append(seg)
                     seg = [(180.0, ycross), b]
+                    seg_side = sb
+                elif sb != 0 and seg_side != 0 and sb != seg_side:
+                    # hemisphere flips across an on-meridian vertex (a)
+                    segs.append(seg)
+                    seg = [a, b]
+                    seg_side = sb
                 else:
                     seg.append(b)
+                    if seg_side == 0:
+                        seg_side = sb
             if len(seg) >= 2:
-                out.append(seg)
-
-            def unnorm(s):
-                # eastern-hemisphere segments shift wholesale (incl. the
-                # shared 180 crossing vertex -> -180), matching the
-                # polygon branch's per-side convention
-                if max(x for x, _ in s) > 180.0:
-                    return [(x - 360.0, y) for x, y in s]
-                return s
-
-            out = [unnorm(s) for s in out]
+                segs.append(seg)
+            out.extend(unnorm(s) for s in segs)
         return ("LineString", out[0]) if len(out) == 1 else ("MultiLineString", out)
     return g
 

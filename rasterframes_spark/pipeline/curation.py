@@ -320,22 +320,47 @@ def write_shards(df: DataFrame, path: str, num_shards: int,
     shard K of run 1, which is what makes resumable multi-epoch training
     and shard-level debugging possible.
 
-    Plan: one hash-partitioned shuffle on the 4-byte shard id (each
-    shard id maps to exactly one task, so each directory gets exactly
-    one file), optional in-partition sort, ``partitionBy`` write. ``fmt``:
-    'parquet' | 'json' (newline-delimited). Returns ``path``.
+    Plan: one hash-partitioned shuffle keyed so each shard id maps to
+    exactly ONE task (n writer tasks, no empty tasks, one file per
+    directory): plain ``repartition(n, '__shard')`` Murmur3-hashes the n
+    ids into n buckets, which birthday-collides ~1/e of them into shared
+    tasks — instead each shard id is routed through a probe value whose
+    ``pmod(hash(probe), n)`` equals the shard index. The probe table is
+    built by one tiny eager Spark job (``F.hash`` and HashPartitioning
+    share the same seed-42 Murmur3), then optional in-partition sort and
+    ``partitionBy`` write. ``fmt``: 'parquet' | 'json' (newline-
+    delimited). Returns ``path``.
     """
     n = int(num_shards)
     if n <= 0:
         raise ValueError("write_shards: num_shards must be positive")
     if fmt not in ("parquet", "json"):
         raise ValueError("write_shards: fmt must be 'parquet' or 'json'")
-    if "__shard" in df.columns:
-        raise ValueError("write_shards: input already has a __shard column "
-                         "— rename it (the export partitions on __shard)")
+    for reserved in ("__shard", "__probe"):
+        if reserved in df.columns:
+            raise ValueError(f"write_shards: input already has a {reserved} "
+                             "column — rename it (the export partitions on it)")
+    spark = df.sparkSession
+    # probe[s] = smallest int p with pmod(murmur3(p), n) == s; candidates
+    # scanned in widening windows (P(shard unhit in 16n) ~ e^-16)
+    probes: dict[int, int] = {}
+    lo, width = 0, max(16 * n, 256)
+    while len(probes) < n:
+        cand = (spark.range(lo, lo + width)
+                .select(F.col("id").cast("int").alias("p"),
+                        F.pmod(F.hash(F.col("id").cast("int")), F.lit(n))
+                        .alias("s"))
+                .groupBy("s").agg(F.min("p").alias("p")).collect())
+        for r in cand:
+            probes.setdefault(int(r["s"]), int(r["p"]))
+        lo += width
+    probe_arr = F.array(*[F.lit(probes[s]) for s in range(n)])
     shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
                    F.lit(n)).cast("int")
-    out = df.withColumn("__shard", shard).repartition(n, "__shard")
+    out = (df.withColumn("__shard", shard)
+           .withColumn("__probe", F.element_at(probe_arr, F.col("__shard") + 1))
+           .repartition(n, "__probe")
+           .drop("__probe"))
     if order_within_shard:
         # full-row hash tiebreak: duplicate id values (common pre-dedup)
         # would otherwise sort arbitrarily within the tie, breaking the

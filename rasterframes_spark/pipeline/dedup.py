@@ -298,7 +298,19 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str = "minhash",
     band width to 0 — every band bucket collapses to its seed and ALL
     documents collide (silent all-pairs blowup). Validated at plan build
     via an assertion column; the common num_perm mismatch raises here."""
-    rows_per_band = F.floor(F.size(sig_col) / bands).cast("int")
+    # signature length is a runtime value here (unlike minhash_dedup_pairs,
+    # which knows num_perm at build time), so the validation is embedded in
+    # the plan: any row whose signature length isn't a positive multiple of
+    # ``bands`` raises instead of silently colliding/dropping
+    rows_per_band = F.when(
+        (F.size(sig_col) >= bands) & (F.size(sig_col) % bands == 0),
+        F.floor(F.size(sig_col) / bands),
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("minhash_lsh_candidates: bands must divide the signature "
+                  "length and be <= it; got bands="), F.lit(str(bands)),
+            F.lit(", len(signature)="), F.size(sig_col).cast("string")))
+    ).cast("int")
     banded = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(

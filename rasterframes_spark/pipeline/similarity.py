@@ -175,11 +175,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 if not n:
                     continue
                 cos = (X @ Q.T) / (Xn[:, None] * Qn[None, :])  # (n, nq)
-                # per-batch top-k prune (all ties at the k-th value kept,
-                # so the later id tiebreak stays exact)
+                # per-batch top-k prune with a one-rounding-quantum slack:
+                # the final rank orders by ROUND(cos, 6) with an id
+                # tiebreak, so any row whose rounded value could tie the
+                # k-th must survive the raw-value prune (raw ties alone
+                # are not enough — two raw-distinct values can round equal
+                # and the pruned one would have won the id tiebreak)
                 if n > kk:
                     kth = np.partition(cos, n - kk, axis=0)[n - kk]
-                    mask = cos >= kth[None, :]
+                    mask = cos >= kth[None, :] - 1e-6
                 else:
                     mask = np.ones_like(cos, dtype=bool)
                 ii, jj = np.nonzero(mask)

@@ -423,7 +423,14 @@ def corpus_stats(docs, text_col: str = "text",
         F.percentile_approx(toks, [0.5, 0.95]).alias("tok_q"),
         F.avg(F.length(c)).alias("mean_chars"),
         F.percentile_approx(F.length(c), [0.5, 0.95]).alias("chr_q"),
-        F.countDistinct(F.xxhash64(c)).alias("n_distinct_texts"),
+        # dup rate compares distinct NON-NULL texts against the non-null
+        # doc count: xxhash64 does NOT null-propagate (NULL hashes to the
+        # seed-fold), so nulls are masked out explicitly — otherwise every
+        # null-text row counted as a duplicate of the others against
+        # n_docs, and the null bucket inflated the distinct count
+        F.countDistinct(F.when(c.isNotNull(), F.xxhash64(c)))
+        .alias("n_distinct_texts"),
+        F.count(c).alias("n_nonnull_texts"),
     ]
     if has_src:
         aggs.append(F.countDistinct(F.col(source_col)).alias("n_sources"))
@@ -440,7 +447,10 @@ def corpus_stats(docs, text_col: str = "text",
         "mean_chars": float(row["mean_chars"] or 0.0),
         "p50_chars": int(row["chr_q"][0]) if row["chr_q"] else 0,
         "p95_chars": int(row["chr_q"][1]) if row["chr_q"] else 0,
-        "exact_dup_rate": (1.0 - row["n_distinct_texts"] / n) if n else 0.0,
+        "exact_dup_rate": (
+            1.0 - row["n_distinct_texts"] / row["n_nonnull_texts"]
+            if row["n_nonnull_texts"] else 0.0),
+        "n_null_texts": int(n - row["n_nonnull_texts"]),
         "languages": langs,
     }
     if has_src:

@@ -142,10 +142,10 @@ def _register_sql_longtail(spark: SparkSession) -> None:
         "st_asGeoJSON": (wkb_in(gf._as_geojson), "string"),
         "st_asLatLonText": (wkb_in(
             lambda g: f"{gf._dms(g[1][1], 'N', 'S')} {gf._dms(g[1][0], 'E', 'W')}"
-            if g[0] == "Point" else None), "string"),
+            if g[0] == "Point" and g[1] else None), "string"),
         "st_geometryType": (wkb_in(lambda g: g[0]), "string"),
-        "st_x": (wkb_in(lambda g: float(g[1][0]) if g[0] == "Point" else None), "double"),
-        "st_y": (wkb_in(lambda g: float(g[1][1]) if g[0] == "Point" else None), "double"),
+        "st_x": (wkb_in(lambda g: float(g[1][0]) if g[0] == "Point" and g[1] else None), "double"),
+        "st_y": (wkb_in(lambda g: float(g[1][1]) if g[0] == "Point" and g[1] else None), "double"),
         "st_centroid": (wkb_in(lambda g: G.wkb_dumps(("Point", G.centroid(g)))), "binary"),
         "st_area": (wkb_in(lambda g: float(G.area(g))), "double"),
         "st_length": (wkb_in(lambda g: float(G.length(g))), "double"),
@@ -216,7 +216,7 @@ def _register_sql_longtail(spark: SparkSession) -> None:
     spark.udf.register(
         "st_bufferPoint",
         wkb_in(lambda g, r: G.wkb_dumps(G.buffer_point_geodesic(g[1], float(r)))
-               if g[0] == "Point" else None), "binary")
+               if g[0] == "Point" and g[1] else None), "binary")
     spark.udf.register(
         "st_reproject",
         wkb_in(lambda g, s, d: G.wkb_dumps(
@@ -270,7 +270,7 @@ def _register_sql_longtail(spark: SparkSession) -> None:
             if b is None:
                 continue
             g = G.wkb_loads(bytes(b))
-            if g[0] == "Point":
+            if g[0] == "Point" and g[1]:
                 pts.append(g[1])
             elif g[0] in ("MultiPoint", "LineString"):
                 pts.extend(g[1])

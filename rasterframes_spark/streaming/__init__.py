@@ -196,14 +196,24 @@ def stateful_sessionizer(stream: DataFrame, key_col: str = "user_id",
         # may arrive with t < last or even t < start: extending the open
         # session keeps start = min / last = max (never move `last`
         # BACKWARD — that split sessions spuriously and emitted
-        # session_end < session_start); an event older than the open
-        # session by more than the gap is its own already-closed session.
+        # session_end < session_start). Events older than the open session
+        # by more than the gap form their own already-closed session(s) —
+        # accumulated through the `late` chain so ADJACENT late events
+        # within the gap of each other merge into ONE session (emitting
+        # each as a singleton violated the gap invariant for late-but-in-
+        # watermark data).
+        late = None  # open accumulator for the pre-session late chain
         for t, v in zip(ts, vals):
             t, v = int(t), float(v)
             if n == 0:
                 start, last, n, total = t, t, 1, v
             elif t < start - gap_seconds:
-                closed.append((t, t, 1, v))
+                if late is not None and t - late[1] <= gap_seconds:
+                    late = (late[0], t, late[2] + 1, late[3] + v)
+                else:
+                    if late is not None:
+                        closed.append(late)
+                    late = (t, t, 1, v)
             elif t - last > gap_seconds:
                 closed.append((start, last, n, total))
                 start, last, n, total = t, t, 1, v
@@ -212,6 +222,16 @@ def stateful_sessionizer(stream: DataFrame, key_col: str = "user_id",
                 last = max(last, t)
                 n += 1
                 total += v
+        if late is not None:
+            # in-gap late events can drag the open session's start backward
+            # to within the gap of the late chain — then they are one
+            # session, not two
+            if n > 0 and start - late[1] <= gap_seconds:
+                start = min(start, late[0])
+                n += late[2]
+                total += late[3]
+            else:
+                closed.append(late)
         state.update((start, last, n, total))
         if timeout == "processing":
             state.setTimeoutDuration(gap_seconds * 1000)

@@ -214,8 +214,8 @@ def test_agg_local_wholecolumn_tree_merge_bound(spark, tiles):
     seen = {}
     orig = A._local_agg_partials
 
-    def spy(partials, src, merge_pass, state_schema, merge_partitions):
-        out = orig(partials, src, merge_pass, state_schema, merge_partitions)
+    def spy(partials, merge_pass, state_schema, merge_partitions):
+        out = orig(partials, merge_pass, state_schema, merge_partitions)
         seen["n"] = out.count()
         return out
 

@@ -84,6 +84,35 @@ def test_wkt_empty_parses_and_has_no_envelope():
         assert G.distance(g, box) == math.inf
 
 
+def test_typed_empty_preserves_type_and_roundtrips():
+    # JTS parity: st_geometryType('POINT EMPTY') is Point, not a
+    # canonicalized GeometryCollection; WKB round-trip keeps the type
+    # (POINT EMPTY encodes as the (NaN, NaN) WKB convention)
+    for txt, typ in [("POINT EMPTY", "Point"), ("LINESTRING EMPTY", "LineString"),
+                     ("POLYGON EMPTY", "Polygon"),
+                     ("MULTIPOLYGON EMPTY", "MultiPolygon"),
+                     ("GEOMETRYCOLLECTION EMPTY", "GeometryCollection")]:
+        g = G.wkt_loads(txt)
+        assert g[0] == typ
+        back = G.wkb_loads(G.wkb_dumps(g))
+        assert back[0] == typ
+        assert G.wkt_dumps(back) == txt
+        assert G.centroid(back) == ()
+        assert G.area(back) == 0.0 and G.length(back) == 0.0
+
+
+def test_antimeridian_vertex_exactly_on_meridian():
+    # a vertex at +-180 must still split the line; previously the whole
+    # chain shifted -360 and emitted x < -180
+    out = _antimeridian_safe(
+        ("LineString", [(170.0, 0.0), (180.0, 0.0), (-170.0, 0.0)]))
+    assert out[0] == "MultiLineString"
+    xs = [x for part in out[1] for x, _ in part]
+    assert all(-180.0 <= x <= 180.0 for x in xs), out
+    assert out[1][0] == [(170.0, 0.0), (180.0, 0.0)]
+    assert out[1][1] == [(-180.0, 0.0), (-170.0, 0.0)]
+
+
 def test_geometrycollection_intersects_and_distance():
     gc = ("GeometryCollection", [
         ("Point", (100.0, 100.0)),

@@ -287,6 +287,55 @@ def test_sessionizer_late_events_and_string_keys(spark, tmp_path):
     assert r["session_end"] == base + dt.timedelta(minutes=40)
 
 
+def test_sessionizer_adjacent_late_events_merge(spark, tmp_path):
+    """Late events older than the open session by more than the gap form
+    their OWN gap-respecting session(s): two late events within the gap of
+    each other must close as ONE 2-event session, not two singletons."""
+    import datetime as dt
+
+    from rasterframes_spark.streaming import stateful_sessionizer
+
+    src = str(tmp_path / "ll_src")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "user_id string, ts timestamp, value double"
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).write.mode(mode).parquet(src)
+
+    out_dir = str(tmp_path / "ll_out")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stateful_sessionizer(stream, gap_seconds=1800, timeout="none",
+                                  watermark="10 hours")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "ll_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    # batch 1 opens a session far in the future of the late events
+    write([{"user_id": "bob", "ts": base + dt.timedelta(hours=5),
+            "value": 1.0}], "overwrite")
+    run()
+    # batch 2: two late events 10 min apart (well within the 30-min gap of
+    # each other, both > gap older than the open session's start) and one
+    # very-late loner > gap before them
+    write([{"user_id": "bob", "ts": base, "value": 2.0},
+           {"user_id": "bob", "ts": base + dt.timedelta(minutes=10),
+            "value": 3.0},
+           {"user_id": "bob", "ts": base - dt.timedelta(hours=2),
+            "value": 7.0}], "append")
+    got = sorted(run(), key=lambda r: r["session_start"])
+    assert len(got) == 2, [r.asDict() for r in got]
+    loner, merged = got
+    assert loner["n_events"] == 1 and loner["total_value"] == 7.0
+    assert merged["n_events"] == 2 and merged["total_value"] == 5.0
+    assert merged["session_start"] == base
+    assert merged["session_end"] == base + dt.timedelta(minutes=10)
+
+
 def test_streaming_neardup_string_ids_and_band_guard(spark, tmp_path):
     """String doc ids work end-to-end (schemas were hardcoded long); a
     bands value that does not divide num_perm raises instead of silently

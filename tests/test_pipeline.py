@@ -795,6 +795,24 @@ def test_corpus_stats_vs_duckdb(spark):
     assert sum(got["languages"].values()) == got["n_docs"]
 
 
+def test_corpus_stats_null_texts_not_duplicates(spark):
+    """Null-text docs must not count as duplicates of each other: the dup
+    rate compares distinct non-null texts against the NON-NULL doc count
+    (previously 100 nulls among 900 distinct docs reported 10% dup)."""
+    rows = ([(i, f"unique text {i}", "s") for i in range(90)]
+            + [(100 + i, None, "s") for i in range(10)])
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    got = P.corpus_stats(docs)
+    assert got["n_docs"] == 100
+    assert got["n_null_texts"] == 10
+    assert got["exact_dup_rate"] == 0.0
+    # real duplicates still counted against the non-null denominator
+    docs2 = docs.unionByName(spark.createDataFrame(
+        [(500, "unique text 0", "s")], "doc_id int, text string, source string"))
+    got2 = P.corpus_stats(docs2)
+    assert abs(got2["exact_dup_rate"] - (1.0 - 90 / 91)) < 1e-12
+
+
 def test_cosine_topk_zero_norm_and_prune_agreement(spark, emb):
     """Both cosine_topk methods must agree on a corpus containing
     zero-norm vectors (previously matmul's NaN sorted FIRST under desc
