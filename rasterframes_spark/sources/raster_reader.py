@@ -66,15 +66,22 @@ def _cached_info(uri: str):
     try:
         return GT.read_info(_range_source(uri))
     except ValueError as e:
+        from rasterframes_spark.sources import jp2 as J2
+
+        try:
+            return J2.read_info(_range_source(uri))
+        except (ValueError, NotImplementedError):
+            pass
         from rasterframes_spark.sources import gdal_fallback as GF
 
         if GF.have_rasterio():
             return GF.read_info_rasterio(uri)
         raise ValueError(
-            f"{uri}: not readable by the pure-python codec ({e}). "
-            "Pure-python covers the TIFF/GeoTIFF family (see the README "
-            "format matrix); JP2/MrF/HDF/VRT need GDAL — installing "
-            "rasterio enables the fallback read path automatically."
+            f"{uri}: not readable by the pure-python codecs ({e}). "
+            "Pure-python covers the TIFF/GeoTIFF family and lossless "
+            "(5/3 reversible) JPEG2000 (see the README format matrix); "
+            "lossy JP2/MrF/HDF/VRT need GDAL — installing rasterio "
+            "enables the fallback read path automatically."
         ) from e
 
 
@@ -245,11 +252,17 @@ def realize_tiles(ref) -> Column:
             c0c, r0c = max(c0, 0), max(r0, 0)
             w = min(c0 + w_req, info.width) - c0c
             h = min(r0 + h_req, info.height) - r0c
-            if getattr(info, "via", "tiff") == "gdal":
+            via = getattr(info, "via", "tiff")
+            if via == "gdal":
                 from rasterframes_spark.sources import gdal_fallback as GF
 
                 arr = GF.read_window_rasterio(
                     str(uri), c0c, r0c, w, h, int(r["band"].values[i]))
+            elif via == "jp2":
+                from rasterframes_spark.sources import jp2 as J2
+
+                arr = J2.read_window(data, info, c0c, r0c, w, h,
+                                     int(r["band"].values[i]))
             else:
                 arr = GT.read_window(data, info, c0c, r0c, w, h,
                                      int(r["band"].values[i]))

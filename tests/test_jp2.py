@@ -1,0 +1,242 @@
+"""Pure-python JPEG2000 codec (sources/jp2.py).
+
+Verification strategy (no independent JP2 decoder exists in this
+container):
+1. Layered kernel round-trips — MQ coder, tag trees, EBCOT T1, 5/3 DWT —
+   each encoder<->decoder pair is asymmetric enough that shared-bug
+   cancellation is implausible.
+2. Full encode->decode bit-exact round-trips across sizes / tiles /
+   levels / depths / code-block shapes.
+3. The reference's Kakadu-encoded Sentinel-2 fixture
+   (``/root/reference/core/src/test/resources/B01.jp2``, read-only):
+   byte-exact packet-header consumption on real tiles (any parse drift
+   desynchronizes instantly on a 39 kB tile), plausible reflectance
+   statistics, and seam continuity between independently decoded tiles.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from rasterframes_spark.sources import jp2
+
+B01 = "/root/reference/core/src/test/resources/B01.jp2"
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def test_mq_roundtrip():
+    rng = np.random.default_rng(42)
+    for _ in range(8):
+        n = int(rng.integers(1, 1500))
+        cxs = rng.integers(0, jp2.N_CTX, n)
+        bits = (rng.random(n) < rng.uniform(0.02, 0.5)).astype(int)
+        enc = jp2.MQEncoder()
+        for c, b in zip(cxs, bits):
+            enc.encode(int(c), int(b))
+        dec = jp2.MQDecoder(enc.flush())
+        assert [dec.decode(int(c)) for c in cxs] == list(bits)
+
+
+def test_tagtree_roundtrip():
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        w, h = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+        vals = rng.integers(0, 8, (h, w))
+        te = jp2.TagTree(w, h)
+        for y in range(h):
+            for x in range(w):
+                te.set(x, y, int(vals[y, x]))
+        te.finalize()
+        wtr = jp2.HeaderWriter()
+        q = []
+        for t in range(1, 10):
+            for y in range(h):
+                for x in range(w):
+                    te.encode(wtr, x, y, t)
+                    q.append((x, y, t, vals[y, x] < t))
+        rdr = jp2.HeaderReader(wtr.flush() + b"\x00\x00")
+        td = jp2.TagTree(w, h)
+        for x, y, t, expect in q:
+            assert td.decode(rdr, x, y, t) == expect
+
+
+def test_t1_roundtrip():
+    rng = np.random.default_rng(3)
+    for trial in range(16):
+        w, h = int(rng.integers(1, 17)), int(rng.integers(1, 17))
+        orient = ("LL", "LH", "HL", "HH")[trial % 4]
+        mag = rng.integers(0, 2 ** int(rng.integers(1, 12)), (h, w))
+        sgn = rng.integers(0, 2, (h, w)) * 2 - 1
+        coeffs = (mag * sgn).astype(np.int64)
+        data, npass, nbp = jp2.t1_encode(coeffs, orient)
+        out = jp2.t1_decode(data, w, h, npass, nbp, orient)
+        assert (out == coeffs).all()
+
+
+def test_dwt_roundtrip_multilevel():
+    rng = np.random.default_rng(9)
+    for _ in range(10):
+        w, h = int(rng.integers(1, 120)), int(rng.integers(1, 120))
+        u0, v0 = int(rng.integers(0, 7)), int(rng.integers(0, 7))
+        a = rng.integers(-5000, 5000, (h, w)).astype(np.int64)
+        cur, bands = a.copy(), []
+        uu, vv = u0, v0
+        for _ in range(int(rng.integers(1, 6))):
+            ll, hl, lh, hh = jp2.dwt53_forward(cur, uu, vv)
+            bands.append((hl, lh, hh, (uu, vv, uu + cur.shape[1],
+                                       vv + cur.shape[0])))
+            cur, uu, vv = ll, (uu + 1) // 2, (vv + 1) // 2
+        for hl, lh, hh, (x0, y0, x1, y1) in reversed(bands):
+            cur = jp2.dwt53_inverse(cur, hl, lh, hh, x0, y0, x1, y1)
+        assert (cur == a).all()
+
+
+# ---------------------------------------------------------------------------
+# full codec round-trips
+# ---------------------------------------------------------------------------
+
+def test_encode_decode_roundtrip_matrix():
+    rng = np.random.default_rng(5)
+    cases = [
+        ((1, 1), None, 0, (2, 2)), ((8, 8), None, 1, (4, 4)),
+        ((37, 53), None, 3, (3, 5)), ((100, 64), (32, 32), 2, (6, 6)),
+        ((65, 129), (33, 40), 5, (4, 4)), ((200, 3), (64, 2), 4, (2, 2)),
+    ]
+    for shape, tile, levels, cb in cases:
+        a = rng.integers(0, 1 << 15, shape).astype(np.uint16)
+        data = jp2.encode_jp2(a, tile_size=tile, levels=levels, cb_exp=cb)
+        out = jp2.decode_jp2(data)
+        assert out.shape == a.shape
+        assert (out.astype(int) == a.astype(int)).all(), (shape, tile,
+                                                          levels, cb)
+
+
+def test_roundtrip_signed_and_smooth():
+    rng = np.random.default_rng(6)
+    a = rng.integers(-900, 900, (70, 45)).astype(np.int32)
+    data = jp2.encode_jp2(a, levels=3)
+    assert (jp2.decode_jp2(data) == a).all()
+    y, x = np.mgrid[0:80, 0:90]
+    sm = (2000 + 700 * np.sin(x / 9) * np.cos(y / 13)).astype(np.uint16)
+    data = jp2.encode_jp2(sm, levels=4)
+    assert (jp2.decode_jp2(data).astype(int) == sm.astype(int)).all()
+    # smooth image should compress well (sanity on entropy coding)
+    assert len(data) < sm.size * 2 * 0.8
+
+
+def test_window_and_tile_decode():
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 4096, (150, 140)).astype(np.uint16)
+    data = jp2.encode_jp2(a, tile_size=(48, 52), levels=2)
+    win = jp2.decode_jp2(data, window=(30, 40, 60, 70))
+    assert (win.astype(int) == a[40:110, 30:90].astype(int)).all()
+    arr, (x0, y0, x1, y1) = jp2.decode_jp2_tile(data, 3)
+    assert (arr.astype(int) == a[y0:y1, x0:x1].astype(int)).all()
+
+
+def test_unsupported_features_raise():
+    a = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(jp2.encode_jp2(a, levels=1))
+    # flip the COD transform byte to 9/7 (irreversible)
+    i = bytes(data).find(b"\xFF\x52")
+    data[i + 4 + 9] = 0
+    with pytest.raises(NotImplementedError):
+        cs = jp2.JP2Codestream(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# reference fixture (Kakadu-encoded Sentinel-2)
+# ---------------------------------------------------------------------------
+
+needs_b01 = pytest.mark.skipif(not os.path.exists(B01),
+                               reason="reference fixture not present")
+
+
+@needs_b01
+def test_b01_info_and_georeferencing():
+    raw = open(B01, "rb").read()
+    info = jp2.jp2_info(raw)
+    assert info == {
+        "width": 1830, "height": 1830, "tile_width": 192,
+        "tile_height": 192, "n_tiles": 100, "n_components": 1,
+        "depth": 15, "signed": False, "levels": 4, "layers": 1,
+        "codeblock": (4, 4), "reversible": True,
+    }
+    gi = jp2.read_info(raw)
+    assert gi.crs == "EPSG:32615"
+    assert gi.extent == (499980.0, 4190220.0, 609780.0, 4300020.0)
+    assert gi.via == "jp2"
+
+
+@needs_b01
+def test_b01_tiles_decode_byte_exact_and_coherent():
+    """Three non-adjacent Kakadu tiles: packet parse must consume the
+    tile body byte-exactly, values must be plausible reflectances, and
+    the shared edge of two adjacent tiles must be as continuous as the
+    tile interiors (a systematic decode error cannot survive this)."""
+    raw = open(B01, "rb").read()
+    cs = jp2.JP2Codestream(jp2._strip_container(raw))
+
+    endpos = {}
+    orig = jp2._read_packet
+
+    def spy(cs_, cod_, rd, *a):
+        orig(cs_, cod_, rd, *a)
+        endpos["p"] = rd.pos
+
+    jp2._read_packet = spy
+    try:
+        tiles = {}
+        for t in (0, 1, 55):
+            body_len = sum(b - a for a, b in cs.tile_parts[t])
+            tiles[t] = jp2._decode_tile(cs, t, 0)
+            assert endpos["p"] == body_len, (t, endpos["p"], body_len)
+    finally:
+        jp2._read_packet = orig
+
+    for t, arr in tiles.items():
+        assert 900 < arr.mean() < 6000, (t, arr.mean())
+        assert arr.min() >= 0 and arr.max() < (1 << 15)
+    # seam continuity between tiles 0 and 1 (x = 191 | 192)
+    seam = np.abs(tiles[0][:, -1].astype(int) - tiles[1][:, 0].astype(int))
+    interior = np.abs(tiles[0][:, -1].astype(int)
+                      - tiles[0][:, -2].astype(int))
+    assert seam.mean() < 3 * interior.mean() + 5
+
+
+@needs_b01
+def test_b01_read_raster_distributed(spark):
+    """The chunked reader dispatches .jp2 scenes to the native codec:
+    chunk grid + GMLJP2 georeferencing + distributed window decode, with
+    the aggregate over all chunks matching a driver-side full decode."""
+    import rasterframes_spark as rf
+    from pyspark.sql import functions as F
+    from rasterframes_spark.sources import raster_reader as S
+
+    df = S.read_raster(spark, [B01], tile_dimensions=(640, 640))
+    assert df.count() == 9  # 1830/640 -> 3x3 chunks
+    row = df.select("extent", "crs").first()
+    assert row["crs"] == "EPSG:32615"
+    assert row["extent"]["xmin"] == 499980.0
+    t = df.select(S.realize_tiles("tile_ref").alias("tile"))
+    s = t.agg(rf.rf_agg_stats("tile").alias("s")).first()["s"]
+    assert s["data_cells"] == 1830 * 1830
+    raw = open(B01, "rb").read()
+    full = jp2.decode_jp2(raw, window=(0, 0, 1830, 128))  # spot strip
+    strip = jp2.read_window(raw, jp2.read_info(raw), 0, 0, 1830, 128)
+    assert (full == strip).all()
+    assert s["min"] >= 900 and s["max"] < (1 << 15)
+
+
+@needs_b01
+def test_b01_window_read_and_reencode_roundtrip():
+    raw = open(B01, "rb").read()
+    info = jp2.read_info(raw)
+    win = jp2.read_window(raw, info, 100, 150, 120, 80)
+    assert win.shape == (80, 120) and win.dtype == np.uint16
+    # re-encode the decoded window with our encoder: bit-exact round-trip
+    re = jp2.encode_jp2(win, levels=3)
+    assert (jp2.decode_jp2(re).astype(int) == win.astype(int)).all()
