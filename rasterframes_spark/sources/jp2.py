@@ -415,126 +415,152 @@ class _T1State:
     at least one magnitude-refinement bit."""
 
     __slots__ = ("w", "h", "sig", "sgn", "mag", "became", "pi", "refined",
-                 "table", "enc_sign", "plane", "last")
+                 "table", "enc_sign", "plane", "last", "stride", "nsig")
 
     def __init__(self, w: int, h: int, orient: str):
+        # flat buffers with a 1-cell border, stride w+2: per-element access
+        # on bytearrays/lists is ~10x numpy scalar indexing, which is the
+        # entire cost profile of tiny (e.g. Sentinel-2 4x4) code-blocks
         self.w, self.h = w, h
-        shape = (h + 2, w + 2)
-        self.sig = np.zeros(shape, dtype=np.uint8)
-        self.sgn = np.zeros(shape, dtype=np.uint8)  # 1 = negative
-        self.mag = np.zeros(shape, dtype=np.int64)
-        self.became = np.zeros(shape, dtype=np.uint8)
-        self.pi = np.zeros(shape, dtype=np.uint8)
-        self.refined = np.zeros(shape, dtype=np.uint8)
-        self.table = _SIG_TABLES[orient]
+        self.stride = s = w + 2
+        n = (h + 2) * s
+        self.sig = bytearray(n)
+        self.sgn = bytearray(n)      # 1 = negative
+        self.became = bytearray(n)
+        self.pi = bytearray(n)
+        self.refined = bytearray(n)
+        self.nsig = bytearray(n)     # 8-neighborhood significant count
+        self.mag = [0] * n
+        self.last = [0] * n          # plane of the last decoded bit
+        self.table = _SIG_FLAT[orient]
         self.enc_sign = None
-        self.plane = 0  # absolute bit-plane currently being decoded
-        self.last = np.zeros(shape, dtype=np.int64)  # plane of last bit
+        self.plane = 0               # absolute bit-plane being decoded
 
-    def sig_ctx(self, y: int, x: int) -> int:
+    def sig_ctx(self, p: int) -> int:
         s = self.sig
-        h = int(s[y, x - 1]) + int(s[y, x + 1])
-        v = int(s[y - 1, x]) + int(s[y + 1, x])
-        d = (int(s[y - 1, x - 1]) + int(s[y - 1, x + 1])
-             + int(s[y + 1, x - 1]) + int(s[y + 1, x + 1]))
-        return int(self.table[h, v, d])
+        t = self.stride
+        hh = s[p - 1] + s[p + 1]
+        vv = s[p - t] + s[p + t]
+        d = s[p - t - 1] + s[p - t + 1] + s[p + t - 1] + s[p + t + 1]
+        return self.table[hh * 15 + vv * 5 + d]
 
-    def sign_ctx(self, y: int, x: int):
+    def sign_ctx(self, p: int):
         s, g = self.sig, self.sgn
+        t = self.stride
         hc = 0
-        if s[y, x - 1]:
-            hc += -1 if g[y, x - 1] else 1
-        if s[y, x + 1]:
-            hc += -1 if g[y, x + 1] else 1
+        if s[p - 1]:
+            hc += -1 if g[p - 1] else 1
+        if s[p + 1]:
+            hc += -1 if g[p + 1] else 1
         vc = 0
-        if s[y - 1, x]:
-            vc += -1 if g[y - 1, x] else 1
-        if s[y + 1, x]:
-            vc += -1 if g[y + 1, x] else 1
+        if s[p - t]:
+            vc += -1 if g[p - t] else 1
+        if s[p + t]:
+            vc += -1 if g[p + t] else 1
         hc = -1 if hc < -1 else (1 if hc > 1 else hc)
         vc = -1 if vc < -1 else (1 if vc > 1 else vc)
         return _SIGN_CTX[(hc + 1, vc + 1)]
 
-    def any_neighbor_sig(self, y: int, x: int) -> bool:
-        s = self.sig
-        return bool(int(s[y - 1:y + 2, x - 1:x + 2].sum()) - int(s[y, x]))
+
+# flattened significance-context tables: index h*15 + v*5 + d
+_SIG_FLAT = {o: tuple(int(_SIG_TABLES[o][h, v, d])
+                      for h in range(3) for v in range(3) for d in range(5))
+             for o in ("LL", "LH", "HL", "HH")}
 
 
-def _become_significant(st, mq, enc, decode, y, x):
-    scx, xor = st.sign_ctx(y, x)
+def _become_significant(st, mq, enc, decode, p):
+    scx, xor = st.sign_ctx(p)
     if decode:
         sgn = mq.decode(scx) ^ xor
     else:
-        sgn = int(st.enc_sign[y - 1, x - 1])
+        sgn = st.enc_sign[p]
         enc.encode(scx, sgn ^ xor)
-    st.sig[y, x] = 1
-    st.became[y, x] = 1
-    st.sgn[y, x] = sgn
-    st.mag[y, x] = 1
-    st.last[y, x] = st.plane
+    st.sig[p] = 1
+    st.became[p] = 1
+    st.sgn[p] = sgn
+    st.mag[p] = 1
+    st.last[p] = st.plane
+    t = st.stride
+    ns = st.nsig
+    for q in (p - t - 1, p - t, p - t + 1, p - 1, p + 1,
+              p + t - 1, p + t, p + t + 1):
+        ns[q] += 1
 
 
 def _sigprop_pass(st, mq=None, enc=None, plane_bit=None):
     decode = mq is not None
-    w, h = st.w, st.h
+    w, h, t = st.w, st.h, st.stride
+    sig, nsig, pi = st.sig, st.nsig, st.pi
     for y0 in range(1, h + 1, 4):
         rows = min(4, h + 1 - y0)
+        base0 = y0 * t
         for x in range(1, w + 1):
-            for y in range(y0, y0 + rows):
-                if st.sig[y, x] or not st.any_neighbor_sig(y, x):
-                    continue
-                cx = st.sig_ctx(y, x)
-                if decode:
-                    bit = mq.decode(cx)
-                else:
-                    bit = int(plane_bit[y - 1, x - 1])
-                    enc.encode(cx, bit)
-                st.pi[y, x] = 1
-                if bit:
-                    _become_significant(st, mq, enc, decode, y, x)
+            p = base0 + x
+            for _ in range(rows):
+                if not sig[p] and nsig[p]:
+                    cx = st.sig_ctx(p)
+                    if decode:
+                        bit = mq.decode(cx)
+                    else:
+                        bit = plane_bit[p]
+                        enc.encode(cx, bit)
+                    pi[p] = 1
+                    if bit:
+                        _become_significant(st, mq, enc, decode, p)
+                p += t
 
 
 def _magref_pass(st, mq=None, enc=None, plane_bit=None):
     decode = mq is not None
-    w, h = st.w, st.h
+    w, h, t = st.w, st.h, st.stride
+    sig, became, refined, mag, last = (st.sig, st.became, st.refined,
+                                       st.mag, st.last)
+    nsig = st.nsig
+    plane = st.plane
     for y0 in range(1, h + 1, 4):
         rows = min(4, h + 1 - y0)
+        base0 = y0 * t
         for x in range(1, w + 1):
-            for y in range(y0, y0 + rows):
-                if not st.sig[y, x] or st.became[y, x]:
-                    continue
-                if st.refined[y, x]:
-                    cx = 16
-                else:
-                    cx = 15 if st.any_neighbor_sig(y, x) else 14
-                if decode:
-                    bit = mq.decode(cx)
-                else:
-                    bit = int(plane_bit[y - 1, x - 1])
-                    enc.encode(cx, bit)
-                st.mag[y, x] = (st.mag[y, x] << 1) | bit
-                st.refined[y, x] = 1
-                st.last[y, x] = st.plane
+            p = base0 + x
+            for _ in range(rows):
+                if sig[p] and not became[p]:
+                    if refined[p]:
+                        cx = 16
+                    else:
+                        cx = 15 if nsig[p] else 14
+                    if decode:
+                        bit = mq.decode(cx)
+                    else:
+                        bit = plane_bit[p]
+                        enc.encode(cx, bit)
+                    mag[p] = (mag[p] << 1) | bit
+                    refined[p] = 1
+                    last[p] = plane
+                p += t
 
 
 def _cleanup_pass(st, mq=None, enc=None, plane_bit=None):
     decode = mq is not None
-    w, h = st.w, st.h
+    w, h, t = st.w, st.h, st.stride
+    sig, pi, nsig = st.sig, st.pi, st.nsig
     for y0 in range(1, h + 1, 4):
         rows = min(4, h + 1 - y0)
+        base0 = y0 * t
         for x in range(1, w + 1):
-            y = y0
-            if rows == 4 and not any(
-                    st.sig[yy, x] or st.pi[yy, x]
-                    or st.any_neighbor_sig(yy, x)
-                    for yy in range(y0, y0 + 4)):
+            p0 = base0 + x
+            start = 0
+            if rows == 4 and not (
+                    sig[p0] or pi[p0] or nsig[p0]
+                    or sig[p0 + t] or pi[p0 + t] or nsig[p0 + t]
+                    or sig[p0 + 2 * t] or pi[p0 + 2 * t] or nsig[p0 + 2 * t]
+                    or sig[p0 + 3 * t] or pi[p0 + 3 * t] or nsig[p0 + 3 * t]):
                 if decode:
                     if not mq.decode(CTX_RUN):
                         continue
                     r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI)
                 else:
-                    col = [int(plane_bit[yy - 1, x - 1])
-                           for yy in range(y0, y0 + 4)]
+                    col = (plane_bit[p0], plane_bit[p0 + t],
+                           plane_bit[p0 + 2 * t], plane_bit[p0 + 3 * t])
                     if not any(col):
                         enc.encode(CTX_RUN, 0)
                         continue
@@ -542,23 +568,34 @@ def _cleanup_pass(st, mq=None, enc=None, plane_bit=None):
                     r = col.index(1)
                     enc.encode(CTX_UNI, (r >> 1) & 1)
                     enc.encode(CTX_UNI, r & 1)
-                yy = y0 + r
-                _become_significant(st, mq, enc, decode, yy, x)
-                y = yy + 1
-            for yy in range(y, y0 + rows):
-                if st.sig[yy, x] or st.pi[yy, x]:
-                    continue
-                cx = st.sig_ctx(yy, x)
-                if decode:
-                    bit = mq.decode(cx)
-                else:
-                    bit = int(plane_bit[yy - 1, x - 1])
-                    enc.encode(cx, bit)
-                if bit:
-                    _become_significant(st, mq, enc, decode, yy, x)
+                _become_significant(st, mq, enc, decode, p0 + r * t)
+                start = r + 1
+            p = p0 + start * t
+            for _ in range(start, rows):
+                if not sig[p] and not pi[p]:
+                    cx = st.sig_ctx(p)
+                    if decode:
+                        bit = mq.decode(cx)
+                    else:
+                        bit = plane_bit[p]
+                        enc.encode(cx, bit)
+                    if bit:
+                        _become_significant(st, mq, enc, decode, p)
+                p += t
 
 
-_PASS_FNS = (_cleanup_pass, _sigprop_pass, _magref_pass)
+def _flat_core(st, arr_like):
+    """Core (h x w) numpy array -> flat border-padded list indexable by
+    the same positions the passes use."""
+    h, w, t = st.h, st.w, st.stride
+    out = [0] * ((h + 2) * t)
+    a = np.asarray(arr_like)
+    for y in range(h):
+        row = a[y]
+        base = (y + 1) * t + 1
+        for x in range(w):
+            out[base + x] = int(row[x])
+    return out
 
 
 def t1_decode(data: bytes, w: int, h: int, n_passes: int, n_bitplanes: int,
@@ -570,12 +607,13 @@ def t1_decode(data: bytes, w: int, h: int, n_passes: int, n_bitplanes: int,
     st = _T1State(w, h, orient)
     mq = MQDecoder(data)
     st.plane = n_bitplanes - 1
+    n = len(st.sig)
     p = 0  # 0 = cleanup (first pass), then 1 sigprop, 2 magref, 0 cleanup
     for _ in range(n_passes):
         if p == 0:
             _cleanup_pass(st, mq=mq)
-            st.became[:] = 0
-            st.pi[:] = 0
+            st.became = bytearray(n)
+            st.pi = bytearray(n)
             st.plane -= 1
             p = 1
         elif p == 1:
@@ -588,9 +626,18 @@ def t1_decode(data: bytes, w: int, h: int, n_passes: int, n_bitplanes: int,
     # stream ending mid-plane (encoders drop empty trailing passes) leaves
     # refined and unrefined coefficients at different depths, so a uniform
     # shift would double some of them
-    mag = st.mag[1:h + 1, 1:w + 1] << np.maximum(st.last[1:h + 1, 1:w + 1], 0)
-    out = mag.astype(np.int64)
-    out[st.sgn[1:h + 1, 1:w + 1].astype(bool)] *= -1
+    t = st.stride
+    out = np.zeros((h, w), dtype=np.int64)
+    mag, last, sgn = st.mag, st.last, st.sgn
+    for y in range(h):
+        base = (y + 1) * t + 1
+        row = out[y]
+        for x in range(w):
+            q = base + x
+            m = mag[q]
+            if m:
+                v = m << last[q] if last[q] > 0 else m
+                row[x] = -v if sgn[q] else v
     return out
 
 
@@ -603,19 +650,27 @@ def t1_encode(coeffs: np.ndarray, orient: str):
     if nbp == 0:
         return b"", 0, 0
     st = _T1State(w, h, orient)
-    st.enc_sign = (coeffs < 0).astype(np.uint8)
+    es = bytearray(len(st.sig))
+    neg = coeffs < 0
+    for y in range(h):
+        base = (y + 1) * st.stride + 1
+        for x in range(w):
+            if neg[y, x]:
+                es[base + x] = 1
+    st.enc_sign = es
     enc = MQEncoder()
     n_passes = 0
+    n = len(st.sig)
     for plane in range(nbp - 1, -1, -1):
         st.plane = plane
-        plane_bit = ((mags >> plane) & 1).astype(np.uint8)
+        plane_bit = _flat_core(st, (mags >> plane) & 1)
         if plane < nbp - 1:
             _sigprop_pass(st, enc=enc, plane_bit=plane_bit)
             _magref_pass(st, enc=enc, plane_bit=plane_bit)
             n_passes += 2
         _cleanup_pass(st, enc=enc, plane_bit=plane_bit)
-        st.became[:] = 0
-        st.pi[:] = 0
+        st.became = bytearray(n)
+        st.pi = bytearray(n)
         n_passes += 1
     return enc.flush(), n_passes, nbp
 
