@@ -1562,7 +1562,6 @@ def read_info(data):
     dtype = ("int32" if cs.comp[0]["signed"]
              else ("uint8" if depth <= 8 else "uint16"))
     w = cs.xsiz - cs.xosiz
-    h = cs.ysiz - cs.ysiz + (cs.ysiz - cs.yosiz)
     h = cs.ysiz - cs.yosiz
     if extent is None:
         extent = (0.0, 0.0, float(w), float(h))
@@ -1624,9 +1623,9 @@ def read_window(data, info, col_off: int, row_off: int, width: int,
                 height: int, band: int = 0) -> np.ndarray:
     """Windowed decode matching geotiff.read_window's signature: decodes
     only the JP2 tiles intersecting the window."""
+    cache_key = getattr(data, "uri", None) or id(data)
     data = _as_bytes_like(data)
     cs = JP2Codestream(_strip_container_lazy(data))
-    out = None
     dtype = np.dtype(info.dtype)
     out = np.zeros((height, width), dtype=dtype)
     for t in range(cs.n_xtiles * cs.n_ytiles):
@@ -1638,7 +1637,7 @@ def read_window(data, info, col_off: int, row_off: int, width: int,
         oy1 = min(iy1, row_off + height)
         if ox0 >= ox1 or oy0 >= oy1:
             continue
-        tile = _decode_tile_cached(cs, t, band)
+        tile = _decode_tile_cached(cs, cache_key, t, band)
         out[oy0 - row_off:oy1 - row_off, ox0 - col_off:ox1 - col_off] = tile[
             oy0 - iy0:oy1 - iy0, ox0 - ix0:ox1 - ix0].astype(dtype)
     return out
@@ -1650,8 +1649,12 @@ _TILE_CACHE: dict = {}
 _TILE_CACHE_MAX = 16
 
 
-def _decode_tile_cached(cs: JP2Codestream, t: int, comp: int) -> np.ndarray:
-    key = (id(cs.data), len(cs.data), t, comp)
+def _decode_tile_cached(cs: JP2Codestream, source_key, t: int,
+                        comp: int) -> np.ndarray:
+    # source_key must be stable across read_window calls for the same
+    # file (the reader's per-URI RangeSource identity, or the caller's
+    # bytes object) — a per-call wrapper id would never hit
+    key = (source_key, len(cs.data), t, comp)
     hit = _TILE_CACHE.get(key)
     if hit is not None:
         return hit
