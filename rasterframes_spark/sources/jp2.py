@@ -1238,6 +1238,21 @@ def _read_packet(cs, cod, rd, r, l, p, pw, geo_r, ppx, ppy, xcb, ycb,
 # ---------------------------------------------------------------------------
 
 
+
+def _translate_errors(fn):
+    """Decorator: malformed-stream crashes (struct/index/key) surface as
+    ValueError so callers get one structured failure mode."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (struct.error, IndexError, KeyError) as e:
+            raise ValueError(f"malformed JPEG2000: {e}") from e
+    return wrapped
+
+
 def _strip_container(data: bytes) -> bytes:
     """JP2 box container -> raw codestream (or pass through raw SOC)."""
     if data[:2] == b"\xFF\x4F":
@@ -1258,6 +1273,7 @@ def _strip_container(data: bytes) -> bytes:
     raise ValueError("JP2: no jp2c codestream box found")
 
 
+@_translate_errors
 def jp2_info(data: bytes) -> dict:
     cs = JP2Codestream(_strip_container(data))
     return {
@@ -1276,6 +1292,7 @@ def jp2_info(data: bytes) -> dict:
     }
 
 
+@_translate_errors
 def decode_jp2(data: bytes, component: int = 0,
                window: tuple | None = None) -> np.ndarray:
     """Decode a JP2 file / raw codestream to a 2-D integer array.
@@ -1309,6 +1326,7 @@ def decode_jp2(data: bytes, component: int = 0,
     return out
 
 
+@_translate_errors
 def decode_jp2_tile(data: bytes, tile_index: int,
                     component: int = 0) -> tuple:
     """Decode a single JP2 tile: returns (array, (x0, y0, x1, y1)) in
@@ -1556,7 +1574,12 @@ def read_info(data):
             or sig[4:8] in (b"jP  ", b"ftyp")
             or sig[:4] == b"\x00\x00\x00\x0c"):
         raise ValueError("not a JPEG2000 file")
-    cs = JP2Codestream(_strip_container_lazy(data))
+    try:
+        cs = JP2Codestream(_strip_container_lazy(data))
+    except (struct.error, IndexError, KeyError) as e:
+        # malformed codestream: surface as ValueError so the reader's
+        # format-dispatch chain (geotiff -> jp2 -> rasterio) stays intact
+        raise ValueError(f"malformed JPEG2000: {e}") from e
     crs, extent = _parse_gmljp2(data)
     depth = cs.comp[0]["depth"]
     dtype = ("int32" if cs.comp[0]["signed"]
@@ -1619,6 +1642,7 @@ def _strip_container_lazy(data):
     raise ValueError("JP2: no jp2c codestream box found")
 
 
+@_translate_errors
 def read_window(data, info, col_off: int, row_off: int, width: int,
                 height: int, band: int = 0) -> np.ndarray:
     """Windowed decode matching geotiff.read_window's signature: decodes

@@ -137,6 +137,35 @@ def test_window_and_tile_decode():
     assert (arr.astype(int) == a[y0:y1, x0:x1].astype(int)).all()
 
 
+def test_malformed_input_raises_valueerror():
+    """Truncated / corrupted inputs surface as ValueError (or the honest
+    NotImplementedError), never a bare struct/index crash — the reader's
+    format-dispatch chain catches ValueError to try the next codec."""
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 255, (16, 16)).astype(np.uint8)
+    good = jp2.encode_jp2(a, levels=2)
+    for bad in (b"", b"\x00" * 40, good[:9], good[:60],
+                good[:len(good) // 2]):
+        try:
+            jp2.read_info(bad)
+        except (ValueError, NotImplementedError):
+            pass
+    # random byte corruption in the main header region
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        buf = bytearray(good)
+        for _ in range(4):
+            buf[int(r.integers(2, min(80, len(buf))))] = int(
+                r.integers(0, 256))
+        try:
+            jp2.decode_jp2(bytes(buf))
+        except (ValueError, NotImplementedError, AssertionError):
+            pass  # structured failure is acceptable; silent garbage is not
+        except Exception as e:  # noqa: BLE001 — the pin IS the exception type
+            raise AssertionError(
+                f"seed {seed}: unstructured {type(e).__name__}: {e}")
+
+
 def test_unsupported_features_raise():
     a = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(jp2.encode_jp2(a, levels=1))
