@@ -11,10 +11,13 @@ bounded memory).
 Scope (asserted, never silently wrong):
 - decode: reversible 5/3 wavelet, no quantization (style 0 QCD/QCC),
   arbitrary decomposition levels, code-block sizes, precincts, multiple
-  tiles/components, LRCP/RLCP/RPCL/PCRL/CPRL progressions, one or more
-  quality layers, SOP/EPH tolerated, PLT/TLM/COM skipped. Irreversible
-  (9/7) codestreams raise — this engine's contract is exact integers.
-- encode: single quality layer, LRCP, 5/3 reversible — enough to
+  tiles, LRCP/RLCP and (single-component) RPCL/PCRL/CPRL progressions,
+  one or more quality layers, SOP/EPH tolerated, PLT/TLM/COM skipped.
+  Irreversible (9/7) and multi-component codestreams raise and route to
+  the rasterio fallback — this engine's contract is exact integers, and
+  EO imagery ships one component per file (Sentinel-2 per-band .jp2).
+- encode: single quality layer, LRCP or RPCL, optional precincts, 5/3
+  reversible — enough to
   round-trip any integer raster bit-exactly, which is also the module's
   spec oracle (tests/test_jp2.py: encoder<->decoder round-trips plus
   structural checks on the reference's Kakadu-encoded Sentinel-2 fixture).
@@ -1086,11 +1089,17 @@ def _decode_tile(cs: JP2Codestream, t: int, comp: int = 0) -> np.ndarray:
         raise NotImplementedError(
             "JP2: quantized (lossy) codestreams not supported")
     prog = cod.prog
-    if prog not in (0, 1):
+    if prog not in (0, 1, 2, 3, 4):
+        raise NotImplementedError("JP2: unknown progression %r" % prog)
+    if cs.ncomp > 1:
+        # the packet stream interleaves every component's packets; this
+        # decoder parses a single component's geometry and would misread
+        # the interleave. EO imagery ships one component per file
+        # (Sentinel-2 per-band .jp2) — multi-component routes to the
+        # rasterio fallback.
         raise NotImplementedError(
-            "JP2: only LRCP/RLCP progressions supported (got %d)" % prog)
-    if cs.ncomp > 1 and cod.mct:
-        raise NotImplementedError("JP2: component MCT not supported")
+            "JP2: multi-component codestreams not supported (one "
+            "component per file is the EO norm)")
     tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
     dx, dy = cs.comp[comp]["dx"], cs.comp[comp]["dy"]
     tcx0, tcy0 = _ceil_div(tx0, dx), _ceil_div(ty0, dy)
@@ -1131,15 +1140,41 @@ def _decode_tile(cs: JP2Codestream, t: int, comp: int = 0) -> np.ndarray:
             _read_packet(cs, cod, rd, r, l, p, pw, geo[r], ppx, ppy, xcb,
                          ycb, incl_trees, zb_trees, cb_states)
 
+    def packet_one(r, l, p, pw):
+        ppx, ppy, xcb, ycb, _, _ = res_meta[r]
+        _read_packet(cs, cod, rd, r, l, p, pw, geo[r], ppx, ppy, xcb,
+                     ycb, incl_trees, zb_trees, cb_states)
+
     layers = cod.layers
     if prog == 0:  # LRCP
         for l in range(layers):
             for r in range(levels + 1):
                 packet(r, l)
-    else:  # RLCP
+    elif prog == 1:  # RLCP
         for r in range(levels + 1):
             for l in range(layers):
                 packet(r, l)
+    else:
+        # position-based orders (single component): every precinct gets a
+        # full-resolution anchor position; RPCL sorts (r, y, x), PCRL and
+        # CPRL (== PCRL at 1 component) sort (y, x, r); layers innermost
+        entries = []
+        for r in range(levels + 1):
+            ppx, ppy, xcb, ycb, pw, ph = res_meta[r]
+            trx0, try0, trx1, try1 = geo[r]["res"]
+            s = levels - r
+            for p in range(pw * ph):
+                pi, pj = p % pw, p // pw
+                ax = max(((trx0 >> ppx) + pi) << ppx, trx0) << s
+                ay = max(((try0 >> ppy) + pj) << ppy, try0) << s
+                entries.append((r, ay, ax, p, pw))
+        if prog == 2:  # RPCL
+            entries.sort(key=lambda e: (e[0], e[1], e[2]))
+        else:          # PCRL / CPRL
+            entries.sort(key=lambda e: (e[1], e[2], e[0]))
+        for r, _, _, p, pw in entries:
+            for l in range(layers):
+                packet_one(r, l, p, pw)
 
     # T1-decode each code-block, assemble subbands
     band_arrays = []
@@ -1345,14 +1380,19 @@ def decode_jp2_tile(data: bytes, tile_index: int,
 
 def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
                levels: int = 5, cb_exp: tuple = (6, 6),
-               depth: int | None = None, signed: bool | None = None) -> bytes:
+               depth: int | None = None, signed: bool | None = None,
+               precinct: int | None = None, prog: str = "LRCP") -> bytes:
     """Encode a 2-D integer array as a raw JPEG2000 codestream
-    (reversible 5/3, single quality layer, LRCP, maximal precincts).
-    Bit-exact round-trip with :func:`decode_jp2` — that property is the
-    codec's spec oracle in tests/test_jp2.py."""
+    (reversible 5/3, single quality layer). ``precinct`` = PPx=PPy
+    exponent (None = maximal); ``prog`` = 'LRCP' or 'RPCL' (the
+    Sentinel-2 shape is RPCL with 64x64 precincts). Bit-exact round-trip
+    with :func:`decode_jp2` — that property is the codec's spec oracle
+    in tests/test_jp2.py."""
     img = np.asarray(img)
     if img.ndim != 2:
         raise ValueError("encode_jp2: expected a 2-D array")
+    if prog not in ("LRCP", "RPCL"):
+        raise ValueError("encode_jp2: prog must be LRCP or RPCL")
     if signed is None:
         signed = bool(np.issubdtype(img.dtype, np.signedinteger)
                       and img.min() < 0)
@@ -1363,6 +1403,7 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
     th, tw = (tile_size if tile_size else (h, w))
     xcb, ycb = cb_exp
     levels = int(levels)
+    pp = 15 if precinct is None else int(precinct)
 
     out = bytearray()
     out += b"\xFF\x4F"  # SOC
@@ -1370,8 +1411,12 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, tw, th, 0, 0, 1)
     siz += bytes([(0x80 if signed else 0) | (depth - 1), 1, 1])
     out += b"\xFF\x51" + struct.pack(">H", 2 + len(siz)) + siz
-    # COD: Scod=0 (no precinct spec = maximal), LRCP, 1 layer, no MCT
-    cod = bytes([0, 0, 0, 1, 0, levels, xcb - 2, ycb - 2, 0, 1])
+    # COD: Scod bit0 set iff custom precincts; 1 layer, no MCT
+    prog_code = {"LRCP": 0, "RPCL": 2}[prog]
+    cod = bytes([1 if precinct is not None else 0, prog_code, 0, 1, 0,
+                 levels, xcb - 2, ycb - 2, 0, 1])
+    if precinct is not None:
+        cod += bytes([(pp << 4) | pp] * (levels + 1))
     out += b"\xFF\x52" + struct.pack(">H", 2 + len(cod)) + cod
     # QCD: style 0 (reversible), 2 guard bits; exponent = depth + gain + 1
     # (5/3 lifting growth bound), gain LL=0, HL/LH=1, HH=2
@@ -1390,7 +1435,7 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
         tx1, ty1 = min((ti + 1) * tw, w), min((tj + 1) * th, h)
         body = _encode_tile(img[ty0:ty1, tx0:tx1].astype(np.int64),
                             tx0, ty0, tx1, ty1, levels, xcb, ycb,
-                            depth, signed, guard, exps)
+                            depth, signed, guard, exps, pp, prog)
         sot = struct.pack(">HIBB", t, 12 + len(body) + 2, 0, 1)
         out += b"\xFF\x90" + struct.pack(">H", 10) + sot
         out += b"\xFF\x93" + body
@@ -1399,7 +1444,8 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
 
 
 def _encode_tile(tile, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
-                 depth, signed, guard, exps) -> bytes:
+                 depth, signed, guard, exps, pp: int = 15,
+                 prog: str = "LRCP") -> bytes:
     a = tile.copy()
     if not signed:
         a -= 1 << (depth - 1)  # DC level shift
@@ -1421,75 +1467,77 @@ def _encode_tile(tile, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
         e = exps[0] if r == 0 else exps[1 + 3 * (r - 1) + bi]
         return e + guard - 1
 
+    # packet sequence: 1 layer + 1 component, so LRCP and RPCL both emit
+    # (r ascending, precincts in raster order) — the COD progression byte
+    # still matters to the DECODER's layer-loop placement on multi-layer
+    # files, and the decoder's RPCL path is exercised by prog='RPCL'
     body = bytearray()
-    # one precinct per resolution (maximal): packets in LRCP = R order
     for r in range(levels + 1):
-        excb = min(xcb, 15 if r == 0 else 14)
-        eycb = min(ycb, 15 if r == 0 else 14)
+        excb = min(xcb, pp if r == 0 else pp - 1)
+        eycb = min(ycb, pp if r == 0 else pp - 1)
         trx0, try0, trx1, try1 = geo[r]["res"]
-        if _precinct_grid(trx0, try0, trx1, try1, 15, 15) == (0, 0):
-            continue  # empty resolution: the spec emits no packet at all
-        hdr = HeaderWriter()
-        segs = []
-        any_cb = False
-        hdr.put(1)  # non-empty packet (even all-zero cbs carry headers)
-        for bi, band in enumerate(geo[r]["bands"]):
-            cbw, cbh, cbs = _cbs_in_precinct(
-                band, r, 0, 1, geo[r]["res"], 15, 15, excb, eycb)
-            if not cbs:
-                continue
-            any_cb = True
-            itree = TagTree(cbw, cbh)
-            ztree = TagTree(cbw, cbh)
-            name = band[0]
-            arr = bands[(r, name)]
-            bx0, by0 = band[1], band[2]
-            mb = band_mb(r, bi)
-            enc_list = []
-            for (rx, ry, cx0, cy0, cx1, cy1) in cbs:
-                coeffs = arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0]
-                data, npass, nbp = t1_encode(coeffs, name)
-                if nbp > mb:
-                    raise AssertionError(
-                        f"encode_jp2: band {name}@r{r} needs {nbp} planes "
-                        f"> Mb={mb} — raise the QCD exponent bound")
-                missing = mb - nbp
-                enc_list.append((rx, ry, data, npass, missing))
-                itree.set(rx, ry, 0)   # everything included in layer 0
-                ztree.set(rx, ry, missing)
-            itree.finalize()
-            ztree.finalize()
-            for rx, ry, data, npass, missing in enc_list:
-                itree.encode(hdr, rx, ry, 1)
-                # zero-bitplane tag tree: encode thresholds until resolved
-                k = 1
-                while True:
-                    ztree.encode(hdr, rx, ry, k)
-                    if missing < k:
-                        break
-                    k += 1
-                if npass == 0:
-                    # still signalled included with 1 pass of empty data?
-                    # spec requires >= 1 pass for an included cb: encode
-                    # 1 pass with zero-length segment
-                    npass = 1
-                    data = b""
-                _write_n_passes(hdr, npass)
-                lblock = 3
-                nbits = lblock + int(npass).bit_length() - 1
-                while len(data) >= (1 << nbits):
-                    hdr.put(1)
-                    lblock += 1
-                    nbits += 1
-                hdr.put(0)
-                hdr.bits(len(data), nbits)
-                segs.append(data)
-        if not any_cb:
+        pw, ph = _precinct_grid(trx0, try0, trx1, try1, pp, pp)
+        for p in range(pw * ph):
             hdr = HeaderWriter()
-            hdr.put(0)  # empty packet
-        body += hdr.flush()
-        for s in segs:
-            body += s
+            segs = []
+            any_cb = False
+            hdr.put(1)  # non-empty packet (all-zero cbs carry headers)
+            for bi, band in enumerate(geo[r]["bands"]):
+                cbw, cbh, cbs = _cbs_in_precinct(
+                    band, r, p, pw, geo[r]["res"], pp, pp, excb, eycb)
+                if not cbs:
+                    continue
+                any_cb = True
+                itree = TagTree(cbw, cbh)
+                ztree = TagTree(cbw, cbh)
+                name = band[0]
+                arr = bands[(r, name)]
+                bx0, by0 = band[1], band[2]
+                mb = band_mb(r, bi)
+                enc_list = []
+                for (rx, ry, cx0, cy0, cx1, cy1) in cbs:
+                    coeffs = arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0]
+                    data, npass, nbp = t1_encode(coeffs, name)
+                    if nbp > mb:
+                        raise AssertionError(
+                            f"encode_jp2: band {name}@r{r} needs {nbp} "
+                            f"planes > Mb={mb} — raise the QCD exponent")
+                    missing = mb - nbp
+                    enc_list.append((rx, ry, data, npass, missing))
+                    itree.set(rx, ry, 0)  # everything included in layer 0
+                    ztree.set(rx, ry, missing)
+                itree.finalize()
+                ztree.finalize()
+                for rx, ry, data, npass, missing in enc_list:
+                    itree.encode(hdr, rx, ry, 1)
+                    # zero-bitplane tag tree: thresholds until resolved
+                    k = 1
+                    while True:
+                        ztree.encode(hdr, rx, ry, k)
+                        if missing < k:
+                            break
+                        k += 1
+                    if npass == 0:
+                        # spec requires >= 1 pass for an included cb:
+                        # 1 pass with a zero-length segment
+                        npass = 1
+                        data = b""
+                    _write_n_passes(hdr, npass)
+                    lblock = 3
+                    nbits = lblock + int(npass).bit_length() - 1
+                    while len(data) >= (1 << nbits):
+                        hdr.put(1)
+                        lblock += 1
+                        nbits += 1
+                    hdr.put(0)
+                    hdr.bits(len(data), nbits)
+                    segs.append(data)
+            if not any_cb:
+                hdr = HeaderWriter()
+                hdr.put(0)  # empty packet
+            body += hdr.flush()
+            for s in segs:
+                body += s
     return bytes(body)
 
 

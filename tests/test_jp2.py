@@ -114,6 +114,23 @@ def test_encode_decode_roundtrip_matrix():
                                                           levels, cb)
 
 
+def test_roundtrip_precincts_and_rpcl():
+    """Custom precincts split each resolution into multiple packets, and
+    RPCL exercises the decoder's position-ordered progression path — the
+    exact encoding shape of Sentinel-2 products (RPCL, 64x64 precincts,
+    tiny code-blocks)."""
+    rng = np.random.default_rng(21)
+    for prog in ("LRCP", "RPCL"):
+        a = rng.integers(0, 1 << 14, (130, 170)).astype(np.uint16)
+        data = jp2.encode_jp2(a, tile_size=(96, 96), levels=3,
+                              cb_exp=(2, 2), precinct=5, prog=prog)
+        out = jp2.decode_jp2(data)
+        assert (out.astype(int) == a.astype(int)).all(), prog
+        # window decode through the precinct grid
+        win = jp2.decode_jp2(data, window=(90, 60, 60, 50))
+        assert (win.astype(int) == a[60:110, 90:150].astype(int)).all()
+
+
 def test_roundtrip_signed_and_smooth():
     rng = np.random.default_rng(6)
     a = rng.integers(-900, 900, (70, 45)).astype(np.int32)
