@@ -1081,8 +1081,13 @@ def _cbs_in_precinct(band, r, p_idx, pw, res, ppx, ppy, xcb, ycb):
     return m1 - m0, n1 - n0, out
 
 
-def _decode_tile(cs: JP2Codestream, t: int, comp: int = 0) -> np.ndarray:
-    """Decode one tile-component to pixel values (DC shift applied)."""
+def _decode_tile(cs: JP2Codestream, t: int, comp: int = 0,
+                 reduce: int = 0) -> np.ndarray:
+    """Decode one tile-component to pixel values (DC shift applied).
+    ``reduce`` = number of resolution levels to drop: the output is the
+    tile at 1/2^reduce scale, decoding only the packets of the kept
+    resolutions when the progression allows an early stop — the overview
+    path over a large JP2 archive costs ~1/4^reduce of a full decode."""
     cod = cs._tile_cod(t, comp)
     guard, qstyle, exps = cs._tile_qcd(t, comp)
     if qstyle != 0:
@@ -1146,12 +1151,17 @@ def _decode_tile(cs: JP2Codestream, t: int, comp: int = 0) -> np.ndarray:
                      ycb, incl_trees, zb_trees, cb_states)
 
     layers = cod.layers
+    max_res = max(0, levels - max(0, int(reduce)))
+    # r-ordered progressions stop reading after the last kept resolution
+    # (LRCP only when single-layer: its layer loop is outermost)
+    stop_res = max_res if (prog in (1, 2) or
+                           (prog == 0 and layers == 1)) else levels
     if prog == 0:  # LRCP
         for l in range(layers):
-            for r in range(levels + 1):
+            for r in range(stop_res + 1):
                 packet(r, l)
     elif prog == 1:  # RLCP
-        for r in range(levels + 1):
+        for r in range(stop_res + 1):
             for l in range(layers):
                 packet(r, l)
     else:
@@ -1173,12 +1183,16 @@ def _decode_tile(cs: JP2Codestream, t: int, comp: int = 0) -> np.ndarray:
         else:          # PCRL / CPRL
             entries.sort(key=lambda e: (e[1], e[2], e[0]))
         for r, _, _, p, pw in entries:
+            if r > stop_res:       # only reachable for RPCL (r-ordered):
+                break              # PCRL/CPRL keep stop_res = levels
+                                   # because skipping a packet mid-stream
+                                   # would desynchronize byte offsets
             for l in range(layers):
                 packet_one(r, l, p, pw)
 
-    # T1-decode each code-block, assemble subbands
+    # T1-decode each code-block, assemble subbands (kept resolutions)
     band_arrays = []
-    for r in range(levels + 1):
+    for r in range(max_res + 1):
         ppx, ppy, xcb, ycb, pw, ph = res_meta[r]
         for bi, band in enumerate(geo[r]["bands"]):
             name, bx0, by0, bx1, by1 = band
@@ -1199,11 +1213,11 @@ def _decode_tile(cs: JP2Codestream, t: int, comp: int = 0) -> np.ndarray:
                     arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0] = coeffs
             band_arrays.append(((r, name), arr))
 
-    # inverse DWT: reconstruct LL upward
+    # inverse DWT: reconstruct LL upward through the kept resolutions
     bands_by = dict(band_arrays)
     ll = bands_by[(0, "LL")]
     # LL band coords for r=0 equal next-res synthesis inputs
-    for r in range(1, levels + 1):
+    for r in range(1, max_res + 1):
         trx0, try0, trx1, try1 = geo[r]["res"]
         ll = dwt53_inverse(ll, bands_by[(r, "HL")], bands_by[(r, "LH")],
                            bands_by[(r, "HH")], trx0, try0, trx1, try1)
@@ -1329,12 +1343,18 @@ def jp2_info(data: bytes) -> dict:
 
 @_translate_errors
 def decode_jp2(data: bytes, component: int = 0,
-               window: tuple | None = None) -> np.ndarray:
+               window: tuple | None = None, reduce: int = 0) -> np.ndarray:
     """Decode a JP2 file / raw codestream to a 2-D integer array.
     ``window`` = (col_off, row_off, width, height) in image coordinates —
     only the JP2 tiles intersecting the window are decoded (the unit of
-    distribution for the chunked reader)."""
+    distribution for the chunked reader). ``reduce`` = resolution levels
+    to drop: a 1/2^reduce-scale overview decoded at ~1/4^reduce cost
+    (window must be None with reduce — overview reads are whole-scene)."""
     cs = JP2Codestream(_strip_container(data))
+    if reduce:
+        if window is not None:
+            raise ValueError("decode_jp2: window and reduce are exclusive")
+        return _decode_overview(cs, component, int(reduce))
     w = cs.xsiz - cs.xosiz
     h = cs.ysiz - cs.yosiz
     if window is None:
@@ -1361,13 +1381,39 @@ def decode_jp2(data: bytes, component: int = 0,
     return out
 
 
+def _decode_overview(cs: JP2Codestream, comp: int, reduce: int):
+    """Whole-image overview at 1/2^reduce scale: per-tile reduced decode
+    assembled on the reduced grid (tile boundaries divide exactly because
+    resolution bounds are ceil(coord / 2^s) on shared tile edges)."""
+    s = min(reduce, cs.cod.levels)
+    div = 1 << s
+    ox0, oy0 = _ceil_div(cs.xosiz, div), _ceil_div(cs.yosiz, div)
+    ow = _ceil_div(cs.xsiz, div) - ox0
+    oh = _ceil_div(cs.ysiz, div) - oy0
+    depth = cs.comp[comp]["depth"]
+    dtype = (np.int32 if cs.comp[comp]["signed"]
+             else (np.uint8 if depth <= 8 else np.uint16))
+    out = np.zeros((oh, ow), dtype=dtype)
+    for t in range(cs.n_xtiles * cs.n_ytiles):
+        tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
+        rx0, ry0 = _ceil_div(tx0, div), _ceil_div(ty0, div)
+        rx1, ry1 = _ceil_div(tx1, div), _ceil_div(ty1, div)
+        if rx0 >= rx1 or ry0 >= ry1:
+            continue
+        arr = _decode_tile(cs, t, comp, reduce=s)
+        out[ry0 - oy0:ry1 - oy0, rx0 - ox0:rx1 - ox0] = arr.astype(dtype)
+    return out
+
+
 @_translate_errors
 def decode_jp2_tile(data: bytes, tile_index: int,
-                    component: int = 0) -> tuple:
+                    component: int = 0, reduce: int = 0) -> tuple:
     """Decode a single JP2 tile: returns (array, (x0, y0, x1, y1)) in
-    image coordinates — the per-task unit for distributed reads."""
+    image coordinates — the per-task unit for distributed reads.
+    ``reduce`` drops resolution levels (array is 1/2^reduce scale; the
+    bounds stay full-resolution image coordinates)."""
     cs = JP2Codestream(_strip_container(data))
-    arr = _decode_tile(cs, tile_index, component)
+    arr = _decode_tile(cs, tile_index, component, reduce=int(reduce))
     tx0, ty0, tx1, ty1 = cs.tile_bounds(tile_index)
     return arr, (tx0 - cs.xosiz, ty0 - cs.yosiz,
                  tx1 - cs.xosiz, ty1 - cs.yosiz)

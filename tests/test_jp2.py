@@ -154,6 +154,33 @@ def test_window_and_tile_decode():
     assert (arr.astype(int) == a[y0:y1, x0:x1].astype(int)).all()
 
 
+def test_reduced_resolution_decode_exact():
+    """decode_jp2(reduce=n) returns the 5/3 LL at that level exactly:
+    for a single-tile image it equals our own forward DWT's LL (DC shift
+    re-applied) — the overview path costs ~1/4^n of a full decode and is
+    the pyramid-building primitive over JP2 archives."""
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 5000, (90, 120)).astype(np.uint16)
+    depth = 13
+    data = jp2.encode_jp2(a, levels=3, cb_exp=(4, 4), depth=depth)
+    red = jp2.decode_jp2(data, reduce=1)
+    ll, _, _, _ = jp2.dwt53_forward(
+        a.astype(np.int64) - (1 << (depth - 1)), 0, 0)
+    exp = np.clip(ll + (1 << (depth - 1)), 0, (1 << depth) - 1)
+    assert red.shape == exp.shape
+    assert (red.astype(np.int64) == exp).all()
+    # two levels: forward twice
+    ll2, _, _, _ = jp2.dwt53_forward(ll, 0, 0)
+    exp2 = np.clip(ll2 + (1 << (depth - 1)), 0, (1 << depth) - 1)
+    assert (jp2.decode_jp2(data, reduce=2).astype(np.int64) == exp2).all()
+    # multi-tile assembly: seams divide exactly, shape halves per level
+    data = jp2.encode_jp2(a, tile_size=(40, 50), levels=3, cb_exp=(4, 4))
+    red = jp2.decode_jp2(data, reduce=1)
+    assert red.shape == (45, 60)
+    with pytest.raises(ValueError):
+        jp2.decode_jp2(data, window=(0, 0, 10, 10), reduce=1)
+
+
 def test_malformed_input_raises_valueerror():
     """Truncated / corrupted inputs surface as ValueError (or the honest
     NotImplementedError), never a bare struct/index crash — the reader's
