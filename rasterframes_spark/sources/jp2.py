@@ -1781,3 +1781,84 @@ def _decode_tile_cached(cs: JP2Codestream, source_key, t: int,
         _TILE_CACHE.pop(next(iter(_TILE_CACHE)))
     _TILE_CACHE[key] = arr
     return arr
+
+
+# ---------------------------------------------------------------------------
+# JP2 container writer (ihdr/colr + GMLJP2 georeferencing boxes)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _gmljp2_xml(crs: str, extent: tuple, width: int, height: int) -> bytes:
+    """Minimal GMLJP2 rectified-grid coverage: the origin is the CENTER of
+    cell (1,1); offset vectors carry the pixel scale (negative dy)."""
+    xmin, ymin, xmax, ymax = extent
+    dx = (xmax - xmin) / width
+    dy = -(ymax - ymin) / height
+    ox = xmin + dx / 2.0
+    oy = ymax + dy / 2.0
+    epsg = crs.split(":")[-1]
+    srs = f"urn:ogc:def:crs:EPSG::{epsg}"
+    xml = f"""<?xml version="1.0" encoding="UTF-8" standalone="no" ?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">
+  <gml:boundedBy><gml:Null>withheld</gml:Null></gml:boundedBy>
+  <gml:featureMember>
+    <gml:FeatureCollection>
+      <gml:featureMember>
+        <gml:RectifiedGridCoverage dimension="2" gml:id="RGC0001">
+          <gml:rectifiedGridDomain>
+            <gml:RectifiedGrid dimension="2">
+              <gml:limits>
+                <gml:GridEnvelope>
+                  <gml:low>1 1</gml:low>
+                  <gml:high>{width} {height}</gml:high>
+                </gml:GridEnvelope>
+              </gml:limits>
+              <gml:axisName>x</gml:axisName>
+              <gml:axisName>y</gml:axisName>
+              <gml:origin>
+                <gml:Point gml:id="P0001" srsName="{srs}">
+                  <gml:pos>{ox:.10g} {oy:.10g}</gml:pos>
+                </gml:Point>
+              </gml:origin>
+              <gml:offsetVector srsName="{srs}">{dx:.10g} 0</gml:offsetVector>
+              <gml:offsetVector srsName="{srs}">0 {dy:.10g}</gml:offsetVector>
+            </gml:RectifiedGrid>
+          </gml:rectifiedGridDomain>
+          <gml:rangeSet><gml:File>
+            <gml:rangeParameters/>
+            <gml:fileName>gmljp2://codestream/0</gml:fileName>
+            <gml:fileStructure>Record Interleaved</gml:fileStructure>
+          </gml:File></gml:rangeSet>
+        </gml:RectifiedGridCoverage>
+      </gml:featureMember>
+    </gml:FeatureCollection>
+  </gml:featureMember>
+</gml:FeatureCollection>
+"""
+    return xml.encode()
+
+
+def wrap_jp2(codestream: bytes, width: int, height: int, depth: int,
+             signed: bool = False, crs: str | None = None,
+             extent: tuple | None = None) -> bytes:
+    """Wrap a raw codestream in the JP2 box container, with GMLJP2
+    georeferencing when ``crs``+``extent`` are given — the exported file
+    round-trips through :func:`read_info` with its CRS and extent."""
+    out = bytearray()
+    out += _box(b"jP  ", b"\x0D\x0A\x87\x0A")
+    out += _box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    ihdr = struct.pack(">IIHBBBB", height, width, 1,
+                       (0x80 if signed else 0) | (depth - 1), 7, 0, 0)
+    colr = b"\x01\x00\x00" + struct.pack(">I", 17)  # enum grayscale
+    out += _box(b"jp2h", _box(b"ihdr", ihdr) + _box(b"colr", colr))
+    if crs is not None and extent is not None:
+        xml = _box(b"xml ", _gmljp2_xml(crs, extent, width, height))
+        inner = _box(b"lbl ", b"gml.root-instance") + xml
+        data = _box(b"lbl ", b"gml.data") + _box(b"asoc", inner)
+        out += _box(b"asoc", data)
+    out += _box(b"jp2c", codestream)
+    return bytes(out)

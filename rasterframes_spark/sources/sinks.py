@@ -17,21 +17,14 @@ from rasterframes_spark.tile import CellType, Tile
 from rasterframes_spark.sources import geotiff as GT
 from rasterframes_spark.sources.png import encode_png
 
-__all__ = ["write_geotiff", "write_tiles", "read_geojson", "write_geojson",
-           "write_slippy"]
+__all__ = ["write_geotiff", "write_jp2", "write_tiles", "read_geojson",
+           "write_geojson", "write_slippy"]
 
 
-def write_geotiff(df: DataFrame, path: str, tile_col: str = "tile",
-                  extent_col: str = "extent", crs_col: str = "crs",
-                  raster_dimensions: tuple | None = None) -> None:
-    """Merge all tiles into ONE GeoTIFF on the driver — the reference is
-    explicit that this is "not big data friendly" (GeoTiffDataSource.scala:
-    61-102): it is a visualization/export sink. Tiles are mosaicked into
-    their common grid; same-CRS required (reproject upstream with
-    raster_join / st_reproject)."""
-    rows = df.select(tile_col, extent_col, crs_col).collect()
-    if not rows:
-        raise ValueError("empty DataFrame")
+def _mosaic_rows(rows, tile_col, extent_col, crs_col,
+                 raster_dimensions):
+    """Driver-side mosaic of collected tile rows into one canvas.
+    Returns (array, (xmin, ymin, xmax, ymax), crs, cell_type)."""
     crs = rows[0][crs_col]
     xmin = min(r[extent_col]["xmin"] for r in rows)
     ymin = min(r[extent_col]["ymin"] for r in rows)
@@ -64,13 +57,67 @@ def write_geotiff(df: DataFrame, path: str, tile_col: str = "tile",
         r1, c1 = min(r0 + h, H), min(c0 + w, W)
         region = np.asarray(sub.filled(fill))[: r1 - r0, : c1 - c0]
         canvas[r0:r1, c0:c1] = region
-    arr = canvas.astype(ct.dtype)
-    data = GT.write_geotiff(arr, (xmin, ymin, xmax, ymax), crs=crs,
+    return canvas.astype(ct.dtype), (xmin, ymin, xmax, ymax), crs, ct
+
+
+def write_geotiff(df: DataFrame, path: str, tile_col: str = "tile",
+                  extent_col: str = "extent", crs_col: str = "crs",
+                  raster_dimensions: tuple | None = None) -> None:
+    """Merge all tiles into ONE GeoTIFF on the driver — the reference is
+    explicit that this is "not big data friendly" (GeoTiffDataSource.scala:
+    61-102): it is a visualization/export sink. Tiles are mosaicked into
+    their common grid; same-CRS required (reproject upstream with
+    raster_join / st_reproject)."""
+    rows = df.select(tile_col, extent_col, crs_col).collect()
+    if not rows:
+        raise ValueError("empty DataFrame")
+    arr, extent, crs, ct = _mosaic_rows(rows, tile_col, extent_col, crs_col,
+                                        raster_dimensions)
+    data = GT.write_geotiff(arr, extent, crs=crs,
                             nodata=None if not ct.has_nodata else
                             (float(ct.nodata) if not (isinstance(ct.nodata, float)
                                                       and math.isnan(ct.nodata)) else None))
     with open(path, "wb") as f:
         f.write(data)
+
+
+def write_jp2(df: DataFrame, path: str, tile_col: str = "tile",
+              extent_col: str = "extent", crs_col: str = "crs",
+              raster_dimensions: tuple | None = None,
+              tile_size: tuple | None = (1024, 1024), levels: int = 5,
+              prog: str = "RPCL", precinct: int | None = 6) -> None:
+    """Merge all tiles into ONE lossless JPEG2000 (.jp2) on the driver —
+    the same visualization/export contract as write_geotiff, emitted by
+    the native codec (sources/jp2.py) with GMLJP2 georeferencing, so the
+    file reads back through read_raster with CRS and extent intact.
+    Defaults mirror the Sentinel-2 shape (RPCL, 64x64 precincts).
+    Integer cell types only (JPEG2000 reversible = exact integers)."""
+    from rasterframes_spark.sources import jp2 as J2
+
+    rows = df.select(tile_col, extent_col, crs_col).collect()
+    if not rows:
+        raise ValueError("empty DataFrame")
+    arr, extent, crs, ct = _mosaic_rows(rows, tile_col, extent_col, crs_col,
+                                        raster_dimensions)
+    if ct.is_float:
+        raise ValueError(
+            "write_jp2: float cell types are not representable losslessly "
+            "in reversible JPEG2000 — convert with rf_convert_cell_type "
+            "or use write_geotiff")
+    h, w = arr.shape
+    ts = None
+    if tile_size is not None:
+        ts = (min(tile_size[0], h), min(tile_size[1], w))
+    signed = bool(np.issubdtype(arr.dtype, np.signedinteger)
+                  and arr.min() < 0)
+    mx = int(np.abs(arr).max()) if arr.size else 0
+    depth = max(1, mx.bit_length() + (1 if signed else 0))
+    code = J2.encode_jp2(arr, tile_size=ts, levels=levels,
+                         depth=depth, signed=signed,
+                         precinct=precinct, prog=prog)
+    with open(path, "wb") as f:
+        f.write(J2.wrap_jp2(code, w, h, depth, signed=signed,
+                            crs=crs, extent=extent))
 
 
 def write_tiles(df: DataFrame, directory: str, tile_col: str = "tile",

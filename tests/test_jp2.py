@@ -304,6 +304,43 @@ def test_b01_read_raster_distributed(spark):
     assert s["min"] >= 900 and s["max"] < (1 << 15)
 
 
+def test_write_jp2_sink_roundtrip(spark, tmp_path):
+    """write_jp2 exports a tile DataFrame as one lossless .jp2 with
+    GMLJP2 georeferencing; pixels, CRS and extent all round-trip through
+    read_raster — the reference has no JP2 write at all."""
+    import rasterframes_spark as rf
+    from pyspark.sql import functions as F
+    from rasterframes_spark.sources import geotiff as GT
+    from rasterframes_spark.sources import raster_reader as S
+    from rasterframes_spark.sources import sinks
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 3000, (96, 128)).astype(np.uint16)
+    src_p = str(tmp_path / "src.tif")
+    open(src_p, "wb").write(GT.write_geotiff(
+        arr, (10.0, 40.0, 11.28, 40.96), "EPSG:4326"))
+    df = S.read_raster(spark, [src_p], tile_dimensions=(64, 64))
+    df = df.select(S.realize_tiles("tile_ref").alias("tile"),
+                   "extent", "crs")
+    out_p = str(tmp_path / "out.jp2")
+    sinks.write_jp2(df, out_p, tile_size=(64, 64), levels=3)
+    raw = open(out_p, "rb").read()
+    info = jp2.read_info(raw)
+    assert info.crs == "EPSG:4326" and info.via == "jp2"
+    assert all(abs(a - b) < 1e-9 for a, b in
+               zip(info.extent, (10.0, 40.0, 11.28, 40.96)))
+    assert (jp2.decode_jp2(raw).astype(int) == arr.astype(int)).all()
+    back = S.read_raster(spark, [out_p], tile_dimensions=(64, 64))
+    s = back.select(S.realize_tiles("tile_ref").alias("t")).agg(
+        F.sum(rf.rf_tile_sum("t"))).head()[0]
+    assert s == float(arr.sum())
+    # float cell types are rejected (reversible JP2 = exact integers)
+    fdf = df.select(rf.rf_convert_cell_type("tile", "float64").alias("tile"),
+                    "extent", "crs")
+    with pytest.raises(ValueError):
+        sinks.write_jp2(fdf, str(tmp_path / "bad.jp2"))
+
+
 @needs_b01
 def test_b01_window_read_and_reencode_roundtrip():
     raw = open(B01, "rb").read()
