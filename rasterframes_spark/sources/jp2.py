@@ -817,6 +817,25 @@ class _Cod:
             c.precincts = [(15, 15)] * (c.levels + 1)
         return c
 
+    def with_sgcod_from(self, base: "_Cod") -> "_Cod":
+        out = _Cod()
+        out.prog, out.layers, out.mct = base.prog, base.layers, base.mct
+        out.levels, out.xcb, out.ycb = self.levels, self.xcb, self.ycb
+        out.cbstyle, out.transform = self.cbstyle, self.transform
+        out.precincts = self.precincts
+        return out
+
+
+def _validate_cod(cod: "_Cod") -> None:
+    if cod.transform != 1:
+        raise NotImplementedError(
+            "JP2: only the reversible 5/3 transform is supported "
+            "(irreversible 9/7 would break the exact-integer contract)")
+    if cod.cbstyle & 0x01:
+        raise NotImplementedError("JP2: arithmetic bypass not supported")
+    if cod.cbstyle & 0x04:
+        raise NotImplementedError("JP2: per-pass termination not supported")
+
 
 def _parse_qcd(seg: bytes):
     """Return (guard_bits, style, exponents list) for reversible style 0."""
@@ -861,9 +880,13 @@ class JP2Codestream:
                 # scan tile header up to SOD
                 tpos = pos + 2 + ln
                 while data[tpos:tpos + 2] != b"\xFF\x93":
+                    tmk = bytes(data[tpos:tpos + 2])
+                    if tmk[1] in (0x5E, 0x5F, 0x61):
+                        raise NotImplementedError(
+                            "JP2: tile-header RGN/POC/PPT not supported")
                     tln = struct.unpack(">H", data[tpos + 2:tpos + 4])[0]
                     self.tile_markers.setdefault(isot, []).append(
-                        (data[tpos:tpos + 2], data[tpos + 4:tpos + 2 + tln]))
+                        (tmk, data[tpos + 4:tpos + 2 + tln]))
                     tpos += 2 + tln
                 self.tile_parts.setdefault(isot, []).append(
                     (tpos + 2, tp_end))
@@ -887,11 +910,11 @@ class JP2Codestream:
                     })
             elif code == 0x52:
                 self.cod = _Cod.parse(seg)
-            elif code == 0x53:  # COC
+            elif code == 0x53:  # COC: Ccoc then Scoc+SPcoc (no SGcod)
                 ci = seg[0] if self.ncomp < 257 else struct.unpack(
                     ">H", seg[:2])[0]
                 off = 1 if self.ncomp < 257 else 2
-                self.coc[ci] = _Cod.parse(seg[off:], has_scod=True)
+                self.coc[ci] = _Cod.parse(seg[off:], has_scod=False)
             elif code == 0x5C:
                 self.qcd = _parse_qcd(seg)
             elif code == 0x5D:  # QCC
@@ -910,15 +933,17 @@ class JP2Codestream:
             pos += 2 + ln
         if self.cod is None or self.qcd is None:
             raise ValueError("JP2: missing COD/QCD")
-        if self.cod.transform != 1:
+        _validate_cod(self.cod)
+        for c in self.coc.values():
+            _validate_cod(c)
+        if self.ncomp > 1:
+            # the packet stream interleaves every component's packets; this
+            # decoder parses one component's geometry and would misread the
+            # interleave. Raised HERE so read_info also rejects the file
+            # and the reader's dispatch falls through to the rasterio
+            # escape hatch (EO imagery ships one component per file).
             raise NotImplementedError(
-                "JP2: only the reversible 5/3 transform is supported "
-                "(irreversible 9/7 would break the exact-integer contract)")
-        if self.cod.cbstyle & 0x01:
-            raise NotImplementedError("JP2: arithmetic bypass not supported")
-        if self.cod.cbstyle & 0x04:
-            raise NotImplementedError(
-                "JP2: per-pass termination not supported")
+                "JP2: multi-component codestreams not supported")
         self.n_xtiles = _ceil_div(self.xsiz - self.xtosiz, self.xtsiz)
         self.n_ytiles = _ceil_div(self.ysiz - self.ytosiz, self.ytsiz)
 
@@ -940,7 +965,12 @@ class JP2Codestream:
                     ">H", seg[:2])[0]
                 if ci == c:
                     off = 1 if self.ncomp < 257 else 2
-                    cod = _Cod.parse(seg[off:])
+                    cod = _Cod.parse(seg[off:], has_scod=False)
+        if cod.prog is None:
+            # COC carries only SPcoc: the SGcod fields (progression,
+            # layers, MCT) come from the governing COD
+            cod = cod.with_sgcod_from(self.cod)
+        _validate_cod(cod)  # tile overrides bypass the __init__ checks
         return cod
 
     def _tile_qcd(self, t: int, c: int):
@@ -1096,15 +1126,6 @@ def _decode_tile(cs: JP2Codestream, t: int, comp: int = 0,
     prog = cod.prog
     if prog not in (0, 1, 2, 3, 4):
         raise NotImplementedError("JP2: unknown progression %r" % prog)
-    if cs.ncomp > 1:
-        # the packet stream interleaves every component's packets; this
-        # decoder parses a single component's geometry and would misread
-        # the interleave. EO imagery ships one component per file
-        # (Sentinel-2 per-band .jp2) — multi-component routes to the
-        # rasterio fallback.
-        raise NotImplementedError(
-            "JP2: multi-component codestreams not supported (one "
-            "component per file is the EO norm)")
     tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
     dx, dy = cs.comp[comp]["dx"], cs.comp[comp]["dy"]
     tcx0, tcy0 = _ceil_div(tx0, dx), _ceil_div(ty0, dy)
@@ -1303,23 +1324,10 @@ def _translate_errors(fn):
 
 
 def _strip_container(data: bytes) -> bytes:
-    """JP2 box container -> raw codestream (or pass through raw SOC)."""
-    if data[:2] == b"\xFF\x4F":
-        return data
-    pos = 0
-    n = len(data)
-    while pos + 8 <= n:
-        (ln,) = struct.unpack(">I", data[pos:pos + 4])
-        btype = data[pos + 4:pos + 8]
-        hdr = 8
-        if ln == 1:
-            (ln,) = struct.unpack(">Q", data[pos + 8:pos + 16])
-            hdr = 16
-        if btype == b"jp2c":
-            end = pos + ln if ln else n
-            return data[pos + hdr:end]
-        pos += ln if ln else n
-    raise ValueError("JP2: no jp2c codestream box found")
+    """JP2 box container -> raw codestream bytes (eager twin of
+    _strip_container_lazy — one box walker, materialized here)."""
+    sub = _strip_container_lazy(data)
+    return sub if isinstance(sub, (bytes, bytearray)) else bytes(sub[0:len(sub)])
 
 
 @_translate_errors
@@ -1339,6 +1347,16 @@ def jp2_info(data: bytes) -> dict:
         "codeblock": (1 << cs.cod.xcb, 1 << cs.cod.ycb),
         "reversible": cs.cod.transform == 1,
     }
+
+
+def _natural_dtype(depth: int, signed: bool):
+    if signed:
+        return np.int64 if depth > 32 else np.int32
+    if depth <= 8:
+        return np.uint8
+    if depth <= 16:
+        return np.uint16
+    return np.uint32  # 17..32-bit codestreams decode without wrapping
 
 
 @_translate_errors
@@ -1361,10 +1379,8 @@ def decode_jp2(data: bytes, component: int = 0,
         wx0, wy0, ww, wh = 0, 0, w, h
     else:
         wx0, wy0, ww, wh = window
-    depth = cs.comp[component]["depth"]
-    dtype = (np.int32 if cs.comp[component]["signed"]
-             else (np.uint8 if depth <= 8 else
-                   (np.uint16 if depth <= 16 else np.uint32)))
+    dtype = _natural_dtype(cs.comp[component]["depth"],
+                           cs.comp[component]["signed"])
     out = np.zeros((wh, ww), dtype=dtype)
     for t in range(cs.n_xtiles * cs.n_ytiles):
         tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
@@ -1391,8 +1407,7 @@ def _decode_overview(cs: JP2Codestream, comp: int, reduce: int):
     ow = _ceil_div(cs.xsiz, div) - ox0
     oh = _ceil_div(cs.ysiz, div) - oy0
     depth = cs.comp[comp]["depth"]
-    dtype = (np.int32 if cs.comp[comp]["signed"]
-             else (np.uint8 if depth <= 8 else np.uint16))
+    dtype = _natural_dtype(depth, cs.comp[comp]["signed"])
     out = np.zeros((oh, ow), dtype=dtype)
     for t in range(cs.n_xtiles * cs.n_ytiles):
         tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
@@ -1443,7 +1458,9 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
         signed = bool(np.issubdtype(img.dtype, np.signedinteger)
                       and img.min() < 0)
     if depth is None:
-        mx = int(np.abs(img).max()) if img.size else 0
+        # magnitude on an int64 copy: np.abs(INT16_MIN) overflows negative
+        # on the native dtype and under-sizes depth
+        mx = int(np.abs(img.astype(np.int64)).max()) if img.size else 0
         depth = max(1, mx.bit_length() + (1 if signed else 0))
     h, w = img.shape
     th, tw = (tile_size if tile_size else (h, w))
@@ -1676,8 +1693,7 @@ def read_info(data):
         raise ValueError(f"malformed JPEG2000: {e}") from e
     crs, extent = _parse_gmljp2(data)
     depth = cs.comp[0]["depth"]
-    dtype = ("int32" if cs.comp[0]["signed"]
-             else ("uint8" if depth <= 8 else "uint16"))
+    dtype = np.dtype(_natural_dtype(depth, cs.comp[0]["signed"])).name
     w = cs.xsiz - cs.xosiz
     h = cs.ysiz - cs.yosiz
     if extent is None:
@@ -1741,9 +1757,18 @@ def read_window(data, info, col_off: int, row_off: int, width: int,
                 height: int, band: int = 0) -> np.ndarray:
     """Windowed decode matching geotiff.read_window's signature: decodes
     only the JP2 tiles intersecting the window."""
-    cache_key = getattr(data, "uri", None) or id(data)
+    # only a URI is a stable identity across calls: a bytes object's id()
+    # can be recycled by the allocator and serve another file's tiles
+    cache_key = getattr(data, "uri", None)
     data = _as_bytes_like(data)
-    cs = JP2Codestream(_strip_container_lazy(data))
+    if cache_key is not None and cache_key in _CS_CACHE:
+        cs = _CS_CACHE[cache_key]
+    else:
+        cs = JP2Codestream(_strip_container_lazy(data))
+        if cache_key is not None:
+            if len(_CS_CACHE) >= _TILE_CACHE_MAX:
+                _CS_CACHE.pop(next(iter(_CS_CACHE)))
+            _CS_CACHE[cache_key] = cs
     dtype = np.dtype(info.dtype)
     out = np.zeros((height, width), dtype=dtype)
     for t in range(cs.n_xtiles * cs.n_ytiles):
@@ -1761,22 +1786,28 @@ def read_window(data, info, col_off: int, row_off: int, width: int,
     return out
 
 
-# tiny per-executor tile cache: adjacent chunk windows usually hit the
-# same JP2 tile (JP2 tiles are often larger than chunk windows)
+# tiny per-executor caches: adjacent chunk windows usually hit the same
+# JP2 tile (JP2 tiles are often larger than chunk windows), and the
+# marker walk (every SOT header) need not repeat per window. URI-keyed
+# only — no fallback identity exists for raw bytes.
 _TILE_CACHE: dict = {}
+_CS_CACHE: dict = {}
 _TILE_CACHE_MAX = 16
 
 
 def _decode_tile_cached(cs: JP2Codestream, source_key, t: int,
                         comp: int) -> np.ndarray:
-    # source_key must be stable across read_window calls for the same
-    # file (the reader's per-URI RangeSource identity, or the caller's
-    # bytes object) — a per-call wrapper id would never hit
+    if source_key is None:
+        return _decode_tile(cs, t, comp)
     key = (source_key, len(cs.data), t, comp)
     hit = _TILE_CACHE.get(key)
     if hit is not None:
         return hit
     arr = _decode_tile(cs, t, comp)
+    # store at the component's natural width, not int64 (4-8x smaller;
+    # the decode is exact so the cast is lossless)
+    arr = arr.astype(_natural_dtype(cs.comp[comp]["depth"],
+                                    cs.comp[comp]["signed"]))
     if len(_TILE_CACHE) >= _TILE_CACHE_MAX:
         _TILE_CACHE.pop(next(iter(_TILE_CACHE)))
     _TILE_CACHE[key] = arr

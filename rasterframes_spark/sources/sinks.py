@@ -110,7 +110,9 @@ def write_jp2(df: DataFrame, path: str, tile_col: str = "tile",
         ts = (min(tile_size[0], h), min(tile_size[1], w))
     signed = bool(np.issubdtype(arr.dtype, np.signedinteger)
                   and arr.min() < 0)
-    mx = int(np.abs(arr).max()) if arr.size else 0
+    # magnitude on an int64 copy: np.abs(INT16_MIN) overflows negative on
+    # the native dtype (int16 nodata mosaics under-sized depth and failed)
+    mx = int(np.abs(arr.astype(np.int64)).max()) if arr.size else 0
     depth = max(1, mx.bit_length() + (1 if signed else 0))
     code = J2.encode_jp2(arr, tile_size=ts, levels=levels,
                          depth=depth, signed=signed,

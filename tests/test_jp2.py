@@ -154,6 +154,47 @@ def test_window_and_tile_decode():
     assert (arr.astype(int) == a[y0:y1, x0:x1].astype(int)).all()
 
 
+def test_review_pins_coc_multicomp_depth_dtype():
+    """Round-6 self-review pins: (1) a main-header COC (no SGcod) parses
+    with the COC layout and inherits SGcod from COD; (2) multi-component
+    codestreams raise at read_info so the reader's dispatch falls through
+    to the rasterio hatch instead of failing at task time; (3) depth
+    inference uses int64 magnitude (np.abs(INT16_MIN) overflows on the
+    native dtype); (4) depth-17..32 unsigned decodes as uint32 on the
+    read_window path instead of silently wrapping at uint16."""
+    import struct as _s
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 250, (20, 24)).astype(np.uint8)
+    data = bytearray(jp2.encode_jp2(a, levels=1, cb_exp=(4, 4)))
+    i = bytes(data).find(b"\xFF\x52")
+    lcod = _s.unpack(">H", data[i + 2:i + 4])[0]
+    coc = bytes([0, 0, 1, 2, 2, 0, 1])  # Ccoc=0, Scoc=0, SPcoc == COD's
+    data[i + 2 + lcod:i + 2 + lcod] = (
+        b"\xFF\x53" + _s.pack(">H", 2 + len(coc)) + coc)
+    assert (jp2.decode_jp2(bytes(data)) == a).all()
+
+    mc = bytearray(jp2.encode_jp2(a, levels=1))
+    j = bytes(mc).find(b"\xFF\x51")
+    lsiz = _s.unpack(">H", mc[j + 2:j + 4])[0]
+    mc[j + 4 + 34:j + 4 + 36] = _s.pack(">H", 2)
+    mc[j + 2 + lsiz:j + 2 + lsiz] = bytes([7, 1, 1])
+    mc[j + 2:j + 4] = _s.pack(">H", lsiz + 3)
+    with pytest.raises(NotImplementedError):
+        jp2.read_info(bytes(mc))
+
+    arr = np.full((30, 30), 50, dtype=np.int16)
+    arr[0, 0] = -32768
+    assert (jp2.decode_jp2(jp2.encode_jp2(arr)).astype(int)
+            == arr.astype(int)).all()
+
+    big = np.array([[1048576, 70000], [3, 2097151]], dtype=np.uint32)
+    enc = jp2.encode_jp2(big, levels=0, depth=21)
+    info = jp2.read_info(enc)
+    assert info.dtype == "uint32"
+    assert (jp2.read_window(enc, info, 0, 0, 2, 2) == big).all()
+
+
 def test_reduced_resolution_decode_exact():
     """decode_jp2(reduce=n) returns the 5/3 LL at that level exactly:
     for a single-tile image it equals our own forward DWT's LL (DC shift
