@@ -13,6 +13,22 @@ def test_ndvi_example(spark):
     assert 0 <= stats["mean"] <= 1
 
 
+def test_jp2_example(spark):
+    import os
+
+    import pytest
+
+    if not os.path.exists("/root/reference/core/src/test/resources/B01.jp2"):
+        pytest.skip("reference fixture not present")
+    sys.path.insert(0, "examples")
+    import examples.jp2_pipeline as ex
+
+    stats, info, total = ex.main(spark)
+    assert stats["data_cells"] == 1830 * 1830
+    assert info.crs == "EPSG:32615" and info.dtype == "uint16"
+    assert total > 0
+
+
 def test_zonal_example(spark):
     import examples.zonal_stats as ex
 
