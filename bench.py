@@ -229,6 +229,21 @@ def main():
 
     run("baseline_render_png_963x754_rgb", _render_png_once, repeat=5)
 
+    # native JP2 decode throughput on the reference's Kakadu-encoded
+    # Sentinel-2 fixture (192x192 tile, pathological 4x4 code-blocks) —
+    # no reference baseline exists (the reference needs GDAL for JP2);
+    # recorded as evidence for the codec's per-tile task cost
+    b01 = "/root/reference/core/src/test/resources/B01.jp2"
+    if os.path.exists(b01):
+        from rasterframes_spark.sources import jp2 as _jp2
+
+        _b01_raw = open(b01, "rb").read()
+        _b01_cs = _jp2.JP2Codestream(_jp2._strip_container(_b01_raw))
+        run("jp2_decode_tile_192_4x4cb",
+            lambda: _jp2._decode_tile(_b01_cs, 55, 0), repeat=3)
+        run("jp2_overview_1830_reduce4",
+            lambda: _jp2.decode_jp2(_b01_raw, reduce=4), repeat=3)
+
     total = round(sum(timings.values()), 3)
     floor = timings.get("baseline_arrow_floor_100x64", 0.0)
     derived = {
