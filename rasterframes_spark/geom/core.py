@@ -707,6 +707,8 @@ def distance_sphere(p1, p2) -> float:
 
 def translate(geom, dx, dy):
     gtype, body = geom
+    if not body:
+        return geom  # translating an empty geometry is a no-op
     if gtype == "Point":
         return (gtype, (body[0] + dx, body[1] + dy))
     if gtype in ("LineString", "MultiPoint"):

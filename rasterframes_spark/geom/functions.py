@@ -342,9 +342,12 @@ def st_buffer_point(geom, radius) -> Column:
 
 def st_geohash(geom, precision=12) -> Column:
     p = int(precision)
-    udf = _unary_scalar(
-        lambda g: G.geohash(G.centroid(g)[0], G.centroid(g)[1], p), "string"
-    )
+
+    def _gh(g):
+        c = G.centroid(g)
+        return G.geohash(c[0], c[1], p) if c else None  # empty -> null
+
+    udf = _unary_scalar(_gh, "string")
     return udf(col_or_name(geom))
 
 

@@ -35,6 +35,12 @@ def z2_index(x: np.ndarray, y: np.ndarray, resolution: int = 31,
     Null/NaN coordinates propagate as None (an object array when any are
     present) — NaN previously encoded to index 0, colliding with the
     legitimate corner-cell index and spuriously equi-joining null rows."""
+    resolution = int(resolution)
+    if not 1 <= resolution <= 31:
+        # 32+ would push y's top interleaved bit into the int64 sign bit:
+        # negative indexes that break z2 range-prefix joins
+        raise ValueError(f"z2_index: resolution must be in [1, 31], "
+                         f"got {resolution}")
     xa = np.asarray(x, dtype="float64")
     ya = np.asarray(y, dtype="float64")
     bad = ~(np.isfinite(xa) & np.isfinite(ya))
@@ -62,6 +68,12 @@ def xz2_index(xmin, ymin, xmax, ymax, resolution: int = 18,
     equi-join on truncated indexes + exact post-filter reproduces GeoMesa's
     XZ2 pre-join semantics (used by raster_join's prefilter).
     """
+    resolution = int(resolution)
+    if not 1 <= resolution <= 28:
+        # the prefix code occupies 2*resolution bits plus a 6-bit depth
+        # tag; 29+ overflows into the int64 sign bit
+        raise ValueError(f"xz2_index: resolution must be in [1, 28], "
+                         f"got {resolution}")
     bx0, by0, bx1, by1 = bounds
     w, h = bx1 - bx0, by1 - by0
     xa0 = np.asarray(xmin, dtype="float64")

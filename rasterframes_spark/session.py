@@ -203,10 +203,13 @@ def _register_sql_longtail(spark: SparkSession) -> None:
         lambda gh, p=None: None if gh is None
         else G.wkb_dumps(("Point", G.centroid(
             gf._geohash_box(gh, None if p is None else int(p))))), "binary")
-    spark.udf.register(
-        "st_geoHash",
-        wkb_in(lambda g, p=12: G.geohash(G.centroid(g)[0], G.centroid(g)[1],
-                                         int(p) if p is not None else 12)), "string")
+    def _geohash_or_null(g, p=12):
+        c = G.centroid(g)
+        if not c:
+            return None  # empty geometry
+        return G.geohash(c[0], c[1], int(p) if p is not None else 12)
+
+    spark.udf.register("st_geoHash", wkb_in(_geohash_or_null), "string")
     spark.udf.register(
         "st_byteArray", lambda s: None if s is None else s.encode("utf-8"), "binary")
     spark.udf.register(

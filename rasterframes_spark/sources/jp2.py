@@ -29,6 +29,7 @@ horizontal pass, vertical pass; the forward mirrors it exactly).
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -833,8 +834,15 @@ def _validate_cod(cod: "_Cod") -> None:
             "(irreversible 9/7 would break the exact-integer contract)")
     if cod.cbstyle & 0x01:
         raise NotImplementedError("JP2: arithmetic bypass not supported")
+    if cod.cbstyle & 0x02:
+        raise NotImplementedError("JP2: MQ context RESET not supported")
     if cod.cbstyle & 0x04:
         raise NotImplementedError("JP2: per-pass termination not supported")
+    if cod.cbstyle & 0x08:
+        raise NotImplementedError(
+            "JP2: vertically-causal contexts not supported")
+    if cod.cbstyle & 0x20:
+        raise NotImplementedError("JP2: segmentation symbols not supported")
 
 
 def _parse_qcd(seg: bytes):
@@ -956,20 +964,24 @@ class JP2Codestream:
         return tx0, ty0, tx1, ty1
 
     def _tile_cod(self, t: int, c: int) -> "_Cod":
-        cod = self.coc.get(c, self.cod)
+        # Spec precedence (ISO 15444-1 A.6.1): tile COC > tile COD >
+        # main COC > main COD — NOT marker encounter order.
+        tile_cod = tile_coc = None
         for mk, seg in self.tile_markers.get(t, []):
             if mk == b"\xFF\x52":
-                cod = _Cod.parse(seg)
+                tile_cod = _Cod.parse(seg)
             elif mk == b"\xFF\x53":
                 ci = seg[0] if self.ncomp < 257 else struct.unpack(
                     ">H", seg[:2])[0]
                 if ci == c:
                     off = 1 if self.ncomp < 257 else 2
-                    cod = _Cod.parse(seg[off:], has_scod=False)
+                    tile_coc = _Cod.parse(seg[off:], has_scod=False)
+        cod = tile_coc or tile_cod or self.coc.get(c) or self.cod
         if cod.prog is None:
             # COC carries only SPcoc: the SGcod fields (progression,
-            # layers, MCT) come from the governing COD
-            cod = cod.with_sgcod_from(self.cod)
+            # layers, MCT) come from the governing COD — the tile-header
+            # COD when present, else the main-header COD.
+            cod = cod.with_sgcod_from(tile_cod or self.cod)
         _validate_cod(cod)  # tile overrides bypass the __init__ checks
         return cod
 
@@ -1351,6 +1363,10 @@ def jp2_info(data: bytes) -> dict:
 
 def _natural_dtype(depth: int, signed: bool):
     if signed:
+        if depth <= 8:
+            return np.int8
+        if depth <= 16:
+            return np.int16
         return np.int64 if depth > 32 else np.int32
     if depth <= 8:
         return np.uint8
@@ -1426,8 +1442,16 @@ def decode_jp2_tile(data: bytes, tile_index: int,
     """Decode a single JP2 tile: returns (array, (x0, y0, x1, y1)) in
     image coordinates — the per-task unit for distributed reads.
     ``reduce`` drops resolution levels (array is 1/2^reduce scale; the
-    bounds stay full-resolution image coordinates)."""
+    bounds stay full-resolution image coordinates). Raises ValueError if
+    the codestream has fewer than ``reduce`` decomposition levels — a
+    silent clamp would hand back an array at an undocumented scale."""
     cs = JP2Codestream(_strip_container(data))
+    levels = cs._tile_cod(tile_index, component).levels
+    if int(reduce) > levels:
+        raise ValueError(
+            f"decode_jp2_tile: reduce={reduce} exceeds the codestream's "
+            f"{levels} decomposition levels; decode at reduce<={levels} "
+            "and downsample, or use read_overview")
     arr = _decode_tile(cs, tile_index, component, reduce=int(reduce))
     tx0, ty0, tx1, ty1 = cs.tile_bounds(tile_index)
     return arr, (tx0 - cs.xosiz, ty0 - cs.yosiz,
@@ -1644,14 +1668,48 @@ def _as_bytes_like(data):
     return data
 
 
+def _header_box_bytes(data) -> bytes:
+    """All container bytes BEFORE the jp2c codestream box (where GMLJP2
+    asoc/xml boxes live). Walking the box structure instead of a fixed
+    64 KiB slice keeps georeferencing intact when a large box (XML
+    metadata, ICC profile, thumbnail) pushes the GML past 64 KiB."""
+    try:
+        pos, n = 0, len(data)
+        while pos + 8 <= n:
+            ln = struct.unpack(">I", bytes(data[pos:pos + 4]))[0]
+            btype = bytes(data[pos + 4:pos + 8])
+            if btype == b"jp2c":
+                return bytes(data[0:pos])
+            if ln == 1:
+                ln = struct.unpack(">Q", bytes(data[pos + 8:pos + 16]))[0]
+            if ln == 0:
+                break
+            pos += ln
+    except Exception:
+        pass
+    return bytes(data[0:65536])
+
+
+def _parse_pam_nodata(data):
+    """NoDataValue from a GDAL-PAM ``xml `` box (written by wrap_jp2 and
+    by GDAL's JP2 drivers); None when absent."""
+    import re
+
+    m = re.search(rb"<NoDataValue>\s*([-\d.eE+]+)\s*</NoDataValue>",
+                  _header_box_bytes(data))
+    if not m:
+        return None
+    v = float(m.group(1))
+    return int(v) if v.is_integer() else v
+
+
 def _parse_gmljp2(data) -> tuple:
     """GMLJP2 georeferencing from the jp2 box structure: returns
     (crs, extent) or (None, None). The GML origin is the CENTER of the
     first cell; the extent is corner-based (GDAL convention)."""
     import re
 
-    head = bytes(data[0:65536]) if not isinstance(data, (bytes, bytearray)) \
-        else data[:65536]
+    head = _header_box_bytes(data)
     m = re.search(rb"urn:ogc:def:crs:EPSG::(\d+)", head)
     crs = f"EPSG:{int(m.group(1))}" if m else None
     mo = re.search(rb"<gml:pos>([-\d.eE ]+)</gml:pos>", head)
@@ -1692,6 +1750,7 @@ def read_info(data):
         # format-dispatch chain (geotiff -> jp2 -> rasterio) stays intact
         raise ValueError(f"malformed JPEG2000: {e}") from e
     crs, extent = _parse_gmljp2(data)
+    nodata = _parse_pam_nodata(data)
     depth = cs.comp[0]["depth"]
     dtype = np.dtype(_natural_dtype(depth, cs.comp[0]["signed"])).name
     w = cs.xsiz - cs.xosiz
@@ -1701,7 +1760,7 @@ def read_info(data):
     px = (extent[2] - extent[0]) / w
     py = (extent[3] - extent[1]) / h
     return GeoTiffInfo(
-        width=w, height=h, bands=cs.ncomp, dtype=dtype, nodata=None,
+        width=w, height=h, bands=cs.ncomp, dtype=dtype, nodata=nodata,
         crs=crs or "EPSG:0", extent=extent,
         tile_width=cs.xtsiz, tile_height=cs.ytsiz, rows_per_strip=None,
         compression=34712, chunk_offsets=[], chunk_counts=[],
@@ -1758,8 +1817,11 @@ def read_window(data, info, col_off: int, row_off: int, width: int,
     """Windowed decode matching geotiff.read_window's signature: decodes
     only the JP2 tiles intersecting the window."""
     # only a URI is a stable identity across calls: a bytes object's id()
-    # can be recycled by the allocator and serve another file's tiles
-    cache_key = getattr(data, "uri", None)
+    # can be recycled by the allocator and serve another file's tiles.
+    # The fingerprint (size + local mtime) invalidates the cache when the
+    # file at that URI is overwritten — stale parsed offsets into new
+    # bytes would otherwise decode garbage.
+    cache_key = _source_cache_key(data)
     data = _as_bytes_like(data)
     if cache_key is not None and cache_key in _CS_CACHE:
         cs = _CS_CACHE[cache_key]
@@ -1788,11 +1850,29 @@ def read_window(data, info, col_off: int, row_off: int, width: int,
 
 # tiny per-executor caches: adjacent chunk windows usually hit the same
 # JP2 tile (JP2 tiles are often larger than chunk windows), and the
-# marker walk (every SOT header) need not repeat per window. URI-keyed
-# only — no fallback identity exists for raw bytes.
+# marker walk (every SOT header) need not repeat per window. Keyed on
+# (uri, size, mtime) — no fallback identity exists for raw bytes, and
+# the size/mtime part invalidates entries when a file is rewritten
+# in place (a notebook re-export loop would otherwise read stale tiles).
 _TILE_CACHE: dict = {}
 _CS_CACHE: dict = {}
 _TILE_CACHE_MAX = 16
+
+
+def _source_cache_key(data):
+    uri = getattr(data, "uri", None)
+    if uri is None:
+        return None
+    try:
+        size = data.size() if hasattr(data, "size") else len(data)
+    except Exception:
+        return None
+    path = uri[7:] if uri.startswith("file://") else uri
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None  # remote source: size-only fingerprint
+    return (uri, size, mtime)
 
 
 def _decode_tile_cached(cs: JP2Codestream, source_key, t: int,
@@ -1875,10 +1955,14 @@ def _gmljp2_xml(crs: str, extent: tuple, width: int, height: int) -> bytes:
 
 def wrap_jp2(codestream: bytes, width: int, height: int, depth: int,
              signed: bool = False, crs: str | None = None,
-             extent: tuple | None = None) -> bytes:
+             extent: tuple | None = None,
+             nodata: float | int | None = None) -> bytes:
     """Wrap a raw codestream in the JP2 box container, with GMLJP2
     georeferencing when ``crs``+``extent`` are given — the exported file
-    round-trips through :func:`read_info` with its CRS and extent."""
+    round-trips through :func:`read_info` with its CRS and extent.
+    ``nodata`` is recorded in a GDAL-PAM ``xml `` box (the convention
+    GDAL's JP2 drivers read/write), so mask semantics survive a
+    write_jp2 -> read_raster round-trip and GDAL sees the same value."""
     out = bytearray()
     out += _box(b"jP  ", b"\x0D\x0A\x87\x0A")
     out += _box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
@@ -1891,5 +1975,11 @@ def wrap_jp2(codestream: bytes, width: int, height: int, depth: int,
         inner = _box(b"lbl ", b"gml.root-instance") + xml
         data = _box(b"lbl ", b"gml.data") + _box(b"asoc", inner)
         out += _box(b"asoc", data)
+    if nodata is not None:
+        nd = int(nodata) if float(nodata).is_integer() else float(nodata)
+        pam = (b'<PAMDataset><PAMRasterBand band="1"><NoDataValue>'
+               + str(nd).encode("ascii")
+               + b"</NoDataValue></PAMRasterBand></PAMDataset>")
+        out += _box(b"xml ", pam)
     out += _box(b"jp2c", codestream)
     return bytes(out)

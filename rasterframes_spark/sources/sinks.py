@@ -108,18 +108,17 @@ def write_jp2(df: DataFrame, path: str, tile_col: str = "tile",
     ts = None
     if tile_size is not None:
         ts = (min(tile_size[0], h), min(tile_size[1], w))
-    signed = bool(np.issubdtype(arr.dtype, np.signedinteger)
-                  and arr.min() < 0)
-    # magnitude on an int64 copy: np.abs(INT16_MIN) overflows negative on
-    # the native dtype (int16 nodata mosaics under-sized depth and failed)
-    mx = int(np.abs(arr.astype(np.int64)).max()) if arr.size else 0
-    depth = max(1, mx.bit_length() + (1 if signed else 0))
+    # depth/signedness from the CELL TYPE, not the data's current max:
+    # a uint16 frame whose values happen to fit 8 bits must still read
+    # back as uint16 (stable schema across otherwise-identical runs)
+    signed = ct.dtype.kind == "i"
+    depth = ct.dtype.itemsize * 8
     code = J2.encode_jp2(arr, tile_size=ts, levels=levels,
                          depth=depth, signed=signed,
                          precinct=precinct, prog=prog)
     with open(path, "wb") as f:
         f.write(J2.wrap_jp2(code, w, h, depth, signed=signed,
-                            crs=crs, extent=extent))
+                            crs=crs, extent=extent, nodata=ct.nodata))
 
 
 def write_tiles(df: DataFrame, directory: str, tile_col: str = "tile",

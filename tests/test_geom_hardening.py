@@ -244,3 +244,32 @@ def test_antimeridian_polygon_holes_clipped():
 def test_antimeridian_non_crossing_passthrough():
     g = G.box_polygon(-10, -10, 10, 10)
     assert _antimeridian_safe(g) is g
+
+
+def test_z2_xz2_resolution_bounds_rejected():
+    """resolution beyond the int64-safe range raises instead of silently
+    overflowing into the sign bit (breaks range-prefix joins)."""
+    x = np.array([0.0]); y = np.array([0.0])
+    with pytest.raises(ValueError):
+        sfc.z2_index(x, y, resolution=32)
+    with pytest.raises(ValueError):
+        sfc.z2_index(x, y, resolution=0)
+    with pytest.raises(ValueError):
+        sfc.xz2_index(x, y, x, y, resolution=29)
+    # max valid resolutions stay non-negative
+    assert sfc.z2_index(np.array([179.9]), np.array([89.9]), 31)[0] >= 0
+    assert sfc.xz2_index(np.array([1.0]), np.array([1.0]),
+                         np.array([1.1]), np.array([1.1]), 28)[0] >= 0
+
+
+def test_translate_empty_geometry_noop():
+    for txt in ("POINT EMPTY", "POLYGON EMPTY", "GEOMETRYCOLLECTION EMPTY"):
+        g = G.wkt_loads(txt)
+        out = G.translate(g, 5.0, 7.0)
+        assert out[0] == g[0]
+        assert not out[1] or out == g
+
+
+def test_centroid_empty_returns_empty_tuple():
+    g = G.wkt_loads("POINT EMPTY")
+    assert G.centroid(g) == () or G.centroid(g) is None or not G.centroid(g)

@@ -140,3 +140,20 @@ def test_antimeridian_and_agg_distance(spark, gdf):
         rf.st_point(F.lit(1.0), F.lit(0.0)),
         rf.st_point(F.lit(2.0), F.lit(0.0)))))
     assert abs(d - 2 * 111195.0802335329) < 1e-3
+
+
+def test_empty_geometry_geohash_translate_null_not_crash(spark, gdf):
+    """st_geoHash / st_translate on the empty geometries the WKT parser
+    can construct: null / empty out, never an IndexError inside the UDF
+    (review pin: empty centroid is ())."""
+    e = rf.st_geomFromWKT(F.lit("POINT EMPTY"))
+    assert _one(gdf, rf.st_geohash(e, 9)) is None
+    moved = _one(gdf, rf.st_asText(rf.st_translate(e, 1.0, 2.0)))
+    assert moved in ("POINT EMPTY", None)
+    # SQL registrations take the same path
+    row = spark.sql(
+        "select st_geoHash(st_geomFromWKT('POINT EMPTY'), 9) as gh, "
+        "       st_asText(st_translate(st_geomFromWKT('POLYGON EMPTY'), 1.0, 2.0)) as tr"
+    ).head()
+    assert row["gh"] is None
+    assert row["tr"] in ("POLYGON EMPTY", None)

@@ -261,6 +261,78 @@ def test_unsupported_features_raise():
         cs = jp2.JP2Codestream(bytes(data))
 
 
+def test_unsupported_cbstyle_bits_rejected():
+    """RESET / vertically-causal / segmentation-symbol code-block styles
+    must raise (routing the file to the rasterio fallback) — the T1
+    decoder would otherwise desynchronize and return garbled pixels."""
+    a = np.zeros((8, 8), dtype=np.uint8)
+    base = jp2.encode_jp2(a, levels=1)
+    i = base.find(b"\xFF\x52")
+    for bit in (0x02, 0x08, 0x20):  # RESET, CAUSAL, SEGMARK
+        data = bytearray(base)
+        data[i + 12] |= bit  # SPcod code-block style byte
+        with pytest.raises(NotImplementedError):
+            jp2.JP2Codestream(bytes(data))
+
+
+def test_cs_cache_invalidated_on_overwrite(tmp_path):
+    """Overwriting a .jp2 in place must not serve stale parsed offsets /
+    cached tiles from the previous file at the same URI."""
+    from rasterframes_spark.sources.rangeio import open_source
+
+    p = str(tmp_path / "prod.jp2")
+    for fill in (7, 200):
+        arr = np.full((32, 32), fill, dtype=np.uint8)
+        code = jp2.encode_jp2(arr, levels=2)
+        open(p, "wb").write(jp2.wrap_jp2(code, 32, 32, 8))
+        os.utime(p, (1e9, 1e9 + fill))  # distinct mtime even on coarse fs
+        src = open_source(p)
+        info = jp2.read_info(src)
+        win = jp2.read_window(src, info, 0, 0, 32, 32)
+        assert (win == fill).all()
+
+
+def test_wrap_jp2_nodata_and_signed_depth_roundtrip():
+    """nodata survives the container (GDAL-PAM xml box) and int16 reads
+    back as int16, not int32."""
+    a = (np.arange(32 * 32).reshape(32, 32) % 100 - 50).astype(np.int16)
+    code = jp2.encode_jp2(a, depth=16, signed=True)
+    data = jp2.wrap_jp2(code, 32, 32, 16, signed=True,
+                        crs="EPSG:32631", extent=(0.0, 0.0, 320.0, 320.0),
+                        nodata=-50)
+    info = jp2.read_info(data)
+    assert info.dtype == "int16"
+    assert info.nodata == -50
+    assert info.crs == "EPSG:32631"
+    assert np.array_equal(jp2.read_window(data, info, 0, 0, 32, 32), a)
+
+
+def test_decode_jp2_tile_reduce_beyond_levels_raises():
+    a = np.zeros((16, 16), dtype=np.uint8)
+    data = jp2.encode_jp2(a, levels=2)
+    with pytest.raises(ValueError):
+        jp2.decode_jp2_tile(data, 0, reduce=3)
+
+
+def test_gmljp2_found_past_64k():
+    """A large box before the GML association must not lose
+    georeferencing (the old 64 KiB scan window)."""
+    a = np.zeros((8, 8), dtype=np.uint8)
+    code = jp2.encode_jp2(a, levels=1)
+    full = jp2.wrap_jp2(code, 8, 8, 8, crs="EPSG:4326",
+                        extent=(1.0, 2.0, 3.0, 4.0))
+    # splice a 100 KiB xml box in front of the GML asoc box
+    # box layout: [4-byte length][4-byte type][payload]; find(b"asoc")
+    # lands on the type field, so the box boundary is 4 bytes earlier
+    insert_at = full.find(b"asoc") - 4
+    import struct as _s
+    big = _s.pack(">I", 8 + 100_000) + b"xml " + b"<pad/>" * 0 + b"x" * 100_000
+    spliced = full[:insert_at] + big + full[insert_at:]
+    info = jp2.read_info(spliced)
+    assert info.crs == "EPSG:4326"
+    assert info.extent == (1.0, 2.0, 3.0, 4.0)
+
+
 # ---------------------------------------------------------------------------
 # reference fixture (Kakadu-encoded Sentinel-2)
 # ---------------------------------------------------------------------------
