@@ -11,13 +11,16 @@ bounded memory).
 Scope (asserted, never silently wrong):
 - decode: reversible 5/3 wavelet, no quantization (style 0 QCD/QCC),
   arbitrary decomposition levels, code-block sizes, precincts, multiple
-  tiles, LRCP/RLCP and (single-component) RPCL/PCRL/CPRL progressions,
-  one or more quality layers, SOP/EPH tolerated, PLT/TLM/COM skipped.
-  Irreversible (9/7) and multi-component codestreams raise and route to
-  the rasterio fallback — this engine's contract is exact integers, and
-  EO imagery ships one component per file (Sentinel-2 per-band .jp2).
+  tiles, LRCP/RLCP/RPCL/PCRL/CPRL progressions, one or more quality
+  layers, multi-component codestreams on a uniform sample grid with
+  optional reversible MCT (the Sentinel-2 TCI true-color shape: 3
+  components + RCT), SOP/EPH tolerated, PLT/TLM/COM skipped.
+  Irreversible (9/7) and per-component-subsampled codestreams raise and
+  route to the rasterio fallback — this engine's contract is exact
+  integers on a single grid.
 - encode: single quality layer, LRCP or RPCL, optional precincts, 5/3
-  reversible — enough to
+  reversible, one or more components (3-D (H, W, C) input) with
+  optional RCT — enough to
   round-trip any integer raster bit-exactly, which is also the module's
   spec oracle (tests/test_jp2.py: encoder<->decoder round-trips plus
   structural checks on the reference's Kakadu-encoded Sentinel-2 fixture).
@@ -944,14 +947,15 @@ class JP2Codestream:
         _validate_cod(self.cod)
         for c in self.coc.values():
             _validate_cod(c)
-        if self.ncomp > 1:
-            # the packet stream interleaves every component's packets; this
-            # decoder parses one component's geometry and would misread the
-            # interleave. Raised HERE so read_info also rejects the file
-            # and the reader's dispatch falls through to the rasterio
-            # escape hatch (EO imagery ships one component per file).
+        d0 = (self.comp[0]["dx"], self.comp[0]["dy"])
+        if any((c["dx"], c["dy"]) != d0 for c in self.comp):
+            # component subsampling (4:2:0-style chroma grids) changes the
+            # packet interleave geometry per component. Raised HERE so
+            # read_info also rejects the file and the reader's dispatch
+            # falls through to the rasterio escape hatch (EO imagery uses
+            # a uniform grid — Sentinel-2 TCI is 3x uniform 10 m).
             raise NotImplementedError(
-                "JP2: multi-component codestreams not supported")
+                "JP2: per-component subsampling not supported")
         self.n_xtiles = _ceil_div(self.xsiz - self.xtosiz, self.xtsiz)
         self.n_ytiles = _ceil_div(self.ysiz - self.ytosiz, self.ytsiz)
 
@@ -1123,144 +1127,196 @@ def _cbs_in_precinct(band, r, p_idx, pw, res, ppx, ppy, xcb, ycb):
     return m1 - m0, n1 - n0, out
 
 
-def _decode_tile(cs: JP2Codestream, t: int, comp: int = 0,
-                 reduce: int = 0) -> np.ndarray:
-    """Decode one tile-component to pixel values (DC shift applied).
+class _CompState:
+    """Per-component decode state for one tile: coding params, band
+    geometry, precinct metadata, and the tag-tree/code-block bookkeeping
+    the packet reader mutates."""
+
+    __slots__ = ("cod", "guard", "exps", "geo", "res_meta", "levels",
+                 "incl_trees", "zb_trees", "cb_states")
+
+    def __init__(self, cs, t, c):
+        self.cod = cs._tile_cod(t, c)
+        self.guard, qstyle, self.exps = cs._tile_qcd(t, c)
+        if qstyle != 0:
+            raise NotImplementedError(
+                "JP2: quantized (lossy) codestreams not supported")
+        tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
+        dx, dy = cs.comp[c]["dx"], cs.comp[c]["dy"]
+        tcx0, tcy0 = _ceil_div(tx0, dx), _ceil_div(ty0, dy)
+        tcx1, tcy1 = _ceil_div(tx1, dx), _ceil_div(ty1, dy)
+        self.levels = self.cod.levels
+        self.geo = _band_geometry(tcx0, tcy0, tcx1, tcy1, self.levels)
+        # per-resolution effective cb exponents + precinct sizes
+        self.res_meta = []
+        for r in range(self.levels + 1):
+            ppx, ppy = self.cod.precincts[r]
+            xcb = min(self.cod.xcb, ppx if r == 0 else ppx - 1)
+            ycb = min(self.cod.ycb, ppy if r == 0 else ppy - 1)
+            trx0, try0, trx1, try1 = self.geo[r]["res"]
+            pw, ph = _precinct_grid(trx0, try0, trx1, try1, ppx, ppy)
+            self.res_meta.append((ppx, ppy, xcb, ycb, pw, ph))
+        self.incl_trees = {}
+        self.zb_trees = {}
+        self.cb_states = {}
+
+    def band_mb(self, r, bi):
+        # subband entry order in QCD: LL, then r=1..N (HL, LH, HH)
+        e = self.exps[0] if r == 0 else self.exps[1 + 3 * (r - 1) + bi]
+        return e + self.guard - 1
+
+
+def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
+                       want=None) -> dict:
+    """Decode one tile's components to pixel values (inverse MCT + DC
+    shift applied). Returns {component: 2-D array}. The packet stream
+    interleaves every component's packets in progression order, so ALL
+    components are parsed; only ``want`` (default: all; forced to all of
+    0-2 under MCT) are T1-decoded — parsing is cheap, T1 is not.
+
     ``reduce`` = number of resolution levels to drop: the output is the
     tile at 1/2^reduce scale, decoding only the packets of the kept
     resolutions when the progression allows an early stop — the overview
     path over a large JP2 archive costs ~1/4^reduce of a full decode."""
-    cod = cs._tile_cod(t, comp)
-    guard, qstyle, exps = cs._tile_qcd(t, comp)
-    if qstyle != 0:
-        raise NotImplementedError(
-            "JP2: quantized (lossy) codestreams not supported")
-    prog = cod.prog
+    ncomp = cs.ncomp
+    st = [_CompState(cs, t, c) for c in range(ncomp)]
+    prog = st[0].cod.prog
+    layers = st[0].cod.layers
+    mct = st[0].cod.mct
     if prog not in (0, 1, 2, 3, 4):
         raise NotImplementedError("JP2: unknown progression %r" % prog)
-    tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
-    dx, dy = cs.comp[comp]["dx"], cs.comp[comp]["dy"]
-    tcx0, tcy0 = _ceil_div(tx0, dx), _ceil_div(ty0, dy)
-    tcx1, tcy1 = _ceil_div(tx1, dx), _ceil_div(ty1, dy)
-    levels = cod.levels
-    geo = _band_geometry(tcx0, tcy0, tcx1, tcy1, levels)
+    if mct and ncomp >= 3 and len({st[c].levels for c in range(3)}) != 1:
+        raise NotImplementedError(
+            "JP2: MCT with differing decomposition levels per component")
 
-    # band -> (Mb, array); subband entry order in QCD: LL, then r=1..N
-    def band_mb(r, bi):
-        if r == 0:
-            e = exps[0]
-        else:
-            e = exps[1 + 3 * (r - 1) + bi]
-        return e + guard - 1
-
-    # per-resolution effective cb exponents + precinct sizes
-    res_meta = []
-    for r in range(levels + 1):
-        ppx, ppy = cod.precincts[r]
-        xcb = min(cod.xcb, ppx if r == 0 else ppx - 1)
-        ycb = min(cod.ycb, ppy if r == 0 else ppy - 1)
-        trx0, try0, trx1, try1 = geo[r]["res"]
-        pw, ph = _precinct_grid(trx0, try0, trx1, try1, ppx, ppy)
-        res_meta.append((ppx, ppy, xcb, ycb, pw, ph))
-
-    # cb bookkeeping per (r, band, precinct): tag trees + _CbState
-    incl_trees = {}
-    zb_trees = {}
-    cb_states = {}
+    if want is None:
+        want = set(range(ncomp))
+    else:
+        want = set(want)
+    if mct and ncomp >= 3 and want & {0, 1, 2}:
+        want |= {0, 1, 2}  # inverse RCT needs all three
 
     body = b"".join(cs.data[a:b] for a, b in cs.tile_parts.get(t, []))
     rd = HeaderReader(body)
 
-    def packet(r, l):
-        ppx, ppy, xcb, ycb, pw, ph = res_meta[r]
-        n_prec = pw * ph
-        for p in range(n_prec):
-            _read_packet(cs, cod, rd, r, l, p, pw, geo[r], ppx, ppy, xcb,
-                         ycb, incl_trees, zb_trees, cb_states)
+    def packet_one(c, r, l, p, pw):
+        s = st[c]
+        ppx, ppy, xcb, ycb, _, _ = s.res_meta[r]
+        _read_packet(cs, s.cod, rd, r, l, p, pw, s.geo[r], ppx, ppy, xcb,
+                     ycb, s.incl_trees, s.zb_trees, s.cb_states)
 
-    def packet_one(r, l, p, pw):
-        ppx, ppy, xcb, ycb, _, _ = res_meta[r]
-        _read_packet(cs, cod, rd, r, l, p, pw, geo[r], ppx, ppy, xcb,
-                     ycb, incl_trees, zb_trees, cb_states)
+    def packets(c, r, l):
+        pw, ph = st[c].res_meta[r][4], st[c].res_meta[r][5]
+        for p in range(pw * ph):
+            packet_one(c, r, l, p, pw)
 
-    layers = cod.layers
-    max_res = max(0, levels - max(0, int(reduce)))
+    max_levels = max(s.levels for s in st)
+    reduce = max(0, int(reduce))
     # r-ordered progressions stop reading after the last kept resolution
     # (LRCP only when single-layer: its layer loop is outermost)
-    stop_res = max_res if (prog in (1, 2) or
-                           (prog == 0 and layers == 1)) else levels
-    if prog == 0:  # LRCP
+    keep_res = max(max(0, s.levels - reduce) for s in st)
+    stop_res = keep_res if (prog in (1, 2) or
+                            (prog == 0 and layers == 1)) else max_levels
+    if prog == 0:  # LRCP: layer { res { comp { precinct } } }
         for l in range(layers):
             for r in range(stop_res + 1):
-                packet(r, l)
-    elif prog == 1:  # RLCP
+                for c in range(ncomp):
+                    if r <= st[c].levels:
+                        packets(c, r, l)
+    elif prog == 1:  # RLCP: res { layer { comp { precinct } } }
         for r in range(stop_res + 1):
             for l in range(layers):
-                packet(r, l)
+                for c in range(ncomp):
+                    if r <= st[c].levels:
+                        packets(c, r, l)
     else:
-        # position-based orders (single component): every precinct gets a
-        # full-resolution anchor position; RPCL sorts (r, y, x), PCRL and
-        # CPRL (== PCRL at 1 component) sort (y, x, r); layers innermost
+        # position-based orders: every precinct gets a full-resolution
+        # anchor position on the component's sample grid; RPCL sorts
+        # (r, y, x, c), PCRL sorts (y, x, c, r), CPRL sorts (c, y, x, r);
+        # layers innermost
         entries = []
-        for r in range(levels + 1):
-            ppx, ppy, xcb, ycb, pw, ph = res_meta[r]
-            trx0, try0, trx1, try1 = geo[r]["res"]
-            s = levels - r
-            for p in range(pw * ph):
-                pi, pj = p % pw, p // pw
-                ax = max(((trx0 >> ppx) + pi) << ppx, trx0) << s
-                ay = max(((try0 >> ppy) + pj) << ppy, try0) << s
-                entries.append((r, ay, ax, p, pw))
-        if prog == 2:  # RPCL
-            entries.sort(key=lambda e: (e[0], e[1], e[2]))
-        else:          # PCRL / CPRL
-            entries.sort(key=lambda e: (e[1], e[2], e[0]))
-        for r, _, _, p, pw in entries:
+        for c in range(ncomp):
+            s = st[c]
+            for r in range(s.levels + 1):
+                ppx, ppy, xcb, ycb, pw, ph = s.res_meta[r]
+                trx0, try0, trx1, try1 = s.geo[r]["res"]
+                sh = s.levels - r
+                for p in range(pw * ph):
+                    pi, pj = p % pw, p // pw
+                    ax = max(((trx0 >> ppx) + pi) << ppx, trx0) << sh
+                    ay = max(((try0 >> ppy) + pj) << ppy, try0) << sh
+                    entries.append((r, ay, ax, c, p, pw))
+        if prog == 2:    # RPCL
+            entries.sort(key=lambda e: (e[0], e[1], e[2], e[3]))
+        elif prog == 3:  # PCRL
+            entries.sort(key=lambda e: (e[1], e[2], e[3], e[0]))
+        else:            # CPRL
+            entries.sort(key=lambda e: (e[3], e[1], e[2], e[0]))
+        for r, _, _, c, p, pw in entries:
             if r > stop_res:       # only reachable for RPCL (r-ordered):
                 break              # PCRL/CPRL keep stop_res = levels
                                    # because skipping a packet mid-stream
                                    # would desynchronize byte offsets
             for l in range(layers):
-                packet_one(r, l, p, pw)
+                packet_one(c, r, l, p, pw)
 
-    # T1-decode each code-block, assemble subbands (kept resolutions)
-    band_arrays = []
-    for r in range(max_res + 1):
-        ppx, ppy, xcb, ycb, pw, ph = res_meta[r]
-        for bi, band in enumerate(geo[r]["bands"]):
-            name, bx0, by0, bx1, by1 = band
-            arr = np.zeros((by1 - by0, bx1 - bx0), dtype=np.int64)
-            mb = band_mb(r, bi)
-            for p in range(pw * ph):
-                key = (r, bi, p)
-                _, _, cbs = _cbs_in_precinct(
-                    band, r, p, pw, geo[r]["res"], ppx, ppy, xcb, ycb)
-                for ci, (rx, ry, cx0, cy0, cx1, cy1) in enumerate(cbs):
-                    stt = cb_states.get((r, bi, p, ci))
-                    if stt is None or not stt.segments:
-                        continue
-                    nbp = mb - stt.missing
-                    coeffs = t1_decode(
-                        b"".join(stt.segments), cx1 - cx0, cy1 - cy0,
-                        stt.n_passes, nbp, name)
-                    arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0] = coeffs
-            band_arrays.append(((r, name), arr))
+    # T1-decode each wanted component's code-blocks, assemble subbands
+    # (kept resolutions), inverse DWT to the pre-shift pixel domain
+    raw = {}
+    for c in sorted(want):
+        s = st[c]
+        max_res = max(0, s.levels - reduce)
+        bands_by = {}
+        for r in range(max_res + 1):
+            ppx, ppy, xcb, ycb, pw, ph = s.res_meta[r]
+            for bi, band in enumerate(s.geo[r]["bands"]):
+                name, bx0, by0, bx1, by1 = band
+                arr = np.zeros((by1 - by0, bx1 - bx0), dtype=np.int64)
+                mb = s.band_mb(r, bi)
+                for p in range(pw * ph):
+                    _, _, cbs = _cbs_in_precinct(
+                        band, r, p, pw, s.geo[r]["res"], ppx, ppy, xcb, ycb)
+                    for ci, (rx, ry, cx0, cy0, cx1, cy1) in enumerate(cbs):
+                        stt = s.cb_states.get((r, bi, p, ci))
+                        if stt is None or not stt.segments:
+                            continue
+                        nbp = mb - stt.missing
+                        coeffs = t1_decode(
+                            b"".join(stt.segments), cx1 - cx0, cy1 - cy0,
+                            stt.n_passes, nbp, name)
+                        arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0] = coeffs
+                bands_by[(r, name)] = arr
+        ll = bands_by[(0, "LL")]
+        for r in range(1, max_res + 1):
+            trx0, try0, trx1, try1 = s.geo[r]["res"]
+            ll = dwt53_inverse(ll, bands_by[(r, "HL")], bands_by[(r, "LH")],
+                               bands_by[(r, "HH")], trx0, try0, trx1, try1)
+        raw[c] = ll
 
-    # inverse DWT: reconstruct LL upward through the kept resolutions
-    bands_by = dict(band_arrays)
-    ll = bands_by[(0, "LL")]
-    # LL band coords for r=0 equal next-res synthesis inputs
-    for r in range(1, max_res + 1):
-        trx0, try0, trx1, try1 = geo[r]["res"]
-        ll = dwt53_inverse(ll, bands_by[(r, "HL")], bands_by[(r, "LH")],
-                           bands_by[(r, "HH")], trx0, try0, trx1, try1)
-    depth = cs.comp[comp]["depth"]
-    if not cs.comp[comp]["signed"]:
-        ll = ll + (1 << (depth - 1))
-        np.clip(ll, 0, (1 << depth) - 1, out=ll)
-    else:
-        np.clip(ll, -(1 << (depth - 1)), (1 << (depth - 1)) - 1, out=ll)
-    return ll
+    # inverse reversible color transform (RCT): comps 0-2 are Y, Cb, Cr
+    if mct and ncomp >= 3 and {0, 1, 2} <= set(raw):
+        y, cb, cr = raw[0], raw[1], raw[2]
+        g = y - ((cb + cr) >> 2)
+        raw[0] = cr + g  # R
+        raw[1] = g       # G
+        raw[2] = cb + g  # B
+
+    out = {}
+    for c, ll in raw.items():
+        depth = cs.comp[c]["depth"]
+        if not cs.comp[c]["signed"]:
+            ll = ll + (1 << (depth - 1))
+            np.clip(ll, 0, (1 << depth) - 1, out=ll)
+        else:
+            np.clip(ll, -(1 << (depth - 1)), (1 << (depth - 1)) - 1, out=ll)
+        out[c] = ll
+    return out
+
+
+def _decode_tile(cs: JP2Codestream, t: int, comp: int = 0,
+                 reduce: int = 0) -> np.ndarray:
+    """Decode one tile-component to pixel values (see _decode_tile_comps)."""
+    return _decode_tile_comps(cs, t, reduce=reduce, want={comp})[comp]
 
 
 def _read_packet(cs, cod, rd, r, l, p, pw, geo_r, ppx, ppy, xcb, ycb,
@@ -1466,27 +1522,40 @@ def decode_jp2_tile(data: bytes, tile_index: int,
 def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
                levels: int = 5, cb_exp: tuple = (6, 6),
                depth: int | None = None, signed: bool | None = None,
-               precinct: int | None = None, prog: str = "LRCP") -> bytes:
-    """Encode a 2-D integer array as a raw JPEG2000 codestream
-    (reversible 5/3, single quality layer). ``precinct`` = PPx=PPy
-    exponent (None = maximal); ``prog`` = 'LRCP' or 'RPCL' (the
-    Sentinel-2 shape is RPCL with 64x64 precincts). Bit-exact round-trip
-    with :func:`decode_jp2` — that property is the codec's spec oracle
-    in tests/test_jp2.py."""
+               precinct: int | None = None, prog: str = "LRCP",
+               mct: bool | None = None) -> bytes:
+    """Encode a 2-D (H, W) or multi-component 3-D (H, W, C) integer
+    array as a raw JPEG2000 codestream (reversible 5/3, single quality
+    layer). ``precinct`` = PPx=PPy exponent (None = maximal); ``prog`` =
+    'LRCP' or 'RPCL' (the Sentinel-2 shape is RPCL with 64x64
+    precincts); ``mct`` = apply the reversible color transform to
+    components 0-2 (default: on for exactly 3 components — the
+    Sentinel-2 TCI true-color shape). Bit-exact round-trip with
+    :func:`decode_jp2` — that property is the codec's spec oracle in
+    tests/test_jp2.py."""
     img = np.asarray(img)
-    if img.ndim != 2:
-        raise ValueError("encode_jp2: expected a 2-D array")
+    if img.ndim == 2:
+        comps = [img]
+    elif img.ndim == 3:
+        comps = [img[:, :, c] for c in range(img.shape[2])]
+    else:
+        raise ValueError("encode_jp2: expected a 2-D (H, W) or "
+                         "3-D (H, W, C) array")
+    ncomp = len(comps)
     if prog not in ("LRCP", "RPCL"):
         raise ValueError("encode_jp2: prog must be LRCP or RPCL")
+    if mct is None:
+        mct = ncomp == 3  # RGB default: reversible color transform
+    mct = bool(mct) and ncomp >= 3
     if signed is None:
         signed = bool(np.issubdtype(img.dtype, np.signedinteger)
-                      and img.min() < 0)
+                      and img.size and img.min() < 0)
     if depth is None:
         # magnitude on an int64 copy: np.abs(INT16_MIN) overflows negative
         # on the native dtype and under-sizes depth
         mx = int(np.abs(img.astype(np.int64)).max()) if img.size else 0
         depth = max(1, mx.bit_length() + (1 if signed else 0))
-    h, w = img.shape
+    h, w = comps[0].shape
     th, tw = (tile_size if tile_size else (h, w))
     xcb, ycb = cb_exp
     levels = int(levels)
@@ -1494,24 +1563,31 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
 
     out = bytearray()
     out += b"\xFF\x4F"  # SOC
-    # SIZ
-    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, tw, th, 0, 0, 1)
-    siz += bytes([(0x80 if signed else 0) | (depth - 1), 1, 1])
+    # SIZ: per spec, component depths are the ORIGINAL depths — the RCT
+    # chroma bit growth is absorbed by the QCD exponents, not SIZ
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, tw, th, 0, 0, ncomp)
+    siz += bytes([(0x80 if signed else 0) | (depth - 1), 1, 1] * ncomp)
     out += b"\xFF\x51" + struct.pack(">H", 2 + len(siz)) + siz
-    # COD: Scod bit0 set iff custom precincts; 1 layer, no MCT
+    # COD: Scod bit0 set iff custom precincts; 1 layer; MCT byte = 1
+    # selects the reversible color transform on components 0-2
     prog_code = {"LRCP": 0, "RPCL": 2}[prog]
-    cod = bytes([1 if precinct is not None else 0, prog_code, 0, 1, 0,
+    cod = bytes([1 if precinct is not None else 0, prog_code, 0, 1,
+                 1 if mct else 0,
                  levels, xcb - 2, ycb - 2, 0, 1])
     if precinct is not None:
         cod += bytes([(pp << 4) | pp] * (levels + 1))
     out += b"\xFF\x52" + struct.pack(">H", 2 + len(cod)) + cod
     # QCD: style 0 (reversible), 2 guard bits; exponent = depth + gain + 1
-    # (5/3 lifting growth bound), gain LL=0, HL/LH=1, HH=2
+    # (5/3 lifting growth bound), gain LL=0, HL/LH=1, HH=2. Under RCT the
+    # chroma planes carry one extra magnitude bit (Cb = B - G): one shared
+    # QCD sized for the worst component (the spare bitplane on Y costs
+    # only tag-tree header bits, not body bytes)
     guard = 2
-    exps = [min(31, depth + 0 + 1)]
+    edepth = depth + (1 if mct else 0)
+    exps = [min(31, edepth + 0 + 1)]
     for r in range(1, levels + 1):
         for gain in (1, 1, 2):
-            exps.append(min(31, depth + gain + 1))
+            exps.append(min(31, edepth + gain + 1))
     qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
     out += b"\xFF\x5C" + struct.pack(">H", 2 + len(qcd)) + qcd
 
@@ -1520,9 +1596,10 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
         ti, tj = t % n_xt, t // n_xt
         tx0, ty0 = ti * tw, tj * th
         tx1, ty1 = min((ti + 1) * tw, w), min((tj + 1) * th, h)
-        body = _encode_tile(img[ty0:ty1, tx0:tx1].astype(np.int64),
+        body = _encode_tile([c[ty0:ty1, tx0:tx1].astype(np.int64)
+                             for c in comps],
                             tx0, ty0, tx1, ty1, levels, xcb, ycb,
-                            depth, signed, guard, exps, pp, prog)
+                            depth, signed, guard, exps, pp, prog, mct)
         sot = struct.pack(">HIBB", t, 12 + len(body) + 2, 0, 1)
         out += b"\xFF\x90" + struct.pack(">H", 10) + sot
         out += b"\xFF\x93" + body
@@ -1530,101 +1607,124 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
     return bytes(out)
 
 
-def _encode_tile(tile, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
+def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
                  depth, signed, guard, exps, pp: int = 15,
-                 prog: str = "LRCP") -> bytes:
-    a = tile.copy()
-    if not signed:
-        a -= 1 << (depth - 1)  # DC level shift
-    # forward DWT
+                 prog: str = "LRCP", mct: bool = False) -> bytes:
+    if isinstance(tiles, np.ndarray):  # single-component callers
+        tiles = [tiles]
+    planes = []
+    for a in tiles:
+        a = a.copy()
+        if not signed:
+            a -= 1 << (depth - 1)  # DC level shift
+        planes.append(a)
+    if mct and len(planes) >= 3:
+        # forward reversible color transform on components 0-2
+        r_, g_, b_ = planes[0], planes[1], planes[2]
+        planes[0] = (r_ + 2 * g_ + b_) >> 2  # Y
+        planes[1] = b_ - g_                  # Cb
+        planes[2] = r_ - g_                  # Cr
+    # forward DWT per component (uniform grid: one geometry for all)
     geo = _band_geometry(tcx0, tcy0, tcx1, tcy1, levels)
-    bands = {}
-    u0, v0 = tcx0, tcy0
-    cur = a
-    for r in range(levels, 0, -1):
-        ll, hl, lh, hh = dwt53_forward(cur, u0, v0)
-        bands[(r, "HL")] = hl
-        bands[(r, "LH")] = lh
-        bands[(r, "HH")] = hh
-        cur = ll
-        u0, v0 = (u0 + 1) // 2, (v0 + 1) // 2
-    bands[(0, "LL")] = cur
+    comp_bands = []
+    for a in planes:
+        bands = {}
+        u0, v0 = tcx0, tcy0
+        cur = a
+        for r in range(levels, 0, -1):
+            ll, hl, lh, hh = dwt53_forward(cur, u0, v0)
+            bands[(r, "HL")] = hl
+            bands[(r, "LH")] = lh
+            bands[(r, "HH")] = hh
+            cur = ll
+            u0, v0 = (u0 + 1) // 2, (v0 + 1) // 2
+        bands[(0, "LL")] = cur
+        comp_bands.append(bands)
 
     def band_mb(r, bi):
         e = exps[0] if r == 0 else exps[1 + 3 * (r - 1) + bi]
         return e + guard - 1
 
-    # packet sequence: 1 layer + 1 component, so LRCP and RPCL both emit
-    # (r ascending, precincts in raster order) — the COD progression byte
-    # still matters to the DECODER's layer-loop placement on multi-layer
-    # files, and the decoder's RPCL path is exercised by prog='RPCL'
+    def emit_packet(body, bands, r, p, pw, excb, eycb):
+        hdr = HeaderWriter()
+        segs = []
+        any_cb = False
+        hdr.put(1)  # non-empty packet (all-zero cbs carry headers)
+        for bi, band in enumerate(geo[r]["bands"]):
+            cbw, cbh, cbs = _cbs_in_precinct(
+                band, r, p, pw, geo[r]["res"], pp, pp, excb, eycb)
+            if not cbs:
+                continue
+            any_cb = True
+            itree = TagTree(cbw, cbh)
+            ztree = TagTree(cbw, cbh)
+            name = band[0]
+            arr = bands[(r, name)]
+            bx0, by0 = band[1], band[2]
+            mb = band_mb(r, bi)
+            enc_list = []
+            for (rx, ry, cx0, cy0, cx1, cy1) in cbs:
+                coeffs = arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0]
+                data, npass, nbp = t1_encode(coeffs, name)
+                if nbp > mb:
+                    raise AssertionError(
+                        f"encode_jp2: band {name}@r{r} needs {nbp} "
+                        f"planes > Mb={mb} — raise the QCD exponent")
+                missing = mb - nbp
+                enc_list.append((rx, ry, data, npass, missing))
+                itree.set(rx, ry, 0)  # everything included in layer 0
+                ztree.set(rx, ry, missing)
+            itree.finalize()
+            ztree.finalize()
+            for rx, ry, data, npass, missing in enc_list:
+                itree.encode(hdr, rx, ry, 1)
+                # zero-bitplane tag tree: thresholds until resolved
+                k = 1
+                while True:
+                    ztree.encode(hdr, rx, ry, k)
+                    if missing < k:
+                        break
+                    k += 1
+                if npass == 0:
+                    # spec requires >= 1 pass for an included cb:
+                    # 1 pass with a zero-length segment
+                    npass = 1
+                    data = b""
+                _write_n_passes(hdr, npass)
+                lblock = 3
+                nbits = lblock + int(npass).bit_length() - 1
+                while len(data) >= (1 << nbits):
+                    hdr.put(1)
+                    lblock += 1
+                    nbits += 1
+                hdr.put(0)
+                hdr.bits(len(data), nbits)
+                segs.append(data)
+        if not any_cb:
+            hdr = HeaderWriter()
+            hdr.put(0)  # empty packet
+        body += hdr.flush()
+        for s in segs:
+            body += s
+
+    # packet sequence (1 layer, uniform component grids): LRCP nests
+    # layer{res{comp{prec}}} -> (r, c, p); RPCL nests res{pos{comp}} ->
+    # (r, p, c) since precinct raster order IS anchor (y, x) order and
+    # all components share the anchor grid
     body = bytearray()
     for r in range(levels + 1):
         excb = min(xcb, pp if r == 0 else pp - 1)
         eycb = min(ycb, pp if r == 0 else pp - 1)
         trx0, try0, trx1, try1 = geo[r]["res"]
         pw, ph = _precinct_grid(trx0, try0, trx1, try1, pp, pp)
-        for p in range(pw * ph):
-            hdr = HeaderWriter()
-            segs = []
-            any_cb = False
-            hdr.put(1)  # non-empty packet (all-zero cbs carry headers)
-            for bi, band in enumerate(geo[r]["bands"]):
-                cbw, cbh, cbs = _cbs_in_precinct(
-                    band, r, p, pw, geo[r]["res"], pp, pp, excb, eycb)
-                if not cbs:
-                    continue
-                any_cb = True
-                itree = TagTree(cbw, cbh)
-                ztree = TagTree(cbw, cbh)
-                name = band[0]
-                arr = bands[(r, name)]
-                bx0, by0 = band[1], band[2]
-                mb = band_mb(r, bi)
-                enc_list = []
-                for (rx, ry, cx0, cy0, cx1, cy1) in cbs:
-                    coeffs = arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0]
-                    data, npass, nbp = t1_encode(coeffs, name)
-                    if nbp > mb:
-                        raise AssertionError(
-                            f"encode_jp2: band {name}@r{r} needs {nbp} "
-                            f"planes > Mb={mb} — raise the QCD exponent")
-                    missing = mb - nbp
-                    enc_list.append((rx, ry, data, npass, missing))
-                    itree.set(rx, ry, 0)  # everything included in layer 0
-                    ztree.set(rx, ry, missing)
-                itree.finalize()
-                ztree.finalize()
-                for rx, ry, data, npass, missing in enc_list:
-                    itree.encode(hdr, rx, ry, 1)
-                    # zero-bitplane tag tree: thresholds until resolved
-                    k = 1
-                    while True:
-                        ztree.encode(hdr, rx, ry, k)
-                        if missing < k:
-                            break
-                        k += 1
-                    if npass == 0:
-                        # spec requires >= 1 pass for an included cb:
-                        # 1 pass with a zero-length segment
-                        npass = 1
-                        data = b""
-                    _write_n_passes(hdr, npass)
-                    lblock = 3
-                    nbits = lblock + int(npass).bit_length() - 1
-                    while len(data) >= (1 << nbits):
-                        hdr.put(1)
-                        lblock += 1
-                        nbits += 1
-                    hdr.put(0)
-                    hdr.bits(len(data), nbits)
-                    segs.append(data)
-            if not any_cb:
-                hdr = HeaderWriter()
-                hdr.put(0)  # empty packet
-            body += hdr.flush()
-            for s in segs:
-                body += s
+        if prog == "RPCL":
+            for p in range(pw * ph):
+                for bands in comp_bands:
+                    emit_packet(body, bands, r, p, pw, excb, eycb)
+        else:  # LRCP
+            for bands in comp_bands:
+                for p in range(pw * ph):
+                    emit_packet(body, bands, r, p, pw, excb, eycb)
     return bytes(body)
 
 
@@ -1883,15 +1983,20 @@ def _decode_tile_cached(cs: JP2Codestream, source_key, t: int,
     hit = _TILE_CACHE.get(key)
     if hit is not None:
         return hit
-    arr = _decode_tile(cs, t, comp)
-    # store at the component's natural width, not int64 (4-8x smaller;
-    # the decode is exact so the cast is lossless)
-    arr = arr.astype(_natural_dtype(cs.comp[comp]["depth"],
-                                    cs.comp[comp]["signed"]))
-    if len(_TILE_CACHE) >= _TILE_CACHE_MAX:
-        _TILE_CACHE.pop(next(iter(_TILE_CACHE)))
-    _TILE_CACHE[key] = arr
-    return arr
+    # decode via the multi-component path: under MCT the siblings come
+    # back for free — cache every component that was produced so an RGB
+    # read decodes each tile once, not three times
+    decoded = _decode_tile_comps(cs, t, want={comp})
+    for c, arr in decoded.items():
+        # store at the component's natural width, not int64 (4-8x
+        # smaller; the decode is exact so the cast is lossless)
+        arr = arr.astype(_natural_dtype(cs.comp[c]["depth"],
+                                        cs.comp[c]["signed"]))
+        decoded[c] = arr
+        if len(_TILE_CACHE) >= _TILE_CACHE_MAX:
+            _TILE_CACHE.pop(next(iter(_TILE_CACHE)))
+        _TILE_CACHE[(source_key, len(cs.data), t, c)] = arr
+    return decoded[comp]
 
 
 # ---------------------------------------------------------------------------

@@ -156,9 +156,10 @@ def test_window_and_tile_decode():
 
 def test_review_pins_coc_multicomp_depth_dtype():
     """Round-6 self-review pins: (1) a main-header COC (no SGcod) parses
-    with the COC layout and inherits SGcod from COD; (2) multi-component
-    codestreams raise at read_info so the reader's dispatch falls through
-    to the rasterio hatch instead of failing at task time; (3) depth
+    with the COC layout and inherits SGcod from COD; (2) per-component
+    SUBSAMPLING raises at read_info so the reader's dispatch falls
+    through to the rasterio hatch instead of failing at task time
+    (uniform-grid multi-component is natively supported); (3) depth
     inference uses int64 magnitude (np.abs(INT16_MIN) overflows on the
     native dtype); (4) depth-17..32 unsigned decodes as uint32 on the
     read_window path instead of silently wrapping at uint16."""
@@ -178,7 +179,7 @@ def test_review_pins_coc_multicomp_depth_dtype():
     j = bytes(mc).find(b"\xFF\x51")
     lsiz = _s.unpack(">H", mc[j + 2:j + 4])[0]
     mc[j + 4 + 34:j + 4 + 36] = _s.pack(">H", 2)
-    mc[j + 2 + lsiz:j + 2 + lsiz] = bytes([7, 1, 1])
+    mc[j + 2 + lsiz:j + 2 + lsiz] = bytes([7, 2, 2])  # 2x2-subsampled comp
     mc[j + 2:j + 4] = _s.pack(">H", lsiz + 3)
     with pytest.raises(NotImplementedError):
         jp2.read_info(bytes(mc))
@@ -331,6 +332,73 @@ def test_gmljp2_found_past_64k():
     info = jp2.read_info(spliced)
     assert info.crs == "EPSG:4326"
     assert info.extent == (1.0, 2.0, 3.0, 4.0)
+
+
+# ---------------------------------------------------------------------------
+# multi-component (Sentinel-2 TCI shape: 3 components, RCT, uniform grid)
+# ---------------------------------------------------------------------------
+
+def test_multicomponent_roundtrips():
+    """RGB encode<->decode bit-exact across MCT on/off, both
+    progressions, precincts, multiple tiles, odd sizes, and signed data
+    — the packet stream interleaves every component's packets, so any
+    ordering drift desynchronizes immediately."""
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (70, 53, 3)).astype(np.uint8)
+    for kwargs in (
+        dict(tile_size=(32, 32), levels=3, cb_exp=(4, 4)),        # MCT LRCP
+        dict(tile_size=(32, 32), levels=3, cb_exp=(4, 4),
+             precinct=5, prog="RPCL"),                             # MCT RPCL
+        dict(tile_size=(32, 32), levels=2, cb_exp=(4, 4),
+             mct=False),                                           # no MCT
+    ):
+        code = jp2.encode_jp2(rgb, **kwargs)
+        for c in range(3):
+            assert np.array_equal(jp2.decode_jp2(code, component=c),
+                                  rgb[:, :, c]), (kwargs, c)
+    # 2 components (MCT impossible), signed values
+    two = rng.integers(-100, 100, (33, 41, 2)).astype(np.int16)
+    code = jp2.encode_jp2(two, levels=2)
+    for c in range(2):
+        assert np.array_equal(jp2.decode_jp2(code, component=c),
+                              two[:, :, c])
+
+
+def test_multicomponent_reduce_and_window():
+    rng = np.random.default_rng(8)
+    rgb = rng.integers(0, 4096, (96, 128, 3)).astype(np.uint16)
+    code = jp2.encode_jp2(rgb, tile_size=(64, 64), levels=3)
+    # reduced-resolution decode per component has the overview shape
+    red = jp2.decode_jp2(code, component=1, reduce=2)
+    assert red.shape == (24, 32)
+    # window read straddling a tile boundary, non-zero band
+    data = jp2.wrap_jp2(code, 128, 96, 12)
+    info = jp2.read_info(data)
+    assert info.bands == 3
+    win = jp2.read_window(data, info, 48, 32, 40, 30, band=2)
+    assert np.array_equal(win, rgb[32:62, 48:88, 2].astype(win.dtype))
+
+
+def test_multicomponent_read_raster(spark, tmp_path):
+    """Distributed 3-band read: read_raster(band_indexes=(0,1,2)) on a
+    georeferenced MCT JP2 reproduces every band exactly."""
+    import rasterframes_spark as rf
+    from pyspark.sql import functions as F
+    from rasterframes_spark.sources import raster_reader as S
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+    code = jp2.encode_jp2(rgb, tile_size=(64, 64), levels=3)
+    p = str(tmp_path / "tci.jp2")
+    open(p, "wb").write(jp2.wrap_jp2(code, 128, 96, 8, crs="EPSG:32631",
+                                     extent=(0.0, 0.0, 1280.0, 960.0)))
+    df = S.read_raster(spark, [p], band_indexes=(0, 1, 2),
+                       tile_dimensions=(64, 64))
+    cols = ["tile_b0", "tile_b1", "tile_b2"]
+    out = df.select(*[S.realize_tiles(c).alias(c) for c in cols])
+    sums = out.agg(*[F.sum(rf.rf_tile_sum(c)).alias(c) for c in cols]).head()
+    for b, c in enumerate(cols):
+        assert sums[c] == float(rgb[:, :, b].sum())
 
 
 # ---------------------------------------------------------------------------
