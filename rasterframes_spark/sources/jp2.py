@@ -2061,7 +2061,8 @@ def _gmljp2_xml(crs: str, extent: tuple, width: int, height: int) -> bytes:
 def wrap_jp2(codestream: bytes, width: int, height: int, depth: int,
              signed: bool = False, crs: str | None = None,
              extent: tuple | None = None,
-             nodata: float | int | None = None) -> bytes:
+             nodata: float | int | None = None,
+             ncomp: int = 1) -> bytes:
     """Wrap a raw codestream in the JP2 box container, with GMLJP2
     georeferencing when ``crs``+``extent`` are given — the exported file
     round-trips through :func:`read_info` with its CRS and extent.
@@ -2071,9 +2072,10 @@ def wrap_jp2(codestream: bytes, width: int, height: int, depth: int,
     out = bytearray()
     out += _box(b"jP  ", b"\x0D\x0A\x87\x0A")
     out += _box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
-    ihdr = struct.pack(">IIHBBBB", height, width, 1,
+    ihdr = struct.pack(">IIHBBBB", height, width, ncomp,
                        (0x80 if signed else 0) | (depth - 1), 7, 0, 0)
-    colr = b"\x01\x00\x00" + struct.pack(">I", 17)  # enum grayscale
+    # enum colorspace: sRGB for 3 components, grayscale otherwise
+    colr = b"\x01\x00\x00" + struct.pack(">I", 16 if ncomp == 3 else 17)
     out += _box(b"jp2h", _box(b"ihdr", ihdr) + _box(b"colr", colr))
     if crs is not None and extent is not None:
         xml = _box(b"xml ", _gmljp2_xml(crs, extent, width, height))

@@ -91,20 +91,38 @@ def write_jp2(df: DataFrame, path: str, tile_col: str = "tile",
     the native codec (sources/jp2.py) with GMLJP2 georeferencing, so the
     file reads back through read_raster with CRS and extent intact.
     Defaults mirror the Sentinel-2 shape (RPCL, 64x64 precincts).
-    Integer cell types only (JPEG2000 reversible = exact integers)."""
+    Integer cell types only (JPEG2000 reversible = exact integers).
+
+    ``tile_col`` may be a list/tuple of tile columns — each becomes one
+    component of a multi-component file (3 columns => true-color .jp2
+    with the reversible color transform, the Sentinel-2 TCI shape; reads
+    back via ``read_raster(band_indexes=(0, 1, 2))``)."""
     from rasterframes_spark.sources import jp2 as J2
 
-    rows = df.select(tile_col, extent_col, crs_col).collect()
+    tile_cols = (list(tile_col) if isinstance(tile_col, (list, tuple))
+                 else [tile_col])
+    rows = df.select(*tile_cols, extent_col, crs_col).collect()
     if not rows:
         raise ValueError("empty DataFrame")
-    arr, extent, crs, ct = _mosaic_rows(rows, tile_col, extent_col, crs_col,
-                                        raster_dimensions)
+    planes = []
+    ct = extent = crs = None
+    for tc in tile_cols:
+        arr, extent, crs, ct_c = _mosaic_rows(rows, tc, extent_col,
+                                              crs_col, raster_dimensions)
+        if ct is None:
+            ct = ct_c
+        elif ct_c.dtype != ct.dtype:
+            raise ValueError(
+                f"write_jp2: component cell types differ "
+                f"({ct.name} vs {ct_c.name}) — convert upstream")
+        planes.append(arr)
     if ct.is_float:
         raise ValueError(
             "write_jp2: float cell types are not representable losslessly "
             "in reversible JPEG2000 — convert with rf_convert_cell_type "
             "or use write_geotiff")
-    h, w = arr.shape
+    img = planes[0] if len(planes) == 1 else np.stack(planes, axis=-1)
+    h, w = planes[0].shape
     ts = None
     if tile_size is not None:
         ts = (min(tile_size[0], h), min(tile_size[1], w))
@@ -113,12 +131,13 @@ def write_jp2(df: DataFrame, path: str, tile_col: str = "tile",
     # back as uint16 (stable schema across otherwise-identical runs)
     signed = ct.dtype.kind == "i"
     depth = ct.dtype.itemsize * 8
-    code = J2.encode_jp2(arr, tile_size=ts, levels=levels,
+    code = J2.encode_jp2(img, tile_size=ts, levels=levels,
                          depth=depth, signed=signed,
                          precinct=precinct, prog=prog)
     with open(path, "wb") as f:
         f.write(J2.wrap_jp2(code, w, h, depth, signed=signed,
-                            crs=crs, extent=extent, nodata=ct.nodata))
+                            crs=crs, extent=extent, nodata=ct.nodata,
+                            ncomp=len(planes)))
 
 
 def write_tiles(df: DataFrame, directory: str, tile_col: str = "tile",

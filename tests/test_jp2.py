@@ -379,6 +379,35 @@ def test_multicomponent_reduce_and_window():
     assert np.array_equal(win, rgb[32:62, 48:88, 2].astype(win.dtype))
 
 
+def test_write_jp2_rgb_roundtrip(spark, tmp_path):
+    """write_jp2 with three tile columns exports one true-color .jp2
+    (RCT, sRGB colorspace) whose bands decode bit-exactly."""
+    from pyspark.sql import functions as F
+    from rasterframes_spark.sources import raster_reader as S
+    from rasterframes_spark.sources import sinks
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+    code = jp2.encode_jp2(rgb, tile_size=(64, 64), levels=3)
+    src = str(tmp_path / "src.jp2")
+    open(src, "wb").write(jp2.wrap_jp2(code, 128, 96, 8, crs="EPSG:32631",
+                                       extent=(0.0, 0.0, 1280.0, 960.0),
+                                       ncomp=3))
+    df = S.read_raster(spark, [src], band_indexes=(0, 1, 2),
+                       tile_dimensions=(64, 64))
+    df = df.select(*[S.realize_tiles(f"tile_b{b}").alias(f"t{b}")
+                     for b in range(3)], "extent", "crs")
+    out = str(tmp_path / "tci.jp2")
+    sinks.write_jp2(df, out, tile_col=["t0", "t1", "t2"],
+                    tile_size=(64, 64), levels=3)
+    raw = open(out, "rb").read()
+    info = jp2.read_info(raw)
+    assert info.bands == 3 and info.crs == "EPSG:32631"
+    for c in range(3):
+        assert np.array_equal(jp2.decode_jp2(raw, component=c),
+                              rgb[:, :, c])
+
+
 def test_multicomponent_read_raster(spark, tmp_path):
     """Distributed 3-band read: read_raster(band_indexes=(0,1,2)) on a
     georeferenced MCT JP2 reproduces every band exactly."""
