@@ -944,6 +944,14 @@ class JP2Codestream:
             pos += 2 + ln
         if self.cod is None or self.qcd is None:
             raise ValueError("JP2: missing COD/QCD")
+        if not hasattr(self, "comp"):
+            raise ValueError("JP2: missing SIZ")
+        for c in self.comp:
+            if not 1 <= c["depth"] <= 32:
+                # the Ssiz field encodes up to 38 bits (spec) / 128 (field
+                # width); this decoder's int64 coefficient math covers 32
+                raise NotImplementedError(
+                    f"JP2: {c['depth']}-bit components not supported")
         _validate_cod(self.cod)
         for c in self.coc.values():
             _validate_cod(c)
@@ -958,6 +966,20 @@ class JP2Codestream:
                 "JP2: per-component subsampling not supported")
         self.n_xtiles = _ceil_div(self.xsiz - self.xtosiz, self.xtsiz)
         self.n_ytiles = _ceil_div(self.ysiz - self.ytosiz, self.ytsiz)
+        # geometry sanity: every tile must have at least one tile-part
+        # (A.4.2) and every SOT index must be a real tile. A corrupted
+        # SIZ (tiny Xtsiz) would otherwise declare millions of phantom
+        # tiles and turn the per-tile loops into a denial of service.
+        n_tiles = self.n_xtiles * self.n_ytiles
+        if self.tile_parts:
+            if max(self.tile_parts) >= n_tiles:
+                raise ValueError(
+                    f"JP2: SOT tile index {max(self.tile_parts)} out of "
+                    f"range for {n_tiles} tiles")
+            if n_tiles > len(self.tile_parts):
+                raise ValueError(
+                    f"JP2: {n_tiles} tiles declared but only "
+                    f"{len(self.tile_parts)} have tile-parts")
 
     def tile_bounds(self, t: int):
         ti, tj = t % self.n_xtiles, t // self.n_xtiles
@@ -1454,7 +1476,7 @@ def decode_jp2(data: bytes, component: int = 0,
     dtype = _natural_dtype(cs.comp[component]["depth"],
                            cs.comp[component]["signed"])
     out = np.zeros((wh, ww), dtype=dtype)
-    for t in range(cs.n_xtiles * cs.n_ytiles):
+    for t in sorted(cs.tile_parts):
         tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
         # image coords relative to image origin
         ix0, iy0 = tx0 - cs.xosiz, ty0 - cs.yosiz
@@ -1481,7 +1503,7 @@ def _decode_overview(cs: JP2Codestream, comp: int, reduce: int):
     depth = cs.comp[comp]["depth"]
     dtype = _natural_dtype(depth, cs.comp[comp]["signed"])
     out = np.zeros((oh, ow), dtype=dtype)
-    for t in range(cs.n_xtiles * cs.n_ytiles):
+    for t in sorted(cs.tile_parts):
         tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
         rx0, ry0 = _ceil_div(tx0, div), _ceil_div(ty0, div)
         rx1, ry1 = _ceil_div(tx1, div), _ceil_div(ty1, div)
@@ -1933,7 +1955,7 @@ def read_window(data, info, col_off: int, row_off: int, width: int,
             _CS_CACHE[cache_key] = cs
     dtype = np.dtype(info.dtype)
     out = np.zeros((height, width), dtype=dtype)
-    for t in range(cs.n_xtiles * cs.n_ytiles):
+    for t in sorted(cs.tile_parts):
         tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
         ix0, iy0 = tx0 - cs.xosiz, ty0 - cs.yosiz
         ix1, iy1 = tx1 - cs.xosiz, ty1 - cs.yosiz

@@ -408,6 +408,45 @@ def test_write_jp2_rgb_roundtrip(spark, tmp_path):
                               rgb[:, :, c])
 
 
+def test_multicomponent_corruption_fuzz():
+    """Random byte corruption of a multi-component file either decodes
+    (bit flips in entropy-coded data are inherently undetectable) or
+    raises a clean ValueError/NotImplementedError — never a hang or a
+    raw internal exception. Pins three found-by-fuzz classes: a tiny
+    corrupted Xtsiz declaring millions of phantom tiles (per-tile loop
+    DoS), a destroyed SIZ leaving component metadata unset, and a
+    corrupted Ssiz claiming up to 128-bit depth (int64 overflow)."""
+    import random
+    import signal
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    code = jp2.encode_jp2(rgb, tile_size=(32, 32), levels=2, cb_exp=(4, 4))
+    data = jp2.wrap_jp2(code, 40, 40, 8, ncomp=3)
+    info = jp2.read_info(data)
+
+    def on_alarm(sig, frm):
+        raise AssertionError("decoder hung on corrupted input")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    try:
+        random.seed(1)
+        for trial in range(200):
+            b = bytearray(data)
+            for _ in range(random.randint(1, 4)):
+                b[random.randrange(8, len(b))] = random.randrange(256)
+            signal.alarm(10)
+            try:
+                jp2.read_window(bytes(b), info, 0, 0, 40, 40,
+                                band=random.randrange(3))
+            except (ValueError, NotImplementedError):
+                pass
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
+
+
 def test_multicomponent_read_raster(spark, tmp_path):
     """Distributed 3-band read: read_raster(band_indexes=(0,1,2)) on a
     georeferenced MCT JP2 reproduces every band exactly."""
