@@ -104,6 +104,11 @@ def _read_ifd(data: bytes, bo: str, off: int, big: bool = False):
         else:
             (ptr,) = struct.unpack_from(bo + ptr_fmt, table, base + vfo)
             raw = _slice(data, ptr, ptr + size)
+        if len(raw) != size:
+            # must reject BEFORE struct.unpack: a corrupted 32-bit count
+            # would otherwise build a multi-GB format string (found by
+            # mutation fuzzing as an uninterruptible hang)
+            raise ValueError("truncated TIFF tag data")
         if typ in _TAG_FMT:
             vals = list(struct.unpack(bo + _TAG_FMT[typ] * count, raw))
         elif typ == 2:  # ascii
@@ -138,14 +143,35 @@ def _read_info_impl(data) -> GeoTiffInfo:
     return _info_from_tags(t, bo)
 
 
+def _int_tag(t: dict, tag: int, default=None, lo: int = 1,
+             hi: int = 1 << 48) -> int:
+    """Tag value as a bounded int; corrupted files routinely flip a tag's
+    TYPE byte so the value parses as bytes/str/float — without this check
+    those leak into arithmetic as raw TypeErrors (found by mutation
+    fuzzing)."""
+    vals = t.get(tag)
+    if vals is None:
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+    v = vals[0]
+    if isinstance(v, float) and v.is_integer():
+        v = int(v)
+    if not isinstance(v, int) or isinstance(v, bool) or not (lo <= v <= hi):
+        raise ValueError(f"malformed TIFF tag {tag}: {v!r}")
+    return v
+
+
 def _info_from_tags(t: dict, bo: str) -> "GeoTiffInfo":
-    width = t[256][0]
-    height = t[257][0]
-    bands = t.get(277, [1])[0]
-    bits = t.get(258, [8])[0]
-    fmt = t.get(339, [1])[0]
+    width = _int_tag(t, 256)
+    height = _int_tag(t, 257)
+    bands = _int_tag(t, 277, 1, hi=1 << 16)
+    bits = _int_tag(t, 258, 8, hi=64)
+    fmt = _int_tag(t, 339, 1, hi=6)
+    if (fmt, bits) not in _SAMPLE_DTYPES:
+        raise ValueError(f"unsupported TIFF sample type ({fmt}, {bits})")
     dtype = _SAMPLE_DTYPES[(fmt, bits)]
-    comp = t.get(259, [1])[0]
+    comp = _int_tag(t, 259, 1, hi=1 << 16)
     nodata = None
     if 42113 in t:
         try:
@@ -153,9 +179,12 @@ def _info_from_tags(t: dict, bo: str) -> "GeoTiffInfo":
         except ValueError:
             pass
 
-    # georeferencing
+    # georeferencing (corrupt type bytes can deliver bytes/str here too)
     scale = tuple(t.get(33550, [1.0, 1.0, 0.0]))
     tie = tuple(t.get(33922, [0.0, 0.0, 0.0, 0.0, float(height), 0.0]))
+    if not all(isinstance(v, (int, float)) for v in scale[:2] + tie[:6]) \
+            or len(scale) < 2 or len(tie) < 5:
+        raise ValueError("malformed TIFF georeferencing tags")
     # tiepoint: raster (i,j,k) -> model (x,y,z); standard: (0,0) -> (xmin, ymax)
     xmin = tie[3] - tie[0] * scale[0]
     ymax = tie[4] + tie[1] * scale[1]
@@ -170,15 +199,31 @@ def _info_from_tags(t: dict, bo: str) -> "GeoTiffInfo":
                 crs = f"EPSG:{val}"
 
     if 322 in t:  # tiled
-        tw, th = t[322][0], t[323][0]
-        offsets, counts = t[324], t[325]
+        tw, th = _int_tag(t, 322), _int_tag(t, 323)
+        offsets, counts = t.get(324), t.get(325)
         rps = None
+        nchunks = math.ceil(width / tw) * math.ceil(height / th)
     else:
         tw = th = None
-        rps = t.get(278, [height])[0]
-        offsets, counts = t[273], t[279]
+        rps = _int_tag(t, 278, height)
+        offsets, counts = t.get(273), t.get(279)
+        nchunks = math.ceil(height / rps)
+    # chunk-grid invariant: the offset/count arrays must cover exactly the
+    # grid the dimensions imply (per planar band). Corrupted dimension tags
+    # otherwise send read paths into billion-iteration loops or huge
+    # allocations before any per-chunk check fires.
+    if offsets is None or counts is None:
+        raise ValueError("TIFF missing chunk offset/bytecount tags")
+    if not (nchunks <= len(offsets) <= nchunks * bands) \
+            or len(counts) != len(offsets):
+        raise ValueError(
+            f"TIFF chunk table size {len(offsets)} inconsistent with "
+            f"{nchunks}-chunk grid")
+    if not all(isinstance(v, int) and 0 <= v < 1 << 62
+               for v in list(offsets) + list(counts)):
+        raise ValueError("malformed TIFF chunk offset/bytecount values")
 
-    predictor = t.get(317, [1])[0]
+    predictor = _int_tag(t, 317, 1, hi=3)
     return GeoTiffInfo(width, height, bands, dtype, nodata, crs, extent,
                        tw, th, rps, comp, list(offsets), list(counts), bo,
                        scale, tie, predictor)
@@ -292,11 +337,23 @@ def _packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(chunk: bytes, comp: int) -> bytes:
+def _decompress(chunk: bytes, comp: int, expected: int | None = None) -> bytes:
     if comp == 1:
         return chunk
     if comp in (8, 32946):
-        return zlib.decompress(chunk)
+        try:
+            if expected is not None:
+                # cap output at the chunk's declared raster size so a
+                # corrupted (or hostile) stream can't balloon memory
+                d = zlib.decompressobj()
+                out = d.decompress(chunk, expected)
+                if d.unconsumed_tail:
+                    raise ValueError(
+                        "TIFF deflate chunk decodes past its raster size")
+                return out
+            return zlib.decompress(chunk)
+        except zlib.error as e:
+            raise ValueError(f"corrupt TIFF deflate chunk: {e}") from e
     if comp == 5:
         return _lzw_decode_tiff(chunk)
     if comp == 32773:
