@@ -121,12 +121,20 @@ def _read_netcdf_info(data: bytes) -> NetcdfInfo:
             name, off = _read_name(data, off)
             (nd,) = struct.unpack_from(">i", data, off)
             off += 4
+            if not 0 <= nd <= max(len(info.dims), 0):
+                raise ValueError(f"netcdf: var {name!r} rank {nd} exceeds "
+                                 f"{len(info.dims)} declared dims")
             dimids = list(struct.unpack_from(f">{nd}i", data, off)) if nd else []
             off += 4 * nd
+            if any(d < 0 or d >= len(info.dims) for d in dimids):
+                raise ValueError(f"netcdf: var {name!r} references "
+                                 f"out-of-range dim id")
             vattrs, off = _read_attrs(data, off)
             (t,) = struct.unpack_from(">i", data, off)
             (vsize,) = struct.unpack_from(">i", data, off + 4)
             off += 8
+            if t not in _NC_TYPES:
+                raise ValueError(f"netcdf: var {name!r} has bad type {t}")
             if info.version == 1:
                 (begin,) = struct.unpack_from(">I", data, off)
                 off += 4
