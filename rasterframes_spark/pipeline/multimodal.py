@@ -7,13 +7,14 @@ posture as tiles. Decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` so payload bytes cross to Python once per
 batch and partitions stream (no per-row py4j, no collect).
 
-Codec status: the pure-python codecs in this repo make four formats REAL
-end-to-end — PNG and baseline JPEG images (``decode_image(decode='png'/
-'jpeg'/'auto')``, ``sources/png.py`` / ``sources/jpeg.py``), animated GIF
-video (``sample_video_frames(decode='gif')``, ``sources/gif.py``), and WAV
+Codec status: the pure-python codecs in this repo make five formats REAL
+end-to-end — PNG, baseline JPEG, and lossless WebP images
+(``decode_image(decode='png'/'jpeg'/'webp'/'auto')``, ``sources/png.py`` /
+``sources/jpeg.py`` / ``sources/webp.py``), animated GIF video
+(``sample_video_frames(decode='gif')``, ``sources/gif.py``), and WAV
 audio (``pipeline/audio.py``). Only formats whose codecs aren't
-implementable in reasonable pure python (WebP/AVIF, mp4/webm, mp3/ogg)
-remain stubbed: ``decode='fake'`` produces a
+implementable in reasonable pure python (lossy WebP/AVIF, mp4/webm,
+mp3/ogg) remain stubbed: ``decode='fake'`` produces a
 deterministic bytes-derived decode (so the full Spark plumbing — schema,
 partitioning, UDF signature, batch shape — is real and tested), and
 ``decode='real'`` raises NotImplementedError where the codec call belongs.
@@ -88,29 +89,34 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
     Real codec paths (pure-python, this repo): ``decode='png'``
     (``sources/png.py``: zlib inflate + scanline unfilter),
     ``decode='jpeg'`` (``sources/jpeg.py``: baseline JFIF — Huffman +
-    batched-numpy IDCT, 4:4:4/4:2:2/4:2:0, restart markers), and
-    ``decode='auto'`` (magic-byte sniff: PNG or JPEG per row). Output dims
+    batched-numpy IDCT, 4:4:4/4:2:2/4:2:0, restart markers),
+    ``decode='webp'`` (``sources/webp.py``: lossless VP8L — prefix codes,
+    LZ77, color cache, all four transforms), and ``decode='auto'``
+    (magic-byte sniff: PNG, JPEG, or WebP per row). Output dims
     come from the image, not the height/width args; rows whose payload
     fails to decode are dropped (corrupt-input tolerance, the behavior a
-    web-scale ingest wants). ``decode='real'`` marks where a WebP/AVIF
-    codec library would slot in; ``decode='fake'`` derives deterministic
-    pixels from the payload digest (plumbing tests).
+    web-scale ingest wants). ``decode='real'`` marks where an AVIF/lossy-
+    WebP codec library would slot in; ``decode='fake'`` derives
+    deterministic pixels from the payload digest (plumbing tests).
     """
     if decode == "real":
         raise NotImplementedError(
-            "WebP/AVIF codecs not available in this environment; use "
-            "decode='png'/'jpeg'/'auto' or decode='fake'"
+            "AVIF/lossy-WebP codecs not available in this environment; use "
+            "decode='png'/'jpeg'/'webp'/'auto' or decode='fake'"
         )
 
     def run(batches):
         from rasterframes_spark.sources.jpeg import decode_jpeg
         from rasterframes_spark.sources.png import decode_png
+        from rasterframes_spark.sources.webp import decode_webp
 
         def sniff(b: bytes):
             if b[:8] == b"\x89PNG\r\n\x1a\n":
                 return decode_png
             if b[:2] == b"\xff\xd8":
                 return decode_jpeg
+            if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                return decode_webp
             return None
 
         for pdf in batches:
@@ -118,10 +124,11 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                if decode in ("png", "jpeg", "auto"):
+                if decode in ("png", "jpeg", "webp", "auto"):
                     b = bytes(payload)
                     codec = (decode_png if decode == "png"
                              else decode_jpeg if decode == "jpeg"
+                             else decode_webp if decode == "webp"
                              else sniff(b))
                     if codec is None:
                         continue  # unknown format: drop the row
