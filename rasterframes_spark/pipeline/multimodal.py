@@ -36,6 +36,7 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA", "media_table", "decode_image", "image_features",
     "resize_image", "sample_video_frames",
+    "video_metadata", "demux_video_samples",
     "phash_bits", "image_phash", "image_neardup_pairs",
 ]
 
@@ -231,13 +232,16 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
     (``sources/gif.py``: LZW + full composition — transparency, disposal,
     interlace) — sampling picks the frame visible at each ``every_ms``
     timestamp from the per-frame delays; corrupt payloads are dropped.
-    ``decode='real'`` marks where an mp4/webm codec (ffmpeg) would slot in;
-    ``decode='fake'`` synthesizes frames from the payload digest
-    (plumbing tests)."""
+    ``decode='real'`` marks where an mp4/webm pixel codec (ffmpeg) would
+    slot in — for MP4 containers the demux layer IS real: use
+    ``demux_video_samples``/``video_metadata`` to extract keyframe-aligned
+    compressed samples without pixel decode. ``decode='fake'`` synthesizes
+    frames from the payload digest (plumbing tests)."""
     if decode == "real":
         raise NotImplementedError(
-            "mp4/webm codecs not available in this environment; use "
-            "decode='gif' for GIF payloads or decode='fake'")
+            "mp4/webm pixel codecs (H.264/VP9/AV1) not available in this "
+            "environment; use demux_video_samples() for real MP4 container "
+            "demux, decode='gif' for GIF payloads, or decode='fake'")
 
     def run(batches):
         from rasterframes_spark.sources.gif import decode_gif
@@ -275,6 +279,92 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
         run, schema=("media_id long, frame_idx int, ts_ms int, height int, "
                      "width int, channels int, pixels binary")
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 container demux (real: sources/mp4.py) — codec payloads stay opaque
+# ---------------------------------------------------------------------------
+
+
+def video_metadata(df: DataFrame) -> DataFrame:
+    """MP4 payload -> one row per video track: duration, timescale, sample
+    and keyframe counts, codec fourcc. Pure container parse (``moov`` is a
+    few KB regardless of clip size) — the cheap first pass a video-corpus
+    profile runs before committing GPU decode budget. Corrupt or non-BMFF
+    payloads are dropped."""
+
+    def run(batches):
+        from rasterframes_spark.sources.mp4 import read_mp4_info
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    info = read_mp4_info(bytes(payload))
+                except ValueError:
+                    continue
+                for t in info.video_tracks:
+                    rows.append((int(mid), t.track_id, t.fourcc,
+                                 t.timescale, float(t.duration_ms),
+                                 t.n_samples, int(t.sync.sum()),
+                                 int(t.sizes.sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "track_id", "fourcc", "timescale",
+                    "duration_ms", "n_samples", "n_keyframes",
+                    "total_bytes"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=("media_id long, track_id int, fourcc string, "
+                     "timescale int, duration_ms double, n_samples int, "
+                     "n_keyframes int, total_bytes long"))
+
+
+def demux_video_samples(df: DataFrame, every_ms: int = 1000,
+                        keyframes_only: bool = True) -> DataFrame:
+    """MP4 payload -> one row per sampled frame with the still-compressed
+    codec sample bytes (no pixel decode): (media_id, frame_idx, ts_ms,
+    sample_idx, is_sync, sample).
+
+    This is the shape a 100 TB video pipeline actually wants: container
+    demux is cheap CPU work that parallelizes in ``mapInPandas``, while
+    H.264/VP9 pixel decode belongs on the GPU stage that consumes this
+    frame table. ``keyframes_only=True`` (default) snaps each tick to the
+    nearest preceding sync sample so the downstream decoder needs no
+    inter-frame state. Duplicate picks (two ticks hitting the same
+    keyframe) are emitted once per tick, mirroring ``sample_video_frames``.
+    """
+
+    def run(batches):
+        from rasterframes_spark.sources.mp4 import (
+            extract_sample, read_mp4_info, sample_indices_at)
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                try:
+                    info = read_mp4_info(data)
+                except ValueError:
+                    continue
+                for t in info.video_tracks:
+                    for fi, (ts, si) in enumerate(
+                            sample_indices_at(t, every_ms, keyframes_only)):
+                        rows.append((int(mid), fi, ts, si,
+                                     bool(t.sync[si]),
+                                     extract_sample(data, t, si)))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "frame_idx", "ts_ms", "sample_idx",
+                    "is_sync", "sample"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=("media_id long, frame_idx int, ts_ms int, "
+                     "sample_idx int, is_sync boolean, sample binary"))
 
 
 # ---------------------------------------------------------------------------
