@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "encode_wav", "decode_wav", "decode_audio", "audio_features",
+    "audio_metadata",
 ]
 
 
@@ -225,3 +226,52 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=(
         "media_id long, duration_ms double, rms double, "
         "zero_crossing_rate double, spectral_centroid_hz double"))
+
+
+def audio_metadata(df: DataFrame) -> DataFrame:
+    """Audio payload -> one metadata row per clip, WAV or MP3, sniffed by
+    magic bytes: (media_id, format, sample_rate, channels, duration_ms,
+    bitrate_kbps, vbr).
+
+    MP3 metadata is a real frame-header walk (``sources/mpeg_audio.py``:
+    MPEG-1/2/2.5 Layers I-III, ID3v2 skip, Xing/Info VBR tag) — no audio
+    decode, 4 bytes read per frame, which is the cost profile a corpus
+    profile pass needs. WAV metadata comes from the fmt/data chunks.
+    Corrupt or unrecognized payloads are dropped.
+    """
+
+    def run(batches):
+        from rasterframes_spark.sources.mpeg_audio import read_mp3_info
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        a, rate = decode_wav(b)
+                        # byte rate straight from the fmt chunk
+                        fi = b.index(b"fmt ")
+                        (byte_rate,) = struct.unpack_from("<I", b, fi + 16)
+                        rows.append((int(mid), "wav", rate, int(a.shape[1]),
+                                     a.shape[0] * 1000.0 / rate,
+                                     byte_rate * 8 / 1000.0,
+                                     False))
+                    else:
+                        i = read_mp3_info(b)
+                        rows.append((int(mid), "mp3", i.sample_rate,
+                                     i.channels, i.duration_ms,
+                                     float(i.bitrate_kbps), i.vbr))
+                except ValueError:
+                    continue
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "format", "sample_rate", "channels",
+                    "duration_ms", "bitrate_kbps", "vbr"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=("media_id long, format string, sample_rate int, "
+                     "channels int, duration_ms double, "
+                     "bitrate_kbps double, vbr boolean"))
