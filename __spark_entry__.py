@@ -888,16 +888,19 @@ def _q_agg_extent(spark, sf_dir):
         _r0(F.col("re.ymax"), 4).alias("mymax"))
 
 
-def _q_audio_features(spark, sf_dir):
-    """Real WAV round-trip through the distributed audio pipeline: per-doc
-    sine clips encoded as float64 WAV (lossless), decoded by the pure-python
-    RIFF codec in decode_audio, reduced by audio_features; the oracle
-    recomputes RMS/duration from the same closed-form signal in SQL. The
-    whole chain (encode -> Spark binary column -> decode -> feature kernel)
-    is bit-exact because float64 WAV stores samples verbatim."""
+def _q_media_suite(spark, sf_dir):
+    """Composite media-container oracle: per-doc WAV (real RIFF codec:
+    encode -> decode_audio -> audio_features, bit-exact float64), MP3
+    (real MPEG frame-header walk in audio_metadata), and MP4 (real
+    ISO-BMFF demux: video_metadata sample/keyframe counts plus the
+    keyframe-aligned demux_video_samples row count). Every number the
+    Spark side produces by parsing real container bytes, the DuckDB
+    oracle recomputes in closed form from the same doc_id parameters."""
     import numpy as np
     from rasterframes_spark import pipeline as P
     from rasterframes_spark.pipeline.audio import encode_wav
+    from rasterframes_spark.sources.mp4 import write_mp4
+    from rasterframes_spark.sources.mpeg_audio import write_mp3_frames
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id").where(F.col("doc_id") < 64)
@@ -913,17 +916,43 @@ def _q_audio_features(spark, sf_dir):
                 a = 0.1 + (d % 9) * 0.1
                 k = np.arange(n)
                 x = a * np.sin(2 * np.pi * f * k / 8000.0)
-                rows.append((d, bytearray(encode_wav(x, 8000, bits=64, fmt="float"))))
+                wav = encode_wav(x, 8000, bits=64, fmt="float")
+                nf = 10 + d % 20
+                mp3 = write_mp3_frames(nf, kbps=64, rate=8000, channels=1)
+                ns = 4 + d % 13
+                smp = [bytes([d % 256]) * (20 + j) for j in range(ns)]
+                mp4 = write_mp4(smp, [33] * ns, timescale=1000,
+                                sync=[j % 3 == 0 for j in range(ns)])
+                rows.append((d, bytearray(wav), bytearray(mp3),
+                             bytearray(mp4)))
             if rows:
-                yield pd.DataFrame(rows, columns=["media_id", "payload"])
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "wav", "mp3", "mp4"])
 
-    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
-    feats = P.audio_features(P.decode_audio(media, decode="wav"))
-    return feats.select(
-        F.col("media_id").alias("doc_id"),
-        "duration_ms",
-        _r0("rms", 6).alias("rms_v"),
-    )
+    media = docs.mapInPandas(
+        synth, schema="media_id long, wav binary, mp3 binary, mp4 binary")
+    media = media.localCheckpoint(eager=False)
+    wav_df = media.select("media_id", F.col("wav").alias("payload"))
+    mp3_df = media.select("media_id", F.col("mp3").alias("payload"))
+    mp4_df = media.select("media_id", F.col("mp4").alias("payload"))
+    feats = P.audio_features(P.decode_audio(wav_df, decode="wav")).select(
+        "media_id", "duration_ms", _r0("rms", 6).alias("rms_v"))
+    mp3m = P.audio_metadata(mp3_df).select(
+        "media_id",
+        F.col("duration_ms").alias("mp3_duration_ms"),
+        F.col("bitrate_kbps").alias("mp3_bitrate_kbps"))
+    mp4m = P.video_metadata(mp4_df).select(
+        "media_id",
+        F.col("n_samples").cast("long").alias("mp4_n_samples"),
+        F.col("n_keyframes").cast("long").alias("mp4_n_keyframes"))
+    demux = (P.demux_video_samples(mp4_df, every_ms=100, keyframes_only=True)
+             .groupBy("media_id")
+             .agg(F.count("*").alias("mp4_demux_rows")))
+    return (feats.join(mp3m, "media_id").join(mp4m, "media_id")
+            .join(demux, "media_id")
+            .select(F.col("media_id").alias("doc_id"), "duration_ms",
+                    "rms_v", "mp3_duration_ms", "mp3_bitrate_kbps",
+                    "mp4_n_samples", "mp4_n_keyframes", "mp4_demux_rows"))
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -1482,7 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "streaming_sessions": _q_streaming_sessions,
         "agg_extent": _q_agg_extent,
-        "audio_features": _q_audio_features,
+        "media_suite": _q_media_suite,
         "text_metrics": _q_text_metrics,
         "text_quality": _q_text_quality,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2031,21 +2060,34 @@ def oracle_sql() -> dict[str, str]:
                    round(xmax * 6378137.0 * pi() / 180.0, 4) + 0.0 as mxmax,
                    round(6378137.0 * ln(tan(pi()/4 + radians(ymax)/2)), 4) + 0.0 as mymax
             from e""",
-        "audio_features": """
+        "media_suite": """
             with params as (
               select doc_id,
                      100.0 + (doc_id % 8) * 50.0 as f,
                      1000 + (doc_id % 5) * 200 as n,
-                     0.1::double + (doc_id % 9) * 0.1::double as a
+                     0.1::double + (doc_id % 9) * 0.1::double as a,
+                     10 + doc_id % 20 as nf,
+                     4 + doc_id % 13 as ns
               from documents where doc_id < 64
             ), s as (
               select doc_id, f, a, n, unnest(range(n)) as k from params
+            ), w as (
+              select doc_id,
+                     n * 1000.0 / 8000.0 as duration_ms,
+                     round(sqrt(avg((a * sin(2 * pi() * f * k / 8000.0))
+                                * (a * sin(2 * pi() * f * k / 8000.0)))), 6) + 0.0 as rms_v
+              from s group by 1, 2
             )
-            select doc_id,
-                   n * 1000.0 / 8000.0 as duration_ms,
-                   round(sqrt(avg((a * sin(2 * pi() * f * k / 8000.0))
-                              * (a * sin(2 * pi() * f * k / 8000.0)))), 6) + 0.0 as rms_v
-            from s group by 1, 2""",
+            select w.doc_id, w.duration_ms, w.rms_v,
+                   -- MP3: nf frames x 576 samples @ 8 kHz (MPEG2.5 L3)
+                   p.nf * 576 * 1000.0 / 8000.0 as mp3_duration_ms,
+                   64.0 as mp3_bitrate_kbps,
+                   -- MP4: ns samples, sync every 3rd, 33 ms each;
+                   -- demux ticks every 100 ms over [0, ns*33)
+                   cast(p.ns as bigint) as mp4_n_samples,
+                   cast((p.ns + 2) // 3 as bigint) as mp4_n_keyframes,
+                   cast(ceil(p.ns * 33 / 100.0) as bigint) as mp4_demux_rows
+            from w join params p on p.doc_id = w.doc_id""",
         "text_metrics": """
             select doc_id,
                    len(string_split(text, ' ')) as n_tokens,
