@@ -35,7 +35,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "MEDIA_SCHEMA", "media_table", "decode_image", "image_features",
-    "resize_image", "sample_video_frames",
+    "image_metadata", "resize_image", "sample_video_frames",
     "video_metadata", "demux_video_samples",
     "phash_bits", "image_phash", "image_neardup_pairs",
 ]
@@ -150,6 +150,41 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
                 )
 
     return df.select("media_id", "payload").mapInPandas(run, schema=_DECODED_SCHEMA)
+
+
+def image_metadata(df: DataFrame) -> DataFrame:
+    """payload binary -> (media_id, format, width, height, channels) from
+    HEADER BYTES ONLY — no pixel decode (``sources/image_meta.py``).
+
+    Covers PNG/JPEG/GIF/WebP (lossless + lossy + VP8X)/AVIF/HEIC/TIFF/BMP;
+    this is the profile pass a billion-image corpus runs before spending
+    any decode budget (drop tiny thumbnails, bucket by aspect ratio, route
+    formats to decoders). AVIF/HEIC report ``channels`` as null (stored
+    too deep for a header read). Unrecognized/corrupt payloads are
+    dropped."""
+
+    def run(batches):
+        from rasterframes_spark.sources.image_meta import read_image_info
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    fmt, w, h, ch = read_image_info(bytes(payload))
+                except ValueError:
+                    continue
+                rows.append((int(mid), fmt, w, h, ch,
+                             len(bytes(payload))))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "format", "width", "height", "channels",
+                    "payload_bytes"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=("media_id long, format string, width int, height int, "
+                     "channels int, payload_bytes long"))
 
 
 def image_features(df: DataFrame, dim: int = 16, decode: str = "fake") -> DataFrame:
