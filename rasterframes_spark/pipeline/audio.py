@@ -229,19 +229,22 @@ def audio_features(df: DataFrame) -> DataFrame:
 
 
 def audio_metadata(df: DataFrame) -> DataFrame:
-    """Audio payload -> one metadata row per clip, WAV or MP3, sniffed by
-    magic bytes: (media_id, format, sample_rate, channels, duration_ms,
-    bitrate_kbps, vbr).
+    """Audio payload -> one metadata row per clip — WAV, MP3, Ogg
+    (Vorbis/Opus), or FLAC, sniffed by magic bytes: (media_id, format,
+    sample_rate, channels, duration_ms, bitrate_kbps, vbr).
 
-    MP3 metadata is a real frame-header walk (``sources/mpeg_audio.py``:
-    MPEG-1/2/2.5 Layers I-III, ID3v2 skip, Xing/Info VBR tag) — no audio
-    decode, 4 bytes read per frame, which is the cost profile a corpus
-    profile pass needs. WAV metadata comes from the fmt/data chunks.
-    Corrupt or unrecognized payloads are dropped.
-    """
+    All four are real header-level parses with no sample decode: MP3 is a
+    frame-header walk (``sources/mpeg_audio.py``: MPEG-1/2/2.5 Layers
+    I-III, ID3v2 skip, Xing/Info VBR tag), Ogg reads the identification
+    header + final granule position, FLAC reads STREAMINFO
+    (``sources/ogg_flac.py``), WAV reads the fmt/data chunks. The
+    ``format`` column is ``ogg-vorbis``/``ogg-opus`` for Ogg. Corrupt or
+    unrecognized payloads are dropped."""
 
     def run(batches):
         from rasterframes_spark.sources.mpeg_audio import read_mp3_info
+        from rasterframes_spark.sources.ogg_flac import (
+            read_flac_info, read_ogg_info)
 
         for pdf in batches:
             rows = []
@@ -259,6 +262,19 @@ def audio_metadata(df: DataFrame) -> DataFrame:
                                      a.shape[0] * 1000.0 / rate,
                                      byte_rate * 8 / 1000.0,
                                      False))
+                    elif b[:4] == b"OggS":
+                        i = read_ogg_info(b)
+                        kbps = (len(b) * 8 / i.duration_ms
+                                if i.duration_ms > 0 else 0.0)
+                        rows.append((int(mid), f"ogg-{i.codec}",
+                                     i.sample_rate, i.channels,
+                                     i.duration_ms, kbps, True))
+                    elif b[:4] == b"fLaC":
+                        i = read_flac_info(b)
+                        kbps = (len(b) * 8 / i.duration_ms
+                                if i.duration_ms > 0 else 0.0)
+                        rows.append((int(mid), "flac", i.sample_rate,
+                                     i.channels, i.duration_ms, kbps, True))
                     else:
                         i = read_mp3_info(b)
                         rows.append((int(mid), "mp3", i.sample_rate,
