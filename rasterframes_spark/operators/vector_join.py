@@ -236,18 +236,25 @@ def st_knn_join(left: DataFrame, right: DataFrame, k: int,
                 rsuffix: str = "_right") -> DataFrame:
     """Bounded-radius k-nearest-neighbors join: for each left row, the up
     to ``k`` nearest right rows within ``max_distance`` (exact
-    ``st_distance`` ordering, ties broken arbitrarily but
-    deterministically by the window sort).
+    ``st_distance`` ordering; equidistant candidates are tie-broken
+    DETERMINISTICALLY by a 128-bit content hash of the right row, so the
+    result is independent of partition layout / AQE re-planning).
 
     Composes the ``dwithin`` bucket join with a per-left-row rank window
     — still no cartesian. The radius bound is what keeps this scalable
     (a true unbounded KNN needs an expanding search; bound the radius to
     what the use case considers 'near'). Left rows with no neighbor in
     range are absent from the output (left-anti them to find orphans).
-    Output adds a ``distance`` and ``knn_rank`` column."""
+    Output adds a ``distance`` and ``knn_rank`` column.
+
+    Duplicate left rows: copies are indistinguishable by content, so
+    they share one rank window — the cutoff is scaled by the copy count
+    (each of ``m`` identical left rows yields its own top-``k`` set:
+    ``m*k`` output rows, ``knn_rank`` 1..k repeated ``m`` times)."""
     from pyspark.sql import Window
 
-    for reserved in ("distance", "knn_rank", "__kid", "__kid2"):
+    for reserved in ("distance", "knn_rank", "__kid", "__kid2",
+                     "__kcp", "__krn"):
         if reserved in left.columns or reserved in right.columns:
             raise ValueError(
                 f"st_knn_join: input already has a {reserved!r} column — "
@@ -255,20 +262,38 @@ def st_knn_join(left: DataFrame, right: DataFrame, k: int,
     # Rank-window partitions on a 16-byte deterministic content id, not
     # on every left column — partitioning by the full row would hash the
     # geometry WKB payload per candidate row.  Identical left rows share
-    # an id and therefore one top-k set, which is exactly the per-row
-    # result each copy would get (the shared window just computes it
-    # once; the k cutoff applies per matched pair, and duplicate copies
-    # contribute duplicate candidate pairs ranked together — dedup the
-    # left side first if copies should rank independently).
+    # an id and therefore one candidate set; each copy contributes one
+    # copy of every candidate pair, so with the orderBy below (distance,
+    # then right-row content hash) the m copies of a neighbor sort
+    # adjacently and `row_number <= m*k` keeps exactly the top-k distinct
+    # neighbors × m copies.  The copy count arrives as a map-side-partial
+    # groupBy (24 bytes/distinct-row shuffled, no payload) joined on the
+    # same key the window partitions on, so the Exchange is shared.
     stamped = _stamp_row_id(left, "__kid", "__kid2")
+    copies = (stamped.groupBy("__kid", "__kid2")
+              .agg(F.count(F.lit(1)).alias("__kcp")))
     cand = st_join(stamped, right, geom_left=geom_left,
                    geom_right=geom_right,
                    predicate="dwithin", distance=float(max_distance),
                    grid_size=grid_size, rsuffix=rsuffix)
     gr = geom_right + rsuffix if geom_right in stamped.columns else geom_right
     dist = GF.st_distance(F.col(geom_left), F.col(gr))
-    w = Window.partitionBy("__kid", "__kid2").orderBy(dist.asc())
-    return (cand.withColumn("distance", dist)
-            .withColumn("knn_rank", F.row_number().over(w))
-            .where(F.col("knn_rank") <= int(k))
-            .drop("__kid", "__kid2"))
+    # Deterministic tie-breaker (same AQE-nondeterminism class as the
+    # raster_join fix, SURVEY §2.14): row_number over distance alone is
+    # partition-layout-dependent when candidates straddle the k cutoff
+    # at exactly equal distance.  A 128-bit content hash of the right
+    # row makes the order a pure function of the data.
+    rcols = [c + rsuffix if c in stamped.columns else c
+             for c in right.columns]
+    rkey = F.struct(*[F.col(c) for c in rcols])
+    w = (Window.partitionBy("__kid", "__kid2")
+         .orderBy(dist.asc(), F.xxhash64(rkey).asc(),
+                  F.xxhash64(F.lit(7), rkey).asc()))
+    return (cand.join(copies, ["__kid", "__kid2"])
+            .withColumn("distance", dist)
+            .withColumn("__krn", F.row_number().over(w))
+            .where(F.col("__krn") <= F.col("__kcp") * int(k))
+            .withColumn("knn_rank",
+                        F.ceil(F.col("__krn") / F.col("__kcp"))
+                        .cast("int"))
+            .drop("__kid", "__kid2", "__kcp", "__krn"))

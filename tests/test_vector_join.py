@@ -149,3 +149,53 @@ def test_st_knn_join(spark, pts, polys):
             [round(a, 9) for a, _ in exp], pid
     # every pid with any in-range neighbor appears
     assert set(by_pid) == set(bd)
+
+
+def test_st_knn_join_tie_break_deterministic(spark):
+    """Equidistant neighbors straddling the k cutoff must resolve to the
+    SAME physical rows regardless of partition layout / AQE — the
+    nondeterminism class fixed in raster_join (SURVEY §2.14).  4 right
+    points at exactly distance 5 from each query; k=2 must pick the same
+    2 across shuffles-partition settings and input layouts."""
+    from rasterframes_spark.operators import st_knn_join
+
+    q = spark.createDataFrame(
+        [(i, i * 100.0, 0.0) for i in range(8)], "qid int, x double, y double"
+    ).select("qid", GF.st_point("x", "y").alias("geometry"))
+    rrows = [(i * 4 + j, i * 100.0 + dx, dy)
+             for i in range(8)
+             for j, (dx, dy) in enumerate(
+                 [(5.0, 0.0), (-5.0, 0.0), (0.0, 5.0), (0.0, -5.0)])]
+    r = spark.createDataFrame(rrows, "rid int, x double, y double") \
+        .select("rid", GF.st_point("x", "y").alias("geometry"))
+
+    def run(npart):
+        out = st_knn_join(q.repartition(npart), r.repartition(13 - npart),
+                          k=2, max_distance=9.0, grid_size=7.0)
+        return sorted((x["qid"], x["rid"], x["knn_rank"])
+                      for x in out.collect())
+
+    first = run(1)
+    assert len(first) == 16  # 8 queries x k=2
+    for n in (3, 7, 12):
+        assert run(n) == first, n
+
+
+def test_st_knn_join_duplicate_left_per_copy_topk(spark):
+    """m identical left rows each get their own top-k: m*k output rows,
+    knn_rank 1..k repeated m times (docstring contract)."""
+    from rasterframes_spark.operators import st_knn_join
+
+    m = 3
+    q = spark.createDataFrame([(50.0, 50.0)] * m, "x double, y double") \
+        .select(GF.st_point("x", "y").alias("geometry"))
+    r = spark.createDataFrame(
+        [(i, 50.0 + i + 1, 50.0) for i in range(5)],
+        "rid int, x double, y double") \
+        .select("rid", GF.st_point("x", "y").alias("geometry"))
+    out = st_knn_join(q, r, k=2, max_distance=10.0, grid_size=8.0).collect()
+    assert len(out) == m * 2
+    ranks = sorted(x["knn_rank"] for x in out)
+    assert ranks == [1] * m + [2] * m
+    # top-2 neighbors are rid 0 (dist 1) and rid 1 (dist 2), m times each
+    assert sorted(x["rid"] for x in out) == [0] * m + [1] * m

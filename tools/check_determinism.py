@@ -169,11 +169,47 @@ def _write_tiles_once(spark, sf_dir, root):
     return payloads, catalogs
 
 
+def _knn_ties_once(spark, run_idx):
+    """st_knn_join row-IDENTITY determinism on an equidistant-neighbors
+    fixture (VERDICT r6 #1): 4 right points at exactly distance 5 from
+    each query, k=2 — which 2 survive must be a pure function of the
+    data, not of partition layout.  The two runs use different
+    partition counts so a layout-dependent rank flips the comparison;
+    comparing (qid, rid) row identities, not rounded distances (which
+    would hide tie flips — every tie shares a distance value)."""
+    from rasterframes_spark.geom import functions as GF
+    from rasterframes_spark.operators import st_knn_join
+
+    q = spark.createDataFrame(
+        [(i, i * 100.0, 0.0) for i in range(16)],
+        "qid int, x double, y double"
+    ).select("qid", GF.st_point("x", "y").alias("geometry"))
+    rrows = [(i * 4 + j, i * 100.0 + dx, dy)
+             for i in range(16)
+             for j, (dx, dy) in enumerate(
+                 [(5.0, 0.0), (-5.0, 0.0), (0.0, 5.0), (0.0, -5.0)])]
+    r = spark.createDataFrame(rrows, "rid int, x double, y double") \
+        .select("rid", GF.st_point("x", "y").alias("geometry"))
+    npart = (2, 11)[run_idx % 2]
+    out = st_knn_join(q.repartition(npart), r.repartition(13 - npart),
+                      k=2, max_distance=9.0, grid_size=7.0)
+    return sorted((x["qid"], x["rid"], x["knn_rank"])
+                  for x in out.collect())
+
+
 def run_extras(spark, sf_dir, only, failures):
     import shutil
     import tempfile
 
+    run_counter = {"n": 0}
+
+    def knn_fn(_root):
+        idx = run_counter["n"]
+        run_counter["n"] += 1
+        return _knn_ties_once(spark, idx)
+
     extras = {
+        "knn_ties_det": knn_fn,
         "streaming_neardup_det": lambda r: _neardup_once(spark, sf_dir, r),
         "geotiff_stream_det": lambda r: _geotiff_stream_once(spark, r),
         "write_geojson_det": lambda r: _write_geojson_once(spark, sf_dir, r),
