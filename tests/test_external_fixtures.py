@@ -1,0 +1,188 @@
+"""Parity against EXTERNALLY-ENCODED media fixtures (VERDICT r6 #2).
+
+The media parsers were previously validated only against bytes written
+by this repo's own encoders (writer<->parser closed loop) plus spec-math
+oracles.  These fixtures were produced by independent real encoders and
+checked into ``tests/fixtures/``:
+
+- ``lame_lavf.mp3``  — LAME 3.98.2 via libavformat (Lavf53.5.0), ID3v2.4
+  tag; shipped as test data with gsutil.  Ground truth is hand-derived
+  from the first frame header (documented per-assert below) — NOT from
+  the parser under test.
+- ``libwebp_vp8x.webp`` — libwebp VP8X container (lossy VP8 + ALPH
+  alpha chunk), CPython test-suite ``python.webp``.
+- ``external.gif`` — real-encoder GIF87a, gsutil test data.
+- ``pluck-pcm{8,16,24,32}.wav`` — CPython test-suite WAV fixtures; the
+  stdlib ``wave`` module is the independent in-container oracle.
+
+The JP2 codec's Kakadu-fixture discipline (tests/test_jp2.py) is the
+template.  No external MP4/FLAC/Ogg fixture exists in this container
+(searched; ffmpeg/lame/flac binaries absent) — those formats remain
+covered by writer round-trips + mutation fuzz; noted in README.
+"""
+
+import os
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _read(name):
+    with open(os.path.join(FIX, name), "rb") as f:
+        return f.read()
+
+
+# ---------------------------------------------------------------------------
+# MP3: LAME/Lavf-encoded file vs hand-derived header facts
+# ---------------------------------------------------------------------------
+
+class TestLameMp3:
+    def test_header_facts(self):
+        from rasterframes_spark.sources.mpeg_audio import read_mp3_info
+
+        data = _read("lame_lavf.mp3")
+        info = read_mp3_info(data)
+        # First frame header bytes (after the 31-byte ID3v2.4 tag) are
+        # ff f3 80 c4: sync=11111111111, version bits 10 -> MPEG-2,
+        # layer bits 01 -> Layer III, bitrate index 8 -> 64 kbps
+        # (MPEG-2 L3 table), sampling index 0 -> 22050 Hz, channel
+        # mode 11 -> mono.  Derived by hand from ISO 11172-3/13818-3,
+        # not from the parser.
+        assert info.version == "MPEG2"
+        assert info.layer == 3
+        assert info.sample_rate == 22050
+        assert info.channels == 1
+        assert info.bitrate_kbps == 64.0
+        assert info.vbr is False
+        # MPEG-2 Layer III frames carry 576 samples; frame size =
+        # 72 * 64000 / 22050 = 209.07 -> 209 bytes (no padding).  The
+        # file is 9436 bytes with a 10+21-byte ID3v2 tag: (9436-31)/209
+        # = 45.0 frames exactly.
+        assert info.samples_per_frame == 576
+        assert info.n_frames == 45
+        assert info.duration_ms == pytest.approx(45 * 576 / 22050 * 1000,
+                                                 abs=1e-6)
+
+    def test_audio_metadata_dataframe(self, spark):
+        from rasterframes_spark.pipeline.audio import audio_metadata
+
+        df = spark.createDataFrame([(1, bytearray(_read("lame_lavf.mp3")))],
+                                   "media_id long, payload binary")
+        rows = audio_metadata(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["format"], r["sample_rate"], r["channels"]) == \
+            ("mp3", 22050, 1)
+        assert r["bitrate_kbps"] == 64.0
+        assert r["duration_ms"] == pytest.approx(1175.51, abs=0.01)
+
+
+# ---------------------------------------------------------------------------
+# WebP: libwebp VP8X (lossy VP8 + alpha)
+# ---------------------------------------------------------------------------
+
+class TestLibwebpVp8x:
+    def test_image_metadata(self):
+        from rasterframes_spark.sources.image_meta import read_image_info
+
+        data = _read("libwebp_vp8x.webp")
+        # VP8X payload canvas fields (bytes 12.. of the chunk): 24-bit
+        # little-endian width-1 / height-1 = 15/15 -> 16x16; flag bit
+        # 0x10 = alpha present -> 4 channels.  Read straight off the
+        # container bytes here, independent of the parser.
+        assert data[12:16] == b"VP8X"
+        flags = data[20]
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        assert (w, h, bool(flags & 0x10)) == (16, 16, True)
+        assert read_image_info(data) == ("webp", 16, 16, 4)
+
+    def test_image_metadata_dataframe(self, spark):
+        from rasterframes_spark.pipeline.multimodal import image_metadata
+
+        df = spark.createDataFrame(
+            [(7, bytearray(_read("libwebp_vp8x.webp")))],
+            "media_id long, payload binary")
+        r = image_metadata(df).collect()[0]
+        assert (r["format"], r["width"], r["height"], r["channels"]) == \
+            ("webp", 16, 16, 4)
+
+
+# ---------------------------------------------------------------------------
+# GIF: real-encoder GIF87a decodes through the repo's LZW codec
+# ---------------------------------------------------------------------------
+
+class TestExternalGif:
+    def test_metadata_and_decode(self):
+        from rasterframes_spark.sources.gif import decode_gif
+        from rasterframes_spark.sources.image_meta import read_image_info
+
+        data = _read("external.gif")
+        # logical screen descriptor straight off the bytes
+        assert data[:6] == b"GIF87a"
+        w, h = struct.unpack_from("<HH", data, 6)
+        assert (w, h) == (8, 8)
+        assert read_image_info(data) == ("gif", 8, 8, 3)
+        frames = decode_gif(data)
+        assert len(frames) == 1
+        _, img = frames[0]
+        assert img.shape[:2] == (8, 8)
+        assert img.dtype == np.uint8
+        # decode is deterministic on foreign bytes
+        _, img2 = decode_gif(data)[0]
+        np.testing.assert_array_equal(img, img2)
+
+
+# ---------------------------------------------------------------------------
+# WAV: CPython fixtures, stdlib `wave` as the independent oracle
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,bits", [
+    ("pluck-pcm8.wav", 8), ("pluck-pcm16.wav", 16),
+    ("pluck-pcm24.wav", 24), ("pluck-pcm32.wav", 32)])
+def test_wav_bit_parity_with_stdlib(name, bits):
+    from rasterframes_spark.pipeline.audio import decode_wav
+
+    data = _read(name)
+    with wave.open(os.path.join(FIX, name)) as w:
+        ch, rate, n = w.getnchannels(), w.getframerate(), w.getnframes()
+        assert w.getsampwidth() == bits // 8
+        raw = w.readframes(n)
+    a, r = decode_wav(data)
+    assert (r, a.shape) == (rate, (n, ch))
+    flat = a.ravel()
+    # invert the decoder's [-1,1] scaling and compare bit-exact against
+    # the stdlib-extracted integer samples
+    if bits == 8:
+        theirs = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        mine = np.round(flat * 127.0 + 128).astype(np.int64)
+    else:
+        if bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            b4 = np.zeros((b.shape[0], 4), dtype=np.uint8)
+            b4[:, 1:] = b
+            theirs = (b4.view("<i4").ravel() >> 8).astype(np.int64)
+        else:
+            theirs = np.frombuffer(
+                raw, dtype=f"<i{bits // 8}").astype(np.int64)
+        full = float(2 ** (bits - 1) - 1)
+        mine = np.round(flat * full).astype(np.int64)
+    np.testing.assert_array_equal(mine, theirs)
+
+
+def test_wav_audio_metadata_vs_stdlib(spark):
+    from rasterframes_spark.pipeline.audio import audio_metadata
+
+    with wave.open(os.path.join(FIX, "pluck-pcm16.wav")) as w:
+        ch, rate, n = w.getnchannels(), w.getframerate(), w.getnframes()
+    df = spark.createDataFrame([(3, bytearray(_read("pluck-pcm16.wav")))],
+                               "media_id long, payload binary")
+    r = audio_metadata(df).collect()[0]
+    assert (r["format"], r["sample_rate"], r["channels"]) == \
+        ("wav", rate, ch)
+    assert r["duration_ms"] == pytest.approx(n * 1000.0 / rate, abs=1e-6)
+    assert r["bitrate_kbps"] == rate * ch * 16 / 1000.0
