@@ -891,14 +891,20 @@ def _q_agg_extent(spark, sf_dir):
 def _q_media_suite(spark, sf_dir):
     """Composite media-container oracle: per-doc WAV (real RIFF codec:
     encode -> decode_audio -> audio_features, bit-exact float64), MP3
-    (real MPEG frame-header walk in audio_metadata), and MP4 (real
-    ISO-BMFF demux: video_metadata sample/keyframe counts plus the
-    keyframe-aligned demux_video_samples row count). Every number the
-    Spark side produces by parsing real container bytes, the DuckDB
-    oracle recomputes in closed form from the same doc_id parameters."""
+    (real MPEG frame-header walk in audio_metadata), MP4 (real ISO-BMFF
+    demux: video_metadata sample/keyframe counts plus the
+    keyframe-aligned demux_video_samples row count), and FLAC (r7: the
+    full compressed codec — Rice/fixed-predictor encode, distributed
+    bitstream decode, features on the reconstructed samples). Every
+    number the Spark side produces by parsing real container bytes, the
+    DuckDB oracle recomputes in closed form from the same doc_id
+    parameters — for FLAC that means the decode must be EXACT for the
+    rms to match, so the whole Rice+predictor chain is inside the
+    gate."""
     import numpy as np
     from rasterframes_spark import pipeline as P
     from rasterframes_spark.pipeline.audio import encode_wav
+    from rasterframes_spark.sources.flac import encode_flac
     from rasterframes_spark.sources.mp4 import write_mp4
     from rasterframes_spark.sources.mpeg_audio import write_mp3_frames
 
@@ -923,18 +929,25 @@ def _q_media_suite(spark, sf_dir):
                 smp = [bytes([d % 256]) * (20 + j) for j in range(ns)]
                 mp4 = write_mp4(smp, [33] * ns, timescale=1000,
                                 sync=[j % 3 == 0 for j in range(ns)])
+                nfl = 800 + (d % 7) * 150
+                kk = np.arange(1, nfl + 1, dtype=np.int64)
+                xi = ((d + 3) * kk * 2654435761) % 20001 - 10000
+                fl = encode_flac(xi, 8000, bps=16)
                 rows.append((d, bytearray(wav), bytearray(mp3),
-                             bytearray(mp4)))
+                             bytearray(mp4), bytearray(fl)))
             if rows:
                 yield pd.DataFrame(
-                    rows, columns=["media_id", "wav", "mp3", "mp4"])
+                    rows,
+                    columns=["media_id", "wav", "mp3", "mp4", "flac"])
 
     media = docs.mapInPandas(
-        synth, schema="media_id long, wav binary, mp3 binary, mp4 binary")
+        synth, schema=("media_id long, wav binary, mp3 binary, "
+                       "mp4 binary, flac binary"))
     media = media.localCheckpoint(eager=False)
     wav_df = media.select("media_id", F.col("wav").alias("payload"))
     mp3_df = media.select("media_id", F.col("mp3").alias("payload"))
     mp4_df = media.select("media_id", F.col("mp4").alias("payload"))
+    flac_df = media.select("media_id", F.col("flac").alias("payload"))
     feats = P.audio_features(P.decode_audio(wav_df, decode="wav")).select(
         "media_id", "duration_ms", _r0("rms", 6).alias("rms_v"))
     mp3m = P.audio_metadata(mp3_df).select(
@@ -948,11 +961,17 @@ def _q_media_suite(spark, sf_dir):
     demux = (P.demux_video_samples(mp4_df, every_ms=100, keyframes_only=True)
              .groupBy("media_id")
              .agg(F.count("*").alias("mp4_demux_rows")))
+    # decode='auto' also exercises the magic-byte sniff path
+    flacf = P.audio_features(P.decode_audio(flac_df, decode="auto")).select(
+        "media_id",
+        F.col("duration_ms").alias("flac_duration_ms"),
+        _r0("rms", 6).alias("flac_rms"))
     return (feats.join(mp3m, "media_id").join(mp4m, "media_id")
-            .join(demux, "media_id")
+            .join(demux, "media_id").join(flacf, "media_id")
             .select(F.col("media_id").alias("doc_id"), "duration_ms",
                     "rms_v", "mp3_duration_ms", "mp3_bitrate_kbps",
-                    "mp4_n_samples", "mp4_n_keyframes", "mp4_demux_rows"))
+                    "mp4_n_samples", "mp4_n_keyframes", "mp4_demux_rows",
+                    "flac_duration_ms", "flac_rms"))
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -2067,7 +2086,8 @@ def oracle_sql() -> dict[str, str]:
                      1000 + (doc_id % 5) * 200 as n,
                      0.1::double + (doc_id % 9) * 0.1::double as a,
                      10 + doc_id % 20 as nf,
-                     4 + doc_id % 13 as ns
+                     4 + doc_id % 13 as ns,
+                     800 + (doc_id % 7) * 150 as nfl
               from documents where doc_id < 64
             ), s as (
               select doc_id, f, a, n, unnest(range(n)) as k from params
@@ -2077,6 +2097,18 @@ def oracle_sql() -> dict[str, str]:
                      round(sqrt(avg((a * sin(2 * pi() * f * k / 8000.0))
                                 * (a * sin(2 * pi() * f * k / 8000.0)))), 6) + 0.0 as rms_v
               from s group by 1, 2
+            ), fs as (
+              -- FLAC leg: integer samples x[k] reproduced in closed form;
+              -- the Spark side must decode the Rice+predictor bitstream
+              -- EXACTLY for these to agree
+              select doc_id, nfl, unnest(range(1, nfl + 1)) as k from params
+            ), fw as (
+              select doc_id,
+                     nfl * 1000.0 / 8000.0 as flac_duration_ms,
+                     round(sqrt(avg(
+                       pow((((doc_id + 3) * k * 2654435761) % 20001 - 10000)
+                           / 32767.0, 2))), 6) + 0.0 as flac_rms
+              from fs group by 1, 2
             )
             select w.doc_id, w.duration_ms, w.rms_v,
                    -- MP3: nf frames x 576 samples @ 8 kHz (MPEG2.5 L3)
@@ -2086,8 +2118,10 @@ def oracle_sql() -> dict[str, str]:
                    -- demux ticks every 100 ms over [0, ns*33)
                    cast(p.ns as bigint) as mp4_n_samples,
                    cast((p.ns + 2) // 3 as bigint) as mp4_n_keyframes,
-                   cast(ceil(p.ns * 33 / 100.0) as bigint) as mp4_demux_rows
-            from w join params p on p.doc_id = w.doc_id""",
+                   cast(ceil(p.ns * 33 / 100.0) as bigint) as mp4_demux_rows,
+                   fw.flac_duration_ms, fw.flac_rms
+            from w join params p on p.doc_id = w.doc_id
+                   join fw on fw.doc_id = w.doc_id""",
         "text_metrics": """
             select doc_id,
                    len(string_split(text, ' ')) as n_tokens,

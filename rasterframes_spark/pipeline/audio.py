@@ -156,19 +156,36 @@ _AUDIO_SCHEMA = (
 def decode_audio(df: DataFrame, decode: str = "wav") -> DataFrame:
     """payload binary -> decoded sample buffer rows via mapInPandas.
 
-    ``decode='wav'`` runs the real RIFF/WAV codec above; rows whose payload
-    fails to decode are dropped (corrupt-input tolerance, the behavior a
-    web-scale ingest wants). ``decode='real'`` marks where an mp3/ogg codec
-    (torchaudio/ffmpeg) would slot in. Decoded samples are a packed
-    little-endian float64 buffer (mono-mixed when multi-channel) — one row
-    per clip, never a per-sample explosion.
+    ``decode='wav'`` runs the real RIFF/WAV codec above; ``decode='flac'``
+    the pure-python FLAC codec (``sources/flac.py`` — Rice + fixed/LPC
+    predictors, exact integer decode); ``decode='auto'`` sniffs RIFF vs
+    fLaC magic per payload. Rows whose payload fails to decode are
+    dropped (corrupt-input tolerance, the behavior a web-scale ingest
+    wants). ``decode='real'`` marks where a *lossy* codec
+    (mp3/vorbis/opus via torchaudio/ffmpeg) would slot in. Decoded
+    samples are a packed little-endian float64 buffer (mono-mixed when
+    multi-channel) — one row per clip, never a per-sample explosion.
     """
     if decode == "real":
         raise NotImplementedError(
-            "compressed audio codecs (mp3/ogg/flac) not available in this "
-            "environment; use decode='wav' for WAV payloads")
-    if decode != "wav":
-        raise ValueError(f"decode must be 'wav' or 'real', got {decode!r}")
+            "lossy audio codecs (mp3/ogg-vorbis/opus) not available in "
+            "this environment; use decode='wav'/'flac'/'auto' for "
+            "WAV/FLAC payloads")
+    if decode not in ("wav", "flac", "auto"):
+        raise ValueError(
+            f"decode must be 'wav', 'flac', 'auto' or 'real', got {decode!r}")
+
+    def _decode_any(b: bytes):
+        kind = decode
+        if kind == "auto":
+            kind = "flac" if b[:4] == b"fLaC" else "wav"
+        if kind == "flac":
+            from rasterframes_spark.sources.flac import decode_flac
+
+            ints, rate, bps = decode_flac(b)
+            full = 127.0 if bps == 8 else float(2 ** (bps - 1) - 1)
+            return ints.astype("float64") / full, rate
+        return decode_wav(b)
 
     def run(batches):
         for pdf in batches:
@@ -177,7 +194,7 @@ def decode_audio(df: DataFrame, decode: str = "wav") -> DataFrame:
                 if payload is None:
                     continue
                 try:
-                    a, rate = decode_wav(bytes(payload))
+                    a, rate = _decode_any(bytes(payload))
                 except ValueError:
                     continue  # corrupt/unsupported payload: drop the row
                 mono = a.mean(axis=1) if a.shape[1] > 1 else a[:, 0]
