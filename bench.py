@@ -259,12 +259,24 @@ def main():
         "local_add_10x_vs_10x_baseline": round(
             timings["baseline_local_add_10x_1000x64"] / 0.600, 3),
     }
+    # Host-drift normalization (VERDICT r6 #4): every cell divided by the
+    # same run's no-op Arrow-floor cell.  The floor moves with the host
+    # (±20% observed round-to-round with zero code changes), so the
+    # normalized series is what round-over-round comparisons should lead
+    # with — a cell whose normalized value is stable only drifted with
+    # the machine; a cell whose normalized value moved was actually
+    # changed by code.
+    normalized = {
+        k: round(v / floor, 3) for k, v in timings.items()
+        if floor > 0 and k != "baseline_arrow_floor_100x64"}
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "derived": derived,
+        "normalized": normalized,
+        "normalized_unit": "x_arrow_floor",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

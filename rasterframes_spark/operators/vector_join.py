@@ -142,7 +142,8 @@ def st_join(left: DataFrame, right: DataFrame,
             geom_left: str = "geometry", geom_right: str = "geometry",
             predicate: str = "intersects", grid_size: float | None = None,
             how: str = "inner", rsuffix: str = "_right",
-            distance: float | None = None) -> DataFrame:
+            distance: float | None = None, salt: int = 0,
+            hot_cell_threshold: int = 100_000) -> DataFrame:
     """Spatial join: rows of ``left`` paired with rows of ``right`` whose
     geometries satisfy ``predicate`` (intersects | contains | within |
     dwithin, evaluated as predicate(left_geom, right_geom)).
@@ -154,6 +155,18 @@ def st_join(left: DataFrame, right: DataFrame,
 
     ``how``: 'inner' or 'left' (unmatched left rows keep nulls on the
     right side). Right columns clashing with left names get ``rsuffix``.
+
+    ``salt`` > 1 enables HOT-CELL SALTING (same pattern as
+    ``pipeline/dedup._salted_self_pairs``): grid cells holding more than
+    ``hot_cell_threshold`` left rows (the urban-cluster skew pattern —
+    one dense cell funnels into one straggler task) are split ``salt``
+    ways — left rows get a content-hash salt, right rows in hot cells
+    explode to every salt tag, and the equi-join keys on
+    (cell, salt).  Pair output is identical to the unsalted join (each
+    pair meets on exactly one key); cold cells pay nothing (tag 0).
+    AQE's skew-split also mitigates this class at runtime, but only
+    below one-partition granularity — salting bounds the per-task input
+    by construction.
     """
     if predicate not in _PREDICATES:
         raise ValueError(f"st_join: unknown predicate {predicate!r} "
@@ -189,7 +202,28 @@ def st_join(left: DataFrame, right: DataFrame,
 
     lc = _cells(left, geom_left, g, "l", pad=d)
     rc = _cells(r, gr, g, "r")
-    cand = lc.join(rc, ["__cx", "__cy"])
+    if salt and int(salt) > 1:
+        s = int(salt)
+        hot = (lc.groupBy("__cx", "__cy")
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > int(hot_cell_threshold))
+               .select("__cx", "__cy", F.lit(True).alias("__hot")))
+        lkey = F.struct(*[F.col(c) for c in lc.columns
+                          if not c.startswith("__")])
+        lc = (lc.join(F.broadcast(hot), ["__cx", "__cy"], "left")
+              .withColumn("__salt", F.when(
+                  F.col("__hot").isNotNull(),
+                  F.pmod(F.xxhash64(lkey), F.lit(s))).otherwise(F.lit(0)))
+              .drop("__hot"))
+        rc = (rc.join(F.broadcast(hot), ["__cx", "__cy"], "left")
+              .withColumn("__salt", F.explode(F.when(
+                  F.col("__hot").isNotNull(),
+                  F.sequence(F.lit(0).cast("long"), F.lit(s - 1)))
+                  .otherwise(F.array(F.lit(0).cast("long")))))
+              .drop("__hot"))
+        cand = lc.join(rc, ["__cx", "__cy", "__salt"]).drop("__salt")
+    else:
+        cand = lc.join(rc, ["__cx", "__cy"])
 
     # reference point: keep the pair only in the cell holding the
     # top-left corner of the bbox intersection -> exact dedup, no shuffle

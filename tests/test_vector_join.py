@@ -199,3 +199,57 @@ def test_st_knn_join_duplicate_left_per_copy_topk(spark):
     assert ranks == [1] * m + [2] * m
     # top-2 neighbors are rid 0 (dist 1) and rid 1 (dist 2), m times each
     assert sorted(x["rid"] for x in out) == [0] * m + [1] * m
+
+
+def test_st_join_hot_cell_salting(spark):
+    """Skewed fixture: thousands of points crammed into ONE grid cell.
+    salt=8 must (a) leave the pair output identical to the unsalted
+    join, and (b) actually split the hot cell's join keys so no single
+    (cell, salt) bucket holds more than ~1/salt of the hot rows."""
+    import numpy as np
+
+    from rasterframes_spark.operators.vector_join import _cells
+
+    rng = np.random.default_rng(7)
+    # 3000 left points inside [0,1)x[0,1) (one cell at grid 10), plus a
+    # sprinkle of cold-cell points elsewhere
+    hotxy = rng.uniform(0, 1, (3000, 2))
+    coldxy = rng.uniform(30, 90, (200, 2))
+    lpts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in
+         enumerate(np.vstack([hotxy, coldxy]))],
+        "pid int, x double, y double") \
+        .select("pid", GF.st_point("x", "y").alias("geometry"))
+    rrows = [(j, float(x), float(y)) for j, (x, y) in
+             enumerate(rng.uniform(0, 1, (50, 2)))] + \
+            [(99_000 + j, float(x), float(y)) for j, (x, y) in
+             enumerate(rng.uniform(30, 90, (40, 2)))]
+    rpts = spark.createDataFrame(rrows, "rid int, x double, y double") \
+        .select("rid", GF.st_point("x", "y").alias("geometry"))
+
+    base = {(r["pid"], r["rid"]) for r in
+            st_join(lpts, rpts, predicate="dwithin", distance=0.05,
+                    grid_size=10.0).collect()}
+    salted = st_join(lpts, rpts, predicate="dwithin", distance=0.05,
+                     grid_size=10.0, salt=8, hot_cell_threshold=500)
+    got = {(r["pid"], r["rid"]) for r in salted.collect()}
+    assert got == base and len(base) > 100
+
+    # bucket-boundedness: replicate the salting key computation and
+    # assert the hot cell's rows spread across all 8 salts with no
+    # bucket holding more than 2x the even share
+    lc = _cells(lpts, "geometry", 10.0, "l", pad=0.05)
+    hot_n = lc.where((F.col("__cx") == 0) & (F.col("__cy") == 0)).count()
+    assert hot_n >= 3000
+    key = F.struct(F.col("pid"), F.col("geometry"))
+    dist = (lc.where((F.col("__cx") == 0) & (F.col("__cy") == 0))
+            .groupBy(F.pmod(F.xxhash64(key), F.lit(8)).alias("s"))
+            .count().collect())
+    assert len(dist) == 8
+    assert max(r["count"] for r in dist) <= 2 * hot_n / 8
+    # left-outer composes with salting
+    n_left = st_join(lpts, rpts, predicate="dwithin", distance=0.05,
+                     grid_size=10.0, how="left", salt=8,
+                     hot_cell_threshold=500).count()
+    matched_pids = {p for p, _ in base}
+    assert n_left == len(base) + (3200 - len(matched_pids))
