@@ -385,12 +385,64 @@ def _q_st_ops(spark, sf_dir):
 
 
 def _q_streaming_histogram(spark, sf_dir):
-    """One-pass mergeable centroid histogram (HistogramAggregate.scala:45-125,
-    Ben-Haim & Tom-Tov). qty has <= 80 distinct values, so the sketch is
-    EXACT count-per-value regardless of partitioning — a closed-form
-    group-by oracle."""
+    """Two streaming/sketch families in one slot (r7 widens the r6 slot
+    without dropping it):
+
+    - 'hist': one-pass mergeable centroid histogram
+      (HistogramAggregate.scala:45-125, Ben-Haim & Tom-Tov). qty has
+      <= 80 distinct values, so the sketch is EXACT count-per-value
+      regardless of partitioning — a closed-form group-by oracle.
+    - 'neardup': streaming_neardup VALUE oracle (VERDICT r6 #8 — it was
+      determinism-swept but never value-checked). The documents corpus
+      plus exact copies replays through the REAL applyInPandasWithState
+      LSH operator (availableNow one-shot, memory sink); emitted
+      candidate pairs are exact-text verified (the production pattern)
+      and orientation-normalized. At threshold=1.0 a pair emits iff the
+      full 32-hash signatures match — identical texts always do — so
+      the verified pair set is exactly the planted (d, d+1000000)
+      copies, which DuckDB re-derives in closed form.
+    """
+    import uuid
+
+    from rasterframes_spark import streaming as ST
+
     t = _tiles_df(spark, sf_dir)
-    return rf.rf_agg_approx_histogram(t, "qty", num_buckets=80)
+    hist = rf.rf_agg_approx_histogram(t, "qty", num_buckets=80).select(
+        F.lit("hist").alias("family"),
+        F.col("value").cast("long").cast("string").alias("key"),
+        F.col("count").cast("double").alias("val"))
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+              .select("doc_id", "text").where(F.col("doc_id") < 120))
+    corpus = stream.unionByName(stream.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    pairs = ST.streaming_neardup(corpus, "doc_id", "text", shingle_size=3,
+                                 num_perm=32, bands=16, threshold=1.0)
+    name = f"rf_nd_{uuid.uuid4().hex[:8]}"
+    q = (pairs.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").where(F.col("doc_id") < 120))
+    batch_corpus = docs.unionByName(docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    emitted = (spark.table(name)
+               .select(F.least("new_id", "prior_id").alias("id_a"),
+                       F.greatest("new_id", "prior_id").alias("id_b"))
+               .distinct())
+    ta = batch_corpus.select(F.col("doc_id").alias("id_a"),
+                             F.col("text").alias("__ta"))
+    tb = batch_corpus.select(F.col("doc_id").alias("id_b"),
+                             F.col("text").alias("__tb"))
+    neardup = (emitted.join(ta, "id_a").join(tb, "id_b")
+               .where(F.col("__ta") == F.col("__tb"))
+               .select(F.lit("neardup").alias("family"),
+                       F.concat_ws(":", F.col("id_a").cast("string"),
+                                   F.col("id_b").cast("string")).alias("key"),
+                       F.lit(1.0).alias("val")))
+    return hist.unionByName(neardup)
 
 
 def _q_focal_seams(spark, sf_dir):
@@ -1670,8 +1722,17 @@ def oracle_sql() -> dict[str, str]:
             select grp, qty as value, count(*) as n
             from cells group by grp, qty""",
         "streaming_histogram": C + """
-            select qty as value, count(*) as count
-            from cells group by qty""",
+            select 'hist' as family,
+                   cast(cast(qty as bigint) as varchar) as key,
+                   cast(count(*) as double) as val
+            from cells group by qty
+            union all
+            select 'neardup',
+                   cast(doc_id as varchar) || ':'
+                     || cast(doc_id + 1000000 as varchar),
+                   1.0
+            from documents
+            where doc_id < 120 and len(string_split(text, ' ')) >= 3""",
         "resample_nearest": C + """
             , blocks as (
               select grp, ci // 2 as bc, ri // 2 as br,
