@@ -34,6 +34,13 @@ class RangeSource:
         self.block = int(block_size)
         self.bytes_fetched = 0
         self.requests = 0
+        # optional I/O accounting: when set to a path, every actual fetch
+        # appends one `uri\tstart\tend` line (O_APPEND, atomic for short
+        # lines).  Works across executor worker processes on a shared FS
+        # — the hook tests use to ASSERT the laziness/I/O-pruning
+        # invariant (lazy refs that are never realized fetch zero window
+        # bytes), not just trust it.
+        self.trace_file: str | None = None
         self._blocks: OrderedDict[int, bytes] = OrderedDict()
         self._size: int | None = None
         self._is_http = self.uri.startswith(("http://", "https://"))
@@ -56,6 +63,9 @@ class RangeSource:
         """Read [start, end) from the backing store."""
         self.bytes_fetched += end - start
         self.requests += 1
+        if self.trace_file:
+            with open(self.trace_file, "a") as tf:
+                tf.write(f"{self.uri}\t{start}\t{end}\n")
         if self._is_http:
             from urllib.request import Request, urlopen
 

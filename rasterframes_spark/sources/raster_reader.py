@@ -227,9 +227,16 @@ def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
     return out
 
 
-def realize_tiles(ref) -> Column:
+def realize_tiles(ref, io_trace: str | None = None) -> Column:
     """Lazy ref -> realized tile struct: windowed read via the pure-python
-    GeoTIFF decoder (rf_tile / RasterRefToTile equivalent)."""
+    GeoTIFF decoder (rf_tile / RasterRefToTile equivalent).
+
+    ``io_trace``: optional path (shared FS) — every actual window-byte
+    fetch appends a trace line from the executor (rangeio.RangeSource
+    accounting).  The laziness pytest uses this to assert that queries
+    which never realize a tile perform ZERO window reads and that AOI
+    pruning shrinks the fetch set (the reference's laziness-as-I/O-
+    pruning invariant, ref/RasterRef.scala:49-64)."""
 
     @lazy_pandas_udf(TILE_SCHEMA)
     def udf(r: pd.DataFrame) -> pd.DataFrame:
@@ -243,6 +250,7 @@ def realize_tiles(ref) -> Column:
                 out.append(None)
                 continue
             data = _range_source(str(uri))
+            data.trace_file = io_trace
             info = _cached_info(str(uri))
             buf = int(r["buffer"].values[i])
             c0 = int(r["col_off"].values[i]) - buf
