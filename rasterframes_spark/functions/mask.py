@@ -27,6 +27,26 @@ def _masked_where(a, cond):
     return np.ma.masked_array(a, mask=np.ma.getmaskarray(a) | cond)
 
 
+def _literal_value(v) -> float:
+    """Accept python scalars AND `F.lit(x)` Columns for mask values — the
+    reference API form (`rf_mask_by_value('x', 'x', lit(1))`,
+    nodata-handling.pymd).  Only foldable literals qualify: the kernels
+    specialize on the scalar, per-row mask values are not supported."""
+    if isinstance(v, Column):
+        # Spark 4 columns wrap ColumnNodes, not Expressions — a foldable
+        # literal's repr is just the value (`Column<'1'>`, `Column<'1.5'>`)
+        s = str(v)
+        if s.startswith("Column<'") and s.endswith("'>"):
+            try:
+                return float(s[8:-2])
+            except ValueError:
+                pass
+        raise TypeError(
+            "mask_value must be a python scalar or a lit() Column "
+            "(per-row mask values are not supported)")
+    return float(v)
+
+
 # transformers/MaskByDefined.scala:43-71 — NoData where mask tile is NoData
 _mask_plain = binary_tile_op(lambda a, m: _masked_where(a, np.ma.getmaskarray(m)))
 
@@ -50,14 +70,14 @@ def rf_mask_by_value(tile, mask_tile, mask_value,
     rasterfunctions.py:649-668)."""
     if inverse:
         return rf_inverse_mask_by_value(tile, mask_tile, mask_value)
-    v = float(mask_value)
+    v = _literal_value(mask_value)
     op = binary_tile_op(lambda a, m: _masked_where(a, np.asarray(m.data, dtype="float64") == v))
     return op.tile_tile(col_or_name(tile), col_or_name(mask_tile))
 
 
 def rf_inverse_mask_by_value(tile, mask_tile, mask_value) -> Column:
     """NoData where mask != value (transformers/InverseMaskByValue.scala:48-85)."""
-    v = float(mask_value)
+    v = _literal_value(mask_value)
     op = binary_tile_op(lambda a, m: _masked_where(a, np.asarray(m.data, dtype="float64") != v))
     return op.tile_tile(col_or_name(tile), col_or_name(mask_tile))
 

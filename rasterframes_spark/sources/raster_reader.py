@@ -133,7 +133,18 @@ def read_raster(spark: SparkSession, catalog, band_indexes=(0,),
         cat = spark.createDataFrame([(u,) for u in catalog], ["path"])
         catalog_col = "path"
     else:
-        cat = catalog
+        if isinstance(catalog, str):
+            # CSV-string catalog (the reference's RasterSourceDataSource
+            # `catalog` option form, RasterSourceDataSource.scala:37-63):
+            # header row of column names, one scene per line
+            import io
+
+            catalog = pd.read_csv(io.StringIO(catalog), dtype=str,
+                                  skipinitialspace=True)
+        if isinstance(catalog, pd.DataFrame):
+            cat = spark.createDataFrame(catalog)
+        else:
+            cat = catalog
         catalog_col = catalog_col or (catalog_cols or cat.columns)[0]
 
     if query_extent is not None:

@@ -95,11 +95,20 @@ _CT_RE = re.compile(r"^(bool|u?int(?:8|16|32)|float(?:32|64))(raw|ud(-?\d+(?:\.\
 
 @dataclass(frozen=True)
 class CellType:
-    """Cell encoding + NoData semantics. ``nodata is None`` => raw (no NoData)."""
+    """Cell encoding + NoData semantics. ``nodata is None`` => raw (no NoData).
+
+    ``CellType('uint16')`` (name-only, the reference rf_types constructor
+    form) parses the name; internal call sites pass all three fields."""
 
     name: str
-    dtype: np.dtype
-    nodata: float | int | None
+    dtype: np.dtype = None
+    nodata: float | int | None = None
+
+    def __post_init__(self):
+        if self.dtype is None:
+            parsed = CellType.parse(self.name)
+            object.__setattr__(self, "dtype", parsed.dtype)
+            object.__setattr__(self, "nodata", parsed.nodata)
 
     @property
     def has_nodata(self) -> bool:
@@ -156,6 +165,60 @@ class CellType:
         if isinstance(self.nodata, float) and np.isnan(self.nodata):
             return np.isnan(arr)
         return arr == self.nodata
+
+    # -- reference rf_types.CellType API compat --------------------------
+    # (python/pyrasterframes/rf_types.py: the convenience constructors and
+    # inspection methods the nodata-handling docs build on)
+
+    @staticmethod
+    def bool() -> "CellType":  # noqa: A003 - reference API name
+        return CellType.parse("bool")
+
+    @staticmethod
+    def int8() -> "CellType":
+        return CellType.parse("int8")
+
+    @staticmethod
+    def uint8() -> "CellType":
+        return CellType.parse("uint8")
+
+    @staticmethod
+    def int16() -> "CellType":
+        return CellType.parse("int16")
+
+    @staticmethod
+    def uint16() -> "CellType":
+        return CellType.parse("uint16")
+
+    @staticmethod
+    def int32() -> "CellType":
+        return CellType.parse("int32")
+
+    @staticmethod
+    def float32() -> "CellType":
+        return CellType.parse("float32")
+
+    @staticmethod
+    def float64() -> "CellType":
+        return CellType.parse("float64")
+
+    def is_floating_point(self) -> bool:
+        return self.is_float
+
+    def has_no_data(self) -> bool:
+        return self.has_nodata
+
+    def no_data_value(self):
+        return self.nodata
+
+    def with_no_data_value(self, nodata) -> "CellType":
+        """New CellType with a user-defined NoData (reference
+        `CellType('uint16').with_no_data_value(99)` -> 'uint16ud99')."""
+        return CellType.from_numpy(self.dtype, nodata)
+
+    @property
+    def cell_type_name(self) -> str:
+        return self.name
 
 
 CELL_TYPES = [

@@ -89,3 +89,17 @@ def test_ml_unsupervised_example(spark):
     n_clusters, n_tiles = ex.main(spark, k=3)
     assert n_clusters == 3
     assert n_tiles == 64
+
+
+def test_raster_catalogs_example(spark):
+    import examples.raster_catalogs as ex
+
+    out = ex.main(spark)
+    assert out == {"one_d": 8, "two_d": 8}
+
+
+def test_nodata_handling_example(spark):
+    import examples.nodata_handling as ex
+
+    out = ex.main(spark)
+    assert out == {"nd_cells": 5000, "masked_sum": 7500}
