@@ -32,6 +32,7 @@ horizontal pass, vertical pass; the forward mirrors it exactly).
 
 from __future__ import annotations
 
+import functools
 import os
 import struct
 
@@ -230,7 +231,12 @@ class MQEncoder:
 
 
 class TagTree:
-    """2-D tag tree over a w x h leaf grid. Level 0 = leaves."""
+    """2-D tag tree over a w x h leaf grid. Level 0 = leaves.
+
+    Levels are flat python lists (index yy * w + xx): numpy scalar
+    indexing costs ~100-300 ns per access, and packet-header parsing
+    makes tens of thousands of tag-tree visits per tile (r7 throughput
+    pass — this swap cut the packet-parse share by ~2x)."""
 
     def __init__(self, w: int, h: int):
         self.dims = []
@@ -239,66 +245,76 @@ class TagTree:
             if w == 1 and h == 1:
                 break
             w, h = (w + 1) // 2, (h + 1) // 2
-        self.val = [np.zeros((h, w), dtype=np.int64) for w, h in self.dims]
-        self.state = [np.zeros((h, w), dtype=np.int64) for w, h in self.dims]
-        self.known = [np.zeros((h, w), dtype=bool) for w, h in self.dims]
-
-    def _path(self, x: int, y: int):
-        out = []
-        for lv in range(len(self.dims)):
-            out.append((lv, x >> lv, y >> lv))
-        return list(reversed(out))  # root first
+        self.val = [[0] * (w * h) for w, h in self.dims]
+        self.state = [[0] * (w * h) for w, h in self.dims]
+        self.known = [[False] * (w * h) for w, h in self.dims]
 
     def set(self, x: int, y: int, v: int):
-        self.val[0][y, x] = v
+        self.val[0][y * self.dims[0][0] + x] = v
 
     def finalize(self):
         """Encoder: propagate the min up the tree."""
         for lv in range(1, len(self.dims)):
             w, h = self.dims[lv]
+            wb, hb = self.dims[lv - 1]
             below = self.val[lv - 1]
+            up = self.val[lv]
             for yy in range(h):
                 for xx in range(w):
-                    self.val[lv][yy, xx] = int(
-                        below[2 * yy:2 * yy + 2, 2 * xx:2 * xx + 2].min())
+                    m = None
+                    for y2 in range(2 * yy, min(2 * yy + 2, hb)):
+                        for x2 in range(2 * xx, min(2 * xx + 2, wb)):
+                            v = below[y2 * wb + x2]
+                            if m is None or v < m:
+                                m = v
+                    up[yy * w + xx] = m
 
     def encode(self, bits, x: int, y: int, threshold: int):
         low = 0
-        for lv, xx, yy in self._path(x, y):
+        for lv in range(len(self.dims) - 1, -1, -1):
+            w = self.dims[lv][0]
+            q = (y >> lv) * w + (x >> lv)
             st, val, kn = self.state[lv], self.val[lv], self.known[lv]
-            if st[yy, xx] < low:
-                st[yy, xx] = low
-            while not kn[yy, xx] and st[yy, xx] < threshold:
-                if st[yy, xx] < val[yy, xx]:
+            s = st[q]
+            if s < low:
+                s = low
+            while not kn[q] and s < threshold:
+                if s < val[q]:
                     bits.put(0)
-                    st[yy, xx] += 1
+                    s += 1
                 else:
                     bits.put(1)
-                    kn[yy, xx] = True
-            if not kn[yy, xx]:
+                    kn[q] = True
+            st[q] = s
+            if not kn[q]:
                 return              # value >= threshold: consumer stops here
-            low = val[yy, xx]
+            low = val[q]
 
     def decode(self, bits, x: int, y: int, threshold: int) -> bool:
         """True iff value(x, y) < threshold (fully resolving it if so)."""
         low = 0
-        for lv, xx, yy in self._path(x, y):
+        get = bits.get
+        for lv in range(len(self.dims) - 1, -1, -1):
+            w = self.dims[lv][0]
+            q = (y >> lv) * w + (x >> lv)
             st, val, kn = self.state[lv], self.val[lv], self.known[lv]
-            if st[yy, xx] < low:
-                st[yy, xx] = low
-            while not kn[yy, xx] and st[yy, xx] < threshold:
-                if bits.get():
-                    val[yy, xx] = st[yy, xx]
-                    kn[yy, xx] = True
+            s = st[q]
+            if s < low:
+                s = low
+            while not kn[q] and s < threshold:
+                if get():
+                    val[q] = s
+                    kn[q] = True
                 else:
-                    st[yy, xx] += 1
-            if not kn[yy, xx]:
+                    s += 1
+            st[q] = s
+            if not kn[q]:
                 return False        # only a bound >= threshold is known
-            low = val[yy, xx]
+            low = val[q]
         return True
 
     def leaf_value(self, x: int, y: int) -> int:
-        return int(self.val[0][y, x])
+        return self.val[0][y * self.dims[0][0] + x]
 
 
 # ---------------------------------------------------------------------------
@@ -646,6 +662,298 @@ def t1_decode(data: bytes, w: int, h: int, n_passes: int, n_bitplanes: int,
                 v = m << last[q] if last[q] > 0 else m
                 row[x] = -v if sgn[q] else v
     return out
+
+
+# ---------------------------------------------------------------------------
+# fused fast T1 decoder (r7 throughput pass)
+#
+# The class-based decoder above pays a python function call + ~10
+# attribute/list accesses per MQ decision (~270k decisions for one
+# Sentinel-2 B01 tile with its pathological 4x4 code-blocks).  The fused
+# variant below keeps ALL decoder state (MQ registers, context tables,
+# pass state) in function locals and inlines the MQ decision + sign
+# coding into every call site of the three coding passes.  Hand-writing
+# the 7 inline sites would invite drift, so the function source is
+# GENERATED from one template per concern and exec'd at import — the
+# generated code is deterministic, and `t1_decode` (the readable
+# reference implementation, kept above) pins its semantics via the
+# bit-parity tests in tests/test_jp2.py (incl. the byte-exact Kakadu
+# B01 matrix, which runs through this fast path).
+# ---------------------------------------------------------------------------
+
+_QE_Q = tuple(q[0] for q in _QE)
+_QE_NM = tuple(q[1] for q in _QE)
+_QE_NL = tuple(q[2] for q in _QE)
+_QE_SW = tuple(q[3] for q in _QE)
+_SGN_FLAT = tuple(_SIGN_CTX[(i // 3, i % 3)] for i in range(9))
+
+_MQ_BYTEIN_SRC = """\
+cur = data[bp] if bp < dlen else 0xFF
+nxt = data[bp + 1] if bp + 1 < dlen else 0xFF
+if cur == 0xFF:
+    if nxt > 0x8F:
+        c += 0xFF00
+        ct = 8
+    else:
+        bp += 1
+        c += nxt << 9
+        ct = 7
+else:
+    bp += 1
+    c += nxt << 8
+    ct = 8
+"""
+
+_MQ_RENORM_SRC = """\
+while True:
+    if ct == 0:
+{bytein}
+    a = (a << 1) & 0xFFFF
+    c = (c << 1) & 0xFFFFFFFF
+    ct -= 1
+    if a & 0x8000:
+        break
+"""
+
+# one MQ decision: context index in `cx`, decoded bit left in `bit`.
+# NOTE the MPS fast path (`a & 0x8000` after conditional exchange) skips
+# renormalization entirely — the reference decoder `return`s there.
+_MQ_DECODE_SRC = """\
+i = I[cx]
+qe = QE[i]
+a -= qe
+if ((c >> 16) & 0xFFFF) < qe:
+    if a < qe:
+        bit = mps[cx]
+        I[cx] = NM[i]
+    else:
+        bit = 1 - mps[cx]
+        if SW[i]:
+            mps[cx] ^= 1
+        I[cx] = NL[i]
+    a = qe
+{renorm}
+else:
+    c = (c - (qe << 16)) & 0xFFFFFFFF
+    if a & 0x8000:
+        bit = mps[cx]
+    else:
+        if a < qe:
+            bit = 1 - mps[cx]
+            if SW[i]:
+                mps[cx] ^= 1
+            I[cx] = NL[i]
+        else:
+            bit = mps[cx]
+            I[cx] = NM[i]
+{renorm8}
+"""
+
+# becoming significant at position `p`: decode the sign, update state
+_MQ_BECOME_SRC = """\
+hc = 0
+if sig[p - 1]:
+    hc += -1 if sgn[p - 1] else 1
+if sig[p + 1]:
+    hc += -1 if sgn[p + 1] else 1
+vc = 0
+if sig[p - t]:
+    vc += -1 if sgn[p - t] else 1
+if sig[p + t]:
+    vc += -1 if sgn[p + t] else 1
+if hc < -1:
+    hc = -1
+elif hc > 1:
+    hc = 1
+if vc < -1:
+    vc = -1
+elif vc > 1:
+    vc = 1
+cx, xor = SGN[(hc + 1) * 3 + vc + 1]
+{decode}
+sgn[p] = bit ^ xor
+sig[p] = 1
+became[p] = 1
+mag[p] = 1
+last[p] = plane
+nsigtot += 1
+nbec += 1
+q = p - t - 1
+nsig[q] += 1
+nsig[q + 1] += 1
+nsig[q + 2] += 1
+nsig[p - 1] += 1
+nsig[p + 1] += 1
+q = p + t - 1
+nsig[q] += 1
+nsig[q + 1] += 1
+nsig[q + 2] += 1
+"""
+
+_SIG_CTX_EXPR = ("table[(sig[p - 1] + sig[p + 1]) * 15"
+                 " + (sig[p - t] + sig[p + t]) * 5"
+                 " + (sig[p - t - 1] + sig[p - t + 1]"
+                 " + sig[p + t - 1] + sig[p + t + 1])]")
+
+
+@functools.lru_cache(maxsize=512)
+def _scan_layout(w: int, h: int):
+    """Precomputed stripe-column scan order for a (w, h) block with
+    stride w+2: a flat position tuple (sigprop/magref iterate it with a
+    single loop instead of three nested ones — for the tiny code-blocks
+    Sentinel-2 uses, the nested-loop machinery was ~a third of the pass
+    cost) and the cleanup stripe-column groups (p0, rows)."""
+    t = w + 2
+    pos = []
+    groups = []
+    for y0 in range(1, h + 1, 4):
+        rows = min(4, h + 1 - y0)
+        base0 = y0 * t
+        for x in range(1, w + 1):
+            p = base0 + x
+            groups.append((p, rows))
+            for _ in range(rows):
+                pos.append(p)
+                p += t
+    return tuple(pos), tuple(groups)
+
+
+def _ind(src: str, pad: str) -> str:
+    return "\n".join(pad + ln if ln else ln for ln in src.split("\n"))
+
+
+def _gen_t1_fast_src() -> str:
+    bytein8 = _ind(_MQ_BYTEIN_SRC.rstrip(), " " * 8)
+    renorm = _MQ_RENORM_SRC.format(bytein=bytein8).rstrip()
+
+    def mq(pad: int) -> str:
+        body = _MQ_DECODE_SRC.format(renorm=_ind(renorm, " " * 4),
+                                     renorm8=_ind(renorm, " " * 8))
+        return _ind(body.rstrip(), " " * pad)
+
+    def become(pad: int) -> str:
+        # decode site inside the become block is at its own indent 0
+        body = _MQ_BECOME_SRC.format(
+            decode=_MQ_DECODE_SRC.format(
+                renorm=_ind(renorm, " " * 4),
+                renorm8=_ind(renorm, " " * 8)).rstrip()).rstrip()
+        return _ind(body, " " * pad)
+
+    return f'''\
+def _t1_decode_fast(data, w, h, n_passes, n_bitplanes, orient):
+    if n_passes == 0 or n_bitplanes == 0:
+        return np.zeros((h, w), dtype=np.int64)
+    t = w + 2
+    n = (h + 2) * t
+    sig = bytearray(n)
+    sgn = bytearray(n)
+    became = bytearray(n)
+    pi = bytearray(n)
+    refined = bytearray(n)
+    nsig = bytearray(n)
+    mag = [0] * n
+    last = [0] * n
+    table = _SIG_FLAT[orient]
+    QE, NM, NL, SW, SGN = _QE_Q, _QE_NM, _QE_NL, _QE_SW, _SGN_FLAT
+    I, mps = _initial_states()
+    dlen = len(data)
+    bp = 0
+    c = (data[0] if data else 0xFF) << 16
+{_ind(_MQ_BYTEIN_SRC.rstrip(), "    ")}
+    c = (c << 7) & 0xFFFFFFFF
+    ct -= 7
+    a = 0x8000
+    plane = n_bitplanes - 1
+    ptype = 0
+    nsigtot = 0
+    nbec = 0
+    n_coeff = w * h
+    scan_pos, groups = _scan_layout(w, h)
+    for _np in range(n_passes):
+        if ptype == 1:                       # significance propagation
+            # skip the scan when it cannot decode anything: no
+            # significant neighbors yet (nsig all 0) or every
+            # coefficient already significant (saturated block)
+            if 0 < nsigtot < n_coeff:
+                for p in scan_pos:
+                    if not sig[p] and nsig[p]:
+                        cx = {_SIG_CTX_EXPR}
+{mq(24)}
+                        pi[p] = 1
+                        if bit:
+{become(28)}
+            ptype = 2
+        elif ptype == 2:                     # magnitude refinement
+            if nsigtot > nbec:               # else: no sig-and-not-became
+                for p in scan_pos:
+                    if sig[p] and not became[p]:
+                        if refined[p]:
+                            cx = 16
+                        else:
+                            cx = 15 if nsig[p] else 14
+{mq(24)}
+                        mag[p] = (mag[p] << 1) | bit
+                        refined[p] = 1
+                        last[p] = plane
+            ptype = 0
+        else:                                # cleanup
+            # a saturated block (all significant) has no cleanup
+            # candidates (`not sig and not pi` never holds): skip
+            for p0, rows in (groups if nsigtot < n_coeff else ()):
+                start = 0
+                if rows == 4 and not (
+                        sig[p0] or pi[p0] or nsig[p0]
+                        or sig[p0 + t] or pi[p0 + t] or nsig[p0 + t]
+                        or sig[p0 + 2 * t] or pi[p0 + 2 * t]
+                        or nsig[p0 + 2 * t]
+                        or sig[p0 + 3 * t] or pi[p0 + 3 * t]
+                        or nsig[p0 + 3 * t]):
+                    cx = 17
+{mq(20)}
+                    if not bit:
+                        continue
+                    cx = 18
+{mq(20)}
+                    r_hi = bit
+                    cx = 18
+{mq(20)}
+                    r = (r_hi << 1) | bit
+                    p = p0 + r * t
+{become(20)}
+                    start = r + 1
+                p = p0 + start * t
+                for _r in range(start, rows):
+                    if not sig[p] and not pi[p]:
+                        cx = {_SIG_CTX_EXPR}
+{mq(24)}
+                        if bit:
+{become(28)}
+                    p += t
+            became = bytearray(n)
+            pi = bytearray(n)
+            nbec = 0
+            plane -= 1
+            ptype = 1
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        base = (y + 1) * t + 1
+        row = out[y]
+        for x in range(w):
+            q = base + x
+            m = mag[q]
+            if m:
+                v = m << last[q] if last[q] > 0 else m
+                row[x] = -v if sgn[q] else v
+    return out
+'''
+
+
+_T1_FAST_NS = {"np": np, "_SIG_FLAT": _SIG_FLAT, "_QE_Q": _QE_Q,
+               "_QE_NM": _QE_NM, "_QE_NL": _QE_NL, "_QE_SW": _QE_SW,
+               "_SGN_FLAT": _SGN_FLAT, "_initial_states": _initial_states,
+               "_scan_layout": _scan_layout}
+exec(compile(_gen_t1_fast_src(), "<jp2 fused t1>", "exec"), _T1_FAST_NS)
+_t1_decode_fast = _T1_FAST_NS["_t1_decode_fast"]
 
 
 def t1_encode(coeffs: np.ndarray, orient: str):
@@ -1303,7 +1611,7 @@ def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
                         if stt is None or not stt.segments:
                             continue
                         nbp = mb - stt.missing
-                        coeffs = t1_decode(
+                        coeffs = _t1_decode_fast(
                             b"".join(stt.segments), cx1 - cx0, cy1 - cy0,
                             stt.n_passes, nbp, name)
                         arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0] = coeffs

@@ -599,3 +599,30 @@ def test_b01_window_read_and_reencode_roundtrip():
     # re-encode the decoded window with our encoder: bit-exact round-trip
     re = jp2.encode_jp2(win, levels=3)
     assert (jp2.decode_jp2(re).astype(int) == win.astype(int)).all()
+
+
+def test_t1_fused_decoder_parity_with_reference_impl():
+    """The exec-generated fused T1 decoder (r7 throughput pass) must be
+    bit-identical to the readable class-based reference implementation
+    on a randomized matrix covering every subband, magnitude range,
+    sparsity (RLC-heavy) and saturation (skip-shortcut) regime."""
+    import numpy as np
+
+    from rasterframes_spark.sources import jp2
+
+    rng = np.random.default_rng(42)
+    for trial in range(80):
+        w = int(rng.integers(1, 40))
+        h = int(rng.integers(1, 40))
+        orient = ["LL", "LH", "HL", "HH"][trial % 4]
+        scale = int(rng.choice([3, 100, 30000]))
+        co = rng.integers(-scale, scale, (h, w)).astype(np.int64)
+        if trial % 5 == 0:
+            co[rng.random((h, w)) < 0.8] = 0        # sparse: RLC path
+        if trial % 7 == 0:
+            co = np.abs(co) + 1                     # saturated: skip path
+        data, npass, nbp = jp2.t1_encode(co, orient)
+        ref = jp2.t1_decode(data, w, h, npass, nbp, orient)
+        fast = jp2._t1_decode_fast(data, w, h, npass, nbp, orient)
+        assert np.array_equal(ref, fast), (trial, w, h, orient)
+        assert np.array_equal(ref, co)
