@@ -9,18 +9,21 @@ distributed reader needs (each JP2 tile decodes independently, so a
 bounded memory).
 
 Scope (asserted, never silently wrong):
-- decode: reversible 5/3 wavelet, no quantization (style 0 QCD/QCC),
+- decode: BOTH wavelet paths — reversible 5/3 (no quantization, style 0
+  QCD/QCC, exact integers end to end) and, since r7, the irreversible
+  9/7 (float lifting synthesis, scalar-derived and scalar-expounded
+  quantization with midpoint reconstruction, inverse ICT) — with
   arbitrary decomposition levels, code-block sizes, precincts, multiple
   tiles, LRCP/RLCP/RPCL/PCRL/CPRL progressions, one or more quality
   layers, multi-component codestreams on a uniform sample grid with
-  optional reversible MCT (the Sentinel-2 TCI true-color shape: 3
-  components + RCT), SOP/EPH tolerated, PLT/TLM/COM skipped.
-  Irreversible (9/7) and per-component-subsampled codestreams raise and
-  route to the rasterio fallback — this engine's contract is exact
-  integers on a single grid.
+  optional MCT (RCT for 5/3 / ICT for 9/7 — the Sentinel-2 TCI
+  true-color shape), SOP/EPH tolerated, PLT/TLM/COM skipped.
+  Per-component-subsampled codestreams raise and route to the rasterio
+  fallback — this engine's contract is a single sample grid.
 - encode: single quality layer, LRCP or RPCL, optional precincts, 5/3
-  reversible, one or more components (3-D (H, W, C) input) with
-  optional RCT — enough to
+  reversible (bit-exact) or 9/7 lossy (``lossy=True`` + ``frac_bits``
+  deadzone quantizer), one or more components (3-D (H, W, C) input)
+  with optional RCT/ICT — enough to
   round-trip any integer raster bit-exactly, which is also the module's
   spec oracle (tests/test_jp2.py: encoder<->decoder round-trips plus
   structural checks on the reference's Kakadu-encoded Sentinel-2 fixture).
@@ -1089,6 +1092,109 @@ def dwt53_forward(a, u0, v0):
 
 
 # ---------------------------------------------------------------------------
+# 9/7 irreversible DWT (Annex F.4.8) — float lifting, r7 lossy path
+# ---------------------------------------------------------------------------
+
+_97_ALPHA = -1.586134342059924
+_97_BETA = -0.052980118572961
+_97_GAMMA = 0.882911075530934
+_97_DELTA = 0.443506852043971
+_97_K = 1.230174104914001
+
+
+def _extend4f(a: np.ndarray) -> np.ndarray:
+    """Extend the last axis by 4 samples of PSE on each side (float64) —
+    the four 9/7 lifting sweeps have dependency radius 4."""
+    n = a.shape[-1]
+    ext = np.empty(a.shape[:-1] + (n + 8,), dtype=np.float64)
+    ext[..., 4:-4] = a
+    for j in range(4):
+        ext[..., 3 - j] = a[..., _pse(-1 - j, n)]
+        ext[..., -4 + j] = a[..., _pse(n + j, n)]
+    return ext
+
+
+def _sr97_1d(y: np.ndarray, i0: int) -> np.ndarray:
+    """Batch 1-D 9/7 synthesis along the last axis (float64 in/out).
+    Scaling convention matches the analysis in _sd97_1d: low-pass * K,
+    high-pass * 2/K, then the four lifting sweeps with negated
+    analysis coefficients in reverse order."""
+    n = y.shape[-1]
+    if n == 0:
+        return np.asarray(y, dtype=np.float64).copy()
+    if n == 1:
+        # single-sample signal: transform is identity on the low phase,
+        # and a lone high-phase sample carries x/2 (mirror of _sd97_1d)
+        return (y.astype(np.float64).copy() if (i0 % 2) == 0
+                else y.astype(np.float64) * 0.5)
+    ext = _extend4f(np.asarray(y, dtype=np.float64))
+    m = ext.shape[-1]
+    idx = np.arange(m) + (i0 - 4)
+    even = (idx % 2) == 0
+    inner = (np.arange(m) >= 1) & (np.arange(m) <= m - 2)
+    x = ext
+    x[..., even] *= _97_K
+    x[..., ~even] *= 2.0 / _97_K
+    for coef, on_even in ((_97_DELTA, True), (_97_GAMMA, False),
+                          (_97_BETA, True), (_97_ALPHA, False)):
+        sel = np.nonzero((even if on_even else ~even) & inner)[0]
+        x[..., sel] -= coef * (x[..., sel - 1] + x[..., sel + 1])
+    return x[..., 4:-4]
+
+
+def _sd97_1d(x: np.ndarray, i0: int) -> np.ndarray:
+    """Batch 1-D 9/7 analysis — exact float mirror of _sr97_1d."""
+    n = x.shape[-1]
+    if n == 0:
+        return np.asarray(x, dtype=np.float64).copy()
+    if n == 1:
+        return (x.astype(np.float64).copy() if (i0 % 2) == 0
+                else x.astype(np.float64) * 2.0)
+    ext = _extend4f(np.asarray(x, dtype=np.float64))
+    m = ext.shape[-1]
+    idx = np.arange(m) + (i0 - 4)
+    even = (idx % 2) == 0
+    inner = (np.arange(m) >= 1) & (np.arange(m) <= m - 2)
+    y = ext
+    for coef, on_even in ((_97_ALPHA, False), (_97_BETA, True),
+                          (_97_GAMMA, False), (_97_DELTA, True)):
+        sel = np.nonzero((even if on_even else ~even) & inner)[0]
+        y[..., sel] += coef * (y[..., sel - 1] + y[..., sel + 1])
+    y[..., even] /= _97_K
+    y[..., ~even] *= _97_K / 2.0
+    return y[..., 4:-4]
+
+
+def _interleave_f(ll, hl, lh, hh, u0, v0, u1, v1):
+    a = np.zeros((v1 - v0, u1 - u0), dtype=np.float64)
+    ex = 0 if u0 % 2 == 0 else 1
+    ey = 0 if v0 % 2 == 0 else 1
+    a[ey::2, ex::2] = ll
+    a[ey::2, 1 - ex::2] = hl
+    a[1 - ey::2, ex::2] = lh
+    a[1 - ey::2, 1 - ex::2] = hh
+    return a
+
+
+def dwt97_inverse(ll, hl, lh, hh, u0, v0, u1, v1):
+    """One irreversible 2D_SR level on region [u0,u1) x [v0,v1)."""
+    a = _interleave_f(ll, hl, lh, hh, u0, v0, u1, v1)
+    a = _sr97_1d(a, u0)
+    a = _sr97_1d(a.T, v0).T
+    return a
+
+
+def dwt97_forward(a, u0, v0):
+    """One irreversible 2D_SD level. Returns float (ll, hl, lh, hh)."""
+    a = _sd97_1d(np.asarray(a, dtype=np.float64).T, v0).T
+    a = _sd97_1d(a, u0)
+    ex = 0 if u0 % 2 == 0 else 1
+    ey = 0 if v0 % 2 == 0 else 1
+    return (a[ey::2, ex::2], a[ey::2, 1 - ex::2],
+            a[1 - ey::2, ex::2], a[1 - ey::2, 1 - ex::2])
+
+
+# ---------------------------------------------------------------------------
 # Codestream structures (Annex A/B)
 # ---------------------------------------------------------------------------
 
@@ -1139,10 +1245,9 @@ class _Cod:
 
 
 def _validate_cod(cod: "_Cod") -> None:
-    if cod.transform != 1:
+    if cod.transform not in (0, 1):
         raise NotImplementedError(
-            "JP2: only the reversible 5/3 transform is supported "
-            "(irreversible 9/7 would break the exact-integer contract)")
+            f"JP2: unknown wavelet transform code {cod.transform}")
     if cod.cbstyle & 0x01:
         raise NotImplementedError("JP2: arithmetic bypass not supported")
     if cod.cbstyle & 0x02:
@@ -1157,18 +1262,27 @@ def _validate_cod(cod: "_Cod") -> None:
 
 
 def _parse_qcd(seg: bytes):
-    """Return (guard_bits, style, exponents list) for reversible style 0."""
+    """Return (guard_bits, style, exponents, mantissas).
+
+    Style 0 (no quantization, 5/3): 8-bit entries, exponent only.
+    Styles 1 (scalar derived) / 2 (scalar expounded): 16-bit entries
+    epsilon(5) | mu(11); the step size for a band of nominal dynamic
+    range R is 2^(R - eps) * (1 + mu / 2^11)  (T.800 E.1.1)."""
     sq = seg[0]
     style = sq & 0x1F
     guard = sq >> 5
     if style == 0:  # no quantization: 8-bit exponents
         exps = [b >> 3 for b in seg[1:]]
+        mus = [0] * len(exps)
     elif style == 1:  # scalar derived: one 16-bit entry
-        exps = [struct.unpack(">H", seg[1:3])[0] >> 11]
+        v = struct.unpack(">H", seg[1:3])[0]
+        exps, mus = [v >> 11], [v & 0x7FF]
     else:  # scalar expounded: 16-bit entries
-        exps = [struct.unpack(">H", seg[i:i + 2])[0] >> 11
-                for i in range(1, len(seg), 2)]
-    return guard, style, exps
+        vals = [struct.unpack(">H", seg[i:i + 2])[0]
+                for i in range(1, len(seg) - 1, 2)]
+        exps = [v >> 11 for v in vals]
+        mus = [v & 0x7FF for v in vals]
+    return guard, style, exps, mus
 
 
 class JP2Codestream:
@@ -1462,15 +1576,20 @@ class _CompState:
     geometry, precinct metadata, and the tag-tree/code-block bookkeeping
     the packet reader mutates."""
 
-    __slots__ = ("cod", "guard", "exps", "geo", "res_meta", "levels",
+    __slots__ = ("cod", "guard", "exps", "mus", "qstyle", "depth",
+                 "geo", "res_meta", "levels",
                  "incl_trees", "zb_trees", "cb_states")
 
     def __init__(self, cs, t, c):
         self.cod = cs._tile_cod(t, c)
-        self.guard, qstyle, self.exps = cs._tile_qcd(t, c)
-        if qstyle != 0:
-            raise NotImplementedError(
-                "JP2: quantized (lossy) codestreams not supported")
+        self.guard, self.qstyle, self.exps, self.mus = cs._tile_qcd(t, c)
+        self.depth = cs.comp[c]["depth"]
+        if self.cod.transform == 1 and self.qstyle != 0:
+            raise ValueError(
+                "JP2: 5/3 reversible codestream with a quantized QCD")
+        if self.cod.transform == 0 and self.qstyle == 0:
+            raise ValueError(
+                "JP2: 9/7 irreversible codestream without quantization")
         tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
         dx, dy = cs.comp[c]["dx"], cs.comp[c]["dy"]
         tcx0, tcy0 = _ceil_div(tx0, dx), _ceil_div(ty0, dy)
@@ -1490,10 +1609,27 @@ class _CompState:
         self.zb_trees = {}
         self.cb_states = {}
 
+    def _band_eps_mu(self, r, bi):
+        # subband entry order in QCD: LL, then r=1..N (HL, LH, HH).
+        # Scalar-derived (style 1) carries ONE entry for the LL and
+        # derives the rest: eps_b = eps_0 - levels + lev_b (E.1.1).
+        if self.qstyle == 1:
+            lev = self.levels if r == 0 else self.levels - r + 1
+            return self.exps[0] - self.levels + lev, self.mus[0]
+        i = 0 if r == 0 else 1 + 3 * (r - 1) + bi
+        return self.exps[i], self.mus[i]
+
     def band_mb(self, r, bi):
-        # subband entry order in QCD: LL, then r=1..N (HL, LH, HH)
-        e = self.exps[0] if r == 0 else self.exps[1 + 3 * (r - 1) + bi]
+        e, _ = self._band_eps_mu(r, bi)
         return e + self.guard - 1
+
+    def band_delta(self, r, bi, name):
+        """Quantization step size for a subband (lossy path only):
+        2^(R_b - eps) * (1 + mu/2^11), R_b = component depth + log2 band
+        gain (LL 0, HL/LH 1, HH 2)."""
+        e, mu = self._band_eps_mu(r, bi)
+        gain = 0 if name == "LL" else (2 if name == "HH" else 1)
+        return (2.0 ** (self.depth + gain - e)) * (1.0 + mu / 2048.0)
 
 
 def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
@@ -1591,7 +1727,12 @@ def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
                 packet_one(c, r, l, p, pw)
 
     # T1-decode each wanted component's code-blocks, assemble subbands
-    # (kept resolutions), inverse DWT to the pre-shift pixel domain
+    # (kept resolutions), inverse DWT to the pre-shift pixel domain.
+    # 5/3 (transform 1) stays exact-integer end to end; 9/7 (transform
+    # 0, the lossy path, r7) dequantizes the T1 integers to float64 with
+    # midpoint reconstruction (|q| + 0.5) * delta and runs the float
+    # lifting synthesis.
+    irrev = st[0].cod.transform == 0
     raw = {}
     for c in sorted(want):
         s = st[c]
@@ -1601,8 +1742,10 @@ def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
             ppx, ppy, xcb, ycb, pw, ph = s.res_meta[r]
             for bi, band in enumerate(s.geo[r]["bands"]):
                 name, bx0, by0, bx1, by1 = band
-                arr = np.zeros((by1 - by0, bx1 - bx0), dtype=np.int64)
+                arr = np.zeros((by1 - by0, bx1 - bx0),
+                               dtype=np.float64 if irrev else np.int64)
                 mb = s.band_mb(r, bi)
+                delta = s.band_delta(r, bi, name) if irrev else 1
                 for p in range(pw * ph):
                     _, _, cbs = _cbs_in_precinct(
                         band, r, p, pw, s.geo[r]["res"], ppx, ppy, xcb, ycb)
@@ -1614,26 +1757,41 @@ def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
                         coeffs = _t1_decode_fast(
                             b"".join(stt.segments), cx1 - cx0, cy1 - cy0,
                             stt.n_passes, nbp, name)
+                        if irrev:
+                            coeffs = np.where(
+                                coeffs == 0, 0.0,
+                                np.sign(coeffs)
+                                * ((np.abs(coeffs) + 0.5) * delta))
                         arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0] = coeffs
                 bands_by[(r, name)] = arr
         ll = bands_by[(0, "LL")]
+        inv = dwt97_inverse if irrev else dwt53_inverse
         for r in range(1, max_res + 1):
             trx0, try0, trx1, try1 = s.geo[r]["res"]
-            ll = dwt53_inverse(ll, bands_by[(r, "HL")], bands_by[(r, "LH")],
-                               bands_by[(r, "HH")], trx0, try0, trx1, try1)
+            ll = inv(ll, bands_by[(r, "HL")], bands_by[(r, "LH")],
+                     bands_by[(r, "HH")], trx0, try0, trx1, try1)
         raw[c] = ll
 
-    # inverse reversible color transform (RCT): comps 0-2 are Y, Cb, Cr
     if mct and ncomp >= 3 and {0, 1, 2} <= set(raw):
-        y, cb, cr = raw[0], raw[1], raw[2]
-        g = y - ((cb + cr) >> 2)
-        raw[0] = cr + g  # R
-        raw[1] = g       # G
-        raw[2] = cb + g  # B
+        if irrev:
+            # inverse irreversible color transform (ICT, YCbCr)
+            y, cb, cr = raw[0], raw[1], raw[2]
+            raw[0] = y + 1.402 * cr
+            raw[1] = y - 0.344136 * cb - 0.714136 * cr
+            raw[2] = y + 1.772 * cb
+        else:
+            # inverse reversible color transform (RCT)
+            y, cb, cr = raw[0], raw[1], raw[2]
+            g = y - ((cb + cr) >> 2)
+            raw[0] = cr + g  # R
+            raw[1] = g       # G
+            raw[2] = cb + g  # B
 
     out = {}
     for c, ll in raw.items():
         depth = cs.comp[c]["depth"]
+        if irrev:
+            ll = np.rint(ll).astype(np.int64)
         if not cs.comp[c]["signed"]:
             ll = ll + (1 << (depth - 1))
             np.clip(ll, 0, (1 << depth) - 1, out=ll)
@@ -1853,7 +2011,8 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
                levels: int = 5, cb_exp: tuple = (6, 6),
                depth: int | None = None, signed: bool | None = None,
                precinct: int | None = None, prog: str = "LRCP",
-               mct: bool | None = None) -> bytes:
+               mct: bool | None = None, lossy: bool = False,
+               frac_bits: int = 6) -> bytes:
     """Encode a 2-D (H, W) or multi-component 3-D (H, W, C) integer
     array as a raw JPEG2000 codestream (reversible 5/3, single quality
     layer). ``precinct`` = PPx=PPy exponent (None = maximal); ``prog`` =
@@ -1903,22 +2062,35 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
     prog_code = {"LRCP": 0, "RPCL": 2}[prog]
     cod = bytes([1 if precinct is not None else 0, prog_code, 0, 1,
                  1 if mct else 0,
-                 levels, xcb - 2, ycb - 2, 0, 1])
+                 levels, xcb - 2, ycb - 2, 0, 0 if lossy else 1])
     if precinct is not None:
         cod += bytes([(pp << 4) | pp] * (levels + 1))
     out += b"\xFF\x52" + struct.pack(">H", 2 + len(cod)) + cod
-    # QCD: style 0 (reversible), 2 guard bits; exponent = depth + gain + 1
-    # (5/3 lifting growth bound), gain LL=0, HL/LH=1, HH=2. Under RCT the
-    # chroma planes carry one extra magnitude bit (Cb = B - G): one shared
-    # QCD sized for the worst component (the spare bitplane on Y costs
-    # only tag-tree header bits, not body bytes)
     guard = 2
-    edepth = depth + (1 if mct else 0)
-    exps = [min(31, edepth + 0 + 1)]
-    for r in range(1, levels + 1):
-        for gain in (1, 1, 2):
-            exps.append(min(31, edepth + gain + 1))
-    qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
+    if lossy:
+        # QCD style 2 (scalar expounded), mu=0: step size for a band of
+        # gain g is 2^(depth + g - eps) = 2^-frac_bits for every band —
+        # a uniform deadzone quantizer whose precision the caller picks
+        # (the decoder reconstructs at (|q|+0.5) * step)
+        exps = [min(31, depth + 0 + int(frac_bits))]
+        for r in range(1, levels + 1):
+            for gain in (1, 1, 2):
+                exps.append(min(31, depth + gain + int(frac_bits)))
+        qcd = bytes([(guard << 5) | 2]) + b"".join(
+            struct.pack(">H", e << 11) for e in exps)
+    else:
+        # QCD: style 0 (reversible), 2 guard bits; exponent = depth +
+        # gain + 1 (5/3 lifting growth bound), gain LL=0, HL/LH=1, HH=2.
+        # Under RCT the chroma planes carry one extra magnitude bit
+        # (Cb = B - G): one shared QCD sized for the worst component
+        # (the spare bitplane on Y costs only tag-tree header bits, not
+        # body bytes)
+        edepth = depth + (1 if mct else 0)
+        exps = [min(31, edepth + 0 + 1)]
+        for r in range(1, levels + 1):
+            for gain in (1, 1, 2):
+                exps.append(min(31, edepth + gain + 1))
+        qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
     out += b"\xFF\x5C" + struct.pack(">H", 2 + len(qcd)) + qcd
 
     n_xt, n_yt = _ceil_div(w, tw), _ceil_div(h, th)
@@ -1929,7 +2101,8 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
         body = _encode_tile([c[ty0:ty1, tx0:tx1].astype(np.int64)
                              for c in comps],
                             tx0, ty0, tx1, ty1, levels, xcb, ycb,
-                            depth, signed, guard, exps, pp, prog, mct)
+                            depth, signed, guard, exps, pp, prog, mct,
+                            lossy)
         sot = struct.pack(">HIBB", t, 12 + len(body) + 2, 0, 1)
         out += b"\xFF\x90" + struct.pack(">H", 10) + sot
         out += b"\xFF\x93" + body
@@ -1939,30 +2112,38 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
 
 def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
                  depth, signed, guard, exps, pp: int = 15,
-                 prog: str = "LRCP", mct: bool = False) -> bytes:
+                 prog: str = "LRCP", mct: bool = False,
+                 lossy: bool = False) -> bytes:
     if isinstance(tiles, np.ndarray):  # single-component callers
         tiles = [tiles]
     planes = []
     for a in tiles:
-        a = a.copy()
+        a = a.astype(np.float64) if lossy else a.copy()
         if not signed:
             a -= 1 << (depth - 1)  # DC level shift
         planes.append(a)
     if mct and len(planes) >= 3:
-        # forward reversible color transform on components 0-2
         r_, g_, b_ = planes[0], planes[1], planes[2]
-        planes[0] = (r_ + 2 * g_ + b_) >> 2  # Y
-        planes[1] = b_ - g_                  # Cb
-        planes[2] = r_ - g_                  # Cr
+        if lossy:
+            # forward irreversible color transform (ICT, YCbCr)
+            planes[0] = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+            planes[1] = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+            planes[2] = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+        else:
+            # forward reversible color transform on components 0-2
+            planes[0] = (r_ + 2 * g_ + b_) >> 2  # Y
+            planes[1] = b_ - g_                  # Cb
+            planes[2] = r_ - g_                  # Cr
     # forward DWT per component (uniform grid: one geometry for all)
     geo = _band_geometry(tcx0, tcy0, tcx1, tcy1, levels)
+    fwd = dwt97_forward if lossy else dwt53_forward
     comp_bands = []
     for a in planes:
         bands = {}
         u0, v0 = tcx0, tcy0
         cur = a
         for r in range(levels, 0, -1):
-            ll, hl, lh, hh = dwt53_forward(cur, u0, v0)
+            ll, hl, lh, hh = fwd(cur, u0, v0)
             bands[(r, "HL")] = hl
             bands[(r, "LH")] = lh
             bands[(r, "HH")] = hh
@@ -1970,6 +2151,18 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
             u0, v0 = (u0 + 1) // 2, (v0 + 1) // 2
         bands[(0, "LL")] = cur
         comp_bands.append(bands)
+    if lossy:
+        # deadzone quantization (E.2): q = sign(y) * floor(|y| / delta),
+        # delta from the same eps the decoder will read back
+        for bands in comp_bands:
+            for (r, name), arr in bands.items():
+                e = exps[0] if r == 0 else \
+                    exps[1 + 3 * (r - 1) + ("HL", "LH", "HH").index(name)]
+                gain = 0 if name == "LL" else (2 if name == "HH" else 1)
+                delta = 2.0 ** (depth + gain - e)
+                bands[(r, name)] = (np.sign(arr)
+                                    * np.floor(np.abs(arr) / delta)
+                                    ).astype(np.int64)
 
     def band_mb(r, bi):
         e = exps[0] if r == 0 else exps[1 + 3 * (r - 1) + bi]

@@ -80,7 +80,7 @@ def _cached_info(uri: str):
             f"{uri}: not readable by the pure-python codecs ({e}). "
             "Pure-python covers the TIFF/GeoTIFF family and lossless "
             "(5/3 reversible) JPEG2000 (see the README format matrix); "
-            "lossy JP2/MrF/HDF/VRT need GDAL — installing rasterio "
+            "MrF/HDF/subsampled-JP2 need GDAL — installing rasterio "
             "enables the fallback read path automatically."
         ) from e
 

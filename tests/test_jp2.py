@@ -255,11 +255,18 @@ def test_malformed_input_raises_valueerror():
 def test_unsupported_features_raise():
     a = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(jp2.encode_jp2(a, levels=1))
-    # flip the COD transform byte to 9/7 (irreversible)
+    # flip the COD transform byte to 9/7 (irreversible): parsing is fine
+    # (9/7 is supported since r7) but decoding must reject the illegal
+    # 9/7 + unquantized-QCD combination instead of producing wrong pixels
     i = bytes(data).find(b"\xFF\x52")
     data[i + 4 + 9] = 0
+    cs = jp2.JP2Codestream(bytes(data))
+    with pytest.raises(ValueError):
+        jp2._decode_tile(cs, 0, 0)
+    # an unknown transform code still raises at parse
+    data[i + 4 + 9] = 7
     with pytest.raises(NotImplementedError):
-        cs = jp2.JP2Codestream(bytes(data))
+        jp2.JP2Codestream(bytes(data))
 
 
 def test_unsupported_cbstyle_bits_rejected():
@@ -626,3 +633,111 @@ def test_t1_fused_decoder_parity_with_reference_impl():
         fast = jp2._t1_decode_fast(data, w, h, npass, nbp, orient)
         assert np.array_equal(ref, fast), (trial, w, h, orient)
         assert np.array_equal(ref, co)
+
+
+class TestLossy97:
+    """Irreversible 9/7 path (r7): float lifting DWT, scalar
+    quantization with midpoint reconstruction, ICT color transform.
+    No external lossy fixture exists in-container (no GDAL/openjpeg to
+    produce one); the anchors are (a) analysis<->synthesis invertibility
+    of the 9/7 lifting to 1e-9, (b) the quantization error bound — at
+    frac_bits=6 the reconstruction error is < 0.5 LSB for 8/12-bit
+    data, so round-trips are exactly integer-identical, (c) realistic
+    rate/PSNR behavior at coarse quantization, and (d) the skipif'd
+    rasterio parity test in test_sources.py when GDAL is present."""
+
+    def test_dwt97_invertibility(self):
+        import numpy as np
+
+        from rasterframes_spark.sources import jp2
+
+        rng = np.random.default_rng(0)
+        for (h, w, u0, v0) in [(16, 16, 0, 0), (17, 23, 1, 0), (5, 9, 3, 7),
+                               (1, 8, 0, 1), (8, 1, 1, 0), (31, 17, 5, 2),
+                               (2, 2, 1, 1), (1, 1, 0, 0), (1, 1, 1, 1)]:
+            a = rng.normal(0, 100, (h, w))
+            ll, hl, lh, hh = jp2.dwt97_forward(a, u0, v0)
+            back = jp2.dwt97_inverse(ll, hl, lh, hh, u0, v0, u0 + w, v0 + h)
+            assert np.abs(back - a).max() < 1e-9, (h, w, u0, v0)
+
+    def test_fine_quantization_roundtrip_exact(self):
+        import numpy as np
+
+        from rasterframes_spark.sources import jp2
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (100, 130)).astype(np.uint16)
+        dec = jp2.decode_jp2(jp2.encode_jp2(img, levels=3, lossy=True,
+                                            frac_bits=6))
+        np.testing.assert_array_equal(dec, img)
+        img12 = rng.integers(0, 4096, (80, 70)).astype(np.uint16)
+        dec = jp2.decode_jp2(jp2.encode_jp2(img12, levels=4, lossy=True,
+                                            frac_bits=6))
+        np.testing.assert_array_equal(dec, img12)
+
+    def test_rgb_ict_roundtrip(self):
+        import numpy as np
+
+        from rasterframes_spark.sources import jp2
+
+        rng = np.random.default_rng(2)
+        rgb = rng.integers(0, 256, (64, 80, 3)).astype(np.uint8)
+        b = jp2.encode_jp2(rgb, levels=3, lossy=True, frac_bits=6)
+        for c in range(3):
+            np.testing.assert_array_equal(jp2.decode_jp2(b, component=c),
+                                          rgb[:, :, c])
+
+    def test_rate_distortion_behaves(self):
+        import numpy as np
+
+        from rasterframes_spark.sources import jp2
+
+        x, y = np.meshgrid(np.arange(128), np.arange(96))
+        img = (128 + 100 * np.sin(x / 9.0) * np.cos(y / 11.0)).astype("uint8")
+        sizes, psnrs = [], []
+        for fb in (0, 2, 4):
+            b = jp2.encode_jp2(img, levels=4, lossy=True, frac_bits=fb)
+            e = jp2.decode_jp2(b).astype(float) - img
+            sizes.append(len(b))
+            psnrs.append(10 * np.log10(255 ** 2 / max((e * e).mean(), 1e-12)))
+        assert sizes[0] < sizes[1] < sizes[2]      # rate grows with quality
+        assert psnrs[0] < psnrs[1] < psnrs[2]      # distortion shrinks
+        assert psnrs[0] > 40                       # coarse is still decent
+        assert sizes[0] < 0.06 * img.size          # and strongly compressed
+
+    def test_tiled_windows_overview_and_reader(self, tmp_path):
+        import numpy as np
+
+        from rasterframes_spark.sources import jp2
+        from rasterframes_spark.sources.rangeio import RangeSource
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 4096, (200, 300)).astype(np.uint16)
+        b = jp2.encode_jp2(img, tile_size=(64, 64), levels=3, lossy=True,
+                           frac_bits=6, prog="RPCL", precinct=6)
+        dec = jp2.decode_jp2(b)
+        np.testing.assert_array_equal(dec, img)
+        wdec = jp2.decode_jp2(b, window=(70, 50, 100, 90))
+        np.testing.assert_array_equal(wdec, dec[50:140, 70:170])
+        assert jp2.decode_jp2(b, reduce=2).shape == (50, 75)
+        p = tmp_path / "lossy.jp2"
+        p.write_bytes(b)
+        info = jp2.read_info(RangeSource(str(p)))
+        assert (info.width, info.height) == (300, 200)
+        arr = jp2.read_window(RangeSource(str(p)), info, 30, 20, 60, 70, 0)
+        np.testing.assert_array_equal(arr, img[20:90, 30:90])
+
+    def test_mixed_transform_quantization_rejected(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from rasterframes_spark.sources import jp2
+
+        img = np.zeros((16, 16), dtype=np.uint8)
+        b = bytearray(jp2.encode_jp2(img, levels=2, lossy=True, frac_bits=4))
+        # flip the COD transform byte to 5/3 while QCD stays quantized
+        i = bytes(b).find(b"\xFF\x52")
+        ln = int.from_bytes(b[i + 2:i + 4], "big")
+        b[i + 4 + ln - 1 - (0)] = 1  # last COD byte = transform
+        with _pytest.raises(ValueError):
+            jp2.decode_jp2(bytes(b))
