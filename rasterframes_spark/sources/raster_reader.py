@@ -72,6 +72,12 @@ def _cached_info(uri: str):
             return J2.read_info(_range_source(uri))
         except (ValueError, NotImplementedError):
             pass
+        from rasterframes_spark.sources import vrt as V
+
+        try:
+            return V.read_info(_range_source(uri))
+        except (ValueError, NotImplementedError):
+            pass
         from rasterframes_spark.sources import gdal_fallback as GF
 
         if GF.have_rasterio():
@@ -83,6 +89,30 @@ def _cached_info(uri: str):
             "MrF/HDF/subsampled-JP2 need GDAL — installing rasterio "
             "enables the fallback read path automatically."
         ) from e
+
+
+def read_window_any(uri: str, c0: int, r0: int, w: int, h: int,
+                    band: int = 0) -> np.ndarray:
+    """Windowed read of any URI through the format dispatch (GeoTIFF/COG,
+    JP2 — lossless or lossy, VRT composition, rasterio fallback).  The
+    shared entry the realize UDF and the VRT composer both route
+    through, so nested VRTs and mixed-format mosaics compose."""
+    info = _cached_info(uri)
+    via = getattr(info, "via", "tiff")
+    if via == "gdal":
+        from rasterframes_spark.sources import gdal_fallback as GF
+
+        return GF.read_window_rasterio(uri, c0, r0, w, h, band)
+    data = _range_source(uri)
+    if via == "jp2":
+        from rasterframes_spark.sources import jp2 as J2
+
+        return J2.read_window(data, info, c0, r0, w, h, band)
+    if via == "vrt":
+        from rasterframes_spark.sources import vrt as V
+
+        return V.read_window(data, info, c0, r0, w, h, band)
+    return GT.read_window(data, info, c0, r0, w, h, band)
 
 
 def _celltype_for(info: GT.GeoTiffInfo) -> str:
@@ -271,20 +301,8 @@ def realize_tiles(ref, io_trace: str | None = None) -> Column:
             c0c, r0c = max(c0, 0), max(r0, 0)
             w = min(c0 + w_req, info.width) - c0c
             h = min(r0 + h_req, info.height) - r0c
-            via = getattr(info, "via", "tiff")
-            if via == "gdal":
-                from rasterframes_spark.sources import gdal_fallback as GF
-
-                arr = GF.read_window_rasterio(
-                    str(uri), c0c, r0c, w, h, int(r["band"].values[i]))
-            elif via == "jp2":
-                from rasterframes_spark.sources import jp2 as J2
-
-                arr = J2.read_window(data, info, c0c, r0c, w, h,
-                                     int(r["band"].values[i]))
-            else:
-                arr = GT.read_window(data, info, c0c, r0c, w, h,
-                                     int(r["band"].values[i]))
+            arr = read_window_any(str(uri), c0c, r0c, w, h,
+                                  int(r["band"].values[i]))
             ct = CellType.parse(_celltype_for(info))
             if buf and ct.nodata is None:
                 # raw cell type can't encode a NoData halo: encode_cells

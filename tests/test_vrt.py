@@ -1,0 +1,183 @@
+"""GDAL VRT reader (sources/vrt.py): mosaics, scaling, ComplexSource,
+nested VRTs, and the distributed read_raster path."""
+
+import numpy as np
+import pytest
+
+from rasterframes_spark.sources import geotiff as GT
+from rasterframes_spark.sources.rangeio import RangeSource
+from rasterframes_spark.sources import vrt as V
+
+
+@pytest.fixture(scope="module")
+def mosaic(tmp_path_factory):
+    """Two 64x64 uint16 scenes side by side + a VRT mosaic over them."""
+    root = tmp_path_factory.mktemp("vrt")
+    rng = np.random.default_rng(9)
+    left = rng.integers(1, 1000, (64, 64)).astype("uint16")
+    right = rng.integers(1, 1000, (64, 64)).astype("uint16")
+    (root / "left.tif").write_bytes(
+        GT.write_geotiff(left, (0.0, 0.0, 64.0, 64.0), "EPSG:32618",
+                         tile_size=32))
+    (root / "right.tif").write_bytes(
+        GT.write_geotiff(right, (64.0, 0.0, 128.0, 64.0), "EPSG:32618",
+                         tile_size=32))
+    vrt = f"""<VRTDataset rasterXSize="128" rasterYSize="64">
+  <SRS>EPSG:32618</SRS>
+  <GeoTransform>0.0, 1.0, 0.0, 64.0, 0.0, -1.0</GeoTransform>
+  <VRTRasterBand dataType="UInt16" band="1">
+    <NoDataValue>0</NoDataValue>
+    <SimpleSource>
+      <SourceFilename relativeToVRT="1">left.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="64" ySize="64"/>
+      <DstRect xOff="0" yOff="0" xSize="64" ySize="64"/>
+    </SimpleSource>
+    <SimpleSource>
+      <SourceFilename relativeToVRT="1">right.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="64" ySize="64"/>
+      <DstRect xOff="64" yOff="0" xSize="64" ySize="64"/>
+    </SimpleSource>
+  </VRTRasterBand>
+</VRTDataset>"""
+    (root / "mosaic.vrt").write_text(vrt)
+    return root, np.hstack([left, right])
+
+
+def test_info_and_full_read(mosaic):
+    root, full = mosaic
+    src = RangeSource(str(root / "mosaic.vrt"))
+    info = V.read_info(src)
+    assert (info.width, info.height, info.dtype, info.crs, info.via) == \
+        (128, 64, "uint16", "EPSG:32618", "vrt")
+    assert info.extent == (0.0, 0.0, 128.0, 64.0)
+    got = V.read_window(src, info, 0, 0, 128, 64, 0)
+    np.testing.assert_array_equal(got, full)
+
+
+def test_windows_cross_source_boundary(mosaic):
+    root, full = mosaic
+    src = RangeSource(str(root / "mosaic.vrt"))
+    info = V.read_info(src)
+    got = V.read_window(src, info, 48, 10, 40, 30, 0)
+    np.testing.assert_array_equal(got, full[10:40, 48:88])
+    # window entirely outside any source paints NoData... (no gap in this
+    # mosaic, so probe a gap VRT below instead)
+
+
+def test_gap_fills_nodata(mosaic, tmp_path):
+    root, _ = mosaic
+    vrt = f"""<VRTDataset rasterXSize="100" rasterYSize="64">
+  <VRTRasterBand dataType="UInt16" band="1">
+    <NoDataValue>9999</NoDataValue>
+    <SimpleSource>
+      <SourceFilename>{root}/left.tif</SourceFilename>
+      <SrcRect xOff="0" yOff="0" xSize="64" ySize="64"/>
+      <DstRect xOff="0" yOff="0" xSize="64" ySize="64"/>
+    </SimpleSource>
+  </VRTRasterBand>
+</VRTDataset>"""
+    p = tmp_path / "gap.vrt"
+    p.write_text(vrt)
+    src = RangeSource(str(p))
+    info = V.read_info(src)
+    got = V.read_window(src, info, 60, 0, 40, 5, 0)
+    assert (got[:, 4:] == 9999).all()        # uncovered strip
+    assert (got[:, :4] != 9999).all()
+
+
+def test_complex_source_scale_and_nodata(mosaic, tmp_path):
+    root, full = mosaic
+    vrt = f"""<VRTDataset rasterXSize="64" rasterYSize="64">
+  <VRTRasterBand dataType="Float64" band="1">
+    <ComplexSource>
+      <SourceFilename>{root}/left.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <ScaleRatio>0.5</ScaleRatio>
+      <ScaleOffset>100</ScaleOffset>
+      <NODATA>{int(full[0, 0])}</NODATA>
+    </ComplexSource>
+  </VRTRasterBand>
+</VRTDataset>"""
+    p = tmp_path / "scaled.vrt"
+    p.write_text(vrt)
+    src = RangeSource(str(p))
+    info = V.read_info(src)
+    got = V.read_window(src, info, 0, 0, 64, 64, 0)
+    left = full[:, :64].astype("float64")
+    exp = left * 0.5 + 100
+    exp[left == full[0, 0]] = 0.0            # NODATA pixels don't paint
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_downsampled_dst_rect(mosaic, tmp_path):
+    """SrcRect 64x64 -> DstRect 32x32: 2x nearest decimation."""
+    root, full = mosaic
+    vrt = f"""<VRTDataset rasterXSize="32" rasterYSize="32">
+  <VRTRasterBand dataType="UInt16" band="1">
+    <SimpleSource>
+      <SourceFilename>{root}/left.tif</SourceFilename>
+      <SrcRect xOff="0" yOff="0" xSize="64" ySize="64"/>
+      <DstRect xOff="0" yOff="0" xSize="32" ySize="32"/>
+    </SimpleSource>
+  </VRTRasterBand>
+</VRTDataset>"""
+    p = tmp_path / "half.vrt"
+    p.write_text(vrt)
+    src = RangeSource(str(p))
+    info = V.read_info(src)
+    got = V.read_window(src, info, 0, 0, 32, 32, 0)
+    np.testing.assert_array_equal(got, full[1::2, 1:64:2])
+
+
+def test_nested_vrt(mosaic, tmp_path):
+    root, full = mosaic
+    vrt = f"""<VRTDataset rasterXSize="128" rasterYSize="64">
+  <VRTRasterBand dataType="UInt16" band="1">
+    <SimpleSource>
+      <SourceFilename>{root}/mosaic.vrt</SourceFilename>
+      <SrcRect xOff="0" yOff="0" xSize="128" ySize="64"/>
+      <DstRect xOff="0" yOff="0" xSize="128" ySize="64"/>
+    </SimpleSource>
+  </VRTRasterBand>
+</VRTDataset>"""
+    p = tmp_path / "nested.vrt"
+    p.write_text(vrt)
+    src = RangeSource(str(p))
+    got = V.read_window(src, V.read_info(src), 30, 5, 70, 50, 0)
+    np.testing.assert_array_equal(got, full[5:55, 30:100])
+
+
+def test_rejects_non_vrt_and_rotation(tmp_path):
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        V.read_info(RangeSource(str(p)))
+    rot = """<VRTDataset rasterXSize="4" rasterYSize="4">
+  <GeoTransform>0, 1, 0.5, 0, 0.5, -1</GeoTransform>
+  <VRTRasterBand dataType="Byte" band="1"/>
+</VRTDataset>"""
+    p2 = tmp_path / "rot.vrt"
+    p2.write_text(rot)
+    with pytest.raises(ValueError):
+        V.read_info(RangeSource(str(p2)))
+
+
+def test_read_raster_over_vrt(spark, mosaic):
+    """The distributed path: read_raster chunks the VRT, realize_tiles
+    composes each chunk from the underlying scenes."""
+    from pyspark.sql import functions as F
+
+    from rasterframes_spark import sources as S
+
+    root, full = mosaic
+    df = S.read_raster(spark, [str(root / "mosaic.vrt")],
+                       tile_dimensions=(32, 32))
+    assert df.count() == 8                   # 4x2 chunk grid
+    tot = (df.select(S.realize_tiles("tile_ref").alias("t"))
+           .selectExpr("rf_tile_sum(t) s").agg(F.sum("s")).head()[0])
+    assert tot == float(full.sum())
+    # CRS + extent surfaced from the VRT
+    row = df.select("crs", "extent").head()
+    assert row["crs"] == "EPSG:32618"
