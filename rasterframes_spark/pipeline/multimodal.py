@@ -92,8 +92,10 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
     ``decode='jpeg'`` (``sources/jpeg.py``: baseline JFIF — Huffman +
     batched-numpy IDCT, 4:4:4/4:2:2/4:2:0, restart markers),
     ``decode='webp'`` (``sources/webp.py``: lossless VP8L — prefix codes,
-    LZ77, color cache, all four transforms), and ``decode='auto'``
-    (magic-byte sniff: PNG, JPEG, or WebP per row). Output dims
+    LZ77, color cache, all four transforms), ``decode='bmp'`` /
+    ``decode='ppm'`` (``sources/simple_images.py``: uncompressed BMP,
+    binary netpbm), and ``decode='auto'`` (magic-byte sniff per row
+    across all of them). Output dims
     come from the image, not the height/width args; rows whose payload
     fails to decode are dropped (corrupt-input tolerance, the behavior a
     web-scale ingest wants). ``decode='real'`` marks where an AVIF/lossy-
@@ -109,7 +111,12 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
     def run(batches):
         from rasterframes_spark.sources.jpeg import decode_jpeg
         from rasterframes_spark.sources.png import decode_png
+        from rasterframes_spark.sources.simple_images import (
+            decode_bmp, decode_ppm)
         from rasterframes_spark.sources.webp import decode_webp
+
+        named = {"png": decode_png, "jpeg": decode_jpeg,
+                 "webp": decode_webp, "bmp": decode_bmp, "ppm": decode_ppm}
 
         def sniff(b: bytes):
             if b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -118,6 +125,10 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
                 return decode_jpeg
             if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
                 return decode_webp
+            if b[:2] == b"BM":
+                return decode_bmp
+            if b[:2] in (b"P5", b"P6"):
+                return decode_ppm
             return None
 
         for pdf in batches:
@@ -125,12 +136,9 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                if decode in ("png", "jpeg", "webp", "auto"):
+                if decode in ("png", "jpeg", "webp", "bmp", "ppm", "auto"):
                     b = bytes(payload)
-                    codec = (decode_png if decode == "png"
-                             else decode_jpeg if decode == "jpeg"
-                             else decode_webp if decode == "webp"
-                             else sniff(b))
+                    codec = named.get(decode) or sniff(b)
                     if codec is None:
                         continue  # unknown format: drop the row
                     try:

@@ -166,6 +166,11 @@ def read_image_info(b: bytes) -> tuple[str, int, int, int | None]:
         return _bmp(b)
     if b[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         return _tiff(b)
+    if b[:2] in (b"P5", b"P6") and b[2:3].isspace():
+        from rasterframes_spark.sources.simple_images import _pnm_tokens
+
+        (w, h, _), _ = _pnm_tokens(b, 3, 2)
+        return ("pnm", w, h, 3 if b[:2] == b"P6" else 1)
     if len(b) >= 12 and b[4:8] == b"ftyp":
         brand = b[8:12]
         if brand in (b"avif", b"avis"):
