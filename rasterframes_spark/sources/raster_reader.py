@@ -78,6 +78,12 @@ def _cached_info(uri: str):
             return V.read_info(_range_source(uri))
         except (ValueError, NotImplementedError):
             pass
+        from rasterframes_spark.sources import mrf as MRF
+
+        try:
+            return MRF.read_info(_range_source(uri))
+        except (ValueError, NotImplementedError):
+            pass
         from rasterframes_spark.sources import gdal_fallback as GF
 
         if GF.have_rasterio():
@@ -112,6 +118,10 @@ def read_window_any(uri: str, c0: int, r0: int, w: int, h: int,
         from rasterframes_spark.sources import vrt as V
 
         return V.read_window(data, info, c0, r0, w, h, band)
+    if via == "mrf":
+        from rasterframes_spark.sources import mrf as MRF
+
+        return MRF.read_window(data, info, c0, r0, w, h, band)
     return GT.read_window(data, info, c0, r0, w, h, band)
 
 
