@@ -158,33 +158,50 @@ def decode_audio(df: DataFrame, decode: str = "wav") -> DataFrame:
 
     ``decode='wav'`` runs the real RIFF/WAV codec above; ``decode='flac'``
     the pure-python FLAC codec (``sources/flac.py`` — Rice + fixed/LPC
-    predictors, exact integer decode); ``decode='auto'`` sniffs RIFF vs
-    fLaC magic per payload. Rows whose payload fails to decode are
-    dropped (corrupt-input tolerance, the behavior a web-scale ingest
-    wants). ``decode='real'`` marks where a *lossy* codec
-    (mp3/vorbis/opus via torchaudio/ffmpeg) would slot in. Decoded
+    predictors, exact integer decode); ``decode='aiff'`` / ``decode='au'``
+    the AIFF/AIFF-C and Sun AU decoders (``sources/aiff_au.py``, incl.
+    G.711 mu-law/A-law expansion); ``decode='auto'`` sniffs the magic
+    bytes per payload across all of them. Rows whose payload fails to
+    decode are dropped (corrupt-input tolerance, the behavior a
+    web-scale ingest wants). ``decode='real'`` marks where a *lossy*
+    codec (mp3/vorbis/opus via torchaudio/ffmpeg) would slot in. Decoded
     samples are a packed little-endian float64 buffer (mono-mixed when
     multi-channel) — one row per clip, never a per-sample explosion.
     """
     if decode == "real":
         raise NotImplementedError(
             "lossy audio codecs (mp3/ogg-vorbis/opus) not available in "
-            "this environment; use decode='wav'/'flac'/'auto' for "
-            "WAV/FLAC payloads")
-    if decode not in ("wav", "flac", "auto"):
+            "this environment; use decode='wav'/'flac'/'aiff'/'au'/'auto'")
+    if decode not in ("wav", "flac", "aiff", "au", "auto"):
         raise ValueError(
-            f"decode must be 'wav', 'flac', 'auto' or 'real', got {decode!r}")
+            "decode must be 'wav', 'flac', 'aiff', 'au', 'auto' or "
+            f"'real', got {decode!r}")
 
     def _decode_any(b: bytes):
         kind = decode
         if kind == "auto":
-            kind = "flac" if b[:4] == b"fLaC" else "wav"
+            if b[:4] == b"fLaC":
+                kind = "flac"
+            elif b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+                kind = "aiff"
+            elif b[:4] == b".snd":
+                kind = "au"
+            else:
+                kind = "wav"
         if kind == "flac":
             from rasterframes_spark.sources.flac import decode_flac
 
             ints, rate, bps = decode_flac(b)
             full = 127.0 if bps == 8 else float(2 ** (bps - 1) - 1)
             return ints.astype("float64") / full, rate
+        if kind == "aiff":
+            from rasterframes_spark.sources.aiff_au import decode_aiff
+
+            return decode_aiff(b)
+        if kind == "au":
+            from rasterframes_spark.sources.aiff_au import decode_au
+
+            return decode_au(b)
         return decode_wav(b)
 
     def run(batches):
@@ -247,8 +264,9 @@ def audio_features(df: DataFrame) -> DataFrame:
 
 def audio_metadata(df: DataFrame) -> DataFrame:
     """Audio payload -> one metadata row per clip — WAV, MP3, Ogg
-    (Vorbis/Opus), or FLAC, sniffed by magic bytes: (media_id, format,
-    sample_rate, channels, duration_ms, bitrate_kbps, vbr).
+    (Vorbis/Opus), FLAC, AIFF/AIFF-C, or Sun AU, sniffed by magic
+    bytes: (media_id, format, sample_rate, channels, duration_ms,
+    bitrate_kbps, vbr).
 
     All four are real header-level parses with no sample decode: MP3 is a
     frame-header walk (``sources/mpeg_audio.py``: MPEG-1/2/2.5 Layers
@@ -292,6 +310,30 @@ def audio_metadata(df: DataFrame) -> DataFrame:
                                 if i.duration_ms > 0 else 0.0)
                         rows.append((int(mid), "flac", i.sample_rate,
                                      i.channels, i.duration_ms, kbps, True))
+                    elif b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+                        from rasterframes_spark.sources.aiff_au import (
+                            decode_aiff)
+
+                        a, rate = decode_aiff(b)
+                        rows.append((int(mid),
+                                     "aifc" if b[8:12] == b"AIFC"
+                                     else "aiff",
+                                     rate, int(a.shape[1]),
+                                     a.shape[0] * 1000.0 / rate,
+                                     len(b) * 8 * rate
+                                     / max(a.shape[0], 1) / 1000.0,
+                                     False))
+                    elif b[:4] == b".snd":
+                        from rasterframes_spark.sources.aiff_au import (
+                            decode_au)
+
+                        a, rate = decode_au(b)
+                        rows.append((int(mid), "au", rate,
+                                     int(a.shape[1]),
+                                     a.shape[0] * 1000.0 / rate,
+                                     len(b) * 8 * rate
+                                     / max(a.shape[0], 1) / 1000.0,
+                                     False))
                     else:
                         i = read_mp3_info(b)
                         rows.append((int(mid), "mp3", i.sample_rate,
