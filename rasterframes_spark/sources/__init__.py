@@ -12,6 +12,7 @@ from rasterframes_spark.sources.netcdf import (  # noqa: F401
 from rasterframes_spark.sources.stac import (  # noqa: F401
     read_stac_items, stac_api_search, stac_asset_catalog,
 )
+from rasterframes_spark.sources.mrf import write_mrf  # noqa: F401
 from rasterframes_spark.sources.layer import (  # noqa: F401
     write_tile_layer, read_tile_layer, layer_metadata,
     write_tile_layer_table, read_tile_layer_table, read_layer_catalog,
@@ -26,4 +27,5 @@ __all__ = [
     "read_stac_items", "stac_api_search", "stac_asset_catalog",
     "write_tile_layer", "read_tile_layer", "layer_metadata",
     "write_tile_layer_table", "read_tile_layer_table", "read_layer_catalog",
+    "write_mrf",
 ]

@@ -85,7 +85,8 @@ def write_jp2(df: DataFrame, path: str, tile_col: str = "tile",
               extent_col: str = "extent", crs_col: str = "crs",
               raster_dimensions: tuple | None = None,
               tile_size: tuple | None = (1024, 1024), levels: int = 5,
-              prog: str = "RPCL", precinct: int | None = 6) -> None:
+              prog: str = "RPCL", precinct: int | None = 6,
+              lossy: bool = False, frac_bits: int = 6) -> None:
     """Merge all tiles into ONE lossless JPEG2000 (.jp2) on the driver —
     the same visualization/export contract as write_geotiff, emitted by
     the native codec (sources/jp2.py) with GMLJP2 georeferencing, so the
@@ -121,6 +122,10 @@ def write_jp2(df: DataFrame, path: str, tile_col: str = "tile",
             "write_jp2: float cell types are not representable losslessly "
             "in reversible JPEG2000 — convert with rf_convert_cell_type "
             "or use write_geotiff")
+    # ``lossy=True`` switches to the irreversible 9/7 path (ICT for 3
+    # components); ``frac_bits`` sets the deadzone quantizer precision —
+    # at the default 6 fractional bits reconstruction is < 0.5 LSB for
+    # 8/12-bit data (integer-exact), lower values trade bits for error
     img = planes[0] if len(planes) == 1 else np.stack(planes, axis=-1)
     h, w = planes[0].shape
     ts = None
@@ -133,7 +138,8 @@ def write_jp2(df: DataFrame, path: str, tile_col: str = "tile",
     depth = ct.dtype.itemsize * 8
     code = J2.encode_jp2(img, tile_size=ts, levels=levels,
                          depth=depth, signed=signed,
-                         precinct=precinct, prog=prog)
+                         precinct=precinct, prog=prog,
+                         lossy=lossy, frac_bits=frac_bits)
     with open(path, "wb") as f:
         f.write(J2.wrap_jp2(code, w, h, depth, signed=signed,
                             crs=crs, extent=extent, nodata=ct.nodata,

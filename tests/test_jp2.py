@@ -741,3 +741,38 @@ class TestLossy97:
         b[i + 4 + ln - 1 - (0)] = 1  # last COD byte = transform
         with _pytest.raises(ValueError):
             jp2.decode_jp2(bytes(b))
+
+
+def test_write_jp2_lossy_sink(spark, tmp_path):
+    """write_jp2(lossy=True): the 9/7 export path — at frac_bits=6 the
+    round-trip is still integer-exact for 12-bit data, and the lossy
+    file is smaller than the lossless one on smooth content."""
+    import rasterframes_spark as rf  # noqa: F401 - registers SQL fns
+    from pyspark.sql import functions as F
+    from rasterframes_spark.sources import geotiff as GT
+    from rasterframes_spark.sources import raster_reader as S
+    from rasterframes_spark.sources import sinks
+
+    x, y = np.meshgrid(np.arange(128), np.arange(96))
+    arr = (1000 + 800 * np.sin(x / 11.0) * np.cos(y / 9.0)).astype("uint16")
+    src_p = str(tmp_path / "src.tif")
+    open(src_p, "wb").write(GT.write_geotiff(
+        arr, (0.0, 0.0, 1.28, 0.96), "EPSG:4326"))
+    df = S.read_raster(spark, [src_p], tile_dimensions=(64, 64))
+    df = df.select(S.realize_tiles("tile_ref").alias("tile"),
+                   "extent", "crs")
+    lossless_p = str(tmp_path / "ll.jp2")
+    lossy_p = str(tmp_path / "ly.jp2")
+    sinks.write_jp2(df, lossless_p, tile_size=(64, 64), levels=3)
+    sinks.write_jp2(df, lossy_p, tile_size=(64, 64), levels=3,
+                    lossy=True, frac_bits=6)
+    assert (jp2.decode_jp2(open(lossy_p, "rb").read()).astype(int)
+            == arr.astype(int)).all()
+    # coarse quantization: visibly smaller file, bounded error
+    small_p = str(tmp_path / "small.jp2")
+    sinks.write_jp2(df, small_p, tile_size=(64, 64), levels=3,
+                    lossy=True, frac_bits=0)
+    import os
+    assert os.path.getsize(small_p) < 0.6 * os.path.getsize(lossless_p)
+    dec = jp2.decode_jp2(open(small_p, "rb").read()).astype(float)
+    assert np.abs(dec - arr).max() < 16
