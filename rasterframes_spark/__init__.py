@@ -21,6 +21,8 @@ See SURVEY.md for the full structural analysis this build follows.
 
 from rasterframes_spark.tile import (  # noqa: F401
     CellType,
+    CRS,
+    Extent,
     Tile,
     TILE_SCHEMA,
     EXTENT_SCHEMA,

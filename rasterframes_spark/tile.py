@@ -36,6 +36,8 @@ from pyspark.sql.types import (
 
 __all__ = [
     "CellType",
+    "CRS",
+    "Extent",
     "Tile",
     "TILE_SCHEMA",
     "EXTENT_SCHEMA",
@@ -220,6 +222,29 @@ class CellType:
     def cell_type_name(self) -> str:
         return self.name
 
+    def is_raw(self) -> bool:
+        return self.name.endswith("raw")
+
+    def is_user_defined_no_data(self) -> bool:
+        return "ud" in self.name
+
+    def is_default_no_data(self) -> bool:
+        return not (self.is_raw() or self.is_user_defined_no_data())
+
+    def base_cell_type_name(self) -> str:
+        if self.is_raw():
+            return self.name[:-3]
+        if self.is_user_defined_no_data():
+            return self.name[:self.name.index("ud")]
+        return self.name
+
+    def to_numpy_dtype(self) -> np.dtype:
+        return self.dtype
+
+    @staticmethod
+    def from_numpy_dtype(np_dtype) -> "CellType":
+        return CellType.from_numpy(np.dtype(np_dtype))
+
 
 CELL_TYPES = [
     "bool",
@@ -362,6 +387,83 @@ class Tile:
 
     def __rtruediv__(self, other):
         return Tile(self._lift(other) / self.cells.astype("float64"))
+
+    def __matmul__(self, other):
+        # reference rf_types.Tile.__matmul__ (mask-propagating matmul)
+        return Tile(np.ma.dot(self.cells, self._lift(other)))
+
+
+class Extent:
+    """Reference rf_types.Extent, without the JVM: plain float bounds
+    plus the helpers the docs use (width/height/from_row/buffer) —
+    ``reproject`` routes through the engine's own pure-math transforms
+    (geom/proj.py) instead of a GeoTrellis callback."""
+
+    __slots__ = ("xmin", "ymin", "xmax", "ymax")
+
+    def __init__(self, xmin: float, ymin: float, xmax: float, ymax: float):
+        self.xmin = float(xmin)
+        self.ymin = float(ymin)
+        self.xmax = float(xmax)
+        self.ymax = float(ymax)
+
+    @property
+    def width(self) -> float:
+        return abs(self.xmax - self.xmin)
+
+    @property
+    def height(self) -> float:
+        return abs(self.ymax - self.ymin)
+
+    @classmethod
+    def from_row(cls, row) -> "Extent":
+        return cls(row.xmin, row.ymin, row.xmax, row.ymax)
+
+    def buffer(self, amount: float) -> "Extent":
+        return Extent(self.xmin - amount, self.ymin - amount,
+                      self.xmax + amount, self.ymax + amount)
+
+    def reproject(self, src_crs: str, dest_crs: str) -> "Extent":
+        from rasterframes_spark.geom.proj import transform_extent
+
+        return Extent(*transform_extent(
+            (self.xmin, self.ymin, self.xmax, self.ymax),
+            str(src_crs), str(dest_crs)))
+
+    def __eq__(self, other):
+        return (isinstance(other, Extent)
+                and (self.xmin, self.ymin, self.xmax, self.ymax)
+                == (other.xmin, other.ymin, other.xmax, other.ymax))
+
+    def __repr__(self):
+        return (f"Extent({self.xmin}, {self.ymin}, "
+                f"{self.xmax}, {self.ymax})")
+
+
+class CRS:
+    """Reference rf_types.CRS: a thin wrapper over the CRS string
+    ('EPSG:nnnn' or a proj4 string); equality is string equality."""
+
+    __slots__ = ("crsProj4",)
+
+    def __init__(self, crsProj4):
+        if not isinstance(crsProj4, str):
+            raise ValueError(
+                f"Unexpected CRS definition type: {type(crsProj4)}")
+        self.crsProj4 = crsProj4
+
+    @property
+    def proj4_str(self) -> str:
+        return self.crsProj4
+
+    def __eq__(self, other):
+        return isinstance(other, CRS) and self.crsProj4 == other.crsProj4
+
+    def __str__(self):
+        return self.crsProj4
+
+    def __repr__(self):
+        return f"CRS({self.crsProj4!r})"
 
 
 # ---------------------------------------------------------------------------
