@@ -1041,9 +1041,12 @@ def _q_text_metrics(spark, sf_dir):
 
 
 def _q_text_quality(spark, sf_dir):
-    """language_id + quality_score (pipeline/text.py) in one
-    family-keyed query — merged from the separate r5 lang_id /
-    quality_score slots to free oracle-window room."""
+    """language_id + quality_score (pipeline/text.py) + the r7 char-LM
+    perplexity scorer (pipeline/lm_quality.py) in one family-keyed
+    query.  The 'ppl' family is the full CCNet pipeline end-to-end:
+    DISTRIBUTED bigram/unigram training on a doc_id<300 sample, then
+    every document scored in bits/char — DuckDB re-derives the training
+    counts, the vocabulary size, and every score in closed form."""
     from rasterframes_spark import pipeline as P
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1056,7 +1059,14 @@ def _q_text_quality(spark, sf_dir):
         F.lit("q").alias("family"),
         F.col("doc_id").cast("string").alias("key"),
         _r0(P.quality_score("text"), 6).alias("val"))
-    return lang.unionByName(qual)
+    model = P.train_char_lm(docs.where(F.col("doc_id") < 300),
+                            "text", order=2, alpha=0.1)
+    ppl = (P.lm_bits_per_char(
+        docs.where(F.length("text") >= 2).select("doc_id", "text"), model)
+        .select(F.lit("ppl").alias("family"),
+                F.col("doc_id").cast("string").alias("key"),
+                _r0("lm_bits_per_char", 6).alias("val")))
+    return lang.unionByName(qual).unionByName(ppl)
 
 
 def _q_render_ramp(spark, sf_dir):
@@ -2214,6 +2224,44 @@ def oracle_sql() -> dict[str, str]:
               select doc_id,
                      round(0.4*least(t/64.0, 1.0) + 0.4*dr + 0.2*(1.0 - pr), 6) + 0.0 as quality
               from m
+            )
+            union all
+            -- char-LM bits/char: bigram model trained on doc_id < 300,
+            -- additively smoothed (alpha=0.1), scored over every doc
+            select 'ppl', cast(doc_id as varchar), round(bpc, 6) + 0.0
+            from (
+              with train as (
+                select text from documents where doc_id < 300
+              ), g2 as (
+                select substring(text, i, 2) as g, count(*) as n
+                from train, unnest(range(1, greatest(length(text) - 1, 0)
+                                         + 1)) as t(i)
+                group by 1
+              ), g1 as (
+                select substring(text, i, 1) as g, count(*) as n
+                from train, unnest(range(1, length(text) + 1)) as t(i)
+                group by 1
+              ), v as (select count(*) as v from g1
+              ), dg as (
+                -- per-doc gram rows first (plain CTE), then uncorrelated
+                -- left joins: DuckDB rejects outer joins on correlated
+                -- unnest columns
+                select d.doc_id,
+                       substring(d.text, i, 2) as g2g,
+                       substring(d.text, i, 1) as g1g
+                from documents d,
+                     unnest(range(1, greatest(length(d.text) - 1, 0) + 1))
+                       as t(i)
+                where length(d.text) >= 2
+              )
+              select dg.doc_id,
+                     avg(-log2((coalesce(p2.n, 0) + 0.1)
+                               / (coalesce(p1.n, 0) + 0.1 * v.v))) as bpc
+              from dg
+              cross join v
+              left join g2 p2 on p2.g = dg.g2g
+              left join g1 p1 on p1.g = dg.g1g
+              group by dg.doc_id
             )""",
         "curation": """
             with newdocs as (select * from documents where doc_id % 2 = 0),
