@@ -352,26 +352,50 @@ def read_netcdf(spark, paths, var: str, tile_dimensions=(256, 256),
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
-                info = read_netcdf_info(data)
-                arr = read_netcdf_var(data, var, info)
-                v = info.vars[var]
-                vdims = [info.dims[d][0] for d in v["dimids"]]
+                xs = ys = None
+                if data[:8] == b"\x89HDF\r\n\x1a\n":
+                    # NetCDF-4 = HDF5 container (sources/hdf5.py, r7):
+                    # coordinate variables resolve by the caller-named
+                    # x_dim/y_dim datasets (NetCDF-4 dimension scales
+                    # use vlen object references the minimal reader
+                    # does not chase)
+                    from rasterframes_spark.sources.hdf5 import (
+                        read_netcdf4)
+
+                    nc4 = read_netcdf4(data)
+                    if var not in nc4["variables"]:
+                        raise ValueError(f"netcdf4: no variable {var!r}")
+                    arr = nc4["variables"][var][0]
+                    if np.issubdtype(arr.dtype, np.floating) \
+                            and np.isnan(arr).any():
+                        arr = np.ma.masked_invalid(arr)
+                    if x_dim and x_dim in nc4["variables"]:
+                        xs = np.asarray(nc4["variables"][x_dim][0])
+                    if y_dim and y_dim in nc4["variables"]:
+                        ys = np.asarray(nc4["variables"][y_dim][0])
+                else:
+                    info = read_netcdf_info(data)
+                    arr = read_netcdf_var(data, var, info)
+                    v = info.vars[var]
+                    vdims = [info.dims[d][0] for d in v["dimids"]]
+                    xn = x_dim or (vdims[-1] if len(vdims) >= 1 else None)
+                    yn = y_dim or (vdims[-2] if len(vdims) >= 2 else None)
+                    if xn in info.vars:
+                        xs = np.asarray(read_netcdf_var(data, xn, info))
+                    if yn in info.vars:
+                        ys = np.asarray(read_netcdf_var(data, yn, info))
                 if arr.ndim < 2:
                     raise ValueError(f"netcdf: {var!r} is not 2-D+")
                 ny, nx = arr.shape[-2], arr.shape[-1]
                 flat = arr.reshape((-1, ny, nx))
                 # CF extent from coordinate vars named after the dims
-                xn = x_dim or vdims[-1]
-                yn = y_dim or vdims[-2]
                 xmin, xmax, ymin, ymax = 0.0, float(nx), 0.0, float(ny)
                 y_ascending = False
-                if xn in info.vars:
-                    xs = np.asarray(read_netcdf_var(data, xn, info))
+                if xs is not None:
                     half = (abs(float(xs[1] - xs[0])) / 2 if len(xs) > 1
                             else 0.5)
                     xmin, xmax = float(xs.min()) - half, float(xs.max()) + half
-                if yn in info.vars:
-                    ys = np.asarray(read_netcdf_var(data, yn, info))
+                if ys is not None:
                     half = (abs(float(ys[1] - ys[0])) / 2 if len(ys) > 1
                             else 0.5)
                     ymin, ymax = float(ys.min()) - half, float(ys.max()) + half
