@@ -115,8 +115,20 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
             decode_bmp, decode_ppm)
         from rasterframes_spark.sources.webp import decode_webp
 
+        def decode_tiff_image(b: bytes):
+            # whole-image multi-band read through the GeoTIFF codec
+            # (plain TIFFs are GeoTIFFs without geo tags)
+            from rasterframes_spark.sources import geotiff as GT
+
+            info = GT.read_info(b)
+            bands = [GT.read_window(b, info, 0, 0, info.width, info.height,
+                                    bi) for bi in range(min(info.bands, 4))]
+            a = np.stack(bands, axis=-1)
+            return a[:, :, 0] if a.shape[2] == 1 else a
+
         named = {"png": decode_png, "jpeg": decode_jpeg,
-                 "webp": decode_webp, "bmp": decode_bmp, "ppm": decode_ppm}
+                 "webp": decode_webp, "bmp": decode_bmp, "ppm": decode_ppm,
+                 "tiff": decode_tiff_image}
 
         def sniff(b: bytes):
             if b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -129,6 +141,8 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
                 return decode_bmp
             if b[:2] in (b"P5", b"P6"):
                 return decode_ppm
+            if b[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
+                return decode_tiff_image
             return None
 
         for pdf in batches:
@@ -136,7 +150,8 @@ def decode_image(df: DataFrame, height: int = 32, width: int = 32,
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                if decode in ("png", "jpeg", "webp", "bmp", "ppm", "auto"):
+                if decode in ("png", "jpeg", "webp", "bmp", "ppm", "tiff",
+                              "auto"):
                     b = bytes(payload)
                     codec = named.get(decode) or sniff(b)
                     if codec is None:

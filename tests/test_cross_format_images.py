@@ -142,3 +142,18 @@ def test_decode_image_auto_over_mixed_real_files(spark, truth):
         e = a[:, :, :3].astype(float) - truth
         assert (e == 0).all() or 10 * np.log10(
             255 ** 2 / (e * e).mean()) > 20.0, names[i]
+
+
+def test_decode_image_tiff_payload(spark, truth):
+    """decode_image handles real-libtiff payloads via the GeoTIFF codec
+    (sniffed or explicit) — bit-exact RGB vs the raw truth."""
+    from rasterframes_spark.pipeline.multimodal import decode_image
+
+    df = spark.createDataFrame([(1, bytearray(_read("python.tiff")))],
+                               "media_id long, payload binary")
+    for mode in ("tiff", "auto"):
+        r = decode_image(df, decode=mode).collect()[0]
+        assert (r["height"], r["width"]) == (16, 16)
+        a = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(
+            16, 16, r["channels"])
+        np.testing.assert_array_equal(a[:, :, :3], truth)
