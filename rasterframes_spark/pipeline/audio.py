@@ -182,6 +182,14 @@ def decode_audio(df: DataFrame, decode: str = "wav") -> DataFrame:
         if kind == "auto":
             if b[:4] == b"fLaC":
                 kind = "flac"
+            elif b[:4] == b"OggS":
+                # Ogg-FLAC re-splices to native FLAC; vorbis/opus payloads
+                # raise (-> row dropped, they need a lossy codec)
+                from rasterframes_spark.sources.ogg_flac import (
+                    ogg_flac_to_native)
+
+                b = ogg_flac_to_native(b)
+                kind = "flac"
             elif b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
                 kind = "aiff"
             elif b[:4] == b".snd":

@@ -92,6 +92,14 @@ def read_ogg_info(data: bytes) -> AudioStreamInfo:
                 channels = body[9]
                 pre_skip = struct.unpack_from("<H", body, 10)[0]
                 rate = 48000           # Opus granules always run at 48 kHz
+            elif body[:5] == b"\x7fFLAC" and len(body) >= 9 + 8 + 34:
+                # Ogg-FLAC mapping: native fLaC + STREAMINFO embedded
+                # in the identification packet (r7)
+                fi = read_flac_info(body[9:])
+                codec = "flac"
+                serial = pg_serial
+                channels = fi.channels
+                rate = fi.sample_rate
         if serial is not None and pg_serial == serial and granule > 0:
             last_granule = max(last_granule, granule)
         off = seg_end + body_len
@@ -159,3 +167,93 @@ def write_ogg_vorbis(n_samples: int, rate: int = 44100,
     audio = b"\x00" * 40
     return (_ogg_page(serial, 0, 0, ident, header_type=2)
             + _ogg_page(serial, 1, n_samples, audio, header_type=4))
+
+
+# ---------------------------------------------------------------------------
+# Ogg-FLAC mapping (r7): packet assembly + native-FLAC extraction
+# ---------------------------------------------------------------------------
+
+def ogg_packets(data: bytes, max_pages: int = 100000):
+    """Assemble logical packets from an Ogg stream (lacing values,
+    continued-packet flag across pages). Yields bytes per packet."""
+    if data[:4] != b"OggS":
+        raise ValueError("ogg: bad capture pattern")
+    off = 0
+    n = len(data)
+    pages = 0
+    cur = bytearray()
+    while off + 27 <= n and pages < max_pages:
+        if data[off:off + 4] != b"OggS":
+            break
+        header_type = data[off + 5]
+        nseg = data[off + 26]
+        seg_end = off + 27 + nseg
+        if seg_end > n:
+            raise ValueError("ogg: truncated segment table")
+        lacing = data[off + 27:seg_end]
+        body = data[seg_end:seg_end + sum(lacing)]
+        if len(body) != sum(lacing):
+            raise ValueError("ogg: truncated page body")
+        if not (header_type & 1):
+            cur = bytearray()          # fresh packet starts this page
+        p = 0
+        for lv in lacing:
+            cur += body[p:p + lv]
+            p += lv
+            if lv < 255:
+                yield bytes(cur)
+                cur = bytearray()
+        off = seg_end + len(body)
+        pages += 1
+    # an unterminated trailing packet (lacing ended at 255) is dropped,
+    # matching demuxer behavior on truncated streams
+
+
+def ogg_flac_to_native(data: bytes) -> bytes:
+    """Ogg-FLAC stream -> native FLAC bytes decodable by
+    sources/flac.decode_flac.
+
+    Per the Ogg-FLAC mapping spec the first packet is
+    0x7F 'FLAC' major minor nheaders(2 BE) + a native 'fLaC' signature +
+    STREAMINFO; later header packets are metadata blocks; audio packets
+    are native FLAC frames — so the native file is just a re-splice."""
+    packets = ogg_packets(data)
+    first = next(packets, b"")
+    if first[:5] != b"\x7fFLAC":
+        raise ValueError("ogg: not an Ogg-FLAC stream")
+    nheaders = struct.unpack_from(">H", first, 7)[0]
+    native = bytearray(first[9:])
+    if native[:4] != b"fLaC":
+        raise ValueError("ogg-flac: first packet lacks native signature")
+    # force the STREAMINFO last-metadata flag (remaining header packets
+    # are VorbisComment etc. we drop)
+    native[4] |= 0x80
+    for i, pkt in enumerate(packets):
+        if i < nheaders - 1:
+            continue                   # skip remaining metadata packets
+        native += pkt
+    return bytes(native)
+
+
+def write_ogg_flac(native_flac: bytes, serial: int = 0x0F1A) -> bytes:
+    """Native FLAC bytes (fLaC + STREAMINFO [+ frames]) -> Ogg-FLAC.
+    One audio frame per page (granule = running sample count is not
+    tracked per frame here; the final page carries total samples)."""
+    from rasterframes_spark.sources.flac import _crc8  # frame sync check
+
+    if native_flac[:4] != b"fLaC":
+        raise ValueError("write_ogg_flac: not native FLAC bytes")
+    # split header (through last metadata block) from frames
+    pos = 4
+    while True:
+        hdr = native_flac[pos]
+        (blen,) = struct.unpack(">I", b"\x00" + native_flac[pos + 1:pos + 4])
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    total = read_flac_info(native_flac).n_samples
+    head = b"\x7fFLAC\x01\x00" + struct.pack(">H", 1) + native_flac[:pos]
+    _ = _crc8
+    out = _ogg_page(serial, 0, 0, head, header_type=2)
+    out += _ogg_page(serial, 1, total, native_flac[pos:], header_type=4)
+    return out

@@ -111,3 +111,86 @@ def test_spark_audio_metadata_all_formats(spark):
     assert out[4]["duration_ms"] == pytest.approx(1000.0)
     assert out[5]["format"] == "flac"
     assert out[5]["duration_ms"] == pytest.approx(2000.0)
+
+
+class TestOggFlac:
+    """Ogg-FLAC mapping (r7): packet assembly, native re-splice,
+    metadata codec detection, and the decode_audio auto path."""
+
+    def _native(self, n=6000, rate=16000):
+        import numpy as np
+
+        from rasterframes_spark.sources.flac import encode_flac
+
+        t = np.arange(n)
+        x = (2000 * np.sin(t / 15)).astype(np.int32)
+        return x, encode_flac(x, rate, bps=16, blocksize=1024)
+
+    def test_roundtrip_through_ogg(self):
+        import numpy as np
+
+        from rasterframes_spark.sources.flac import decode_flac
+        from rasterframes_spark.sources.ogg_flac import (
+            ogg_flac_to_native, write_ogg_flac)
+
+        x, native = self._native()
+        ogg = write_ogg_flac(native)
+        back = ogg_flac_to_native(ogg)
+        y, rate, bps = decode_flac(back)
+        assert (rate, bps) == (16000, 16)
+        np.testing.assert_array_equal(y[:, 0], x)
+
+    def test_metadata_detects_flac_codec(self):
+        from rasterframes_spark.sources.ogg_flac import (
+            read_ogg_info, write_ogg_flac)
+
+        _, native = self._native(n=8000)
+        info = read_ogg_info(write_ogg_flac(native))
+        assert (info.codec, info.sample_rate, info.channels) == \
+            ("flac", 16000, 1)
+        assert info.duration_ms == pytest.approx(500.0)
+
+    def test_packet_assembly_across_pages(self):
+        from rasterframes_spark.sources.ogg_flac import (
+            _ogg_page, ogg_packets)
+
+        # a 700-byte packet spans lacing values 255,255,190
+        big = bytes(range(256)) * 3
+        page = _ogg_page(1, 0, 0, big[:700])
+        got = list(ogg_packets(page))
+        assert got == [big[:700]]
+        # continued packet across two pages: emit manually
+        import struct as _s
+        lac1 = bytes([255, 255])
+        hdr1 = (b"OggS" + bytes([0, 0]) + _s.pack("<q", 0)
+                + _s.pack("<I", 1) + _s.pack("<I", 0) + b"\x00" * 4
+                + bytes([2]) + lac1)
+        part1 = big[:510]
+        lac2 = bytes([90])
+        hdr2 = (b"OggS" + bytes([0, 1]) + _s.pack("<q", 0)
+                + _s.pack("<I", 1) + _s.pack("<I", 1) + b"\x00" * 4
+                + bytes([1]) + lac2)
+        part2 = big[510:600]
+        got = list(ogg_packets(hdr1 + part1 + hdr2 + part2))
+        assert got == [big[:600]]
+
+    def test_decode_audio_auto_ogg_flac(self, spark):
+        import numpy as np
+
+        from rasterframes_spark.pipeline.audio import (
+            audio_metadata, decode_audio)
+        from rasterframes_spark.sources.ogg_flac import write_ogg_flac
+
+        x, native = self._native()
+        ogg = write_ogg_flac(native)
+        df = spark.createDataFrame(
+            [(1, bytearray(ogg)), (2, bytearray(native))],
+            "media_id long, payload binary")
+        rows = {r["media_id"]: r for r in
+                decode_audio(df, decode="auto").collect()}
+        a = np.frombuffer(bytes(rows[1]["samples"]), dtype="<f8")
+        b = np.frombuffer(bytes(rows[2]["samples"]), dtype="<f8")
+        np.testing.assert_array_equal(a, b)
+        meta = {r["media_id"]: r["format"] for r in
+                audio_metadata(df).collect()}
+        assert meta == {1: "ogg-flac", 2: "flac"}
