@@ -33,14 +33,23 @@ def _literal_value(v) -> float:
     nodata-handling.pymd).  Only foldable literals qualify: the kernels
     specialize on the scalar, per-row mask values are not supported."""
     if isinstance(v, Column):
-        # Spark 4 columns wrap ColumnNodes, not Expressions — a foldable
-        # literal's repr is just the value (`Column<'1'>`, `Column<'1.5'>`)
-        s = str(v)
-        if s.startswith("Column<'") and s.endswith("'>"):
-            try:
-                return float(s[8:-2])
-            except ValueError:
-                pass
+        # Spark 4 classic columns wrap ColumnNodes: a genuine lit() is an
+        # internal.Literal node carrying its value.  Repr parsing alone is
+        # unsafe — F.col('2') also reprs as Column<'2'> but must NOT be
+        # treated as the scalar 2.0.
+        try:
+            node = v._jc.node()
+            if node.getClass().getSimpleName() == "Literal":
+                return float(node.value())
+        except AttributeError:
+            # no JVM node to introspect (connect-mode column): fall back
+            # to the foldable-literal repr form (`Column<'1.5'>`)
+            s = str(v)
+            if s.startswith("Column<'") and s.endswith("'>"):
+                try:
+                    return float(s[8:-2])
+                except ValueError:
+                    pass
         raise TypeError(
             "mask_value must be a python scalar or a lit() Column "
             "(per-row mask values are not supported)")

@@ -144,6 +144,34 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 decode_wav.__doc__ = _decode_wav_impl.__doc__
 
 
+def _wav_header_info(buf: bytes) -> tuple[int, int, int, int]:
+    """Header-only WAV profile -> (rate, channels, n_frames, byte_rate)
+    from the fmt/data chunk headers; sample bytes are never converted
+    (the metadata pass must not pay decode cost)."""
+    try:
+        if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        pos = 12
+        fmt = None
+        data_len = None
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", buf, pos + 4)
+            if cid == b"fmt " and clen >= 16:
+                fmt = struct.unpack_from("<HHIIHH", buf, pos + 8)
+            elif cid == b"data":
+                data_len = min(clen, len(buf) - pos - 8)
+            pos += 8 + clen + (clen & 1)
+        if fmt is None or data_len is None:
+            raise ValueError("missing fmt or data chunk")
+        _code, ch, rate, byte_rate, block_align, _bits = fmt
+        if ch < 1 or rate == 0 or block_align == 0:
+            raise ValueError("wav: bad fmt chunk")
+        return int(rate), int(ch), data_len // block_align, int(byte_rate)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed WAV: {e}") from e
+
+
 # ---------------------------------------------------------------------------
 # DataFrame operators
 # ---------------------------------------------------------------------------
@@ -285,6 +313,8 @@ def audio_metadata(df: DataFrame) -> DataFrame:
     unrecognized payloads are dropped."""
 
     def run(batches):
+        from rasterframes_spark.sources.aiff_au import (
+            read_aiff_info, read_au_info)
         from rasterframes_spark.sources.mpeg_audio import read_mp3_info
         from rasterframes_spark.sources.ogg_flac import (
             read_flac_info, read_ogg_info)
@@ -297,12 +327,9 @@ def audio_metadata(df: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 try:
                     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                        a, rate = decode_wav(b)
-                        # byte rate straight from the fmt chunk
-                        fi = b.index(b"fmt ")
-                        (byte_rate,) = struct.unpack_from("<I", b, fi + 16)
-                        rows.append((int(mid), "wav", rate, int(a.shape[1]),
-                                     a.shape[0] * 1000.0 / rate,
+                        rate, ch, n, byte_rate = _wav_header_info(b)
+                        rows.append((int(mid), "wav", rate, ch,
+                                     n * 1000.0 / rate,
                                      byte_rate * 8 / 1000.0,
                                      False))
                     elif b[:4] == b"OggS":
@@ -319,28 +346,18 @@ def audio_metadata(df: DataFrame) -> DataFrame:
                         rows.append((int(mid), "flac", i.sample_rate,
                                      i.channels, i.duration_ms, kbps, True))
                     elif b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
-                        from rasterframes_spark.sources.aiff_au import (
-                            decode_aiff)
-
-                        a, rate = decode_aiff(b)
-                        rows.append((int(mid),
-                                     "aifc" if b[8:12] == b"AIFC"
-                                     else "aiff",
-                                     rate, int(a.shape[1]),
-                                     a.shape[0] * 1000.0 / rate,
+                        rate, ch, n, fmt = read_aiff_info(b)
+                        rows.append((int(mid), fmt, rate, ch,
+                                     n * 1000.0 / rate,
                                      len(b) * 8 * rate
-                                     / max(a.shape[0], 1) / 1000.0,
+                                     / max(n, 1) / 1000.0,
                                      False))
                     elif b[:4] == b".snd":
-                        from rasterframes_spark.sources.aiff_au import (
-                            decode_au)
-
-                        a, rate = decode_au(b)
-                        rows.append((int(mid), "au", rate,
-                                     int(a.shape[1]),
-                                     a.shape[0] * 1000.0 / rate,
+                        rate, ch, n = read_au_info(b)
+                        rows.append((int(mid), "au", rate, ch,
+                                     n * 1000.0 / rate,
                                      len(b) * 8 * rate
-                                     / max(a.shape[0], 1) / 1000.0,
+                                     / max(n, 1) / 1000.0,
                                      False))
                     else:
                         i = read_mp3_info(b)

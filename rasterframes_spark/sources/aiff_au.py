@@ -25,7 +25,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_aiff", "decode_au", "ulaw_to_lin16", "alaw_to_lin16"]
+__all__ = ["decode_aiff", "decode_au", "read_aiff_info", "read_au_info",
+           "ulaw_to_lin16", "alaw_to_lin16"]
 
 
 def _ext80_to_float(b: bytes) -> float:
@@ -86,6 +87,22 @@ def _pcm_to_float(raw: bytes, bits: int, big: bool) -> np.ndarray:
     return a
 
 
+def _uniform_errors(fn):
+    """Truncated/corrupt payloads must surface as ValueError (the
+    corrupt-row-drop contract of pipeline callers), never struct.error
+    or IndexError."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*a, **k):
+        try:
+            return fn(*a, **k)
+        except (struct.error, IndexError, KeyError, OverflowError) as e:
+            raise ValueError(f"{fn.__name__}: malformed input: {e}") from e
+    return wrap
+
+
+@_uniform_errors
 def decode_aiff(buf: bytes):
     """AIFF / AIFF-C bytes -> (float64 samples shape (n, channels) in
     [-1, 1], sample_rate) — the decode_wav contract."""
@@ -136,9 +153,53 @@ def decode_aiff(buf: bytes):
     return a, int(round(rate))
 
 
+@_uniform_errors
+def read_aiff_info(buf: bytes):
+    """Header-only AIFF/AIFC profile — parses the COMM chunk without
+    touching SSND sample bytes (the metadata pass must not pay decode
+    cost): (sample_rate, channels, n_frames, 'aiff'|'aifc')."""
+    if len(buf) < 12 or buf[:4] != b"FORM" or buf[8:12] not in (b"AIFF",
+                                                                b"AIFC"):
+        raise ValueError("not an AIFF/AIFC stream")
+    aifc = buf[8:12] == b"AIFC"
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (clen,) = struct.unpack_from(">I", buf, pos + 4)
+        if cid == b"COMM":
+            body = buf[pos + 8:pos + 8 + clen]
+            ch, nframes, _bits = struct.unpack_from(">hLh", body, 0)
+            rate = _ext80_to_float(body[8:18])
+            if ch < 1 or rate <= 0:
+                raise ValueError("aiff: bad channel count / rate")
+            return int(round(rate)), int(ch), int(nframes), \
+                ("aifc" if aifc else "aiff")
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("aiff: missing COMM chunk")
+
+
+_AU_SAMPLE_BYTES = {1: 1, 27: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 8}
+
+
+@_uniform_errors
+def read_au_info(buf: bytes):
+    """Header-only AU profile: (sample_rate, channels, n_frames)."""
+    if len(buf) < 24 or buf[:4] != b".snd":
+        raise ValueError("not an AU stream")
+    off, size, enc, rate, ch = struct.unpack_from(">IIIII", buf, 4)
+    if ch < 1 or rate <= 0 or off < 24:
+        raise ValueError("au: bad header")
+    if enc not in _AU_SAMPLE_BYTES:
+        raise ValueError(f"au: encoding {enc} not supported")
+    end = len(buf) if size in (0, 0xFFFFFFFF) else min(len(buf), off + size)
+    nbytes = max(end - off, 0)
+    return int(rate), int(ch), nbytes // (_AU_SAMPLE_BYTES[enc] * ch)
+
+
 _AU_BITS = {2: 8, 3: 16, 4: 24, 5: 32}
 
 
+@_uniform_errors
 def decode_au(buf: bytes):
     """Sun AU bytes -> (float64 samples (n, channels) in [-1, 1], rate)."""
     if len(buf) < 24 or buf[:4] != b".snd":

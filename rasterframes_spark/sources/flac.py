@@ -203,11 +203,12 @@ def _write_utf8_number(bw: _BitWriter, v: int):
         groups.append(v & 0x3F)
         v >>= 6
     n = len(groups)
-    # leading byte holds 7 - n payload bits; grow if it doesn't fit
-    if groups[-1] >> max(0, 6 - n):
+    # lead byte = n one-bits, a zero, then 7 - n payload bits (n = total
+    # bytes incl. the lead); grow if the top group doesn't fit
+    if groups[-1] >> max(0, 7 - n):
         groups.append(0)
         n += 1
-    lead = ((0xFF << (7 - n)) & 0xFF) | groups[-1]
+    lead = ((0xFF << (8 - n)) & 0xFF) | groups[-1]
     bw.write(lead, 8)
     for g in reversed(groups[:-1]):
         bw.write(0x80 | g, 8)
@@ -321,6 +322,15 @@ def decode_flac(data: bytes):
     """FLAC bytes -> (int32 samples shape (n, channels), sample_rate,
     bits_per_sample).  Verifies frame header CRC-8 and frame CRC-16;
     raises ValueError on any malformed/unsupported structure."""
+    try:
+        return _decode_flac(data)
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        # truncated/corrupt payloads must surface uniformly as ValueError
+        # (the corrupt-row-drop contract of pipeline callers)
+        raise ValueError(f"flac: malformed stream: {e}") from e
+
+
+def _decode_flac(data: bytes):
     if data[:4] != b"fLaC":
         raise ValueError("flac: bad signature")
     pos = 4

@@ -47,7 +47,7 @@ _UNDEF = 0xFFFFFFFFFFFFFFFF
 class _Dataset:
     __slots__ = ("name", "shape", "dtype", "maxshape", "layout", "attrs",
                  "_file", "_contig_addr", "_contig_size", "_btree_addr",
-                 "_chunk_shape", "_filters", "fillvalue")
+                 "_chunk_shape", "_filters", "_fill_raw")
 
     def __init__(self, name, f):
         self.name = name
@@ -61,7 +61,24 @@ class _Dataset:
         self._btree_addr = None
         self._chunk_shape = None
         self._filters = []
-        self.fillvalue = 0
+        self._fill_raw = b""
+
+    @property
+    def fillvalue(self):
+        """Fill value interpreted through the DATASET's datatype — a
+        4-byte fill on an int32 dataset is an int32, not a float32."""
+        raw = self._fill_raw
+        if not raw:
+            return 0
+        dt = self.dtype
+        if dt is not None and dt.itemsize == len(raw):
+            return np.frombuffer(raw, dtype=dt)[0]
+        # size mismatch (malformed writer): fall back on width heuristics
+        if len(raw) == 4:
+            return struct.unpack("<f", raw)[0]
+        if len(raw) == 8:
+            return struct.unpack("<d", raw)[0]
+        return int.from_bytes(raw, "little", signed=True)
 
     def __getitem__(self, key):
         return self.read()[key]
@@ -85,12 +102,18 @@ class _Dataset:
             cs = self._chunk_shape
             for off_idx, nbytes, filter_mask, addr in chunks:
                 raw = f._read(addr, nbytes)
-                for fid, cd in reversed(self._filters):
-                    if fid == 1 and not (filter_mask & 1):
+                # filter_mask bit i = i-th PIPELINE-POSITION filter was
+                # skipped for this chunk (spec IV.A.2.l) — not bit 0 ==
+                # deflate; undo unskipped filters in reverse order
+                for idx in range(len(self._filters) - 1, -1, -1):
+                    fid, cd = self._filters[idx]
+                    if filter_mask & (1 << idx):
+                        continue
+                    if fid == 1:
                         raw = zlib.decompress(raw)
                     elif fid == 2:
                         raw = _unshuffle(raw, self.dtype.itemsize)
-                    elif fid not in (1, 2):
+                    else:
                         raise ValueError(f"hdf5: filter {fid} not supported")
                 block = np.frombuffer(raw, dtype=self.dtype)
                 block = block[:int(np.prod(cs))].reshape(cs)
@@ -297,7 +320,7 @@ class H5File:
             elif mtype == 0x03:
                 ds.dtype = _parse_datatype(body)
             elif mtype == 0x05:
-                ds.fillvalue = _parse_fillvalue(body)
+                ds._fill_raw = _parse_fillvalue(body)
             elif mtype == 0x08:
                 self._parse_layout(body, ds)
             elif mtype == 0x0B:
@@ -359,24 +382,19 @@ class H5File:
                             nbytes, fmask, child))
 
 
-def _parse_fillvalue(body: bytes):
+def _parse_fillvalue(body: bytes) -> bytes:
+    """Fill-value message -> raw fill bytes (b'' = undefined).  The bytes
+    are typed by the dataset's datatype message, which may arrive after
+    this one — interpretation is deferred to _Dataset.fillvalue."""
     ver = body[0]
     if ver in (1, 2):
         defined = body[3]
         if ver == 2 and not defined:
-            return 0
+            return b""
         (sz,) = struct.unpack_from("<I", body, 4)
-        raw = body[8:8 + sz]
-    else:
-        (sz,) = struct.unpack_from("<I", body, 4)
-        raw = body[8:8 + sz]
-    if not raw:
-        return 0
-    if len(raw) == 4:
-        return struct.unpack("<f", raw)[0]
-    if len(raw) == 8:
-        return struct.unpack("<d", raw)[0]
-    return int.from_bytes(raw, "little", signed=True)
+        return body[8:8 + sz]
+    (sz,) = struct.unpack_from("<I", body, 4)
+    return body[8:8 + sz]
 
 
 def _parse_filters(body: bytes):
@@ -442,12 +460,15 @@ class H5Writer:
         self._group_attrs = {"": {}}
 
     def create_dataset(self, name, data, chunks=None, compression=None,
-                       shuffle=False, attrs=None):
+                       shuffle=False, attrs=None, fillvalue=None):
+        """``fillvalue`` (typed by the data's dtype) writes a defined
+        fill-value message, and all-fill chunks are left unallocated —
+        the libhdf5 posture for sparse datasets."""
         a = np.asarray(data)
         if a.dtype.kind not in "iuf" and a.dtype.kind != "S":
             raise ValueError(f"hdf5 write: dtype {a.dtype} not supported")
         self._datasets.append((name.strip("/"), a, chunks, compression,
-                               bool(shuffle), dict(attrs or {})))
+                               bool(shuffle), dict(attrs or {}), fillvalue))
 
     def set_group_attrs(self, group: str, attrs: dict):
         self._group_attrs[group.strip("/")] = dict(attrs)
@@ -459,7 +480,7 @@ class H5Writer:
         out += b"\x00" * 2048  # reserve superblock + root structures
         # group tree: root -> {name: hdr_addr}; one nesting level
         tree: dict[str, dict] = {"": {}}
-        for path, a, chunks, comp, shuf, attrs in self._datasets:
+        for path, a, chunks, comp, shuf, attrs, fill in self._datasets:
             parts = path.split("/")
             if len(parts) == 2:
                 tree.setdefault(parts[0], {})
@@ -467,9 +488,9 @@ class H5Writer:
                 raise ValueError("hdf5 write: one group level supported")
 
         ds_addr = {}
-        for path, a, chunks, comp, shuf, attrs in self._datasets:
+        for path, a, chunks, comp, shuf, attrs, fill in self._datasets:
             ds_addr[path] = self._emit_dataset(out, a, chunks, comp, shuf,
-                                               attrs)
+                                               attrs, fill)
 
         group_hdr = {}
         for gname, members in list(tree.items()):
@@ -498,7 +519,7 @@ class H5Writer:
         out[:len(sb)] = sb
         return bytes(out)
 
-    def _emit_dataset(self, out, a, chunks, comp, shuf, attrs):
+    def _emit_dataset(self, out, a, chunks, comp, shuf, attrs, fill=None):
         dt_msg = _mk_datatype(a.dtype)
         sp_msg = _mk_dataspace(a.shape)
         filters = []
@@ -506,8 +527,13 @@ class H5Writer:
             filters.append((2, (a.dtype.itemsize,)))
         if comp in ("gzip", "deflate"):
             filters.append((1, (6,)))
-        msgs = [(0x01, sp_msg), (0x03, dt_msg),
-                (0x05, bytes([2, 2, 2, 0]))]
+        if fill is None:
+            fill_msg = bytes([2, 2, 2, 0])
+        else:
+            raw_fill = np.asarray(fill, dtype=a.dtype).tobytes()
+            fill_msg = bytes([2, 2, 2, 1]) \
+                + struct.pack("<I", len(raw_fill)) + raw_fill
+        msgs = [(0x01, sp_msg), (0x03, dt_msg), (0x05, fill_msg)]
         if chunks is None:
             raw = np.ascontiguousarray(a).tobytes()
             addr = _append(out, raw)
@@ -517,6 +543,8 @@ class H5Writer:
             cs = tuple(int(c) for c in chunks)
             if len(cs) != a.ndim:
                 raise ValueError("hdf5 write: chunks rank mismatch")
+            deflate_pos = next((i for i, (fid, _) in enumerate(filters)
+                                if fid == 1), None)
             entries = []
             for idx in np.ndindex(*[-(-s // c) for s, c in
                                     zip(a.shape, cs)]):
@@ -526,14 +554,24 @@ class H5Writer:
                             for o, c, s in zip(off, cs, a.shape))
                 bsel = tuple(slice(0, sl.stop - sl.start) for sl in sel)
                 block[bsel] = a[sel]
+                if fill is not None and np.all(a[sel] == np.asarray(
+                        fill, dtype=a.dtype)):
+                    continue          # all-fill chunk stays unallocated
                 raw = block.tobytes()
+                mask = 0
                 for fid, cd in filters:
                     if fid == 2:
                         raw = _shuffle(raw, a.dtype.itemsize)
                     elif fid == 1:
-                        raw = zlib.compress(raw, cd[0])
+                        z = zlib.compress(raw, cd[0])
+                        if len(z) < len(raw):
+                            raw = z
+                        else:
+                            # optional deflate grew the chunk: store it
+                            # unfiltered, flag by PIPELINE POSITION
+                            mask |= 1 << deflate_pos
                 addr = _append(out, raw)
-                entries.append((off, len(raw), addr))
+                entries.append((off, len(raw), mask, addr))
             btree = self._emit_chunk_btree(out, entries, a.ndim, cs,
                                            a.dtype.itemsize)
             lay = bytes([3, 2, a.ndim + 1]) + struct.pack("<Q", btree) \
@@ -551,8 +589,8 @@ class H5Writer:
         node = bytearray()
         node += b"TREE" + bytes([1, 0]) + struct.pack("<H", len(entries))
         node += struct.pack("<QQ", _UNDEF, _UNDEF)
-        for off, nbytes, addr in entries:
-            node += struct.pack("<II", nbytes, 0)
+        for off, nbytes, mask, addr in entries:
+            node += struct.pack("<II", nbytes, mask)
             node += struct.pack(f"<{rank}Q", *off) + struct.pack("<Q", 0)
             node += struct.pack("<Q", addr)
         # trailing key

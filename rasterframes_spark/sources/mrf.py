@@ -58,8 +58,6 @@ def _parse(xml_bytes: bytes, base: str):
     pw = int(page.get("x", 512)) if page is not None else 512
     ph = int(page.get("y", 512)) if page is not None else 512
     pc = int(page.get("c", 1)) if page is not None else 1
-    if pc != 1 and pc != bands:
-        raise ValueError("MRF: partial band interleaving not supported")
     if pc != 1:
         raise ValueError(
             "MRF: band-interleaved pages not supported (use c=1 pages)")

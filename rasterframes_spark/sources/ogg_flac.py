@@ -134,17 +134,28 @@ def write_flac_header(rate: int, channels: int, bps: int,
 
 def _ogg_page(serial: int, seq: int, granule: int, packet: bytes,
               header_type: int = 0) -> bytes:
-    segs = []
-    rem = len(packet)
-    while rem >= 255:
-        segs.append(255)
-        rem -= 255
-    segs.append(rem)
-    hdr = (b"OggS" + bytes([0, header_type])
-           + struct.pack("<q", granule) + struct.pack("<I", serial)
-           + struct.pack("<I", seq) + b"\x00" * 4
-           + bytes([len(segs)]) + bytes(segs))
-    return hdr + packet
+    """One logical packet -> one or more Ogg pages.  A page holds at most
+    255 lacing values (~64 KB); larger packets continue across pages with
+    the continuation flag set and granule -1 on pages that end no packet.
+    BOS rides the first page, EOS the last."""
+    lacing = [255] * (len(packet) // 255) + [len(packet) % 255]
+    groups = [lacing[i:i + 255] for i in range(0, len(lacing), 255)]
+    out = bytearray()
+    pos = 0
+    for i, segs in enumerate(groups):
+        last = i == len(groups) - 1
+        body_len = sum(segs)
+        body = packet[pos:pos + body_len]
+        pos += body_len
+        ht = (0x01 if i > 0 else (header_type & 0x02)) \
+            | ((header_type & 0x04) if last else 0)
+        out += (b"OggS" + bytes([0, ht])
+                + struct.pack("<q", granule if last else -1)
+                + struct.pack("<I", serial)
+                + struct.pack("<I", seq + i) + b"\x00" * 4
+                + bytes([len(segs)]) + bytes(segs))
+        out += body
+    return bytes(out)
 
 
 def write_ogg_opus(n_samples_48k: int, channels: int = 2,
@@ -216,11 +227,19 @@ def ogg_flac_to_native(data: bytes) -> bytes:
     Per the Ogg-FLAC mapping spec the first packet is
     0x7F 'FLAC' major minor nheaders(2 BE) + a native 'fLaC' signature +
     STREAMINFO; later header packets are metadata blocks; audio packets
-    are native FLAC frames — so the native file is just a re-splice."""
+    are native FLAC frames — so the native file is just a re-splice.
+    ``nheaders`` counts the header packets that FOLLOW the first packet
+    (``flac --ogg`` writes 1 for its VorbisComment); 0 means unknown, in
+    which case header packets are recognized by the absence of the
+    14-bit frame sync code."""
+    if len(data) < 9:
+        raise ValueError("ogg: truncated stream")
     packets = ogg_packets(data)
     first = next(packets, b"")
     if first[:5] != b"\x7fFLAC":
         raise ValueError("ogg: not an Ogg-FLAC stream")
+    if len(first) < 13:
+        raise ValueError("ogg-flac: truncated first packet")
     nheaders = struct.unpack_from(">H", first, 7)[0]
     native = bytearray(first[9:])
     if native[:4] != b"fLaC":
@@ -228,32 +247,61 @@ def ogg_flac_to_native(data: bytes) -> bytes:
     # force the STREAMINFO last-metadata flag (remaining header packets
     # are VorbisComment etc. we drop)
     native[4] |= 0x80
-    for i, pkt in enumerate(packets):
-        if i < nheaders - 1:
-            continue                   # skip remaining metadata packets
+    to_skip = nheaders
+    in_audio = False
+    for pkt in packets:
+        if not in_audio:
+            if nheaders > 0:
+                if to_skip > 0:
+                    to_skip -= 1
+                    continue           # skip remaining metadata packets
+            elif not (len(pkt) >= 2 and pkt[0] == 0xFF
+                      and (pkt[1] & 0xFC) == 0xF8):
+                continue               # count unknown: no frame sync yet
+            in_audio = True
         native += pkt
     return bytes(native)
 
 
 def write_ogg_flac(native_flac: bytes, serial: int = 0x0F1A) -> bytes:
     """Native FLAC bytes (fLaC + STREAMINFO [+ frames]) -> Ogg-FLAC.
-    One audio frame per page (granule = running sample count is not
-    tracked per frame here; the final page carries total samples)."""
-    from rasterframes_spark.sources.flac import _crc8  # frame sync check
 
+    Mapping-spec shape: first packet = prefix + fLaC + STREAMINFO only,
+    with the 16-bit count naming the number of FOLLOWING header packets
+    (the spec-mandated VorbisComment is injected when the native stream
+    has none); each further metadata block rides its own packet; audio
+    frames follow (granule on the final page = total samples)."""
     if native_flac[:4] != b"fLaC":
         raise ValueError("write_ogg_flac: not native FLAC bytes")
-    # split header (through last metadata block) from frames
+    # split the metadata blocks from the frame section
+    blocks = []
     pos = 4
     while True:
         hdr = native_flac[pos]
         (blen,) = struct.unpack(">I", b"\x00" + native_flac[pos + 1:pos + 4])
+        blocks.append((hdr & 0x7F, native_flac[pos + 4:pos + 4 + blen]))
         pos += 4 + blen
         if hdr & 0x80:
             break
+    frames = native_flac[pos:]
+    streaminfo = next(b for t, b in blocks if t == 0)
+    others = [(t, b) for t, b in blocks if t != 0]
+    if not any(t == 4 for t, _ in others):
+        vendor = b"rasterframes_spark"
+        others.append((4, struct.pack("<I", len(vendor)) + vendor
+                       + struct.pack("<I", 0)))
+
+    def _block(t, body, last):
+        return (bytes([t | (0x80 if last else 0)])
+                + len(body).to_bytes(3, "big") + body)
+
     total = read_flac_info(native_flac).n_samples
-    head = b"\x7fFLAC\x01\x00" + struct.pack(">H", 1) + native_flac[:pos]
-    _ = _crc8
+    head = (b"\x7fFLAC\x01\x00" + struct.pack(">H", len(others))
+            + b"fLaC" + _block(0, streaminfo, last=False))
     out = _ogg_page(serial, 0, 0, head, header_type=2)
-    out += _ogg_page(serial, 1, total, native_flac[pos:], header_type=4)
+    seq = 1
+    for i, (t, b) in enumerate(others):
+        out += _ogg_page(serial, seq, 0, _block(t, b, i == len(others) - 1))
+        seq += 1
+    out += _ogg_page(serial, seq, total, frames, header_type=4)
     return out

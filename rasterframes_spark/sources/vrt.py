@@ -218,6 +218,12 @@ def read_window(src, info: GeoTiffInfo, c0: int, r0: int, w: int, h: int,
             painted = vals * s.ratio + s.offset
         else:
             painted = vals
+        if np.issubdtype(dtype, np.integer):
+            # GDAL semantics: round half away from zero, clamp to the
+            # band type's range (astype would truncate and wrap)
+            info = np.iinfo(dtype)
+            painted = np.clip(np.trunc(painted + np.copysign(0.5, painted)),
+                              info.min, info.max)
         tgt = out[iy0 - r0:iy1 - r0, ix0 - c0:ix1 - c0]
         if s.src_nodata is not None:
             mask = vals != s.src_nodata

@@ -148,3 +148,49 @@ def test_audio_metadata_and_decode_audio_auto(spark):
     assert a.shape == c.shape == w.shape
     np.testing.assert_allclose(a, c, atol=3 / 32767.0)
     np.testing.assert_allclose(a, w, atol=3 / 32767.0)
+
+
+def test_header_only_info_matches_decode_on_all_fixtures():
+    """read_aiff_info/read_au_info report the same (rate, channels,
+    frames) as the full decode without touching sample bytes — the
+    audio_metadata profile pass must not pay decode cost."""
+    import glob
+
+    from rasterframes_spark.sources.aiff_au import (decode_aiff, decode_au,
+                                                    read_aiff_info,
+                                                    read_au_info)
+
+    checked = 0
+    for p in sorted(glob.glob(os.path.join(FIX, "pluck*"))):
+        b = open(p, "rb").read()
+        if b[:4] == b"FORM":
+            rate, ch, n, fmt = read_aiff_info(b)
+            a, rate2 = decode_aiff(b)
+            assert fmt in ("aiff", "aifc")
+        elif b[:4] == b".snd":
+            rate, ch, n = read_au_info(b)
+            a, rate2 = decode_au(b)
+        else:
+            continue
+        assert (rate, ch, n) == (rate2, a.shape[1], a.shape[0]), p
+        checked += 1
+    assert checked >= 8
+
+
+def test_truncated_payloads_raise_valueerror():
+    """Corrupt-row-drop contract: short COMM/header bodies surface as
+    ValueError, never struct.error/IndexError."""
+    import struct
+
+    from rasterframes_spark.sources.aiff_au import (decode_aiff, decode_au,
+                                                    read_aiff_info,
+                                                    read_au_info)
+
+    bad_aiff = (b"FORM" + struct.pack(">I", 30) + b"AIFF"
+                + b"COMM" + struct.pack(">I", 4) + b"\x00" * 4)
+    for fn in (decode_aiff, read_aiff_info):
+        with pytest.raises(ValueError):
+            fn(bad_aiff)
+    for fn in (decode_au, read_au_info):
+        with pytest.raises(ValueError):
+            fn(b".snd" + b"\x00" * 8)

@@ -149,3 +149,38 @@ def test_audio_features_on_flac(spark):
     xs = x / 32767.0
     assert r["duration_ms"] == pytest.approx(4000 / 16.0)
     assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(xs * xs))), rel=1e-12)
+
+
+def test_multibyte_frame_numbers_128_plus_frames():
+    """Frame numbers >= 128 take the multi-byte UTF-8-style coding; the
+    lead byte is n ones + a zero + 7-n payload bits.  A 130-frame stream
+    must round-trip (regression: the encoder emitted one marker bit too
+    many, making frame 128 unreadable)."""
+    rng = np.random.default_rng(0)
+    x = rng.integers(-1000, 1000, size=130 * 4096).astype(np.int32)
+    blob = encode_flac(x, 8000)
+    y, sr, bps = decode_flac(blob)
+    assert sr == 8000
+    np.testing.assert_array_equal(y.ravel(), x)
+
+
+def test_utf8_number_coder_matches_utf8_spec():
+    """For values in the Unicode range the coding IS UTF-8: compare the
+    writer byte-for-byte against chr(v).encode('utf-8')."""
+    from rasterframes_spark.sources.flac import (_BitWriter,
+                                                 _write_utf8_number)
+
+    for v in [0x80, 0x7FF, 0x800, 0xFFFF, 0x10000, 0x10FFFF]:
+        bw = _BitWriter()
+        _write_utf8_number(bw, v)
+        assert bytes(bw.out) == chr(v).encode("utf-8"), hex(v)
+
+
+def test_truncated_stream_raises_valueerror():
+    """Corrupt-row-drop contract: truncation surfaces as ValueError,
+    never IndexError/struct.error."""
+    for blob in [b"fLaC" + b"\x00\x00\x00\x22" + b"\x00" * 10,
+                 b"fLaC\x80\x00\x00\x22" + b"\x00" * 10,
+                 b"fLaC"]:
+        with pytest.raises(ValueError):
+            decode_flac(blob)

@@ -132,3 +132,48 @@ def test_read_netcdf_spark_dispatches_hdf5(spark, tmp_path):
     ext = df.agg(F.min("extent.xmin"), F.max("extent.xmax"),
                  F.min("extent.ymin"), F.max("extent.ymax")).head()
     assert tuple(ext) == (0.0, 96.0, 0.0, 64.0)
+
+
+def test_typed_fillvalue_and_sparse_chunks():
+    """Fill bytes are typed by the DATASET dtype (an int32 -9999 is not a
+    float32 NaN), and all-fill chunks stay unallocated."""
+    a = np.full((8, 8), -9999, dtype=np.int32)
+    a[0:4, 0:4] = np.arange(16, dtype=np.int32).reshape(4, 4)
+    w = H5Writer()
+    w.create_dataset("d", a, chunks=(4, 4), fillvalue=np.int32(-9999))
+    blob = w.tobytes()
+    f = H5File(blob)
+    ds = f.datasets["/d"]
+    got = ds.read()
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, a)
+    chunks = []
+    f._walk_chunk_btree(ds._btree_addr, 2, chunks)
+    assert len(chunks) == 1              # 3 of 4 chunks unallocated
+
+    b = np.full((6,), np.nan)
+    b[2] = 7.5
+    w = H5Writer()
+    w.create_dataset("f", b, chunks=(2,), fillvalue=np.nan)
+    got = H5File(w.tobytes()).datasets["/f"].read()
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(b))
+    assert got[2] == 7.5
+
+
+def test_filter_mask_indexes_pipeline_position():
+    """The chunk filter mask is indexed by PIPELINE position (spec
+    IV.A.2.l): with [shuffle, deflate], a chunk whose optional deflate
+    grew it carries mask bit 1 — the chunk is stored shuffled-only and
+    the reader must skip zlib but still unshuffle."""
+    rng = np.random.default_rng(0)
+    c = rng.integers(-2 ** 31, 2 ** 31 - 1, size=(64,), dtype=np.int32)
+    w = H5Writer()
+    w.create_dataset("r", c, chunks=(16,), compression="gzip", shuffle=True)
+    f = H5File(w.tobytes())
+    ds = f.datasets["/r"]
+    np.testing.assert_array_equal(ds.read(), c)
+    chunks = []
+    f._walk_chunk_btree(ds._btree_addr, 1, chunks)
+    masks = [m for _, _, m, _ in chunks]
+    assert any(m != 0 for m in masks)     # random data defeats deflate
+    assert all(m in (0, 2) for m in masks)  # deflate bit = its index (1)

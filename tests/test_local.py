@@ -229,3 +229,19 @@ def test_local_clamp_tile_bounds(spark):
     out = Tile.from_parts(r["cell_type"], 3, 3, bytes(r["cells"]))
     np.testing.assert_array_equal(
         np.asarray(out.cells), np.clip(np.arange(9).reshape(3, 3), 2, 6))
+
+
+def test_mask_value_lit_accepted_col_rejected(spark, tile_df):
+    """`lit(15)` works as a mask value (the reference API form), but a
+    genuine column reference — even one whose NAME parses as a number,
+    like F.col('2') — must raise, not silently mask by the constant 2.0
+    (regression: literal detection parsed the Column repr)."""
+    from pyspark.sql import functions as F
+
+    out = tile_df.select(rf.rf_mask_by_value("a", "nd", F.lit(15)).alias("r"))
+    t = _one_tile(out, "r")
+    assert np.ma.getmaskarray(t.masked())[1, 5]
+    with pytest.raises(TypeError):
+        rf.rf_mask_by_value("a", "nd", F.col("2"))
+    with pytest.raises(TypeError):
+        rf.rf_mask_by_value("a", "nd", F.col("nd"))

@@ -194,3 +194,39 @@ class TestOggFlac:
         meta = {r["media_id"]: r["format"] for r in
                 audio_metadata(df).collect()}
         assert meta == {1: "ogg-flac", 2: "flac"}
+
+
+class TestOggFlacMappingSpec:
+    def test_header_count_excludes_first_packet(self):
+        """The 16-bit count names FOLLOWING header packets (xiph mapping
+        spec) — `flac --ogg` writes 1 for its VorbisComment.  Regression:
+        the count was read as including the identification packet, so the
+        last metadata packet spliced into the audio as garbage."""
+        import struct
+
+        import numpy as np
+
+        from rasterframes_spark.sources.flac import decode_flac, encode_flac
+        from rasterframes_spark.sources.ogg_flac import (ogg_flac_to_native,
+                                                         write_ogg_flac)
+
+        x = np.arange(9000, dtype=np.int32) % 512 - 256
+        native = encode_flac(x, 16000)
+        ogg = write_ogg_flac(native)
+        i = ogg.index(b"\x7fFLAC") + 7
+        assert struct.unpack_from(">H", ogg, i)[0] == 1  # the VorbisComment
+        y, sr, _ = decode_flac(ogg_flac_to_native(ogg))
+        np.testing.assert_array_equal(y.ravel(), x)
+
+        # count=0 (unknown): reader must sniff the frame sync instead
+        unk = bytearray(ogg)
+        unk[i:i + 2] = b"\x00\x00"
+        y2, _, _ = decode_flac(ogg_flac_to_native(bytes(unk)))
+        np.testing.assert_array_equal(y2.ravel(), x)
+
+    def test_truncated_first_packet_raises_valueerror(self):
+        from rasterframes_spark.sources.ogg_flac import ogg_flac_to_native
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ogg_flac_to_native(b"OggS" + b"\x00" * 30)

@@ -181,3 +181,33 @@ def test_read_raster_over_vrt(spark, mosaic):
     # CRS + extent surfaced from the VRT
     row = df.select("crs", "extent").head()
     assert row["crs"] == "EPSG:32618"
+
+
+def test_complex_source_int_band_rounds_and_clamps(mosaic, tmp_path):
+    """GDAL semantics for scaled values painted into integer bands:
+    round half away from zero + clamp to the type range — astype would
+    truncate toward zero and wrap on overflow."""
+    root, full = mosaic
+    left = full[:, :64].astype("float64")     # values in [1, 1000)
+    for ratio, dtype, lo, hi in [(0.1, "Int16", -32768, 32767),
+                                 (100.0, "Int16", -32768, 32767),
+                                 (0.37, "Byte", 0, 255)]:
+        vrt = f"""<VRTDataset rasterXSize="64" rasterYSize="64">
+  <VRTRasterBand dataType="{dtype}" band="1">
+    <ComplexSource>
+      <SourceFilename>{root}/left.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <ScaleRatio>{ratio}</ScaleRatio>
+    </ComplexSource>
+  </VRTRasterBand>
+</VRTDataset>"""
+        p = tmp_path / f"scale_{dtype}_{ratio}.vrt"
+        p.write_text(vrt)
+        src = RangeSource(str(p))
+        info = V.read_info(src)
+        got = V.read_window(src, info, 0, 0, 64, 64, 0)
+        exp = np.clip(np.floor(left * ratio + 0.5), lo, hi)  # all >= 0 here
+        np.testing.assert_array_equal(got.astype("float64"), exp)
+        # ratio=100 must saturate, proving the clamp actually engaged
+        if ratio == 100.0:
+            assert (got == hi).any() and not (got < 0).any()
