@@ -50,6 +50,30 @@ _CHUNK_T = (
 )
 
 
+def _parse_subdataset(uri: str) -> tuple[str, str | None]:
+    """GDAL-style NetCDF subdataset forms -> (real_uri, variable|None).
+
+    Accepted: ``NETCDF:"path":var``, ``NETCDF:path:var`` and the fragment
+    form ``path#var`` (only on .nc/.nc4/.cdf/.h5/.hdf5/.hdf paths, so
+    http URIs with fragments pass through untouched)."""
+    if uri.startswith("NETCDF:"):
+        body = uri[7:]
+        if body.startswith('"'):
+            end = body.index('"', 1)
+            path, rest = body[1:end], body[end + 1:]
+            return path, (rest.lstrip(":") or None)
+        path, _, var = body.rpartition(":")
+        if not path:        # NETCDF:path with no variable
+            return var, None
+        return path, (var or None)
+    if "#" in uri:
+        path, _, var = uri.rpartition("#")
+        if var and path.lower().endswith(
+                (".nc", ".nc4", ".cdf", ".h5", ".hdf5", ".hdf")):
+            return path, var
+    return uri, None
+
+
 @functools.lru_cache(maxsize=64)
 def _range_source(uri: str):
     """Executor-local range source per URI: file seeks or HTTP Range
@@ -63,6 +87,11 @@ def _range_source(uri: str):
 
 @functools.lru_cache(maxsize=256)
 def _cached_info(uri: str):
+    real, var = _parse_subdataset(uri)
+    if var is not None or real != uri:
+        from rasterframes_spark.sources import netcdf as NC
+
+        return NC.read_info(_range_source(real), var)
     try:
         return GT.read_info(_range_source(uri))
     except ValueError as e:
@@ -84,16 +113,24 @@ def _cached_info(uri: str):
             return MRF.read_info(_range_source(uri))
         except (ValueError, NotImplementedError):
             pass
+        from rasterframes_spark.sources import netcdf as NC
+
+        try:
+            return NC.read_info(_range_source(uri))
+        except (ValueError, NotImplementedError):
+            pass
         from rasterframes_spark.sources import gdal_fallback as GF
 
         if GF.have_rasterio():
             return GF.read_info_rasterio(uri)
         raise ValueError(
             f"{uri}: not readable by the pure-python codecs ({e}). "
-            "Pure-python covers the TIFF/GeoTIFF family and lossless "
-            "(5/3 reversible) JPEG2000 (see the README format matrix); "
-            "MrF/HDF/subsampled-JP2 need GDAL — installing rasterio "
-            "enables the fallback read path automatically."
+            "Pure-python covers the TIFF/GeoTIFF family, JPEG2000 "
+            "(5/3 reversible and 9/7 irreversible), VRT, MRF and "
+            "NetCDF-3/NetCDF-4 (see the README format matrix); other "
+            "GDAL formats (subsampled JP2, GRIB, ...) need GDAL — "
+            "installing rasterio enables the fallback read path "
+            "automatically."
         ) from e
 
 
@@ -109,6 +146,12 @@ def read_window_any(uri: str, c0: int, r0: int, w: int, h: int,
         from rasterframes_spark.sources import gdal_fallback as GF
 
         return GF.read_window_rasterio(uri, c0, r0, w, h, band)
+    if via == "nc":
+        from rasterframes_spark.sources import netcdf as NC
+
+        real, var = _parse_subdataset(uri)
+        return NC.read_window(_range_source(real), info, c0, r0, w, h,
+                              band, var=var)
     data = _range_source(uri)
     if via == "jp2":
         from rasterframes_spark.sources import jp2 as J2

@@ -123,3 +123,114 @@ def test_record_variables_roundtrip():
     np.testing.assert_array_equal(read_netcdf_var(d2, "v", i2), cube)
     np.testing.assert_array_equal(read_netcdf_var(d2, "lat", i2),
                                   [1.0, 2.0, 3.0])
+
+
+# ---------------------------------------------------------------------------
+# read_raster format-dispatch adapter (via="nc")
+# ---------------------------------------------------------------------------
+
+
+def _nc3_grid(tmp_path, name="t.nc"):
+    ny, nx = 40, 60
+    temp = np.arange(ny * nx, dtype="f8").reshape(ny, nx) / 7.0
+    lats = np.linspace(10.0, 49.0, ny)          # ascending: flip expected
+    lons = np.linspace(-120.0, -61.0, nx)
+    p = tmp_path / name
+    p.write_bytes(write_netcdf(
+        {"temp": (("lat", "lon"), temp),
+         "lat": (("lat",), lats), "lon": (("lon",), lons)},
+        {"lat": ny, "lon": nx}))
+    return str(p), temp, lats, lons
+
+
+def _h5_grid(tmp_path, name="t4.h5"):
+    from rasterframes_spark.sources.hdf5 import H5Writer
+
+    ny, nx = 40, 60
+    press = (np.arange(ny * nx, dtype="f8").reshape(ny, nx) * 3).astype("f4")
+    lats = np.linspace(10.0, 49.0, ny)
+    lons = np.linspace(-120.0, -61.0, nx)
+    w = H5Writer()
+    w.create_dataset("press", press)
+    w.create_dataset("lat", lats, attrs={"units": "degrees_north"})
+    w.create_dataset("lon", lons, attrs={"units": "degrees_east"})
+    p = tmp_path / name
+    p.write_bytes(w.tobytes())
+    return str(p), press, lats, lons
+
+
+def test_parse_subdataset_forms():
+    from rasterframes_spark.sources.raster_reader import _parse_subdataset
+
+    assert _parse_subdataset("NETCDF:/a/b.nc:temp") == ("/a/b.nc", "temp")
+    assert _parse_subdataset('NETCDF:"/a/b.nc":temp') == ("/a/b.nc", "temp")
+    assert _parse_subdataset("/a/b.nc#temp") == ("/a/b.nc", "temp")
+    assert _parse_subdataset("/a/b.h5#press") == ("/a/b.h5", "press")
+    # fragments on non-NetCDF paths pass through (http anchors, etc.)
+    assert _parse_subdataset("/a/b.tif#x") == ("/a/b.tif#x", None)
+    assert _parse_subdataset("/a/b.nc") == ("/a/b.nc", None)
+
+
+def test_nc_dispatch_info_window(tmp_path):
+    from rasterframes_spark.sources.netcdf import read_info, read_window
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    p, temp, lats, lons = _nc3_grid(tmp_path)
+    src = RangeSource(p)
+    info = read_info(src)
+    assert info.via == "nc" and (info.width, info.height) == (60, 40)
+    dx, dy = lons[1] - lons[0], lats[1] - lats[0]
+    assert info.extent[0] == pytest.approx(lons.min() - dx / 2)
+    assert info.extent[3] == pytest.approx(lats.max() + dy / 2)
+    full = read_window(src, info, 0, 0, 60, 40)
+    # ascending lats write north-up: row 0 = northernmost source row
+    assert np.allclose(full[0], temp[-1]) and np.allclose(full[-1], temp[0])
+    win = read_window(src, info, 5, 3, 10, 8)
+    assert win.shape == (8, 10) and np.allclose(win, full[3:11, 5:15])
+
+
+def test_h5_dispatch_and_axis_resolution(tmp_path):
+    from rasterframes_spark.sources.netcdf import read_info, read_window
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    p, press, lats, lons = _h5_grid(tmp_path)
+    src = RangeSource(p)
+    info = read_info(src)                      # default var = first 2-D+
+    assert info.via == "nc" and info.dtype == "float32"
+    assert info.extent[0] == pytest.approx(lons.min() - 0.5)
+    full = read_window(src, info, 0, 0, 60, 40)
+    assert np.allclose(full[0], press[-1])
+
+
+def test_nc_fillvalue_becomes_nan_nodata(tmp_path):
+    from rasterframes_spark.sources.netcdf import read_info, read_window
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    arr = _cube()
+    data = _encode(arr, fill=-50)
+    p = tmp_path / "fv.nc"
+    p.write_bytes(data)
+    src = RangeSource(str(p))
+    info = read_info(src, "t2m")
+    assert info.dtype == "float64" and np.isnan(info.nodata)
+    assert info.bands == 3                      # leading time dim -> bands
+    band1 = read_window(src, info, 0, 0, 50, 40, band=1)
+    masked = arr[1] == -50
+    assert np.isnan(band1[::-1][masked]).all()  # window is north-up
+
+
+def test_read_raster_mixed_nc_h5_catalog(spark, tmp_path):
+    from rasterframes_spark.sources import read_raster, realize_tiles
+
+    p3, temp, _, _ = _nc3_grid(tmp_path)
+    p4, press, _, _ = _h5_grid(tmp_path)
+    df = read_raster(spark, [p3 + "#temp", p4], tile_dimensions=(32, 32))
+    t = df.withColumn("tile", realize_tiles(F.col("tile_ref")))
+    rows = (t.select("path", rf.rf_tile_sum("tile").alias("s"))
+              .groupBy("path")
+              .agg(F.sum("s").alias("total"), F.count("*").alias("tiles"))
+              .collect())
+    got = {r.path.split("/")[-1].split("#")[0]: r for r in rows}
+    assert got["t.nc"].tiles == 4 and got["t4.h5"].tiles == 4
+    assert got["t.nc"].total == pytest.approx(float(temp.sum()))
+    assert got["t4.h5"].total == pytest.approx(float(press.sum()), rel=1e-6)
