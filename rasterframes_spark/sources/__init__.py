@@ -13,6 +13,10 @@ from rasterframes_spark.sources.stac import (  # noqa: F401
     read_stac_items, stac_api_search, stac_asset_catalog,
 )
 from rasterframes_spark.sources.mrf import write_mrf  # noqa: F401
+from rasterframes_spark.sources.geotrellis import (  # noqa: F401
+    read_geotrellis_layer, read_geotrellis_catalog, write_geotrellis_layer,
+    geotrellis_layer_ids,
+)
 from rasterframes_spark.sources.layer import (  # noqa: F401
     write_tile_layer, read_tile_layer, layer_metadata,
     write_tile_layer_table, read_tile_layer_table, read_layer_catalog,
@@ -28,4 +32,6 @@ __all__ = [
     "write_tile_layer", "read_tile_layer", "layer_metadata",
     "write_tile_layer_table", "read_tile_layer_table", "read_layer_catalog",
     "write_mrf",
+    "read_geotrellis_layer", "read_geotrellis_catalog",
+    "write_geotrellis_layer", "geotrellis_layer_ids",
 ]
