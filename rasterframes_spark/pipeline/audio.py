@@ -94,15 +94,19 @@ def _decode_wav_impl(buf: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
     fmt_code = ch = rate = bits = None
+    block_align = fact_n = None
     data = None
     while pos + 8 <= len(buf):
         cid = buf[pos:pos + 4]
         (clen,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8:pos + 8 + clen]
         if cid == b"fmt " and clen >= 16:
-            fmt_code, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_code, ch, rate, _, block_align, bits = \
+                struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and clen >= 4:
+            (fact_n,) = struct.unpack_from("<I", body, 0)
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt_code is None or data is None:
         raise ValueError("missing fmt or data chunk")
@@ -126,6 +130,23 @@ def _decode_wav_impl(buf: bytes) -> tuple[np.ndarray, int]:
             a = np.frombuffer(data, dtype=_INT_DTYPES[bits]).astype("float64") / full
         else:
             raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif fmt_code in (0x0006, 0x0007):       # G.711 A-law / mu-law
+        from rasterframes_spark.sources.aiff_au import (
+            alaw_to_lin16, ulaw_to_lin16)
+
+        table = alaw_to_lin16 if fmt_code == 0x0006 else ulaw_to_lin16
+        a = table(np.frombuffer(data, dtype=np.uint8)) / 32767.0
+    elif fmt_code in (0x0002, 0x0011):       # MS / IMA ADPCM
+        from rasterframes_spark.sources.adpcm import (
+            decode_ima_adpcm, decode_ms_adpcm)
+
+        if not block_align:
+            raise ValueError("adpcm: fmt chunk lacks block_align")
+        dec = decode_ms_adpcm if fmt_code == 0x0002 else decode_ima_adpcm
+        a16 = dec(data, ch, block_align)
+        if fact_n is not None:               # trim encoder block padding
+            a16 = a16[:fact_n]
+        return a16.astype("float64") / 32767.0, int(rate)
     else:
         raise ValueError(f"unsupported WAV format code {fmt_code}")
     n = len(a) - len(a) % ch
@@ -153,7 +174,7 @@ def _wav_header_info(buf: bytes) -> tuple[int, int, int, int]:
             raise ValueError("not a RIFF/WAVE stream")
         pos = 12
         fmt = None
-        data_len = None
+        data_len = fact_n = None
         while pos + 8 <= len(buf):
             cid = buf[pos:pos + 4]
             (clen,) = struct.unpack_from("<I", buf, pos + 4)
@@ -161,13 +182,25 @@ def _wav_header_info(buf: bytes) -> tuple[int, int, int, int]:
                 fmt = struct.unpack_from("<HHIIHH", buf, pos + 8)
             elif cid == b"data":
                 data_len = min(clen, len(buf) - pos - 8)
+            elif cid == b"fact" and clen >= 4:
+                (fact_n,) = struct.unpack_from("<I", buf, pos + 8)
             pos += 8 + clen + (clen & 1)
         if fmt is None or data_len is None:
             raise ValueError("missing fmt or data chunk")
-        _code, ch, rate, byte_rate, block_align, _bits = fmt
+        code, ch, rate, byte_rate, block_align, _bits = fmt
         if ch < 1 or rate == 0 or block_align == 0:
             raise ValueError("wav: bad fmt chunk")
-        return int(rate), int(ch), data_len // block_align, int(byte_rate)
+        if fact_n is not None:               # compressed formats: exact
+            frames = fact_n
+        elif code == 0x0011:                 # IMA ADPCM, no fact chunk
+            frames = (data_len // block_align) * \
+                ((block_align - 4 * ch) * 2 // ch + 1)
+        elif code == 0x0002:                 # MS ADPCM, no fact chunk
+            frames = (data_len // block_align) * \
+                ((block_align - 7 * ch) * 2 // ch + 2)
+        else:
+            frames = data_len // block_align
+        return int(rate), int(ch), int(frames), int(byte_rate)
     except (struct.error, IndexError) as e:
         raise ValueError(f"malformed WAV: {e}") from e
 
