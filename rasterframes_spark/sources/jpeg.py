@@ -4,16 +4,21 @@ Completes the image-codec story next to ``png.py`` (lossless) — JPEG is
 the dominant scraped-web format, so ``decode_image(decode='jpeg')`` makes
 the multimodal image path real for it with zero external dependencies.
 
-Decoder: baseline sequential DCT (SOF0/SOF1), Huffman entropy coding,
-grayscale or YCbCr with any sampling factors up to 2x2 (4:4:4, 4:2:2,
-4:2:0), restart markers, 8- and 16-bit quantization tables. Progressive
-(SOF2) and arithmetic coding raise ValueError. The per-block IDCT is one
-batched numpy einsum per component — the bit-level Huffman walk is the
-only python loop.
+Decoder: baseline sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2,
+Annex G: spectral selection + successive approximation, DC/AC first and
+refinement scans, EOB runs) — the two framings that cover the scraped
+web; Huffman entropy coding, grayscale or YCbCr with any sampling factors
+up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart markers, 8- and 16-bit
+quantization tables. Arithmetic coding raises ValueError. The per-block
+IDCT is one batched numpy einsum per component — the bit-level Huffman
+walk is the only python loop.
 
-Encoder: minimal baseline 4:4:4 (or grayscale) with the JPEG Annex K
-example tables scaled by ``quality`` — a round-trip test tool, decode is
-the production path.
+Encoder: baseline 4:4:4/422/420 (or grayscale) with the JPEG Annex K
+example tables scaled by ``quality``; ``progressive=True`` re-emits the
+SAME quantized coefficients as an SOF2 scan script exercising all four
+progressive scan kinds — since entropy framing is lossless, progressive
+and baseline outputs of one encode must decode bit-identically, which is
+the decoder's internal consistency oracle (the jpegtran identity).
 
 All constants (zigzag order, Annex K tables) are from the public JPEG
 standard (ITU-T T.81)."""
@@ -166,6 +171,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def _huff_decode(br: _BitReader, table) -> int:
+    if table is None:
+        raise ValueError("missing Huffman table for scan")
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.read_bit()
@@ -176,8 +183,8 @@ def _huff_decode(br: _BitReader, table) -> int:
 
 
 def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
-    """JPEG bytes -> H x W x 3 uint8 RGB (or H x W x 1 for grayscale).
-    Raises ValueError on malformed/unsupported (progressive) input."""
+    """JPEG bytes -> H x W x 3 uint8 RGB (or H x W x 1 for grayscale);
+    baseline and progressive. Raises ValueError on malformed input."""
     if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -220,7 +227,7 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
                 huffval = list(seg[p + 17:p + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _build_huff(bits, huffval)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progr.
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -228,9 +235,10 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                coef_store = _alloc_coef_store(frame)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -243,9 +251,19 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
             data_pos = pos + seglen
-            return _decode_scan(buf, data_pos, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(buf, data_pos, frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                buf, data_pos, frame, scan, huff_dc, huff_ac,
+                restart_interval, coef_store, ss, se,
+                ahal >> 4, ahal & 0x0F)
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return _reconstruct(frame, coef_store, qt)
     raise ValueError("no scan data found")
 
 
@@ -299,11 +317,17 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, ri):
                     zz[k] = _extend(br.receive(s), s)
                     k += 1
                 blocks[comp["id"]].append(zz)
-    # dequantize + batched IDCT per component
+    return _finish(comps, blocks, qt, mcux, mcuy, hmax, vmax, h, w)
+
+
+def _finish(comps, blocks, qt, mcux, mcuy, hmax, vmax, h, w):
+    """Shared tail: per-component zigzag block stacks in MCU scan order
+    -> dequantize, batched IDCT, plane assembly, colorspace."""
+    n_mcu = mcux * mcuy
     planes = []
     for comp in comps:
         bs = np.stack(blocks[comp["id"]])  # (n, 64) zigzag
-        deq = np.zeros_like(bs)
+        deq = np.zeros_like(bs, dtype=np.float64)
         deq[:, _ZIGZAG] = bs * qt[comp["tq"]].reshape(-1)[_ZIGZAG]
         coef = deq.reshape(-1, 8, 8)
         spatial = np.einsum("ur,nuv,vc->nrc", _C, coef, _C)
@@ -312,7 +336,6 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, ri):
         ch, cv = comp["h"], comp["v"]
         pw, ph = mcux * ch * 8, mcuy * cv * 8
         plane = np.zeros((ph, pw), dtype=np.uint8)
-        bi = 0
         per_mcu = ch * cv
         for m in range(n_mcu):
             my, mx = divmod(m, mcux)
@@ -322,7 +345,6 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, ri):
                 y0 = (my * cv + by) * 8
                 x0 = (mx * ch + bx) * 8
                 plane[y0:y0 + 8, x0:x0 + 8] = spatial[base + b]
-            bi += per_mcu
         # upsample to full resolution then crop
         ry, rx = vmax // cv, hmax // ch
         if ry > 1 or rx > 1:
@@ -337,6 +359,216 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, ri):
     g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
     b = y + 1.772 * (cb - 128)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — ITU-T T.81 Annex G
+# ---------------------------------------------------------------------------
+
+
+def _alloc_coef_store(frame):
+    """Per-component zigzag coefficient grids, MCU-padded (interleaved DC
+    scans address padding blocks inside partial MCUs), plus each
+    component's TRUE block-grid dims (non-interleaved scans cover only
+    those)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    store = {"mcux": mcux, "mcuy": mcuy, "hmax": hmax, "vmax": vmax}
+    for c in comps:
+        cw = -(-frame["w"] * c["h"] // hmax)
+        chh = -(-frame["h"] * c["v"] // vmax)
+        store[c["id"]] = {
+            "coef": np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                             dtype=np.int32),
+            "nbr": -(-chh // 8), "nbc": -(-cw // 8)}
+    return store
+
+
+def _next_marker(buf, pos):
+    """First position >= pos of a real (non-stuffing, non-RST) marker."""
+    while pos + 1 < len(buf):
+        if buf[pos] == 0xFF and buf[pos + 1] != 0x00 \
+                and not (0xD0 <= buf[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return len(buf)
+
+
+def _decode_prog_scan(buf, pos, frame, scan, huff_dc, huff_ac, ri,
+                      store, ss, se, ah, al):
+    """One progressive scan into the coefficient store; returns the
+    position of the marker that ends the scan."""
+    br = _BitReader(buf, pos)
+    interleaved = len(scan) > 1
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive: DC scan with Se != 0")
+        _prog_dc_scan(br, frame, scan, huff_dc, ri, store, ah, al,
+                      interleaved)
+    else:
+        if interleaved:
+            raise ValueError("progressive: AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("progressive: bad spectral range")
+        _prog_ac_scan(br, scan[0], huff_ac, ri, store, ss, se, ah, al)
+    return _next_marker(buf, br.pos)
+
+
+def _prog_dc_scan(br, frame, scan, huff_dc, ri, store, ah, al,
+                  interleaved):
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    if interleaved:
+        mcux, mcuy = store["mcux"], store["mcuy"]
+        for m in range(mcux * mcuy):
+            if ri and m and m % ri == 0:
+                br.align_to_marker()
+                pred = {c["id"]: 0 for c, _, _ in scan}
+            my, mx = divmod(m, mcux)
+            for comp, tdc, _tac in scan:
+                cg = store[comp["id"]]["coef"]
+                for b in range(comp["h"] * comp["v"]):
+                    by, bx = divmod(b, comp["h"])
+                    _dc_one(br, huff_dc.get(tdc), pred, comp, ah, al,
+                            cg[my * comp["v"] + by, mx * comp["h"] + bx])
+    else:
+        comp, tdc, _tac = scan[0]
+        st = store[comp["id"]]
+        cg = st["coef"]
+        n = 0
+        for by in range(st["nbr"]):
+            for bx in range(st["nbc"]):
+                if ri and n and n % ri == 0:
+                    br.align_to_marker()
+                    pred = {comp["id"]: 0}
+                _dc_one(br, huff_dc.get(tdc), pred, comp, ah, al,
+                        cg[by, bx])
+                n += 1
+
+
+def _dc_one(br, table, pred, comp, ah, al, zz):
+    if ah == 0:
+        t = _huff_decode(br, table)
+        diff = _extend(br.receive(t), t) if t else 0
+        pred[comp["id"]] += diff
+        zz[0] = pred[comp["id"]] << al
+    else:
+        if br.read_bit():
+            zz[0] = int(zz[0]) | (1 << al)
+
+
+def _prog_ac_scan(br, scan_comp, huff_ac, ri, store, ss, se, ah, al):
+    comp, _tdc, tac = scan_comp
+    st = store[comp["id"]]
+    cg = st["coef"]
+    table = huff_ac.get(tac)
+    eobrun = 0
+    n = 0
+    for by in range(st["nbr"]):
+        for bx in range(st["nbc"]):
+            if ri and n and n % ri == 0:
+                br.align_to_marker()
+                eobrun = 0
+            n += 1
+            zz = cg[by, bx]
+            if ah == 0:
+                eobrun = _ac_first(br, table, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, table, zz, ss, se, al, eobrun)
+
+
+def _ac_first(br, table, zz, ss, se, al, eobrun):
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            e = (1 << r) - 1
+            if r:
+                e += br.receive(r)
+            return e
+        k += r
+        if k > se:
+            raise ValueError("progressive: AC run past band end")
+        zz[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, table, zz, ss, se, al, eobrun):
+    """T.81 G.1.2.3: refinement scan — new ±1<<Al significances with
+    interleaved correction bits for already-nonzero coefficients."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    # FULL run count here (unlike _ac_first): the tail
+                    # below must still refine the rest of THIS band,
+                    # then decrement for it
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                val = 0           # ZRL: pass 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("progressive: refine size != 1")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if zz[k]:
+                    if br.read_bit() and not (int(zz[k]) & p1):
+                        zz[k] = int(zz[k]) + (p1 if zz[k] > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k]:
+                if br.read_bit() and not (int(zz[k]) & p1):
+                    zz[k] = int(zz[k]) + (p1 if zz[k] > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, store, qt):
+    """All scans consumed: coefficient grids -> pixels via the shared
+    baseline tail (blocks re-listed in MCU scan order)."""
+    comps = frame["comps"]
+    mcux, mcuy = store["mcux"], store["mcuy"]
+    hmax, vmax = store["hmax"], store["vmax"]
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors above 2 not supported")
+    blocks = {}
+    for c in comps:
+        cg = store[c["id"]]["coef"]
+        lst = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for b in range(c["h"] * c["v"]):
+                by, bx = divmod(b, c["h"])
+                lst.append(cg[my * c["v"] + by, mx * c["h"] + bx]
+                           .astype(np.float64))
+        blocks[c["id"]] = lst
+    return _finish(comps, blocks, qt, mcux, mcuy, hmax, vmax,
+                   frame["h"], frame["w"])
 
 
 # ---------------------------------------------------------------------------
@@ -392,11 +624,14 @@ def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """H x W x 3 RGB (or H x W / H x W x 1 grayscale) uint8 -> baseline
-    JFIF bytes (Annex K tables scaled by quality). ``subsampling``: '444',
+                restart_interval: int = 0, progressive: bool = False) -> bytes:
+    """H x W x 3 RGB (or H x W / H x W x 1 grayscale) uint8 -> JFIF bytes
+    (Annex K tables scaled by quality). ``subsampling``: '444',
     '422' (2x1-averaged chroma) or '420' (2x2-averaged chroma); ``restart_interval`` > 0 emits DRI +
-    RSTn markers every N MCUs."""
+    RSTn markers every N MCUs (baseline only). ``progressive=True`` emits
+    the same quantized coefficients as an SOF2 scan script (DC first
+    Al=1, DC refine, per-component AC first Al=1 and AC refine) — decodes
+    bit-identically to the baseline encoding of the same input."""
     a = np.asarray(arr)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -448,7 +683,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
     for i, q in enumerate(qts[: 2 if nc == 3 else 1]):
         z = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
         out += b"\xff\xdb" + struct.pack(">HB", 67, i) + z.tobytes()
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for i in range(nc):
         out += bytes((i + 1, (samp[i][0] << 4) | samp[i][1], qids[i]))
     for i, (bits, hv) in enumerate([_DC_L, _DC_C][: 2 if nc == 3 else 1]):
@@ -457,12 +693,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
     for i, (bits, hv) in enumerate([_AC_L, _AC_C][: 2 if nc == 3 else 1]):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(hv), 0x10 | i) \
             + bytes(bits) + bytes(hv)
-    if restart_interval:
+    if restart_interval and not progressive:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
-    for i in range(nc):
-        out += bytes((i + 1, (tids[i] << 4) | tids[i]))
-    out += b"\x00\x3f\x00"
+    if not progressive:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for i in range(nc):
+            out += bytes((i + 1, (tids[i] << 4) | tids[i]))
+        out += b"\x00\x3f\x00"
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -482,6 +719,12 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
         c = np.einsum("ur,nrc,vc->nuv", _C, blocks, _C)
         coefs.append(np.round(c / qts[qids[ci]]).astype(np.int64))
         ncols.append(nbc)
+
+    if progressive:
+        out += _emit_progressive(coefs, ncols, samp, tids, nc,
+                                 mcux, mcuy, h, w, hmax, vmax)
+        out += b"\xff\xd9"
+        return bytes(out)
 
     def put_block(zz, ci):
         dc_t, ac_t = dc_tabs[tids[ci]], ac_tabs[tids[ci]]
@@ -534,4 +777,309 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive emission (encoder side of Annex G)
+# ---------------------------------------------------------------------------
+
+
+def _msh(v: int, al: int) -> int:
+    """AC point transform: magnitude shift (truncate toward zero)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _sos_header(comp_ids, tids_dc, tids_ac, ss, se, ah, al) -> bytes:
+    ns = len(comp_ids)
+    out = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+    for cid, td, ta in zip(comp_ids, tids_dc, tids_ac):
+        out += bytes((cid, (td << 4) | ta))
+    out += bytes((ss, se, (ah << 4) | al))
+    return bytes(out)
+
+
+def _optimize_huffman(freq: dict) -> tuple:
+    """Annex K.2 'suggested table generation': symbol frequencies ->
+    (bits[1..16], huffval), with the reserved pseudo-symbol 256 ensuring
+    the all-ones code stays unused and the >16-length adjustment."""
+    f = [0] * 257
+    for s, c in freq.items():
+        f[s] = c
+    f[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = v2 = -1
+        lo1 = lo2 = None
+        for i in range(257):
+            if f[i] > 0:
+                if lo1 is None or f[i] < lo1 or (f[i] == lo1 and i > v1):
+                    v2, lo2 = v1, lo1
+                    v1, lo1 = i, f[i]
+                elif lo2 is None or f[i] < lo2 or (f[i] == lo2 and i > v2):
+                    v2, lo2 = i, f[i]
+        if v2 < 0:
+            break
+        f[v1] += f[v2]
+        f[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    # adjust_bits: fold lengths > 16 down (K.2 figure K.3)
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    # remove the reserved symbol's code (largest length)
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1
+    huffval = [s for s in sorted(range(256),
+                                 key=lambda s: (codesize[s], s))
+               if codesize[s]]
+    return bits[1:17], huffval
+
+
+class _SymCounter:
+    """Stands in for an encode table during the statistics pass."""
+
+    def __init__(self):
+        self.freq = {}
+
+    def __getitem__(self, sym):
+        self.freq[sym] = self.freq.get(sym, 0) + 1
+        return (0, 1)
+
+
+class _NullWriter:
+    def write(self, code, length):
+        pass
+
+    def flush(self):
+        pass
+
+
+def _emit_progressive(coefs, ncols, samp, tids, nc, mcux, mcuy, h, w,
+                      hmax, vmax) -> bytes:
+    """Scan script: DC first (Al=1) -> DC refine -> per-component AC
+    first (Ss=1..63, Al=1) -> per-component AC refine.  Exercises all
+    four progressive scan kinds.  Two passes, libjpeg-style: the Annex K
+    baseline tables lack the EOBn symbols progressive needs, so pass 1
+    gathers per-table symbol statistics and pass 2 emits with optimized
+    tables (Annex K.2) declared via in-stream DHTs."""
+    ntab = 2 if nc == 3 else 1
+
+    def grid(ci):
+        """(nbr_true, nbc_true) — non-interleaved scans cover only the
+        component's own ceil-grid, not MCU padding."""
+        ch, cv = samp[ci]
+        return (-(-(h * cv) // (vmax * 8)), -(-(w * ch) // (hmax * 8)))
+
+    zz_grids = []
+    for ci in range(nc):
+        nbr, nbc = grid(ci)
+        zz_grids.append([coefs[ci][by * ncols[ci] + bx].reshape(-1)[_ZIGZAG]
+                         for by in range(nbr) for bx in range(nbc)])
+
+    def dc_first_scan(bw, dc_tabs):
+        pred = [0] * nc
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(nc):
+                ch, cv = samp[ci]
+                for b in range(ch * cv):
+                    by, bx = divmod(b, ch)
+                    bi = (my * cv + by) * ncols[ci] + (mx * ch + bx)
+                    dc = int(coefs[ci][bi][0, 0]) >> 1   # arithmetic shift
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    t = _cat(diff)
+                    code, ln = dc_tabs[tids[ci]][t]
+                    bw.write(code, ln)
+                    if t:
+                        v = diff if diff >= 0 else diff + (1 << t) - 1
+                        bw.write(v & ((1 << t) - 1), t)
+        bw.flush()
+
+    def dc_refine_scan(bw):
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(nc):
+                ch, cv = samp[ci]
+                for b in range(ch * cv):
+                    by, bx = divmod(b, ch)
+                    bi = (my * cv + by) * ncols[ci] + (mx * ch + bx)
+                    bw.write(int(coefs[ci][bi][0, 0]) & 1, 1)
+        bw.flush()
+
+    def ac_first_scan(bw, ac_t, ci):
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_t[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for zz in zz_grids[ci]:
+            vals = [_msh(int(zz[k]), 1) for k in range(64)]
+            nzk = [k for k in range(1, 64) if vals[k]]
+            if not nzk:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, nzk[-1] + 1):
+                v = vals[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_t[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _cat(v)
+                code, ln = ac_t[(run << 4) | s]
+                bw.write(code, ln)
+                ev = v if v >= 0 else v + (1 << s) - 1
+                bw.write(ev & ((1 << s) - 1), s)
+                run = 0
+            if nzk[-1] < 63:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw.flush()
+
+    def ac_refine_scan(bw, ac_t, ci):
+        eobrun = 0
+        eob_bits = []
+
+        def flush_eob_r():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_t[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                for bit in eob_bits:
+                    bw.write(bit, 1)
+                eob_bits.clear()
+                eobrun = 0
+
+        for zz in zz_grids[ci]:
+            vals = [int(zz[k]) for k in range(64)]        # Al = 0
+            run = 0
+            bits = []
+            new_sig = [k for k in range(1, 64) if abs(vals[k]) == 1]
+            eobpos = new_sig[-1] if new_sig else 0
+            for k in range(1, 64):
+                t = vals[k]
+                at = abs(t)
+                if at == 0:
+                    run += 1
+                    continue
+                # ZRLs must flush BEFORE a correction bit is buffered —
+                # the decoder's post-symbol walk only passes nonzero
+                # coefficients within a 16-zero window.  Past the last
+                # new significance zeros fold into the EOB run instead.
+                while run > 15 and k <= eobpos:
+                    flush_eob_r()
+                    code, ln = ac_t[0xF0]
+                    bw.write(code, ln)
+                    for bit in bits:
+                        bw.write(bit, 1)
+                    bits.clear()
+                    run -= 16
+                if at > 1:
+                    bits.append(at & 1)
+                    continue
+                # newly significant: |t| == 1
+                flush_eob_r()
+                code, ln = ac_t[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if t > 0 else 0, 1)
+                for bit in bits:
+                    bw.write(bit, 1)
+                bits.clear()
+                run = 0
+            if run > 0 or bits:
+                eobrun += 1
+                eob_bits.extend(bits)
+                if eobrun == 0x7FFF:
+                    flush_eob_r()
+        flush_eob_r()
+        bw.flush()
+
+    # ---- pass 1: symbol statistics
+    dc_cnt = [_SymCounter() for _ in range(ntab)]
+    ac_cnt = [_SymCounter() for _ in range(ntab)]
+    dc_first_scan(_NullWriter(), dc_cnt)
+    for ci in range(nc):
+        ac_first_scan(_NullWriter(), ac_cnt[tids[ci]], ci)
+        ac_refine_scan(_NullWriter(), ac_cnt[tids[ci]], ci)
+
+    # ---- optimized tables + DHTs
+    out = bytearray()
+    dc_tabs = []
+    ac_tabs = []
+    for i in range(ntab):
+        bits, hv = _optimize_huffman(dc_cnt[i].freq or {0: 1})
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(hv), i) \
+            + bytes(bits) + bytes(hv)
+        dc_tabs.append(_enc_table(bits, hv))
+        bits, hv = _optimize_huffman(ac_cnt[i].freq or {0: 1})
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(hv), 0x10 | i) \
+            + bytes(bits) + bytes(hv)
+        ac_tabs.append(_enc_table(bits, hv))
+
+    # ---- pass 2: emit scans
+    bw = _BitWriter()
+    out += _sos_header([i + 1 for i in range(nc)],
+                       [tids[i] for i in range(nc)], [0] * nc, 0, 0, 0, 1)
+    dc_first_scan(bw, dc_tabs)
+    out += bw.out
+
+    bw = _BitWriter()
+    out += _sos_header([i + 1 for i in range(nc)], [0] * nc, [0] * nc,
+                       0, 0, 1, 0)
+    dc_refine_scan(bw)
+    out += bw.out
+
+    for ci in range(nc):
+        bw = _BitWriter()
+        out += _sos_header([ci + 1], [0], [tids[ci]], 1, 63, 0, 1)
+        ac_first_scan(bw, ac_tabs[tids[ci]], ci)
+        out += bw.out
+
+        bw = _BitWriter()
+        out += _sos_header([ci + 1], [0], [tids[ci]], 1, 63, 1, 0)
+        ac_refine_scan(bw, ac_tabs[tids[ci]], ci)
+        out += bw.out
     return bytes(out)
