@@ -4,8 +4,8 @@ environment).
 Encoder supports 8-bit grayscale (H,W) and RGB (H,W,3) numpy arrays — what
 rf_render_png and the slippy exporter need. The decoder is its inverse and
 additionally handles all five scanline filters, RGBA, gray+alpha, and
-palette images (8-bit depth, no interlace) so externally-produced PNGs
-decode too.
+palette images (8-bit depth) and Adam7 interlacing so
+externally-produced PNGs decode too.
 """
 
 from __future__ import annotations
@@ -97,11 +97,33 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _deinterlace_adam7(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images scattered onto the
+    pass grid -> (h, w*bpp) byte rows (same shape _unfilter returns)."""
+    full = np.zeros((h, w, bpp), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        needed = ph * (1 + pw * bpp)
+        sub = _unfilter(raw[off:off + needed], ph, pw, bpp)
+        off += needed
+        full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+    return full.reshape(h, w * bpp)
+
+
 def _decode_png_impl(data: bytes) -> np.ndarray:
     """PNG bytes -> uint8 (or uint16 for depth-16) array: (H,W) for
     grayscale, (H,W,C) otherwise. Supports bit depths 8 and 16, color
     types 0 (gray), 2 (RGB), 3 (palette, 8-bit), 4 (gray+alpha),
-    6 (RGBA); no interlace."""
+    6 (RGBA); both interlace methods (none / Adam7)."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos = 8
@@ -125,8 +147,8 @@ def _decode_png_impl(data: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     if depth not in (8, 16) or (depth == 16 and ctype == 3):
         raise ValueError(f"unsupported PNG bit depth {depth} for type {ctype}")
-    if interlace:
-        raise ValueError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {ctype}")
@@ -134,7 +156,10 @@ def _decode_png_impl(data: bytes) -> np.ndarray:
     # PNG filters operate on BYTES with the left-neighbor offset equal to
     # the bytes-per-pixel, so 16-bit rows unfilter as 2x-wide byte rows
     bpp = channels * (depth // 8)
-    arr = _unfilter(raw, h, w, bpp)
+    if interlace:
+        arr = _deinterlace_adam7(raw, h, w, bpp)
+    else:
+        arr = _unfilter(raw, h, w, bpp)
     if depth == 16:
         arr = np.frombuffer(arr.tobytes(), dtype=">u2").astype(np.uint16)
         arr = arr.reshape(h, w, channels)
