@@ -223,7 +223,10 @@ def decode_ms_adpcm(data: bytes, channels: int,
             s2[:, c] = s1[:, c]
             s1[:, c] = new
             d = (_MS_ADAPT[nib] * delta[:, c]) >> 8
-            delta[:, c] = np.maximum(d, 16)
+            # lower bound per spec; upper bound only guards int64
+            # wraparound on adversarial streams (any sane delta is
+            # well under 2^24 — outputs clamp to int16 regardless)
+            delta[:, c] = np.clip(d, 16, 1 << 24)
     return out.reshape(-1, ch)
 
 

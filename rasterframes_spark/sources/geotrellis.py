@@ -189,9 +189,13 @@ def read_geotrellis_layer(spark, catalog: str, layer: str, zoom: int,
     distributed (binaryFile scan over the index files; one Avro decode
     per file partition, keys from the records themselves).
 
-    ``query_extent`` (xmin, ymin, xmax, ymax) prunes at the SpatialKey
-    level before any tile decodes (the reference's filter pushdown,
-    GeoTrellisRelation.scala PrunedScan)."""
+    ``query_extent`` (xmin, ymin, xmax, ymax) prunes pairs at the
+    SpatialKey level before tile MATERIALIZATION (numpy/Tile/Arrow
+    conversion) — the reference's filter semantics
+    (GeoTrellisRelation.scala PrunedScan).  The Avro record parse
+    itself is per-file (keys travel inside the records), so a pruned
+    file still pays one binary decode; sub-file byte pruning would
+    need the key index, which only helps point lookups."""
     import pandas as pd
 
     from rasterframes_spark.tile import Tile
