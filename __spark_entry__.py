@@ -1453,31 +1453,177 @@ def _q_convolve(spark, sf_dir):
 
 
 def _q_local_algebra(spark, sf_dir):
-    """Unary local-algebra family in one pass: add/multiply scalar,
-    comparison-as-0/1, rescale."""
-    t = _tiles_df(spark, sf_dir)
-    return t.select(
+    """Unary AND binary (tile x tile) local-algebra families in one pass:
+    add/multiply scalar, comparison-as-0/1, rescale, plus subtract/
+    divide/min/max/where over the two synthesized bands (merged from the
+    r6 'local_binary' slot to fund interop_suite — both read the same
+    cells CTE and group by grp)."""
+    df = _two_band(spark, sf_dir)
+    cond = rf.rf_local_greater("qty", 25)
+    return df.select(
         "grp",
         rf.rf_tile_sum(rf.rf_local_add("qty", 5)).alias("add_sum"),
         rf.rf_tile_sum(rf.rf_local_multiply("qty", 3)).alias("mul_sum"),
         rf.rf_tile_sum(rf.rf_local_greater("qty", 25)).alias("n_gt"),
         _r0(rf.rf_tile_sum(rf.rf_rescale("qty", 1.0, 50.0)), 6).alias("rescale_sum"),
-    )
-
-
-def _q_local_binary(spark, sf_dir):
-    """Binary (tile x tile) local-algebra family in one pass:
-    subtract/divide/min/max/where over the two synthesized bands."""
-    df = _two_band(spark, sf_dir)
-    cond = rf.rf_local_greater("qty", 25)
-    return df.select(
-        "grp",
         rf.rf_tile_sum(rf.rf_local_subtract("qty", F.col("price"))).alias("diff_sum"),
         _r0(rf.rf_tile_sum(rf.rf_local_divide("price", 2)), 6).alias("half_price_sum"),
         _r0(rf.rf_tile_sum(rf.rf_local_min("qty", F.col("price"))), 6).alias("min_sum"),
         _r0(rf.rf_tile_sum(rf.rf_local_max("qty", F.col("price"))), 6).alias("max_sum"),
         _r0(rf.rf_tile_sum(rf.rf_where(cond, "price", "qty")), 6).alias("where_sum"),
     )
+
+
+def _q_interop_suite(spark, sf_dir):
+    """Round-7 interop sources behind one family-keyed value oracle:
+
+    - 'gt'    — GeoTrellis Avro layer round-trip: 16x16 int32 tiles built
+                from ranked lineitem quantities (one tile per returnflag),
+                written driver-side as a real Avro layer (zorder index,
+                deflated KeyValueRecords), read back DISTRIBUTED through
+                read_geotrellis_layer; per-key tile sums + extent corners
+                must equal DuckDB's independent ranked-window sums.
+    - 'nc'    — NetCDF-3 through the read_raster format dispatch
+                (path#var subdataset URI): CF-coordinate grid written
+                driver-side, chunked (32,32), realized, summed; DuckDB
+                recomputes the closed-form grid sum and the half-cell
+                extent corner.
+    - 'adpcm' — IMA (even doc_id) / MS (odd) ADPCM WAVs synthesized per
+                doc_id, profiled header-only by audio_metadata: exact
+                duration via the fact chunk, channels, rate.
+    - 'jpegp' — progressive (SOF2) JPEG: per-doc deterministic images
+                encoded baseline AND progressive, both decoded by
+                decode_image; dims must match the closed form and the
+                pixel buffers must be byte-identical (the jpegtran
+                identity, distributed)."""
+    import tempfile
+
+    import numpy as np
+
+    from rasterframes_spark import pipeline as P
+    from rasterframes_spark.sources import (
+        read_geotrellis_layer, read_raster, realize_tiles)
+    from rasterframes_spark.sources.adpcm import write_adpcm_wav
+    from rasterframes_spark.sources.geotrellis import write_geotrellis_layer
+    from rasterframes_spark.sources.jpeg import encode_jpeg
+    from rasterframes_spark.sources.netcdf import write_netcdf
+
+    out_cols = ["family", "k", "v1", "v2", "v3"]
+
+    # ---- 'gt': bounded driver collect (3 flags x 256 cells) -> layer
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    win = Window.partitionBy("l_returnflag").orderBy("l_orderkey",
+                                                     "l_linenumber")
+    ranked = (li.withColumn("rn", F.row_number().over(win))
+                .where(F.col("rn") <= 256)
+                .select("l_returnflag", "rn",
+                        F.col("l_quantity").cast("int").alias("q"))
+                .collect())
+    by_flag = {}
+    for r in ranked:
+        by_flag.setdefault(r.l_returnflag, {})[r.rn] = r.q
+    tiles = []
+    for col, flag in enumerate(sorted(by_flag)):
+        cells = by_flag[flag]
+        a = np.array([cells[i + 1] for i in range(256)],
+                     dtype=np.int32).reshape(16, 16)
+        tiles.append((col, 0, a))
+    gt_dir = tempfile.mkdtemp(prefix="rf_gt_oracle_")
+    write_geotrellis_layer(tiles, gt_dir, "li", 0,
+                           layout_extent=(-180, -90, 180, 90),
+                           layout_cols=360, layout_rows=180)
+    gt = (read_geotrellis_layer(spark, gt_dir, "li", 0)
+          .select(F.lit("gt").alias("family"),
+                  F.col("spatial_key.col").cast("long").alias("k"),
+                  rf.rf_tile_sum("tile").cast("double").alias("v1"),
+                  rf.rf_no_data_cells("tile").cast("double").alias("v2"),
+                  F.col("extent.xmin").cast("double").alias("v3")))
+
+    # ---- 'nc': closed-form grid through the raster dispatch
+    ny, nx = 40, 60
+    ii, jj = np.mgrid[0:ny, 0:nx]
+    grid = ((ii * 53 + jj * 17) % 101).astype("f8")
+    lats = np.linspace(10.0, 49.0, ny)          # ascending -> north-up flip
+    lons = np.linspace(-120.0, -61.0, nx)
+    nc_path = tempfile.mktemp(suffix=".nc", prefix="rf_nc_oracle_")
+    with open(nc_path, "wb") as f:
+        f.write(write_netcdf(
+            {"v": (("lat", "lon"), grid),
+             "lat": (("lat",), lats), "lon": (("lon",), lons)},
+            {"lat": ny, "lon": nx}))
+    ncdf = read_raster(spark, [nc_path + "#v"], tile_dimensions=(32, 32))
+    nc = (ncdf.withColumn("tile", realize_tiles(F.col("tile_ref")))
+          .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+               F.count("*").alias("n"),
+               F.min("extent.xmin").alias("x0"))
+          .select(F.lit("nc").alias("family"), F.lit(0).cast("long").alias("k"),
+                  F.col("s").cast("double").alias("v1"),
+                  F.col("n").cast("double").alias("v2"),
+                  F.col("x0").cast("double").alias("v3")))
+
+    # ---- 'adpcm' + 'jpegp': per-doc payloads synthesized distributed
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id").where(F.col("doc_id") < 32)
+
+    def synth(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 500 + (d % 7) * 100
+                ch = 1 + (d % 2)
+                k = np.arange(n * ch, dtype=np.int64)
+                pcm = (((d + 1) * k * 2654435761) % 8001 - 4000) \
+                    .astype(np.int16).reshape(n, ch)
+                wav = write_adpcm_wav(pcm, 8000,
+                                      fmt="ima" if d % 2 == 0 else "ms")
+                h = 16 + (d % 3) * 8
+                w = 24 + (d % 2) * 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack([(xx * 7 + yy * 13 + d) % 256,
+                                (xx * 3 + yy * 5 + d) % 256,
+                                (xx + yy * 2 + d) % 256], -1) \
+                    .astype(np.uint8)
+                jb = encode_jpeg(img, quality=80)
+                jp = encode_jpeg(img, quality=80, progressive=True)
+                rows.append((d, bytearray(wav), bytearray(jb),
+                             bytearray(jp)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "wav",
+                                                  "jb", "jp"])
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, wav binary, jb binary, jp binary")
+    media = media.localCheckpoint(eager=False)
+    adpcm = (P.audio_metadata(
+                media.select("media_id", F.col("wav").alias("payload")))
+             .select(F.lit("adpcm").alias("family"),
+                     F.col("media_id").alias("k"),
+                     F.col("duration_ms").cast("double").alias("v1"),
+                     F.col("channels").cast("double").alias("v2"),
+                     F.col("sample_rate").cast("double").alias("v3")))
+    db = P.decode_image(
+        media.select("media_id", F.col("jb").alias("payload")),
+        decode="jpeg")
+    dp = (P.decode_image(
+        media.select("media_id", F.col("jp").alias("payload")),
+        decode="jpeg")
+        .select("media_id", F.col("height").alias("ph"),
+                F.col("width").alias("pw"),
+                F.col("pixels").alias("ppix")))
+    jpegp = (db.join(dp, "media_id")
+             .select(F.lit("jpegp").alias("family"),
+                     F.col("media_id").alias("k"),
+                     F.col("height").cast("double").alias("v1"),
+                     F.col("width").cast("double").alias("v2"),
+                     (F.col("height").eqNullSafe(F.col("ph"))
+                      & F.col("width").eqNullSafe(F.col("pw"))
+                      & F.col("pixels").eqNullSafe(F.col("ppix")))
+                     .cast("double").alias("v3")))
+
+    return gt.unionAll(nc).unionAll(adpcm).unionAll(jpegp) \
+        .select(*out_cols)
 
 
 def _q_tile_stats(spark, sf_dir):
@@ -1545,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     trail (round-4 postmortem: 3 of 53 silently fell off the end)."""
     return {
         # -- new or changed this round ------------------------------------
+        "interop_suite": _q_interop_suite,
         "curation": _q_curation,
         "dem_composite": _q_dem_composite,
         "knn_dwithin": _q_knn_dwithin,
@@ -1557,7 +1704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_suite": _q_similarity_suite,
         "layer_center": _q_layer_center,
         "local_algebra": _q_local_algebra,
-        "local_binary": _q_local_binary,
         "tile_stats": _q_tile_stats,
         "pyramid": _q_pyramid,
         "overview": _q_overview,
@@ -1660,15 +1806,49 @@ def oracle_sql() -> dict[str, str]:
         "local_algebra": C + """
             select grp, sum(qty + 5) as add_sum, sum(qty * 3) as mul_sum,
                    cast(sum(case when qty > 25 then 1 else 0 end) as double) as n_gt,
-                   round(sum((qty - 1.0)/(50.0 - 1.0)), 6) + 0.0 as rescale_sum
-            from cells group by grp""",
-        "local_binary": C + """
-            select grp, sum(qty - price) as diff_sum,
+                   round(sum((qty - 1.0)/(50.0 - 1.0)), 6) + 0.0 as rescale_sum,
+                   sum(qty - price) as diff_sum,
                    round(sum(price / 2), 6) + 0.0 as half_price_sum,
                    round(sum(least(qty, price)), 6) + 0.0 as min_sum,
                    round(sum(greatest(qty, price)), 6) + 0.0 as max_sum,
                    round(sum(case when qty > 25 then price else qty end), 6) + 0.0 as where_sum
             from cells group by grp""",
+        "interop_suite": """
+            with ranked as (
+              select l_returnflag as flag, cast(l_quantity as int) as q,
+                     row_number() over (partition by l_returnflag
+                                        order by l_orderkey, l_linenumber) as rn
+              from lineitem
+            ), flags as (
+              select flag, row_number() over (order by flag) - 1 as col
+              from (select distinct l_returnflag as flag from lineitem)
+            ), gt as (
+              select 'gt' as family, cast(f.col as bigint) as k,
+                     cast(sum(r.q) as double) as v1, 0.0 as v2,
+                     -180.0 + f.col * 1.0 as v3
+              from ranked r join flags f on r.flag = f.flag
+              where r.rn <= 256 group by f.col
+            ), ncg as (
+              select 'nc' as family, cast(0 as bigint) as k,
+                     cast(sum((i * 53 + j * 17) % 101) as double) as v1,
+                     4.0 as v2, -120.5 as v3
+              from (select unnest(range(40)) as i) a
+              cross join (select unnest(range(60)) as j) b
+            ), adpcm as (
+              select 'adpcm' as family, cast(doc_id as bigint) as k,
+                     (500 + (doc_id % 7) * 100) * 1000.0 / 8000.0 as v1,
+                     cast(1 + doc_id % 2 as double) as v2,
+                     8000.0 as v3
+              from documents where doc_id < 32
+            ), jpegp as (
+              select 'jpegp' as family, cast(doc_id as bigint) as k,
+                     cast(16 + (doc_id % 3) * 8 as double) as v1,
+                     cast(24 + (doc_id % 2) * 16 as double) as v2,
+                     1.0 as v3
+              from documents where doc_id < 32
+            )
+            select * from gt union all select * from ncg
+            union all select * from adpcm union all select * from jpegp""",
         "normalized_difference": C + """
             select grp, round(sum((price - qty)/(price + qty)), 6) + 0.0 as nd_sum,
                    count(*) as n

@@ -250,6 +250,22 @@ def main():
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     spark.sql("DROP DATABASE IF EXISTS rf_plans CASCADE")
 
+    S.write_geotrellis_layer(
+        [(c, r, np.arange(256, dtype=np.int32).reshape(16, 16))
+         for c in range(3) for r in range(2)],
+        os.path.join(d, "gtcat"), "demo", 9,
+        layout_extent=(-180, -90, 180, 90), layout_cols=512,
+        layout_rows=256)
+    add("GeoTrellis Avro layer read (r7)",
+        "A `binaryFile` scan over the layer's index files feeds one "
+        "Arrow-batched decode per file partition (`mapInPandas`) — keys "
+        "travel inside the Avro records, so no driver-side listing "
+        "beyond the directory scan, and executors decode independently. "
+        "At 100 TB the unit of parallelism is the SFC index file, the "
+        "same partitioning GeoTrellis itself wrote.",
+        S.read_geotrellis_layer(spark, os.path.join(d, "gtcat"),
+                                "demo", 9))
+
     hdr = (
         "# PLANS — physical-plan evidence for the scale posture\n\n"
         'Captured with `.explain("formatted")` on the real operators (sf0.001 '
