@@ -206,13 +206,41 @@ def _rd_geojson(reader, path, **kw):
     return read_geojson(_active_spark(), path, **kw)
 
 
-def _rd_geotrellis(reader, path, **kw):
+def _rd_geotrellis(reader, path, layer: str | None = None,
+                   zoom: int | None = None, **kw):
+    """Two storage generations behind the reference's reader name
+    (GeoTrellisLayerDataSource SHORT_NAME 'geotrellis'): pass
+    ``layer=``/``zoom=`` (or point at a catalog with an ``attributes/``
+    dir) to read a REAL GeoTrellis Avro layer (sources/geotrellis.py);
+    otherwise the engine's Z2-clustered Parquet layer."""
+    import os
+
+    if layer is not None:
+        from rasterframes_spark.sources.geotrellis import (
+            read_geotrellis_layer)
+
+        if zoom is None:
+            raise ValueError("spark.read.geotrellis: layer= needs zoom=")
+        return read_geotrellis_layer(_active_spark(), path, layer,
+                                     int(zoom), **kw)
+    if os.path.isdir(os.path.join(path, "attributes")):
+        raise ValueError(
+            "spark.read.geotrellis: this is a GeoTrellis Avro catalog — "
+            "pass layer= and zoom= to pick the layer (list them with "
+            "spark.read.geotrellis_catalog(path))")
     from rasterframes_spark.sources.layer import read_tile_layer
 
     return read_tile_layer(_active_spark(), path, **kw)
 
 
 def _rd_geotrellis_catalog(reader, path):
+    import os
+
+    if os.path.isdir(os.path.join(path, "attributes")):
+        from rasterframes_spark.sources.geotrellis import (
+            read_geotrellis_catalog)
+
+        return read_geotrellis_catalog(_active_spark(), path)
     from rasterframes_spark.sources.layer import read_layer_catalog
 
     return read_layer_catalog(_active_spark(), path)

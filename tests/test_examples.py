@@ -103,3 +103,10 @@ def test_nodata_handling_example(spark):
 
     out = ex.main(spark)
     assert out == {"nd_cells": 5000, "masked_sum": 7500}
+
+
+def test_geotrellis_migration_example(spark):
+    import examples.geotrellis_migration as ex
+
+    total = ex.main(spark)
+    assert total > 0
