@@ -34,9 +34,17 @@ def parse_schema(schema) -> dict:
     walk (records/enums/fixed may be referenced by name after first
     definition, per spec)."""
     if isinstance(schema, (str, bytes)):
-        schema = json.loads(schema)
+        try:
+            schema = json.loads(schema)
+        except UnicodeDecodeError as e:
+            raise ValueError(f"avro: schema not UTF-8 ({e})") from None
     names: dict[str, dict] = {}
-    return _norm(schema, names, None)
+    try:
+        return _norm(schema, names, None)
+    except (KeyError, TypeError, AttributeError) as e:
+        # untrusted schema JSON: structural surprises surface as the
+        # clean parse error, not a raw internal exception
+        raise ValueError(f"avro: malformed schema ({e!r})") from None
 
 
 def _fullname(name: str, namespace: str | None) -> str:
@@ -114,15 +122,20 @@ class _Reader:
     def long(self) -> int:
         """zigzag varint (int and long share the wire format)."""
         data, pos = self.data, self.pos
-        b = data[pos]
-        pos += 1
-        n = b & 0x7F
-        shift = 7
-        while b & 0x80:
+        try:
             b = data[pos]
             pos += 1
-            n |= (b & 0x7F) << shift
-            shift += 7
+            n = b & 0x7F
+            shift = 7
+            while b & 0x80:
+                if shift > 70:   # >10 continuation bytes can't be a long
+                    raise ValueError("avro: varint too long")
+                b = data[pos]
+                pos += 1
+                n |= (b & 0x7F) << shift
+                shift += 7
+        except IndexError:
+            raise ValueError("avro: truncated varint") from None
         self.pos = pos
         return (n >> 1) ^ -(n & 1)
 
@@ -353,8 +366,11 @@ def read_container(data: bytes) -> tuple[list, str]:
     r = _Reader(data, 4)
     meta_schema = {"type": "map", "values": {"type": "bytes"}}
     meta = _decode(r, meta_schema)
-    schema_json = meta["avro.schema"].decode("utf-8")
-    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    try:
+        schema_json = meta["avro.schema"].decode("utf-8")
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+    except (KeyError, UnicodeDecodeError) as e:
+        raise ValueError(f"avro: bad container metadata ({e})") from None
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro: codec {codec!r} not supported")
     sync = r.raw(16)
@@ -365,7 +381,10 @@ def read_container(data: bytes) -> tuple[list, str]:
         size = r.long()
         block = r.raw(size)
         if codec == "deflate":
-            block = zlib.decompress(block, -15)   # raw deflate per spec
+            try:
+                block = zlib.decompress(block, -15)   # raw deflate per spec
+            except zlib.error as e:
+                raise ValueError(f"avro: bad deflate block ({e})") from None
         br = _Reader(block)
         for _ in range(n):
             records.append(_decode(br, schema))

@@ -86,6 +86,16 @@ class _Dataset:
     def read(self) -> np.ndarray:
         f = self._file
         n = int(np.prod(self.shape)) if self.shape else 1
+        if self.dtype is None:
+            raise ValueError("hdf5: dataset has no decodable datatype")
+        # every stored byte lives in this file, so a dataset claiming
+        # more cells than the file could hold is corrupt — reject it
+        # before the allocation balloons (found by corruption fuzz)
+        if n * max(self.dtype.itemsize, 1) > max(len(f.data) * 64, 1 << 24):
+            raise ValueError(
+                f"hdf5: dataset shape {self.shape} implies "
+                f"{n * self.dtype.itemsize} bytes in a "
+                f"{len(f.data)}-byte file")
         if self.layout == "contiguous":
             if self._contig_addr is None or self._contig_addr == _UNDEF:
                 out = np.full(self.shape, self.fillvalue, dtype=self.dtype)
@@ -110,7 +120,19 @@ class _Dataset:
                     if filter_mask & (1 << idx):
                         continue
                     if fid == 1:
-                        raw = zlib.decompress(raw)
+                        # bound the inflate by the declared chunk size —
+                        # a corrupted stream must not balloon memory
+                        cap = int(np.prod(cs)) * self.dtype.itemsize
+                        try:
+                            d = zlib.decompressobj()
+                            raw = d.decompress(raw, cap + 1)
+                        except zlib.error as e:
+                            raise ValueError(
+                                f"hdf5: bad deflate chunk ({e})") from None
+                        if len(raw) > cap:
+                            raise ValueError(
+                                "hdf5: deflate chunk inflates past the "
+                                "declared chunk size")
                     elif fid == 2:
                         raw = _unshuffle(raw, self.dtype.itemsize)
                     else:

@@ -299,6 +299,8 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, ri):
             for _ in range(comp["h"] * comp["v"]):
                 zz = np.zeros(64, dtype=np.float64)
                 t = _huff_decode(br, huff_dc[tdc])
+                if t > 15:   # T.81: DC category <= 11 (8-bit) / 15 (12-bit)
+                    raise ValueError(f"jpeg: DC category {t} out of range")
                 diff = _extend(br.receive(t), t) if t else 0
                 pred[comp["id"]] += diff
                 zz[0] = pred[comp["id"]]
@@ -451,6 +453,8 @@ def _prog_dc_scan(br, frame, scan, huff_dc, ri, store, ah, al,
 def _dc_one(br, table, pred, comp, ah, al, zz):
     if ah == 0:
         t = _huff_decode(br, table)
+        if t > 15:   # T.81: DC category <= 11 (8-bit) / 15 (12-bit)
+            raise ValueError(f"jpeg: DC category {t} out of range")
         diff = _extend(br.receive(t), t) if t else 0
         pred[comp["id"]] += diff
         zz[0] = pred[comp["id"]] << al

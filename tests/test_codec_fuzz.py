@@ -103,3 +103,167 @@ def test_netcdf_corruption_fuzz():
             netcdf.read_netcdf_var(b, name, info)
 
     _fuzz(data, decode)
+
+
+# ---------------------------------------------------------------------------
+# round-7 codecs: same discipline for Avro/GeoTrellis, ADPCM, progressive
+# JPEG, Adam7 PNG, HDF5, FLAC, AIFF/AU, MRF
+# ---------------------------------------------------------------------------
+
+
+def test_avro_container_corruption_fuzz():
+    from rasterframes_spark.sources import avro_io
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "int"},
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": {"type": "array", "items": "long"}},
+        {"name": "d", "type": "bytes"}]}
+    recs = [{"a": i, "b": f"row{i}", "c": [i, -i, i * 7],
+             "d": bytes(range(i % 7))} for i in range(20)]
+    data = avro_io.write_container(recs, schema, codec="deflate")
+    _fuzz(data, avro_io.read_container)
+
+
+def test_geotrellis_kv_corruption_fuzz():
+    import zlib
+
+    from rasterframes_spark.sources import geotrellis as gt
+    from rasterframes_spark.sources.avro_io import encode_binary
+
+    schema = gt._kv_schema()
+    rng = np.random.default_rng(4)
+    pairs = [{"_1": {"col": c, "row": r},
+              "_2": {"_type": "IntArrayTile", "cols": 8, "rows": 8,
+                     "cells": [int(v) for v in rng.integers(-99, 99, 64)],
+                     "noDataValue": -2147483648}}
+             for c in range(2) for r in range(2)]
+    raw = encode_binary({"pairs": pairs}, schema)
+    data = zlib.compress(raw)
+    _fuzz(data, lambda b: gt.decode_kv_record(b, schema))
+
+
+@pytest.mark.parametrize("fmt", ["ima", "ms"])
+def test_adpcm_wav_corruption_fuzz(fmt):
+    from rasterframes_spark.sources.adpcm import write_adpcm_wav
+
+    wave = (np.sin(np.linspace(0, 60, 2100)) * 18000).astype(np.int16)
+    _fuzz(write_adpcm_wav(wave, 8000, fmt=fmt), audio.decode_wav,
+          trials=120)
+
+
+def test_jpeg_progressive_corruption_fuzz():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    _fuzz(jpeg.encode_jpeg(arr, progressive=True), jpeg.decode_jpeg)
+
+
+def test_png_adam7_corruption_fuzz():
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (33, 29, 3)).astype(np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in ADAM7:
+        sub = img[y0::dy, x0::dx, :]
+        for row in sub:
+            raw.append(0)
+            raw += row.tobytes()
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", 29, 33, 8, 2, 0, 0, 1))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    _fuzz(bytes(out), png.decode_png)
+
+
+def test_hdf5_corruption_fuzz():
+    from rasterframes_spark.sources.hdf5 import H5File, H5Writer
+
+    rng = np.random.default_rng(7)
+    w = H5Writer()
+    w.create_dataset("t", (rng.random((20, 30)) * 50).astype("float32"),
+                     chunks=(8, 8), compression="gzip",
+                     attrs={"scale_factor": 0.5, "units": "K"})
+    w.create_dataset("g/n", rng.integers(0, 9, (6, 6)).astype("int16"))
+    data = w.tobytes()
+
+    def decode(b):
+        f = H5File(b)
+        for ds in f.datasets.values():
+            ds.read()
+            dict(ds.attrs)
+
+    _fuzz(data, decode)
+
+
+def test_flac_corruption_fuzz():
+    from rasterframes_spark.sources.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(8)
+    wave = (np.sin(np.linspace(0, 80, 3000)) * 12000
+            + rng.normal(0, 300, 3000)).astype(np.int16)
+    data = encode_flac(np.stack([wave, wave // 2], 1), 8000,
+                       blocksize=512, stereo="mid-side")
+    _fuzz(data, decode_flac)
+
+
+def test_aiff_au_corruption_fuzz():
+    import os
+
+    from rasterframes_spark.sources.aiff_au import decode_aiff, decode_au
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    with open(os.path.join(fix, "pluck-pcm16.aiff"), "rb") as f:
+        _fuzz(f.read(), decode_aiff, trials=120)
+    with open(os.path.join(fix, "pluck-ulaw.au"), "rb") as f:
+        _fuzz(f.read(), decode_au, trials=120)
+
+
+def test_mrf_corruption_fuzz(tmp_path):
+    """MRF is a 3-file format: mutate each sibling (XML meta, 16-byte
+    index records, page data) independently; the reader must fail clean
+    on all of them."""
+    import os
+
+    from rasterframes_spark.sources import mrf
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 255, (70, 90)).astype(np.uint8)
+    base = tmp_path / "f.mrf"
+    mrf.write_mrf(str(base), arr, extent=(0.0, 0.0, 90.0, 70.0),
+                  page_size=(32, 32), compression="PNG")
+    files = sorted(os.listdir(tmp_path))
+    originals = {fn: (tmp_path / fn).read_bytes() for fn in files}
+
+    def on_alarm(sig, frm):
+        raise AssertionError("MRF reader hung on corrupted input")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    try:
+        random.seed(10)
+        for trial in range(60):
+            victim = files[trial % len(files)]
+            b = bytearray(originals[victim])
+            for _ in range(random.randint(1, 4)):
+                b[random.randrange(0, len(b))] = random.randrange(256)
+            (tmp_path / victim).write_bytes(bytes(b))
+            signal.alarm(10)
+            try:
+                src = RangeSource(str(base))
+                info = mrf.read_info(src)
+                mrf.read_window(src, info, 0, 0, info.width, info.height)
+            except CLEAN:
+                pass
+            finally:
+                signal.alarm(0)
+                (tmp_path / victim).write_bytes(originals[victim])
+    finally:
+        signal.signal(signal.SIGALRM, old)
