@@ -223,6 +223,9 @@ def _rd_geotrellis(reader, path, layer: str | None = None,
             raise ValueError("spark.read.geotrellis: layer= needs zoom=")
         return read_geotrellis_layer(_active_spark(), path, layer,
                                      int(zoom), **kw)
+    if zoom is not None:
+        raise ValueError("spark.read.geotrellis: zoom= needs layer= "
+                         "(a Parquet layer path takes neither)")
     if os.path.isdir(os.path.join(path, "attributes")):
         raise ValueError(
             "spark.read.geotrellis: this is a GeoTrellis Avro catalog — "

@@ -38,6 +38,8 @@ __all__ = ["H5File", "H5Writer", "read_netcdf4"]
 
 _SIG = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
+# in-memory reader's per-dataset allocation cap (see _Dataset.read)
+_MAX_DATASET_BYTES = 1 << 32
 
 
 # ---------------------------------------------------------------------------
@@ -88,14 +90,17 @@ class _Dataset:
         n = int(np.prod(self.shape)) if self.shape else 1
         if self.dtype is None:
             raise ValueError("hdf5: dataset has no decodable datatype")
-        # every stored byte lives in this file, so a dataset claiming
-        # more cells than the file could hold is corrupt — reject it
-        # before the allocation balloons (found by corruption fuzz)
-        if n * max(self.dtype.itemsize, 1) > max(len(f.data) * 64, 1 << 24):
+        # Allocation bound: a corrupted dataspace can declare a PiB-scale
+        # shape from a KB-scale file (found by corruption fuzz).  Deflate
+        # and sparse fill make logical size legitimately exceed file size
+        # by 1000x+, so the bound is absolute, not a ratio: this reader
+        # holds the whole file AND the dataset in memory, so cap the
+        # allocation at 4 GiB (raise _MAX_DATASET_BYTES for bigger data).
+        if n * max(self.dtype.itemsize, 1) > _MAX_DATASET_BYTES:
             raise ValueError(
                 f"hdf5: dataset shape {self.shape} implies "
-                f"{n * self.dtype.itemsize} bytes in a "
-                f"{len(f.data)}-byte file")
+                f"{n * self.dtype.itemsize} bytes "
+                f"(> _MAX_DATASET_BYTES {_MAX_DATASET_BYTES})")
         if self.layout == "contiguous":
             if self._contig_addr is None or self._contig_addr == _UNDEF:
                 out = np.full(self.shape, self.fillvalue, dtype=self.dtype)

@@ -31,6 +31,12 @@ import numpy as np
 
 __all__ = ["decode_jpeg", "encode_jpeg"]
 
+# Decode-side allocation bound: the coefficient store / output planes are
+# sized from header-declared dimensions, so a tiny corrupted stream could
+# otherwise demand a multi-GB allocation (MemoryError crashing a Spark
+# task). 2^27 pixels = 134 MP covers any real scraped-web image.
+_MAX_PIXELS = 1 << 27
+
 _ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -196,13 +202,21 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("marker expected")
-        marker = buf[pos + 1]
-        pos += 2
-        if marker == 0xD8:
-            continue
+        pos += 1
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes
+        while pos < len(buf) and buf[pos] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(buf):
+            break
+        marker = buf[pos]
+        pos += 1
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length field
         if marker == 0xD9:
             break
         (seglen,) = struct.unpack_from(">H", buf, pos)
+        if seglen < 2:
+            raise ValueError("jpeg: segment length < 2")
         seg = buf[pos + 2: pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -231,10 +245,19 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
+            if h == 0 or w == 0 or h * w > _MAX_PIXELS:
+                raise ValueError(f"jpeg: frame {w}x{h} out of bounds "
+                                 f"(cap {_MAX_PIXELS} pixels)")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("jpeg: truncated SOF component list")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                hh, vv = hv >> 4, hv & 0x0F
+                if not (1 <= hh <= 4 and 1 <= vv <= 4):
+                    raise ValueError(
+                        f"jpeg: sampling factors {hh}x{vv} out of range")
+                comps.append({"id": cid, "h": hh, "v": vv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
                      "progressive": marker == 0xC2}
             if frame["progressive"]:
@@ -691,12 +714,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
     out += sof + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for i in range(nc):
         out += bytes((i + 1, (samp[i][0] << 4) | samp[i][1], qids[i]))
-    for i, (bits, hv) in enumerate([_DC_L, _DC_C][: 2 if nc == 3 else 1]):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(hv), i) \
-            + bytes(bits) + bytes(hv)
-    for i, (bits, hv) in enumerate([_AC_L, _AC_C][: 2 if nc == 3 else 1]):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(hv), 0x10 | i) \
-            + bytes(bits) + bytes(hv)
+    if not progressive:
+        # the progressive scan script writes its own two-pass optimized
+        # DHTs under the same table ids — emitting the Annex K baseline
+        # tables here too would be ~450 dead bytes per file
+        for i, (bits, hv) in enumerate([_DC_L, _DC_C][: 2 if nc == 3 else 1]):
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + len(hv), i) \
+                + bytes(bits) + bytes(hv)
+        for i, (bits, hv) in enumerate([_AC_L, _AC_C][: 2 if nc == 3 else 1]):
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + len(hv), 0x10 | i) \
+                + bytes(bits) + bytes(hv)
     if restart_interval and not progressive:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     if not progressive:

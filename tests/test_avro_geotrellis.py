@@ -327,3 +327,12 @@ def test_layer_float_nan_nodata(spark, tmp_path):
            .first())
     assert row.s == pytest.approx(8.0)
     assert row.nd == 1
+
+
+def test_reader_zoom_without_layer_raises(spark, tmp_path):
+    """zoom= without layer= is a user error (forgot layer=) — it must
+    raise, not silently fall through to the Parquet-layer reader."""
+    import pytest
+
+    with pytest.raises(ValueError, match="zoom= needs layer="):
+        spark.read.geotrellis(str(tmp_path), zoom=8)

@@ -159,28 +159,11 @@ def test_jpeg_progressive_corruption_fuzz():
 
 
 def test_png_adam7_corruption_fuzz():
-    import struct
-    import zlib
+    from conftest import make_interlaced_png
 
-    def chunk(tag, payload):
-        return (struct.pack(">I", len(payload)) + tag + payload
-                + struct.pack(">I", zlib.crc32(tag + payload)))
-
-    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
     rng = np.random.default_rng(6)
     img = rng.integers(0, 256, (33, 29, 3)).astype(np.uint8)
-    raw = bytearray()
-    for x0, y0, dx, dy in ADAM7:
-        sub = img[y0::dy, x0::dx, :]
-        for row in sub:
-            raw.append(0)
-            raw += row.tobytes()
-    out = bytearray(b"\x89PNG\r\n\x1a\n")
-    out += chunk(b"IHDR", struct.pack(">IIBBBBB", 29, 33, 8, 2, 0, 0, 1))
-    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
-    out += chunk(b"IEND", b"")
-    _fuzz(bytes(out), png.decode_png)
+    _fuzz(make_interlaced_png(img), png.decode_png)
 
 
 def test_hdf5_corruption_fuzz():

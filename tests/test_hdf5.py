@@ -177,3 +177,14 @@ def test_filter_mask_indexes_pipeline_position():
     masks = [m for _, _, m, _ in chunks]
     assert any(m != 0 for m in masks)     # random data defeats deflate
     assert all(m in (0, 2) for m in masks)  # deflate bit = its index (1)
+
+
+def test_high_compression_roundtrip():
+    """A 24 MB logical dataset deflates to a ~26 KB file (constant
+    data); the corruption-fuzz allocation guard must not reject valid
+    high-ratio files — the bound is absolute, not file-size-relative."""
+    a = np.zeros((2400, 2500), dtype="float32")
+    f = _rt(lambda w: w.create_dataset("z", a, chunks=(300, 2500),
+                                       compression="gzip"))
+    got = f.datasets["/z"].read()
+    assert got.shape == (2400, 2500) and not got.any()

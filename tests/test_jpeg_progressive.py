@@ -122,3 +122,63 @@ def test_optimized_table_validity():
                     "reserved all-ones code used"
                 code += 1
             code <<= 1
+
+
+def test_fill_bytes_before_marker_decode_identical():
+    """T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes; a
+    conforming stream with fill padding must decode to the same pixels
+    (regression: the marker loop used to read the fill byte as the
+    marker code and silently skip the real scan)."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    data = encode_jpeg(img, progressive=True)
+    ref = decode_jpeg(data)
+    # pad every SOS marker except the first with fill bytes
+    first = data.index(b"\xff\xda")
+    padded = data[:first + 2] + data[first + 2:].replace(
+        b"\xff\xda", b"\xff\xff\xff\xda")
+    assert len(padded) > len(data)
+    np.testing.assert_array_equal(decode_jpeg(padded), ref)
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_sampling_factor_zero_raises(progressive):
+    """A one-byte flip zeroing a component's H/V sampling factors must
+    surface as ValueError, not ZeroDivisionError (task-crash class)."""
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    data = bytearray(encode_jpeg(img, progressive=progressive))
+    sof = data.index(b"\xff\xc2" if progressive else b"\xff\xc0")
+    hv = sof + 11  # marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1)
+    assert data[hv] == 0x11
+    data[hv] = 0x00
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_huge_declared_dims_raise(progressive):
+    """Header-declared 65535x65535 dims from a tiny stream must raise,
+    not allocate a multi-GB coefficient store / output plane."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    data = bytearray(encode_jpeg(img, progressive=progressive))
+    sof = data.index(b"\xff\xc2" if progressive else b"\xff\xc0")
+    data[sof + 5:sof + 9] = b"\xff\xff\xff\xff"   # h=w=65535
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+
+
+def test_progressive_omits_baseline_tables():
+    """The progressive scan script carries its own optimized DHTs; the
+    Annex K baseline tables must not also be emitted (dead bytes)."""
+    from rasterframes_spark.sources.jpeg import _DC_L
+
+    rng = np.random.default_rng(24)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    annexk_dc_bits = bytes(_DC_L[0])
+    assert annexk_dc_bits in encode_jpeg(img, progressive=False)
+    prog = encode_jpeg(img, progressive=True)
+    assert annexk_dc_bits not in prog
+    np.testing.assert_array_equal(
+        decode_jpeg(prog), decode_jpeg(encode_jpeg(img, progressive=False)))
