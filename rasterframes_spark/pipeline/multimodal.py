@@ -345,22 +345,36 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
 
 
 def video_metadata(df: DataFrame) -> DataFrame:
-    """MP4 payload -> one row per video track: duration, timescale, sample
-    and keyframe counts, codec fourcc. Pure container parse (``moov`` is a
-    few KB regardless of clip size) — the cheap first pass a video-corpus
-    profile runs before committing GPU decode budget. Corrupt or non-BMFF
-    payloads are dropped."""
+    """MP4 or WebM/Matroska payload -> one row per video track: duration,
+    timescale, sample and keyframe counts, codec id (sample-entry fourcc
+    for MP4, ``V_VP9``-style CodecID for WebM). Pure container parse
+    (``moov``/EBML headers are a few KB regardless of clip size) — the
+    cheap first pass a video-corpus profile runs before committing GPU
+    decode budget. Corrupt or unrecognized payloads are dropped.
+    Timescale reports in ticks/second for both containers (WebM's
+    TimestampScale is ns/tick; 1e9/scale normalizes it)."""
 
     def run(batches):
         from rasterframes_spark.sources.mp4 import read_mp4_info
+        from rasterframes_spark.sources.webm import read_webm_info
 
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
+                data = bytes(payload)
                 try:
-                    info = read_mp4_info(bytes(payload))
+                    if data[:4] == b"\x1aE\xdf\xa3":
+                        w = read_webm_info(data)
+                        for t in w.video_tracks:
+                            rows.append((int(mid), t.number, t.codec_id,
+                                         int(round(1e9 / w.timescale_ns)),
+                                         float(w.duration_ms),
+                                         t.n_samples, int(t.sync.sum()),
+                                         int(t.sizes.sum())))
+                        continue
+                    info = read_mp4_info(data)
                 except ValueError:
                     continue
                 for t in info.video_tracks:
@@ -382,9 +396,9 @@ def video_metadata(df: DataFrame) -> DataFrame:
 
 def demux_video_samples(df: DataFrame, every_ms: int = 1000,
                         keyframes_only: bool = True) -> DataFrame:
-    """MP4 payload -> one row per sampled frame with the still-compressed
-    codec sample bytes (no pixel decode): (media_id, frame_idx, ts_ms,
-    sample_idx, is_sync, sample).
+    """MP4 or WebM payload -> one row per sampled frame with the still-
+    compressed codec sample bytes (no pixel decode): (media_id, frame_idx,
+    ts_ms, sample_idx, is_sync, sample).
 
     This is the shape a 100 TB video pipeline actually wants: container
     demux is cheap CPU work that parallelizes in ``mapInPandas``, while
@@ -396,8 +410,8 @@ def demux_video_samples(df: DataFrame, every_ms: int = 1000,
     """
 
     def run(batches):
-        from rasterframes_spark.sources.mp4 import (
-            extract_sample, read_mp4_info, sample_indices_at)
+        from rasterframes_spark.sources import mp4 as M
+        from rasterframes_spark.sources import webm as W
 
         for pdf in batches:
             rows = []
@@ -406,15 +420,24 @@ def demux_video_samples(df: DataFrame, every_ms: int = 1000,
                     continue
                 data = bytes(payload)
                 try:
-                    info = read_mp4_info(data)
+                    if data[:4] == b"\x1aE\xdf\xa3":
+                        info = W.read_webm_info(data)
+                        picks = [(t, W.sample_indices_at(
+                            t, every_ms, keyframes_only,
+                            duration_ms=info.duration_ms), W.extract_frame)
+                            for t in info.video_tracks]
+                    else:
+                        info = M.read_mp4_info(data)
+                        picks = [(t, M.sample_indices_at(
+                            t, every_ms, keyframes_only), M.extract_sample)
+                            for t in info.video_tracks]
                 except ValueError:
                     continue
-                for t in info.video_tracks:
-                    for fi, (ts, si) in enumerate(
-                            sample_indices_at(t, every_ms, keyframes_only)):
+                for t, idxs, extract in picks:
+                    for fi, (ts, si) in enumerate(idxs):
                         rows.append((int(mid), fi, ts, si,
                                      bool(t.sync[si]),
-                                     extract_sample(data, t, si)))
+                                     extract(data, t, si)))
             if rows:
                 yield pd.DataFrame(rows, columns=[
                     "media_id", "frame_idx", "ts_ms", "sample_idx",

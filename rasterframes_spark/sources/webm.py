@@ -39,6 +39,7 @@ _CLUSTER_TS = 0xE7
 _SIMPLE_BLOCK = 0xA3
 _BLOCK_GROUP = 0xA0
 _BLOCK = 0xA1
+_REFERENCE_BLOCK = 0xFB
 
 _MAX_ELEMENTS = 1 << 22
 
@@ -210,13 +211,17 @@ def read_webm_info(data: bytes) -> WebmInfo:
                 elif e2 == _SIMPLE_BLOCK:
                     _parse_block(data, s2, e2e, cluster_ts, frames, skipped)
                 elif e2 == _BLOCK_GROUP:
-                    for e3, s3, e3e in _iter_elements(data, s2, e2e):
+                    # Block (vs SimpleBlock) has no keyframe flag bit;
+                    # a frame is a keyframe iff its BlockGroup carries NO
+                    # ReferenceBlock (Matroska: ReferenceBlock lists the
+                    # frames this one predicts from)
+                    members = list(_iter_elements(data, s2, e2e))
+                    has_ref = any(e3 == _REFERENCE_BLOCK
+                                  for e3, _, _ in members)
+                    for e3, s3, e3e in members:
                         if e3 == _BLOCK:
-                            # Block (vs SimpleBlock) has no keyframe flag;
-                            # keyframe-ness comes from ReferenceBlock
-                            # absence — treat as key when no reference seen
                             _parse_block(data, s3, e3e, cluster_ts, frames,
-                                         skipped, force_key=True)
+                                         skipped, force_key=not has_ref)
     if timescale_ns <= 0:
         raise ValueError("webm: bad timestamp scale")
     ms_per_tick = timescale_ns / 1e6
@@ -243,9 +248,13 @@ def extract_frame(data: bytes, track: WebmTrack, idx: int) -> bytes:
     return data[o:o + s]
 
 
-def sample_indices_at(track: WebmTrack, duration_ms: float, every_ms: int,
-                      keyframes_only: bool = False) -> list[tuple[int, int]]:
-    """Same tick-sampling contract as mp4.sample_indices_at."""
+def sample_indices_at(track: WebmTrack, every_ms: int,
+                      keyframes_only: bool = False,
+                      duration_ms: float = 0.0) -> list[tuple[int, int]]:
+    """Same signature and tick-sampling contract as
+    ``mp4.sample_indices_at`` so the demux operator dispatches uniformly;
+    pass ``duration_ms`` from WebmInfo when the track outlives its last
+    frame timestamp."""
     if track.n_samples == 0:
         return []
     ts = track.ts_ms_arr

@@ -250,3 +250,13 @@ def test_mrf_corruption_fuzz(tmp_path):
                 (tmp_path / victim).write_bytes(originals[victim])
     finally:
         signal.signal(signal.SIGALRM, old)
+
+
+def test_webm_corruption_fuzz():
+    from rasterframes_spark.sources.webm import read_webm_info, write_webm
+
+    rng = np.random.default_rng(11)
+    frames = [bytes(rng.integers(0, 256, 24).astype("u1")) for _ in range(6)]
+    data = write_webm(frames, [0, 400, 800, 1200, 1600, 2000],
+                      [True, False, False, True, False, False])
+    _fuzz(data, read_webm_info)
