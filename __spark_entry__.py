@@ -945,7 +945,10 @@ def _q_media_suite(spark, sf_dir):
     encode -> decode_audio -> audio_features, bit-exact float64), MP3
     (real MPEG frame-header walk in audio_metadata), MP4 (real ISO-BMFF
     demux: video_metadata sample/keyframe counts plus the
-    keyframe-aligned demux_video_samples row count), and FLAC (r7: the
+    keyframe-aligned demux_video_samples row count), WebM (r7: EBML
+    cluster walk — block/keyframe counts and muxer duration across
+    cluster boundaries through the same two video operators), and FLAC
+    (r7: the
     full compressed codec — Rice/fixed-predictor encode, distributed
     bitstream decode, features on the reconstructed samples). Every
     number the Spark side produces by parsing real container bytes, the
@@ -959,6 +962,7 @@ def _q_media_suite(spark, sf_dir):
     from rasterframes_spark.sources.flac import encode_flac
     from rasterframes_spark.sources.mp4 import write_mp4
     from rasterframes_spark.sources.mpeg_audio import write_mp3_frames
+    from rasterframes_spark.sources.webm import write_webm
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id").where(F.col("doc_id") < 64)
@@ -985,16 +989,25 @@ def _q_media_suite(spark, sf_dir):
                 kk = np.arange(1, nfl + 1, dtype=np.int64)
                 xi = ((d + 3) * kk * 2654435761) % 20001 - 10000
                 fl = encode_flac(xi, 8000, bps=16)
+                # WebM leg: nw frames 170 ms apart (crosses the muxer's
+                # 1000 ms cluster boundary from nw >= 7), keyframe every
+                # 4th — the EBML walk must count blocks and key flags
+                # across clusters for the closed forms to agree
+                nw = 3 + d % 11
+                wfr = [bytes([d % 256]) * (16 + j) for j in range(nw)]
+                wm = write_webm(wfr, [j * 170 for j in range(nw)],
+                                [j % 4 == 0 for j in range(nw)])
                 rows.append((d, bytearray(wav), bytearray(mp3),
-                             bytearray(mp4), bytearray(fl)))
+                             bytearray(mp4), bytearray(fl), bytearray(wm)))
             if rows:
                 yield pd.DataFrame(
                     rows,
-                    columns=["media_id", "wav", "mp3", "mp4", "flac"])
+                    columns=["media_id", "wav", "mp3", "mp4", "flac",
+                             "webm"])
 
     media = docs.mapInPandas(
         synth, schema=("media_id long, wav binary, mp3 binary, "
-                       "mp4 binary, flac binary"))
+                       "mp4 binary, flac binary, webm binary"))
     media = media.localCheckpoint(eager=False)
     wav_df = media.select("media_id", F.col("wav").alias("payload"))
     mp3_df = media.select("media_id", F.col("mp3").alias("payload"))
@@ -1018,12 +1031,25 @@ def _q_media_suite(spark, sf_dir):
         "media_id",
         F.col("duration_ms").alias("flac_duration_ms"),
         _r0("rms", 6).alias("flac_rms"))
+    webm_df = media.select("media_id", F.col("webm").alias("payload"))
+    webmm = P.video_metadata(webm_df).select(
+        "media_id",
+        F.col("duration_ms").alias("webm_duration_ms"),
+        F.col("n_samples").cast("long").alias("webm_n_samples"),
+        F.col("n_keyframes").cast("long").alias("webm_n_keyframes"))
+    wdemux = (P.demux_video_samples(webm_df, every_ms=100,
+                                    keyframes_only=True)
+              .groupBy("media_id")
+              .agg(F.count("*").alias("webm_demux_rows")))
     return (feats.join(mp3m, "media_id").join(mp4m, "media_id")
             .join(demux, "media_id").join(flacf, "media_id")
+            .join(webmm, "media_id").join(wdemux, "media_id")
             .select(F.col("media_id").alias("doc_id"), "duration_ms",
                     "rms_v", "mp3_duration_ms", "mp3_bitrate_kbps",
                     "mp4_n_samples", "mp4_n_keyframes", "mp4_demux_rows",
-                    "flac_duration_ms", "flac_rms"))
+                    "flac_duration_ms", "flac_rms",
+                    "webm_duration_ms", "webm_n_samples",
+                    "webm_n_keyframes", "webm_demux_rows"))
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -2338,7 +2364,8 @@ def oracle_sql() -> dict[str, str]:
                      0.1::double + (doc_id % 9) * 0.1::double as a,
                      10 + doc_id % 20 as nf,
                      4 + doc_id % 13 as ns,
-                     800 + (doc_id % 7) * 150 as nfl
+                     800 + (doc_id % 7) * 150 as nfl,
+                     3 + doc_id % 11 as nw
               from documents where doc_id < 64
             ), s as (
               select doc_id, f, a, n, unnest(range(n)) as k from params
@@ -2370,7 +2397,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(p.ns as bigint) as mp4_n_samples,
                    cast((p.ns + 2) // 3 as bigint) as mp4_n_keyframes,
                    cast(ceil(p.ns * 33 / 100.0) as bigint) as mp4_demux_rows,
-                   fw.flac_duration_ms, fw.flac_rms
+                   fw.flac_duration_ms, fw.flac_rms,
+                   -- WebM: nw frames 170 ms apart, sync every 4th; muxer
+                   -- Duration = last ts + 1; demux ticks every 100 ms
+                   cast((p.nw - 1) * 170 + 1 as double) as webm_duration_ms,
+                   cast(p.nw as bigint) as webm_n_samples,
+                   cast((p.nw + 3) // 4 as bigint) as webm_n_keyframes,
+                   cast(ceil(((p.nw - 1) * 170 + 1) / 100.0) as bigint)
+                     as webm_demux_rows
             from w join params p on p.doc_id = w.doc_id
                    join fw on fw.doc_id = w.doc_id""",
         "text_metrics": """
