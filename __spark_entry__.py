@@ -1374,7 +1374,31 @@ def _q_similarity_suite(spark, sf_dir):
         F.col("id_b").cast("long").alias("id_b"),
         F.col("cos").alias("score"),
         F.lit(0).alias("rank"))
-    return sim.unionByName(cos).unionByName(nd)
+    sd = _q_semantic_dedup(spark, sf_dir).select(
+        F.lit("semdedup").alias("family"),
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.col("sem_cluster").cast("long").alias("id_b"),
+        _r0("cent_cos", 6).alias("score"),
+        F.col("kept").cast("int").alias("rank"))
+    return sim.unionByName(cos).unionByName(nd).unionByName(sd)
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) end-to-end in the value gate: inject
+    seeded centroids (training covered by pytest), duplicate the first
+    400 embeddings under shifted ids so every vector has at least one
+    exact twin, run assignment -> within-cluster pairs -> transitive
+    groups -> farthest-from-centroid keeper. DuckDB re-derives the whole
+    pipeline (recursive-CTE reachability, same centroid literals)."""
+    from rasterframes_spark import pipeline as P
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where(F.col("vec_id") < 400).select("vec_id", "embedding"))
+    both = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                   "embedding"))
+    return P.semantic_dedup(both, "vec_id", centroids=_ivf_cents(),
+                            threshold=0.98)
 
 
 def _ivf_cents(n_lists: int = 8, dim: int = 64, seed: int = 7):
@@ -2643,8 +2667,8 @@ def oracle_sql() -> dict[str, str]:
               select x.id, e.d from reach x join e on e.s = x.r
             )
             select id, min(r) as cluster_id from reach group by id""",
-        "similarity_suite": """
-            with corpus as (
+        "similarity_suite": f"""
+            with recursive corpus as (
               select doc_id, text from documents
               union all
               select doc_id + 1000000, text from documents
@@ -2663,6 +2687,45 @@ def oracle_sql() -> dict[str, str]:
             ), t as (
               select vec_id, label, cast(embedding as double[]) as v
               from embeddings
+            ), sd_cents(cid, cv) as (values
+                {_ivf_cents_sql(8, 64)}
+            ), sd_corpus as (
+              select vec_id, cast(embedding as double[]) as v
+              from embeddings where vec_id < 400
+              union all
+              select vec_id + 1000000, cast(embedding as double[])
+              from embeddings where vec_id < 400
+            ), sd_ca as (
+              -- nearest centroid; ordering by the raw dot is norm-invariant
+              select vec_id, v, cid,
+                     list_dot_product(v, cv)
+                       / sqrt(list_dot_product(v, v)) as cc0,
+                     row_number() over (partition by vec_id
+                          order by list_dot_product(v, cv) desc,
+                                   cid asc) as rn
+              from sd_corpus cross join sd_cents
+            ), sd_a as (
+              select vec_id, v, cid, round(cc0, 9) + 0.0 as cc
+              from sd_ca where rn = 1
+            ), sd_p0 as (
+              select x.vec_id as s, y.vec_id as d
+              from sd_a x join sd_a y
+                on x.cid = y.cid and x.vec_id < y.vec_id
+              where round(list_dot_product(x.v, y.v)
+                    / (sqrt(list_dot_product(x.v, x.v))
+                       * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.98
+            ), sd_e as (
+              select s, d from sd_p0 union select d, s from sd_p0
+            ), sd_reach(id, r) as (
+              select s, s from sd_e
+              union
+              select x.id, sd_e.d from sd_reach x join sd_e on sd_e.s = x.r
+            ), sd_comp as (
+              select id, min(r) as cluster_id from sd_reach group by id
+            ), sd_lab as (
+              select a.vec_id, a.cc,
+                     coalesce(c.cluster_id, a.vec_id) as sem_cluster
+              from sd_a a left join sd_comp c on c.id = a.vec_id
             )
             select 'simhash' as family, cast(a.doc_id as bigint) as id_a,
                    cast(b.doc_id as bigint) as id_b,
@@ -2686,7 +2749,16 @@ def oracle_sql() -> dict[str, str]:
             from t a join t b on a.label = b.label and a.vec_id < b.vec_id
             where list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
-                     * sqrt(list_dot_product(b.v, b.v))) >= 0.3""",
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+            union all
+            select 'semdedup' as family, cast(vec_id as bigint) as id_a,
+                   cast(sem_cluster as bigint) as id_b,
+                   round(cc, 6) + 0.0 as score,
+                   cast(case when row_number() over (
+                          partition by sem_cluster
+                          order by cc asc, vec_id asc) = 1
+                        then 1 else 0 end as int) as rank
+            from sd_lab""",
         "ivf_ann": f"""
             with cents(cid, cv) as (values
                 {_ivf_cents_sql(8, 64)}

@@ -27,7 +27,7 @@ __all__ = [
     "minhash_signature", "minhash_signature_text", "minhash_lsh_candidates",
     "minhash_dedup_pairs", "text_jaccard",
     "simhash", "simhash_near_pairs", "ngram_jaccard_pairs",
-    "embedding_neardup_pairs", "dedup_clusters",
+    "embedding_neardup_pairs", "dedup_clusters", "semantic_dedup",
     "token_gram_hashes", "flag_repeated_spans",
     "exact_substring_pairs",
 ]
@@ -570,6 +570,99 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str = "embeddin
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str = "embedding",
+                   n_clusters: int = 16, threshold: float = 0.95,
+                   centroids=None, sample_size: int = 2048, seed: int = 42,
+                   keep: str = "farthest", corpus_rows: int | None = None,
+                   max_iter: int = 25) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    semantic deduplication. K-means the embeddings into ``n_clusters``,
+    find near-duplicate pairs WITHIN each cluster (cosine >= threshold),
+    connect them transitively, and keep exactly one document per
+    duplicate group.
+
+    ``keep='farthest'`` is the paper's rule — within a duplicate group,
+    keep the member with the LOWEST cosine to its cluster centroid (the
+    least prototypical copy, preserving diversity); ``keep='min_id'``
+    keeps the smallest id (geometry-independent, fully deterministic
+    under float reassociation). Ties break on id either way.
+
+    Returns (id, sem_list, cent_cos, sem_cluster, kept):
+    ``sem_list`` the centroid index, ``cent_cos`` cosine to that
+    centroid, ``sem_cluster`` the duplicate-group label (min id in the
+    group; a document with no near-duplicate is its own group),
+    ``kept`` the survival verdict. ``df.join(out.where('kept'), id)``
+    is the deduplicated corpus.
+
+    Scale: this IS the paper's algorithm — within-cluster all-pairs,
+    O((N/k)^2 * k) comparisons. ``n_clusters`` is the knob: size it so
+    N/k per cluster stays tractable (the paper uses 50k clusters for
+    LAION-440M; pairs never cross clusters, an accepted approximation).
+    The pair join is the blocked ``embedding_neardup_pairs`` — all-pairs
+    without a blocking key is refused there. Centroids train on a seeded
+    driver-side sample (see ``_train_unit_centroids``) or inject
+    ``centroids=`` for reproducible/oracle-testable assignment; the
+    component step is O(group diameter) rounds of ``dedup_clusters``."""
+    if keep not in ("farthest", "min_id"):
+        raise ValueError("semantic_dedup: keep must be 'farthest' or "
+                         f"'min_id' (got {keep!r})")
+    if centroids is None:
+        from rasterframes_spark.pipeline.similarity import (
+            _train_unit_centroids)
+
+        cents = _train_unit_centroids(df, vec_col, n_clusters, sample_size,
+                                      seed, corpus_rows,
+                                      caller="semantic_dedup")
+    else:
+        cents = np.asarray(centroids, dtype="float64")
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @lazy_pandas_udf("struct<l:int,c:double>")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        ls = np.full(len(v), -1, dtype="int32")
+        cs = np.full(len(v), np.nan)
+        nz = [i for i, arr in enumerate(v.values) if arr is not None]
+        if nz:
+            x = np.stack([np.asarray(v.values[i], dtype="float64")
+                          for i in nz])
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cents.T
+            best = np.argmax(sims, axis=1)
+            ls[nz] = best.astype("int32")
+            cs[nz] = sims[np.arange(len(nz)), best]
+        return pd.DataFrame({"l": ls, "c": cs})
+
+    base = df.select(F.col(id_col).alias("__sid"),
+                     F.col(vec_col).alias("__sv"),
+                     assign(F.col(vec_col)).alias("__a"))
+    base = base.select(
+        "__sid", "__sv", F.col("__a.l").alias("sem_list"),
+        F.round(F.col("__a.c"), 9).alias("cent_cos"),
+    ).where(F.col("sem_list") >= 0)
+    base = base.localCheckpoint(eager=False)
+    pairs = embedding_neardup_pairs(base, "__sid", "__sv",
+                                    block_cols=["sem_list"],
+                                    threshold=threshold)
+    comps = dedup_clusters(pairs, max_iter=max_iter).withColumnRenamed(
+        "id", "__sid").withColumnRenamed("cluster_id", "sem_cluster")
+    out = base.drop("__sv").join(comps, "__sid", "left")
+    out = out.withColumn(
+        "sem_cluster", F.coalesce("sem_cluster", F.col("__sid")))
+    if keep == "min_id":
+        kept = F.col("__sid") == F.col("sem_cluster")
+        out = out.withColumn("kept", kept)
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sem_cluster").orderBy(
+            F.asc("cent_cos"), F.asc("__sid"))
+        out = out.withColumn(
+            "kept", F.row_number().over(w) == 1)
+    return out.select(F.col("__sid").alias(id_col), "sem_list",
+                      "cent_cos", "sem_cluster", "kept")
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",

@@ -234,6 +234,49 @@ def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64, seed: int = 42
     return udf(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
+def _train_unit_centroids(corpus: DataFrame, vec_col: str, n_lists: int,
+                          sample_size: int, seed: int,
+                          corpus_rows: int | None,
+                          caller: str) -> np.ndarray:
+    """Driver-side k-means coarse quantizer shared by ivf_ann_topk and
+    semantic_dedup: seeded uniform Bernoulli sample of the WHOLE corpus
+    (a limit() would satisfy itself from the earliest partitions — first
+    rows of a partitioned 100 TB corpus are not representative and train
+    degenerate centroids), then a few Lloyd's iterations on <= sample_size
+    unit-normalized vectors. Returns (n_lists, dim) unit rows."""
+    n_corpus = corpus_rows if corpus_rows is not None else corpus.count()
+    base = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
+    if n_corpus > sample_size:
+        # collect the whole ~1.2x Bernoulli sample (bounded) and
+        # downsample uniformly below — no positional bias
+        frac = min(1.0, 1.2 * sample_size / n_corpus)
+        sampled = base.sample(False, frac, seed=seed)
+    else:
+        sampled = base
+    rows = sampled.collect()
+    if not rows:
+        raise ValueError(
+            f"{caller}: no non-null embeddings to train centroids "
+            "on — pass centroids= explicitly or fix the corpus")
+    rng = np.random.default_rng(seed)
+    if len(rows) > sample_size:
+        rows = [rows[i] for i in rng.choice(len(rows), size=sample_size,
+                                            replace=False)]
+    sample = np.array([r[0] for r in rows], dtype="float64")
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.maximum(norms, 1e-12)
+    cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)),
+                              replace=False)]
+    for _ in range(10):  # Lloyd's on the sample (cosine ~ dot on normalized)
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for j in range(len(cents)):
+            members = sample[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cents
+
+
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  n_lists: int = 16, n_probe: int = 3,
                  corpus_id: str = "vec_id", query_id: str = "query_id",
@@ -266,38 +309,9 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         cents = cents / np.maximum(
             np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     else:
-        n_corpus = corpus_rows if corpus_rows is not None else corpus.count()
-        base = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
-        if n_corpus > sample_size:
-            # no limit() after sample: limit satisfies itself from the
-            # earliest partitions, reintroducing exactly the positional
-            # bias this path exists to avoid — collect the whole ~1.2x
-            # Bernoulli sample (bounded) and downsample uniformly below
-            frac = min(1.0, 1.2 * sample_size / n_corpus)
-            sampled = base.sample(False, frac, seed=seed)
-        else:
-            sampled = base
-        rows = sampled.collect()
-        if not rows:
-            raise ValueError(
-                "ivf_ann_topk: no non-null embeddings to train centroids "
-                "on — pass centroids= explicitly or fix the corpus")
-        rng = np.random.default_rng(seed)
-        if len(rows) > sample_size:
-            rows = [rows[i] for i in rng.choice(len(rows), size=sample_size,
-                                                replace=False)]
-        sample = np.array([r[0] for r in rows], dtype="float64")
-        norms = np.linalg.norm(sample, axis=1, keepdims=True)
-        sample = sample / np.maximum(norms, 1e-12)
-        cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)),
-                                  replace=False)]
-        for _ in range(10):  # Lloyd's on the sample (cosine ~ dot on normalized)
-            assign = np.argmax(sample @ cents.T, axis=1)
-            for j in range(len(cents)):
-                members = sample[assign == j]
-                if len(members):
-                    c = members.mean(axis=0)
-                    cents[j] = c / max(np.linalg.norm(c), 1e-12)
+        cents = _train_unit_centroids(corpus, vec_col, n_lists,
+                                      sample_size, seed, corpus_rows,
+                                      caller="ivf_ann_topk")
 
     def _list_udf(top_n: int):
         @lazy_pandas_udf("array<int>")

@@ -1,0 +1,156 @@
+"""SemDeDup-style semantic deduplication (pipeline/dedup.py).
+
+Abbas et al. 2023 (arXiv:2303.09540): cluster the embedding space, prune
+within-cluster near-duplicates, keep the least prototypical copy. Planted
+geometry makes every verdict derivable by hand; a numpy brute force
+mirrors the whole operator for randomized parity.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from rasterframes_spark.pipeline.dedup import semantic_dedup
+
+
+def _unit(v):
+    v = np.asarray(v, dtype="float64")
+    return v / np.linalg.norm(v)
+
+
+CENTS = np.eye(4)[:, :4]  # 4 orthogonal centroids in R^4
+
+
+def _planted(spark):
+    """Two near-dup groups in cluster 0, a singleton in cluster 1, and a
+    cross-cluster near-pair that must NOT pair (blocking)."""
+    e = np.eye(4)
+    rows = [
+        # group A (cluster 0): 3 copies, slightly rotated; id 12 is the
+        # farthest from the centroid -> the paper's keeper
+        (10, _unit(e[0] + 0.010 * e[1])),
+        (11, _unit(e[0] + 0.015 * e[1])),
+        (12, _unit(e[0] + 0.200 * e[1])),
+        # group B (cluster 0): 2 copies, orthogonal-ish to A within the
+        # cluster half-space so it doesn't merge with A
+        (20, _unit(e[0] + 0.9 * e[2])),
+        (21, _unit(e[0] + 0.905 * e[2])),
+        # singleton (cluster 1)
+        (30, _unit(e[1] + 0.3 * e[3])),
+        # near-pair straddling clusters 2 and 3: cosine ~0.9999 but they
+        # sit on different sides of the 45-degree boundary
+        (40, _unit(e[2] + 0.999 * e[3])),
+        (41, _unit(e[3] + 0.999 * e[2])),
+    ]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+
+
+def test_planted_groups_paper_keep_rule(spark):
+    out = semantic_dedup(_planted(spark), "vec_id", centroids=CENTS,
+                         threshold=0.97).orderBy("vec_id").collect()
+    r = {x.vec_id: x for x in out}
+    # assignments
+    assert [r[i].sem_list for i in (10, 11, 12)] == [0, 0, 0]
+    assert r[30].sem_list == 1
+    # group A: one component labeled min id 10; keeper = 12 (lowest
+    # cosine to centroid 0 by construction)
+    assert [r[i].sem_cluster for i in (10, 11, 12)] == [10, 10, 10]
+    assert [r[i].kept for i in (10, 11, 12)] == [False, False, True]
+    # group B: component 20; ids 20/21 nearly equidistant -> keeper is
+    # the one with strictly lower cent_cos
+    assert [r[i].sem_cluster for i in (20, 21)] == [20, 20]
+    keepers_b = [i for i in (20, 21) if r[i].kept]
+    assert len(keepers_b) == 1
+    assert r[keepers_b[0]].cent_cos == min(r[20].cent_cos, r[21].cent_cos)
+    # singleton: own group, kept
+    assert (r[30].sem_cluster, r[30].kept) == (30, True)
+    # cross-cluster near-pair: different clusters -> both kept (the
+    # paper's accepted approximation; pairs never cross clusters)
+    assert r[40].sem_list != r[41].sem_list
+    assert r[40].kept and r[41].kept
+    # exactly one keeper per group
+    assert sum(x.kept for x in out) == 5
+
+
+def test_min_id_keep_rule(spark):
+    out = semantic_dedup(_planted(spark), "vec_id", centroids=CENTS,
+                         threshold=0.97, keep="min_id").collect()
+    r = {x.vec_id: x for x in out}
+    assert [r[i].kept for i in (10, 11, 12)] == [True, False, False]
+    assert [r[i].kept for i in (20, 21)] == [True, False]
+    assert r[30].kept
+
+
+def test_brute_force_parity(spark):
+    """Randomized embeddings: numpy recomputes assignment, within-cluster
+    pairs, transitive groups and the farthest-keeper rule exactly."""
+    rng = np.random.default_rng(5)
+    n, d, k, thr = 80, 8, 4, 0.92
+    base = rng.standard_normal((k, d))
+    vecs = []
+    for i in range(n):
+        c = base[i % k] + 0.35 * rng.standard_normal(d)
+        vecs.append(_unit(c))
+    cents = rng.standard_normal((k, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in semantic_dedup(
+        df, "vec_id", centroids=cents, threshold=thr).collect()}
+
+    cu = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    x = np.stack(vecs)
+    sims = x @ cu.T
+    assign = np.argmax(sims, axis=1)
+    ccos = sims[np.arange(n), assign]
+    # union-find over within-cluster pairs
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    cos = x @ x.T
+    for i in range(n):
+        for j in range(i + 1, n):
+            if assign[i] == assign[j] and round(cos[i, j], 6) >= thr:
+                parent[find(j)] = find(i)
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    for members in groups.values():
+        label = min(members)
+        keeper = min(members, key=lambda i: (round(ccos[i], 9), i))
+        for i in members:
+            assert got[i].sem_list == assign[i], i
+            assert got[i].sem_cluster == label, (i, members)
+            assert got[i].kept == (i == keeper), (i, members, keeper)
+
+
+def test_trained_centroids_smoke(spark):
+    """No injected centroids: training samples the corpus (seeded) and the
+    contract holds — exactly one keeper per group, verdict total = corpus."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(dup)  # every vector duplicated exactly once
+    out = semantic_dedup(both, "vec_id", n_clusters=8, threshold=0.999999,
+                         sample_size=256, seed=1)
+    n = emb.count()
+    assert out.count() == 2 * n
+    # every (v, v+100000) twin shares a cluster -> exactly n keepers
+    assert out.where("kept").count() == n
+    twins = (out.withColumn("base", F.pmod(F.col("vec_id"), F.lit(100000)))
+             .groupBy("base").agg(F.countDistinct("sem_cluster").alias("c")))
+    assert twins.where(F.col("c") != 1).count() == 0
+
+
+def test_bad_keep_mode_raises(spark):
+    with pytest.raises(ValueError, match="keep must be"):
+        semantic_dedup(_planted(spark), "vec_id", centroids=CENTS,
+                       keep="latest")
