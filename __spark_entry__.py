@@ -1013,8 +1013,18 @@ def _q_media_suite(spark, sf_dir):
     mp3_df = media.select("media_id", F.col("mp3").alias("payload"))
     mp4_df = media.select("media_id", F.col("mp4").alias("payload"))
     flac_df = media.select("media_id", F.col("flac").alias("payload"))
-    feats = P.audio_features(P.decode_audio(wav_df, decode="wav")).select(
+    decoded = P.decode_audio(wav_df, decode="wav").localCheckpoint(
+        eager=False)
+    feats = P.audio_features(decoded).select(
         "media_id", "duration_ms", _r0("rms", 6).alias("rms_v"))
+    # resample leg: 8000 -> 12000 linear; DuckDB re-derives the
+    # interpolated samples closed-form (same integer-multiply-then-
+    # one-float-divide position arithmetic), so the whole interp kernel
+    # must be bit-faithful for the rms to agree at 6 digits
+    rsf = P.audio_features(P.resample_audio(decoded, 12000)).select(
+        "media_id",
+        F.col("duration_ms").alias("rs_duration_ms"),
+        _r0("rms", 6).alias("rs_rms"))
     mp3m = P.audio_metadata(mp3_df).select(
         "media_id",
         F.col("duration_ms").alias("mp3_duration_ms"),
@@ -1044,12 +1054,14 @@ def _q_media_suite(spark, sf_dir):
     return (feats.join(mp3m, "media_id").join(mp4m, "media_id")
             .join(demux, "media_id").join(flacf, "media_id")
             .join(webmm, "media_id").join(wdemux, "media_id")
+            .join(rsf, "media_id")
             .select(F.col("media_id").alias("doc_id"), "duration_ms",
                     "rms_v", "mp3_duration_ms", "mp3_bitrate_kbps",
                     "mp4_n_samples", "mp4_n_keyframes", "mp4_demux_rows",
                     "flac_duration_ms", "flac_rms",
                     "webm_duration_ms", "webm_n_samples",
-                    "webm_n_keyframes", "webm_demux_rows"))
+                    "webm_n_keyframes", "webm_demux_rows",
+                    "rs_duration_ms", "rs_rms"))
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -2411,6 +2423,32 @@ def oracle_sql() -> dict[str, str]:
                        pow((((doc_id + 3) * k * 2654435761) % 20001 - 10000)
                            / 32767.0, 2))), 6) + 0.0 as flac_rms
               from fs group by 1, 2
+            ), rp as (
+              -- resample leg: the 8000 Hz sine linearly resampled to
+              -- 12000 Hz; positions use the SAME integer-multiply-then-
+              -- one-float-divide arithmetic as the operator
+              select doc_id, f, a, n, ((n - 1) * 12000) // 8000 + 1 as m
+              from params
+            ), rj as (
+              select doc_id, f, a, n, m, unnest(range(m)) as j from rp
+            ), ri as (
+              select doc_id, f, a, m,
+                     (j * 8000) / 12000.0 as pos,
+                     least(cast(floor((j * 8000) / 12000.0) as bigint),
+                           n - 2) as i
+              from rj
+            ), rv as (
+              select doc_id, m,
+                     (a * sin(2 * pi() * f * i / 8000.0))
+                     + (pos - i)
+                       * ((a * sin(2 * pi() * f * (i + 1) / 8000.0))
+                          - (a * sin(2 * pi() * f * i / 8000.0))) as y
+              from ri
+            ), rw as (
+              select doc_id,
+                     m * 1000.0 / 12000.0 as rs_duration_ms,
+                     round(sqrt(avg(y * y)), 6) + 0.0 as rs_rms
+              from rv group by doc_id, m
             )
             select w.doc_id, w.duration_ms, w.rms_v,
                    -- MP3: nf frames x 576 samples @ 8 kHz (MPEG2.5 L3)
@@ -2428,9 +2466,11 @@ def oracle_sql() -> dict[str, str]:
                    cast(p.nw as bigint) as webm_n_samples,
                    cast((p.nw + 3) // 4 as bigint) as webm_n_keyframes,
                    cast(ceil(((p.nw - 1) * 170 + 1) / 100.0) as bigint)
-                     as webm_demux_rows
+                     as webm_demux_rows,
+                   rw.rs_duration_ms, rw.rs_rms
             from w join params p on p.doc_id = w.doc_id
-                   join fw on fw.doc_id = w.doc_id""",
+                   join fw on fw.doc_id = w.doc_id
+                   join rw on rw.doc_id = w.doc_id""",
         "text_metrics": """
             select doc_id,
                    len(string_split(text, ' ')) as n_tokens,

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "encode_wav", "decode_wav", "decode_audio", "audio_features",
-    "audio_metadata",
+    "audio_metadata", "resample_audio",
 ]
 
 
@@ -329,6 +329,68 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=(
         "media_id long, duration_ms double, rms double, "
         "zero_crossing_rate double, spectral_centroid_hz double"))
+
+
+def resample_audio(df: DataFrame, target_rate: int,
+                   method: str = "linear") -> DataFrame:
+    """Decoded sample buffers -> the same schema at ``target_rate`` —
+    the rate-normalization pass an audio training pipeline runs before
+    batching (models want one sample rate; scraped corpora have many).
+
+    Output sample j sits at input position ``pos = j*orig/target``;
+    ``method='linear'`` interpolates ``x[i] + frac*(x[i+1]-x[i])``,
+    ``'nearest'`` picks ``x[round(pos)]``. The output length is
+    ``(n-1)*target // orig + 1`` (integer math: the last output sample
+    never extrapolates past the final input sample). Same-rate rows pass
+    through untouched. One vectorized numpy pass per clip inside a
+    single ``mapInPandas`` crossing — buffers stay packed float64, never
+    per-sample rows. Linear interpolation is the honest cheap kernel (a
+    windowed-sinc polyphase belongs where a resampler library exists);
+    it aliases above target/2 like any non-filtering resampler —
+    downsample ratios beyond ~2x deserve a real low-pass first."""
+    if method not in ("linear", "nearest"):
+        raise ValueError(
+            f"resample_audio: method must be 'linear' or 'nearest', "
+            f"got {method!r}")
+    tr = int(target_rate)
+    if tr <= 0:
+        raise ValueError("resample_audio: target_rate must be positive")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, rate, ch, n, buf in zip(
+                    pdf["media_id"], pdf["sample_rate"], pdf["channels"],
+                    pdf["n_samples"], pdf["samples"]):
+                rate = int(rate)
+                x = np.frombuffer(bytes(buf), dtype="<f8")
+                if rate == tr or len(x) == 0 or rate <= 0:
+                    rows.append((int(mid), tr if rate == tr else rate,
+                                 int(ch), len(x), bytes(buf)))
+                    continue
+                n_in = len(x)
+                m = (n_in - 1) * tr // rate + 1
+                # integer multiply then ONE float divide: a single IEEE
+                # rounding per position, mirrorable exactly in SQL
+                pos = (np.arange(m, dtype=np.int64) * rate) / float(tr)
+                if method == "nearest":
+                    idx = np.minimum(np.rint(pos).astype(np.int64),
+                                     n_in - 1)
+                    y = x[idx]
+                else:
+                    i = np.minimum(np.floor(pos).astype(np.int64),
+                                   max(n_in - 2, 0))
+                    frac = pos - i
+                    y = x[i] + frac * (x[np.minimum(i + 1, n_in - 1)] - x[i])
+                rows.append((int(mid), tr, int(ch), int(m),
+                             y.astype("<f8").tobytes()))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "sample_rate", "channels", "n_samples",
+                    "samples"])
+
+    return df.select("media_id", "sample_rate", "channels", "n_samples",
+                     "samples").mapInPandas(run, schema=_AUDIO_SCHEMA)
 
 
 def audio_metadata(df: DataFrame) -> DataFrame:
