@@ -1282,9 +1282,42 @@ def _q_curation(spark, sf_dir):
                               F.col("id_b").cast("string")).alias("key"),
                   F.col("shared_grams").cast("long").alias("val")))
 
+    # C4 cleanup families (pipeline/text.py c4_line_filter/c4_clean,
+    # Raffel et al. 2020 §2.2): multi-line pages synthesized from the
+    # prose docs with BY-CONSTRUCTION outcomes — the corpus has no
+    # punctuation/braces/banned words (asserted in DuckDB), so the
+    # oracle derives the kept-text length and page verdicts
+    # arithmetically instead of re-running a regex mirror
+    c4base = docs.where((F.col("doc_id") < 300)
+                        & (F.size(F.split(F.col("text"), " ")) >= 12))
+    w = F.split(F.col("text"), " ")
+    l1 = F.concat(F.concat_ws(" ", F.slice(w, 1, 5)), F.lit("."))
+    kcp = F.col("doc_id") % 7
+    page = F.concat_ws(
+        "\n",
+        l1,                                             # kept
+        F.lit("no!"),                                   # < 3 words
+        F.concat_ws(" ", F.slice(w, 6, 7)),             # no terminal
+        F.lit("Enable javascript now please."),         # banned
+        F.when(kcp > 0, F.array_join(
+            F.transform(F.sequence(F.lit(1), kcp), lambda i: l1), "\n")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit("lorem ipsum dolor sit.")),        # kept line, kills page
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("config { value done.")))          # kept line, kills page
+    c4d = c4base.select("doc_id", page.alias("page"))
+    c4len = c4d.select(
+        F.lit("c4_len").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.length(P.c4_line_filter("page")).cast("long").alias("val"))
+    c4keep = (P.c4_clean(c4d, "page")
+              .select(F.lit("c4_keep").alias("family"),
+                      F.col("doc_id").cast("string").alias("key"),
+                      F.lit(1).cast("long").alias("val")))
+
     out = kept
     for part in (srcd, dec, pii_em, pii_ip, urld, rep_extra, rep_top2,
-                 sub, sp):
+                 sub, sp, c4len, c4keep):
         out = out.unionByName(part)
     return out
 
@@ -2650,7 +2683,33 @@ def oracle_sql() -> dict[str, str]:
             join sub_grams a using (g)
             join sub_grams b using (g)
             where a.doc_id < b.doc_id
-            group by a.doc_id, b.doc_id""",
+            group by a.doc_id, b.doc_id
+            union all
+            -- C4 families: pages built so outcomes are arithmetic —
+            -- kept lines are (k+1) copies of the 5-word '.'-terminated
+            -- line (+22-char lorem / +20-char brace lines when planted,
+            -- each with its joining newline); page survives iff
+            -- sentences >= 5 and no lorem/brace line was planted
+            select 'c4_len', cast(doc_id as varchar),
+                   cast((k + 1) * l1len + k
+                        + case when lor then 23 else 0 end
+                        + case when brc then 21 else 0 end as bigint)
+            from (
+              select doc_id,
+                     length(array_to_string(
+                       (string_split(text, ' '))[1:5], ' ')) + 1 as l1len,
+                     doc_id % 7 as k,
+                     doc_id % 13 = 0 as lor,
+                     doc_id % 11 = 0 as brc
+              from documents
+              where doc_id < 300
+                and len(string_split(text, ' ')) >= 12)
+            union all
+            select 'c4_keep', cast(doc_id as varchar), cast(1 as bigint)
+            from documents
+            where doc_id < 300 and len(string_split(text, ' ')) >= 12
+              and doc_id % 7 >= 4 and doc_id % 13 != 0
+              and doc_id % 11 != 0""",
         "ngram_jaccard": """
             with t as (
               select doc_id, lang, source,

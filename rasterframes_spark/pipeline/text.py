@@ -21,6 +21,7 @@ __all__ = [
     "dup_line_fraction", "dup_line_char_fraction", "top_ngram_char_fraction",
     "dup_ngram_fraction", "repetition_metrics", "hashing_embedding",
     "corpus_stats",
+    "c4_line_filter", "c4_page_keep", "c4_clean",
 ]
 
 # minimal per-language stopword signatures for the n-gram/stopword heuristic
@@ -456,3 +457,59 @@ def corpus_stats(docs, text_col: str = "text",
     if has_src:
         out["n_sources"] = int(row["n_sources"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# C4 cleanup (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning...", §2.2) — the canonical web-scrape line/page filter. All
+# pure Catalyst (split + HOF filter + regexp), no UDF, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+_C4_TERMINAL = '[.!?"\']$'   # period / ! / ? / end quote, on the trimmed line
+
+
+def c4_line_filter(text, min_words: int = 3,
+                   ban: tuple = ("javascript",)) -> Column:
+    """C4 line rules: keep only lines that end in terminal punctuation,
+    have at least ``min_words`` words, and contain none of the ``ban``
+    words (case-insensitive; the paper bans 'javascript' — the cookie/JS
+    boilerplate signature). Returns the document rebuilt from the kept
+    lines (newline-joined; empty string when nothing survives)."""
+    c = F.col(text) if isinstance(text, str) else text
+
+    def ok(line):
+        t = F.trim(line)
+        cond = t.rlike(_C4_TERMINAL) & (
+            F.size(F.filter(F.split(t, r"\s+"),
+                            lambda w: F.length(w) > 0)) >= int(min_words))
+        low = F.lower(t)
+        for b in ban:
+            cond = cond & ~low.contains(b.lower())
+        return cond
+
+    return F.array_join(F.filter(F.split(c, "\n"), ok), "\n")
+
+
+def c4_page_keep(cleaned_text, min_sentences: int = 5) -> Column:
+    """C4 page rules over the line-filtered text: drop pages containing
+    'lorem ipsum' (placeholder boilerplate) or a curly brace (leaked
+    code/markup), or with fewer than ``min_sentences`` sentences
+    (terminal-punctuation count). Boolean keep verdict."""
+    c = (F.col(cleaned_text) if isinstance(cleaned_text, str)
+         else cleaned_text)
+    nsent = F.regexp_count(c, F.lit(r"[.!?]"))
+    return (~F.lower(c).contains("lorem ipsum") & ~c.contains("{")
+            & (nsent >= int(min_sentences)))
+
+
+def c4_clean(df: DataFrame, text_col: str = "text", min_words: int = 3,
+             min_sentences: int = 5, ban: tuple = ("javascript",),
+             out_col: str = "c4_text") -> DataFrame:
+    """The full C4 cleanup: line-filter every document, then drop pages
+    failing the page rules. Adds ``out_col`` with the cleaned text and
+    returns only surviving pages. One narrow projection + filter —
+    Catalyst pushes it to the scan; at 100 TB this is a map-only pass."""
+    out = df.withColumn(out_col, c4_line_filter(F.col(text_col),
+                                                min_words, ban))
+    return out.where(c4_page_keep(F.col(out_col), min_sentences))
