@@ -1315,9 +1315,40 @@ def _q_curation(spark, sf_dir):
                       F.col("doc_id").cast("string").alias("key"),
                       F.lit(1).cast("long").alias("val")))
 
+    # Gopher quality families (pipeline/text.py gopher_quality_*, Rae et
+    # al. 2021 Table A1): plants per doc_id residue make each rule
+    # decisive with closed-form arithmetic — bullet line (%4), ellipsis
+    # line (%5), ### symbols (%6), ' and of' stopwords (%3); the corpus
+    # itself contributes only 'the' from the stopword set (verified)
+    sw_ = F.col("doc_id") % 3 == 0
+    bl_ = F.col("doc_id") % 4 == 0
+    el_ = F.col("doc_id") % 5 == 0
+    sy_ = F.col("doc_id") % 6 == 0
+    main = F.concat(F.col("text"),
+                    F.when(sw_, F.lit(" and of")).otherwise(F.lit("")),
+                    F.when(sy_, F.lit(" ### ### ###")).otherwise(F.lit("")))
+    gaug = F.concat(
+        F.when(bl_, F.lit("• drop this\n")).otherwise(F.lit("")),
+        main,
+        F.when(el_, F.lit("\nfade away…")).otherwise(F.lit("")))
+    gd = c4base.select("doc_id", gaug.alias("gtext"))
+    gsw = gd.select(
+        F.lit("gopher_sw").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        P.gopher_quality_metrics("gtext")["stopword_count"]
+        .cast("long").alias("val"))
+    gpass = (P.gopher_quality_filter(
+        gd, "gtext", min_words=30, min_mean_word_len=1.0,
+        max_mean_word_len=20.0, max_symbol_word_ratio=0.02,
+        max_bullet_line_frac=0.4, max_ellipsis_line_frac=0.4,
+        min_alpha_word_frac=0.5, min_stopwords=2)
+        .select(F.lit("gopher_pass").alias("family"),
+                F.col("doc_id").cast("string").alias("key"),
+                F.lit(1).cast("long").alias("val")))
+
     out = kept
     for part in (srcd, dec, pii_em, pii_ip, urld, rep_extra, rep_top2,
-                 sub, sp, c4len, c4keep):
+                 sub, sp, c4len, c4keep, gsw, gpass):
         out = out.unionByName(part)
     return out
 
@@ -2709,7 +2740,43 @@ def oracle_sql() -> dict[str, str]:
             from documents
             where doc_id < 300 and len(string_split(text, ' ')) >= 12
               and doc_id % 7 >= 4 and doc_id % 13 != 0
-              and doc_id % 11 != 0""",
+              and doc_id % 11 != 0
+            union all
+            -- Gopher families: plants are the only source of bullets /
+            -- ellipses / symbols / non-'the' stopwords, so every rule
+            -- reduces to residue arithmetic over the base word count
+            select 'gopher_sw', cast(doc_id as varchar),
+                   cast(case when list_contains(
+                              string_split(text, ' '), 'the')
+                         then 1 else 0 end
+                        + case when doc_id % 3 = 0 then 2 else 0 end
+                        as bigint)
+            from documents
+            where doc_id < 300 and len(string_split(text, ' ')) >= 12
+            union all
+            select 'gopher_pass', cast(doc_id as varchar),
+                   cast(1 as bigint)
+            from (
+              select doc_id,
+                     len(string_split(text, ' ')) as nw0,
+                     doc_id % 3 = 0 as sw, doc_id % 4 = 0 as bl,
+                     doc_id % 5 = 0 as el, doc_id % 6 = 0 as sy
+              from documents
+              where doc_id < 300
+                and len(string_split(text, ' ')) >= 12)
+            where (nw0 + case when sw then 2 else 0 end
+                       + case when bl then 3 else 0 end
+                       + case when el then 2 else 0 end
+                       + case when sy then 3 else 0 end) >= 30
+              and sw                               -- stopwords >= 2
+              and bl = el                          -- line fracs <= 0.4
+              and ((3 * case when sy then 1 else 0 end
+                    + case when el then 1 else 0 end)
+                   / cast(nw0 + case when sw then 2 else 0 end
+                        + case when bl then 3 else 0 end
+                        + case when el then 2 else 0 end
+                        + case when sy then 3 else 0 end as double))
+                  <= 0.02""",
         "ngram_jaccard": """
             with t as (
               select doc_id, lang, source,

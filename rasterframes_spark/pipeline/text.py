@@ -22,6 +22,7 @@ __all__ = [
     "dup_ngram_fraction", "repetition_metrics", "hashing_embedding",
     "corpus_stats",
     "c4_line_filter", "c4_page_keep", "c4_clean",
+    "gopher_quality_metrics", "gopher_quality_filter",
 ]
 
 # minimal per-language stopword signatures for the n-gram/stopword heuristic
@@ -513,3 +514,83 @@ def c4_clean(df: DataFrame, text_col: str = "text", min_words: int = 3,
     out = df.withColumn(out_col, c4_line_filter(F.col(text_col),
                                                 min_words, ban))
     return out.where(c4_page_keep(F.col(out_col), min_sentences))
+
+
+# ---------------------------------------------------------------------------
+# Gopher / MassiveText document-quality rules (Rae et al. 2021, Table A1
+# "quality filtering" — the companion of the repetition family above).
+# Pure Catalyst; one narrow projection, no shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_metrics(text) -> Column:
+    """The seven Gopher quality signals as one struct column:
+
+    n_words, mean_word_len, symbol_word_ratio (# and ellipsis per word),
+    bullet_line_frac (lines starting with a bullet), ellipsis_line_frac
+    (lines ending in an ellipsis), alpha_word_frac (words containing at
+    least one letter), stopword_count (how many of Gopher's 8 common
+    English words appear at least once)."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(c, r"\s+"), lambda w: F.length(w) > 0)
+    nw = F.size(words)
+    nwd = F.greatest(nw, F.lit(1)).cast("double")
+    total_chars = F.aggregate(words, F.lit(0).cast("long"),
+                              lambda a, w: a + F.length(w))
+    lines = F.filter(F.split(c, "\n"),
+                     lambda l: F.length(F.trim(l)) > 0)
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullets = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[•‣▪\-\*]")))
+    ellipses = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    stops = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)), stop_arr))
+    symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    return F.struct(
+        nw.cast("long").alias("n_words"),
+        (total_chars / nwd).alias("mean_word_len"),
+        (symbols / nwd).alias("symbol_word_ratio"),
+        (bullets / nl).alias("bullet_line_frac"),
+        (ellipses / nl).alias("ellipsis_line_frac"),
+        (alpha / nwd).alias("alpha_word_frac"),
+        stops.cast("int").alias("stopword_count"))
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          min_words: int = 50, max_words: int = 100_000,
+                          min_mean_word_len: float = 3.0,
+                          max_mean_word_len: float = 10.0,
+                          max_symbol_word_ratio: float = 0.1,
+                          max_bullet_line_frac: float = 0.90,
+                          max_ellipsis_line_frac: float = 0.30,
+                          min_alpha_word_frac: float = 0.80,
+                          min_stopwords: int = 2,
+                          metrics_col: str | None = None) -> DataFrame:
+    """Drop documents failing the Gopher quality rules (paper defaults:
+    50-100k words, mean word length 3-10, <=10% symbols/word, <=90%
+    bullet lines, <=30% ellipsis lines, >=80% alphabetic words, >=2 of
+    the 8 common stop words). ``metrics_col`` keeps the metrics struct
+    on the survivors for auditing. Map-only — Catalyst evaluates the
+    whole predicate at the scan."""
+    m = gopher_quality_metrics(F.col(text_col))
+    out = df.withColumn("__gq", m)
+    g = F.col("__gq")
+    keep = ((g["n_words"] >= int(min_words))
+            & (g["n_words"] <= int(max_words))
+            & (g["mean_word_len"] >= float(min_mean_word_len))
+            & (g["mean_word_len"] <= float(max_mean_word_len))
+            & (g["symbol_word_ratio"] <= float(max_symbol_word_ratio))
+            & (g["bullet_line_frac"] <= float(max_bullet_line_frac))
+            & (g["ellipsis_line_frac"] <= float(max_ellipsis_line_frac))
+            & (g["alpha_word_frac"] >= float(min_alpha_word_frac))
+            & (g["stopword_count"] >= int(min_stopwords)))
+    out = out.where(keep)
+    if metrics_col:
+        return out.withColumnRenamed("__gq", metrics_col)
+    return out.drop("__gq")
