@@ -962,6 +962,7 @@ def _q_media_suite(spark, sf_dir):
     from rasterframes_spark.sources.flac import encode_flac
     from rasterframes_spark.sources.mp4 import write_mp4
     from rasterframes_spark.sources.mpeg_audio import write_mp3_frames
+    from rasterframes_spark.sources.pdf import write_pdf
     from rasterframes_spark.sources.webm import write_webm
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
@@ -997,17 +998,24 @@ def _q_media_suite(spark, sf_dir):
                 wfr = [bytes([d % 256]) * (16 + j) for j in range(nw)]
                 wm = write_webm(wfr, [j * 170 for j in range(nw)],
                                 [j % 4 == 0 for j in range(nw)])
+                # PDF leg: page texts are doc_id arithmetic, and the
+                # extractor's round-trip is exact — so extracted char
+                # counts are closed-form
+                p1 = f"alpha beta gamma delta {d}."
+                p2 = "word " * (3 + d % 5) + "tail."
+                pdfb = write_pdf([p1] + [p2] * (d % 3))
                 rows.append((d, bytearray(wav), bytearray(mp3),
-                             bytearray(mp4), bytearray(fl), bytearray(wm)))
+                             bytearray(mp4), bytearray(fl), bytearray(wm),
+                             bytearray(pdfb)))
             if rows:
                 yield pd.DataFrame(
                     rows,
                     columns=["media_id", "wav", "mp3", "mp4", "flac",
-                             "webm"])
+                             "webm", "pdf"])
 
     media = docs.mapInPandas(
         synth, schema=("media_id long, wav binary, mp3 binary, "
-                       "mp4 binary, flac binary, webm binary"))
+                       "mp4 binary, flac binary, webm binary, pdf binary"))
     media = media.localCheckpoint(eager=False)
     wav_df = media.select("media_id", F.col("wav").alias("payload"))
     mp3_df = media.select("media_id", F.col("mp3").alias("payload"))
@@ -1051,17 +1059,24 @@ def _q_media_suite(spark, sf_dir):
                                     keyframes_only=True)
               .groupBy("media_id")
               .agg(F.count("*").alias("webm_demux_rows")))
+    pdf_df = media.select("media_id", F.col("pdf").alias("payload"))
+    pdfm = (P.extract_pdf_text(pdf_df)
+            .groupBy("media_id")
+            .agg(F.count("*").cast("long").alias("pdf_pages"),
+                 F.sum(F.length(F.btrim("text", F.lit(" \n\r\t"))))
+                 .cast("long").alias("pdf_chars")))
     return (feats.join(mp3m, "media_id").join(mp4m, "media_id")
             .join(demux, "media_id").join(flacf, "media_id")
             .join(webmm, "media_id").join(wdemux, "media_id")
-            .join(rsf, "media_id")
+            .join(rsf, "media_id").join(pdfm, "media_id")
             .select(F.col("media_id").alias("doc_id"), "duration_ms",
                     "rms_v", "mp3_duration_ms", "mp3_bitrate_kbps",
                     "mp4_n_samples", "mp4_n_keyframes", "mp4_demux_rows",
                     "flac_duration_ms", "flac_rms",
                     "webm_duration_ms", "webm_n_samples",
                     "webm_n_keyframes", "webm_demux_rows",
-                    "rs_duration_ms", "rs_rms"))
+                    "rs_duration_ms", "rs_rms",
+                    "pdf_pages", "pdf_chars"))
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -2531,7 +2546,14 @@ def oracle_sql() -> dict[str, str]:
                    cast((p.nw + 3) // 4 as bigint) as webm_n_keyframes,
                    cast(ceil(((p.nw - 1) * 170 + 1) / 100.0) as bigint)
                      as webm_demux_rows,
-                   rw.rs_duration_ms, rw.rs_rms
+                   rw.rs_duration_ms, rw.rs_rms,
+                   -- PDF: 1 + d%3 pages; page-1 text is 24 chars plus
+                   -- the decimal doc_id, page-2 copies are
+                   -- 5*(3+d%5)+5 chars (round-trip is exact)
+                   cast(1 + p.doc_id % 3 as bigint) as pdf_pages,
+                   cast(24 + length(cast(p.doc_id as varchar))
+                        + (p.doc_id % 3) * (5 * (3 + p.doc_id % 5) + 5)
+                        as bigint) as pdf_chars
             from w join params p on p.doc_id = w.doc_id
                    join fw on fw.doc_id = w.doc_id
                    join rw on rw.doc_id = w.doc_id""",

@@ -38,6 +38,7 @@ __all__ = [
     "image_metadata", "resize_image", "sample_video_frames",
     "video_metadata", "demux_video_samples",
     "phash_bits", "image_phash", "image_neardup_pairs",
+    "extract_pdf_text", "pdf_metadata",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -563,3 +564,74 @@ def image_neardup_pairs(df: DataFrame, max_hamming: int = 8,
                     F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
         .where(F.col("hamming") <= int(max_hamming))
         .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# PDF documents (sources/pdf.py) — the web corpus's document format
+# ---------------------------------------------------------------------------
+
+
+def pdf_metadata(df: DataFrame) -> DataFrame:
+    """PDF payload -> (media_id, version, n_pages) from the object graph
+    only (no content-stream decode — xref + page-tree walk, a few KB of
+    reads regardless of document size). Corrupt/encrypted payloads are
+    dropped."""
+
+    def run(batches):
+        from rasterframes_spark.sources.pdf import read_pdf_info
+
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    info = read_pdf_info(bytes(payload))
+                except ValueError:
+                    continue
+                rows.append((int(mid), info.version, info.n_pages))
+            if rows:
+                yield pd.DataFrame(rows,
+                                   columns=["media_id", "version",
+                                            "n_pages"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, version string, n_pages int")
+
+
+def extract_pdf_text(df: DataFrame, max_pages: int | None = None
+                     ) -> DataFrame:
+    """PDF payload -> one row per page: (media_id, page, text).
+
+    The ingest step that turns a PDF corpus into a text corpus — every
+    downstream operator (dedup, quality filters, C4/Gopher rules,
+    tokenization) then applies unchanged. Pure-python extraction
+    (``sources/pdf.py``): xref/ObjStm object graph, Flate + PNG
+    predictors, page tree, ToUnicode/Differences font decode.
+    ``max_pages`` caps per-document work (corpus PDFs can be thousands
+    of pages; profile with ``pdf_metadata`` first). Corrupt or encrypted
+    payloads are dropped — the web-ingest contract shared with
+    decode_image/decode_audio."""
+
+    def run(batches):
+        from rasterframes_spark.sources.pdf import pdf_extract_text
+
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    pages = pdf_extract_text(
+                        bytes(payload),
+                        pages=range(max_pages) if max_pages else None)
+                except ValueError:
+                    continue
+                for i, t in enumerate(pages):
+                    rows.append((int(mid), i, t))
+            if rows:
+                yield pd.DataFrame(rows,
+                                   columns=["media_id", "page", "text"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, page int, text string")

@@ -260,3 +260,26 @@ def test_webm_corruption_fuzz():
     data = write_webm(frames, [0, 400, 800, 1200, 1600, 2000],
                       [True, False, False, True, False, False])
     _fuzz(data, read_webm_info)
+
+
+def test_pdf_corruption_fuzz():
+    from rasterframes_spark.sources.pdf import pdf_extract_text, write_pdf
+
+    data = write_pdf(["the quick brown fox.", "jumps over the lazy dog.",
+                      "with (parens) and \\slashes\\ too."])
+    _fuzz(data, pdf_extract_text)
+
+
+def test_pdf_real_fixture_corruption_fuzz():
+    import os
+
+    path = "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf"
+    if not os.path.exists(path):
+        pytest.skip("OS doc PDF not present")
+    from rasterframes_spark.sources.pdf import pdf_extract_text
+
+    with open(path, "rb") as f:
+        data = f.read()
+    # xref-stream + ObjStm path under mutation; fewer trials (full-doc
+    # decode per trial)
+    _fuzz(data, lambda b: pdf_extract_text(b, pages=[0]), trials=40)
