@@ -1004,18 +1004,27 @@ def _q_media_suite(spark, sf_dir):
                 p1 = f"alpha beta gamma delta {d}."
                 p2 = "word " * (3 + d % 5) + "tail."
                 pdfb = write_pdf([p1] + [p2] * (d % 3))
+                # HTML leg: nav boilerplate must be pruned, paragraphs
+                # joined by block newlines — char counts are doc_id
+                # arithmetic
+                paras = "".join(f"<p>para {d} word{j} text.</p>"
+                                for j in range(1 + d % 4))
+                htm = (f"<html lang='en'><head><title>Doc {d}</title>"
+                       f"</head><body><nav><a>skip</a> me</nav>"
+                       f"{paras}</body></html>").encode()
                 rows.append((d, bytearray(wav), bytearray(mp3),
                              bytearray(mp4), bytearray(fl), bytearray(wm),
-                             bytearray(pdfb)))
+                             bytearray(pdfb), bytearray(htm)))
             if rows:
                 yield pd.DataFrame(
                     rows,
                     columns=["media_id", "wav", "mp3", "mp4", "flac",
-                             "webm", "pdf"])
+                             "webm", "pdf", "html"])
 
     media = docs.mapInPandas(
         synth, schema=("media_id long, wav binary, mp3 binary, "
-                       "mp4 binary, flac binary, webm binary, pdf binary"))
+                       "mp4 binary, flac binary, webm binary, pdf binary, "
+                       "html binary"))
     media = media.localCheckpoint(eager=False)
     wav_df = media.select("media_id", F.col("wav").alias("payload"))
     mp3_df = media.select("media_id", F.col("mp3").alias("payload"))
@@ -1065,10 +1074,16 @@ def _q_media_suite(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("pdf_pages"),
                  F.sum(F.length(F.btrim("text", F.lit(" \n\r\t"))))
                  .cast("long").alias("pdf_chars")))
+    html_df = media.select("media_id", F.col("html").alias("payload"))
+    htmlm = P.extract_html_text(html_df).select(
+        "media_id",
+        F.length("text").cast("long").alias("html_chars"),
+        F.length("title").cast("long").alias("html_title_len"))
     return (feats.join(mp3m, "media_id").join(mp4m, "media_id")
             .join(demux, "media_id").join(flacf, "media_id")
             .join(webmm, "media_id").join(wdemux, "media_id")
             .join(rsf, "media_id").join(pdfm, "media_id")
+            .join(htmlm, "media_id")
             .select(F.col("media_id").alias("doc_id"), "duration_ms",
                     "rms_v", "mp3_duration_ms", "mp3_bitrate_kbps",
                     "mp4_n_samples", "mp4_n_keyframes", "mp4_demux_rows",
@@ -1076,7 +1091,8 @@ def _q_media_suite(spark, sf_dir):
                     "webm_duration_ms", "webm_n_samples",
                     "webm_n_keyframes", "webm_demux_rows",
                     "rs_duration_ms", "rs_rms",
-                    "pdf_pages", "pdf_chars"))
+                    "pdf_pages", "pdf_chars",
+                    "html_chars", "html_title_len"))
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -2553,7 +2569,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(1 + p.doc_id % 3 as bigint) as pdf_pages,
                    cast(24 + length(cast(p.doc_id as varchar))
                         + (p.doc_id % 3) * (5 * (3 + p.doc_id % 5) + 5)
-                        as bigint) as pdf_chars
+                        as bigint) as pdf_chars,
+                   -- HTML: 1+d%4 paragraphs of 'para {d} word{j} text.'
+                   -- (17 chars + decimal doc_id each) joined by newlines
+                   cast((1 + p.doc_id % 4)
+                        * (17 + length(cast(p.doc_id as varchar)))
+                        + (p.doc_id % 4) as bigint) as html_chars,
+                   cast(4 + length(cast(p.doc_id as varchar)) as bigint)
+                     as html_title_len
             from w join params p on p.doc_id = w.doc_id
                    join fw on fw.doc_id = w.doc_id
                    join rw on rw.doc_id = w.doc_id""",

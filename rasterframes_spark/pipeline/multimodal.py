@@ -38,7 +38,7 @@ __all__ = [
     "image_metadata", "resize_image", "sample_video_frames",
     "video_metadata", "demux_video_samples",
     "phash_bits", "image_phash", "image_neardup_pairs",
-    "extract_pdf_text", "pdf_metadata",
+    "extract_pdf_text", "pdf_metadata", "extract_html_text",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -635,3 +635,46 @@ def extract_pdf_text(df: DataFrame, max_pages: int | None = None
 
     return df.select("media_id", "payload").mapInPandas(
         run, schema="media_id long, page int, text string")
+
+
+# ---------------------------------------------------------------------------
+# HTML documents (sources/html_text.py) — the scraped-web ingest pass
+# ---------------------------------------------------------------------------
+
+
+def extract_html_text(df: DataFrame, text_col: str = "payload",
+                      main_content: bool = True,
+                      max_link_density: float = 0.5) -> DataFrame:
+    """HTML payload (binary or string column) -> (media_id, title, lang,
+    text): the scraped-web ingest step. ``main_content=True`` (default)
+    prunes nav/header/footer/aside subtrees and high-link-density blocks
+    (trafilatura-style boilerplate heuristics); False keeps all visible
+    text. Decode errors fall back through utf-8 -> latin-1 (never drop a
+    page for charset alone); rows with null payloads are dropped."""
+
+    def run(batches):
+        from rasterframes_spark.sources.html_text import (
+            extract_main_text, html_metadata, html_to_text)
+
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_[text_col]):
+                if payload is None:
+                    continue
+                if isinstance(payload, (bytes, bytearray)):
+                    try:
+                        html = bytes(payload).decode("utf-8")
+                    except UnicodeDecodeError:
+                        html = bytes(payload).decode("latin1")
+                else:
+                    html = str(payload)
+                meta = html_metadata(html)
+                text = (extract_main_text(html, max_link_density)
+                        if main_content else html_to_text(html))
+                rows.append((int(mid), meta["title"], meta["lang"], text))
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "title",
+                                                  "lang", "text"])
+
+    return df.select("media_id", text_col).mapInPandas(
+        run, schema="media_id long, title string, lang string, text string")
