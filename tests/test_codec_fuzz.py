@@ -283,3 +283,15 @@ def test_pdf_real_fixture_corruption_fuzz():
     # xref-stream + ObjStm path under mutation; fewer trials (full-doc
     # decode per trial)
     _fuzz(data, lambda b: pdf_extract_text(b, pages=[0]), trials=40)
+
+
+def test_warc_corruption_fuzz():
+    from rasterframes_spark.sources.warc import iter_warc_records, write_warc
+
+    recs = [({"WARC-Type": "response",
+              "WARC-Target-URI": f"https://x.org/{i}"},
+             b"HTTP/1.1 200 OK\r\n\r\nbody " + bytes([65 + i]) * 30)
+            for i in range(4)]
+    for gz in (False, True):
+        _fuzz(write_warc(recs, gzip_members=gz),
+              lambda b: list(iter_warc_records(b)), trials=150)

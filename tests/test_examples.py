@@ -110,3 +110,11 @@ def test_geotrellis_migration_example(spark):
 
     total = ex.main(spark)
     assert total > 0
+
+
+def test_web_ingest_example(spark):
+    import examples.web_ingest as ex
+
+    out = ex.main(spark)
+    assert out == {"fetched": 12, "after_c4": 10, "after_quality": 10,
+                   "after_dedup": 8}

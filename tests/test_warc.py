@@ -1,0 +1,114 @@
+"""WARC reader/writer (sources/warc.py) — the Common Crawl ingest."""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from rasterframes_spark.sources.warc import (
+    iter_warc_records, read_warc, split_http_response, write_warc)
+
+
+def _http(body: bytes, ctype=b"text/html", extra=b"") -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
+            + extra + b"Content-Length: " + str(len(body)).encode()
+            + b"\r\n\r\n" + body)
+
+
+def _records(n=3):
+    recs = []
+    for i in range(n):
+        body = f"<html><body><p>page {i} content text.</p></body>".encode()
+        recs.append((
+            {"WARC-Type": "response",
+             "WARC-Target-URI": f"https://example.org/p{i}",
+             "WARC-Date": "2026-01-01T00:00:00Z",
+             "WARC-Record-ID": f"<urn:uuid:{i}>"},
+            _http(body)))
+    recs.append(({"WARC-Type": "warcinfo"}, b"software: test\r\n"))
+    return recs
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip(gz):
+    data = write_warc(_records(), gzip_members=gz)
+    got = list(iter_warc_records(data))
+    assert len(got) == 4
+    assert [h["warc-type"] for h, _ in got] == ["response"] * 3 + ["warcinfo"]
+    assert got[1][0]["warc-target-uri"] == "https://example.org/p1"
+    status, hh, body = split_http_response(got[2][1])
+    assert status == 200 and hh["content-type"] == "text/html"
+    assert b"page 2 content text" in body
+
+
+def test_gzip_members_are_independent():
+    """Each record must be its own gzip member (crawl convention)."""
+    data = write_warc(_records(2), gzip_members=True)
+    # first member alone decodes to exactly one record
+    d = zlib.decompressobj(wbits=31)
+    first = d.decompress(data) + d.flush()
+    assert first.startswith(b"WARC/1.0\r\n")
+    assert len(list(iter_warc_records(
+        data[:len(data) - len(d.unused_data)]))) == 1
+
+
+def test_chunked_and_gzip_bodies():
+    body = b"the real body text here"
+    chunked = (b"5\r\n" + body[:5] + b"\r\n"
+               + hex(len(body) - 5)[2:].encode() + b"\r\n" + body[5:]
+               + b"\r\n0\r\n\r\n")
+    p = _http(chunked, extra=b"Transfer-Encoding: chunked\r\n")
+    assert split_http_response(p)[2] == body
+    co = zlib.compressobj(wbits=31)
+    gzbody = co.compress(body) + co.flush()
+    p2 = _http(gzbody, extra=b"Content-Encoding: gzip\r\n")
+    assert split_http_response(p2)[2] == body
+
+
+def test_malformed_raise():
+    good = write_warc(_records(1), gzip_members=False)
+    for bad in (b"", b"NOTWARC/1.0\r\n\r\n", good[:30],
+                good.replace(b"Content-Length", b"Content-Lemgth", 1)):
+        with pytest.raises(ValueError):
+            list(iter_warc_records(bad))
+    with pytest.raises(ValueError):
+        list(iter_warc_records(b"\x1f\x8b" + b"\x00" * 20))
+
+
+def test_read_warc_spark_end_to_end(spark, tmp_path):
+    """The full ingest chain: WARC -> read_warc -> extract_html_text ->
+    token_count, distributed."""
+    from pyspark.sql import functions as F
+
+    from rasterframes_spark.pipeline.multimodal import extract_html_text
+    from rasterframes_spark.pipeline.text import token_count
+
+    for fi in range(2):
+        recs = []
+        for i in range(3):
+            html = (f"<html lang='en'><head><title>D{fi}{i}</title></head>"
+                    f"<body><nav><a>x</a></nav>"
+                    f"<p>doc {fi} {i} has body words here.</p>"
+                    f"</body></html>").encode()
+            recs.append(({"WARC-Type": "response",
+                          "WARC-Target-URI": f"https://ex.org/{fi}/{i}",
+                          "WARC-Date": "2026-01-01T00:00:00Z"},
+                         _http(html)))
+        recs.append(({"WARC-Type": "request"}, b"GET / HTTP/1.1\r\n\r\n"))
+        (tmp_path / f"crawl-{fi}.warc.gz").write_bytes(write_warc(recs))
+
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 6                      # requests filtered out
+    assert all(r.http_status == 200 and r.warc_type == "response"
+               and r.content_type == "text/html" for r in rows)
+    docs = df.select(F.xxhash64("url").alias("media_id"),
+                     "url", "payload")
+    text = extract_html_text(docs)
+    got = {r.title: r for r in text.collect()}
+    assert len(got) == 6 and "D01" in got
+    assert got["D11"].text == "doc 1 1 has body words here."
+    n = text.select(token_count("text").alias("n")).agg(
+        F.sum("n").alias("s")).collect()[0].s
+    assert n == 6 * 7
