@@ -7,17 +7,19 @@ posture as tiles. Decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` so payload bytes cross to Python once per
 batch and partitions stream (no per-row py4j, no collect).
 
-Codec status: the pure-python codecs in this repo make five formats REAL
-end-to-end — PNG, baseline JPEG, and lossless WebP images
-(``decode_image(decode='png'/'jpeg'/'webp'/'auto')``, ``sources/png.py`` /
-``sources/jpeg.py`` / ``sources/webp.py``), animated GIF video
-(``sample_video_frames(decode='gif')``, ``sources/gif.py``), and WAV
-audio (``pipeline/audio.py``). Only formats whose codecs aren't
-implementable in reasonable pure python (lossy WebP/AVIF, mp4/webm,
-mp3/ogg) remain stubbed: ``decode='fake'`` produces a
-deterministic bytes-derived decode (so the full Spark plumbing — schema,
-partitioning, UDF signature, batch shape — is real and tested), and
-``decode='real'`` raises NotImplementedError where the codec call belongs.
+Codec status: the pure-python codecs in this repo make the common
+formats REAL end-to-end — PNG (incl. Adam7), baseline+progressive JPEG,
+lossless WebP, BMP/PPM/TIFF images (``decode_image``), animated GIF
+(``sample_video_frames``), MP4/ISO-BMFF and WebM/Matroska container
+demux (``video_metadata`` / ``demux_video_samples`` — compressed frame
+payloads stay opaque for the GPU decode stage), WAV/FLAC/AIFF/AU audio
+(``pipeline/audio.py``), PDF text (``extract_pdf_text``) and HTML text
+(``extract_html_text``). Only pixel/sample decode of DCT-class codecs
+(lossy WebP/AVIF, H.264/VP9/AV1, mp3/ogg audio decode) remains stubbed:
+``decode='fake'`` produces a deterministic bytes-derived decode (so the
+full Spark plumbing — schema, partitioning, UDF signature, batch shape —
+is real and tested), and ``decode='real'`` raises NotImplementedError
+where the codec call belongs.
 """
 
 from __future__ import annotations
