@@ -41,6 +41,7 @@ __all__ = [
     "video_metadata", "demux_video_samples",
     "phash_bits", "image_phash", "image_neardup_pairs",
     "extract_pdf_text", "pdf_metadata", "extract_html_text",
+    "exif_metadata",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -680,3 +681,43 @@ def extract_html_text(df: DataFrame, text_col: str = "payload",
 
     return df.select("media_id", text_col).mapInPandas(
         run, schema="media_id long, title string, lang string, text string")
+
+
+def exif_metadata(df: DataFrame) -> DataFrame:
+    """JPEG/TIFF payload -> EXIF profile row: (media_id, make, model,
+    orientation, datetime, datetime_original, gps_lat, gps_lon). The
+    curation signals an image pipeline groups and filters on — and the
+    orientation every pixel-space dedup must realize first (a rotated
+    re-upload is the same photo; see ``sources/exif.py
+    apply_orientation``). Images without EXIF yield a row of nulls;
+    corrupt payloads are dropped."""
+
+    def run(batches):
+        from rasterframes_spark.sources.exif import read_exif
+
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    e = read_exif(bytes(payload))
+                except ValueError:
+                    continue
+                o = e.get("orientation")
+                rows.append((
+                    int(mid), e.get("make"), e.get("model"),
+                    int(o) if isinstance(o, int) else None,
+                    e.get("datetime"), e.get("datetime_original"),
+                    e.get("gps_lat"), e.get("gps_lon")))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "make", "model", "orientation",
+                    "datetime", "datetime_original", "gps_lat",
+                    "gps_lon"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=("media_id long, make string, model string, "
+                     "orientation int, datetime string, "
+                     "datetime_original string, gps_lat double, "
+                     "gps_lon double"))
