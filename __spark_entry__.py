@@ -2792,7 +2792,8 @@ def oracle_sql() -> dict[str, str]:
             -- reduces to residue arithmetic over the base word count
             select 'gopher_sw', cast(doc_id as varchar),
                    cast(case when list_contains(
-                              string_split(text, ' '), 'the')
+                              list_transform(string_split(text, ' '),
+                                             w -> lower(w)), 'the')
                          then 1 else 0 end
                         + case when doc_id % 3 = 0 then 2 else 0 end
                         as bigint)
@@ -2815,7 +2816,9 @@ def oracle_sql() -> dict[str, str]:
                        + case when sy then 3 else 0 end) >= 30
               and sw                               -- stopwords >= 2
               and bl = el                          -- line fracs <= 0.4
-              and ((3 * case when sy then 1 else 0 end
+              -- ' ### ### ###' is NINE '#' matches (regexp_count is
+              -- per-character), plus the one '…' of the ellipsis plant
+              and ((9 * case when sy then 1 else 0 end
                     + case when el then 1 else 0 end)
                    / cast(nw0 + case when sw then 2 else 0 end
                         + case when bl then 3 else 0 end

@@ -363,10 +363,15 @@ def resample_audio(df: DataFrame, target_rate: int,
                     pdf["media_id"], pdf["sample_rate"], pdf["channels"],
                     pdf["n_samples"], pdf["samples"]):
                 rate = int(rate)
+                if rate <= 0:
+                    continue   # corrupt metadata: drop, don't mislabel
                 x = np.frombuffer(bytes(buf), dtype="<f8")
-                if rate == tr or len(x) == 0 or rate <= 0:
-                    rows.append((int(mid), tr if rate == tr else rate,
-                                 int(ch), len(x), bytes(buf)))
+                if rate == tr or len(x) == 0:
+                    # same rate passes through untouched; an empty clip
+                    # is empty at any rate — stamp it with the target so
+                    # the output really is uniform
+                    rows.append((int(mid), tr, int(ch), len(x),
+                                 bytes(buf)))
                     continue
                 n_in = len(x)
                 m = (n_in - 1) * tr // rate + 1

@@ -656,8 +656,7 @@ def extract_html_text(df: DataFrame, text_col: str = "payload",
     page for charset alone); rows with null payloads are dropped."""
 
     def run(batches):
-        from rasterframes_spark.sources.html_text import (
-            extract_main_text, html_metadata, html_to_text)
+        from rasterframes_spark.sources.html_text import parse_page
 
         for pdf_ in batches:
             rows = []
@@ -671,10 +670,10 @@ def extract_html_text(df: DataFrame, text_col: str = "payload",
                         html = bytes(payload).decode("latin1")
                 else:
                     html = str(payload)
-                meta = html_metadata(html)
-                text = (extract_main_text(html, max_link_density)
-                        if main_content else html_to_text(html))
-                rows.append((int(mid), meta["title"], meta["lang"], text))
+                # one parse per page: title/lang/text from the same feed
+                title, lang, text = parse_page(html, main_content,
+                                               max_link_density)
+                rows.append((int(mid), title, lang, text))
             if rows:
                 yield pd.DataFrame(rows, columns=["media_id", "title",
                                                   "lang", "text"])

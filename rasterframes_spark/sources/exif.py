@@ -128,7 +128,16 @@ def read_exif(b: bytes) -> dict:
     """JPEG or TIFF bytes -> flat EXIF dict (``{}`` when the image
     carries none). Keys: make/model/orientation/datetime/software,
     datetime_original, exposure_time/f_number/iso/focal_length,
-    pixel_width/height, gps_lat/gps_lon (signed decimal degrees)."""
+    pixel_width/height, gps_lat/gps_lon (signed decimal degrees).
+    Malformed input raises ValueError (never struct.error — a truncated
+    image must drop a row, not crash a task)."""
+    try:
+        return _read_exif_impl(b)
+    except struct.error as e:
+        raise ValueError(f"exif: truncated structure ({e})") from None
+
+
+def _read_exif_impl(b: bytes) -> dict:
     if b[:2] == b"\xff\xd8":   # JPEG: walk segments for APP1/Exif
         pos = 2
         while pos + 4 <= len(b):

@@ -25,7 +25,8 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
-__all__ = ["html_to_text", "extract_main_text", "html_metadata"]
+__all__ = ["html_to_text", "extract_main_text", "html_metadata",
+           "parse_page"]
 
 # subtrees that never contribute visible text
 _DROP = {"script", "style", "template", "noscript", "svg", "head",
@@ -87,10 +88,16 @@ class _TextParser(HTMLParser):
         if self.depth:
             return
         if tag == "a":
-            self.anchor_depth += 1
+            # set, don't increment: real-web HTML leaves anchors
+            # unclosed, and browsers auto-close them — a stuck counter
+            # would classify the whole rest of the page as link text
+            self.anchor_depth = 1
             self.n_links += 1
         if tag in _BLOCK:
             self._flush()
+            # anchors don't span block elements in practice; an
+            # unclosed <a> ends at the block boundary
+            self.anchor_depth = 0
 
     def handle_endtag(self, tag):
         if tag == "title":
@@ -102,9 +109,10 @@ class _TextParser(HTMLParser):
         if self.depth:
             return
         if tag == "a":
-            self.anchor_depth = max(self.anchor_depth - 1, 0)
+            self.anchor_depth = 0
         if tag in _BLOCK:
             self._flush()
+            self.anchor_depth = 0
 
     def handle_data(self, data):
         if self.in_title:
@@ -145,6 +153,20 @@ def extract_main_text(html: str, max_link_density: float = 0.5) -> str:
     p.feed(html)
     p.close()
     return p.result()
+
+
+def parse_page(html: str, main_content: bool = True,
+               max_link_density: float = 0.5) -> tuple:
+    """One parse -> (title, lang, text). The single-pass form the
+    ``extract_html_text`` operator uses on the ingest hot path (metadata
+    and text from the same feed, not two full parses per page)."""
+    p = _TextParser(drop_boiler=main_content,
+                    max_link_density=(max_link_density if main_content
+                                      else 1.0))
+    p.feed(html)
+    p.close()
+    title = re.sub(r"\s+", " ", "".join(p.title)).strip() or None
+    return title, p.lang, p.result()
 
 
 def html_metadata(html: str) -> dict:

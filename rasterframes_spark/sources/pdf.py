@@ -26,6 +26,7 @@ lineage) plus an own-writer round-trip and corruption fuzz.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 __all__ = ["read_pdf_info", "pdf_extract_text", "write_pdf", "PdfInfo"]
@@ -274,9 +275,14 @@ class _Doc:
         if m is None:
             raise ValueError("pdf: no startxref")
         seen = set()
-        off = int(m.group(1))
-        while off not in seen:
+        queue = [int(m.group(1))]
+        while queue:
+            off = queue.pop(0)
+            if off in seen:
+                continue
             seen.add(off)
+            if len(seen) > 4096:
+                raise ValueError("pdf: xref chain too long")
             if off < 0 or off >= len(self.data):
                 raise ValueError("pdf: xref offset out of range")
             if self.data[off:off + 4] == b"xref":
@@ -285,12 +291,13 @@ class _Doc:
                 trailer = self._load_xref_stream(off)
             for k, v in trailer.items():
                 self.trailer.setdefault(k, v)
-            nxt = trailer.get("Prev")
-            if nxt is None:
-                nxt = trailer.get("XRefStm")
-            if nxt is None:
-                break
-            off = int(nxt)
+            # hybrid-reference files (spec 7.5.8.4): the classic table's
+            # companion XRefStm must be processed BEFORE Prev — it holds
+            # the ObjStm-compressed entries the table marks free
+            for key in ("XRefStm", "Prev"):
+                nxt = trailer.get(key)
+                if isinstance(nxt, (int, float)):
+                    queue.append(int(nxt))
 
     def _load_xref_table(self, off: int) -> dict:
         lx = _Lexer(self.data, off + 4)
@@ -326,11 +333,16 @@ class _Doc:
         if sd.get("Type") != "XRef":
             raise ValueError("pdf: expected XRef stream")
         body = self._decode_stream(sd, raw)
-        w = [int(x) for x in sd.get("W", [])]
+        try:
+            w = [int(x) for x in sd.get("W", [])]
+            size = int(sd.get("Size", 0))
+            index = [int(x) for x in sd.get("Index", [0, size])]
+        except (TypeError, ValueError):
+            raise ValueError("pdf: non-numeric XRef metadata") from None
         if len(w) != 3 or any(x < 0 for x in w) or sum(w) == 0:
             raise ValueError("pdf: bad XRef /W")
-        size = int(sd.get("Size", 0))
-        index = sd.get("Index", [0, size])
+        if len(index) % 2:
+            raise ValueError("pdf: odd-length XRef /Index")
         ew = sum(w)
         if len(body) < ew:
             raise ValueError("pdf: XRef stream too short")
@@ -358,8 +370,12 @@ class _Doc:
     # -- objects ------------------------------------------------------------
 
     def resolve(self, obj):
+        hops = 0
         while isinstance(obj, _Ref):
             obj = self.get(obj[0])
+            hops += 1
+            if hops > 64:   # '2 0 obj 2 0 R endobj' must not hang a task
+                raise ValueError("pdf: indirect-reference cycle")
         return obj
 
     def get(self, num: int):
@@ -442,13 +458,26 @@ class _Doc:
     def _objstm_get(self, stm_num: int, idx: int):
         objs = self._objstm_cache.get(stm_num)
         if objs is None:
-            got = self.get(stm_num)
+            # an xref claiming the stream lives inside itself (or a loop
+            # of streams) would recurse forever — refuse re-entry
+            if stm_num in getattr(self, "_objstm_loading", set()):
+                raise ValueError("pdf: object-stream reference cycle")
+            if not hasattr(self, "_objstm_loading"):
+                self._objstm_loading = set()
+            self._objstm_loading.add(stm_num)
+            try:
+                got = self.get(stm_num)
+            finally:
+                self._objstm_loading.discard(stm_num)
             if not (isinstance(got, tuple) and isinstance(got[0], dict)):
                 raise ValueError("pdf: object stream missing")
             sd, raw = got
             body = self._decode_stream(sd, raw)
-            n = int(self.resolve(sd.get("N", 0)))
-            first = int(self.resolve(sd.get("First", 0)))
+            try:
+                n = int(self.resolve(sd.get("N", 0)))
+                first = int(self.resolve(sd.get("First", 0)))
+            except (TypeError, ValueError):
+                raise ValueError("pdf: bad ObjStm metadata") from None
             lx = _Lexer(body, 0)
             heads = []
             for _ in range(n):
@@ -604,7 +633,9 @@ class _Font:
     """Per-font byte-code -> text decoder."""
 
     def __init__(self, doc: _Doc, fd: dict):
-        fd = doc.resolve(fd) or {}
+        fd = doc.resolve(fd)
+        if not isinstance(fd, dict):
+            fd = {}
         self.two_byte = doc.resolve(fd.get("Subtype")) == "Type0"
         self.cmap: dict[int, str] = {}
         tu = doc.resolve(fd.get("ToUnicode"))
@@ -750,10 +781,20 @@ def _page_text(doc: _Doc, page: dict) -> str:
 # ---------------------------------------------------------------------------
 
 
+# untrusted-input boundary: any structural surprise a targeted guard
+# missed surfaces as the clean contract error, never a raw internal
+# exception crashing a Spark task (mutation-fuzz discipline)
+_RAW = (IndexError, KeyError, TypeError, AttributeError,
+        struct.error, OverflowError, RecursionError, UnicodeDecodeError)
+
+
 def read_pdf_info(data: bytes) -> PdfInfo:
     """Header + page-tree profile (no content decode)."""
-    doc = _Doc(data)
-    return PdfInfo(doc.version, len(doc.pages()))
+    try:
+        doc = _Doc(data)
+        return PdfInfo(doc.version, len(doc.pages()))
+    except _RAW as e:
+        raise ValueError(f"pdf: malformed document ({e!r})") from None
 
 
 def pdf_extract_text(data: bytes, pages=None) -> list[str]:
@@ -761,12 +802,15 @@ def pdf_extract_text(data: bytes, pages=None) -> list[str]:
 
     ``pages``: optional iterable of 0-based page indexes (default all).
     Raises ValueError on malformed/encrypted input."""
-    doc = _Doc(data)
-    pg = doc.pages()
-    if pages is not None:
-        idx = [i for i in pages if 0 <= i < len(pg)]
-        pg = [pg[i] for i in idx]
-    return [_page_text(doc, p) for p in pg]
+    try:
+        doc = _Doc(data)
+        pg = doc.pages()
+        if pages is not None:
+            idx = [i for i in pages if 0 <= i < len(pg)]
+            pg = [pg[i] for i in idx]
+        return [_page_text(doc, p) for p in pg]
+    except _RAW as e:
+        raise ValueError(f"pdf: malformed document ({e!r})") from None
 
 
 def write_pdf(pages: list[str], font: str = "Helvetica",

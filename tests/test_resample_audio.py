@@ -96,3 +96,21 @@ def test_bad_args_raise(spark):
         resample_audio(d, 8000, method="sinc")
     with pytest.raises(ValueError, match="positive"):
         resample_audio(d, 0)
+
+
+def test_corrupt_rate_dropped_empty_stamped(spark):
+    """rate<=0 rows drop; empty buffers come out stamped at the target
+    rate — the output really is uniform (found by review)."""
+    from rasterframes_spark.pipeline.audio import resample_audio
+
+    rows = [(0, 0, 1, 0, b""),               # corrupt rate: dropped
+            (1, 44100, 1, 0, b""),           # empty: stamped at target
+            (2, 8000, 1, 4, np.arange(4, dtype="<f8").tobytes())]
+    df = spark.createDataFrame(
+        rows, "media_id long, sample_rate int, channels int, "
+              "n_samples long, samples binary")
+    out = {r.media_id: r for r in resample_audio(df, 16000).collect()}
+    assert 0 not in out
+    assert out[1].sample_rate == 16000 and out[1].n_samples == 0
+    assert out[2].sample_rate == 16000
+    assert {r.sample_rate for r in out.values()} == {16000}
