@@ -266,6 +266,40 @@ def main():
         S.read_geotrellis_layer(spark, os.path.join(d, "gtcat"),
                                 "demo", 9))
 
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    add("c4_clean + gopher_quality_filter (web-text cleanup, r7)",
+        "The entire C4 line/page pass and all seven Gopher document "
+        "rules compile to one narrow Project+Filter over the scan — no "
+        "Exchange, no Python, fully whole-stage-codegen'd. At 100 TB "
+        "this is a map-only pass whose cost is the scan itself.",
+        P.gopher_quality_filter(P.c4_clean(docs)))
+
+    add("semantic_dedup pair stage (SemDeDup, blocked within clusters, r7)",
+        "Candidate pairs come from a self-equi-join on the centroid "
+        "assignment (sem_list) — the shuffle key is one int, the "
+        "quadratic work is bounded per cluster by n_clusters, and no "
+        "BroadcastNestedLoopJoin appears. The verdict/keeper pass joins "
+        "16-byte ids and windows per duplicate group.",
+        P.semantic_dedup(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            "vec_id", centroids=e._ivf_cents(), threshold=0.98))
+
+    from rasterframes_spark.sources.warc import read_warc, write_warc
+    wd = tempfile.mkdtemp()
+    with open(os.path.join(wd, "a.warc.gz"), "wb") as f:
+        f.write(write_warc([({"WARC-Type": "response",
+                              "WARC-Target-URI": "https://x.org/1"},
+                             b"HTTP/1.1 200 OK\r\n\r\n<p>hi there.</p>")]))
+    add("read_warc -> extract_html_text (web ingest, r7)",
+        "One WARC file per task (binaryFile scan; member-gzip files are "
+        "not mid-file splittable — crawls ship ~1 GB files for exactly "
+        "this), then a single Arrow-batched extraction per partition. "
+        "The plan is scan -> mapInPandas -> mapInPandas with no shuffle "
+        "until something aggregates downstream.",
+        P.extract_html_text(
+            read_warc(spark, wd).select(
+                F.xxhash64("url").alias("media_id"), "payload")))
+
     hdr = (
         "# PLANS — physical-plan evidence for the scale posture\n\n"
         'Captured with `.explain("formatted")` on the real operators (sf0.001 '
