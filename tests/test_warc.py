@@ -112,3 +112,58 @@ def test_read_warc_spark_end_to_end(spark, tmp_path):
     n = text.select(token_count("text").alias("n")).agg(
         F.sum("n").alias("s")).collect()[0].s
     assert n == 6 * 7
+
+
+def test_read_warc_stream(spark, tmp_path):
+    """Streaming crawl ingest: WARC files landing in a directory stream
+    out as record rows; incremental runs over a checkpoint process only
+    NEW files; the HTML extractor composes on the stream unchanged."""
+    import os
+
+    from rasterframes_spark.pipeline.multimodal import extract_html_text
+    from rasterframes_spark.streaming import read_warc_stream
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drop(fi, n):
+        recs = []
+        for i in range(n):
+            html = (f"<html lang='en'><head><title>S{fi}{i}</title></head>"
+                    f"<body><p>stream doc {fi} {i} body.</p></body>"
+                    ).encode()
+            recs.append(({"WARC-Type": "response",
+                          "WARC-Target-URI": f"https://s.org/{fi}/{i}"},
+                         _http(html)))
+        (src / f"c{fi}.warc.gz").write_bytes(write_warc(recs))
+
+    drop(0, 2)
+    drop(1, 3)
+    from pyspark.sql import functions as F
+
+    stream = read_warc_stream(spark, str(src))
+    assert stream.isStreaming
+    docs = extract_html_text(
+        stream.select(F.xxhash64("url").alias("media_id"), "payload"))
+    q = (docs.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 5
+    assert {r.title for r in got} == {"S00", "S01", "S10", "S11", "S12"}
+
+    # incremental: only the new file's records appear
+    drop(2, 1)
+    q2 = (extract_html_text(
+        read_warc_stream(spark, str(src)).select(
+            F.xxhash64("url").alias("media_id"), "payload"))
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir).collect()
+    assert len(got2) == 6
+    assert "S20" in {r.title for r in got2}
