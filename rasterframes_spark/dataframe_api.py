@@ -255,6 +255,18 @@ def _rd_stacapi(reader, url, **kw):
     return stac_api_search(_active_spark(), url, **kw)
 
 
+def _rd_warc(reader, paths, **kw):
+    from rasterframes_spark.sources.warc import read_warc
+
+    return read_warc(_active_spark(), paths, **kw)
+
+
+def _rd_netcdf(reader, paths, var, **kw):
+    from rasterframes_spark.sources.netcdf import read_netcdf
+
+    return read_netcdf(_active_spark(), paths, var, **kw)
+
+
 def _wr_geotiff(writer, path, **kw):
     from rasterframes_spark.sources.sinks import write_geotiff
 
@@ -274,6 +286,8 @@ _READER_METHODS = {
     "geotrellis": _rd_geotrellis,
     "geotrellis_catalog": _rd_geotrellis_catalog,
     "stacapi": _rd_stacapi,
+    "warc": _rd_warc,
+    "netcdf": _rd_netcdf,
 }
 _WRITER_METHODS = {
     "geotiff": _wr_geotiff,

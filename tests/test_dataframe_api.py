@@ -163,3 +163,22 @@ def test_ipython_display_helpers(spark):
         ipy.tile_to_png(t, lower_percentile=99, upper_percentile=1)
     # no IPython in this environment: graceful False
     assert ipy.register_formatters() is False
+
+
+def test_fluent_warc_and_netcdf_readers(spark, tmp_path):
+    import numpy as np
+
+    from rasterframes_spark.sources.netcdf import write_netcdf
+    from rasterframes_spark.sources.warc import write_warc
+
+    (tmp_path / "x.warc.gz").write_bytes(write_warc(
+        [({"WARC-Type": "response", "WARC-Target-URI": "https://a.b/c"},
+          b"HTTP/1.1 200 OK\r\n\r\n<p>hello fluent.</p>")]))
+    rows = spark.read.warc(str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0].url == "https://a.b/c"
+
+    p = tmp_path / "t.nc"
+    p.write_bytes(write_netcdf(
+        {"v": (("y", "x"), np.arange(12.0).reshape(3, 4))},
+        dims={"y": 3, "x": 4}))
+    assert spark.read.netcdf(str(p), "v").count() == 1
