@@ -1377,9 +1377,23 @@ def _q_curation(spark, sf_dir):
                 F.col("doc_id").cast("string").alias("key"),
                 F.lit(1).cast("long").alias("val")))
 
+    # URL canonicalization family (pipeline/scrub.py canonicalize_url):
+    # a planted variant URL (upper-cased scheme/host, default port,
+    # tracking params, fragment) must collapse to the exact canonical
+    # string the oracle constructs arithmetically
+    vurl = F.concat(
+        F.lit("HTTPS://Ex"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".ORG:443/p"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&b="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&fbclid=Z#frag"))
+    ucanon = c4base.select(
+        F.lit("url_canon").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.length(P.canonicalize_url(vurl)).cast("long").alias("val"))
+
     out = kept
     for part in (srcd, dec, pii_em, pii_ip, urld, rep_extra, rep_top2,
-                 sub, sp, c4len, c4keep, gsw, gpass):
+                 sub, sp, c4len, c4keep, gsw, gpass, ucanon):
         out = out.unionByName(part)
     return out
 
@@ -2786,6 +2800,15 @@ def oracle_sql() -> dict[str, str]:
             where doc_id < 300 and len(string_split(text, ' ')) >= 12
               and doc_id % 7 >= 4 and doc_id % 13 != 0
               and doc_id % 11 != 0
+            union all
+            -- url_canon: the canonical string is constructed here,
+            -- independent of the operator's parse/sort machinery
+            select 'url_canon', cast(doc_id as varchar),
+                   cast(length('https://ex' || (doc_id % 3)
+                        || '.org/p' || doc_id || '?b=' || (doc_id % 5))
+                        as bigint)
+            from documents
+            where doc_id < 300 and len(string_split(text, ' ')) >= 12
             union all
             -- Gopher families: plants are the only source of bullets /
             -- ellipses / symbols / non-'the' stopwords, so every rule

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "canonicalize_url",
     "PII_PATTERNS", "pii_scrub", "pii_counts",
     "extract_urls", "url_domains", "filter_by_domains",
 ]
@@ -124,3 +125,41 @@ def filter_by_domains(df: DataFrame, domains, text_col: str = "text",
            .withColumn("__hit", F.coalesce(F.col("__hit"), F.lit(False))))
     keep = ~F.col("__hit") if mode == "block" else F.col("__hit")
     return out.where(keep).drop("__rid", "__rid2", "__hit")
+
+
+_TRACKING_PARAM = (r"^(utm_[a-z]+|fbclid|gclid|gclsrc|dclid|msclkid|"
+                   r"mc_eid|mc_cid|igshid|ref|ref_src|spm|_ga)=")
+
+
+def canonicalize_url(url) -> Column:
+    """One canonical form per URL so trivially-different links dedup:
+    scheme and host lower-cased, default ports stripped, fragment
+    dropped, tracking parameters removed (utm_*, fbclid, gclid, ...),
+    remaining query parameters sorted, empty path normalized to '/'.
+
+    Pure Catalyst: ``try_parse_url`` (JVM built-in, NULL on garbage) splits the pieces, array
+    HOFs canonicalize the query — no UDF, codegen end to end. NULL in =
+    NULL out; a string parse_url can't split returns unchanged (crawls
+    contain garbage 'URLs'; dropping belongs to the caller's filter)."""
+    u = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    path = F.try_parse_url(u, F.lit("PATH"))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    # the authority carries the port; keep a non-default one
+    auth = F.try_parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    default = ((proto == "http") & (port == "80")) | \
+        ((proto == "https") & (port == "443")) | (port == "")
+    hostport = F.when(default, host).otherwise(
+        F.concat(host, F.lit(":"), port))
+    keep_q = F.array_join(F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike(_TRACKING_PARAM))), "&")
+    canon = F.concat(
+        proto, F.lit("://"), hostport,
+        F.when(F.length(path) > 0, path).otherwise(F.lit("/")),
+        F.when(F.length(keep_q) > 0,
+               F.concat(F.lit("?"), keep_q)).otherwise(F.lit("")))
+    return F.when(proto.isNotNull() & host.isNotNull(), canon).otherwise(u)

@@ -233,3 +233,56 @@ def test_repetition_methods_equivalent(spark):
          P.repetition_metrics(df, "text", top_ns=(2,), dup_ns=(5,),
                               method="sql").collect()}
     assert a == b
+
+
+class TestCanonicalizeUrl:
+    CASES = [
+        # scheme/host case, default port, fragment
+        ("HTTPS://Example.COM:443/Path/X#frag",
+         "https://example.com/Path/X"),
+        # tracking params stripped, rest sorted
+        ("http://a.b/p?utm_source=x&b=2&a=1&fbclid=Y&gclid=1",
+         "http://a.b/p?a=1&b=2"),
+        # non-default port kept; empty path -> '/'
+        ("http://a.b:8080?z=1", "http://a.b:8080/?z=1"),
+        # all params tracking -> no query at all
+        ("https://a.b/p?utm_campaign=c&ref=rss", "https://a.b/p"),
+        # unparseable strings pass through for the caller to filter
+        ("not a url", "not a url"),
+    ]
+
+    def test_cases(self, spark):
+        from rasterframes_spark.pipeline.scrub import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES],
+                                   "url string")
+        got = [r.c for r in
+               df.select(canonicalize_url("url").alias("c")).collect()]
+        assert got == [want for _, want in self.CASES]
+
+    def test_dedups_link_variants(self, spark):
+        """The point: the same page under tracking-param/fragment/case
+        variants collapses to ONE canonical url."""
+        from pyspark.sql import functions as F
+
+        from rasterframes_spark.pipeline.scrub import canonicalize_url
+
+        variants = [
+            "https://news.site/article?id=7&utm_source=tw",
+            "HTTPS://NEWS.SITE/article?utm_medium=s&id=7",
+            "https://news.site:443/article?id=7#comments",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "url string")
+        n = (df.select(canonicalize_url("url").alias("c"))
+             .agg(F.countDistinct("c").alias("n")).collect()[0].n)
+        assert n == 1
+
+    def test_null_and_plan(self, spark):
+        from rasterframes_spark.pipeline.scrub import canonicalize_url
+
+        df = spark.createDataFrame([(None,)], "url string")
+        assert df.select(canonicalize_url("url").alias("c")) \
+            .collect()[0].c is None
+        plan = df.select(canonicalize_url("url"))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan
