@@ -41,7 +41,7 @@ __all__ = [
     "video_metadata", "demux_video_samples",
     "phash_bits", "image_phash", "image_neardup_pairs",
     "extract_pdf_text", "pdf_metadata", "extract_html_text",
-    "exif_metadata",
+    "exif_metadata", "extract_document_text",
 ]
 
 MEDIA_SCHEMA = StructType([
@@ -720,3 +720,53 @@ def exif_metadata(df: DataFrame) -> DataFrame:
                      "orientation int, datetime string, "
                      "datetime_original string, gps_lat double, "
                      "gps_lon double"))
+
+
+def extract_document_text(df: DataFrame, max_pdf_pages: int | None = None
+                          ) -> DataFrame:
+    """Any document payload -> (media_id, format, text): the unified
+    ingest pass over a mixed corpus. Formats are sniffed per row —
+    PDF (``sources/pdf.py``), DOCX and EPUB (``sources/office.py``),
+    HTML (boilerplate-pruned main content, ``sources/html_text.py``)
+    and plain UTF-8 text; undecodable/binary rows drop. One Arrow
+    crossing; each decoder is the same tested code its dedicated
+    operator uses."""
+
+    def run(batches):
+        from rasterframes_spark.sources.html_text import extract_main_text
+        from rasterframes_spark.sources.office import (
+            read_docx_text, read_epub_text, sniff_document_format)
+        from rasterframes_spark.sources.pdf import pdf_extract_text
+
+        for pdf_ in batches:
+            rows = []
+            for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                kind = sniff_document_format(b)
+                try:
+                    if kind == "pdf":
+                        text = "\n".join(pdf_extract_text(
+                            b, pages=(range(max_pdf_pages)
+                                      if max_pdf_pages else None)))
+                    elif kind == "docx":
+                        text = read_docx_text(b)
+                    elif kind == "epub":
+                        text = read_epub_text(b)
+                    elif kind == "html":
+                        text = extract_main_text(
+                            b.decode("utf-8", "replace"))
+                    elif kind == "text":
+                        text = b.decode("utf-8")
+                    else:
+                        continue
+                except ValueError:
+                    continue
+                rows.append((int(mid), kind, text))
+            if rows:
+                yield pd.DataFrame(rows,
+                                   columns=["media_id", "format", "text"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, format string, text string")

@@ -1,0 +1,157 @@
+"""Office / ebook text extraction: DOCX (OOXML) and EPUB.
+
+Both are ZIP containers (stdlib ``zipfile`` over in-memory bytes):
+
+- DOCX: ``word/document.xml`` — WordprocessingML. Text lives in
+  ``w:t`` runs grouped into ``w:p`` paragraphs; tabs/breaks have their
+  own elements. Parsed with ``xml.etree`` (namespace-agnostic local
+  names — real-world files mix namespace prefixes).
+- EPUB: XHTML chapters referenced by the OPF spine (located through
+  ``META-INF/container.xml``); each chapter runs through the SAME
+  html_to_text pass as scraped web pages (``sources/html_text.py``),
+  so ebook corpora inherit the tested extraction behavior. Files
+  without a parseable spine fall back to all ``.x?html`` members in
+  archive order.
+
+Malformed input raises ValueError (shared corruption-fuzz discipline).
+"""
+from __future__ import annotations
+
+import io
+import posixpath
+import re
+import zipfile
+import zlib
+import xml.etree.ElementTree as ET
+
+__all__ = ["read_docx_text", "read_epub_text", "sniff_document_format"]
+
+
+def _zip(b: bytes) -> zipfile.ZipFile:
+    try:
+        return zipfile.ZipFile(io.BytesIO(b))
+    except (zipfile.BadZipFile, OverflowError) as e:
+        raise ValueError(f"office: bad zip container ({e})") from None
+
+
+def _zread(z: zipfile.ZipFile, name: str) -> bytes:
+    try:
+        return z.read(name)
+    except (KeyError, zipfile.BadZipFile, OverflowError,
+            NotImplementedError, ValueError, RuntimeError,
+            EOFError, zlib.error) as e:
+        # RuntimeError = zipfile's 'encrypted' path (a flipped flag bit
+        # on corrupt input); zlib.error/EOFError = corrupt deflate data
+        raise ValueError(f"office: cannot read {name!r} ({e})") from None
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def read_docx_text(b: bytes) -> str:
+    """DOCX bytes -> plain text (one line per paragraph, tabs and
+    explicit breaks preserved)."""
+    z = _zip(b)
+    xmlb = _zread(z, "word/document.xml")
+    try:
+        root = ET.fromstring(xmlb)
+    except ET.ParseError as e:
+        raise ValueError(f"docx: bad document.xml ({e})") from None
+    lines: list[str] = []
+
+    def walk_para(p) -> str:
+        parts: list[str] = []
+        for el in p.iter():
+            ln = _local(el.tag)
+            if ln == "t":
+                parts.append(el.text or "")
+            elif ln == "tab":
+                parts.append("\t")
+            elif ln in ("br", "cr"):
+                parts.append("\n")
+        return "".join(parts)
+
+    for el in root.iter():
+        if _local(el.tag) == "p":
+            lines.append(walk_para(el))
+    return "\n".join(lines).strip("\n")
+
+
+def _epub_spine(z: zipfile.ZipFile) -> list[str]:
+    """Chapter paths in reading order via container.xml -> OPF spine."""
+    container = _zread(z, "META-INF/container.xml")
+    m = re.search(rb'full-path="([^"]+)"', container)
+    if not m:
+        raise ValueError("epub: container.xml has no rootfile path")
+    opf_path = m.group(1).decode("utf-8", "replace")
+    opf = _zread(z, opf_path)
+    try:
+        root = ET.fromstring(opf)
+    except ET.ParseError as e:
+        raise ValueError(f"epub: bad OPF ({e})") from None
+    base = posixpath.dirname(opf_path)
+    items: dict[str, str] = {}
+    order: list[str] = []
+    for el in root.iter():
+        ln = _local(el.tag)
+        if ln == "item" and el.get("id") and el.get("href"):
+            items[el.get("id")] = el.get("href")
+        elif ln == "itemref" and el.get("idref"):
+            order.append(el.get("idref"))
+    out = []
+    for idref in order:
+        href = items.get(idref)
+        if href:
+            out.append(posixpath.normpath(posixpath.join(base, href)))
+    return out
+
+
+def read_epub_text(b: bytes) -> str:
+    """EPUB bytes -> plain text: spine-ordered chapters through the
+    web HTML extractor (full visible text, not the boilerplate-pruned
+    mode — books have no nav chrome worth pruning)."""
+    from rasterframes_spark.sources.html_text import html_to_text
+
+    z = _zip(b)
+    try:
+        chapters = _epub_spine(z)
+    except ValueError:
+        chapters = [n for n in z.namelist()
+                    if n.lower().endswith((".xhtml", ".html", ".htm"))]
+    if not chapters:
+        raise ValueError("epub: no readable chapters")
+    texts = []
+    for name in chapters:
+        try:
+            raw = _zread(z, name)
+        except ValueError:
+            continue
+        texts.append(html_to_text(raw.decode("utf-8", "replace")))
+    return "\n".join(t for t in texts if t)
+
+
+def sniff_document_format(b: bytes) -> str | None:
+    """Cheap magic/structure sniff: 'pdf' | 'docx' | 'epub' | 'html' |
+    'text' | None (binary junk)."""
+    if b[:5] == b"%PDF-":
+        return "pdf"
+    if b[:4] == b"PK\x03\x04":
+        try:
+            names = set(_zip(b).namelist())
+        except ValueError:
+            return None
+        if "word/document.xml" in names:
+            return "docx"
+        if "META-INF/container.xml" in names or "mimetype" in names:
+            return "epub"
+        return None
+    head = b[:4096].lstrip()[:256].lower()
+    if head.startswith((b"<!doctype html", b"<html")) or b"<body" in \
+            b[:4096].lower() or b"<p>" in b[:4096].lower():
+        return "html"
+    try:
+        b[:4096].decode("utf-8")
+        return "text"
+    except UnicodeDecodeError:
+        return None

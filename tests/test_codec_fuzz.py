@@ -295,3 +295,19 @@ def test_warc_corruption_fuzz():
     for gz in (False, True):
         _fuzz(write_warc(recs, gzip_members=gz),
               lambda b: list(iter_warc_records(b)), trials=150)
+
+
+def test_docx_epub_corruption_fuzz():
+    from conftest import make_interlaced_png  # noqa: F401  (import check)
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_office_docs import make_docx, make_epub
+
+    from rasterframes_spark.sources.office import (
+        read_docx_text, read_epub_text)
+
+    _fuzz(make_docx([["alpha beta gamma"], ["delta"]]), read_docx_text,
+          trials=120)
+    _fuzz(make_epub(["<html><body><p>chapter text.</p></body></html>"]),
+          read_epub_text, trials=120)

@@ -1,0 +1,128 @@
+"""DOCX/EPUB extraction + the unified extract_document_text dispatch."""
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from rasterframes_spark.sources.office import (
+    read_docx_text, read_epub_text, sniff_document_format)
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+
+def make_docx(paragraphs):
+    doc = ['<?xml version="1.0"?>',
+           f'<w:document xmlns:w="{_W}"><w:body>']
+    for p in paragraphs:
+        runs = "".join(
+            "<w:tab/>" if seg == "\t" else
+            "<w:br/>" if seg == "\n" else
+            f"<w:r><w:t xml:space=\"preserve\">{seg}</w:t></w:r>"
+            for seg in p)
+        doc.append(f"<w:p>{runs}</w:p>")
+    doc.append("</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", "".join(doc))
+    return buf.getvalue()
+
+
+def make_epub(chapters, with_spine=True):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+        items = []
+        refs = []
+        for i, html in enumerate(chapters):
+            z.writestr(f"OEBPS/ch{i}.xhtml", html)
+            items.append(f'<item id="c{i}" href="ch{i}.xhtml" '
+                         f'media-type="application/xhtml+xml"/>')
+            refs.append(f'<itemref idref="c{i}"/>')
+        if with_spine:
+            z.writestr("META-INF/container.xml",
+                       '<container><rootfiles><rootfile '
+                       'full-path="OEBPS/content.opf"/>'
+                       "</rootfiles></container>")
+            z.writestr(
+                "OEBPS/content.opf",
+                '<package xmlns="http://www.idpf.org/2007/opf">'
+                f"<manifest>{''.join(items)}</manifest>"
+                # spine deliberately reversed: order must follow it
+                f"<spine>{''.join(reversed(refs))}</spine></package>")
+    return buf.getvalue()
+
+
+def test_docx_paragraphs_tabs_breaks():
+    b = make_docx([["First para ", "joined runs."],
+                   ["col1", "\t", "col2"],
+                   ["line a", "\n", "line b"]])
+    assert read_docx_text(b) == \
+        "First para joined runs.\ncol1\tcol2\nline a\nline b"
+    assert sniff_document_format(b) == "docx"
+
+
+def test_epub_spine_order_and_html_pass():
+    chapters = [
+        "<html><body><h1>One</h1><p>first chapter text.</p></body></html>",
+        "<html><body><p>second &amp; final.</p></body></html>"]
+    b = make_epub(chapters)
+    text = read_epub_text(b)
+    # spine is reversed in the fixture: chapter 2 must come first
+    assert text.index("second & final.") < text.index("first chapter text.")
+    assert "One" in text
+    assert sniff_document_format(b) == "epub"
+
+
+def test_epub_fallback_without_spine():
+    b = make_epub(["<html><body><p>only chapter.</p></body></html>"],
+                  with_spine=False)
+    assert "only chapter." in read_epub_text(b)
+
+
+def test_malformed_raise():
+    for bad in (b"PK\x03\x04junk", b"", b"PK"):
+        with pytest.raises(ValueError):
+            read_docx_text(bad)
+    # zip without word/document.xml
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("other.txt", "x")
+    with pytest.raises(ValueError):
+        read_docx_text(buf.getvalue())
+    with pytest.raises(ValueError):
+        read_epub_text(buf.getvalue())
+
+
+def test_sniffer():
+    assert sniff_document_format(b"%PDF-1.4\n") == "pdf"
+    assert sniff_document_format(b"<!DOCTYPE html><html>") == "html"
+    assert sniff_document_format(b"plain old words") == "text"
+    assert sniff_document_format(b"\x00\x01\x02\xff") is None
+
+
+def test_unified_dispatch(spark):
+    from rasterframes_spark.pipeline.multimodal import extract_document_text
+    from rasterframes_spark.sources.pdf import write_pdf
+
+    rows = [
+        (1, bytearray(write_pdf(["pdf body text here."]))),
+        (2, bytearray(make_docx([["docx body text here."]]))),
+        (3, bytearray(make_epub(
+            ["<html><body><p>epub body text here.</p></body></html>"]))),
+        (4, bytearray(b"<html><body><article><p>html body text here."
+                      b"</p></article></body></html>")),
+        (5, bytearray("plain text body here.".encode())),
+        (6, bytearray(b"\x00\xff\x00\xff binary junk")),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in extract_document_text(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].format == "pdf" and "pdf body text" in out[1].text
+    assert out[2].format == "docx" and out[2].text == "docx body text here."
+    assert out[3].format == "epub" and "epub body text" in out[3].text
+    assert out[4].format == "html" and out[4].text == "html body text here."
+    assert out[5].format == "text"
