@@ -962,6 +962,7 @@ def _q_media_suite(spark, sf_dir):
     from rasterframes_spark.sources.flac import encode_flac
     from rasterframes_spark.sources.mp4 import write_mp4
     from rasterframes_spark.sources.mpeg_audio import write_mp3_frames
+    from rasterframes_spark.sources.office import write_docx, write_epub
     from rasterframes_spark.sources.pdf import write_pdf
     from rasterframes_spark.sources.webm import write_webm
 
@@ -1012,19 +1013,27 @@ def _q_media_suite(spark, sf_dir):
                 htm = (f"<html lang='en'><head><title>Doc {d}</title>"
                        f"</head><body><nav><a>skip</a> me</nav>"
                        f"{paras}</body></html>").encode()
+                # DOCX/EPUB legs via the unified document dispatcher;
+                # paragraph/chapter texts are doc_id arithmetic
+                dx = write_docx([[f"dx {d} item {j} end."]
+                                 for j in range(1 + d % 3)])
+                ep = write_epub(
+                    [f"<html><body><p>ch {d} {k} text.</p></body></html>"
+                     for k in range(1 + d % 2)])
                 rows.append((d, bytearray(wav), bytearray(mp3),
                              bytearray(mp4), bytearray(fl), bytearray(wm),
-                             bytearray(pdfb), bytearray(htm)))
+                             bytearray(pdfb), bytearray(htm),
+                             bytearray(dx), bytearray(ep)))
             if rows:
                 yield pd.DataFrame(
                     rows,
                     columns=["media_id", "wav", "mp3", "mp4", "flac",
-                             "webm", "pdf", "html"])
+                             "webm", "pdf", "html", "docx", "epub"])
 
     media = docs.mapInPandas(
         synth, schema=("media_id long, wav binary, mp3 binary, "
                        "mp4 binary, flac binary, webm binary, pdf binary, "
-                       "html binary"))
+                       "html binary, docx binary, epub binary"))
     media = media.localCheckpoint(eager=False)
     wav_df = media.select("media_id", F.col("wav").alias("payload"))
     mp3_df = media.select("media_id", F.col("mp3").alias("payload"))
@@ -1079,11 +1088,24 @@ def _q_media_suite(spark, sf_dir):
         "media_id",
         F.length("text").cast("long").alias("html_chars"),
         F.length("title").cast("long").alias("html_title_len"))
+    # DOCX/EPUB through the UNIFIED dispatcher (sniff included in the
+    # gate): format must come back right for the chars to join up
+    dxm = (P.extract_document_text(
+        media.select("media_id", F.col("docx").alias("payload")))
+        .where(F.col("format") == "docx")
+        .select("media_id",
+                F.length("text").cast("long").alias("docx_chars")))
+    epm = (P.extract_document_text(
+        media.select("media_id", F.col("epub").alias("payload")))
+        .where(F.col("format") == "epub")
+        .select("media_id",
+                F.length("text").cast("long").alias("epub_chars")))
     return (feats.join(mp3m, "media_id").join(mp4m, "media_id")
             .join(demux, "media_id").join(flacf, "media_id")
             .join(webmm, "media_id").join(wdemux, "media_id")
             .join(rsf, "media_id").join(pdfm, "media_id")
-            .join(htmlm, "media_id")
+            .join(htmlm, "media_id").join(dxm, "media_id")
+            .join(epm, "media_id")
             .select(F.col("media_id").alias("doc_id"), "duration_ms",
                     "rms_v", "mp3_duration_ms", "mp3_bitrate_kbps",
                     "mp4_n_samples", "mp4_n_keyframes", "mp4_demux_rows",
@@ -1092,7 +1114,8 @@ def _q_media_suite(spark, sf_dir):
                     "webm_n_keyframes", "webm_demux_rows",
                     "rs_duration_ms", "rs_rms",
                     "pdf_pages", "pdf_chars",
-                    "html_chars", "html_title_len"))
+                    "html_chars", "html_title_len",
+                    "docx_chars", "epub_chars"))
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -2590,7 +2613,16 @@ def oracle_sql() -> dict[str, str]:
                         * (17 + length(cast(p.doc_id as varchar)))
                         + (p.doc_id % 4) as bigint) as html_chars,
                    cast(4 + length(cast(p.doc_id as varchar)) as bigint)
-                     as html_title_len
+                     as html_title_len,
+                   -- DOCX: 1+d%3 paragraphs 'dx {d} item {j} end.'
+                   -- (15 chars + decimal doc_id); EPUB: 1+d%2 chapters
+                   -- 'ch {d} {k} text.' (11 + decimal doc_id)
+                   cast((1 + p.doc_id % 3)
+                        * (15 + length(cast(p.doc_id as varchar)))
+                        + (p.doc_id % 3) as bigint) as docx_chars,
+                   cast((1 + p.doc_id % 2)
+                        * (11 + length(cast(p.doc_id as varchar)))
+                        + (p.doc_id % 2) as bigint) as epub_chars
             from w join params p on p.doc_id = w.doc_id
                    join fw on fw.doc_id = w.doc_id
                    join rw on rw.doc_id = w.doc_id""",

@@ -24,7 +24,8 @@ import zipfile
 import zlib
 import xml.etree.ElementTree as ET
 
-__all__ = ["read_docx_text", "read_epub_text", "sniff_document_format"]
+__all__ = ["read_docx_text", "read_epub_text", "sniff_document_format",
+           "write_docx", "write_epub"]
 
 
 def _zip(b: bytes) -> zipfile.ZipFile:
@@ -155,3 +156,51 @@ def sniff_document_format(b: bytes) -> str | None:
         return "text"
     except UnicodeDecodeError:
         return None
+
+
+def write_docx(paragraphs) -> bytes:
+    """[[run, ...], ...] -> minimal DOCX bytes ('\\t'/'\\n' runs become
+    tab/break elements). The round-trip fixture generator for
+    ``read_docx_text``; output opens in standard word processors."""
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = ['<?xml version="1.0"?>', f'<w:document xmlns:w="{w}"><w:body>']
+    for p in paragraphs:
+        runs = "".join(
+            "<w:tab/>" if seg == "\t" else
+            "<w:br/>" if seg == "\n" else
+            '<w:r><w:t xml:space="preserve">'
+            + seg.replace("&", "&amp;").replace("<", "&lt;")
+            + "</w:t></w:r>"
+            for seg in p)
+        doc.append(f"<w:p>{runs}</w:p>")
+    doc.append("</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", "".join(doc))
+    return buf.getvalue()
+
+
+def write_epub(chapters_html, spine_order=None) -> bytes:
+    """[xhtml string, ...] -> minimal EPUB bytes with a real OPF spine
+    (``spine_order``: optional permutation of chapter indexes)."""
+    buf = io.BytesIO()
+    order = list(spine_order) if spine_order is not None \
+        else list(range(len(chapters_html)))
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+        items = []
+        for i, html in enumerate(chapters_html):
+            z.writestr(f"OEBPS/ch{i}.xhtml", html)
+            items.append(f'<item id="c{i}" href="ch{i}.xhtml" '
+                         f'media-type="application/xhtml+xml"/>')
+        refs = "".join(f'<itemref idref="c{i}"/>' for i in order)
+        z.writestr("META-INF/container.xml",
+                   '<container><rootfiles><rootfile '
+                   'full-path="OEBPS/content.opf"/>'
+                   "</rootfiles></container>")
+        z.writestr("OEBPS/content.opf",
+                   '<package xmlns="http://www.idpf.org/2007/opf">'
+                   f"<manifest>{''.join(items)}</manifest>"
+                   f"<spine>{refs}</spine></package>")
+    return buf.getvalue()

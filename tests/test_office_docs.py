@@ -7,52 +7,25 @@ import zipfile
 import pytest
 
 from rasterframes_spark.sources.office import (
-    read_docx_text, read_epub_text, sniff_document_format)
-
-_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    read_docx_text, read_epub_text, sniff_document_format, write_docx,
+    write_epub)
 
 
 def make_docx(paragraphs):
-    doc = ['<?xml version="1.0"?>',
-           f'<w:document xmlns:w="{_W}"><w:body>']
-    for p in paragraphs:
-        runs = "".join(
-            "<w:tab/>" if seg == "\t" else
-            "<w:br/>" if seg == "\n" else
-            f"<w:r><w:t xml:space=\"preserve\">{seg}</w:t></w:r>"
-            for seg in p)
-        doc.append(f"<w:p>{runs}</w:p>")
-    doc.append("</w:body></w:document>")
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as z:
-        z.writestr("[Content_Types].xml", "<Types/>")
-        z.writestr("word/document.xml", "".join(doc))
-    return buf.getvalue()
+    return write_docx(paragraphs)
 
 
 def make_epub(chapters, with_spine=True):
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as z:
-        z.writestr("mimetype", "application/epub+zip")
-        items = []
-        refs = []
-        for i, html in enumerate(chapters):
-            z.writestr(f"OEBPS/ch{i}.xhtml", html)
-            items.append(f'<item id="c{i}" href="ch{i}.xhtml" '
-                         f'media-type="application/xhtml+xml"/>')
-            refs.append(f'<itemref idref="c{i}"/>')
-        if with_spine:
-            z.writestr("META-INF/container.xml",
-                       '<container><rootfiles><rootfile '
-                       'full-path="OEBPS/content.opf"/>'
-                       "</rootfiles></container>")
-            z.writestr(
-                "OEBPS/content.opf",
-                '<package xmlns="http://www.idpf.org/2007/opf">'
-                f"<manifest>{''.join(items)}</manifest>"
-                # spine deliberately reversed: order must follow it
-                f"<spine>{''.join(reversed(refs))}</spine></package>")
-    return buf.getvalue()
+    if not with_spine:
+        # spine-less archive: chapters only, no container/OPF
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("mimetype", "application/epub+zip")
+            for i, html in enumerate(chapters):
+                z.writestr(f"OEBPS/ch{i}.xhtml", html)
+        return buf.getvalue()
+    # spine deliberately reversed: reading order must follow it
+    return write_epub(chapters, spine_order=range(len(chapters) - 1, -1, -1))
 
 
 def test_docx_paragraphs_tabs_breaks():
