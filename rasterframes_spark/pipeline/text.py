@@ -23,6 +23,7 @@ __all__ = [
     "corpus_stats",
     "c4_line_filter", "c4_page_keep", "c4_clean",
     "gopher_quality_metrics", "gopher_quality_filter",
+    "markdown_to_text",
 ]
 
 # minimal per-language stopword signatures for the n-gram/stopword heuristic
@@ -594,3 +595,40 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     if metrics_col:
         return out.withColumnRenamed("__gq", metrics_col)
     return out.drop("__gq")
+
+
+def markdown_to_text(text) -> Column:
+    """Markdown -> plain text: the GitHub/docs-corpus ingest pass.
+
+    Strips the syntax that would pollute token statistics while keeping
+    every word: code fences (markers dropped, code text kept — dropping
+    code bodies is a policy for ``c4_clean``-style filters, not the
+    renderer), inline-code backticks, images to their alt text, links to
+    their anchor text, heading/blockquote/list markers, emphasis
+    markers, table pipes and horizontal rules. One codegen'd
+    ``regexp_replace`` chain — no UDF, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    # code fences: drop the ``` marker lines (keep fenced content)
+    c = F.regexp_replace(c, r"(?m)^\s*(```+|~~~+)[^\n]*$", "")
+    # images ![alt](url) -> alt, then links [text](url) -> text
+    c = F.regexp_replace(c, r"!\[([^\]]*)\]\([^)]*\)", r"$1")
+    c = F.regexp_replace(c, r"\[([^\]]+)\]\([^)]*\)", r"$1")
+    # reference-style link definitions: whole line goes
+    c = F.regexp_replace(c, r"(?m)^\s*\[[^\]]+\]:\s+\S+[^\n]*$", "")
+    # headings / blockquotes / list markers at line start
+    c = F.regexp_replace(c, r"(?m)^\s*#{1,6}\s+", "")
+    c = F.regexp_replace(c, r"(?m)^\s*>\s?", "")
+    c = F.regexp_replace(c, r"(?m)^\s*([-*+]|\d+\.)\s+", "")
+    # horizontal rules and table separator rows (|---|:---:|)
+    c = F.regexp_replace(c, r"(?m)^\s*([-*_]\s*){3,}$", "")
+    c = F.regexp_replace(c, r"(?m)^\s*\|?[-:\s|]*-[-:\s|]*\|?\s*$", "")
+    # emphasis/strikethrough/inline code markers (keep the words);
+    # underscores only at word edges — snake_case identifiers keep theirs
+    c = F.regexp_replace(c, r"(\*\*|\*|~~|`)", "")
+    c = F.regexp_replace(c, r"(?<!\w)_{1,2}(?=\S)|(?<=\S)_{1,2}(?!\w)", "")
+    # table pipes -> spaces (never across line ends); collapse leftovers
+    c = F.regexp_replace(c, r"(?m)^[ \t]*\|", "")
+    c = F.regexp_replace(c, r"[ \t]*\|[ \t]*", " ")
+    c = F.regexp_replace(c, r"(?m)[ \t]+$", "")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.btrim(c, F.lit(" \n\t"))

@@ -92,3 +92,64 @@ def test_plan_is_scan_side(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestMarkdownToText:
+    MD = """# Big Title
+
+Some **bold** and _italic_ and `inline code` words.
+
+- item one
+- item two
+1. numbered
+
+> a quoted line
+
+[anchor text](https://example.org/page) and ![alt words](img.png).
+
+```python
+def real_code(): pass
+```
+
+| col1 | col2 |
+|------|------|
+| a    | b    |
+
+---
+
+[ref]: https://example.org/ref
+Last plain line."""
+
+    def test_rendering(self, spark):
+        from rasterframes_spark.pipeline.text import markdown_to_text
+
+        df = spark.createDataFrame([(self.MD,)], "text string")
+        out = df.select(markdown_to_text("text").alias("t")) \
+            .collect()[0].t
+        assert "Big Title" in out and "#" not in out
+        assert "bold" in out and "**" not in out
+        assert "inline code" in out and "`" not in out
+        assert "item one" in out and "- item" not in out
+        assert "a quoted line" in out and "> " not in out
+        assert "anchor text" in out and "https://example.org/page" not in out
+        assert "alt words" in out and "img.png" not in out
+        assert "def real_code(): pass" in out and "```" not in out
+        assert "col1 col2" in out.replace("  ", " ") and "|" not in out
+        assert "https://example.org/ref" not in out  # ref definition line
+        assert "Last plain line." in out
+
+    def test_plain_text_untouched(self, spark):
+        from rasterframes_spark.pipeline.text import markdown_to_text
+
+        plain = "Just ordinary prose. Nothing to strip here."
+        df = spark.createDataFrame([(plain,)], "text string")
+        assert df.select(markdown_to_text("text").alias("t")) \
+            .collect()[0].t == plain
+
+    def test_plan_no_python(self, spark):
+        from rasterframes_spark.pipeline.text import markdown_to_text
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = df.select(markdown_to_text("text"))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan
