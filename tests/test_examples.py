@@ -118,3 +118,11 @@ def test_web_ingest_example(spark):
     out = ex.main(spark)
     assert out == {"fetched": 12, "after_c4": 10, "after_quality": 10,
                    "after_dedup": 8}
+
+
+def test_quality_classifier_example(spark):
+    import examples.quality_classifier as ex
+
+    acc, keep_frac = ex.main(spark)
+    assert acc >= 0.9          # out-of-sample separation is real
+    assert keep_frac >= 0.9    # the clean corpus survives its own filter
