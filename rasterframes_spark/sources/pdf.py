@@ -261,6 +261,7 @@ class _Doc:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._objstm_loading: set[int] = set()
         self._load_xref()
         if "Encrypt" in self.trailer:
             raise ValueError("pdf: encrypted documents not supported")
@@ -460,10 +461,8 @@ class _Doc:
         if objs is None:
             # an xref claiming the stream lives inside itself (or a loop
             # of streams) would recurse forever — refuse re-entry
-            if stm_num in getattr(self, "_objstm_loading", set()):
+            if stm_num in self._objstm_loading:
                 raise ValueError("pdf: object-stream reference cycle")
-            if not hasattr(self, "_objstm_loading"):
-                self._objstm_loading = set()
             self._objstm_loading.add(stm_num)
             try:
                 got = self.get(stm_num)
