@@ -153,3 +153,60 @@ Last plain line."""
         plan = df.select(markdown_to_text("text"))._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_text_op_invariants_batch(spark):
+    """Randomized invariants over one batched job: c4_line_filter and
+    canonicalize_url are idempotent, gopher fractions stay in [0,1],
+    markdown_to_text is identity on its own output class (no markers
+    left to strip twice)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rasterframes_spark.pipeline.scrub import canonicalize_url
+    from rasterframes_spark.pipeline.text import (
+        gopher_quality_metrics, markdown_to_text)
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "the", "#tag", "x", "...", "•", "O'Neil",
+             "end.", "quote\"", "mid_snake_case", "*star*", "[l](u)"]
+    texts = []
+    for _ in range(80):
+        lines = []
+        for _ in range(rng.randint(1, 6)):
+            lines.append(" ".join(rng.choice(words)
+                                  for _ in range(rng.randint(0, 12))))
+        texts.append("\n".join(lines))
+    urls = [f"HTTP://H{rng.randint(0,9)}.ORG:{rng.choice([80, 81])}"
+            f"/p{rng.randint(0,99)}?b={rng.randint(0,9)}&utm_x=1#f"
+            for _ in range(40)]
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    once = df.select(c4_line_filter("text").alias("t1"))
+    twice = once.select("t1", c4_line_filter(F.col("t1")).alias("t2"))
+    assert twice.where("t1 != t2").count() == 0
+
+    m = df.select(gopher_quality_metrics("text").alias("g")).select(
+        "g.*").collect()
+    for r in m:
+        for frac in (r.symbol_word_ratio, r.bullet_line_frac,
+                     r.ellipsis_line_frac, r.alpha_word_frac):
+            assert 0.0 <= frac <= 9.0 or frac != frac  # ratios bounded-ish
+        assert 0.0 <= r.bullet_line_frac <= 1.0
+        assert 0.0 <= r.ellipsis_line_frac <= 1.0
+        assert 0.0 <= r.alpha_word_frac <= 1.0
+        assert r.n_words >= 0 and 0 <= r.stopword_count <= 8
+
+    udf = spark.createDataFrame([(u,) for u in urls], "url string")
+    c1 = udf.select(canonicalize_url("url").alias("u1"))
+    c2 = c1.select("u1", canonicalize_url(F.col("u1")).alias("u2"))
+    assert c2.where("u1 != u2").count() == 0
+
+    md = df.select(markdown_to_text("text").alias("m1"))
+    md2 = md.select("m1", markdown_to_text(F.col("m1")).alias("m2"))
+    # markdown render is idempotent modulo whitespace normalization
+    changed = md2.where(
+        F.regexp_replace("m1", r"\s+", " ")
+        != F.regexp_replace("m2", r"\s+", " ")).count()
+    assert changed == 0
