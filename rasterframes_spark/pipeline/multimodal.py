@@ -749,7 +749,8 @@ def extract_document_text(df: DataFrame, max_pdf_pages: int | None = None
                     if kind == "pdf":
                         text = "\n".join(pdf_extract_text(
                             b, pages=(range(max_pdf_pages)
-                                      if max_pdf_pages else None)))
+                                      if max_pdf_pages is not None
+                                      else None)))
                     elif kind == "docx":
                         text = read_docx_text(b)
                     elif kind == "epub":

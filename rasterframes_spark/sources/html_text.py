@@ -96,8 +96,11 @@ class _TextParser(HTMLParser):
         if tag in _BLOCK:
             self._flush()
             # anchors don't span block elements in practice; an
-            # unclosed <a> ends at the block boundary
-            self.anchor_depth = 0
+            # unclosed <a> ends at the block boundary. <br> is the
+            # exception: it's inline-legal inside <a> (br-separated nav
+            # menus), so it flushes the block WITHOUT ending the anchor.
+            if tag != "br":
+                self.anchor_depth = 0
 
     def handle_endtag(self, tag):
         if tag == "title":
@@ -112,7 +115,8 @@ class _TextParser(HTMLParser):
             self.anchor_depth = 0
         if tag in _BLOCK:
             self._flush()
-            self.anchor_depth = 0
+            if tag != "br":
+                self.anchor_depth = 0
 
     def handle_data(self, data):
         if self.in_title:

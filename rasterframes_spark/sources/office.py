@@ -118,6 +118,8 @@ def read_epub_text(b: bytes) -> str:
     try:
         chapters = _epub_spine(z)
     except ValueError:
+        chapters = []
+    if not chapters:   # unparseable OR empty/unresolvable spine
         chapters = [n for n in z.namelist()
                     if n.lower().endswith((".xhtml", ".html", ".htm"))]
     if not chapters:
@@ -147,15 +149,24 @@ def sniff_document_format(b: bytes) -> str | None:
         if "META-INF/container.xml" in names or "mimetype" in names:
             return "epub"
         return None
-    head = b[:4096].lstrip()[:256].lower()
-    if head.startswith((b"<!doctype html", b"<html")) or b"<body" in \
-            b[:4096].lower() or b"<p>" in b[:4096].lower():
+    low = b[:4096].lower()
+    head = low.lstrip()[:256]
+    # '<p>' alone is too weak (plain text ABOUT html mentions it); a
+    # matching close tag or a body/doctype marker is the real signal
+    if head.startswith((b"<!doctype html", b"<html")) or b"<body" in low \
+            or (b"<p>" in low and b"</p>" in low):
         return "html"
-    try:
-        b[:4096].decode("utf-8")
-        return "text"
-    except UnicodeDecodeError:
-        return None
+    probe = b[:4096]
+    # a multibyte sequence straddling the probe cut is NOT malformed —
+    # trim up to 3 truncated trailing bytes before deciding (only when
+    # the document actually continues past the probe)
+    for cut in range(4 if len(b) > 4096 else 1):
+        try:
+            probe[:len(probe) - cut or None].decode("utf-8")
+            return "text"
+        except UnicodeDecodeError:
+            continue
+    return None
 
 
 def write_docx(paragraphs) -> bytes:

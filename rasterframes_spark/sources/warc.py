@@ -188,6 +188,39 @@ def write_warc(records, gzip_members: bool = True) -> bytes:
     return bytes(out)
 
 
+def records_to_rows(path: str, data: bytes, want: tuple,
+                    tolerant: bool = False):
+    """Shared record→row kernel for the batch and streaming readers:
+    yields (file, url, warc_type, date, http_status, content_type,
+    payload) tuples. ``tolerant=True`` salvages every complete record
+    before a truncation/corruption point instead of raising — the live-
+    crawl posture where a half-written file may be checkpointed as
+    consumed by the file source (writers should still write-then-rename
+    so finished files are never half-read)."""
+    it = iter_warc_records(data)
+    while True:
+        try:
+            h, p = next(it)
+        except StopIteration:
+            return
+        except ValueError:
+            if tolerant:
+                return   # keep what parsed before the bad tail
+            raise
+        wt = h.get("warc-type", "")
+        if wt not in want:
+            continue
+        status, ctype, body = None, None, p
+        if wt == "response" and p.startswith(b"HTTP/"):
+            try:
+                status, hh, body = split_http_response(p)
+                ctype = hh.get("content-type")
+            except ValueError:
+                continue
+        yield (path, h.get("warc-target-uri"), wt, h.get("warc-date"),
+               status, ctype, body)
+
+
 def read_warc(spark, paths, kinds: tuple = ("response",)) -> "DataFrame":
     """WARC file glob -> DataFrame(file, url, warc_type, date,
     http_status, content_type, payload): the Common Crawl ingest source.
@@ -207,20 +240,7 @@ def read_warc(spark, paths, kinds: tuple = ("response",)) -> "DataFrame":
         for pdf in batches:
             rows = []
             for path, data in zip(pdf["path"], pdf["content"]):
-                for h, p in iter_warc_records(bytes(data)):
-                    wt = h.get("warc-type", "")
-                    if wt not in want:
-                        continue
-                    status, ctype, body = None, None, p
-                    if wt == "response" and p.startswith(b"HTTP/"):
-                        try:
-                            status, hh, body = split_http_response(p)
-                            ctype = hh.get("content-type")
-                        except ValueError:
-                            continue
-                    rows.append((path, h.get("warc-target-uri"),
-                                 wt, h.get("warc-date"),
-                                 status, ctype, body))
+                rows.extend(records_to_rows(path, bytes(data), want))
             if rows:
                 yield pd.DataFrame(rows, columns=[
                     "file", "url", "warc_type", "date", "http_status",

@@ -377,13 +377,16 @@ def read_warc_stream(spark: SparkSession, directory: str,
     parsing (member-gzip iteration, HTTP split with de-chunking) runs in
     ``mapInPandas`` where the bytes already are — one task per file, the
     unit crawls actually ship (~1 GB member-gzip files, not mid-file
-    splittable). Unparseable records drop; output schema matches the
-    batch reader: (file, url, warc_type, date, http_status,
+    splittable). A file with a corrupt/truncated tail yields every
+    COMPLETE record before the bad point (the file source checkpoints it
+    as consumed either way, so salvaging beats dropping) — but a crawler
+    must still write-then-rename into the watched directory: a file the
+    source reads mid-write is permanently half-ingested. Output schema
+    matches the batch reader: (file, url, warc_type, date, http_status,
     content_type, payload)."""
     import pandas as pd
 
-    from rasterframes_spark.sources.warc import (
-        iter_warc_records, split_http_response)
+    from rasterframes_spark.sources.warc import records_to_rows
 
     want = tuple(kinds)
     bin_schema = ("path string, modificationTime timestamp, "
@@ -402,23 +405,8 @@ def read_warc_stream(spark: SparkSession, directory: str,
         for pdf in batches:
             rows = []
             for path, data in zip(pdf["path"], pdf["content"]):
-                try:
-                    recs = list(iter_warc_records(bytes(data)))
-                except ValueError:
-                    continue   # half-written file in a live crawl dir
-                for h, p in recs:
-                    wt = h.get("warc-type", "")
-                    if wt not in want:
-                        continue
-                    status, ctype, body = None, None, p
-                    if wt == "response" and p.startswith(b"HTTP/"):
-                        try:
-                            status, hh, body = split_http_response(p)
-                            ctype = hh.get("content-type")
-                        except ValueError:
-                            continue
-                    rows.append((path, h.get("warc-target-uri"), wt,
-                                 h.get("warc-date"), status, ctype, body))
+                rows.extend(records_to_rows(path, bytes(data), want,
+                                            tolerant=True))
             if rows:
                 yield pd.DataFrame(rows, columns=[
                     "file", "url", "warc_type", "date", "http_status",

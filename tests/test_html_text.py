@@ -129,3 +129,12 @@ def test_unclosed_anchor_does_not_eat_the_page():
     main = extract_main_text(h)
     assert "actual article text" in main
     assert "second real paragraph" in main
+
+
+def test_br_separated_nav_links_still_prune():
+    """<br> is inline-legal inside <a>: a br-separated link menu stays
+    anchor text and the link-density rule prunes it (review)."""
+    h = ("<body><div><a href=x>Home<br>About<br>Contact</a></div>"
+         "<p>The genuine article body with plenty of words.</p></body>")
+    main = extract_main_text(h)
+    assert main == "The genuine article body with plenty of words."

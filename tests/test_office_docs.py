@@ -99,3 +99,41 @@ def test_unified_dispatch(spark):
     assert out[3].format == "epub" and "epub body text" in out[3].text
     assert out[4].format == "html" and out[4].text == "html body text here."
     assert out[5].format == "text"
+
+
+def test_sniff_multibyte_straddling_probe_cut():
+    """A UTF-8 char split across the 4096-byte sniff probe must still
+    classify as text (review)."""
+    b = (b"x" * 4095 + "é".encode() + b" more plain words after")
+    assert len(b) > 4096 and b[4095:4097] == "é".encode()
+    assert sniff_document_format(b) == "text"
+    # a short doc genuinely ending mid-sequence stays binary
+    assert sniff_document_format(b"ok " + "é".encode()[:1]) is None
+
+
+def test_sniff_text_mentioning_html_tags_stays_text():
+    assert sniff_document_format(
+        b"use the <p> tag to open a paragraph in html") == "text"
+    assert sniff_document_format(
+        b"some prose <p>then real markup</p> follows") == "html"
+
+
+def test_epub_unresolvable_spine_falls_back():
+    """OPF parses but itemrefs match nothing: archive-order fallback,
+    not a dropped document (review)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr("OEBPS/ch0.xhtml",
+                   "<html><body><p>orphan chapter text.</p></body></html>")
+        z.writestr("META-INF/container.xml",
+                   '<container><rootfiles><rootfile '
+                   'full-path="OEBPS/content.opf"/>'
+                   "</rootfiles></container>")
+        z.writestr("OEBPS/content.opf",
+                   '<package xmlns="http://www.idpf.org/2007/opf">'
+                   '<manifest><item id="c0" href="ch0.xhtml" '
+                   'media-type="application/xhtml+xml"/></manifest>'
+                   '<spine><itemref idref="NO_SUCH_ID"/></spine>'
+                   "</package>")
+    assert "orphan chapter text." in read_epub_text(buf.getvalue())

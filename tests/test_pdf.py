@@ -145,16 +145,39 @@ def test_reference_cycle_raises_not_hangs():
         signal.signal(signal.SIGALRM, old)
 
 
-def test_odd_xref_index_and_bad_font_dict_raise_valueerror():
-    """Structural surprises surface as ValueError (the operator's
-    drop-row contract), never IndexError/AttributeError."""
-    from rasterframes_spark.sources.pdf import _RAW  # noqa: F401
+def _xref_stream_pdf(index: str) -> bytes:
+    """Minimal hand-built PDF 1.5 whose cross-reference IS a stream,
+    with the given /Index literal."""
+    body = bytearray(b"%PDF-1.5\n")
+    offs = {}
 
-    data = write_pdf(["x page one."])
-    # classic-table file has no XRef stream; just assert the public
-    # boundary converts raw exceptions: feed structurally absurd bytes
-    for bad in (data[:40] + b"[/bad" + data[40:],):
-        try:
-            pdf_extract_text(bad)
-        except ValueError:
-            pass
+    def obj(num, payload):
+        offs[num] = len(body)
+        body.extend(f"{num} 0 obj\n".encode() + payload + b"\nendobj\n")
+
+    obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, b"<< /Type /Pages /Count 0 /Kids [] >>")
+    xoff = len(body)
+    # entries for objects 0..3: W=[1 2 1]
+    import struct as _s
+
+    ent = b"".join(
+        _s.pack(">BHB", t, o, 0)
+        for t, o in ((0, 0), (1, offs[1]), (1, offs[2]), (1, xoff)))
+    body.extend(
+        f"3 0 obj\n<< /Type /XRef /W [1 2 1] /Size 4 /Index {index} "
+        f"/Length {len(ent)} /Root 1 0 R >>\nstream\n".encode()
+        + ent + b"\nendstream\nendobj\n")
+    body.extend(f"startxref\n{xoff}\n%%EOF\n".encode())
+    return bytes(body)
+
+
+def test_xref_stream_parses_and_odd_index_raises_valueerror():
+    """The hand-built xref-STREAM document parses (0 pages); corrupting
+    /Index to odd length is a clean ValueError, not IndexError
+    (review)."""
+    assert read_pdf_info(_xref_stream_pdf("[0 4]")).n_pages == 0
+    with pytest.raises(ValueError):
+        read_pdf_info(_xref_stream_pdf("[0 4 9]"))
+    with pytest.raises(ValueError):
+        read_pdf_info(_xref_stream_pdf("[/bogus 4]"))

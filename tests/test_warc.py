@@ -167,3 +167,33 @@ def test_read_warc_stream(spark, tmp_path):
     got2 = spark.read.parquet(out_dir).collect()
     assert len(got2) == 6
     assert "S20" in {r.title for r in got2}
+
+
+def test_stream_salvages_records_before_truncation(spark, tmp_path):
+    """A file with a corrupt tail yields every COMPLETE record in the
+    streaming reader (the file source checkpoints it as consumed either
+    way — salvage beats silent total loss); the batch reader stays
+    strict (review)."""
+    from rasterframes_spark.sources.warc import records_to_rows
+    from rasterframes_spark.streaming import read_warc_stream
+
+    good = write_warc(_records(3), gzip_members=True)
+    truncated = good[:-10]
+    # tolerant kernel: first records survive, no exception
+    rows = list(records_to_rows("f", truncated, ("response",),
+                                tolerant=True))
+    assert 1 <= len(rows) <= 3
+    with pytest.raises(ValueError):
+        list(records_to_rows("f", truncated, ("response",)))
+
+    src = tmp_path / "c"
+    src.mkdir()
+    (src / "t.warc.gz").write_bytes(truncated)
+    out_dir = str(tmp_path / "out")
+    q = (read_warc_stream(spark, str(src))
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == len(rows)
