@@ -25,7 +25,7 @@ import zlib
 import xml.etree.ElementTree as ET
 
 __all__ = ["read_docx_text", "read_epub_text", "sniff_document_format",
-           "write_docx", "write_epub"]
+           "write_docx", "write_epub", "read_man_text"]
 
 
 def _zip(b: bytes) -> zipfile.ZipFile:
@@ -215,3 +215,74 @@ def write_epub(chapters_html, spine_order=None) -> bytes:
                    f"<manifest>{''.join(items)}</manifest>"
                    f"<spine>{refs}</spine></package>")
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# troff man pages — the system-documentation corpus format. Thousands of
+# real (help2man/groff-produced) pages ship with any Linux image, so the
+# extractor is validated on genuinely external fixtures.
+# ---------------------------------------------------------------------------
+
+_MAN_KEEP_ARG = {"SH", "SS", "B", "I", "BR", "RB", "BI", "IB", "IR",
+                 "RI", "SM", "SB"}
+_MAN_DROP = {"de", "ig", "if", "ie", "el", "ds", "nr", "so", "mso",
+             "TH", "UC", "DT", "PD", "hy", "nh", "ad", "na", "ft",
+             "ce", "in", "ti", "sp", "br", "ne", "ll", "rr", "rm",
+             "tr", "ta", "nf", "fi", "EX", "EE", "UR", "UE", "MT", "ME"}
+
+
+def read_man_text(b: bytes) -> str:
+    """troff/man bytes (optionally gzip-compressed, as shipped in
+    /usr/share/man) -> plain text: macro lines reduced to their text
+    arguments, font escapes (\\fB..\\fR), dashes and special-character
+    escapes resolved, comments and layout-only requests dropped."""
+    if b[:2] == b"\x1f\x8b":
+        try:
+            b = zlib.decompress(b, wbits=31)
+        except zlib.error as e:
+            raise ValueError(f"man: bad gzip ({e})") from None
+    try:
+        text = b.decode("utf-8")
+    except UnicodeDecodeError:
+        text = b.decode("latin1")
+    if not text.lstrip().startswith((".", "'", "\\")) \
+            and "\n." not in text[:4096]:
+        raise ValueError("man: no troff requests found")
+    out: list[str] = []
+    for raw in text.split("\n"):
+        line = raw
+        if line.startswith((".\\\"", "'\\\"", "\\\"")):
+            continue
+        if line.startswith((".", "'")):
+            parts = line[1:].strip().split(None, 1)
+            if not parts:
+                continue
+            req = parts[0]
+            arg = parts[1] if len(parts) > 1 else ""
+            if req in _MAN_DROP:
+                continue
+            if req in _MAN_KEEP_ARG:
+                # strip surrounding quotes on macro args
+                arg = re.sub(r'(^|\s)"|"(\s|$)', r"\1\2", arg)
+                line = arg
+            elif req in ("PP", "P", "LP", "TP", "IP", "HP", "RS", "RE",
+                         "TQ"):
+                line = "" if not arg or req != "IP" else \
+                    arg.strip('"')
+            else:
+                continue   # unknown request: layout noise
+        # font escapes and troff special characters
+        line = re.sub(r"\\f[BIRP0-9]|\\f\([A-Za-z]{2}|\\\*?\[.*?\]", "",
+                      line)
+        line = (line.replace("\\-", "-").replace("\\(em", "—")
+                .replace("\\(en", "–").replace("\\(co", "©")
+                .replace("\\(bu", "•").replace("\\(aq", "'")
+                .replace("\\(dq", '"').replace("\\(cq", "'")
+                .replace("\\(oq", "'").replace("\\(ga", "`")
+                .replace("\\(ha", "^").replace("\\(ti", "~")
+                .replace("\\e", "\\").replace("\\&", "")
+                .replace("\\,", "").replace("\\/", ""))
+        line = re.sub(r"\\$", "", line)   # line continuation
+        out.append(line)
+    joined = re.sub(r"\n{3,}", "\n\n", "\n".join(out))
+    return joined.strip("\n")

@@ -311,3 +311,15 @@ def test_docx_epub_corruption_fuzz():
           trials=120)
     _fuzz(make_epub(["<html><body><p>chapter text.</p></body></html>"]),
           read_epub_text, trials=120)
+
+
+def test_man_corruption_fuzz():
+    import os
+
+    from rasterframes_spark.sources.office import read_man_text
+
+    path = "/usr/share/man/man1/ls.1.gz"
+    if not os.path.exists(path):
+        pytest.skip("man pages not present")
+    with open(path, "rb") as f:
+        _fuzz(f.read(), read_man_text, trials=120)

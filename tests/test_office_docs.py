@@ -137,3 +137,42 @@ def test_epub_unresolvable_spine_falls_back():
                    '<spine><itemref idref="NO_SUCH_ID"/></spine>'
                    "</package>")
     assert "orphan chapter text." in read_epub_text(buf.getvalue())
+
+
+MAN_LS = "/usr/share/man/man1/ls.1.gz"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(MAN_LS),
+                    reason="man pages not present")
+def test_man_page_real_fixtures():
+    """Real groff/help2man-produced pages: section headers resolve,
+    font escapes and dashes render, comments drop."""
+    import glob
+    import os
+
+    from rasterframes_spark.sources.office import read_man_text
+
+    t = read_man_text(open(MAN_LS, "rb").read())
+    assert "list directory contents" in t
+    assert "NAME" in t and "SYNOPSIS" in t and "DESCRIPTION" in t
+    assert "--almost-all" in t          # \fB\-\-almost\-all\fR rendered
+    assert "\\f" not in t and ".SH" not in t and ".TH" not in t
+    # a broad sweep: 30 real pages must extract non-trivially and never
+    # leak troff requests
+    pages = sorted(glob.glob("/usr/share/man/man1/*.1.gz"))[:30]
+    assert len(pages) >= 10
+    for p in pages:
+        try:
+            txt = read_man_text(open(p, "rb").read())
+        except ValueError:
+            continue   # .so redirection stubs etc.
+        assert ".TH" not in txt and "\\fB" not in txt, p
+
+
+def test_man_malformed_and_plain_text_raise():
+    from rasterframes_spark.sources.office import read_man_text
+
+    with pytest.raises(ValueError):
+        read_man_text(b"\x1f\x8b broken gzip")
+    with pytest.raises(ValueError):
+        read_man_text(b"just plain prose with no requests at all")
