@@ -231,11 +231,43 @@ _MAN_DROP = {"de", "ig", "if", "ie", "el", "ds", "nr", "so", "mso",
              "tr", "ta", "nf", "fi", "EX", "EE", "UR", "UE", "MT", "ME"}
 
 
+_MAN_GLYPHS = {"em": "—", "en": "–", "co": "©", "bu": "•", "aq": "'",
+               "dq": '"', "cq": "'", "oq": "'", "ga": "`", "ha": "^",
+               "ti": "~", "lq": "“", "rq": "”", "hy": "-", "rg": "®",
+               "tm": "™", "de": "°", "+-": "±", "mu": "×", "di": "÷"}
+
+
+def _man_args(arg: str) -> list[str]:
+    """Tokenize a macro argument string respecting double quotes —
+    ``"foo" "bar"`` -> [foo, bar] with no stray quotes."""
+    return [q if q else p
+            for q, p in re.findall(r'"([^"]*)"|(\S+)', arg)]
+
+
+def _man_unescape(line: str) -> str:
+    # font escapes: \fB \f(CW \f[CR]
+    line = re.sub(r"\\f(\[[^\]]*\]|\([A-Za-z]{2}|[A-Za-z0-9])", "", line)
+    # string registers: \*[name] \*(xx \*x — render known quote pairs,
+    # drop the rest
+    line = re.sub(
+        r"\\\*(\[[^\]]*\]|\(..|.)",
+        lambda m: _MAN_GLYPHS.get(m.group(1)[1:], ""), line)
+    # special characters: \(xx and \[xx...] — known table, else dropped
+    line = re.sub(
+        r"\\\((..)|\\\[([^\]]*)\]",
+        lambda m: _MAN_GLYPHS.get(m.group(1) or m.group(2), ""), line)
+    return (line.replace("\\-", "-").replace("\\&", "")
+            .replace("\\,", "").replace("\\/", "")
+            .replace("\\e", "\\").replace("\\\\", "\\"))
+
+
 def read_man_text(b: bytes) -> str:
     """troff/man bytes (optionally gzip-compressed, as shipped in
     /usr/share/man) -> plain text: macro lines reduced to their text
-    arguments, font escapes (\\fB..\\fR), dashes and special-character
-    escapes resolved, comments and layout-only requests dropped."""
+    arguments, font/string/special-character escapes resolved, comments
+    (whole-line AND trailing ``\\"``), ``.de``/``.ig`` block bodies and
+    layout-only requests dropped, continuation lines joined. ``.so``
+    redirection stubs raise (the target page isn't in these bytes)."""
     if b[:2] == b"\x1f\x8b":
         try:
             b = zlib.decompress(b, wbits=31)
@@ -248,41 +280,46 @@ def read_man_text(b: bytes) -> str:
     if not text.lstrip().startswith((".", "'", "\\")) \
             and "\n." not in text[:4096]:
         raise ValueError("man: no troff requests found")
+    # join continuation lines BEFORE escape rendering (a trailing lone
+    # backslash is a continuation; a literal one is spelled \e)
+    text = text.replace("\\\n", "")
     out: list[str] = []
+    in_block = False   # inside .de/.ig ... '..' body
     for raw in text.split("\n"):
         line = raw
+        if in_block:
+            if line.strip() == "..":
+                in_block = False
+            continue
         if line.startswith((".\\\"", "'\\\"", "\\\"")):
             continue
+        # trailing \" comment (troff mid-line comment)
+        line = re.sub(r'\\".*$', "", line)
         if line.startswith((".", "'")):
             parts = line[1:].strip().split(None, 1)
             if not parts:
                 continue
             req = parts[0]
             arg = parts[1] if len(parts) > 1 else ""
+            if req == "so":
+                raise ValueError(
+                    "man: .so redirection stub (target not in bytes)")
+            if req in ("de", "ig", "de1", "am"):
+                in_block = True
+                continue
             if req in _MAN_DROP:
                 continue
             if req in _MAN_KEEP_ARG:
-                # strip surrounding quotes on macro args
-                arg = re.sub(r'(^|\s)"|"(\s|$)', r"\1\2", arg)
-                line = arg
-            elif req in ("PP", "P", "LP", "TP", "IP", "HP", "RS", "RE",
-                         "TQ"):
-                line = "" if not arg or req != "IP" else \
-                    arg.strip('"')
+                line = " ".join(_man_args(arg))
+            elif req == "IP":
+                # keep only the tag argument; the second arg is an
+                # indentation width (the '.IP \(bu 2' bullet idiom)
+                args = _man_args(arg)
+                line = args[0] if args else ""
+            elif req in ("PP", "P", "LP", "TP", "HP", "RS", "RE", "TQ"):
+                line = ""
             else:
                 continue   # unknown request: layout noise
-        # font escapes and troff special characters
-        line = re.sub(r"\\f[BIRP0-9]|\\f\([A-Za-z]{2}|\\\*?\[.*?\]", "",
-                      line)
-        line = (line.replace("\\-", "-").replace("\\(em", "—")
-                .replace("\\(en", "–").replace("\\(co", "©")
-                .replace("\\(bu", "•").replace("\\(aq", "'")
-                .replace("\\(dq", '"').replace("\\(cq", "'")
-                .replace("\\(oq", "'").replace("\\(ga", "`")
-                .replace("\\(ha", "^").replace("\\(ti", "~")
-                .replace("\\e", "\\").replace("\\&", "")
-                .replace("\\,", "").replace("\\/", ""))
-        line = re.sub(r"\\$", "", line)   # line continuation
-        out.append(line)
+        out.append(_man_unescape(line))
     joined = re.sub(r"\n{3,}", "\n\n", "\n".join(out))
     return joined.strip("\n")

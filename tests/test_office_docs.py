@@ -161,12 +161,17 @@ def test_man_page_real_fixtures():
     # leak troff requests
     pages = sorted(glob.glob("/usr/share/man/man1/*.1.gz"))[:30]
     assert len(pages) >= 10
+    substantive = 0
     for p in pages:
         try:
             txt = read_man_text(open(p, "rb").read())
         except ValueError:
-            continue   # .so redirection stubs etc.
+            continue   # .so redirection stubs raise by contract
         assert ".TH" not in txt and "\\fB" not in txt, p
+        if len(txt) > 200:
+            substantive += 1
+    # extraction must be non-trivial, not just troff-free
+    assert substantive >= 10, substantive
 
 
 def test_man_malformed_and_plain_text_raise():
@@ -176,3 +181,39 @@ def test_man_malformed_and_plain_text_raise():
         read_man_text(b"\x1f\x8b broken gzip")
     with pytest.raises(ValueError):
         read_man_text(b"just plain prose with no requests at all")
+
+
+def test_man_troff_corner_cases():
+    """Findings from review: block bodies, mid-line comments, string
+    registers, long-form fonts, multi-quoted args, bullet idiom,
+    continuations and literal backslashes."""
+    from rasterframes_spark.sources.office import read_man_text
+
+    t = read_man_text(
+        b".ig\nIGNORED DRAFT\n..\n"
+        b".de XX\nmacro body\n..\n"
+        b".SH NAME\n"
+        b"some text \\\" hidden note\n"
+        b"quote \\*(lqword\\*(rq dag \\(dg end\n"
+        b"word \\f[B]bold\\f[R] end\n"
+        b".BI \"foo\" \"bar\"\n"
+        b".IP \\(bu 2\n"
+        b"item text\n"
+        b"broken\\\njoin\n"
+        b"path C:\\e here\n")
+    assert "IGNORED DRAFT" not in t and "macro body" not in t
+    assert "some text" in t and "hidden note" not in t and '\\"' not in t
+    assert "\u201cword\u201d" in t and "\\*(" not in t
+    assert "word bold end" in t and "\\f" not in t
+    assert "foo bar" in t and '"' not in t.replace("\u201c", "").replace(
+        "\u201d", "")
+    assert "•\nitem text" in t and "• 2" not in t
+    assert "brokenjoin" in t
+    assert "path C:\\ here" in t
+
+
+def test_man_so_stub_raises():
+    from rasterframes_spark.sources.office import read_man_text
+
+    with pytest.raises(ValueError, match="redirection"):
+        read_man_text(b".so man1/ls.1\n")
