@@ -970,6 +970,8 @@ def _q_media_suite(spark, sf_dir):
         .select("doc_id").where(F.col("doc_id") < 64)
 
     def synth(batches):
+        import zlib
+
         import pandas as pd
         for pdf in batches:
             rows = []
@@ -1020,20 +1022,40 @@ def _q_media_suite(spark, sf_dir):
                 ep = write_epub(
                     [f"<html><body><p>ch {d} {k} text.</p></body></html>"
                      for k in range(1 + d % 2)])
+                # man leg: troff page — '.TH' drops, '.SH NAME' keeps
+                # its arg, body lines pass through, so the extracted
+                # text is 'NAME\\n' + 1+d%3 lines of 'mm {d} k{j} end.'
+                # Odd doc_ids ship gzip-compressed (the /usr/share/man
+                # convention); the closed form is identical either way,
+                # gating the sniff-through-gzip path too
+                man = (".\\\" synth fixture\n.TH X 1\n.SH NAME\n"
+                       + "".join(f"mm {d} k{j} end.\n"
+                                 for j in range(1 + d % 3))).encode()
+                if d % 2:
+                    co = zlib.compressobj(wbits=31)
+                    man = co.compress(man) + co.flush()
+                # mixed leg: ONE payload per doc, format keyed by d%5 —
+                # the dispatcher must sniff it right for mix_fmt and the
+                # per-format closed-form mix_chars to line up
+                mixed = (pdfb, dx, ep, htm,
+                         f"plain {d} tail.".encode())[d % 5]
                 rows.append((d, bytearray(wav), bytearray(mp3),
                              bytearray(mp4), bytearray(fl), bytearray(wm),
                              bytearray(pdfb), bytearray(htm),
-                             bytearray(dx), bytearray(ep)))
+                             bytearray(dx), bytearray(ep),
+                             bytearray(man), bytearray(mixed)))
             if rows:
                 yield pd.DataFrame(
                     rows,
                     columns=["media_id", "wav", "mp3", "mp4", "flac",
-                             "webm", "pdf", "html", "docx", "epub"])
+                             "webm", "pdf", "html", "docx", "epub",
+                             "man", "mixed"])
 
     media = docs.mapInPandas(
         synth, schema=("media_id long, wav binary, mp3 binary, "
                        "mp4 binary, flac binary, webm binary, pdf binary, "
-                       "html binary, docx binary, epub binary"))
+                       "html binary, docx binary, epub binary, "
+                       "man binary, mixed binary"))
     media = media.localCheckpoint(eager=False)
     wav_df = media.select("media_id", F.col("wav").alias("payload"))
     mp3_df = media.select("media_id", F.col("mp3").alias("payload"))
@@ -1100,12 +1122,43 @@ def _q_media_suite(spark, sf_dir):
         .where(F.col("format") == "epub")
         .select("media_id",
                 F.length("text").cast("long").alias("epub_chars")))
+    # man leg through the SAME dispatcher: sniff must classify the
+    # troff page (plain for even ids, gzipped for odd) as 'man' and
+    # read_man_text must render 'NAME' + the closed-form body lines
+    manm = (P.extract_document_text(
+        media.select("media_id", F.col("man").alias("payload")))
+        .where(F.col("format") == "man")
+        .select("media_id",
+                F.length("text").cast("long").alias("man_chars")))
+    # mixed-corpus leg: one payload per doc, format keyed by doc_id%5 —
+    # gates the sniffing dispatch itself (a misclassified row either
+    # drops out of the inner join or char-counts wrong)
+    mixm = (P.extract_document_text(
+        media.select("media_id", F.col("mixed").alias("payload")))
+        .select("media_id", F.col("format").alias("mix_fmt"),
+                F.length("text").cast("long").alias("mix_chars")))
+    # markdown leg: the renderer is a pure Catalyst regexp chain, so
+    # the source markdown is BUILT in SQL from media_id and the
+    # stripped text's length is closed-form doc_id arithmetic
+    did = F.col("media_id").cast("string")
+    mdsrc = F.concat(
+        F.lit("# T "), did, F.lit("\n"),
+        F.lit("**b"), did, F.lit("** w.\n"),
+        F.concat_ws("", F.transform(
+            F.sequence(F.lit(0), (F.col("media_id") % 4).cast("int")),
+            lambda j: F.concat(F.lit("- li "), j.cast("string"),
+                               F.lit(" "), did, F.lit(" e.\n")))),
+        F.lit("[a"), did, F.lit("](u) end."))
+    mdm = media.select(
+        "media_id",
+        F.length(P.markdown_to_text(mdsrc)).cast("long").alias("md_chars"))
     return (feats.join(mp3m, "media_id").join(mp4m, "media_id")
             .join(demux, "media_id").join(flacf, "media_id")
             .join(webmm, "media_id").join(wdemux, "media_id")
             .join(rsf, "media_id").join(pdfm, "media_id")
             .join(htmlm, "media_id").join(dxm, "media_id")
-            .join(epm, "media_id")
+            .join(epm, "media_id").join(manm, "media_id")
+            .join(mixm, "media_id").join(mdm, "media_id")
             .select(F.col("media_id").alias("doc_id"), "duration_ms",
                     "rms_v", "mp3_duration_ms", "mp3_bitrate_kbps",
                     "mp4_n_samples", "mp4_n_keyframes", "mp4_demux_rows",
@@ -1115,7 +1168,8 @@ def _q_media_suite(spark, sf_dir):
                     "rs_duration_ms", "rs_rms",
                     "pdf_pages", "pdf_chars",
                     "html_chars", "html_title_len",
-                    "docx_chars", "epub_chars"))
+                    "docx_chars", "epub_chars",
+                    "man_chars", "mix_fmt", "mix_chars", "md_chars"))
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -1151,8 +1205,11 @@ def _q_text_quality(spark, sf_dir):
         F.lit("q").alias("family"),
         F.col("doc_id").cast("string").alias("key"),
         _r0(P.quality_score("text"), 6).alias("val"))
+    # top_grams=None pins the oracle config to exact uncapped counts
+    # (DuckDB re-derives the full gram table; the default driver cap
+    # would be invisible at this scale but the pin makes it explicit).
     model = P.train_char_lm(docs.where(F.col("doc_id") < 300),
-                            "text", order=2, alpha=0.1)
+                            "text", order=2, alpha=0.1, top_grams=None)
     ppl = (P.lm_bits_per_char(
         docs.where(F.length("text") >= 2).select("doc_id", "text"), model)
         .select(F.lit("ppl").alias("family"),
@@ -2622,7 +2679,44 @@ def oracle_sql() -> dict[str, str]:
                         + (p.doc_id % 3) as bigint) as docx_chars,
                    cast((1 + p.doc_id % 2)
                         * (11 + length(cast(p.doc_id as varchar)))
-                        + (p.doc_id % 2) as bigint) as epub_chars
+                        + (p.doc_id % 2) as bigint) as epub_chars,
+                   -- man: '.TH' drops, '.SH NAME' -> 'NAME' (4+1), then
+                   -- 1+d%3 body lines 'mm {d} k{j} end.' (11 + decimal
+                   -- doc_id each), newline-joined; gzip wrapper (odd
+                   -- ids) is transparent
+                   cast(5 + (1 + p.doc_id % 3)
+                        * (11 + length(cast(p.doc_id as varchar)))
+                        + (p.doc_id % 3) as bigint) as man_chars,
+                   -- mixed-corpus dispatch: format keyed by doc_id%5;
+                   -- char counts reuse the per-format closed forms
+                   -- (pdf joins pages with newlines and keeps each
+                   -- page's leading newline: + 2*pages - 1)
+                   case p.doc_id % 5
+                     when 0 then 'pdf' when 1 then 'docx'
+                     when 2 then 'epub' when 3 then 'html'
+                     else 'text' end as mix_fmt,
+                   cast(case p.doc_id % 5
+                     when 0 then 24 + length(cast(p.doc_id as varchar))
+                          + (p.doc_id % 3) * (5 * (3 + p.doc_id % 5) + 5)
+                          + 2 * (1 + p.doc_id % 3) - 1
+                     when 1 then (1 + p.doc_id % 3)
+                          * (15 + length(cast(p.doc_id as varchar)))
+                          + (p.doc_id % 3)
+                     when 2 then (1 + p.doc_id % 2)
+                          * (11 + length(cast(p.doc_id as varchar)))
+                          + (p.doc_id % 2)
+                     when 3 then (1 + p.doc_id % 4)
+                          * (17 + length(cast(p.doc_id as varchar)))
+                          + (p.doc_id % 4)
+                     else 12 + length(cast(p.doc_id as varchar))
+                   end as bigint) as mix_chars,
+                   -- markdown: '# T {d}' + '**b{d}** w.' + 1+d%4 list
+                   -- items 'li {j} {d} e.' + '[a{d}](u) end.' rendered
+                   -- to text = 15 + 3*len(d) + (1+d%4)*(8+len(d)) + d%4
+                   cast(15 + 3 * length(cast(p.doc_id as varchar))
+                        + (1 + p.doc_id % 4)
+                        * (8 + length(cast(p.doc_id as varchar)))
+                        + (p.doc_id % 4) as bigint) as md_chars
             from w join params p on p.doc_id = w.doc_id
                    join fw on fw.doc_id = w.doc_id
                    join rw on rw.doc_id = w.doc_id""",

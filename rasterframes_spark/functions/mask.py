@@ -27,6 +27,22 @@ def _masked_where(a, cond):
     return np.ma.masked_array(a, mask=np.ma.getmaskarray(a) | cond)
 
 
+def _connect_literal_value(v) -> float:
+    """Connect-mode literal introspection: a genuine ``lit()`` column's
+    ``_expr`` is a LiteralExpression carrying its value.  Repr parsing
+    is NOT a safe substitute — ``F.col('2')`` (a column literally named
+    '2') reprs as ``Column<'2'>`` and would silently become the scalar
+    2.0; here it has a ColumnReference expr and is rejected."""
+    expr = getattr(v, "_expr", None)
+    if expr is not None and type(expr).__name__ == "LiteralExpression":
+        val = getattr(expr, "_value", None)
+        if isinstance(val, (int, float, bool)):
+            return float(val)
+    raise TypeError(
+        "mask_value must be a python scalar or a lit() Column "
+        "(per-row mask values are not supported)")
+
+
 def _literal_value(v) -> float:
     """Accept python scalars AND `F.lit(x)` Columns for mask values — the
     reference API form (`rf_mask_by_value('x', 'x', lit(1))`,
@@ -34,22 +50,15 @@ def _literal_value(v) -> float:
     specialize on the scalar, per-row mask values are not supported."""
     if isinstance(v, Column):
         # Spark 4 classic columns wrap ColumnNodes: a genuine lit() is an
-        # internal.Literal node carrying its value.  Repr parsing alone is
-        # unsafe — F.col('2') also reprs as Column<'2'> but must NOT be
-        # treated as the scalar 2.0.
+        # internal.Literal node carrying its value.
         try:
             node = v._jc.node()
             if node.getClass().getSimpleName() == "Literal":
                 return float(node.value())
         except AttributeError:
-            # no JVM node to introspect (connect-mode column): fall back
-            # to the foldable-literal repr form (`Column<'1.5'>`)
-            s = str(v)
-            if s.startswith("Column<'") and s.endswith("'>"):
-                try:
-                    return float(s[8:-2])
-                except ValueError:
-                    pass
+            # no JVM node to introspect (connect-mode column): use
+            # connect's own expression introspection
+            return _connect_literal_value(v)
         raise TypeError(
             "mask_value must be a python scalar or a lit() Column "
             "(per-row mask values are not supported)")

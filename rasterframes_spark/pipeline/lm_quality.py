@@ -41,14 +41,27 @@ def _grams(text_col: str, n: int):
         f"else array() end")
 
 
+#: Default driver-side gram-table cap.  An order-3 char-gram count over a
+#: CJK-heavy web corpus is millions of distinct grams; collecting them all
+#: can OOM the driver, so the default is bounded.  Pass ``top_grams=None``
+#: to opt out explicitly (exact counts, e.g. for oracle verification).
+DEFAULT_TOP_GRAMS = 1 << 20
+
+
 def train_char_lm(df: DataFrame, text_col: str = "text", order: int = 3,
                   alpha: float = 0.1,
-                  top_grams: int | None = None) -> dict:
+                  top_grams: int | None = DEFAULT_TOP_GRAMS) -> dict:
     """Count ``order``-grams and their contexts over the corpus column.
 
     Returns ``{"order", "alpha", "vocab_size", "grams": {str: int},
     "contexts": {str: int}}``.  ``top_grams`` caps the driver-side gram
-    table for huge alphabets (CJK corpora); leave None for exact counts.
+    table for huge alphabets (CJK corpora; default ``2**20``); pass
+    ``None`` explicitly for exact, uncapped counts.  When capped, the
+    retained CONTEXT set is derived from the retained grams (each kept
+    gram's (n-1)-gram context count is always present), so the smoothed
+    ``P(c|ctx) = (cnt(g)+a)/(cnt(ctx)+aV)`` stays <= 1 — truncating the
+    two tables independently could drop a kept gram's context and yield
+    probabilities above 1 (negative bits/char).
     """
     if order < 2:
         raise ValueError("train_char_lm: order must be >= 2")
@@ -58,7 +71,11 @@ def train_char_lm(df: DataFrame, text_col: str = "text", order: int = 3,
           .groupBy("g").agg(F.count(F.lit(1)).alias("n")))
     if top_grams:
         gq = gq.orderBy(F.desc("n"), F.asc("g")).limit(int(top_grams))
-        cq = cq.orderBy(F.desc("n"), F.asc("g")).limit(int(top_grams))
+        # Exact counts for exactly the contexts the kept grams need
+        # (<= top_grams rows, so the broadcast semi-join is bounded).
+        kept_ctx = gq.select(
+            F.expr("substring(g, 1, length(g) - 1)").alias("g")).distinct()
+        cq = cq.join(F.broadcast(kept_ctx), "g", "left_semi")
     vocab = (df.select(F.explode(_grams(text_col, 1)).alias("c"))
              .agg(F.countDistinct("c")).head()[0]) or 1
     return {

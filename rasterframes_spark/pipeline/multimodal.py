@@ -722,26 +722,37 @@ def exif_metadata(df: DataFrame) -> DataFrame:
                      "gps_lon double"))
 
 
-def extract_document_text(df: DataFrame, max_pdf_pages: int | None = None
+def extract_document_text(df: DataFrame, max_pdf_pages: int | None = None,
+                          max_payload_bytes: int | None = 256 << 20
                           ) -> DataFrame:
     """Any document payload -> (media_id, format, text): the unified
     ingest pass over a mixed corpus. Formats are sniffed per row —
     PDF (``sources/pdf.py``), DOCX and EPUB (``sources/office.py``),
-    HTML (boilerplate-pruned main content, ``sources/html_text.py``)
-    and plain UTF-8 text; undecodable/binary rows drop. One Arrow
-    crossing; each decoder is the same tested code its dedicated
-    operator uses."""
+    HTML (boilerplate-pruned main content, ``sources/html_text.py``),
+    man/troff pages (``read_man_text``, gzipped or plain) and plain
+    UTF-8 text; undecodable/binary rows drop. One Arrow crossing; each
+    decoder is the same tested code its dedicated operator uses.
+
+    ``max_payload_bytes`` (default 256 MiB) drops rows whose raw
+    payload exceeds the cap before any parsing — crawled corpora
+    contain multi-GB single "documents" and one of them must not stall
+    a task (decompression inside each parser is separately bounded by
+    ``sources/inflate.py``). Pass ``None`` to disable."""
 
     def run(batches):
         from rasterframes_spark.sources.html_text import extract_main_text
         from rasterframes_spark.sources.office import (
-            read_docx_text, read_epub_text, sniff_document_format)
+            read_docx_text, read_epub_text, read_man_text,
+            sniff_document_format)
         from rasterframes_spark.sources.pdf import pdf_extract_text
 
         for pdf_ in batches:
             rows = []
             for mid, payload in zip(pdf_["media_id"], pdf_["payload"]):
                 if payload is None:
+                    continue
+                if max_payload_bytes is not None \
+                        and len(payload) > max_payload_bytes:
                     continue
                 b = bytes(payload)
                 kind = sniff_document_format(b)
@@ -758,6 +769,8 @@ def extract_document_text(df: DataFrame, max_pdf_pages: int | None = None
                     elif kind == "html":
                         text = extract_main_text(
                             b.decode("utf-8", "replace"))
+                    elif kind == "man":
+                        text = read_man_text(b)
                     elif kind == "text":
                         text = b.decode("utf-8")
                     else:

@@ -24,6 +24,8 @@ import zipfile
 import zlib
 import xml.etree.ElementTree as ET
 
+from .inflate import MAX_DECOMPRESSED_BYTES, decompress_bounded
+
 __all__ = ["read_docx_text", "read_epub_text", "sniff_document_format",
            "write_docx", "write_epub", "read_man_text"]
 
@@ -35,15 +37,24 @@ def _zip(b: bytes) -> zipfile.ZipFile:
         raise ValueError(f"office: bad zip container ({e})") from None
 
 
-def _zread(z: zipfile.ZipFile, name: str) -> bytes:
+def _zread(z: zipfile.ZipFile, name: str,
+           cap: int = MAX_DECOMPRESSED_BYTES) -> bytes:
+    # z.open().read(cap+1) streams the deflate: memory stays O(cap)
+    # even when the entry is a zip bomb claiming terabytes.
     try:
-        return z.read(name)
+        with z.open(name) as f:
+            out = f.read(cap + 1)
     except (KeyError, zipfile.BadZipFile, OverflowError,
             NotImplementedError, ValueError, RuntimeError,
             EOFError, zlib.error) as e:
         # RuntimeError = zipfile's 'encrypted' path (a flipped flag bit
         # on corrupt input); zlib.error/EOFError = corrupt deflate data
         raise ValueError(f"office: cannot read {name!r} ({e})") from None
+    if len(out) > cap:
+        raise ValueError(
+            f"office: {name!r} exceeds the {cap}-byte decompressed cap "
+            f"(zip bomb?)")
+    return out
 
 
 def _local(tag: str) -> str:
@@ -136,7 +147,18 @@ def read_epub_text(b: bytes) -> str:
 
 def sniff_document_format(b: bytes) -> str | None:
     """Cheap magic/structure sniff: 'pdf' | 'docx' | 'epub' | 'html' |
-    'text' | None (binary junk)."""
+    'man' | 'text' | None (binary junk).  Gzip payloads sniff their
+    decompressed head (bounded — a gzip bomb returns None, it never
+    inflates past the cap).  Markdown deliberately sniffs as 'text':
+    it IS plain text; routing to ``markdown_to_text`` is a corpus
+    policy, not a container property."""
+    if b[:2] == b"\x1f\x8b":
+        # man pages ship gzipped in /usr/share/man; sniff the inside
+        try:
+            return sniff_document_format(
+                decompress_bounded(b, 31, what="sniff: gzip"))
+        except (zlib.error, ValueError):
+            return None
     if b[:5] == b"%PDF-":
         return "pdf"
     if b[:4] == b"PK\x03\x04":
@@ -162,10 +184,20 @@ def sniff_document_format(b: bytes) -> str | None:
     # the document actually continues past the probe)
     for cut in range(4 if len(b) > 4096 else 1):
         try:
-            probe[:len(probe) - cut or None].decode("utf-8")
-            return "text"
+            head = probe[:len(probe) - cut or None].decode("utf-8")
         except UnicodeDecodeError:
             continue
+        # troff/man signature: the first non-comment line is a classic
+        # page-structuring request (.TH/.Dd/.SH/.so). A mere line
+        # starting with '.' is NOT enough — plain prose has those.
+        for ln in head.split("\n"):
+            s = ln.strip()
+            if not s or s.startswith((".\\\"", "'\\\"", "\\\"")):
+                continue
+            if re.match(r"^[.'](TH|Dd|SH|so)(\s|$)", s):
+                return "man"
+            break
+        return "text"
     return None
 
 
@@ -270,7 +302,7 @@ def read_man_text(b: bytes) -> str:
     redirection stubs raise (the target page isn't in these bytes)."""
     if b[:2] == b"\x1f\x8b":
         try:
-            b = zlib.decompress(b, wbits=31)
+            b = decompress_bounded(b, 31, what="man: gzip page")
         except zlib.error as e:
             raise ValueError(f"man: bad gzip ({e})") from None
     try:

@@ -29,6 +29,8 @@ import re
 import struct
 import zlib
 
+from .inflate import decompress_bounded
+
 __all__ = ["read_pdf_info", "pdf_extract_text", "write_pdf", "PdfInfo"]
 
 _WS = b"\x00\t\n\x0c\r "
@@ -432,8 +434,11 @@ class _Doc:
             f = str(self.resolve(f))
             pm = self.resolve(parms[i]) if i < len(parms) else None
             if f == "FlateDecode":
+                # bounded inflate: a crawled flate bomb raises instead
+                # of exhausting executor memory (shared ingest cap)
                 try:
-                    out = zlib.decompress(out)
+                    out = decompress_bounded(out, 15,
+                                             what="pdf: flate stream")
                 except zlib.error as e:
                     raise ValueError(f"pdf: bad flate stream ({e})") from None
                 if isinstance(pm, dict):

@@ -25,6 +25,9 @@ from __future__ import annotations
 
 import zlib
 
+from .inflate import MAX_DECOMPRESSED_BYTES, decompress_bounded, \
+    inflate_bounded
+
 __all__ = ["iter_warc_records", "split_http_response", "write_warc",
            "read_warc"]
 
@@ -32,16 +35,19 @@ _MAX_HEADER = 1 << 20       # a header block beyond 1 MiB is corrupt
 _MAX_MEMBERS = 1 << 22
 
 
-def _gzip_members(data: bytes):
-    """Yield decompressed gzip members of a multi-member stream."""
+def _gzip_members(data: bytes, cap: int = MAX_DECOMPRESSED_BYTES):
+    """Yield decompressed gzip members of a multi-member stream.
+
+    Each member inflates incrementally against ``cap`` — a gzip-bomb
+    record raises ValueError instead of exhausting executor memory."""
+    mv = memoryview(data)
     pos = 0
     n = len(data)
     count = 0
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
-            out = d.decompress(data[pos:])
-            out += d.flush()
+            out = inflate_bounded(d, mv[pos:], cap, "warc: gzip member")
         except zlib.error as e:
             raise ValueError(f"warc: bad gzip member ({e})") from None
         if not d.eof:
@@ -149,17 +155,20 @@ def split_http_response(payload: bytes):
                 raise ValueError("warc: chunk overruns body")
         body = bytes(out)
     enc = headers.get("content-encoding", "").lower()
+    # Bounded inflation throughout: a body that decompresses past the
+    # cap raises ValueError (dropped per-record by records_to_rows);
+    # zlib.error still means "mislabeled body, keep raw" (crawl reality).
     if enc in ("gzip", "x-gzip"):
         try:
-            body = zlib.decompress(body, wbits=47)
+            body = decompress_bounded(body, 47, what="warc: http body")
         except zlib.error:
             pass   # crawls contain mislabeled bodies; keep raw
     elif enc == "deflate":
         try:
-            body = zlib.decompress(body, wbits=-15)
+            body = decompress_bounded(body, -15, what="warc: http body")
         except zlib.error:
             try:
-                body = zlib.decompress(body)
+                body = decompress_bounded(body, 15, what="warc: http body")
             except zlib.error:
                 pass
     return status, headers, body

@@ -77,7 +77,7 @@ def test_quality_signal_orders_documents(spark):
 def test_top_grams_cap(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
         .select("text").limit(50)
-    full = L.train_char_lm(docs, order=2)
+    full = L.train_char_lm(docs, order=2, top_grams=None)
     capped = L.train_char_lm(docs, order=2, top_grams=20)
     assert len(capped["grams"]) == 20
     assert set(capped["grams"]) <= set(full["grams"])
@@ -86,3 +86,39 @@ def test_top_grams_cap(spark):
     dropped = {g: n for g, n in full["grams"].items()
                if g not in capped["grams"]}
     assert all(n <= kept_min for n in dropped.values())
+
+
+def test_default_cap_matches_exact_when_not_truncating(spark):
+    # The bounded default (2**20) must be value-identical to uncapped
+    # training whenever the corpus has fewer distinct grams than the cap.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(80)
+    assert L.DEFAULT_TOP_GRAMS == 1 << 20
+    exact = L.train_char_lm(docs, order=2, top_grams=None)
+    dflt = L.train_char_lm(docs, order=2)          # default cap path
+    assert len(exact["grams"]) < L.DEFAULT_TOP_GRAMS
+    assert dflt == exact
+    s_exact = {r["doc_id"]: r["lm_bits_per_char"] for r in
+               L.lm_bits_per_char(docs, exact).collect()}
+    s_dflt = {r["doc_id"]: r["lm_bits_per_char"] for r in
+              L.lm_bits_per_char(docs, dflt).collect()}
+    assert s_exact == s_dflt
+
+
+def test_truncating_cap_keeps_probabilities_below_one(spark):
+    # When the cap genuinely truncates, every kept gram's context count
+    # must still be present (derived from the kept-gram set), so the
+    # smoothed P(c|ctx) <= 1 and bits/char never go negative.  Before
+    # the fix, grams and contexts were top-K'd INDEPENDENTLY, and a kept
+    # gram whose context fell outside the context top-K scored p > 1.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    m = L.train_char_lm(docs, order=3, top_grams=25)
+    for g, n in m["grams"].items():
+        ctx = g[:-1]
+        assert ctx in m["contexts"], f"kept gram {g!r} lost its context"
+        assert m["contexts"][ctx] >= n
+    scored = L.lm_bits_per_char(
+        docs.where("length(text) >= 3"), m).collect()
+    assert scored and all(r["lm_bits_per_char"] is not None
+                          and r["lm_bits_per_char"] >= 0.0 for r in scored)

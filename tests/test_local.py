@@ -245,3 +245,32 @@ def test_mask_value_lit_accepted_col_rejected(spark, tile_df):
         rf.rf_mask_by_value("a", "nd", F.col("2"))
     with pytest.raises(TypeError):
         rf.rf_mask_by_value("a", "nd", F.col("nd"))
+
+
+def test_mask_value_connect_mode_introspects_expr_not_repr():
+    """The no-JVM-node (connect-mode) fallback must introspect the
+    column's OWN expression — a LiteralExpression yields its value, a
+    column reference raises even when its repr looks numeric
+    (``Column<'2'>``)."""
+    from rasterframes_spark.functions.mask import _connect_literal_value
+
+    class LiteralExpression:            # shape of connect's literal node
+        def __init__(self, v):
+            self._value = v
+
+    class ColumnReference:              # shape of a genuine col('2')
+        pass
+
+    class FakeCol:
+        def __init__(self, expr):
+            self._expr = expr
+
+        def __repr__(self):
+            return "Column<'2'>"
+
+    assert _connect_literal_value(FakeCol(LiteralExpression(15))) == 15.0
+    assert _connect_literal_value(FakeCol(LiteralExpression(1.5))) == 1.5
+    with pytest.raises(TypeError):
+        _connect_literal_value(FakeCol(ColumnReference()))
+    with pytest.raises(TypeError):       # string literal isn't a scalar
+        _connect_literal_value(FakeCol(LiteralExpression("2")))
