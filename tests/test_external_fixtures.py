@@ -17,8 +17,12 @@ checked into ``tests/fixtures/``:
 
 The JP2 codec's Kakadu-fixture discipline (tests/test_jp2.py) is the
 template.  No external MP4/FLAC/Ogg fixture exists in this container
-(searched; ffmpeg/lame/flac binaries absent) — those formats remain
-covered by writer round-trips + mutation fuzz; noted in README.
+(searched; ffmpeg/lame/flac binaries absent) — FLAC/Ogg remain covered
+by writer round-trips + mutation fuzz (noted in README); MP4/WebM get
+the next-best thing in ``tests/test_video_container_fixtures.py``:
+hand-assembled spec-math fixtures exercising box/element forms the own
+muxers never emit, so writer<->parser bug sharing is structurally
+excluded there.
 """
 
 import os
