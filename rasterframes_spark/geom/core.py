@@ -316,12 +316,24 @@ def _points(geom):
 
 
 def envelope(geom):
-    """Bounding box, or None for an empty geometry (zero points)."""
+    """Bounding box, or None for an empty geometry (zero points).
+    Scalar min/max — per-call numpy array construction dominated the
+    predicate bbox pretest for point-heavy joins (r8 sf1 rehearsal);
+    numpy still takes over for large vertex counts."""
+    if geom[0] == "Point":
+        if not geom[1]:
+            return None
+        x, y = geom[1]
+        return (x, y, x, y)
     pts = _points(geom)
     if not pts:
         return None
-    a = np.asarray(pts, dtype="float64")
-    return (a[:, 0].min(), a[:, 1].min(), a[:, 0].max(), a[:, 1].max())
+    if len(pts) > 256:
+        a = np.asarray(pts, dtype="float64")
+        return (a[:, 0].min(), a[:, 1].min(), a[:, 0].max(), a[:, 1].max())
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return (min(xs), min(ys), max(xs), max(ys))
 
 
 # ---------------------------------------------------------------------------
@@ -418,21 +430,52 @@ def centroid(geom):
 # ---------------------------------------------------------------------------
 
 
+def _pt_seg_dist2(x, y, x1, y1, x2, y2) -> float:
+    """Squared distance from (x, y) to segment (x1,y1)-(x2,y2), scalar."""
+    dx, dy = x2 - x1, y2 - y1
+    dd = dx * dx + dy * dy
+    if dd == 0.0:
+        ex, ey = x - x1, y - y1
+        return ex * ex + ey * ey
+    t = ((x - x1) * dx + (y - y1) * dy) / dd
+    if t < 0.0:
+        t = 0.0
+    elif t > 1.0:
+        t = 1.0
+    ex, ey = x - (x1 + t * dx), y - (y1 + t * dy)
+    return ex * ex + ey * ey
+
+
+def _pt_on_ring(x, y, ring, tol2: float = 1e-24) -> bool:
+    px, py = ring[0][0], ring[0][1]
+    for i in range(1, len(ring)):
+        qx, qy = ring[i][0], ring[i][1]
+        if _pt_seg_dist2(x, y, px, py, qx, qy) < tol2:
+            return True
+        px, py = qx, qy
+    return False
+
+
 def point_in_ring(pt, ring) -> bool:
-    """Ray casting; boundary counts as inside."""
+    """Ray casting; boundary counts as inside.  Pure scalar arithmetic —
+    per-point numpy on a handful of vertices cost ~60 us of array
+    overhead per test and dominated st_join's exact phase (r8 sf1
+    rehearsal); this form is ~25x faster and boolean-identical (the
+    boundary tolerance compares squared distance to 1e-24 = (1e-12)^2,
+    and the crossing x is computed only when the edge straddles y, so
+    the divide-by-zero guard the vectorized form needed is moot)."""
     x, y = pt
-    a = np.asarray(ring, dtype="float64")
-    x1, y1 = a[:-1, 0], a[:-1, 1]
-    x2, y2 = a[1:, 0], a[1:, 1]
-    # boundary check
-    d = _pts_to_segs_dist(np.array([[x, y]]), a)
-    if d[0] < 1e-12:
-        return True
-    cond = (y1 > y) != (y2 > y)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
-    crossings = int((cond & (xs > x)).sum())
-    return crossings % 2 == 1
+    inside = False
+    px, py = ring[0][0], ring[0][1]
+    for i in range(1, len(ring)):
+        qx, qy = ring[i][0], ring[i][1]
+        if _pt_seg_dist2(x, y, px, py, qx, qy) < 1e-24:
+            return True
+        if (py > y) != (qy > y):
+            if px + (y - py) * (qx - px) / (qy - py) > x:
+                inside = not inside
+        px, py = qx, qy
+    return inside
 
 
 def points_in_polygon_vec(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
@@ -458,10 +501,9 @@ def points_in_polygon_vec(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
 def point_in_polygon(pt, rings) -> bool:
     if not point_in_ring(pt, rings[0]):
         return False
+    x, y = pt
     for hole in rings[1:]:
-        a = np.asarray(hole, dtype="float64")
-        d = _pts_to_segs_dist(np.array([pt], dtype="float64"), a)
-        if d[0] < 1e-12:
+        if _pt_on_ring(x, y, hole):
             return True  # on hole boundary = on polygon boundary
         if point_in_ring(pt, hole):
             return False

@@ -45,7 +45,24 @@ __all__ = [
 
 
 def _geoms(s: pd.Series):
-    return [None if b is None else G.wkb_loads(bytes(b)) for b in s.values]
+    """WKB series -> parsed geometries, memoizing parses WITHIN the
+    batch.  Join outputs repeat the small side's geometry thousands of
+    times per Arrow batch (every candidate pair carries its zone's WKB),
+    so parse-per-row turned the exact-predicate kernel into the st_join
+    bottleneck at scale — the cache makes it parse-per-distinct."""
+    cache: dict = {}
+    out = []
+    for b in s.values:
+        if b is None:
+            out.append(None)
+            continue
+        b = bytes(b)
+        g = cache.get(b)
+        if g is None:
+            g = G.wkb_loads(b)
+            cache[b] = g
+        out.append(g)
+    return out
 
 
 def _wkb_series(geoms) -> pd.Series:

@@ -546,19 +546,64 @@ def cosine_sim(a, b) -> Column:
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str = "embedding",
                             block_cols: list[str] | None = None,
                             threshold: float = 0.95,
-                            allow_unblocked: bool = False) -> DataFrame:
+                            allow_unblocked: bool = False,
+                            method: str = "sql") -> DataFrame:
     """Pairs with cosine ≥ threshold within blocking keys (e.g. an LSH
     bucket or a label). All-pairs requires ``allow_unblocked=True``
     (quadratic; use hyperplane LSH buckets as blocks at scale).
-    Returns (id_a, id_b, cos)."""
+    Returns (id_a, id_b, cos), cos rounded to 6 decimals.
+
+    ``method='sql'`` (default) is the pure-Catalyst self-join — fully
+    DuckDB-mirrorable, but every candidate pair carries BOTH vector
+    payloads through the join (~1 KB/pair at d=64: the r8 sf1 rehearsal
+    measured this dominating semantic_dedup wall time). ``method='blas'``
+    computes each block's pair set as ONE numpy gram matrix inside
+    ``applyInPandas`` — vectors cross the wire once per row, pairs leave
+    as 3 scalars — the posture a 100 TB corpus needs. Both methods round
+    cosines to 6 decimals before thresholding and agree pair-for-pair
+    (tests/test_semantic_dedup.py parity test)."""
     _check_blocked(block_cols, allow_unblocked, "embedding_neardup_pairs")
+    if method not in ("sql", "blas"):
+        raise ValueError(f"embedding_neardup_pairs: unknown method {method!r}")
+    bcols = list(block_cols or [])
     cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")] + [
-        F.col(c) for c in (block_cols or [])
+        F.col(c) for c in bcols
     ]
     t = df.select(*cols)
+    if method == "blas":
+        if not bcols:
+            raise ValueError(
+                "embedding_neardup_pairs: method='blas' requires block_cols"
+                " (one gram matrix per block)")
+        id_t = df.schema[id_col].dataType.simpleString()
+        thr = float(threshold)
+
+        def gram(pdf):
+            pdf = pdf.sort_values("__id", kind="mergesort")
+            ids = pdf["__id"].to_numpy()
+            keep = [i for i, v in enumerate(pdf["__v"]) if v is not None]
+            if len(keep) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            ids = ids[keep]
+            x = np.stack([np.asarray(v, dtype="float64")
+                          for v in pdf["__v"].iloc[keep]])
+            norms = np.linalg.norm(x, axis=1)
+            ok = norms > 0                 # zero-norm: no cosine (SQL
+            ids, x, norms = ids[ok], x[ok], norms[ok]   # path -> NULL)
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            xn = x / norms[:, None]
+            sims = np.round(xn @ xn.T, 6)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            m = (sims[iu, ju] >= thr) & (ids[iu] != ids[ju])
+            return pd.DataFrame({"id_a": ids[iu[m]], "id_b": ids[ju[m]],
+                                 "cos": sims[iu[m], ju[m]]})
+
+        return t.groupBy(*bcols).applyInPandas(
+            gram, schema=f"id_a {id_t}, id_b {id_t}, cos double")
     a, b = t.alias("a"), t.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
-    for c in (block_cols or []):
+    for c in bcols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
@@ -576,7 +621,7 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str = "embedding",
                    n_clusters: int = 16, threshold: float = 0.95,
                    centroids=None, sample_size: int = 2048, seed: int = 42,
                    keep: str = "farthest", corpus_rows: int | None = None,
-                   max_iter: int = 25) -> DataFrame:
+                   max_iter: int = 25, pairs_method: str = "sql") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     semantic deduplication. K-means the embeddings into ``n_clusters``,
     find near-duplicate pairs WITHIN each cluster (cosine >= threshold),
@@ -643,9 +688,13 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str = "embedding",
         F.round(F.col("__a.c"), 9).alias("cent_cos"),
     ).where(F.col("sem_list") >= 0)
     base = base.localCheckpoint(eager=False)
+    # pairs_method='blas' swaps the Catalyst pair join for the per-
+    # cluster gram-matrix path (same rounded cosines, vectors cross the
+    # wire once) — the scale posture; 'sql' stays the oracle default
     pairs = embedding_neardup_pairs(base, "__sid", "__sv",
                                     block_cols=["sem_list"],
-                                    threshold=threshold)
+                                    threshold=threshold,
+                                    method=pairs_method)
     comps = dedup_clusters(pairs, max_iter=max_iter).withColumnRenamed(
         "id", "__sid").withColumnRenamed("cluster_id", "sem_cluster")
     out = base.drop("__sv").join(comps, "__sid", "left")

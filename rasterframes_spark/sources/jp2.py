@@ -685,6 +685,7 @@ def t1_decode(data: bytes, w: int, h: int, n_passes: int, n_bitplanes: int,
 # ---------------------------------------------------------------------------
 
 _QE_Q = tuple(q[0] for q in _QE)
+_QE_16 = tuple(q[0] << 16 for q in _QE)
 _QE_NM = tuple(q[1] for q in _QE)
 _QE_NL = tuple(q[2] for q in _QE)
 _QE_SW = tuple(q[3] for q in _QE)
@@ -721,11 +722,13 @@ while True:
 # one MQ decision: context index in `cx`, decoded bit left in `bit`.
 # NOTE the MPS fast path (`a & 0x8000` after conditional exchange) skips
 # renormalization entirely — the reference decoder `return`s there.
+# `c` is masked to 32 bits at every update, so `c >> 16` is already
+# <= 0xFFFF (no extra mask needed), and QE16 pre-shifts qe << 16.
 _MQ_DECODE_SRC = """\
 i = I[cx]
 qe = QE[i]
 a -= qe
-if ((c >> 16) & 0xFFFF) < qe:
+if (c >> 16) < qe:
     if a < qe:
         bit = mps[cx]
         I[cx] = NM[i]
@@ -737,7 +740,7 @@ if ((c >> 16) & 0xFFFF) < qe:
     a = qe
 {renorm}
 else:
-    c = (c - (qe << 16)) & 0xFFFFFFFF
+    c -= QE16[i]
     if a & 0x8000:
         bit = mps[cx]
     else:
@@ -752,18 +755,37 @@ else:
 {renorm8}
 """
 
-# becoming significant at position `p`: decode the sign, update state
-_MQ_BECOME_SRC = """\
+# Index-expression emitters: the become/context templates are
+# parameterized over ``ix(dx, dy) -> str`` (the source text of the array
+# index for the neighbor at that offset).  The generic decoder passes
+# symbolic expressions ("p - t - 1"); the shape-specialized unrolled
+# decoder passes pre-folded integer LITERALS — same template, so the two
+# paths cannot drift semantically.
+
+
+def _sym_ix(dx: int, dy: int) -> str:
+    s = "p"
+    if dy:
+        s += " + t" if dy > 0 else " - t"
+    if dx:
+        s += f" + {dx}" if dx > 0 else f" - {-dx}"
+    return s
+
+
+def _become_src(ix) -> str:
+    """Becoming significant at ix(0,0): decode the sign, update state.
+    Contains a ``{decode}`` placeholder for the inlined MQ decision."""
+    return f"""\
 hc = 0
-if sig[p - 1]:
-    hc += -1 if sgn[p - 1] else 1
-if sig[p + 1]:
-    hc += -1 if sgn[p + 1] else 1
+if sig[{ix(-1, 0)}]:
+    hc += -1 if sgn[{ix(-1, 0)}] else 1
+if sig[{ix(1, 0)}]:
+    hc += -1 if sgn[{ix(1, 0)}] else 1
 vc = 0
-if sig[p - t]:
-    vc += -1 if sgn[p - t] else 1
-if sig[p + t]:
-    vc += -1 if sgn[p + t] else 1
+if sig[{ix(0, -1)}]:
+    vc += -1 if sgn[{ix(0, -1)}] else 1
+if sig[{ix(0, 1)}]:
+    vc += -1 if sgn[{ix(0, 1)}] else 1
 if hc < -1:
     hc = -1
 elif hc > 1:
@@ -773,30 +795,34 @@ if vc < -1:
 elif vc > 1:
     vc = 1
 cx, xor = SGN[(hc + 1) * 3 + vc + 1]
-{decode}
-sgn[p] = bit ^ xor
-sig[p] = 1
-became[p] = 1
-mag[p] = 1
-last[p] = plane
+{{decode}}
+sgn[{ix(0, 0)}] = bit ^ xor
+sig[{ix(0, 0)}] = 1
+became[{ix(0, 0)}] = 1
+mag[{ix(0, 0)}] = 1
+last[{ix(0, 0)}] = plane
 nsigtot += 1
 nbec += 1
-q = p - t - 1
-nsig[q] += 1
-nsig[q + 1] += 1
-nsig[q + 2] += 1
-nsig[p - 1] += 1
-nsig[p + 1] += 1
-q = p + t - 1
-nsig[q] += 1
-nsig[q + 1] += 1
-nsig[q + 2] += 1
+nsig[{ix(-1, -1)}] += 1
+nsig[{ix(0, -1)}] += 1
+nsig[{ix(1, -1)}] += 1
+nsig[{ix(-1, 0)}] += 1
+nsig[{ix(1, 0)}] += 1
+nsig[{ix(-1, 1)}] += 1
+nsig[{ix(0, 1)}] += 1
+nsig[{ix(1, 1)}] += 1
 """
 
-_SIG_CTX_EXPR = ("table[(sig[p - 1] + sig[p + 1]) * 15"
-                 " + (sig[p - t] + sig[p + t]) * 5"
-                 " + (sig[p - t - 1] + sig[p - t + 1]"
-                 " + sig[p + t - 1] + sig[p + t + 1])]")
+
+def _sig_ctx_expr(ix) -> str:
+    return (f"table[(sig[{ix(-1, 0)}] + sig[{ix(1, 0)}]) * 15"
+            f" + (sig[{ix(0, -1)}] + sig[{ix(0, 1)}]) * 5"
+            f" + (sig[{ix(-1, -1)}] + sig[{ix(1, -1)}]"
+            f" + sig[{ix(-1, 1)}] + sig[{ix(1, 1)}])]")
+
+
+_MQ_BECOME_SRC = _become_src(_sym_ix)
+_SIG_CTX_EXPR = _sig_ctx_expr(_sym_ix)
 
 
 @functools.lru_cache(maxsize=512)
@@ -857,7 +883,8 @@ def _t1_decode_fast(data, w, h, n_passes, n_bitplanes, orient):
     mag = [0] * n
     last = [0] * n
     table = _SIG_FLAT[orient]
-    QE, NM, NL, SW, SGN = _QE_Q, _QE_NM, _QE_NL, _QE_SW, _SGN_FLAT
+    QE, QE16, NM, NL, SW, SGN = \
+        _QE_Q, _QE_16, _QE_NM, _QE_NL, _QE_SW, _SGN_FLAT
     I, mps = _initial_states()
     dlen = len(data)
     bp = 0
@@ -952,11 +979,191 @@ def _t1_decode_fast(data, w, h, n_passes, n_bitplanes, orient):
 
 
 _T1_FAST_NS = {"np": np, "_SIG_FLAT": _SIG_FLAT, "_QE_Q": _QE_Q,
+               "_QE_16": _QE_16,
                "_QE_NM": _QE_NM, "_QE_NL": _QE_NL, "_QE_SW": _QE_SW,
                "_SGN_FLAT": _SGN_FLAT, "_initial_states": _initial_states,
                "_scan_layout": _scan_layout}
 exec(compile(_gen_t1_fast_src(), "<jp2 fused t1>", "exec"), _T1_FAST_NS)
-_t1_decode_fast = _T1_FAST_NS["_t1_decode_fast"]
+_t1_decode_generic = _T1_FAST_NS["_t1_decode_fast"]
+
+
+def _gen_t1_unrolled_src(w: int, h: int) -> str:
+    """Shape-specialized T1 decoder source: the three coding passes fully
+    UNROLLED over the block's scan positions with every neighbor index
+    pre-folded to an integer literal (no loop machinery, no index
+    arithmetic, no `t` in the hot path).  Sentinel-2-style tiny
+    code-blocks (4x4) spend ~all their time in per-position overhead, so
+    this is the r8 throughput lever; the generated text comes from the
+    SAME templates as the generic decoder (only the ``ix`` emitter
+    differs), and the Kakadu byte-exact matrix + fused-parity tests pin
+    both paths."""
+    t = w + 2
+    n = (h + 2) * t
+    bytein8 = _ind(_MQ_BYTEIN_SRC.rstrip(), " " * 8)
+    renorm = _MQ_RENORM_SRC.format(bytein=bytein8).rstrip()
+    mq_body = _MQ_DECODE_SRC.format(renorm=_ind(renorm, " " * 4),
+                                    renorm8=_ind(renorm, " " * 8)).rstrip()
+
+    def mq(pad: int) -> str:
+        return _ind(mq_body, " " * pad)
+
+    def lit_ix(p: int):
+        return lambda dx, dy: str(p + dy * t + dx)
+
+    def run_ix(dx: int, dy: int) -> str:
+        off = dy * t + dx
+        if off == 0:
+            return "p"
+        return f"p + {off}" if off > 0 else f"p - {-off}"
+
+    def become(pad: int, ix) -> str:
+        return _ind(_become_src(ix).format(decode=mq_body).rstrip(),
+                    " " * pad)
+
+    scan_pos, groups = _scan_layout(w, h)
+
+    sigprop = []
+    magref = []
+    for p in scan_pos:
+        ix = lit_ix(p)
+        sigprop.append(f"""\
+                if not sig[{p}] and nsig[{p}]:
+                    cx = {_sig_ctx_expr(ix)}
+{mq(20)}
+                    pi[{p}] = 1
+                    if bit:
+{become(24, ix)}""")
+        magref.append(f"""\
+                if sig[{p}] and not became[{p}]:
+                    if refined[{p}]:
+                        cx = 16
+                    else:
+                        cx = 15 if nsig[{p}] else 14
+{mq(20)}
+                    mag[{p}] = (mag[{p}] << 1) | bit
+                    refined[{p}] = 1
+                    last[{p}] = plane""")
+
+    cleanup = []
+    for p0, rows in groups:
+        row_ps = [p0 + r * t for r in range(rows)]
+
+        def row_body(p, pad):
+            ix = lit_ix(p)
+            return _ind(f"""\
+if not sig[{p}] and not pi[{p}]:
+    cx = {_sig_ctx_expr(ix)}
+{mq(4)}
+    if bit:
+{become(8, ix)}""", " " * pad)
+
+        if rows == 4:
+            cond = " or ".join(
+                f"sig[{p}] or pi[{p}] or nsig[{p}]" for p in row_ps)
+            guarded = "\n".join(
+                f"""\
+                    if start <= {r}:
+{row_body(pp, 24)}""" for r, pp in enumerate(row_ps))
+            cleanup.append(f"""\
+                start = 0
+                go = 1
+                if not ({cond}):
+                    cx = 17
+{mq(20)}
+                    if bit:
+                        cx = 18
+{mq(24)}
+                        r_hi = bit
+                        cx = 18
+{mq(24)}
+                        r = (r_hi << 1) | bit
+                        p = {p0} + r * {t}
+{become(24, run_ix)}
+                        start = r + 1
+                    else:
+                        go = 0
+                if go:
+{guarded}""")
+        else:
+            cleanup.append("\n".join(row_body(pp, 16) for pp in row_ps))
+
+    nl = "\n"
+    return f'''\
+def _t1_unrolled(data, n_passes, n_bitplanes, orient):
+    if n_passes == 0 or n_bitplanes == 0:
+        return np.zeros(({h}, {w}), dtype=np.int64)
+    sig = bytearray({n})
+    sgn = bytearray({n})
+    became = bytearray({n})
+    pi = bytearray({n})
+    refined = bytearray({n})
+    nsig = bytearray({n})
+    mag = [0] * {n}
+    last = [0] * {n}
+    table = _SIG_FLAT[orient]
+    QE, QE16, NM, NL, SW, SGN = \
+        _QE_Q, _QE_16, _QE_NM, _QE_NL, _QE_SW, _SGN_FLAT
+    I, mps = _initial_states()
+    dlen = len(data)
+    bp = 0
+    c = (data[0] if data else 0xFF) << 16
+{_ind(_MQ_BYTEIN_SRC.rstrip(), "    ")}
+    c = (c << 7) & 0xFFFFFFFF
+    ct -= 7
+    a = 0x8000
+    plane = n_bitplanes - 1
+    ptype = 0
+    nsigtot = 0
+    nbec = 0
+    for _np in range(n_passes):
+        if ptype == 1:                       # significance propagation
+            if 0 < nsigtot < {w * h}:
+{nl.join(sigprop)}
+            ptype = 2
+        elif ptype == 2:                     # magnitude refinement
+            if nsigtot > nbec:
+{nl.join(magref)}
+            ptype = 0
+        else:                                # cleanup
+            if nsigtot < {w * h}:
+{nl.join(cleanup)}
+            became = bytearray({n})
+            pi = bytearray({n})
+            nbec = 0
+            plane -= 1
+            ptype = 1
+    out = np.zeros(({h}, {w}), dtype=np.int64)
+    for y in range({h}):
+        base = (y + 1) * {t} + 1
+        row = out[y]
+        for x in range({w}):
+            q = base + x
+            m = mag[q]
+            if m:
+                v = m << last[q] if last[q] > 0 else m
+                row[x] = -v if sgn[q] else v
+    return out
+'''
+
+
+@functools.lru_cache(maxsize=64)
+def _t1_specialized(w: int, h: int):
+    ns = dict(_T1_FAST_NS)
+    exec(compile(_gen_t1_unrolled_src(w, h), f"<jp2 t1 {w}x{h}>", "exec"),
+         ns)
+    return ns["_t1_unrolled"]
+
+
+# Unrolled source grows ~linearly in w*h: worth it (and quick to
+# compile) for the tiny code-blocks where per-position overhead
+# dominates; standard 64x64 blocks stay on the generic loop decoder.
+_T1_UNROLL_MAX_COEFFS = 64
+
+
+def _t1_decode_fast(data, w, h, n_passes, n_bitplanes, orient):
+    if 0 < w * h <= _T1_UNROLL_MAX_COEFFS:
+        return _t1_specialized(w, h)(data, n_passes, n_bitplanes, orient)
+    return _t1_decode_generic(data, w, h, n_passes, n_bitplanes, orient)
 
 
 def t1_encode(coeffs: np.ndarray, orient: str):

@@ -133,6 +133,43 @@ def test_brute_force_parity(spark):
             assert got[i].kept == (i == keeper), (i, members, keeper)
 
 
+def test_blas_pair_method_matches_sql(spark):
+    """method='blas' (per-cluster gram matrix, the 100 TB pair path)
+    must agree pair-for-pair and verdict-for-verdict with the default
+    Catalyst self-join — both round cosines to 6 decimals before
+    thresholding."""
+    from rasterframes_spark.pipeline.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    n, d, k, thr = 120, 16, 5, 0.9
+    base = rng.standard_normal((k, d))
+    vecs = [_unit(base[i % k] + 0.4 * rng.standard_normal(d))
+            for i in range(n)]
+    cents = rng.standard_normal((k, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    # pair-level parity on an explicit blocking column
+    blocked = df.withColumn("blk", (F.col("vec_id") % 5).cast("int"))
+    p_sql = {(r.id_a, r.id_b, r.cos) for r in embedding_neardup_pairs(
+        blocked, "vec_id", block_cols=["blk"], threshold=thr).collect()}
+    p_blas = {(r.id_a, r.id_b, r.cos) for r in embedding_neardup_pairs(
+        blocked, "vec_id", block_cols=["blk"], threshold=thr,
+        method="blas").collect()}
+    assert p_sql and p_sql == p_blas
+    # operator-level parity (assignment + groups + keep rule downstream)
+    a = semantic_dedup(df, "vec_id", centroids=cents, threshold=thr)
+    b = semantic_dedup(df, "vec_id", centroids=cents, threshold=thr,
+                       pairs_method="blas")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # the blas path refuses to go quadratic without a blocking key
+    with pytest.raises(ValueError, match="block"):
+        embedding_neardup_pairs(df, "vec_id", method="blas",
+                                allow_unblocked=True)
+
+
 def test_trained_centroids_smoke(spark):
     """No injected centroids: training samples the corpus (seeded) and the
     contract holds — exactly one keeper per group, verdict total = corpus."""
