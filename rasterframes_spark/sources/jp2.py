@@ -82,9 +82,12 @@ class MQDecoder:
 
     __slots__ = ("data", "bp", "c", "a", "ct", "I", "mps")
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, contexts=None):
+        # ``contexts``: (I, mps) lists carried over from a previous
+        # terminated codeword segment (TERMALL/BYPASS restart the MQ
+        # codeword but context probabilities persist unless RESET)
         self.data = data
-        self.I, self.mps = _initial_states()
+        self.I, self.mps = contexts if contexts else _initial_states()
         self.bp = 0
         b0 = data[0] if data else 0xFF
         self.c = b0 << 16
@@ -154,8 +157,8 @@ class MQEncoder:
 
     __slots__ = ("out", "c", "a", "ct", "I", "mps")
 
-    def __init__(self):
-        self.I, self.mps = _initial_states()
+    def __init__(self, contexts=None):
+        self.I, self.mps = contexts if contexts else _initial_states()
         self.out = bytearray([0])  # sentinel = "B" before the stream
         self.c = 0
         self.a = 0x8000
@@ -226,6 +229,138 @@ class MQEncoder:
         while out and out[-1] == 0xFF:
             out = out[:-1]             # decoder resynthesizes trailing FFs
         return out
+
+
+# ---------------------------------------------------------------------------
+# Raw (lazy / arithmetic-bypass) bit coders — T.800 D.6, mode bit 0x01.
+# MSB-first bit packing with 0xFF stuffing: after a byte equal to 0xFF
+# the next byte carries only 7 payload bits (its MSB is a stuffed 0).
+# ---------------------------------------------------------------------------
+
+
+class RawBitDecoder:
+    __slots__ = ("data", "pos", "buf", "nb", "prev")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nb = 0
+        self.prev = 0
+
+    def get(self) -> int:
+        if self.nb == 0:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+            self.pos += 1
+            if self.prev == 0xFF:
+                self.nb = 7
+                self.buf = b & 0x7F
+            else:
+                self.nb = 8
+                self.buf = b
+            self.prev = b
+        self.nb -= 1
+        return (self.buf >> self.nb) & 1
+
+
+class RawBitWriter:
+    __slots__ = ("out", "buf", "nb", "cap")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nb = 0
+        self.cap = 8
+
+    def put(self, bit: int):
+        self.buf = (self.buf << 1) | (bit & 1)
+        self.nb += 1
+        if self.nb == self.cap:
+            self.out.append(self.buf)
+            self.cap = 7 if self.buf == 0xFF else 8
+            self.buf = 0
+            self.nb = 0
+
+    def flush(self) -> bytes:
+        out = self.out
+        if self.nb:
+            out.append(self.buf << (self.cap - self.nb))
+        if out and out[-1] == 0xFF:
+            out.append(0)   # a codeword segment must not end on 0xFF
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Code-block style (SPcod byte 3) pass/segment structure — T.800 D.4/D.6.
+# Passes are numbered 1-based: pass 1 is the first cleanup (plane Mb-1),
+# then repeating (sigprop, magref, cleanup) triplets per plane.
+# ---------------------------------------------------------------------------
+
+CBSTYLE_BYPASS = 0x01      # selective arithmetic-coding bypass (lazy)
+CBSTYLE_RESET = 0x02       # reset context states on every pass
+CBSTYLE_TERMALL = 0x04     # terminate the codeword on every pass
+CBSTYLE_VSC = 0x08         # vertically stripe-causal contexts
+CBSTYLE_ERTERM = 0x10      # predictable termination (decode-transparent)
+CBSTYLE_SEGSYM = 0x20      # segmentation symbols after each cleanup
+_CBSTYLE_SEGMENTED = CBSTYLE_BYPASS | CBSTYLE_TERMALL
+_CBSTYLE_MODES = (CBSTYLE_BYPASS | CBSTYLE_RESET | CBSTYLE_TERMALL
+                  | CBSTYLE_VSC | CBSTYLE_SEGSYM)
+
+
+def _pass_kind(k: int) -> str:
+    if k == 1:
+        return "cl"
+    return ("sp", "mr", "cl")[(k - 2) % 3]
+
+
+def _is_raw_pass(k: int, cbstyle: int) -> bool:
+    """Bypass: the first 10 passes are MQ; from pass 11 every sigprop
+    and magref pass is raw, cleanup stays MQ."""
+    return bool(cbstyle & CBSTYLE_BYPASS) and k >= 11 \
+        and _pass_kind(k) != "cl"
+
+
+def _terminates_after(k: int, cbstyle: int) -> bool:
+    """TERMALL terminates every pass.  BYPASS terminates before/after
+    each raw run: after the 10th pass (last all-MQ cleanup) and then
+    after every magref (end of a raw sigprop+magref pair) and every
+    cleanup (end of an MQ segment)."""
+    if cbstyle & CBSTYLE_TERMALL:
+        return True
+    if cbstyle & CBSTYLE_BYPASS:
+        return k >= 10 and _pass_kind(k) in ("cl", "mr")
+    return False
+
+
+def _segment_spans(done: int, npass: int, cbstyle: int) -> list[int]:
+    """Split a packet contribution of ``npass`` new passes (after
+    ``done`` already-read passes) into codeword-segment spans; the last
+    span may be unterminated (continued in a later layer's packet)."""
+    spans, cur = [], 0
+    for k in range(done + 1, done + npass + 1):
+        cur += 1
+        if _terminates_after(k, cbstyle):
+            spans.append(cur)
+            cur = 0
+    if cur:
+        spans.append(cur)
+    return spans
+
+
+def _merge_segments(segs, cbstyle):
+    """[(bytes, npasses)] per packet contribution -> one entry per real
+    codeword segment (entries that end mid-segment merge with their
+    continuation from the next layer)."""
+    merged: list[list] = []
+    k = 0
+    for data, np_ in segs:
+        if merged and not _terminates_after(k, cbstyle):
+            merged[-1][0] += data
+            merged[-1][1] += np_
+        else:
+            merged.append([bytearray(data), np_])
+        k += np_
+    return [(bytes(d), n) for d, n in merged]
 
 
 # ---------------------------------------------------------------------------
@@ -441,7 +576,8 @@ class _T1State:
     at least one magnitude-refinement bit."""
 
     __slots__ = ("w", "h", "sig", "sgn", "mag", "became", "pi", "refined",
-                 "table", "enc_sign", "plane", "last", "stride", "nsig")
+                 "table", "enc_sign", "plane", "last", "stride", "nsig",
+                 "vsc")
 
     def __init__(self, w: int, h: int, orient: str):
         # flat buffers with a 1-cell border, stride w+2: per-element access
@@ -461,6 +597,7 @@ class _T1State:
         self.table = _SIG_FLAT[orient]
         self.enc_sign = None
         self.plane = 0               # absolute bit-plane being decoded
+        self.vsc = False             # vertically stripe-causal contexts
 
     def sig_ctx(self, p: int) -> int:
         s = self.sig
@@ -487,6 +624,37 @@ class _T1State:
         vc = -1 if vc < -1 else (1 if vc > 1 else vc)
         return _SIGN_CTX[(hc + 1, vc + 1)]
 
+    # --- vertically stripe-causal variants (mode bit 0x08): samples in
+    # the NEXT stripe read as insignificant during context formation for
+    # the bottom row of each stripe (state updates are unchanged) ---
+
+    def sig_ctx_m(self, p: int) -> int:
+        s = self.sig
+        t = self.stride
+        hh = s[p - 1] + s[p + 1]
+        vv = s[p - t]
+        d = s[p - t - 1] + s[p - t + 1]
+        return self.table[hh * 15 + vv * 5 + d]
+
+    def sign_ctx_m(self, p: int):
+        s, g = self.sig, self.sgn
+        t = self.stride
+        hc = 0
+        if s[p - 1]:
+            hc += -1 if g[p - 1] else 1
+        if s[p + 1]:
+            hc += -1 if g[p + 1] else 1
+        vc = -1 if (s[p - t] and g[p - t]) else (1 if s[p - t] else 0)
+        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+        return _SIGN_CTX[(hc + 1, vc + 1)]
+
+    def nsig_m(self, p: int) -> int:
+        """Significant-neighbor count with below-stripe rows masked."""
+        s = self.sig
+        t = self.stride
+        return (s[p - 1] + s[p + 1] + s[p - t]
+                + s[p - t - 1] + s[p - t + 1])
+
 
 # flattened significance-context tables: index h*15 + v*5 + d
 _SIG_FLAT = {o: tuple(int(_SIG_TABLES[o][h, v, d])
@@ -494,13 +662,21 @@ _SIG_FLAT = {o: tuple(int(_SIG_TABLES[o][h, v, d])
              for o in ("LL", "LH", "HL", "HH")}
 
 
-def _become_significant(st, mq, enc, decode, p):
-    scx, xor = st.sign_ctx(p)
-    if decode:
-        sgn = mq.decode(scx) ^ xor
+def _become_significant(st, mq, enc, decode, p, raw=None, masked=False):
+    if raw is not None:
+        # raw (bypass) sigprop codes the sign as one raw bit, no context
+        if decode:
+            sgn = raw.get()
+        else:
+            sgn = st.enc_sign[p]
+            raw.put(sgn)
     else:
-        sgn = st.enc_sign[p]
-        enc.encode(scx, sgn ^ xor)
+        scx, xor = st.sign_ctx_m(p) if masked else st.sign_ctx(p)
+        if decode:
+            sgn = mq.decode(scx) ^ xor
+        else:
+            sgn = st.enc_sign[p]
+            enc.encode(scx, sgn ^ xor)
     st.sig[p] = 1
     st.became[p] = 1
     st.sgn[p] = sgn
@@ -513,52 +689,72 @@ def _become_significant(st, mq, enc, decode, p):
         ns[q] += 1
 
 
-def _sigprop_pass(st, mq=None, enc=None, plane_bit=None):
-    decode = mq is not None
+def _sigprop_pass(st, mq=None, enc=None, plane_bit=None, raw=None):
+    decode = plane_bit is None
     w, h, t = st.w, st.h, st.stride
     sig, nsig, pi = st.sig, st.nsig, st.pi
+    vsc = st.vsc
     for y0 in range(1, h + 1, 4):
         rows = min(4, h + 1 - y0)
         base0 = y0 * t
         for x in range(1, w + 1):
             p = base0 + x
-            for _ in range(rows):
-                if not sig[p] and nsig[p]:
-                    cx = st.sig_ctx(p)
-                    if decode:
-                        bit = mq.decode(cx)
+            for ri in range(rows):
+                masked = vsc and ri == 3
+                if not sig[p] and (st.nsig_m(p) if masked else nsig[p]):
+                    if raw is not None:
+                        if decode:
+                            bit = raw.get()
+                        else:
+                            bit = plane_bit[p]
+                            raw.put(bit)
                     else:
-                        bit = plane_bit[p]
-                        enc.encode(cx, bit)
+                        cx = st.sig_ctx_m(p) if masked else st.sig_ctx(p)
+                        if decode:
+                            bit = mq.decode(cx)
+                        else:
+                            bit = plane_bit[p]
+                            enc.encode(cx, bit)
                     pi[p] = 1
                     if bit:
-                        _become_significant(st, mq, enc, decode, p)
+                        _become_significant(st, mq, enc, decode, p,
+                                            raw=raw, masked=masked)
                 p += t
 
 
-def _magref_pass(st, mq=None, enc=None, plane_bit=None):
-    decode = mq is not None
+def _magref_pass(st, mq=None, enc=None, plane_bit=None, raw=None):
+    decode = plane_bit is None
     w, h, t = st.w, st.h, st.stride
     sig, became, refined, mag, last = (st.sig, st.became, st.refined,
                                        st.mag, st.last)
     nsig = st.nsig
     plane = st.plane
+    vsc = st.vsc
     for y0 in range(1, h + 1, 4):
         rows = min(4, h + 1 - y0)
         base0 = y0 * t
         for x in range(1, w + 1):
             p = base0 + x
-            for _ in range(rows):
+            for ri in range(rows):
                 if sig[p] and not became[p]:
-                    if refined[p]:
-                        cx = 16
+                    if raw is not None:
+                        if decode:
+                            bit = raw.get()
+                        else:
+                            bit = plane_bit[p]
+                            raw.put(bit)
                     else:
-                        cx = 15 if nsig[p] else 14
-                    if decode:
-                        bit = mq.decode(cx)
-                    else:
-                        bit = plane_bit[p]
-                        enc.encode(cx, bit)
+                        if refined[p]:
+                            cx = 16
+                        else:
+                            nb = (st.nsig_m(p) if vsc and ri == 3
+                                  else nsig[p])
+                            cx = 15 if nb else 14
+                        if decode:
+                            bit = mq.decode(cx)
+                        else:
+                            bit = plane_bit[p]
+                            enc.encode(cx, bit)
                     mag[p] = (mag[p] << 1) | bit
                     refined[p] = 1
                     last[p] = plane
@@ -566,20 +762,23 @@ def _magref_pass(st, mq=None, enc=None, plane_bit=None):
 
 
 def _cleanup_pass(st, mq=None, enc=None, plane_bit=None):
-    decode = mq is not None
+    decode = plane_bit is None
     w, h, t = st.w, st.h, st.stride
     sig, pi, nsig = st.sig, st.pi, st.nsig
+    vsc = st.vsc
     for y0 in range(1, h + 1, 4):
         rows = min(4, h + 1 - y0)
         base0 = y0 * t
         for x in range(1, w + 1):
             p0 = base0 + x
             start = 0
+            p3 = p0 + 3 * t
             if rows == 4 and not (
                     sig[p0] or pi[p0] or nsig[p0]
                     or sig[p0 + t] or pi[p0 + t] or nsig[p0 + t]
                     or sig[p0 + 2 * t] or pi[p0 + 2 * t] or nsig[p0 + 2 * t]
-                    or sig[p0 + 3 * t] or pi[p0 + 3 * t] or nsig[p0 + 3 * t]):
+                    or sig[p3] or pi[p3]
+                    or (st.nsig_m(p3) if vsc else nsig[p3])):
                 if decode:
                     if not mq.decode(CTX_RUN):
                         continue
@@ -594,19 +793,22 @@ def _cleanup_pass(st, mq=None, enc=None, plane_bit=None):
                     r = col.index(1)
                     enc.encode(CTX_UNI, (r >> 1) & 1)
                     enc.encode(CTX_UNI, r & 1)
-                _become_significant(st, mq, enc, decode, p0 + r * t)
+                _become_significant(st, mq, enc, decode, p0 + r * t,
+                                    masked=vsc and r == 3)
                 start = r + 1
             p = p0 + start * t
-            for _ in range(start, rows):
+            for ri in range(start, rows):
+                masked = vsc and ri == 3
                 if not sig[p] and not pi[p]:
-                    cx = st.sig_ctx(p)
+                    cx = st.sig_ctx_m(p) if masked else st.sig_ctx(p)
                     if decode:
                         bit = mq.decode(cx)
                     else:
                         bit = plane_bit[p]
                         enc.encode(cx, bit)
                     if bit:
-                        _become_significant(st, mq, enc, decode, p)
+                        _become_significant(st, mq, enc, decode, p,
+                                            masked=masked)
                 p += t
 
 
@@ -1200,6 +1402,144 @@ def t1_encode(coeffs: np.ndarray, orient: str):
     return enc.flush(), n_passes, nbp
 
 
+def _t1_out(st, w: int, h: int) -> np.ndarray:
+    t = st.stride
+    out = np.zeros((h, w), dtype=np.int64)
+    mag, last, sgn = st.mag, st.last, st.sgn
+    for y in range(h):
+        base = (y + 1) * t + 1
+        row = out[y]
+        for x in range(w):
+            q = base + x
+            m = mag[q]
+            if m:
+                v = m << last[q] if last[q] > 0 else m
+                row[x] = -v if sgn[q] else v
+    return out
+
+
+def t1_decode_segmented(segs, w: int, h: int, nbp: int, orient: str,
+                        cbstyle: int) -> np.ndarray:
+    """Mode-aware tier-1 decoder (COD SPcod code-block style byte):
+    BYPASS (raw sigprop/magref from pass 11), RESET (contexts re-init
+    every pass), TERMALL (one codeword segment per pass), VSC
+    (stripe-causal contexts), SEGSYM (1010 after each cleanup —
+    verified; a mismatch raises, that is the feature's error-detection
+    purpose).  ``segs`` = [(bytes, n_passes)] packet contributions in
+    stream order.  Semantics shared with t1_decode through the SAME
+    pass functions; used only when mode bits are set (cold path — the
+    Sentinel-2/Kakadu default style 0 stays on the fused decoders)."""
+    segs = _merge_segments(segs, cbstyle)
+    n_passes = sum(np_ for _, np_ in segs)
+    if n_passes == 0 or nbp == 0:
+        return np.zeros((h, w), dtype=np.int64)
+    st = _T1State(w, h, orient)
+    st.plane = nbp - 1
+    st.vsc = bool(cbstyle & CBSTYLE_VSC)
+    n = len(st.sig)
+    ctx = _initial_states()
+    k = 0
+    for data, np_ in segs:
+        seg_raw = _is_raw_pass(k + 1, cbstyle)
+        coder = RawBitDecoder(data) if seg_raw \
+            else MQDecoder(data, contexts=ctx)
+        for _ in range(np_):
+            k += 1
+            if _is_raw_pass(k, cbstyle) != seg_raw:
+                raise ValueError(
+                    "JP2: raw/MQ passes mixed inside one codeword segment")
+            if cbstyle & CBSTYLE_RESET:
+                ini = _initial_states()
+                ctx[0][:] = ini[0]
+                ctx[1][:] = ini[1]
+            kind = _pass_kind(k)
+            if kind == "sp":
+                if seg_raw:
+                    _sigprop_pass(st, raw=coder)
+                else:
+                    _sigprop_pass(st, mq=coder)
+            elif kind == "mr":
+                if seg_raw:
+                    _magref_pass(st, raw=coder)
+                else:
+                    _magref_pass(st, mq=coder)
+            else:
+                _cleanup_pass(st, mq=coder)
+                if cbstyle & CBSTYLE_SEGSYM:
+                    s4 = (coder.decode(CTX_UNI) << 3) \
+                        | (coder.decode(CTX_UNI) << 2) \
+                        | (coder.decode(CTX_UNI) << 1) \
+                        | coder.decode(CTX_UNI)
+                    if s4 != 0b1010:
+                        raise ValueError(
+                            "JP2: segmentation symbol mismatch "
+                            "(corrupt code-block data)")
+                st.became = bytearray(n)
+                st.pi = bytearray(n)
+                st.plane -= 1
+    return _t1_out(st, w, h)
+
+
+def t1_encode_modes(coeffs: np.ndarray, orient: str, cbstyle: int = 0):
+    """Mode-aware tier-1 encoder: returns ([(segment bytes, n_passes)],
+    total_passes, n_bitplanes) with codeword segments split per the
+    TERMALL/BYPASS rules (single segment when neither is set)."""
+    h, w = coeffs.shape
+    mags = np.abs(coeffs.astype(np.int64))
+    nbp = int(mags.max()).bit_length()
+    if nbp == 0:
+        return [], 0, 0
+    st = _T1State(w, h, orient)
+    st.vsc = bool(cbstyle & CBSTYLE_VSC)
+    st.enc_sign = _flat_core(st, (coeffs < 0).astype(np.int64))
+    n = len(st.sig)
+    ctx = _initial_states()
+    segs: list[tuple[bytes, int]] = []
+    total = 3 * nbp - 2
+    coder = RawBitWriter() if _is_raw_pass(1, cbstyle) \
+        else MQEncoder(contexts=ctx)
+    seg_np = 0
+    k = 0
+    for plane in range(nbp - 1, -1, -1):
+        st.plane = plane
+        pb = _flat_core(st, (mags >> plane) & 1)
+        for kind in (("cl",) if plane == nbp - 1 else ("sp", "mr", "cl")):
+            k += 1
+            if cbstyle & CBSTYLE_RESET:
+                ini = _initial_states()
+                ctx[0][:] = ini[0]
+                ctx[1][:] = ini[1]
+            raw_now = _is_raw_pass(k, cbstyle)
+            if kind == "sp":
+                if raw_now:
+                    _sigprop_pass(st, plane_bit=pb, raw=coder)
+                else:
+                    _sigprop_pass(st, enc=coder, plane_bit=pb)
+            elif kind == "mr":
+                if raw_now:
+                    _magref_pass(st, plane_bit=pb, raw=coder)
+                else:
+                    _magref_pass(st, enc=coder, plane_bit=pb)
+            else:
+                _cleanup_pass(st, enc=coder, plane_bit=pb)
+                if cbstyle & CBSTYLE_SEGSYM:
+                    coder.encode(CTX_UNI, 1)
+                    coder.encode(CTX_UNI, 0)
+                    coder.encode(CTX_UNI, 1)
+                    coder.encode(CTX_UNI, 0)
+                st.became = bytearray(n)
+                st.pi = bytearray(n)
+            seg_np += 1
+            if k < total and _terminates_after(k, cbstyle):
+                segs.append((coder.flush(), seg_np))
+                seg_np = 0
+                coder = RawBitWriter() if _is_raw_pass(k + 1, cbstyle) \
+                    else MQEncoder(contexts=ctx)
+    if seg_np:
+        segs.append((coder.flush(), seg_np))
+    return segs, total, nbp
+
+
 # ---------------------------------------------------------------------------
 # 5/3 reversible DWT (Annex F)
 # ---------------------------------------------------------------------------
@@ -1455,17 +1795,12 @@ def _validate_cod(cod: "_Cod") -> None:
     if cod.transform not in (0, 1):
         raise NotImplementedError(
             f"JP2: unknown wavelet transform code {cod.transform}")
-    if cod.cbstyle & 0x01:
-        raise NotImplementedError("JP2: arithmetic bypass not supported")
-    if cod.cbstyle & 0x02:
-        raise NotImplementedError("JP2: MQ context RESET not supported")
-    if cod.cbstyle & 0x04:
-        raise NotImplementedError("JP2: per-pass termination not supported")
-    if cod.cbstyle & 0x08:
+    # all six defined code-block style bits are supported (r8):
+    # bypass/reset/termall/VSC via t1_decode_segmented, ERTERM is
+    # decode-transparent, SEGSYM is decoded and verified
+    if cod.cbstyle & ~0x3F:
         raise NotImplementedError(
-            "JP2: vertically-causal contexts not supported")
-    if cod.cbstyle & 0x20:
-        raise NotImplementedError("JP2: segmentation symbols not supported")
+            f"JP2: unknown code-block style bits 0x{cod.cbstyle:02x}")
 
 
 def _parse_qcd(seg: bytes):
@@ -1505,6 +1840,7 @@ class JP2Codestream:
         self.coc = {}
         self.qcd = None
         self.qcc = {}
+        self.rgn = {}         # component -> SPrgn maxshift (RGN marker)
         self.tile_parts = {}  # tile index -> list of (body_start, body_end)
         self.tile_markers = {}  # tile index -> list of marker segs
         n = len(data)
@@ -1562,8 +1898,14 @@ class JP2Codestream:
                     ">H", seg[:2])[0]
                 off = 1 if self.ncomp < 257 else 2
                 self.qcc[ci] = _parse_qcd(seg[off:])
-            elif code in (0x5E,):  # RGN: region of interest — unsupported
-                raise NotImplementedError("JP2: RGN (ROI) not supported")
+            elif code == 0x5E:  # RGN: maxshift region of interest (H.2)
+                ci = seg[0] if self.ncomp < 257 else struct.unpack(
+                    ">H", seg[:2])[0]
+                off = 1 if self.ncomp < 257 else 2
+                if seg[off] != 0:
+                    raise NotImplementedError(
+                        "JP2: only Srgn=0 (maxshift) ROI is defined")
+                self.rgn[ci] = seg[off + 1]
             elif code in (0x5F,):  # POC
                 raise NotImplementedError(
                     "JP2: POC progression changes not supported")
@@ -1678,15 +2020,20 @@ def _band_geometry(tcx0, tcy0, tcx1, tcy1, levels: int):
 
 
 class _CbState:
-    """Per-code-block accumulation across layers."""
+    """Per-code-block accumulation across layers.  ``seg_passes``
+    parallels ``segments`` with each chunk's pass count (needed only
+    for TERMALL/BYPASS streams, where codeword segments must be decoded
+    independently)."""
 
-    __slots__ = ("included", "missing", "lblock", "segments", "n_passes")
+    __slots__ = ("included", "missing", "lblock", "segments", "n_passes",
+                 "seg_passes")
 
     def __init__(self):
         self.included = False
         self.missing = 0
         self.lblock = 3
         self.segments = []
+        self.seg_passes = []
         self.n_passes = 0
 
 
@@ -1953,6 +2300,8 @@ def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
                                dtype=np.float64 if irrev else np.int64)
                 mb = s.band_mb(r, bi)
                 delta = s.band_delta(r, bi, name) if irrev else 1
+                rgn = cs.rgn.get(c, 0)
+                cbstyle = s.cod.cbstyle
                 for p in range(pw * ph):
                     _, _, cbs = _cbs_in_precinct(
                         band, r, p, pw, s.geo[r]["res"], ppx, ppy, xcb, ycb)
@@ -1960,10 +2309,24 @@ def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
                         stt = s.cb_states.get((r, bi, p, ci))
                         if stt is None or not stt.segments:
                             continue
-                        nbp = mb - stt.missing
-                        coeffs = _t1_decode_fast(
-                            b"".join(stt.segments), cx1 - cx0, cy1 - cy0,
-                            stt.n_passes, nbp, name)
+                        # RGN maxshift: SPrgn extra bit-planes above Mb
+                        nbp = mb + rgn - stt.missing
+                        if cbstyle & _CBSTYLE_MODES:
+                            coeffs = t1_decode_segmented(
+                                list(zip(stt.segments, stt.seg_passes)),
+                                cx1 - cx0, cy1 - cy0, nbp, name, cbstyle)
+                        else:
+                            coeffs = _t1_decode_fast(
+                                b"".join(stt.segments), cx1 - cx0,
+                                cy1 - cy0, stt.n_passes, nbp, name)
+                        if rgn:
+                            # maxshift rule (H.2): a magnitude at or
+                            # above 2^SPrgn is ROI — shift it back down;
+                            # smaller magnitudes are background, as-is
+                            mags_ = np.abs(coeffs)
+                            coeffs = np.where(
+                                mags_ >= (1 << rgn),
+                                np.sign(coeffs) * (mags_ >> rgn), coeffs)
                         if irrev:
                             coeffs = np.where(
                                 coeffs == 0, 0.0,
@@ -2054,15 +2417,23 @@ def _read_packet(cs, cod, rd, r, l, p, pw, geo_r, ppx, ppy, xcb, ycb,
             npass = _read_n_passes(rd)
             while rd.get():
                 stt.lblock += 1
-            nbits = stt.lblock + int(npass).bit_length() - 1
-            seglen = rd.bits(nbits)
+            if cod.cbstyle & _CBSTYLE_SEGMENTED:
+                # one length per codeword segment in this contribution
+                # (length field width = Lblock + floor(log2(span)))
+                for span in _segment_spans(stt.n_passes, npass,
+                                           cod.cbstyle):
+                    nbits = stt.lblock + int(span).bit_length() - 1
+                    contributions.append((stt, rd.bits(nbits), span))
+            else:
+                nbits = stt.lblock + int(npass).bit_length() - 1
+                contributions.append((stt, rd.bits(nbits), npass))
             stt.n_passes += npass
-            contributions.append((stt, seglen))
     rd.align()
     if data[rd.pos:rd.pos + 2] == b"\xFF\x92":  # EPH
         rd.pos += 2
-    for stt, seglen in contributions:
+    for stt, seglen, span in contributions:
         stt.segments.append(data[rd.pos:rd.pos + seglen])
+        stt.seg_passes.append(span)
         rd.pos += seglen
 
 
@@ -2219,7 +2590,8 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
                depth: int | None = None, signed: bool | None = None,
                precinct: int | None = None, prog: str = "LRCP",
                mct: bool | None = None, lossy: bool = False,
-               frac_bits: int = 6) -> bytes:
+               frac_bits: int = 6, modes: int = 0,
+               roi_shift: int = 0) -> bytes:
     """Encode a 2-D (H, W) or multi-component 3-D (H, W, C) integer
     array as a raw JPEG2000 codestream (reversible 5/3, single quality
     layer). ``precinct`` = PPx=PPy exponent (None = maximal); ``prog`` =
@@ -2267,9 +2639,12 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
     # COD: Scod bit0 set iff custom precincts; 1 layer; MCT byte = 1
     # selects the reversible color transform on components 0-2
     prog_code = {"LRCP": 0, "RPCL": 2}[prog]
+    if modes & ~0x3F:
+        raise ValueError(f"encode_jp2: unknown mode bits 0x{modes:02x}")
     cod = bytes([1 if precinct is not None else 0, prog_code, 0, 1,
                  1 if mct else 0,
-                 levels, xcb - 2, ycb - 2, 0, 0 if lossy else 1])
+                 levels, xcb - 2, ycb - 2, modes & 0x3F,
+                 0 if lossy else 1])
     if precinct is not None:
         cod += bytes([(pp << 4) | pp] * (levels + 1))
     out += b"\xFF\x52" + struct.pack(">H", 2 + len(cod)) + cod
@@ -2299,6 +2674,11 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
                 exps.append(min(31, edepth + gain + 1))
         qcd = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
     out += b"\xFF\x5C" + struct.pack(">H", 2 + len(qcd)) + qcd
+    if roi_shift:
+        # RGN marker per component: Srgn=0 (maxshift), SPrgn=roi_shift
+        for ci in range(ncomp):
+            out += b"\xFF\x5E" + struct.pack(">H", 5) \
+                + bytes([ci, 0, int(roi_shift)])
 
     n_xt, n_yt = _ceil_div(w, tw), _ceil_div(h, th)
     for t in range(n_xt * n_yt):
@@ -2309,7 +2689,7 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
                              for c in comps],
                             tx0, ty0, tx1, ty1, levels, xcb, ycb,
                             depth, signed, guard, exps, pp, prog, mct,
-                            lossy)
+                            lossy, modes, roi_shift)
         sot = struct.pack(">HIBB", t, 12 + len(body) + 2, 0, 1)
         out += b"\xFF\x90" + struct.pack(">H", 10) + sot
         out += b"\xFF\x93" + body
@@ -2320,7 +2700,8 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
 def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
                  depth, signed, guard, exps, pp: int = 15,
                  prog: str = "LRCP", mct: bool = False,
-                 lossy: bool = False) -> bytes:
+                 lossy: bool = False, modes: int = 0,
+                 roi_shift: int = 0) -> bytes:
     if isinstance(tiles, np.ndarray):  # single-component callers
         tiles = [tiles]
     planes = []
@@ -2371,9 +2752,29 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
                                     * np.floor(np.abs(arr) / delta)
                                     ).astype(np.int64)
 
+    if roi_shift:
+        # maxshift ROI (H.2): upshift the ROI coefficients so every
+        # nonzero ROI magnitude lands at or above 2^roi_shift. The mask
+        # here is the upper-left quadrant of each band (the natural
+        # image-quadrant mapping) — the DECODER never sees the mask,
+        # only the magnitude rule, so any encoder-side mask is valid.
+        # Background magnitudes must stay below 2^roi_shift.
+        for bands in comp_bands:
+            for key, arr in bands.items():
+                bh, bw = arr.shape
+                mask = np.zeros((bh, bw), dtype=bool)
+                mask[:(bh + 1) // 2, :(bw + 1) // 2] = True
+                bg_max = int(np.abs(arr[~mask]).max()) if (~mask).any() \
+                    else 0
+                if bg_max.bit_length() > roi_shift:
+                    raise ValueError(
+                        f"encode_jp2: roi_shift={roi_shift} too small — "
+                        f"background needs {bg_max.bit_length()} planes")
+                bands[key] = np.where(mask, arr << roi_shift, arr)
+
     def band_mb(r, bi):
         e = exps[0] if r == 0 else exps[1 + 3 * (r - 1) + bi]
-        return e + guard - 1
+        return e + guard - 1 + roi_shift
 
     def emit_packet(body, bands, r, p, pw, excb, eycb):
         hdr = HeaderWriter()
@@ -2395,18 +2796,23 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
             enc_list = []
             for (rx, ry, cx0, cy0, cx1, cy1) in cbs:
                 coeffs = arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0]
-                data, npass, nbp = t1_encode(coeffs, name)
+                if modes:
+                    cb_segs, npass, nbp = t1_encode_modes(
+                        coeffs, name, modes)
+                else:
+                    data, npass, nbp = t1_encode(coeffs, name)
+                    cb_segs = [(data, npass)] if npass else []
                 if nbp > mb:
                     raise AssertionError(
                         f"encode_jp2: band {name}@r{r} needs {nbp} "
                         f"planes > Mb={mb} — raise the QCD exponent")
                 missing = mb - nbp
-                enc_list.append((rx, ry, data, npass, missing))
+                enc_list.append((rx, ry, cb_segs, npass, missing))
                 itree.set(rx, ry, 0)  # everything included in layer 0
                 ztree.set(rx, ry, missing)
             itree.finalize()
             ztree.finalize()
-            for rx, ry, data, npass, missing in enc_list:
+            for rx, ry, cb_segs, npass, missing in enc_list:
                 itree.encode(hdr, rx, ry, 1)
                 # zero-bitplane tag tree: thresholds until resolved
                 k = 1
@@ -2419,17 +2825,24 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
                     # spec requires >= 1 pass for an included cb:
                     # 1 pass with a zero-length segment
                     npass = 1
-                    data = b""
+                    cb_segs = [(b"", 1)]
                 _write_n_passes(hdr, npass)
+                # Lblock: signal enough increments that EVERY segment
+                # length fits its field (width = lblock + floor(log2(
+                # span)) bits per T.800 B.10.7)
                 lblock = 3
-                nbits = lblock + int(npass).bit_length() - 1
-                while len(data) >= (1 << nbits):
-                    hdr.put(1)
-                    lblock += 1
-                    nbits += 1
+                for data, span in cb_segs:
+                    need = len(data).bit_length() - (
+                        int(span).bit_length() - 1)
+                    if need > lblock:
+                        for _ in range(need - lblock):
+                            hdr.put(1)
+                        lblock = need
                 hdr.put(0)
-                hdr.bits(len(data), nbits)
-                segs.append(data)
+                for data, span in cb_segs:
+                    hdr.bits(len(data),
+                             lblock + int(span).bit_length() - 1)
+                    segs.append(data)
         if not any_cb:
             hdr = HeaderWriter()
             hdr.put(0)  # empty packet

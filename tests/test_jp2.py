@@ -269,18 +269,138 @@ def test_unsupported_features_raise():
         jp2.JP2Codestream(bytes(data))
 
 
-def test_unsupported_cbstyle_bits_rejected():
-    """RESET / vertically-causal / segmentation-symbol code-block styles
-    must raise (routing the file to the rasterio fallback) — the T1
-    decoder would otherwise desynchronize and return garbled pixels."""
+def test_unknown_cbstyle_bits_rejected():
+    """All six DEFINED code-block style bits are supported (r8); only
+    bits beyond the spec-defined 0x3F must still raise (routing the
+    file to the rasterio fallback) — an undefined style would
+    desynchronize the T1 decoder into garbled pixels."""
     a = np.zeros((8, 8), dtype=np.uint8)
     base = jp2.encode_jp2(a, levels=1)
     i = base.find(b"\xFF\x52")
-    for bit in (0x02, 0x08, 0x20):  # RESET, CAUSAL, SEGMARK
-        data = bytearray(base)
-        data[i + 12] |= bit  # SPcod code-block style byte
-        with pytest.raises(NotImplementedError):
-            jp2.JP2Codestream(bytes(data))
+    data = bytearray(base)
+    data[i + 12] |= 0x40
+    with pytest.raises(NotImplementedError):
+        jp2.JP2Codestream(bytes(data))
+
+
+class TestCodingModes:
+    """r8: the T.800 code-block mode switches — BYPASS (raw sigprop/
+    magref from pass 11, own segments), RESET (contexts re-init each
+    pass), TERMALL (one codeword segment per pass), VSC (stripe-causal
+    contexts), SEGSYM (verified 1010 after each cleanup) — plus RGN
+    maxshift ROI. Own-writer round-trips + structural property checks
+    (no external mode-bearing fixture exists in this container; the
+    segment-structure asserts pin the D.4/D.6 rules independently of
+    the decoder)."""
+
+    def test_t1_mode_matrix_roundtrip(self):
+        rng = np.random.default_rng(17)
+        shapes = [(4, 4), (8, 8), (16, 13), (3, 9)]
+        for i, cb in enumerate([0x01, 0x02, 0x04, 0x08, 0x20,
+                                0x05, 0x0E, 0x2F]):
+            h, w = shapes[i % len(shapes)]
+            coeffs = np.where(rng.random((h, w)) < 0.5,
+                              rng.integers(-400, 400, (h, w)), 0)
+            for orient in ("LL", "HL", "LH", "HH"):
+                segs, np_, nbp = jp2.t1_encode_modes(coeffs, orient, cb)
+                out = jp2.t1_decode_segmented(segs, w, h, nbp, orient, cb)
+                assert (out == coeffs).all(), (hex(cb), orient)
+
+    def test_style0_modes_encoder_matches_plain_encoder(self):
+        # cbstyle=0 through the segmented encoder must be byte-identical
+        # to the production single-segment encoder
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            coeffs = rng.integers(-100, 100, (8, 8))
+            d0, n0, b0 = jp2.t1_encode(coeffs, "HL")
+            segs, n1, b1 = jp2.t1_encode_modes(coeffs, "HL", 0)
+            assert (n0, b0) == (n1, b1)
+            assert [s for s, _ in segs] == ([d0] if n0 else [])
+
+    def test_segment_structure_rules(self):
+        rng = np.random.default_rng(5)
+        coeffs = rng.integers(-2000, 2000, (8, 8))
+        # TERMALL: exactly one segment per pass
+        segs, np_, _ = jp2.t1_encode_modes(coeffs, "HH", 0x04)
+        assert len(segs) == np_ and all(s[1] == 1 for s in segs)
+        # BYPASS: one MQ segment for passes 1-10, then alternating raw
+        # (sigprop+magref) pairs and single-pass MQ cleanups
+        segs, np_, _ = jp2.t1_encode_modes(coeffs, "HH", 0x01)
+        spans = [s[1] for s in segs]
+        assert spans[0] == 10
+        assert all(s in (1, 2) for s in spans[1:])
+        # raw segments never end on 0xFF (stuffing invariant)
+        for data, _ in segs:
+            assert not data or data[-1] != 0xFF
+
+    def test_segsym_detects_corruption(self):
+        rng = np.random.default_rng(7)
+        coeffs = rng.integers(-500, 500, (8, 8))
+        segs, np_, nbp = jp2.t1_encode_modes(coeffs, "LH", 0x20)
+        jp2.t1_decode_segmented(segs, 8, 8, nbp, "LH", 0x20)  # clean ok
+        data = bytearray(segs[0][0])
+        data[len(data) // 3] ^= 0x08
+        with pytest.raises(ValueError):
+            jp2.t1_decode_segmented([(bytes(data), segs[0][1])],
+                                    8, 8, nbp, "LH", 0x20)
+
+    def test_full_codestream_mode_matrix(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 4000, (96, 80)).astype(np.uint16)
+        for modes in (0x01, 0x04, 0x0E, 0x2F):
+            cs = jp2.encode_jp2(img, levels=3, cb_exp=(4, 4), modes=modes)
+            assert (jp2.decode_jp2(cs) == img).all(), hex(modes)
+        # multi-tile RGB + MCT + mode combo
+        rgb = rng.integers(0, 255, (70, 66, 3)).astype(np.uint8)
+        cs = jp2.encode_jp2(rgb, tile_size=(40, 40), levels=2,
+                            cb_exp=(5, 5), modes=0x2D)
+        for c in range(3):
+            assert (jp2.decode_jp2(cs, component=c) == rgb[:, :, c]).all()
+
+    def test_full_codestream_modes_with_lossy(self):
+        x, y = np.meshgrid(np.arange(64), np.arange(64))
+        img = (500 + 300 * np.sin(x / 7.0) * np.cos(y / 5.0)) \
+            .astype(np.uint16)
+        cs = jp2.encode_jp2(img, levels=2, cb_exp=(4, 4), lossy=True,
+                            frac_bits=6, modes=0x05)
+        assert (jp2.decode_jp2(cs).astype(int) == img.astype(int)).all()
+
+    def test_rgn_maxshift_roundtrip(self):
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 1000, (64, 64)).astype(np.uint16)
+        cs = jp2.encode_jp2(img, levels=2, cb_exp=(4, 4), roi_shift=14)
+        assert b"\xFF\x5E" in cs            # RGN marker present
+        assert (jp2.decode_jp2(cs) == img).all()
+        # combined with mode switches
+        cs = jp2.encode_jp2(img, levels=2, cb_exp=(4, 4), roi_shift=14,
+                            modes=0x05)
+        assert (jp2.decode_jp2(cs) == img).all()
+        # a shift too small for the background must refuse, not corrupt
+        with pytest.raises(ValueError):
+            jp2.encode_jp2(img, levels=2, roi_shift=2)
+
+    def test_mode_streams_survive_windows_and_reduce(self):
+        rng = np.random.default_rng(19)
+        img = rng.integers(0, 255, (96, 96)).astype(np.uint8)
+        cs = jp2.encode_jp2(img, tile_size=(48, 48), levels=2,
+                            cb_exp=(4, 4), modes=0x2F)
+        win = jp2.decode_jp2(cs, window=(20, 30, 40, 33))
+        assert (win == img[30:63, 20:60]).all()
+        ov = jp2.decode_jp2(cs, reduce=5)     # clamps to levels=2
+        assert ov.shape == (24, 24)
+
+    def test_mode_corruption_fuzz(self):
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 255, (32, 32)).astype(np.uint8)
+        base = jp2.encode_jp2(img, levels=1, cb_exp=(4, 4), modes=0x25)
+        for _ in range(60):
+            data = bytearray(base)
+            k = rng.integers(0, len(data))
+            data[k] ^= 1 << rng.integers(0, 8)
+            try:
+                jp2.decode_jp2(bytes(data))
+            except (ValueError, NotImplementedError):
+                pass   # structured failures only — never hangs/crashes
 
 
 def test_cs_cache_invalidated_on_overwrite(tmp_path):
