@@ -1843,6 +1843,8 @@ class JP2Codestream:
         self.rgn = {}         # component -> SPrgn maxshift (RGN marker)
         self.tile_parts = {}  # tile index -> list of (body_start, body_end)
         self.tile_markers = {}  # tile index -> list of marker segs
+        self.tp_order = []    # tile index per tile-part, codestream order
+        self._ppm = []        # (Zppm, bytes) main-header packed headers
         n = len(data)
         while pos < n:
             marker = data[pos:pos + 2]
@@ -1857,15 +1859,16 @@ class JP2Codestream:
                 tpos = pos + 2 + ln
                 while data[tpos:tpos + 2] != b"\xFF\x93":
                     tmk = bytes(data[tpos:tpos + 2])
-                    if tmk[1] in (0x5E, 0x5F, 0x61):
+                    if tmk[1] in (0x5E, 0x5F):
                         raise NotImplementedError(
-                            "JP2: tile-header RGN/POC/PPT not supported")
+                            "JP2: tile-header RGN/POC not supported")
                     tln = struct.unpack(">H", data[tpos + 2:tpos + 4])[0]
                     self.tile_markers.setdefault(isot, []).append(
                         (tmk, data[tpos + 4:tpos + 2 + tln]))
                     tpos += 2 + tln
                 self.tile_parts.setdefault(isot, []).append(
                     (tpos + 2, tp_end))
+                self.tp_order.append(isot)
                 pos = tp_end
                 continue
             code = marker[1]
@@ -1909,8 +1912,10 @@ class JP2Codestream:
             elif code in (0x5F,):  # POC
                 raise NotImplementedError(
                     "JP2: POC progression changes not supported")
-            elif code in (0x60, 0x61, 0x63):  # PPM/PPT/CRG
-                raise NotImplementedError("JP2: PPM/PPT headers not supported")
+            elif code == 0x60:  # PPM: packed packet headers, main header
+                self._ppm.append((seg[0], bytes(seg[1:])))
+            elif code == 0x63:  # CRG: component registration — cosmetic
+                pass
             # COM (0x64), TLM (0x55), PLM (0x57), PLT (0x58): skip
             pos += 2 + ln
         if self.cod is None or self.qcd is None:
@@ -1981,6 +1986,32 @@ class JP2Codestream:
             cod = cod.with_sgcod_from(tile_cod or self.cod)
         _validate_cod(cod)  # tile overrides bypass the __init__ checks
         return cod
+
+    def packed_headers(self, t: int):
+        """Per-tile packed packet-header stream, or None. PPM (main
+        header) takes precedence over tile-header PPT (B.12): PPM data
+        is one (Nppm u32, bytes) record per tile-part in codestream
+        order; PPT segments concatenate in Zppt order."""
+        if self._ppm:
+            if not hasattr(self, "_ppm_chunks"):
+                stream = b"".join(d for _, d in sorted(self._ppm))
+                chunks = []
+                pos = 0
+                while pos + 4 <= len(stream):
+                    n = struct.unpack(">I", stream[pos:pos + 4])[0]
+                    chunks.append(stream[pos + 4:pos + 4 + n])
+                    pos += 4 + n
+                self._ppm_chunks = chunks
+            return b"".join(
+                self._ppm_chunks[i]
+                for i, ti in enumerate(self.tp_order)
+                if ti == t and i < len(self._ppm_chunks))
+        ppt = [(seg[0], bytes(seg[1:]))
+               for mk, seg in self.tile_markers.get(t, [])
+               if mk == b"\xFF\x61"]
+        if ppt:
+            return b"".join(d for _, d in sorted(ppt))
+        return None
 
     def _tile_qcd(self, t: int, c: int):
         q = self.qcc.get(c, self.qcd)
@@ -2218,12 +2249,14 @@ def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
 
     body = b"".join(cs.data[a:b] for a, b in cs.tile_parts.get(t, []))
     rd = HeaderReader(body)
+    packed = cs.packed_headers(t)
+    hrd = HeaderReader(packed) if packed is not None else None
 
     def packet_one(c, r, l, p, pw):
         s = st[c]
         ppx, ppy, xcb, ycb, _, _ = s.res_meta[r]
         _read_packet(cs, s.cod, rd, r, l, p, pw, s.geo[r], ppx, ppy, xcb,
-                     ycb, s.incl_trees, s.zb_trees, s.cb_states)
+                     ycb, s.incl_trees, s.zb_trees, s.cb_states, hrd=hrd)
 
     def packets(c, r, l):
         pw, ph = st[c].res_meta[r][4], st[c].res_meta[r][5]
@@ -2378,15 +2411,19 @@ def _decode_tile(cs: JP2Codestream, t: int, comp: int = 0,
 
 
 def _read_packet(cs, cod, rd, r, l, p, pw, geo_r, ppx, ppy, xcb, ycb,
-                 incl_trees, zb_trees, cb_states):
+                 incl_trees, zb_trees, cb_states, hrd=None):
+    """One packet: header bits from ``hrd`` when packet headers are
+    packed (PPM/PPT — bodies stay in the bitstream ``rd``), else from
+    ``rd`` in place."""
     data = rd.data
-    # SOP marker (0xFF91): skip if present
+    hdr = rd if hrd is None else hrd
+    # SOP marker (0xFF91) lives in the BODY stream: skip if present
     if rd.cnt == 0 and data[rd.pos:rd.pos + 2] == b"\xFF\x91":
         rd.pos += 6
-    if not rd.get():           # zero-length packet
-        rd.align()
-        if data[rd.pos:rd.pos + 2] == b"\xFF\x92":  # EPH
-            rd.pos += 2
+    if not hdr.get():          # zero-length packet
+        hdr.align()
+        if hdr.data[hdr.pos:hdr.pos + 2] == b"\xFF\x92":  # EPH
+            hdr.pos += 2
         return
     contributions = []
     for bi, band in enumerate(geo_r["bands"]):
@@ -2403,19 +2440,19 @@ def _read_packet(cs, cod, rd, r, l, p, pw, geo_r, ppx, ppy, xcb, ycb,
             key = (r, bi, p, ci)
             stt = cb_states.setdefault(key, _CbState())
             if not stt.included:
-                incl = itree.decode(rd, rx, ry, l + 1)
+                incl = itree.decode(hdr, rx, ry, l + 1)
             else:
-                incl = bool(rd.get())
+                incl = bool(hdr.get())
             if not incl:
                 continue
             if not stt.included:
                 k = 1
-                while not ztree.decode(rd, rx, ry, k):
+                while not ztree.decode(hdr, rx, ry, k):
                     k += 1
                 stt.missing = k - 1
                 stt.included = True
-            npass = _read_n_passes(rd)
-            while rd.get():
+            npass = _read_n_passes(hdr)
+            while hdr.get():
                 stt.lblock += 1
             if cod.cbstyle & _CBSTYLE_SEGMENTED:
                 # one length per codeword segment in this contribution
@@ -2423,14 +2460,14 @@ def _read_packet(cs, cod, rd, r, l, p, pw, geo_r, ppx, ppy, xcb, ycb,
                 for span in _segment_spans(stt.n_passes, npass,
                                            cod.cbstyle):
                     nbits = stt.lblock + int(span).bit_length() - 1
-                    contributions.append((stt, rd.bits(nbits), span))
+                    contributions.append((stt, hdr.bits(nbits), span))
             else:
                 nbits = stt.lblock + int(npass).bit_length() - 1
-                contributions.append((stt, rd.bits(nbits), npass))
+                contributions.append((stt, hdr.bits(nbits), npass))
             stt.n_passes += npass
-    rd.align()
-    if data[rd.pos:rd.pos + 2] == b"\xFF\x92":  # EPH
-        rd.pos += 2
+    hdr.align()
+    if hdr.data[hdr.pos:hdr.pos + 2] == b"\xFF\x92":  # EPH
+        hdr.pos += 2
     for stt, seglen, span in contributions:
         stt.segments.append(data[rd.pos:rd.pos + seglen])
         stt.seg_passes.append(span)
@@ -2591,7 +2628,8 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
                precinct: int | None = None, prog: str = "LRCP",
                mct: bool | None = None, lossy: bool = False,
                frac_bits: int = 6, modes: int = 0,
-               roi_shift: int = 0) -> bytes:
+               roi_shift: int = 0,
+               packed_headers: str | None = None) -> bytes:
     """Encode a 2-D (H, W) or multi-component 3-D (H, W, C) integer
     array as a raw JPEG2000 codestream (reversible 5/3, single quality
     layer). ``precinct`` = PPx=PPy exponent (None = maximal); ``prog`` =
@@ -2680,19 +2718,46 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
             out += b"\xFF\x5E" + struct.pack(">H", 5) \
                 + bytes([ci, 0, int(roi_shift)])
 
+    if packed_headers not in (None, "ppt", "ppm"):
+        raise ValueError("encode_jp2: packed_headers must be None, "
+                         "'ppt' or 'ppm'")
     n_xt, n_yt = _ceil_div(w, tw), _ceil_div(h, th)
+    tiles_out = []
     for t in range(n_xt * n_yt):
         ti, tj = t % n_xt, t // n_xt
         tx0, ty0 = ti * tw, tj * th
         tx1, ty1 = min((ti + 1) * tw, w), min((tj + 1) * th, h)
-        body = _encode_tile([c[ty0:ty1, tx0:tx1].astype(np.int64)
-                             for c in comps],
-                            tx0, ty0, tx1, ty1, levels, xcb, ycb,
-                            depth, signed, guard, exps, pp, prog, mct,
-                            lossy, modes, roi_shift)
-        sot = struct.pack(">HIBB", t, 12 + len(body) + 2, 0, 1)
+        res = _encode_tile([c[ty0:ty1, tx0:tx1].astype(np.int64)
+                            for c in comps],
+                           tx0, ty0, tx1, ty1, levels, xcb, ycb,
+                           depth, signed, guard, exps, pp, prog, mct,
+                           lossy, modes, roi_shift,
+                           packed=packed_headers is not None)
+        hdrs, body = res if packed_headers else (b"", res)
+        tiles_out.append((hdrs, body))
+
+    def _chunks(blob: bytes, limit: int):
+        return [blob[i:i + limit] for i in range(0, len(blob), limit)] \
+            or [b""]
+
+    if packed_headers == "ppm":
+        # PPM in the MAIN header: Zppm-sequenced segments carrying one
+        # (Nppm u32, packed headers) record per tile-part (B.7)
+        stream = b"".join(struct.pack(">I", len(hdrs)) + hdrs
+                          for hdrs, _ in tiles_out)
+        for z, chunk in enumerate(_chunks(stream, 65000)):
+            out += b"\xFF\x60" + struct.pack(">H", 3 + len(chunk)) \
+                + bytes([z]) + chunk
+    for t, (hdrs, body) in enumerate(tiles_out):
+        thdr = b""
+        if packed_headers == "ppt":
+            # PPT in the tile header: Zppt-sequenced segments (B.8)
+            for z, chunk in enumerate(_chunks(hdrs, 65000)):
+                thdr += b"\xFF\x61" + struct.pack(">H", 3 + len(chunk)) \
+                    + bytes([z]) + chunk
+        sot = struct.pack(">HIBB", t, 12 + len(thdr) + len(body) + 2, 0, 1)
         out += b"\xFF\x90" + struct.pack(">H", 10) + sot
-        out += b"\xFF\x93" + body
+        out += thdr + b"\xFF\x93" + body
     out += b"\xFF\xD9"  # EOC
     return bytes(out)
 
@@ -2701,7 +2766,7 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
                  depth, signed, guard, exps, pp: int = 15,
                  prog: str = "LRCP", mct: bool = False,
                  lossy: bool = False, modes: int = 0,
-                 roi_shift: int = 0) -> bytes:
+                 roi_shift: int = 0, packed: bool = False):
     if isinstance(tiles, np.ndarray):  # single-component callers
         tiles = [tiles]
     planes = []
@@ -2846,7 +2911,9 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
         if not any_cb:
             hdr = HeaderWriter()
             hdr.put(0)  # empty packet
-        body += hdr.flush()
+        # packed mode: headers collect separately (PPM/PPT), bodies
+        # stay in the bitstream
+        (hdr_blob if packed else body).extend(hdr.flush())
         for s in segs:
             body += s
 
@@ -2855,6 +2922,7 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
     # (r, p, c) since precinct raster order IS anchor (y, x) order and
     # all components share the anchor grid
     body = bytearray()
+    hdr_blob = bytearray()
     for r in range(levels + 1):
         excb = min(xcb, pp if r == 0 else pp - 1)
         eycb = min(ycb, pp if r == 0 else pp - 1)
@@ -2868,6 +2936,8 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
             for bands in comp_bands:
                 for p in range(pw * ph):
                     emit_packet(body, bands, r, p, pw, excb, eycb)
+    if packed:
+        return bytes(hdr_blob), bytes(body)
     return bytes(body)
 
 

@@ -389,6 +389,48 @@ class TestCodingModes:
         ov = jp2.decode_jp2(cs, reduce=5)     # clamps to levels=2
         assert ov.shape == (24, 24)
 
+    def test_packed_packet_headers_ppt_ppm(self):
+        """PPM (main header) / PPT (tile header) packed packet headers:
+        header bits come from the Zppm/Zppt-sequenced marker stream
+        while bodies stay in the bitstream — round-tripped across
+        multi-tile, mode-switch, RPCL+precinct and MCT shapes, plus
+        windows/overviews on packed streams."""
+        rng = np.random.default_rng(29)
+        img = rng.integers(0, 4000, (96, 80)).astype(np.uint16)
+        for ph, marker in (("ppt", b"\xFF\x61"), ("ppm", b"\xFF\x60")):
+            for extra in ({}, {"modes": 0x05}, {"tile_size": (40, 48)},
+                          {"prog": "RPCL", "precinct": 5},
+                          {"tile_size": (48, 48), "modes": 0x2F}):
+                cs = jp2.encode_jp2(img, levels=3, cb_exp=(4, 4),
+                                    packed_headers=ph, **extra)
+                assert marker in cs
+                assert (jp2.decode_jp2(cs) == img).all(), (ph, extra)
+        rgb = rng.integers(0, 255, (70, 66, 3)).astype(np.uint8)
+        cs = jp2.encode_jp2(rgb, tile_size=(40, 40), levels=2,
+                            packed_headers="ppm")
+        for c in range(3):
+            assert (jp2.decode_jp2(cs, component=c) == rgb[:, :, c]).all()
+        cs = jp2.encode_jp2(img, tile_size=(48, 48), levels=2,
+                            cb_exp=(4, 4), packed_headers="ppt")
+        win = jp2.decode_jp2(cs, window=(10, 20, 30, 40))
+        assert (win == img[20:60, 10:40]).all()
+        assert jp2.decode_jp2(cs, reduce=2).shape == (24, 20)
+
+    def test_packed_header_corruption_fuzz(self):
+        rng = np.random.default_rng(37)
+        img = rng.integers(0, 255, (32, 32)).astype(np.uint8)
+        for ph in ("ppt", "ppm"):
+            base = jp2.encode_jp2(img, levels=1, cb_exp=(4, 4),
+                                  packed_headers=ph)
+            for _ in range(40):
+                data = bytearray(base)
+                k = rng.integers(0, len(data))
+                data[k] ^= 1 << rng.integers(0, 8)
+                try:
+                    jp2.decode_jp2(bytes(data))
+                except (ValueError, NotImplementedError):
+                    pass
+
     def test_mode_corruption_fuzz(self):
         rng = np.random.default_rng(23)
         img = rng.integers(0, 255, (32, 32)).astype(np.uint8)
@@ -632,8 +674,8 @@ def test_b01_tiles_decode_byte_exact_and_coherent():
     endpos = {}
     orig = jp2._read_packet
 
-    def spy(cs_, cod_, rd, *a):
-        orig(cs_, cod_, rd, *a)
+    def spy(cs_, cod_, rd, *a, **kw):
+        orig(cs_, cod_, rd, *a, **kw)
         endpos["p"] = rd.pos
 
     jp2._read_packet = spy
