@@ -1859,9 +1859,9 @@ class JP2Codestream:
                 tpos = pos + 2 + ln
                 while data[tpos:tpos + 2] != b"\xFF\x93":
                     tmk = bytes(data[tpos:tpos + 2])
-                    if tmk[1] in (0x5E, 0x5F):
+                    if tmk[1] == 0x5F:
                         raise NotImplementedError(
-                            "JP2: tile-header RGN/POC not supported")
+                            "JP2: tile-header POC not supported")
                     tln = struct.unpack(">H", data[tpos + 2:tpos + 4])[0]
                     self.tile_markers.setdefault(isot, []).append(
                         (tmk, data[tpos + 4:tpos + 2 + tln]))
@@ -1986,6 +1986,21 @@ class JP2Codestream:
             cod = cod.with_sgcod_from(tile_cod or self.cod)
         _validate_cod(cod)  # tile overrides bypass the __init__ checks
         return cod
+
+    def tile_rgn(self, t: int, c: int) -> int:
+        """Effective RGN maxshift for a tile-component: tile-header RGN
+        overrides the main-header one (A.6.3 precedence)."""
+        for mk, seg in self.tile_markers.get(t, []):
+            if mk == b"\xFF\x5E":
+                ci = seg[0] if self.ncomp < 257 else struct.unpack(
+                    ">H", seg[:2])[0]
+                off = 1 if self.ncomp < 257 else 2
+                if ci == c:
+                    if seg[off] != 0:
+                        raise NotImplementedError(
+                            "JP2: only Srgn=0 (maxshift) ROI is defined")
+                    return seg[off + 1]
+        return self.rgn.get(c, 0)
 
     def packed_headers(self, t: int):
         """Per-tile packed packet-header stream, or None. PPM (main
@@ -2333,7 +2348,7 @@ def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
                                dtype=np.float64 if irrev else np.int64)
                 mb = s.band_mb(r, bi)
                 delta = s.band_delta(r, bi, name) if irrev else 1
-                rgn = cs.rgn.get(c, 0)
+                rgn = cs.tile_rgn(t, c)
                 cbstyle = s.cod.cbstyle
                 for p in range(pw * ph):
                     _, _, cbs = _cbs_in_precinct(

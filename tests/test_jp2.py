@@ -416,6 +416,28 @@ class TestCodingModes:
         assert (win == img[20:60, 10:40]).all()
         assert jp2.decode_jp2(cs, reduce=2).shape == (24, 20)
 
+    def test_tile_header_rgn_overrides_main(self):
+        """RGN relocated into the tile header (A.6.3 precedence) is
+        honored: the marker is moved from the main header into the tile
+        header byte-for-byte and the ROI round-trip stays exact."""
+        import struct as _struct
+
+        rng = np.random.default_rng(43)
+        img = rng.integers(0, 1000, (64, 64)).astype(np.uint16)
+        cs = jp2.encode_jp2(img, levels=2, cb_exp=(4, 4), roi_shift=14)
+        raw = bytearray(cs)
+        i = raw.find(b"\xFF\x5E")
+        rgn_seg = bytes(raw[i:i + 7])
+        del raw[i:i + 7]
+        j = bytes(raw).find(b"\xFF\x93")
+        raw[j:j] = rgn_seg
+        k = bytes(raw).find(b"\xFF\x90")
+        psot = _struct.unpack(">I", raw[k + 6:k + 10])[0]
+        raw[k + 6:k + 10] = _struct.pack(">I", psot + 7)
+        assert (jp2.decode_jp2(bytes(raw)) == img).all()
+        csobj = jp2.JP2Codestream(bytes(raw))
+        assert csobj.rgn == {} and csobj.tile_rgn(0, 0) == 14
+
     def test_packed_header_corruption_fuzz(self):
         rng = np.random.default_rng(37)
         img = rng.integers(0, 255, (32, 32)).astype(np.uint8)

@@ -284,6 +284,19 @@ def main():
             spark.read.parquet(f"{sf}/embeddings.parquet"),
             "vec_id", centroids=e._ivf_cents(), threshold=0.98))
 
+    add("semantic_dedup pair stage, BLAS path (r8)",
+        "pairs_method='blas' replaces the pair self-join with ONE "
+        "applyInPandas gram matrix per cluster: vectors cross the wire "
+        "once per row (the SQL join ships both ~1 KB payloads with "
+        "every candidate pair), pairs leave as three scalars, and the "
+        "only Exchange keys on the one-int cluster id. The r8 sf1 "
+        "rehearsal measured 153 s -> 3.7 s on a 20k x d=64 corpus; "
+        "pair output is parity-tested against the SQL path.",
+        P.semantic_dedup(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            "vec_id", centroids=e._ivf_cents(), threshold=0.98,
+            pairs_method="blas"))
+
     from rasterframes_spark.sources.warc import read_warc, write_warc
     wd = tempfile.mkdtemp()
     with open(os.path.join(wd, "a.warc.gz"), "wb") as f:
