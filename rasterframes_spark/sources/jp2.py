@@ -1932,14 +1932,24 @@ class JP2Codestream:
         for c in self.coc.values():
             _validate_cod(c)
         d0 = (self.comp[0]["dx"], self.comp[0]["dy"])
-        if any((c["dx"], c["dy"]) != d0 for c in self.comp):
-            # component subsampling (4:2:0-style chroma grids) changes the
-            # packet interleave geometry per component. Raised HERE so
-            # read_info also rejects the file and the reader's dispatch
-            # falls through to the rasterio escape hatch (EO imagery uses
-            # a uniform grid — Sentinel-2 TCI is 3x uniform 10 m).
-            raise NotImplementedError(
-                "JP2: per-component subsampling not supported")
+        self.uniform_grid = all(
+            (c["dx"], c["dy"]) == d0 for c in self.comp) and d0 == (1, 1)
+        if not self.uniform_grid:
+            # per-component subsampling (4:2:0-style chroma grids, r8):
+            # the per-component geometry (_CompState) already divides by
+            # dx/dy, so LRCP/RLCP decode directly; POSITION-ordered
+            # progressions interleave packets by reference-grid anchor
+            # positions that this decoder has no subsampled fixture to
+            # verify against, so those raise (below) rather than risk a
+            # silent desync. MCT requires a shared grid (G.2).
+            if self.cod.mct and len({(c["dx"], c["dy"])
+                                     for c in self.comp[:3]}) > 1:
+                raise NotImplementedError(
+                    "JP2: MCT over differing component grids")
+            if self.cod.prog in (2, 3, 4):
+                raise NotImplementedError(
+                    "JP2: position-ordered progressions (RPCL/PCRL/CPRL)"
+                    " with per-component subsampling not supported")
         self.n_xtiles = _ceil_div(self.xsiz - self.xtosiz, self.xtsiz)
         self.n_ytiles = _ceil_div(self.ysiz - self.ytosiz, self.ytsiz)
         # geometry sanity: every tile must have at least one tile-part
@@ -2563,26 +2573,39 @@ def decode_jp2(data: bytes, component: int = 0,
         if window is not None:
             raise ValueError("decode_jp2: window and reduce are exclusive")
         return _decode_overview(cs, component, int(reduce))
-    w = cs.xsiz - cs.xosiz
-    h = cs.ysiz - cs.yosiz
+    # component grid (r8: per-component subsampling — samples live at
+    # reference-grid multiples of dx/dy; tile/image bounds map through
+    # ceil(coord / d), A.5.1). dx = dy = 1 reduces to the image grid.
+    dx, dy = cs.comp[component]["dx"], cs.comp[component]["dy"]
+    cox0, coy0 = _ceil_div(cs.xosiz, dx), _ceil_div(cs.yosiz, dy)
+    cw = _ceil_div(cs.xsiz, dx) - cox0
+    ch = _ceil_div(cs.ysiz, dy) - coy0
     if window is None:
-        wx0, wy0, ww, wh = 0, 0, w, h
+        wcx0, wcy0, wcw, wch = 0, 0, cw, ch
     else:
+        # window is in reference-grid (image pixel) coordinates; the
+        # output covers the component samples inside it
         wx0, wy0, ww, wh = window
+        wcx0 = _ceil_div(wx0 + cs.xosiz, dx) - cox0
+        wcy0 = _ceil_div(wy0 + cs.yosiz, dy) - coy0
+        wcw = _ceil_div(wx0 + ww + cs.xosiz, dx) - cox0 - wcx0
+        wch = _ceil_div(wy0 + wh + cs.yosiz, dy) - coy0 - wcy0
     dtype = _natural_dtype(cs.comp[component]["depth"],
                            cs.comp[component]["signed"])
-    out = np.zeros((wh, ww), dtype=dtype)
+    out = np.zeros((wch, wcw), dtype=dtype)
     for t in sorted(cs.tile_parts):
         tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
-        # image coords relative to image origin
-        ix0, iy0 = tx0 - cs.xosiz, ty0 - cs.yosiz
-        ix1, iy1 = tx1 - cs.xosiz, ty1 - cs.yosiz
-        ox0, oy0 = max(ix0, wx0), max(iy0, wy0)
-        ox1, oy1 = min(ix1, wx0 + ww), min(iy1, wy0 + wh)
+        # component-sample coords relative to the component origin
+        ix0 = _ceil_div(tx0, dx) - cox0
+        iy0 = _ceil_div(ty0, dy) - coy0
+        ix1 = _ceil_div(tx1, dx) - cox0
+        iy1 = _ceil_div(ty1, dy) - coy0
+        ox0, oy0 = max(ix0, wcx0), max(iy0, wcy0)
+        ox1, oy1 = min(ix1, wcx0 + wcw), min(iy1, wcy0 + wch)
         if ox0 >= ox1 or oy0 >= oy1:
             continue
         tile = _decode_tile(cs, t, component)
-        out[oy0 - wy0:oy1 - wy0, ox0 - wx0:ox1 - wx0] = tile[
+        out[oy0 - wcy0:oy1 - wcy0, ox0 - wcx0:ox1 - wcx0] = tile[
             oy0 - iy0:oy1 - iy0, ox0 - ix0:ox1 - ix0].astype(dtype)
     return out
 
@@ -2593,16 +2616,22 @@ def _decode_overview(cs: JP2Codestream, comp: int, reduce: int):
     resolution bounds are ceil(coord / 2^s) on shared tile edges)."""
     s = min(reduce, cs.cod.levels)
     div = 1 << s
-    ox0, oy0 = _ceil_div(cs.xosiz, div), _ceil_div(cs.yosiz, div)
-    ow = _ceil_div(cs.xsiz, div) - ox0
-    oh = _ceil_div(cs.ysiz, div) - oy0
+    dx, dy = cs.comp[comp]["dx"], cs.comp[comp]["dy"]
+    # reduced bounds are ceil(component-coord / 2^s) of the component
+    # grid ceil(ref-coord / d) — both ceils compose per resolution math
+    ox0 = _ceil_div(_ceil_div(cs.xosiz, dx), div)
+    oy0 = _ceil_div(_ceil_div(cs.yosiz, dy), div)
+    ow = _ceil_div(_ceil_div(cs.xsiz, dx), div) - ox0
+    oh = _ceil_div(_ceil_div(cs.ysiz, dy), div) - oy0
     depth = cs.comp[comp]["depth"]
     dtype = _natural_dtype(depth, cs.comp[comp]["signed"])
     out = np.zeros((oh, ow), dtype=dtype)
     for t in sorted(cs.tile_parts):
         tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
-        rx0, ry0 = _ceil_div(tx0, div), _ceil_div(ty0, div)
-        rx1, ry1 = _ceil_div(tx1, div), _ceil_div(ty1, div)
+        rx0 = _ceil_div(_ceil_div(tx0, dx), div)
+        ry0 = _ceil_div(_ceil_div(ty0, dy), div)
+        rx1 = _ceil_div(_ceil_div(tx1, dx), div)
+        ry1 = _ceil_div(_ceil_div(ty1, dy), div)
         if rx0 >= rx1 or ry0 >= ry1:
             continue
         arr = _decode_tile(cs, t, comp, reduce=s)
@@ -2644,7 +2673,8 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
                mct: bool | None = None, lossy: bool = False,
                frac_bits: int = 6, modes: int = 0,
                roi_shift: int = 0,
-               packed_headers: str | None = None) -> bytes:
+               packed_headers: str | None = None,
+               subsampling: list | None = None) -> bytes:
     """Encode a 2-D (H, W) or multi-component 3-D (H, W, C) integer
     array as a raw JPEG2000 codestream (reversible 5/3, single quality
     layer). ``precinct`` = PPx=PPy exponent (None = maximal); ``prog`` =
@@ -2654,14 +2684,42 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
     Sentinel-2 TCI true-color shape). Bit-exact round-trip with
     :func:`decode_jp2` — that property is the codec's spec oracle in
     tests/test_jp2.py."""
-    img = np.asarray(img)
-    if img.ndim == 2:
-        comps = [img]
-    elif img.ndim == 3:
-        comps = [img[:, :, c] for c in range(img.shape[2])]
+    if subsampling is not None:
+        # 4:2:0-style grids: components come as a LIST of arrays at
+        # their own ceil(ref / d) sizes; component 0 anchors the
+        # reference grid (must be (1, 1)). LRCP only (position-ordered
+        # interleaves need a shared anchor grid) and no MCT.
+        comps = [np.asarray(c) for c in img]
+        subsampling = [tuple(map(int, d)) for d in subsampling]
+        if len(subsampling) != len(comps):
+            raise ValueError("encode_jp2: one (dx, dy) per component")
+        if subsampling[0] != (1, 1):
+            raise ValueError("encode_jp2: component 0 anchors the "
+                             "reference grid (subsampling (1, 1))")
+        if any(d != (1, 1) for d in subsampling):
+            if prog != "LRCP":
+                raise ValueError("encode_jp2: subsampled encode "
+                                 "supports LRCP only")
+            if mct:
+                raise ValueError("encode_jp2: MCT needs a shared grid")
+            mct = False
+        rh, rw = comps[0].shape
+        for c, (dx_, dy_) in zip(comps, subsampling):
+            want = (_ceil_div(rh, dy_), _ceil_div(rw, dx_))
+            if c.shape != want:
+                raise ValueError(
+                    f"encode_jp2: component shape {c.shape} != {want} "
+                    f"for subsampling ({dx_}, {dy_})")
     else:
-        raise ValueError("encode_jp2: expected a 2-D (H, W) or "
-                         "3-D (H, W, C) array")
+        img = np.asarray(img)
+        if img.ndim == 2:
+            comps = [img]
+        elif img.ndim == 3:
+            comps = [img[:, :, c] for c in range(img.shape[2])]
+        else:
+            raise ValueError("encode_jp2: expected a 2-D (H, W) or "
+                             "3-D (H, W, C) array")
+        subsampling = [(1, 1)] * len(comps)
     ncomp = len(comps)
     if prog not in ("LRCP", "RPCL"):
         raise ValueError("encode_jp2: prog must be LRCP or RPCL")
@@ -2669,12 +2727,14 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
         mct = ncomp == 3  # RGB default: reversible color transform
     mct = bool(mct) and ncomp >= 3
     if signed is None:
-        signed = bool(np.issubdtype(img.dtype, np.signedinteger)
-                      and img.size and img.min() < 0)
+        signed = any(
+            bool(np.issubdtype(c.dtype, np.signedinteger)
+                 and c.size and c.min() < 0) for c in comps)
     if depth is None:
         # magnitude on an int64 copy: np.abs(INT16_MIN) overflows negative
         # on the native dtype and under-sizes depth
-        mx = int(np.abs(img.astype(np.int64)).max()) if img.size else 0
+        mx = max((int(np.abs(c.astype(np.int64)).max())
+                  for c in comps if c.size), default=0)
         depth = max(1, mx.bit_length() + (1 if signed else 0))
     h, w = comps[0].shape
     th, tw = (tile_size if tile_size else (h, w))
@@ -2687,7 +2747,9 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
     # SIZ: per spec, component depths are the ORIGINAL depths — the RCT
     # chroma bit growth is absorbed by the QCD exponents, not SIZ
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, tw, th, 0, 0, ncomp)
-    siz += bytes([(0x80 if signed else 0) | (depth - 1), 1, 1] * ncomp)
+    siz += b"".join(
+        bytes([(0x80 if signed else 0) | (depth - 1), dx_, dy_])
+        for dx_, dy_ in subsampling)
     out += b"\xFF\x51" + struct.pack(">H", 2 + len(siz)) + siz
     # COD: Scod bit0 set iff custom precincts; 1 layer; MCT byte = 1
     # selects the reversible color transform on components 0-2
@@ -2742,12 +2804,16 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
         ti, tj = t % n_xt, t // n_xt
         tx0, ty0 = ti * tw, tj * th
         tx1, ty1 = min((ti + 1) * tw, w), min((tj + 1) * th, h)
-        res = _encode_tile([c[ty0:ty1, tx0:tx1].astype(np.int64)
-                            for c in comps],
+        cc = [( _ceil_div(tx0, dx_), _ceil_div(ty0, dy_),
+                _ceil_div(tx1, dx_), _ceil_div(ty1, dy_))
+              for dx_, dy_ in subsampling]
+        res = _encode_tile([c[y0:y1, x0:x1].astype(np.int64)
+                            for c, (x0, y0, x1, y1) in zip(comps, cc)],
                            tx0, ty0, tx1, ty1, levels, xcb, ycb,
                            depth, signed, guard, exps, pp, prog, mct,
                            lossy, modes, roi_shift,
-                           packed=packed_headers is not None)
+                           packed=packed_headers is not None,
+                           comp_coords=cc)
         hdrs, body = res if packed_headers else (b"", res)
         tiles_out.append((hdrs, body))
 
@@ -2781,9 +2847,12 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
                  depth, signed, guard, exps, pp: int = 15,
                  prog: str = "LRCP", mct: bool = False,
                  lossy: bool = False, modes: int = 0,
-                 roi_shift: int = 0, packed: bool = False):
+                 roi_shift: int = 0, packed: bool = False,
+                 comp_coords=None):
     if isinstance(tiles, np.ndarray):  # single-component callers
         tiles = [tiles]
+    if comp_coords is None:            # uniform grid: shared geometry
+        comp_coords = [(tcx0, tcy0, tcx1, tcy1)] * len(tiles)
     planes = []
     for a in tiles:
         a = a.astype(np.float64) if lossy else a.copy()
@@ -2802,13 +2871,16 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
             planes[0] = (r_ + 2 * g_ + b_) >> 2  # Y
             planes[1] = b_ - g_                  # Cb
             planes[2] = r_ - g_                  # Cr
-    # forward DWT per component (uniform grid: one geometry for all)
-    geo = _band_geometry(tcx0, tcy0, tcx1, tcy1, levels)
+    # forward DWT per component on ITS tile-component grid (identical
+    # for every component on a uniform grid; differs under subsampling)
+    geos = [_band_geometry(cc[0], cc[1], cc[2], cc[3], levels)
+            for cc in comp_coords]
+    geo = geos[0]
     fwd = dwt97_forward if lossy else dwt53_forward
     comp_bands = []
-    for a in planes:
+    for a, cc in zip(planes, comp_coords):
         bands = {}
-        u0, v0 = tcx0, tcy0
+        u0, v0 = cc[0], cc[1]
         cur = a
         for r in range(levels, 0, -1):
             ll, hl, lh, hh = fwd(cur, u0, v0)
@@ -2856,14 +2928,14 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
         e = exps[0] if r == 0 else exps[1 + 3 * (r - 1) + bi]
         return e + guard - 1 + roi_shift
 
-    def emit_packet(body, bands, r, p, pw, excb, eycb):
+    def emit_packet(body, bands, r, p, pw, excb, eycb, geo_c):
         hdr = HeaderWriter()
         segs = []
         any_cb = False
         hdr.put(1)  # non-empty packet (all-zero cbs carry headers)
-        for bi, band in enumerate(geo[r]["bands"]):
+        for bi, band in enumerate(geo_c[r]["bands"]):
             cbw, cbh, cbs = _cbs_in_precinct(
-                band, r, p, pw, geo[r]["res"], pp, pp, excb, eycb)
+                band, r, p, pw, geo_c[r]["res"], pp, pp, excb, eycb)
             if not cbs:
                 continue
             any_cb = True
@@ -2941,16 +3013,22 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
     for r in range(levels + 1):
         excb = min(xcb, pp if r == 0 else pp - 1)
         eycb = min(ycb, pp if r == 0 else pp - 1)
-        trx0, try0, trx1, try1 = geo[r]["res"]
-        pw, ph = _precinct_grid(trx0, try0, trx1, try1, pp, pp)
         if prog == "RPCL":
+            # shared anchor grid required (encode_jp2 guards subsampled
+            # input to LRCP)
+            trx0, try0, trx1, try1 = geo[r]["res"]
+            pw, ph = _precinct_grid(trx0, try0, trx1, try1, pp, pp)
             for p in range(pw * ph):
-                for bands in comp_bands:
-                    emit_packet(body, bands, r, p, pw, excb, eycb)
-        else:  # LRCP
-            for bands in comp_bands:
+                for ci, bands in enumerate(comp_bands):
+                    emit_packet(body, bands, r, p, pw, excb, eycb,
+                                geos[ci])
+        else:  # LRCP: per-component precinct grids compose directly
+            for ci, bands in enumerate(comp_bands):
+                trx0, try0, trx1, try1 = geos[ci][r]["res"]
+                pw, ph = _precinct_grid(trx0, try0, trx1, try1, pp, pp)
                 for p in range(pw * ph):
-                    emit_packet(body, bands, r, p, pw, excb, eycb)
+                    emit_packet(body, bands, r, p, pw, excb, eycb,
+                                geos[ci])
     if packed:
         return bytes(hdr_blob), bytes(body)
     return bytes(body)
@@ -3160,6 +3238,36 @@ def read_window(data, info, col_off: int, row_off: int, width: int,
                 _CS_CACHE.pop(next(iter(_CS_CACHE)))
             _CS_CACHE[cache_key] = cs
     dtype = np.dtype(info.dtype)
+    dx, dy = cs.comp[band]["dx"], cs.comp[band]["dy"]
+    if (dx, dy) != (1, 1):
+        # subsampled band through the uniform band API (r8): decode the
+        # component samples covering the window and nearest-upsample to
+        # the reference grid — the convention GDAL RasterIO applies when
+        # a 4:2:0 chroma band is read at full raster size
+        cox0, coy0 = _ceil_div(cs.xosiz, dx), _ceil_div(cs.yosiz, dy)
+        ax0, ay0 = col_off + cs.xosiz, row_off + cs.yosiz
+        cx0 = max(ax0 // dx, cox0)
+        cy0 = max(ay0 // dy, coy0)
+        cx1 = min(_ceil_div(ax0 + width, dx), _ceil_div(cs.xsiz, dx))
+        cy1 = min(_ceil_div(ay0 + height, dy), _ceil_div(cs.ysiz, dy))
+        sub = np.zeros((max(cy1 - cy0, 1), max(cx1 - cx0, 1)),
+                       dtype=dtype)
+        for t in sorted(cs.tile_parts):
+            tx0, ty0, tx1, ty1 = cs.tile_bounds(t)
+            jx0, jy0 = _ceil_div(tx0, dx), _ceil_div(ty0, dy)
+            jx1, jy1 = _ceil_div(tx1, dx), _ceil_div(ty1, dy)
+            ox0, oy0 = max(jx0, cx0), max(jy0, cy0)
+            ox1, oy1 = min(jx1, cx1), min(jy1, cy1)
+            if ox0 >= ox1 or oy0 >= oy1:
+                continue
+            tile = _decode_tile_cached(cs, cache_key, t, band)
+            sub[oy0 - cy0:oy1 - cy0, ox0 - cx0:ox1 - cx0] = tile[
+                oy0 - jy0:oy1 - jy0, ox0 - jx0:ox1 - jx0].astype(dtype)
+        ridx = np.clip((np.arange(height) + ay0) // dy - cy0,
+                       0, sub.shape[0] - 1)
+        cidx = np.clip((np.arange(width) + ax0) // dx - cx0,
+                       0, sub.shape[1] - 1)
+        return sub[np.ix_(ridx, cidx)]
     out = np.zeros((height, width), dtype=dtype)
     for t in sorted(cs.tile_parts):
         tx0, ty0, tx1, ty1 = cs.tile_bounds(t)

@@ -128,7 +128,7 @@ def _cached_info(uri: str):
             "Pure-python covers the TIFF/GeoTIFF family, JPEG2000 "
             "(5/3 reversible and 9/7 irreversible), VRT, MRF and "
             "NetCDF-3/NetCDF-4 (see the README format matrix); other "
-            "GDAL formats (subsampled JP2, GRIB, ...) need GDAL — "
+            "GDAL formats (GRIB, HDF4, LERC, ...) need GDAL — "
             "installing rasterio enables the fallback read path "
             "automatically."
         ) from e

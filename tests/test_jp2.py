@@ -181,8 +181,13 @@ def test_review_pins_coc_multicomp_depth_dtype():
     mc[j + 4 + 34:j + 4 + 36] = _s.pack(">H", 2)
     mc[j + 2 + lsiz:j + 2 + lsiz] = bytes([7, 2, 2])  # 2x2-subsampled comp
     mc[j + 2:j + 4] = _s.pack(">H", lsiz + 3)
-    with pytest.raises(NotImplementedError):
-        jp2.read_info(bytes(mc))
+    # r8: subsampled grids PARSE and decode natively now (the original
+    # pin asserted parse-time rejection); the hand-edited stream here
+    # declares a phantom second component with no packets, so only the
+    # parse is meaningful — real subsampled decode is covered by
+    # TestCodingModes.test_per_component_subsampling
+    info2 = jp2.read_info(bytes(mc))
+    assert info2.bands == 2
 
     arr = np.full((30, 30), 50, dtype=np.int16)
     arr[0, 0] = -32768
@@ -437,6 +442,51 @@ class TestCodingModes:
         assert (jp2.decode_jp2(bytes(raw)) == img).all()
         csobj = jp2.JP2Codestream(bytes(raw))
         assert csobj.rgn == {} and csobj.tile_rgn(0, 0) == 14
+
+    def test_per_component_subsampling(self):
+        """4:2:0 / 4:2:2 chroma grids (r8): per-component geometry
+        decodes each component at its own ceil(ref/d) grid, windows map
+        through reference coordinates, and the uniform read_window API
+        serves subsampled bands by GDAL-style nearest upsample."""
+        rng = np.random.default_rng(53)
+        h, w = 90, 78
+        cd = jp2._ceil_div
+        y = rng.integers(0, 255, (h, w)).astype(np.uint8)
+        cb = rng.integers(0, 255, (cd(h, 2), cd(w, 2))).astype(np.uint8)
+        cr = rng.integers(0, 255, (cd(h, 2), cd(w, 2))).astype(np.uint8)
+        cs = jp2.encode_jp2([y, cb, cr], tile_size=(48, 48), levels=2,
+                            cb_exp=(4, 4),
+                            subsampling=[(1, 1), (2, 2), (2, 2)],
+                            mct=False)
+        assert (jp2.decode_jp2(cs, component=0) == y).all()
+        assert (jp2.decode_jp2(cs, component=1) == cb).all()
+        assert (jp2.decode_jp2(cs, component=2) == cr).all()
+        # reference-coord window on the half-res component
+        win = jp2.decode_jp2(cs, component=1, window=(10, 20, 30, 40))
+        assert (win == cb[10:30, 5:20]).all()
+        # overview on the component grid
+        assert jp2.decode_jp2(cs, component=1, reduce=1).shape == \
+            (cd(cd(h, 2), 2), cd(cd(w, 2), 2))
+        # 4:2:2 + mode switches compose
+        cb2 = rng.integers(0, 255, (h, cd(w, 2))).astype(np.uint8)
+        cs2 = jp2.encode_jp2([y, cb2, cb2], levels=2, cb_exp=(4, 4),
+                             subsampling=[(1, 1), (2, 1), (2, 1)],
+                             mct=False, modes=0x05)
+        assert (jp2.decode_jp2(cs2, component=1) == cb2).all()
+        # uniform band API: nearest upsample to the reference grid
+        info = jp2.read_info(cs)
+        assert (info.width, info.height) == (w, h)
+        up = jp2.read_window(cs, info, 0, 0, w, h, band=1)
+        exp = cb[(np.arange(h) // 2)[:, None], (np.arange(w) // 2)]
+        assert (up == exp).all()
+        winu = jp2.read_window(cs, info, 11, 23, 33, 21, band=1)
+        assert (winu == exp[23:44, 11:44]).all()
+        # honest residuals: position-ordered progressions with
+        # subsampled grids raise at parse (no fixture to verify order)
+        with pytest.raises(ValueError):
+            jp2.encode_jp2([y, cb, cr], prog="RPCL",
+                           subsampling=[(1, 1), (2, 2), (2, 2)],
+                           mct=False)
 
     def test_packed_header_corruption_fuzz(self):
         rng = np.random.default_rng(37)
