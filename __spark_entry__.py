@@ -955,7 +955,15 @@ def _q_media_suite(spark, sf_dir):
     DuckDB oracle recomputes in closed form from the same doc_id
     parameters — for FLAC that means the decode must be EXACT for the
     rms to match, so the whole Rice+predictor chain is inside the
-    gate."""
+    gate.
+
+    r8 adds four document-extraction families: man (troff through the
+    unified dispatcher — GZIPPED for odd doc_ids, so sniff-through-gzip
+    is gated), markdown (the pure-Catalyst renderer on SQL-built
+    source), and a MIXED-corpus family where one payload per doc
+    (format keyed doc_id%5) must sniff to the right format for mix_fmt
+    and the per-format closed-form mix_chars to line up — the dispatch
+    itself is inside the hash check."""
     import numpy as np
     from rasterframes_spark import pipeline as P
     from rasterframes_spark.pipeline.audio import encode_wav
