@@ -1881,8 +1881,64 @@ def _q_interop_suite(spark, sf_dir):
                       & F.col("pixels").eqNullSafe(F.col("ppix")))
                      .cast("double").alias("v3")))
 
+    # ---- 'jp2m' (r8): every new JP2 feature STACKED in one file —
+    # all six code-block mode switches (0x2F), PPT packed packet
+    # headers, and maxshift ROI — written driver-side with closed-form
+    # pixels y(r,c) = (13r + 7c) % 101, then read DISTRIBUTED through
+    # read_raster chunking; DuckDB re-derives the pixel sum and max
+    # arithmetically, so a desync anywhere in the mode/ROI/packed-
+    # header machinery breaks the hash
+    from rasterframes_spark.sources.jp2 import encode_jp2, wrap_jp2
+
+    jh, jw = 40, 60
+    rr, cc = np.mgrid[0:jh, 0:jw]
+    jimg = ((rr * 13 + cc * 7) % 101).astype(np.uint8)
+    jp2m_path = tempfile.mktemp(suffix=".jp2", prefix="rf_jp2m_oracle_")
+    with open(jp2m_path, "wb") as f:
+        f.write(wrap_jp2(encode_jp2(jimg, levels=2, cb_exp=(4, 4),
+                                    modes=0x2F, packed_headers="ppt",
+                                    roi_shift=12),
+                         jw, jh, 8))
+    jdf = read_raster(spark, [jp2m_path], tile_dimensions=(32, 32))
+    jp2m = (jdf.withColumn("tile", realize_tiles(F.col("tile_ref")))
+            .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+                 F.count("*").alias("n"),
+                 F.max(rf.rf_tile_max("tile")).alias("mx"))
+            .select(F.lit("jp2m").alias("family"),
+                    F.lit(0).cast("long").alias("k"),
+                    F.col("s").cast("double").alias("v1"),
+                    F.col("n").cast("double").alias("v2"),
+                    F.col("mx").cast("double").alias("v3")))
+
+    # ---- 'jp2s' (r8): per-component subsampling — band 1 at half
+    # resolution both axes, served through the uniform band API by
+    # nearest upsample; with even dims every cb sample is counted
+    # exactly 4x, so DuckDB's closed form is 4 * sum(cb)
+    cb_ = ((rr[:jh // 2, :jw // 2] * 5 + cc[:jh // 2, :jw // 2] * 3)
+           % 53).astype(np.uint8)
+    jp2s_path = tempfile.mktemp(suffix=".jp2", prefix="rf_jp2s_oracle_")
+    with open(jp2s_path, "wb") as f:
+        f.write(wrap_jp2(encode_jp2([jimg, cb_], levels=2, cb_exp=(4, 4),
+                                    subsampling=[(1, 1), (2, 2)],
+                                    mct=False),
+                         jw, jh, 8, ncomp=2))
+    s0 = (read_raster(spark, [jp2s_path], tile_dimensions=(32, 32))
+          .withColumn("tile", realize_tiles(F.col("tile_ref")))
+          .agg(F.sum(rf.rf_tile_sum("tile"))).collect()[0][0])
+    s1df = read_raster(spark, [jp2s_path], band_indexes=(1,),
+                       tile_dimensions=(32, 32))
+    tcol = "tile_ref" if "tile_ref" in s1df.columns else "tile_ref_b1"
+    jp2s = (s1df.withColumn("tile", realize_tiles(F.col(tcol)))
+            .agg(F.sum(rf.rf_tile_sum("tile")).alias("s1"),
+                 F.count("*").alias("n"))
+            .select(F.lit("jp2s").alias("family"),
+                    F.lit(0).cast("long").alias("k"),
+                    F.lit(float(s0)).alias("v1"),
+                    F.col("s1").cast("double").alias("v2"),
+                    F.col("n").cast("double").alias("v3")))
+
     return gt.unionAll(nc).unionAll(adpcm).unionAll(jpegp) \
-        .select(*out_cols)
+        .unionAll(jp2m).unionAll(jp2s).select(*out_cols)
 
 
 def _q_tile_stats(spark, sf_dir):
@@ -2105,9 +2161,30 @@ def oracle_sql() -> dict[str, str]:
                      cast(24 + (doc_id % 2) * 16 as double) as v2,
                      1.0 as v3
               from documents where doc_id < 32
+            ), jp2m as (
+              -- r8 JP2 feature stack: sum/max of (13r + 7c) % 101 over
+              -- the 40x60 grid; 4 chunks at tile_dimensions (32, 32)
+              select 'jp2m' as family, cast(0 as bigint) as k,
+                     cast(sum((i * 13 + j * 7) % 101) as double) as v1,
+                     4.0 as v2,
+                     cast(max((i * 13 + j * 7) % 101) as double) as v3
+              from (select unnest(range(40)) as i) a
+              cross join (select unnest(range(60)) as j) b
+            ), jp2s as (
+              -- subsampled band: nearest upsample counts each half-res
+              -- sample exactly 4x on the even-dimensioned grid
+              select 'jp2s' as family, cast(0 as bigint) as k,
+                     (select cast(sum((i * 13 + j * 7) % 101) as double)
+                      from (select unnest(range(40)) as i) a
+                      cross join (select unnest(range(60)) as j) b) as v1,
+                     (select cast(4 * sum((i * 5 + j * 3) % 53) as double)
+                      from (select unnest(range(20)) as i) a
+                      cross join (select unnest(range(30)) as j) b) as v2,
+                     4.0 as v3
             )
             select * from gt union all select * from ncg
-            union all select * from adpcm union all select * from jpegp""",
+            union all select * from adpcm union all select * from jpegp
+            union all select * from jp2m union all select * from jp2s""",
         "normalized_difference": C + """
             select grp, round(sum((price - qty)/(price + qty)), 6) + 0.0 as nd_sum,
                    count(*) as n
