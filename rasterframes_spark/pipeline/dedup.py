@@ -543,11 +543,23 @@ def cosine_sim(a, b) -> Column:
     return F.try_divide(dot, na * nb)
 
 
+def _round_half_up6(a):
+    """HALF_UP rounding to 6 dp, sign-aware — matches Spark's
+    ``F.round`` (ROUND_HALF_UP) so the blas and sql paths agree on
+    exact threshold-boundary cosines (``np.round`` is half-EVEN and
+    diverges on a cosine landing exactly on a 5e-7 boundary).  The
+    residual caveat: Spark rounds the double's shortest DECIMAL repr
+    (BigDecimal), so a binary value an ulp below a .5 decimal boundary
+    can still differ — no constructible case at 6 dp has been found."""
+    return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str = "embedding",
                             block_cols: list[str] | None = None,
                             threshold: float = 0.95,
                             allow_unblocked: bool = False,
-                            method: str = "sql") -> DataFrame:
+                            method: str = "sql",
+                            gram_chunk_rows: int = 4096) -> DataFrame:
     """Pairs with cosine ≥ threshold within blocking keys (e.g. an LSH
     bucket or a label). All-pairs requires ``allow_unblocked=True``
     (quadratic; use hyperplane LSH buckets as blocks at scale).
@@ -560,8 +572,15 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str = "embeddin
     computes each block's pair set as ONE numpy gram matrix inside
     ``applyInPandas`` — vectors cross the wire once per row, pairs leave
     as 3 scalars — the posture a 100 TB corpus needs. Both methods round
-    cosines to 6 decimals before thresholding and agree pair-for-pair
-    (tests/test_semantic_dedup.py parity test)."""
+    cosines to 6 decimals HALF_UP before thresholding and agree
+    pair-for-pair (tests/test_semantic_dedup.py parity test).
+
+    ``gram_chunk_rows`` bounds the blas path's per-tile memory: the
+    gram matrix is computed in ``chunk x chunk`` tiles (default 4096 ->
+    128 MB float64 per tile), so one skewed mega-cluster costs time,
+    never an OOM-killed executor — 200k rows in a single block would
+    otherwise build a 320 GB matrix in one task. Tiling is exact: the
+    same pairs leave regardless of chunk size (parity pytest)."""
     _check_blocked(block_cols, allow_unblocked, "embedding_neardup_pairs")
     if method not in ("sql", "blas"):
         raise ValueError(f"embedding_neardup_pairs: unknown method {method!r}")
@@ -578,6 +597,8 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str = "embeddin
         id_t = df.schema[id_col].dataType.simpleString()
         thr = float(threshold)
 
+        step = max(int(gram_chunk_rows), 1)
+
         def gram(pdf):
             pdf = pdf.sort_values("__id", kind="mergesort")
             ids = pdf["__id"].to_numpy()
@@ -590,14 +611,26 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str = "embeddin
             norms = np.linalg.norm(x, axis=1)
             ok = norms > 0                 # zero-norm: no cosine (SQL
             ids, x, norms = ids[ok], x[ok], norms[ok]   # path -> NULL)
-            if len(ids) < 2:
+            n = len(ids)
+            if n < 2:
                 return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
             xn = x / norms[:, None]
-            sims = np.round(xn @ xn.T, 6)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            m = (sims[iu, ju] >= thr) & (ids[iu] != ids[ju])
-            return pd.DataFrame({"id_a": ids[iu[m]], "id_b": ids[ju[m]],
-                                 "cos": sims[iu[m], ju[m]]})
+            # tile the gram product: peak extra memory is one
+            # step x step float64 tile, whatever the block size
+            out_a, out_b, out_c = [], [], []
+            for i0 in range(0, n, step):
+                xi = xn[i0:i0 + step]
+                for j0 in range(i0, n, step):
+                    sims = _round_half_up6(xi @ xn[j0:j0 + step].T)
+                    ii, jj = np.nonzero(sims >= thr)
+                    gi, gj = ii + i0, jj + j0
+                    m = (gi < gj) & (ids[gi] != ids[gj])
+                    out_a.append(ids[gi[m]])
+                    out_b.append(ids[gj[m]])
+                    out_c.append(sims[ii[m], jj[m]])
+            return pd.DataFrame({"id_a": np.concatenate(out_a),
+                                 "id_b": np.concatenate(out_b),
+                                 "cos": np.concatenate(out_c)})
 
         return t.groupBy(*bcols).applyInPandas(
             gram, schema=f"id_a {id_t}, id_b {id_t}, cos double")

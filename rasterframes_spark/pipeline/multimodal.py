@@ -740,7 +740,10 @@ def extract_document_text(df: DataFrame, max_pdf_pages: int | None = None,
     ``sources/inflate.py``). Pass ``None`` to disable."""
 
     def run(batches):
+        import zlib
+
         from rasterframes_spark.sources.html_text import extract_main_text
+        from rasterframes_spark.sources.inflate import decompress_bounded
         from rasterframes_spark.sources.office import (
             read_docx_text, read_epub_text, read_man_text,
             sniff_document_format)
@@ -756,6 +759,17 @@ def extract_document_text(df: DataFrame, max_pdf_pages: int | None = None,
                     continue
                 b = bytes(payload)
                 kind = sniff_document_format(b)
+                if kind is not None and b[:2] == b"\x1f\x8b":
+                    # the sniff sees through gzip, so the handler must
+                    # see the INNER bytes too: a gzipped HTML payload
+                    # otherwise parses mojibake into a garbage text
+                    # row, and a gzipped man page would inflate twice
+                    try:
+                        b = decompress_bounded(b, 31,
+                                               what="document: gzip",
+                                               require_complete=True)
+                    except (zlib.error, ValueError):
+                        continue
                 try:
                     if kind == "pdf":
                         text = "\n".join(pdf_extract_text(

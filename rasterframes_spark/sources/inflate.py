@@ -56,8 +56,16 @@ def inflate_bounded(d: "zlib._Decompress", data, cap: int,
 
 def decompress_bounded(data, wbits: int = 15,
                        cap: int = MAX_DECOMPRESSED_BYTES,
-                       what: str = "stream") -> bytes:
+                       what: str = "stream",
+                       require_complete: bool = False) -> bytes:
     """One-shot bounded ``zlib.decompress`` replacement (single stream).
 
-    Same exception contract as ``inflate_bounded``."""
-    return inflate_bounded(zlib.decompressobj(wbits=wbits), data, cap, what)
+    Same exception contract as ``inflate_bounded``.  With
+    ``require_complete=True`` a stream that ends before its terminator
+    raises ValueError instead of silently returning a truncated prefix
+    (zlib itself does not error on truncation)."""
+    d = zlib.decompressobj(wbits=wbits)
+    out = inflate_bounded(d, data, cap, what)
+    if require_complete and not d.eof:
+        raise ValueError(f"{what}: truncated compressed stream")
+    return out

@@ -148,17 +148,31 @@ def read_epub_text(b: bytes) -> str:
 def sniff_document_format(b: bytes) -> str | None:
     """Cheap magic/structure sniff: 'pdf' | 'docx' | 'epub' | 'html' |
     'man' | 'text' | None (binary junk).  Gzip payloads sniff their
-    decompressed head (bounded — a gzip bomb returns None, it never
-    inflates past the cap).  Markdown deliberately sniffs as 'text':
+    decompressed HEAD (first output block only — cheap, never a full
+    inflate except for zip containers, which are bounded by the cap).
+    Markdown deliberately sniffs as 'text':
     it IS plain text; routing to ``markdown_to_text`` is a corpus
     policy, not a container property."""
     if b[:2] == b"\x1f\x8b":
-        # man pages ship gzipped in /usr/share/man; sniff the inside
+        # man pages ship gzipped in /usr/share/man; sniff the inside.
+        # Inflate only the FIRST output block (8 KB) for the sniff —
+        # pdf/html/man/text are all decided within the first 4 KB, so
+        # inflating the full 256 MiB cap here (and again inside the
+        # handler) wasted two full passes per gzip payload. Only a zip
+        # container needs the whole archive (namelist reads the central
+        # directory at the END), so a PK head falls back to the full
+        # bounded inflate.
         try:
-            return sniff_document_format(
-                decompress_bounded(b, 31, what="sniff: gzip"))
-        except (zlib.error, ValueError):
+            head = zlib.decompressobj(31).decompress(b, 8192)
+        except zlib.error:
             return None
+        if head[:4] == b"PK\x03\x04":
+            try:
+                return sniff_document_format(
+                    decompress_bounded(b, 31, what="sniff: gzip"))
+            except (zlib.error, ValueError):
+                return None
+        return sniff_document_format(head)
     if b[:5] == b"%PDF-":
         return "pdf"
     if b[:4] == b"PK\x03\x04":
@@ -179,6 +193,11 @@ def sniff_document_format(b: bytes) -> str | None:
             or (b"<p>" in low and b"</p>" in low):
         return "html"
     probe = b[:4096]
+    # NUL bytes never appear in real text/troff documents — binary
+    # junk, even when it happens to be UTF-8-decodable (e.g. the head
+    # of an inflated zero-filled bomb)
+    if b"\x00" in probe:
+        return None
     # a multibyte sequence straddling the probe cut is NOT malformed —
     # trim up to 3 truncated trailing bytes before deciding (only when
     # the document actually continues past the probe)

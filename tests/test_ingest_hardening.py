@@ -6,6 +6,7 @@ course. Each test builds a small compressed payload with a huge
 decompressed size and asserts the parser refuses within the cap."""
 
 import io
+import time
 import zipfile
 import zlib
 
@@ -165,6 +166,67 @@ def test_man_gzip_bomb_raises():
 
 def test_sniff_gzip_bomb_returns_none():
     assert sniff_document_format(_gz_bomb()) is None
+
+
+def test_sniff_gzip_inflates_head_only():
+    """ADVICE r8: the sniff inflated gzip payloads at the FULL 256 MiB
+    cap just to look at the head (then the handler inflated the same
+    bytes again). It must now inflate only the first output block —
+    observable as a sniff verdict on a 300 MiB text bomb in
+    milliseconds, where a full inflate takes seconds."""
+    co = zlib.compressobj(9, wbits=31)
+    text_bomb = co.compress(b"words and more words. " *
+                            (_BOMB_RAW_LEN // 23)) + co.flush()
+    t0 = time.time()
+    # the inner content IS text; cap enforcement happens at the
+    # dispatcher's decompress, not in the sniff
+    assert sniff_document_format(text_bomb) == "text"
+    assert time.time() - t0 < 1.0
+    # a gzipped ZIP container still sniffs correctly (namelist needs
+    # the whole archive -> the one case that full-inflates, bounded)
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", "<w:document/>")
+    co = zlib.compressobj(wbits=31)
+    gz_docx = co.compress(buf.getvalue()) + co.flush()
+    assert sniff_document_format(gz_docx) == "docx"
+
+
+def test_dispatcher_gzipped_html_and_containers(spark):
+    """ADVICE r8 (medium): sniff sees through gzip but handlers got the
+    RAW gzip bytes — a gzipped HTML payload parsed mojibake into a
+    garbage text row. The dispatcher must hand every handler the inner
+    bytes: gzipped html/text/docx all extract identically to their
+    plain forms; an undecodable gzip drops."""
+    import io
+    import zipfile
+
+    from rasterframes_spark.pipeline.multimodal import extract_document_text
+    from rasterframes_spark.sources.office import write_docx
+
+    def gz(b):
+        co = zlib.compressobj(wbits=31)
+        return co.compress(b) + co.flush()
+
+    html = (b"<!doctype html><html><body><p>Real paragraph content "
+            b"long enough to keep.</p></body></html>")
+    txt = b"just a plain text document"
+    docx = write_docx([["hello docx"]])
+    rows = [(1, bytearray(html)), (2, bytearray(gz(html))),
+            (3, bytearray(txt)), (4, bytearray(gz(txt))),
+            (5, bytearray(docx)), (6, bytearray(gz(docx))),
+            # truncated gzip: sniffs but fails to decompress -> drops
+            (7, bytearray(gz(html)[:12]))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in extract_document_text(df).collect()}
+    assert 7 not in out
+    for plain, zipped in ((1, 2), (3, 4), (5, 6)):
+        assert out[plain]["format"] == out[zipped]["format"]
+        assert out[plain]["text"] == out[zipped]["text"]
+    assert out[1]["format"] == "html" and "Real paragraph" in out[1]["text"]
+    assert out[5]["format"] == "docx" and out[5]["text"] == "hello docx"
 
 
 def test_sniff_gzipped_man_page():
