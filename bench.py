@@ -13,12 +13,204 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+FULL_JSON = os.path.join(REPO_DIR, "BENCH_full.json")
+
+# The driver records only the LAST ~2000 chars of bench stdout; r8's
+# final line grew past that and the round's perf record was lost to
+# mid-object truncation (VERDICT r8 #1). Keep a hard margin under it.
+STDOUT_LINE_LIMIT = 1900
+
+
+def compact_result_line(full: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
+    """Render the final stdout JSON line under ``limit`` chars.
+
+    The complete result is written to BENCH_full.json; the stdout line
+    keeps the essentials (value, the min-series ``queries``, the
+    drift-proof ``normalized_median`` series, sf1 one-liners) and sheds
+    detail in a fixed order until it fits — never truncating mid-JSON.
+    tests/test_bench_contract.py pins that an oversized result still
+    parses from a 2000-char tail slice."""
+    line = {k: v for k, v in full.items()
+            if k not in ("median", "normalized", "derived")}
+    line["full"] = os.path.basename(FULL_JSON)
+
+    def render():
+        return json.dumps(line, separators=(",", ":"))
+
+    # sf1 legs: verbose REST-metric names -> one-liners
+    sf1 = line.get("sf1")
+    if isinstance(sf1, dict):
+        line["sf1"] = {
+            k: ({"sec": v.get("sec"), "x10": v.get("vs_10x_sf01"),
+                 "skew": v.get("max_over_median_task_shuffle_read"),
+                 "spill": v.get("spilled_mb")}
+                if isinstance(v, dict) else v)
+            for k, v in sf1.items() if k != "rows"}
+        for v in line["sf1"].values():
+            if isinstance(v, dict):
+                for kk in [kk for kk, vv in v.items() if vv is None]:
+                    del v[kk]
+    if len(render()) > limit and isinstance(
+            line.get("normalized_median"), dict):
+        # the baseline_*/jp2_* diagnostics' normalized values live in the
+        # full file; the operator cells are the regression signal — trim
+        # these BEFORE touching the sf1 scale evidence
+        line["normalized_median"] = {
+            k: v for k, v in line["normalized_median"].items()
+            if not k.startswith(("baseline_", "jp2_"))}
+    if len(render()) > limit and isinstance(line.get("sf1"), dict):
+        line["sf1"] = {k: (v.get("sec") if isinstance(v, dict) else v)
+                       for k, v in line["sf1"].items()}
+    if len(render()) > limit:
+        for key in ("queries", "normalized_median"):
+            if isinstance(line.get(key), dict):
+                line[key] = {k: round(v, 2)
+                             for k, v in line[key].items()}
+    if len(render()) > limit:
+        line.pop("normalized_median", None)
+    if len(render()) > limit:
+        line = {"metric": full.get("metric"), "value": full.get("value"),
+                "unit": full.get("unit"), "sf": full.get("sf"),
+                "full": os.path.basename(FULL_JSON)}
+    return render()
+
+
+def _zone_grid(spark, n_side: int = 16, cell: float = 16.0):
+    """n_side^2 square polygons tiling [0, n_side*cell)^2 — the broadcast
+    right side of the st_join / knn scale cells."""
+    from pyspark.sql import functions as F
+
+    import rasterframes_spark as rf
+
+    col_ = (F.col("id") % n_side).cast("double") * cell
+    row_ = F.floor(F.col("id") / n_side).cast("double") * cell
+
+    def pt(x, y):
+        return F.concat(x.cast("string"), F.lit(" "), y.cast("string"))
+
+    ring = F.concat_ws(", ", pt(col_, row_), pt(col_ + cell, row_),
+                       pt(col_ + cell, row_ + cell), pt(col_, row_ + cell),
+                       pt(col_, row_))
+    return spark.range(n_side * n_side).select(
+        F.col("id").alias("zone_id"),
+        rf.st_geom_from_wkt(F.concat(F.lit("POLYGON (("), ring,
+                                     F.lit("))"))).alias("geometry"))
+
+
+def _lineitem_points(spark, sf_dir: str, every: int = 1, copies: int = 1):
+    """Synthetic points from lineitem keys (coordinates are column
+    arithmetic, span [0,256)^2). ``every`` thins, ``copies`` replicates."""
+    from pyspark.sql import functions as F
+
+    import rasterframes_spark as rf
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if every > 1:
+        li = li.where(F.col("l_orderkey") % every == 0)
+    if copies > 1:
+        li = li.select("l_partkey", "l_suppkey", F.explode(
+            F.sequence(F.lit(0), F.lit(copies - 1))).alias("rep"))
+    return li.select(
+        ((F.col("l_partkey") % 1000) / 1000.0 * 256.0).alias("x"),
+        ((F.col("l_suppkey") % 1000) / 1000.0 * 256.0).alias("y")
+    ).select(rf.st_point("x", "y").alias("geometry"))
+
+
+def _part_points(spark, sf_dir: str):
+    """Query-side points from the part table (~20k at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    import rasterframes_spark as rf
+
+    return (spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        ((F.col("p_partkey") % 997) / 997.0 * 256.0).alias("x"),
+        ((F.col("p_partkey") % 499) / 499.0 * 256.0).alias("y"))
+        .select(rf.st_point("x", "y").alias("geometry")))
+
+
+def _rj_inputs(tile_df, n: int):
+    """raster_join scale inputs: n 256^2 tiles laid 32-per-row (extent =
+    one unit per cell), right = the same tiles shifted half a tile east
+    so every left tile merges two overlapping right tiles."""
+    from pyspark.sql import functions as F
+
+    t = tile_df(n, 256)
+    col_ = (F.col("id") % 32).cast("double") * 256.0
+    row_ = F.floor(F.col("id") / 32).cast("double") * 256.0
+    ext = F.struct(col_.alias("xmin"), row_.alias("ymin"),
+                   (col_ + 256.0).alias("xmax"), (row_ + 256.0).alias("ymax"))
+    rext = F.struct((col_ + 128.0).alias("xmin"), row_.alias("ymin"),
+                    (col_ + 384.0).alias("xmax"), (row_ + 256.0).alias("ymax"))
+    left = t.select(F.col("id").alias("grp"), F.col("tile"),
+                    ext.alias("extent"), F.lit("EPSG:32617").alias("crs"))
+    right = t.select(F.col("tile"), rext.alias("extent"),
+                     F.lit("EPSG:32617").alias("crs"))
+    return left, right
+
+
+def _build_warc_dir(docs_df, nparts: int = 16) -> str:
+    """Write documents as member-gzip WARC files (one per partition) to a
+    temp dir — the crawl-shaped input for the ingest-chain cell. Untimed
+    fixture prep; executor-local writes work because bench runs local."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rf_bench_warc_")
+
+    def wp(rows):
+        from rasterframes_spark.sources.warc import write_warc
+        recs, key = [], None
+        for r in rows:
+            if key is None:
+                key = int(r.doc_id)
+            t = ((r.text or "").replace("&", "&amp;")
+                 .replace("<", "&lt;").replace(">", "&gt;"))
+            body = (b"HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n\r\n"
+                    + (f"<html lang='en'><head><title>doc {r.doc_id}"
+                       f"</title></head><body>"
+                       f"<nav><a href='/'>home</a> <a>about</a></nav>"
+                       f"<article><p>{t}</p></article>"
+                       f"<footer>site footer</footer></body></html>"
+                       ).encode())
+            recs.append(({"WARC-Type": "response",
+                          "WARC-Target-URI":
+                              f"https://bench.example/{r.doc_id}",
+                          "WARC-Date": "2026-01-01T00:00:00Z"}, body))
+        if recs:
+            with open(os.path.join(d, f"part-{key:015d}.warc.gz"),
+                      "wb") as f:
+                f.write(write_warc(recs))
+
+    (docs_df.select("doc_id", "text").repartition(nparts)
+     .foreachPartition(wp))
+    return d
+
+
+def _ingest_chain_count(spark, path: str) -> int:
+    """The headline document pipeline (examples/web_ingest.py shape):
+    WARC -> extract_html_text -> C4 -> Gopher -> MinHash-LSH pairs."""
+    from pyspark.sql import functions as F
+
+    from rasterframes_spark import pipeline as P
+    from rasterframes_spark.sources.warc import read_warc
+
+    raw = read_warc(spark, path)
+    docs = P.extract_html_text(raw.select(
+        F.xxhash64("url").alias("media_id"), "url", "payload"))
+    c4 = P.c4_clean(docs, "text", min_sentences=1)
+    q = P.gopher_quality_filter(c4, "c4_text", min_words=10,
+                                min_stopwords=1)
+    return P.minhash_dedup_pairs(
+        q.withColumn("doc_id", F.col("media_id")), "doc_id", "c4_text",
+        num_perm=32, bands=16, threshold=0.8).count()
 
 
 def main():
@@ -109,6 +301,37 @@ def main():
         .agg(F.sum("dup_5gram_frac"), F.sum("top_2gram_char_frac")).collect(),
         repeat=5)
 
+    # --- scale-posture cells (VERDICT r8 next #5/#6): every sf1
+    # rehearsal leg gets an sf0.1 headline counterpart so vs_10x_sf01
+    # is recordable for all of them, and the document pipeline — a
+    # third of the engine's surface — gets a headline chain cell ---
+    from rasterframes_spark.operators import st_join, st_knn_join
+
+    run("semantic_dedup", lambda: P.semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=64, threshold=0.97,
+        pairs_method="blas").where("kept").count(), repeat=3)
+    run("exact_substring", lambda: P.exact_substring_pairs(
+        docs, "doc_id", "text", n=10).count(), repeat=3)
+    zones = _zone_grid(spark)
+    pts01 = _lineitem_points(spark, sf_dir, every=5)   # ~120k points
+    run("st_join_points", lambda: st_join(
+        pts01, zones, grid_size=16.0).count(), repeat=3)
+    # knn runs the exact-distance kernel on every bucket candidate —
+    # 12k left points (10x in the rehearsal) against 20k query points
+    # at radius 2 is ~1.5 s; radius 8 measured 80 s at 120k (the
+    # bounded-radius contract is the scalability knob, working as
+    # designed)
+    qpts = _part_points(spark, sf_dir)                 # ~20k points
+    knn01 = _lineitem_points(spark, sf_dir, every=50)  # ~12k points
+    run("knn_points", lambda: st_knn_join(
+        knn01, qpts, k=4, max_distance=2.0, grid_size=2.0).count(),
+        repeat=3)
+    warc01 = None
+    if not only or "doc_ingest_chain" in only:
+        warc01 = _build_warc_dir(docs)                 # untimed prep
+        run("doc_ingest_chain",
+            lambda: _ingest_chain_count(spark, warc01), repeat=3)
+
     # --- BASELINE.md-matched microbenches (same shapes as the reference's
     # JMH runs, BASELINE.md table) ---
     import numpy as np
@@ -181,6 +404,21 @@ def main():
     run("baseline_assemble_100x256", lambda: force(rf.assemble_tiles(
         cells_b, ["id"], "column_index", "row_index", "tile", 256, 256, "uint16ud255")),
         repeat=7)
+
+    # raster_join with real tile payloads (VERDICT r8 next #5: the one
+    # heavy operator that had no scale cell): 80 x 256^2 left tiles,
+    # right shifted half a tile east -> every left merges two rights.
+    # cache_inputs=False keeps repeats honest (no cross-run persist).
+    if not only or "raster_join_tiles" in only:
+        from rasterframes_spark.operators import raster_join as _rjoin
+        rj_left, rj_right = _rj_inputs(tile_df, 80)
+        rj_left.cache().count()
+        rj_right.cache().count()
+        run("raster_join_tiles", lambda: _rjoin(
+            rj_left, rj_right, cell_size_deg=1.0, cache_inputs=False)
+            .agg(F.sum(rf.rf_tile_sum("tile_right"))).collect(), repeat=3)
+        rj_left.unpersist()
+        rj_right.unpersist()
 
     # tile codec micro-cells vs BASELINE.md TileEncodeBench: per-op time =
     # cell value / op count in the name. Encode = Tile.to_row (ref: encode
@@ -268,9 +506,11 @@ def main():
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1" \
             and str(sf) == "0.1" and not only:
         try:
-            sf1 = _sf1_rehearsal(spark, sf_dir, timings)
+            sf1 = _sf1_rehearsal(spark, sf_dir, timings, tile_df)
         except Exception as e:      # noqa: BLE001 — diagnostics only
             sf1 = {"error": f"{type(e).__name__}: {e}"}
+    if warc01:
+        shutil.rmtree(warc01, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     floor = timings.get("baseline_arrow_floor_100x64", 0.0)
@@ -302,7 +542,7 @@ def main():
     normalized_median = {
         k: round(v / mfloor, 3) for k, v in medians.items()
         if mfloor > 0 and k != "baseline_arrow_floor_100x64"}
-    print(json.dumps({
+    full = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
@@ -314,18 +554,28 @@ def main():
         "normalized_unit": "x_arrow_floor",
         "sf1": sf1,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # the COMPLETE result goes to a file; stdout gets a compact line the
+    # driver's 2000-char tail capture can never truncate (VERDICT r8 #1)
+    try:
+        with open(FULL_JSON, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
+    print(compact_result_line(full))
     spark.stop()
 
 
-def _sf1_rehearsal(spark, sf_dir, sf01_timings):
-    """10x scale rehearsal: minhash_dedup / semantic_dedup / st_join /
-    decontaminate on a corpus derived from sf0.1 by 10x replication (ids
-    shifted, text/vectors salted per replica so duplicate structure stays
-    realistic). Per query: wall seconds, input rows, and — from the Spark
-    REST API — the heaviest shuffle stage's bytes, the max/median task
-    shuffle-read ratio (the skew bound the salting work claims, target
-    <= ~2x), and spill bytes (target 0)."""
+def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df):
+    """10x scale rehearsal: every heavy operator with an sf0.1 headline
+    cell runs at 10x the data (corpus derived from sf0.1 by replication —
+    ids shifted, text/vectors salted per replica so duplicate structure
+    stays realistic) and records vs_10x_sf01 against 10x the sf0.1 cell.
+    Per query: wall seconds, input rows, and — from the Spark REST API —
+    the heaviest shuffle stage's bytes, the max/median task shuffle-read
+    ratio (the skew bound the salting work claims, target <= ~2x), and
+    spill bytes (target 0)."""
     import json as _json
     import urllib.request
 
@@ -333,7 +583,8 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings):
 
     import rasterframes_spark as rf
     from rasterframes_spark import pipeline as P
-    from rasterframes_spark.operators import st_join
+    from rasterframes_spark.operators import (raster_join, st_join,
+                                              st_knn_join)
 
     sc = spark.sparkContext
     base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
@@ -440,37 +691,47 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings):
          lambda: P.semantic_dedup(emb10, "vec_id", "embedding",
                                   n_clusters=64, threshold=0.97,
                                   pairs_method="blas")
-         .where("kept").count())
+         .where("kept").count(),
+         sf01_cell="semantic_dedup")
     cell("decontaminate",
          lambda: P.decontaminate(docs10, docs01.limit(200)).count())
+    cell("exact_substring",
+         lambda: P.exact_substring_pairs(docs10, "doc_id", "text",
+                                         n=10).count(),
+         sf01_cell="exact_substring")
 
-    # st_join: 6M synthetic points (coordinates are column arithmetic on
-    # lineitem keys) against a 16x16 polygon grid over the same extent
-    pts = li2.select(
-        ((F.col("l_partkey") % 1000) / 1000.0 * 256.0).alias("x"),
-        ((F.col("l_suppkey") % 1000) / 1000.0 * 256.0).alias("y"))
-    pts = pts.select(rf.st_point("x", "y").alias("geometry"))
-    zones = spark.range(256).select(
-        F.col("id").alias("zone_id"),
-        rf.st_geom_from_wkt(F.concat(
-            F.lit("POLYGON (("),
-            ((F.col("id") % 16) * 16).cast("string"), F.lit(" "),
-            ((F.col("id") / 16).cast("int") * 16).cast("string"),
-            F.lit(", "),
-            ((F.col("id") % 16) * 16 + 16).cast("string"), F.lit(" "),
-            ((F.col("id") / 16).cast("int") * 16).cast("string"),
-            F.lit(", "),
-            ((F.col("id") % 16) * 16 + 16).cast("string"), F.lit(" "),
-            ((F.col("id") / 16).cast("int") * 16 + 16).cast("string"),
-            F.lit(", "),
-            ((F.col("id") % 16) * 16).cast("string"), F.lit(" "),
-            ((F.col("id") / 16).cast("int") * 16 + 16).cast("string"),
-            F.lit(", "),
-            ((F.col("id") % 16) * 16).cast("string"), F.lit(" "),
-            ((F.col("id") / 16).cast("int") * 16).cast("string"),
-            F.lit("))"))).alias("geometry"))
+    # st_join / knn: 1.2M synthetic points (10x the sf0.1 cells' 120k;
+    # coordinates are column arithmetic on lineitem keys) against the
+    # same 16x16 polygon grid / ~20k query points
+    pts = _lineitem_points(spark, sf_dir, copies=2)
+    zones = _zone_grid(spark)
     cell("st_join",
-         lambda: st_join(pts, zones, grid_size=16.0).count())
+         lambda: st_join(pts, zones, grid_size=16.0).count(),
+         sf01_cell="st_join_points")
+    qpts = _part_points(spark, sf_dir)
+    knn10 = _lineitem_points(spark, sf_dir, every=5)   # 10x the sf0.1 cell
+    cell("knn",
+         lambda: st_knn_join(knn10, qpts, k=4, max_distance=2.0,
+                             grid_size=2.0).count(),
+         sf01_cell="knn_points")
+
+    # raster_join: 800 x 256^2 tile payloads (10x the sf0.1 cell)
+    rj_left, rj_right = _rj_inputs(tile_df, 800)
+    rj_left, rj_right = rj_left.localCheckpoint(), rj_right.localCheckpoint()
+    cell("raster_join",
+         lambda: raster_join(rj_left, rj_right, cell_size_deg=1.0,
+                             cache_inputs=False)
+         .agg(F.sum(rf.rf_tile_sum("tile_right"))).collect(),
+         sf01_cell="raster_join_tiles")
+
+    # document ingest chain on a 10x WARC crawl built from docs10
+    warc10 = _build_warc_dir(docs10, nparts=32)
+    try:
+        cell("doc_ingest",
+             lambda: _ingest_chain_count(spark, warc10),
+             sf01_cell="doc_ingest_chain")
+    finally:
+        shutil.rmtree(warc10, ignore_errors=True)
     for df in (docs10, emb10, li2):
         df.unpersist()
     return out

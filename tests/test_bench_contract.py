@@ -1,0 +1,118 @@
+"""Bench stdout-reporting contract (VERDICT r8 #1).
+
+The driver records only the LAST ~2000 chars of bench stdout; in r8 the
+final JSON line grew to ~3.4 KB and the round's official perf record was
+lost to mid-object truncation (BENCH_r08.json parsed: null). bench.py now
+writes the complete result to BENCH_full.json and prints a compact final
+line that must ALWAYS parse from a 2000-char tail slice.
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from bench import STDOUT_LINE_LIMIT, compact_result_line  # noqa: E402
+
+CELLS = [
+    "agg_stats", "local_add_sum", "normalized_difference", "mask_pipeline",
+    "explode", "assemble", "quantiles", "text_metrics", "minhash_dedup",
+    "cosine_topk", "scrub_repetition", "semantic_dedup", "exact_substring",
+    "st_join_points", "knn_points", "doc_ingest_chain",
+    "baseline_agg_stats_400x240", "baseline_arrow_floor_100x64",
+    "baseline_local_add_100x64", "baseline_local_add_10x_1000x64",
+    "baseline_explode_100x256", "baseline_assemble_100x256",
+    "raster_join_tiles", "baseline_encode_f32_256_x2000",
+    "baseline_roundtrip_f64_512_x1000", "baseline_render_png_963x754_rgb",
+    "jp2_decode_tile_192_4x4cb", "jp2_overview_1830_reduce4",
+]
+
+SF1_LEGS = ["minhash_dedup", "semantic_dedup", "decontaminate",
+            "exact_substring", "st_join", "knn", "raster_join",
+            "doc_ingest"]
+
+
+def _full_result(n_extra: int = 0) -> dict:
+    """A result dict sized like the real r9 suite (or larger)."""
+    queries = {c: round(0.123 + i * 0.037, 3)
+               for i, c in enumerate(CELLS)}
+    for i in range(n_extra):
+        queries[f"extra_cell_with_a_long_descriptive_name_{i:03d}"] = 1.234
+    norm = {k: round(v / 0.26, 3) for k, v in queries.items()
+            if k != "baseline_arrow_floor_100x64"}
+    sf1 = {"rows": {"documents": 50000, "embeddings": 20000,
+                    "points": 1200000}}
+    for leg in SF1_LEGS:
+        sf1[leg] = {"shuffle_read_mb": 41.3, "shuffle_write_mb": 41.4,
+                    "spilled_mb": 0.0,
+                    "max_over_median_task_shuffle_read": 1.65,
+                    "sec": 17.012, "vs_10x_sf01": 1.95}
+    return {
+        "metric": "headline_suite_total", "value": 23.456, "unit": "sec",
+        "queries": queries, "median": dict(queries),
+        "derived": {"local_add_minus_floor": 0.009,
+                    "explode_minus_floor": 0.1,
+                    "assemble_minus_floor": 0.4,
+                    "local_add_10x_vs_10x_baseline": 0.49},
+        "normalized": norm, "normalized_median": norm,
+        "normalized_unit": "x_arrow_floor", "sf1": sf1, "sf": 0.1,
+    }
+
+
+def _parse_from_tail(line: str) -> dict:
+    """Exactly the driver's capture: keep the last 2000 chars of stdout
+    and parse the last line."""
+    stdout = "earlier warning noise\n" * 300 + line + "\n"
+    tail = stdout[-2000:]
+    return json.loads(tail.strip().splitlines()[-1])
+
+
+def test_r9_sized_result_fits_and_parses():
+    full = _full_result()
+    line = compact_result_line(full)
+    assert len(line) <= STDOUT_LINE_LIMIT
+    d = _parse_from_tail(line)
+    # full fidelity where it matters: the complete min series, the
+    # headline value, and an sf1 one-liner per leg
+    assert d["queries"] == full["queries"]
+    assert d["value"] == full["value"]
+    assert d["full"] == "BENCH_full.json"
+    assert set(SF1_LEGS) <= set(d["sf1"])
+    # the scale evidence survives compaction: per-leg wall seconds AND
+    # the vs-10x-linear ratio (skew/spill may trim, full file keeps all)
+    leg = d["sf1"]["minhash_dedup"]
+    assert leg["sec"] == 17.012 and leg["x10"] == 1.95
+    # the drift-proof series survives at least for the operator cells
+    nm = d.get("normalized_median", {})
+    assert "minhash_dedup" in nm and "doc_ingest_chain" in nm
+
+
+def test_oversized_result_still_parses():
+    # 60 extra long-named cells: way past the limit pre-trim; every
+    # trim stage must end in valid JSON under the cap
+    for extra in (10, 30, 60, 200):
+        full = _full_result(n_extra=extra)
+        line = compact_result_line(full)
+        assert len(line) <= STDOUT_LINE_LIMIT, extra
+        d = _parse_from_tail(line)
+        assert d["value"] == full["value"]
+
+
+def test_sf1_error_form_parses():
+    full = _full_result()
+    full["sf1"] = {"error": "RuntimeError: REST API unreachable"}
+    d = _parse_from_tail(compact_result_line(full))
+    assert d["sf1"]["error"].startswith("RuntimeError")
+
+
+def test_never_mid_object_truncated_even_at_tiny_limit():
+    # belt-and-braces: even with an absurd 200-char cap the fallback
+    # prints a complete, parseable headline object
+    full = _full_result(n_extra=100)
+    line = compact_result_line(full, limit=200)
+    assert len(line) <= 200
+    d = json.loads(line)
+    assert d["value"] == full["value"] and d["metric"] == full["metric"]
