@@ -1845,6 +1845,7 @@ class JP2Codestream:
         self.tile_markers = {}  # tile index -> list of marker segs
         self.tp_order = []    # tile index per tile-part, codestream order
         self._ppm = []        # (Zppm, bytes) main-header packed headers
+        self.poc = []         # main-header POC records (A.6.6)
         n = len(data)
         while pos < n:
             marker = data[pos:pos + 2]
@@ -1859,9 +1860,6 @@ class JP2Codestream:
                 tpos = pos + 2 + ln
                 while data[tpos:tpos + 2] != b"\xFF\x93":
                     tmk = bytes(data[tpos:tpos + 2])
-                    if tmk[1] == 0x5F:
-                        raise NotImplementedError(
-                            "JP2: tile-header POC not supported")
                     tln = struct.unpack(">H", data[tpos + 2:tpos + 4])[0]
                     self.tile_markers.setdefault(isot, []).append(
                         (tmk, data[tpos + 4:tpos + 2 + tln]))
@@ -1909,9 +1907,8 @@ class JP2Codestream:
                     raise NotImplementedError(
                         "JP2: only Srgn=0 (maxshift) ROI is defined")
                 self.rgn[ci] = seg[off + 1]
-            elif code in (0x5F,):  # POC
-                raise NotImplementedError(
-                    "JP2: POC progression changes not supported")
+            elif code in (0x5F,):  # POC: progression order changes (r9)
+                self.poc.extend(_parse_poc(seg, self.ncomp))
             elif code == 0x60:  # PPM: packed packet headers, main header
                 self._ppm.append((seg[0], bytes(seg[1:])))
             elif code == 0x63:  # CRG: component registration — cosmetic
@@ -1936,20 +1933,16 @@ class JP2Codestream:
             (c["dx"], c["dy"]) == d0 for c in self.comp) and d0 == (1, 1)
         if not self.uniform_grid:
             # per-component subsampling (4:2:0-style chroma grids, r8):
-            # the per-component geometry (_CompState) already divides by
-            # dx/dy, so LRCP/RLCP decode directly; POSITION-ordered
-            # progressions interleave packets by reference-grid anchor
-            # positions that this decoder has no subsampled fixture to
-            # verify against, so those raise (below) rather than risk a
-            # silent desync. MCT requires a shared grid (G.2).
+            # the per-component geometry (_CompState) divides by dx/dy,
+            # and position-ordered progressions (r9) anchor precincts on
+            # the REFERENCE grid (component anchor x dx/dy, B.12.1.3) —
+            # verified against hand-assembled subsampled PCRL/RPCL/CPRL
+            # codestreams (tests/test_jp2_spec_fixtures.py). MCT still
+            # requires a shared grid (G.2).
             if self.cod.mct and len({(c["dx"], c["dy"])
                                      for c in self.comp[:3]}) > 1:
                 raise NotImplementedError(
                     "JP2: MCT over differing component grids")
-            if self.cod.prog in (2, 3, 4):
-                raise NotImplementedError(
-                    "JP2: position-ordered progressions (RPCL/PCRL/CPRL)"
-                    " with per-component subsampling not supported")
         self.n_xtiles = _ceil_div(self.xsiz - self.xtosiz, self.xtsiz)
         self.n_ytiles = _ceil_div(self.ysiz - self.ytosiz, self.ytsiz)
         # geometry sanity: every tile must have at least one tile-part
@@ -2242,6 +2235,45 @@ class _CompState:
         return (2.0 ** (self.depth + gain - e)) * (1.0 + mu / 2048.0)
 
 
+def _parse_poc(seg, ncomp: int) -> list:
+    """POC marker segment (A.6.6) -> [(RSpoc, CSpoc, LYEpoc, REpoc,
+    CEpoc, Ppoc)]: each record is one progression volume — packets with
+    RSpoc <= r < REpoc, CSpoc <= c < CEpoc, layer < LYEpoc, ordered by
+    Ppoc, skipping packets already emitted by earlier records (B.12.2)."""
+    wide = ncomp >= 257
+    rec = 9 if wide else 7
+    out = []
+    for o in range(0, len(seg) - rec + 1, rec):
+        if wide:
+            rs = seg[o]
+            cs_, lye = struct.unpack(">HH", seg[o + 1:o + 5])
+            re_ = seg[o + 5]
+            ce = struct.unpack(">H", seg[o + 6:o + 8])[0]
+            pp = seg[o + 8]
+        else:
+            rs, cs_ = seg[o], seg[o + 1]
+            lye = struct.unpack(">H", seg[o + 2:o + 4])[0]
+            re_, ce, pp = seg[o + 4], seg[o + 5], seg[o + 6]
+        if pp > 4:
+            raise ValueError(f"JP2: POC with unknown progression {pp}")
+        out.append((rs, cs_, lye, re_, min(ce or 16384, ncomp), pp))
+    if not out:
+        raise ValueError("JP2: empty POC marker segment")
+    return out
+
+
+# per-progression packet sort keys over entries of
+# (c, r, l, p, pw, ay, ax); LRCP/RLCP order precincts by raster index,
+# position-ordered progressions by reference-grid anchor, layers inner
+_PROG_KEYS = {
+    0: lambda e: (e[2], e[1], e[0], e[3]),          # LRCP
+    1: lambda e: (e[1], e[2], e[0], e[3]),          # RLCP
+    2: lambda e: (e[1], e[5], e[6], e[0], e[2]),    # RPCL
+    3: lambda e: (e[5], e[6], e[0], e[1], e[2]),    # PCRL
+    4: lambda e: (e[0], e[5], e[6], e[1], e[2]),    # CPRL
+}
+
+
 def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
                        want=None) -> dict:
     """Decode one tile's components to pixel values (inverse MCT + DC
@@ -2295,7 +2327,59 @@ def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
     keep_res = max(max(0, s.levels - reduce) for s in st)
     stop_res = keep_res if (prog in (1, 2) or
                             (prog == 0 and layers == 1)) else max_levels
-    if prog == 0:  # LRCP: layer { res { comp { precinct } } }
+
+    def precinct_anchors():
+        """(c, r, p, pw, ay, ax) per precinct with REFERENCE-GRID anchor
+        positions (B.12.1.3-5): the precinct's resolution-grid origin
+        scaled by 2^(NL-r) and the component's subsampling factor; a
+        first precinct whose origin precedes the resolution bound
+        anchors at the TILE origin (the spec's "x == tx0" emission
+        clause for unaligned precinct grids)."""
+        tx0, ty0, _, _ = cs.tile_bounds(t)
+        out = []
+        for c in range(ncomp):
+            s = st[c]
+            dx, dy = cs.comp[c]["dx"], cs.comp[c]["dy"]
+            for r in range(s.levels + 1):
+                ppx, ppy, _, _, pw, ph = s.res_meta[r]
+                trx0, try0, _, _ = s.geo[r]["res"]
+                sh = s.levels - r
+                for p in range(pw * ph):
+                    pi, pj = p % pw, p // pw
+                    axr = ((trx0 >> ppx) + pi) << ppx
+                    ayr = ((try0 >> ppy) + pj) << ppy
+                    ax = tx0 if axr < trx0 else (axr << sh) * dx
+                    ay = ty0 if ayr < try0 else (ayr << sh) * dy
+                    out.append((c, r, p, pw, ay, ax))
+        return out
+
+    # POC progression-order changes (A.6.6/B.12.2, r9): tile-header POC
+    # replaces the main-header list for that tile
+    poc = []
+    for mk_, seg_ in cs.tile_markers.get(t, []):
+        if mk_ == b"\xFF\x5F":
+            poc.extend(_parse_poc(seg_, ncomp))
+    if not poc:
+        poc = list(cs.poc)
+
+    if poc:
+        # packets follow the POC records in order: each record emits the
+        # not-yet-emitted packets of its (r, c, layer) volume in its own
+        # progression; no early resolution stop — skipping a packet
+        # mid-stream would desynchronize byte offsets
+        entries = [(c, r, l, p, pw, ay, ax)
+                   for c, r, p, pw, ay, ax in precinct_anchors()
+                   for l in range(layers)]
+        seen = set()
+        for rs_, cs0, lye, re_, ce, pp in poc:
+            sel = [e for e in entries
+                   if rs_ <= e[1] < re_ and cs0 <= e[0] < ce
+                   and e[2] < lye and e[:4] not in seen]
+            sel.sort(key=_PROG_KEYS[pp])
+            for e in sel:
+                seen.add(e[:4])
+                packet_one(e[0], e[1], e[2], e[3], e[4])
+    elif prog == 0:  # LRCP: layer { res { comp { precinct } } }
         for l in range(layers):
             for r in range(stop_res + 1):
                 for c in range(ncomp):
@@ -2308,29 +2392,16 @@ def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
                     if r <= st[c].levels:
                         packets(c, r, l)
     else:
-        # position-based orders: every precinct gets a full-resolution
-        # anchor position on the component's sample grid; RPCL sorts
-        # (r, y, x, c), PCRL sorts (y, x, c, r), CPRL sorts (c, y, x, r);
-        # layers innermost
-        entries = []
-        for c in range(ncomp):
-            s = st[c]
-            for r in range(s.levels + 1):
-                ppx, ppy, xcb, ycb, pw, ph = s.res_meta[r]
-                trx0, try0, trx1, try1 = s.geo[r]["res"]
-                sh = s.levels - r
-                for p in range(pw * ph):
-                    pi, pj = p % pw, p // pw
-                    ax = max(((trx0 >> ppx) + pi) << ppx, trx0) << sh
-                    ay = max(((try0 >> ppy) + pj) << ppy, try0) << sh
-                    entries.append((r, ay, ax, c, p, pw))
+        # position-based orders: RPCL sorts (r, y, x, c), PCRL sorts
+        # (y, x, c, r), CPRL sorts (c, y, x, r); layers innermost
+        entries = precinct_anchors()
         if prog == 2:    # RPCL
-            entries.sort(key=lambda e: (e[0], e[1], e[2], e[3]))
+            entries.sort(key=lambda e: (e[1], e[4], e[5], e[0]))
         elif prog == 3:  # PCRL
-            entries.sort(key=lambda e: (e[1], e[2], e[3], e[0]))
+            entries.sort(key=lambda e: (e[4], e[5], e[0], e[1]))
         else:            # CPRL
-            entries.sort(key=lambda e: (e[3], e[1], e[2], e[0]))
-        for r, _, _, c, p, pw in entries:
+            entries.sort(key=lambda e: (e[0], e[4], e[5], e[1]))
+        for c, r, p, pw, _, _ in entries:
             if r > stop_res:       # only reachable for RPCL (r-ordered):
                 break              # PCRL/CPRL keep stop_res = levels
                                    # because skipping a packet mid-stream

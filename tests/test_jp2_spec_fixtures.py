@@ -906,3 +906,138 @@ def test_hand_assembled_420_two_component_codestream():
     from rasterframes_spark.sources.jp2 import jp2_info
     info = jp2_info(stream)
     assert info["n_components"] == 2 and info["width"] == 8
+
+
+def _single_cb_packet(coeffs) -> bytes:
+    segs, _, nbp = spec_encode(np.asarray(coeffs, dtype=np.int64), "LL", 0)
+    return (pack_header_bits(single_cb_packet_header(_MB - nbp, segs))
+            + b"".join(s for s, _ in segs))
+
+
+def _pos_order_stream(prog_code: int, tile: bytes) -> bytes:
+    """8x8 two-component 4:2:0 codestream with precincts: COD Scod=1,
+    the given progression, NL=0, one precinct-size byte 0x22 (PPx=PPy=2:
+    4x4 precincts on each component's grid [A.6.1])."""
+    cod = (b"\xff\x52" + _u16(13) + bytes([1]) + bytes([prog_code])
+           + _u16(1) + bytes([0]) + bytes([0, 4, 4, 0, 1]) + bytes([0x22]))
+    return (b"\xff\x4f" + _siz(8, 8, [(1, 1), (2, 2)]) + cod + _QCD
+            + _sot(len(tile)) + b"\xff\x93" + tile + b"\xff\xd9")
+
+
+def test_hand_assembled_subsampled_position_ordered():
+    """Position-ordered progressions UNDER subsampling (the r8 'no
+    fixture to verify the interleave' hatch, closed r9): component 0 is
+    8x8 with four 4x4 precincts (reference anchors (0,0) (4,0) (0,4)
+    (4,4)); component 1 is 4x4 at XRsiz=YRsiz=2 with ONE precinct whose
+    reference anchor is its component anchor x 2 = (0,0) [B.12.1.3-5].
+
+    PCRL sorts packets by (y, x, component, resolution), so the packet
+    stream must interleave component 1's packet into the middle of
+    component 0's:  c0@(0,0)  c1@(0,0)  c0@(4,0)  c0@(0,4)  c0@(4,4).
+    CPRL sorts by (component, y, x, resolution): all of component 0's
+    precincts first, then component 1.  RPCL at NL=0 degenerates to the
+    PCRL order (single resolution).  Each stream is hand-assembled in
+    exactly its spec order and must decode both components exactly."""
+    rng = np.random.default_rng(11)
+    c0 = rng.integers(-13, 14, (8, 8))
+    c1 = rng.integers(-9, 10, (4, 4))
+    # comp0's precinct sub-blocks are independent code-blocks
+    p = {(j, i): _single_cb_packet(c0[4 * j:4 * j + 4, 4 * i:4 * i + 4])
+         for j in (0, 1) for i in (0, 1)}
+    pk1 = _single_cb_packet(c1)
+    pcrl_tile = p[0, 0] + pk1 + p[0, 1] + p[1, 0] + p[1, 1]
+    cprl_tile = p[0, 0] + p[0, 1] + p[1, 0] + p[1, 1] + pk1
+    from rasterframes_spark.sources.jp2 import decode_jp2
+    for prog_code, tile in ((3, pcrl_tile), (2, pcrl_tile),
+                            (4, cprl_tile)):
+        stream = _pos_order_stream(prog_code, tile)
+        np.testing.assert_array_equal(
+            decode_jp2(stream, component=0).astype(np.int64) - 128, c0,
+            err_msg=f"prog {prog_code}")
+        np.testing.assert_array_equal(
+            decode_jp2(stream, component=1).astype(np.int64) - 128, c1,
+            err_msg=f"prog {prog_code}")
+    # negative control: the decoder must actually FOLLOW the declared
+    # order — a PCRL stream assembled in component-major (CPRL) order
+    # reads the wrong bytes as packet headers and cannot reproduce both
+    # components (it may also reject the stream outright)
+    try:
+        wrong = _pos_order_stream(3, cprl_tile)
+        ok0 = (decode_jp2(wrong, component=0)
+               .astype(np.int64) - 128 == c0).all()
+        ok1 = (decode_jp2(wrong, component=1)
+               .astype(np.int64) - 128 == c1).all()
+        assert not (ok0 and ok1)
+    except ValueError:
+        pass
+
+
+def _poc_marker(records) -> bytes:
+    """POC [A.6.6]: per record RSpoc(1) CSpoc(1) LYEpoc(2) REpoc(1)
+    CEpoc(1) Ppoc(1) — the < 257-component narrow form."""
+    seg = b"".join(bytes([rs, cs]) + _u16(lye) + bytes([re, ce, pp])
+                   for rs, cs, lye, re, ce, pp in records)
+    return b"\xff\x5f" + _u16(2 + len(seg)) + seg
+
+
+def test_hand_assembled_poc_codestreams():
+    """POC progression-order changes (the r8 'tile-header POC' hatch,
+    closed r9), on the subsampled two-component precinct layout:
+
+    Stream A carries a MAIN-header POC with two records:
+      record 1: components [1,2), layers [0,1), res [0,1), Ppoc LRCP
+                -> component 1's single packet FIRST
+      record 2: components [0,2), Ppoc CPRL -> the remaining packets:
+                component 0's four precincts in (y, x) anchor order
+    No single progression can put component 1 before component 0, so a
+    decoder that ignored the POC volumes would misparse the stream.
+
+    Stream B adds a TILE-header POC that contradicts the main-header
+    one (main says component 0 first; tile says component 1 first) with
+    the tile bytes in TILE order — pinning the A.6.1-style precedence
+    (tile-header POC governs its tile).
+
+    Stream C is the negative control: the same c1-first tile bytes with
+    ONLY the main-header c0-first POC — the packets misparse, so the
+    decode cannot reproduce both components (or rejects outright)."""
+    rng = np.random.default_rng(11)
+    c0 = rng.integers(-13, 14, (8, 8))
+    c1 = rng.integers(-9, 10, (4, 4))
+    p = {(j, i): _single_cb_packet(c0[4 * j:4 * j + 4, 4 * i:4 * i + 4])
+         for j in (0, 1) for i in (0, 1)}
+    tile = (_single_cb_packet(c1)
+            + p[0, 0] + p[0, 1] + p[1, 0] + p[1, 1])
+    cod = (b"\xff\x52" + _u16(13) + bytes([1]) + bytes([0]) + _u16(1)
+           + bytes([0]) + bytes([0, 4, 4, 0, 1]) + bytes([0x22]))
+    head = b"\xff\x4f" + _siz(8, 8, [(1, 1), (2, 2)]) + cod + _QCD
+    poc_c1_first = _poc_marker([(0, 1, 1, 1, 2, 0), (0, 0, 1, 1, 2, 4)])
+    poc_c0_first = _poc_marker([(0, 0, 1, 1, 1, 0), (0, 0, 1, 1, 2, 0)])
+
+    from rasterframes_spark.sources.jp2 import decode_jp2
+
+    def check(stream):
+        np.testing.assert_array_equal(
+            decode_jp2(stream, component=0).astype(np.int64) - 128, c0)
+        np.testing.assert_array_equal(
+            decode_jp2(stream, component=1).astype(np.int64) - 128, c1)
+
+    # A: main-header POC
+    check(head + poc_c1_first + _sot(len(tile)) + b"\xff\x93" + tile
+          + b"\xff\xd9")
+    # B: contradictory main POC overridden by the tile-header POC
+    sot_b = (b"\xff\x90" + _u16(10) + _u16(0)
+             + _u32(12 + len(poc_c1_first) + 2 + len(tile))
+             + bytes([0, 1]))
+    check(head + poc_c0_first + sot_b + poc_c1_first + b"\xff\x93"
+          + tile + b"\xff\xd9")
+    # C: negative control — main POC alone, wrong order for these bytes
+    try:
+        bad = (head + poc_c0_first + _sot(len(tile)) + b"\xff\x93"
+               + tile + b"\xff\xd9")
+        ok0 = (decode_jp2(bad, component=0)
+               .astype(np.int64) - 128 == c0).all()
+        ok1 = (decode_jp2(bad, component=1)
+               .astype(np.int64) - 128 == c1).all()
+        assert not (ok0 and ok1)
+    except ValueError:
+        pass
