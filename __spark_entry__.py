@@ -1937,8 +1937,38 @@ def _q_interop_suite(spark, sf_dir):
                     F.col("s1").cast("double").alias("v2"),
                     F.col("n").cast("double").alias("v3")))
 
+    # ---- 'poc' (r9): progression-order changes + position-ordered
+    # packets UNDER subsampling, inside the hash-checked gate — the
+    # codestream carries a POC marker (res-0 packets of both components
+    # PCRL-first, the remaining resolutions RPCL) with 32-sample
+    # precincts over the same closed-form pixels as jp2s, so any
+    # packet-order desync in the POC/anchor machinery breaks the hash
+    poc_path = tempfile.mktemp(suffix=".jp2", prefix="rf_poc_oracle_")
+    with open(poc_path, "wb") as f:
+        f.write(wrap_jp2(encode_jp2([jimg, cb_], levels=2, cb_exp=(4, 4),
+                                    precinct=5,
+                                    subsampling=[(1, 1), (2, 2)],
+                                    mct=False,
+                                    poc=[(0, 0, 1, 1, 2, 3),
+                                         (0, 0, 1, 3, 2, 2)]),
+                         jw, jh, 8, ncomp=2))
+    q0 = (read_raster(spark, [poc_path], tile_dimensions=(32, 32))
+          .withColumn("tile", realize_tiles(F.col("tile_ref")))
+          .agg(F.sum(rf.rf_tile_sum("tile"))).collect()[0][0])
+    q1df = read_raster(spark, [poc_path], band_indexes=(1,),
+                       tile_dimensions=(32, 32))
+    qtcol = "tile_ref" if "tile_ref" in q1df.columns else "tile_ref_b1"
+    pocf = (q1df.withColumn("tile", realize_tiles(F.col(qtcol)))
+            .agg(F.sum(rf.rf_tile_sum("tile")).alias("s1"),
+                 F.count("*").alias("n"))
+            .select(F.lit("poc").alias("family"),
+                    F.lit(0).cast("long").alias("k"),
+                    F.lit(float(q0)).alias("v1"),
+                    F.col("s1").cast("double").alias("v2"),
+                    F.col("n").cast("double").alias("v3")))
+
     return gt.unionAll(nc).unionAll(adpcm).unionAll(jpegp) \
-        .unionAll(jp2m).unionAll(jp2s).select(*out_cols)
+        .unionAll(jp2m).unionAll(jp2s).unionAll(pocf).select(*out_cols)
 
 
 def _q_tile_stats(spark, sf_dir):
@@ -2181,10 +2211,22 @@ def oracle_sql() -> dict[str, str]:
                       from (select unnest(range(20)) as i) a
                       cross join (select unnest(range(30)) as j) b) as v2,
                      4.0 as v3
+            ), poc as (
+              -- r9 POC + subsampled position-order: same closed forms
+              -- as jp2s behind a POC-ordered packet stream
+              select 'poc' as family, cast(0 as bigint) as k,
+                     (select cast(sum((i * 13 + j * 7) % 101) as double)
+                      from (select unnest(range(40)) as i) a
+                      cross join (select unnest(range(60)) as j) b) as v1,
+                     (select cast(4 * sum((i * 5 + j * 3) % 53) as double)
+                      from (select unnest(range(20)) as i) a
+                      cross join (select unnest(range(30)) as j) b) as v2,
+                     4.0 as v3
             )
             select * from gt union all select * from ncg
             union all select * from adpcm union all select * from jpegp
-            union all select * from jp2m union all select * from jp2s""",
+            union all select * from jp2m union all select * from jp2s
+            union all select * from poc""",
         "normalized_difference": C + """
             select grp, round(sum((price - qty)/(price + qty)), 6) + 0.0 as nd_sum,
                    count(*) as n

@@ -2745,11 +2745,16 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
                frac_bits: int = 6, modes: int = 0,
                roi_shift: int = 0,
                packed_headers: str | None = None,
-               subsampling: list | None = None) -> bytes:
+               subsampling: list | None = None,
+               poc: list | None = None) -> bytes:
     """Encode a 2-D (H, W) or multi-component 3-D (H, W, C) integer
     array as a raw JPEG2000 codestream (reversible 5/3, single quality
     layer). ``precinct`` = PPx=PPy exponent (None = maximal); ``prog`` =
-    'LRCP' or 'RPCL' (the Sentinel-2 shape is RPCL with 64x64
+    any of the five progressions (position-ordered ones anchor on the
+    reference grid, so they compose with ``subsampling``); ``poc`` =
+    [(RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc)] progression-order-
+    change records — a POC marker is written and packets follow the
+    records (r9).  The classic Sentinel-2 shape is RPCL with 64x64
     precincts); ``mct`` = apply the reversible color transform to
     components 0-2 (default: on for exactly 3 components — the
     Sentinel-2 TCI true-color shape). Bit-exact round-trip with
@@ -2768,9 +2773,8 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
             raise ValueError("encode_jp2: component 0 anchors the "
                              "reference grid (subsampling (1, 1))")
         if any(d != (1, 1) for d in subsampling):
-            if prog != "LRCP":
-                raise ValueError("encode_jp2: subsampled encode "
-                                 "supports LRCP only")
+            # r9: position-ordered progressions anchor on the reference
+            # grid, so every progression composes with subsampling
             if mct:
                 raise ValueError("encode_jp2: MCT needs a shared grid")
             mct = False
@@ -2792,8 +2796,9 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
                              "3-D (H, W, C) array")
         subsampling = [(1, 1)] * len(comps)
     ncomp = len(comps)
-    if prog not in ("LRCP", "RPCL"):
-        raise ValueError("encode_jp2: prog must be LRCP or RPCL")
+    if prog not in ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL"):
+        raise ValueError("encode_jp2: prog must be one of "
+                         "LRCP/RLCP/RPCL/PCRL/CPRL")
     if mct is None:
         mct = ncomp == 3  # RGB default: reversible color transform
     mct = bool(mct) and ncomp >= 3
@@ -2824,7 +2829,8 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
     out += b"\xFF\x51" + struct.pack(">H", 2 + len(siz)) + siz
     # COD: Scod bit0 set iff custom precincts; 1 layer; MCT byte = 1
     # selects the reversible color transform on components 0-2
-    prog_code = {"LRCP": 0, "RPCL": 2}[prog]
+    prog_code = {"LRCP": 0, "RLCP": 1, "RPCL": 2,
+                 "PCRL": 3, "CPRL": 4}[prog]
     if modes & ~0x3F:
         raise ValueError(f"encode_jp2: unknown mode bits 0x{modes:02x}")
     cod = bytes([1 if precinct is not None else 0, prog_code, 0, 1,
@@ -2865,6 +2871,15 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
         for ci in range(ncomp):
             out += b"\xFF\x5E" + struct.pack(">H", 5) \
                 + bytes([ci, 0, int(roi_shift)])
+    if poc:
+        if ncomp >= 257:
+            raise NotImplementedError(
+                "encode_jp2: POC narrow form only (< 257 components)")
+        pseg = b"".join(
+            bytes([rs_, cs0]) + struct.pack(">H", lye)
+            + bytes([re_, ce, ppo])
+            for rs_, cs0, lye, re_, ce, ppo in poc)
+        out += b"\xFF\x5F" + struct.pack(">H", 2 + len(pseg)) + pseg
 
     if packed_headers not in (None, "ppt", "ppm"):
         raise ValueError("encode_jp2: packed_headers must be None, "
@@ -2884,7 +2899,7 @@ def encode_jp2(img: np.ndarray, tile_size: tuple | None = None,
                            depth, signed, guard, exps, pp, prog, mct,
                            lossy, modes, roi_shift,
                            packed=packed_headers is not None,
-                           comp_coords=cc)
+                           comp_coords=cc, subs=subsampling, poc=poc)
         hdrs, body = res if packed_headers else (b"", res)
         tiles_out.append((hdrs, body))
 
@@ -2919,7 +2934,7 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
                  prog: str = "LRCP", mct: bool = False,
                  lossy: bool = False, modes: int = 0,
                  roi_shift: int = 0, packed: bool = False,
-                 comp_coords=None):
+                 comp_coords=None, subs=None, poc=None):
     if isinstance(tiles, np.ndarray):  # single-component callers
         tiles = [tiles]
     if comp_coords is None:            # uniform grid: shared geometry
@@ -3075,31 +3090,58 @@ def _encode_tile(tiles, tcx0, tcy0, tcx1, tcy1, levels, xcb, ycb,
         for s in segs:
             body += s
 
-    # packet sequence (1 layer, uniform component grids): LRCP nests
-    # layer{res{comp{prec}}} -> (r, c, p); RPCL nests res{pos{comp}} ->
-    # (r, p, c) since precinct raster order IS anchor (y, x) order and
-    # all components share the anchor grid
-    body = bytearray()
-    hdr_blob = bytearray()
+    # packet sequence (1 layer): per-precinct entries carry a REFERENCE-
+    # GRID anchor (resolution-grid origin x 2^(NL-r) x the component's
+    # subsampling; unaligned first precincts anchor at the tile origin)
+    # — the same B.12.1.3-5 math the decoder sorts by, so every
+    # progression and POC volume orders identically on both sides
+    if subs is None:
+        subs = [(1, 1)] * len(comp_bands)
+    entries = []   # (ci, r, p, pw, excb, eycb, ay, ax)
     for r in range(levels + 1):
         excb = min(xcb, pp if r == 0 else pp - 1)
         eycb = min(ycb, pp if r == 0 else pp - 1)
-        if prog == "RPCL":
-            # shared anchor grid required (encode_jp2 guards subsampled
-            # input to LRCP)
-            trx0, try0, trx1, try1 = geo[r]["res"]
+        sh = levels - r
+        for ci in range(len(comp_bands)):
+            trx0, try0, trx1, try1 = geos[ci][r]["res"]
             pw, ph = _precinct_grid(trx0, try0, trx1, try1, pp, pp)
+            dx_, dy_ = subs[ci]
             for p in range(pw * ph):
-                for ci, bands in enumerate(comp_bands):
-                    emit_packet(body, bands, r, p, pw, excb, eycb,
-                                geos[ci])
-        else:  # LRCP: per-component precinct grids compose directly
-            for ci, bands in enumerate(comp_bands):
-                trx0, try0, trx1, try1 = geos[ci][r]["res"]
-                pw, ph = _precinct_grid(trx0, try0, trx1, try1, pp, pp)
-                for p in range(pw * ph):
-                    emit_packet(body, bands, r, p, pw, excb, eycb,
-                                geos[ci])
+                pi, pj = p % pw, p // pw
+                axr = ((trx0 >> pp) + pi) << pp
+                ayr = ((try0 >> pp) + pj) << pp
+                ax = tcx0 if axr < trx0 else (axr << sh) * dx_
+                ay = tcy0 if ayr < try0 else (ayr << sh) * dy_
+                entries.append((ci, r, p, pw, excb, eycb, ay, ax))
+
+    keys = {
+        "LRCP": lambda e: (e[1], e[0], e[2]),   # 1 layer: r, c, p
+        "RLCP": lambda e: (e[1], e[0], e[2]),
+        "RPCL": lambda e: (e[1], e[6], e[7], e[0]),
+        "PCRL": lambda e: (e[6], e[7], e[0], e[1]),
+        "CPRL": lambda e: (e[0], e[6], e[7], e[1]),
+    }
+    if poc:
+        prog_names = ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL")
+        order, seen = [], set()
+        for rs_, cs0, lye, re_, ce, ppo in poc:
+            if lye < 1:
+                raise ValueError("encode_jp2: POC LYEpoc must be >= 1")
+            sel = [e for e in entries
+                   if rs_ <= e[1] < re_ and cs0 <= e[0] < ce
+                   and e[:3] not in seen]
+            sel.sort(key=keys[prog_names[ppo]])
+            seen.update(e[:3] for e in sel)
+            order += sel
+        if len(order) < len(entries):
+            raise ValueError(
+                "encode_jp2: POC records do not cover every packet")
+    else:
+        order = sorted(entries, key=keys[prog])
+    body = bytearray()
+    hdr_blob = bytearray()
+    for ci, r, p, pw, excb, eycb, _, _ in order:
+        emit_packet(body, comp_bands[ci], r, p, pw, excb, eycb, geos[ci])
     if packed:
         return bytes(hdr_blob), bytes(body)
     return bytes(body)

@@ -481,12 +481,42 @@ class TestCodingModes:
         assert (up == exp).all()
         winu = jp2.read_window(cs, info, 11, 23, 33, 21, band=1)
         assert (winu == exp[23:44, 11:44]).all()
-        # honest residuals: position-ordered progressions with
-        # subsampled grids raise at parse (no fixture to verify order)
-        with pytest.raises(ValueError):
-            jp2.encode_jp2([y, cb, cr], prog="RPCL",
-                           subsampling=[(1, 1), (2, 2), (2, 2)],
-                           mct=False)
+        # r9: position-ordered progressions compose with subsampled
+        # grids (reference-grid anchors; interleave pinned against
+        # hand-assembled fixtures in test_jp2_spec_fixtures.py) —
+        # multi-tile RPCL/PCRL round-trips exactly
+        for prg in ("RPCL", "PCRL"):
+            cs3 = jp2.encode_jp2([y, cb, cr], tile_size=(48, 48),
+                                 levels=2, cb_exp=(4, 4), prog=prg,
+                                 subsampling=[(1, 1), (2, 2), (2, 2)],
+                                 mct=False)
+            assert (jp2.decode_jp2(cs3, component=0) == y).all(), prg
+            assert (jp2.decode_jp2(cs3, component=1) == cb).all(), prg
+            assert (jp2.decode_jp2(cs3, component=2) == cr).all(), prg
+
+    def test_poc_roundtrip(self):
+        """POC progression-order changes (r9): the encoder writes a POC
+        marker and orders packets per record; the decoder follows it.
+        Volume split by resolution (res 0 PCRL-first, rest RPCL) across
+        tiles, subsampling, and the reduce path."""
+        rng = np.random.default_rng(29)
+        img = rng.integers(0, 200, (40, 56)).astype(np.uint8)
+        cbp = rng.integers(0, 99, (20, 28)).astype(np.uint8)
+        cs = jp2.encode_jp2([img, cbp], levels=2, cb_exp=(4, 4),
+                            precinct=5, subsampling=[(1, 1), (2, 2)],
+                            mct=False,
+                            poc=[(0, 0, 1, 1, 2, 3), (0, 0, 1, 3, 2, 2)])
+        assert (jp2.decode_jp2(cs, component=0) == img).all()
+        assert (jp2.decode_jp2(cs, component=1) == cbp).all()
+        cs2 = jp2.encode_jp2(img, tile_size=(24, 24), levels=2,
+                             cb_exp=(4, 4), precinct=5,
+                             poc=[(0, 0, 1, 2, 1, 4), (0, 0, 1, 3, 1, 0)])
+        assert (jp2.decode_jp2(cs2) == img).all()
+        assert jp2.decode_jp2(cs2, reduce=1).shape == (20, 28)
+        # POC records must cover every packet
+        with pytest.raises(ValueError, match="cover"):
+            jp2.encode_jp2(img, levels=2, cb_exp=(4, 4),
+                           poc=[(0, 0, 1, 1, 1, 0)])
 
     def test_packed_header_corruption_fuzz(self):
         rng = np.random.default_rng(37)
