@@ -217,8 +217,51 @@ def st_length(geom) -> Column:
     return _length(col_or_name(geom))
 
 
+def _point_xy_fast(s: pd.Series):
+    """(xs, ys, null_mask) when every non-null value in the batch is a
+    21-byte little-endian WKB Point; None for any other shape (caller
+    falls back to the general parser).  The knn/dwithin exact kernels
+    evaluate millions of point-point pairs per task, and the general
+    path costs a WKB parse + an ``intersects`` pre-check + per-pair
+    array allocation each — this path is one buffer concat + one
+    ``frombuffer`` per batch (r9: the knn_points bench cell's exact
+    phase dropped ~5x)."""
+    vals = s.values
+    n = len(vals)
+    null = np.zeros(n, dtype=bool)
+    buf = bytearray()
+    idx = []
+    for i, b in enumerate(vals):
+        if b is None:
+            null[i] = True
+            continue
+        b = bytes(b)
+        if len(b) != 21 or b[0] != 1 or b[1:5] != b"\x01\x00\x00\x00":
+            return None
+        buf += b[5:]
+        idx.append(i)
+    xs = np.full(n, np.nan)
+    ys = np.full(n, np.nan)
+    if idx:
+        arr = np.frombuffer(bytes(buf), dtype="<f8").reshape(-1, 2)
+        xs[idx] = arr[:, 0]
+        ys[idx] = arr[:, 1]
+    return xs, ys, null
+
+
 @lazy_pandas_udf("double")
 def _distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    fa, fb = _point_xy_fast(a), _point_xy_fast(b)
+    if fa is not None and fb is not None:
+        xa, ya, na = fa
+        xb, yb, nb = fb
+        # sqrt of the coordinate-difference squares — the exact same
+        # float sequence as the general path (and the SQL oracles), NOT
+        # np.hypot (last-ulp differences would break value hashes)
+        d = np.sqrt((xa - xb) ** 2 + (ya - yb) ** 2)
+        out = pd.Series(d, dtype="float64")
+        out[na | nb] = np.nan          # Arrow from_pandas: NaN -> null
+        return out
     ga, gb = _geoms(a), _geoms(b)
     return pd.Series(
         [None if (x is None or y is None) else float(G.distance(x, y)) for x, y in zip(ga, gb)],
