@@ -556,13 +556,16 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # the COMPLETE result goes to a file; stdout gets a compact line the
-    # driver's 2000-char tail capture can never truncate (VERDICT r8 #1)
-    try:
-        with open(FULL_JSON, "w") as f:
-            json.dump(full, f, indent=1)
-            f.write("\n")
-    except OSError:
-        pass
+    # driver's 2000-char tail capture can never truncate (VERDICT r8 #1).
+    # Cell-filtered runs (tools/bench_ab.py) must NOT clobber the full
+    # suite's record with a partial one.
+    if not only:
+        try:
+            with open(FULL_JSON, "w") as f:
+                json.dump(full, f, indent=1)
+                f.write("\n")
+        except OSError:
+            pass
     print(compact_result_line(full))
     spark.stop()
 

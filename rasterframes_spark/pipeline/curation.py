@@ -121,12 +121,19 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         toks = F.split(c, r"\s+")
         # guard: F.sequence(1, 0) would count DOWN — short docs get an
         # empty gram set, not a slice(start=0) error
+        # zip_with fold (r9): transform-over-positions re-inlines the
+        # token expression per element (O(words^2) interpreted); the
+        # fold's slices evaluate once per row.  Hash VALUES are
+        # unchanged (same gram strings feed xxhash64) — both sides of
+        # the contamination join use this same builder either way.
+        k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        g = F.slice(toks, 1, F.greatest(k, F.lit(1)))
+        for i in range(1, n):
+            g = F.zip_with(g, F.slice(toks, i + 1, F.greatest(k, F.lit(1))),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
         return F.when(
             F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
-            ),
+            F.transform(g, lambda s: F.xxhash64(s)),
         ).otherwise(F.array().cast("array<bigint>"))
 
     bench = (benchmark.select(F.explode(grams(benchmark, bench_text_col))

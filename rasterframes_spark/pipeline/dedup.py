@@ -63,15 +63,23 @@ def exact_dup_groups(df: DataFrame, col: str = "text") -> DataFrame:
 
 
 def shingles(text, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string> — pure built-ins:
-    transform over token positions + slice + concat_ws."""
+    """Distinct word n-gram shingles as array<string> — pure built-ins.
+
+    Built as a zip_with FOLD over n shifted slices of the token array
+    (r9), not a transform over positions: Catalyst interprets HOF
+    lambdas and re-inlines every captured expression PER ELEMENT, so
+    the old ``transform(sequence, i -> concat_ws(slice(t, i, n)))``
+    re-ran the split for every gram position — O(words^2) per document
+    (measured 2.1 s -> 0.46 s over 5k sf0.1 docs at n=3).  zip_with
+    children are ordinary expressions evaluated once per row; the fold
+    is O(words x n).  Output strings are identical."""
     t = F.split(F.col(text) if isinstance(text, str) else text, " ")
     k = F.greatest(F.size(t) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
-    return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array())
+    g = F.slice(t, 1, F.greatest(k, F.lit(1)))
+    for i in range(1, n):
+        g = F.zip_with(g, F.slice(t, i + 1, F.greatest(k, F.lit(1))),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(k > 0, F.array_distinct(g)).otherwise(F.array())
 
 
 def text_jaccard(text_a, text_b, shingle_size: int = 3) -> Column:
@@ -819,17 +827,38 @@ def token_gram_hashes(text_col, n: int = 50,
     word-aligned span of at least ``n + s - 1`` tokens selects at least
     one common fingerprint in both documents (a full s-window of shared
     grams lies inside the run in both; its min is selected in both).
-    Pure codegen (split/sequence/transform/slice/array_min), no Python.
+    Pure built-ins, no Python.
+
+    COST NOTE (r9): as a single Column expression the nested
+    higher-order functions re-inline the token-hash array per gram
+    position (Catalyst interprets HOF lambdas without CSE) —
+    O(words^2) per document.  The operators (:func:`flag_repeated_spans`
+    / :func:`exact_substring_pairs`) route through
+    :func:`_gram_fingerprint_rows`, which stages each intermediate
+    array behind a Generate boundary and produces IDENTICAL fingerprint
+    values at O(words) — prefer the operators for corpus-scale work.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(c, r"\s+")
+    # two-stage hashing (r9): each token's bytes hash ONCE, then every
+    # gram hashes a sliced array of n int64s (xxhash64 accepts complex
+    # types) — the previous per-position concat_ws built an ~n-token
+    # string per gram, O(words x n x token_len) char copying that made
+    # the gram pass ~4x the cost of everything downstream.  Gram
+    # identity is unchanged (same token sequences collide), only the
+    # fingerprint VALUES differ — callers treat them as opaque.
+    th = F.transform(toks, lambda t: F.xxhash64(t))
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+            lambda i: F.xxhash64(F.slice(th, i, n)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    return _winnow(grams, winnow_stride)
+
+
+def _winnow(grams, winnow_stride: int):
     s = int(winnow_stride)
     if s <= 1:
         return F.array_distinct(grams)
@@ -842,6 +871,41 @@ def token_gram_hashes(text_col, n: int = 50,
     ).otherwise(grams))  # fewer than s grams: keep them all (short docs)
 
 
+def _gram_fingerprint_rows(docs: DataFrame, id_col: str, text_col: str,
+                           n: int, winnow_stride: int) -> DataFrame:
+    """(__id, __w) distinct gram-fingerprint rows with STAGED evaluation.
+
+    Catalyst interprets higher-order-function lambdas and re-inlines
+    every referenced expression per element: a lambda over gram
+    positions that references the token(-hash) array recomputes that
+    whole array per position — O(words^2) per document, and the winnow
+    stage over the gram array squared it again (measured r9 on sf0.1
+    documents: 4.2 s plain / 154 s winnowed collapsing to ~1.05 s
+    each).  Exploding a ONE-element array wrapper forces a Generate
+    boundary, so each intermediate array materializes exactly once per
+    row and later stages reference a plain attribute.  Fingerprint
+    values are identical to :func:`token_gram_hashes`."""
+    nn = int(n)
+    toks = F.split(F.col(text_col) if isinstance(text_col, str)
+                   else text_col, r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    staged = docs.select(F.col(id_col).alias("__id"),
+                         F.explode(F.array(th)).alias("__th"))
+    thc = F.col("__th")
+    grams = F.when(
+        F.size(thc) >= nn,
+        F.transform(F.sequence(F.lit(1), F.size(thc) - (nn - 1)),
+                    lambda i: F.xxhash64(F.slice(thc, i, nn))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    if int(winnow_stride) > 1:
+        staged = staged.select("__id",
+                               F.explode(F.array(grams)).alias("__g"))
+        grams = _winnow(F.col("__g"), winnow_stride)
+    else:
+        grams = F.array_distinct(grams)
+    return staged.select("__id", F.explode(grams).alias("__w")).distinct()
+
+
 def flag_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 50,
                         winnow_stride: int = 1,
@@ -852,19 +916,25 @@ def flag_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     (id, gram-hash), count distinct docs per hash, semi-join the flagged
     hashes back — one shuffle keyed on the 8-byte hash, documents never
     shuffle, and no pair enumeration (boilerplate shared by millions of
-    docs costs its bucket count, not its pair count)."""
-    wh = token_gram_hashes(text_col, n, winnow_stride)
-    fp = (docs.select(F.col(id_col).alias("__id"), F.explode(wh).alias("__w"))
-          .distinct())
+    docs costs its bucket count, not its pair count).
+
+    The fingerprint table appears twice in the plan (frequency count +
+    semi-join back); it is cached so the shingling pass runs once —
+    release with ``rasterframes_spark.release_cache(result)`` once the
+    result is materialized."""
+    fp = _gram_fingerprint_rows(docs, id_col, text_col, n, winnow_stride)
+    fp.cache()
     hot = (fp.groupBy("__w").agg(F.count("*").alias("__n"))
            .where(F.col("__n") >= int(min_docs)))
     hits = (fp.join(hot, "__w", "left_semi")
             .select("__id").distinct()
             .withColumn("__hit", F.lit(True)))
-    return (docs.join(hits, docs[id_col] == hits["__id"], "left")
-            .withColumn("has_repeated_span",
-                        F.coalesce(F.col("__hit"), F.lit(False)))
-            .drop("__id", "__hit"))
+    out = (docs.join(hits, docs[id_col] == hits["__id"], "left")
+           .withColumn("has_repeated_span",
+                       F.coalesce(F.col("__hit"), F.lit(False)))
+           .drop("__id", "__hit"))
+    out._rf_cached_inputs = (fp,)
+    return out
 
 
 def exact_substring_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -879,18 +949,24 @@ def exact_substring_pairs(docs: DataFrame, id_col: str = "doc_id",
     Grams held by more than ``max_docs_per_gram`` documents are dropped
     before pairing (a boilerplate gram shared by N docs would otherwise
     enumerate N^2/2 pairs — the same hot-bucket posture as the MinHash
-    LSH join); the flag operator above still reports such docs."""
-    wh = token_gram_hashes(text_col, n, winnow_stride)
-    fp = (docs.select(F.col(id_col).alias("__id"), F.explode(wh).alias("__w"))
-          .distinct())
+    LSH join); the flag operator above still reports such docs.
+
+    The fingerprint table appears FOUR times in the plan (frequency
+    count + both sides of the self-join); it is cached so the shingling
+    pass runs once (r9: the sf0.1 bench cell dropped 5.3 s -> ~1.7 s) —
+    release with ``rasterframes_spark.release_cache(result)``."""
+    fp = _gram_fingerprint_rows(docs, id_col, text_col, n, winnow_stride)
+    fp.cache()
     ok = (fp.groupBy("__w").agg(F.count("*").alias("__n"))
           .where((F.col("__n") >= 2)
                  & (F.col("__n") <= int(max_docs_per_gram)))
           .select("__w"))
     fp2 = fp.join(ok, "__w", "left_semi")
     a, b = fp2.alias("a"), fp2.alias("b")
-    return (a.join(b, (F.col("a.__w") == F.col("b.__w"))
-                   & (F.col("a.__id") < F.col("b.__id")))
-            .groupBy(F.col("a.__id").alias("id_a"),
-                     F.col("b.__id").alias("id_b"))
-            .agg(F.count("*").alias("shared_grams")))
+    out = (a.join(b, (F.col("a.__w") == F.col("b.__w"))
+                  & (F.col("a.__id") < F.col("b.__id")))
+           .groupBy(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"))
+           .agg(F.count("*").alias("shared_grams")))
+    out._rf_cached_inputs = (fp,)
+    return out

@@ -172,12 +172,16 @@ def _lines(text) -> Column:
 
 
 def _word_ngrams(text, n: int) -> Column:
+    # zip_with fold over n shifted slices (r9): a transform-over-
+    # positions lambda re-inlines the token expression per element
+    # (O(words^2) interpreted); zip_with children evaluate once per row
     toks = F.filter(_tokens(text), lambda t: F.length(t) > 0)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    g = F.slice(toks, 1, F.greatest(k, F.lit(1)))
+    for i in range(1, n):
+        g = F.zip_with(g, F.slice(toks, i + 1, F.greatest(k, F.lit(1))),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(k > 0, g).otherwise(F.array().cast("array<string>"))
 
 
 def dup_line_fraction(text) -> Column:
