@@ -317,10 +317,10 @@ def main():
     run("st_join_points", lambda: st_join(
         pts01, zones, grid_size=16.0).count(), repeat=3)
     # knn runs the exact-distance kernel on every bucket candidate —
-    # 12k left points (10x in the rehearsal) against 20k query points
-    # at radius 2 is ~1.5 s; radius 8 measured 80 s at 120k (the
-    # bounded-radius contract is the scalability knob, working as
-    # designed)
+    # 12k left points (10x in the rehearsal) against 20k query points.
+    # Radius bounds candidate count (the documented scalability knob):
+    # radius 8 at 120k points measured 80 s before the r9 point-point
+    # vectorized distance kernel, 18 s after; radius 2 is window-bound
     qpts = _part_points(spark, sf_dir)                 # ~20k points
     knn01 = _lineitem_points(spark, sf_dir, every=50)  # ~12k points
     run("knn_points", lambda: st_knn_join(

@@ -248,3 +248,75 @@ def test_repetition_metrics_match_python_oracle(spark, docs_tokens, n):
             exp = 0.0
         assert out[i][f"top_{n}gram_char_frac"] == _pytest.approx(
             exp, abs=1e-6), t
+
+
+@given(st.lists(st.lists(
+    st.sampled_from(_WORDS), min_size=0, max_size=40),
+    min_size=1, max_size=12), st.integers(1, 6))
+@settings(max_examples=8, deadline=None)
+def test_shingles_and_ngrams_match_python_oracle(spark, docs_tokens, n):
+    """The r9 zip_with-fold n-gram builders (shingles, _word_ngrams,
+    the staged gram fingerprints) must equal a brute-force python
+    reference for arbitrary token sequences and every n — guards the
+    interpreted-HOF -> fold rewrite against off-by-one and short-doc
+    edge cases."""
+    from pyspark.sql import functions as F
+    from rasterframes_spark.pipeline.dedup import (
+        _gram_fingerprint_rows, shingles, token_gram_hashes)
+    from rasterframes_spark.pipeline.text import _word_ngrams
+
+    texts = [" ".join(toks) for toks in docs_tokens]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+    def py_grams(t):
+        toks = [w for w in t.split(" ") if w]  # _word_ngrams drops empties
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    got = {r["doc_id"]: sorted(r["g"]) for r in df.select(
+        "doc_id", F.array_sort(shingles("text", n)).alias("g")).collect()}
+    for i, t in enumerate(texts):
+        # shingles splits on single spaces (keeps empty tokens) per its
+        # historical contract — rebuild the same token rule
+        toks = t.split(" ")
+        exp = sorted({" ".join(toks[j:j + n])
+                      for j in range(len(toks) - n + 1)}) if len(
+                          toks) >= n else []
+        assert got[i] == exp, (t, n)
+
+    got2 = {r["doc_id"]: sorted(r["g"]) for r in df.select(
+        "doc_id", F.array_sort(_word_ngrams("text", n)).alias("g"))
+        .collect()}
+    for i, t in enumerate(texts):
+        assert got2[i] == sorted(py_grams(t)), (t, n)
+
+    # staged fingerprint rows == Column-API fingerprints (same values)
+    col_fp = {(r["doc_id"], r["w"]) for r in df.select(
+        "doc_id", F.explode(token_gram_hashes("text", n)).alias("w"))
+        .collect()}
+    staged_fp = {(r["__id"], r["__w"]) for r in _gram_fingerprint_rows(
+        df, "doc_id", "text", n, 1).collect()}
+    assert col_fp == staged_fp
+
+
+@given(st.lists(st.lists(
+    st.sampled_from(_WORDS), min_size=6, max_size=40),
+    min_size=1, max_size=8), st.integers(2, 4), st.integers(2, 4))
+@settings(max_examples=6, deadline=None)
+def test_winnowed_fingerprints_staged_equals_column(spark, docs_tokens,
+                                                    n, stride):
+    """Winnowed selection depends on hash ORDER, so the staged path
+    must pick exactly the same fingerprints as the Column API."""
+    from pyspark.sql import functions as F
+    from rasterframes_spark.pipeline.dedup import (
+        _gram_fingerprint_rows, token_gram_hashes)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs_tokens)],
+        ["doc_id", "text"])
+    col_fp = {(r["doc_id"], r["w"]) for r in df.select(
+        "doc_id", F.explode(token_gram_hashes("text", n, stride))
+        .alias("w")).collect()}
+    staged_fp = {(r["__id"], r["__w"]) for r in _gram_fingerprint_rows(
+        df, "doc_id", "text", n, stride).collect()}
+    assert col_fp == staged_fp
