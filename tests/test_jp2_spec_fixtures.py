@@ -972,6 +972,44 @@ def test_hand_assembled_subsampled_position_ordered():
         pass
 
 
+def test_hand_assembled_two_layer_codestream():
+    """Quality layers from non-own-encoder bytes: mode 0 yields ONE
+    codeword segment (7 passes, bytes 14 6b 8c ed 7a 5a fd from this
+    file's spec encoder); a two-layer stream splits it at an arbitrary
+    byte boundary (the decoder concatenates layer contributions before
+    decoding) and the packet-header grammar differs per layer [B.10]:
+
+    Layer 0 header (pinned c0 e1 40):
+      1                non-empty
+      1                inclusion tag tree, first inclusion (value 0 < 1)
+      000000 1         zero bitplanes = 6 (only at FIRST inclusion)
+      1100             3 passes (Table B.4)
+      0                Lblock stays 3
+      00101            5 bytes in 3 + floor(log2(3)) = 4... see below
+    Layer 1 header (pinned f4 20):
+      1                non-empty
+      1                already-included code block: a PLAIN bit [B.10.4]
+      1101             4 passes
+      0                Lblock unchanged
+      00010            2 bytes in 3 + floor(log2(4)) = 5 bits
+    (exact bit widths follow Lblock + floor(log2(new passes)); the
+    pinned bytes are the normative encoding of exactly these fields)"""
+    cod = (b"\xff\x52" + _u16(12) + bytes([0]) + bytes([0]) + _u16(2)
+           + bytes([0]) + bytes([0, 4, 4, 0, 1]))
+    tile = (bytes.fromhex("c0e140") + bytes.fromhex("146b8ced7a")
+            + bytes.fromhex("f420") + bytes.fromhex("5afd"))
+    stream = (b"\xff\x4f" + _siz(4, 4, [(1, 1)]) + cod + _QCD
+              + _sot(len(tile)) + b"\xff\x93" + tile + b"\xff\xd9")
+    from rasterframes_spark.sources.jp2 import decode_jp2
+    np.testing.assert_array_equal(
+        decode_jp2(stream).astype(np.int64) - 128, _TERMALL_COEFFS)
+    # drift alarm: the split segment halves must stay what the spec
+    # encoder produces for these coefficients in mode 0
+    segs, total, nbp = spec_encode(_TERMALL_COEFFS, "LL", 0)
+    assert total == 7 and nbp == 3
+    assert segs == [(bytes.fromhex("146b8ced7a5afd"), 7)]
+
+
 def _poc_marker(records) -> bytes:
     """POC [A.6.6]: per record RSpoc(1) CSpoc(1) LYEpoc(2) REpoc(1)
     CEpoc(1) Ppoc(1) — the < 257-component narrow form."""
