@@ -498,6 +498,51 @@ def points_in_polygon_vec(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
     return inside
 
 
+def points_in_polygon_vec_exact(px: np.ndarray, py: np.ndarray,
+                                rings) -> np.ndarray:
+    """Boundary-INCLUSIVE vectorized test for many points against one
+    polygon, boolean-identical to ``point_in_polygon`` (same even-odd
+    crossings, same 1e-24 squared boundary tolerance, same on-hole-
+    boundary-counts-inside rule).  Vectorizes over POINTS — the st_join
+    exact phase evaluates ~millions of candidate points against a
+    handful of broadcast polygons, the transpose of
+    ``points_in_polygon_vec``'s many-vertices orientation (whose pure
+    ray-cast leaves boundary behavior unspecified)."""
+    px = np.asarray(px, dtype="float64")
+    py = np.asarray(py, dtype="float64")
+
+    def ring_tests(ring):
+        a = np.asarray(ring, dtype="float64")
+        x1, y1 = a[:-1, 0], a[:-1, 1]
+        x2, y2 = a[1:, 0], a[1:, 1]
+        dx, dy = x2 - x1, y2 - y1
+        dd = dx * dx + dy * dy
+        ex = px[:, None] - x1[None, :]
+        ey = py[:, None] - y1[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (ex * dx[None, :] + ey * dy[None, :]) / dd[None, :]
+        # degenerate zero-length edges: scalar measures to the endpoint
+        t = np.clip(np.where(np.isfinite(t), t, 0.0), 0.0, 1.0)
+        cx = ex - t * dx[None, :]
+        cy = ey - t * dy[None, :]
+        on_b = ((cx * cx + cy * cy) < 1e-24).any(axis=1)
+        cond = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = (x1[None, :]
+                  + (py[:, None] - y1[None, :]) * dx[None, :] / dy[None, :])
+        inside = ((cond & (xs > px[:, None])).sum(axis=1) % 2) == 1
+        return on_b, inside
+
+    on0, in0 = ring_tests(rings[0])
+    res = on0 | in0
+    for hole in rings[1:]:
+        onh, inh = ring_tests(hole)
+        # on a hole boundary = on the polygon boundary (inside);
+        # strictly inside a hole = outside the polygon
+        res &= onh | ~inh
+    return res
+
+
 def point_in_polygon(pt, rings) -> bool:
     if not point_in_ring(pt, rings[0]):
         return False

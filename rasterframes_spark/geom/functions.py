@@ -295,7 +295,55 @@ def st_distance_sphere(a, b) -> Column:
 # from geom/relate.py)
 # ---------------------------------------------------------------------------
 
-_intersects = _binary_pred(G.intersects)
+def _points_vs_polys_vec(a: pd.Series, b: pd.Series):
+    """Vectorized ``intersects`` for the batch shape st_join's exact
+    phase produces: side ``a`` all 21-byte WKB points, side ``b`` a few
+    DISTINCT (broadcast-zone) polygons repeated thousands of times.
+    Groups rows by the right geometry's WKB and runs one
+    ``points_in_polygon_vec_exact`` per distinct polygon — per-pair
+    python drops to per-distinct-geometry.  Returns None when the batch
+    doesn't fit (mixed left types, non-polygon rights, or not enough
+    repetition to pay off) — the caller falls back to the scalar loop."""
+    fa = _point_xy_fast(a)
+    if fa is None:
+        return None
+    xs, ys, nulls = fa
+    vals = b.values
+    groups: dict = {}
+    for i, wb in enumerate(vals):
+        if wb is not None:
+            groups.setdefault(bytes(wb), []).append(i)
+    if len(groups) > 64 and len(groups) * 4 > len(vals):
+        return None
+    out = np.full(len(vals), None, dtype=object)
+    for wb, idx in groups.items():
+        g = G.wkb_loads(wb)
+        if g is None or g[0] not in ("Polygon", "MultiPolygon"):
+            return None
+        ii = np.asarray(idx, dtype="int64")
+        hit = np.zeros(len(ii), dtype=bool)
+        for rings in G._polygons(g):
+            hit |= G.points_in_polygon_vec_exact(xs[ii], ys[ii], rings)
+        for j, i in enumerate(idx):
+            out[i] = bool(hit[j])
+    for i in np.nonzero(nulls)[0]:
+        out[i] = None
+    return pd.Series(out, dtype=object)
+
+
+@lazy_pandas_udf("boolean")
+def _intersects(a: pd.Series, b: pd.Series) -> pd.Series:
+    fast = _points_vs_polys_vec(a, b)
+    if fast is None:
+        fast = _points_vs_polys_vec(b, a)   # intersects is symmetric
+    if fast is not None:
+        return fast
+    ga, gb = _geoms(a), _geoms(b)
+    return pd.Series(
+        [None if (x is None or y is None) else bool(G.intersects(x, y))
+         for x, y in zip(ga, gb)],
+        dtype=object,
+    )
 _contains = _binary_pred(R.contains)
 _within = _binary_pred(R.within)
 _disjoint = _binary_pred(G.disjoint)

@@ -273,3 +273,50 @@ def test_translate_empty_geometry_noop():
 def test_centroid_empty_returns_empty_tuple():
     g = G.wkt_loads("POINT EMPTY")
     assert G.centroid(g) == () or G.centroid(g) is None or not G.centroid(g)
+
+
+def test_vectorized_point_polygon_intersects_identical(spark):
+    """r9: the st_intersects UDF's grouped vectorized point-vs-polygon
+    path must be boolean-IDENTICAL to the scalar kernel — including
+    points exactly on outer/hole boundaries, vertices, and NaN-free
+    grid points — and identical through the Spark UDF whichever side
+    the points are on."""
+    import numpy as np
+    from rasterframes_spark.geom import core as C
+
+    rng = np.random.default_rng(17)
+    # polygon with a hole; vertices on a 0.25 lattice so test points
+    # can land EXACTLY on edges
+    outer = [(0, 0), (8, 0), (8, 6), (4, 9), (0, 6), (0, 0)]
+    hole = [(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)]
+    rings = [outer, hole]
+    pts = [(float(x), float(y))
+           for x in np.arange(-1, 9.5, 0.5) for y in np.arange(-1, 10, 0.5)]
+    pts += [(2.0, 3.0), (4.0, 4.0), (8.0, 3.0), (6.0, 7.5),  # boundaries
+            (0.0, 0.0), (2.0, 2.0)]                          # vertices
+    pts += [tuple(map(float, rng.uniform(-1, 10, 2))) for _ in range(200)]
+    px = np.array([p[0] for p in pts])
+    py = np.array([p[1] for p in pts])
+    vec = C.points_in_polygon_vec_exact(px, py, rings)
+    scal = np.array([C.point_in_polygon(p, rings) for p in pts])
+    assert (vec == scal).all()
+
+    # end-to-end through the UDF: point column vs one repeated polygon
+    # (triggers the grouped path) must equal per-row scalar intersects
+    import rasterframes_spark as rf
+    from pyspark.sql import functions as F
+
+    wkt = ("POLYGON ((0 0, 8 0, 8 6, 4 9, 0 6, 0 0), "
+           "(2 2, 4 2, 4 4, 2 4, 2 2))")
+    df = spark.createDataFrame(
+        [(i, p[0], p[1]) for i, p in enumerate(pts)], ["i", "x", "y"])
+    got = {r["i"]: r["hit"] for r in df.select(
+        "i", rf.st_intersects(
+            rf.st_point("x", "y"),
+            rf.st_geom_from_wkt(F.lit(wkt))).alias("hit")).collect()}
+    g = C.wkb_loads(bytes(
+        df.limit(1).select(rf.st_geom_from_wkt(F.lit(wkt)).alias("g"))
+        .collect()[0]["g"]))
+    for i, p in enumerate(pts):
+        exp = C.intersects(("Point", (p[0], p[1])), g)
+        assert got[i] == exp, (p, got[i], exp)
