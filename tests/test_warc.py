@@ -197,3 +197,29 @@ def test_stream_salvages_records_before_truncation(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out_dir).collect()
     assert len(got) == len(rows)
+
+
+def test_hand_built_warc_container_bytes():
+    """r9: raw WARC bytes written by hand (NOT via write_warc) — the
+    container grammar from the spec: WARC/1.1 version line, header
+    names in arbitrary case, optional whitespace after the colon,
+    Content-Length counting the payload exactly, and the mandatory
+    CRLF CRLF record separator."""
+    body = b"HTTP/1.1 200 OK\r\ncontent-type: text/plain\r\n\r\nhello world"
+    rec1 = (b"WARC/1.1\r\n"
+            b"WARC-TYPE: response\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            b"WARC-Target-URI:    https://x.org/a\r\n"
+            b"\r\n" + body + b"\r\n\r\n")
+    rec2 = (b"WARC/1.0\r\n"
+            b"warc-type: metadata\r\n"
+            b"content-length: 3\r\n"
+            b"\r\nabc\r\n\r\n")
+    got = list(iter_warc_records(rec1 + rec2))
+    assert [h["warc-type"] for h, _ in got] == ["response", "metadata"]
+    assert got[0][0]["__version__"] == "WARC/1.1"
+    assert got[0][0]["warc-target-uri"] == "https://x.org/a"
+    status, hh, payload = split_http_response(got[0][1])
+    assert (status, hh["content-type"], payload) == (
+        200, "text/plain", b"hello world")
+    assert got[1][1] == b"abc"
