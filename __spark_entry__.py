@@ -1400,6 +1400,17 @@ def _q_curation(spark, sf_dir):
                   F.concat_ws("-", F.col("id_a").cast("string"),
                               F.col("id_b").cast("string")).alias("key"),
                   F.col("shared_grams").cast("long").alias("val")))
+    # r9: span REMOVAL (Lee et al. surgery, pipeline/dedup.py
+    # remove_repeated_spans) — per doc the LENGTH of the rebuilt text
+    # after cutting every token covered by a >=2-doc 12-gram (keep-first
+    # policy: the min-id holder keeps its span); the oracle re-derives
+    # positions, the keep rule and the rebuilt length from plain string
+    # grams
+    rm = (P.remove_repeated_spans(docs, n=12, min_docs=2,
+                                  assume_unique_ids=True)
+          .select(F.lit("spanrm").alias("family"),
+                  F.col("doc_id").cast("string").alias("key"),
+                  F.length("text").cast("long").alias("val")))
 
     # C4 cleanup families (pipeline/text.py c4_line_filter/c4_clean,
     # Raffel et al. 2020 §2.2): multi-line pages synthesized from the
@@ -1481,7 +1492,7 @@ def _q_curation(spark, sf_dir):
 
     out = kept
     for part in (srcd, dec, pii_em, pii_ip, urld, rep_extra, rep_top2,
-                 sub, sp, c4len, c4keep, gsw, gpass, ucanon):
+                 sub, sp, rm, c4len, c4keep, gsw, gpass, ucanon):
         out = out.unionByName(part)
     return out
 
@@ -2946,6 +2957,37 @@ def oracle_sql() -> dict[str, str]:
                       from documents)
                 where len(t) >= 12)
             ),
+            sub_pos as (
+              -- every 12-gram OCCURRENCE with its 1-based start
+              select doc_id,
+                     unnest(range(1, len(t) - 10)) as p,
+                     unnest(list_transform(range(1, len(t) - 10),
+                            i -> array_to_string(t[i:i+11], ' '))) as g
+              from (select doc_id, string_split(text, ' ') as t
+                    from documents)
+              where len(t) >= 12
+            ),
+            span_hot as (
+              select g, min(doc_id) as keep from sub_pos
+              group by g having count(distinct doc_id) >= 2
+            ),
+            span_cuts as (
+              select sp.doc_id, sp.p from sub_pos sp
+              join span_hot h using (g) where sp.doc_id <> h.keep
+            ),
+            doc_toks as (
+              select doc_id,
+                     unnest(string_split(text, ' ')) as tok,
+                     unnest(range(1, len(string_split(text, ' ')) + 1))
+                       as j
+              from documents
+            ),
+            span_kept as (
+              select t.doc_id, t.tok from doc_toks t
+              where not exists (select 1 from span_cuts c
+                                where c.doc_id = t.doc_id
+                                  and c.p between t.j - 11 and t.j)
+            ),
             rep_toks as (
               select doc_id,
                      unnest(list_filter(string_split(text, ' '),
@@ -3027,6 +3069,17 @@ def oracle_sql() -> dict[str, str]:
             join sub_grams b using (g)
             where a.doc_id < b.doc_id
             group by a.doc_id, b.doc_id
+            union all
+            -- r9 span removal: rebuilt-text length = sum(token length)
+            -- + (count - 1) single-space separators; docs losing every
+            -- token rebuild to the empty string (length 0)
+            select 'spanrm', cast(d.doc_id as varchar),
+                   cast(coalesce(k.n_len + k.n_tok - 1, 0) as bigint)
+            from documents d
+            left join (select doc_id, sum(len(tok)) as n_len,
+                              count(*) as n_tok
+                       from span_kept group by doc_id) k
+              using (doc_id)
             union all
             -- C4 families: pages built so outcomes are arithmetic —
             -- kept lines are (k+1) copies of the 5-word '.'-terminated

@@ -29,7 +29,7 @@ __all__ = [
     "simhash", "simhash_near_pairs", "ngram_jaccard_pairs",
     "embedding_neardup_pairs", "dedup_clusters", "semantic_dedup",
     "token_gram_hashes", "flag_repeated_spans",
-    "exact_substring_pairs",
+    "exact_substring_pairs", "remove_repeated_spans",
 ]
 
 # 31-bit Mersenne prime: (a*x + b) with a,x,b < 2^31 fits in int64, so the
@@ -970,3 +970,86 @@ def exact_substring_pairs(docs: DataFrame, id_col: str = "doc_id",
            .agg(F.count("*").alias("shared_grams")))
     out._rf_cached_inputs = (fp,)
     return out
+
+
+def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 50,
+                          min_docs: int = 2, keep_first: bool = True,
+                          out_col: str | None = None,
+                          assume_unique_ids: bool = False) -> DataFrame:
+    """ACTUALLY remove cross-document duplicated spans — the surgery of
+    Lee et al. 2022 §4 that :func:`flag_repeated_spans` only flags.
+
+    A token is cut when it is covered by any word ``n``-gram whose
+    fingerprint occurs in at least ``min_docs`` documents.
+    ``keep_first=True`` (the paper's remove-all-but-one policy) keeps
+    the span intact in the holder with the SMALLEST id and cuts it
+    everywhere else; ``False`` cuts every copy (the stricter policy
+    some pipelines use).  ``out_col`` (default: replace ``text_col``)
+    receives the rebuilt text.
+
+    Whitespace canonicalization: tokens are whitespace-split and
+    rejoined with single spaces, so documents WITHOUT removed spans
+    still normalize runs of whitespace — diff the token sequences, not
+    the raw strings.
+
+    Scale shape: one shuffle keyed on the 8-byte gram hash (the
+    duplicated-gram census), one keyed on the doc id (flagged start
+    positions fold into one array per affected document), and a
+    map-side rebuild; documents without duplicated spans never carry
+    position payloads.  All gram/rebuild arrays are staged behind
+    Generate boundaries (see :func:`_gram_fingerprint_rows` — Catalyst
+    re-inlines HOF-captured expressions per element)."""
+    if not assume_unique_ids:
+        # duplicate ids would silently duplicate rows through the
+        # rebuild join; the check costs one columnar scan — skip it
+        # with ``assume_unique_ids=True`` when the caller knows
+        ids = docs.select(F.col(id_col).alias("__id"))
+        if ids.count() != ids.distinct().count():
+            raise ValueError(
+                f"remove_repeated_spans: {id_col!r} must be unique per "
+                "document (the rebuilt text joins back on it)")
+    nn = int(n)
+    dst = out_col or text_col
+
+    toks_expr = F.split(F.col(text_col), r"\s+")
+    th = F.transform(toks_expr, lambda t: F.xxhash64(t))
+    staged = docs.select(F.col(id_col).alias("__id"),
+                         F.explode(F.array(th)).alias("__th"))
+    thc = F.col("__th")
+    grams = F.when(
+        F.size(thc) >= nn,
+        F.transform(F.sequence(F.lit(1), F.size(thc) - (nn - 1)),
+                    lambda i: F.xxhash64(F.slice(thc, i, nn))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # 0-based gram START positions this time (posexplode, no distinct —
+    # every occurrence can need cutting)
+    rows = staged.select("__id", F.posexplode(grams).alias("__p", "__w"))
+    hot = (rows.groupBy("__w")
+           .agg(F.count_distinct("__id").alias("__nd"),
+                F.min("__id").alias("__keep"))
+           .where(F.col("__nd") >= int(min_docs)))
+    flagged = rows.join(hot, "__w")
+    if keep_first:
+        flagged = flagged.where(F.col("__id") != F.col("__keep"))
+    starts = (flagged.groupBy("__id")
+              .agg(F.array_sort(F.collect_set("__p")).alias("__starts")))
+
+    # rebuild: token i survives unless some flagged start p satisfies
+    # p <= i < p + n.  Tokens and positions are staged attributes, so
+    # the exists() lambda captures only cheap per-row arrays.
+    joined = docs.join(starts, docs[id_col] == starts["__id"], "left") \
+        .drop("__id")
+    rebuilt = (joined
+               .select("*", F.explode(F.array(toks_expr)).alias("__tk"))
+               .drop(*([dst] if dst in docs.columns else [])))
+    tk, st_ = F.col("__tk"), F.col("__starts")
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size(tk) - 1),
+        lambda i: ~F.exists(st_, lambda p: (p <= i) & (i < p + nn)))
+    out_text = F.when(st_.isNull(), F.concat_ws(" ", tk)).otherwise(
+        F.concat_ws(" ", F.transform(kept,
+                                     lambda i: F.element_at(tk, i + 1))))
+    keep_cols = [c for c in docs.columns if c != dst] \
+        if dst in docs.columns else list(docs.columns)
+    return rebuilt.select(*keep_cols, out_text.alias(dst))

@@ -902,3 +902,69 @@ def test_png_adam7_interlace_decode():
     # non-interlaced output of our own encoder is unaffected
     img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
     np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+
+def test_remove_repeated_spans(spark):
+    """Lee et al. span REMOVAL: every token covered by a cross-doc
+    duplicated n-gram is cut, keep-first leaves the min-id holder
+    intact; verified against a python brute force on a planted corpus
+    (overlapping flagged grams extend the cut — e.g. a shared span plus
+    a shared suffix gram removes the union of their covers)."""
+    from rasterframes_spark.pipeline.dedup import remove_repeated_spans
+
+    span = "alpha beta gamma delta"
+    rows = [
+        (1, f"start one {span} end one"),
+        (2, f"start two {span} end two"),
+        (3, "unique text with no duplicate span at all"),
+        (4, f"{span} leading and also trailing {span}"),
+    ]
+    n = 4
+
+    def brute(keep_first):
+        toks = {i: t.split(" ") for i, t in rows}
+        holders = {}
+        for i, tk in toks.items():
+            for p in range(len(tk) - n + 1):
+                holders.setdefault(tuple(tk[p:p + n]), []).append((i, p))
+        out = {}
+        for i, tk in toks.items():
+            cut = set()
+            for g, occ in holders.items():
+                if len({d for d, _ in occ}) < 2:
+                    continue
+                keep = min(d for d, _ in occ)
+                for d, p in occ:
+                    if d == i and (not keep_first or d != keep):
+                        cut.update(range(p, p + n))
+            out[i] = " ".join(t for j, t in enumerate(tk) if j not in cut)
+        return out
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for kf in (True, False):
+        got = {r.doc_id: r.text for r in remove_repeated_spans(
+            df, n=n, min_docs=2, keep_first=kf).collect()}
+        assert got == brute(kf), kf
+    # out_col keeps the original text column
+    r2 = {r.doc_id: r for r in remove_repeated_spans(
+        df, n=n, min_docs=2, out_col="clean").collect()}
+    assert r2[2].text == rows[1][1] and r2[2].clean == brute(True)[2]
+    # duplicate ids are rejected (the rebuild joins on the id)
+    with pytest.raises(ValueError, match="unique"):
+        remove_repeated_spans(df.unionByName(df), n=n).collect()
+    # randomized parity against the brute force
+    rng = np.random.default_rng(23)
+    words = ["w%d" % i for i in range(30)]
+    rnd = []
+    shared = " ".join(words[:6])
+    for i in range(12):
+        body = " ".join(rng.choice(words, rng.integers(5, 25)))
+        if i % 3 == 0:
+            body = f"{body} {shared}"
+        rnd.append((i, body))
+    rows = rnd
+    df2 = spark.createDataFrame(rnd, ["doc_id", "text"])
+    got = {r.doc_id: r.text for r in remove_repeated_spans(
+        df2, n=5, min_docs=2).collect()}
+    n = 5
+    assert got == brute(True)
