@@ -67,14 +67,22 @@ def compact_result_line(full: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
         line["normalized_median"] = {
             k: v for k, v in line["normalized_median"].items()
             if not k.startswith(("baseline_", "jp2_"))}
-    if len(render()) > limit and isinstance(line.get("sf1"), dict):
-        line["sf1"] = {k: (v.get("sec") if isinstance(v, dict) else v)
-                       for k, v in line["sf1"].items()}
     if len(render()) > limit:
         for key in ("queries", "normalized_median"):
             if isinstance(line.get(key), dict):
                 line[key] = {k: round(v, 2)
                              for k, v in line[key].items()}
+    if len(render()) > limit and isinstance(line.get("sf1"), dict):
+        # drop skew/spill per leg before sacrificing sec + vs-10x
+        line["sf1"] = {k: ({"sec": v.get("sec"), "x10": v.get("x10")}
+                           if isinstance(v, dict) else v)
+                       for k, v in line["sf1"].items()}
+        for v in line["sf1"].values():
+            if isinstance(v, dict) and v.get("x10") is None:
+                del v["x10"]
+    if len(render()) > limit and isinstance(line.get("sf1"), dict):
+        line["sf1"] = {k: (v.get("sec") if isinstance(v, dict) else v)
+                       for k, v in line["sf1"].items()}
     if len(render()) > limit:
         line.pop("normalized_median", None)
     if len(render()) > limit:
@@ -312,6 +320,9 @@ def main():
         pairs_method="blas").where("kept").count(), repeat=3)
     run("exact_substring", lambda: P.exact_substring_pairs(
         docs, "doc_id", "text", n=10).count(), repeat=3)
+    run("span_removal", lambda: P.remove_repeated_spans(
+        docs, n=10, min_docs=2, assume_unique_ids=True)
+        .agg(F.sum(F.length("text"))).collect(), repeat=3)
     zones = _zone_grid(spark)
     pts01 = _lineitem_points(spark, sf_dir, every=5)   # ~120k points
     run("st_join_points", lambda: st_join(
@@ -702,6 +713,11 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df):
          lambda: P.exact_substring_pairs(docs10, "doc_id", "text",
                                          n=10).count(),
          sf01_cell="exact_substring")
+    cell("span_removal",
+         lambda: P.remove_repeated_spans(docs10, n=10, min_docs=2,
+                                         assume_unique_ids=True)
+         .agg(F.sum(F.length("text"))).collect(),
+         sf01_cell="span_removal")
 
     # st_join / knn: 1.2M synthetic points (10x the sf0.1 cells' 120k;
     # coordinates are column arithmetic on lineitem keys) against the

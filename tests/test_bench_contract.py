@@ -21,7 +21,7 @@ CELLS = [
     "agg_stats", "local_add_sum", "normalized_difference", "mask_pipeline",
     "explode", "assemble", "quantiles", "text_metrics", "minhash_dedup",
     "cosine_topk", "scrub_repetition", "semantic_dedup", "exact_substring",
-    "st_join_points", "knn_points", "doc_ingest_chain",
+    "span_removal", "st_join_points", "knn_points", "doc_ingest_chain",
     "baseline_agg_stats_400x240", "baseline_arrow_floor_100x64",
     "baseline_local_add_100x64", "baseline_local_add_10x_1000x64",
     "baseline_explode_100x256", "baseline_assemble_100x256",
@@ -31,8 +31,8 @@ CELLS = [
 ]
 
 SF1_LEGS = ["minhash_dedup", "semantic_dedup", "decontaminate",
-            "exact_substring", "st_join", "knn", "raster_join",
-            "doc_ingest"]
+            "exact_substring", "span_removal", "st_join", "knn",
+            "raster_join", "doc_ingest"]
 
 
 def _full_result(n_extra: int = 0) -> dict:
@@ -75,9 +75,13 @@ def test_r9_sized_result_fits_and_parses():
     line = compact_result_line(full)
     assert len(line) <= STDOUT_LINE_LIMIT
     d = _parse_from_tail(line)
-    # full fidelity where it matters: the complete min series, the
-    # headline value, and an sf1 one-liner per leg
-    assert d["queries"] == full["queries"]
+    # fidelity where it matters: the COMPLETE min series (values may
+    # round to 2dp under the trim cascade — <= 5 ms precision traded
+    # for keeping the sf1 scale evidence), the headline value, and an
+    # sf1 one-liner per leg
+    assert set(d["queries"]) == set(full["queries"])
+    for k, v in full["queries"].items():
+        assert abs(d["queries"][k] - v) <= 0.0051, k
     assert d["value"] == full["value"]
     assert d["full"] == "BENCH_full.json"
     assert set(SF1_LEGS) <= set(d["sf1"])
