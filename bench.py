@@ -577,8 +577,21 @@ def main():
                 f.write("\n")
         except OSError:
             pass
-    print(compact_result_line(full))
+    # Print the compact line LAST — strictly after spark.stop() — with
+    # all JVM logging silenced first (VERDICT r9 #1): in r9 the line
+    # printed before teardown and executor stage-cancellation ERROR spam
+    # ("Python worker exited unexpectedly", "Block rdd_N does not
+    # exist") flooded the driver's 2000-char stdout tail AFTER it,
+    # burying the record (BENCH_r09.json parsed: null). Once the
+    # session is stopped nothing can log past the line.
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass
     spark.stop()
+    sys.stdout.flush()
+    print(compact_result_line(full))
+    sys.stdout.flush()
 
 
 def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df):

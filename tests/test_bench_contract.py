@@ -112,6 +112,51 @@ def test_sf1_error_form_parses():
     assert d["sf1"]["error"].startswith("RuntimeError")
 
 
+EXECUTOR_SPAM = (
+    "25/08/15 21:46:01 ERROR Executor: Exception in task 13.0 in stage "
+    "1142.0 (TID 9981)\norg.apache.spark.SparkException: Python worker "
+    "exited unexpectedly (crashed)\n"
+    + "".join(
+        f"25/08/15 21:46:02 ERROR TaskSetManager: Block rdd_2826_{i} "
+        "does not exist\n" for i in range(13))
+)
+
+
+def test_spam_after_line_buries_it_but_new_ordering_survives():
+    """The r9 failure mode, pinned (VERDICT r9 #1): executor
+    stage-cancellation ERROR spam written AFTER the compact line pushes
+    it out of the driver's 2000-char tail. Proves (a) the old ordering
+    (line, then teardown noise) genuinely loses the record, and (b) the
+    fixed ordering (noise, then line printed last after spark.stop())
+    keeps it parseable."""
+    line = compact_result_line(_full_result())
+    spam = EXECUTOR_SPAM
+    while len(spam) < 2000:
+        spam += EXECUTOR_SPAM
+    # (a) old ordering: spam lands after the line -> tail has no JSON
+    stdout_old = "startup noise\n" * 50 + line + "\n" + spam
+    tail = stdout_old[-2000:]
+    with pytest.raises(Exception):
+        json.loads(tail.strip().splitlines()[-1])
+    # (b) new ordering: line printed after teardown -> always last
+    stdout_new = "startup noise\n" * 50 + spam + line + "\n"
+    tail = stdout_new[-2000:]
+    d = json.loads(tail.strip().splitlines()[-1])
+    assert d["value"] == 23.456
+
+
+def test_bench_source_prints_compact_line_after_spark_stop():
+    """Structural pin of the ordering fix: in bench.py's suite runner the
+    compact-line print must come AFTER spark.stop() (and after a
+    setLogLevel call that silences the JVM), so no executor/scheduler
+    thread can write past it."""
+    src = open("/root/repo/bench.py").read()
+    stop_at = src.index("\n    spark.stop()")  # statement, not the comment
+    print_at = src.index("print(compact_result_line(full))")
+    off_at = src.index('setLogLevel("OFF")')
+    assert off_at < stop_at < print_at
+
+
 def test_never_mid_object_truncated_even_at_tiny_limit():
     # belt-and-braces: even with an absurd 200-char cap the fallback
     # prints a complete, parseable headline object
