@@ -1411,6 +1411,15 @@ def _q_curation(spark, sf_dir):
           .select(F.lit("spanrm").alias("family"),
                   F.col("doc_id").cast("string").alias("key"),
                   F.length("text").cast("long").alias("val")))
+    # r10: the stricter cut-every-copy policy (keep_first=False) gets
+    # its own hash-checked family — same closed-form oracle with the
+    # keeper rule dropped (VERDICT r9 next #5)
+    rma = (P.remove_repeated_spans(docs, n=12, min_docs=2,
+                                   keep_first=False,
+                                   assume_unique_ids=True)
+           .select(F.lit("spanrm_all").alias("family"),
+                   F.col("doc_id").cast("string").alias("key"),
+                   F.length("text").cast("long").alias("val")))
 
     # C4 cleanup families (pipeline/text.py c4_line_filter/c4_clean,
     # Raffel et al. 2020 §2.2): multi-line pages synthesized from the
@@ -1492,7 +1501,7 @@ def _q_curation(spark, sf_dir):
 
     out = kept
     for part in (srcd, dec, pii_em, pii_ip, urld, rep_extra, rep_top2,
-                 sub, sp, rm, c4len, c4keep, gsw, gpass, ucanon):
+                 sub, sp, rm, rma, c4len, c4keep, gsw, gpass, ucanon):
         out = out.unionByName(part)
     return out
 
@@ -2988,6 +2997,18 @@ def oracle_sql() -> dict[str, str]:
                                 where c.doc_id = t.doc_id
                                   and c.p between t.j - 11 and t.j)
             ),
+            -- keep_first=False: EVERY occurrence of a >=2-doc gram is
+            -- cut, including the min-id holder's (no keeper rule)
+            span_cuts_all as (
+              select sp.doc_id, sp.p from sub_pos sp
+              join span_hot h using (g)
+            ),
+            span_kept_all as (
+              select t.doc_id, t.tok from doc_toks t
+              where not exists (select 1 from span_cuts_all c
+                                where c.doc_id = t.doc_id
+                                  and c.p between t.j - 11 and t.j)
+            ),
             rep_toks as (
               select doc_id,
                      unnest(list_filter(string_split(text, ' '),
@@ -3079,6 +3100,15 @@ def oracle_sql() -> dict[str, str]:
             left join (select doc_id, sum(len(tok)) as n_len,
                               count(*) as n_tok
                        from span_kept group by doc_id) k
+              using (doc_id)
+            union all
+            -- r10: cut-every-copy policy (keep_first=False)
+            select 'spanrm_all', cast(d.doc_id as varchar),
+                   cast(coalesce(k.n_len + k.n_tok - 1, 0) as bigint)
+            from documents d
+            left join (select doc_id, sum(len(tok)) as n_len,
+                              count(*) as n_tok
+                       from span_kept_all group by doc_id) k
               using (doc_id)
             union all
             -- C4 families: pages built so outcomes are arithmetic —

