@@ -498,25 +498,54 @@ def points_in_polygon_vec(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
     return inside
 
 
+# cap on the elements of one (points x edges) intermediate inside
+# points_in_polygon_vec_exact: ~8 such float64 matrices live at once,
+# so 2M elements bounds the working set near 130 MB regardless of how
+# many points an Arrow batch carries or how many vertices a coastline-
+# scale polygon has (ADVICE r9: the unchunked form allocated tens of
+# GB for 10k points x 1e5 edges)
+_PIP_VEC_BUDGET = 2 << 20
+
+
 def points_in_polygon_vec_exact(px: np.ndarray, py: np.ndarray,
                                 rings) -> np.ndarray:
     """Boundary-INCLUSIVE vectorized test for many points against one
     polygon, boolean-identical to ``point_in_polygon`` (same even-odd
     crossings, same 1e-24 squared boundary tolerance, same on-hole-
-    boundary-counts-inside rule).  Vectorizes over POINTS — the st_join
-    exact phase evaluates ~millions of candidate points against a
-    handful of broadcast polygons, the transpose of
+    boundary-counts-inside rule, same FIRST-hole-decides order for
+    degenerate overlapping holes).  Vectorizes over POINTS — the
+    st_join exact phase evaluates ~millions of candidate points against
+    a handful of broadcast polygons, the transpose of
     ``points_in_polygon_vec``'s many-vertices orientation (whose pure
-    ray-cast leaves boundary behavior unspecified)."""
+    ray-cast leaves boundary behavior unspecified).  Memory is bounded:
+    points are processed in chunks sized so each (points x edges)
+    intermediate stays under ``_PIP_VEC_BUDGET`` elements."""
     px = np.asarray(px, dtype="float64")
     py = np.asarray(py, dtype="float64")
-
-    def ring_tests(ring):
+    # ring geometry precomputed ONCE across point chunks
+    prep = []
+    max_edges = 1
+    for ring in rings:
         a = np.asarray(ring, dtype="float64")
-        x1, y1 = a[:-1, 0], a[:-1, 1]
-        x2, y2 = a[1:, 0], a[1:, 1]
-        dx, dy = x2 - x1, y2 - y1
+        x1, y1 = a[:-1, 0].copy(), a[:-1, 1].copy()
+        dx, dy = a[1:, 0] - x1, a[1:, 1] - y1
         dd = dx * dx + dy * dy
+        prep.append((x1, y1, dx, dy, dd))
+        max_edges = max(max_edges, x1.shape[0])
+    n = px.shape[0]
+    step = max(1, _PIP_VEC_BUDGET // max_edges)
+    if step >= n:
+        return _pip_vec_exact_block(px, py, prep)
+    out = np.empty(n, dtype=bool)
+    for s in range(0, n, step):
+        out[s:s + step] = _pip_vec_exact_block(
+            px[s:s + step], py[s:s + step], prep)
+    return out
+
+
+def _pip_vec_exact_block(px, py, prep) -> np.ndarray:
+    def ring_tests(ring):
+        x1, y1, dx, dy, dd = ring
         ex = px[:, None] - x1[None, :]
         ey = py[:, None] - y1[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -526,20 +555,28 @@ def points_in_polygon_vec_exact(px: np.ndarray, py: np.ndarray,
         cx = ex - t * dx[None, :]
         cy = ey - t * dy[None, :]
         on_b = ((cx * cx + cy * cy) < 1e-24).any(axis=1)
-        cond = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+        cond = (y1[None, :] > py[:, None]) != ((y1 + dy)[None, :] > py[:, None])
         with np.errstate(divide="ignore", invalid="ignore"):
             xs = (x1[None, :]
                   + (py[:, None] - y1[None, :]) * dx[None, :] / dy[None, :])
         inside = ((cond & (xs > px[:, None])).sum(axis=1) % 2) == 1
         return on_b, inside
 
-    on0, in0 = ring_tests(rings[0])
+    on0, in0 = ring_tests(prep[0])
     res = on0 | in0
-    for hole in rings[1:]:
+    # mirror the scalar hole loop EXACTLY: the first hole (in ring
+    # order) whose boundary contains the point decides True; the first
+    # hole that strictly contains it decides False; later holes never
+    # override (only reachable with invalid overlapping holes, but the
+    # boolean-identity claim covers it — ADVICE r9)
+    undecided = res.copy()
+    for hole in prep[1:]:
+        if not undecided.any():
+            break
         onh, inh = ring_tests(hole)
-        # on a hole boundary = on the polygon boundary (inside);
-        # strictly inside a hole = outside the polygon
-        res &= onh | ~inh
+        newly_in = undecided & ~onh & inh
+        res &= ~newly_in
+        undecided &= ~(onh | inh)
     return res
 
 

@@ -2242,6 +2242,13 @@ def _parse_poc(seg, ncomp: int) -> list:
     Ppoc, skipping packets already emitted by earlier records (B.12.2)."""
     wide = ncomp >= 257
     rec = 9 if wide else 7
+    if len(seg) % rec:
+        # strict parse like every other marker handler: a payload that
+        # is not a whole number of records is a truncated/malformed
+        # marker, not a shorter record list (ADVICE r9)
+        raise ValueError(
+            f"JP2: POC marker payload of {len(seg)} bytes is not a "
+            f"multiple of the {rec}-byte record size")
     out = []
     for o in range(0, len(seg) - rec + 1, rec):
         if wide:
@@ -2378,6 +2385,18 @@ def _decode_tile_comps(cs: JP2Codestream, t: int, reduce: int = 0,
             sel.sort(key=_PROG_KEYS[pp])
             for e in sel:
                 seen.add(e[:4])
+                packet_one(e[0], e[1], e[2], e[3], e[4])
+        if len(seen) < len(entries):
+            # B.12.2: packets outside every record's progression volume
+            # complete the codestream in the LAST record's progression.
+            # Before r10 a non-covering POC silently decoded only the
+            # selected packets with unread packet bytes left in the
+            # stream — a desynced decode (ADVICE r9); our encoder
+            # refuses to EMIT non-covering POCs, so only third-party
+            # streams reach this continuation.
+            rest = [e for e in entries if e[:4] not in seen]
+            rest.sort(key=_PROG_KEYS[poc[-1][5]])
+            for e in rest:
                 packet_one(e[0], e[1], e[2], e[3], e[4])
     elif prog == 0:  # LRCP: layer { res { comp { precinct } } }
         for l in range(layers):

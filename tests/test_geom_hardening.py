@@ -301,6 +301,7 @@ def test_vectorized_point_polygon_intersects_identical(spark):
     scal = np.array([C.point_in_polygon(p, rings) for p in pts])
     assert (vec == scal).all()
 
+
     # end-to-end through the UDF: point column vs one repeated polygon
     # (triggers the grouped path) must equal per-row scalar intersects
     import rasterframes_spark as rf
@@ -320,3 +321,37 @@ def test_vectorized_point_polygon_intersects_identical(spark):
     for i, p in enumerate(pts):
         exp = C.intersects(("Point", (p[0], p[1])), g)
         assert got[i] == exp, (p, got[i], exp)
+
+
+def test_vec_exact_chunked_and_overlapping_holes_identical(monkeypatch):
+    """ADVICE r9 (geom/core.py): (1) the point-axis chunking that
+    bounds the (points x edges) working set must not change a single
+    bit — forced here with a budget smaller than edges*points; (2) with
+    degenerate OVERLAPPING holes, the vectorized hole loop must mirror
+    the scalar first-hole-decides order (a point on hole A's boundary
+    but strictly inside overlapping hole B is True both ways)."""
+    import numpy as np
+    from rasterframes_spark.geom import core as C
+
+    rng = np.random.default_rng(41)
+    # many-vertex outer ring (closed), one hole
+    th = np.linspace(0, 2 * np.pi, 701)
+    outer = [(float(5 + 4 * np.cos(t)), float(5 + 4 * np.sin(t)))
+             for t in th[:-1]] + [(9.0, 5.0)]
+    hole_a = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]
+    # hole B overlaps hole A (invalid geometry, still must mirror scalar)
+    hole_b = [(5, 3.5), (7, 3.5), (7, 5.5), (5, 5.5), (5, 3.5)]
+    rings = [outer, hole_a, hole_b]
+    pts = [tuple(map(float, rng.uniform(0, 10, 2))) for _ in range(500)]
+    # the divergence point ADVICE describes: on A's boundary, strictly
+    # inside B — scalar early-returns True at A
+    pts += [(6.0, 5.0), (5.0, 4.0), (6.0, 4.0), (5.5, 5.5), (6.5, 4.5)]
+    px = np.array([p[0] for p in pts])
+    py = np.array([p[1] for p in pts])
+    scal = np.array([C.point_in_polygon(p, rings) for p in pts])
+    full = C.points_in_polygon_vec_exact(px, py, rings)
+    assert (full == scal).all()
+    # force chunking: 700 edges x 505 points >> budget 2048 -> step 2
+    monkeypatch.setattr(C, "_PIP_VEC_BUDGET", 2048)
+    chunked = C.points_in_polygon_vec_exact(px, py, rings)
+    assert (chunked == scal).all()

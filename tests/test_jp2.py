@@ -518,6 +518,40 @@ class TestCodingModes:
             jp2.encode_jp2(img, levels=2, cb_exp=(4, 4),
                            poc=[(0, 0, 1, 1, 1, 0)])
 
+    def test_poc_noncovering_continues_in_last_progression(self):
+        """ADVICE r9: a third-party stream whose POC records do NOT
+        cover every packet completes the remainder in the LAST record's
+        progression (B.12.2) instead of silently returning a desynced
+        partial decode. Fixture: encode with two same-progression
+        records split by resolution (their concatenation == 'record 1
+        then remainder in the same progression' byte-for-byte), then
+        patch the main-header POC marker down to just record 1 — the
+        packet bytes are unchanged, so a correct continuation decodes
+        bit-exactly."""
+        import struct as _st
+
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 255, (40, 56)).astype(np.uint8)
+        for pp in (0, 2, 4):
+            cs = jp2.encode_jp2(img, levels=2, cb_exp=(4, 4), precinct=5,
+                                poc=[(0, 0, 1, 2, 1, pp),
+                                     (0, 0, 1, 3, 1, pp)])
+            i = cs.index(b"\xFF\x5F")
+            assert i < cs.index(b"\xFF\x90")  # main-header POC
+            lpoc = _st.unpack(">H", cs[i + 2:i + 4])[0]
+            assert lpoc == 2 + 14  # two 7-byte records
+            patched = (cs[:i + 2] + _st.pack(">H", 2 + 7)
+                       + cs[i + 4:i + 11] + cs[i + 4 + 14:])
+            assert (jp2.decode_jp2(patched) == img).all(), pp
+
+    def test_poc_marker_residue_rejected(self):
+        """ADVICE r9: a POC payload that is not a whole number of
+        records is a truncated marker, not a shorter record list."""
+        with pytest.raises(ValueError, match="multiple"):
+            jp2._parse_poc(b"\x00" * 8, ncomp=1)
+        with pytest.raises(ValueError, match="multiple"):
+            jp2._parse_poc(b"\x00" * 17, ncomp=300)
+
     def test_packed_header_corruption_fuzz(self):
         rng = np.random.default_rng(37)
         img = rng.integers(0, 255, (32, 32)).astype(np.uint8)
