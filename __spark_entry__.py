@@ -1840,6 +1840,28 @@ def _q_interop_suite(spark, sf_dir):
                   F.col("n").cast("double").alias("v2"),
                   F.col("x0").cast("double").alias("v3")))
 
+    # ---- 'grib': r10 — GRIB2 closed-form grid through the raster
+    # dispatch (native template 3.0 / 5.0 simple packing, written by
+    # write_grib2 — the file stores 260E..314E so the read exercises
+    # the [0,360) -> negative-longitude shift); integer cells, exact
+    from rasterframes_spark.sources.grib2 import write_grib2
+    gny, gnx = 36, 54
+    gii, gjj = np.mgrid[0:gny, 0:gnx]
+    ggrid = ((gii * 29 + gjj * 13) % 89).astype("f8")
+    gb_path = tempfile.mktemp(suffix=".grib2", prefix="rf_gb_oracle_")
+    with open(gb_path, "wb") as f:
+        f.write(write_grib2([ggrid], extent=(-100.0, 20.0, -46.0, 56.0)))
+    gbdf = read_raster(spark, [gb_path], tile_dimensions=(32, 32))
+    gb = (gbdf.withColumn("tile", realize_tiles(F.col("tile_ref")))
+          .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+               F.count("*").alias("n"),
+               F.min("extent.xmin").alias("x0"))
+          .select(F.lit("grib").alias("family"),
+                  F.lit(0).cast("long").alias("k"),
+                  F.col("s").cast("double").alias("v1"),
+                  F.col("n").cast("double").alias("v2"),
+                  F.col("x0").cast("double").alias("v3")))
+
     # ---- 'adpcm' + 'jpegp': per-doc payloads synthesized distributed
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id").where(F.col("doc_id") < 32)
@@ -1987,7 +2009,7 @@ def _q_interop_suite(spark, sf_dir):
                     F.col("s1").cast("double").alias("v2"),
                     F.col("n").cast("double").alias("v3")))
 
-    return gt.unionAll(nc).unionAll(adpcm).unionAll(jpegp) \
+    return gt.unionAll(nc).unionAll(gb).unionAll(adpcm).unionAll(jpegp) \
         .unionAll(jp2m).unionAll(jp2s).unionAll(pocf).select(*out_cols)
 
 
@@ -2199,6 +2221,15 @@ def oracle_sql() -> dict[str, str]:
                      4.0 as v2, -120.5 as v3
               from (select unnest(range(40)) as i) a
               cross join (select unnest(range(60)) as j) b
+            ), gribg as (
+              -- r10: GRIB2 closed-form grid through the raster
+              -- dispatch; extent corner exercises the [0,360) ->
+              -- negative-longitude shift (the file stores 260E)
+              select 'grib' as family, cast(0 as bigint) as k,
+                     cast(sum((i * 29 + j * 13) % 89) as double) as v1,
+                     4.0 as v2, -100.0 as v3
+              from (select unnest(range(36)) as i) a
+              cross join (select unnest(range(54)) as j) b
             ), adpcm as (
               select 'adpcm' as family, cast(doc_id as bigint) as k,
                      (500 + (doc_id % 7) * 100) * 1000.0 / 8000.0 as v1,
@@ -2244,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
                      4.0 as v3
             )
             select * from gt union all select * from ncg
+            union all select * from gribg
             union all select * from adpcm union all select * from jpegp
             union all select * from jp2m union all select * from jp2s
             union all select * from poc""",

@@ -119,6 +119,12 @@ def _cached_info(uri: str):
             return NC.read_info(_range_source(uri))
         except (ValueError, NotImplementedError):
             pass
+        from rasterframes_spark.sources import grib2 as GB
+
+        try:
+            return GB.read_info(_range_source(uri))
+        except (ValueError, NotImplementedError):
+            pass
         from rasterframes_spark.sources import gdal_fallback as GF
 
         if GF.have_rasterio():
@@ -126,9 +132,10 @@ def _cached_info(uri: str):
         raise ValueError(
             f"{uri}: not readable by the pure-python codecs ({e}). "
             "Pure-python covers the TIFF/GeoTIFF family, JPEG2000 "
-            "(5/3 reversible and 9/7 irreversible), VRT, MRF and "
-            "NetCDF-3/NetCDF-4 (see the README format matrix); other "
-            "GDAL formats (GRIB, HDF4, LERC, ...) need GDAL — "
+            "(5/3 reversible and 9/7 irreversible), VRT, MRF, "
+            "NetCDF-3/NetCDF-4 and GRIB2 lat/lon simple packing (see "
+            "the README format matrix); other GDAL formats (GRIB1, "
+            "complex-packed GRIB2, HDF4, LERC, ...) need GDAL — "
             "installing rasterio enables the fallback read path "
             "automatically."
         ) from e
@@ -165,6 +172,10 @@ def read_window_any(uri: str, c0: int, r0: int, w: int, h: int,
         from rasterframes_spark.sources import mrf as MRF
 
         return MRF.read_window(data, info, c0, r0, w, h, band)
+    if via == "grib":
+        from rasterframes_spark.sources import grib2 as GB
+
+        return GB.read_window(data, info, c0, r0, w, h, band)
     return GT.read_window(data, info, c0, r0, w, h, band)
 
 
