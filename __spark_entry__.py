@@ -1844,23 +1844,35 @@ def _q_interop_suite(spark, sf_dir):
     # dispatch (native template 3.0 / 5.0 simple packing, written by
     # write_grib2 — the file stores 260E..314E so the read exercises
     # the [0,360) -> negative-longitude shift); integer cells, exact
+    # keys 0..4 run the SAME grid through every native packing — the
+    # integer field must decode bit-exactly whichever representation
+    # carried it (r10: 5.2/5.3/5.40/5.41 joined 5.0)
     from rasterframes_spark.sources.grib2 import write_grib2
     gny, gnx = 36, 54
     gii, gjj = np.mgrid[0:gny, 0:gnx]
     ggrid = ((gii * 29 + gjj * 13) % 89).astype("f8")
-    gb_path = tempfile.mktemp(suffix=".grib2", prefix="rf_gb_oracle_")
-    with open(gb_path, "wb") as f:
-        f.write(write_grib2([ggrid], extent=(-100.0, 20.0, -46.0, 56.0)))
-    gbdf = read_raster(spark, [gb_path], tile_dimensions=(32, 32))
-    gb = (gbdf.withColumn("tile", realize_tiles(F.col("tile_ref")))
-          .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
-               F.count("*").alias("n"),
-               F.min("extent.xmin").alias("x0"))
-          .select(F.lit("grib").alias("family"),
-                  F.lit(0).cast("long").alias("k"),
-                  F.col("s").cast("double").alias("v1"),
-                  F.col("n").cast("double").alias("v2"),
-                  F.col("x0").cast("double").alias("v3")))
+    gb_parts = []
+    for gk, packing in enumerate(["simple", "complex", "complex_diff",
+                                  "jpeg2000", "png"]):
+        gb_path = tempfile.mktemp(suffix=".grib2",
+                                  prefix=f"rf_gb_oracle_{packing}_")
+        with open(gb_path, "wb") as f:
+            f.write(write_grib2([ggrid],
+                                extent=(-100.0, 20.0, -46.0, 56.0),
+                                packing=packing))
+        gbdf = read_raster(spark, [gb_path], tile_dimensions=(32, 32))
+        gb_parts.append(
+            gbdf.withColumn("tile", realize_tiles(F.col("tile_ref")))
+            .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+                 F.count("*").alias("n"),
+                 F.min("extent.xmin").alias("x0"))
+            .select(F.lit("grib").alias("family"),
+                    F.lit(gk).cast("long").alias("k"),
+                    F.col("s").cast("double").alias("v1"),
+                    F.col("n").cast("double").alias("v2"),
+                    F.col("x0").cast("double").alias("v3")))
+    import functools
+    gb = functools.reduce(lambda a, b: a.unionByName(b), gb_parts)
 
     # ---- 'adpcm' + 'jpegp': per-doc payloads synthesized distributed
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
@@ -2224,12 +2236,18 @@ def oracle_sql() -> dict[str, str]:
             ), gribg as (
               -- r10: GRIB2 closed-form grid through the raster
               -- dispatch; extent corner exercises the [0,360) ->
-              -- negative-longitude shift (the file stores 260E)
-              select 'grib' as family, cast(0 as bigint) as k,
+              -- negative-longitude shift (the file stores 260E).
+              -- One row per native data representation carrying the
+              -- SAME field: k 0..4 = simple 5.0, complex 5.2,
+              -- spatial-differencing 5.3, JPEG2000 5.40, PNG 5.41 —
+              -- integer cells, so every packing must be bit-exact
+              select 'grib' as family, cast(p as bigint) as k,
                      cast(sum((i * 29 + j * 13) % 89) as double) as v1,
                      4.0 as v2, -100.0 as v3
               from (select unnest(range(36)) as i) a
               cross join (select unnest(range(54)) as j) b
+              cross join (select unnest(range(5)) as p) c
+              group by p
             ), adpcm as (
               select 'adpcm' as family, cast(doc_id as bigint) as k,
                      (500 + (doc_id % 7) * 100) * 1000.0 / 8000.0 as v1,

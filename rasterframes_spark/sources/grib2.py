@@ -6,10 +6,15 @@ The reference reads GRIB only through its GDAL branch
 this engine decodes the common meteorological subset natively — no
 libs — which closes the last `gdal_fallback`-only raster family the
 r9 verdict asked a decision on (next #6): regular lat/lon grids
-(grid definition template 3.0) with simple packing (data
-representation template 5.0), optional bit-map, multi-field and
-multi-message files.  Complex/JPEG2000/PNG-packed GRIB stays on the
-documented rasterio hatch and raises a precise error here.
+(grid definition template 3.0) with the data representations real
+archives actually use — simple packing (5.0), complex packing (5.2),
+complex packing with spatial differencing (5.3, the NCEP GFS/NAM
+default), JPEG2000 packing (5.40, decoded by the repo's own ISO
+15444-1 codec in ``sources/jp2.py``) and PNG packing (5.41, the
+repo's own ``sources/png.py``) — optional bit-map, multi-field and
+multi-message files.  GRIB1 and the exotic representations (IEEE
+5.4, CCSDS 5.42, run-length 5.200) stay on the documented rasterio
+hatch and raise a precise error here.
 
 Format reference (public WMO spec, "FM 92 GRIB" Part B + tables):
 
@@ -31,6 +36,21 @@ Format reference (public WMO spec, "FM 92 GRIB" Part B + tables):
   with R the IEEE-754 float32 reference value (= the field minimum
   the encoder chose), E the binary and D the decimal scale factor.
   ``nbits == 0`` encodes a constant field (every value = R / 10**D).
+- Templates 5.2/5.3 (+ data templates 7.2/7.3): X is delivered in NG
+  groups — three octet-aligned sequences give each group's reference
+  value, bit width and length, then the groups' values follow at
+  their own widths in one unpadded bitstream.  Missing-value
+  management 1/2 reserves the all-ones (and all-ones-minus-one) code
+  per group; a zero-width group is entirely missing when its
+  reference is all-ones.  5.3 prefixes the data section with the
+  first ``order`` original values and the overall difference minimum
+  (sign-and-magnitude, ``extra_octets`` wide) and transmits the
+  order-th differences minus that minimum; reconstruction follows the
+  g2lib comunpack order (overwrite, add minimum, integrate).
+- Templates 5.40/5.41: X is a JPEG2000 codestream / PNG image of the
+  scaled integers (bit-mapped fields pack the present points as a
+  1 x npacked image, the NCEP convention; 24-bit PNG spreads value
+  bytes over RGB channels).
 - Bit-map section 6 (indicator 0): one bit per grid point, MSB-first,
   1 = a packed value is present, 0 = missing (NaN here).
 
@@ -166,16 +186,7 @@ def parse_grib2(data: bytes) -> list[dict]:
                 pdt = (sec[9], sec[10]) if tmpl == 0 and slen >= 11 \
                     else (255, 255)
             elif snum == 5:
-                tmpl = _u(sec, 9, 2)
-                if tmpl != 0:
-                    raise NotImplementedError(
-                        f"grib2: data representation template 5.{tmpl} "
-                        "(only 5.0 simple packing is native; use the "
-                        "rasterio fallback)")
-                drs = {"npacked": _u(sec, 5, 4),
-                       "R": struct.unpack(">f", sec[11:15])[0],
-                       "E": _sm(sec, 15, 2), "D": _sm(sec, 17, 2),
-                       "nbits": sec[19]}
+                drs = _parse_drs(sec)
             elif snum == 6:
                 ind = sec[5]
                 if ind == 0:
@@ -201,12 +212,190 @@ def parse_grib2(data: bytes) -> list[dict]:
     return fields
 
 
+def _parse_drs(sec: bytes) -> dict:
+    """Section 5 body -> DRS dict.  Native templates: 5.0 simple
+    packing, 5.2 complex packing, 5.3 complex packing + spatial
+    differencing, 5.40 JPEG2000 (decoded by the repo's own
+    ``sources/jp2.py`` codec), 5.41 PNG (``sources/png.py``)."""
+    tmpl = _u(sec, 9, 2)
+    if tmpl not in (0, 2, 3, 40, 41):
+        raise NotImplementedError(
+            f"grib2: data representation template 5.{tmpl} "
+            "(native: 5.0/5.2/5.3/5.40/5.41; use the rasterio "
+            "fallback)")
+    if len(sec) < 20:
+        raise ValueError("grib2: DRS section too short")
+    drs = {"tmpl": tmpl, "npacked": _u(sec, 5, 4),
+           "R": struct.unpack(">f", sec[11:15])[0],
+           "E": _sm(sec, 15, 2), "D": _sm(sec, 17, 2),
+           "nbits": sec[19]}
+    if tmpl in (2, 3):
+        if len(sec) < (49 if tmpl == 3 else 47):
+            raise ValueError(f"grib2: template 5.{tmpl} DRS too short")
+        drs.update(mgmt=sec[22], ng=_u(sec, 31, 4),
+                   wref=sec[35], wbits=sec[36],
+                   lref=_u(sec, 37, 4), linc=sec[41],
+                   last_len=_u(sec, 42, 4), lbits=sec[46])
+        if drs["mgmt"] not in (0, 1, 2):
+            raise ValueError(f"grib2: missing-value management "
+                             f"{drs['mgmt']} (spec: 0, 1 or 2)")
+        if tmpl == 3:
+            drs.update(order=sec[47], extra_octets=sec[48])
+            if drs["order"] not in (1, 2):
+                raise ValueError(
+                    f"grib2: spatial differencing order {drs['order']} "
+                    "(spec: 1 or 2)")
+            if not 1 <= drs["extra_octets"] <= 4:
+                raise ValueError("grib2: extra-descriptor octet count "
+                                 f"{drs['extra_octets']} (expect 1..4)")
+            if drs["mgmt"] != 0:
+                raise NotImplementedError(
+                    "grib2: spatial differencing with embedded missing "
+                    "values (5.3 mgmt>0) — use a bit-map or the "
+                    "rasterio fallback")
+    return drs
+
+
+_COMPLEX_CHUNK = 1 << 18            # values per variable-width unpack slab
+
+
+def _unpack_complex(drs, payload: bytes):
+    """Template 7.2/7.3 data section -> (X int64 array of ``npacked``
+    values, missing bool mask or None).
+
+    Layout (WMO templates 7.2/7.3): [7.3 only: ``order`` initial field
+    values then the overall difference minimum, each ``extra_octets``
+    sign-and-magnitude] then three octet-aligned sequences — NG group
+    reference values (``nbits`` wide), NG group widths (``wbits``, plus
+    ``wref``), NG scaled group lengths (``lbits``; true length =
+    ``lref + scaled * linc``, last group overridden by ``last_len``) —
+    then each group's values packed at its own width.  With missing
+    management 1/2, the all-ones (and all-ones-minus-one) code in a
+    group marks a missing point; a zero-width group is entirely missing
+    when its REFERENCE is all-ones in ``nbits``."""
+    ng, nbits, npacked = drs["ng"], drs["nbits"], drs["npacked"]
+    off = 0
+    if drs["tmpl"] == 3:
+        order, n8 = drs["order"], drs["extra_octets"]
+        need = (order + 1) * n8
+        if len(payload) < need:
+            raise ValueError("grib2: data section shorter than spatial-"
+                             "differencing descriptors")
+        ivals = [_sm(payload, i * n8, n8) for i in range(order)]
+        gmin = _sm(payload, order * n8, n8)
+        off = need
+
+    def seq(width: int, count: int) -> np.ndarray:
+        nonlocal off
+        nbytes = (count * width + 7) // 8
+        if len(payload) < off + nbytes:
+            raise ValueError("grib2: data section shorter than group "
+                             "descriptor sequences")
+        out = _unpack_bits(payload[off:off + nbytes], width, count)
+        off += nbytes
+        return out
+
+    refs = seq(nbits, ng)
+    widths = drs["wref"] + seq(drs["wbits"], ng)
+    lengths = (drs["lref"] + seq(drs["lbits"], ng)
+               * drs["linc"]).astype(np.int64)
+    if ng:
+        lengths[-1] = drs["last_len"]
+    if int(lengths.sum()) != npacked:
+        raise ValueError(
+            f"grib2: group lengths sum {int(lengths.sum())} != packed "
+            f"point count {npacked}")
+    wpv = np.repeat(widths, lengths)          # width per value
+    rpv = np.repeat(refs, lengths)            # group reference per value
+    bits = np.unpackbits(np.frombuffer(payload[off:], dtype=np.uint8))
+    ends = np.cumsum(wpv)
+    if ends.size and int(ends[-1]) > bits.size:
+        raise ValueError("grib2: data section shorter than the declared "
+                         "group widths require")
+    starts = ends - wpv
+    packed = np.zeros(npacked, dtype=np.int64)
+    bits64 = bits.astype(np.int64)
+    for c0 in range(0, npacked, _COMPLEX_CHUNK):  # bound the (n, W) slab
+        c1 = min(c0 + _COMPLEX_CHUNK, npacked)
+        w = wpv[c0:c1]
+        wmax = int(w.max()) if w.size else 0
+        if wmax == 0:
+            continue
+        j = np.arange(wmax, dtype=np.int64)
+        valid = j[None, :] < w[:, None]
+        idx = np.where(valid, starts[c0:c1, None] + j[None, :], 0)
+        b = bits64[idx] * valid
+        shift = np.maximum(w[:, None] - 1 - j[None, :], 0)
+        packed[c0:c1] = np.sum(b << shift, axis=1)
+    missing = None
+    if drs["mgmt"] in (1, 2):
+        missing = ((wpv > 0) & (packed == (1 << wpv) - 1)) \
+            | ((wpv == 0) & (rpv == (1 << nbits) - 1))
+        if drs["mgmt"] == 2:
+            missing |= ((wpv > 1) & (packed == (1 << wpv) - 2)) \
+                | ((wpv == 0) & (rpv == (1 << nbits) - 2))
+    x = rpv + packed
+    if drs["tmpl"] == 3:
+        # g2lib comunpack order: overwrite the first `order` values
+        # with the transmitted originals, add gmin to the rest, then
+        # integrate (vectorized: first differences are a cumsum).
+        if npacked < order + 1:
+            raise ValueError("grib2: fewer points than the spatial-"
+                             "differencing order needs")
+        d = x.copy()
+        d[order:] += gmin
+        if order == 1:
+            d[0] = ivals[0]
+            x = np.cumsum(d)
+        else:
+            h = d.copy()                      # h[i] = g[i] - g[i-1]
+            h[1] = ivals[1] - ivals[0]
+            h[1:] = np.cumsum(h[1:])
+            x = np.empty_like(d)
+            x[0] = ivals[0]
+            x[1:] = ivals[0] + np.cumsum(h[1:])
+    return x, missing
+
+
+def _decode_packed_image(drs, payload: bytes) -> np.ndarray:
+    """Template 7.40/7.41 -> X values: the payload is a JPEG2000
+    codestream / PNG image of the scaled integers (NCEP packs
+    bit-mapped fields as a 1 x npacked image; full fields as nj x ni —
+    either raveled form feeds the same Y formula + bit-map expansion).
+    24/32-bit PNG uses RGB/RGBA channels as big-endian value bytes."""
+    if drs["tmpl"] == 40:
+        from rasterframes_spark.sources.jp2 import decode_jp2
+        img = np.asarray(decode_jp2(payload), dtype=np.int64)
+    else:
+        from rasterframes_spark.sources.png import decode_png
+        img = np.asarray(decode_png(payload)).astype(np.int64)
+        if img.ndim == 3:                     # channels = value bytes
+            nch = img.shape[2]
+            img = sum(img[:, :, c] << (8 * (nch - 1 - c))
+                      for c in range(nch))
+    x = img.ravel()
+    if x.size != drs["npacked"]:
+        raise ValueError(
+            f"grib2: packed image has {x.size} points, DRS declares "
+            f"{drs['npacked']}")
+    return x
+
+
 def _decode_field(grid, drs, bitmap, payload, discipline, pdt) -> dict:
     ni, nj = grid["ni"], grid["nj"]
     npts = ni * nj
-    x = _unpack_bits(payload, drs["nbits"], drs["npacked"])
+    missing = None
+    if drs["tmpl"] in (2, 3):
+        x, missing = _unpack_complex(drs, payload)
+    elif drs["tmpl"] in (40, 41):
+        x = np.zeros(drs["npacked"], dtype=np.int64) if drs["nbits"] == 0 \
+            else _decode_packed_image(drs, payload)
+    else:
+        x = _unpack_bits(payload, drs["nbits"], drs["npacked"])
     y = (drs["R"] + x.astype("float64") * (2.0 ** drs["E"])) \
         / (10.0 ** drs["D"])
+    if missing is not None:
+        y[missing] = np.nan
     if bitmap is not None:
         mask = np.unpackbits(np.frombuffer(bitmap, dtype=np.uint8))[:npts]
         if int(mask.sum()) != drs["npacked"]:
@@ -247,16 +436,92 @@ def _grid_extent(grid) -> tuple[float, float, float, float]:
 # ---------------------------------------------------------------------------
 
 
+def _nbits_for(maxval: int) -> int:
+    return max(int(maxval).bit_length(), 1) if maxval > 0 else 0
+
+
+def _pack_complex(x: np.ndarray, order: int, group_len: int):
+    """Scaled non-negative ints -> (template 5.2/5.3 DRS tail bytes,
+    template 7.2/7.3 data section bytes).  ``order`` 0 = plain complex
+    packing; 1/2 = spatial differencing first (the transmitted values
+    become the order-th differences minus their minimum, with the
+    initial originals + that minimum leading the data section).  The
+    decoder round-trip is the oracle; grouping is fixed-length
+    ``group_len`` with per-group min reference and tight widths."""
+    x = np.asarray(x, dtype=np.int64)
+    head = b""
+    if order:
+        if x.size < order + 1:
+            raise ValueError("grib2: spatial differencing needs more "
+                             "points than its order")
+        ivals = [int(v) for v in x[:order]]
+        d = np.diff(x, n=order).astype(np.int64)
+        gmin = int(d.min()) if d.size else 0
+        v = np.concatenate([np.zeros(order, dtype=np.int64), d - gmin])
+        n8 = 1
+        while any(abs(q) >= (1 << (8 * n8 - 1)) for q in ivals + [gmin]):
+            n8 += 1
+        head = b"".join(_pack_sm(q, n8) for q in ivals + [gmin])
+    else:
+        v, n8 = x, 0
+    ng = max((v.size + group_len - 1) // group_len, 1)
+    refs = np.zeros(ng, dtype=np.int64)
+    widths = np.zeros(ng, dtype=np.int64)
+    lengths = np.zeros(ng, dtype=np.int64)
+    payload = bytearray()
+    groups_bits = []
+    for gi in range(ng):
+        grp = v[gi * group_len:(gi + 1) * group_len]
+        lengths[gi] = grp.size
+        refs[gi] = int(grp.min()) if grp.size else 0
+        rel = grp - refs[gi]
+        widths[gi] = _nbits_for(int(rel.max()) if rel.size else 0)
+        groups_bits.append((rel, int(widths[gi])))
+    nbits = _nbits_for(int(refs.max()) if ng else 0)
+    wbits = _nbits_for(int(widths.max()) if ng else 0)
+    lbits = _nbits_for(int(lengths.max()) if ng else 0)
+    payload += head
+    payload += _pack_bits(refs, nbits)
+    payload += _pack_bits(widths, wbits)
+    payload += _pack_bits(lengths, lbits)
+    # group values share one unpadded bitstream
+    allbits = np.concatenate([
+        ((g[:, None] >> np.arange(w - 1, -1, -1, dtype=np.int64)[None, :])
+         & 1).astype(np.uint8).ravel()
+        for g, w in groups_bits if w > 0] or
+        [np.zeros(0, dtype=np.uint8)])
+    payload += np.packbits(allbits).tobytes()
+    drs_tail = bytes([0, 1, 0]) + b"\x00" * 8 \
+        + struct.pack(">I", ng) + bytes([0, wbits]) \
+        + struct.pack(">I", 0) + bytes([1]) \
+        + struct.pack(">I", int(lengths[-1])) + bytes([lbits])
+    # ^ octets 21-47: orig-type int, general splitting, mgmt 0, missing
+    #   substitutes 0, NG, wref 0, wbits, lref 0, linc 1, last, lbits
+    if order:
+        drs_tail += bytes([order, n8])
+    return nbits, drs_tail, bytes(payload)
+
+
 def write_grib2(fields, extent, nbits: int = 16, dscale: int = 0,
-                discipline: int = 0, params=None) -> bytes:
+                discipline: int = 0, params=None,
+                packing: str = "simple", group_len: int = 64) -> bytes:
     """Encode 2-D float arrays (north-up, shared lat/lon grid) as one
-    GRIB2 message per field: template 3.0 grid + 4.0 product + 5.0
-    simple packing.  NaN cells emit a bit-map.  ``extent`` is the
-    cell-EDGE (xmin, ymin, xmax, ymax); cell centers land at the
-    half-pixel like every other sink here.  Quantization error is
-    bounded by ``2**(E-1) / 10**dscale`` with E chosen so the scaled
-    range fits ``nbits``; integer-valued fields with range < 2**nbits
-    and ``dscale=0`` round-trip exactly (E = 0)."""
+    GRIB2 message per field: template 3.0 grid + 4.0 product + a data
+    representation chosen by ``packing`` — ``simple`` (5.0),
+    ``complex`` (5.2), ``complex_diff`` (5.3, second-order spatial
+    differencing), ``jpeg2000`` (5.40, the repo's own ISO 15444-1
+    encoder), or ``png`` (5.41, the repo's own PNG encoder; depth
+    8/16/24 by scaled range).  NaN cells emit a bit-map (packed-image
+    modes then pack the present points as a 1 x npacked image, the
+    NCEP convention).  ``extent`` is the cell-EDGE (xmin, ymin, xmax,
+    ymax); cell centers land at the half-pixel like every other sink
+    here.  Quantization error is bounded by ``2**(E-1) / 10**dscale``
+    with E chosen so the scaled range fits ``nbits``; integer-valued
+    fields with range < 2**nbits and ``dscale=0`` round-trip exactly
+    (E = 0)."""
+    if packing not in ("simple", "complex", "complex_diff",
+                       "jpeg2000", "png"):
+        raise ValueError(f"grib2: unknown packing {packing!r}")
     if params is None:
         params = [(0, 0)] * len(fields)
     xmin, ymin, xmax, ymax = (float(v) for v in extent)
@@ -313,15 +578,54 @@ def write_grib2(fields, extent, nbits: int = 16, dscale: int = 0,
             + bytes([1, 0]) + struct.pack(">I", 0) \
             + bytes([255, 255]) + b"\xff\xff\xff\xff"
         s4 = sec(4, p4)
-        s5 = sec(5, struct.pack(">IH", int(vals.size), 0)
-                 + struct.pack(">f", r) + _pack_sm(e, 2)
-                 + _pack_sm(dscale, 2) + bytes([nbits, 0]))
+        red = struct.pack(">f", r) + _pack_sm(e, 2) + _pack_sm(dscale, 2)
+        if packing == "simple":
+            s5 = sec(5, struct.pack(">IH", int(vals.size), 0)
+                     + red + bytes([nbits, 0]))
+            s7 = sec(7, _pack_bits(x, nbits if vals.size else 0))
+        elif packing in ("complex", "complex_diff"):
+            order = 2 if packing == "complex_diff" else 0
+            gb, tail, data = _pack_complex(x, order, group_len)
+            s5 = sec(5, struct.pack(">IH", int(vals.size),
+                                    3 if order else 2)
+                     + red + bytes([gb]) + tail)
+            s7 = sec(7, data)
+        else:                       # packed-image modes (5.40 / 5.41)
+            depth = _nbits_for(int(x.max()) if x.size else 0)
+            shape = (nj, ni) if mask.all() else (1, int(vals.size))
+            img = x.reshape(shape)
+            if packing == "jpeg2000":
+                from rasterframes_spark.sources.jp2 import encode_jp2
+                data = b"" if depth == 0 else encode_jp2(
+                    img, depth=depth, signed=False,
+                    levels=min(5, max(int(min(shape)).bit_length() - 3,
+                                      0)))
+                s5 = sec(5, struct.pack(">IH", int(vals.size), 40)
+                         + red + bytes([depth, 0, 0, 255]))
+            else:
+                if depth > 24:
+                    raise ValueError("grib2: png packing supports "
+                                     "scaled depths up to 24 bits")
+                from rasterframes_spark.sources.png import encode_png
+                if depth == 0:
+                    data = b""
+                elif depth <= 8:
+                    data = encode_png(img.astype(np.uint8))
+                elif depth <= 16:
+                    data = encode_png(img.astype(np.uint16))
+                else:               # 24-bit: value bytes as RGB
+                    rgb = np.stack([(img >> 16) & 0xFF,
+                                    (img >> 8) & 0xFF,
+                                    img & 0xFF], axis=-1)
+                    data = encode_png(rgb.astype(np.uint8))
+                s5 = sec(5, struct.pack(">IH", int(vals.size), 41)
+                         + red + bytes([depth, 0]))
+            s7 = sec(7, data)
         if mask.all():
             s6 = sec(6, b"\xff")
         else:
             s6 = sec(6, b"\x00" + np.packbits(
                 mask.astype(np.uint8)).tobytes())
-        s7 = sec(7, _pack_bits(x, nbits if vals.size else 0))
         body = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
         out += b"GRIB" + b"\x00\x00" + bytes([discipline, 2]) \
             + struct.pack(">Q", 16 + len(body)) + body
