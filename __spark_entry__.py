@@ -1871,6 +1871,23 @@ def _q_interop_suite(spark, sf_dir):
                     F.col("s").cast("double").alias("v1"),
                     F.col("n").cast("double").alias("v2"),
                     F.col("x0").cast("double").alias("v3")))
+    # k=5: the same grid as a legacy GRIB edition 1 file (IBM hex-float
+    # reference value, millidegree grid) through the same dispatch
+    from rasterframes_spark.sources.grib1 import write_grib1
+    gb_path = tempfile.mktemp(suffix=".grib", prefix="rf_gb_oracle_e1_")
+    with open(gb_path, "wb") as f:
+        f.write(write_grib1([ggrid], extent=(-100.0, 20.0, -46.0, 56.0)))
+    gbdf = read_raster(spark, [gb_path], tile_dimensions=(32, 32))
+    gb_parts.append(
+        gbdf.withColumn("tile", realize_tiles(F.col("tile_ref")))
+        .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+             F.count("*").alias("n"),
+             F.min("extent.xmin").alias("x0"))
+        .select(F.lit("grib").alias("family"),
+                F.lit(5).cast("long").alias("k"),
+                F.col("s").cast("double").alias("v1"),
+                F.col("n").cast("double").alias("v2"),
+                F.col("x0").cast("double").alias("v3")))
     import functools
     gb = functools.reduce(lambda a, b: a.unionByName(b), gb_parts)
 
@@ -2241,12 +2258,14 @@ def oracle_sql() -> dict[str, str]:
               -- SAME field: k 0..4 = simple 5.0, complex 5.2,
               -- spatial-differencing 5.3, JPEG2000 5.40, PNG 5.41 —
               -- integer cells, so every packing must be bit-exact
+              -- ... and k=5 is the same grid as a legacy GRIB
+              -- edition 1 file (IBM hex-float reference value)
               select 'grib' as family, cast(p as bigint) as k,
                      cast(sum((i * 29 + j * 13) % 89) as double) as v1,
                      4.0 as v2, -100.0 as v3
               from (select unnest(range(36)) as i) a
               cross join (select unnest(range(54)) as j) b
-              cross join (select unnest(range(5)) as p) c
+              cross join (select unnest(range(6)) as p) c
               group by p
             ), adpcm as (
               select 'adpcm' as family, cast(doc_id as bigint) as k,

@@ -1,0 +1,330 @@
+"""Pure-python GRIB edition 1 (WMO FM 92-VIII GRIB) reader/writer.
+
+The reference reads GRIB only through its GDAL branch
+(`core/src/main/scala/org/locationtech/rasterframes/ref/RFRasterSource.scala:105-158`);
+r10 takes the legacy edition native too, so the format-dispatch "grib"
+family covers both editions without rasterio.  Fields come back in the
+same ``{"grid", "values", ...}`` shape as :mod:`grib2`, so the shared
+raster adapter (``grib2.read_info``/``read_window``) serves both.
+
+Format reference (public WMO spec, GRIB Edition 1 = FM 92-VIII):
+
+- Indicator section (8 bytes): ``GRIB`` magic, total message length in
+  octets 5-7 (uint24), edition (= 1) in octet 8.  Editions 0/-1 have
+  no length there and are rejected.
+- PDS (product definition): octet 8 flags GDS (0x80) / BMS (0x40)
+  presence; octet 9 is the parameter indicator; octets 27-28 the
+  decimal scale factor D (sign-and-magnitude, like every signed GRIB
+  quantity).
+- GDS, data representation type 0 (regular lat/lon): Ni/Nj uint16,
+  first/last lat/lon as sign-and-magnitude MILLIdegrees (uint24), Di/
+  Dj uint16 millidegrees (0xFFFF = "not given", rejected), scanning
+  mode octet 28 with the same 0x80 (-i) / 0x40 (+j) / 0x20
+  (column-major, rejected) semantics as edition 2.
+- BMS: octet 4 = number of unused trailing bits, octets 5-6 = 0 for
+  an explicit bit-map (predefined ones rejected), bit-map MSB-first.
+- BDS: octet 4 high nibble flags — spherical harmonics (bit 1) and
+  second-order packing (bit 2) are rejected, integer-original (bit 3)
+  and additional-flags (bit 4) accepted — low nibble = unused bits at
+  the end; octets 5-6 = binary scale E (sign-and-magnitude); octets
+  7-10 = reference value R as an IBM System/360 HEX float (sign bit,
+  7-bit excess-64 base-16 exponent, 24-bit fraction:
+  ``(-1)^s * 0.f * 16^(e-64)`` — NOT IEEE); octet 11 = bits per
+  packed value; values MSB-first with no padding, like edition 2.
+- ``Y = (R + X * 2**E) / 10**D`` — same packing equation as GRIB2.
+- End section: ``7777``.
+
+Longitude normalization matches :func:`grib2._grid_extent` (grids
+entirely west of the antimeridian shift by -360).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from rasterframes_spark.sources.grib2 import _pack_bits, _unpack_bits
+
+__all__ = ["parse_grib1", "write_grib1", "ibm_float", "ibm_float_bytes"]
+
+_MILLI = 1e-3
+
+
+def _u(data: bytes, off: int, n: int) -> int:
+    return int.from_bytes(data[off:off + n], "big")
+
+
+def _sm(data: bytes, off: int, n: int) -> int:
+    """Sign-and-magnitude signed int (MSB = sign, not two's
+    complement) — the GRIB convention in both editions."""
+    raw = _u(data, off, n)
+    sign_bit = 1 << (8 * n - 1)
+    return -(raw & ~sign_bit) if raw & sign_bit else raw
+
+
+def _pack_sm(value: int, n: int) -> bytes:
+    sign_bit = 1 << (8 * n - 1)
+    if abs(int(value)) >= sign_bit:
+        raise ValueError(f"grib1: magnitude {value} exceeds {n}-byte field")
+    raw = (abs(int(value)) | sign_bit) if value < 0 else int(value)
+    return raw.to_bytes(n, "big")
+
+
+def ibm_float(b: bytes) -> float:
+    """IBM System/360 single-precision hexadecimal float -> python
+    float: sign(1) | excess-64 base-16 exponent(7) | fraction(24);
+    value = (-1)^s * (fraction / 2^24) * 16^(exponent-64)."""
+    if len(b) != 4:
+        raise ValueError("grib1: IBM float needs 4 bytes")
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = (b[0] & 0x7F) - 64
+    mant = int.from_bytes(b[1:4], "big")
+    return sign * mant * (16.0 ** exp) / float(1 << 24)
+
+
+def ibm_float_bytes(v: float) -> bytes:
+    """Nearest-representable IBM hex-float encoding (round-trips
+    exactly through :func:`ibm_float` — tests pin that property)."""
+    v = float(v)
+    if v == 0.0 or not np.isfinite(v):
+        if not np.isfinite(v):
+            raise ValueError("grib1: reference value must be finite")
+        return b"\x00\x00\x00\x00"
+    s = 0x80 if v < 0 else 0
+    a = abs(v)
+    exp = 0
+    while a >= 1.0:
+        a /= 16.0
+        exp += 1
+    while a < 1.0 / 16.0:
+        a *= 16.0
+        exp -= 1
+    mant = round(a * (1 << 24))
+    if mant >= (1 << 24):           # rounding carried past 0.FFFFFF
+        mant >>= 4
+        exp += 1
+    if not -64 <= exp <= 63:
+        raise ValueError(f"grib1: value {v} outside IBM float range")
+    return bytes([s | (exp + 64)]) + mant.to_bytes(3, "big")
+
+
+def _parse_gds(gds: bytes) -> dict:
+    if gds[5] != 0:
+        raise NotImplementedError(
+            f"grib1: data representation type {gds[5]} (only 0 regular "
+            "lat/lon is native; use the rasterio fallback)")
+    ni, nj = _u(gds, 6, 2), _u(gds, 8, 2)
+    if ni == 0xFFFF or nj == 0xFFFF:
+        raise NotImplementedError("grib1: quasi-regular grids")
+    di, dj = _u(gds, 23, 2), _u(gds, 25, 2)
+    if di == 0xFFFF or dj == 0xFFFF:
+        raise NotImplementedError(
+            "grib1: direction increments not given")
+    scan = gds[27]
+    if scan & 0x20:
+        raise NotImplementedError("grib1: column-major scanning (0x20)")
+    return {"ni": ni, "nj": nj,
+            "la1": _sm(gds, 10, 3) * _MILLI, "lo1": _sm(gds, 13, 3)
+            * _MILLI % 360.0,
+            "la2": _sm(gds, 17, 3) * _MILLI, "lo2": _sm(gds, 20, 3)
+            * _MILLI % 360.0,
+            "di": di * _MILLI, "dj": dj * _MILLI, "scan": scan,
+            "npts": ni * nj}
+
+
+def parse_grib1(data: bytes) -> list[dict]:
+    """Every field in a (possibly multi-message) GRIB1 byte stream ->
+    the same dicts :func:`grib2.parse_grib2` yields (``param_number``
+    carries the PDS parameter indicator; GRIB1 has no discipline or
+    category, recorded as 255).  Strict parse like the edition-2
+    reader: truncation, a missing ``7777``, spherical-harmonic or
+    second-order BDS flags, predefined bit-maps all raise."""
+    fields: list[dict] = []
+    off = 0
+    n = len(data)
+    while off < n:
+        if n - off < 8 or data[off:off + 4] != b"GRIB":
+            raise ValueError("grib1: missing GRIB indicator")
+        edition = data[off + 7]
+        if edition != 1:
+            raise ValueError(f"grib1: edition {edition} (only 1)")
+        total = _u(data, off + 4, 3)
+        if total < 8 + 28 + 4 or off + total > n:
+            raise ValueError("grib1: message length past end of stream")
+        end = off + total
+        p = off + 8
+        # ---- PDS
+        plen = _u(data, p, 3)
+        if plen < 28 or p + plen > end:
+            raise ValueError("grib1: bad PDS length")
+        pds = data[p:p + plen]
+        has_gds, has_bms = bool(pds[7] & 0x80), bool(pds[7] & 0x40)
+        param = pds[8]
+        dscale = _sm(pds, 26, 2)
+        p += plen
+        # ---- GDS (predefined grids without one are rejected)
+        if not has_gds:
+            raise NotImplementedError(
+                "grib1: predefined grid (no GDS; catalogued grid ids "
+                "need the rasterio fallback)")
+        glen = _u(data, p, 3)
+        if glen < 32 or p + glen > end:
+            raise ValueError("grib1: bad GDS length")
+        grid = _parse_gds(data[p:p + glen])
+        p += glen
+        # ---- BMS
+        bitmap = None
+        if has_bms:
+            blen = _u(data, p, 3)
+            if blen < 6 or p + blen > end:
+                raise ValueError("grib1: bad BMS length")
+            if _u(data, p + 4, 2) != 0:
+                raise NotImplementedError(
+                    f"grib1: predefined bit-map {_u(data, p + 4, 2)}")
+            bitmap = data[p + 6:p + blen]
+            p += blen
+        # ---- BDS
+        dlen = _u(data, p, 3)
+        if dlen < 11 or p + dlen > end:
+            raise ValueError("grib1: bad BDS length")
+        bds = data[p:p + dlen]
+        flags = data[p + 3]
+        if flags & 0x80:
+            raise NotImplementedError("grib1: spherical harmonics")
+        if flags & 0x40:
+            raise NotImplementedError(
+                "grib1: second-order packing (use the rasterio "
+                "fallback)")
+        unused = flags & 0x0F
+        e = _sm(data, p + 4, 2)
+        r = ibm_float(data[p + 6:p + 10])
+        nbits = data[p + 10]
+        navail = (8 * (dlen - 11) - unused) // nbits if nbits else 0
+        p += dlen
+        if data[p:p + 4] != b"7777":
+            raise ValueError("grib1: message not terminated by 7777")
+        p += 4
+        # ---- decode (same Y equation as edition 2)
+        ni, nj = grid["ni"], grid["nj"]
+        npts = ni * nj
+        if bitmap is not None:
+            mask = np.unpackbits(
+                np.frombuffer(bitmap, dtype=np.uint8))[:npts]
+            npacked = int(mask.sum())
+        else:
+            mask = None
+            npacked = npts
+        if nbits == 0:
+            y = np.full(npacked, r / (10.0 ** dscale))
+        else:
+            if navail < npacked:
+                raise ValueError("grib1: data section shorter than "
+                                 "nbits*npts")
+            x = _unpack_bits(bds[11:], nbits, npacked)
+            y = (r + x.astype("float64") * (2.0 ** e)) / (10.0 ** dscale)
+        if mask is not None:
+            full = np.full(npts, np.nan)
+            full[mask.astype(bool)] = y
+            y = full
+        a = y.reshape(nj, ni)
+        if grid["scan"] & 0x80:
+            a = a[:, ::-1]
+        if grid["scan"] & 0x40:
+            a = a[::-1]
+        fields.append({"grid": grid, "values": np.ascontiguousarray(a),
+                       "discipline": 255, "param_category": 255,
+                       "param_number": param})
+        off = end
+    if not fields:
+        raise ValueError("grib1: no data fields in stream")
+    return fields
+
+
+def write_grib1(fields, extent, nbits: int = 16, dscale: int = 0,
+                params=None) -> bytes:
+    """Encode 2-D float arrays (north-up, shared lat/lon grid) as one
+    GRIB1 message per field.  NaN cells emit a bit-map.  The reference
+    value is quantized to an IBM hex float FIRST (then X computed
+    against the quantized R), so integer fields with range < 2**nbits
+    round-trip exactly — the same discipline as the edition-2 writer's
+    float32 R.  Millidegree grid: extent edges must land on 1e-3
+    degrees."""
+    if params is None:
+        params = [2] * len(fields)
+    xmin, ymin, xmax, ymax = (float(v) for v in extent)
+    out = bytearray()
+    for a, param in zip(fields, params):
+        a = np.asarray(a, dtype="float64")
+        if a.ndim != 2:
+            raise ValueError("grib1: each field must be 2-D")
+        nj, ni = a.shape
+        di, dj = (xmax - xmin) / ni, (ymax - ymin) / nj
+        la1, la2 = ymax - dj / 2, ymin + dj / 2
+        lo1, lo2 = xmin + di / 2, xmax - di / 2
+        if lo1 < 0:
+            lo1, lo2 = lo1 + 360.0, lo2 + 360.0
+        for v in (la1, la2, lo1, lo2, di, dj):
+            if abs(round(v / _MILLI) - v / _MILLI) > 1e-6:
+                raise ValueError(
+                    "grib1: grid does not land on millidegrees")
+
+        mask = np.isfinite(a.ravel())
+        vals = a.ravel()[mask] * (10.0 ** dscale)
+        if vals.size == 0:
+            rb, e, x = b"\x00" * 4, 0, np.zeros(0, dtype=np.int64)
+        else:
+            r = float(vals.min())
+            rng = float(vals.max()) - r
+            e = 0
+            if rng > 0 and nbits > 0:
+                while rng / (2.0 ** e) > (1 << nbits) - 1:
+                    e += 1
+            rb = ibm_float_bytes(r)
+            r = ibm_float(rb)       # quantize FIRST, pack against it
+            x = np.round((vals - r) / (2.0 ** e)).astype(np.int64)
+            x = np.clip(x, 0, (1 << nbits) - 1)
+
+        pds = b"\x00\x00\x1c" + bytes([
+            3,                      # octet 4  table version
+            7,                      # octet 5  centre
+            0,                      # octet 6  generating process
+            255,                    # octet 7  grid id (in GDS)
+            0xC0 if not mask.all() else 0x80,   # octet 8 GDS/BMS flags
+            param,                  # octet 9  parameter indicator
+            1, 0, 0,                # octets 10-12 level type + level
+            26, 1, 1, 0, 0,         # octets 13-17 yy mm dd hh min
+            1, 0, 0, 10,            # octets 18-21 unit P1 P2 range
+            0, 0, 0,                # octets 22-24 avg count + missing
+            21, 0]) \
+            + _pack_sm(dscale, 2)   # octets 25-26 century subcentre;
+        assert len(pds) == 28       # octets 27-28 decimal scale D
+        gds = bytes([0, 0, 32, 0, 255, 0]) \
+            + struct.pack(">HH", ni, nj) \
+            + _pack_sm(round(la1 / _MILLI), 3) \
+            + _pack_sm(round(lo1 / _MILLI), 3) \
+            + bytes([0x80]) \
+            + _pack_sm(round(la2 / _MILLI), 3) \
+            + _pack_sm(round(lo2 / _MILLI), 3) \
+            + struct.pack(">HH", round(di / _MILLI), round(dj / _MILLI)) \
+            + bytes([0]) + b"\x00" * 4
+        assert len(gds) == 32       # and gds[0:3] says 32
+        bms = b""
+        if not mask.all():
+            bm = np.packbits(mask.astype(np.uint8)).tobytes()
+            unused_bm = 8 * len(bm) - int(mask.size)
+            body = bytes([unused_bm]) + b"\x00\x00" + bm
+            bms = struct.pack(">I", len(body) + 3)[1:] + body
+        packed = _pack_bits(x, nbits if vals.size else 0)
+        unused = 8 * len(packed) - int(vals.size) * nbits \
+            if vals.size and nbits else 0
+        bds_body = bytes([unused & 0x0F]) + _pack_sm(e, 2) + rb \
+            + bytes([nbits if vals.size else 0]) + packed
+        if (len(bds_body) + 3) % 2:             # BDS length must be even
+            bds_body += b"\x00"
+            bds_body = bytes([bds_body[0] + 8]) + bds_body[1:]
+        bds = struct.pack(">I", len(bds_body) + 3)[1:] + bds_body
+        body = pds + gds + bms + bds + b"7777"
+        out += b"GRIB" + struct.pack(">I", len(body) + 8)[1:] \
+            + bytes([1]) + body
+    return bytes(out)

@@ -646,7 +646,11 @@ def _load_fields(src):
         return _GRID_CACHE[key]
     data = src.read_range(0, src.size()) if hasattr(src, "read_range") \
         else bytes(src)
-    fields = parse_grib2(data)
+    if len(data) >= 8 and data[7] == 1:       # legacy edition routes to
+        from rasterframes_spark.sources.grib1 import parse_grib1
+        fields = parse_grib1(data)            # the r10 GRIB1 reader
+    else:
+        fields = parse_grib2(data)
     g0 = fields[0]["grid"]
     for f in fields[1:]:
         g = f["grid"]
@@ -673,9 +677,9 @@ def read_info(src):
         else bytes(src[:8])
     if head[:4] != b"GRIB":
         raise ValueError("not a GRIB stream")
-    if len(head) >= 8 and head[7] != 2:
-        raise ValueError(f"grib edition {head[7]} unsupported (only 2); "
-                         "GRIB1 needs the rasterio fallback")
+    if len(head) >= 8 and head[7] not in (1, 2):
+        raise ValueError(f"grib edition {head[7]} unsupported "
+                         "(native: 1 and 2)")
     cube, extent = _load_fields(src)
     nb, ny, nx = cube.shape
     nodata = float("nan") if np.isnan(cube).any() else None
