@@ -200,6 +200,8 @@ def parse_grib1(data: bytes) -> list[dict]:
         e = _sm(data, p + 4, 2)
         r = ibm_float(data[p + 6:p + 10])
         nbits = data[p + 10]
+        if nbits > 32:              # spec ceiling; guards int64 shifts
+            raise ValueError(f"grib1: {nbits} bits per value (max 32)")
         navail = (8 * (dlen - 11) - unused) // nbits if nbits else 0
         p += dlen
         if data[p:p + 4] != b"7777":

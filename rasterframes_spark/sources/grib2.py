@@ -229,6 +229,9 @@ def _parse_drs(sec: bytes) -> dict:
            "R": struct.unpack(">f", sec[11:15])[0],
            "E": _sm(sec, 15, 2), "D": _sm(sec, 17, 2),
            "nbits": sec[19]}
+    if drs["nbits"] > 32:           # spec ceiling; also guards the
+        raise ValueError(           # int64 shift in _unpack_bits
+            f"grib2: {drs['nbits']} bits per value (max 32)")
     if tmpl in (2, 3):
         if len(sec) < (49 if tmpl == 3 else 47):
             raise ValueError(f"grib2: template 5.{tmpl} DRS too short")
@@ -297,6 +300,9 @@ def _unpack_complex(drs, payload: bytes):
 
     refs = seq(nbits, ng)
     widths = drs["wref"] + seq(drs["wbits"], ng)
+    if widths.size and int(widths.max()) > 32:
+        raise ValueError(
+            f"grib2: group width {int(widths.max())} bits (max 32)")
     lengths = (drs["lref"] + seq(drs["lbits"], ng)
                * drs["linc"]).astype(np.int64)
     if ng:
