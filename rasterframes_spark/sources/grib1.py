@@ -104,7 +104,9 @@ def ibm_float_bytes(v: float) -> bytes:
     if mant >= (1 << 24):           # rounding carried past 0.FFFFFF
         mant >>= 4
         exp += 1
-    if not -64 <= exp <= 63:
+    if exp < -64:                   # below ~5.4e-79: flush to zero (the
+        return b"\x00\x00\x00\x00"  # quantization step dwarfs it anyway)
+    if exp > 63:
         raise ValueError(f"grib1: value {v} outside IBM float range")
     return bytes([s | (exp + 64)]) + mant.to_bytes(3, "big")
 

@@ -182,3 +182,90 @@ def test_grib1_dispatch_through_shared_adapter(tmp_path):
     win = G2.read_window(Src(), info, 2, 1, 4, 3)
     np.testing.assert_array_equal(np.nan_to_num(win),
                                   np.nan_to_num(a[1:4, 2:6]))
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: randomized round-trips (both editions share the strategy)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _fields(draw):
+    nj = draw(st.integers(2, 12))
+    ni = draw(st.integers(2, 12))
+    kind = draw(st.sampled_from(["int", "float", "const"]))
+    rng = np.random.default_rng(draw(st.integers(0, 2 ** 31)))
+    if kind == "int":
+        lo = draw(st.integers(-5000, 0))
+        hi = draw(st.integers(1, 60000))
+        a = rng.integers(lo, lo + hi, size=(nj, ni)).astype("float64")
+    elif kind == "float":
+        a = rng.normal(draw(st.floats(-1e3, 1e3)), 10.0, size=(nj, ni))
+    else:
+        a = np.full((nj, ni), draw(st.floats(-1e4, 1e4)))
+    if draw(st.booleans()):
+        k = draw(st.integers(1, nj * ni - 1))
+        flat = a.ravel()
+        flat[rng.choice(nj * ni, size=k, replace=False)] = np.nan
+        a = flat.reshape(nj, ni)
+    return a
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=_fields(),
+       packing=st.sampled_from(["simple", "complex", "complex_diff",
+                                "jpeg2000", "png"]),
+       group_len=st.sampled_from([3, 64, 500]))
+def test_grib2_roundtrip_property(a, packing, group_len):
+    """Any field, any packing: NaN mask preserved exactly; integer
+    fields bit-exact; float fields within the quantization bound."""
+    if packing == "complex_diff" and np.isfinite(a).sum() < 3:
+        return                      # differencing needs order+1 points
+    nj, ni = a.shape
+    ext = (0.0, 0.0, float(ni), float(nj))
+    b = G2.write_grib2([a], ext, nbits=16, packing=packing,
+                       group_len=group_len)
+    (f,) = G2.parse_grib2(b)
+    v = f["values"]
+    np.testing.assert_array_equal(np.isnan(v), np.isnan(a))
+    fin = np.isfinite(a)
+    if fin.any():
+        vals = a[fin]
+        if np.all(vals == np.round(vals)) and \
+                (vals.max() - vals.min()) < (1 << 16) and \
+                np.abs(vals).max() < 2 ** 22:
+            np.testing.assert_allclose(v[fin], vals, rtol=0, atol=0)
+        else:
+            rngv = float(vals.max() - vals.min())
+            e = 0
+            while rngv > 0 and rngv / (2.0 ** e) > (1 << 16) - 1:
+                e += 1
+            # bound: simple-packing quantization + float32 R storage
+            tol = 2.0 ** (e - 1) + abs(vals.min()) * 2.0 ** -22 + 1e-9
+            assert float(np.abs(v[fin] - vals).max()) <= tol
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=_fields())
+def test_grib1_roundtrip_property(a):
+    nj, ni = a.shape
+    ext = (0.0, 0.0, float(ni), float(nj))
+    (f,) = G1.parse_grib1(G1.write_grib1([a], ext))
+    v = f["values"]
+    np.testing.assert_array_equal(np.isnan(v), np.isnan(a))
+    fin = np.isfinite(a)
+    if fin.any():
+        vals = a[fin]
+        if np.all(vals == np.round(vals)) and \
+                (vals.max() - vals.min()) < (1 << 16) and \
+                np.abs(vals).max() < 2 ** 22:
+            np.testing.assert_allclose(v[fin], vals, rtol=0, atol=0)
+        else:
+            rngv = float(vals.max() - vals.min())
+            e = 0
+            while rngv > 0 and rngv / (2.0 ** e) > (1 << 16) - 1:
+                e += 1
+            tol = 2.0 ** (e - 1) + abs(vals.min()) * 2.0 ** -20 + 1e-9
+            assert float(np.abs(v[fin] - vals).max()) <= tol
