@@ -528,9 +528,10 @@ def points_in_polygon_vec_exact(px: np.ndarray, py: np.ndarray,
     for ring in rings:
         a = np.asarray(ring, dtype="float64")
         x1, y1 = a[:-1, 0].copy(), a[:-1, 1].copy()
-        dx, dy = a[1:, 0] - x1, a[1:, 1] - y1
-        dd = dx * dx + dy * dy
-        prep.append((x1, y1, dx, dy, dd))
+        y2 = a[1:, 1].copy()        # TRUE endpoint: y1 + dy can round
+        dx, dy = a[1:, 0] - x1, a[1:, 1] - y1   # differently at large
+        dd = dx * dx + dy * dy      # magnitudes and flip the straddle
+        prep.append((x1, y1, y2, dx, dy, dd))   # test vs the scalar
         max_edges = max(max_edges, x1.shape[0])
     n = px.shape[0]
     step = max(1, _PIP_VEC_BUDGET // max_edges)
@@ -545,7 +546,7 @@ def points_in_polygon_vec_exact(px: np.ndarray, py: np.ndarray,
 
 def _pip_vec_exact_block(px, py, prep) -> np.ndarray:
     def ring_tests(ring):
-        x1, y1, dx, dy, dd = ring
+        x1, y1, y2, dx, dy, dd = ring
         ex = px[:, None] - x1[None, :]
         ey = py[:, None] - y1[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -555,7 +556,7 @@ def _pip_vec_exact_block(px, py, prep) -> np.ndarray:
         cx = ex - t * dx[None, :]
         cy = ey - t * dy[None, :]
         on_b = ((cx * cx + cy * cy) < 1e-24).any(axis=1)
-        cond = (y1[None, :] > py[:, None]) != ((y1 + dy)[None, :] > py[:, None])
+        cond = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
         with np.errstate(divide="ignore", invalid="ignore"):
             xs = (x1[None, :]
                   + (py[:, None] - y1[None, :]) * dx[None, :] / dy[None, :])

@@ -44,31 +44,14 @@ import struct
 
 import numpy as np
 
-from rasterframes_spark.sources.grib2 import _pack_bits, _unpack_bits
+# the sign-and-magnitude codec (regulation 92.1.5) and MSB-first bit
+# packing are shared across editions — one implementation in grib2
+from rasterframes_spark.sources.grib2 import (_pack_bits, _pack_sm, _sm,
+                                              _u, _unpack_bits)
 
 __all__ = ["parse_grib1", "write_grib1", "ibm_float", "ibm_float_bytes"]
 
 _MILLI = 1e-3
-
-
-def _u(data: bytes, off: int, n: int) -> int:
-    return int.from_bytes(data[off:off + n], "big")
-
-
-def _sm(data: bytes, off: int, n: int) -> int:
-    """Sign-and-magnitude signed int (MSB = sign, not two's
-    complement) — the GRIB convention in both editions."""
-    raw = _u(data, off, n)
-    sign_bit = 1 << (8 * n - 1)
-    return -(raw & ~sign_bit) if raw & sign_bit else raw
-
-
-def _pack_sm(value: int, n: int) -> bytes:
-    sign_bit = 1 << (8 * n - 1)
-    if abs(int(value)) >= sign_bit:
-        raise ValueError(f"grib1: magnitude {value} exceeds {n}-byte field")
-    raw = (abs(int(value)) | sign_bit) if value < 0 else int(value)
-    return raw.to_bytes(n, "big")
 
 
 def ibm_float(b: bytes) -> float:
@@ -126,11 +109,16 @@ def _parse_gds(gds: bytes) -> dict:
     scan = gds[27]
     if scan & 0x20:
         raise NotImplementedError("grib1: column-major scanning (0x20)")
+    # longitudes stay EXACTLY as stored (no % 360): edition-1 files
+    # carry either [0, 360) or signed longitudes, and the shared
+    # _grid_extent logic (sorted endpoints + both->=180 -360 shift)
+    # handles both ONLY if a straddling grid keeps lo2 > 360 rather
+    # than folding it below lo1 (code-review r10 finding #1)
     return {"ni": ni, "nj": nj,
-            "la1": _sm(gds, 10, 3) * _MILLI, "lo1": _sm(gds, 13, 3)
-            * _MILLI % 360.0,
-            "la2": _sm(gds, 17, 3) * _MILLI, "lo2": _sm(gds, 20, 3)
-            * _MILLI % 360.0,
+            "la1": _sm(gds, 10, 3) * _MILLI,
+            "lo1": _sm(gds, 13, 3) * _MILLI,
+            "la2": _sm(gds, 17, 3) * _MILLI,
+            "lo2": _sm(gds, 20, 3) * _MILLI,
             "di": di * _MILLI, "dj": dj * _MILLI, "scan": scan,
             "npts": ni * nj}
 

@@ -117,6 +117,8 @@ _MICRO = 1e-6
 
 def _parse_grid_template(sec: bytes) -> dict:
     """Section 3 body -> grid dict (template 3.0 only)."""
+    if len(sec) < 14:
+        raise ValueError("grib2: grid definition section too short")
     tmpl = _u(sec, 12, 2)
     if tmpl != 0:
         raise NotImplementedError(
@@ -125,6 +127,9 @@ def _parse_grid_template(sec: bytes) -> dict:
     if _u(sec, 10, 1):
         raise NotImplementedError(
             "grib2: quasi-regular grids (optional point list) unsupported")
+    if len(sec) < 72:               # template 3.0 is 72 octets; int.
+        raise ValueError(           # from_bytes on short slices would
+            "grib2: template 3.0 section truncated")    # yield silent 0s
     ni, nj = _u(sec, 30, 4), _u(sec, 34, 4)
     basic, subdiv = _u(sec, 38, 4), _u(sec, 42, 4)
     unit = _MICRO
@@ -188,6 +193,8 @@ def parse_grib2(data: bytes) -> list[dict]:
             elif snum == 5:
                 drs = _parse_drs(sec)
             elif snum == 6:
+                if slen < 6:
+                    raise ValueError("grib2: bit-map section too short")
                 ind = sec[5]
                 if ind == 0:
                     bitmap = sec[6:]
@@ -239,6 +246,9 @@ def _parse_drs(sec: bytes) -> dict:
                    wref=sec[35], wbits=sec[36],
                    lref=_u(sec, 37, 4), linc=sec[41],
                    last_len=_u(sec, 42, 4), lbits=sec[46])
+        if drs["wbits"] > 32 or drs["lbits"] > 32:
+            raise ValueError(       # numpy int64 shifts overflow
+                "grib2: group width/length descriptor over 32 bits")
         if drs["mgmt"] not in (0, 1, 2):
             raise ValueError(f"grib2: missing-value management "
                              f"{drs['mgmt']} (spec: 0, 1 or 2)")

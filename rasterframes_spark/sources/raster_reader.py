@@ -133,11 +133,12 @@ def _cached_info(uri: str):
             f"{uri}: not readable by the pure-python codecs ({e}). "
             "Pure-python covers the TIFF/GeoTIFF family, JPEG2000 "
             "(5/3 reversible and 9/7 irreversible), VRT, MRF, "
-            "NetCDF-3/NetCDF-4 and GRIB2 lat/lon simple packing (see "
-            "the README format matrix); other GDAL formats (GRIB1, "
-            "complex-packed GRIB2, HDF4, LERC, ...) need GDAL — "
-            "installing rasterio enables the fallback read path "
-            "automatically."
+            "NetCDF-3/NetCDF-4, GRIB2 lat/lon (simple, complex, "
+            "spatial-differencing, JPEG2000 and PNG packing) and "
+            "GRIB edition 1 (see the README format matrix); other "
+            "GDAL formats (HDF4, LERC, exotic GRIB representations, "
+            "...) need GDAL — installing rasterio enables the "
+            "fallback read path automatically."
         ) from e
 
 

@@ -269,3 +269,19 @@ def test_grib1_roundtrip_property(a):
                 e += 1
             tol = 2.0 ** (e - 1) + abs(vals.min()) * 2.0 ** -20 + 1e-9
             assert float(np.abs(v[fin] - vals).max()) <= tol
+
+
+def test_prime_meridian_straddle_extent():
+    """code-review r10 #1: a grid straddling 0 degrees (stored 350.5E
+    .. 389.5E by the writer) must reconstruct its signed extent; the
+    old parser folded lo2 % 360 below lo1 and the sorted-endpoint
+    extent spanned 20..360."""
+    a = np.arange(40, dtype="f8").reshape(5, 8)
+    (f,) = G1.parse_grib1(G1.write_grib1([a], (-10.0, 40.0, 30.0, 58.0)))
+    ext = G2._grid_extent(f["grid"])
+    assert abs(ext[0] - -10.0) < 1e-9 and abs(ext[2] - 30.0) < 1e-9
+    np.testing.assert_array_equal(f["values"], a)
+    # a file storing native SIGNED longitudes parses unshifted
+    msg = MSG(PDS(), GDS(lo1=-20_000, lo2=0, di=10_000), BDS())
+    (f,) = G1.parse_grib1(msg)
+    assert G2._grid_extent(f["grid"])[0] == -25.0

@@ -567,3 +567,33 @@ def test_writer_complex_grouping_edge_cases():
                                              packing="complex",
                                              group_len=gl))
         np.testing.assert_array_equal(f["values"], a)
+
+
+def test_truncated_sections_raise_not_zero_fill():
+    """code-review r10 #3/#4: short section 3/6 bodies must raise a
+    ValueError (which the format dispatch treats as 'not this
+    format'), never parse int.from_bytes on empty slices into silent
+    zero grids or crash with IndexError."""
+    sec3 = SEC3(3, 2, 60_000_000, 10_000_000, 50_000_000, 30_000_000,
+                10_000_000, 10_000_000, 0x00)
+    good = MSG(SEC1(), sec3, SEC4(), SEC5(6, 100.0, 1, 1, 4),
+               S(6, b"\xff"), S(7, PACKED))
+    GB.parse_grib2(good)
+    # truncate section 3 to 50 bytes (after Nj): must raise, not
+    # yield di=dj=0
+    trunc3 = sec3[:5 + 45]
+    trunc3 = struct.pack(">IB", len(trunc3), 3) + trunc3[5:]
+    with pytest.raises(ValueError, match="truncated"):
+        GB.parse_grib2(MSG(SEC1(), trunc3, SEC4(), SEC5(6, 100.0, 1, 1, 4),
+                           S(6, b"\xff"), S(7, PACKED)))
+    # header-only bit-map section (slen=5): ValueError, not IndexError
+    with pytest.raises(ValueError, match="bit-map section too short"):
+        GB.parse_grib2(MSG(SEC1(), sec3, SEC4(), SEC5(6, 100.0, 1, 1, 4),
+                           S(6, b""), S(7, PACKED)))
+    # complex-packing width/length descriptors over 32 bits: reject
+    # (int64 shift weights silently overflow past 63)
+    with pytest.raises(ValueError, match="over 32 bits"):
+        GB.parse_grib2(MSG(SEC1(), sec3, SEC4(),
+                           SEC5_complex(6, 0.0, 0, 0, 4, 0, 2, 0, 99,
+                                        0, 1, 2, 3),
+                           S(6, b"\xff"), S(7, bytes(8))))
