@@ -102,6 +102,8 @@ def _parse_gds(gds: bytes) -> dict:
     ni, nj = _u(gds, 6, 2), _u(gds, 8, 2)
     if ni == 0xFFFF or nj == 0xFFFF:
         raise NotImplementedError("grib1: quasi-regular grids")
+    if ni * nj > (1 << 28):         # 2 GB float64: corruption, not data
+        raise ValueError(f"grib1: implausible grid size {ni * nj}")
     di, dj = _u(gds, 23, 2), _u(gds, 25, 2)
     if di == 0xFFFF or dj == 0xFFFF:
         raise NotImplementedError(
@@ -192,6 +194,9 @@ def parse_grib1(data: bytes) -> list[dict]:
         nbits = data[p + 10]
         if nbits > 32:              # spec ceiling; guards int64 shifts
             raise ValueError(f"grib1: {nbits} bits per value (max 32)")
+        if abs(e) > 100 or abs(dscale) > 100:
+            raise ValueError(       # corrupt scale factors overflow
+                "grib1: implausible binary/decimal scale factor")
         navail = (8 * (dlen - 11) - unused) // nbits if nbits else 0
         p += dlen
         if data[p:p + 4] != b"7777":
@@ -203,6 +208,8 @@ def parse_grib1(data: bytes) -> list[dict]:
         if bitmap is not None:
             mask = np.unpackbits(
                 np.frombuffer(bitmap, dtype=np.uint8))[:npts]
+            if mask.size < npts:
+                raise ValueError("grib1: bit-map shorter than the grid")
             npacked = int(mask.sum())
         else:
             mask = None

@@ -135,6 +135,14 @@ def _parse_grid_template(sec: bytes) -> dict:
     unit = _MICRO
     if basic not in (0, 1) or (basic == 1 and subdiv not in (0, 10 ** 6)):
         raise NotImplementedError("grib2: non-microdegree basic angle")
+    npts = _u(sec, 6, 4)
+    if ni * nj != npts:             # the section's own total must agree
+        raise ValueError(           # with Ni*Nj (corruption tell; also
+            f"grib2: Ni*Nj = {ni * nj} != declared point count "
+            f"{npts}")              # stops giant-alloc DoS on mutated
+    if npts > (1 << 28):            # dims). 2^28 pts = 2 GB float64 —
+        raise ValueError(           # far above any real product grid
+            f"grib2: implausible grid size {npts}")
     la1, lo1 = _sm(sec, 46, 4) * unit, _u(sec, 50, 4) * unit
     la2, lo2 = _sm(sec, 55, 4) * unit, _u(sec, 59, 4) * unit
     di, dj = _u(sec, 63, 4) * unit, _u(sec, 67, 4) * unit
@@ -239,6 +247,9 @@ def _parse_drs(sec: bytes) -> dict:
     if drs["nbits"] > 32:           # spec ceiling; also guards the
         raise ValueError(           # int64 shift in _unpack_bits
             f"grib2: {drs['nbits']} bits per value (max 32)")
+    if abs(drs["E"]) > 100 or abs(drs["D"]) > 100:
+        raise ValueError(           # corrupt scale factors overflow
+            "grib2: implausible binary/decimal scale factor")
     if tmpl in (2, 3):
         if len(sec) < (49 if tmpl == 3 else 47):
             raise ValueError(f"grib2: template 5.{tmpl} DRS too short")
@@ -287,6 +298,9 @@ def _unpack_complex(drs, payload: bytes):
     group marks a missing point; a zero-width group is entirely missing
     when its REFERENCE is all-ones in ``nbits``."""
     ng, nbits, npacked = drs["ng"], drs["nbits"], drs["npacked"]
+    if ng > npacked + 1:            # a group holds >= 0 points; more
+        raise ValueError(           # groups than points is corruption
+            f"grib2: {ng} groups for {npacked} packed points")
     off = 0
     if drs["tmpl"] == 3:
         order, n8 = drs["order"], drs["extra_octets"]
@@ -380,10 +394,27 @@ def _decode_packed_image(drs, payload: bytes) -> np.ndarray:
     either raveled form feeds the same Y formula + bit-map expansion).
     24/32-bit PNG uses RGB/RGBA channels as big-endian value bytes."""
     if drs["tmpl"] == 40:
-        from rasterframes_spark.sources.jp2 import decode_jp2
+        from rasterframes_spark.sources.jp2 import decode_jp2, jp2_info
+        # header-only dims gate BEFORE the full decode: a corrupt
+        # codestream declaring giant/garbage geometry must fail fast,
+        # not spend minutes decoding phantom code-blocks
+        info = jp2_info(payload)
+        if info["width"] * info["height"] != drs["npacked"]:
+            raise ValueError(
+                f"grib2: packed image has {info['width']}x"
+                f"{info['height']} points, DRS declares "
+                f"{drs['npacked']}")
         img = np.asarray(decode_jp2(payload), dtype=np.int64)
     else:
         from rasterframes_spark.sources.png import decode_png
+        if len(payload) < 24 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("grib2: template 5.41 payload is not PNG")
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        if w * h != drs["npacked"]:
+            raise ValueError(
+                f"grib2: packed image has {w}x{h} points, DRS "
+                f"declares {drs['npacked']}")
         img = np.asarray(decode_png(payload)).astype(np.int64)
         if img.ndim == 3:                     # channels = value bytes
             nch = img.shape[2]
@@ -400,6 +431,10 @@ def _decode_packed_image(drs, payload: bytes) -> np.ndarray:
 def _decode_field(grid, drs, bitmap, payload, discipline, pdt) -> dict:
     ni, nj = grid["ni"], grid["nj"]
     npts = ni * nj
+    if drs["npacked"] > npts:       # packed points can never exceed
+        raise ValueError(           # the grid (alloc-bomb guard)
+            f"grib2: {drs['npacked']} packed points on a {npts}-point "
+            "grid")
     missing = None
     if drs["tmpl"] in (2, 3):
         x, missing = _unpack_complex(drs, payload)
@@ -414,6 +449,8 @@ def _decode_field(grid, drs, bitmap, payload, discipline, pdt) -> dict:
         y[missing] = np.nan
     if bitmap is not None:
         mask = np.unpackbits(np.frombuffer(bitmap, dtype=np.uint8))[:npts]
+        if mask.size < npts:
+            raise ValueError("grib2: bit-map shorter than the grid")
         if int(mask.sum()) != drs["npacked"]:
             raise ValueError("grib2: bit-map count != packed point count")
         full = np.full(npts, np.nan)

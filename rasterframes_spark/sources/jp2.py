@@ -1852,6 +1852,8 @@ class JP2Codestream:
             if marker == b"\xFF\xD9":  # EOC
                 break
             if marker == b"\xFF\x90":  # SOT
+                if not hasattr(self, "ncomp"):
+                    raise ValueError("JP2: tile-part before SIZ")
                 ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
                 isot, psot, tpsot, tnsot = struct.unpack(
                     ">HIBB", data[pos + 4:pos + 12])
@@ -1872,6 +1874,10 @@ class JP2Codestream:
             code = marker[1]
             ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
             seg = data[pos + 4:pos + 2 + ln]
+            if code != 0x51 and not hasattr(self, "ncomp"):
+                # A.3: SIZ is REQUIRED immediately after SOC; every
+                # other segment handler reads SIZ-derived state
+                raise ValueError("JP2: marker segment before SIZ")
             if code == 0x51:  # SIZ
                 (self.rsiz, self.xsiz, self.ysiz, self.xosiz, self.yosiz,
                  self.xtsiz, self.ytsiz, self.xtosiz, self.ytosiz,
@@ -1943,6 +1949,15 @@ class JP2Codestream:
                                      for c in self.comp[:3]}) > 1:
                 raise NotImplementedError(
                     "JP2: MCT over differing component grids")
+        # SIZ sanity BEFORE any geometry division: a corrupted header
+        # with Xtsiz/Ytsiz = 0 divided by zero here, and zero/inverted
+        # reference-grid extents produced phantom geometry downstream
+        if self.xtsiz < 1 or self.ytsiz < 1:
+            raise ValueError("JP2: SIZ tile size is zero")
+        if self.xsiz <= self.xosiz or self.ysiz <= self.yosiz:
+            raise ValueError("JP2: SIZ reference grid is empty")
+        if any(c["dx"] < 1 or c["dy"] < 1 for c in self.comp):
+            raise ValueError("JP2: SIZ component subsampling is zero")
         self.n_xtiles = _ceil_div(self.xsiz - self.xtosiz, self.xtsiz)
         self.n_ytiles = _ceil_div(self.ysiz - self.ytosiz, self.ytsiz)
         # geometry sanity: every tile must have at least one tile-part

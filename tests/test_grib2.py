@@ -597,3 +597,40 @@ def test_truncated_sections_raise_not_zero_fill():
                            SEC5_complex(6, 0.0, 0, 0, 4, 0, 2, 0, 99,
                                         0, 1, 2, 3),
                            S(6, b"\xff"), S(7, bytes(8))))
+
+
+def test_mutation_fuzz_never_wrong_exception():
+    """Corrupted inputs surface as ValueError / NotImplementedError
+    (the format-dispatch contract: 'not this format, try the next'),
+    never IndexError / struct.error / OverflowError / hangs — the
+    exception class a truncated section 3/6 used to leak (code-review
+    r10 #3/#4).  Byte flips + truncations over every packing and both
+    editions."""
+    from rasterframes_spark.sources import grib1 as G1
+
+    rng = np.random.default_rng(99)
+    a = rng.integers(0, 900, size=(6, 9)).astype("float64")
+    a[2, 3] = np.nan
+    ext = (-108.0, 30.0, -99.0, 36.0)
+    streams = [GB.write_grib2([a], ext, packing=p)
+               for p in ("simple", "complex", "complex_diff",
+                         "jpeg2000", "png")]
+    streams.append(G1.write_grib1([a], ext))
+    for si, good in enumerate(streams):
+        parse = G1.parse_grib1 if si == len(streams) - 1 \
+            else GB.parse_grib2
+        for trial in range(400):
+            b = bytearray(good)
+            for _ in range(rng.integers(1, 4)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            try:
+                parse(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass                # the contract
+            except MemoryError:
+                pass                # absurd declared sizes; bounded
+        for cut in rng.integers(1, len(good), size=60):
+            try:
+                parse(good[:int(cut)])
+            except (ValueError, NotImplementedError):
+                pass
