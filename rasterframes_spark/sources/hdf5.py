@@ -29,10 +29,27 @@ CF attributes to the same (data, attrs) surface as sources/netcdf.py.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
 import numpy as np
+
+
+def _strict(fn):
+    """Translate low-level parse explosions on corrupt bytes into the
+    format-dispatch contract's ValueError (the same boundary jp2's
+    ``_translate_errors`` draws): struct under-reads, zlib garbage,
+    bad indices — a malformed file is a malformed file, never an
+    internal-looking crash (r10 fuzz findings)."""
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (struct.error, zlib.error, IndexError, KeyError,
+                OverflowError, UnicodeDecodeError, TypeError) as e:
+            raise ValueError(f"hdf5: malformed file ({e})") from e
+    return wrapped
 
 __all__ = ["H5File", "H5Writer", "read_netcdf4"]
 
@@ -40,6 +57,7 @@ _SIG = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
 # in-memory reader's per-dataset allocation cap (see _Dataset.read)
 _MAX_DATASET_BYTES = 1 << 32
+_MAX_FILL_RATIO = 4096          # logical bytes allowed per file byte
 
 
 # ---------------------------------------------------------------------------
@@ -85,6 +103,7 @@ class _Dataset:
     def __getitem__(self, key):
         return self.read()[key]
 
+    @_strict
     def read(self) -> np.ndarray:
         f = self._file
         n = int(np.prod(self.shape)) if self.shape else 1
@@ -93,14 +112,20 @@ class _Dataset:
         # Allocation bound: a corrupted dataspace can declare a PiB-scale
         # shape from a KB-scale file (found by corruption fuzz).  Deflate
         # and sparse fill make logical size legitimately exceed file size
-        # by 1000x+, so the bound is absolute, not a ratio: this reader
-        # holds the whole file AND the dataset in memory, so cap the
-        # allocation at 4 GiB (raise _MAX_DATASET_BYTES for bigger data).
-        if n * max(self.dtype.itemsize, 1) > _MAX_DATASET_BYTES:
+        # by 1000x+, so the bound is a GENEROUS ratio (4096x the file,
+        # 64 MB floor) under the absolute _MAX_DATASET_BYTES ceiling —
+        # without the ratio, a mutated 5 KB file could still demand a
+        # multi-second 4 GiB fill allocation (r10 fuzz).  Raise
+        # _MAX_DATASET_BYTES/_MAX_FILL_RATIO for legitimately giant
+        # sparse or hyper-compressed datasets.
+        nbytes = n * max(self.dtype.itemsize, 1)
+        plaus = max(_MAX_FILL_RATIO * len(f.data), 64 << 20)
+        if nbytes > min(_MAX_DATASET_BYTES, plaus):
             raise ValueError(
                 f"hdf5: dataset shape {self.shape} implies "
-                f"{n * self.dtype.itemsize} bytes "
-                f"(> _MAX_DATASET_BYTES {_MAX_DATASET_BYTES})")
+                f"{nbytes} bytes (over the "
+                f"{min(_MAX_DATASET_BYTES, plaus)}-byte bound for a "
+                f"{len(f.data)}-byte file)")
         if self.layout == "contiguous":
             if self._contig_addr is None or self._contig_addr == _UNDEF:
                 out = np.full(self.shape, self.fillvalue, dtype=self.dtype)
@@ -214,6 +239,7 @@ def _parse_dataspace(body: bytes):
 class H5File:
     """Read-only classic-layout HDF5 file over bytes or a path."""
 
+    @_strict
     def __init__(self, source):
         if isinstance(source, (bytes, bytearray)):
             self.data = bytes(source)
@@ -383,9 +409,17 @@ class H5File:
         else:
             raise ValueError(f"hdf5: layout class {cls} not supported")
 
-    def _walk_chunk_btree(self, addr: int, rank: int, out: list):
+    def _walk_chunk_btree(self, addr: int, rank: int, out: list,
+                          _seen: set | None = None, _depth: int = 0):
         if addr == _UNDEF:
             return
+        if _seen is None:
+            _seen = set()
+        if addr in _seen:               # corrupt files can self-link;
+            raise ValueError("hdf5: cyclic chunk B-tree")
+        _seen.add(addr)
+        if _depth > 64:                 # and fake unbounded depth
+            raise ValueError("hdf5: chunk B-tree too deep")
         d = self.data
         if d[addr:addr + 4] != b"TREE":
             raise ValueError("hdf5: bad chunk B-tree signature")
@@ -395,6 +429,8 @@ class H5File:
         if node_type != 1:
             raise ValueError("hdf5: wrong btree node type for chunks")
         key_size = 8 + 8 * (rank + 1)
+        if addr + 8 + 16 + used * (key_size + 8) > len(d):
+            raise ValueError("hdf5: chunk B-tree node past end of file")
         p = addr + 8 + 16
         for i in range(used):
             nbytes, fmask = struct.unpack_from("<II", d, p)
@@ -403,7 +439,8 @@ class H5File:
             (child,) = struct.unpack_from("<Q", d, p)
             p += 8
             if level > 0:
-                self._walk_chunk_btree(child, rank, out)
+                self._walk_chunk_btree(child, rank, out, _seen,
+                                       _depth + 1)
             else:
                 out.append((tuple(int(o) for o in offs[:rank]),
                             nbytes, fmask, child))

@@ -188,3 +188,48 @@ def test_high_compression_roundtrip():
                                        compression="gzip"))
     got = f.datasets["/z"].read()
     assert got.shape == (2400, 2500) and not got.any()
+
+
+def test_mutation_fuzz_never_wrong_exception():
+    """Corrupted bytes surface as ValueError (the format-dispatch
+    contract), never struct.error / TypeError / IndexError escapes,
+    cyclic B-tree hangs, or multi-second phantom-shape allocations
+    (r10 fuzz findings: chunk B-tree bounds/cycles, np.dtype on
+    garbage sizes, 4 GiB fills from KB-scale files)."""
+    import time
+
+    import numpy as np
+
+    from rasterframes_spark.sources import hdf5 as H5
+    from rasterframes_spark.sources import netcdf as NC
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(0, 10, size=(14, 19))
+    w = H5.H5Writer()
+    w.create_dataset("t2m", a, chunks=(7, 10), compression="gzip",
+                     shuffle=True)
+    h5 = w.tobytes()
+    nc = NC.write_netcdf({"t2m": (("y", "x"), a)}, {"y": 14, "x": 19})
+
+    def nc_parse(b):
+        info = NC.read_netcdf_info(b)
+        for v in list(info.vars)[:3]:
+            NC.read_netcdf_var(b, v)
+
+    for good, parse in ((h5, lambda b: H5.read_netcdf4(b)),
+                        (nc, nc_parse)):
+        for trial in range(500):
+            b = bytearray(good)
+            for _ in range(rng.integers(1, 5)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            t0 = time.time()
+            try:
+                parse(bytes(b))
+            except (ValueError, NotImplementedError, MemoryError):
+                pass
+            assert time.time() - t0 < 2.0, "slow parse on corrupt input"
+        for cut in rng.integers(1, len(good), size=50):
+            try:
+                parse(good[:int(cut)])
+            except (ValueError, NotImplementedError, MemoryError):
+                pass
