@@ -1,0 +1,101 @@
+"""Cross-format corruption contract: every native parser must turn
+corrupt bytes into ValueError / NotImplementedError (the format
+dispatch's "not this format, try the next") — never IndexError /
+struct.error / TypeError escapes, and never multi-second work on
+garbage.
+
+r10 ran a ~150k-mutation sweep across every native codec; the heavy
+per-format fuzzes live with their formats (GRIB: test_grib2, HDF5 +
+NetCDF: test_hdf5, MP4: test_mp4, JP2: test_jp2).  This file keeps a
+light always-on pass over the parsers that came through the sweep
+clean, so a future edit that breaks the contract fails here instead
+of in a Spark task.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+_OK = (ValueError, NotImplementedError, MemoryError)
+
+
+def _fuzz(good: bytes, parse, trials: int = 200, budget: float = 2.0,
+          rng=None):
+    rng = rng or np.random.default_rng(3)
+    for _ in range(trials):
+        b = bytearray(good)
+        for _m in range(rng.integers(1, 5)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        t0 = time.time()
+        try:
+            parse(bytes(b))
+        except _OK:
+            pass
+        assert time.time() - t0 < budget, "slow parse on corrupt input"
+    for cut in rng.integers(1, len(good), size=30):
+        try:
+            parse(good[:int(cut)])
+        except _OK:
+            pass
+
+
+def test_geotiff():
+    from rasterframes_spark.sources import geotiff as GT
+
+    a = np.arange(2000, dtype="float64").reshape(40, 50)
+    tif = GT.write_geotiff(a, (0, 0, 50, 40))
+    _fuzz(tif, GT.read_info)
+
+
+def test_jpeg_png_gif():
+    from rasterframes_spark.sources.gif import decode_gif, encode_gif
+    from rasterframes_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from rasterframes_spark.sources.png import decode_png, encode_png
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, size=(48, 64, 3)).astype(np.uint8)
+    _fuzz(encode_jpeg(img), decode_jpeg)
+    _fuzz(encode_png(img), decode_png)
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    gimg = pal[rng.integers(0, 4, size=(24, 32))]
+    _fuzz(encode_gif([gimg, gimg]), decode_gif)
+
+
+def test_audio():
+    from rasterframes_spark.pipeline.audio import decode_wav, encode_wav
+    from rasterframes_spark.sources.flac import decode_flac, encode_flac
+
+    pcm = (np.sin(np.linspace(0, 40, 4000)) * 20000).astype(np.int16)
+    _fuzz(encode_wav(pcm, 8000), decode_wav)
+    _fuzz(encode_flac(pcm, 8000), decode_flac)
+
+
+def test_avro_container():
+    from rasterframes_spark.sources import avro_io as AV
+
+    schema = {"type": "record", "name": "KV", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "vals", "type": {"type": "array", "items": "double"}}]}
+    rows = [{"id": i, "name": f"r{i}", "vals": [1.5 * i, 2.5]}
+            for i in range(20)]
+    _fuzz(AV.write_container(rows, schema),
+          lambda b: AV.read_container(b))
+
+
+def test_warc():
+    from rasterframes_spark.sources import warc as W
+
+    recs = [({"WARC-Type": "response",
+              "WARC-Target-URI": f"http://x/{i}"},
+             b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+             b"<html>hi there</html>") for i in range(4)]
+
+    def parse(b):
+        for _r in W.iter_warc_records(b):
+            pass
+
+    for gz in (True, False):
+        _fuzz(W.write_warc(recs, gzip_members=gz), parse)
