@@ -24,25 +24,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = [
-    "read_tile_stream", "read_geotiff_stream", "read_warc_stream",
-    "windowed_tile_stats",
+    "read_tile_stream", "read_raster_stream", "read_geotiff_stream",
+    "read_warc_stream", "windowed_tile_stats",
     "streaming_dedup", "streaming_neardup", "stateful_sessionizer",
 ]
 
 
-def read_geotiff_stream(spark: SparkSession, directory: str,
-                        tile_dimensions: tuple = (256, 256), band: int = 0,
-                        pattern: str = "*.tif*",
-                        max_files_per_trigger: int | None = None,
-                        query_extent: tuple | None = None) -> DataFrame:
-    """Continuous raster ingest: watch ``directory`` for new GeoTIFFs and
-    emit tile-chunk rows — the streaming counterpart of
-    ``spark.read.geotiff`` (the reference has no streaming source at all;
-    SURVEY §1.2).
+def _bytes_raster_adapter(data):
+    """Magic-sniffed (read_info, read_window) pair for an in-memory
+    raster payload — the byte-level mirror of ``read_raster``'s URI
+    format dispatch, for streaming sources where ``binaryFile``
+    already delivered the whole object."""
+    h = bytes(data[:16]) if len(data) >= 16 else bytes(data)
+    if h[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
+        from rasterframes_spark.sources import geotiff as GT
+        return GT.read_info, GT.read_window
+    if h[:4] == b"GRIB":                  # editions 1 and 2
+        from rasterframes_spark.sources import grib2 as GB
+        return GB.read_info, GB.read_window
+    if h[:3] == b"CDF" or h[:8] == b"\x89HDF\r\n\x1a\n":
+        from rasterframes_spark.sources import netcdf as NC
+        return NC.read_info, NC.read_window
+    if h[:2] == b"\xFF\x4F" or h[4:8] in (b"jP  ", b"ftyp") \
+            or h[:4] == b"\x00\x00\x00\x0c":
+        from rasterframes_spark.sources import jp2 as J2
+        return J2.read_info, J2.read_window
+    raise ValueError("unrecognized raster payload (native streaming "
+                     "covers GeoTIFF/BigTIFF, JP2, GRIB 1/2, "
+                     "NetCDF-3/4)")
+
+
+def read_raster_stream(spark: SparkSession, directory: str,
+                       tile_dimensions: tuple = (256, 256), band: int = 0,
+                       pattern: str = "*",
+                       max_files_per_trigger: int | None = None,
+                       query_extent: tuple | None = None) -> DataFrame:
+    """Continuous raster ingest: watch ``directory`` for new scenes in
+    ANY native format — GeoTIFF/BigTIFF, JPEG2000, GRIB (editions 1
+    and 2, every native packing), NetCDF-3/NetCDF-4 — and emit
+    tile-chunk rows; the streaming counterpart of ``read_raster``'s
+    mixed-format catalogs (the reference has no streaming source at
+    all; SURVEY §1.2).
 
     Built on the ``binaryFile`` file-source (so checkpointing, exactly-
     once file tracking, and ``maxFilesPerTrigger`` rate limiting come from
-    Spark), with the pure-python TIFF codec decoding each scene's bytes
+    Spark), with the pure-python codecs decoding each scene's bytes
     inside ``mapInPandas`` — chunking happens where the bytes already
     are, no second read, one task per file batch. Output schema:
     (path, ts, spatial_key{col,row}, extent{xmin..ymax}, crs, tile).
@@ -54,7 +80,6 @@ def read_geotiff_stream(spark: SparkSession, directory: str,
     import numpy as np
     import pandas as pd
 
-    from rasterframes_spark.sources import geotiff as GT
     from rasterframes_spark.sources.raster_reader import (
         _celltype_for, iter_chunk_windows)
     from rasterframes_spark.tile import Tile
@@ -85,7 +110,8 @@ def read_geotiff_stream(spark: SparkSession, directory: str,
             for path, ts, content in zip(pdf["path"], pdf["modificationTime"],
                                          pdf["content"]):
                 data = bytes(content)
-                info = GT.read_info(data)
+                read_info, read_window = _bytes_raster_adapter(data)
+                info = read_info(data)
                 ct = _celltype_for(info)
                 if query_extent is not None:
                     qx0, qy0, qx1, qy1 = (float(v) for v in query_extent)
@@ -97,7 +123,7 @@ def read_geotiff_stream(spark: SparkSession, directory: str,
                         continue
                     # Tile.__init__ applies ct.mask_of (== nodata) to
                     # plain arrays — no explicit masking needed here
-                    arr = GT.read_window(data, info, c0, r0, w, h, band)
+                    arr = read_window(data, info, c0, r0, w, h, band)
                     rows.append({
                         "path": path, "ts": ts,
                         "spatial_key": {"col": c0 // tw, "row": r0 // th},
@@ -110,6 +136,19 @@ def read_geotiff_stream(spark: SparkSession, directory: str,
                 "path", "ts", "spatial_key", "extent", "crs", "tile"])
 
     return src.mapInPandas(decode, schema=out_schema)
+
+
+def read_geotiff_stream(spark: SparkSession, directory: str,
+                        tile_dimensions: tuple = (256, 256), band: int = 0,
+                        pattern: str = "*.tif*",
+                        max_files_per_trigger: int | None = None,
+                        query_extent: tuple | None = None) -> DataFrame:
+    """GeoTIFF-patterned alias of :func:`read_raster_stream` (kept for
+    the original r7 surface; the generic source decodes any native
+    format, this one just defaults the glob to ``*.tif*``)."""
+    return read_raster_stream(spark, directory, tile_dimensions, band,
+                              pattern, max_files_per_trigger,
+                              query_extent)
 
 
 def read_tile_stream(spark: SparkSession, directory: str, schema) -> DataFrame:

@@ -370,3 +370,57 @@ def test_streaming_neardup_string_ids_and_band_guard(spark, tmp_path):
 
     with pytest.raises(ValueError, match="divide num_perm"):
         streaming_neardup(stream, "doc_id", "text", num_perm=32, bands=10)
+
+
+def test_read_raster_stream_mixed_formats(spark, tmp_path):
+    """r10: the generic streaming source ingests a MIXED directory —
+    GeoTIFF, GRIB2 (complex-packed), legacy GRIB1 and NetCDF-3 land in
+    one stream and every tile decodes bit-exactly through the
+    per-payload format sniff."""
+    from rasterframes_spark.sources import geotiff as GT
+    from rasterframes_spark.sources import grib1 as G1
+    from rasterframes_spark.sources import grib2 as GB
+    from rasterframes_spark.sources import netcdf as NC
+    from rasterframes_spark.streaming import read_raster_stream
+
+    src = str(tmp_path / "scenes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    rng = np.random.default_rng(12)
+    fields = {
+        "t.tif": rng.integers(0, 900, (20, 20)).astype("float64"),
+        "g2.grib2": rng.integers(0, 900, (16, 16)).astype("float64"),
+        "g1.grib": rng.integers(0, 900, (16, 16)).astype("float64"),
+        "v.nc": rng.integers(0, 900, (16, 16)).astype("float64"),
+    }
+    ext = (0.0, 0.0, 16.0, 16.0)
+    with open(f"{src}/t.tif", "wb") as f:
+        f.write(GT.write_geotiff(fields["t.tif"], (0.0, 0.0, 20.0, 20.0)))
+    with open(f"{src}/g2.grib2", "wb") as f:
+        f.write(GB.write_grib2([fields["g2.grib2"]], ext,
+                               packing="complex_diff"))
+    with open(f"{src}/g1.grib", "wb") as f:
+        f.write(G1.write_grib1([fields["g1.grib"]], ext))
+    with open(f"{src}/v.nc", "wb") as f:
+        f.write(NC.write_netcdf(
+            {"band": (("y", "x"), fields["v.nc"]),
+             "y": (("y",), np.arange(15.5, 0.0, -1.0)),
+             "x": (("x",), np.arange(0.5, 16.0, 1.0))},
+            {"y": 16, "x": 16}))
+
+    out_dir = str(tmp_path / "out")
+    stream = read_raster_stream(spark, src, tile_dimensions=(16, 16))
+    q = (stream.select("*", rf.rf_tile_sum("tile").alias("s"))
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    # t.tif: 20x20/16 -> 4 chunks; the three 16x16 scenes: 1 each
+    assert len(got) == 7
+    sums = {}
+    for r in got:
+        name = os.path.basename(r["path"])
+        sums[name] = sums.get(name, 0.0) + r["s"]
+    for name, arr in fields.items():
+        assert sums[name] == float(arr.sum()), name
