@@ -394,16 +394,23 @@ def _decode_packed_image(drs, payload: bytes) -> np.ndarray:
     either raveled form feeds the same Y formula + bit-map expansion).
     24/32-bit PNG uses RGB/RGBA channels as big-endian value bytes."""
     if drs["tmpl"] == 40:
-        from rasterframes_spark.sources.jp2 import decode_jp2, jp2_info
-        # header-only dims gate BEFORE the full decode: a corrupt
-        # codestream declaring giant/garbage geometry must fail fast,
-        # not spend minutes decoding phantom code-blocks
-        info = jp2_info(payload)
-        if info["width"] * info["height"] != drs["npacked"]:
+        from rasterframes_spark.sources.jp2 import decode_jp2
+        # dims gate BEFORE the full decode: a corrupt codestream
+        # declaring giant/garbage geometry must fail fast, not spend
+        # minutes decoding phantom code-blocks.  GRIB packs a RAW
+        # codestream, so Xsiz/Ysiz/XOsiz/YOsiz sit at fixed offsets
+        # right after SOC+SIZ (T.800 A.5.1) — no second full marker
+        # walk (code-review r10 #2-6)
+        if len(payload) < 24 or payload[:4] != b"\xFF\x4F\xFF\x51":
             raise ValueError(
-                f"grib2: packed image has {info['width']}x"
-                f"{info['height']} points, DRS declares "
-                f"{drs['npacked']}")
+                "grib2: template 5.40 payload is not a JPEG2000 "
+                "codestream")
+        w = _u(payload, 8, 4) - _u(payload, 16, 4)
+        h = _u(payload, 12, 4) - _u(payload, 20, 4)
+        if w * h != drs["npacked"]:
+            raise ValueError(
+                f"grib2: packed image has {w}x{h} points, DRS "
+                f"declares {drs['npacked']}")
         img = np.asarray(decode_jp2(payload), dtype=np.int64)
     else:
         from rasterframes_spark.sources.png import decode_png
@@ -694,8 +701,11 @@ _GRID_CACHE_MAX = 8
 
 
 def _load_fields(src):
-    key = getattr(src, "uri", None) or id(src)
-    if key in _GRID_CACHE:
+    # cache ONLY by uri: a bytes object's id() can be recycled by the
+    # allocator and serve another file's grid (the jp2 reader documents
+    # the same hazard; code-review r10 #2-1)
+    key = getattr(src, "uri", None)
+    if key is not None and key in _GRID_CACHE:
         return _GRID_CACHE[key]
     data = src.read_range(0, src.size()) if hasattr(src, "read_range") \
         else bytes(src)
@@ -715,9 +725,10 @@ def _load_fields(src):
                 "them per-message")
     cube = np.stack([f["values"] for f in fields])
     out = (cube, _grid_extent(g0))
-    if len(_GRID_CACHE) >= _GRID_CACHE_MAX:
-        _GRID_CACHE.pop(next(iter(_GRID_CACHE)))
-    _GRID_CACHE[key] = out
+    if key is not None:
+        if len(_GRID_CACHE) >= _GRID_CACHE_MAX:
+            _GRID_CACHE.pop(next(iter(_GRID_CACHE)))
+        _GRID_CACHE[key] = out
     return out
 
 

@@ -57,7 +57,16 @@ _SIG = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
 # in-memory reader's per-dataset allocation cap (see _Dataset.read)
 _MAX_DATASET_BYTES = 1 << 32
-_MAX_FILL_RATIO = 4096          # logical bytes allowed per file byte
+
+
+def _full_fast(shape, fill, dtype):
+    """np.full, but calloc-backed when the fill is zero — np.zeros gets
+    lazily-zeroed pages from the OS, so a legitimate (or corrupt)
+    gigabyte-scale pure-fill dataset costs microseconds instead of
+    seconds of memset (r10 fuzz)."""
+    if fill is None or (np.isscalar(fill) and fill == 0):
+        return np.zeros(shape, dtype=dtype)
+    return np.full(shape, fill, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -111,30 +120,27 @@ class _Dataset:
             raise ValueError("hdf5: dataset has no decodable datatype")
         # Allocation bound: a corrupted dataspace can declare a PiB-scale
         # shape from a KB-scale file (found by corruption fuzz).  Deflate
-        # and sparse fill make logical size legitimately exceed file size
-        # by 1000x+, so the bound is a GENEROUS ratio (4096x the file,
-        # 64 MB floor) under the absolute _MAX_DATASET_BYTES ceiling —
-        # without the ratio, a mutated 5 KB file could still demand a
-        # multi-second 4 GiB fill allocation (r10 fuzz).  Raise
-        # _MAX_DATASET_BYTES/_MAX_FILL_RATIO for legitimately giant
-        # sparse or hyper-compressed datasets.
-        nbytes = n * max(self.dtype.itemsize, 1)
-        plaus = max(_MAX_FILL_RATIO * len(f.data), 64 << 20)
-        if nbytes > min(_MAX_DATASET_BYTES, plaus):
+        # and sparse/UNWRITTEN fill make logical size legitimately exceed
+        # file size without limit (h5py's create_dataset-never-written is
+        # a pure-fill contiguous dataset), so the bound stays absolute,
+        # not a file-size ratio: cap the allocation at 4 GiB (raise
+        # _MAX_DATASET_BYTES for bigger data).  The zero-fill fast path
+        # below keeps even the cap-sized allocation cheap for the
+        # overwhelmingly common fillvalue.
+        if n * max(self.dtype.itemsize, 1) > _MAX_DATASET_BYTES:
             raise ValueError(
                 f"hdf5: dataset shape {self.shape} implies "
-                f"{nbytes} bytes (over the "
-                f"{min(_MAX_DATASET_BYTES, plaus)}-byte bound for a "
-                f"{len(f.data)}-byte file)")
+                f"{n * self.dtype.itemsize} bytes "
+                f"(> _MAX_DATASET_BYTES {_MAX_DATASET_BYTES})")
         if self.layout == "contiguous":
             if self._contig_addr is None or self._contig_addr == _UNDEF:
-                out = np.full(self.shape, self.fillvalue, dtype=self.dtype)
+                out = _full_fast(self.shape, self.fillvalue, self.dtype)
                 return out
             raw = f._read(self._contig_addr, n * self.dtype.itemsize)
             return np.frombuffer(raw, dtype=self.dtype).reshape(self.shape)
         if self.layout == "chunked":
-            out = np.full(self.shape if self.shape else (1,),
-                          self.fillvalue, dtype=self.dtype)
+            out = _full_fast(self.shape if self.shape else (1,),
+                             self.fillvalue, self.dtype)
             if out.ndim == 0:
                 out = out.reshape(1)
             chunks = []

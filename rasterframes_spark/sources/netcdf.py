@@ -505,8 +505,11 @@ def _grid_extent(xs, ys, nx: int, ny: int):
 def _load_grid(src, var: str | None):
     """-> (flat (slices, ny, nx) array north-up, extent, nodata) for a
     NetCDF-3 or NetCDF-4/HDF5 source; cached per (uri, var)."""
-    key = (getattr(src, "uri", None) or id(src), var)
-    if key in _GRID_CACHE:
+    # cache ONLY by uri: a bytes object's id() can be recycled by the
+    # allocator and serve another file's grid (code-review r10 #2-1)
+    uri = getattr(src, "uri", None)
+    key = (uri, var) if uri is not None else None
+    if key is not None and key in _GRID_CACHE:
         return _GRID_CACHE[key]
     data = src.read_range(0, src.size()) if hasattr(src, "read_range") \
         else bytes(src)
@@ -558,9 +561,10 @@ def _load_grid(src, var: str | None):
     if y_ascending:
         flat = flat[:, ::-1]        # row 0 = top: north-up tiles
     out = (np.ascontiguousarray(flat), extent, nodata)
-    if len(_GRID_CACHE) >= _GRID_CACHE_MAX:
-        _GRID_CACHE.pop(next(iter(_GRID_CACHE)))
-    _GRID_CACHE[key] = out
+    if key is not None:
+        if len(_GRID_CACHE) >= _GRID_CACHE_MAX:
+            _GRID_CACHE.pop(next(iter(_GRID_CACHE)))
+        _GRID_CACHE[key] = out
     return out
 
 

@@ -30,6 +30,29 @@ __all__ = [
 ]
 
 
+class _MemSource:
+    """In-memory byte source with a ``uri`` identity, so the per-format
+    executor caches (grib/netcdf cube cache, jp2 codestream+tile cache)
+    key on the FILE VERSION instead of refusing bare bytes — without
+    this, every chunk window of a streamed scene would re-decode the
+    whole payload, and id()-keyed caching of transient bytes could
+    serve a recycled allocation another file's raster (code-review
+    r10 #2-1/#2-3)."""
+
+    def __init__(self, data: bytes, uri: str):
+        self._d = data
+        self.uri = uri
+
+    def read_range(self, off: int, n: int) -> bytes:
+        return self._d[off:off + n]
+
+    def size(self) -> int:
+        return len(self._d)
+
+
+_JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+
+
 def _bytes_raster_adapter(data):
     """Magic-sniffed (read_info, read_window) pair for an in-memory
     raster payload — the byte-level mirror of ``read_raster``'s URI
@@ -45,8 +68,9 @@ def _bytes_raster_adapter(data):
     if h[:3] == b"CDF" or h[:8] == b"\x89HDF\r\n\x1a\n":
         from rasterframes_spark.sources import netcdf as NC
         return NC.read_info, NC.read_window
-    if h[:2] == b"\xFF\x4F" or h[4:8] in (b"jP  ", b"ftyp") \
-            or h[:4] == b"\x00\x00\x00\x0c":
+    # JP2 family files ALWAYS begin with the 12-byte jP signature box
+    # (ISO 15444-1 I.5.1) — matching bare 'ftyp' would claim MP4/HEIF
+    if h[:2] == b"\xFF\x4F" or h[:12] == _JP2_SIG:
         from rasterframes_spark.sources import jp2 as J2
         return J2.read_info, J2.read_window
     raise ValueError("unrecognized raster payload (native streaming "
@@ -58,7 +82,8 @@ def read_raster_stream(spark: SparkSession, directory: str,
                        tile_dimensions: tuple = (256, 256), band: int = 0,
                        pattern: str = "*",
                        max_files_per_trigger: int | None = None,
-                       query_extent: tuple | None = None) -> DataFrame:
+                       query_extent: tuple | None = None,
+                       on_error: str = "skip") -> DataFrame:
     """Continuous raster ingest: watch ``directory`` for new scenes in
     ANY native format — GeoTIFF/BigTIFF, JPEG2000, GRIB (editions 1
     and 2, every native packing), NetCDF-3/NetCDF-4 — and emit
@@ -76,13 +101,23 @@ def read_raster_stream(spark: SparkSession, directory: str,
     Every rf_* scalar works downstream unchanged; combine with
     ``windowed_tile_stats`` for rolling scene statistics.
     ``query_extent`` prunes non-overlapping chunks before their windows
-    decode (scene header still parses; pixels of pruned chunks don't)."""
+    decode (scene header still parses; pixels of pruned chunks don't).
+
+    ``on_error``: ``'skip'`` (default) drops files that are not
+    recognized rasters or fail to decode — a stray sidecar or corrupt
+    upload in the watched directory must not crash-loop the query
+    (the checkpointed file source would replay it forever);
+    ``'fail'`` raises instead, for directories guaranteed clean."""
     import numpy as np
     import pandas as pd
 
     from rasterframes_spark.sources.raster_reader import (
         _celltype_for, iter_chunk_windows)
     from rasterframes_spark.tile import Tile
+
+    if on_error not in ("skip", "fail"):
+        raise ValueError("read_raster_stream: on_error must be 'skip' "
+                         "or 'fail'")
 
     tw, th = int(tile_dimensions[0]), int(tile_dimensions[1])
     bin_schema = ("path string, modificationTime timestamp, "
@@ -91,7 +126,7 @@ def read_raster_stream(spark: SparkSession, directory: str,
               .option("pathGlobFilter", pattern))
     if max_files_per_trigger is not None:
         if int(max_files_per_trigger) <= 0:
-            raise ValueError("read_geotiff_stream: max_files_per_trigger "
+            raise ValueError("read_raster_stream: max_files_per_trigger "
                              "must be positive")
         reader = reader.option("maxFilesPerTrigger",
                                str(int(max_files_per_trigger)))
@@ -109,9 +144,16 @@ def read_raster_stream(spark: SparkSession, directory: str,
             rows = []
             for path, ts, content in zip(pdf["path"], pdf["modificationTime"],
                                          pdf["content"]):
-                data = bytes(content)
-                read_info, read_window = _bytes_raster_adapter(data)
-                info = read_info(data)
+                src_obj = _MemSource(bytes(content),
+                                     f"stream:{path}@{ts}")
+                try:
+                    read_info, read_window = _bytes_raster_adapter(
+                        src_obj._d)
+                    info = read_info(src_obj)
+                except (ValueError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    continue        # skip: sidecars/corrupt uploads
                 ct = _celltype_for(info)
                 if query_extent is not None:
                     qx0, qy0, qx1, qy1 = (float(v) for v in query_extent)
@@ -123,7 +165,7 @@ def read_raster_stream(spark: SparkSession, directory: str,
                         continue
                     # Tile.__init__ applies ct.mask_of (== nodata) to
                     # plain arrays — no explicit masking needed here
-                    arr = read_window(data, info, c0, r0, w, h, band)
+                    arr = read_window(src_obj, info, c0, r0, w, h, band)
                     rows.append({
                         "path": path, "ts": ts,
                         "spatial_key": {"col": c0 // tw, "row": r0 // th},

@@ -407,6 +407,16 @@ def test_read_raster_stream_mixed_formats(spark, tmp_path):
              "y": (("y",), np.arange(15.5, 0.0, -1.0)),
              "x": (("x",), np.arange(0.5, 16.0, 1.0))},
             {"y": 16, "x": 16}))
+    # non-raster junk in the watched directory must be SKIPPED, not
+    # crash-loop the checkpointed query (on_error='skip' default):
+    # a sidecar, a truncated upload, and an MP4 whose ftyp box must
+    # NOT be sniffed as JP2
+    with open(f"{src}/scene.aux.xml", "wb") as f:
+        f.write(b"<PAMDataset>metadata sidecar</PAMDataset>")
+    with open(f"{src}/broken.tif", "wb") as f:
+        f.write(b"II*\x00\x08\x00")
+    with open(f"{src}/clip.mp4", "wb") as f:
+        f.write(b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00" + b"\x00" * 64)
 
     out_dir = str(tmp_path / "out")
     stream = read_raster_stream(spark, src, tile_dimensions=(16, 16))
