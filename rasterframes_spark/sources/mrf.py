@@ -40,7 +40,23 @@ _DTYPES = {"Byte": "uint8", "UInt16": "uint16", "Int16": "int16",
 _DT_BACK = {v: k for k, v in _DTYPES.items()}
 
 
+def _strict(fn):
+    """Corrupt metadata/index bytes surface as the format-dispatch
+    contract's ValueError — missing XML elements/attributes otherwise
+    escape as AttributeError/TypeError from the element walk (r10
+    corruption fuzz)."""
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (AttributeError, TypeError, KeyError, IndexError,
+                struct.error) as e:
+            raise ValueError(f"MRF: malformed file ({e})") from e
+    return wrapped
+
+
 @functools.lru_cache(maxsize=64)
+@_strict
 def _parse(xml_bytes: bytes, base: str):
     try:
         root = ET.fromstring(xml_bytes)
@@ -139,6 +155,7 @@ def _decode_page(payload: bytes, comp: str, pw: int, ph: int,
     return a.reshape(ph, pw).astype(dtype, copy=False)
 
 
+@_strict
 def read_window(src, info: GeoTiffInfo, c0: int, r0: int, w: int, h: int,
                 band: int = 0) -> np.ndarray:
     """Windowed read from the base level: fetch + decode only the pages

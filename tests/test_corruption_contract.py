@@ -99,3 +99,39 @@ def test_warc():
 
     for gz in (True, False):
         _fuzz(W.write_warc(recs, gzip_members=gz), parse)
+
+
+def test_mrf(tmp_path):
+    """MRF's three files (XML metadata, flat index, data pages) each
+    take mutations; missing XML elements used to escape as
+    AttributeError/TypeError from the element walk (r10)."""
+    from rasterframes_spark.sources import mrf as MRF
+    from rasterframes_spark.sources.rangeio import open_source
+
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 250, size=(48, 64)).astype(np.uint8)
+    MRF.write_mrf(str(tmp_path / "scene.mrf"), arr, extent=(0, 0, 64, 48))
+    orig = {n: (tmp_path / n).read_bytes()
+            for n in ("scene.mrf", "scene.idx", "scene.ppg")}
+
+    for trial in range(240):
+        work = tmp_path / f"w{trial}"
+        work.mkdir()
+        victim = ["scene.mrf", "scene.idx", "scene.ppg"][trial % 3]
+        for n, byts in orig.items():
+            b = bytearray(byts)
+            if n == victim:
+                for _m in range(rng.integers(1, 4)):
+                    b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            (work / n).write_bytes(bytes(b))
+        t0 = time.time()
+        try:
+            src = open_source(str(work / "scene.mrf"))
+            info = MRF.read_info(src)
+            MRF.read_window(src, info, 0, 0,
+                            min(16, info.width), min(16, info.height))
+        except _OK:
+            pass
+        except FileNotFoundError:
+            pass    # mutated DataFile/IndexFile path: a loud I/O error
+        assert time.time() - t0 < 2.0
