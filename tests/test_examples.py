@@ -126,3 +126,14 @@ def test_quality_classifier_example(spark):
     acc, keep_frac = ex.main(spark)
     assert acc >= 0.9          # out-of-sample separation is real
     assert keep_frac >= 0.9    # the clean corpus survives its own filter
+
+
+def test_weather_ingest_example(spark):
+    import examples.weather_ingest as ex
+
+    out = ex.main(spark)
+    # band 0 of each file, one 32x32 chunk each -> 2 batch rows; the
+    # GRIB2 stack exposes both fields as tile columns; streaming sees
+    # band-0 tiles of both files and skips the planted non-raster file
+    assert out == {"batch_rows": 2, "files": 2, "bands": 2,
+                   "streamed_rows": 2}
