@@ -45,11 +45,16 @@ import struct
 import numpy as np
 
 # the sign-and-magnitude codec (regulation 92.1.5) and MSB-first bit
-# packing are shared across editions — one implementation in grib2
-from rasterframes_spark.sources.grib2 import (_pack_bits, _pack_sm, _sm,
+# packing are shared across editions — one implementation in grib2,
+# as are the byte-source plumbing and the payload-decode counter the
+# laziness tests read
+from rasterframes_spark.sources.grib2 import (DECODE_STATS, _as_src,
+                                              _BytesSrc, _pack_bits,
+                                              _pack_sm, _read_span, _sm,
                                               _u, _unpack_bits)
 
-__all__ = ["parse_grib1", "write_grib1", "ibm_float", "ibm_float_bytes"]
+__all__ = ["parse_grib1", "scan_grib1", "write_grib1", "ibm_float",
+           "ibm_float_bytes"]
 
 _MILLI = 1e-3
 
@@ -125,32 +130,40 @@ def _parse_gds(gds: bytes) -> dict:
             "npts": ni * nj}
 
 
-def parse_grib1(data: bytes) -> list[dict]:
-    """Every field in a (possibly multi-message) GRIB1 byte stream ->
-    the same dicts :func:`grib2.parse_grib2` yields (``param_number``
-    carries the PDS parameter indicator; GRIB1 has no discipline or
-    category, recorded as 255).  Strict parse like the edition-2
-    reader: truncation, a missing ``7777``, spherical-harmonic or
-    second-order BDS flags, predefined bit-maps all raise."""
-    fields: list[dict] = []
+def scan_grib1(src) -> list[dict]:
+    """Metadata-only walk of a (possibly multi-message) GRIB1 stream —
+    the edition-1 counterpart of :func:`grib2.scan_grib2`: PDS/GDS/BDS
+    headers parse fully, the bit-map and packed values are RECORDED as
+    byte ranges and never read, so ``read_info`` over a catalog costs
+    section headers, not pixel decodes (VERDICT r10 #3).
+
+    One meta dict per field; ``simple`` carries ``{R, E, D, nbits}``
+    when the field is plain fixed-width packing with every grid point
+    packed (row-windowed decode eligibility).  Structural validation
+    matches the eager parser: truncation, a missing ``7777``,
+    spherical-harmonic or second-order BDS flags, predefined bit-maps
+    all raise."""
+    src = _as_src(src)
+    n = src.size()
+    metas: list[dict] = []
     off = 0
-    n = len(data)
     while off < n:
-        if n - off < 8 or data[off:off + 4] != b"GRIB":
+        head = src.read_range(off, 8)
+        if n - off < 8 or head[:4] != b"GRIB":
             raise ValueError("grib1: missing GRIB indicator")
-        edition = data[off + 7]
+        edition = head[7]
         if edition != 1:
             raise ValueError(f"grib1: edition {edition} (only 1)")
-        total = _u(data, off + 4, 3)
+        total = _u(head, 4, 3)
         if total < 8 + 28 + 4 or off + total > n:
             raise ValueError("grib1: message length past end of stream")
         end = off + total
         p = off + 8
         # ---- PDS
-        plen = _u(data, p, 3)
+        plen = _u(src.read_range(p, 3), 0, 3)
         if plen < 28 or p + plen > end:
             raise ValueError("grib1: bad PDS length")
-        pds = data[p:p + plen]
+        pds = src.read_range(p, plen)
         has_gds, has_bms = bool(pds[7] & 0x80), bool(pds[7] & 0x40)
         param = pds[8]
         dscale = _sm(pds, 26, 2)
@@ -160,28 +173,29 @@ def parse_grib1(data: bytes) -> list[dict]:
             raise NotImplementedError(
                 "grib1: predefined grid (no GDS; catalogued grid ids "
                 "need the rasterio fallback)")
-        glen = _u(data, p, 3)
+        glen = _u(src.read_range(p, 3), 0, 3)
         if glen < 32 or p + glen > end:
             raise ValueError("grib1: bad GDS length")
-        grid = _parse_gds(data[p:p + glen])
+        grid = _parse_gds(src.read_range(p, glen))
         p += glen
-        # ---- BMS
+        # ---- BMS (range recorded, bits read only at decode)
         bitmap = None
         if has_bms:
-            blen = _u(data, p, 3)
+            bh = src.read_range(p, 6)
+            blen = _u(bh, 0, 3)
             if blen < 6 or p + blen > end:
                 raise ValueError("grib1: bad BMS length")
-            if _u(data, p + 4, 2) != 0:
+            if _u(bh, 4, 2) != 0:
                 raise NotImplementedError(
-                    f"grib1: predefined bit-map {_u(data, p + 4, 2)}")
-            bitmap = data[p + 6:p + blen]
+                    f"grib1: predefined bit-map {_u(bh, 4, 2)}")
+            bitmap = (p + 6, blen - 6)
             p += blen
-        # ---- BDS
-        dlen = _u(data, p, 3)
+        # ---- BDS header (the packed values stay a recorded range)
+        bh = src.read_range(p, 11)
+        dlen = _u(bh, 0, 3)
         if dlen < 11 or p + dlen > end:
             raise ValueError("grib1: bad BDS length")
-        bds = data[p:p + dlen]
-        flags = data[p + 3]
+        flags = bh[3]
         if flags & 0x80:
             raise NotImplementedError("grib1: spherical harmonics")
         if flags & 0x40:
@@ -189,55 +203,100 @@ def parse_grib1(data: bytes) -> list[dict]:
                 "grib1: second-order packing (use the rasterio "
                 "fallback)")
         unused = flags & 0x0F
-        e = _sm(data, p + 4, 2)
-        r = ibm_float(data[p + 6:p + 10])
-        nbits = data[p + 10]
+        e = _sm(bh, 4, 2)
+        r = ibm_float(bh[6:10])
+        nbits = bh[10]
         if nbits > 32:              # spec ceiling; guards int64 shifts
             raise ValueError(f"grib1: {nbits} bits per value (max 32)")
         if abs(e) > 100 or abs(dscale) > 100:
             raise ValueError(       # corrupt scale factors overflow
                 "grib1: implausible binary/decimal scale factor")
         navail = (8 * (dlen - 11) - unused) // nbits if nbits else 0
+        payload = (p + 11, dlen - 11)
         p += dlen
-        if data[p:p + 4] != b"7777":
+        if src.read_range(p, 4) != b"7777":
             raise ValueError("grib1: message not terminated by 7777")
-        p += 4
-        # ---- decode (same Y equation as edition 2)
-        ni, nj = grid["ni"], grid["nj"]
-        npts = ni * nj
-        if bitmap is not None:
-            mask = np.unpackbits(
-                np.frombuffer(bitmap, dtype=np.uint8))[:npts]
-            if mask.size < npts:
-                raise ValueError("grib1: bit-map shorter than the grid")
-            npacked = int(mask.sum())
-        else:
-            mask = None
-            npacked = npts
-        if nbits == 0:
-            y = np.full(npacked, r / (10.0 ** dscale))
-        else:
-            if navail < npacked:
-                raise ValueError("grib1: data section shorter than "
-                                 "nbits*npts")
-            x = _unpack_bits(bds[11:], nbits, npacked)
-            y = (r + x.astype("float64") * (2.0 ** e)) / (10.0 ** dscale)
-        if mask is not None:
-            full = np.full(npts, np.nan)
-            full[mask.astype(bool)] = y
-            y = full
-        a = y.reshape(nj, ni)
-        if grid["scan"] & 0x80:
-            a = a[:, ::-1]
-        if grid["scan"] & 0x40:
-            a = a[::-1]
-        fields.append({"grid": grid, "values": np.ascontiguousarray(a),
-                       "discipline": 255, "param_category": 255,
-                       "param_number": param})
+        simple = None
+        if nbits > 0 and bitmap is None and navail >= grid["npts"]:
+            simple = {"R": r, "E": e, "D": dscale, "nbits": nbits}
+        metas.append({"edition": 1, "grid": grid, "bitmap": bitmap,
+                      "payload": payload, "navail": navail,
+                      "R": r, "E": e, "D": dscale, "nbits": nbits,
+                      "discipline": 255, "param_category": 255,
+                      "param_number": param, "simple": simple})
         off = end
-    if not fields:
+    if not metas:
         raise ValueError("grib1: no data fields in stream")
-    return fields
+    return metas
+
+
+def decode_grib1_field(src, meta) -> dict:
+    """One scanned field -> the eager-parse dict (reads exactly that
+    field's bit-map + packed-value bytes; same Y equation as
+    edition 2)."""
+    src = _as_src(src)
+    grid = meta["grid"]
+    ni, nj = grid["ni"], grid["nj"]
+    npts = ni * nj
+    if meta["bitmap"] is not None:
+        mask = np.unpackbits(np.frombuffer(
+            _read_span(src, meta["bitmap"]), dtype=np.uint8))[:npts]
+        if mask.size < npts:
+            raise ValueError("grib1: bit-map shorter than the grid")
+        npacked = int(mask.sum())
+    else:
+        mask = None
+        npacked = npts
+    DECODE_STATS["fields"] += 1
+    if meta["nbits"] == 0:
+        y = np.full(npacked, meta["R"] / (10.0 ** meta["D"]))
+    else:
+        if meta["navail"] < npacked:
+            raise ValueError("grib1: data section shorter than "
+                             "nbits*npts")
+        x = _unpack_bits(_read_span(src, meta["payload"]),
+                         meta["nbits"], npacked)
+        y = (meta["R"] + x.astype("float64") * (2.0 ** meta["E"])) \
+            / (10.0 ** meta["D"])
+    if mask is not None:
+        full = np.full(npts, np.nan)
+        full[mask.astype(bool)] = y
+        y = full
+    a = y.reshape(nj, ni)
+    if grid["scan"] & 0x80:
+        a = a[:, ::-1]
+    if grid["scan"] & 0x40:
+        a = a[::-1]
+    return {"grid": grid, "values": np.ascontiguousarray(a),
+            "discipline": 255, "param_category": 255,
+            "param_number": meta["param_number"]}
+
+
+def parse_grib1(data: bytes) -> list[dict]:
+    """Every field in a (possibly multi-message) GRIB1 byte stream ->
+    the same dicts :func:`grib2.parse_grib2` yields (``param_number``
+    carries the PDS parameter indicator; GRIB1 has no discipline or
+    category, recorded as 255).  Strict parse like the edition-2
+    reader: truncation, a missing ``7777``, spherical-harmonic or
+    second-order BDS flags, predefined bit-maps all raise.  (Composed
+    from :func:`scan_grib1` + :func:`decode_grib1_field` so the shared
+    raster adapter can keep metadata reads payload-free.)"""
+    src = _BytesSrc(data)
+    return [decode_grib1_field(src, m) for m in scan_grib1(src)]
+
+
+def _u24(n: int, what: str) -> bytes:
+    """3-byte length field.  Edition 1 cannot represent sections or
+    messages over 2^24-1 octets (~8.3M points at 16 bits) — silently
+    dropping the high byte would write a corrupt file whose own parser
+    fails with 'message not terminated by 7777' (ADVICE r10 #1), so
+    overflow refuses loudly instead."""
+    if n > 0xFFFFFF:
+        raise ValueError(
+            f"grib1: {what} is {n} bytes — over the 2^24-1 octet "
+            "ceiling GRIB edition 1 length fields can record; split "
+            "the grid across messages or use write_grib2")
+    return struct.pack(">I", n)[1:]
 
 
 def write_grib1(fields, extent, nbits: int = 16, dscale: int = 0,
@@ -313,7 +372,7 @@ def write_grib1(fields, extent, nbits: int = 16, dscale: int = 0,
             bm = np.packbits(mask.astype(np.uint8)).tobytes()
             unused_bm = 8 * len(bm) - int(mask.size)
             body = bytes([unused_bm]) + b"\x00\x00" + bm
-            bms = struct.pack(">I", len(body) + 3)[1:] + body
+            bms = _u24(len(body) + 3, "bit-map section") + body
         packed = _pack_bits(x, nbits if vals.size else 0)
         unused = 8 * len(packed) - int(vals.size) * nbits \
             if vals.size and nbits else 0
@@ -322,8 +381,8 @@ def write_grib1(fields, extent, nbits: int = 16, dscale: int = 0,
         if (len(bds_body) + 3) % 2:             # BDS length must be even
             bds_body += b"\x00"
             bds_body = bytes([bds_body[0] + 8]) + bds_body[1:]
-        bds = struct.pack(">I", len(bds_body) + 3)[1:] + bds_body
+        bds = _u24(len(bds_body) + 3, "data section") + bds_body
         body = pds + gds + bms + bds + b"7777"
-        out += b"GRIB" + struct.pack(">I", len(body) + 8)[1:] \
+        out += b"GRIB" + _u24(len(body) + 8, "message") \
             + bytes([1]) + body
     return bytes(out)

@@ -66,7 +66,47 @@ import struct
 
 import numpy as np
 
-__all__ = ["parse_grib2", "write_grib2", "read_info", "read_window"]
+__all__ = ["parse_grib2", "scan_grib2", "write_grib2", "read_info",
+           "read_window"]
+
+# Observability hook for the laziness contract (tests/test_lazy_io.py
+# style): counts of full-field payload decodes and row-windowed partial
+# decodes.  A metadata-only pass (read_info / scan) must leave BOTH at
+# zero — sections 0-6 parse, section 7 payloads are only ever recorded
+# as byte ranges (VERDICT r10 #3).
+DECODE_STATS = {"fields": 0, "row_windows": 0}
+
+
+class _BytesSrc:
+    """In-memory byte source speaking the ``read_range`` protocol.
+
+    No ``uri`` identity: results computed through it are never cached
+    (a bytes object's id() can be recycled by the allocator — the
+    hazard code-review r10 #2-1 pinned)."""
+
+    __slots__ = ("_d",)
+    uri = None
+
+    def __init__(self, data):
+        self._d = bytes(data)
+
+    def read_range(self, off: int, n: int) -> bytes:
+        return self._d[off:off + n]
+
+    def size(self) -> int:
+        return len(self._d)
+
+
+def _as_src(src):
+    return src if hasattr(src, "read_range") else _BytesSrc(src)
+
+
+def _read_span(src, span) -> bytes:
+    off, ln = span
+    b = src.read_range(off, ln)
+    if len(b) < ln:
+        raise ValueError("grib: truncated section body")
+    return b
 
 
 def _u(data: bytes, off: int, n: int) -> int:
@@ -156,23 +196,34 @@ def _parse_grid_template(sec: bytes) -> dict:
             "npts": _u(sec, 6, 4)}
 
 
-def parse_grib2(data: bytes) -> list[dict]:
-    """Every field in a (possibly multi-message) GRIB2 byte stream ->
-    ``{"grid", "values" (nj, ni) float64 north-up, "discipline",
-    "param_category", "param_number"}``.  Missing bit-map points are
-    NaN.  Strict parse: truncation, a missing ``7777`` terminator, a
-    wrong edition, or an unsupported template raises."""
-    fields: list[dict] = []
+def scan_grib2(src) -> list[dict]:
+    """Metadata-only walk of a (possibly multi-message) GRIB2 stream:
+    sections 0-6 parse fully, section 7 payloads are RECORDED as byte
+    ranges and never read — the whole point of the split (VERDICT r10
+    #3): ``read_info`` over a catalog of operational files (a GFS cycle
+    is ~500 fields) costs section headers, not a 500-field decode.
+
+    One meta dict per field: ``{"edition": 2, "grid", "drs",
+    "bitmap": (off, len) | None, "payload": (off, len), "discipline",
+    "param_category", "param_number", "simple"}`` — ``simple`` holds
+    the ``{R, E, D, nbits}`` descriptor when the field is plain 5.0
+    fixed-width packing covering every grid point (the row-windowed
+    decode eligibility), else None.  Structural validation matches the
+    eager parser: truncation, a missing ``7777``, a wrong edition, or
+    an unsupported template raises."""
+    src = _as_src(src)
+    n = src.size()
+    metas: list[dict] = []
     off = 0
-    n = len(data)
     while off < n:
-        if n - off < 16 or data[off:off + 4] != b"GRIB":
+        head = src.read_range(off, 16)
+        if n - off < 16 or head[:4] != b"GRIB":
             raise ValueError("grib2: missing GRIB indicator")
-        discipline = data[off + 6]
-        edition = data[off + 7]
+        discipline = head[6]
+        edition = head[7]
         if edition != 2:
             raise ValueError(f"grib2: edition {edition} (only 2)")
-        total = _u(data, off + 8, 8)
+        total = _u(head, 8, 8)
         if off + total > n:
             raise ValueError("grib2: message length past end of stream")
         end = off + total
@@ -182,30 +233,31 @@ def parse_grib2(data: bytes) -> list[dict]:
         drs = None
         bitmap = None
         while p < end:
-            if data[p:p + 4] == b"7777":
+            head5 = src.read_range(p, min(5, end - p))
+            if head5[:4] == b"7777":
                 p += 4
                 break
             if end - p < 5:
                 raise ValueError("grib2: truncated section header")
-            slen = _u(data, p, 4)
-            snum = data[p + 4]
+            slen = _u(head5, 0, 4)
+            snum = head5[4]
             if slen < 5 or p + slen > end:
                 raise ValueError(f"grib2: bad section {snum} length {slen}")
-            sec = data[p:p + slen]
             if snum == 3:
-                grid = _parse_grid_template(sec)
+                grid = _parse_grid_template(src.read_range(p, slen))
             elif snum == 4:
+                sec = src.read_range(p, min(slen, 11))
                 tmpl = _u(sec, 7, 2)
                 pdt = (sec[9], sec[10]) if tmpl == 0 and slen >= 11 \
                     else (255, 255)
             elif snum == 5:
-                drs = _parse_drs(sec)
+                drs = _parse_drs(src.read_range(p, slen))
             elif snum == 6:
                 if slen < 6:
                     raise ValueError("grib2: bit-map section too short")
-                ind = sec[5]
+                ind = src.read_range(p + 5, 1)[0]
                 if ind == 0:
-                    bitmap = sec[6:]
+                    bitmap = (p + 6, slen - 6)
                 elif ind == 254:
                     pass            # reuse previously defined bitmap
                 elif ind == 255:
@@ -216,15 +268,49 @@ def parse_grib2(data: bytes) -> list[dict]:
             elif snum == 7:
                 if grid is None or drs is None:
                     raise ValueError("grib2: data section before grid/DRS")
-                fields.append(_decode_field(
-                    grid, drs, bitmap, sec[5:], discipline, pdt))
+                simple = None
+                if drs["tmpl"] == 0 and drs["nbits"] > 0 \
+                        and drs["npacked"] == grid["ni"] * grid["nj"]:
+                    simple = {"R": drs["R"], "E": drs["E"],
+                              "D": drs["D"], "nbits": drs["nbits"]}
+                metas.append({
+                    "edition": 2, "grid": grid, "drs": drs,
+                    "bitmap": bitmap, "payload": (p + 5, slen - 5),
+                    "discipline": discipline,
+                    "param_category": pdt[0], "param_number": pdt[1],
+                    "simple": simple})
             p += slen
         else:
             raise ValueError("grib2: message not terminated by 7777")
         off = end
-    if not fields:
+    if not metas:
         raise ValueError("grib2: no data fields in stream")
-    return fields
+    return metas
+
+
+def decode_grib2_field(src, meta) -> dict:
+    """One scanned field -> the eager-parse dict (reads exactly that
+    field's bit-map + payload bytes)."""
+    src = _as_src(src)
+    bitmap = _read_span(src, meta["bitmap"]) if meta["bitmap"] else None
+    payload = _read_span(src, meta["payload"])
+    DECODE_STATS["fields"] += 1
+    return _decode_field(meta["grid"], meta["drs"], bitmap, payload,
+                         meta["discipline"],
+                         (meta["param_category"], meta["param_number"]))
+
+
+def parse_grib2(data: bytes) -> list[dict]:
+    """Every field in a (possibly multi-message) GRIB2 byte stream ->
+    ``{"grid", "values" (nj, ni) float64 north-up, "discipline",
+    "param_category", "param_number"}``.  Missing bit-map points are
+    NaN.  Strict parse: truncation, a missing ``7777`` terminator, a
+    wrong edition, or an unsupported template raises.  (Composed from
+    :func:`scan_grib2` + :func:`decode_grib2_field`; the raster
+    adapter below uses the pieces separately so metadata reads never
+    unpack payloads.)"""
+    src = _BytesSrc(data)
+    return [decode_grib2_field(src, m) for m in scan_grib2(src)]
 
 
 def _parse_drs(sec: bytes) -> dict:
@@ -644,7 +730,12 @@ def write_grib2(fields, extent, nbits: int = 16, dscale: int = 0,
                      + red + bytes([nbits, 0]))
             s7 = sec(7, _pack_bits(x, nbits if vals.size else 0))
         elif packing in ("complex", "complex_diff"):
-            order = 2 if packing == "complex_diff" else 0
+            # degenerate fields (all-NaN / fewer finite points than the
+            # differencing order needs) fall back to plain 5.2 — every
+            # other packing encodes them via the bitmap path, and a
+            # mixed-field write must not fail on its emptiest member
+            # (ADVICE r10 #3)
+            order = 2 if packing == "complex_diff" and x.size > 2 else 0
             gb, tail, data = _pack_complex(x, order, group_len)
             s5 = sec(5, struct.pack(">IH", int(vals.size),
                                     3 if order else 2)
@@ -694,59 +785,138 @@ def write_grib2(fields, extent, nbits: int = 16, dscale: int = 0,
 
 # ---------------------------------------------------------------------------
 # raster_reader dispatch adapter (mirrors netcdf.read_info/read_window)
+#
+# LAZY metadata contract (VERDICT r10 #3): read_info walks sections 0-6
+# only — dims/extent come from the grid template, NoData presence from
+# bit-map/missing-management metadata — and NEVER unpacks a payload.
+# read_window decodes exactly the requested band on demand (cached,
+# bounded), and plain 5.0 fixed-width fields decode ROW-WINDOWED: the
+# requested rows' bits sit at computable offsets, so a tiling pass over
+# an operational file reads each payload byte once and an AOI window
+# reads only its rows.  `read_raster`'s chunk-grid pass and AOI pruning
+# therefore touch section headers (a few KB), not pixels — the same
+# laziness-as-I/O-pruning posture the GeoTIFF path pins in
+# tests/test_lazy_io.py.
 # ---------------------------------------------------------------------------
 
-_GRID_CACHE: dict = {}
-_GRID_CACHE_MAX = 8
+from collections import OrderedDict
+
+_SCAN_CACHE: OrderedDict = OrderedDict()    # uri -> (metas, extent)
+_SCAN_CACHE_MAX = 64
+_BAND_CACHE: OrderedDict = OrderedDict()    # (uri, band) -> 2-D float64
+_BAND_CACHE_MAX = 64
+_BAND_CACHE_BYTES = 256 << 20   # cap decoded-band residency per worker
 
 
-def _load_fields(src):
+def _scan(src):
+    """(metas, extent) for either edition; cached per uri (metadata
+    only — a few hundred bytes per field)."""
+    src = _as_src(src)
     # cache ONLY by uri: a bytes object's id() can be recycled by the
     # allocator and serve another file's grid (the jp2 reader documents
     # the same hazard; code-review r10 #2-1)
     key = getattr(src, "uri", None)
-    if key is not None and key in _GRID_CACHE:
-        return _GRID_CACHE[key]
-    data = src.read_range(0, src.size()) if hasattr(src, "read_range") \
-        else bytes(src)
-    if len(data) >= 8 and data[7] == 1:       # legacy edition routes to
-        from rasterframes_spark.sources.grib1 import parse_grib1
-        fields = parse_grib1(data)            # the r10 GRIB1 reader
+    if key is not None and key in _SCAN_CACHE:
+        _SCAN_CACHE.move_to_end(key)
+        return _SCAN_CACHE[key]
+    head = src.read_range(0, 8)
+    if len(head) >= 8 and head[7] == 1:       # legacy edition routes to
+        from rasterframes_spark.sources.grib1 import scan_grib1
+        metas = scan_grib1(src)               # the r10 GRIB1 reader
     else:
-        fields = parse_grib2(data)
-    g0 = fields[0]["grid"]
-    for f in fields[1:]:
-        g = f["grid"]
+        metas = scan_grib2(src)
+    g0 = metas[0]["grid"]
+    for m in metas[1:]:
+        g = m["grid"]
         if (g["ni"], g["nj"], g["la1"], g["lo1"], g["di"], g["dj"]) != \
                 (g0["ni"], g0["nj"], g0["la1"], g0["lo1"],
                  g0["di"], g0["dj"]):
             raise ValueError(
                 "grib2: fields on differing grids in one file; read "
                 "them per-message")
-    cube = np.stack([f["values"] for f in fields])
-    out = (cube, _grid_extent(g0))
+    out = (metas, _grid_extent(g0))
     if key is not None:
-        if len(_GRID_CACHE) >= _GRID_CACHE_MAX:
-            _GRID_CACHE.pop(next(iter(_GRID_CACHE)))
-        _GRID_CACHE[key] = out
+        if len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
+            _SCAN_CACHE.popitem(last=False)
+        _SCAN_CACHE[key] = out
     return out
 
 
+def _decode_band(src, meta) -> np.ndarray:
+    if meta["edition"] == 1:
+        from rasterframes_spark.sources.grib1 import decode_grib1_field
+        return decode_grib1_field(src, meta)["values"]
+    return decode_grib2_field(src, meta)["values"]
+
+
+def _unpack_bits_at(payload: bytes, nbits: int, count: int,
+                    bit0: int) -> np.ndarray:
+    """Like :func:`_unpack_bits` but starting ``bit0`` bits into the
+    buffer (row-windowed decode lands mid-byte for odd widths)."""
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+    need = bit0 + count * nbits
+    if bits.size < need:
+        raise ValueError("grib: data section shorter than nbits*npts")
+    weights = (1 << np.arange(nbits - 1, -1, -1, dtype=np.int64))
+    return bits[bit0:need].reshape(count, nbits).astype(np.int64) @ weights
+
+
+def _read_rows_simple(src, meta, r0: int, h: int) -> np.ndarray:
+    """North-up rows [r0, r0+h) of a plain fixed-width field (GRIB2
+    template 5.0 / GRIB1 simple packing, no bit-map, all points
+    packed): values are ``nbits``-wide at computable bit offsets, so
+    only the covering byte range is read and unpacked."""
+    grid, sp = meta["grid"], meta["simple"]
+    ni, nj = grid["ni"], grid["nj"]
+    nbits = sp["nbits"]
+    scan = grid["scan"]
+    if scan & 0x40:                 # stored rows run south -> north
+        s0, s1 = nj - (r0 + h), nj - r0
+    else:
+        s0, s1 = r0, r0 + h
+    off, ln = meta["payload"]
+    bit_a, bit_b = s0 * ni * nbits, s1 * ni * nbits
+    byte0, byte1 = bit_a // 8, (bit_b + 7) // 8
+    if byte1 > ln:
+        raise ValueError("grib: data section shorter than nbits*npts")
+    payload = src.read_range(off + byte0, byte1 - byte0)
+    if len(payload) < byte1 - byte0:
+        raise ValueError("grib: truncated data section")
+    DECODE_STATS["row_windows"] += 1
+    x = _unpack_bits_at(payload, nbits, (s1 - s0) * ni, bit_a - byte0 * 8)
+    y = (sp["R"] + x.astype("float64") * (2.0 ** sp["E"])) \
+        / (10.0 ** sp["D"])
+    a = y.reshape(s1 - s0, ni)
+    if scan & 0x80:                 # -i: west <- east
+        a = a[:, ::-1]
+    if scan & 0x40:
+        a = a[::-1]
+    return a
+
+
 def read_info(src):
-    """Format-dispatch adapter: GRIB2 metadata as a GeoTiffInfo
-    (via='grib'); each field is one band."""
+    """Format-dispatch adapter: GRIB metadata (either edition) as a
+    GeoTiffInfo (via='grib'); each field is one band.  Metadata-only:
+    NoData is declared from the file's OWN metadata — a bit-map
+    section or missing-value management — without decoding pixels (the
+    GDAL convention; for float64 bands `NaN-NoData` and `no NoData`
+    are the same cell type, so the declaration is celltype-exact)."""
     from rasterframes_spark.sources.geotiff import GeoTiffInfo
 
-    head = src.read_range(0, 8) if hasattr(src, "read_range") \
-        else bytes(src[:8])
+    src = _as_src(src)
+    head = src.read_range(0, 8)
     if head[:4] != b"GRIB":
         raise ValueError("not a GRIB stream")
     if len(head) >= 8 and head[7] not in (1, 2):
         raise ValueError(f"grib edition {head[7]} unsupported "
                          "(native: 1 and 2)")
-    cube, extent = _load_fields(src)
-    nb, ny, nx = cube.shape
-    nodata = float("nan") if np.isnan(cube).any() else None
+    metas, extent = _scan(src)
+    g = metas[0]["grid"]
+    nx, ny, nb = g["ni"], g["nj"], len(metas)
+    nodata = float("nan") if any(
+        m["bitmap"] is not None
+        or (m.get("drs") or {}).get("mgmt", 0) in (1, 2)
+        for m in metas) else None
     pw = (extent[2] - extent[0]) / nx
     ph = (extent[3] - extent[1]) / ny
     return GeoTiffInfo(
@@ -761,5 +931,25 @@ def read_info(src):
 
 def read_window(src, info, c0: int, r0: int, w: int, h: int,
                 band: int = 0) -> np.ndarray:
-    cube, _extent = _load_fields(src)
-    return cube[band, r0:r0 + h, c0:c0 + w]
+    src = _as_src(src)
+    metas, _extent = _scan(src)
+    meta = metas[band]
+    key = (getattr(src, "uri", None), band)
+    cached = _BAND_CACHE.get(key) if key[0] is not None else None
+    if cached is not None:
+        _BAND_CACHE.move_to_end(key)
+        return cached[r0:r0 + h, c0:c0 + w]
+    if meta["simple"] is not None and meta["bitmap"] is None \
+            and h < meta["grid"]["nj"]:
+        # strict row subset of a fixed-width field: decode just those
+        # rows — a tiling pass touches each payload byte once in total,
+        # with no full-band array ever materialized
+        return _read_rows_simple(src, meta, r0, h)[:, c0:c0 + w]
+    arr = _decode_band(src, meta)
+    if key[0] is not None and arr.nbytes <= _BAND_CACHE_BYTES:
+        while len(_BAND_CACHE) >= _BAND_CACHE_MAX or (
+                _BAND_CACHE and sum(a.nbytes for a in _BAND_CACHE.values())
+                + arr.nbytes > _BAND_CACHE_BYTES):
+            _BAND_CACHE.popitem(last=False)
+        _BAND_CACHE[key] = arr
+    return arr[r0:r0 + h, c0:c0 + w]

@@ -285,3 +285,14 @@ def test_prime_meridian_straddle_extent():
     msg = MSG(PDS(), GDS(lo1=-20_000, lo2=0, di=10_000), BDS())
     (f,) = G1.parse_grib1(msg)
     assert G2._grid_extent(f["grid"])[0] == -25.0
+
+
+def test_write_grib1_refuses_uint24_overflow():
+    """ADVICE r10 #1: a message over 2^24-1 octets used to silently
+    drop the high byte of the 3-byte length fields — an 18 MB file
+    whose own parser fails with 'not terminated by 7777'.  The writer
+    must refuse instead (GRIB1 simply cannot represent it)."""
+    big = np.zeros((3000, 3000), dtype="float64")
+    big[0, 0] = 1.0                 # non-constant: full 16-bit payload
+    with pytest.raises(ValueError, match=r"2\^24-1 octet ceiling"):
+        G1.write_grib1([big], (0.0, 0.0, 30.0, 30.0), nbits=16)

@@ -634,3 +634,26 @@ def test_mutation_fuzz_never_wrong_exception():
                 parse(good[:int(cut)])
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_write_complex_diff_degenerate_fields():
+    """ADVICE r10 #3: complex_diff used to raise for fields with fewer
+    finite points than the differencing order needs (including all-NaN
+    fields) while every other packing encoded them via the bitmap
+    path.  Degenerate fields now fall back to order-0 complex packing
+    and round-trip like the rest."""
+    all_nan = np.full((6, 8), np.nan)
+    two_pts = np.full((6, 8), np.nan)
+    two_pts[0, 0], two_pts[3, 4] = 7.0, 11.0
+    ext = (0.0, 0.0, 8.0, 6.0)
+    for a in (all_nan, two_pts):
+        (f,) = GB.parse_grib2(GB.write_grib2([a], ext,
+                                             packing="complex_diff"))
+        np.testing.assert_array_equal(f["values"], a)
+    # non-degenerate fields still use true 5.3 spatial differencing
+    dense = np.arange(48, dtype="f8").reshape(6, 8)
+    msg = GB.write_grib2([dense], ext, packing="complex_diff")
+    metas = GB.scan_grib2(GB._BytesSrc(msg))
+    assert metas[0]["drs"]["tmpl"] == 3
+    (f,) = GB.parse_grib2(msg)
+    np.testing.assert_array_equal(f["values"], dense)
