@@ -248,3 +248,66 @@ def test_grib_catalog_metadata_query_reads_zero_window_bytes(
     assert _trace_lines(trace) == []
     df.select("tile").collect()
     assert len(_trace_lines(trace)) > 0
+
+
+# ---------------------------------------------------------------------------
+# Classic NetCDF laziness (VERDICT r10 #3 mirror): the header carries
+# every variable's begin offset and the data is a plain strided slab,
+# so metadata needs header + 1-D coordinate variables only and windows
+# are single contiguous range reads.  (NetCDF-4/HDF5 stays on the
+# eager cached decode — chunk B-trees + filters make windows
+# non-strided; the recorded exception in the module docstring.)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nc_scene(tmp_path_factory):
+    from rasterframes_spark.sources import netcdf as NC
+
+    root = tmp_path_factory.mktemp("lazync")
+    rng = np.random.default_rng(31)
+    cube = rng.integers(-200, 800, (4, 512, 512)).astype("int16")
+    path = str(root / "scene.nc")
+    with open(path, "wb") as f:
+        f.write(NC.write_netcdf(
+            {"t2m": (("time", "y", "x"), cube),
+             "y": (("y",), np.linspace(10.0, 61.1, 512)),
+             "x": (("x",), np.linspace(-120.0, -68.9, 512))},
+            {"time": None, "y": 512, "x": 512},
+            var_attrs={"t2m": {"_FillValue": np.int16(-200),
+                               "scale_factor": np.float64(0.5)}}))
+    return path, cube
+
+
+def test_netcdf_metadata_read_is_header_and_coords_only(nc_scene):
+    from rasterframes_spark.sources import netcdf as NC
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    path, cube = nc_scene
+    NC._CDF_META_CACHE.clear()
+    src = RangeSource(path, block_size=4096)
+    info = NC.read_info(src, "t2m")
+    assert (info.width, info.height, info.bands) == (512, 512, 4)
+    assert info.dtype == "float64" and np.isnan(info.nodata)
+    # the file is ~4 MiB of pixels; metadata cost header + two 4 KiB
+    # coordinate variables
+    assert src.bytes_fetched < 32 * 1024
+
+
+def test_netcdf_window_is_one_contiguous_row_span(nc_scene):
+    from rasterframes_spark.sources import netcdf as NC
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    path, cube = nc_scene
+    NC._CDF_META_CACHE.clear()
+    src = RangeSource(path, block_size=4096)
+    info = NC.read_info(src, "t2m")
+    header_bytes = src.bytes_fetched
+    win = NC.read_window(src, info, 100, 200, 64, 32, band=2, var="t2m")
+    # eager-path oracle: whole-variable decode, north-up flip
+    flat, _, _ = NC._load_grid(NC._NCBytesSrc(open(path, "rb").read()),
+                               "t2m")
+    assert np.array_equal(win, flat[2, 200:232, 100:164], equal_nan=True)
+    # 32 rows x 512 cols x 2 bytes = 32 KiB of pixel data (+ blocks);
+    # nothing near the 1 MiB a full-band decode would read
+    assert src.bytes_fetched - header_bytes < 3 * 32 * 512 * 2
