@@ -104,10 +104,20 @@ def read_raster_stream(spark: SparkSession, directory: str,
     decode (scene header still parses; pixels of pruned chunks don't).
 
     ``on_error``: ``'skip'`` (default) drops files that are not
-    recognized rasters or fail to decode — a stray sidecar or corrupt
-    upload in the watched directory must not crash-loop the query
-    (the checkpointed file source would replay it forever);
-    ``'fail'`` raises instead, for directories guaranteed clean."""
+    recognized rasters or fail to decode — ANYWHERE in the per-file
+    block, including lazily-decoded chunk bodies behind a valid header
+    — because a stray sidecar or corrupt upload in the watched
+    directory must not crash-loop the query (the checkpointed file
+    source would replay it forever); ``'fail'`` raises instead, for
+    directories guaranteed clean.
+
+    VRT and MRF are EXCLUDED from the streaming sniff by design
+    (recorded, VERDICT r10 next #6): a VRT is an XML manifest whose
+    pixels live in OTHER files it references, and an MRF is a
+    three-file set (.mrf metadata + index + data), so a single
+    streamed byte payload cannot carry either format's pixels —
+    ingest those through the batch ``read_raster`` catalog path, where
+    the dispatch resolves their external references by URI."""
     import numpy as np
     import pandas as pd
 
@@ -140,40 +150,56 @@ def read_raster_stream(spark: SparkSession, directory: str,
         "tile struct<cell_type:string,cols:int,rows:int,cells:binary>")
 
     def decode(batches):
+        import logging
+
         for pdf in batches:
             rows = []
             for path, ts, content in zip(pdf["path"], pdf["modificationTime"],
                                          pdf["content"]):
                 src_obj = _MemSource(bytes(content),
                                      f"stream:{path}@{ts}")
+                # the WHOLE per-file block sits inside the guard: the
+                # header can sniff fine while chunk/tile BYTES are
+                # corrupt (GeoTIFF/JP2 decode lazily per window), and a
+                # body-stage failure escaping here would crash-loop the
+                # checkpointed query — exactly what 'skip' promises to
+                # prevent (ADVICE r10 #2)
+                file_rows = []
                 try:
                     read_info, read_window = _bytes_raster_adapter(
                         src_obj._d)
                     info = read_info(src_obj)
-                except (ValueError, NotImplementedError):
+                    ct = _celltype_for(info)
+                    if query_extent is not None:
+                        qx0, qy0, qx1, qy1 = (float(v)
+                                              for v in query_extent)
+                    for c0, r0, w, h, (exmin, eymin, exmax, eymax) in \
+                            iter_chunk_windows(info, tw, th):
+                        if query_extent is not None and not (
+                                exmin < qx1 and exmax > qx0
+                                and eymin < qy1 and eymax > qy0):
+                            continue
+                        # Tile.__init__ applies ct.mask_of (== nodata)
+                        # to plain arrays — no explicit masking here
+                        arr = read_window(src_obj, info, c0, r0, w, h,
+                                          band)
+                        file_rows.append({
+                            "path": path, "ts": ts,
+                            "spatial_key": {"col": c0 // tw,
+                                            "row": r0 // th},
+                            "extent": {"xmin": exmin, "ymax": eymax,
+                                       "xmax": exmax, "ymin": eymin},
+                            "crs": info.crs,
+                            "tile": Tile(arr, ct).to_row(),
+                        })
+                except (ValueError, NotImplementedError) as e:
                     if on_error == "fail":
                         raise
+                    logging.getLogger("rasterframes_spark.streaming") \
+                        .warning("read_raster_stream: skipping %s (%s)",
+                                 path, e)
                     continue        # skip: sidecars/corrupt uploads
-                ct = _celltype_for(info)
-                if query_extent is not None:
-                    qx0, qy0, qx1, qy1 = (float(v) for v in query_extent)
-                for c0, r0, w, h, (exmin, eymin, exmax, eymax) in \
-                        iter_chunk_windows(info, tw, th):
-                    if query_extent is not None and not (
-                            exmin < qx1 and exmax > qx0
-                            and eymin < qy1 and eymax > qy0):
-                        continue
-                    # Tile.__init__ applies ct.mask_of (== nodata) to
-                    # plain arrays — no explicit masking needed here
-                    arr = read_window(src_obj, info, c0, r0, w, h, band)
-                    rows.append({
-                        "path": path, "ts": ts,
-                        "spatial_key": {"col": c0 // tw, "row": r0 // th},
-                        "extent": {"xmin": exmin, "ymax": eymax,
-                                   "xmax": exmax, "ymin": eymin},
-                        "crs": info.crs,
-                        "tile": Tile(arr, ct).to_row(),
-                    })
+                rows.extend(file_rows)
             yield pd.DataFrame(rows, columns=[
                 "path", "ts", "spatial_key", "extent", "crs", "tile"])
 
@@ -184,13 +210,20 @@ def read_geotiff_stream(spark: SparkSession, directory: str,
                         tile_dimensions: tuple = (256, 256), band: int = 0,
                         pattern: str = "*.tif*",
                         max_files_per_trigger: int | None = None,
-                        query_extent: tuple | None = None) -> DataFrame:
+                        query_extent: tuple | None = None,
+                        on_error: str = "fail") -> DataFrame:
     """GeoTIFF-patterned alias of :func:`read_raster_stream` (kept for
     the original r7 surface; the generic source decodes any native
-    format, this one just defaults the glob to ``*.tif*``)."""
+    format, this one just defaults the glob to ``*.tif*``).
+
+    ``on_error`` defaults to ``'fail'`` — the r7 surface RAISED on a
+    malformed GeoTIFF, and the r10 generalization silently changed
+    that to dropping the file (ADVICE r10 #4); the alias restores the
+    strict semantics and passes the knob through for callers who want
+    the crawl-grade ``'skip'``."""
     return read_raster_stream(spark, directory, tile_dimensions, band,
                               pattern, max_files_per_trigger,
-                              query_extent)
+                              query_extent, on_error=on_error)
 
 
 def read_tile_stream(spark: SparkSession, directory: str, schema) -> DataFrame:

@@ -434,3 +434,53 @@ def test_read_raster_stream_mixed_formats(spark, tmp_path):
         sums[name] = sums.get(name, 0.0) + r["s"]
     for name, arr in fields.items():
         assert sums[name] == float(arr.sum()), name
+
+
+def test_read_raster_stream_skips_corrupt_body_files(spark, tmp_path):
+    """ADVICE r10 #2: a file whose header sniffs fine but whose chunk
+    BYTES are corrupt (GeoTIFF/JP2 decode lazily per window) must also
+    be skipped under on_error='skip' — the body-stage failure used to
+    run outside the guard and crash-loop the checkpointed query.  And
+    ADVICE r10 #4: the read_geotiff_stream alias stays STRICT by
+    default (the r7 surface raised on malformed files)."""
+    from rasterframes_spark.sources import geotiff as GT
+    from rasterframes_spark.streaming import (_MemSource,
+                                              read_geotiff_stream,
+                                              read_raster_stream)
+
+    src = str(tmp_path / "scenes")
+    os.makedirs(src)
+    rng = np.random.default_rng(13)
+    good = rng.integers(0, 900, (64, 64)).astype("float64")
+    payload = GT.write_geotiff(good, (0.0, 0.0, 64.0, 64.0),
+                               tile_size=16)
+    with open(f"{src}/good.tif", "wb") as f:
+        f.write(payload)
+    # valid header, clobbered first tile: read_info succeeds, the
+    # window decode raises — the premise the guard must cover
+    info = GT.read_info(_MemSource(payload, "probe"))
+    bad = bytearray(payload)
+    o, c = info.chunk_offsets[0], info.chunk_counts[0]
+    bad[o:o + c] = b"\xff" * c
+    GT.read_info(_MemSource(bytes(bad), "probe2"))   # header still fine
+    with open(f"{src}/bad.tif", "wb") as f:
+        f.write(bytes(bad))
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (read_raster_stream(spark, src, tile_dimensions=(64, 64))
+         .select("*", rf.rf_tile_sum("tile").alias("s"))
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1 and os.path.basename(got[0]["path"]) == "good.tif"
+    assert got[0]["s"] == float(good.sum())
+
+    # the strict alias fails loudly on the same directory
+    q2 = (read_geotiff_stream(spark, src, tile_dimensions=(64, 64))
+          .writeStream.format("memory").queryName("strict_gt")
+          .option("checkpointLocation", str(tmp_path / "ckpt2"))
+          .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="corrupt|deflate|StreamingQuery"):
+        q2.awaitTermination(120)
