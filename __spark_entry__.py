@@ -1888,6 +1888,39 @@ def _q_interop_suite(spark, sf_dir):
                 F.col("s").cast("double").alias("v1"),
                 F.col("n").cast("double").alias("v2"),
                 F.col("x0").cast("double").alias("v3")))
+    # k=6 (r11): a HAND-ASSEMBLED byte-literal GRIB2 message — template
+    # 5.3 second-order spatial differencing, every byte hand-derived
+    # from the WMO template tables (tests/test_grib2.py pins the same
+    # bytes with the field-by-field walk in comments): originals
+    # X = [10,12,15,19,24,30] transmitted as all-zero second
+    # differences (ival1=10, ival2=12, gmin=1 — sign-and-magnitude,
+    # extra_octets=1), one zero-width group, D=1 so Y = X/10 over a
+    # 2x3 grid at 50-60N / 10-30E.  Keys 0..5 read bytes the repo's
+    # OWN writers emitted; this key pins non-own bytes inside the
+    # hash-checked gate itself (VERDICT r10 next #5).
+    gb_hand = bytes.fromhex(
+        "475249420000000200000000000000d50000001501000700000201"
+        "0107ea03040c000000010000004803000000000600000000060000"
+        "000000ffffffffffffffffffff0000000300000002000000000000"
+        "000003938700009896803002faf08001c9c3800098968000989680"
+        "000000002204000000000000000000000000010000000001000000"
+        "0000ffffffffffff00000031050000000600030000000000000001"
+        "010001000000000000000000000000010001000000000100000006"
+        "0302010000000606ff0000000b070a0c010000c037373737")
+    gb_path = tempfile.mktemp(suffix=".grib2", prefix="rf_gb_oracle_hand_")
+    with open(gb_path, "wb") as f:
+        f.write(gb_hand)
+    gbdf = read_raster(spark, [gb_path], tile_dimensions=(32, 32))
+    gb_parts.append(
+        gbdf.withColumn("tile", realize_tiles(F.col("tile_ref")))
+        .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+             F.count("*").alias("n"),
+             F.min("extent.xmin").alias("x0"))
+        .select(F.lit("grib").alias("family"),
+                F.lit(6).cast("long").alias("k"),
+                F.round(F.col("s"), 9).cast("double").alias("v1"),
+                F.col("n").cast("double").alias("v2"),
+                F.col("x0").cast("double").alias("v3")))
     import functools
     gb = functools.reduce(lambda a, b: a.unionByName(b), gb_parts)
 
@@ -2267,6 +2300,21 @@ def oracle_sql() -> dict[str, str]:
               cross join (select unnest(range(54)) as j) b
               cross join (select unnest(range(6)) as p) c
               group by p
+              union all
+              -- k=6 (r11): the hand-assembled 5.3 byte-literal file.
+              -- Transmitted second differences are all zero with
+              -- gmin=1, so the reconstruction has CONSTANT second
+              -- difference 1 from ival1=10, ival2=12; the recurrence
+              -- closes to X(q) = 10 + q + q*(q+1)/2, and D=1 makes
+              -- Y = X/10 over the 2x3 grid (one 32x32 chunk; cell-
+              -- edge xmin = 10 - 10/2 = 5).  Both sides round to 9dp
+              -- (Y values are non-integer decimals).
+              select 'grib' as family, cast(6 as bigint) as k,
+                     round(cast((select sum((10 + q + q * (q + 1) / 2)
+                                            / 10.0)
+                                 from (select unnest(range(6)) as q))
+                           as double), 9) as v1,
+                     1.0 as v2, 5.0 as v3
             ), adpcm as (
               select 'adpcm' as family, cast(doc_id as bigint) as k,
                      (500 + (doc_id % 7) * 100) * 1000.0 / 8000.0 as v1,
