@@ -263,6 +263,16 @@ def main():
             print(a[neq].head(3))
             print(b[neq].head(3))
     run_extras(spark, SF_DIR, ONLY, failures)
+    # same tail hygiene bench.py adopted (VERDICT r9 #1 / r10 next #7):
+    # silence the JVM and stop the session BEFORE the final verdict
+    # lines, so streaming-replay teardown spam can never print after
+    # (and bury) them in a captured stdout tail
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass
+    spark.stop()
+    sys.stdout.flush()
     if failures:
         print("NONDETERMINISTIC:", failures)
         sys.exit(1)
