@@ -1918,7 +1918,7 @@ def _q_interop_suite(spark, sf_dir):
              F.min("extent.xmin").alias("x0"))
         .select(F.lit("grib").alias("family"),
                 F.lit(6).cast("long").alias("k"),
-                F.round(F.col("s"), 9).cast("double").alias("v1"),
+                _r0(F.col("s"), 9).cast("double").alias("v1"),
                 F.col("n").cast("double").alias("v2"),
                 F.col("x0").cast("double").alias("v3")))
     import functools
