@@ -51,7 +51,8 @@ def _strict(fn):
             raise ValueError(f"hdf5: malformed file ({e})") from e
     return wrapped
 
-__all__ = ["H5File", "H5Writer", "read_netcdf4"]
+__all__ = ["H5File", "H5Writer", "read_netcdf4", "read_netcdf4_meta",
+           "apply_cf_nc4"]
 
 _SIG = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
@@ -76,7 +77,7 @@ def _full_fast(shape, fill, dtype):
 class _Dataset:
     __slots__ = ("name", "shape", "dtype", "maxshape", "layout", "attrs",
                  "_file", "_contig_addr", "_contig_size", "_btree_addr",
-                 "_chunk_shape", "_filters", "_fill_raw")
+                 "_chunk_shape", "_filters", "_fill_raw", "_chunk_list")
 
     def __init__(self, name, f):
         self.name = name
@@ -91,6 +92,7 @@ class _Dataset:
         self._chunk_shape = None
         self._filters = []
         self._fill_raw = b""
+        self._chunk_list = None
 
     @property
     def fillvalue(self):
@@ -114,10 +116,75 @@ class _Dataset:
 
     @_strict
     def read(self) -> np.ndarray:
+        shape = self.shape if self.shape else (1,)
+        return self.read_window(
+            tuple((0, d) for d in shape)).reshape(self.shape)
+
+    def _chunks(self) -> list:
+        """Chunk B-tree entries, walked once per dataset and cached —
+        the windowed reader intersects against this list per window."""
+        if self._chunk_list is None:
+            chunks = []
+            self._file._walk_chunk_btree(self._btree_addr,
+                                         len(self.shape), chunks)
+            self._chunk_list = chunks
+        return self._chunk_list
+
+    def _decode_chunk(self, addr: int, nbytes: int,
+                      filter_mask: int) -> np.ndarray:
+        """One stored chunk -> its (chunk_shape) array, filters undone."""
+        cs = self._chunk_shape
+        raw = self._file._read(addr, nbytes)
+        # filter_mask bit i = i-th PIPELINE-POSITION filter was
+        # skipped for this chunk (spec IV.A.2.l) — not bit 0 ==
+        # deflate; undo unskipped filters in reverse order
+        for idx in range(len(self._filters) - 1, -1, -1):
+            fid, cd = self._filters[idx]
+            if filter_mask & (1 << idx):
+                continue
+            if fid == 1:
+                # bound the inflate by the declared chunk size —
+                # a corrupted stream must not balloon memory
+                cap = int(np.prod(cs)) * self.dtype.itemsize
+                try:
+                    d = zlib.decompressobj()
+                    raw = d.decompress(raw, cap + 1)
+                except zlib.error as e:
+                    raise ValueError(
+                        f"hdf5: bad deflate chunk ({e})") from None
+                if len(raw) > cap:
+                    raise ValueError(
+                        "hdf5: deflate chunk inflates past the "
+                        "declared chunk size")
+            elif fid == 2:
+                raw = _unshuffle(raw, self.dtype.itemsize)
+            else:
+                raise ValueError(f"hdf5: filter {fid} not supported")
+        block = np.frombuffer(raw, dtype=self.dtype)
+        return block[:int(np.prod(cs))].reshape(cs)
+
+    @_strict
+    def read_window(self, sel) -> np.ndarray:
+        """Windowed read: ``sel`` is one (start, stop) pair per
+        dimension.  Chunked layouts decode ONLY the chunks the window
+        intersects (the chunk B-tree is the index); contiguous layouts
+        read the covering row-major byte span with leading single-index
+        dims folded into the base address.  This is the decode-lazy
+        path the NetCDF-4 raster adapter serves tiles from — a window
+        of one band never pays for the other bands' chunks."""
         f = self._file
-        n = int(np.prod(self.shape)) if self.shape else 1
         if self.dtype is None:
             raise ValueError("hdf5: dataset has no decodable datatype")
+        shape = self.shape if self.shape else (1,)
+        if len(sel) != len(shape):
+            raise ValueError("hdf5: window rank != dataset rank")
+        sel = [(min(max(int(a), 0), shape[d]), min(max(int(b), 0), shape[d]))
+               for d, (a, b) in enumerate(sel)]
+        if any(b < a for a, b in sel):
+            raise ValueError("hdf5: inverted window")
+        out_shape = tuple(b - a for a, b in sel)
+        n = int(np.prod(out_shape)) if out_shape else 1
+        it = max(self.dtype.itemsize, 1)
         # Allocation bound: a corrupted dataspace can declare a PiB-scale
         # shape from a KB-scale file (found by corruption fuzz).  Deflate
         # and sparse/UNWRITTEN fill make logical size legitimately exceed
@@ -125,65 +192,54 @@ class _Dataset:
         # a pure-fill contiguous dataset), so the bound stays absolute,
         # not a file-size ratio: cap the allocation at 4 GiB (raise
         # _MAX_DATASET_BYTES for bigger data).  The zero-fill fast path
-        # below keeps even the cap-sized allocation cheap for the
+        # keeps even the cap-sized allocation cheap for the
         # overwhelmingly common fillvalue.
-        if n * max(self.dtype.itemsize, 1) > _MAX_DATASET_BYTES:
+        if n * it > _MAX_DATASET_BYTES:
             raise ValueError(
-                f"hdf5: dataset shape {self.shape} implies "
+                f"hdf5: window shape {out_shape} implies "
                 f"{n * self.dtype.itemsize} bytes "
                 f"(> _MAX_DATASET_BYTES {_MAX_DATASET_BYTES})")
         if self.layout == "contiguous":
             if self._contig_addr is None or self._contig_addr == _UNDEF:
-                out = _full_fast(self.shape, self.fillvalue, self.dtype)
-                return out
-            raw = f._read(self._contig_addr, n * self.dtype.itemsize)
-            return np.frombuffer(raw, dtype=self.dtype).reshape(self.shape)
+                return _full_fast(out_shape, self.fillvalue, self.dtype)
+            base = self._contig_addr
+            d0 = 0
+            while d0 < len(shape) - 1 and sel[d0][1] - sel[d0][0] == 1:
+                inner = int(np.prod(shape[d0 + 1:]))
+                base += sel[d0][0] * inner * it
+                d0 += 1
+            inner = int(np.prod(shape[d0 + 1:])) if d0 + 1 < len(shape) \
+                else 1
+            a0, b0 = sel[d0]
+            raw = f._read(base + a0 * inner * it, (b0 - a0) * inner * it)
+            arr = np.frombuffer(raw, dtype=self.dtype).reshape(
+                (b0 - a0,) + tuple(shape[d0 + 1:]))
+            arr = arr[(slice(None),)
+                      + tuple(slice(a, b) for a, b in sel[d0 + 1:])]
+            return arr.reshape(out_shape)
         if self.layout == "chunked":
-            out = _full_fast(self.shape if self.shape else (1,),
-                             self.fillvalue, self.dtype)
+            out = _full_fast(out_shape, self.fillvalue, self.dtype)
             if out.ndim == 0:
                 out = out.reshape(1)
-            chunks = []
-            f._walk_chunk_btree(self._btree_addr, len(self.shape), chunks)
             cs = self._chunk_shape
-            for off_idx, nbytes, filter_mask, addr in chunks:
-                raw = f._read(addr, nbytes)
-                # filter_mask bit i = i-th PIPELINE-POSITION filter was
-                # skipped for this chunk (spec IV.A.2.l) — not bit 0 ==
-                # deflate; undo unskipped filters in reverse order
-                for idx in range(len(self._filters) - 1, -1, -1):
-                    fid, cd = self._filters[idx]
-                    if filter_mask & (1 << idx):
-                        continue
-                    if fid == 1:
-                        # bound the inflate by the declared chunk size —
-                        # a corrupted stream must not balloon memory
-                        cap = int(np.prod(cs)) * self.dtype.itemsize
-                        try:
-                            d = zlib.decompressobj()
-                            raw = d.decompress(raw, cap + 1)
-                        except zlib.error as e:
-                            raise ValueError(
-                                f"hdf5: bad deflate chunk ({e})") from None
-                        if len(raw) > cap:
-                            raise ValueError(
-                                "hdf5: deflate chunk inflates past the "
-                                "declared chunk size")
-                    elif fid == 2:
-                        raw = _unshuffle(raw, self.dtype.itemsize)
-                    else:
-                        raise ValueError(f"hdf5: filter {fid} not supported")
-                block = np.frombuffer(raw, dtype=self.dtype)
-                block = block[:int(np.prod(cs))].reshape(cs)
+            if cs is None or len(cs) != len(shape):
+                raise ValueError("hdf5: chunk rank != dataset rank")
+            for off_idx, nbytes, filter_mask, addr in self._chunks():
+                if any(o + c <= a or o >= b
+                       for o, c, (a, b) in zip(off_idx, cs, sel)):
+                    continue            # chunk outside the window
+                block = self._decode_chunk(addr, nbytes, filter_mask)
                 sel_out = []
                 sel_blk = []
-                for d in range(len(self.shape)):
+                for d in range(len(shape)):
                     o = off_idx[d]
-                    end = min(o + cs[d], self.shape[d])
-                    sel_out.append(slice(o, end))
-                    sel_blk.append(slice(0, end - o))
+                    a, b = sel[d]
+                    lo = max(o, a)
+                    hi = min(o + cs[d], b, shape[d])
+                    sel_out.append(slice(lo - a, hi - a))
+                    sel_blk.append(slice(lo - o, hi - o))
                 out[tuple(sel_out)] = block[tuple(sel_blk)]
-            return out.reshape(self.shape)
+            return out
         raise ValueError(f"hdf5: layout {self.layout!r} not supported")
 
 
@@ -805,6 +861,27 @@ def _mk_attribute(name: str, value) -> bytes:
 # NetCDF-4 mapping
 # ---------------------------------------------------------------------------
 
+def apply_cf_nc4(a: np.ndarray, attrs: dict) -> np.ndarray:
+    """CF scale_factor/add_offset/_FillValue for NetCDF-4 variables —
+    ONE implementation shared by the full reader and the windowed
+    raster adapter so the lazy path cannot drift from the eager one."""
+    if a.dtype.kind not in "iuf":
+        return a
+    fill = attrs.get("_FillValue")
+    scale = attrs.get("scale_factor")
+    off = attrs.get("add_offset")
+    if fill is None and scale is None and off is None:
+        return a
+    a = a.astype("float64")
+    if fill is not None:
+        a[a == fill] = np.nan
+    if scale is not None:
+        a = a * float(scale)
+    if off is not None:
+        a = a + float(off)
+    return a
+
+
 def read_netcdf4(source) -> dict:
     """NetCDF-4 (= HDF5) -> {"variables": {name: (array, attrs)},
     "attrs": global attrs} with CF scale_factor/add_offset/_FillValue
@@ -813,19 +890,19 @@ def read_netcdf4(source) -> dict:
     out = {"variables": {}, "attrs": dict(f.attrs.get("/", {}))}
     for path, ds in f.datasets.items():
         name = path.lstrip("/")
-        a = ds.read()
-        attrs = dict(ds.attrs)
-        if a.dtype.kind in "iuf":
-            fill = attrs.get("_FillValue")
-            scale = attrs.get("scale_factor")
-            off = attrs.get("add_offset")
-            if fill is not None or scale is not None or off is not None:
-                a = a.astype("float64")
-                if fill is not None:
-                    a[a == fill] = np.nan
-                if scale is not None:
-                    a = a * float(scale)
-                if off is not None:
-                    a = a + float(off)
-        out["variables"][name] = (a, attrs)
+        out["variables"][name] = (apply_cf_nc4(ds.read(), dict(ds.attrs)),
+                                  dict(ds.attrs))
     return out
+
+
+def read_netcdf4_meta(source) -> dict:
+    """Metadata-only NetCDF-4 view: {"variables": {name: _Dataset},
+    "attrs": global attrs} — shapes/dtypes/attrs from the object
+    headers, NOTHING decoded.  Callers window-read the datasets they
+    actually need (``_Dataset.read_window``); the raster adapter's
+    read_info path uses this so listing a catalog of NetCDF-4 scenes
+    costs header walks, not per-variable decodes."""
+    f = H5File(source)
+    return {"variables": {p.lstrip("/"): ds
+                          for p, ds in f.datasets.items()},
+            "attrs": dict(f.attrs.get("/", {}))}

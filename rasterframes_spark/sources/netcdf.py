@@ -467,11 +467,16 @@ def read_netcdf(spark, paths, var: str, tile_dimensions=(256, 256),
 # unpack over an EMPTY array of the declared type — exact, no pixels),
 # and read_window range-reads just the requested rows of the requested
 # band (one contiguous byte span per window; a tiling pass reads each
-# data byte once, AOI pruning prunes actual I/O).  NetCDF-4/HDF5 stays
-# on the eager decode-whole-variable-once path below (chunk B-trees +
-# filters make windows non-strided; recorded exception) — at 100 TB
-# that is one sequential read per file per executor, the same cost
-# shape as any HDF5 consumer.
+# data byte once, AOI pruning prunes actual I/O).
+#
+# NetCDF-4/HDF5 (r11): the container still costs ONE full byte read
+# per file per executor (chunk addresses live in B-trees spread
+# through the file; at 100 TB that is the same sequential read any
+# HDF5 consumer pays) — but DECODE is now lazy too: read_info walks
+# object headers + 1-D coordinate axes only, and read_window decodes
+# just the chunks (or the contiguous byte span) the band-window
+# intersects via hdf5._Dataset.read_window.  A band_indexes=(0,) read
+# of a 500-field NetCDF-4 file decodes one field's chunks, not 500.
 # ---------------------------------------------------------------------------
 
 _GRID_CACHE: dict = {}
@@ -693,6 +698,105 @@ def _sim_result_dtype(v: dict):
 _CDF_META_CACHE: dict = {}
 _CDF_META_MAX = 256
 
+# NetCDF-4/HDF5: the container still arrives as ONE full byte read per
+# file per executor (chunk addresses live in B-trees spread through the
+# file; range-walking them buys little over the sequential read any
+# HDF5 consumer pays) — but DECODE is lazy: read_info walks object
+# headers + the 1-D coordinate axes only, and read_window decodes just
+# the chunks its band-window intersects via _Dataset.read_window.  The
+# cache holds the parsed H5File (which owns the file bytes), bounded.
+_H5_CACHE: dict = {}
+_H5_CACHE_MAX = 4
+
+
+def _h5_meta(src, var: str | None) -> dict:
+    import numpy as _np
+
+    from rasterframes_spark.sources.hdf5 import (apply_cf_nc4,
+                                                 read_netcdf4_meta)
+
+    uri = getattr(src, "uri", None)
+    key = (uri, var)
+    if uri is not None and key in _H5_CACHE:
+        return _H5_CACHE[key]
+    data = src.read_range(0, src.size())
+    variables = read_netcdf4_meta(data)["variables"]
+    name = var
+    if name is None:
+        for cand, d in variables.items():
+            if len(d.shape) >= 2:
+                name = cand
+                break
+    if name is None or name not in variables:
+        raise ValueError(f"netcdf4: no variable {name or '(2-D+)'!r}")
+    ds = variables[name]
+    if len(ds.shape) < 2:
+        raise ValueError(f"netcdf: {name!r} is not 2-D+")
+    if ds.dtype is None or ds.dtype.kind not in "iuf":
+        raise ValueError(f"netcdf4: {name!r} is not numeric")
+    ny, nx = ds.shape[-2], ds.shape[-1]
+    lead = tuple(ds.shape[:-2])
+    nb = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    if ny * nx > (1 << 28) or not 0 <= nb <= (1 << 20):
+        raise ValueError("netcdf4: implausible grid size")
+    # coordinate axes: 1-D datasets of matching length (small) decode
+    # fully; everything else stays undecoded
+    others = {k: (d.read(), dict(d.attrs))
+              for k, d in variables.items()
+              if k != name and len(d.shape) == 1
+              and d.shape[0] in (nx, ny) and d.dtype is not None
+              and d.dtype.kind in "iuf"}
+    xs = _h5_axis(others, "X", nx, _X_NAMES)
+    ys = _h5_axis(others, "Y", ny, _Y_NAMES)
+    extent, y_ascending = _grid_extent(xs, ys, nx, ny)
+    # result dtype/NoData by running the SAME CF unpack over an empty
+    # array (exact; float results declare NaN NoData — NaN cells are
+    # native float NoData, celltype-identical either way)
+    sim = apply_cf_nc4(_np.zeros(0, dtype=ds.dtype), dict(ds.attrs))
+    nodata = float("nan") if np.issubdtype(sim.dtype, np.floating) \
+        else None
+    meta = {"ds": ds, "name": name, "ny": ny, "nx": nx, "nb": nb,
+            "lead": lead, "extent": extent, "y_ascending": y_ascending,
+            "dtype": str(sim.dtype), "nodata": nodata}
+    if uri is not None:
+        if len(_H5_CACHE) >= _H5_CACHE_MAX:
+            _H5_CACHE.pop(next(iter(_H5_CACHE)))
+        _H5_CACHE[key] = meta
+    return meta
+
+
+def _read_h5_window(src, var: str | None, c0: int, r0: int,
+                    w: int, h: int, band: int) -> np.ndarray:
+    """Windowed NetCDF-4 read: the band index decomposes into the
+    variable's leading dims, the row range flips through the y axis,
+    and ``_Dataset.read_window`` decodes only the chunks (or the
+    contiguous byte span) the window touches — a one-band window never
+    pays for the other bands' chunks."""
+    from rasterframes_spark.sources.hdf5 import apply_cf_nc4
+
+    m = _h5_meta(src, var)
+    ds, ny, nx = m["ds"], m["ny"], m["nx"]
+    if not 0 <= band < m["nb"]:
+        raise IndexError(f"netcdf4: band {band} out of range")
+    sel = []
+    idx = band
+    for d in range(len(m["lead"])):
+        inner = int(np.prod(m["lead"][d + 1:], dtype=np.int64)) \
+            if d + 1 < len(m["lead"]) else 1
+        i, idx = divmod(idx, inner) if inner > 1 else (idx, 0)
+        sel.append((i, i + 1))
+    if m["y_ascending"]:
+        sel.append((ny - (r0 + h), ny - r0))
+    else:
+        sel.append((r0, r0 + h))
+    sel.append((c0, c0 + w))
+    win = ds.read_window(tuple(sel))
+    win = win.reshape(win.shape[-2], win.shape[-1])
+    a = apply_cf_nc4(win, dict(ds.attrs))
+    if m["y_ascending"]:
+        a = a[::-1]
+    return a
+
 
 def _cdf_meta(src, var: str | None) -> dict:
     """Per-(uri, var) metadata of a classic-format variable: shape,
@@ -758,23 +862,22 @@ def _cdf_meta(src, var: str | None) -> dict:
 
 def read_info(src, var: str | None = None):
     """Format-dispatch adapter: NetCDF/HDF5 metadata as a GeoTiffInfo
-    (via='nc'); leading non-spatial dims flatten into bands.  Classic
-    files resolve this from header + coordinate variables only (no
-    pixel decode); HDF5 containers stay on the eager cached decode."""
+    (via='nc'); leading non-spatial dims flatten into bands.  Both
+    branches are metadata-only: classic files parse header +
+    coordinate variables, HDF5 containers walk object headers +
+    coordinate axes — no data variable decodes on this path."""
     from rasterframes_spark.sources.geotiff import GeoTiffInfo
 
     src = _nc_src(src)
     head = src.read_range(0, 8)
     if head[:3] == b"CDF" and len(head) > 3 and head[3] in (1, 2):
         m = _cdf_meta(src, var)
-        nb, ny, nx = m["nb"], m["ny"], m["nx"]
-        extent, dtype, nodata = m["extent"], m["dtype"], m["nodata"]
     elif head[:8] == b"\x89HDF\r\n\x1a\n":
-        flat, extent, nodata = _load_grid(src, var)
-        nb, ny, nx = flat.shape
-        dtype = str(flat.dtype)
+        m = _h5_meta(src, var)
     else:
         raise ValueError("not a NetCDF-3/NetCDF-4 stream")
+    nb, ny, nx = m["nb"], m["ny"], m["nx"]
+    extent, dtype, nodata = m["extent"], m["dtype"], m["nodata"]
     pw = (extent[2] - extent[0]) / nx
     ph = (extent[3] - extent[1]) / ny
     return GeoTiffInfo(
@@ -792,8 +895,7 @@ def read_window(src, info, c0: int, r0: int, w: int, h: int,
     src = _nc_src(src)
     head = src.read_range(0, 8)
     if not (head[:3] == b"CDF" and len(head) > 3 and head[3] in (1, 2)):
-        flat, _extent, _nodata = _load_grid(src, var)
-        return flat[band, r0:r0 + h, c0:c0 + w]
+        return _read_h5_window(src, var, c0, r0, w, h, band)
     m = _cdf_meta(src, var)
     ny, nx, sz = m["ny"], m["nx"], m["sz"]
     if not 0 <= band < m["nb"]:

@@ -311,3 +311,57 @@ def test_netcdf_window_is_one_contiguous_row_span(nc_scene):
     # 32 rows x 512 cols x 2 bytes = 32 KiB of pixel data (+ blocks);
     # nothing near the 1 MiB a full-band decode would read
     assert src.bytes_fetched - header_bytes < 3 * 32 * 512 * 2
+
+
+# ---------------------------------------------------------------------------
+# NetCDF-4/HDF5 decode-laziness (r11): the container still arrives as
+# one full byte read (chunk addresses live in B-trees spread through
+# the file), but DECODE is windowed — read_info walks object headers +
+# coordinate axes only, and a band-window decodes exactly the chunks
+# it intersects.
+# ---------------------------------------------------------------------------
+
+
+def test_netcdf4_metadata_decodes_nothing_window_decodes_its_chunks():
+    from rasterframes_spark.sources import hdf5 as H5
+    from rasterframes_spark.sources import netcdf as NC
+
+    rng = np.random.default_rng(37)
+    ny, nx = 48, 72
+    cube = rng.integers(-100, 900, (3, ny, nx)).astype("int16")
+    w = H5.H5Writer()
+    w.create_dataset("t2m", cube, chunks=(1, 16, 16), compression="gzip",
+                     attrs={"_FillValue": np.int16(-100),
+                            "scale_factor": np.float64(0.5)})
+    w.create_dataset("lat", np.linspace(10, 57, ny))
+    w.create_dataset("lon", np.linspace(-120, -49, nx))
+    data = w.tobytes()
+
+    calls = []
+    orig = H5._Dataset._decode_chunk
+
+    def counting(self, *a):
+        calls.append(self.name)
+        return orig(self, *a)
+
+    H5._Dataset._decode_chunk = counting
+    try:
+        NC._H5_CACHE.clear()
+        src = NC._NCBytesSrc(data)
+        info = NC.read_info(src)
+        assert (info.width, info.height, info.bands) == (nx, ny, 3)
+        assert info.dtype == "float64" and np.isnan(info.nodata)
+        assert calls == []              # metadata decoded NOTHING
+        win = NC.read_window(src, info, 2, 3, 10, 10, band=1)
+        assert len(calls) == 1          # one 16x16 chunk covers 10x10
+        # value parity against the eager whole-variable oracle
+        flat, _, _ = NC._load_grid(NC._NCBytesSrc(data), "t2m")
+        assert np.array_equal(win, flat[1, 3:13, 2:12], equal_nan=True)
+        # a full-band read decodes only that band's chunks (3x5 grid of
+        # 16x16 chunks per band; never the other bands' 30)
+        calls.clear()
+        full = NC.read_window(src, info, 0, 0, nx, ny, band=2)
+        assert len(calls) == 3 * 5
+        assert np.array_equal(full, flat[2], equal_nan=True)
+    finally:
+        H5._Dataset._decode_chunk = orig
