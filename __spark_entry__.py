@@ -1839,6 +1839,37 @@ def _q_interop_suite(spark, sf_dir):
                   F.col("s").cast("double").alias("v1"),
                   F.col("n").cast("double").alias("v2"),
                   F.col("x0").cast("double").alias("v3")))
+    # k=1 (r11): the SAME closed-form contract through the NetCDF-4 /
+    # HDF5 container — chunked (16x16) + deflate + shuffle storage plus
+    # CF scale/offset on int16 cells, so the hash-checked gate pins the
+    # HDF5 chunk-B-tree windowed decode, the filter pipeline, and the
+    # CF unpack (previously pytest-only).  Grid ((i*31+j*7)%97) scaled
+    # by 0.5 with offset 3: DuckDB re-derives sum(0.5*g + 3) exactly
+    # (dyadic scale on integers — bit-exact in float64).
+    from rasterframes_spark.sources.hdf5 import H5Writer
+    g4 = ((ii * 31 + jj * 7) % 97).astype("int16")
+    hw = H5Writer()
+    hw.create_dataset("t2m", g4, chunks=(16, 16), compression="gzip",
+                      shuffle=True,
+                      attrs={"scale_factor": np.float64(0.5),
+                             "add_offset": np.float64(3.0)})
+    hw.create_dataset("lat", lats)
+    hw.create_dataset("lon", lons)
+    nc4_path = tempfile.mktemp(suffix=".h5", prefix="rf_nc4_oracle_")
+    with open(nc4_path, "wb") as f:
+        f.write(hw.tobytes())
+    nc4df = read_raster(spark, [nc4_path + "#t2m"],
+                        tile_dimensions=(32, 32))
+    nc4 = (nc4df.withColumn("tile", realize_tiles(F.col("tile_ref")))
+           .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+                F.count("*").alias("n"),
+                F.min("extent.xmin").alias("x0"))
+           .select(F.lit("nc").alias("family"),
+                   F.lit(1).cast("long").alias("k"),
+                   F.col("s").cast("double").alias("v1"),
+                   F.col("n").cast("double").alias("v2"),
+                   F.col("x0").cast("double").alias("v3")))
+    nc = nc.unionByName(nc4)
 
     # ---- 'grib': r10 — GRIB2 closed-form grid through the raster
     # dispatch (native template 3.0 / 5.0 simple packing, written by
@@ -2280,6 +2311,17 @@ def oracle_sql() -> dict[str, str]:
             ), ncg as (
               select 'nc' as family, cast(0 as bigint) as k,
                      cast(sum((i * 53 + j * 17) % 101) as double) as v1,
+                     4.0 as v2, -120.5 as v3
+              from (select unnest(range(40)) as i) a
+              cross join (select unnest(range(60)) as j) b
+              union all
+              -- k=1 (r11): the NetCDF-4/HDF5 container (chunked +
+              -- deflate + shuffle, CF scale 0.5 / offset 3 on int16)
+              -- must land on the same closed form: dyadic scale on
+              -- integers is bit-exact in float64
+              select 'nc' as family, cast(1 as bigint) as k,
+                     cast(sum(0.5 * ((i * 31 + j * 7) % 97) + 3.0)
+                          as double) as v1,
                      4.0 as v2, -120.5 as v3
               from (select unnest(range(40)) as i) a
               cross join (select unnest(range(60)) as j) b
