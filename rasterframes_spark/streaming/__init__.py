@@ -83,7 +83,8 @@ def read_raster_stream(spark: SparkSession, directory: str,
                        pattern: str = "*",
                        max_files_per_trigger: int | None = None,
                        query_extent: tuple | None = None,
-                       on_error: str = "skip") -> DataFrame:
+                       on_error: str = "skip",
+                       bands: tuple | None = None) -> DataFrame:
     """Continuous raster ingest: watch ``directory`` for new scenes in
     ANY native format — GeoTIFF/BigTIFF, JPEG2000, GRIB (editions 1
     and 2, every native packing), NetCDF-3/NetCDF-4 — and emit
@@ -96,7 +97,9 @@ def read_raster_stream(spark: SparkSession, directory: str,
     Spark), with the pure-python codecs decoding each scene's bytes
     inside ``mapInPandas`` — chunking happens where the bytes already
     are, no second read, one task per file batch. Output schema:
-    (path, ts, spatial_key{col,row}, extent{xmin..ymax}, crs, tile).
+    (path, ts, spatial_key{col,row}, extent{xmin..ymax}, crs, tile) —
+    with ``bands`` the single tile column becomes one per band, named
+    as ``read_raster`` names them.
 
     Every rf_* scalar works downstream unchanged; combine with
     ``windowed_tile_stats`` for rolling scene statistics.
@@ -110,6 +113,15 @@ def read_raster_stream(spark: SparkSession, directory: str,
     directory must not crash-loop the query (the checkpointed file
     source would replay it forever); ``'fail'`` raises instead, for
     directories guaranteed clean.
+
+    ``bands`` mirrors the batch reader's ``band_indexes`` (r11): pass a
+    tuple of band indexes and each chunk row carries one tile column
+    per band, named like ``read_raster`` names them — ``tile`` for a
+    single requested band, ``tile_b{i}`` for several — so a streamed
+    multi-field GRIB/NetCDF scene (a GFS cycle is hundreds of fields)
+    serves more than band 0.  The scalar ``band`` parameter remains
+    the single-band shorthand.  A file with fewer bands than requested
+    is an error (skipped under ``on_error='skip'``).
 
     VRT and MRF are EXCLUDED from the streaming sniff by design
     (recorded, VERDICT r10 next #6): a VRT is an XML manifest whose
@@ -130,6 +142,10 @@ def read_raster_stream(spark: SparkSession, directory: str,
                          "or 'fail'")
 
     tw, th = int(tile_dimensions[0]), int(tile_dimensions[1])
+    band_list = [int(b) for b in bands] if bands is not None \
+        else [int(band)]
+    tile_cols = (["tile"] if len(band_list) == 1
+                 else [f"tile_b{b}" for b in band_list])
     bin_schema = ("path string, modificationTime timestamp, "
                   "length long, content binary")
     reader = (spark.readStream.format("binaryFile").schema(bin_schema)
@@ -142,12 +158,13 @@ def read_raster_stream(spark: SparkSession, directory: str,
                                str(int(max_files_per_trigger)))
     src = reader.load(directory).select("path", "modificationTime", "content")
 
+    tile_t = "struct<cell_type:string,cols:int,rows:int,cells:binary>"
     out_schema = (
         "path string, ts timestamp, "
         "spatial_key struct<col:int,row:int>, "
         "extent struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
         "crs string, "
-        "tile struct<cell_type:string,cols:int,rows:int,cells:binary>")
+        + ", ".join(f"{c} {tile_t}" for c in tile_cols))
 
     def decode(batches):
         import logging
@@ -173,25 +190,32 @@ def read_raster_stream(spark: SparkSession, directory: str,
                     if query_extent is not None:
                         qx0, qy0, qx1, qy1 = (float(v)
                                               for v in query_extent)
+                    if any(b >= info.bands for b in band_list):
+                        raise ValueError(
+                            f"read_raster_stream: band {max(band_list)} "
+                            f"requested, file has {info.bands}")
                     for c0, r0, w, h, (exmin, eymin, exmax, eymax) in \
                             iter_chunk_windows(info, tw, th):
                         if query_extent is not None and not (
                                 exmin < qx1 and exmax > qx0
                                 and eymin < qy1 and eymax > qy0):
                             continue
-                        # Tile.__init__ applies ct.mask_of (== nodata)
-                        # to plain arrays — no explicit masking here
-                        arr = read_window(src_obj, info, c0, r0, w, h,
-                                          band)
-                        file_rows.append({
+                        row = {
                             "path": path, "ts": ts,
                             "spatial_key": {"col": c0 // tw,
                                             "row": r0 // th},
                             "extent": {"xmin": exmin, "ymax": eymax,
                                        "xmax": exmax, "ymin": eymin},
                             "crs": info.crs,
-                            "tile": Tile(arr, ct).to_row(),
-                        })
+                        }
+                        for col, b in zip(tile_cols, band_list):
+                            # Tile.__init__ applies ct.mask_of (==
+                            # nodata) to plain arrays — no explicit
+                            # masking here
+                            arr = read_window(src_obj, info, c0, r0,
+                                              w, h, b)
+                            row[col] = Tile(arr, ct).to_row()
+                        file_rows.append(row)
                 except (ValueError, NotImplementedError) as e:
                     if on_error == "fail":
                         raise
@@ -201,7 +225,8 @@ def read_raster_stream(spark: SparkSession, directory: str,
                     continue        # skip: sidecars/corrupt uploads
                 rows.extend(file_rows)
             yield pd.DataFrame(rows, columns=[
-                "path", "ts", "spatial_key", "extent", "crs", "tile"])
+                "path", "ts", "spatial_key", "extent", "crs",
+                *tile_cols])
 
     return src.mapInPandas(decode, schema=out_schema)
 

@@ -484,3 +484,37 @@ def test_read_raster_stream_skips_corrupt_body_files(spark, tmp_path):
           .trigger(availableNow=True).start())
     with pytest.raises(Exception, match="corrupt|deflate|StreamingQuery"):
         q2.awaitTermination(120)
+
+
+def test_read_raster_stream_multiband(spark, tmp_path):
+    """r11: `bands` mirrors the batch reader's band_indexes — a
+    streamed multi-field scene serves per-band tile columns (named
+    like read_raster's), not just band 0."""
+    from rasterframes_spark.sources import grib2 as GB
+    from rasterframes_spark.streaming import read_raster_stream
+
+    src = str(tmp_path / "scenes")
+    os.makedirs(src)
+    rng = np.random.default_rng(21)
+    b0 = rng.integers(0, 900, (16, 16)).astype("float64")
+    b1 = rng.integers(0, 900, (16, 16)).astype("float64")
+    with open(f"{src}/multi.grib2", "wb") as f:
+        f.write(GB.write_grib2([b0, b1], (0.0, 0.0, 16.0, 16.0)))
+    # a single-band file in the same directory fails the band check and
+    # is SKIPPED (on_error default) rather than crash-looping
+    with open(f"{src}/single.grib2", "wb") as f:
+        f.write(GB.write_grib2([b0], (0.0, 0.0, 16.0, 16.0)))
+
+    q = (read_raster_stream(spark, src, tile_dimensions=(16, 16),
+                            bands=(0, 1))
+         .select("path", rf.rf_tile_sum("tile_b0").alias("s0"),
+                 rf.rf_tile_sum("tile_b1").alias("s1"))
+         .writeStream.format("memory").queryName("mb")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from mb").collect()
+    assert len(rows) == 1
+    assert os.path.basename(rows[0]["path"]) == "multi.grib2"
+    assert rows[0]["s0"] == float(b0.sum())
+    assert rows[0]["s1"] == float(b1.sum())
