@@ -53,11 +53,13 @@ class _MemSource:
 _JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 
 
-def _bytes_raster_adapter(data):
+def _bytes_raster_adapter(data, variable: str | None = None):
     """Magic-sniffed (read_info, read_window) pair for an in-memory
     raster payload — the byte-level mirror of ``read_raster``'s URI
     format dispatch, for streaming sources where ``binaryFile``
-    already delivered the whole object."""
+    already delivered the whole object.  ``variable`` selects the
+    NetCDF variable (the byte-payload analog of the batch reader's
+    ``path#var`` subdataset URIs); other formats ignore it."""
     h = bytes(data[:16]) if len(data) >= 16 else bytes(data)
     if h[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         from rasterframes_spark.sources import geotiff as GT
@@ -66,8 +68,11 @@ def _bytes_raster_adapter(data):
         from rasterframes_spark.sources import grib2 as GB
         return GB.read_info, GB.read_window
     if h[:3] == b"CDF" or h[:8] == b"\x89HDF\r\n\x1a\n":
+        import functools
+
         from rasterframes_spark.sources import netcdf as NC
-        return NC.read_info, NC.read_window
+        return (functools.partial(NC.read_info, var=variable),
+                functools.partial(NC.read_window, var=variable))
     # JP2 family files ALWAYS begin with the 12-byte jP signature box
     # (ISO 15444-1 I.5.1) — matching bare 'ftyp' would claim MP4/HEIF
     if h[:2] == b"\xFF\x4F" or h[:12] == _JP2_SIG:
@@ -84,7 +89,8 @@ def read_raster_stream(spark: SparkSession, directory: str,
                        max_files_per_trigger: int | None = None,
                        query_extent: tuple | None = None,
                        on_error: str = "skip",
-                       bands: tuple | None = None) -> DataFrame:
+                       bands: tuple | None = None,
+                       variable: str | None = None) -> DataFrame:
     """Continuous raster ingest: watch ``directory`` for new scenes in
     ANY native format — GeoTIFF/BigTIFF, JPEG2000, GRIB (editions 1
     and 2, every native packing), NetCDF-3/NetCDF-4 — and emit
@@ -121,7 +127,10 @@ def read_raster_stream(spark: SparkSession, directory: str,
     multi-field GRIB/NetCDF scene (a GFS cycle is hundreds of fields)
     serves more than band 0.  The scalar ``band`` parameter remains
     the single-band shorthand.  A file with fewer bands than requested
-    is an error (skipped under ``on_error='skip'``).
+    is an error (skipped under ``on_error='skip'``).  ``variable``
+    selects the NetCDF variable for NetCDF-3/4 payloads (the byte-
+    payload analog of the batch reader's ``path#var`` URIs); other
+    formats ignore it.
 
     VRT and MRF are EXCLUDED from the streaming sniff by design
     (recorded, VERDICT r10 next #6): a VRT is an XML manifest whose
@@ -184,7 +193,7 @@ def read_raster_stream(spark: SparkSession, directory: str,
                 file_rows = []
                 try:
                     read_info, read_window = _bytes_raster_adapter(
-                        src_obj._d)
+                        src_obj._d, variable)
                     info = read_info(src_obj)
                     ct = _celltype_for(info)
                     if query_extent is not None:

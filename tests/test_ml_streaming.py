@@ -518,3 +518,33 @@ def test_read_raster_stream_multiband(spark, tmp_path):
     assert os.path.basename(rows[0]["path"]) == "multi.grib2"
     assert rows[0]["s0"] == float(b0.sum())
     assert rows[0]["s1"] == float(b1.sum())
+
+
+def test_read_raster_stream_netcdf_variable(spark, tmp_path):
+    """r11: `variable` selects the NetCDF variable in streamed
+    payloads — the byte-payload analog of batch `path#var` URIs.
+    Without it the dispatch decodes the FIRST 2-D variable."""
+    from rasterframes_spark.sources import netcdf as NC
+    from rasterframes_spark.streaming import read_raster_stream
+
+    src = str(tmp_path / "scenes")
+    os.makedirs(src)
+    rng = np.random.default_rng(43)
+    t2m = rng.integers(0, 400, (16, 16)).astype("float64")
+    wind = rng.integers(0, 90, (16, 16)).astype("float64")
+    with open(f"{src}/s.nc", "wb") as f:
+        f.write(NC.write_netcdf(
+            {"t2m": (("y", "x"), t2m), "wind": (("y", "x"), wind),
+             "y": (("y",), np.arange(15.5, 0.0, -1.0)),
+             "x": (("x",), np.arange(0.5, 16.0, 1.0))},
+            {"y": 16, "x": 16}))
+
+    q = (read_raster_stream(spark, src, tile_dimensions=(16, 16),
+                            variable="wind")
+         .select(rf.rf_tile_sum("tile").alias("s"))
+         .writeStream.format("memory").queryName("ncvar")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ncvar").collect()
+    assert len(rows) == 1 and rows[0]["s"] == float(wind.sum())
