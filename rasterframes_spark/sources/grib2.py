@@ -248,7 +248,12 @@ def scan_grib2(src) -> list[dict]:
             elif snum == 4:
                 sec = src.read_range(p, min(slen, 11))
                 tmpl = _u(sec, 7, 2)
-                pdt = (sec[9], sec[10]) if tmpl == 0 and slen >= 11 \
+                # templates 4.0-4.15 (analysis/forecast, ensemble,
+                # derived, statistical/accumulated — NCEP uses 4.8 for
+                # APCP-class fields) all share 4.0's leading layout:
+                # parameter category at octet 10, number at octet 11
+                # (each extends the previous template's octet sequence)
+                pdt = (sec[9], sec[10]) if tmpl <= 15 and slen >= 11 \
                     else (255, 255)
             elif snum == 5:
                 drs = _parse_drs(src.read_range(p, slen))

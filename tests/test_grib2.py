@@ -657,3 +657,27 @@ def test_write_complex_diff_degenerate_fields():
     assert metas[0]["drs"]["tmpl"] == 3
     (f,) = GB.parse_grib2(msg)
     np.testing.assert_array_equal(f["values"], dense)
+
+
+def test_pdt_parameter_octets_shared_by_templates_0_to_15():
+    """Product definition templates 4.0-4.15 all lead with parameter
+    category (octet 10) / number (octet 11) — each extends the
+    previous template's octets — so a 4.8 statistical/accumulated
+    field (the NCEP APCP shape) must surface its parameter ids, while
+    an out-of-family template (4.20 radar) stays (255, 255)."""
+    base = GB.write_grib2([np.arange(6, dtype="f8").reshape(2, 3)],
+                          (0.0, 0.0, 3.0, 2.0), params=[(1, 8)])
+    def with_pdt(tmpl):
+        buf = bytearray(base)
+        p = 16
+        while True:
+            slen = int.from_bytes(buf[p:p+4], "big")
+            if buf[p+4] == 4:
+                buf[p+7:p+9] = tmpl.to_bytes(2, "big")
+                return bytes(buf)
+            p += slen
+    for tmpl in (1, 8, 15):
+        (f,) = GB.parse_grib2(with_pdt(tmpl))
+        assert (f["param_category"], f["param_number"]) == (1, 8), tmpl
+    (f,) = GB.parse_grib2(with_pdt(20))
+    assert (f["param_category"], f["param_number"]) == (255, 255)
