@@ -751,24 +751,24 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df):
          lambda: P.minhash_dedup_pairs(docs10, "doc_id", "text",
                                        num_perm=32, bands=16,
                                        threshold=0.8).count(),
-         sf01_cell="minhash_dedup")
+         sf01_cell="minhash_dedup", repeat=3)
     cell("semantic_dedup",
          lambda: P.semantic_dedup(emb10, "vec_id", "embedding",
                                   n_clusters=64, threshold=0.97,
                                   pairs_method="blas")
          .where("kept").count(),
-         sf01_cell="semantic_dedup")
+         sf01_cell="semantic_dedup", repeat=3)
     cell("decontaminate",
          lambda: P.decontaminate(docs10, docs01.limit(200)).count())
     cell("exact_substring",
          lambda: P.exact_substring_pairs(docs10, "doc_id", "text",
                                          n=10).count(),
-         sf01_cell="exact_substring")
+         sf01_cell="exact_substring", repeat=3)
     cell("span_removal",
          lambda: P.remove_repeated_spans(docs10, n=10, min_docs=2,
                                          assume_unique_ids=True)
          .agg(F.sum(F.length("text"))).collect(),
-         sf01_cell="span_removal")
+         sf01_cell="span_removal", repeat=3)
 
     # st_join / knn: 1.2M synthetic points (10x the sf0.1 cells' 120k;
     # coordinates are column arithmetic on lineitem keys) against the
@@ -777,13 +777,13 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df):
     zones = _zone_grid(spark)
     cell("st_join",
          lambda: st_join(pts, zones, grid_size=16.0).count(),
-         sf01_cell="st_join_points")
+         sf01_cell="st_join_points", repeat=3)
     qpts = _part_points(spark, sf_dir)
     knn10 = _lineitem_points(spark, sf_dir, every=5)   # 10x the sf0.1 cell
     cell("knn",
          lambda: st_knn_join(knn10, qpts, k=4, max_distance=2.0,
                              grid_size=2.0).count(),
-         sf01_cell="knn_points")
+         sf01_cell="knn_points", repeat=3)
 
     # raster_join: 800 x 256^2 tile payloads (10x the sf0.1 cell)
     rj_left, rj_right = _rj_inputs(tile_df, 800)
@@ -792,13 +792,13 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df):
          lambda: raster_join(rj_left, rj_right, cell_size_deg=1.0,
                              cache_inputs=False)
          .agg(F.sum(rf.rf_tile_sum("tile_right"))).collect(),
-         sf01_cell="raster_join_tiles")
+         sf01_cell="raster_join_tiles", repeat=3)
 
     # document ingest chain on a 10x WARC crawl built from docs10.
-    # Median-of-3: the one leg whose single-shot record coin-flipped
-    # (9.9-31.6 s across r10 runs; see cell() docstring for the
-    # diagnosis).  Runs LAST, so the clearCache between repeats cannot
-    # evict another leg's inputs (they are localCheckpoints anyway).
+    # (Every comparable sf1 leg is median-of-3 as of r11 — two
+    # same-code same-host runs differed up to 1.6x on single-shot legs
+    # via the GC-luck class the doc_ingest diagnosis named; leg inputs
+    # are localCheckpoints, which clearCache does not evict.)
     warc10 = _build_warc_dir(docs10, nparts=32)
     try:
         cell("doc_ingest",
