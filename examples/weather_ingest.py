@@ -81,10 +81,26 @@ def main(spark=None):
     q.awaitTermination(120)
     streamed = spark.read.parquet(out_dir).count()
 
+    # ---- streaming, multi-band (r11): bands= mirrors the batch
+    # reader's band_indexes — the GFS feed serves t2m AND wind per
+    # chunk row; the pattern keeps the 1-band edition-1 file (and the
+    # sidecar) out of this query
+    out2, ck2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    q2 = (read_raster_stream(spark, d, tile_dimensions=(32, 32),
+                             pattern="*.grib2", bands=(0, 1))
+          .select("path", rf.rf_tile_mean("tile_b0").alias("t2m_mean"),
+                  rf.rf_tile_mean("tile_b1").alias("wind_mean"))
+          .writeStream.format("parquet").option("path", out2)
+          .option("checkpointLocation", ck2)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    streamed_mb = spark.read.parquet(out2).count()
+
     if own:
         spark.stop()
     return {"batch_rows": batch_rows, "files": len(per_file),
-            "bands": bands, "streamed_rows": streamed}
+            "bands": bands, "streamed_rows": streamed,
+            "streamed_multiband_rows": streamed_mb}
 
 
 if __name__ == "__main__":

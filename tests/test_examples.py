@@ -134,6 +134,8 @@ def test_weather_ingest_example(spark):
     out = ex.main(spark)
     # band 0 of each file, one 32x32 chunk each -> 2 batch rows; the
     # GRIB2 stack exposes both fields as tile columns; streaming sees
-    # band-0 tiles of both files and skips the planted non-raster file
+    # band-0 tiles of both files and skips the planted non-raster
+    # file; the multi-band stream serves t2m+wind from the one 2-field
+    # GRIB2 scene (pattern keeps the 1-band edition-1 file out)
     assert out == {"batch_rows": 2, "files": 2, "bands": 2,
-                   "streamed_rows": 2}
+                   "streamed_rows": 2, "streamed_multiband_rows": 1}
