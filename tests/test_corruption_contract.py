@@ -135,3 +135,58 @@ def test_mrf(tmp_path):
         except FileNotFoundError:
             pass    # mutated DataFile/IndexFile path: a loud I/O error
         assert time.time() - t0 < 2.0
+
+
+def test_lazy_adapter_paths_grib_netcdf():
+    """r11: the scan/window split gave GRIB and NetCDF NEW metadata and
+    windowed-decode code paths (grib2.scan_*/read_info/read_window,
+    netcdf._cdf_meta/_h5_meta/windowed reads) that the parse-level
+    fuzzes above never enter.  Mutate bytes and drive the ADAPTER
+    surface: the contract exceptions only, and never multi-second work
+    on a KB-scale corrupt file."""
+    from rasterframes_spark.sources import grib1 as G1
+    from rasterframes_spark.sources import grib2 as GB
+    from rasterframes_spark.sources import hdf5 as H5
+    from rasterframes_spark.sources import netcdf as NC
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 3000, (24, 31)).astype("float64")
+    hw = H5.H5Writer()
+    hw.create_dataset("v", a.astype("int16"), chunks=(8, 8),
+                      compression="gzip")
+    seeds = [
+        ("g2", GB.write_grib2([a, a * 2], (0.0, 0.0, 31.0, 24.0),
+                              nbits=11)),
+        ("g2c", GB.write_grib2([a], (0.0, 0.0, 31.0, 24.0),
+                               packing="complex_diff")),
+        ("g1", G1.write_grib1([a], (0.0, 0.0, 31.0, 24.0), nbits=11)),
+        ("nc3", NC.write_netcdf(
+            {"v": (("y", "x"), a), "y": (("y",), np.arange(24.0)),
+             "x": (("x",), np.arange(31.0))}, {"y": 24, "x": 31})),
+        ("nc4", hw.tobytes()),
+    ]
+    for name, good in seeds:
+        is_nc = name.startswith("nc")
+        mod, srcf = (NC, NC._NCBytesSrc) if is_nc else (GB, GB._BytesSrc)
+        for trial in range(400):
+            b = bytearray(good)
+            for _m in range(rng.integers(1, 5)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            t0 = time.time()
+            try:
+                src = srcf(bytes(b))
+                info = mod.read_info(src)
+                mod.read_window(src, info, 1, 2, 5, 7, band=0)
+            except _OK:
+                pass
+            except IndexError as e:
+                # the adapters' own typed band guard only
+                assert "out of range" in str(e), (name, trial, e)
+            assert time.time() - t0 < 2.0, (name, trial)
+        for cut in rng.integers(1, len(good), size=60):
+            try:
+                src = srcf(good[:int(cut)])
+                info = mod.read_info(src)
+                mod.read_window(src, info, 0, 0, 4, 4)
+            except _OK:
+                pass
