@@ -181,6 +181,12 @@ def read_netcdf_var(data: bytes, name: str,
     if is_rec:
         nrec = info.numrecs or _infer_numrecs(data, info)
         fixed = int(np.prod(shape[1:], dtype=np.int64)) if shape[1:] else 1
+        # a corrupt header can declare a huge numrecs with recsize 0 —
+        # the loop below would then spin on a constant offset forever
+        # (every read succeeds); the declared layout must FIT the file
+        if nrec and (info.recsize <= 0 or v["begin"]
+                     + (nrec - 1) * info.recsize + fixed * sz > len(data)):
+            raise ValueError("netcdf: record data past end of file")
         rows = []
         for r in range(nrec):
             o = v["begin"] + r * info.recsize
@@ -655,6 +661,15 @@ def _read_var_ranged(src, info: NetcdfInfo, name: str, size: int):
     if shape and shape[0] == 0:
         nrec = info.numrecs or _infer_numrecs_size(size, info)
         fixed = int(np.prod(shape[1:], dtype=np.int64)) if shape[1:] else 1
+        # same corrupt-header guards as read_netcdf_var: recsize 0 with
+        # a huge declared numrecs would spin on a constant offset (every
+        # tiny read succeeds), and the record span must fit the file
+        if nrec and (info.recsize <= 0 or v["begin"]
+                     + (nrec - 1) * info.recsize + fixed * sz > size):
+            raise ValueError("netcdf: record data past end of file")
+        if nrec > (1 << 24):        # a >16M-entry coordinate axis is
+            raise ValueError(       # corruption, not data (the ranged
+                "netcdf: implausible record count")   # reader loops it)
         rows = [np.frombuffer(_span(src, v["begin"] + r * info.recsize,
                                     fixed * sz), dtype=dt)
                 for r in range(nrec)]

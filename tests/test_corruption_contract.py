@@ -163,6 +163,14 @@ def test_lazy_adapter_paths_grib_netcdf():
         ("nc3", NC.write_netcdf(
             {"v": (("y", "x"), a), "y": (("y",), np.arange(24.0)),
              "x": (("x",), np.arange(31.0))}, {"y": 24, "x": 31})),
+        # record-dim variant: a corrupt numrecs with recsize 0 used to
+        # spin the per-record read loop on a constant offset forever
+        # (r11 self-review finding — the fit-the-file guard pins it)
+        ("nc3r", NC.write_netcdf(
+            {"v": (("t", "y", "x"), np.stack([a, a + 1]).astype("float64")),
+             "y": (("y",), np.arange(24.0)),
+             "x": (("x",), np.arange(31.0))},
+            {"t": None, "y": 24, "x": 31})),
         ("nc4", hw.tobytes()),
     ]
     for name, good in seeds:
