@@ -813,6 +813,26 @@ _BAND_CACHE_MAX = 64
 _BAND_CACHE_BYTES = 256 << 20   # cap decoded-band residency per worker
 
 
+def _meta_src(src):
+    """Small-block view of a block-cached source for METADATA walks:
+    headers are a few hundred bytes per message, so a 256 KiB-block
+    RangeSource charges ~1,000x the bytes actually needed per header
+    cluster (measured: 63 MB of a 126 MB 60-file catalog at the
+    default block size vs ~1 MB of true header bytes).  Re-wrapping
+    the same uri at 16 KiB blocks keeps the FETCH COUNT identical (one
+    per header cluster) while shrinking bytes ~16x — payload reads
+    stay on the caller's big-block source, where large blocks help."""
+    uri = getattr(src, "uri", None)
+    blk = getattr(src, "block", None)
+    if uri is None or blk is None or blk <= (1 << 14):
+        return src
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    s = RangeSource(uri, block_size=1 << 14)
+    s.trace_file = getattr(src, "trace_file", None)
+    return s
+
+
 def _scan(src):
     """(metas, extent) for either edition; cached per uri (metadata
     only — a few hundred bytes per field)."""
@@ -824,12 +844,13 @@ def _scan(src):
     if key is not None and key in _SCAN_CACHE:
         _SCAN_CACHE.move_to_end(key)
         return _SCAN_CACHE[key]
-    head = src.read_range(0, 8)
+    walk = _meta_src(src)
+    head = walk.read_range(0, 8)
     if len(head) >= 8 and head[7] == 1:       # legacy edition routes to
         from rasterframes_spark.sources.grib1 import scan_grib1
-        metas = scan_grib1(src)               # the r10 GRIB1 reader
+        metas = scan_grib1(walk)              # the r10 GRIB1 reader
     else:
-        metas = scan_grib2(src)
+        metas = scan_grib2(walk)
     g0 = metas[0]["grid"]
     for m in metas[1:]:
         g = m["grid"]
