@@ -624,7 +624,7 @@ def _nc_src(src):
 
 def _header_from_src(src) -> NetcdfInfo:
     """Header parse from a progressively-grown prefix read: start at
-    64 KiB and widen until the parse succeeds AND its recorded
+    8 KiB and widen until the parse succeeds AND its recorded
     ``header_end`` fits inside the prefix (a prefix cut inside a
     trailing string attribute parses silently short — the
     ``header_end`` check catches it)."""
