@@ -959,7 +959,18 @@ def read_window(src, info, c0: int, r0: int, w: int, h: int,
                 band: int = 0) -> np.ndarray:
     src = _as_src(src)
     metas, _extent = _scan(src)
+    if not 0 <= band < len(metas):
+        raise IndexError(f"grib: band {band} out of range")
     meta = metas[band]
+    ni, nj = meta["grid"]["ni"], meta["grid"]["nj"]
+    if not (0 <= r0 and 0 <= c0 and w > 0 and h > 0
+            and r0 + h <= nj and c0 + w <= ni):
+        # public adapter surface (ADVICE r11): the row-window fast path
+        # computes stored-row bit offsets from r0/h — out of range with
+        # scan flag 0x40 it would go NEGATIVE and slice garbage, where
+        # the eager path merely clamps.  Validate before either path.
+        raise IndexError(f"grib: window ({c0},{r0},{w},{h}) out of "
+                         f"range for {ni}x{nj}")
     key = (getattr(src, "uri", None), band)
     cached = _BAND_CACHE.get(key) if key[0] is not None else None
     if cached is not None:

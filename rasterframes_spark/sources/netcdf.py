@@ -793,6 +793,13 @@ def _read_h5_window(src, var: str | None, c0: int, r0: int,
     ds, ny, nx = m["ds"], m["ny"], m["nx"]
     if not 0 <= band < m["nb"]:
         raise IndexError(f"netcdf4: band {band} out of range")
+    if not (0 <= r0 and 0 <= c0 and w > 0 and h > 0
+            and r0 + h <= ny and c0 + w <= nx):
+        # same public-surface contract as the classic branch: raise on
+        # out-of-range windows instead of silently serving a clamped
+        # (smaller) array from _Dataset.read_window
+        raise IndexError(f"netcdf4: window ({c0},{r0},{w},{h}) out of "
+                         f"range for {nx}x{ny}")
     sel = []
     idx = band
     for d in range(len(m["lead"])):
@@ -849,7 +856,22 @@ def _cdf_meta(src, var: str | None) -> dict:
     # hand absurd dims to a chunk-grid loop)
     inner = (int(np.prod(lead[1:], dtype=np.int64)) if len(lead) > 1
              else 1) if is_rec else None
-    if is_rec:
+    # rec_is_y: a 2-D record variable t(unlimited, x) — the record dim
+    # IS the y axis, so each ROW is one record strided by recsize (the
+    # general is_rec layout has whole per-record (inner, ny, nx) slabs
+    # instead; ADVICE r11 #1 — the shared fit check double-counted the
+    # record span here and read_window ignored the per-record stride)
+    rec_is_y = is_rec and not lead
+    if rec_is_y:
+        if nrec and v["begin"] + (nrec - 1) * info.recsize \
+                + nx * sz > size:
+            raise ValueError("netcdf: variable data past end of file")
+        if nrec > 1 and info.recsize < nx * sz:
+            # >1 record implies every record var's slot holds at least
+            # its own row — a smaller recsize is a corrupt header that
+            # would alias overlapping bytes as rows
+            raise ValueError("netcdf: record size smaller than row")
+    elif is_rec:
         if nrec and v["begin"] + (nrec - 1) * info.recsize \
                 + inner * ny * nx * sz > size:
             raise ValueError("netcdf: variable data past end of file")
@@ -865,7 +887,7 @@ def _cdf_meta(src, var: str | None) -> dict:
     res_dtype, nodata = _sim_result_dtype(v)
     meta = {"name": name, "v": v, "dt": dt, "sz": sz,
             "ny": ny, "nx": nx, "nb": nb, "is_rec": is_rec,
-            "inner": inner, "recsize": info.recsize,
+            "rec_is_y": rec_is_y, "inner": inner, "recsize": info.recsize,
             "extent": extent, "y_ascending": y_ascending,
             "dtype": res_dtype, "nodata": nodata}
     if uri is not None:
@@ -915,19 +937,38 @@ def read_window(src, info, c0: int, r0: int, w: int, h: int,
     ny, nx, sz = m["ny"], m["nx"], m["sz"]
     if not 0 <= band < m["nb"]:
         raise IndexError(f"netcdf: band {band} out of range")
+    if not (0 <= r0 and 0 <= c0 and w > 0 and h > 0
+            and r0 + h <= ny and c0 + w <= nx):
+        # public adapter surface: an out-of-range window must raise, not
+        # slice garbage from mis-signed stored-row offsets (ADVICE r11)
+        raise IndexError(f"netcdf: window ({c0},{r0},{w},{h}) out of "
+                         f"range for {nx}x{ny}")
     v = m["v"]
-    if m["is_rec"]:
-        rec, ii = divmod(band, m["inner"])
-        base = v["begin"] + rec * m["recsize"] + ii * ny * nx * sz
-    else:
-        base = v["begin"] + band * ny * nx * sz
-    # north-up rows [r0, r0+h) -> one contiguous stored span
+    # north-up rows [r0, r0+h) -> stored rows [s0, s1)
     if m["y_ascending"]:
         s0, s1 = ny - (r0 + h), ny - r0
     else:
         s0, s1 = r0, r0 + h
-    raw = _span(src, base + s0 * nx * sz, (s1 - s0) * nx * sz)
-    arr = np.frombuffer(raw, dtype=m["dt"]).reshape(s1 - s0, nx)
+    if m["rec_is_y"]:
+        # the record dim IS y: stored row r lives at begin + r*recsize
+        # (other record variables' records interleave between rows).
+        # One covering span read, rows sliced at the recsize stride —
+        # one fetch beats h tiny ranged reads on remote sources, and
+        # the interleave overhead is bounded by recsize*(h-1).
+        rs = m["recsize"]
+        span = _span(src, v["begin"] + s0 * rs,
+                     (s1 - s0 - 1) * rs + nx * sz)
+        arr = np.stack([np.frombuffer(span, dtype=m["dt"], count=nx,
+                                      offset=r * rs)
+                        for r in range(s1 - s0)])
+    else:
+        if m["is_rec"]:
+            rec, ii = divmod(band, m["inner"])
+            base = v["begin"] + rec * m["recsize"] + ii * ny * nx * sz
+        else:
+            base = v["begin"] + band * ny * nx * sz
+        raw = _span(src, base + s0 * nx * sz, (s1 - s0) * nx * sz)
+        arr = np.frombuffer(raw, dtype=m["dt"]).reshape(s1 - s0, nx)
     a = _apply_cf(arr.astype(m["dt"].lstrip(">")), v)
     if isinstance(a, np.ma.MaskedArray):
         a = a.astype("float64").filled(np.nan)

@@ -681,3 +681,31 @@ def test_pdt_parameter_octets_shared_by_templates_0_to_15():
         assert (f["param_category"], f["param_number"]) == (1, 8), tmpl
     (f,) = GB.parse_grib2(with_pdt(20))
     assert (f["param_category"], f["param_number"]) == (255, 255)
+
+
+def test_window_out_of_range_raises(tmp_path):
+    """ADVICE r11 #3: the row-window fast path computes stored-row bit
+    offsets from (r0, h) — out of range with scan flag 0x40 they would
+    go NEGATIVE and slice garbage.  The public read_window surface must
+    raise on any out-of-range window or band, for every scan flag and
+    on both the fast and the eager decode path."""
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    a = np.arange(16 * 10, dtype="f8").reshape(16, 10)
+    # scan 0x40 (south->north rows) is the sign-flip case
+    data = GB.write_grib2([a], extent=(0.0, 0.0, 10.0, 16.0))
+    p = tmp_path / "w.grib2"
+    p.write_bytes(data)
+    src = RangeSource(str(p))
+    info = GB.read_info(src)
+    ok = GB.read_window(src, info, 1, 2, 4, 5)
+    assert ok.shape == (5, 4)
+    for c0, r0, w, h in ((0, 14, 4, 4), (8, 0, 4, 4), (-1, 0, 2, 2),
+                         (0, -2, 2, 2), (0, 0, 0, 3), (3, 3, 3, 0),
+                         (0, 0, 10, 17)):
+        with pytest.raises(IndexError):
+            GB.read_window(src, info, c0, r0, w, h)
+    with pytest.raises(IndexError):
+        GB.read_window(src, info, 0, 0, 2, 2, band=1)
+    with pytest.raises(IndexError):
+        GB.read_window(src, info, 0, 0, 2, 2, band=-1)

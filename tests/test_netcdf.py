@@ -234,3 +234,61 @@ def test_read_raster_mixed_nc_h5_catalog(spark, tmp_path):
     assert got["t.nc"].tiles == 4 and got["t4.h5"].tiles == 4
     assert got["t.nc"].total == pytest.approx(float(temp.sum()))
     assert got["t4.h5"].total == pytest.approx(float(press.sum()), rel=1e-6)
+
+
+def test_rec_is_y_window_parity(tmp_path):
+    """2-D record variable — the unlimited dim IS the y axis (ADVICE
+    r11 #1): the lazy adapter's fit check must not double-count the
+    record span, and read_window must stride rows by recsize (records
+    of other record variables interleave between rows), matching the
+    eager reader exactly."""
+    from rasterframes_spark.sources.netcdf import read_info, read_window
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    ny, nx = 12, 9
+    t = np.arange(ny * nx, dtype="float32").reshape(ny, nx) * 1.5
+    cnt = (np.arange(ny, dtype="int32") * 7)
+    # MULTIPLE record vars: recsize > one row of t, the stride matters
+    d = write_netcdf({"t": (("rec", "x"), t), "cnt": (("rec",), cnt)},
+                     {"rec": None, "x": nx})
+    np.testing.assert_array_equal(np.asarray(read_netcdf_var(d, "t")), t)
+    p = tmp_path / "recy.nc"
+    p.write_bytes(d)
+    src = RangeSource(str(p))
+    info = read_info(src, "t")
+    assert (info.width, info.height, info.bands) == (nx, ny, 1)
+    np.testing.assert_allclose(
+        read_window(src, info, 0, 0, nx, ny, var="t"), t)
+    np.testing.assert_allclose(
+        read_window(src, info, 2, 3, 5, 6, var="t"), t[3:9, 2:7])
+    # single record var (unpadded recsize == exactly one row) still works
+    d1 = write_netcdf({"t": (("rec", "x"), t)}, {"rec": None, "x": nx})
+    p1 = tmp_path / "recy1.nc"
+    p1.write_bytes(d1)
+    src1 = RangeSource(str(p1))
+    np.testing.assert_allclose(
+        read_window(src1, read_info(src1, "t"), 1, 2, 4, 5, var="t"),
+        t[2:7, 1:5])
+
+
+def test_window_out_of_range_raises(tmp_path):
+    """Out-of-range windows on the public adapter raise instead of
+    slicing garbage / silently clamping (ADVICE r11 #3) — classic and
+    HDF5 branches both."""
+    from rasterframes_spark.sources.netcdf import read_info, read_window
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    bad = ((0, 35, 10, 10), (55, 0, 10, 5), (-1, 0, 5, 5),
+           (0, -2, 5, 5), (0, 0, 0, 5), (5, 5, 5, 0))
+    p, *_ = _nc3_grid(tmp_path)
+    src = RangeSource(p)
+    info = read_info(src)
+    for c0, r0, w, h in bad:
+        with pytest.raises(IndexError):
+            read_window(src, info, c0, r0, w, h)
+    p4, *_ = _h5_grid(tmp_path)
+    src4 = RangeSource(p4)
+    info4 = read_info(src4)
+    for c0, r0, w, h in bad:
+        with pytest.raises(IndexError):
+            read_window(src4, info4, c0, r0, w, h)
