@@ -298,32 +298,69 @@ def _parse_dataspace(body: bytes):
     return tuple(int(d) for d in dims), maxdims
 
 
+class _MemSrc:
+    """In-memory ``read_range`` wrapper (no uri — never cached)."""
+
+    __slots__ = ("_d",)
+    uri = None
+
+    def __init__(self, data):
+        self._d = bytes(data)
+
+    def read_range(self, off: int, n: int) -> bytes:
+        return self._d[off:off + n]
+
+    def size(self) -> int:
+        return len(self._d)
+
+
 class H5File:
-    """Read-only classic-layout HDF5 file over bytes or a path."""
+    """Read-only classic-layout HDF5 file over bytes, a path, or any
+    ``read_range``/``size`` source.
+
+    RANGE-BACKED (r12, VERDICT r11 next #3): every structural walk —
+    superblock, group/chunk B-trees, local heaps, object headers —
+    issues byte-range reads through a 16 KiB-block metadata view of
+    the source, and data payloads (contiguous spans, stored chunks)
+    read through the caller's big-block source.  Opening a NetCDF-4
+    catalog for a metadata-only query therefore fetches KBs per file,
+    not the file, same as the GRIB/NetCDF-3 paths; a one-band window
+    fetches just its intersecting chunks' bytes.  Bytes input keeps
+    the eager in-memory behavior (the fuzz suites drive that path)."""
 
     @_strict
     def __init__(self, source):
         if isinstance(source, (bytes, bytearray)):
-            self.data = bytes(source)
+            src = _MemSrc(source)
+        elif hasattr(source, "read_range"):
+            src = source
         else:
-            with open(source, "rb") as fh:
-                self.data = fh.read()
-        if self.data[:8] != _SIG:
+            from rasterframes_spark.sources.rangeio import RangeSource
+            src = RangeSource(str(source))
+        from rasterframes_spark.sources.rangeio import meta_view
+        self._src = src
+        self._size = src.size()
+        self._meta_src = meta_view(src)
+        head = self._meta_src.read_range(0, 15)
+        if head[:8] != _SIG:
             raise ValueError("not an HDF5 file (bad signature)")
-        sb_ver = self.data[8]
+        if len(head) < 15:
+            raise ValueError("hdf5: truncated superblock")
+        sb_ver = head[8]
         if sb_ver != 0:
             raise ValueError(
                 f"hdf5: superblock version {sb_ver} not supported "
                 "(classic v0 layout only)")
-        size_off = self.data[13]
-        size_len = self.data[14]
+        size_off = head[13]
+        size_len = head[14]
         if size_off != 8 or size_len != 8:
             raise ValueError("hdf5: only 8-byte offsets/lengths supported")
         # superblock v0: sig(8) versions/sizes(8) ks+flags(8)
         # base/free/eof/driver addrs(32) -> root symbol-table entry at
         # 56: link name off(8), OBJECT HEADER ADDR(8), cache(4+4+16)
         try:
-            (self._root_hdr,) = struct.unpack_from("<Q", self.data, 56 + 8)
+            (self._root_hdr,) = struct.unpack_from(
+                "<Q", self._mread(56 + 8, 8), 0)
             self.datasets: dict[str, _Dataset] = {}
             self.groups: set[str] = set()
             self.attrs: dict[str, dict] = {}
@@ -333,31 +370,45 @@ class H5File:
             # ValueError, never a raw struct/index error
             raise ValueError(f"hdf5: malformed file ({e})") from e
 
-    def _read(self, addr: int, n: int) -> bytes:
-        if addr + n > len(self.data):
+    def _read_via(self, src, addr: int, n: int) -> bytes:
+        if addr < 0 or n < 0 or addr + n > self._size:
             raise ValueError("hdf5: address beyond end of file")
-        return self.data[addr:addr + n]
+        b = src.read_range(addr, n)
+        if len(b) < n:
+            raise ValueError("hdf5: address beyond end of file")
+        return b
+
+    def _read(self, addr: int, n: int) -> bytes:
+        """Payload read (contiguous span / stored chunk) — big blocks."""
+        return self._read_via(self._src, addr, n)
+
+    def _mread(self, addr: int, n: int) -> bytes:
+        """Structural read (headers/B-trees/heaps) — 16 KiB blocks."""
+        return self._read_via(self._meta_src, addr, n)
 
     # -- object headers ---------------------------------------------------
 
     def _messages(self, hdr_addr: int):
-        """Yield (type, body) for a v1 object header incl. continuations."""
-        d = self.data
-        ver = d[hdr_addr]
+        """Yield (type, body) for a v1 object header incl. continuations.
+        Each header block is fetched as ONE range read (messages never
+        span blocks per the spec) and parsed from the local buffer."""
+        pro = self._mread(hdr_addr, 16)
+        ver = pro[0]
         if ver != 1:
             raise ValueError(f"hdf5: object header version {ver} "
                              "not supported (classic v1 only)")
-        (nmsg,) = struct.unpack_from("<H", d, hdr_addr + 2)
-        (hdr_size,) = struct.unpack_from("<I", d, hdr_addr + 8)
+        (nmsg,) = struct.unpack_from("<H", pro, 2)
+        (hdr_size,) = struct.unpack_from("<I", pro, 8)
         blocks = [(hdr_addr + 16, hdr_size)]
         seen = 0
         while blocks and seen < nmsg:
             pos, remain = blocks.pop(0)
-            while remain >= 8 and seen < nmsg:
-                mtype, msize, _flags = struct.unpack_from("<HHB", d, pos)
-                body = d[pos + 8:pos + 8 + msize]
-                pos += 8 + msize
-                remain -= 8 + msize
+            blk = self._mread(pos, remain)
+            off = 0
+            while remain - off >= 8 and seen < nmsg:
+                mtype, msize, _flags = struct.unpack_from("<HHB", blk, off)
+                body = blk[off + 8:off + 8 + msize]
+                off += 8 + msize
                 seen += 1
                 if mtype == 0x10:  # continuation
                     caddr, clen = struct.unpack_from("<QQ", body, 0)
@@ -389,27 +440,41 @@ class H5File:
                 self._load_dataset(child_hdr, path)
 
     def _heap_str(self, heap_addr: int, off: int) -> str:
-        d = self.data
-        if d[heap_addr:heap_addr + 4] != b"HEAP":
+        hd = self._mread(heap_addr, 32)
+        if hd[:4] != b"HEAP":
             raise ValueError("hdf5: bad local heap signature")
-        (dseg,) = struct.unpack_from("<Q", d, heap_addr + 24)
-        end = d.index(b"\x00", dseg + off)
-        return d[dseg + off:end].decode("utf-8")
+        (dseg,) = struct.unpack_from("<Q", hd, 24)
+        # bounded NUL scan in growing chunks (link names are short; a
+        # corrupt unterminated heap must not scan the whole file)
+        pos = dseg + off
+        buf = b""
+        step = 64
+        while len(buf) < 4096:
+            n = min(step, self._size - pos - len(buf))
+            if n <= 0:
+                raise ValueError("hdf5: heap string past end of file")
+            buf += self._mread(pos + len(buf), n)
+            i = buf.find(0)
+            if i >= 0:
+                return buf[:i].decode("utf-8")
+            step *= 2
+        raise ValueError("hdf5: unterminated heap string")
 
     def _walk_group_btree(self, addr: int, heap: int, out: list):
-        d = self.data
-        if d[addr:addr + 4] != b"TREE":
+        hd = self._mread(addr, 8)
+        if hd[:4] != b"TREE":
             raise ValueError("hdf5: bad group B-tree signature")
-        node_type = d[addr + 4]
-        level = d[addr + 5]
-        (used,) = struct.unpack_from("<H", d, addr + 6)
+        node_type = hd[4]
+        level = hd[5]
+        (used,) = struct.unpack_from("<H", hd, 6)
         if node_type != 0:
             raise ValueError("hdf5: wrong btree node type in group")
         # keys/children: key0 child0 key1 child1 ... key_used
-        p = addr + 8 + 16
+        ents = self._mread(addr + 8 + 16, used * 16)
+        p = 0
         for i in range(used):
             p += 8  # key (heap offset)
-            (child,) = struct.unpack_from("<Q", d, p)
+            (child,) = struct.unpack_from("<Q", ents, p)
             p += 8
             if level > 0:
                 self._walk_group_btree(child, heap, out)
@@ -417,15 +482,14 @@ class H5File:
                 self._read_snod(child, heap, out)
 
     def _read_snod(self, addr: int, heap: int, out: list):
-        d = self.data
-        if d[addr:addr + 4] != b"SNOD":
+        hd = self._mread(addr, 8)
+        if hd[:4] != b"SNOD":
             raise ValueError("hdf5: bad SNOD signature")
-        (nsym,) = struct.unpack_from("<H", d, addr + 6)
-        p = addr + 8
-        for _ in range(nsym):
-            name_off, hdr = struct.unpack_from("<QQ", d, p)
+        (nsym,) = struct.unpack_from("<H", hd, 6)
+        ents = self._mread(addr + 8, nsym * 40)  # entry: 8+8+4+4+16
+        for k in range(nsym):
+            name_off, hdr = struct.unpack_from("<QQ", ents, k * 40)
             out.append((self._heap_str(heap, name_off), hdr))
-            p += 40  # entry size: 8+8+4+4+16
 
     def _load_dataset(self, hdr_addr: int, path: str):
         ds = _Dataset(path, self)
@@ -482,23 +546,24 @@ class H5File:
         _seen.add(addr)
         if _depth > 64:                 # and fake unbounded depth
             raise ValueError("hdf5: chunk B-tree too deep")
-        d = self.data
-        if d[addr:addr + 4] != b"TREE":
+        hd = self._mread(addr, 8)
+        if hd[:4] != b"TREE":
             raise ValueError("hdf5: bad chunk B-tree signature")
-        node_type = d[addr + 4]
-        level = d[addr + 5]
-        (used,) = struct.unpack_from("<H", d, addr + 6)
+        node_type = hd[4]
+        level = hd[5]
+        (used,) = struct.unpack_from("<H", hd, 6)
         if node_type != 1:
             raise ValueError("hdf5: wrong btree node type for chunks")
         key_size = 8 + 8 * (rank + 1)
-        if addr + 8 + 16 + used * (key_size + 8) > len(d):
+        if addr + 8 + 16 + used * (key_size + 8) > self._size:
             raise ValueError("hdf5: chunk B-tree node past end of file")
-        p = addr + 8 + 16
+        ents = self._mread(addr + 8 + 16, used * (key_size + 8))
+        p = 0
         for i in range(used):
-            nbytes, fmask = struct.unpack_from("<II", d, p)
-            offs = struct.unpack_from(f"<{rank + 1}Q", d, p + 8)
+            nbytes, fmask = struct.unpack_from("<II", ents, p)
+            offs = struct.unpack_from(f"<{rank + 1}Q", ents, p + 8)
             p += key_size
-            (child,) = struct.unpack_from("<Q", d, p)
+            (child,) = struct.unpack_from("<Q", ents, p)
             p += 8
             if level > 0:
                 self._walk_chunk_btree(child, rank, out, _seen,

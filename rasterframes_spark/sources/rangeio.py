@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 from collections import OrderedDict
 
-__all__ = ["RangeSource", "open_source"]
+__all__ = ["RangeSource", "open_source", "meta_view"]
 
 _BLOCK = 256 * 1024
 _MAX_BLOCKS = 64  # 16 MiB cache per source
@@ -104,3 +104,21 @@ class RangeSource:
 
 def open_source(uri: str) -> RangeSource:
     return RangeSource(uri)
+
+
+def meta_view(src, block_size: int = 1 << 14):
+    """Small-block view of a block-cached source for METADATA walks
+    (the GRIB readers established the pattern): format headers are a
+    few hundred bytes each, so a 256 KiB-block source charges ~1,000x
+    the bytes actually needed per header cluster.  Re-wrapping the same
+    uri at 16 KiB blocks keeps the FETCH COUNT identical (one per
+    header cluster) while shrinking bytes ~16x — payload reads stay on
+    the caller's big-block source, where large blocks help.  Sources
+    without a uri/block (in-memory wrappers) return unchanged."""
+    uri = getattr(src, "uri", None)
+    blk = getattr(src, "block", None)
+    if uri is None or blk is None or blk <= block_size:
+        return src
+    s = RangeSource(uri, block_size=block_size)
+    s.trace_file = getattr(src, "trace_file", None)
+    return s

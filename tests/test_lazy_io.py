@@ -314,11 +314,12 @@ def test_netcdf_window_is_one_contiguous_row_span(nc_scene):
 
 
 # ---------------------------------------------------------------------------
-# NetCDF-4/HDF5 decode-laziness (r11): the container still arrives as
-# one full byte read (chunk addresses live in B-trees spread through
-# the file), but DECODE is windowed — read_info walks object headers +
-# coordinate axes only, and a band-window decodes exactly the chunks
-# it intersects.
+# NetCDF-4/HDF5 laziness: decode-windowed since r11, RANGE-BACKED
+# since r12 (VERDICT r11 next #3) — the container's superblock/object
+# headers/B-trees/heaps are walked with 16 KiB-block range reads and
+# data chunks fetch through the caller's big-block source, so
+# metadata is KB-scale like GRIB/NetCDF-3 and a window fetches only
+# its intersecting chunks' bytes.
 # ---------------------------------------------------------------------------
 
 
@@ -365,3 +366,65 @@ def test_netcdf4_metadata_decodes_nothing_window_decodes_its_chunks():
         assert np.array_equal(full, flat[2], equal_nan=True)
     finally:
         H5._Dataset._decode_chunk = orig
+
+
+def test_netcdf4_metadata_read_fetches_kilobytes(tmp_path):
+    """r12 (VERDICT r11 next #3): read_info over an NetCDF-4 container
+    fetches superblock + object headers + B-trees + the 1-D coordinate
+    axes — KBs, NOT the file — and a one-chunk window fetches ~that
+    chunk's bytes on top."""
+    from rasterframes_spark.sources import hdf5 as H5
+    from rasterframes_spark.sources import netcdf as NC
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    rng = np.random.default_rng(41)
+    ny, nx = 384, 512
+    cube = rng.integers(-100, 900, (2, ny, nx)).astype("int16")
+    w = H5.H5Writer()
+    w.create_dataset("t2m", cube, chunks=(1, 64, 64),
+                     attrs={"_FillValue": np.int16(-100)})
+    w.create_dataset("lat", np.linspace(10, 57, ny))
+    w.create_dataset("lon", np.linspace(-120, -49, nx))
+    path = str(tmp_path / "big.h5")
+    with open(path, "wb") as f:
+        f.write(w.tobytes())
+    fsize = os.path.getsize(path)
+    assert fsize > 700_000                  # ~768 KiB of pixels
+    NC._H5_CACHE.clear()
+    src = RangeSource(path, block_size=4096)
+    info = NC.read_info(src)
+    assert (info.width, info.height, info.bands) == (nx, ny, 2)
+    assert src.bytes_fetched < 64 * 1024
+    meta_bytes = src.bytes_fetched
+    win = NC.read_window(src, info, 10, 10, 40, 40, band=1)
+    with open(path, "rb") as f:
+        flat, _, _ = NC._load_grid(NC._NCBytesSrc(f.read()), "t2m")
+    assert np.array_equal(win, flat[1, 10:50, 10:50], equal_nan=True)
+    # the 40x40 window sits inside ONE 64x64 int16 chunk (8 KiB);
+    # nowhere near the ~384 KiB a full-band fetch would cost
+    assert src.bytes_fetched - meta_bytes < 64 * 1024
+
+
+def test_mixed_grib_netcdf_catalog_metadata_reads_zero_window_bytes(
+        spark, grib_scene, nc_scene, tmp_path):
+    """VERDICT r11 next #6: the Spark-level zero-window-bytes assert
+    over a MIXED GRIB + classic-NetCDF catalog (the GRIB-only version
+    is above; NetCDF was adapter-level only until r12)."""
+    import shutil
+
+    # fresh URI copies: executor workers LRU-cache range sources (and
+    # their trace hooks / block caches) per URI across tests in this
+    # module, which would mask or misdirect the fetch accounting
+    gpath = str(tmp_path / "mix.grib2")
+    npath = str(tmp_path / "mix.nc")
+    shutil.copy(grib_scene[0], gpath)
+    shutil.copy(nc_scene[0], npath)
+    trace = str(tmp_path / "mixtrace")
+    df = S.read_raster(spark, [gpath, npath + "#t2m"],
+                       tile_dimensions=(256, 256))
+    df = df.withColumn("tile", S.realize_tiles("tile_ref", io_trace=trace))
+    meta = df.select("path", "extent", F.col("tile_ref.col_off"))
+    assert meta.count() == 8              # two 512x512 files, 2x2 grids
+    assert _trace_lines(trace) == []      # metadata realized NOTHING
+    df.select("tile").collect()
+    assert len(_trace_lines(trace)) > 0

@@ -292,3 +292,48 @@ def test_window_out_of_range_raises(tmp_path):
     for c0, r0, w, h in bad:
         with pytest.raises(IndexError):
             read_window(src4, info4, c0, r0, w, h)
+
+
+def test_h5_cache_is_per_uri_and_lru(tmp_path, monkeypatch):
+    """ADVICE r11 #2 + VERDICT r11 #5: the NetCDF-4 container parses
+    ONCE per file (two variables share the entry), and eviction is LRU
+    — a cache hit refreshes recency, so re-touching a recent file
+    survives a fifth file's arrival."""
+    from rasterframes_spark.sources import hdf5 as H5
+    from rasterframes_spark.sources import netcdf as NC
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    paths = []
+    for i in range(5):
+        w = H5.H5Writer()
+        w.create_dataset("a", np.arange(12, dtype="f4").reshape(3, 4) + i)
+        w.create_dataset("b", np.arange(12, dtype="f4").reshape(3, 4) - i)
+        p = str(tmp_path / f"f{i}.h5")
+        with open(p, "wb") as f:
+            f.write(w.tobytes())
+        paths.append(p)
+
+    parses = []
+    orig = H5.read_netcdf4_meta
+
+    def counting(src):
+        parses.append(getattr(src, "uri", None))
+        return orig(src)
+
+    monkeypatch.setattr(H5, "read_netcdf4_meta", counting)
+    NC._H5_CACHE.clear()
+    s = RangeSource(paths[0])
+    NC.read_info(s, "a")
+    NC.read_info(s, "b")                  # second VARIABLE: no re-parse
+    assert len(parses) == 1
+    for p in paths[1:4]:                  # fill the 4-entry cache
+        NC.read_info(RangeSource(p), "a")
+    assert len(parses) == 4
+    NC.read_info(RangeSource(paths[0]), "a")   # hit refreshes f0
+    assert len(parses) == 4
+    NC.read_info(RangeSource(paths[4]), "a")   # evicts LRU (f1), not f0
+    assert len(parses) == 5
+    NC.read_info(RangeSource(paths[0]), "a")   # f0 still resident
+    assert len(parses) == 5
+    NC.read_info(RangeSource(paths[1]), "a")   # f1 was the eviction
+    assert len(parses) == 6
