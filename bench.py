@@ -29,6 +29,15 @@ FULL_JSON = os.path.join(REPO_DIR, "BENCH_full.json")
 # mid-object truncation (VERDICT r8 #1). Keep a hard margin under it.
 STDOUT_LINE_LIMIT = 1900
 
+# Standing adjudication set (PLANS.md): the noisiest sf1/scale legs —
+# any recorded move on these gets an interleaved bench_ab A/B verdict
+# before being read as regression, and their chronological run triples
+# shed LAST from the compact record line.  r12 adds minhash_dedup and
+# span_removal (VERDICT r11 #1/#4).
+_SF1_WATCHLIST = frozenset({
+    "minhash_dedup", "span_removal", "raster_join", "doc_ingest",
+    "st_join", "knn"})
+
 
 def compact_result_line(full: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
     """Render the final stdout JSON line under ``limit`` chars.
@@ -46,13 +55,25 @@ def compact_result_line(full: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
     def render():
         return json.dumps(line, separators=(",", ":"))
 
-    # sf1 legs: verbose REST-metric names -> one-liners
+    # sf1 legs: verbose REST-metric names -> one-liners.  Repeat legs
+    # carry their CHRONOLOGICAL run triples + per-run JVM GC seconds
+    # (VERDICT r11 #2: the official record must make session-decay vs
+    # host-noise decidable); when space runs out the triples shed from
+    # non-watchlist legs first, watchlist legs last.
     sf1 = line.get("sf1")
     if isinstance(sf1, dict):
         line["sf1"] = {
             k: ({"sec": v.get("sec"), "x10": v.get("vs_10x_sf01"),
                  "skew": v.get("max_over_median_task_shuffle_read"),
-                 "spill": v.get("spilled_mb")}
+                 "spill": v.get("spilled_mb"),
+                 # 1-decimal triples: the full file keeps millisecond
+                 # precision; the line needs the SHAPE (chronological
+                 # growth or not) to stay under the stdout budget
+                 "runs": ([round(x, 1) for x in v["runs"]]
+                          if isinstance(v.get("runs"), list) else None),
+                 "gc": ([None if x is None else round(x, 1)
+                         for x in v["gc_sec"]]
+                        if isinstance(v.get("gc_sec"), list) else None)}
                 if isinstance(v, dict) else v)
             for k, v in sf1.items() if k != "rows"}
         for v in line["sf1"].values():
@@ -73,18 +94,31 @@ def compact_result_line(full: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
                 line[key] = {k: round(v, 2)
                              for k, v in line[key].items()}
     if len(render()) > limit and isinstance(line.get("sf1"), dict):
+        # shed run triples from NON-watchlist legs first — the standing
+        # adjudication set keeps its chronology as long as possible
+        for k, v in line["sf1"].items():
+            if k not in _SF1_WATCHLIST and isinstance(v, dict):
+                v.pop("runs", None)
+                v.pop("gc", None)
+    if len(render()) > limit and isinstance(line.get("sf1"), dict):
         # drop skew/spill per leg before sacrificing sec + vs-10x
-        line["sf1"] = {k: ({"sec": v.get("sec"), "x10": v.get("x10")}
+        line["sf1"] = {k: ({kk: v[kk] for kk in
+                            ("sec", "x10", "runs", "gc") if kk in v}
                            if isinstance(v, dict) else v)
                        for k, v in line["sf1"].items()}
-        for v in line["sf1"].values():
-            if isinstance(v, dict) and v.get("x10") is None:
-                del v["x10"]
+    if len(render()) > limit:
+        # normalized_median also lives in the full file; the watchlist
+        # legs' chronological triples exist ONLY here and in the full
+        # file — shed the series before them
+        line.pop("normalized_median", None)
+    if len(render()) > limit and isinstance(line.get("sf1"), dict):
+        for v in line["sf1"].values():      # last resort before sec-only
+            if isinstance(v, dict):
+                v.pop("runs", None)
+                v.pop("gc", None)
     if len(render()) > limit and isinstance(line.get("sf1"), dict):
         line["sf1"] = {k: (v.get("sec") if isinstance(v, dict) else v)
                        for k, v in line["sf1"].items()}
-    if len(render()) > limit:
-        line.pop("normalized_median", None)
     if len(render()) > limit:
         line = {"metric": full.get("metric"), "value": full.get("value"),
                 "unit": full.get("unit"), "sf": full.get("sf"),
@@ -204,6 +238,18 @@ def _build_warc_dir(docs_df, nparts: int = 16) -> str:
     return d
 
 
+def _count_release(df) -> int:
+    """count() then release the operator's cached-input handle
+    (``_rf_cached_inputs``) — repeat hygiene (VERDICT r11 #1): a leg
+    that leaves its signature/fingerprint cache pinned makes every
+    later run time against a more crowded heap."""
+    from rasterframes_spark.operators import release_cache
+
+    n = df.count()
+    release_cache(df)
+    return n
+
+
 def _ingest_chain_count(spark, path: str) -> int:
     """The headline document pipeline (examples/web_ingest.py shape):
     WARC -> extract_html_text -> C4 -> Gopher -> MinHash-LSH pairs."""
@@ -218,9 +264,9 @@ def _ingest_chain_count(spark, path: str) -> int:
     c4 = P.c4_clean(docs, "text", min_sentences=1)
     q = P.gopher_quality_filter(c4, "c4_text", min_words=10,
                                 min_stopwords=1)
-    return P.minhash_dedup_pairs(
+    return _count_release(P.minhash_dedup_pairs(
         q.withColumn("doc_id", F.col("media_id")), "doc_id", "c4_text",
-        num_perm=32, bands=16, threshold=0.8).count()
+        num_perm=32, bands=16, threshold=0.8))
 
 
 def main():
@@ -230,17 +276,17 @@ def main():
     # Contention self-audit (VERDICT r10 #1: the official r10 record
     # was taken on a loaded host and read 1.3-2.4x slow across cells —
     # a record that can't tell contention from regression fabricates
-    # regressions).  Stamp the 1-minute load average at start; above a
-    # quarter of the CPUs the record marks itself `contended` so
-    # round-over-round comparisons know to discount it (the proper
-    # response to a contended record is a bench_ab A/B on a quiet
-    # host, not a VERDICT finding).
+    # regressions).  Stamp all three load averages at start (r12,
+    # VERDICT r11 #7: a quiet instant on a cooling-down host reads
+    # clean at load1 while load5/load15 tell the truth); the threshold
+    # drops to an eighth of the CPUs — the r11 doc_ingest GC-luck
+    # diagnosis showed meaningful interference well below ncpu/4.
     try:
-        load1 = round(os.getloadavg()[0], 2)
+        load1, load5, load15 = (round(v, 2) for v in os.getloadavg())
     except OSError:
-        load1 = None
+        load1 = load5 = load15 = None
     ncpu = os.cpu_count() or 1
-    contended = load1 is not None and load1 > max(2.0, ncpu / 4)
+    contended = load1 is not None and max(load1, load5) > max(2.0, ncpu / 8)
 
     from pyspark.sql import functions as F
     import rasterframes_spark as rf
@@ -313,8 +359,8 @@ def main():
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     run("text_metrics", lambda: P.text_metrics(docs).agg(
         F.sum("n_tokens"), F.sum("fingerprint")).collect(), repeat=5)
-    run("minhash_dedup", lambda: P.minhash_dedup_pairs(
-        docs, "doc_id", "text", num_perm=32, bands=16, threshold=0.8).count(),
+    run("minhash_dedup", lambda: _count_release(P.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=32, bands=16, threshold=0.8)),
         repeat=5)
     run("cosine_topk", lambda: P.cosine_topk(
         emb, emb.orderBy("vec_id").limit(8).select(
@@ -335,8 +381,8 @@ def main():
     run("semantic_dedup", lambda: P.semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=64, threshold=0.97,
         pairs_method="blas").where("kept").count(), repeat=3)
-    run("exact_substring", lambda: P.exact_substring_pairs(
-        docs, "doc_id", "text", n=10).count(), repeat=3)
+    run("exact_substring", lambda: _count_release(P.exact_substring_pairs(
+        docs, "doc_id", "text", n=10)), repeat=3)
     run("span_removal", lambda: P.remove_repeated_spans(
         docs, n=10, min_docs=2, assume_unique_ids=True)
         .agg(F.sum(F.length("text"))).collect(), repeat=3)
@@ -583,6 +629,8 @@ def main():
         "sf1": sf1,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load1": load1,
+        "load5": load5,
+        "load15": load15,
         "contended": contended,
     }
     # the COMPLETE result goes to a file; stdout gets a compact line the
@@ -714,32 +762,56 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df):
     out = {"rows": {"documents": n_docs, "embeddings": n_emb,
                     "points": n_pts}}
 
+    def jvm_gc_ms():
+        """Total JVM GC milliseconds across executors (one 'driver'
+        entry in local mode) — per-run deltas go into the record so
+        'repeats degrade the session' vs 'host noise' is decidable
+        from the record alone (VERDICT r11 #2)."""
+        try:
+            return sum(e.get("totalGCTime", 0) for e in rest("/executors"))
+        except Exception:       # noqa: BLE001 — diagnostics only
+            return None
+
     def cell(name, fn, sf01_cell=None, repeat=1):
         """One rehearsal leg.  ``repeat > 1`` records the MEDIAN of
-        several runs with ``clearCache()`` between them (r11, VERDICT
-        r10 #3): Spark reuses cached fragments by logical-plan
-        equality, so naive repeats of an identical chain re-time a
-        cache hit; clearing between runs re-times the real work while
-        the session's warm Python workers and JIT stay — which is the
-        point, because instrumented fresh-session runs showed the
-        single-shot scatter (9.9-31.6 s recorded for doc_ingest at
-        identical code) is first-run worker spawn + JVM GC luck
-        (jvmGcTime 3-74 s run-to-run), not plan shape.  The median
-        discards that coin flip."""
-        runs = []
+        several runs (r11, VERDICT r10 #3): Spark reuses cached
+        fragments by logical-plan equality, so naive repeats of an
+        identical chain re-time a cache hit.  Repeat hygiene (r12,
+        VERDICT r11 #1 — the r11 minhash triples rose 13.8->33.8 s at
+        identical code): after EVERY run, ``clearCache()`` drops
+        cached fragments AND an explicit JVM ``System.gc()`` drives
+        the ContextCleaner to release broadcast blocks and shuffle
+        files whose driver-side plans just became garbage — without
+        it repeats sample an increasingly crowded old-gen heap.  The
+        session's warm Python workers and JIT stay, which is the
+        point (fresh-session scatter is first-run worker spawn + GC
+        luck, the r11 doc_ingest diagnosis).  ``runs`` records in
+        CHRONOLOGICAL order with per-run jvmGcTime seconds
+        (VERDICT r11 #2: sorting destroyed the monotonic-growth
+        signal that distinguishes session decay from host noise)."""
+        runs = []          # chronological: (wall, stage metrics, gc_s)
         for i in range(repeat):
             wm = max_stage_id()
+            g0 = jvm_gc_ms()
             t0 = time.time()
             fn()
             wall = round(time.time() - t0, 3)
-            runs.append((wall, stage_metrics(wm)))
-            if repeat > 1 and i < repeat - 1:
+            g1 = jvm_gc_ms()
+            gc_s = (round((g1 - g0) / 1000.0, 1)
+                    if g0 is not None and g1 is not None else None)
+            runs.append((wall, stage_metrics(wm), gc_s))
+            if repeat > 1:
                 spark.catalog.clearCache()
-        runs.sort(key=lambda r: r[0])
-        wall, m = runs[len(runs) // 2]
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:   # noqa: BLE001 — hygiene only
+                    pass
+        srt = sorted(runs, key=lambda r: r[0])
+        wall, m, _g = srt[len(srt) // 2]
         m["sec"] = wall
         if repeat > 1:
-            m["runs"] = [r[0] for r in runs]
+            m["runs"] = [r[0] for r in runs]        # time-ordered
+            m["gc_sec"] = [r[2] for r in runs]
         if sf01_cell and sf01_timings.get(sf01_cell):
             # <= ~2x linear extrapolation of the 10x-smaller cell is the
             # scaling bar (banded/bucketed work grows ~linearly)
@@ -748,9 +820,10 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df):
         out[name] = m
 
     cell("minhash_dedup",
-         lambda: P.minhash_dedup_pairs(docs10, "doc_id", "text",
-                                       num_perm=32, bands=16,
-                                       threshold=0.8).count(),
+         lambda: _count_release(
+             P.minhash_dedup_pairs(docs10, "doc_id", "text",
+                                   num_perm=32, bands=16,
+                                   threshold=0.8)),
          sf01_cell="minhash_dedup", repeat=3)
     cell("semantic_dedup",
          lambda: P.semantic_dedup(emb10, "vec_id", "embedding",
@@ -761,8 +834,8 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df):
     cell("decontaminate",
          lambda: P.decontaminate(docs10, docs01.limit(200)).count())
     cell("exact_substring",
-         lambda: P.exact_substring_pairs(docs10, "doc_id", "text",
-                                         n=10).count(),
+         lambda: _count_release(
+             P.exact_substring_pairs(docs10, "doc_id", "text", n=10)),
          sf01_cell="exact_substring", repeat=3)
     cell("span_removal",
          lambda: P.remove_repeated_spans(docs10, n=10, min_docs=2,

@@ -165,3 +165,34 @@ def test_never_mid_object_truncated_even_at_tiny_limit():
     assert len(line) <= 200
     d = json.loads(line)
     assert d["value"] == full["value"] and d["metric"] == full["metric"]
+
+
+def test_sf1_triples_are_chronological_and_watchlist_sheds_last():
+    """VERDICT r11 #2: the compact record line carries each repeat
+    leg's run triple in CHRONOLOGICAL order (never re-sorted) with
+    per-run JVM GC seconds attached; when the line is over budget,
+    triples shed from non-watchlist legs first and the standing
+    adjudication set keeps its chronology."""
+    full = _full_result()
+    decreasing = [31.507, 22.043, 13.861]     # sorted() would reorder
+    for leg in SF1_LEGS:
+        full["sf1"][leg]["runs"] = list(decreasing)
+        full["sf1"][leg]["gc_sec"] = [21.3, 11.2, 3.4]
+    d = _parse_from_tail(compact_result_line(full))
+    mh = d["sf1"]["minhash_dedup"]
+    assert mh["runs"] == [31.5, 22.0, 13.9]   # order preserved, rounded
+    assert mh["gc"] == [21.3, 11.2, 3.4]
+    assert "runs" in d["sf1"]["span_removal"]
+    # the over-budget case: non-watchlist triples shed, watchlist stays
+    full_big = _full_result(n_extra=25)
+    for leg in SF1_LEGS:
+        full_big["sf1"][leg]["runs"] = list(decreasing)
+        full_big["sf1"][leg]["gc_sec"] = [21.3, 11.2, 3.4]
+    d2 = _parse_from_tail(compact_result_line(full_big))
+    if isinstance(d2.get("sf1"), dict) and \
+            isinstance(d2["sf1"].get("minhash_dedup"), dict):
+        got_mh = "runs" in d2["sf1"]["minhash_dedup"]
+        got_sem = isinstance(d2["sf1"]["semantic_dedup"], dict) and \
+            "runs" in d2["sf1"]["semantic_dedup"]
+        # watchlist never sheds before a non-watchlist leg
+        assert got_mh or not got_sem
