@@ -68,8 +68,15 @@ def main():
         series_a: dict[str, list] = {c: [] for c in cells}
         series_b: dict[str, list] = {c: [] for c in cells}
         for i in range(runs):
-            for tag, tree, series in (("A", REPO, series_a),
-                                      ("B", tree_b, series_b)):
+            # ALTERNATE the within-pair order (r12): this host's
+            # delivered CPU degrades under sustained load, so a fixed
+            # A-then-B order biases whichever side always runs second;
+            # a same-code control run read 0.62-0.84x ("IMPROVEMENT")
+            # from order + steal alone
+            pair = (("A", REPO, series_a), ("B", tree_b, series_b))
+            if i % 2:
+                pair = pair[::-1]
+            for tag, tree, series in pair:
                 got = _run_bench(tree, cells, sf_dir)
                 for c in cells:
                     if c in got:
@@ -85,11 +92,23 @@ def main():
                 continue
             ma, mb = statistics.median(a), statistics.median(b)
             ratio = round(ma / mb, 3) if mb else None
-            verdict = ("REGRESSION" if ratio and ratio > 1.10 else
-                       "IMPROVEMENT" if ratio and ratio < 0.90 else
+            # capability (min-of-series) as the second witness: medians
+            # absorb steal outliers badly at N=3
+            rmin = round(min(a) / min(b), 3) if min(b) else None
+            # band widened to +-25% (r12): the same-code control read
+            # 0.62x/0.84x on medians — a 10% band fabricates verdicts
+            # on this shared-steal host.  A verdict only when BOTH
+            # witnesses clear the band on the same side.
+            def side(r):
+                return (1 if r and r > 1.25 else
+                        -1 if r and r < 0.80 else 0)
+            sm, sn = side(ratio), side(rmin)
+            verdict = ("REGRESSION" if sm == sn == 1 else
+                       "IMPROVEMENT" if sm == sn == -1 else
                        "NOISE")
             report[c] = {"current_median": ma, "prior_median": mb,
-                         "current_over_prior": ratio, "verdict": verdict,
+                         "current_over_prior": ratio,
+                         "min_over_prior_min": rmin, "verdict": verdict,
                          "a_runs": a, "b_runs": b}
         print(json.dumps({"prior_rev": sha, "runs": runs,
                           "cells": report}))
