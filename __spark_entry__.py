@@ -1870,6 +1870,33 @@ def _q_interop_suite(spark, sf_dir):
                    F.col("n").cast("double").alias("v2"),
                    F.col("x0").cast("double").alias("v3")))
     nc = nc.unionByName(nc4)
+    # k=2 (r12, ADVICE r11 #1): a 2-D RECORD variable — the unlimited
+    # dim IS the y axis, with a second record variable interleaved so
+    # stored rows stride by recsize (the exact shape the r12 lazy-path
+    # fix covers; the old fit check rejected the file outright) and an
+    # ascending record-coordinate variable driving the north-up flip.
+    # Same closed-form contract: the hash-checked gate now pins the
+    # rec-is-y fit check + recsize-strided row reads end to end.
+    gr = ((ii * 19 + jj * 23) % 83).astype("f8")
+    recs = np.linspace(5.0, 5.0 + ny - 1, ny)          # ascending y
+    ncr_path = tempfile.mktemp(suffix=".nc", prefix="rf_ncrec_oracle_")
+    with open(ncr_path, "wb") as f:
+        f.write(write_netcdf(
+            {"v": (("rec", "lon"), gr),
+             "rec": (("rec",), recs),
+             "lon": (("lon",), lons)},
+            {"rec": None, "lon": nx}))
+    ncrdf = read_raster(spark, [ncr_path + "#v"], tile_dimensions=(32, 32))
+    ncr = (ncrdf.withColumn("tile", realize_tiles(F.col("tile_ref")))
+           .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+                F.count("*").alias("n"),
+                F.min("extent.xmin").alias("x0"))
+           .select(F.lit("nc").alias("family"),
+                   F.lit(2).cast("long").alias("k"),
+                   F.col("s").cast("double").alias("v1"),
+                   F.col("n").cast("double").alias("v2"),
+                   F.col("x0").cast("double").alias("v3")))
+    nc = nc.unionByName(ncr)
 
     # ---- 'grib': r10 — GRIB2 closed-form grid through the raster
     # dispatch (native template 3.0 / 5.0 simple packing, written by
@@ -2322,6 +2349,16 @@ def oracle_sql() -> dict[str, str]:
               select 'nc' as family, cast(1 as bigint) as k,
                      cast(sum(0.5 * ((i * 31 + j * 7) % 97) + 3.0)
                           as double) as v1,
+                     4.0 as v2, -120.5 as v3
+              from (select unnest(range(40)) as i) a
+              cross join (select unnest(range(60)) as j) b
+              union all
+              -- k=2 (r12): classic 2-D RECORD variable — unlimited dim
+              -- IS the y axis, a second record var interleaves stored
+              -- rows at the recsize stride, ascending record coord
+              -- drives the north-up flip; same closed-form sum
+              select 'nc' as family, cast(2 as bigint) as k,
+                     cast(sum((i * 19 + j * 23) % 83) as double) as v1,
                      4.0 as v2, -120.5 as v3
               from (select unnest(range(40)) as i) a
               cross join (select unnest(range(60)) as j) b
