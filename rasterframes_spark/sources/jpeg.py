@@ -248,6 +248,15 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
             if h == 0 or w == 0 or h * w > _MAX_PIXELS:
                 raise ValueError(f"jpeg: frame {w}x{h} out of bounds "
                                  f"(cap {_MAX_PIXELS} pixels)")
+            # data-proportional bound (r12 fuzz): every 8x8 block costs
+            # >= ~2 entropy bits (DC size code + EOB), so a real frame
+            # needs >= h*w/256 compressed bytes (0.03 bpp — far below
+            # any real encoder's floor).  A mutated SOF dim just under
+            # the absolute cap otherwise buys seconds of Huffman-decode
+            # work from a KB-scale file.
+            if h * w > 256 * len(buf):
+                raise ValueError(f"jpeg: frame {w}x{h} implausible for "
+                                 f"{len(buf)}-byte stream")
             if len(seg) < 6 + 3 * nc:
                 raise ValueError("jpeg: truncated SOF component list")
             comps = []

@@ -197,11 +197,19 @@ def _expand_tables(tables: dict, file_size: int):
     if ((offsets + sizes) > file_size).any() or (offsets < 0).any():
         raise ValueError("mp4: sample extents outside file")
     # decode timestamps from stts runs
-    total = int(stts[:, 0].astype(np.int64).sum())
+    counts = stts[:, 0].astype(np.int64)
+    total = int(counts.sum())
     if total < n:
         raise ValueError("mp4: stts covers fewer samples than stsz")
-    deltas = np.repeat(stts[:, 1].astype(np.int64),
-                       stts[:, 0].astype(np.int64))[:n]
+    # expand ONLY the runs the first n samples need: a corrupt run
+    # count of ~2^32 would otherwise make np.repeat materialize tens
+    # of GB before the [:n] slice — measured 393 s on a 1 KB file
+    # (r12 fuzz finding)
+    cum = np.cumsum(counts)
+    cut = int(np.searchsorted(cum, n))
+    counts = counts[:cut + 1].copy()
+    counts[-1] -= int(cum[cut]) - n
+    deltas = np.repeat(stts[:cut + 1, 1].astype(np.int64), counts)
     dts = np.concatenate(([0], np.cumsum(deltas[:-1])))
     # sync table (1-based sample numbers); absent => all sync
     sync = np.ones(n, dtype=bool)

@@ -152,10 +152,31 @@ def _decode_png_impl(data: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {ctype}")
-    raw = zlib.decompress(b"".join(idat))
     # PNG filters operate on BYTES with the left-neighbor offset equal to
     # the bytes-per-pixel, so 16-bit rows unfilter as 2x-wide byte rows
     bpp = channels * (depth // 8)
+    # corrupt-input contract (r12 fuzz): a mutated IHDR height of ~2^31
+    # reached _unfilter's np.zeros((h, stride)) as a 172 GiB allocation
+    # (MemoryError, not the dispatcher's ValueError).  Cap dimensions,
+    # bound the inflate by the spec-exact expected length, and require
+    # the decompressed stream to match it EXACTLY before allocating.
+    if not (0 < w <= (1 << 24) and 0 < h <= (1 << 24)) \
+            or w * h * bpp > (1 << 29):
+        raise ValueError("PNG: implausible dimensions")
+    if interlace:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (1 + pw * bpp)
+    else:
+        expected = h * (w * bpp + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
+        raise ValueError("PNG: decompressed size does not match "
+                         "dimensions")
     if interlace:
         arr = _deinterlace_adam7(raw, h, w, bpp)
     else:

@@ -96,11 +96,22 @@ def _parse(xml_bytes: bytes, base_dir: str):
         raise ValueError(f"VRT: XML parse error: {e}") from e
     if root.tag != "VRTDataset":
         raise ValueError("VRT: root element is not VRTDataset")
-    w = int(root.get("rasterXSize"))
-    h = int(root.get("rasterYSize"))
+    try:
+        w = int(root.get("rasterXSize"))
+        h = int(root.get("rasterYSize"))
+    except (TypeError, ValueError) as e:
+        # corrupt-input contract: a mutated attribute name makes .get()
+        # return None and int(None) is a TypeError, not the dispatcher's
+        # "not this format" ValueError (r12 fuzz finding)
+        raise ValueError("VRT: missing or bad rasterXSize/rasterYSize") \
+            from e
+    if not (0 < w <= (1 << 26) and 0 < h <= (1 << 26)):
+        raise ValueError("VRT: implausible raster size")
     gt_text = root.findtext("GeoTransform")
     if gt_text:
         gt = [float(v) for v in gt_text.split(",")]
+        if len(gt) != 6:
+            raise ValueError("VRT: GeoTransform needs 6 values")
         if gt[2] != 0 or gt[4] != 0:
             raise ValueError("VRT: rotated GeoTransform not supported")
         if gt[5] >= 0:

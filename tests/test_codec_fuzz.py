@@ -323,3 +323,104 @@ def test_man_corruption_fuzz():
         pytest.skip("man pages not present")
     with open(path, "rb") as f:
         _fuzz(f.read(), read_man_text, trials=120)
+
+
+def test_vrt_corruption_fuzz():
+    """r12 fuzz finding: a mutated rasterXSize/rasterYSize attribute
+    name made ``int(root.get(...))`` raise TypeError(None), and a
+    short GeoTransform raised IndexError — both now the contract
+    ValueError.  The manifest parser must honor the corrupt-input
+    contract like every binary codec (XML mutations often still parse
+    as XML)."""
+    from rasterframes_spark.sources.vrt import _parse
+
+    data = b"""<VRTDataset rasterXSize="64" rasterYSize="64">
+ <SRS>EPSG:32618</SRS>
+ <GeoTransform>0,1,0,64,0,-1</GeoTransform>
+ <VRTRasterBand dataType="UInt16" band="1">
+  <NoDataValue>0</NoDataValue>
+  <SimpleSource>
+   <SourceFilename relativeToVRT="1">a.tif</SourceFilename>
+   <SourceBand>1</SourceBand>
+   <SrcRect xOff="0" yOff="0" xSize="64" ySize="64"/>
+   <DstRect xOff="0" yOff="0" xSize="64" ySize="64"/>
+  </SimpleSource>
+ </VRTRasterBand>
+</VRTDataset>"""
+
+    def parse_nocache(b: bytes):
+        _parse.cache_clear()        # lru_cache would mask repeats
+        return _parse(b, "/tmp")
+
+    _fuzz(data, parse_nocache, seed=9, trials=600)
+    # the two found classes, pinned directly
+    with pytest.raises(ValueError):
+        parse_nocache(data.replace(b"rasterXSize", b"rasterXSiz3"))
+    with pytest.raises(ValueError):
+        parse_nocache(data.replace(b"0,1,0,64,0,-1", b"0,1,0"))
+
+
+def test_png_dimension_bomb_is_valueerror():
+    """r12 fuzz: a mutated IHDR height (~2^31) reached _unfilter's
+    np.zeros as a 172 GiB allocation (MemoryError).  Dimensions now
+    plausibility-cap, the inflate is bounded by the spec-exact
+    expected length, and a size/dimension mismatch is ValueError."""
+    import struct
+    import time
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (20, 28, 3)).astype("uint8")
+    good = png.encode_png(img)
+    # IHDR payload starts at offset 16: width(4) height(4) ...
+    bomb = bytearray(good)
+    bomb[20:24] = struct.pack(">I", 0x80000000)
+    t0 = time.time()
+    with pytest.raises(ValueError):
+        png.decode_png(bytes(bomb))
+    assert time.time() - t0 < 0.5
+    # short IDAT for the declared dims is a mismatch, not a crash
+    short = bytearray(good)
+    short[20:24] = struct.pack(">I", 21)        # one extra row declared
+    with pytest.raises(ValueError):
+        png.decode_png(bytes(short))
+
+
+def test_jpeg_dimension_vs_stream_size_bound():
+    """r12 fuzz: a mutated SOF height just under the absolute pixel cap
+    bought ~9 s of Huffman decode from a 1 KB stream.  Frames needing
+    under ~0.03 bpp are refused as implausible."""
+    import time
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (16, 16, 3)).astype("uint8")
+    good = jpeg.encode_jpeg(img)
+    i = good.find(b"\xff\xc0")
+    assert i > 0
+    bomb = bytearray(good)
+    # SOF0 payload: len(2) prec(1) height(2) width(2) — set h = 65000
+    bomb[i + 5:i + 7] = (65000).to_bytes(2, "big")
+    t0 = time.time()
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(bomb))
+    assert time.time() - t0 < 0.5
+
+
+def test_mp4_stts_run_count_bomb_expands_lazily():
+    """r12 fuzz: np.repeat over stts run counts materialized the FULL
+    declared total (a corrupt u4 count of ~2^32 = tens of GB, a
+    measured 393 s parse of a 1 KB file) before the [:n] slice.  Only
+    the runs the first n samples need may expand."""
+    import time
+
+    from rasterframes_spark.sources.mp4 import _expand_tables
+
+    tables = {
+        "stsz": np.array([10, 10], dtype=np.int64),
+        "stco": np.array([0], dtype=np.int64),
+        "stsc": np.array([[1, 2, 1]], dtype=np.uint32),
+        "stts": np.array([[0xFFFFFFFF, 5]], dtype=np.uint32),
+    }
+    t0 = time.time()
+    sizes, offsets, dts, sync = _expand_tables(tables, file_size=100)
+    assert time.time() - t0 < 0.5
+    assert list(dts) == [0, 5]
