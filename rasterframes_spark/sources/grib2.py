@@ -818,19 +818,13 @@ def _meta_src(src):
     headers are a few hundred bytes per message, so a 256 KiB-block
     RangeSource charges ~1,000x the bytes actually needed per header
     cluster (measured: 63 MB of a 126 MB 60-file catalog at the
-    default block size vs ~1 MB of true header bytes).  Re-wrapping
-    the same uri at 16 KiB blocks keeps the FETCH COUNT identical (one
-    per header cluster) while shrinking bytes ~16x — payload reads
-    stay on the caller's big-block source, where large blocks help."""
-    uri = getattr(src, "uri", None)
-    blk = getattr(src, "block", None)
-    if uri is None or blk is None or blk <= (1 << 14):
-        return src
-    from rasterframes_spark.sources.rangeio import RangeSource
+    default block size vs ~1 MB of true header bytes).  Shared with
+    the HDF5 reader since r12 — `rangeio.meta_view` is the one
+    implementation (payload reads stay on the caller's big-block
+    source, where large blocks help)."""
+    from rasterframes_spark.sources.rangeio import meta_view
 
-    s = RangeSource(uri, block_size=1 << 14)
-    s.trace_file = getattr(src, "trace_file", None)
-    return s
+    return meta_view(src)
 
 
 def _scan(src):
