@@ -1898,6 +1898,79 @@ def _q_interop_suite(spark, sf_dir):
                    F.col("x0").cast("double").alias("v3")))
     nc = nc.unionByName(ncr)
 
+    # ---- 'vrt' + 'mrf' (r12): the two remaining pytest-only raster
+    # containers join the hash-checked gate.  'vrt': a mosaic manifest
+    # of two closed-form GeoTIFF halves (left/right SimpleSources, no
+    # NoDataValue so zeros count) read DISTRIBUTED through
+    # read_raster; 'mrf': a PNG-paged Meta Raster Format grid (index +
+    # data + XML manifest triple).  DuckDB re-derives the sums
+    # arithmetically, so a desync anywhere in manifest parsing, source
+    # placement, or page decode breaks the hash.
+    import os as _os
+
+    from rasterframes_spark.sources.geotiff import write_geotiff
+    from rasterframes_spark.sources.mrf import write_mrf
+
+    vh, vw = 40, 30                     # two 40x30 halves -> 40x60
+    vi, vj = np.mgrid[0:vh, 0:vw]
+    gl = ((vi * 11 + vj * 3) % 71).astype("uint16")
+    grt = ((vi * 7 + vj * 5) % 67).astype("uint16")
+    vdir = tempfile.mkdtemp(prefix="rf_vrt_oracle_")
+    with open(_os.path.join(vdir, "left.tif"), "wb") as f:
+        f.write(write_geotiff(gl, (-10.0, 0.0, 20.0, 40.0),
+                              "EPSG:32618", tile_size=16))
+    with open(_os.path.join(vdir, "right.tif"), "wb") as f:
+        f.write(write_geotiff(grt, (20.0, 0.0, 50.0, 40.0),
+                              "EPSG:32618", tile_size=16))
+    vrt_path = _os.path.join(vdir, "mosaic.vrt")
+    with open(vrt_path, "w") as f:
+        f.write(f"""<VRTDataset rasterXSize="60" rasterYSize="40">
+  <SRS>EPSG:32618</SRS>
+  <GeoTransform>-10.0, 1.0, 0.0, 40.0, 0.0, -1.0</GeoTransform>
+  <VRTRasterBand dataType="UInt16" band="1">
+    <SimpleSource>
+      <SourceFilename relativeToVRT="1">left.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="30" ySize="40"/>
+      <DstRect xOff="0" yOff="0" xSize="30" ySize="40"/>
+    </SimpleSource>
+    <SimpleSource>
+      <SourceFilename relativeToVRT="1">right.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="30" ySize="40"/>
+      <DstRect xOff="30" yOff="0" xSize="30" ySize="40"/>
+    </SimpleSource>
+  </VRTRasterBand>
+</VRTDataset>""")
+    vdf = read_raster(spark, [vrt_path], tile_dimensions=(32, 32))
+    vrtg = (vdf.withColumn("tile", realize_tiles(F.col("tile_ref")))
+            .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+                 F.count("*").alias("n"),
+                 F.min("extent.xmin").alias("x0"))
+            .select(F.lit("vrt").alias("family"),
+                    F.lit(0).cast("long").alias("k"),
+                    F.col("s").cast("double").alias("v1"),
+                    F.col("n").cast("double").alias("v2"),
+                    F.col("x0").cast("double").alias("v3")))
+
+    mh, mw = 48, 56
+    mi, mj = np.mgrid[0:mh, 0:mw]
+    gm = ((mi * 17 + mj * 9) % 73).astype("uint16")
+    mrf_path = _os.path.join(tempfile.mkdtemp(prefix="rf_mrf_oracle_"),
+                             "scene.mrf")
+    write_mrf(mrf_path, gm, page_size=(32, 32),
+              extent=(5.0, 0.0, 61.0, 48.0), crs="EPSG:32617")
+    mdf = read_raster(spark, [mrf_path], tile_dimensions=(32, 32))
+    mrfg = (mdf.withColumn("tile", realize_tiles(F.col("tile_ref")))
+            .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+                 F.count("*").alias("n"),
+                 F.min("extent.xmin").alias("x0"))
+            .select(F.lit("mrf").alias("family"),
+                    F.lit(0).cast("long").alias("k"),
+                    F.col("s").cast("double").alias("v1"),
+                    F.col("n").cast("double").alias("v2"),
+                    F.col("x0").cast("double").alias("v3")))
+
     # ---- 'grib': r10 — GRIB2 closed-form grid through the raster
     # dispatch (native template 3.0 / 5.0 simple packing, written by
     # write_grib2 — the file stores 260E..314E so the read exercises
@@ -2129,7 +2202,8 @@ def _q_interop_suite(spark, sf_dir):
                     F.col("s1").cast("double").alias("v2"),
                     F.col("n").cast("double").alias("v3")))
 
-    return gt.unionAll(nc).unionAll(gb).unionAll(adpcm).unionAll(jpegp) \
+    return gt.unionAll(nc).unionAll(vrtg).unionAll(mrfg).unionAll(gb) \
+        .unionAll(adpcm).unionAll(jpegp) \
         .unionAll(jp2m).unionAll(jp2s).unionAll(pocf).select(*out_cols)
 
 
@@ -2362,6 +2436,24 @@ def oracle_sql() -> dict[str, str]:
                      4.0 as v2, -120.5 as v3
               from (select unnest(range(40)) as i) a
               cross join (select unnest(range(60)) as j) b
+            ), vrtg as (
+              -- r12: VRT mosaic of two closed-form GeoTIFF halves
+              -- (40x30 each, DstRect x=0 and x=30); 2x2 chunks at
+              -- tile (32,32); cell-edge xmin from the GeoTransform
+              select 'vrt' as family, cast(0 as bigint) as k,
+                     cast(sum((i * 11 + j * 3) % 71
+                              + (i * 7 + j * 5) % 67) as double) as v1,
+                     4.0 as v2, -10.0 as v3
+              from (select unnest(range(40)) as i) a
+              cross join (select unnest(range(30)) as j) b
+            ), mrfg as (
+              -- r12: MRF (PNG-paged index/data/manifest triple) over
+              -- a 48x56 closed-form grid; 2x2 chunks, xmin = 5
+              select 'mrf' as family, cast(0 as bigint) as k,
+                     cast(sum((i * 17 + j * 9) % 73) as double) as v1,
+                     4.0 as v2, 5.0 as v3
+              from (select unnest(range(48)) as i) a
+              cross join (select unnest(range(56)) as j) b
             ), gribg as (
               -- r10: GRIB2 closed-form grid through the raster
               -- dispatch; extent corner exercises the [0,360) ->
@@ -2439,6 +2531,7 @@ def oracle_sql() -> dict[str, str]:
                      4.0 as v3
             )
             select * from gt union all select * from ncg
+            union all select * from vrtg union all select * from mrfg
             union all select * from gribg
             union all select * from adpcm union all select * from jpegp
             union all select * from jp2m union all select * from jp2s
