@@ -428,3 +428,58 @@ def test_mixed_grib_netcdf_catalog_metadata_reads_zero_window_bytes(
     assert _trace_lines(trace) == []      # metadata realized NOTHING
     df.select("tile").collect()
     assert len(_trace_lines(trace)) > 0
+
+
+def test_vrt_window_prunes_nonintersecting_member(tmp_path):
+    """The laziness ledger's composition layer: a VRT window read
+    fetches the manifest plus ONLY the intersecting member's window
+    bytes — a member whose DstRect misses the window is never opened
+    at all (r12; the per-source DstRect intersection is the pruning)."""
+    from rasterframes_spark.sources import raster_reader as RR
+    from rasterframes_spark.sources import vrt as V
+    from rasterframes_spark.sources.rangeio import RangeSource
+
+    rng = np.random.default_rng(21)
+    left = rng.integers(0, 60000, (1024, 1024)).astype("uint16")
+    right = rng.integers(0, 60000, (1024, 1024)).astype("uint16")
+    lp, rp = str(tmp_path / "left.tif"), str(tmp_path / "right.tif")
+    with open(lp, "wb") as f:
+        f.write(GT.write_geotiff(left, (0.0, 0.0, 1024.0, 1024.0),
+                                 "EPSG:32618", tile_size=256))
+    with open(rp, "wb") as f:
+        f.write(GT.write_geotiff(right, (1024.0, 0.0, 2048.0, 1024.0),
+                                 "EPSG:32618", tile_size=256))
+    vrt = """<VRTDataset rasterXSize="2048" rasterYSize="1024">
+  <SRS>EPSG:32618</SRS>
+  <GeoTransform>0.0, 1.0, 0.0, 1024.0, 0.0, -1.0</GeoTransform>
+  <VRTRasterBand dataType="UInt16" band="1">
+    <SimpleSource>
+      <SourceFilename relativeToVRT="1">left.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="1024" ySize="1024"/>
+      <DstRect xOff="0" yOff="0" xSize="1024" ySize="1024"/>
+    </SimpleSource>
+    <SimpleSource>
+      <SourceFilename relativeToVRT="1">right.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="1024" ySize="1024"/>
+      <DstRect xOff="1024" yOff="0" xSize="1024" ySize="1024"/>
+    </SimpleSource>
+  </VRTRasterBand>
+</VRTDataset>"""
+    p = tmp_path / "m.vrt"
+    p.write_text(vrt)
+    RR._range_source.cache_clear()
+    RR._cached_info.cache_clear()
+    src = RangeSource(str(p))
+    info = V.read_info(src)
+    assert (info.width, info.height) == (2048, 1024)
+    win = V.read_window(src, info, 100, 100, 200, 200)   # left half only
+    np.testing.assert_array_equal(win, left[100:300, 100:300])
+    fsize = os.path.getsize(lp)
+    ls = RR._range_source(lp)
+    # the window covers 4 of 16 tiles; even with 256 KiB block rounding
+    # the fetch stays well under the whole member
+    assert 0 < ls.bytes_fetched < 0.7 * fsize
+    # the right member was NEVER window-read (a fresh source reads 0)
+    assert RR._range_source(rp).bytes_fetched == 0
