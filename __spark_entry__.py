@@ -28,6 +28,16 @@ from rasterframes_spark.dataframe_api import install_dataframe_methods
 # e.g. layer_center must be installed here.  Idempotent.
 install_dataframe_methods()
 
+
+def _tmppath(prefix: str, name: str) -> str:
+    """Collision-safe temp-file path for oracle fixtures: a fresh
+    mkdtemp + fixed filename (ADVICE r12 #3 — tempfile.mktemp's
+    predictable name can be hijacked between generation and open)."""
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.mkdtemp(prefix=prefix), name)
+
 TILE_COLS = 16
 TILE_ROWS = 16
 N_GROUPS = 64
@@ -1824,7 +1834,7 @@ def _q_interop_suite(spark, sf_dir):
     grid = ((ii * 53 + jj * 17) % 101).astype("f8")
     lats = np.linspace(10.0, 49.0, ny)          # ascending -> north-up flip
     lons = np.linspace(-120.0, -61.0, nx)
-    nc_path = tempfile.mktemp(suffix=".nc", prefix="rf_nc_oracle_")
+    nc_path = _tmppath("rf_nc_oracle_", "f.nc")
     with open(nc_path, "wb") as f:
         f.write(write_netcdf(
             {"v": (("lat", "lon"), grid),
@@ -1855,7 +1865,7 @@ def _q_interop_suite(spark, sf_dir):
                              "add_offset": np.float64(3.0)})
     hw.create_dataset("lat", lats)
     hw.create_dataset("lon", lons)
-    nc4_path = tempfile.mktemp(suffix=".h5", prefix="rf_nc4_oracle_")
+    nc4_path = _tmppath("rf_nc4_oracle_", "f.h5")
     with open(nc4_path, "wb") as f:
         f.write(hw.tobytes())
     nc4df = read_raster(spark, [nc4_path + "#t2m"],
@@ -1879,7 +1889,7 @@ def _q_interop_suite(spark, sf_dir):
     # rec-is-y fit check + recsize-strided row reads end to end.
     gr = ((ii * 19 + jj * 23) % 83).astype("f8")
     recs = np.linspace(5.0, 5.0 + ny - 1, ny)          # ascending y
-    ncr_path = tempfile.mktemp(suffix=".nc", prefix="rf_ncrec_oracle_")
+    ncr_path = _tmppath("rf_ncrec_oracle_", "rec.nc")
     with open(ncr_path, "wb") as f:
         f.write(write_netcdf(
             {"v": (("rec", "lon"), gr),
@@ -1985,8 +1995,7 @@ def _q_interop_suite(spark, sf_dir):
     gb_parts = []
     for gk, packing in enumerate(["simple", "complex", "complex_diff",
                                   "jpeg2000", "png"]):
-        gb_path = tempfile.mktemp(suffix=".grib2",
-                                  prefix=f"rf_gb_oracle_{packing}_")
+        gb_path = _tmppath(f"rf_gb_oracle_{packing}_", "f.grib2")
         with open(gb_path, "wb") as f:
             f.write(write_grib2([ggrid],
                                 extent=(-100.0, 20.0, -46.0, 56.0),
@@ -2005,7 +2014,7 @@ def _q_interop_suite(spark, sf_dir):
     # k=5: the same grid as a legacy GRIB edition 1 file (IBM hex-float
     # reference value, millidegree grid) through the same dispatch
     from rasterframes_spark.sources.grib1 import write_grib1
-    gb_path = tempfile.mktemp(suffix=".grib", prefix="rf_gb_oracle_e1_")
+    gb_path = _tmppath("rf_gb_oracle_e1_", "f.grib")
     with open(gb_path, "wb") as f:
         f.write(write_grib1([ggrid], extent=(-100.0, 20.0, -46.0, 56.0)))
     gbdf = read_raster(spark, [gb_path], tile_dimensions=(32, 32))
@@ -2038,7 +2047,7 @@ def _q_interop_suite(spark, sf_dir):
         "0000ffffffffffff00000031050000000600030000000000000001"
         "010001000000000000000000000000010001000000000100000006"
         "0302010000000606ff0000000b070a0c010000c037373737")
-    gb_path = tempfile.mktemp(suffix=".grib2", prefix="rf_gb_oracle_hand_")
+    gb_path = _tmppath("rf_gb_oracle_hand_", "f.grib2")
     with open(gb_path, "wb") as f:
         f.write(gb_hand)
     gbdf = read_raster(spark, [gb_path], tile_dimensions=(32, 32))
@@ -2128,7 +2137,7 @@ def _q_interop_suite(spark, sf_dir):
     jh, jw = 40, 60
     rr, cc = np.mgrid[0:jh, 0:jw]
     jimg = ((rr * 13 + cc * 7) % 101).astype(np.uint8)
-    jp2m_path = tempfile.mktemp(suffix=".jp2", prefix="rf_jp2m_oracle_")
+    jp2m_path = _tmppath("rf_jp2m_oracle_", "f.jp2")
     with open(jp2m_path, "wb") as f:
         f.write(wrap_jp2(encode_jp2(jimg, levels=2, cb_exp=(4, 4),
                                     modes=0x2F, packed_headers="ppt",
@@ -2151,7 +2160,7 @@ def _q_interop_suite(spark, sf_dir):
     # exactly 4x, so DuckDB's closed form is 4 * sum(cb)
     cb_ = ((rr[:jh // 2, :jw // 2] * 5 + cc[:jh // 2, :jw // 2] * 3)
            % 53).astype(np.uint8)
-    jp2s_path = tempfile.mktemp(suffix=".jp2", prefix="rf_jp2s_oracle_")
+    jp2s_path = _tmppath("rf_jp2s_oracle_", "f.jp2")
     with open(jp2s_path, "wb") as f:
         f.write(wrap_jp2(encode_jp2([jimg, cb_], levels=2, cb_exp=(4, 4),
                                     subsampling=[(1, 1), (2, 2)],
@@ -2178,7 +2187,7 @@ def _q_interop_suite(spark, sf_dir):
     # PCRL-first, the remaining resolutions RPCL) with 32-sample
     # precincts over the same closed-form pixels as jp2s, so any
     # packet-order desync in the POC/anchor machinery breaks the hash
-    poc_path = tempfile.mktemp(suffix=".jp2", prefix="rf_poc_oracle_")
+    poc_path = _tmppath("rf_poc_oracle_", "f.jp2")
     with open(poc_path, "wb") as f:
         f.write(wrap_jp2(encode_jp2([jimg, cb_], levels=2, cb_exp=(4, 4),
                                     precinct=5,

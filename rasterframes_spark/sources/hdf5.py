@@ -443,21 +443,30 @@ class H5File:
         hd = self._mread(heap_addr, 32)
         if hd[:4] != b"HEAP":
             raise ValueError("hdf5: bad local heap signature")
+        (dsize,) = struct.unpack_from("<Q", hd, 8)
         (dseg,) = struct.unpack_from("<Q", hd, 24)
-        # bounded NUL scan in growing chunks (link names are short; a
-        # corrupt unterminated heap must not scan the whole file)
+        # bounded NUL scan in growing chunks.  The bound is the heap's
+        # OWN declared data-segment size (ADVICE r12 #4 — a fixed 4096
+        # rejected spec-legal link names longer than that), further
+        # clamped by the file size, so a corrupt header still can't
+        # demand more than one linear pass over real bytes.
         pos = dseg + off
+        if off >= dsize:
+            raise ValueError("hdf5: heap string offset past data segment")
+        limit = min(dsize - off, max(0, self._size - pos))
         buf = b""
         step = 64
-        while len(buf) < 4096:
-            n = min(step, self._size - pos - len(buf))
+        while len(buf) < limit:
+            n = min(step, limit - len(buf))
             if n <= 0:
-                raise ValueError("hdf5: heap string past end of file")
+                break
             buf += self._mread(pos + len(buf), n)
             i = buf.find(0)
             if i >= 0:
                 return buf[:i].decode("utf-8")
             step *= 2
+        if not buf and limit <= 0:
+            raise ValueError("hdf5: heap string past end of file")
         raise ValueError("hdf5: unterminated heap string")
 
     def _walk_group_btree(self, addr: int, heap: int, out: list):

@@ -248,15 +248,6 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
             if h == 0 or w == 0 or h * w > _MAX_PIXELS:
                 raise ValueError(f"jpeg: frame {w}x{h} out of bounds "
                                  f"(cap {_MAX_PIXELS} pixels)")
-            # data-proportional bound (r12 fuzz): every 8x8 block costs
-            # >= ~2 entropy bits (DC size code + EOB), so a real frame
-            # needs >= h*w/256 compressed bytes (0.03 bpp — far below
-            # any real encoder's floor).  A mutated SOF dim just under
-            # the absolute cap otherwise buys seconds of Huffman-decode
-            # work from a KB-scale file.
-            if h * w > 256 * len(buf):
-                raise ValueError(f"jpeg: frame {w}x{h} implausible for "
-                                 f"{len(buf)}-byte stream")
             if len(seg) < 6 + 3 * nc:
                 raise ValueError("jpeg: truncated SOF component list")
             comps = []
@@ -267,6 +258,25 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
                     raise ValueError(
                         f"jpeg: sampling factors {hh}x{vv} out of range")
                 comps.append({"id": cid, "h": hh, "v": vv, "tq": tq})
+            # data-proportional bound (r12 fuzz; refined r13, ADVICE r12
+            # #1): every 8x8 block costs >= 1 entropy bit in SOME scan
+            # (a DC size/first-pass code is at least one Huffman bit),
+            # so a real frame needs >= total_blocks/8 compressed bytes.
+            # Block count comes from the ACTUAL sampling factors — the
+            # old h*w/256-bytes form assumed >= one block per 64 pixels
+            # (luma at max factors), which over-rejected spec-legal
+            # frames whose max factor sits on a non-luma component (up
+            # to 16x fewer blocks per pixel).  A mutated SOF dim just
+            # under the absolute cap otherwise buys seconds of
+            # Huffman-decode work from a KB-scale file.
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            total_blocks = sum(
+                -(-w * c["h"] // (8 * hmax)) * -(-h * c["v"] // (8 * vmax))
+                for c in comps)
+            if total_blocks > 8 * len(buf):
+                raise ValueError(f"jpeg: frame {w}x{h} implausible for "
+                                 f"{len(buf)}-byte stream")
             frame = {"h": h, "w": w, "comps": comps,
                      "progressive": marker == 0xC2}
             if frame["progressive"]:

@@ -17,6 +17,16 @@ import numpy as np
 
 __all__ = ["encode_png", "decode_png"]
 
+# Decode-side allocation policy (named per ADVICE r12 #2 — mirrors
+# jpeg._MAX_PIXELS): the unfiltered-scanline buffer is sized from
+# header-declared dimensions, so this cap is the largest raw payload a
+# single decode may allocate on an executor.  1 GiB admits a
+# 16384x16384 RGB8 scene (768 MB raw) and any web-scraped image while
+# keeping a mutated-IHDR allocation bomb (r12 fuzz found a 172 GiB
+# np.zeros) bounded to one task's budget.  Raising it is an explicit
+# large-scene decision, not a fuzz-guard side effect.
+_MAX_RAW_BYTES = 1 << 30
+
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     return (
@@ -161,7 +171,7 @@ def _decode_png_impl(data: bytes) -> np.ndarray:
     # bound the inflate by the spec-exact expected length, and require
     # the decompressed stream to match it EXACTLY before allocating.
     if not (0 < w <= (1 << 24) and 0 < h <= (1 << 24)) \
-            or w * h * bpp > (1 << 29):
+            or w * h * bpp > _MAX_RAW_BYTES:
         raise ValueError("PNG: implausible dimensions")
     if interlace:
         expected = 0

@@ -424,3 +424,27 @@ def test_mp4_stts_run_count_bomb_expands_lazily():
     sizes, offsets, dts, sync = _expand_tables(tables, file_size=100)
     assert time.time() - t0 < 0.5
     assert list(dts) == [0, 5]
+
+
+def test_jpeg_plausibility_bound_scales_with_sampling_factors():
+    """ADVICE r12 #1: the old h*w > 256*len(buf) form assumed luma
+    holds the max sampling factors.  A frame whose max factor sits on a
+    NON-luma component has fewer luma blocks per pixel and must not be
+    rejected as implausible; the bound now counts actual blocks.  This
+    header-only stream (176x176, comps 1x1 / 2x2 / 1x1, 100 bytes)
+    fails the OLD bound (30976 > 25600) but is spec-plausible (726
+    blocks <= 800 bits available) — it must sail past the plausibility
+    check and fail only for having no scan."""
+    import struct
+
+    # payload: precision(1) h(2) w(2) nc(1) then per-comp id,hv,tq
+    payload = struct.pack(">BHHB", 8, 176, 176, 3)
+    payload += bytes([1, 0x11, 0])      # comp 1: 1x1
+    payload += bytes([2, 0x22, 1])      # comp 2: 2x2  (max, non-luma)
+    payload += bytes([3, 0x11, 1])      # comp 3: 1x1
+    seg = b"\xff\xc0" + struct.pack(">H", 2 + len(payload)) + payload
+    pad = b"\xff\xfe" + struct.pack(">H", 2 + 73) + b"p" * 73
+    buf = b"\xff\xd8" + seg + pad + b"\xff\xd9"
+    assert len(buf) == 100
+    with pytest.raises(ValueError, match="no scan data"):
+        jpeg.decode_jpeg(buf)

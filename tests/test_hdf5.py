@@ -233,3 +233,13 @@ def test_mutation_fuzz_never_wrong_exception():
                 parse(good[:int(cut)])
             except (ValueError, NotImplementedError, MemoryError):
                 pass
+
+
+def test_long_link_name_beyond_4096_bytes():
+    """ADVICE r12 #4: the heap-string NUL scan was capped at a fixed
+    4096 bytes, rejecting spec-legal link names longer than that.  The
+    bound is now the local heap's own data-segment size."""
+    name = "v" + "x" * 5000
+    a = np.arange(12, dtype="int32").reshape(3, 4)
+    f = _rt(lambda w: w.create_dataset(name, a))
+    np.testing.assert_array_equal(f.datasets["/" + name].read(), a)
