@@ -2211,9 +2211,64 @@ def _q_interop_suite(spark, sf_dir):
                     F.col("s1").cast("double").alias("v2"),
                     F.col("n").cast("double").alias("v3")))
 
+    # ---- 'sink' (r13, VERDICT r12 next #6): the DataFrame-level write
+    # path — the one surface class that was pytest-only — joins the
+    # hash-checked gate.  The tiles come from lineitem (the entry
+    # construction at module top), so the DuckDB side is a genuine
+    # query over the parquet, not literal arithmetic: k=0
+    # write_geotiff (GeoTiffDataSource.scala:61-102) mosaics 64 16x16
+    # float64 tiles (NaN NoData) into one 128x128 GeoTIFF; k=1
+    # write_jp2 writes the same grid as lossless uint16ud0 (4
+    # codestream tiles at 64x64); k=2 write_tiles
+    # (TilesDataSource.scala:47-230) emits one GeoTIFF per tile row +
+    # catalog.csv.  Each reads back DISTRIBUTED through read_raster
+    # and must reproduce sum(l_quantity), the chunk count, and the
+    # mosaic origin — a drift anywhere in mosaic placement, NoData
+    # propagation, cell-type conversion, or catalog plumbing breaks
+    # the hash.
+    from rasterframes_spark.sources.sinks import (
+        write_geotiff as sink_gt, write_jp2 as sink_jp2,
+        write_tiles as sink_tiles)
+
+    scol = (F.col("grp") % 8).cast("double") * 16.0
+    srow = F.floor(F.col("grp") / 8).cast("double") * 16.0
+    sext = F.struct(scol.alias("xmin"), srow.alias("ymin"),
+                    (scol + 16.0).alias("xmax"), (srow + 16.0).alias("ymax"))
+    sindf = _two_band(spark, sf_dir).select(
+        F.col("qty").alias("tile"), sext.alias("extent"),
+        F.lit("EPSG:32618").alias("crs"))
+    sg_path = _tmppath("rf_sink_oracle_gt_", "m.tif")
+    sink_gt(sindf, sg_path)
+    sj_path = _tmppath("rf_sink_oracle_jp2_", "m.jp2")
+    sink_jp2(sindf.select(
+        rf.rf_convert_cell_type("tile", "uint16ud0").alias("tile"),
+        "extent", "crs"), sj_path, tile_size=(64, 64))
+    st_dir = tempfile.mkdtemp(prefix="rf_sink_oracle_tiles_")
+    cat_path = sink_tiles(sindf, st_dir)
+    with open(cat_path) as f:
+        next(f)
+        st_paths = sorted(ln.split(",")[0] for ln in f if ln.strip())
+    sink_parts = []
+    for sk, (srcs, td) in enumerate([([sg_path], (32, 32)),
+                                     ([sj_path], (32, 32)),
+                                     (st_paths, (16, 16))]):
+        skdf = read_raster(spark, srcs, tile_dimensions=td)
+        sink_parts.append(
+            skdf.withColumn("tile", realize_tiles(F.col("tile_ref")))
+            .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+                 F.count("*").alias("n"),
+                 F.min("extent.xmin").alias("x0"))
+            .select(F.lit("sink").alias("family"),
+                    F.lit(sk).cast("long").alias("k"),
+                    F.col("s").cast("double").alias("v1"),
+                    F.col("n").cast("double").alias("v2"),
+                    F.col("x0").cast("double").alias("v3")))
+    sink = sink_parts[0].unionAll(sink_parts[1]).unionAll(sink_parts[2])
+
     return gt.unionAll(nc).unionAll(vrtg).unionAll(mrfg).unionAll(gb) \
         .unionAll(adpcm).unionAll(jpegp) \
-        .unionAll(jp2m).unionAll(jp2s).unionAll(pocf).select(*out_cols)
+        .unionAll(jp2m).unionAll(jp2s).unionAll(pocf) \
+        .unionAll(sink).select(*out_cols)
 
 
 def _q_tile_stats(spark, sf_dir):
@@ -2538,13 +2593,32 @@ def oracle_sql() -> dict[str, str]:
                       from (select unnest(range(20)) as i) a
                       cross join (select unnest(range(30)) as j) b) as v2,
                      4.0 as v3
+            ), sinkg as (
+              -- r13: DataFrame-level sinks (write_geotiff / write_jp2
+              -- / write_tiles) round-trip the lineitem-derived tiles;
+              -- v1 re-derives sum(l_quantity over kept cells) from
+              -- the parquet itself.  Chunk counts: one 128x128
+              -- mosaic at tile (32,32) = 16 for k=0/1; one file per
+              -- tile row = 64 for k=2.  Mosaic origin xmin = 0.
+              select 'sink' as family, cast(k as bigint) as k,
+                     (select cast(sum(qty) as double) from (
+                        select l_quantity as qty,
+                               row_number() over (
+                                 partition by l_orderkey % 64
+                                 order by l_orderkey, l_linenumber,
+                                          l_partkey, l_suppkey) - 1 as idx
+                        from lineitem) where idx < 256) as v1,
+                     case when k = 2 then 64.0 else 16.0 end as v2,
+                     0.0 as v3
+              from (select unnest(range(3)) as k)
             )
             select * from gt union all select * from ncg
             union all select * from vrtg union all select * from mrfg
             union all select * from gribg
             union all select * from adpcm union all select * from jpegp
             union all select * from jp2m union all select * from jp2s
-            union all select * from poc""",
+            union all select * from poc
+            union all select * from sinkg""",
         "normalized_difference": C + """
             select grp, round(sum((price - qty)/(price + qty)), 6) + 0.0 as nd_sum,
                    count(*) as n
