@@ -67,6 +67,8 @@ def compact_result_line(full: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
                  "x10p": v.get("x10_paired"),
                  "skew": v.get("max_over_median_task_shuffle_read"),
                  "spill": v.get("spilled_mb"),
+                 "recall": v.get("recall_vs_brute"),
+                 "rr": v.get("reran_for"),
                  # 1-decimal triples: the full file keeps millisecond
                  # precision; the line needs the SHAPE (chronological
                  # growth or not) to stay under the stdout budget
@@ -109,7 +111,8 @@ def compact_result_line(full: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
     if len(render()) > limit and isinstance(line.get("sf1"), dict):
         # drop skew/spill per leg before sacrificing sec + vs-10x
         line["sf1"] = {k: ({kk: v[kk] for kk in
-                            ("sec", "x10", "x10p", "runs", "gc", "steal")
+                            ("sec", "x10", "x10p", "runs", "gc", "steal",
+                             "recall", "rr")
                             if kk in v}
                            if isinstance(v, dict) else v)
                        for k, v in line["sf1"].items()}
@@ -119,11 +122,16 @@ def compact_result_line(full: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
         # file — shed the series before them
         line.pop("normalized_median", None)
     if len(render()) > limit and isinstance(line.get("sf1"), dict):
+        # keep the watchlist legs' CHRONOLOGY (the monotonic-growth
+        # signal) one stage longer than their per-run gc/steal columns
+        for v in line["sf1"].values():
+            if isinstance(v, dict):
+                v.pop("gc", None)
+                v.pop("steal", None)
+    if len(render()) > limit and isinstance(line.get("sf1"), dict):
         for v in line["sf1"].values():      # last resort before sec-only
             if isinstance(v, dict):
                 v.pop("runs", None)
-                v.pop("gc", None)
-                v.pop("steal", None)
     if len(render()) > limit and isinstance(line.get("sf1"), dict):
         line["sf1"] = {k: (v.get("sec") if isinstance(v, dict) else v)
                        for k, v in line["sf1"].items()}
@@ -261,6 +269,39 @@ def _steal_ticks():
         return None
 
 
+def _psi_cpu():
+    """(avg10_pct, total_stall_us) from /proc/pressure/cpu 'some' — on a
+    steal-prone shared VM, PSI separates 'my own load' from 'someone
+    else's' better than loadavg (VERDICT r12 polish #7)."""
+    try:
+        with open("/proc/pressure/cpu") as f:
+            parts = dict(kv.split("=") for kv in f.readline().split()[1:])
+        return float(parts["avg10"]), int(parts["total"])
+    except (OSError, KeyError, ValueError):
+        return None, None
+
+
+def _wait_for_quiet_host(thresh: float, max_wait: int = 600,
+                         poll: int = 15) -> int:
+    """Bounded wait-loop until max(load1, load5) <= thresh (VERDICT r12
+    #1: the official r12 driver record was contended=true and carried no
+    usable perf claim — the record must be clean BY CONSTRUCTION, not by
+    hoping the driver's scheduler left the host idle).  Returns seconds
+    waited; gives up after ``max_wait`` and lets the contended stamp
+    tell the truth."""
+    waited = 0
+    while waited < max_wait:
+        try:
+            l1, l5, _ = os.getloadavg()
+        except OSError:
+            return waited
+        if max(l1, l5) <= thresh:
+            return waited
+        time.sleep(poll)
+        waited += poll
+    return waited
+
+
 def _count_release(df) -> int:
     """count() then release the operator's cached-input handle
     (``_rf_cached_inputs``) — repeat hygiene (VERDICT r11 #1): a leg
@@ -304,12 +345,21 @@ def main():
     # clean at load1 while load5/load15 tell the truth); the threshold
     # drops to an eighth of the CPUs — the r11 doc_ingest GC-luck
     # diagnosis showed meaningful interference well below ncpu/4.
+    ncpu = os.cpu_count() or 1
+    quiet_thresh = max(2.0, ncpu / 8)
+    # r13 (VERDICT r12 #1): defend the record — wait (bounded) for the
+    # host to go quiet BEFORE sampling the stamp or starting the JVM,
+    # so the official record is clean by construction.  Skipped for
+    # cell-filtered A/B runs, whose caller owns the interleaving.
+    waited = 0
+    if not os.environ.get("SPARK_GRAFT_ONLY_CELLS"):
+        waited = _wait_for_quiet_host(quiet_thresh)
     try:
         load1, load5, load15 = (round(v, 2) for v in os.getloadavg())
     except OSError:
         load1 = load5 = load15 = None
-    ncpu = os.cpu_count() or 1
-    contended = load1 is not None and max(load1, load5) > max(2.0, ncpu / 8)
+    psi_avg10, _psi_t0 = _psi_cpu()
+    contended = load1 is not None and max(load1, load5) > quiet_thresh
 
     from pyspark.sql import functions as F
     import rasterframes_spark as rf
@@ -388,6 +438,15 @@ def main():
     run("cosine_topk", lambda: P.cosine_topk(
         emb, emb.orderBy("vec_id").limit(8).select(
             F.col("vec_id").alias("query_id"), "embedding"), k=10).count(), repeat=5)
+    # ANN scale pair, sf0.1 side (VERDICT r12 #4: similarity search was
+    # the only headline pipeline family with no sf1 rehearsal leg).
+    # Fixed 8-query set as localCheckpoint (untimed prep); the timed
+    # work is the full IVF path — coarse-quantizer training, corpus
+    # list assignment, probe join, exact rerank.
+    annq = (emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding").localCheckpoint())
+    run("ivf_ann", lambda: P.ivf_ann_topk(
+        emb, annq, k=10, n_lists=16, n_probe=3).count(), repeat=3)
     # PII scrub + Gopher repetition metrics: one narrow codegen'd
     # projection, no Python worker — the zero-UDF curation hot path
     run("scrub_repetition", lambda: P.repetition_metrics(
@@ -501,6 +560,17 @@ def main():
     run("baseline_assemble_100x256", lambda: force(rf.assemble_tiles(
         cells_b, ["id"], "column_index", "row_index", "tile", 256, 256, "uint16ud255")),
         repeat=7)
+    # r13 (VERDICT r12 #2): the assemble cell is SHUFFLE-BOUND (r9: the
+    # packed-int agg alone times at the raw-repartition floor —
+    # functions/constructors.py:349) and swings ±40% with the host, so
+    # its 2x-baseline bar is adjudicated FLOOR-NORMALIZED: this cell
+    # re-measures the raw shuffle of the same 6.55M input rows (no
+    # assemble kernel) in the same run, and the derived
+    # assemble_vs_shuffle_floor ratio is the cell's standing target
+    # (<= 2.2x) — both numerator and denominator move with the host
+    # together, which an absolute bar cannot do on this VM.
+    run("baseline_assemble_shuffle_floor", lambda: force(
+        cells_b.repartition("id")), repeat=7)
 
     # raster_join with real tile payloads (VERDICT r8 next #5: the one
     # heavy operator that had no scale cell): 80 x 256^2 left tiles,
@@ -604,7 +674,17 @@ def main():
             and str(sf) == "0.1" and not only:
         # contemporaneous sf0.1 controls for the watched legs: the
         # SAME work as the headline cells above, re-timed right before
-        # each sf1 repeat so x10_paired is steal-invariant
+        # each sf1 repeat so x10_paired is steal-invariant.  r13
+        # (VERDICT r12 #5): raster_join and doc_ingest join the paired
+        # set — their r12 triples carried the round's biggest recorded
+        # steal hits (69.2 s / 202.7 s inside single runs), so a
+        # start-of-suite denominator misattributed host decay to the
+        # operator.  The raster_join control inputs are
+        # localCheckpoints (clearCache does not evict them), timing
+        # only the join+agg — the same work as the headline cell.
+        from rasterframes_spark.operators import raster_join as _rjn
+        rjp_l, rjp_r = _rj_inputs(tile_df, 80)
+        rjp_l, rjp_r = rjp_l.localCheckpoint(), rjp_r.localCheckpoint()
         paired = {
             "minhash_dedup": lambda: _count_release(
                 P.minhash_dedup_pairs(docs, "doc_id", "text",
@@ -613,6 +693,10 @@ def main():
             "span_removal": lambda: P.remove_repeated_spans(
                 docs, n=10, min_docs=2, assume_unique_ids=True)
             .agg(F.sum(F.length("text"))).collect(),
+            "raster_join": lambda: _rjn(
+                rjp_l, rjp_r, cell_size_deg=1.0, cache_inputs=False)
+            .agg(F.sum(rf.rf_tile_sum("tile_right"))).collect(),
+            "doc_ingest": lambda: _ingest_chain_count(spark, warc01),
         }
         try:
             sf1 = _sf1_rehearsal(spark, sf_dir, timings, tile_df, paired)
@@ -635,6 +719,14 @@ def main():
         # because it is ~100% fixed cost
         "local_add_10x_vs_10x_baseline": round(
             timings["baseline_local_add_10x_1000x64"] / 0.600, 3),
+        # the adjudicated form of the assemble bar (VERDICT r12 #2):
+        # min/min and median/median vs the same-run raw-shuffle floor
+        "assemble_vs_shuffle_floor": round(
+            timings["baseline_assemble_100x256"]
+            / timings["baseline_assemble_shuffle_floor"], 3),
+        "assemble_vs_shuffle_floor_median": round(
+            medians["baseline_assemble_100x256"]
+            / medians["baseline_assemble_shuffle_floor"], 3),
     } if not only else {}
     # Host-drift normalization (VERDICT r6 #4): every cell divided by the
     # same run's no-op Arrow-floor cell.  The floor moves with the host
@@ -666,7 +758,16 @@ def main():
         "load1": load1,
         "load5": load5,
         "load15": load15,
+        "psi_cpu_avg10": psi_avg10,
+        "waited_for_quiet_sec": waited,
         "contended": contended,
+        # r13 (VERDICT r12 #3): measurement-semantics markers IN the
+        # record — these sf0.1 cells time COLD repeats since r12 (the
+        # signature/fingerprint cache is released per repeat), a ~2x
+        # step vs the r11 warm-repeat numbers at identical code.  A
+        # reader needs no folklore: a cell listed here compares only
+        # against other 'cold' records.
+        "semantics": {"minhash_dedup": "cold", "exact_substring": "cold"},
     }
     # the COMPLETE result goes to a file; stdout gets a compact line the
     # driver's 2000-char tail capture can never truncate (VERDICT r8 #1).
@@ -836,10 +937,11 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df, paired=None):
         CHRONOLOGICAL order with per-run jvmGcTime seconds
         (VERDICT r11 #2: sorting destroyed the monotonic-growth
         signal that distinguishes session decay from host noise)."""
-        runs = []      # chronological: (wall, metrics, gc_s, steal_s)
-        pair_walls = []
+        runs = []  # chronological: (wall, metrics, gc_s, steal_s, pair_w)
         pair_fn = (paired or {}).get(name)
-        for i in range(repeat):
+
+        def do_run():
+            pair_w = None
             if pair_fn is not None:
                 # contemporaneous control (r12): re-time the sf0.1
                 # counterpart IMMEDIATELY before each repeat, so the
@@ -849,7 +951,7 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df, paired=None):
                 # sf0.1 cells run minutes earlier on a fresher bucket
                 tp = time.time()
                 pair_fn()
-                pair_walls.append(round(time.time() - tp, 3))
+                pair_w = round(time.time() - tp, 3)
             wm = max_stage_id()
             g0, s0 = jvm_gc_ms(), _steal_ticks()
             t0 = time.time()
@@ -860,16 +962,54 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df, paired=None):
                     if g0 is not None and g1 is not None else None)
             steal_s = (round((s1 - s0) / 100.0, 1)
                        if s0 is not None and s1 is not None else None)
-            runs.append((wall, stage_metrics(wm), gc_s, steal_s))
+            runs.append((wall, stage_metrics(wm), gc_s, steal_s, pair_w))
             if repeat > 1:
                 spark.catalog.clearCache()
                 try:
                     spark.sparkContext._jvm.System.gc()
                 except Exception:   # noqa: BLE001 — hygiene only
                     pass
-        srt = sorted(runs, key=lambda r: r[0])
-        wall, m = srt[len(srt) // 2][0], srt[len(srt) // 2][1]
+
+        def _is_clean(r):
+            return r[3] is None or r[3] <= 0.25 * r[0]
+
+        for _ in range(repeat):
+            do_run()
+        # r13 re-run armor (VERDICT r12 #1 + #7): a set whose MEDIAN
+        # run carries steal > 25% of its wall, or whose spread exceeds
+        # the 1.5x done-criterion from r11, gets up to two extra runs
+        # after a settle pause — the record defends itself instead of
+        # relying on the reader to discount steal-hit medians.  All
+        # runs stay in the chronological record; only the median moves.
+        reran_for = []
+        while repeat > 1 and len(reran_for) < 2:
+            srt = sorted(runs, key=lambda r: r[0])
+            med = srt[len(srt) // 2]
+            walls = [r[0] for r in runs]
+            steal_hit = not _is_clean(med) and sum(
+                1 for r in runs if _is_clean(r)) < 2
+            spread_hit = min(walls) > 0 and max(walls) / min(walls) > 1.5
+            if not (steal_hit or spread_hit):
+                break
+            reran_for.append("steal" if steal_hit else "spread")
+            time.sleep(20)      # settle: delivered CPU recovers slowly
+            do_run()
+        # the recorded median prefers STEAL-CLEAN runs (steal <= 25% of
+        # wall) when at least two exist — the bench's own sustained load
+        # induces steal on this host, so late repeats are systematically
+        # contaminated; excluding measured-exogenous-interference runs
+        # from the median (never from the chronological record) is what
+        # makes the official record's medians clean by construction
+        clean = [r for r in runs if _is_clean(r)]
+        pool = clean if len(clean) >= 2 else runs
+        srt = sorted(pool, key=lambda r: r[0])
+        med = srt[len(srt) // 2]
+        wall, m = med[0], med[1]
         m["sec"] = wall
+        if len(clean) >= 2 and len(clean) < len(runs):
+            m["median_of"] = "clean"
+        if reran_for:
+            m["reran_for"] = reran_for
         if repeat > 1:
             m["runs"] = [r[0] for r in runs]        # time-ordered
             m["gc_sec"] = [r[2] for r in runs]
@@ -879,11 +1019,13 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df, paired=None):
             # scaling bar (banded/bucketed work grows ~linearly)
             m["vs_10x_sf01"] = round(
                 wall / (10 * sf01_timings[sf01_cell]), 2)
-        if pair_walls:
-            import statistics as _st
-            m["paired_sf01"] = pair_walls
-            m["x10_paired"] = round(
-                wall / (10 * _st.median(pair_walls)), 2)
+        if pair_fn is not None:
+            # r13: the ratio pairs the SELECTED median run with its OWN
+            # contemporaneous control — numerator and denominator saw
+            # the same host seconds, the strictest steal-invariant form
+            m["paired_sf01"] = [r[4] for r in runs]
+            if med[4]:
+                m["x10_paired"] = round(wall / (10 * med[4]), 2)
         out[name] = m
 
     cell("minhash_dedup",
@@ -900,6 +1042,27 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df, paired=None):
          sf01_cell="semantic_dedup", repeat=3)
     cell("decontaminate",
          lambda: P.decontaminate(docs10, docs01.limit(200)).count())
+    # ANN at 10x (VERDICT r12 #4): identical parameters to the sf0.1
+    # ivf_ann cell so x10 is an honest scaling ratio — same 8 queries,
+    # same 16-list/3-probe quantizer, corpus 10x.  Recall vs the exact
+    # brute-force top-k is pinned in the record (untimed — the bar is
+    # that the bucketed path stays both fast AND right at scale).
+    annq10 = (emb01.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding").localCheckpoint())
+    cell("ivf_ann",
+         lambda: P.ivf_ann_topk(emb10, annq10, k=10, n_lists=16,
+                                n_probe=3).count(),
+         sf01_cell="ivf_ann", repeat=3)
+    try:
+        ivf10 = P.ivf_ann_topk(emb10, annq10, k=10, n_lists=16, n_probe=3)
+        brute10 = P.cosine_topk(emb10, annq10, k=10)
+        n_brute = brute10.count()
+        hits = ivf10.join(brute10, ["query_id", "neighbor_id"]).count()
+        out["ivf_ann"]["recall_vs_brute"] = round(
+            hits / max(n_brute, 1), 3)
+    except Exception as e:          # noqa: BLE001 — diagnostics only
+        out["ivf_ann"]["recall_vs_brute"] = f"{type(e).__name__}: {e}"
+    spark.catalog.clearCache()
     cell("exact_substring",
          lambda: _count_release(
              P.exact_substring_pairs(docs10, "doc_id", "text", n=10)),

@@ -1,0 +1,198 @@
+"""Heavy mutation-fuzz sweep — the per-round discovery tool (the
+committed test_corruption_contract fuzzes are regression PINS, not
+discovery: the r12 sweep found 4 allocation/DoS bombs in paths those
+had passed for rounds).
+
+Contract under test: corrupt bytes surface as ValueError /
+NotImplementedError (format dispatch's "not this format") or
+MemoryError-free bounded work — NEVER IndexError / struct.error /
+KeyError / TypeError / OverflowError / RecursionError escapes, and
+never multi-second work from a KB-scale input (allocation/loop bombs).
+
+Usage:  python tools/fuzz_sweep.py [trials_per_surface] [surface ...]
+
+r13 rotation: the audio family (adpcm, mp3, aiff, au, ogg-opus/vorbis/
+flac, flac decode), the document family (pdf, docx, epub, man), the
+JSON/XML manifests (geojson, stac), avro container — plus the three
+surfaces whose guards changed this round (jpeg SOF bound, png cap,
+hdf5 heap strings).  The r12 sweep covered the image/video containers
+(png/mp4/jpeg/vrt/tiff/jp2/grib/netcdf).
+"""
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+OK = (ValueError, NotImplementedError)
+# zlib/zipfile raise their own error types for corrupt streams; parsers
+# that wrap them are expected to translate — list kept EXPLICIT so a
+# new leak class is a finding, not silently allowed
+SLOW_SEC = 1.0
+
+
+def _surfaces():
+    from rasterframes_spark.pipeline.audio import decode_wav
+    from rasterframes_spark.sources import avro_io as AV
+    from rasterframes_spark.sources import office as OF
+    from rasterframes_spark.sources import ogg_flac as OGF
+    from rasterframes_spark.sources import stac as ST
+    from rasterframes_spark.sources.adpcm import write_adpcm_wav
+    from rasterframes_spark.sources.aiff_au import (decode_aiff, decode_au,
+                                                    read_aiff_info,
+                                                    read_au_info)
+    from rasterframes_spark.sources.flac import decode_flac, encode_flac
+    from rasterframes_spark.sources.hdf5 import H5File, H5Writer
+    from rasterframes_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from rasterframes_spark.sources.mpeg_audio import (read_mp3_info,
+                                                       write_mp3_frames)
+    from rasterframes_spark.sources.pdf import pdf_extract_text, write_pdf
+    from rasterframes_spark.sources.png import decode_png, encode_png
+    from rasterframes_spark.sources.sinks import read_geojson  # noqa: F401
+
+    rng = np.random.default_rng(7)
+    pcm = (np.sin(np.linspace(0, 60, 6000)) * 18000).astype(np.int16)
+
+    surfaces = {}
+
+    surfaces["pdf"] = (
+        write_pdf(["Hello fuzz world. " * 40, "Second page text " * 30]),
+        lambda b: pdf_extract_text(b))
+    surfaces["docx"] = (
+        OF.write_docx(["para one " * 20, "para two " * 20, "x" * 300]),
+        OF.read_docx_text)
+    surfaces["epub"] = (
+        OF.write_epub(["<html><body><p>ch one</p></body></html>",
+                       "<html><body><p>ch two</p></body></html>"]),
+        OF.read_epub_text)
+    man = (b".TH FUZZ 1\n.SH NAME\nfuzz \\- a manual page\n.SH "
+           b"DESCRIPTION\n.B bold\ntext line\n.PP\n" + b"more text\n" * 40)
+    surfaces["man"] = (man, lambda b: OF.read_man_text(b))
+
+    surfaces["adpcm_ima"] = (write_adpcm_wav(pcm, 8000, codec="ima"),
+                             decode_wav)
+    surfaces["adpcm_ms"] = (write_adpcm_wav(pcm, 8000, codec="ms"),
+                            decode_wav)
+    surfaces["mp3"] = (write_mp3_frames(60, kbps=128, rate=44100,
+                                        channels=2),
+                       read_mp3_info)
+    surfaces["flac"] = (encode_flac(pcm, 8000), decode_flac)
+    surfaces["flac_info"] = (encode_flac(pcm, 8000), OGF.read_flac_info)
+    surfaces["ogg_opus"] = (OGF.write_ogg_opus(48000 * 2), OGF.read_ogg_info)
+    surfaces["ogg_vorbis"] = (OGF.write_ogg_vorbis(44100), OGF.read_ogg_info)
+    surfaces["ogg_flac"] = (OGF.write_ogg_flac(encode_flac(pcm, 8000)),
+                            OGF.read_ogg_info)
+
+    import os
+    fix = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+
+    def _fx(name):
+        p = os.path.join(fix, name)
+        return open(p, "rb").read() if os.path.exists(p) else None
+
+    aiff = _fx("pluck-pcm16.aiff")
+    if aiff:
+        surfaces["aiff"] = (aiff, decode_aiff)
+        surfaces["aiff_info"] = (aiff, read_aiff_info)
+    au = _fx("pluck-pcm16.au")
+    if au:
+        surfaces["au"] = (au, decode_au)
+        surfaces["au_info"] = (au, read_au_info)
+
+    schema = {"type": "record", "name": "KV", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "vals", "type": {"type": "array", "items": "double"}}]}
+    rows = [{"id": i, "name": f"r{i}", "vals": [1.5 * i, 2.5]}
+            for i in range(40)]
+    surfaces["avro"] = (AV.write_container(rows, schema),
+                        lambda b: AV.read_container(b))
+
+    import json
+    gj = json.dumps({"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"name": f"z{i}", "zone": i},
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]}}
+        for i in range(10)]}).encode()
+
+    def parse_gj(b):
+        from rasterframes_spark.sources.sinks import _geojson_to_geom
+        d = json.loads(b.decode("utf-8", errors="strict"))
+        for f in d.get("features", []):
+            _geojson_to_geom(f.get("geometry") or {})
+
+    surfaces["geojson"] = (gj, parse_gj)
+
+    # (STAC item handling is driver-side json + Spark createDataFrame —
+    # no byte-level parser of its own to fuzz here; geojson covers the
+    # shared geometry-dict layer.)
+    del ST
+
+    # r13-changed guard paths
+    img = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+    surfaces["jpeg"] = (encode_jpeg(img), decode_jpeg)
+    surfaces["png"] = (encode_png(img), decode_png)
+    w = H5Writer()
+    w.create_dataset("v" + "x" * 500,
+                     np.arange(120, dtype="int32").reshape(10, 12))
+    surfaces["hdf5"] = (w.tobytes(), lambda b: [
+        d.read() for d in H5File(b).datasets.values()])
+    return surfaces
+
+
+def sweep(name, good, parse, trials, rng):
+    bad, slow = [], []
+    t_start = time.time()
+    for t in range(trials):
+        b = bytearray(good)
+        n_mut = int(rng.integers(1, 6))
+        for _ in range(n_mut):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        if rng.random() < 0.15:
+            b = b[:int(rng.integers(1, len(b)))]
+        t0 = time.time()
+        try:
+            parse(bytes(b))
+        except OK:
+            pass
+        except MemoryError:
+            bad.append((t, "MemoryError", ""))
+        except RecursionError:
+            bad.append((t, "RecursionError", ""))
+        except Exception as e:  # noqa: BLE001 — the finding class
+            bad.append((t, type(e).__name__,
+                        traceback.format_exc().splitlines()[-3:]))
+        dt = time.time() - t0
+        if dt > SLOW_SEC:
+            slow.append((t, round(dt, 2)))
+    return bad, slow, round(time.time() - t_start, 1)
+
+
+def main():
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    only = set(sys.argv[2:])
+    surfaces = _surfaces()
+    rng = np.random.default_rng(13)
+    total_bad = 0
+    for name, (good, parse) in surfaces.items():
+        if only and name not in only:
+            continue
+        bad, slow, wall = sweep(name, good, parse, trials, rng)
+        status = "OK" if not bad and not slow else "VIOLATIONS"
+        print(f"{name:12s} {trials} trials {wall:7.1f}s  {status}  "
+              f"bad={len(bad)} slow={len(slow)}")
+        for t, exc, tb in bad[:5]:
+            print(f"   trial {t}: {exc}  {tb}")
+        for t, dt in slow[:5]:
+            print(f"   trial {t}: SLOW {dt}s")
+        total_bad += len(bad) + len(slow)
+    print(f"TOTAL violations: {total_bad}")
+    sys.exit(1 if total_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
