@@ -214,8 +214,14 @@ def read_geojson(spark: SparkSession, path: str, crs: str = "EPSG:4326") -> Data
             if txt is None:
                 out.append(None)
                 continue
-            gj = json.loads(txt)
-            out.append(G.wkb_dumps(_geojson_to_geom(gj)))
+            # one malformed feature costs ONE null-geometry row, never
+            # the task (r13 fuzz: bad geometry dicts used to escape as
+            # KeyError/TypeError and kill the executor batch)
+            try:
+                gj = json.loads(txt)
+                out.append(G.wkb_dumps(_geojson_to_geom(gj)))
+            except (ValueError, NotImplementedError):
+                out.append(None)
         return pd.Series(out, dtype=object)
 
     return feats.select(geom_udf("__geojson").alias("geometry"),
@@ -232,25 +238,46 @@ def _norm_coords(c):
     return c
 
 
-def _geojson_to_geom(gj: dict):
+def _geojson_to_geom(gj: dict, _depth: int = 0):
+    """Geometry dict -> internal geometry tuple.  Malformed input is a
+    contract ValueError (r13 fuzz: mutated-but-still-JSON geometries
+    leaked KeyError/TypeError/IndexError out of read_geojson's pandas
+    UDF — a bad feature in a real crawl must cost one row, not the
+    task); nesting bounded so a self-referential collection can't
+    recurse the worker to death."""
+    if _depth > 8:
+        raise ValueError("geojson: geometry nesting too deep")
+    if not isinstance(gj, dict) or "type" not in gj:
+        raise ValueError("geojson: geometry object missing 'type'")
     t = gj["type"]
-    c = _norm_coords(gj.get("coordinates"))
-    if t == "Point":
-        return ("Point", (float(c[0]), float(c[1])))
-    if t == "LineString":
-        return ("LineString", [(float(x), float(y)) for x, y, *_ in c])
-    if t == "Polygon":
-        return ("Polygon", [[(float(x), float(y)) for x, y, *_ in ring] for ring in c])
-    if t == "MultiPoint":
-        return ("MultiPoint", [(float(x), float(y)) for x, y, *_ in c])
-    if t == "MultiLineString":
-        return ("MultiLineString", [[(float(x), float(y)) for x, y, *_ in l] for l in c])
-    if t == "MultiPolygon":
-        return ("MultiPolygon", [[[(float(x), float(y)) for x, y, *_ in ring]
-                                  for ring in poly] for poly in c])
-    if t == "GeometryCollection":
-        return ("GeometryCollection", [_geojson_to_geom(g) for g in gj["geometries"]])
-    raise ValueError(t)
+    try:
+        c = _norm_coords(gj.get("coordinates"))
+        if t == "Point":
+            return ("Point", (float(c[0]), float(c[1])))
+        if t == "LineString":
+            return ("LineString", [(float(x), float(y)) for x, y, *_ in c])
+        if t == "Polygon":
+            return ("Polygon", [[(float(x), float(y)) for x, y, *_ in ring]
+                                for ring in c])
+        if t == "MultiPoint":
+            return ("MultiPoint", [(float(x), float(y)) for x, y, *_ in c])
+        if t == "MultiLineString":
+            return ("MultiLineString",
+                    [[(float(x), float(y)) for x, y, *_ in l] for l in c])
+        if t == "MultiPolygon":
+            return ("MultiPolygon",
+                    [[[(float(x), float(y)) for x, y, *_ in ring]
+                      for ring in poly] for poly in c])
+        if t == "GeometryCollection":
+            return ("GeometryCollection",
+                    [_geojson_to_geom(g, _depth + 1)
+                     for g in gj["geometries"]])
+    except ValueError:
+        raise
+    except Exception as e:   # KeyError/TypeError/IndexError from bad shape
+        raise ValueError(f"geojson: malformed {t} geometry: "
+                         f"{type(e).__name__}") from e
+    raise ValueError(f"geojson: unknown geometry type {t!r}")
 
 
 def write_slippy(df: DataFrame, directory: str, zoom: int = 4,

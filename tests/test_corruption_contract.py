@@ -198,3 +198,69 @@ def test_lazy_adapter_paths_grib_netcdf():
                 mod.read_window(src, info, 0, 0, 4, 4)
             except _OK:
                 pass
+
+
+def test_geojson_geometry_dicts():
+    """r13 sweep finding: mutated-but-still-JSON geometry dicts leaked
+    KeyError ('type' gone), TypeError (coordinates -> null), and
+    IndexError out of read_geojson's pandas UDF — a malformed feature
+    in a real crawl must surface as the contract ValueError (one bad
+    row), never crash the task.  Nesting is depth-bounded."""
+    import json
+
+    from rasterframes_spark.sources.sinks import _geojson_to_geom
+
+    good = json.dumps({"type": "Polygon", "coordinates":
+                       [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]}).encode()
+
+    def parse(b):
+        _geojson_to_geom(json.loads(b.decode("utf-8", errors="strict")))
+
+    _fuzz(good, parse, trials=400)
+    for bad in ({}, {"type": "Polygon"}, {"type": "Polygon",
+                                          "coordinates": None},
+                {"type": "Point", "coordinates": []},
+                {"type": "Nope", "coordinates": []},
+                {"type": "GeometryCollection", "geometries": [None]},
+                "not a dict", None, 7):
+        try:
+            _geojson_to_geom(bad)
+            raise AssertionError(f"accepted {bad!r}")
+        except _OK:
+            pass
+    # depth bomb: nested collections refuse at the bound
+    g = {"type": "Point", "coordinates": [1, 2]}
+    for _ in range(40):
+        g = {"type": "GeometryCollection", "geometries": [g]}
+    try:
+        _geojson_to_geom(g)
+        raise AssertionError("accepted 40-deep nesting")
+    except _OK:
+        pass
+
+
+def test_read_geojson_malformed_feature_costs_one_row(spark, tmp_path):
+    """The Spark-level form of the r13 geojson finding: a crawl file
+    mixing valid and malformed features yields null geometry for the
+    bad rows — the batch and its valid rows survive."""
+    import json
+
+    from rasterframes_spark.sources.sinks import read_geojson
+
+    gj = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"name": "good", "zone": 1},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4],
+                                       [0, 0]]]}},
+        {"type": "Feature", "properties": {"name": "bad", "zone": 2},
+         "geometry": {"type": "Polygon", "coordinates": None}},
+        {"type": "Feature", "properties": {"name": "worse", "zone": 3},
+         "geometry": {"type": "Nope", "coordinates": [[1, 2]]}},
+    ]}
+    p = str(tmp_path / "mixed.geojson")
+    with open(p, "w") as f:
+        json.dump(gj, f)
+    df = read_geojson(spark, p)
+    rows = df.select("name", df.geometry.isNotNull().alias("g")).collect()
+    assert sorted((r["name"], r["g"]) for r in rows) == [
+        ("bad", False), ("good", True), ("worse", False)]

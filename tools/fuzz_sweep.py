@@ -73,9 +73,9 @@ def _surfaces():
            b"DESCRIPTION\n.B bold\ntext line\n.PP\n" + b"more text\n" * 40)
     surfaces["man"] = (man, lambda b: OF.read_man_text(b))
 
-    surfaces["adpcm_ima"] = (write_adpcm_wav(pcm, 8000, codec="ima"),
+    surfaces["adpcm_ima"] = (write_adpcm_wav(pcm, 8000, fmt="ima"),
                              decode_wav)
-    surfaces["adpcm_ms"] = (write_adpcm_wav(pcm, 8000, codec="ms"),
+    surfaces["adpcm_ms"] = (write_adpcm_wav(pcm, 8000, fmt="ms"),
                             decode_wav)
     surfaces["mp3"] = (write_mp3_frames(60, kbps=128, rate=44100,
                                         channels=2),
