@@ -69,6 +69,7 @@ def compact_result_line(full: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
                  "spill": v.get("spilled_mb"),
                  "recall": v.get("recall_vs_brute"),
                  "rr": v.get("reran_for"),
+                 "mo": v.get("median_of"),
                  # 1-decimal triples: the full file keeps millisecond
                  # precision; the line needs the SHAPE (chronological
                  # growth or not) to stay under the stdout budget
@@ -112,7 +113,7 @@ def compact_result_line(full: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
         # drop skew/spill per leg before sacrificing sec + vs-10x
         line["sf1"] = {k: ({kk: v[kk] for kk in
                             ("sec", "x10", "x10p", "runs", "gc", "steal",
-                             "recall", "rr")
+                             "recall", "rr", "mo")
                             if kk in v}
                            if isinstance(v, dict) else v)
                        for k, v in line["sf1"].items()}
