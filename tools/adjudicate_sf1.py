@@ -18,7 +18,7 @@ the leg.  Output: one JSON line {"leg", "sf_dir", "runs": [sec...],
 
 Usage:
     python tools/adjudicate_sf1.py [leg] [N]      # default minhash 5
-Legs: minhash_dedup, span_removal, exact_substring, semantic_dedup
+Legs: minhash_dedup, span_removal, exact_substring, semantic_dedup, ivf_ann
 """
 from __future__ import annotations
 
@@ -61,6 +61,17 @@ t0 = time.time()
 n = P.semantic_dedup(emb10, "vec_id", "embedding", n_clusters=64,
                      threshold=0.97, pairs_method="blas") \\
     .where("kept").count()
+wall = time.time() - t0
+""",
+    "ivf_ann": """
+emb10 = _emb10(spark, sf_dir)
+annq = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .localCheckpoint())
+annq.count()
+t0 = time.time()
+n = P.ivf_ann_topk(emb10, annq, k=10, n_lists=16, n_probe=3).count()
 wall = time.time() - t0
 """,
 }
