@@ -1509,9 +1509,33 @@ def _q_curation(spark, sf_dir):
         F.col("doc_id").cast("string").alias("key"),
         F.length(P.canonicalize_url(vurl)).cast("long").alias("val"))
 
+    # line-dedup family (r13, pipeline/dedup.py remove_duplicated_lines,
+    # the CCNet §4.1 boilerplate-line surgery): three-line fixture docs
+    # — two content lines sliced from the text's words, one 'boiler k'
+    # line shared by every doc_id % 5 == k — the duplicated lines must
+    # survive ONLY in their smallest holder.  The rebuilt text itself
+    # rides in `key`, so both engines must agree byte-for-byte on the
+    # census, the keep-first policy, empty-line preservation, and line
+    # order.
+    ldw = F.split(F.col("text"), " ")
+    ldfix = docs.where(F.col("doc_id") < 240).select(
+        "doc_id",
+        F.concat_ws("\n",
+                    F.concat_ws(" ", F.slice(ldw, 1, 6)),
+                    F.concat(F.lit("boiler "),
+                             (F.col("doc_id") % 5).cast("string")),
+                    F.concat_ws(" ", F.slice(ldw, 7, 6))).alias("text"))
+    ldd = P.remove_duplicated_lines(
+        ldfix, min_docs=2, keep_first=True,
+        assume_unique_ids=True).select(
+        F.lit("linededup").alias("family"),
+        F.col("text").alias("key"),
+        F.col("doc_id").cast("long").alias("val"))
+
     out = kept
     for part in (srcd, dec, pii_em, pii_ip, urld, rep_extra, rep_top2,
-                 sub, sp, rm, rma, c4len, c4keep, gsw, gpass, ucanon):
+                 sub, sp, rm, rma, c4len, c4keep, gsw, gpass, ucanon,
+                 ldd):
         out = out.unionByName(part)
     return out
 
@@ -3312,6 +3336,26 @@ def oracle_sql() -> dict[str, str]:
         "curation": """
             with newdocs as (select * from documents where doc_id % 2 = 0),
             refdocs as (select * from documents where doc_id % 3 = 0),
+            ldfix as (
+              select doc_id,
+                     concat_ws(chr(10),
+                       array_to_string((string_split(text, ' '))[1:6], ' '),
+                       'boiler ' || cast(doc_id % 5 as varchar),
+                       array_to_string((string_split(text, ' '))[7:12], ' ')
+                     ) as text
+              from documents where doc_id < 240),
+            ldlines as (
+              select doc_id, i + 1 as pos,
+                     string_split(text, chr(10))[i + 1] as ln
+              from ldfix, (select unnest(range(3)) as i)),
+            ldhot as (
+              select ln, min(doc_id) as keep
+              from ldlines where len(ln) > 0
+              group by ln having count(distinct doc_id) >= 2),
+            ldkept as (
+              select l.doc_id, l.pos, l.ln
+              from ldlines l left join ldhot h on l.ln = h.ln
+              where h.keep is null or l.doc_id = h.keep),
             toks as (
               select doc_id, string_split(text, ' ') as t
               from documents where doc_id < 40
@@ -3555,7 +3599,15 @@ def oracle_sql() -> dict[str, str]:
                         + case when bl then 3 else 0 end
                         + case when el then 2 else 0 end
                         + case when sy then 3 else 0 end as double))
-                  <= 0.02""",
+                  <= 0.02
+            union all
+            -- r13: CCNet line-dedup — rebuilt text byte-compared in key
+            select 'linededup', coalesce(k.key, ''),
+                   cast(f.doc_id as bigint)
+            from ldfix f left join (
+              select doc_id, string_agg(ln, chr(10) order by pos) as key
+              from ldkept group by doc_id) k
+            on f.doc_id = k.doc_id""",
         "ngram_jaccard": """
             with t as (
               select doc_id, lang, source,

@@ -30,6 +30,7 @@ __all__ = [
     "embedding_neardup_pairs", "dedup_clusters", "semantic_dedup",
     "token_gram_hashes", "flag_repeated_spans",
     "exact_substring_pairs", "remove_repeated_spans",
+    "remove_duplicated_lines",
 ]
 
 # 31-bit Mersenne prime: (a*x + b) with a,x,b < 2^31 fits in int64, so the
@@ -1094,3 +1095,80 @@ def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     keep_cols = [c for c in docs.columns if c != dst] \
         if dst in docs.columns else list(docs.columns)
     return rebuilt.select(*keep_cols, out_text.alias(dst))
+
+
+def remove_duplicated_lines(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", min_docs: int = 2,
+                            keep_first: bool = True,
+                            out_col: str | None = None, sep: str = "\n",
+                            assume_unique_ids: bool = False) -> DataFrame:
+    """Corpus-wide duplicated-LINE removal — the CCNet §4.1 /
+    RefinedWeb boilerplate-line surgery (navigation bars, cookie
+    banners, footers repeat verbatim across a crawl; within-document
+    repetition metrics in :mod:`pipeline.text` flag them, this removes
+    them).  A line is cut when it occurs (byte-identical) in at least
+    ``min_docs`` DISTINCT documents.  ``keep_first=True`` (CCNet's
+    first-seen policy, same convention as
+    :func:`remove_repeated_spans`) keeps every occurrence in the
+    holder with the smallest id and cuts the line everywhere else;
+    ``False`` cuts every copy.  ``out_col`` (default: replace
+    ``text_col``) receives the rebuilt text; line order is preserved
+    and EMPTY lines are never treated as duplicates (paragraph
+    structure survives).  NULL text stays NULL; a document whose every
+    line is cut comes back as the empty string.
+
+    ``sep`` splits as a Java regex and re-joins as a literal — the
+    plain defaults ("\\n" lines, "\\n\\n"-ish paragraphs via a literal
+    separator) behave identically on both sides; regex metacharacters
+    in ``sep`` would not.
+
+    Pure Catalyst (zero Python UDFs).  Scale shape: the duplicated-line
+    census shuffles 8-byte ``xxhash64(line)`` keys with map-side
+    partial aggregation (one (key, id)-distinct stage, then the
+    count), the per-occurrence flag join is keyed on the same 8-byte
+    hash (AQE skew-join splits the pathological all-docs-share-a-line
+    key), and the rebuild groups once on the doc id — the same
+    two-keyed-shuffles posture as :func:`remove_repeated_spans`.
+    Hash note: the census keys are 64-bit line hashes, so two DISTINCT
+    lines colliding would dedupe as one (2^-64-scale, the same
+    contract as the span/doc-digest operators).
+
+    No reference counterpart (build-brief training-data extension;
+    cf. CCNet, Wenzek et al. 2020 §4.1)."""
+    if not assume_unique_ids:
+        ids = docs.select(F.col(id_col).alias("__id"))
+        if ids.count() != ids.distinct().count():
+            raise ValueError(
+                f"remove_duplicated_lines: {id_col!r} must be unique "
+                "per document (the rebuilt text joins back on it)")
+    dst = out_col or text_col
+
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1))
+        .alias("__p", "__ln")).withColumn("__k", F.xxhash64("__ln"))
+    hot = (lines.where(F.length("__ln") > 0)
+           .select("__k", "__id")
+           .groupBy("__k")
+           .agg(F.count_distinct("__id").alias("__nd"),
+                F.min("__id").alias("__keep"))
+           .where(F.col("__nd") >= int(min_docs))
+           .select("__k", "__keep"))
+    kept = (lines.join(hot, "__k", "left")
+            .where(F.col("__keep").isNull()
+                   | (F.lit(bool(keep_first))
+                      & (F.col("__id") == F.col("__keep")))))
+    rebuilt = (kept.groupBy("__id")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("__p", "__ln"))).alias("__ls"))
+               .select(F.col("__id"),
+                       F.array_join(
+                           F.transform("__ls", lambda s: s["__ln"]),
+                           sep).alias("__new")))
+    joined = docs.join(rebuilt, docs[id_col] == rebuilt["__id"], "left") \
+        .drop("__id")
+    out_text = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")) \
+        .otherwise(F.coalesce(F.col("__new"), F.lit("")))
+    keep_cols = [c for c in docs.columns if c != dst] \
+        if dst in docs.columns else list(docs.columns)
+    return joined.select(*keep_cols, out_text.alias(dst))

@@ -1007,3 +1007,80 @@ def test_repeated_spans_rebuild_join_is_broadcast_pinned(spark):
         assert "hashpartitioning(doc_id" in plan
     finally:
         conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _brute_line_dedup(rows, min_docs, keep_first, sep="\n"):
+    """Python reference for remove_duplicated_lines."""
+    occ = {}
+    for i, t in rows:
+        if t is None:
+            continue
+        for ln in set(t.split(sep)):
+            if ln:
+                occ.setdefault(ln, set()).add(i)
+    hot = {ln: min(ids) for ln, ids in occ.items() if len(ids) >= min_docs}
+    out = {}
+    for i, t in rows:
+        if t is None:
+            out[i] = None
+            continue
+        out[i] = sep.join(
+            ln for ln in t.split(sep)
+            if ln not in hot or (keep_first and hot[ln] == i))
+    return out
+
+
+@pytest.mark.parametrize("keep_first", [True, False])
+def test_remove_duplicated_lines_matches_brute_force(spark, keep_first):
+    rng = np.random.default_rng(11)
+    boiler = [f"nav home about {k}" for k in range(4)]
+    rows = []
+    for i in range(60):
+        lines = [f"unique {i} body {rng.integers(1000)}"]
+        if i % 2 == 0:
+            lines.append(boiler[i % 4])      # shared across ~15 docs each
+        if i % 7 == 0:
+            lines.append("")                  # empty line: structure kept
+        lines.append(f"tail {i}")
+        if i % 9 == 0:
+            lines.append(boiler[0])           # second copy in same doc
+        rng.shuffle(lines)
+        rows.append((i, "\n".join(lines)))
+    rows.append((999, None))                  # null text stays null
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in P.remove_duplicated_lines(
+               df, min_docs=2, keep_first=keep_first).collect()}
+    want = _brute_line_dedup(rows, 2, keep_first)
+    assert got == want
+    # the pipeline is pure Catalyst — no Python-worker stage
+    plan = P.remove_duplicated_lines(
+        df, min_docs=2, keep_first=keep_first)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_remove_duplicated_lines_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "same\nsame2"), (2, "same\nsame2"), (3, "")],
+        "doc_id long, text string")
+    # keep_first=False: both copies cut -> empty strings
+    got = {r["doc_id"]: r["text"]
+           for r in P.remove_duplicated_lines(
+               df, keep_first=False).collect()}
+    assert got == {1: "", 2: "", 3: ""}
+    # keep_first=True: doc 1 (min id) keeps everything
+    got = {r["doc_id"]: r["text"]
+           for r in P.remove_duplicated_lines(
+               df, keep_first=True).collect()}
+    assert got == {1: "same\nsame2", 2: "", 3: ""}
+    # out_col leaves text in place; other columns survive
+    out = P.remove_duplicated_lines(
+        df.withColumn("src", F.lit("a")), keep_first=True,
+        out_col="clean").collect()
+    assert {"doc_id", "text", "src", "clean"} == set(out[0].asDict())
+    # duplicate ids refuse
+    dup = spark.createDataFrame([(1, "x"), (1, "y")],
+                                "doc_id long, text string")
+    with pytest.raises(ValueError, match="unique"):
+        P.remove_duplicated_lines(dup)
