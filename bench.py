@@ -255,6 +255,20 @@ def _build_warc_dir(docs_df, nparts: int = 16) -> str:
     return d
 
 
+def _line_fixture(d):
+    """3-line docs for the line-dedup cells: two content lines sliced
+    from the text's words + one 'boiler k' line shared per
+    doc_id % 64 — hot census keys exist without being pathological."""
+    from pyspark.sql import functions as F
+
+    w = F.split(F.col("text"), " ")
+    return d.select("doc_id", F.concat_ws(
+        "\n",
+        F.concat_ws(" ", F.slice(w, 1, 8)),
+        F.concat(F.lit("boiler "), (F.col("doc_id") % 64).cast("string")),
+        F.concat_ws(" ", F.slice(w, 9, 8))).alias("text"))
+
+
 def _steal_ticks():
     """Cumulative hypervisor-steal clock ticks (USER_HZ=100) from
     /proc/stat — r12 adjudication instrument: this host is a shared VM
@@ -464,6 +478,11 @@ def main():
     run("semantic_dedup", lambda: P.semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=64, threshold=0.97,
         pairs_method="blas").where("kept").count(), repeat=3)
+    # r13: corpus-wide line dedup (pure Catalyst, the span_removal
+    # two-keyed-shuffles posture)
+    run("line_dedup", lambda: P.remove_duplicated_lines(
+        _line_fixture(docs), assume_unique_ids=True)
+        .agg(F.sum(F.length("text"))).collect(), repeat=3)
     run("exact_substring", lambda: _count_release(P.exact_substring_pairs(
         docs, "doc_id", "text", n=10)), repeat=3)
     run("span_removal", lambda: P.remove_repeated_spans(
@@ -1073,6 +1092,11 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df, paired=None):
                                          assume_unique_ids=True)
          .agg(F.sum(F.length("text"))).collect(),
          sf01_cell="span_removal", repeat=3)
+    cell("line_dedup",
+         lambda: P.remove_duplicated_lines(
+             _line_fixture(docs10), assume_unique_ids=True)
+         .agg(F.sum(F.length("text"))).collect(),
+         sf01_cell="line_dedup", repeat=3)
 
     # st_join / knn: 1.2M synthetic points (10x the sf0.1 cells' 120k;
     # coordinates are column arithmetic on lineitem keys) against the

@@ -20,7 +20,7 @@ from bench import STDOUT_LINE_LIMIT, compact_result_line  # noqa: E402
 CELLS = [
     "agg_stats", "local_add_sum", "normalized_difference", "mask_pipeline",
     "explode", "assemble", "quantiles", "text_metrics", "minhash_dedup",
-    "cosine_topk", "ivf_ann", "scrub_repetition", "semantic_dedup",
+    "cosine_topk", "ivf_ann", "line_dedup", "scrub_repetition", "semantic_dedup",
     "exact_substring",
     "span_removal", "st_join_points", "knn_points", "doc_ingest_chain",
     "baseline_agg_stats_400x240", "baseline_arrow_floor_100x64",
@@ -33,7 +33,7 @@ CELLS = [
 ]
 
 SF1_LEGS = ["minhash_dedup", "semantic_dedup", "decontaminate",
-            "ivf_ann", "exact_substring", "span_removal", "st_join", "knn",
+            "ivf_ann", "exact_substring", "span_removal", "line_dedup", "st_join", "knn",
             "raster_join", "doc_ingest"]
 
 
