@@ -39,6 +39,17 @@ def main(spark=None):
     docs = P.filter_by_domains(docs, ["spam.example"], mode="block")
     funnel.append(("domain_filter", docs.count()))
 
+    # 2b. corpus-wide boilerplate-line removal (CCNet §4.1): lines
+    # repeated verbatim across documents — nav bars, footers — are cut
+    # before any per-document quality metric sees them.  The synthetic
+    # corpus has no newlines, so plant a shared footer to show the
+    # stage doing real work (at crawl scale the footers come free).
+    docs = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit("\nsite footer (c) example")))
+    docs = P.remove_duplicated_lines(docs, min_docs=2, keep_first=False,
+                                     assume_unique_ids=True)
+    funnel.append(("line_dedup", docs.count()))
+
     # 3. repetition + quality gates (Gopher-style thresholds)
     docs = P.repetition_metrics(docs, "text", top_ns=(2,), dup_ns=(5,))
     docs = docs.where((F.col("dup_line_frac") <= 0.9)
