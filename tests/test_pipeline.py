@@ -1084,3 +1084,25 @@ def test_remove_duplicated_lines_edges(spark):
                                 "doc_id long, text string")
     with pytest.raises(ValueError, match="unique"):
         P.remove_duplicated_lines(dup)
+
+
+def test_remove_duplicated_lines_paragraph_mode(spark):
+    """sep is the unit boundary: with a paragraph separator the same
+    operator dedupes PARAGRAPHS (Dolma-style) — and the separator is
+    re-joined literally, so round-tripping preserves structure."""
+    shared = "shared paragraph of boilerplate"
+    df = spark.createDataFrame(
+        [(1, f"own one\n\n{shared}\n\nown two"),
+         (2, f"{shared}\n\ndifferent body")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in P.remove_duplicated_lines(
+               df, sep="\n\n", keep_first=False).collect()}
+    assert got == {1: "own one\n\nown two", 2: "different body"}
+    # single-newline lines inside a paragraph are untouched content
+    df2 = spark.createDataFrame(
+        [(1, "a\nb\n\nc"), (2, "a\nb\n\nd")], "doc_id long, text string")
+    got2 = {r["doc_id"]: r["text"]
+            for r in P.remove_duplicated_lines(
+                df2, sep="\n\n", keep_first=False).collect()}
+    assert got2 == {1: "c", 2: "d"}
