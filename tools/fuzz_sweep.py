@@ -141,6 +141,62 @@ def _surfaces():
                      np.arange(120, dtype="int32").reshape(10, 12))
     surfaces["hdf5"] = (w.tobytes(), lambda b: [
         d.read() for d in H5File(b).datasets.values()])
+
+    # the binary-container batch (the r12 ad-hoc sweep's surfaces,
+    # re-runnable here with fresh seeds each round)
+    from rasterframes_spark.sources import geotiff as GTF
+    from rasterframes_spark.sources import jp2 as J2
+    from rasterframes_spark.sources import mp4 as M4
+    from rasterframes_spark.sources import webm as WM
+    from rasterframes_spark.sources import webp as WP
+    from rasterframes_spark.sources.gif import decode_gif, encode_gif
+    from rasterframes_spark.sources.grib2 import parse_grib2, write_grib2
+    from rasterframes_spark.sources.netcdf import (read_netcdf_info,
+                                                   read_netcdf_var,
+                                                   write_netcdf)
+
+    a = (rng.random((40, 50)) * 100).astype("float64")
+    surfaces["tiff"] = (GTF.write_geotiff(a, (0, 0, 50, 40)),
+                        lambda b: GTF.read_full(b))
+    gg = ((np.mgrid[0:20, 0:30][0] * 7) % 53).astype("f8")
+    surfaces["grib2"] = (
+        write_grib2([gg], extent=(-100.0, 20.0, -70.0, 40.0)),
+        parse_grib2)
+    nc = write_netcdf({"v": (("y", "x"), gg),
+                       "y": (("y",), np.arange(20.0)),
+                       "x": (("x",), np.arange(30.0))},
+                      {"y": 20, "x": 30})
+    surfaces["netcdf"] = (nc, lambda b: (read_netcdf_info(b),
+                                         read_netcdf_var(b, "v")))
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    gimg = pal[rng.integers(0, 4, size=(24, 32))]
+    surfaces["gif"] = (encode_gif([gimg, gimg]), decode_gif)
+    surfaces["webp"] = (WP.encode_webp(img), WP.decode_webp)
+    samples = [bytes(rng.integers(0, 256, 40, dtype=np.uint8).tobytes())
+               for _ in range(12)]
+    def parse_mp4(b):
+        info = M4.read_mp4_info(b)
+        if info.tracks:
+            tr = info.tracks[0]
+            for i in range(min(3, len(tr.sizes))):
+                M4.extract_sample(b, tr, i)
+
+    surfaces["mp4"] = (M4.write_mp4(samples, [100] * 12), parse_mp4)
+    def parse_webm(b):
+        info = WM.read_webm_info(b)
+        if info.tracks:
+            tr = info.tracks[0]
+            for i in range(min(3, len(tr.sizes))):
+                WM.extract_frame(b, tr, i)
+
+    surfaces["webm"] = (WM.write_webm(samples, list(range(0, 1200, 100))),
+                        parse_webm)
+    j2img = (rng.random((64, 48)) * 1000).astype("uint16")
+    surfaces["jp2"] = (
+        J2.wrap_jp2(J2.encode_jp2(j2img, tile_size=(32, 32), levels=2,
+                                  depth=16), 48, 64, 16),
+        J2.decode_jp2)
     return surfaces
 
 
