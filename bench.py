@@ -726,6 +726,9 @@ def main():
         shutil.rmtree(warc01, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    _psi_t1 = _psi_cpu()[1]
+    psi_stall = (round((_psi_t1 - _psi_t0) / 1e6, 1)
+                 if _psi_t0 is not None and _psi_t1 is not None else None)
     floor = timings.get("baseline_arrow_floor_100x64", 0.0)
     derived = {
         "local_add_minus_floor": round(
@@ -779,6 +782,10 @@ def main():
         "load5": load5,
         "load15": load15,
         "psi_cpu_avg10": psi_avg10,
+        # whole-suite CPU-stall delta (PSI 'some' total): on this
+        # steal-prone VM it separates "my own load" from "someone
+        # else's" better than loadavg does over the run
+        "psi_stall_sec": psi_stall,
         "waited_for_quiet_sec": waited,
         "contended": contended,
         # r13 (VERDICT r12 #3): measurement-semantics markers IN the
@@ -1003,11 +1010,17 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df, paired=None):
         # runs stay in the chronological record; only the median moves.
         reran_for = []
         while repeat > 1 and len(reran_for) < 2:
-            srt = sorted(runs, key=lambda r: r[0])
+            # both triggers evaluate over the POOL the median will be
+            # drawn from (steal-clean runs when >= 2 exist): judging
+            # spread over steal-hit runs too made one contaminated run
+            # trip the criterion forever and burn both extra runs even
+            # when the clean pool was already tight
+            cpool = [r for r in runs if _is_clean(r)]
+            pool = cpool if len(cpool) >= 2 else runs
+            srt = sorted(pool, key=lambda r: r[0])
             med = srt[len(srt) // 2]
-            walls = [r[0] for r in runs]
-            steal_hit = not _is_clean(med) and sum(
-                1 for r in runs if _is_clean(r)) < 2
+            walls = [r[0] for r in pool]
+            steal_hit = not _is_clean(med)
             spread_hit = min(walls) > 0 and max(walls) / min(walls) > 1.5
             if not (steal_hit or spread_hit):
                 break
@@ -1044,7 +1057,7 @@ def _sf1_rehearsal(spark, sf_dir, sf01_timings, tile_df, paired=None):
             # contemporaneous control — numerator and denominator saw
             # the same host seconds, the strictest steal-invariant form
             m["paired_sf01"] = [r[4] for r in runs]
-            if med[4]:
+            if med[4] is not None and med[4] > 0:
                 m["x10_paired"] = round(wall / (10 * med[4]), 2)
         out[name] = m
 

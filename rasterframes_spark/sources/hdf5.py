@@ -454,19 +454,17 @@ class H5File:
         if off >= dsize:
             raise ValueError("hdf5: heap string offset past data segment")
         limit = min(dsize - off, max(0, self._size - pos))
+        if limit <= 0:
+            raise ValueError("hdf5: heap string past end of file")
         buf = b""
         step = 64
         while len(buf) < limit:
             n = min(step, limit - len(buf))
-            if n <= 0:
-                break
             buf += self._mread(pos + len(buf), n)
             i = buf.find(0)
             if i >= 0:
                 return buf[:i].decode("utf-8")
             step *= 2
-        if not buf and limit <= 0:
-            raise ValueError("hdf5: heap string past end of file")
         raise ValueError("hdf5: unterminated heap string")
 
     def _walk_group_btree(self, addr: int, heap: int, out: list):

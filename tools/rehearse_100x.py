@@ -32,14 +32,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _steal_ticks():
-    try:
-        with open("/proc/stat") as f:
-            return int(f.readline().split()[8])
-    except (OSError, IndexError, ValueError):
-        return None
-
-
 def main():
     only = set(sys.argv[1:]) or {"minhash", "st_join", "raster_join"}
 
@@ -48,6 +40,7 @@ def main():
     from pyspark.sql import functions as F
 
     import bench
+    from bench import _steal_ticks
     import rasterframes_spark as rf
     from rasterframes_spark import create_rf_spark_session
     from rasterframes_spark import pipeline as P
