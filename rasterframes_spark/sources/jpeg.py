@@ -248,6 +248,11 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
             if h == 0 or w == 0 or h * w > _MAX_PIXELS:
                 raise ValueError(f"jpeg: frame {w}x{h} out of bounds "
                                  f"(cap {_MAX_PIXELS} pixels)")
+            if nc == 0:
+                # explicit: zero components would otherwise survive to
+                # the hmax computation (max() over an empty sequence)
+                # and surface as an opaque ValueError (ADVICE r13)
+                raise ValueError("jpeg: SOF with zero components")
             if len(seg) < 6 + 3 * nc:
                 raise ValueError("jpeg: truncated SOF component list")
             comps = []

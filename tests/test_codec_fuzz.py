@@ -405,6 +405,22 @@ def test_jpeg_dimension_vs_stream_size_bound():
     assert time.time() - t0 < 0.5
 
 
+def test_jpeg_sof_zero_components_is_contract_error():
+    """ADVICE r13: nc==0 in a SOF used to survive to `max()` over an
+    empty comps list — the opaque 'max() arg is an empty sequence'
+    ValueError.  It must be an explicit, self-describing contract
+    error raised at the SOF itself."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (8, 8, 3)).astype("uint8")
+    good = jpeg.encode_jpeg(img)
+    i = good.find(b"\xff\xc0")
+    assert i > 0
+    bad = bytearray(good)
+    bad[i + 9] = 0  # SOF0 payload byte 5 (after len2): component count
+    with pytest.raises(ValueError, match="zero components"):
+        jpeg.decode_jpeg(bytes(bad))
+
+
 def test_mp4_stts_run_count_bomb_expands_lazily():
     """r12 fuzz: np.repeat over stts run counts materialized the FULL
     declared total (a corrupt u4 count of ~2^32 = tens of GB, a
