@@ -1532,10 +1532,37 @@ def _q_curation(spark, sf_dir):
         F.col("text").alias("key"),
         F.col("doc_id").cast("long").alias("val"))
 
+    # shard-manifest family (r14, VERDICT r13 #6): write_shards — the
+    # delivery sink — joins the gate through its ROUND-TRIP contract:
+    # 300 docs shard to 8 deterministic xxhash64 directories, read back
+    # from the parquet they landed in; one row per doc with its UTF-8
+    # byte length (content intact, exactly once — a doc dropped,
+    # duplicated, or truncated anywhere in the probe-routed write
+    # breaks rows or hash), plus a '_manifest' row pinning directory
+    # count x 1e6 + total rows.  The shard ASSIGNMENT itself is Spark
+    # xxhash64 (not SQL-expressible in DuckDB); determinism across
+    # runs/layouts stays pytest-pinned (test_curation.py).
+    import tempfile as _tf
+
+    sh_dir = _tf.mkdtemp(prefix="rf_shards_oracle_")
+    P.write_shards(docs.where(F.col("doc_id") < 300)
+                   .select("doc_id", "text"), sh_dir, 8, id_col="doc_id")
+    back = spark.read.parquet(sh_dir)
+    sh_rows = back.select(
+        F.lit("shards").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.octet_length("text").cast("long").alias("val"))
+    sh_manifest = back.agg(
+        F.count_distinct("__shard").alias("d"),
+        F.count("*").alias("n")).select(
+        F.lit("shards").alias("family"),
+        F.lit("_manifest").alias("key"),
+        (F.col("d") * 1000000 + F.col("n")).cast("long").alias("val"))
+
     out = kept
     for part in (srcd, dec, pii_em, pii_ip, urld, rep_extra, rep_top2,
                  sub, sp, rm, rma, c4len, c4keep, gsw, gpass, ucanon,
-                 ldd):
+                 ldd, sh_rows, sh_manifest):
         out = out.unionByName(part)
     return out
 
@@ -2287,7 +2314,38 @@ def _q_interop_suite(spark, sf_dir):
                     F.col("s").cast("double").alias("v1"),
                     F.col("n").cast("double").alias("v2"),
                     F.col("x0").cast("double").alias("v3")))
-    sink = sink_parts[0].unionAll(sink_parts[1]).unionAll(sink_parts[2])
+    # k=3 (r14, VERDICT r13 #6): write_geotrellis_layer — the remaining
+    # pytest-only sink — joins the gate: the SAME lineitem-derived 64
+    # qty tiles write to a GeoTrellis file-catalog layer (attribute
+    # store + Z-indexed Avro data files, driver-side by design like
+    # write_geotiff) at an 8x8 layout over (0,0,128,128), then read
+    # back DISTRIBUTED through read_geotrellis_layer; sum/count/origin
+    # must reproduce the identical DuckDB row (float64 tiles, NaN
+    # NoData riding the Avro floats).
+    g_rows = _two_band(spark, sf_dir).select(
+        "grp", F.col("qty").alias("tile")).collect()
+    g_tiles = []
+    for r in g_rows:
+        t = r["tile"]
+        a = np.frombuffer(bytes(t["cells"]), dtype="f8").reshape(
+            int(t["rows"]), int(t["cols"]))
+        g_tiles.append((int(r["grp"]) % 8, int(r["grp"]) // 8, a))
+    gl_dir = tempfile.mkdtemp(prefix="rf_sink_oracle_gtl_")
+    write_geotrellis_layer(g_tiles, gl_dir, "qty", 0,
+                           layout_extent=(0, 0, 128, 128),
+                           layout_cols=8, layout_rows=8)
+    sink_parts.append(
+        read_geotrellis_layer(spark, gl_dir, "qty", 0)
+        .agg(F.sum(rf.rf_tile_sum("tile")).alias("s"),
+             F.count("*").alias("n"),
+             F.min("extent.xmin").alias("x0"))
+        .select(F.lit("sink").alias("family"),
+                F.lit(3).cast("long").alias("k"),
+                F.col("s").cast("double").alias("v1"),
+                F.col("n").cast("double").alias("v2"),
+                F.col("x0").cast("double").alias("v3")))
+    sink = sink_parts[0].unionAll(sink_parts[1]) \
+        .unionAll(sink_parts[2]).unionAll(sink_parts[3])
 
     return gt.unionAll(nc).unionAll(vrtg).unionAll(mrfg).unionAll(gb) \
         .unionAll(adpcm).unionAll(jpegp) \
@@ -2632,9 +2690,9 @@ def oracle_sql() -> dict[str, str]:
                                  order by l_orderkey, l_linenumber,
                                           l_partkey, l_suppkey) - 1 as idx
                         from lineitem) where idx < 256) as v1,
-                     case when k = 2 then 64.0 else 16.0 end as v2,
+                     case when k in (2, 3) then 64.0 else 16.0 end as v2,
                      0.0 as v3
-              from (select unnest(range(3)) as k)
+              from (select unnest(range(4)) as k)
             )
             select * from gt union all select * from ncg
             union all select * from vrtg union all select * from mrfg
@@ -3607,7 +3665,17 @@ def oracle_sql() -> dict[str, str]:
             from ldfix f left join (
               select doc_id, string_agg(ln, chr(10) order by pos) as key
               from ldkept group by doc_id) k
-            on f.doc_id = k.doc_id""",
+            on f.doc_id = k.doc_id
+            union all
+            -- r14: write_shards round-trip — every doc exactly once,
+            -- content byte-intact, through the sharded parquet write
+            select 'shards', cast(doc_id as varchar),
+                   octet_length(encode(text))
+            from documents where doc_id < 300
+            union all
+            select 'shards', '_manifest',
+                   8 * 1000000 + (select count(*) from documents
+                                  where doc_id < 300)""",
         "ngram_jaccard": """
             with t as (
               select doc_id, lang, source,

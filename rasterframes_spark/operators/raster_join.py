@@ -150,8 +150,62 @@ _PAYLOAD_DDL = ("struct<tile:struct<cell_type:string,cols:int,rows:int,cells:bin
                 "crs:string>")
 
 
+_MERGE_TARGET_BYTES = 16 * 1024 * 1024  # per merge-shuffle partition
+_MERGE_MAX_PARTITIONS = 4096
+
+
+def _merge_shuffle_partitions(L, R, right_tiles, left_tile,
+                              left_crs) -> int | None:
+    """Size the merge-stage shuffles from estimated TILE VOLUME instead
+    of inheriting the session default (r13 100x rehearsal: an 8 GB
+    payload shuffle over 32 session partitions spilled 13 GB of disk in
+    the premerge sort — graceful, but partition count must scale with
+    data, VERDICT r13 #2).
+
+    One metadata-only aggregate per side prices rows x cols x rows x
+    dtype-width (width parsed from the cell_type's bit count; widthless
+    names price at the 8-byte upper bound).  Each payload byte crosses
+    ~2 merge shuffles (payload join + premerge, partials + final join),
+    so the estimate is 2x(L + R) over a 16 MiB/partition target — small
+    relative to Spark's usual 100-200 MB because the pandas merge
+    kernel inflates Arrow payloads ~2-4x in worker memory and the
+    premerge window-sort buffers whole groups (the 32 MiB form still
+    memory-spilled ~5 GB against local[32]'s 8g execution pool).  Returns
+    None (leave every plan untouched — the common small-join case) when
+    the sized count does not exceed the session default; capped at 4096
+    (beyond that, raise the session default — the cap is an AQE-era
+    sanity bound, not a tuning point)."""
+    spark = L.sparkSession
+    try:
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        default = 200
+
+    def vol(df, tile_cols):
+        try:
+            per_row = None
+            for tc in tile_cols:
+                width_bytes = F.coalesce(
+                    F.nullif(F.regexp_extract(
+                        F.col(f"{tc}.cell_type"), r"(\d+)", 1),
+                        F.lit("")).cast("long"),
+                    F.lit(64)) / F.lit(8)
+                b = (F.col(f"{tc}.cols").cast("long")
+                     * F.col(f"{tc}.rows").cast("long") * width_bytes)
+                per_row = b if per_row is None else per_row + b
+            return float(df.agg(F.sum(per_row)).head()[0] or 0.0)
+        except Exception:  # noqa: BLE001 — lazy-ref/odd schemas: no scaling
+            return 0.0
+
+    est = 2.0 * (vol(L, [left_tile]) + vol(R, right_tiles))
+    n = int(est // _MERGE_TARGET_BYTES) + 1
+    if n <= default:
+        return None
+    return min(n, _MERGE_MAX_PARTITIONS)
+
+
 def _chunked_premerge(L, matched, kernel, right_tiles, left_tile, left_extent,
-                      left_crs, max_fan_in: int):
+                      left_crs, max_fan_in: int, n_merge: int | None = None):
     """Two-level bounded merge: (lid, chunk) partial canvases on the left
     grid (each grouped task holds ≤ max_fan_in right tiles), then chunk-
     ordered partial list per lid. Output schema matches the single-pass
@@ -206,6 +260,11 @@ def _chunked_premerge(L, matched, kernel, right_tiles, left_tile, left_extent,
 
     partials = chunked.groupBy("__lid", "__lid2", "__chunk").applyInPandas(
         premerge, schema=mid_schema)
+    if n_merge:
+        # partial canvases re-shuffle for the chunk-order agg; sized
+        # hash partitioning on (lid,lid2) satisfies the agg's clustering
+        # so this REPLACES (not adds to) its exchange
+        partials = partials.repartition(n_merge, "__lid", "__lid2")
     return partials.groupBy("__lid", "__lid2").agg(
         *[F.transform(
             F.array_sort(F.collect_list(
@@ -248,6 +307,15 @@ def raster_join(
     fan-in is known small). ``cache_inputs=False`` keeps the operator
     fully lazy (no persist) when the caller manages caching or inputs are
     already materialized tables.
+
+    Merge-shuffle partitioning scales with estimated tile volume (one
+    metadata-only aggregate per side at plan time; see
+    :func:`_merge_shuffle_partitions`): joins whose payload exceeds the
+    session default's ~16 MiB/partition budget get sized explicit hash
+    partitioning on the left id instead of inheriting
+    ``spark.sql.shuffle.partitions`` — at 100x the sf1 leg that bound
+    cut the premerge sort's 13 GB disk spill to near zero; small joins
+    keep their exact unsized plans.
 
     Cache lifetime: the persisted stamped inputs stay alive as long as the
     returned DataFrame may be recomputed (Spark evicts them LRU / spills
@@ -356,7 +424,29 @@ def raster_join(
     # without the metadata pass ever touching cell data
     r_payload = r_payload.withColumn(
         "__rid3", F.xxhash64(*[F.col(f"__rp_{rt}") for rt in right_tiles]))
-    matched = pairs.join(r_payload, ["__rid", "__rid2"])
+    # volume-scaled merge shuffles (None = session default, plan as-is)
+    n_merge = _merge_shuffle_partitions(L, R, right_tiles, left_tile,
+                                        left_crs)
+    if n_merge:
+        # The payload join is where the r13 100x spill actually lived
+        # (per-stage attribution, PLANS.md r14): AQE coalesces the
+        # join's reduce partitions from the KB-scale pairs side, so the
+        # GB-scale payload sort-merge collapsed into ONE task that
+        # sort-spilled ~6 GB.  Sized explicit repartitioning of BOTH
+        # join inputs pins the parallelism (user repartitions are
+        # exempt from AQE coalescing), and the shuffle_hash hint builds
+        # on the small pairs side so the payload side is never sorted
+        # at all — sort spill cannot occur by construction.
+        pairs = pairs.repartition(n_merge, "__rid", "__rid2")
+        r_payload = r_payload.repartition(n_merge, "__rid", "__rid2")
+        matched = pairs.hint("shuffle_hash").join(
+            r_payload, ["__rid", "__rid2"])
+        # sized hash partitioning on the left id satisfies the window /
+        # premerge / final-agg clustering downstream, so this REPLACES
+        # the exchange those stages would insert anyway
+        matched = matched.repartition(n_merge, "__lid", "__lid2")
+    else:
+        matched = pairs.join(r_payload, ["__rid", "__rid2"])
     kernel = _merge_kernel(resampling)
 
     def _single_pass(m):
@@ -388,7 +478,7 @@ def raster_join(
         # 10% on small joins buys a hard per-task memory bound.
         grouped = _chunked_premerge(
             L, matched, kernel, right_tiles, left_tile, left_extent,
-            left_crs, int(max_fan_in))
+            left_crs, int(max_fan_in), n_merge=n_merge)
 
     joined = L.join(grouped, ["__lid", "__lid2"], "left")
     out_cols = [c for c in left.columns]

@@ -225,3 +225,35 @@ def test_sf1_triples_are_chronological_and_watchlist_sheds_last():
             "runs" in d2["sf1"]["semantic_dedup"]
         # watchlist never sheds before a non-watchlist leg
         assert got_mh or not got_sem
+
+
+def test_assemble_floor_bar_statistic_is_pinned():
+    """VERDICT r13 #3: the assemble floor bar's statistic is named, not
+    interpreted.  compute_derived must (a) compute the NORMATIVE
+    assemble_vs_shuffle_floor as min-over-min (the `timings` dict holds
+    min-of-reps), (b) stamp the form in-record as
+    assemble_vs_shuffle_floor_stat = min_over_min_paired, and (c) keep
+    the median ratio as a separately-named diagnostic field."""
+    from bench import compute_derived
+
+    timings = {  # mins — a case where min/min passes the 2.2x bar...
+        "baseline_arrow_floor_100x64": 0.22,
+        "baseline_local_add_100x64": 0.26,
+        "baseline_explode_100x256": 0.37,
+        "baseline_assemble_100x256": 0.70,
+        "baseline_assemble_shuffle_floor": 0.50,
+        "baseline_local_add_10x_1000x64": 0.24,
+    }
+    medians = dict(timings)  # ...and medians straddle it
+    medians["baseline_assemble_100x256"] = 0.80
+    medians["baseline_assemble_shuffle_floor"] = 0.33
+    d = compute_derived(timings, medians)
+    assert d["assemble_vs_shuffle_floor"] == round(0.70 / 0.50, 3)
+    assert d["assemble_vs_shuffle_floor_stat"] == "min_over_min_paired"
+    assert d["assemble_vs_shuffle_floor_median"] == round(0.80 / 0.33, 3)
+    # the normative form is the one under the BASELINE.md 2.2 bound
+    assert d["assemble_vs_shuffle_floor"] <= 2.2
+    # and BASELINE.md itself names the statistic
+    with open("/root/repo/BASELINE.md") as f:
+        text = f.read()
+    assert "MIN-over-MIN" in text and "min_over_min_paired" in text

@@ -18,7 +18,8 @@ driver.
 Not a bench leg (minutes per run); results are recorded in PLANS.md.
 
 Usage: python tools/rehearse_100x.py [leg ...]
-Legs: minhash, st_join, raster_join      (default: all three)
+Legs: minhash, st_join, raster_join, ivf_ann   (default: first three,
+the r13 set; ivf_ann added r14 — VERDICT r13 #5)
 """
 # NOTE: no `from __future__ import annotations` — it would stringify
 # the pandas_udf type hints and break signature inference
@@ -78,11 +79,23 @@ def main():
                 "readBytes") or q.get("shuffleReadBytes")
             if reads and reads[0] > 0:
                 skew = round(reads[-1] / reads[0], 2)
+        spillers = sorted(
+            ({"stage": s["stageId"],
+              "name": (s.get("name") or "")[:60],
+              "disk_mb": round(s.get("diskBytesSpilled", 0) / 1e6, 1),
+              "mem_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
+              "read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+              "tasks": s.get("numCompleteTasks")}
+             for s in stages
+             if s.get("diskBytesSpilled", 0)
+             + s.get("memoryBytesSpilled", 0) > 0),
+            key=lambda d: -(d["disk_mb"] + d["mem_mb"]))[:4]
         return {"shuffle_read_mb": round(tot_read / 1e6, 1),
                 "spilled_mb": round(spill / 1e6, 1),
                 "spilled_mem_mb": round(mspill / 1e6, 1),
                 "spilled_disk_mb": round(dspill / 1e6, 1),
-                "max_over_median_task_shuffle_read": skew}
+                "max_over_median_task_shuffle_read": skew,
+                "top_spill_stages": spillers}
 
     def leg(name, control_fn, fn, rows):
         # contemporaneous control: the sf0.1-shape work, timed NOW
@@ -223,6 +236,86 @@ def main():
                           .agg(F.sum(rf.rf_tile_sum("tile_right")))
                           .collect()[0][0]),
             8000))
+
+    if "ivf_ann" in only:
+        # 2M vectors = 100x the sf1 leg's 20k-replica corpus (the
+        # sf0.1 embeddings table is 2k rows), built with the bench's
+        # own +-50% per-component sin jitter parameterized by rep —
+        # unlimited pairwise-distinct replicas (cross-replica cosine
+        # ~0.9), unlike dim-rotations which collide past dim=64.
+        # SAME quantizer parameters as the recorded cells (16 lists,
+        # 3 probes, 8 queries) so x100_paired is an honest scaling
+        # ratio; a real 2M deployment would size n_lists ~ sqrt(N).
+        import numpy as np
+        import pandas as pd
+
+        emb01 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+        def emb_reps(n_rep):
+            reps = F.explode(
+                F.sequence(F.lit(0), F.lit(n_rep - 1))).alias("rep")
+            return (emb01.select("vec_id", "embedding", reps)
+                    .select((F.col("vec_id").cast("long")
+                             + F.col("rep").cast("long")
+                             * F.lit(1_000_000_000).cast("long"))
+                            .alias("vec_id"),
+                            F.transform(
+                                "embedding",
+                                lambda x, i: x * (F.lit(1.0)
+                                                  + F.lit(0.5) * F.sin(
+                                    F.col("rep")
+                                    * (i.cast("double") + 1.0))))
+                            .alias("embedding"))
+                    .repartition(64).localCheckpoint())
+
+        emb20k = emb_reps(10)
+        emb2m = emb_reps(1000)
+        n2m = emb2m.count()
+        q8 = (emb01.orderBy("vec_id").limit(8).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+            .localCheckpoint())
+        from rasterframes_spark.pipeline.similarity import (
+            _train_unit_centroids, ivf_ann_topk)
+
+        m = leg(
+            "ivf_ann_100x",
+            lambda: ivf_ann_topk(emb20k, q8, k=10, n_lists=16,
+                                 n_probe=3).count(),
+            lambda: ivf_ann_topk(emb2m, q8, k=10, n_lists=16,
+                                 n_probe=3).count(),
+            n2m)
+        # recall vs exact brute force (untimed) + list-size skew —
+        # centroid imbalance is the interesting failure mode at scale
+        ivf = ivf_ann_topk(emb2m, q8, k=10, n_lists=16, n_probe=3)
+        brute = P.cosine_topk(emb2m, q8, k=10)
+        n_brute = brute.count()
+        hits = ivf.join(brute, ["query_id", "neighbor_id"]).count()
+        m["recall_vs_brute"] = round(hits / max(n_brute, 1), 3)
+        cents = _train_unit_centroids(emb2m, "embedding", 16, 2048, 42,
+                                      n2m, caller="rehearse_100x")
+
+        def assign(batches):
+            for pdf in batches:
+                x = np.stack([np.asarray(v, dtype="float64")
+                              for v in pdf["embedding"]])
+                x /= np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                yield pd.DataFrame(
+                    {"list": np.argmax(x @ cents.T, axis=1)})
+
+        sizes = sorted(
+            r["count"] for r in emb2m.mapInPandas(assign, "list int")
+            .groupBy("list").count().collect())
+        m["list_sizes"] = {
+            "n_lists": len(sizes), "min": int(sizes[0]),
+            "median": int(sizes[len(sizes) // 2]), "max": int(sizes[-1]),
+            "max_over_median": round(
+                sizes[-1] / max(sizes[len(sizes) // 2], 1), 2)}
+        print(json.dumps({"ivf_ann_100x_extra": {
+            "recall_vs_brute": m["recall_vs_brute"],
+            "list_sizes": m["list_sizes"]}}))
+        emb20k.unpersist()
+        emb2m.unpersist()
 
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
