@@ -314,6 +314,7 @@ def main():
         print(json.dumps({"ivf_ann_100x_extra": {
             "recall_vs_brute": m["recall_vs_brute"],
             "list_sizes": m["list_sizes"]}}))
+        out.append(m)
         emb20k.unpersist()
         emb2m.unpersist()
 
