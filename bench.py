@@ -790,6 +790,7 @@ def main():
     # the machine; a cell whose normalized value moved was actually
     # changed by code.  "normalized_median" divides median by median —
     # the most regression-proof series (VERDICT r7 #4).
+    floor = timings.get("baseline_arrow_floor_100x64", 0.0)
     normalized = {
         k: round(v / floor, 3) for k, v in timings.items()
         if floor > 0 and k != "baseline_arrow_floor_100x64"}

@@ -223,7 +223,11 @@ class _S3Transport:
         req = Request(self.url, method="HEAD",
                       headers=self._headers("HEAD"))
         with urlopen(req) as r:  # noqa: S310 — user catalog URI
-            return int(r.headers["Content-Length"])
+            cl = r.headers.get("Content-Length")
+        if cl is None or not cl.strip().isdigit():
+            raise ValueError(f"rangeio: no usable Content-Length from "
+                             f"{self.url!r} (got {cl!r})")
+        return int(cl)
 
     def get(self, start: int, end: int) -> bytes:
         from urllib.request import Request, urlopen
@@ -253,7 +257,17 @@ class _WebHdfsTransport:
         from urllib.request import urlopen
 
         with urlopen(self.base + "?op=GETFILESTATUS") as r:  # noqa: S310
-            return int(json.loads(r.read())["FileStatus"]["length"])
+            body = r.read()
+        # server responses are untrusted input (r13 fuzz lesson:
+        # dict-shaped payloads are parsers too) — malformed JSON or a
+        # missing/garbage field is a contract ValueError, never a
+        # KeyError/TypeError out of a read task
+        try:
+            return int(json.loads(body)["FileStatus"]["length"])
+        except (KeyError, TypeError, ValueError) as e:
+            raise ValueError(
+                f"webhdfs: malformed GETFILESTATUS response from "
+                f"{self.base!r}: {e}") from e
 
     def get(self, start: int, end: int) -> bytes:
         from urllib.request import urlopen
@@ -275,7 +289,11 @@ class _HttpTransport:
 
         req = Request(self.url, method="HEAD")
         with urlopen(req) as r:  # noqa: S310 — user catalog URI
-            return int(r.headers["Content-Length"])
+            cl = r.headers.get("Content-Length")
+        if cl is None or not cl.strip().isdigit():
+            raise ValueError(f"rangeio: no usable Content-Length from "
+                             f"{self.url!r} (got {cl!r})")
+        return int(cl)
 
     def get(self, start: int, end: int) -> bytes:
         from urllib.request import Request, urlopen

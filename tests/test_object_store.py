@@ -282,6 +282,39 @@ def test_hdfs_malformed_uri():
         RangeSource("hdfs://")
 
 
+def test_malformed_server_responses_are_contract_errors():
+    """r13 fuzz lesson applied to the transports: a WebHDFS status
+    response that is valid JSON but the wrong shape, and an HTTP HEAD
+    without a usable Content-Length, are contract ValueErrors — never
+    KeyError/TypeError out of a read task."""
+
+    class Bad(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b'{"RemoteException": {"message": "nope"}}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_HEAD(self):
+            self.send_response(200)  # no Content-Length at all
+            self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Bad)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        with pytest.raises(ValueError, match="GETFILESTATUS"):
+            RangeSource(f"hdfs://127.0.0.1:{port}/x").size()
+        with pytest.raises(ValueError, match="Content-Length"):
+            RangeSource(f"http://127.0.0.1:{port}/x").size()
+    finally:
+        srv.shutdown()
+
+
 # ------------------------------------------------- injectable transport
 def test_register_scheme_hook_with_retry(scene_blob):
     """The injectable fetch hook: a custom scheme serves from memory,
