@@ -197,6 +197,65 @@ def _surfaces():
         J2.wrap_jp2(J2.encode_jp2(j2img, tile_size=(32, 32), levels=2,
                                   depth=16), 48, 64, 16),
         J2.decode_jp2)
+
+    # --- r14 rotation: the never-swept byte surfaces — WARC ingest
+    # (Common Crawl bytes are the single most attacker-exposed input in
+    # the pipeline), HTML text extraction (text-shaped parser; fed the
+    # way ingestion feeds it, bytes decoded errors='replace'), EXIF
+    # IFD walk, GRIB edition 1 (IBM floats, PDS/GDS/BMS/BDS), both
+    # plain and member-gzip WARC framings.
+    from rasterframes_spark.sources import html_text as HT
+    from rasterframes_spark.sources import warc as WR
+    from rasterframes_spark.sources.exif import read_exif, write_exif_app1
+    from rasterframes_spark.sources.grib1 import parse_grib1, write_grib1
+
+    html_doc = (b"<html><head><title>T</title>"
+                b"<meta name='description' content='d'></head><body>"
+                b"<nav><a href='/a'>a</a><a href='/b'>b</a></nav>"
+                b"<main><h1>Header</h1><p>Body text with <b>markup</b>"
+                b" and a <a href='x'>link</a>.</p><ul><li>one</li>"
+                b"<li>two</li></ul></main><footer>f</footer>"
+                b"</body></html>") * 3
+
+    def parse_html(b: bytes):
+        s = b.decode("utf-8", "replace")
+        HT.parse_page(s)
+        HT.html_metadata(s)
+
+    surfaces["html"] = (html_doc, parse_html)
+
+    http_body = b"<html><body>" + b"hello world " * 40 + b"</body></html>"
+    http_payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Length: " + str(len(http_body)).encode()
+                    + b"\r\n\r\n" + http_body)
+    wrecs = [({"WARC-Type": "warcinfo",
+               "WARC-Record-ID": "<urn:uuid:1>"}, b"software: test\r\n"),
+             ({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:2>",
+               "WARC-Target-URI": "http://example.com/",
+               "Content-Type": "application/http;msgtype=response"},
+              http_payload)] * 2
+
+    def parse_warc(b: bytes):
+        for h, p in WR.iter_warc_records(b):
+            if h.get("warc-type") == "response":
+                WR.split_http_response(p)
+
+    surfaces["warc_gz"] = (WR.write_warc(wrecs, gzip_members=True),
+                           parse_warc)
+    surfaces["warc_plain"] = (WR.write_warc(wrecs, gzip_members=False),
+                              parse_warc)
+
+    surfaces["exif"] = (
+        write_exif_app1(encode_jpeg(img), {
+            "Make": "cam", "Model": "m1", "Orientation": 6,
+            "DateTime": "2020:01:01 00:00:00"}),
+        read_exif)
+
+    g1 = np.round(rng.random((24, 36)) * 500)
+    g1[2, 3] = np.nan
+    surfaces["grib1"] = (
+        write_grib1([g1, g1 * 2], (0.0, 0.0, 36.0, 24.0), nbits=12),
+        parse_grib1)
     return surfaces
 
 
