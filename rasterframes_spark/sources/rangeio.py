@@ -53,6 +53,9 @@ _MAX_BLOCKS = 64  # 16 MiB cache per source
 # bounded exponential backoff for transient remote failures
 _RETRIES = int(os.environ.get("RASTERFRAMES_IO_RETRIES", "4"))
 _BACKOFF_BASE = float(os.environ.get("RASTERFRAMES_IO_BACKOFF", "0.25"))
+# per-request socket timeout: a hung object store must surface as a
+# retryable socket.timeout, never stall an executor task forever
+_TIMEOUT = float(os.environ.get("RASTERFRAMES_IO_TIMEOUT", "60"))
 _BACKOFF_CAP = 4.0
 _TRANSIENT_HTTP = frozenset({429, 500, 502, 503, 504})
 
@@ -222,7 +225,7 @@ class _S3Transport:
 
         req = Request(self.url, method="HEAD",
                       headers=self._headers("HEAD"))
-        with urlopen(req) as r:  # noqa: S310 — user catalog URI
+        with urlopen(req, timeout=_TIMEOUT) as r:  # noqa: S310 — user catalog URI
             cl = r.headers.get("Content-Length")
         if cl is None or not cl.strip().isdigit():
             raise ValueError(f"rangeio: no usable Content-Length from "
@@ -234,7 +237,7 @@ class _S3Transport:
 
         rng = {"Range": f"bytes={start}-{end - 1}"}
         req = Request(self.url, headers=self._headers("GET", rng))
-        with urlopen(req) as r:  # noqa: S310
+        with urlopen(req, timeout=_TIMEOUT) as r:  # noqa: S310
             return r.read()
 
 
@@ -256,7 +259,8 @@ class _WebHdfsTransport:
         import json
         from urllib.request import urlopen
 
-        with urlopen(self.base + "?op=GETFILESTATUS") as r:  # noqa: S310
+        with urlopen(self.base + "?op=GETFILESTATUS",
+                     timeout=_TIMEOUT) as r:  # noqa: S310
             body = r.read()
         # server responses are untrusted input (r13 fuzz lesson:
         # dict-shaped payloads are parsers too) — malformed JSON or a
@@ -274,7 +278,7 @@ class _WebHdfsTransport:
 
         url = (f"{self.base}?op=OPEN&offset={start}"
                f"&length={end - start}")
-        with urlopen(url) as r:  # noqa: S310 — follows the 307 redirect
+        with urlopen(url, timeout=_TIMEOUT) as r:  # noqa: S310 — follows the 307 redirect
             return r.read()
 
 
@@ -288,7 +292,7 @@ class _HttpTransport:
         from urllib.request import Request, urlopen
 
         req = Request(self.url, method="HEAD")
-        with urlopen(req) as r:  # noqa: S310 — user catalog URI
+        with urlopen(req, timeout=_TIMEOUT) as r:  # noqa: S310 — user catalog URI
             cl = r.headers.get("Content-Length")
         if cl is None or not cl.strip().isdigit():
             raise ValueError(f"rangeio: no usable Content-Length from "
@@ -300,7 +304,7 @@ class _HttpTransport:
 
         req = Request(self.url,
                       headers={"Range": f"bytes={start}-{end - 1}"})
-        with urlopen(req) as r:  # noqa: S310
+        with urlopen(req, timeout=_TIMEOUT) as r:  # noqa: S310
             return r.read()
 
 

@@ -282,6 +282,51 @@ def test_hdfs_malformed_uri():
         RangeSource("hdfs://")
 
 
+def test_hung_server_times_out_and_retries(scene_blob, monkeypatch):
+    """A stalled store must surface as a retryable timeout, never hang
+    the executor task: first request sleeps past the socket timeout,
+    the retry succeeds, bytes stay exact."""
+    import time as _time
+
+    blob, arr = scene_blob
+    monkeypatch.setattr(rangeio, "_TIMEOUT", 0.5)
+    stalls = {"n": 1}
+
+    class Slow(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if stalls["n"] > 0:
+                stalls["n"] -= 1
+                _time.sleep(1.5)  # past the 0.5 s socket timeout
+                return
+            m = re.match(r"bytes=(\d+)-(\d+)",
+                         self.headers.get("Range") or "")
+            a, b = int(m.group(1)), int(m.group(2))
+            body = blob[a:b + 1]
+            self.send_response(206)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_HEAD(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Slow)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = RangeSource(
+            f"http://127.0.0.1:{srv.server_address[1]}/scene.tiff")
+        got = src.read_range(100, 64)
+        assert got == blob[100:164]
+        assert src.retries >= 1
+    finally:
+        srv.shutdown()
+
+
 def test_malformed_server_responses_are_contract_errors():
     """r13 fuzz lesson applied to the transports: a WebHDFS status
     response that is valid JSON but the wrong shape, and an HTTP HEAD
