@@ -42,6 +42,20 @@ def create_rf_spark_session(master: str | None = None, app_name: str = "rasterfr
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
+    # Object-store transport env reaches executor Python workers (r14):
+    # RangeSource's s3:// signing and retry knobs read the standard AWS /
+    # RASTERFRAMES_IO_* variables AT FETCH TIME in whatever process runs
+    # the read.  Harmless in local mode (workers inherit the JVM env);
+    # required in cluster mode, where executors don't see the driver's
+    # environment unless forwarded.  Explicit spark.executorEnv.* in
+    # `configs` wins.
+    for var in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY",
+                "AWS_SESSION_TOKEN", "AWS_REGION", "AWS_DEFAULT_REGION",
+                "AWS_ENDPOINT_URL", "AWS_ENDPOINT_URL_S3",
+                "RASTERFRAMES_IO_RETRIES", "RASTERFRAMES_IO_BACKOFF",
+                "RASTERFRAMES_IO_TIMEOUT"):
+        if var in os.environ:
+            b = b.config(f"spark.executorEnv.{var}", os.environ[var])
     for k, v in configs.items():
         b = b.config(k, v)
     spark = b.getOrCreate()

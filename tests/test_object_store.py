@@ -360,6 +360,47 @@ def test_malformed_server_responses_are_contract_errors():
         srv.shutdown()
 
 
+def test_session_forwards_transport_env_to_executors(monkeypatch):
+    """create_rf_spark_session forwards the standard AWS / transport env
+    to spark.executorEnv.* so cluster executors can sign and retry;
+    unset vars are not forwarded, explicit configs win."""
+    import rasterframes_spark.session as S
+
+    captured = {}
+
+    class FakeBuilder:
+        def master(self, m):
+            return self
+
+        def appName(self, a):
+            return self
+
+        def config(self, k, v):
+            captured[k] = v
+            return self
+
+    monkeypatch.setattr(
+        S.SparkSession, "builder", FakeBuilder().master(None))
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AK")
+    monkeypatch.setenv("AWS_ENDPOINT_URL_S3", "http://ep")
+    monkeypatch.delenv("AWS_SESSION_TOKEN", raising=False)
+
+    class Stop(Exception):
+        pass
+
+    def boom(*a, **k):
+        raise Stop
+
+    FakeBuilder.getOrCreate = boom
+    with pytest.raises(Stop):
+        S.create_rf_spark_session(
+            **{"spark.executorEnv.AWS_ACCESS_KEY_ID": "OVERRIDE"})
+    assert captured["spark.executorEnv.AWS_ENDPOINT_URL_S3"] == "http://ep"
+    # explicit config applied after (wins in Spark's last-set semantics)
+    assert captured["spark.executorEnv.AWS_ACCESS_KEY_ID"] == "OVERRIDE"
+    assert "spark.executorEnv.AWS_SESSION_TOKEN" not in captured
+
+
 # ------------------------------------------------- injectable transport
 def test_register_scheme_hook_with_retry(scene_blob):
     """The injectable fetch hook: a custom scheme serves from memory,
