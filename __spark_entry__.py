@@ -3408,7 +3408,7 @@ def oracle_sql() -> dict[str, str]:
               from ldfix, (select unnest(range(3)) as i)),
             ldhot as (
               select ln, min(doc_id) as keep
-              from ldlines where len(trim(ln)) > 0
+              from ldlines where len(regexp_replace(ln, '\s', '', 'g')) > 0
               group by ln having count(distinct doc_id) >= 2),
             ldkept as (
               select l.doc_id, l.pos, l.ln

@@ -154,8 +154,8 @@ _MERGE_TARGET_BYTES = 16 * 1024 * 1024  # per merge-shuffle partition
 _MERGE_MAX_PARTITIONS = 4096
 
 
-def _merge_shuffle_partitions(L, R, right_tiles, left_tile,
-                              left_crs) -> int | None:
+def _merge_shuffle_partitions(L, R, right_tiles,
+                              left_tile) -> int | None:
     """Size the merge-stage shuffles from estimated TILE VOLUME instead
     of inheriting the session default (r13 100x rehearsal: an 8 GB
     payload shuffle over 32 session partitions spilled 13 GB of disk in
@@ -288,6 +288,7 @@ def raster_join(
     cell_size_deg: float | None = None,
     max_fan_in: int | None = 256,
     cache_inputs: bool = True,
+    merge_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Left-outer spatial join + reproject-merge (RasterJoin.scala:68-133).
 
@@ -304,18 +305,24 @@ def raster_join(
     resamples identity-grid partials exactly), measured +10% on small
     footprint joins — the price of the hard memory bound.
     ``max_fan_in=None`` opts into the single-pass aggregate (fastest when
-    fan-in is known small). ``cache_inputs=False`` keeps the operator
-    fully lazy (no persist) when the caller manages caching or inputs are
-    already materialized tables.
+    fan-in is known small). ``cache_inputs=False`` skips the persists
+    when the caller manages caching or inputs are already materialized
+    tables.
 
-    Merge-shuffle partitioning scales with estimated tile volume (one
-    metadata-only aggregate per side at plan time; see
-    :func:`_merge_shuffle_partitions`): joins whose payload exceeds the
+    ``merge_partitions`` sizes the merge-stage shuffles: ``"auto"``
+    (default) estimates tile volume with one metadata-only aggregate
+    per side AT PLAN TIME (two small eager jobs; with
+    ``cache_inputs=True`` they just move cache materialization earlier,
+    with ``cache_inputs=False`` they recompute upstream lineage once —
+    see :func:`_merge_shuffle_partitions`); an ``int`` pins the count
+    with no estimate job; ``None`` disables sizing entirely — combined
+    with ``cache_inputs=False`` the operator builds its plan with ZERO
+    eager work, the pre-r14 contract.  Joins whose payload exceeds the
     session default's ~16 MiB/partition budget get sized explicit hash
-    partitioning on the left id instead of inheriting
+    partitioning on the join keys and the left id instead of inheriting
     ``spark.sql.shuffle.partitions`` — at 100x the sf1 leg that bound
-    cut the premerge sort's 13 GB disk spill to near zero; small joins
-    keep their exact unsized plans.
+    cut the premerge sort's 13 GB disk spill to zero; small joins keep
+    their exact unsized plans.
 
     Cache lifetime: the persisted stamped inputs stay alive as long as the
     returned DataFrame may be recomputed (Spark evicts them LRU / spills
@@ -425,8 +432,12 @@ def raster_join(
     r_payload = r_payload.withColumn(
         "__rid3", F.xxhash64(*[F.col(f"__rp_{rt}") for rt in right_tiles]))
     # volume-scaled merge shuffles (None = session default, plan as-is)
-    n_merge = _merge_shuffle_partitions(L, R, right_tiles, left_tile,
-                                        left_crs)
+    if merge_partitions == "auto":
+        n_merge = _merge_shuffle_partitions(L, R, right_tiles, left_tile)
+    elif merge_partitions is None:
+        n_merge = None
+    else:
+        n_merge = max(1, int(merge_partitions))
     if n_merge:
         # The payload join is where the r13 100x spill actually lived
         # (per-stage attribution, PLANS.md r14): AQE coalesces the

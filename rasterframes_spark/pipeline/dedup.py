@@ -1155,7 +1155,12 @@ def remove_duplicated_lines(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), split_pat, -1))
         .alias("__p", "__ln")).withColumn("__k", F.xxhash64("__ln"))
-    hot = (lines.where(F.length(F.trim("__ln")) > 0)
+    # \s (Java regex: space/tab/newline/CR/FF/VT), not F.trim — trim
+    # strips only ASCII spaces, so a tab-only or CR-only separator line
+    # (every CRLF corpus split on '\n' has them) would still census as
+    # content (r14 review finding)
+    blankish = F.length(F.regexp_replace("__ln", r"\s", "")) > 0
+    hot = (lines.where(blankish)
            .select("__k", "__id")
            .groupBy("__k")
            .agg(F.count_distinct("__id").alias("__nd"),

@@ -64,6 +64,16 @@ _TRANSIENT_HTTP = frozenset({429, 500, 502, 503, 504})
 _SCHEME_OPENERS: dict = {}
 
 
+class ShortReadError(OSError):
+    """A remote transport returned a body of the wrong length — a
+    connection-close-delimited truncation urllib cannot detect, a
+    DataNode clamping a WebHDFS length, or a server ignoring Range and
+    replying 200 with the whole object.  Classified TRANSIENT so the
+    fetch retries (truncations usually are); a server that is
+    persistently wrong exhausts the bounded budget and the error
+    propagates with the lengths in the message."""
+
+
 def register_scheme(scheme: str, opener) -> None:
     """Install a custom transport for ``scheme://`` URIs.
 
@@ -90,7 +100,7 @@ def _is_transient(exc: BaseException) -> bool:
     return isinstance(
         exc, (socket.timeout, TimeoutError, ConnectionError,
               http.client.IncompleteRead, http.client.RemoteDisconnected,
-              BrokenPipeError))
+              BrokenPipeError, ShortReadError))
 
 
 def _retrying(fn, what: str, counter=None):
@@ -141,7 +151,14 @@ def _sigv4_headers(method: str, url: str, region: str, service: str,
     datestamp = amzdate[:8]
     payload_hash = hashlib.sha256(b"").hexdigest()
 
-    canonical_uri = quote(parts.path or "/", safe="/-_.~")
+    # S3 canonical URIs use the URI-encoded path AS SENT, single-encoded
+    # (the SigV4 spec's S3 exception to the double-encode rule).  The
+    # urlsplit path is already RFC 3986-encoded by the caller
+    # (`_s3_endpoint` quotes the key once) — re-quoting here would
+    # double-encode every %XX and mis-sign any key containing a space,
+    # '+', '=' or non-ASCII character (r14 review finding, repro'd:
+    # /my%20file signed as /my%2520file -> 403 SignatureDoesNotMatch).
+    canonical_uri = parts.path or "/"
     q = []
     if parts.query:
         for kv in parts.query.split("&"):
@@ -204,6 +221,28 @@ def _s3_endpoint(uri: str) -> tuple[str, str, str]:
             region, "s3")
 
 
+def _head_size(url: str, headers: dict) -> int:
+    """HEAD the object; a missing/garbage Content-Length is a contract
+    ValueError (server responses are untrusted input)."""
+    from urllib.request import Request, urlopen
+
+    req = Request(url, method="HEAD", headers=headers)
+    with urlopen(req, timeout=_TIMEOUT) as r:  # noqa: S310 — user catalog URI
+        cl = r.headers.get("Content-Length")
+    if cl is None or not cl.strip().isdigit():
+        raise ValueError(f"rangeio: no usable Content-Length from "
+                         f"{url!r} (got {cl!r})")
+    return int(cl)
+
+
+def _range_get(url: str, headers: dict) -> bytes:
+    from urllib.request import Request, urlopen
+
+    req = Request(url, headers=headers)
+    with urlopen(req, timeout=_TIMEOUT) as r:  # noqa: S310
+        return r.read()
+
+
 class _S3Transport:
     """Anonymous or SigV4-signed HTTP range reads for s3:// objects."""
 
@@ -221,24 +260,11 @@ class _S3Transport:
         return dict(extra or {})
 
     def size(self) -> int:
-        from urllib.request import Request, urlopen
-
-        req = Request(self.url, method="HEAD",
-                      headers=self._headers("HEAD"))
-        with urlopen(req, timeout=_TIMEOUT) as r:  # noqa: S310 — user catalog URI
-            cl = r.headers.get("Content-Length")
-        if cl is None or not cl.strip().isdigit():
-            raise ValueError(f"rangeio: no usable Content-Length from "
-                             f"{self.url!r} (got {cl!r})")
-        return int(cl)
+        return _head_size(self.url, self._headers("HEAD"))
 
     def get(self, start: int, end: int) -> bytes:
-        from urllib.request import Request, urlopen
-
         rng = {"Range": f"bytes={start}-{end - 1}"}
-        req = Request(self.url, headers=self._headers("GET", rng))
-        with urlopen(req, timeout=_TIMEOUT) as r:  # noqa: S310
-            return r.read()
+        return _range_get(self.url, self._headers("GET", rng))
 
 
 class _WebHdfsTransport:
@@ -251,7 +277,15 @@ class _WebHdfsTransport:
         if not parts.netloc or not parts.path:
             raise ValueError(f"rangeio: malformed HDFS uri {uri!r} "
                              "(want hdfs://host[:port]/path)")
-        host = parts.netloc if ":" in parts.netloc else parts.netloc + ":9870"
+        # urlsplit handles IPv6 literals; a bare ":" test would read
+        # "[::1]" as already carrying a port (r14 review finding)
+        try:
+            port = parts.port
+        except ValueError as e:
+            raise ValueError(
+                f"rangeio: malformed HDFS uri {uri!r}: {e}") from e
+        host = parts.netloc if port is not None else \
+            parts.netloc + ":9870"
         self.base = (f"http://{host}/webhdfs/v1"
                      f"{quote(parts.path, safe='/-_.~')}")
 
@@ -289,23 +323,11 @@ class _HttpTransport:
         self.url = uri
 
     def size(self) -> int:
-        from urllib.request import Request, urlopen
-
-        req = Request(self.url, method="HEAD")
-        with urlopen(req, timeout=_TIMEOUT) as r:  # noqa: S310 — user catalog URI
-            cl = r.headers.get("Content-Length")
-        if cl is None or not cl.strip().isdigit():
-            raise ValueError(f"rangeio: no usable Content-Length from "
-                             f"{self.url!r} (got {cl!r})")
-        return int(cl)
+        return _head_size(self.url, {})
 
     def get(self, start: int, end: int) -> bytes:
-        from urllib.request import Request, urlopen
-
-        req = Request(self.url,
-                      headers={"Range": f"bytes={start}-{end - 1}"})
-        with urlopen(req, timeout=_TIMEOUT) as r:  # noqa: S310
-            return r.read()
+        return _range_get(self.url,
+                          {"Range": f"bytes={start}-{end - 1}"})
 
 
 def _open_transport(uri: str):
@@ -366,13 +388,29 @@ class RangeSource:
         """Read [start, end) from the backing store.  Remote reads get
         retry/backoff armor; accounting (bytes/requests/trace) records
         each logical fetch once, after it succeeds."""
+        want = end - start
         if self._remote is not None:
-            data = _retrying(lambda: self._remote.get(start, end),
-                             f"read({self.uri})", counter=self)
+            def _checked_get():
+                d = self._remote.get(start, end)
+                # never cache a wrong-length body: a silently-truncated
+                # block would corrupt every later read_range slice
+                # (r14 review finding)
+                if len(d) != want:
+                    raise ShortReadError(
+                        f"rangeio: {self.uri} returned {len(d)} bytes "
+                        f"for range [{start}, {end})")
+                return d
+
+            data = _retrying(_checked_get, f"read({self.uri})",
+                             counter=self)
         else:
             with open(self._path, "rb") as f:
                 f.seek(start)
-                data = f.read(end - start)
+                data = f.read(want)
+            if len(data) != want:
+                raise ValueError(
+                    f"rangeio: {self._path} truncated — {len(data)} "
+                    f"bytes for range [{start}, {end})")
         self.bytes_fetched += end - start
         self.requests += 1
         if self.trace_file:

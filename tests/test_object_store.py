@@ -120,6 +120,39 @@ def test_sigv4_known_vector():
         "5fa00fa31553b73ebf1942676e86291e8372ff2a2260956d9b8aae1d763fbf31")
 
 
+def test_sigv4_key_path_is_single_encoded():
+    """r14 review: S3 canonical URIs use the URI-encoded path AS SENT
+    (the SigV4 spec's S3 single-encoding rule).  The signer must NOT
+    re-quote the already-encoded path — a key with a space signed
+    double-encoded (%2520) 403s on real S3.  Independent check: the
+    expected signature is derived here from a hand-written canonical
+    request (spec literal), not by calling the signer."""
+    import hashlib
+    import hmac as hm
+
+    url = "https://b.s3.us-east-1.amazonaws.com/my%20file%2Bv1.tif"
+    amz = "20260101T000000Z"
+    ph = hashlib.sha256(b"").hexdigest()
+    canonical = "\n".join([
+        "GET",
+        "/my%20file%2Bv1.tif",        # single-encoded, byte-for-byte
+        "",
+        f"host:b.s3.us-east-1.amazonaws.com\n"
+        f"x-amz-content-sha256:{ph}\nx-amz-date:{amz}\n",
+        "host;x-amz-content-sha256;x-amz-date",
+        ph])
+    sts = "\n".join([
+        "AWS4-HMAC-SHA256", amz, "20260101/us-east-1/s3/aws4_request",
+        hashlib.sha256(canonical.encode()).hexdigest()])
+    k = hm.new(b"AWS4SK", b"20260101", hashlib.sha256).digest()
+    for step in (b"us-east-1", b"s3", b"aws4_request"):
+        k = hm.new(k, step, hashlib.sha256).digest()
+    want = hm.new(k, sts.encode(), hashlib.sha256).hexdigest()
+    got = _sigv4_headers("GET", url, "us-east-1", "s3", "AK", "SK",
+                         amzdate=amz)
+    assert got["Authorization"].endswith(f"Signature={want}")
+
+
 def test_sigv4_signs_range_and_token():
     """S3-mode headers: payload hash + session token are signed, and
     the Range header participates in the signature."""

@@ -1016,7 +1016,7 @@ def _brute_line_dedup(rows, min_docs, keep_first, sep="\n"):
         if t is None:
             continue
         for ln in set(t.split(sep)):
-            if ln.strip():
+            if ln.strip(" \t\n\r\x0b\x0c"):  # the Java \s class
                 occ.setdefault(ln, set()).add(i)
     hot = {ln: min(ids) for ln, ids in occ.items() if len(ids) >= min_docs}
     out = {}
@@ -1098,6 +1098,24 @@ def test_remove_duplicated_lines_whitespace_only_exempt(spark):
            for r in P.remove_duplicated_lines(
                df, keep_first=False).collect()}
     assert got == {1: "own a\n  \n  \nown b", 2: "  \nother body"}
+    # r14 review: tab-only and CR-only lines are structure too (F.trim
+    # strips only spaces — the census uses the \s class); a CRLF corpus
+    # split on '\n' leaves '\r' on every blank line
+    df2 = spark.createDataFrame(
+        [(1, "own a\r\nshared line\r\n\r\nown b"),
+         (2, "shared line\r\n\r\nother")], "doc_id long, text string")
+    got2 = {r["doc_id"]: r["text"]
+            for r in P.remove_duplicated_lines(
+                df2, keep_first=False).collect()}
+    # split on \n: lines end with \r; the blank '\r' line must survive
+    assert got2 == {1: "own a\r\n\r\nown b", 2: "\r\nother"}
+    df3 = spark.createDataFrame(
+        [(1, "x\n\t\nshared t\n\t\ny"), (2, "shared t\n\t\nz")],
+        "doc_id long, text string")
+    got3 = {r["doc_id"]: r["text"]
+            for r in P.remove_duplicated_lines(
+                df3, keep_first=False).collect()}
+    assert got3 == {1: "x\n\t\n\t\ny", 2: "\t\nz"}
 
 
 def test_remove_duplicated_lines_literal_sep(spark):

@@ -175,7 +175,7 @@ def test_merge_shuffle_partitions_scale_with_volume(spark, left_df):
 
     # the module fixture's two 8x8 float64 tiles: far under default
     assert _merge_shuffle_partitions(
-        left_df, left_df, ["tile"], "tile", "crs") is None
+        left_df, left_df, ["tile"], "tile") is None
 
     def claimed(n_rows, cols, rows, ct="uint16ud0"):
         # metadata-only estimate: cells can stay tiny/imaginary
@@ -185,13 +185,13 @@ def test_merge_shuffle_partitions_scale_with_volume(spark, left_df):
                      F.lit(b"").alias("cells")).alias("tile"))
 
     big = claimed(8000, 256, 256)          # 8000 x 256^2 x 2B ~ 1 GB
-    n = _merge_shuffle_partitions(big, big, ["tile"], "tile", "crs")
+    n = _merge_shuffle_partitions(big, big, ["tile"], "tile")
     want = int(4 * 8000 * 256 * 256 * 2 // _MERGE_TARGET_BYTES) + 1
     assert n == want > int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     huge = claimed(4000000, 512, 512, "float64")
     assert _merge_shuffle_partitions(
-        huge, huge, ["tile"], "tile", "crs") == 4096
+        huge, huge, ["tile"], "tile") == 4096
 
     # a sized join's executed plan carries the explicit partition count
     t = Tile(np.arange(64, dtype="float64").reshape(8, 8), "float64")
@@ -211,6 +211,40 @@ def test_merge_shuffle_partitions_scale_with_volume(spark, left_df):
         assert float(merged.masked().sum()) == float(np.arange(64).sum())
     finally:
         rj._MERGE_TARGET_BYTES = orig
+
+
+def test_raster_join_lazy_and_pinned_partition_modes(spark, left_df,
+                                                     monkeypatch):
+    """merge_partitions=None + cache_inputs=False builds the plan with
+    ZERO eager jobs (the pre-r14 lazy contract, restored as an explicit
+    mode); an int pins the count without any estimate job; both produce
+    values identical to auto."""
+    from pyspark.sql import DataFrame
+
+    rt = Tile(np.full((8, 8), 7.0), "float64")
+    right = spark.createDataFrame([row(0, rt, ext(0, 0, 8, 8))],
+                                  schema=SCHEMA)
+
+    def boom(self):
+        raise AssertionError("lazy raster_join ran an eager job")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "head", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    lazy = raster_join(left_df, right, cache_inputs=False,
+                       merge_partitions=None, cell_size_deg=8.0)
+    pinned = raster_join(left_df, right, cache_inputs=False,
+                         merge_partitions=7, cell_size_deg=8.0)
+    assert lazy._jdf.queryExecution().analyzed() is not None
+    monkeypatch.undo()
+    vals = {}
+    for name, df in (("lazy", lazy), ("pinned", pinned),
+                     ("auto", raster_join(left_df, right,
+                                          cell_size_deg=8.0))):
+        r0 = df.orderBy("id").collect()[0]
+        t = get_tile({"tile": r0["tile_right"]})
+        vals[name] = (t.masked().count(), float(t.masked().sum()))
+    assert vals["lazy"] == vals["pinned"] == vals["auto"] == (64, 448.0)
 
 
 def test_release_raster_join_cache(spark, left_df):
