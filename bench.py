@@ -432,14 +432,70 @@ def main():
     only = set(filter(None, os.environ.get(
         "SPARK_GRAFT_ONLY_CELLS", "").split(",")))
 
+    # r14 optimization round: SPARK_GRAFT_PROFILE=1 adds a per-cell
+    # stage-attribution JSON line on STDERR (jobs/stages/tasks, task
+    # time vs wall, shuffle bytes, Python-eval presence) from the UI
+    # REST API.  Opt-in diagnostics only — stdout record unchanged.
+    prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+
+    def _rest(path):
+        import urllib.request
+        sc = spark.sparkContext
+        base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+        with urllib.request.urlopen(base + path, timeout=20) as r:
+            return json.loads(r.read())
+
+    def _prof_mark():
+        try:
+            return max((s["stageId"] for s in _rest("/stages")), default=-1)
+        except Exception:   # noqa: BLE001 — diagnostics only
+            return -1
+
+    def _prof_emit(name, mark, ts):
+        try:
+            stages = [s for s in _rest("/stages")
+                      if s["stageId"] > mark
+                      and s["status"] in ("COMPLETE", "SKIPPED")]
+            out = {
+                "cell": name,
+                "secs": [round(t, 3) for t in ts],
+                "stages": len([s for s in stages
+                               if s["status"] == "COMPLETE"]),
+                "skipped": len([s for s in stages
+                                if s["status"] == "SKIPPED"]),
+                "tasks": sum(s.get("numCompleteTasks", 0) for s in stages),
+                "task_time_s": round(sum(
+                    s.get("executorRunTime", 0) for s in stages) / 1e3, 2),
+                "cpu_time_s": round(sum(
+                    s.get("executorCpuTime", 0) for s in stages) / 1e9, 2),
+                "sched_delay_s": round(sum(
+                    s.get("schedulerDelay", 0) or 0 for s in stages) / 1e3, 2),
+                "input_mb": round(sum(
+                    s.get("inputBytes", 0) for s in stages) / 1e6, 1),
+                "shuffle_r_mb": round(sum(
+                    s.get("shuffleReadBytes", 0) for s in stages) / 1e6, 1),
+                "shuffle_w_mb": round(sum(
+                    s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1),
+                "spill_mb": round(sum(
+                    s.get("memoryBytesSpilled", 0)
+                    + s.get("diskBytesSpilled", 0) for s in stages) / 1e6, 1),
+            }
+            print(json.dumps(out), file=sys.stderr, flush=True)
+        except Exception as e:   # noqa: BLE001 — diagnostics only
+            print(json.dumps({"cell": name, "profile_error": str(e)}),
+                  file=sys.stderr, flush=True)
+
     def run(name, fn, repeat=1):
         if only and name not in only:
             return
+        mark = _prof_mark() if prof else -1
         ts = []
         for _ in range(repeat):
             t0 = time.time()
             fn()
             ts.append(time.time() - t0)
+        if prof:
+            _prof_emit(name, mark, ts)
         ts.sort()
         # min = capability (continuity with earlier rounds); median =
         # the noise-robust series round-over-round comparisons lead with
