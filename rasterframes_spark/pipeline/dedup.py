@@ -353,31 +353,40 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     """Full near-dup pipeline: shingle → minhash → LSH candidates →
     exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard).
 
-    ``input_rows``: 'auto' (default) runs one cheap UDF-free ``df.count()``
-    at call time to feed the skew guard — note this is an EAGER Spark job
-    (and re-runs if the plan recomputes). Pass the row count when the
-    caller already knows it, or ``None`` for a fully lazy plan (no job
-    until the result is acted on; the skew guard then always runs its
-    lazy hot-bucket detection instead of being skipped)."""
-    # the source row count upper-bounds every LSH bucket, so the skew
-    # guard can skip detection outright at sub-threshold scale
-    n_docs = df.count() if input_rows == "auto" else input_rows
-    src = _spread(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")),
-        rows=n_docs if isinstance(n_docs, int) else None)
-    # fused text->shingle->minhash: one Arrow crossing of the raw text
-    # (see minhash_signature_text) — no corpus-wide HOF shingling, and the
-    # cached signatures carry 64 longs per doc instead of shingle arrays
+    ``input_rows``: 'auto' (default) feeds the skew guard from the eager
+    signature-cache materialization count (one Spark job at call time —
+    and, since r14, the ONLY upstream evaluation: the text rides in the
+    cached frame, so the verify join's two sides read the cache instead
+    of re-running the input lineage, and no separate ``df.count()`` pass
+    exists).  Pass the row count when the caller already knows it, or
+    ``None`` for a fully lazy plan (no job until the result is acted on;
+    the skew guard then always runs its lazy hot-bucket detection
+    instead of being skipped)."""
     if num_perm % bands != 0:
         raise ValueError(
             f"minhash_dedup_pairs: bands ({bands}) must divide num_perm "
             f"({num_perm}) — a remainder silently drops trailing minhash "
             "values from banding (and bands > num_perm collapses every "
             "bucket to its band index: all-pairs blowup)")
-    sigs = src.select("__id", minhash_signature_text(
+    src = _spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")),
+        rows=input_rows if isinstance(input_rows, int) else None)
+    # fused text->shingle->minhash: one Arrow crossing of the raw text
+    # (see minhash_signature_text) — no corpus-wide HOF shingling.  The
+    # cached frame carries (__id, __txt, minhash): r13 cached signatures
+    # only, and the exact-Jaccard join's two text sides then re-evaluated
+    # the whole input lineage once EACH — plus an eager df.count() for
+    # the skew guard — so one cold minhash_dedup_pairs run cost FOUR
+    # upstream passes (§2.4 "don't compute things you throw away"; the
+    # r14 doc_ingest_chain A/B: 0.59x median with the WARC->HTML->C4->
+    # Gopher upstream, where those passes were the cell's dominant
+    # cost).  Text in the cache trades memory for passes; it spills to
+    # disk gracefully and releases with release_cache(result).
+    sigs = src.select("__id", "__txt", minhash_signature_text(
         "__txt", shingle_size, num_perm).alias("minhash"))
     sigs = sigs.where(F.col("minhash").isNotNull())
     sigs.cache()
+    n_docs = input_rows
     if input_rows == "auto":
         # Pin the cache EAGERLY before any consumer plan touches it
         # (VERDICT r9 #1/#3): when the hot-LSH-bucket branch of the
@@ -387,20 +396,22 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         # results, but it floods stderr with "Python worker exited
         # unexpectedly" / "Block rdd_N does not exist" noise and
         # recomputes the cancelled blocks in the next consumer, adding
-        # run-to-run variance. One count() here — ONLY on the 'auto'
-        # path, which is already eager (df.count() above) — materializes
-        # every block before the race can start. An explicit integer
-        # input_rows stays plan-build-lazy per the docstring contract
-        # (code-review r10 #6), trading back the benign cancellation
-        # noise if that plan's hot-bucket branch resolves empty.
-        sigs.count()
+        # run-to-run variance.  The count doubles as the skew guard's
+        # row bound (tighter than the old full-input df.count(): only
+        # docs with signatures can land in a bucket).  An explicit
+        # integer input_rows stays plan-build-lazy per the docstring
+        # contract (code-review r10 #6), trading back the benign
+        # cancellation noise if that plan's hot-bucket branch resolves
+        # empty.
+        n_docs = sigs.count()
     cands = minhash_lsh_candidates(sigs, "__id", "minhash", bands,
                                    hot_bucket_threshold, hot_bucket_salts,
                                    input_rows=n_docs)
     # exact-Jaccard verify: shingles evaluate ONLY for candidate rows
-    # (post-join projection), not the whole corpus
-    sa = src.select(F.col("__id").alias("id_a"), F.col("__txt").alias("__ta"))
-    sb = src.select(F.col("__id").alias("id_b"), F.col("__txt").alias("__tb"))
+    # (post-join projection), not the whole corpus — both text sides
+    # read the CACHED frame (zero upstream recompute)
+    sa = sigs.select(F.col("__id").alias("id_a"), F.col("__txt").alias("__ta"))
+    sb = sigs.select(F.col("__id").alias("id_b"), F.col("__txt").alias("__tb"))
     verified = (
         cands.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b", F.round(text_jaccard(
@@ -477,14 +488,20 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     fully lazy, skew detection always in-plan."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    n_docs = df.count() if input_rows == "auto" else input_rows
     sh = _spread(df.select(F.col(id_col).alias("__id"),
                            F.col(text_col).alias("__t")),
-                 rows=n_docs if isinstance(n_docs, int) else None) \
+                 rows=input_rows if isinstance(input_rows, int) else None) \
         .select("__id", simhash("__t").alias("__sh"))
     # the tokenize+hash UDF pass is the dominant cost and _salted_self_pairs
     # scans the frame up to 3x (hot-count + both join sides)
     sh = sh.cache()
+    n_docs = input_rows
+    if input_rows == "auto":
+        # r14: the eager skew-guard count materializes the signature
+        # cache directly instead of a separate full-input df.count()
+        # pass (one fewer upstream evaluation; same eager contract,
+        # tighter bound — only rows with signatures can fill a bucket)
+        n_docs = sh.count()
     mask = (1 << width) - 1
     if mask >= (1 << 63):
         mask -= 1 << 64  # two's-complement signed long (width == 64 -> -1)
