@@ -221,7 +221,11 @@ def _spread(df: DataFrame, rows: int | None = None,
     defaultParallelism — enough tasks to engage the cluster without
     paying a Python-worker startup per handful of rows. At real scale
     the input already has >= the target partitions and this is a NO-OP:
-    no extra shuffle on the 100 TB path."""
+    no extra shuffle on the 100 TB path.  Streaming frames pass through
+    untouched (their micro-batch partitioning is the source's contract,
+    and ``df.rdd`` is undefined for them)."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     cap = sc.defaultParallelism
     target = (cap if rows is None

@@ -295,6 +295,11 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     import collections
 
     from rasterframes_spark.functions._kernel import lazy_pandas_udf
+    from rasterframes_spark.pipeline.dedup import _spread
+
+    # engage the cores before the per-doc Python pass (no-op at scale
+    # or for well-partitioned inputs; see text_metrics — r14)
+    df = _spread(df)
 
     schema = ", ".join(f"{n} double" for n in names)
 
@@ -343,7 +348,12 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
 
 
 def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """All per-document metrics in one projection."""
+    """All per-document metrics in one projection.
+
+    (r14: measured adding a ``_spread`` here — the projection is almost
+    all Catalyst with one already-vectorized fingerprint UDF, and the
+    round-robin text shuffle cost more than the parallelism bought:
+    interleaved A/B 1.15x median. Left as a pure projection.)"""
     return df.select(
         "*",
         token_count(text_col).alias("n_tokens"),

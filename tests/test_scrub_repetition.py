@@ -167,10 +167,23 @@ def test_repetition_metrics_vs_python_oracle(spark):
             assert r["dup_5gram_frac"] == pytest.approx(exp5, abs=1e-6), t
 
 
-def test_repetition_metrics_no_shuffle(spark, docs):
-    plan = P.repetition_metrics(docs.select("doc_id", "text")) \
+def test_repetition_metrics_no_shuffle_when_spread(spark, docs):
+    """r14: the vectorized path spreads a NARROW input across cores
+    before the per-doc Python pass (single-file corpora scan as one
+    partition, serializing the UDF onto one core).  An input that
+    already has >= defaultParallelism partitions must stay one narrow
+    projection — no Exchange (the 100 TB no-op contract)."""
+    wide = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism)
+    plan = P.repetition_metrics(wide) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # one narrow projection
+    # exactly the caller's own repartition; the operator adds none
+    assert plan.count("Exchange") == 1
+    # narrow input: the spread exchange appears, values identical
+    narrow = docs.select("doc_id", "text").coalesce(1)
+    a = P.repetition_metrics(narrow).orderBy("doc_id").collect()
+    b = P.repetition_metrics(wide).orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
 
 
 # ---------------------------------------------------------------------------
