@@ -922,7 +922,13 @@ def _gram_fingerprint_rows(docs: DataFrame, id_col: str, text_col: str,
     each).  Exploding a ONE-element array wrapper forces a Generate
     boundary, so each intermediate array materializes exactly once per
     row and later stages reference a plain attribute.  Fingerprint
-    values are identical to :func:`token_gram_hashes`."""
+    values are identical to :func:`token_gram_hashes`.
+
+    The input is spread across cores first (r14): the tokenize + per-
+    gram xxhash64-over-slice projection is the operator's heaviest
+    stage, and a single-file corpus scans as ONE partition — serial.
+    No-op at real scale / for well-partitioned inputs."""
+    docs = _spread(docs)
     nn = int(n)
     toks = F.split(F.col(text_col) if isinstance(text_col, str)
                    else text_col, r"\s+")
@@ -1070,6 +1076,11 @@ def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
             raise ValueError(
                 f"remove_repeated_spans: {id_col!r} must be unique per "
                 "document (the rebuilt text joins back on it)")
+    # spread BEFORE both branches (census + rebuild): a single-file
+    # corpus scans as one partition, serializing the tokenize/gram
+    # census AND the rebuild's per-token exists() filter onto one core
+    # (r14; no-op at real scale / for well-partitioned inputs)
+    docs = _spread(docs)
     nn = int(n)
     dst = out_col or text_col
 
@@ -1168,6 +1179,10 @@ def remove_duplicated_lines(docs: DataFrame, id_col: str = "doc_id",
             raise ValueError(
                 f"remove_duplicated_lines: {id_col!r} must be unique "
                 "per document (the rebuilt text joins back on it)")
+    # (r14: measured a _spread here — the per-row work (line split +
+    # xxhash census) is too light to pay for the round-robin text
+    # shuffle on narrow inputs: interleaved A/B 1.8x median REGRESSION.
+    # Left on the caller's partitioning.)
     dst = out_col or text_col
     # Pattern.quote-equivalent \Q…\E literal quoting (embedded \E split)
     split_pat = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
