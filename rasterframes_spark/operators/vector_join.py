@@ -178,6 +178,12 @@ def st_join(left: DataFrame, right: DataFrame,
         if distance is None or float(distance) < 0:
             raise ValueError("st_join: predicate='dwithin' needs distance >= 0")
         d = float(distance)
+    # (r14: measured spreading a narrow left side here — st_join solo
+    # read NOISE-to-slightly-better, but st_knn_join regressed ~4x
+    # through the extra exchange interacting with its copies-join +
+    # rank-window pipeline.  Reverted; the vectorized point kernels
+    # (geom/functions.py r14) already removed most of the serial
+    # map-side cost on narrow inputs.)
     g = (float(grid_size) if grid_size
          else _estimate_grid(right, geom_right, left, geom_left))
     g = max(g, d / 4) if d else g
