@@ -35,6 +35,12 @@ def create_rf_spark_session(master: str | None = None, app_name: str = "rasterfr
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (guide §3.1/§9): the engine's shuffled
+        # joins key on 8-byte hashes/ids with bounded build sides, and
+        # skipping both sorts is pure win there; joins too big to hash
+        # still fall back to sort-merge by the planner's own check
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.parquet.filterPushdown", "true")
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long

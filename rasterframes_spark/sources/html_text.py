@@ -25,6 +25,10 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
+# precompiled: _flush runs twice per block (r14 — skips the re-cache dict
+# lookup per call on the ingest hot path)
+_WS = re.compile(r"\s+")
+
 __all__ = ["html_to_text", "extract_main_text", "html_metadata",
            "parse_page"]
 
@@ -60,8 +64,8 @@ class _TextParser(HTMLParser):
         self.n_links = 0
 
     def _flush(self):
-        t = re.sub(r"\s+", " ", "".join(self.buf)).strip()
-        a = re.sub(r"\s+", " ", "".join(self.abuf)).strip()
+        t = _WS.sub(" ", "".join(self.buf)).strip()
+        a = _WS.sub(" ", "".join(self.abuf)).strip()
         if t:
             self.blocks.append((t, a))
         self.buf = []
@@ -169,7 +173,7 @@ def parse_page(html: str, main_content: bool = True,
                                       else 1.0))
     p.feed(html)
     p.close()
-    title = re.sub(r"\s+", " ", "".join(p.title)).strip() or None
+    title = _WS.sub(" ", "".join(p.title)).strip() or None
     return title, p.lang, p.result()
 
 
@@ -181,7 +185,7 @@ def html_metadata(html: str) -> dict:
     p.close()
     text = p.result()
     return {
-        "title": re.sub(r"\s+", " ", "".join(p.title)).strip() or None,
+        "title": _WS.sub(" ", "".join(p.title)).strip() or None,
         "description": p.meta.get("description")
         or p.meta.get("og:description"),
         "lang": p.lang,
