@@ -294,7 +294,7 @@ def st_knn_join(left: DataFrame, right: DataFrame, k: int,
     from pyspark.sql import Window
 
     for reserved in ("distance", "knn_rank", "__kid", "__kid2",
-                     "__kcp", "__krn"):
+                     "__kcp", "__krn", "__krh1", "__krh2"):
         if reserved in left.columns or reserved in right.columns:
             raise ValueError(
                 f"st_knn_join: input already has a {reserved!r} column — "
@@ -312,7 +312,15 @@ def st_knn_join(left: DataFrame, right: DataFrame, k: int,
     stamped = _stamp_row_id(left, "__kid", "__kid2")
     copies = (stamped.groupBy("__kid", "__kid2")
               .agg(F.count(F.lit(1)).alias("__kcp")))
-    cand = st_join(stamped, right, geom_left=geom_left,
+    # Tie-break hashes are computed ONCE PER RIGHT ROW here, before the
+    # bucket join, instead of per candidate inside the window sort: the
+    # dwithin bucket join multiplies each right row into many candidate
+    # pairs, and hashing the full right struct (geometry WKB included)
+    # twice per candidate was measurable window-stage work.  xxhash64
+    # hashes field VALUES (names don't enter), so these columns order
+    # candidates exactly as the old per-candidate struct hashes did.
+    tagged = _stamp_row_id(right, "__krh1", "__krh2")
+    cand = st_join(stamped, tagged, geom_left=geom_left,
                    geom_right=geom_right,
                    predicate="dwithin", distance=float(max_distance),
                    grid_size=grid_size, rsuffix=rsuffix)
@@ -323,12 +331,9 @@ def st_knn_join(left: DataFrame, right: DataFrame, k: int,
     # partition-layout-dependent when candidates straddle the k cutoff
     # at exactly equal distance.  A 128-bit content hash of the right
     # row makes the order a pure function of the data.
-    rcols = [c + rsuffix if c in stamped.columns else c
-             for c in right.columns]
-    rkey = F.struct(*[F.col(c) for c in rcols])
     w = (Window.partitionBy("__kid", "__kid2")
-         .orderBy(dist.asc(), F.xxhash64(rkey).asc(),
-                  F.xxhash64(F.lit(7), rkey).asc()))
+         .orderBy(dist.asc(), F.col("__krh1").asc(),
+                  F.col("__krh2").asc()))
     return (cand.join(copies, ["__kid", "__kid2"])
             .withColumn("distance", dist)
             .withColumn("__krn", F.row_number().over(w))
@@ -336,4 +341,5 @@ def st_knn_join(left: DataFrame, right: DataFrame, k: int,
             .withColumn("knn_rank",
                         F.ceil(F.col("__krn") / F.col("__kcp"))
                         .cast("int"))
-            .drop("__kid", "__kid2", "__kcp", "__krn"))
+            .drop("__kid", "__kid2", "__kcp", "__krn",
+                  "__krh1", "__krh2"))

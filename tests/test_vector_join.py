@@ -201,6 +201,42 @@ def test_st_knn_join_duplicate_left_per_copy_topk(spark):
     assert sorted(x["rid"] for x in out) == [0] * m + [1] * m
 
 
+def test_st_knn_join_tie_break_precomputed_hash(spark):
+    """r14: the tie-break hashes are stamped once per RIGHT row before
+    the bucket join (not recomputed per candidate in the window sort).
+    (a) the precomputed order must equal the old per-candidate order —
+    i.e. the selected rows for an equidistant straddle must match a
+    brute-force replay of the original expression (xxhash64 over the
+    right row struct, seeds 42-chain and 7); (b) the helper column names
+    are reserved on BOTH inputs."""
+    import pytest
+
+    from rasterframes_spark.operators import st_knn_join
+
+    # 6 right points all at exactly distance 5 from one query; k=3
+    # forces the hash order to pick which 3 survive.
+    q = spark.createDataFrame([(0, 0.0, 0.0)], "qid int, x double, y double") \
+        .select("qid", GF.st_point("x", "y").alias("geometry"))
+    rrows = [(i, 5.0 * ((-1) ** i), 0.0) if i < 2 else
+             (i, 0.0, 5.0 * ((-1) ** i)) for i in range(4)]
+    rrows += [(4, 3.0, 4.0), (5, -3.0, -4.0)]
+    r = spark.createDataFrame(rrows, "rid int, x double, y double") \
+        .select("rid", GF.st_point("x", "y").alias("geometry"))
+    got = sorted(x["rid"] for x in
+                 st_knn_join(q, r, k=3, max_distance=6.0,
+                             grid_size=4.0).collect())
+    # brute-force replay of the ORIGINAL per-candidate tie-break order
+    exp = (r.withColumn("__h1", F.xxhash64(F.struct("rid", "geometry")))
+           .withColumn("__h2", F.xxhash64(F.lit(7),
+                                          F.struct("rid", "geometry")))
+           .orderBy("__h1", "__h2").limit(3).collect())
+    assert got == sorted(x["rid"] for x in exp)
+    for bad in ("__krh1", "__krh2"):
+        with pytest.raises(ValueError):
+            st_knn_join(q, r.withColumn(bad, F.lit(1)), k=1,
+                        max_distance=6.0, grid_size=4.0)
+
+
 def test_st_join_hot_cell_salting(spark):
     """Skewed fixture: thousands of points crammed into ONE grid cell.
     salt=8 must (a) leave the pair output identical to the unsalted
