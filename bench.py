@@ -468,8 +468,6 @@ def main():
                     s.get("executorRunTime", 0) for s in stages) / 1e3, 2),
                 "cpu_time_s": round(sum(
                     s.get("executorCpuTime", 0) for s in stages) / 1e9, 2),
-                "sched_delay_s": round(sum(
-                    s.get("schedulerDelay", 0) or 0 for s in stages) / 1e3, 2),
                 "input_mb": round(sum(
                     s.get("inputBytes", 0) for s in stages) / 1e6, 1),
                 "shuffle_r_mb": round(sum(

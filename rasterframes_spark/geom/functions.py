@@ -212,6 +212,12 @@ def _envelope_udf(s: pd.Series) -> pd.DataFrame:
     fp = _point_xy_fast(s)
     if fp is not None:
         xs, ys, _null = fp          # null rows already NaN in xs/ys
+        # NaN-x is the POINT EMPTY convention (core.py _wkb_read keys on
+        # x alone); the general path returns an ALL-null envelope for
+        # it, so the y must be masked too — otherwise a NaN-x/finite-y
+        # row would answer (null, y, null, y) here but all-null whenever
+        # a mixed batch forces the fallback parser.
+        ys[np.isnan(xs)] = np.nan
         return pd.DataFrame({"xmin": xs, "ymin": ys,
                              "xmax": xs.copy(), "ymax": ys.copy()})
     rows = []

@@ -21,6 +21,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from rasterframes_spark.functions._kernel import lazy_pandas_udf
+# narrow-input spreader: moved to skew.py with the other partition-layout
+# utilities (r14 review); the alias keeps this module's import path working
+from rasterframes_spark.pipeline.skew import spread as _spread
 
 __all__ = [
     "dedup_exact", "exact_dup_groups", "shingles", "jaccard_sim",
@@ -210,29 +213,6 @@ def minhash_signature_text(text_col, shingle_size: int = 3,
     return udf(text_col)
 
 
-def _spread(df: DataFrame, rows: int | None = None,
-            rows_per_task: int = 2000) -> DataFrame:
-    """Spread a narrow input across cores before a per-row UDF pass.
-
-    Small/single-file corpora scan as ONE partition (128 MB
-    maxPartitionBytes), which would serialize the signature UDF onto one
-    core. When the row count is known (the skew guard already has it),
-    pick ceil(rows / rows_per_task) partitions capped at
-    defaultParallelism — enough tasks to engage the cluster without
-    paying a Python-worker startup per handful of rows. At real scale
-    the input already has >= the target partitions and this is a NO-OP:
-    no extra shuffle on the 100 TB path.  Streaming frames pass through
-    untouched (their micro-batch partitioning is the source's contract,
-    and ``df.rdd`` is undefined for them)."""
-    if df.isStreaming:
-        return df
-    sc = df.sparkSession.sparkContext
-    cap = sc.defaultParallelism
-    target = (cap if rows is None
-              else max(2, min(cap, -(-int(rows) // rows_per_task))))
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def _pair_select(joined: DataFrame, id_col: str, carry_cols: list[str]) -> DataFrame:

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["salted_agg", "salted_count"]
+__all__ = ["salted_agg", "salted_count", "spread"]
 
 
 def salted_agg(df: DataFrame, group_cols: list, aggs: dict,
@@ -44,3 +44,33 @@ def salted_agg(df: DataFrame, group_cols: list, aggs: dict,
 
 def salted_count(df: DataFrame, group_cols: list, salt_buckets: int = 16) -> DataFrame:
     return salted_agg(df, group_cols, {"n": ("*", "count")}, salt_buckets)
+
+
+def spread(df: DataFrame, rows: int | None = None,
+           rows_per_task: int = 2000) -> DataFrame:
+    """Spread a narrow input across cores before a per-row UDF pass.
+
+    Small/single-file corpora scan as ONE partition (128 MB
+    maxPartitionBytes), which would serialize the signature UDF onto one
+    core. When the row count is known (the skew guard already has it),
+    pick ceil(rows / rows_per_task) partitions capped at
+    defaultParallelism — enough tasks to engage the cluster without
+    paying a Python-worker startup per handful of rows.  ``rows=None``
+    spreads straight to defaultParallelism: the r14 single-upstream-pass
+    pipelines deliberately don't spend a Spark job counting the input
+    just to size this shuffle, and for the heavy per-row passes behind
+    it, idle cores cost more than near-empty tasks (warm Python workers
+    make a surplus task milliseconds).  At real scale the input already
+    has >= the target partitions and this is a NO-OP: no extra shuffle
+    on the 100 TB path.  Streaming frames pass through untouched (their
+    micro-batch partitioning is the source's contract, and ``df.rdd``
+    is undefined for them)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism
+    target = (cap if rows is None
+              else max(2, min(cap, -(-int(rows) // rows_per_task))))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

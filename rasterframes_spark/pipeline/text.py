@@ -295,7 +295,7 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     import collections
 
     from rasterframes_spark.functions._kernel import lazy_pandas_udf
-    from rasterframes_spark.pipeline.dedup import _spread
+    from rasterframes_spark.pipeline.skew import spread as _spread
 
     # engage the cores before the per-doc Python pass (no-op at scale
     # or for well-partitioned inputs; see text_metrics — r14)

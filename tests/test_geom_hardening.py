@@ -355,3 +355,30 @@ def test_vec_exact_chunked_and_overlapping_holes_identical(monkeypatch):
     monkeypatch.setattr(C, "_PIP_VEC_BUDGET", 2048)
     chunked = C.points_in_polygon_vec_exact(px, py, rings)
     assert (chunked == scal).all()
+
+
+def test_envelope_fast_path_nan_x_matches_general_path():
+    """r14: the all-point envelope fast path must honor the POINT EMPTY
+    convention (_wkb_read keys EMPTY on NaN x alone) exactly like the
+    general parse path — and the answer must not depend on whether the
+    batch contained a non-point that forced the fallback."""
+    import pandas as pd
+
+    from rasterframes_spark.geom import functions as GF
+
+    kernel = GF._envelope_udf.__wrapped__
+    p_ok = G.wkb_dumps(("Point", (1.0, 2.0)))
+    p_nanx = struct.pack("<BIdd", 1, 1, float("nan"), 5.0)   # NaN x, finite y
+    p_nany = struct.pack("<BIdd", 1, 1, 3.0, float("nan"))   # finite x, NaN y
+    line = G.wkb_dumps(("LineString", [(0.0, 0.0), (1.0, 1.0)]))
+
+    fast = kernel(pd.Series([p_ok, p_nanx, p_nany, None]))
+    general = kernel(pd.Series([p_ok, p_nanx, p_nany, None, line]))[:4]
+
+    for got in (fast, general):
+        assert list(got.iloc[0]) == [1.0, 2.0, 1.0, 2.0]
+        assert all(v != v for v in got.iloc[1])          # EMPTY: all null
+        row2 = list(got.iloc[2])
+        assert row2[0] == 3.0 and row2[2] == 3.0         # x kept
+        assert row2[1] != row2[1] and row2[3] != row2[3]  # NaN y stays null
+        assert all(v is None or v != v for v in got.iloc[3])
