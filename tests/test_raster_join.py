@@ -264,3 +264,57 @@ def test_release_raster_join_cache(spark, left_df):
     # lazy mode never stamps the attribute
     lazy = raster_join(left_df, right, cache_inputs=False)
     assert getattr(lazy, "_rf_cached_inputs", None) is None
+
+
+def test_merge_sizing_free_for_small_trusted_joins(spark, monkeypatch):
+    """r15 (VERDICT r14 #1): merge_partitions='auto' launches ZERO eager
+    jobs when both inputs' Catalyst size stats price the real payload
+    and read far under the sized threshold — the bench-cell shape
+    (cache_inputs=False over the caller's materialized caches).  The
+    sized path is untouched: UDF-derived / Range-built / checkpointed
+    frames stay untrusted and still run the metadata estimate."""
+    import pandas as pd
+
+    from pyspark.sql import DataFrame
+
+    from rasterframes_spark.operators.raster_join import _stat_trustworthy
+
+    t = Tile(np.full((8, 8), 7.0), "float64")
+    left = spark.createDataFrame(
+        [row(0, t, ext(0, 0, 8, 8))], schema=SCHEMA).cache()
+    right = spark.createDataFrame(
+        [row(0, t, ext(0, 0, 8, 8))], schema=SCHEMA).cache()
+    left.count(), right.count()   # materialize: stats become exact
+
+    def boom(self, *a, **k):
+        raise AssertionError(
+            "auto raster_join ran an eager job on a small trusted join")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "head", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    out = raster_join(left, right, cache_inputs=False,
+                      cell_size_deg=8.0)       # merge_partitions="auto"
+    assert out._jdf.queryExecution().analyzed() is not None
+    monkeypatch.undo()
+    r0 = out.collect()[0]
+    merged = get_tile({"tile": r0["tile_right"]})
+    assert (merged.masked().count(), float(merged.masked().sum())) \
+        == (64, 448.0)
+
+    # trust boundary: materialized cache yes; UDF projections, Range
+    # frames and localCheckpoints (origin-stats, measured ~1000x under
+    # real mapInPandas payloads) no
+    from rasterframes_spark.functions._kernel import lazy_pandas_udf
+
+    @lazy_pandas_udf("long")
+    def ident(s: pd.Series) -> pd.Series:
+        return s
+
+    assert _stat_trustworthy(left)
+    assert _stat_trustworthy(left.select("id", "tile"))
+    assert not _stat_trustworthy(
+        left.select(ident(F.col("id")).alias("id")))
+    assert not _stat_trustworthy(spark.range(4))
+    assert not _stat_trustworthy(left.localCheckpoint())
+    left.unpersist(), right.unpersist()
