@@ -1361,7 +1361,16 @@ def _q_curation(spark, sf_dir):
             F.lit(" see https://ex"), (F.col("doc_id") % 3).cast("string"),
             F.lit(".org/p"), F.col("doc_id").cast("string")))
         .otherwise(F.lit("")))
-    augd = docs.select("doc_id", "source", aug.alias("aug"))
+    # spread BEFORE the aug/pii projection (r15, VERDICT r14 #2): the
+    # pii_counts regex chain (5 regexp_count + 4 progressive
+    # regexp_replace) otherwise evaluates inside the single scan
+    # partition under the partial aggregate — measured 2.3x faster
+    # spread (1.09 -> 0.47 s min-of-7 at sf0.1).  Row values and the
+    # long-typed family sums are partition-order independent.
+    from rasterframes_spark.pipeline.skew import spread as _spread
+    augd = _spread(docs.select("doc_id", "source", "text"),
+                   rows="bound", rows_per_task=500) \
+        .select("doc_id", "source", aug.alias("aug"))
     piic = augd.select("source", P.pii_counts("aug").alias("c"))
     pii = piic.groupBy("source").agg(
         F.sum("c.email").alias("em"), F.sum("c.ipv4").alias("ip"))
