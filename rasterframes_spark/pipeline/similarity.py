@@ -244,7 +244,17 @@ def _train_unit_centroids(corpus: DataFrame, vec_col: str, n_lists: int,
     rows of a partitioned 100 TB corpus are not representative and train
     degenerate centroids), then a few Lloyd's iterations on <= sample_size
     unit-normalized vectors. Returns (n_lists, dim) unit rows."""
-    n_corpus = corpus_rows if corpus_rows is not None else corpus.count()
+    if corpus_rows is not None:
+        n_corpus = corpus_rows
+    else:
+        # free exact count (parquet footers / Catalyst rowCount) when
+        # the plan shape proves it — identical value to corpus.count(),
+        # zero Spark jobs (r15); opaque shapes still pay the count
+        from rasterframes_spark.pipeline.skew import _scan_row_count_exact
+
+        n_corpus = _scan_row_count_exact(corpus)
+        if n_corpus is None:
+            n_corpus = corpus.count()
     base = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
     if n_corpus > sample_size:
         # collect the whole ~1.2x Bernoulli sample (bounded) and

@@ -98,6 +98,47 @@ def _scan_row_bound(df: DataFrame, max_files: int = 64) -> int | None:
         return None
 
 
+_ROW_EXACT = frozenset({"Project", "SubqueryAlias", "Sort",
+                        "Repartition", "RepartitionByExpression"})
+
+
+def _scan_row_count_exact(df: DataFrame) -> int | None:
+    """EXACT row count with zero Spark jobs, or None when not provable
+    (r15, VERDICT r14 #5: the ANN/semantic-dedup sample sizing spent a
+    count() job per call on inputs whose row count the parquet footers
+    already state).  Two provable shapes: Catalyst's ``rowCount``
+    statistic defined at the plan ROOT (materialized caches, local
+    data), or parquet footer sums under inner nodes that preserve row
+    count exactly — unlike :func:`_scan_row_bound`, Filter disqualifies
+    (a filtered scan's rows are not the footer rows)."""
+    try:
+        jp = df._jdf.queryExecution().optimizedPlan()
+        rc = jp.stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        stack = [jp]
+        while stack:
+            node = stack.pop()
+            name = node.nodeName()
+            if name in ("LogicalRelation", "Relation"):
+                continue
+            if name not in _ROW_EXACT:
+                return None
+            ch = node.children()
+            stack.extend(ch.apply(i) for i in range(ch.size()))
+        files = df.inputFiles()
+        if not files or len(files) > 64 or \
+                not all(f.endswith(".parquet") for f in files):
+            return None
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+            for f in files)
+    except Exception:  # noqa: BLE001 — estimate only; None = unknown
+        return None
+
+
 def spread(df: DataFrame, rows: int | str | None = None,
            rows_per_task: int = 2000) -> DataFrame:
     """Spread a narrow input across cores before a per-row UDF pass.

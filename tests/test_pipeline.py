@@ -1211,6 +1211,22 @@ def test_scan_row_bound_and_sized_spread(spark, docs):
 
     sized = spread(docs.select("doc_id", "text"),
                    rows="bound", rows_per_task=500)
+    # r15 (VERDICT r14 #5/#6): the EXACT free count behind the ANN /
+    # semantic_dedup sample sizing — value-identical to .count() where
+    # provable, None (never a guess) where not
+    from rasterframes_spark.pipeline.skew import _scan_row_count_exact
+
+    assert _scan_row_count_exact(docs) == n
+    assert _scan_row_count_exact(docs.select("doc_id", "text")) == n
+    # Filter disqualifies EXACT (it only shrinks, so the bound helper
+    # still accepts it — the exact helper must not)
+    assert _scan_row_count_exact(docs.where(F.col("doc_id") > 5)) is None
+    assert _scan_row_count_exact(
+        docs.select(F.explode(F.split("text", " ")))) is None
+    c2 = docs.select("doc_id").cache()
+    c2.count()
+    assert _scan_row_count_exact(c2) == n
+    c2.unpersist()
     assert sized.rdd.getNumPartitions() == max(
         2, min(spark.sparkContext.defaultParallelism, -(-n // 500)))
     # value identity through the sized census path
