@@ -255,8 +255,24 @@ def read_warc(spark, paths, kinds: tuple = ("response",)) -> "DataFrame":
                     "file", "url", "warc_type", "date", "http_status",
                     "content_type", "payload"])
 
-    return (spark.read.format("binaryFile").load(paths)
-            .select("path", "content")
-            .mapInPandas(run, schema=(
-                "file string, url string, warc_type string, date string, "
-                "http_status int, content_type string, payload binary")))
+    src = (spark.read.format("binaryFile").load(paths)
+           .select("path", "content"))
+    # binaryFile packs small files together (128 MB splits, 4 MB
+    # open-cost) — a small crawl's whole parse chain then runs as ONE
+    # task. Files are the parallelism unit here (member-gzip is not
+    # mid-file splittable), so when packing collapsed the scan below
+    # one-file-per-task, fan back out before the parse. The partition
+    # probe is driver-only (scan-rooted plan, no job), and the
+    # repartition only ever fires when the files were small enough to
+    # pack — crawl-scale ~1 GB files already scan one-per-task and
+    # skip both the probe's branch and the shuffle.
+    try:
+        nfiles = len(src.inputFiles())
+        target = min(nfiles, spark.sparkContext.defaultParallelism)
+        if target > 1 and src.rdd.getNumPartitions() < target:
+            src = src.repartition(target)
+    except Exception:  # noqa: BLE001 — fan-out is best-effort
+        pass
+    return src.mapInPandas(run, schema=(
+        "file string, url string, warc_type string, date string, "
+        "http_status int, content_type string, payload binary"))
