@@ -12,6 +12,7 @@ pipeline and masking.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -555,9 +556,17 @@ def main():
     run("ivf_ann", lambda: P.ivf_ann_topk(
         emb, annq, k=10, n_lists=16, n_probe=3).count(), repeat=3)
     # PII scrub + Gopher repetition metrics: one narrow codegen'd
-    # projection, no Python worker — the zero-UDF curation hot path
+    # projection, no Python worker — the zero-UDF curation hot path.
+    # Spread BEFORE the pii_scrub projection (r15, VERDICT r14 #2 —
+    # mirrors the curation query's caller-side reorder): the regex
+    # otherwise evaluates inside the single scan partition, serial.
+    # Same timed computation (identical rows, identical sums); only
+    # the exchange placement moves.
+    from rasterframes_spark.pipeline.skew import spread as _spread
     run("scrub_repetition", lambda: P.repetition_metrics(
-        docs.select("doc_id", P.pii_scrub("text").alias("text")), "text")
+        _spread(docs.select("doc_id", "text"), rows="bound",
+                rows_per_task=500)
+        .select("doc_id", P.pii_scrub("text").alias("text")), "text")
         .agg(F.sum("dup_5gram_frac"), F.sum("top_2gram_char_frac")).collect(),
         repeat=5)
 
@@ -852,6 +861,16 @@ def main():
     normalized_median = {
         k: round(v / mfloor, 3) for k, v in medians.items()
         if mfloor > 0 and k != "baseline_arrow_floor_100x64"}
+    # window-quality stamp (r15, VERDICT r14 #7): per-cell medians live
+    # in the full file; the stdout line gets the one-number summary —
+    # geomean and worst of median/min per cell.  A quiet window reads
+    # ~1.0x; the r14 scoring window would have stamped itself >>1.
+    mom = [medians[k] / timings[k] for k in timings
+           if k in medians and timings[k] > 0]
+    mom_geomean = round(math.exp(
+        sum(math.log(max(x, 1e-9)) for x in mom) / len(mom)), 3) \
+        if mom else None
+    mom_worst = round(max(mom), 3) if mom else None
     full = {
         "metric": "headline_suite_total",
         "value": total,
@@ -874,6 +893,8 @@ def main():
         "psi_stall_sec": psi_stall,
         "waited_for_quiet_sec": waited,
         "contended": contended,
+        "mom_geomean": mom_geomean,
+        "mom_worst": mom_worst,
         # r13 (VERDICT r12 #3): measurement-semantics markers IN the
         # record — these sf0.1 cells time COLD repeats since r12 (the
         # signature/fingerprint cache is released per repeat), a ~2x
