@@ -345,7 +345,14 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     exists).  Pass the row count when the caller already knows it, or
     ``None`` for a fully lazy plan (no job until the result is acted on;
     the skew guard then always runs its lazy hot-bucket detection
-    instead of being skipped)."""
+    instead of being skipped).
+
+    Ids are expected UNIQUE per row (the same contract
+    ``remove_repeated_spans`` documents): since the r14 single-pass
+    rework the verify join reads the null-signature-filtered cache, so
+    with duplicate ids where one copy has a null/empty-text signature
+    the degenerate extra verify rows the pre-r14 lineage emitted no
+    longer appear.  Identical results for unique-id inputs."""
     if num_perm % bands != 0:
         raise ValueError(
             f"minhash_dedup_pairs: bands ({bands}) must divide num_perm "

@@ -39,8 +39,16 @@ def create_rf_spark_session(master: str | None = None, app_name: str = "rasterfr
         # size conditions hold (guide §3.1/§9): the engine's shuffled
         # joins key on 8-byte hashes/ids with bounded build sides, and
         # skipping both sorts is pure win there; joins too big to hash
-        # still fall back to sort-merge by the planner's own check
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # still fall back to sort-merge by the planner's own check.
+        # Tradeoff: the planner's check is ESTIMATE-based and SHJ build
+        # maps can't spill — a badly under-estimated build side (e.g. a
+        # post-UDF frame whose stat reads KB for MB) can OOM where SMJ
+        # would have spilled. The default is global (it also shapes
+        # user joins on the session); deployments that hit the edge can
+        # flip it per-session via RASTERFRAMES_PREFER_SORT_MERGE_JOIN=true
+        # or any explicit `configs` override (applied after, wins).
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("RASTERFRAMES_PREFER_SORT_MERGE_JOIN", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.parquet.filterPushdown", "true")
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long
