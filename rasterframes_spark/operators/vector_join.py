@@ -143,7 +143,8 @@ def st_join(left: DataFrame, right: DataFrame,
             predicate: str = "intersects", grid_size: float | None = None,
             how: str = "inner", rsuffix: str = "_right",
             distance: float | None = None, salt: int = 0,
-            hot_cell_threshold: int = 100_000) -> DataFrame:
+            hot_cell_threshold: int = 100_000, *,
+            _distance_col: str | None = None) -> DataFrame:
     """Spatial join: rows of ``left`` paired with rows of ``right`` whose
     geometries satisfy ``predicate`` (intersects | contains | within |
     dwithin, evaluated as predicate(left_geom, right_geom)).
@@ -173,6 +174,9 @@ def st_join(left: DataFrame, right: DataFrame,
                          f"(use one of {sorted(_PREDICATES)})")
     if how not in ("inner", "left"):
         raise ValueError("st_join: how must be 'inner' or 'left'")
+    if _distance_col and (predicate != "dwithin" or how != "inner"):
+        raise ValueError("st_join: _distance_col is internal to the "
+                         "inner dwithin path (st_knn_join)")
     d = 0.0
     if predicate == "dwithin":
         if distance is None or float(distance) < 0:
@@ -244,7 +248,19 @@ def st_join(left: DataFrame, right: DataFrame,
         (le["xmin"] <= re_["xmax"]) & (re_["xmin"] <= le["xmax"])
         & (le["ymin"] <= re_["ymax"]) & (re_["ymin"] <= le["ymax"]))
 
-    if predicate == "dwithin":
+    if predicate == "dwithin" and _distance_col:
+        # carried-distance shape (st_knn_join): project the exact
+        # distance ONCE and filter on the column, so the caller's rank
+        # window / output column reuse the value instead of paying a
+        # second ArrowEvalPython crossing of both geometry payloads per
+        # surviving candidate.  Needs the nondeterministic twin: a
+        # filter on a deterministic-UDF column is pushed below the
+        # projection and the eval is DUPLICATED (guide §4.4; plan-
+        # asserted by test_st_knn_join_single_distance_eval).
+        cand = cand.withColumn(
+            _distance_col, GF._distance_once(F.col(geom_left), F.col(gr)))
+        exact = F.col(_distance_col) <= F.lit(d)
+    elif predicate == "dwithin":
         exact = GF.st_distance(F.col(geom_left), F.col(gr)) <= F.lit(d)
     else:
         exact = _PREDICATES[predicate](F.col(geom_left), F.col(gr))
@@ -294,7 +310,7 @@ def st_knn_join(left: DataFrame, right: DataFrame, k: int,
     from pyspark.sql import Window
 
     for reserved in ("distance", "knn_rank", "__kid", "__kid2",
-                     "__kcp", "__krn", "__krh1", "__krh2"):
+                     "__kcp", "__krn", "__krh1", "__krh2", "__kdist"):
         if reserved in left.columns or reserved in right.columns:
             raise ValueError(
                 f"st_knn_join: input already has a {reserved!r} column — "
@@ -320,26 +336,30 @@ def st_knn_join(left: DataFrame, right: DataFrame, k: int,
     # hashes field VALUES (names don't enter), so these columns order
     # candidates exactly as the old per-candidate struct hashes did.
     tagged = _stamp_row_id(right, "__krh1", "__krh2")
+    # carried distance (r15, §4.4/§2.4): the dwithin filter inside
+    # st_join already evaluates the exact distance for every bbox-
+    # surviving candidate — carry that value out (``__kdist``) instead
+    # of paying a SECOND ArrowEvalPython crossing (both geometry
+    # payloads shipped again) for the window key + output column.
     cand = st_join(stamped, tagged, geom_left=geom_left,
                    geom_right=geom_right,
                    predicate="dwithin", distance=float(max_distance),
-                   grid_size=grid_size, rsuffix=rsuffix)
-    gr = geom_right + rsuffix if geom_right in stamped.columns else geom_right
-    dist = GF.st_distance(F.col(geom_left), F.col(gr))
+                   grid_size=grid_size, rsuffix=rsuffix,
+                   _distance_col="__kdist")
     # Deterministic tie-breaker (same AQE-nondeterminism class as the
     # raster_join fix, SURVEY §2.14): row_number over distance alone is
     # partition-layout-dependent when candidates straddle the k cutoff
     # at exactly equal distance.  A 128-bit content hash of the right
     # row makes the order a pure function of the data.
     w = (Window.partitionBy("__kid", "__kid2")
-         .orderBy(dist.asc(), F.col("__krh1").asc(),
+         .orderBy(F.col("__kdist").asc(), F.col("__krh1").asc(),
                   F.col("__krh2").asc()))
     return (cand.join(copies, ["__kid", "__kid2"])
-            .withColumn("distance", dist)
+            .withColumn("distance", F.col("__kdist"))
             .withColumn("__krn", F.row_number().over(w))
             .where(F.col("__krn") <= F.col("__kcp") * int(k))
             .withColumn("knn_rank",
                         F.ceil(F.col("__krn") / F.col("__kcp"))
                         .cast("int"))
             .drop("__kid", "__kid2", "__kcp", "__krn",
-                  "__krh1", "__krh2"))
+                  "__krh1", "__krh2", "__kdist"))

@@ -237,6 +237,49 @@ def test_st_knn_join_tie_break_precomputed_hash(spark):
                         max_distance=6.0, grid_size=4.0)
 
 
+def test_st_knn_join_single_distance_eval(spark):
+    """r15 (§4.4/§2.4): the exact distance is evaluated ONCE — st_join's
+    dwithin filter projects it (nondeterministic twin blocks the
+    filter-pushdown duplication) and the rank window + output column
+    reuse the value.  (a) plan-assert: exactly one _distance_udf
+    evaluation; (b) results identical to a brute-force exact knn;
+    (c) the carried column name is reserved on inputs."""
+    import math
+
+    import pytest
+
+    from rasterframes_spark.operators import st_knn_join
+
+    rows = [(i, (i % 7) + i * 0.003, (i % 5) + i * 0.007)
+            for i in range(40)]
+    pts = spark.createDataFrame(rows, "lid int, x double, y double") \
+        .select("lid", "x", "y", GF.st_point("x", "y").alias("geometry"))
+    qrows = [(j, j * 1.5, j * 1.0) for j in range(4)]
+    qs = spark.createDataFrame(qrows, "qid int, qx double, qy double") \
+        .select("qid", "qx", "qy", GF.st_point("qx", "qy").alias("geometry"))
+    out = st_knn_join(qs, pts, k=3, max_distance=3.0, grid_size=3.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("_distance_udf") == 1
+    got = {(r["qid"], r["lid"], round(r["distance"], 9), r["knn_rank"])
+           for r in out.collect()}
+    # brute-force oracle: exact distances, same <= bound and top-k by
+    # (distance, right content hash) — distances here are all distinct
+    # per query, so plain distance order suffices
+    exp = set()
+    for qid, qx, qy in qrows:
+        cands = sorted(
+            (math.sqrt((qx - x) ** 2 + (qy - y) ** 2), lid)
+            for lid, x, y in rows
+            if math.sqrt((qx - x) ** 2 + (qy - y) ** 2) <= 3.0)
+        assert len({d for d, _ in cands}) == len(cands)  # no ties
+        for rank, (d, lid) in enumerate(cands[:3], 1):
+            exp.add((qid, lid, round(d, 9), rank))
+    assert got == exp
+    with pytest.raises(ValueError):
+        st_knn_join(qs, pts.withColumn("__kdist", F.lit(1)), k=1,
+                    max_distance=3.0, grid_size=3.0)
+
+
 def test_st_join_hot_cell_salting(spark):
     """Skewed fixture: thousands of points crammed into ONE grid cell.
     salt=8 must (a) leave the pair output identical to the unsalted
