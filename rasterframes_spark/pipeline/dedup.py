@@ -1048,13 +1048,24 @@ def exact_substring_pairs(docs: DataFrame, id_col: str = "doc_id",
     The fingerprint table appears FOUR times in the plan (frequency
     count + both sides of the self-join); it is cached so the shingling
     pass runs once (r9: the sf0.1 bench cell dropped 5.3 s -> ~1.7 s) —
-    release with ``rasterframes_spark.release_cache(result)``."""
+    release with ``rasterframes_spark.release_cache(result)``.
+
+    The hot-gram table ``ok`` is cached too (r15): the alias self-join
+    duplicates the ENTIRE filtered subtree — its two semi-join
+    broadcasts each rebuilt the frequency aggregate over the full
+    fingerprint table (plan-verified: two structurally identical
+    BroadcastExchange subtrees, no ReusedExchange because the aliased
+    expr-ids defeat canonicalization).  ``ok`` is small by construction
+    (one 8-byte hash per gram shared by 2..max_docs_per_gram docs), so
+    the cache dedups a full re-aggregate + second broadcast build for
+    KBs of storage; released by the same handle."""
     fp = _gram_fingerprint_rows(docs, id_col, text_col, n, winnow_stride)
     fp.cache()
     ok = (fp.groupBy("__w").agg(F.count("*").alias("__n"))
           .where((F.col("__n") >= 2)
                  & (F.col("__n") <= int(max_docs_per_gram)))
           .select("__w"))
+    ok.cache()
     fp2 = fp.join(ok, "__w", "left_semi")
     a, b = fp2.alias("a"), fp2.alias("b")
     out = (a.join(b, (F.col("a.__w") == F.col("b.__w"))
@@ -1062,7 +1073,7 @@ def exact_substring_pairs(docs: DataFrame, id_col: str = "doc_id",
            .groupBy(F.col("a.__id").alias("id_a"),
                     F.col("b.__id").alias("id_b"))
            .agg(F.count("*").alias("shared_grams")))
-    out._rf_cached_inputs = (fp,)
+    out._rf_cached_inputs = (fp, ok)
     return out
 
 

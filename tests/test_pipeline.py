@@ -738,6 +738,31 @@ def test_exact_substring_dedup(spark):
         set(r["h"] for r in full.collect())
 
 
+def test_exact_substring_hot_gram_cache(spark, docs):
+    """r15: the hot-gram table is cached (the alias self-join otherwise
+    rebuilds its frequency aggregate twice — two broadcast subtrees, no
+    ReusedExchange) and released by the same _rf_cached_inputs handle as
+    the fingerprint table; results identical to the collected pairs."""
+    from rasterframes_spark import release_cache
+
+    both = docs.select("doc_id", "text").limit(40)
+    out = P.exact_substring_pairs(both, "doc_id", "text", n=8)
+    got = sorted((r["id_a"], r["id_b"], r["shared_grams"])
+                 for r in out.collect())
+    cached = out._rf_cached_inputs
+    assert len(cached) == 2  # (fingerprint table, hot-gram table)
+    assert all(df.is_cached for df in cached)
+    assert release_cache(out)
+    assert all(not df.is_cached for df in cached)
+    assert out._rf_cached_inputs is None
+    # recompute after release: still correct, values unchanged
+    out2 = P.exact_substring_pairs(both, "doc_id", "text", n=8)
+    got2 = sorted((r["id_a"], r["id_b"], r["shared_grams"])
+                  for r in out2.collect())
+    release_cache(out2)
+    assert got == got2
+
+
 def test_image_phash_neardup(spark):
     """DCT pHash image dedup: re-encoded / resized / lightly-noised
     copies of a picture pair within max_hamming; distinct pictures do
