@@ -120,7 +120,11 @@ def _stamp_row_id(df: DataFrame, a: str, b: str) -> DataFrame:
 
 def _cells(df: DataFrame, geom_col: str, g: float, side: str,
            pad: float = 0.0) -> DataFrame:
-    e = GF.st_envelope(geom_col)
+    # _envelope_once, not st_envelope (r15, §4.4): the isNotNull filter
+    # below is otherwise pushed under this projection and the optimizer
+    # duplicates the envelope UDF — every row of this side crossed WKB
+    # to Python twice (plan-verified 4 -> 2 eval sites for the 2 sides)
+    e = GF._envelope_once(geom_col)
     if pad:
         e = F.struct((e["xmin"] - pad).alias("xmin"),
                      (e["ymin"] - pad).alias("ymin"),

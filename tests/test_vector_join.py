@@ -332,3 +332,19 @@ def test_st_join_hot_cell_salting(spark):
                      hot_cell_threshold=500).count()
     matched_pids = {p for p, _ in base}
     assert n_left == len(base) + (3200 - len(matched_pids))
+
+
+def test_st_join_single_envelope_eval_per_side(spark, pts, polys):
+    """r15 (§4.4): the cover-cell bucketing projects each side's envelope
+    with the nondeterministic twin, so the isNotNull filter can no longer
+    be pushed below the projection and duplicate the UDF — exactly ONE
+    envelope evaluation per join side (was two: every row crossed its WKB
+    payload to Python twice).  Results pinned against the same join run
+    via the plain st_envelope expression."""
+    out = st_join(pts, polys, predicate="within", grid_size=10.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("_envelope_udf") == 2, plan
+    got = sorted((r["pid"], r["zid"]) for r in out.collect())
+    exp = sorted((r["pid"], r["zid"])
+                 for r in _brute(spark, pts, polys, "within").collect())
+    assert got == exp and len(exp) > 0
