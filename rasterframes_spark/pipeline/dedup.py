@@ -784,9 +784,18 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str = "embedding",
             cs[nz] = sims[np.arange(len(nz)), best]
         return pd.DataFrame({"l": ls, "c": cs})
 
+    # nondeterministic marking (r15, §4.4): the `sem_list >= 0` filter
+    # below is otherwise pushed under this projection and the optimizer
+    # duplicates the eval — the centroid-assignment matmul ran TWICE
+    # over the whole corpus (plan-verified: ArrowEvalPython above AND
+    # below the pushed filter).  Same kernel, bit-identical values.
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    assign_once = _pudf("struct<l:int,c:double>")(
+        assign.fn).asNondeterministic()
     base = df.select(F.col(id_col).alias("__sid"),
                      F.col(vec_col).alias("__sv"),
-                     assign(F.col(vec_col)).alias("__a"))
+                     assign_once(F.col(vec_col)).alias("__a"))
     base = base.select(
         "__sid", "__sv", F.col("__a.l").alias("sem_list"),
         F.round(F.col("__a.c"), 9).alias("cent_cos"),

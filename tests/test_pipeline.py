@@ -1289,3 +1289,37 @@ def test_scan_row_bound_and_sized_spread(spark, docs):
         docs.repartition(spark.sparkContext.defaultParallelism), n=8,
         assume_unique_ids=True).orderBy("doc_id").collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_ann_corpus_kernels_single_eval(spark, emb):
+    """r15 (§4.4): the corpus-side bucketing kernels (IVF centroid
+    assignment, LSH hyperplane bucket, semantic_dedup assignment)
+    evaluate exactly ONCE over the corpus — the bucket equi-join's
+    inferred isnotnull (resp. the sem_list >= 0 filter) otherwise
+    pushes below the projection and duplicates the matmul.  Plan-
+    asserted per operator; semantic_dedup results pinned against the
+    same call's kept-count invariants."""
+    import re
+
+    q = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = np.eye(8, 64)
+
+    ivf = P.ivf_ann_topk(emb, q, k=5, n_lists=8, n_probe=2, centroids=cents)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ArrowEvalPython \[", plan)) == 2, plan
+
+    lsh = P.lsh_ann_topk(emb, q, k=5, n_planes=4, dim=64)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ArrowEvalPython \[", plan)) == 2, plan
+
+    sd = P.semantic_dedup(emb, "vec_id", n_clusters=8, threshold=0.97,
+                          pairs_method="blas", centroids=cents)
+    rows = sd.collect()
+    ids = {r["vec_id"] for r in rows}
+    assert len(rows) == len(ids) == emb.count()
+    # exactly one kept doc per duplicate group
+    from collections import Counter
+    kept_per_group = Counter(r["sem_cluster"] for r in rows if r["kept"])
+    groups = Counter(r["sem_cluster"] for r in rows)
+    assert set(kept_per_group) == set(groups)
+    assert all(v == 1 for v in kept_per_group.values())

@@ -318,3 +318,19 @@ def test_merge_sizing_free_for_small_trusted_joins(spark, monkeypatch):
     assert not _stat_trustworthy(spark.range(4))
     assert not _stat_trustworthy(left.localCheckpoint())
     left.unpersist(), right.unpersist()
+
+
+def test_raster_join_single_extent_reprojection_eval(spark, left_df):
+    """r15 (§4.4): each side's extent→EPSG:4326 reprojection evaluates
+    exactly ONCE — the pair join's bbox-overlap condition lets Catalyst
+    infer isnotnull constraints on the projected __e4326 fields and push
+    them below the projection, duplicating the UDF (was 2 eval sites per
+    side); the nondeterministic twin removes the licence.  Values pinned
+    by the reprojection tests above (bit-identical kernel)."""
+    rt = Tile(np.full((8, 8), 7.0), "float64")
+    right = spark.createDataFrame(
+        [row(0, rt, ext(0, 0, 8, 8))], schema=SCHEMA)
+    out = raster_join(left_df, right, left_tile="tile",
+                      right_tiles=["tile"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("_extent_to_4326_udf") == 2, plan  # one per side
